@@ -1,0 +1,99 @@
+"""Write-mode semantics — SURVEY.md §2.6.
+
+The reference picks per-batch SQL modes: INSERT / INSERT IGNORE /
+REPLACE / ON DUPLICATE KEY UPDATE (d22d/utils/db/myutils.py:536-539,
+693-752; gen_insert_sql d22d/utils/db/__init__.py:1066-1080). On a
+data-lake target those become dataflow patterns:
+
+  append        -> plain write
+  insert ignore -> anti-join incoming against target keys, then append
+  replace/upsert-> key-merge of target and incoming (incoming wins),
+                   full rewrite (or MERGE on an ACID table format)
+
+Single-writer assumption documented (SURVEY §7.4 hard part (b)): the
+anti-join read-modify-write is not transactional; concurrent writers
+need an ACID table format underneath.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def filter_new_rows(incoming: DataFrame, target_keys: DataFrame, pks: list[str]) -> DataFrame:
+    """INSERT IGNORE probe: keep only incoming rows whose PK is absent
+    from the target. target_keys need only contain the PK columns; at
+    scale prefer handing a pushdown-pruned scan of just those columns."""
+    probe = target_keys.select(*pks).dropDuplicates(pks)
+    return incoming.join(F.broadcast(probe) if _small(probe) else probe, on=pks, how="left_anti")
+
+
+def _small(df: DataFrame, limit_cols: int = 4) -> bool:
+    # Heuristic only: a key-projection with few columns is usually
+    # broadcastable; AQE will still fall back if the runtime size is big.
+    return len(df.columns) <= limit_cols
+
+
+def upsert_rows(target: DataFrame, incoming: DataFrame, pks: list[str]) -> DataFrame:
+    """ON DUPLICATE KEY UPDATE as a dataflow: incoming wins on key
+    collision, unmatched target rows survive. Equivalent to
+    MERGE WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT."""
+    inc = incoming.dropDuplicates(pks)
+    kept = target.join(inc.select(*pks), on=pks, how="left_anti")
+    return kept.unionByName(inc, allowMissingColumns=False)
+
+
+def replace_rows(target: DataFrame, incoming: DataFrame, pks: list[str]) -> DataFrame:
+    """MySQL REPLACE (delete+insert) — same end state as upsert for
+    whole-row payloads."""
+    return upsert_rows(target, incoming, pks)
+
+
+def write_mode(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    pks: list[str] | None = None,
+    fmt: str = "parquet",
+    spark=None,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Apply an insert mode against a path-based table.
+
+    `append` streams through; `ignore`/`replace`/`upsert` read the
+    current target, compute the surviving set, and overwrite. On a
+    production lake this maps to Delta/Iceberg MERGE; the dataflow and
+    semantics are identical.
+    """
+    writer = df.write.format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if mode == "append":
+        writer.mode("append").save(path)
+        return
+    if mode == "overwrite":
+        writer.mode("overwrite").save(path)
+        return
+    if pks is None or spark is None:
+        raise ValueError(f"mode={mode!r} needs pks and spark")
+    try:
+        target = spark.read.format(fmt).load(path)
+    except Exception:
+        writer.mode("overwrite").save(path)
+        return
+    if mode == "ignore":
+        out = target.unionByName(filter_new_rows(df, target, pks))
+    elif mode in ("replace", "upsert"):
+        out = upsert_rows(target, df, pks)
+    else:
+        raise ValueError(f"unknown write mode {mode!r}")
+    # Rewrite via a staging path: Spark cannot overwrite a path it is
+    # concurrently reading from lazily.
+    staged = out.cache()
+    staged.count()
+    w2 = staged.write.format(fmt)
+    if partition_by:
+        w2 = w2.partitionBy(*partition_by)
+    w2.mode("overwrite").save(path)
+    staged.unpersist()

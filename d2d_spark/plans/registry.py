@@ -1,0 +1,56 @@
+"""Query registry: every operator capability from SURVEY.md §2 is
+declared here as a named query over the fixture tables, paired (when
+SQL-expressible) with a DuckDB oracle string.
+
+This is the engine's verification backbone: the driver (and our own
+tests) run the Spark plan and the oracle side-by-side and compare
+row-count + schema + order-insensitive value hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Register a (spark_fn, oracle_sql) pair under ``name``.
+
+    Column names MUST match between the Spark result and the oracle —
+    alias every computed column on both sides.
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = Query(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "", tags=tags)
+        return fn
+
+    return deco
+
+
+_LOADED = False
+
+
+def load_all() -> dict[str, Query]:
+    """Import every query-defining module exactly once."""
+    global _LOADED
+    if not _LOADED:
+        from d2d_spark.plans import llm, relational, streaming_q  # noqa: F401
+
+        _LOADED = True
+    return QUERIES

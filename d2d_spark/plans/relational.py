@@ -1,0 +1,635 @@
+"""Relational operator coverage — SURVEY.md §2.2-2.8 as named queries.
+
+Every query here is a (Spark plan, DuckDB oracle) pair. Conventions
+that make the driver's order-insensitive value-hash deterministic:
+
+- Money/double aggregates are computed in exact DECIMAL(18,2)
+  arithmetic and cast to DOUBLE only at the end: both engines convert
+  the same exact decimal to the same nearest double, so results are
+  bit-identical regardless of partial-aggregation order. A raw
+  double SUM would differ in the last ulps between engines.
+- Averages are expressed explicitly as CAST(sum AS DOUBLE)/count on
+  both sides (identical double division).
+- Every ORDER BY used for top-k/offset carries a unique tiebreaker.
+- Timestamps that reach the result set are formatted to strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from d2d_spark.operators.agg import distinct_rows, group_count, top_hits_per_key
+from d2d_spark.operators.join import key_merge
+from d2d_spark.operators.topk import limit_offset, top_k
+from d2d_spark.functions.scalars import format_value, md5_hex
+from d2d_spark.plans.registry import query
+
+
+def _t(spark, sf_dir, name):
+    from d2d_spark.session import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+DEC = "decimal(18,2)"
+
+
+# ---------------------------------------------------------------------------
+# scan -> filter -> project -> hash aggregate -> sort (TPC-H Q1 analog)
+# ---------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("scan", "filter", "agg", "sort"),
+)
+def q1_pricing_summary(spark, sf_dir):
+    """Flagship: scan -> pushed filter -> hash aggregate -> sort.
+    Parity: the Migration read->transform->aggregate path plus GROUP BY
+    passthrough (d22d/utils/db/myutils.py:882-883), on Spark with
+    map-side partial aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(DEC)
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    tax = F.col("l_tax").cast(DEC)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (1 - disc) * (1 + tax)).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(disc).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# projection + predicate pushdown (§2.2)
+# ---------------------------------------------------------------------------
+@query(
+    "scan_filter_project",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 150000
+    """,
+    tags=("scan", "filter", "project"),
+)
+def scan_filter_project(spark, sf_dir):
+    """Column projection + row predicate (condition kwarg / _select
+    builders, SURVEY §2.2). Both the filter and the 3-column ReadSchema
+    must reach the parquet scan."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_totalprice").cast(DEC).cast("double").alias("total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# multi-way join + agg + top-k (TPC-H Q3/Q5 flavor); Catalyst join planning
+# ---------------------------------------------------------------------------
+@query(
+    "join_revenue_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+    tags=("join", "agg", "broadcast"),
+)
+def join_revenue_by_nation(spark, sf_dir):
+    """5-way star join: big fact tables sort-merge/shuffle on keys,
+    small dims (nation/region) broadcast. Engine-delegated JOINs in the
+    reference ride raw-SQL passthrough (SURVEY §2.3); here Catalyst owns
+    the plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), "nation")
+    )
+
+
+@query(
+    "join_broadcast_part",
+    oracle="""
+    SELECT p.p_brand AS brand,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 20
+    GROUP BY p.p_brand
+    ORDER BY brand
+    """,
+    tags=("join", "broadcast", "agg"),
+)
+def join_broadcast_part(spark, sf_dir):
+    """Fact x filtered-dim with an explicit broadcast hint — the
+    physical analog of Migration2DB's build-side-in-memory dict."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+        )
+        .orderBy("brand")
+    )
+
+
+@query(
+    "semi_join_customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    """,
+    tags=("join", "semi"),
+)
+def semi_join_customers_with_orders(spark, sf_dir):
+    """LEFT SEMI join — the insert-mode machinery's membership probe
+    (SURVEY §2.6), free as a join type here."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "anti_join_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join", "anti"),
+)
+def anti_join_customers_without_orders(spark, sf_dir):
+    """LEFT ANTI join — the INSERT IGNORE primitive (skip rows whose
+    key already exists in the target, d22d/utils/db/myutils.py:693-752)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "insert_ignore_new_rows",
+    oracle="""
+    SELECT i.o_orderkey, i.o_custkey,
+           CAST(CAST(i.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_total
+    FROM orders i
+    WHERE i.o_totalprice > 100000
+      AND NOT EXISTS (SELECT 1 FROM orders t
+                      WHERE t.o_orderkey % 3 = 0 AND t.o_orderkey = i.o_orderkey)
+    """,
+    tags=("write-mode", "anti"),
+)
+def insert_ignore_new_rows(spark, sf_dir):
+    """INSERT IGNORE semantics as a dataflow: incoming batch anti-joined
+    against existing target keys; only genuinely-new rows flow to the
+    sink (mode map d22d/utils/db/__init__.py:700-711). Target here is
+    simulated as the orderkey%3==0 slice."""
+    o = _t(spark, sf_dir, "orders")
+    target_keys = o.filter(F.col("o_orderkey") % 3 == 0).select("o_orderkey")
+    incoming = o.filter(F.col("o_totalprice") > 100000)
+    from d2d_spark.operators.writes import filter_new_rows
+
+    return filter_new_rows(incoming, target_keys, ["o_orderkey"]).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast(DEC).cast("double").alias("o_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Migration2DB key-merge (§2.3)
+# ---------------------------------------------------------------------------
+@query(
+    "key_merge_customer_last_order",
+    oracle="""
+    WITH last_order AS (
+      SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1
+    )
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+           lo.o_orderkey, lo.o_orderstatus, lo.o_totalprice
+    FROM customer c LEFT JOIN last_order lo
+      ON CAST(c.c_custkey AS VARCHAR) = CAST(lo.o_custkey AS VARCHAR)
+    """,
+    tags=("join", "key-merge", "migration2db"),
+)
+def key_merge_customer_last_order(spark, sf_dir):
+    """Migration2DB (d22d/task.py:183-328): build side deduped to one
+    row per key (dict overwrite -> explicit last-wins by o_orderkey),
+    string-normalized keys, left-outer merge, right columns win."""
+    from d2d_spark.operators.join import dedup_build_side
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast(DEC).cast("double").alias("o_totalprice"),
+    )
+    lo = dedup_build_side(o, "o_custkey", order_col="o_orderkey")
+    merged = key_merge(c, lo, "c_custkey", "o_custkey", how="left")
+    return merged.select(
+        "c_custkey", "c_name", "c_mktsegment", "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+@query(
+    "key_merge_full_outer",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+                FROM customer GROUP BY c_nationkey),
+         sn AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+                FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(cn.nationkey, sn.nationkey) AS nationkey,
+           cn.n_customers, sn.n_suppliers
+    FROM cn FULL OUTER JOIN sn ON cn.nationkey = sn.nationkey
+    """,
+    tags=("join", "full-outer", "migration2db"),
+)
+def key_merge_full_outer(spark, sf_dir):
+    """The doc-faithful full-outer merge mode (README.md:283-320 shows
+    right-only rows in the result; code is left-outer — we expose both,
+    SURVEY §2.3)."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    merged = key_merge(
+        c.withColumnRenamed("nationkey", "c_nk"),
+        s.withColumnRenamed("nationkey", "s_nk"),
+        "c_nk",
+        "s_nk",
+        how="full",
+        broadcast_right=False,
+    )
+    return merged.select(
+        F.coalesce(F.col("c_nk"), F.col("s_nk")).cast("int").alias("nationkey"),
+        "n_customers",
+        "n_suppliers",
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup / distinct (§2.5 quchong)
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact_events",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("dedup",),
+)
+def dedup_exact_events(spark, sf_dir):
+    """`quchong` whole-row dedup (d22d/task.py:118-122) as a spillable
+    shuffle instead of an unbounded Python set."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    return distinct_rows(ev)
+
+
+# ---------------------------------------------------------------------------
+# ES terms agg + top_hits (§2.5)
+# ---------------------------------------------------------------------------
+@query(
+    "group_count_event_types",
+    oracle="""
+    SELECT event_type, COUNT(*) AS cnt FROM events
+    GROUP BY event_type ORDER BY cnt DESC, event_type
+    """,
+    tags=("agg", "terms"),
+)
+def group_count_event_types(spark, sf_dir):
+    """ES terms aggregation: count-by-key ordered desc
+    (d22d/utils/db/myutils.py:476-522)."""
+    return group_count(_t(spark, sf_dir, "events"), "event_type")
+
+
+@query(
+    "top_hits_latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+    tags=("agg", "window", "top-hits"),
+)
+def top_hits_latest_event_per_user(spark, sf_dir):
+    """ES top_hits(size=1, sort=ts desc) analog: latest row per key via
+    a ranked window — one shuffle on the key
+    (d22d/utils/db/myutils.py:497-521). event_id breaks ts ties."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__ord", F.struct(F.col("ts"), F.col("event_id"))
+    )
+    out = top_hits_per_key(ev, ["user_id"], "__ord", n=1, desc=True)
+    return out.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sort / limit / offset / top-k (§2.7)
+# ---------------------------------------------------------------------------
+@query(
+    "topk_orders_by_price",
+    oracle="""
+    SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    tags=("topk", "sort", "limit"),
+)
+def topk_orders_by_price(spark, sf_dir):
+    """ORDER BY + LIMIT -> TakeOrderedAndProject (per-partition heaps,
+    no global sort)."""
+    o = _t(spark, sf_dir, "orders")
+    return top_k(o, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 10).select(
+        "o_orderkey", F.col("o_totalprice").cast(DEC).cast("double").alias("total")
+    )
+
+
+@query(
+    "limit_offset_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority FROM orders
+    ORDER BY o_orderkey LIMIT 20 OFFSET 100
+    """,
+    tags=("limit", "offset"),
+)
+def limit_offset_orders(spark, sf_dir):
+    """SQL LIMIT offset,n (d22d/utils/db/myutils.py:886-888) via
+    row_number over an explicit total order."""
+    o = _t(spark, sf_dir, "orders")
+    return limit_offset(o, [F.col("o_orderkey")], limit=20, offset=100).select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+
+# ---------------------------------------------------------------------------
+# set ops (§2.7)
+# ---------------------------------------------------------------------------
+@query(
+    "setops_nation_coverage",
+    oracle="""
+    SELECT nationkey, 'both' AS src FROM
+      (SELECT c_nationkey AS nationkey FROM customer
+       INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT nationkey, 'customer_only' AS src FROM
+      (SELECT c_nationkey AS nationkey FROM customer
+       EXCEPT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT nationkey, 'supplier_only' AS src FROM
+      (SELECT s_nationkey AS nationkey FROM supplier
+       EXCEPT SELECT c_nationkey FROM customer)
+    """,
+    tags=("setops",),
+)
+def setops_nation_coverage(spark, sf_dir):
+    """UNION/INTERSECT/EXCEPT — recognized-but-unexecuted in the
+    reference's SQL scanner (sqlfileextra.py:14,121-125); native here."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = c.intersect(s).withColumn("src", F.lit("both"))
+    c_only = c.subtract(s).withColumn("src", F.lit("customer_only"))
+    s_only = s.subtract(c).withColumn("src", F.lit("supplier_only"))
+    return both.unionAll(c_only).unionAll(s_only)
+
+
+# ---------------------------------------------------------------------------
+# scalar functions (§2.8)
+# ---------------------------------------------------------------------------
+@query(
+    "scalar_funcs_documents",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           length(text) AS text_len,
+           upper(source) AS source_uc,
+           substring(text, 1, 16) AS prefix16
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+    tags=("scalar",),
+)
+def scalar_funcs_documents(spark, sf_dir):
+    """Scalar lib: md5 (utils.py:365-369), case/substring/length —
+    all JVM-side built-ins."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return d.select(
+        "doc_id",
+        md5_hex(F.col("text")).alias("text_md5"),
+        F.length("text").alias("text_len"),
+        F.upper("source").alias("source_uc"),
+        F.substring("text", 1, 16).alias("prefix16"),
+    )
+
+
+@query(
+    "json_extract_events",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events WHERE event_id % 7 = 0
+    """,
+    tags=("scalar", "json"),
+)
+def json_extract_events(spark, sf_dir):
+    """JSON-string boundary (§1.2: nested values JSON-serialized at the
+    sink): get_json_object pulls typed values back out."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+    )
+
+
+@query(
+    "time_funcs_events",
+    oracle="""
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+           CAST(strftime(ts, '%H') AS INT) AS hour_of_day,
+           CAST(isodow(ts) - 1 AS INT) AS weekday_mon0
+    FROM events WHERE event_id % 11 = 0
+    """,
+    tags=("scalar", "time"),
+)
+def time_funcs_events(spark, sf_dir):
+    """Epoch<->string time helpers (d22d/utils/timeutils.py:1-31)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.hour("ts").cast("int").alias("hour_of_day"),
+        F.weekday("ts").cast("int").alias("weekday_mon0"),
+    )
+
+
+@query(
+    "format_value_normalize",
+    oracle="""
+    SELECT DISTINCT
+      CASE WHEN l_quantity = floor(l_quantity)
+           THEN CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+           ELSE trim(CAST(l_quantity AS VARCHAR)) END AS qty_norm
+    FROM lineitem
+    """,
+    tags=("scalar", "normalize"),
+)
+def format_value_normalize(spark, sf_dir):
+    """format_value (d22d/task.py:23-28): integral floats -> int form,
+    strings trimmed — the join-key normalization rule."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(format_value(F.col("l_quantity")).alias("qty_norm")).distinct()
+
+
+# ---------------------------------------------------------------------------
+# rollup / window functions (capability extensions via spark.sql)
+# ---------------------------------------------------------------------------
+@query(
+    "rollup_returnflag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def rollup_returnflag_status(spark, sf_dir):
+    """ROLLUP grouping sets — absent in the reference (§2.5), free via
+    Catalyst."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+    )
+
+
+@query(
+    "window_running_order_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total,
+           RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+             AS price_rank
+    FROM orders WHERE o_custkey % 50 = 0
+    """,
+    tags=("window",),
+)
+def window_running_order_total(spark, sf_dir):
+    """Analytic windows (running sum, rank) — engine upgrade over the
+    reference's passthrough-only SQL."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_rank = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w_run).cast("double").alias("running_total"),
+        F.rank().over(w_rank).alias("price_rank"),
+    )
+
+
+@query(
+    "agg_stats_orders",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS cnt,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("agg", "stats"),
+)
+def agg_stats_orders(spark, sf_dir):
+    """min/max/avg/count-distinct — the §2.5 'only via passthrough'
+    aggregates, native here."""
+    o = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast(DEC)
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.min(price).cast("double").alias("min_price"),
+            F.max(price).cast("double").alias("max_price"),
+            (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1,0 +1,98 @@
+"""SparkSession factory — the single place engine configuration lives.
+
+Tuned for the sandbox (single JVM, ``local[N]``) but every knob is the
+one that matters on a real cluster too: AQE for runtime re-planning,
+shuffle partitions sized to cores (not the 200 default), Arrow for any
+Pandas-UDF boundary, UTC session time zone so results are
+timezone-stable across engines (the DuckDB oracle runs in UTC).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "d2d_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine session.
+
+    At 100 TB the same settings hold: AQE coalesces post-shuffle
+    partitions and rewrites skewed joins at runtime, so the static
+    ``shuffle.partitions`` only needs to be an upper bound ~2-3x the
+    executor-core count. Parquet pushdown/pruning are on by default.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(master or f"local[{cpus}]")
+        .appName(app_name)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one fixture table, normalizing physical quirks.
+
+    `events.ts` is TIMESTAMP(NANOS) parquet, which Spark refuses
+    natively; we read nanos as long (runtime SQL conf) and rebuild a
+    microsecond timestamp JVM-side — same floor(ns/1000) truncation
+    DuckDB applies, and still a pure columnar scan."""
+    from pyspark.sql import functions as F
+
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES):
+    """Read the fixture star schema; returns {name: DataFrame} and
+    registers each as a temp view so ``spark.sql`` works over them."""
+    out = {}
+    for name in names:
+        df = read_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
