@@ -1,0 +1,105 @@
+"""Text-analysis functions for large-scale training-data pipelines:
+tokenization, language-ID heuristics, quality scoring, fingerprinting.
+
+All pure ``pyspark.sql.functions`` Column expressions — JVM-side,
+whole-stage-codegen friendly, no Python in the hot path. These are
+capability extensions beyond the reference (BASELINE.json north star),
+operating on the `documents` fixture table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A BPE-ish pre-tokenizer: letter runs, digit runs, single
+# non-alphanumeric marks (GPT-2-style pre-split, ASCII approximation).
+BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+EN_STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "for", "on")
+
+
+def tokens_ws(col: Column) -> Column:
+    """Whitespace tokens (collapsing runs)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count_ws(col: Column) -> Column:
+    return F.size(tokens_ws(col))
+
+
+def token_count_bpe(col: Column) -> Column:
+    """Count of BPE-ish pre-tokens — a fast, deterministic proxy for
+    LLM token counts."""
+    return F.regexp_count(col, F.lit(BPE_SPLIT_PATTERN))
+
+
+def stopword_count(col: Column, stopwords=EN_STOPWORDS) -> Column:
+    return F.size(F.filter(tokens_ws(F.lower(col)), lambda x: x.isin(list(stopwords))))
+
+
+def stopword_ratio(col: Column, stopwords=EN_STOPWORDS) -> Column:
+    return stopword_count(col, stopwords) / token_count_ws(col)
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are common punctuation."""
+    stripped = F.regexp_replace(col, r"[.,!?;:]", "")
+    return (F.length(col) - F.length(stripped)) / F.length(col)
+
+
+def ascii_ratio(col: Column) -> Column:
+    """Fraction of printable-ASCII characters — a crude script
+    detector feeding the language-ID heuristic."""
+    kept = F.regexp_replace(col, "[^ -~]", "")
+    return F.length(kept) / F.length(col)
+
+
+def mean_word_len(col: Column) -> Column:
+    toks = tokens_ws(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total / F.size(toks)
+
+
+def lang_id(col: Column) -> Column:
+    """N-gram/stopword heuristic language ID: English-ish if mostly
+    ASCII and carrying English stopwords; 'other' for non-ASCII-heavy
+    text; 'unknown' otherwise. Deliberately simple and deterministic —
+    the point is the distributed plumbing, swap the heuristic freely."""
+    return (
+        F.when((ascii_ratio(col) >= 0.9) & (stopword_ratio(col) >= 0.02), F.lit("en"))
+        .when(ascii_ratio(col) < 0.5, F.lit("other"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite document-quality score in [0, ~1]: long enough, low
+    punctuation noise, natural stopword density, sane word lengths.
+    The exact shape mirrors C4/Gopher-style heuristic filters."""
+    len_score = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
+    sw = stopword_ratio(col)
+    sw_score = F.least(sw / F.lit(0.05), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 5)
+    wl = mean_word_len(col)
+    wl_score = F.when((wl >= 3) & (wl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    return len_score * 0.4 + sw_score * 0.3 + punct_pen * 0.2 + wl_score * 0.1
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of the casefolded,
+    whitespace-collapsed text — the exact-dedup key."""
+    normalized = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+    return F.md5(normalized)
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct), the MinHash/Jaccard unit.
+    Documents shorter than n tokens yield their full token string."""
+    toks = tokens_ws(col)
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(grams)

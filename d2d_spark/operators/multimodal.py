@@ -1,0 +1,86 @@
+"""Multimodal column plumbing: image/audio/video as opaque `binary`
+columns with typed metadata, processed in Arrow batches via
+mapInPandas.
+
+The container has no image/audio codecs, so the decode kernel is a
+clearly-marked deterministic STUB (`_fake_decode`) — the Spark-side
+contract (schema, batch shape, partitioning, UDF signature) is real
+and tested, and swapping in PIL/torchaudio later changes only the
+kernel body.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("fake_width", T.IntegerType()),
+        T.StructField("fake_height", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Simulate an ingest that lands opaque media bytes alongside
+    metadata: payload = utf-8 bytes of the text (stand-in for image
+    bytes), media_type + byte length as typed metadata columns."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8")).withColumn(
+        "media_type", F.lit("image/fake")
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    """STUB decode standing in for PIL.Image.open(...).size + a model
+    feature vector. Deterministic pure function of the bytes; replace
+    with a real codec in production. Raises on empty payload the way
+    a real decoder raises on truncated files."""
+    if not payload:
+        raise NotImplementedError("empty payload: real decoder unavailable in sandbox")
+    n = len(payload)
+    width, height = (n % 640) + 1, (n % 480) + 1
+    feature = [float(payload[0]), float(payload[-1]), float(n % 256), float(n % 101)]
+    return width, height, feature
+
+
+def decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched decode/feature-extract over the binary column.
+
+    mapInPandas streams record batches through Python once — the 10 to
+    100x-over-row-UDF path. Partition count is preserved, so upstream
+    repartitioning by size controls decode parallelism at scale."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "fake_width": [d[0] for d in decoded],
+                    "fake_height": [d[1] for d in decoded],
+                    "feature": [d[2] for d in decoded],
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, text_col: str = "text", every: int = 16) -> DataFrame:
+    """Frame-sampling analog: take every `every`-th "pixel" (character
+    code) as a frame array — pure columnar expression, no Python."""
+    return df.withColumn(
+        "frames",
+        F.transform(
+            F.sequence(F.lit(1), F.length(text_col), F.lit(every)),
+            lambda p: F.ascii(F.substring(F.col(text_col), p, 1)),
+        ),
+    )

@@ -1,1 +1,310 @@
-"""LLM-pipeline operator queries (filled in incrementally)."""
+"""LLM training-data pipeline queries: text analysis, dedup family,
+similarity search, multimodal plumbing (BASELINE.json north star).
+
+Oracle conventions (see relational.py): ratios are single int/int
+double divisions (bit-identical across engines); similarity scores are
+rounded to 6 decimals on both sides; LSH projections use exact integer
+weights so bucketing reproduces anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from d2d_spark.functions import text as X
+from d2d_spark.operators import dedup as D
+from d2d_spark.operators import multimodal as M
+from d2d_spark.operators import similarity as S
+from d2d_spark.plans.registry import query
+from d2d_spark.session import read_table
+
+
+def _t(spark, sf_dir, name):
+    return read_table(spark, sf_dir, name)
+
+
+# DuckDB equivalents of the text helpers (functions/text.py), kept in
+# lockstep with the Spark expressions.
+_SQL_TOKS = r"string_split_regex(trim(text), '\s+')"
+_SQL_NTOK = f"len({_SQL_TOKS})"
+_SQL_STOP = (
+    f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+    "t -> t IN ('the','a','an','and','of','to','in','is','for','on')))"
+)
+_SQL_ASCII = "length(regexp_replace(text, '[^ -~]', '', 'g'))*1.0 / length(text)"
+_SQL_MWL = f"list_sum(list_transform({_SQL_TOKS}, t -> length(t)))*1.0 / {_SQL_NTOK}"
+_SQL_PUNCT = (
+    "(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))*1.0 / length(text)"
+)
+# word-3-gram shingles, distinct
+_SQL_SHINGLES = (
+    f"list_distinct(list_transform(range(1, greatest({_SQL_NTOK} - 2, 1) + 1), "
+    f"i -> array_to_string(({_SQL_TOKS})[i:i+2], ' ')))"
+)
+
+
+@query(
+    "text_stats_documents",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars_measured,
+           {_SQL_NTOK} AS n_tokens_ws,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe,
+           {_SQL_STOP} AS n_stopwords,
+           {_SQL_MWL} AS mean_word_len
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def text_stats_documents(spark, sf_dir):
+    """Per-document token statistics: whitespace tokens, BPE-ish
+    pre-tokens, stopword counts, mean word length — all columnar."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.length(t).alias("n_chars_measured"),
+        X.token_count_ws(t).alias("n_tokens_ws"),
+        X.token_count_bpe(t).alias("n_tokens_bpe"),
+        X.stopword_count(t).alias("n_stopwords"),
+        X.mean_word_len(t).alias("mean_word_len"),
+    )
+
+
+@query(
+    "lang_id_documents",
+    oracle=f"""
+    SELECT CASE WHEN {_SQL_ASCII} >= 0.9 AND {_SQL_STOP}*1.0/{_SQL_NTOK} >= 0.02 THEN 'en'
+                WHEN {_SQL_ASCII} < 0.5 THEN 'other'
+                ELSE 'unknown' END AS lang_pred,
+           lang AS lang_actual,
+           COUNT(*) AS cnt
+    FROM documents GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("llm", "text", "lang-id"),
+)
+def lang_id_documents(spark, sf_dir):
+    """Heuristic language ID (ASCII ratio + stopword density) crossed
+    against the labeled lang column — a confusion-matrix query."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            X.lang_id(F.col("text")).alias("lang_pred"),
+            F.col("lang").alias("lang_actual"),
+        )
+        .groupBy("lang_pred", "lang_actual")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("lang_pred", "lang_actual")
+    )
+
+
+@query(
+    "quality_score_documents",
+    oracle=f"""
+    SELECT doc_id,
+           least(length(text)/500.0, 1.0) * 0.4
+           + least(({_SQL_STOP}*1.0/{_SQL_NTOK}) / 0.05, 1.0) * 0.3
+           + greatest(0.0, 1.0 - ({_SQL_PUNCT}) * 5) * 0.2
+           + (CASE WHEN {_SQL_MWL} >= 3 AND {_SQL_MWL} <= 10 THEN 1.0 ELSE 0.5 END) * 0.1
+             AS quality
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+    tags=("llm", "text", "quality"),
+)
+def quality_score_documents(spark, sf_dir):
+    """C4/Gopher-style heuristic quality score per document."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return d.select("doc_id", X.quality_score(F.col("text")).alias("quality"))
+
+
+@query(
+    "fingerprint_dedup_documents",
+    oracle="""
+    SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+           MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    tags=("llm", "dedup", "exact"),
+)
+def fingerprint_dedup_documents(spark, sf_dir):
+    """Exact dedup via normalized-text fingerprint: one representative
+    (min doc_id) per md5 — hash-groupBy, uniform shuffle keys."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(X.fingerprint(F.col("text")).alias("fp")).agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s))*1.0
+                 / len(list_distinct(a.s || b.s)), 6) AS jaccard
+    FROM sh a, sh b
+    WHERE a.doc_id < b.doc_id
+      AND len(list_intersect(a.s, b.s))*1.0 / len(list_distinct(a.s || b.s)) >= 0.5
+    """,
+    tags=("llm", "dedup", "jaccard"),
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs (the quadratic ground
+    truth the LSH paths approximate; fixtures plant ~25 true pairs)."""
+    d = _t(spark, sf_dir, "documents")
+    out = D.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query("minhash_lsh_pairs", oracle=None, tags=("llm", "dedup", "minhash"))
+def minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs: signature -> banded buckets ->
+    candidate join -> exact-Jaccard verify. No SQL oracle (xxhash64 is
+    Spark-specific); recall vs ngram_jaccard_pairs is pytest-checked."""
+    d = _t(spark, sf_dir, "documents")
+    out = D.minhash_lsh_pairs(d, "text", "doc_id", jaccard_threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query("simhash_near_pairs", oracle=None, tags=("llm", "dedup", "simhash"))
+def simhash_near_pairs(spark, sf_dir):
+    """SimHash near-dup pairs via banded Hamming distance (pigeonhole
+    equi-join, never a theta join)."""
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(d, "text", "doc_id", max_hamming=12)
+
+
+@query(
+    "embedding_near_pairs",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.45
+    """,
+    tags=("llm", "dedup", "embedding"),
+)
+def embedding_near_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs above a threshold."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = D.embedding_near_pairs(e, "vec_id", "embedding", threshold=0.45)
+    return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+@query(
+    "ann_bruteforce_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+         scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS c
+      FROM q, embeddings e WHERE q.query_id <> e.vec_id),
+         ranked AS (
+      SELECT query_id, neighbor_id, c,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, round(c, 6) AS cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+    tags=("llm", "similarity", "ann"),
+)
+def ann_bruteforce_topk(spark, sf_dir):
+    """Exact cosine top-5 neighbors for each query vector (vec_id
+    multiple of 100) — the ANN ground-truth baseline."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    out = S.brute_force_topk(e, q, "vec_id", "embedding", "vec_id", "embedding", k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
+
+
+def _bucket_sql(vec: str, n_bits: int = 8) -> str:
+    """DuckDB rendering of functions.vectors.sign_projection_bucket —
+    identical integer weights, (i-1) because DuckDB lambdas index
+    1-based."""
+    bits = []
+    for j in range(n_bits):
+        proj = (
+            f"list_sum(list_transform({vec}, (x, i) -> CAST(x AS DOUBLE) * "
+            f"((((i - 1) * CAST(1103515245 AS BIGINT) + {j} * 12345 + 7) % 97) - 48)))"
+        )
+        bits.append(f"(CASE WHEN {proj} >= 0 THEN 1 ELSE 0 END) * {1 << (n_bits - 1 - j)}")
+    return "(" + " + ".join(bits) + ")"
+
+
+@query(
+    "lsh_bucket_histogram",
+    oracle=f"""
+    SELECT {_bucket_sql('embedding')} AS bucket, COUNT(*) AS cnt
+    FROM embeddings GROUP BY 1 ORDER BY 1
+    """,
+    tags=("llm", "similarity", "lsh"),
+)
+def lsh_bucket_histogram(spark, sf_dir):
+    """Sign-projection LSH bucket distribution — proves the bucketing
+    function is deterministic and roughly uniform (it is the partition
+    key for ANN at scale)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        S.add_lsh_bucket(e, "embedding", n_bits=8)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
+@query("ann_lsh_topk", oracle=None, tags=("llm", "similarity", "ann", "lsh"))
+def ann_lsh_topk(spark, sf_dir):
+    """Approximate top-k restricted to the query's LSH bucket —
+    the scale path (bucket equi-join instead of full cross join).
+    Recall vs ann_bruteforce_topk is pytest-checked."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    # 4 bits = 16 buckets: coarse enough for decent recall on the
+    # fixture corpus; bits scale with corpus size in production
+    out = S.lsh_topk(e, q, "vec_id", "embedding", "vec_id", "embedding", k=5, n_bits=4)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
+
+
+@query(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           (octet_length(encode(text)) % 640) + 1 AS fake_width,
+           (octet_length(encode(text)) % 480) + 1 AS fake_height,
+           list_transform(range(1, length(text) + 1, 16),
+                          p -> ascii(substr(text, CAST(p AS INT), 1))) AS frames
+    FROM documents WHERE doc_id % 20 = 0
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_metadata(spark, sf_dir):
+    """Multimodal column plumbing, metadata path: opaque binary
+    payload + typed metadata + frame sampling, all columnar."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    d = M.attach_binary_payload(d)
+    d = M.sample_frames(d, every=16)
+    nb = F.length("payload")
+    return d.select(
+        "doc_id",
+        nb.alias("n_bytes"),
+        ((nb % 640) + 1).alias("fake_width"),
+        ((nb % 480) + 1).alias("fake_height"),
+        "frames",
+    )
+
+
+@query("multimodal_decode_features", oracle=None, tags=("llm", "multimodal", "pandas-udf"))
+def multimodal_decode_features(spark, sf_dir):
+    """Arrow-batched stub decode via mapInPandas — the real multimodal
+    plumbing (schema/batching/partitioning); decode kernel is a
+    deterministic sandbox stub."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    return M.decode_features(M.attach_binary_payload(d))
