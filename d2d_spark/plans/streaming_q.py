@@ -1,1 +1,121 @@
-"""Streaming-analog queries (filled in incrementally)."""
+"""Event-time window queries over `events` — the streaming capability
+extension (SURVEY §2.10), verified in batch mode against SQL oracles.
+
+The exact same d2d_spark.streaming.windows helpers run on readStream
+DataFrames (tests/test_streaming.py proves it with availableNow
+micro-batches); batch mode is what the DuckDB oracle can check:
+Structured Streaming guarantees the results coincide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from d2d_spark.plans.registry import query
+from d2d_spark.session import read_table
+from d2d_spark.streaming.windows import session_agg, sliding_agg, tumbling_agg
+
+DEC = "decimal(18,2)"
+
+
+@query(
+    "tumbling_hourly_events",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("streaming", "window", "tumbling"),
+)
+def tumbling_hourly_events(spark, sf_dir):
+    """Tumbling 1-hour windows per event_type: count + exact-decimal
+    value sum. Streaming-identical code path (F.window groupBy)."""
+    ev = read_table(spark, sf_dir, "events")
+    out = tumbling_agg(
+        ev,
+        "ts",
+        "1 hour",
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        ],
+        keys=["event_type"],
+    )
+    return out.select(
+        F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    ).orderBy("window_start", "event_type")
+
+
+@query(
+    "sliding_window_events",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts) - to_hours(off), '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events CROSS JOIN (SELECT unnest([0, 1]) AS off)
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("streaming", "window", "sliding"),
+)
+def sliding_window_events(spark, sf_dir):
+    """Sliding 2-hour windows advancing hourly — every event counts in
+    exactly two windows (oracle: explicit offset unnest)."""
+    ev = read_table(spark, sf_dir, "events")
+    out = sliding_agg(
+        ev,
+        "ts",
+        "2 hours",
+        "1 hour",
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        ],
+    )
+    return out.select(
+        F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_events",
+        "sum_value",
+    ).orderBy("window_start")
+
+
+@query(
+    "session_windows_per_user",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 2 HOUR THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked)
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+    tags=("streaming", "window", "session"),
+)
+def session_windows_per_user(spark, sf_dir):
+    """Session windows (2h inactivity gap) per user — Spark's
+    session_window vs a gaps-and-islands SQL oracle. Session end =
+    last event + gap, matching Spark's semantics."""
+    ev = read_table(spark, sf_dir, "events")
+    out = session_agg(
+        ev, "ts", "2 hours", aggs=[F.count(F.lit(1)).alias("n_events")], keys=["user_id"]
+    )
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )

@@ -1,0 +1,74 @@
+"""Incremental file-sync as Structured Streaming — the Spark-native
+replacement for the reference's watchdog pipeline
+(FileSync/Watcher/Handler, d22d/pipline/__init__.py:20-206), which
+re-runs a Migration when files appear/change.
+
+Structured Streaming's file source does the same job without a
+daemon: the checkpoint's processed-file log IS the reference's
+diskcache transfer ledger (README.md:470-502), and
+Trigger.AvailableNow turns the watcher into a catch-up batch that
+exits when caught up (the cron-style incremental migration the
+reference left as TODO, README.md:559-560).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Watch a directory as an unbounded table. New files are
+    discovered per micro-batch; already-seen files are skipped via the
+    checkpoint ledger — exactly the reference's skip-transferred-files
+    semantics, but transactional."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def sync_available_now(
+    df: DataFrame,
+    target_path: str,
+    checkpoint_path: str,
+    fmt: str = "parquet",
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+):
+    """One catch-up pass: process everything not yet in the ledger,
+    write to the target, exit. Re-running later picks up only new
+    files — incremental migration without a resident watcher."""
+    if transform is not None:
+        df = transform(df)
+    q = (
+        df.writeStream.format(fmt)
+        .option("path", target_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def stream_to_memory(df: DataFrame, name: str, available_now: bool = True):
+    """Test/debug sink: materialize a stream into an in-memory table."""
+    writer = df.writeStream.format("memory").queryName(name).outputMode("complete" if df.isStreaming and _has_aggregation(df) else "append")
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    q.awaitTermination()
+    return q
+
+
+def _has_aggregation(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return "Aggregate" in plan
