@@ -41,30 +41,48 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _perm_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs: a odd and < 2^31 so products of
+    31-bit hashes stay under 2^62 — no long overflow under ANSI."""
+    return [
+        (
+            2 * (j * 0x9E3779B9 % (1 << 30)) + 1,
+            (j * 0x85EBCA6B + 0xC2B2AE35) % (1 << 31),
+        )
+        for j in range(num_hashes)
+    ]
+
+
+def _hashed_shingles(text: Column, shingle_n: int) -> Column:
+    """31-bit hash per distinct shingle — the minhash input domain."""
+    return F.transform(
+        shingles(text, n=shingle_n),
+        lambda s: F.pmod(F.xxhash64(s), F.lit((1 << 31) - 1)),
+    )
+
+
 def minhash_signature(df: DataFrame, text_col: str, num_hashes: int = 32, shingle_n: int = 3) -> DataFrame:
     """Append a `minhash` array column: per permutation j,
     min over shingles of (a_j * xxhash64(shingle) + b_j) mod M.
 
-    Entirely columnar (transform/array_min) — each row is independent,
-    so this is an embarrassingly parallel map stage.
+    Two separate projections on purpose: higher-order functions run
+    interpreted (outside whole-stage codegen), so the shingle+hash
+    chain must land in its own column — an expensive alias referenced
+    ``num_hashes`` times is NOT inlined by CollapseProject, which pins
+    it to exactly one evaluation per row. Folding it into each
+    permutation expression re-tokenizes the document 32x (measured
+    ~30x slowdown). Each row is independent — an embarrassingly
+    parallel map stage.
     """
-    sh = shingles(F.col(text_col), n=shingle_n)
-    hashed = F.transform(sh, lambda s: F.xxhash64(s))
-    # 31-bit base hash and sub-2^31 multipliers keep every product
-    # under 2^62: no long overflow under ANSI mode.
-    hashed31 = F.transform(hashed, lambda h: F.pmod(h, F.lit((1 << 31) - 1)))
 
     def perm(a, b):
         # closure (not lambda defaults): PySpark reads lambda arity
         # including defaulted params, breaking higher-order binding
         return lambda h: F.pmod(h * a + b, F.lit(_MERSENNE))
 
-    perms = []
-    for j in range(num_hashes):
-        a = 2 * (j * 0x9E3779B9 % (1 << 30)) + 1  # odd, < 2^31
-        b = (j * 0x85EBCA6B + 0xC2B2AE35) % (1 << 31)
-        perms.append(F.array_min(F.transform(hashed31, perm(a, b))))
-    return df.withColumn("minhash", F.array(*perms))
+    hashed = df.withColumn("__h31", _hashed_shingles(F.col(text_col), shingle_n))
+    mins = [F.array_min(F.transform(F.col("__h31"), perm(a, b))) for a, b in _perm_coeffs(num_hashes)]
+    return hashed.withColumn("minhash", F.array(*mins)).drop("__h31")
 
 
 def minhash_lsh_pairs(
@@ -82,52 +100,53 @@ def minhash_lsh_pairs(
     -> explode -> self-join on (band, band_hash) = candidate pairs ->
     verify by exact Jaccard over distinct shingles -> threshold.
 
-    Scale posture: the only shuffles are the band-bucket join (keys
-    are uniform hashes) and the final distinct; candidates per bucket
-    stay small because a band collision already implies high
-    similarity. No O(n^2) stage anywhere.
+    Scale posture: the band join carries ONLY (id, band, band_hash) —
+    never the shingle arrays, which would multiply shuffle volume by
+    bands x avg-doc-size. Shingles are re-derived for just the
+    surviving candidate pairs via two slim joins. The only shuffles
+    are the repartition that spreads the signature map stage, the
+    band-bucket join (uniform hash keys), and the pair distinct.
+    No O(n^2) stage anywhere.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(df, text_col, num_hashes, shingle_n).select(
-        F.col(id_col).alias("__id"),
-        F.col("minhash"),
-        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("__sh"),
-    )
-    banded = sig.select(
-        "__id",
-        "__sh",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("minhash")[i].cast("string")
-                                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    # Exchange FIRST so the expensive signature map stage is spread
+    # across all cores even when the source scan is one file/partition.
+    base = df.select(F.col(id_col).alias("__id"), F.col(text_col)).repartition(npart, "__id")
+    sig = minhash_signature(base, text_col, num_hashes, shingle_n)
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("minhash")[i].cast("string")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                )
             )
-        ).alias("__band", "__bh"),
+            for b in range(bands)
+        ]
     )
-    left = banded.select(
-        F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"), "__band", "__bh"
-    )
-    right = banded.select(
-        F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"), "__band", "__bh"
-    )
+    banded = sig.select("__id", F.posexplode(band_hashes).alias("__band", "__bh"))
+    left = banded.select(F.col("__id").alias("id_a"), "__band", "__bh")
+    right = banded.select(F.col("__id").alias("id_b"), "__band", "__bh")
     cand = (
         left.join(right, on=["__band", "__bh"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh_tbl = base.select(
+        "__id", F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("__sh")
+    )
+    verified = (
+        cand.join(sh_tbl.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
+        .join(sh_tbl.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cand.withColumn("jaccard", jac)
+        verified.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -135,21 +154,31 @@ def minhash_lsh_pairs(
 
 def simhash64(df: DataFrame, text_col: str) -> DataFrame:
     """Append a 64-bit `simhash` column: for each bit k, sign of the
-    sum over tokens of (+1 if bit k of xxhash64(token) else -1)."""
-    toks = F.array_distinct(tokens_ws(F.lower(F.col(text_col))))
-    hashed = F.transform(toks, lambda t: F.xxhash64(t))
+    sum over tokens of (+1 if bit k of xxhash64(token) else -1).
+
+    The hashed-token array gets its own projection (same
+    CollapseProject reasoning as minhash_signature): the 64 per-bit
+    aggregates each reference the `__th` column, not the tokenizer
+    expression, so tokenization happens once per row."""
 
     def bit_contrib(k):
         return lambda acc, h: acc + F.when(
             F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, 1
         ).otherwise(-1)
 
+    hashed = df.withColumn(
+        "__th",
+        F.transform(
+            F.array_distinct(tokens_ws(F.lower(F.col(text_col)))),
+            lambda t: F.xxhash64(t),
+        ),
+    )
     out = F.lit(0).cast("long")
     for k in range(64):
-        contrib = F.aggregate(hashed, F.lit(0), bit_contrib(k))
+        contrib = F.aggregate(F.col("__th"), F.lit(0), bit_contrib(k))
         bit = F.when(contrib > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
         out = out + F.shiftleft(bit, k)
-    return df.withColumn("simhash", out)
+    return hashed.withColumn("simhash", out).drop("__th")
 
 
 def simhash_near_pairs(
@@ -158,7 +187,9 @@ def simhash_near_pairs(
     """Near-dup pairs by simhash Hamming distance, banded on 16-bit
     chunks (Pigeonhole: distance<=8 over 64 bits guarantees at least
     one of 4 chunks is exactly equal) so the join is equi, not theta."""
-    sh = simhash64(df, text_col).select(F.col(id_col).alias("__id"), "simhash")
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    base = df.select(F.col(id_col).alias("__id"), F.col(text_col)).repartition(npart, "__id")
+    sh = simhash64(base, text_col).select("__id", "simhash")
     chunks = sh.select(
         "__id",
         "simhash",
@@ -191,11 +222,14 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard over all pairs — the quadratic baseline
     the LSH paths approximate. Only for bounded candidate sets."""
+    npart = df.sparkSession.sparkContext.defaultParallelism
     sh = df.select(
         F.col(id_col).alias("__id"),
         F.array_distinct(shingles(F.col(text_col), n)).alias("__sh"),
     )
-    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    # Spread the probe side so the quadratic verify runs on all cores
+    # (broadcast-nested-loop parallelism = left-side partitions).
+    a = sh.repartition(npart).select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
     b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
@@ -212,7 +246,8 @@ def embedding_near_pairs(
     """Embedding-cosine near-duplicate pairs. Quadratic form for
     bounded sets; route through sign_projection_bucket (similarity.py)
     to band it at scale."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    npart = emb.sparkSession.sparkContext.defaultParallelism
+    a = emb.repartition(npart).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     sim = cosine(F.col("v_a"), F.col("v_b"))
