@@ -25,7 +25,8 @@ def format_value(col: Column) -> Column:
     stringifies keys before hashing)."""
     c = col.cast("string")
     trimmed = F.trim(c)
-    as_double = col.cast("double")
+    # try_cast: non-numeric strings yield NULL instead of an ANSI error
+    as_double = col.try_cast("double")
     integral = as_double.isNotNull() & (as_double == F.floor(as_double))
     return (
         F.when(col.cast("string").isNull(), F.lit(None).cast("string"))

@@ -1,0 +1,36 @@
+"""Connector layer — SURVEY.md §2.1's table contract on Spark."""
+
+from d2d_spark.sources.base import Connector, Sink, Source, WRITE_MODES
+from d2d_spark.sources.files import (
+    CsvConnector,
+    FileConnector,
+    JsonlConnector,
+    ParquetConnector,
+    TxtConnector,
+)
+from d2d_spark.sources.memory import MemoryConnector, kv_pairs
+from d2d_spark.sources.sqlfile import SqlFileConnector, read_sql_dump, render_sql_statements
+from d2d_spark.sources.archive import read_zip
+from d2d_spark.sources.jdbc import JdbcConnector, staged_merge_sql
+from d2d_spark.sources.excel import ExcelConnector
+
+__all__ = [
+    "WRITE_MODES",
+    "Connector",
+    "Sink",
+    "Source",
+    "FileConnector",
+    "CsvConnector",
+    "TxtConnector",
+    "JsonlConnector",
+    "ParquetConnector",
+    "MemoryConnector",
+    "kv_pairs",
+    "SqlFileConnector",
+    "read_sql_dump",
+    "render_sql_statements",
+    "read_zip",
+    "JdbcConnector",
+    "staged_merge_sql",
+    "ExcelConnector",
+]

@@ -1,0 +1,59 @@
+"""Archive source (ZipD/RarD, d22d/utils/db/__init__.py:640-694):
+iterate an archive's member files, first line = column names, one
+dict per subsequent line, with a pluggable per-file parser
+(get_file_data_func :645-651). Read-only, like the reference.
+
+Spark-first: ``binaryFiles`` ships whole archive bytes to executors
+(archives aren't splittable — the scale unit is one task per
+archive), members are decompressed and parsed executor-side, and
+``spark.read.json`` on the parsed stream gives genuine type
+inference. Gzip needs none of this: Spark's text/csv readers
+decompress ``.gz`` transparently.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import zipfile
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+FileParser = Callable[[str, bytes], Iterator[dict]]
+
+
+def _default_parser(name: str, content: bytes) -> Iterator[dict]:
+    """header line + comma-split rows (the reference's default
+    get_file_data_func)."""
+    text = content.decode("utf-8", errors="replace")
+    lines = [ln for ln in text.splitlines() if ln.strip()]
+    if not lines:
+        return
+    header = [h.strip() for h in lines[0].split(",")]
+    for line in lines[1:]:
+        yield dict(zip(header, (v.strip() for v in line.split(","))))
+
+
+def read_zip(
+    spark: SparkSession,
+    path: str,
+    member_suffix: str = "",
+    parser: FileParser = _default_parser,
+) -> DataFrame:
+    """Every member of every zip under ``path`` -> one DataFrame."""
+
+    def explode_archive(kv):
+        _, content = kv
+        with zipfile.ZipFile(io.BytesIO(content)) as zf:
+            for info in zf.infolist():
+                if info.is_dir() or not info.filename.endswith(member_suffix):
+                    continue
+                for row in parser(info.filename, zf.read(info)):
+                    yield json.dumps(row, ensure_ascii=False, default=str)
+
+    rdd = spark.sparkContext.binaryFiles(path).flatMap(explode_archive)
+    if rdd.isEmpty():
+        return spark.createDataFrame([], T.StructType([]))
+    return spark.read.json(rdd)

@@ -1,0 +1,141 @@
+"""File-format connectors: CSV, delimited text, JSON-lines, Parquet.
+
+The reference treats a directory of files as a database and each
+file's basename as the table name (BaseFileD,
+d22d/utils/db/__init__.py:491-551); CsvD :554-598, TxtD :601-637,
+JsonListD :824-836. Reads stream via DictReader; writes back up an
+existing target with a timestamp suffix before replacing it
+(:546-547).
+
+Spark-first: each table is a *path* — one file or a part-file
+directory, transparently — read/written by the built-in DataSource
+implementations (distributed scans, pushdown, schema inference for
+free). The timestamped-backup-before-overwrite behavior is preserved
+as ``backup=True``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from d2d_spark.sources.base import Connector, require_spark
+
+
+class FileConnector(Connector):
+    """Directory-of-tables connector; ``index`` = file basename."""
+
+    fmt: str = ""
+    ext: str = ""
+
+    def __init__(self, root: str, spark: SparkSession | None = None, **options: str):
+        self.root = root
+        self.spark = require_spark(spark)
+        self.options = options
+
+    # -- paths ---------------------------------------------------------
+    def path(self, index: str) -> str:
+        return os.path.join(self.root, f"{index}{self.ext}")
+
+    def get_indexes(self) -> list[str]:
+        if not os.path.isdir(self.root):
+            return []
+        out = []
+        for name in sorted(os.listdir(self.root)):
+            if name.endswith(self.ext) and not name.startswith("."):
+                out.append(name[: -len(self.ext)] if self.ext else name)
+            elif os.path.isdir(os.path.join(self.root, name)):
+                # part-file directory written by a distributed job
+                out.append(name[: -len(self.ext)] if name.endswith(self.ext) else name)
+        return out
+
+    # -- read ----------------------------------------------------------
+    def _read_options(self, **kw) -> dict[str, str]:
+        return {**self.options, **{k: str(v) for k, v in kw.items()}}
+
+    def read(self, index: str, **kw) -> DataFrame:
+        reader = self.spark.read.format(self.fmt)
+        for k, v in self._read_options(**kw).items():
+            reader = reader.option(k, v)
+        return reader.load(self.path(index))
+
+    # -- write ---------------------------------------------------------
+    def write(
+        self,
+        df: DataFrame,
+        index: str,
+        mode: str = "overwrite",
+        pks: list[str] | None = None,
+        backup: bool = False,
+        single_file: bool = False,
+        **kw,
+    ) -> None:
+        """``mode`` follows §2.6: append/overwrite pass through to the
+        DataFrameWriter; ignore/replace/upsert run the key-merge
+        dataflow from operators.writes. ``backup`` snapshots the
+        current target to ``<name>.<ts>.bak`` first (BaseFileD
+        create_index semantics); ``single_file`` coalesces to one
+        part (only for small exports — it serializes the write)."""
+        target = self.path(index)
+        if backup and os.path.exists(target):
+            stamp = time.strftime("%Y%m%d%H%M%S")
+            bak = f"{target}.{stamp}.bak"
+            (shutil.copytree if os.path.isdir(target) else shutil.copy2)(target, bak)
+        if single_file:
+            df = df.coalesce(1)
+        if mode in ("append", "overwrite"):
+            writer = df.write.format(self.fmt).mode(mode)
+            for k, v in self._read_options(**kw).items():
+                writer = writer.option(k, v)
+            writer.save(target)
+            return
+        from d2d_spark.operators.writes import write_mode
+
+        if pks is None:
+            raise ValueError(f"mode={mode!r} requires pks")
+        write_mode(df, target, mode=mode, pks=pks, fmt=self.fmt, spark=self.spark)
+
+
+class ParquetConnector(FileConnector):
+    fmt = "parquet"
+    ext = ".parquet"
+
+    def get_count(self, index: str) -> int:
+        # metadata-only count: Catalyst serves COUNT(*) from parquet
+        # row-group footers without reading data pages
+        return self.read(index).count()
+
+
+class CsvConnector(FileConnector):
+    """CSV with header row (CsvD). `inferSchema` costs an extra pass;
+    pass schema= at read time on large tables instead."""
+
+    fmt = "csv"
+    ext = ".csv"
+
+    def __init__(self, root, spark=None, header=True, inferSchema=True, **options):
+        super().__init__(
+            root, spark, header=str(header).lower(), inferSchema=str(inferSchema).lower(), **options
+        )
+
+
+class TxtConnector(CsvConnector):
+    """Header + arbitrary-delimiter text (TxtD); quotes stripped by the
+    CSV reader's quote handling."""
+
+    ext = ".txt"
+
+    def __init__(self, root, spark=None, sep="\t", **options):
+        super().__init__(root, spark, sep=sep, **options)
+
+
+class JsonlConnector(FileConnector):
+    """JSON-lines (JsonListD) — one JSON object per line; nested
+    values stay first-class structs/arrays instead of the reference's
+    stringified JSON (§1.2 capability upgrade)."""
+
+    fmt = "json"
+    ext = ".jsonl"

@@ -1,0 +1,178 @@
+"""Migration façade semantics against the reference's documented
+behavior: format_data rename/add/skip, quchong, size, insert modes,
+migrate-all-tables, and the Migration2DB join example from
+README.md:283-320 (userinfo ⋈ user) in both doc-faithful (full) and
+code-faithful (left) modes."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from d2d_spark.migrate import Migration, Migration2DB, apply_format_data
+from d2d_spark.sources import CsvConnector, JsonlConnector, MemoryConnector, ParquetConnector
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="d2d_mig_")
+    yield Path(d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+USERS = [
+    {"user_id": 1, "name": "a", "score": 10},
+    {"user_id": 2, "name": "b", "score": 20},
+    {"user_id": 2, "name": "b", "score": 20},  # dup row for quchong
+    {"user_id": 3, "name": "c", "score": 30},
+]
+
+
+def test_format_data_expr_path(spark):
+    mem = MemoryConnector({"u": USERS}, spark)
+    df = apply_format_data(mem.read("u"), {"score2": F.col("score") * 2})
+    assert {r.user_id: r.score2 for r in df.collect()} == {1: 20, 2: 40, 3: 60}
+
+
+def test_format_data_callable_rename_add_skip(spark):
+    mem = MemoryConnector({"u": USERS}, spark)
+
+    def fmt(d):
+        if d["user_id"] == 3:
+            return None  # falsy -> row dropped (d22d/task.py:115-117)
+        return {"uid": d["user_id"], "label": d["name"].upper(), "bonus": d["score"] + 1}
+
+    out = apply_format_data(mem.read("u"), fmt)
+    assert sorted(out.columns) == ["bonus", "label", "uid"]
+    rows = {(r.uid, r.label, r.bonus) for r in out.collect()}
+    assert rows == {(1, "A", 11), (2, "B", 21)}
+
+
+def test_migration_end_to_end(spark, tmpdir):
+    src = MemoryConnector({"users": USERS}, spark)
+    dst = JsonlConnector(str(tmpdir), spark)
+    m = Migration(
+        src,
+        dst,
+        table_from="users",
+        table_to="users_out",
+        quchong=True,
+        size=2,
+        mode="overwrite",
+        format_data={"flag": F.lit(1)},
+    )
+    m.run()
+    back = dst.read("users_out")
+    assert back.count() == 2  # quchong removed the dup, size capped at 2
+    assert "flag" in back.columns
+
+
+def test_migration_all_tables_with_pkd(spark, tmpdir):
+    src = MemoryConnector({"t1": USERS[:2], "t2": USERS[3:]}, spark)
+    dst = ParquetConnector(str(tmpdir), spark)
+    done = Migration(src, dst, pkd={"t1": "user_id"}, mode="overwrite").run()
+    assert done == ["t1", "t2"]
+    assert sorted(dst.get_indexes()) == ["t1", "t2"]
+    assert dst.read("t1").count() == 2
+
+
+def test_migration_mode_ignore_accumulates(spark, tmpdir):
+    dst = ParquetConnector(str(tmpdir), spark)
+    src1 = MemoryConnector({"u": USERS[:2]}, spark)
+    Migration(src1, dst, table_from="u", pks="user_id", mode="ignore").run()
+    src2 = MemoryConnector(
+        {"u": [{"user_id": 2, "name": "CHANGED", "score": 99}, {"user_id": 9, "name": "new", "score": 1}]},
+        spark,
+    )
+    Migration(src2, dst, table_from="u", pks="user_id", mode="ignore").run()
+    back = dst.read("u")
+    assert back.count() == 3
+    assert back.filter("name = 'CHANGED'").count() == 0  # ignore keeps existing
+
+
+# --- Migration2DB: the README.md:283-320 worked example --------------
+
+USERINFO = [
+    {"id": 1, "name": "aaa", "age": 11},
+    {"id": 2, "name": "bbb", "age": 22},
+    {"id": 4, "name": "ccc", "age": 44},
+]
+USER = [
+    {"name": "aaa", "score": 123},
+    {"name": "bbb", "score": 321},
+    {"name": "c222", "score": 333},
+]
+
+
+def test_migration2db_full_outer_doc_semantics(spark, tmpdir):
+    s1 = MemoryConnector({"userinfo": USERINFO}, spark)
+    s2 = MemoryConnector({"user": USER}, spark)
+    dst = ParquetConnector(str(tmpdir), spark)
+    Migration2DB(
+        s1, s2, dst,
+        table_from1="userinfo", table_from2="user", table_to="merged",
+        migration_key1="name", migration_key2="name",
+        how="full", mode="overwrite",
+    ).run()
+    back = dst.read("merged")
+    rows = {r.name: (r.id, r.age, r.score) for r in back.collect()}
+    # matched rows merged; left-only keeps left values; right-only
+    # appears with null left columns (c222 — README's documented row)
+    assert rows["aaa"] == (1, 11, 123)
+    assert rows["bbb"] == (2, 22, 321)
+    assert rows["ccc"] == (4, 44, None)
+    assert rows["c222"] == (None, None, 333)
+
+
+def test_migration2db_left_code_semantics(spark, tmpdir):
+    s1 = MemoryConnector({"userinfo": USERINFO}, spark)
+    s2 = MemoryConnector({"user": USER}, spark)
+    dst = ParquetConnector(str(tmpdir), spark)
+    Migration2DB(
+        s1, s2, dst,
+        table_from1="userinfo", table_from2="user", table_to="merged",
+        migration_key1="name", migration_key2="name",
+        how="left", mode="overwrite",
+    ).run()
+    back = dst.read("merged")
+    names = {r.name for r in back.collect()}
+    assert names == {"aaa", "bbb", "ccc"}  # no right-only rows
+
+
+def test_migration2db_legacy_dup_collapse(spark, tmpdir):
+    s1 = MemoryConnector({"l": [{"k": 1, "x": "l1"}]}, spark)
+    s2 = MemoryConnector(
+        {"r": [{"k": 1, "y": "old", "ver": 1}, {"k": 1, "y": "new", "ver": 2}]}, spark
+    )
+    dst = ParquetConnector(str(tmpdir), spark)
+    Migration2DB(
+        s1, s2, dst,
+        table_from1="l", table_from2="r", table_to="m",
+        migration_key1="k", migration_key2="k",
+        how="left", mode="overwrite",
+        legacy_semantics=True, order_col="ver",
+    ).run()
+    rows = dst.read("m").collect()
+    assert len(rows) == 1 and rows[0].y == "new"  # last wins
+
+
+def test_migration_csv_fixture_like_example(spark, tmpdir):
+    """The example.py flow: CSV in -> rename/add columns -> CSV out."""
+    (tmpdir / "in").mkdir()
+    (tmpdir / "in" / "user.csv").write_text(
+        'id,name,note\n1,"alice","hi, there"\n2,"bob","line"\n'
+    )
+    src = CsvConnector(str(tmpdir / "in"), spark)
+    dst = CsvConnector(str(tmpdir / "out"), spark)
+    Migration(
+        src, dst, table_from="user", mode="overwrite",
+        format_data=lambda d: {"user_id": d["id"], "username": d["name"].title(), "extra": 1},
+    ).run()
+    back = dst.read("user")
+    assert {(r.user_id, r.username, r.extra) for r in back.collect()} == {
+        (1, "Alice", 1), (2, "Bob", 1),
+    }

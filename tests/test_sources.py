@@ -1,0 +1,223 @@
+"""Connector layer: file-format round-trips, .sql dump parse/render
+round-trip (property: read(write(df)) == df), archive read, memory
+tables, JDBC option/DDL assembly, Excel gating."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import zipfile
+from pathlib import Path
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from d2d_spark.session import read_table
+from d2d_spark.sources import (
+    CsvConnector,
+    JsonlConnector,
+    MemoryConnector,
+    ParquetConnector,
+    SqlFileConnector,
+    TxtConnector,
+    kv_pairs,
+    read_zip,
+)
+from d2d_spark.sources.ddl import jdbc_column_types, mysql_ddl
+from d2d_spark.sources.jdbc import JdbcConnector, staged_merge_sql
+from d2d_spark.sources.sqlfile import parse_values, read_sql_dump
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="d2d_src_")
+    yield Path(d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _nation(spark, sf_dir):
+    return read_table(spark, sf_dir, "nation")
+
+
+def _sorted_rows(df, key="n_nationkey"):
+    return [tuple(r) for r in df.orderBy(key).collect()]
+
+
+# --- file formats ----------------------------------------------------
+
+
+@pytest.mark.parametrize("cls", [CsvConnector, JsonlConnector, ParquetConnector])
+def test_file_roundtrip(spark, sf_dir, tmpdir, cls):
+    conn = cls(str(tmpdir), spark)
+    df = _nation(spark, sf_dir)
+    conn.write(df, "nation")
+    assert conn.get_indexes() == ["nation"]
+    back = conn.read("nation")
+    assert sorted(back.columns) == sorted(df.columns)
+    assert back.count() == df.count()
+    got = {r.n_nationkey: r.n_name for r in back.collect()}
+    want = {r.n_nationkey: r.n_name for r in df.collect()}
+    assert got == want
+
+
+def test_txt_sep_roundtrip(spark, sf_dir, tmpdir):
+    conn = TxtConnector(str(tmpdir), spark, sep="|")
+    df = _nation(spark, sf_dir).select("n_nationkey", "n_name")
+    conn.write(df, "nation")
+    back = conn.read("nation")
+    assert _sorted_rows(back) == _sorted_rows(df)
+
+
+def test_write_backup(spark, sf_dir, tmpdir):
+    conn = ParquetConnector(str(tmpdir), spark)
+    df = _nation(spark, sf_dir)
+    conn.write(df, "nation")
+    conn.write(df.limit(3), "nation", backup=True)
+    baks = [n for n in os.listdir(tmpdir) if ".bak" in n]
+    assert len(baks) == 1
+    assert conn.read("nation").count() == 3
+
+
+def test_write_mode_ignore_and_upsert(spark, sf_dir, tmpdir):
+    conn = ParquetConnector(str(tmpdir), spark)
+    df = _nation(spark, sf_dir)
+    conn.write(df, "nation")
+    # ignore: existing keys survive, new keys append
+    incoming = df.limit(5).withColumn("n_name", F.lit("CHANGED")).unionByName(
+        df.limit(1).withColumn("n_nationkey", F.lit(999))
+    )
+    conn.write(incoming, "nation", mode="ignore", pks=["n_nationkey"])
+    back = conn.read("nation")
+    assert back.count() == df.count() + 1
+    assert back.filter("n_name = 'CHANGED'").count() == 0
+    # upsert: incoming wins
+    conn.write(incoming, "nation", mode="upsert", pks=["n_nationkey"])
+    back = conn.read("nation")
+    assert back.count() == df.count() + 1
+    assert back.filter("n_name = 'CHANGED'").count() == 5  # the 999-key row keeps its original name
+
+
+# --- .sql dump -------------------------------------------------------
+
+
+def test_parse_values_pathological():
+    seg = r"""(1,'it''s \'ok\'',NULL,3.5,b'0101',0x1F,'emoji 🎉','a,b(c)')"""
+    rows = parse_values(seg)
+    assert rows == [[1, "it's 'ok'", None, 3.5, 5, 31, "emoji 🎉", "a,b(c)"]]
+
+
+def test_parse_values_multirow():
+    rows = parse_values("(1,'a'),(2,'b'),(3,NULL);")
+    assert rows == [[1, "a"], [2, "b"], [3, None]]
+
+
+def test_sqlfile_roundtrip(spark, sf_dir, tmpdir):
+    conn = SqlFileConnector(str(tmpdir), spark)
+    df = _nation(spark, sf_dir)
+    conn.write(df, "nation", pks=["n_nationkey"])
+    assert (tmpdir / "nation.ddl.sql").exists()
+    ddl = (tmpdir / "nation.ddl.sql").read_text()
+    assert "PRIMARY KEY (`n_nationkey`)" in ddl and "`n_name` text" in ddl
+    back = conn.read("nation")
+    got = {r.n_nationkey: (r.n_name, r.n_regionkey) for r in back.collect()}
+    want = {r.n_nationkey: (r.n_name, r.n_regionkey) for r in df.collect()}
+    assert got == want
+
+
+def test_sqlfile_compress_and_modes(spark, sf_dir, tmpdir):
+    conn = SqlFileConnector(str(tmpdir), spark)
+    df = _nation(spark, sf_dir).coalesce(1)
+    conn.write(df, "nation", mode="ignore", compress=10, duplicate_update="`n_name`=VALUES(`n_name`)")
+    text = "\n".join(
+        p.read_text() for p in (tmpdir / "nation.sql").glob("part-*") if p.is_file()
+    )
+    assert "INSERT IGNORE INTO `nation`" in text
+    assert "ON DUPLICATE KEY UPDATE" in text
+    n_stmts = text.count("INSERT IGNORE")
+    assert n_stmts == 3  # 25 rows / 10 per statement
+    back = conn.read("nation")
+    assert back.count() == df.count()
+
+
+def test_read_sql_dump_with_create_table(spark, tmpdir):
+    dump = tmpdir / "t.sql"
+    dump.write_text(
+        "-- dump\n"
+        "CREATE TABLE `t` (\n"
+        "  `id` bigint NOT NULL,\n"
+        "  `name` varchar(64),\n"
+        "  PRIMARY KEY (`id`)\n"
+        ");\n"
+        "INSERT INTO `t` VALUES (1,'x'),(2,'y');\n"
+        "INSERT INTO `t` VALUES (3,NULL);\n"
+    )
+    df = read_sql_dump(spark, str(dump))
+    rows = {r.id: r.name for r in df.collect()}
+    assert rows == {1: "x", 2: "y", 3: None}
+
+
+# --- archive ---------------------------------------------------------
+
+
+def test_read_zip(spark, tmpdir):
+    zpath = tmpdir / "data.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.writestr("a.csv", "id,name\n1,x\n2,y\n")
+        zf.writestr("b.csv", "id,name\n3,z\n")
+    df = read_zip(spark, str(zpath))
+    assert {(r.id, r.name) for r in df.collect()} == {("1", "x"), ("2", "y"), ("3", "z")}
+
+
+# --- memory ----------------------------------------------------------
+
+
+def test_memory_connector(spark):
+    mem = MemoryConnector({"t": [{"k": 1, "v": "a"}, {"k": 1, "v": "b"}, {"k": 2, "v": "c"}]}, spark)
+    assert mem.get_indexes() == ["t"]
+    assert mem.get_count("t") == 3
+    assert mem.get_dict_kv("t", "k", "v") == {1: "b", 2: "c"}
+    assert mem.get_dict_kv_set("t", "k", "v") == {1: {"a", "b"}, 2: {"c"}}
+    df = mem.read("t")
+    mem.write(df.filter("k = 2"), "t2")
+    assert mem.tables["t2"] == [{"k": 2, "v": "c"}]
+    got = kv_pairs(df, "k", "v", collapse="set").collect()
+    assert {r.k: set(r.v) for r in got} == {1: {"a", "b"}, 2: {"c"}}
+
+
+# --- jdbc (no server: options/DDL only) ------------------------------
+
+
+def test_jdbc_options_and_ddl(spark, sf_dir):
+    conn = JdbcConnector("jdbc:mysql://h/db", spark, user="u", password="p", fetchsize=5000)
+    opts = conn.read_options("orders", condition="o_orderkey < 100")
+    assert opts["dbtable"] == "(SELECT * FROM orders WHERE o_orderkey < 100) AS __src"
+    assert opts["fetchsize"] == "5000"
+    opts = conn.read_options("orders", partition_column="o_orderkey", num_partitions=16, lower_bound=0, upper_bound=1000)
+    assert opts["numPartitions"] == "16"
+    with pytest.raises(ValueError):
+        conn.read_options("orders", partition_column="o_orderkey")
+
+    df = read_table(spark, sf_dir, "orders")
+    ddl = mysql_ddl("orders", df.schema, pks=["o_orderkey"])
+    assert "`o_orderkey` bigint NOT NULL" in ddl
+    assert "`o_orderstatus` text" in ddl
+    assert "PRIMARY KEY (`o_orderkey`)" in ddl
+    cols = jdbc_column_types(df.schema, pks=["o_orderkey"])
+    assert "o_orderkey bigint" in cols
+
+    stmts = staged_merge_sql("t", ["a", "b"], "upsert")
+    assert "ON DUPLICATE KEY UPDATE" in stmts[0] and stmts[1].startswith("DROP TABLE")
+
+
+def test_excel_gated(spark, tmpdir):
+    from d2d_spark.sources.excel import HAVE_ENGINE, ExcelConnector
+
+    conn = ExcelConnector(str(tmpdir), spark)
+    if not HAVE_ENGINE:
+        with pytest.raises(NotImplementedError):
+            conn.read("x")
+    else:  # pragma: no cover
+        df = spark.createDataFrame([Row(a=1, b="x")])
+        conn.write(df, "t")
+        assert conn.read("t").count() == 1
