@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from d2d_spark.functions.text import fingerprint, shingles, tokens_ws
-from d2d_spark.functions.vectors import cosine
+from d2d_spark.functions.vectors import dot, norm
 
 # Large prime > 2^31 for minhash permutations.
 _MERSENNE = (1 << 61) - 1
@@ -232,6 +232,11 @@ def ngram_jaccard_pairs(
     a = sh.repartition(npart).select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
     b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    # size-ratio prefilter: jaccard <= min(|a|,|b|)/max(|a|,|b|), so
+    # mismatched sizes can never pass the threshold — prunes pairs
+    # before the expensive intersect/union folds
+    sa, sb = F.size("sh_a"), F.size("sh_b")
+    pairs = pairs.filter((sa >= threshold * sb) & (sb >= threshold * sa))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (
         pairs.withColumn("jaccard", jac)
@@ -246,11 +251,19 @@ def embedding_near_pairs(
     """Embedding-cosine near-duplicate pairs. Quadratic form for
     bounded sets; route through sign_projection_bucket (similarity.py)
     to band it at scale."""
+
     npart = emb.sparkSession.sparkContext.defaultParallelism
-    a = emb.repartition(npart).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    a = (
+        emb.repartition(npart)
+        .select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+        .withColumn("__na", norm(F.col("v_a")))
+    )
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")).withColumn(
+        "__nb", norm(F.col("v_b"))
+    )
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    sim = cosine(F.col("v_a"), F.col("v_b"))
+    # norms precomputed per side: per-pair work is one dot fold
+    sim = dot(F.col("v_a"), F.col("v_b")) / (F.col("__na") * F.col("__nb"))
     return (
         pairs.withColumn("cos_sim", sim)
         .filter(F.col("cos_sim") >= threshold)

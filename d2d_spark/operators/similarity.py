@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from d2d_spark.functions.vectors import cosine, sign_projection_bucket
+from d2d_spark.functions.vectors import dot, norm, sign_projection_bucket
 
 
 def brute_force_topk(
@@ -28,14 +28,27 @@ def brute_force_topk(
     k: int = 5,
 ) -> DataFrame:
     """Exact cosine top-k neighbors per query vector. The query set is
-    broadcast (it is small by construction); the corpus streams."""
+    broadcast (it is small by construction); the corpus streams.
+
+    Norms are computed once per side BEFORE the pair join — per-pair
+    work is a single dot-product fold, not three (norm(q) and norm(c)
+    per pair would multiply the interpreted fold cost by ~3 at
+    |queries| x |corpus| scale)."""
+
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qv")
-        )
+        ).withColumn("__qn", norm(F.col("__qv")))
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
-    scored = q.crossJoin(c).withColumn("cos_sim", cosine(F.col("__qv"), F.col("__cv")))
+    npart = corpus.sparkSession.sparkContext.defaultParallelism
+    c = (
+        corpus.repartition(npart)  # spread the dot-product stage off a one-file scan
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+        .withColumn("__cn", norm(F.col("__cv")))
+    )
+    scored = q.crossJoin(c).withColumn(
+        "cos_sim", dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+    )
     scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -75,11 +88,15 @@ def lsh_topk(
     a bucket-equi-join, never a cross join. Recall/cost dials:
     n_bits up = cheaper+worse, multi_probe = ~n_bits x cost for much
     better recall."""
+
+    npart = corpus.sparkSession.sparkContext.defaultParallelism
     c = add_lsh_bucket(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
+        corpus.repartition(npart).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        ),
         "__cv",
         n_bits,
-    )
+    ).withColumn("__cn", norm(F.col("__cv")))
     q0 = add_lsh_bucket(
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -87,7 +104,7 @@ def lsh_topk(
         ),
         "__qv",
         n_bits,
-    )
+    ).withColumn("__qn", norm(F.col("__qv")))
     if multi_probe:
         probes = F.array(
             F.col("bucket"),
@@ -99,7 +116,9 @@ def lsh_topk(
         q.join(c, on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("cos_sim", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn(
+            "cos_sim", dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")

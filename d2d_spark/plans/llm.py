@@ -249,8 +249,9 @@ def lsh_bucket_histogram(spark, sf_dir):
     function is deterministic and roughly uniform (it is the partition
     key for ANN at scale)."""
     e = _t(spark, sf_dir, "embeddings")
+    npart = spark.sparkContext.defaultParallelism
     return (
-        S.add_lsh_bucket(e, "embedding", n_bits=8)
+        S.add_lsh_bucket(e.repartition(npart), "embedding", n_bits=8)
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("bucket")
