@@ -50,6 +50,32 @@ def replace_rows(target: DataFrame, incoming: DataFrame, pks: list[str]) -> Data
     return upsert_rows(target, incoming, pks)
 
 
+def update_rows(df: DataFrame, set_exprs: dict[str, "F.Column"], where: "F.Column") -> DataFrame:
+    """UPDATE … SET … WHERE as a dataflow (reference _update/_update2
+    builders d22d/utils/db/myutils.py:970-1001 and the windowed mass
+    update loop d22d/model/mysqlmodel.py:166-182): matched rows get
+    the new values, others pass through unchanged. On a lake this is
+    the full-column rewrite behind Delta UPDATE; the reference's
+    LIMIT-n-until-done loop exists only because MySQL locks — a
+    partitioned rewrite needs no windowing.
+
+    All SET expressions and the predicate evaluate against the
+    ORIGINAL row (SQL UPDATE semantics): applied in one projection,
+    never chained — chaining would let an earlier assignment change
+    what a later predicate/expression sees."""
+    return df.withColumns(
+        {c: F.when(where, e).otherwise(F.col(c)) for c, e in set_exprs.items()}
+    )
+
+
+def delete_rows(df: DataFrame, where: "F.Column") -> DataFrame:
+    """DELETE WHERE pred (reference _delete builder
+    d22d/utils/db/myutils.py:1003-1012; ES delete-by-query :406-409).
+    SQL semantics: NULL predicates do NOT delete — rows survive unless
+    the predicate is definitely true."""
+    return df.filter(~F.coalesce(where, F.lit(False)))
+
+
 def write_mode(
     df: DataFrame,
     path: str,

@@ -50,7 +50,7 @@ def load_all() -> dict[str, Query]:
     """Import every query-defining module exactly once."""
     global _LOADED
     if not _LOADED:
-        from d2d_spark.plans import connectors_q, llm, relational, streaming_q  # noqa: F401
+        from d2d_spark.plans import connectors_q, llm, relational, streaming_q, writes_q  # noqa: F401
 
         _LOADED = True
     return QUERIES

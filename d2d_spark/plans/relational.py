@@ -633,3 +633,59 @@ def agg_stats_orders(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "cube_orders_priority_status",
+    oracle="""
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    ORDER BY priority, status
+    """,
+    tags=("agg", "cube"),
+)
+def cube_orders_priority_status(spark, sf_dir):
+    """CUBE over (priority, status): all 4 grouping sets in one pass —
+    partial aggregation handles the whole lattice in a single shuffle
+    (the reference could only do this via passthrough SQL)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n",
+            "total",
+        )
+        .orderBy("priority", "status")
+    )
+
+
+@query(
+    "count_distinct_orders",
+    oracle="""
+    SELECT COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities,
+           COUNT(*) AS n_orders
+    FROM orders
+    """,
+    tags=("agg", "distinct"),
+)
+def count_distinct_orders(spark, sf_dir):
+    """Exact multi-column COUNT DISTINCT (the reference had none
+    natively, SURVEY §2.5). approx_count_distinct is the 100 TB
+    variant when exactness isn't required — pytest checks it lands
+    within 5% of this query's exact answer."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

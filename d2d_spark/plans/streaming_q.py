@@ -119,3 +119,38 @@ def session_windows_per_user(spark, sf_dir):
         F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         "n_events",
     )
+
+
+@query("stateful_dedup_users", oracle=None, tags=("streaming", "stateful"))
+def stateful_dedup_users(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState) end-to-end:
+    events staged as a file stream, keys deduped across micro-batches
+    via checkpointed keyed state, result materialized. Not
+    SQL-expressible (driver records the rows-only check); equality
+    with batch distinct is pytest-verified."""
+    import tempfile
+    from pathlib import Path
+
+    from d2d_spark.streaming.filestream import file_stream
+    from d2d_spark.streaming.stateful import stateful_dedup_keys
+
+    stage = Path(tempfile.gettempdir()) / "d2d_spark_stage" / "stateful_q"
+    src, ckpt = str(stage / "src"), str(stage / "ckpt")
+    ev = read_table(spark, sf_dir, "events").select("user_id")
+    ev.write.mode("overwrite").parquet(src)
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    schema = spark.read.parquet(src).schema
+    stream = file_stream(spark, src, schema, max_files_per_trigger=8)
+    deduped = stateful_dedup_keys(stream, "user_id")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("stateful_dedup_q")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql("select user_id from stateful_dedup_q").orderBy("user_id")

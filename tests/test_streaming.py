@@ -88,3 +88,76 @@ def test_file_sync_incremental_ledger(spark, sf_dir, tmpdir):
     sync_available_now(file_stream(spark, src, schema), tgt, ckpt,
                        transform=lambda df: df.select("event_id", "user_id"))
     assert spark.read.parquet(tgt).count() == 200
+
+
+def test_stateful_dedup_across_batches(spark, sf_dir, tmpdir):
+    """Keys are emitted exactly once even when they recur in later
+    micro-batches — checkpointed state, not per-batch dedup."""
+    from d2d_spark.streaming.stateful import stateful_dedup_keys
+
+    src = str(tmpdir / "src")
+    ev = read_table(spark, sf_dir, "events").limit(400).cache()
+    # two file groups with overlapping user_ids -> multiple batches
+    ev.limit(200).write.parquet(src)
+    ev.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = file_stream(spark, src, schema, max_files_per_trigger=1)
+    deduped = stateful_dedup_keys(stream.select("user_id"), "user_id")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("stateful_dedup_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmpdir / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select user_id from stateful_dedup_t").collect()
+    ids = [r.user_id for r in got]
+    expected = {r.user_id for r in ev.select("user_id").distinct().collect()}
+    assert len(ids) == len(set(ids)) == len(expected)
+    assert set(ids) == expected
+
+
+def test_stateful_running_totals(spark, sf_dir, tmpdir):
+    """Final per-key totals equal the batch groupBy result."""
+    from d2d_spark.streaming.stateful import stateful_running_totals
+
+    src = str(tmpdir / "src")
+    ev = read_table(spark, sf_dir, "events").limit(300).cache()
+    ev.repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = file_stream(spark, src, schema, max_files_per_trigger=1)
+    totals = stateful_running_totals(
+        stream.select("user_id", F.col("value").cast("double").alias("value")),
+        "user_id",
+        "value",
+    )
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("running_totals_t")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmpdir / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode: last row per key is the cumulative total
+    import pandas as pd
+
+    got = (
+        spark.sql("select * from running_totals_t").toPandas()
+        .groupby("user_id").tail(1).set_index("user_id")
+    )
+    exp = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("value").cast("double")).alias("s"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(got) == len(exp)
+    for uid, row in exp.iterrows():
+        assert got.loc[uid, "n_events"] == row["n"]
+        assert abs(got.loc[uid, "total"] - row["s"]) < 1e-6

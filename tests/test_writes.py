@@ -1,0 +1,64 @@
+"""Write-semantics invariants: UPDATE evaluates against the original
+row, DELETE keeps NULL-predicate rows, partitioned writes actually
+prune, approx distinct stays near exact."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from d2d_spark.operators.writes import delete_rows, update_rows
+from d2d_spark.session import read_table
+
+
+def test_update_swap_is_simultaneous(spark):
+    """The classic a,b = b,a swap: chained withColumn would yield
+    b,b — SQL UPDATE must see original values in every SET."""
+    df = spark.createDataFrame([Row(a=1, b=2)])
+    out = update_rows(df, {"a": F.col("b"), "b": F.col("a")}, F.lit(True))
+    r = out.collect()[0]
+    assert (r.a, r.b) == (2, 1)
+
+
+def test_update_predicate_sees_original(spark):
+    df = spark.createDataFrame([Row(st="P", x=1), Row(st="F", x=1)])
+    out = update_rows(df, {"st": F.lit("DONE"), "x": F.col("x") * 10}, F.col("st") == "P")
+    got = {r.st: r.x for r in out.collect()}
+    assert got == {"DONE": 10, "F": 1}
+
+
+def test_delete_null_predicate_keeps_row(spark):
+    df = spark.createDataFrame([Row(v=1), Row(v=None), Row(v=3)])
+    out = delete_rows(df, F.col("v") > 2)
+    assert {r.v for r in out.collect()} == {1, None}
+
+
+def test_partitioned_write_prunes_files(spark, sf_dir):
+    """The pruned scan must read strictly fewer files than the full
+    scan — directory-level pruning, visible in the plan's partition
+    filters."""
+    d = tempfile.mkdtemp(prefix="d2d_prune_")
+    try:
+        orders = read_table(spark, sf_dir, "orders")
+        orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(d)
+        pruned = spark.read.parquet(d).filter(F.col("o_orderstatus") == "F")
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(o_orderstatus" in plan.replace("#", "").replace(
+            ")", ""
+        ) or "o_orderstatus" in plan.split("PartitionFilters")[1].split("]")[0]
+        n_status = orders.select("o_orderstatus").distinct().count()
+        assert n_status > 1
+        # pruned row count matches a plain filter
+        assert pruned.count() == orders.filter("o_orderstatus = 'F'").count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_approx_count_distinct_close(spark, sf_dir):
+    o = read_table(spark, sf_dir, "orders")
+    exact = o.select(F.countDistinct("o_custkey")).collect()[0][0]
+    approx = o.select(F.approx_count_distinct("o_custkey")).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.05
