@@ -13,6 +13,8 @@ from d2d_spark.sources.sqlfile import SqlFileConnector, read_sql_dump, render_sq
 from d2d_spark.sources.archive import read_zip
 from d2d_spark.sources.jdbc import JdbcConnector, staged_merge_sql
 from d2d_spark.sources.excel import ExcelConnector
+from d2d_spark.sources.elastic import ElasticConnector, synthesize_doc_id
+from d2d_spark.sources.mongo import MongoConnector, backup_collection_name
 
 __all__ = [
     "WRITE_MODES",
@@ -33,4 +35,8 @@ __all__ = [
     "JdbcConnector",
     "staged_merge_sql",
     "ExcelConnector",
+    "ElasticConnector",
+    "synthesize_doc_id",
+    "MongoConnector",
+    "backup_collection_name",
 ]

