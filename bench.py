@@ -44,6 +44,13 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     queries = load_all()
 
+    # warmup: JVM/codegen/parquet-footer costs land here, not on the
+    # first measured query
+    from d2d_spark.session import read_table as _rt
+
+    for t in ("lineitem", "events", "documents", "embeddings"):
+        _rt(spark, SF_DIR, t).count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = queries.get(name)
@@ -52,6 +59,42 @@ def main() -> int:
         t0 = time.perf_counter()
         q.fn(spark, SF_DIR).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    # End-to-end Migration throughput (rows/s), comparable to the
+    # reference's best batched write path (~15.6k rows/s,
+    # BASELINE.md): lineitem through read -> transform -> sink.
+    import shutil
+    import tempfile
+
+    from d2d_spark.migrate import Migration
+    from d2d_spark.session import read_table
+    from d2d_spark.sources import ParquetConnector
+
+    out_dir = tempfile.mkdtemp(prefix="d2d_bench_mig_")
+    try:
+        class _Src:
+            def read(self, index, **kw):
+                return read_table(spark, SF_DIR, index)
+
+            def get_indexes(self):
+                return ["lineitem"]
+
+        from pyspark.sql import functions as F
+
+        n_rows = read_table(spark, SF_DIR, "lineitem").count()
+        t0 = time.perf_counter()
+        Migration(
+            _Src(),
+            ParquetConnector(out_dir, spark),
+            table_from="lineitem",
+            mode="overwrite",
+            format_data={"net_price": F.col("l_extendedprice") * (1 - F.col("l_discount"))},
+        ).run()
+        mig_s = time.perf_counter() - t0
+        timings["migration_lineitem"] = round(mig_s, 3)
+        migration_rows_per_s = round(n_rows / mig_s)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -62,6 +105,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "migration_rows_per_s": migration_rows_per_s,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )
