@@ -220,13 +220,25 @@ def read_sql_dump(
 _ESC_PREFIX = {"insert": "INSERT INTO", "ignore": "INSERT IGNORE INTO", "replace": "REPLACE INTO"}
 
 
+def _escape_sql_string(c: Column) -> Column:
+    """Escape for a single-quoted SQL literal that must survive a
+    line-oriented file: backslash first, then quote, then control
+    characters (a literal newline inside a value would split the
+    statement across lines and break any line-based reader — the same
+    reason mysqldump escapes them)."""
+    esc = F.regexp_replace(c, r"\\", r"\\\\")
+    esc = F.regexp_replace(esc, "'", r"\\'")
+    esc = F.regexp_replace(esc, "\n", r"\\n")
+    esc = F.regexp_replace(esc, "\r", r"\\r")
+    esc = F.regexp_replace(esc, "\t", r"\\t")
+    return F.regexp_replace(esc, "\x00", r"\\0")
+
+
 def _sql_value_expr(name: str, dt: T.DataType) -> Column:
     """Render one column as a SQL literal, entirely JVM-side."""
     c = F.col(name)
     if isinstance(dt, (T.StringType, T.CharType, T.VarcharType)):
-        esc = F.regexp_replace(c, r"\\", r"\\\\")
-        esc = F.regexp_replace(esc, "'", r"\\'")
-        rendered = F.concat(F.lit("'"), esc, F.lit("'"))
+        rendered = F.concat(F.lit("'"), _escape_sql_string(c), F.lit("'"))
     elif isinstance(dt, T.TimestampType):
         rendered = F.concat(F.lit("'"), F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS"), F.lit("'"))
     elif isinstance(dt, T.DateType):
@@ -236,9 +248,7 @@ def _sql_value_expr(name: str, dt: T.DataType) -> Column:
     elif isinstance(dt, T.BooleanType):
         rendered = F.when(c, F.lit("TRUE")).otherwise(F.lit("FALSE"))
     elif isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
-        esc = F.regexp_replace(F.to_json(c), r"\\", r"\\\\")
-        esc = F.regexp_replace(esc, "'", r"\\'")
-        rendered = F.concat(F.lit("'"), esc, F.lit("'"))
+        rendered = F.concat(F.lit("'"), _escape_sql_string(F.to_json(c)), F.lit("'"))
     else:
         rendered = c.cast("string")
     return F.coalesce(rendered, F.lit("NULL"))

@@ -254,3 +254,29 @@ def test_mongo_option_assembly(spark):
     assert backup_collection_name("users", now=0).startswith("users_19")
     with pytest.raises(ValueError):
         m.write(spark.createDataFrame([Row(a=1)]), "c", mode="upsert", pks=["a"])
+
+
+def test_sqlfile_adversarial_roundtrip(spark, tmpdir):
+    """Strings with quotes, backslashes, newlines, tabs, commas,
+    parens, unicode, and NULLs must survive render -> parse exactly
+    (newlines especially: unescaped they would split statements across
+    lines and corrupt the line-based reader)."""
+    from d2d_spark.sources import SqlFileConnector
+
+    rows = [
+        Row(id=1, s="it's \"fine\""),
+        Row(id=2, s="back\\slash and 'quote'"),
+        Row(id=3, s="line1\nline2\r\ttab"),
+        Row(id=4, s="comma, paren (x), semi;"),
+        Row(id=5, s="emoji 🎉 and 中文"),
+        Row(id=6, s=None),
+        Row(id=7, s="NULL"),  # the string literal, not SQL NULL
+        Row(id=8, s="ends with backslash \\"),
+    ]
+    df = spark.createDataFrame(rows)
+    conn = SqlFileConnector(str(tmpdir), spark)
+    conn.write(df, "adv", pks=["id"])
+    back = conn.read("adv")
+    got = {r.id: r.s for r in back.collect()}
+    want = {r.id: r.s for r in rows}
+    assert got == want
