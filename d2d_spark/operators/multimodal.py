@@ -74,6 +74,44 @@ def decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(kernel, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA_FIELDS = [
+    T.StructField("resized", T.BinaryType()),
+    T.StructField("out_width", T.IntegerType()),
+    T.StructField("out_height", T.IntegerType()),
+]
+
+
+def resize_payload(
+    df: DataFrame, target_w: int = 64, target_h: int = 48, id_col: str = "doc_id"
+) -> DataFrame:
+    """Resize plumbing: binary in -> smaller binary + output dims out,
+    Arrow-batched. The STUB kernel decimates bytes to target_w*target_h
+    (deterministic stand-in for PIL resize); schema/batching/partition
+    preservation are the real contract. Output keeps the id so the
+    resized payload joins back to its metadata row."""
+    out_schema = T.StructType([df.schema[id_col]] + RESIZED_SCHEMA_FIELDS)
+    target = target_w * target_h
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = []
+            for p in pdf["payload"]:
+                if not p:
+                    raise NotImplementedError("empty payload: real codec unavailable")
+                step = max(len(p) // target, 1)
+                resized.append(bytes(p[::step][:target]))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "resized": resized,
+                    "out_width": target_w,
+                    "out_height": target_h,
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(kernel, out_schema)
+
+
 def sample_frames(df: DataFrame, text_col: str = "text", every: int = 16) -> DataFrame:
     """Frame-sampling analog: take every `every`-th "pixel" (character
     code) as a frame array — pure columnar expression, no Python."""
