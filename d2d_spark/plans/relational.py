@@ -689,3 +689,57 @@ def count_distinct_orders(spark, sf_dir):
         F.countDistinct("o_orderpriority").alias("n_priorities"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@query(
+    "lag_lead_events_per_user",
+    oracle="""
+    SELECT user_id, event_id,
+           lag(event_id) OVER w AS prev_event,
+           lead(event_id) OVER w AS next_event,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM events WHERE user_id <= 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window", "lag-lead"),
+)
+def lag_lead_events_per_user(spark, sf_dir):
+    """lag/lead/ntile over per-user event-time order — the navigation
+    window family (sessionization building blocks)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@query(
+    "percentiles_order_price",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("agg", "percentiles"),
+)
+def percentiles_order_price(spark, sf_dir):
+    """Exact interpolated percentiles per group (approx_percentile is
+    the sketch variant for 100 TB; exact keeps the oracle honest)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )

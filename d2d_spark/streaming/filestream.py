@@ -72,3 +72,34 @@ def stream_to_memory(df: DataFrame, name: str, available_now: bool = True):
 def _has_aggregation(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().analyzed().toString()
     return "Aggregate" in plan
+
+
+def sync_with_mode(
+    df: DataFrame,
+    target_path: str,
+    checkpoint_path: str,
+    mode: str,
+    pks: list[str],
+    fmt: str = "parquet",
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+):
+    """Streaming keyed sink: each micro-batch applies an insert mode
+    (ignore/replace/upsert, operators.writes semantics) against the
+    target via foreachBatch — the streaming analog of the reference's
+    per-window save_data(mode=...) flush (d22d/task.py:140-155), with
+    exactly-once per-batch bookkeeping from the checkpoint. Single
+    writer per target, as documented in operators/writes.py."""
+    from d2d_spark.operators.writes import write_mode
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform(batch_df) if transform is not None else batch_df
+        write_mode(out, target_path, mode=mode, pks=pks, fmt=fmt, spark=out.sparkSession)
+
+    q = (
+        df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

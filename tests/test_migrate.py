@@ -176,3 +176,19 @@ def test_migration_csv_fixture_like_example(spark, tmpdir):
     assert {(r.user_id, r.username, r.extra) for r in back.collect()} == {
         (1, "Alice", 1), (2, "Bob", 1),
     }
+
+
+def test_engine_facade(spark, tmpdir):
+    """Engine: register connector tables, run raw SQL over them,
+    migrate through the facade."""
+    from d2d_spark.api import Engine
+    from d2d_spark.sources import JsonlConnector, MemoryConnector
+
+    eng = Engine(spark)
+    mem = MemoryConnector({"users": USERS}, spark)
+    eng.register(mem, "users")
+    out = eng.sql("SELECT name, SUM(score) AS s FROM users GROUP BY name ORDER BY name")
+    assert [(r.name, r.s) for r in out.collect()] == [("a", 10), ("b", 40), ("c", 30)]
+    done = eng.migrate(mem, JsonlConnector(str(tmpdir), spark), "users", mode="overwrite")
+    assert done == ["users"]
+    assert JsonlConnector(str(tmpdir), spark).read("users").count() == 4

@@ -161,3 +161,25 @@ def test_stateful_running_totals(spark, sf_dir, tmpdir):
     for uid, row in exp.iterrows():
         assert got.loc[uid, "n_events"] == row["n"]
         assert abs(got.loc[uid, "total"] - row["s"]) < 1e-6
+
+
+def test_sync_with_mode_upsert(spark, sf_dir, tmpdir):
+    """Streaming upsert: re-delivered keys overwrite instead of
+    duplicating — the keyed sink the reference's INSERT IGNORE /
+    REPLACE flushes approximate."""
+    from d2d_spark.streaming.filestream import sync_with_mode
+
+    src, tgt, ckpt = (str(tmpdir / n) for n in ("src", "tgt", "ckpt"))
+    ev = read_table(spark, sf_dir, "events").limit(100).select("event_id", "event_type").cache()
+    ev.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    sync_with_mode(file_stream(spark, src, schema), tgt, ckpt, mode="upsert", pks=["event_id"])
+    assert spark.read.parquet(tgt).count() == 100
+
+    # redeliver the same keys with changed payload -> overwritten, not duplicated
+    ev.withColumn("event_type", F.lit("REPLAYED")).write.mode("append").parquet(src)
+    sync_with_mode(file_stream(spark, src, schema), tgt, ckpt, mode="upsert", pks=["event_id"])
+    back = spark.read.parquet(tgt)
+    assert back.count() == 100
+    assert back.filter("event_type = 'REPLAYED'").count() == 100
