@@ -328,3 +328,98 @@ def embedding_near_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Group near-duplicate pairs into clusters: returns
+    (id, component) where component = min id reachable through the
+    pair graph — the step that turns pairwise LSH output into
+    keep-one-per-cluster dedup decisions.
+
+    Iterative min-label propagation (alternating large-star/small-star
+    contraction, the MapReduce-CC construction from Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"): each round every
+    node adopts the smallest label in its neighborhood, labels hop
+    across the graph in doubling strides, and convergence is checked
+    with a count of changed labels. All joins are equi-joins on id;
+    rounds = O(log diameter), and near-dup graphs are
+    shallow (diameter 2-3 for clustered duplicates) so 3-4 rounds
+    close most real inputs.
+
+    The loop materializes each round via localCheckpoint: iterative
+    lineage otherwise grows exponentially and re-executes every prior
+    round on each action.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    # undirected: keep both directions so min-label can flow both ways
+    edges = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        # neighbor labels: for each node, the min of its neighbors' labels
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("id", "dst"), on="dst")
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = (
+            labels.join(neighbor_min, on="id", how="left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+        # pointer-doubling hop: relabel through the current label's label
+        hop = (
+            labels.alias("l")
+            .join(
+                labels.select(
+                    F.col("id").alias("component"), F.col("component").alias("root")
+                ).alias("r"),
+                on="component",
+                how="left",
+            )
+            .select("id", F.coalesce("root", "component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        labels = hop
+    return labels
+
+
+def dedup_representatives(
+    df: DataFrame, pairs: DataFrame, id_col: str, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """End-to-end near-dup dedup: rows whose id is NOT a non-minimal
+    member of any duplicate cluster. Keeps exactly one representative
+    (the min id) per cluster plus every unpaired row."""
+    comp = connected_components(pairs, id_a, id_b)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

@@ -309,3 +309,15 @@ def multimodal_decode_features(spark, sf_dir):
     deterministic sandbox stub."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
     return M.decode_features(M.attach_binary_payload(d))
+
+
+@query("dedup_clusters_documents", oracle=None, tags=("llm", "dedup", "clusters"))
+def dedup_clusters_documents(spark, sf_dir):
+    """Near-dup clustering end-to-end: LSH pairs -> distributed
+    connected components (iterative min-label propagation) -> one
+    (id, component) row per clustered document. Iterative, so no SQL
+    oracle; equivalence to a union-find ground truth is
+    pytest-verified."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d, "text", "doc_id", jaccard_threshold=0.5)
+    return D.connected_components(pairs).orderBy("id")

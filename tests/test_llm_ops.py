@@ -72,3 +72,53 @@ def test_exact_dedup_operator(spark, sf_dir):
     n_unique = out.count()
     assert n_unique <= n_docs
     assert out.agg(F.sum("n_copies")).first()[0] == n_docs
+
+
+def test_connected_components_vs_union_find(spark, sf_dir):
+    """Distributed CC labels must equal a driver-side union-find over
+    the same pairs (small at test SF)."""
+    from d2d_spark.operators.dedup import connected_components, ngram_jaccard_pairs
+    from d2d_spark.session import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.5)
+    got = {r.id: r.component for r in connected_components(pairs).collect()}
+
+    # ground truth union-find
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    edges = [(r.id_a, r.id_b) for r in pairs.collect()]
+    assert edges, "fixture should contain near-dup pairs"
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want
+
+
+def test_dedup_representatives_keeps_one_per_cluster(spark, sf_dir):
+    from d2d_spark.operators.dedup import dedup_representatives, ngram_jaccard_pairs
+    from d2d_spark.session import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.5)
+    kept = dedup_representatives(d, pairs, "doc_id")
+    n_docs = d.count()
+    n_pairs_members = pairs.select(F.col("id_a").alias("i")).union(
+        pairs.select(F.col("id_b").alias("i"))
+    ).distinct().count()
+    assert kept.count() < n_docs  # something was removed
+    # every cluster keeps its min id
+    from d2d_spark.operators.dedup import connected_components
+
+    comps = connected_components(pairs)
+    reps = {r.component for r in comps.collect()}
+    kept_ids = {r.doc_id for r in kept.collect()}
+    assert reps <= kept_ids
