@@ -128,3 +128,67 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def gemm_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k via blocked matrix multiply — the throughput
+    path for brute-force search at scale.
+
+    The query matrix (small by contract) broadcasts to every executor
+    once via a closure; each Arrow batch of corpus vectors becomes one
+    numpy GEMM (C_block @ Q^T), and only each batch's per-query top-k
+    candidate rows leave Python — per-batch output is O(|Q| * k), not
+    O(|Q| * |block|). A final window rank merges per-batch candidates
+    into global top-k. Same results as brute_force_topk (pytest-
+    checked); ~BLAS throughput instead of per-pair interpreted folds.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([r[1] for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+    kk = k + 1  # the query itself may appear in its own block
+
+    def kernel(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            C = np.array(list(pdf[vec_col]), dtype=np.float64)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            S = Cn @ Qn.T  # (block, |Q|)
+            top = min(kk, S.shape[0])
+            idx = np.argpartition(-S, top - 1, axis=0)[:top]  # (top, |Q|)
+            out_q, out_n, out_s = [], [], []
+            for j in range(S.shape[1]):
+                for i in idx[:, j]:
+                    if ids[i] != q_ids[j]:
+                        out_q.append(q_ids[j])
+                        out_n.append(ids[i])
+                        out_s.append(S[i, j])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s})
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -321,3 +321,16 @@ def dedup_clusters_documents(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(d, "text", "doc_id", jaccard_threshold=0.5)
     return D.connected_components(pairs).orderBy("id")
+
+
+@query("ann_gemm_topk", oracle=None, tags=("llm", "similarity", "ann", "gemm"))
+def ann_gemm_topk(spark, sf_dir):
+    """Blocked-GEMM exact top-k — the BLAS throughput path for
+    brute-force search (equality with ann_bruteforce_topk is
+    pytest-checked, so no separate oracle needed)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    out = S.gemm_topk(e, q, "vec_id", "embedding", "vec_id", "embedding", k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )

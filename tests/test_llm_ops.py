@@ -122,3 +122,23 @@ def test_dedup_representatives_keeps_one_per_cluster(spark, sf_dir):
     reps = {r.component for r in comps.collect()}
     kept_ids = {r.doc_id for r in kept.collect()}
     assert reps <= kept_ids
+
+
+def test_gemm_topk_matches_bruteforce(spark, sf_dir):
+    """The GEMM scale path returns the same neighbor sets as the
+    fold-based exact search."""
+    from d2d_spark.operators.similarity import brute_force_topk, gemm_topk
+    from d2d_spark.session import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    exact = brute_force_topk(e, q, "vec_id", "embedding", "vec_id", "embedding", k=5)
+    gemm = gemm_topk(e, q, "vec_id", "embedding", "vec_id", "embedding", k=5)
+
+    def by_query(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r.query_id, set()).add((r.neighbor_id, round(r.cos_sim, 9)))
+        return out
+
+    assert by_query(gemm.collect()) == by_query(exact.collect())

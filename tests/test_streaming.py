@@ -183,3 +183,32 @@ def test_sync_with_mode_upsert(spark, sf_dir, tmpdir):
     back = spark.read.parquet(tgt)
     assert back.count() == 100
     assert back.filter("event_type = 'REPLAYED'").count() == 100
+
+
+def test_stream_static_enrichment_join(spark, sf_dir, tmpdir):
+    """Stream-static join: a streaming fact enriched with a static
+    dimension (the streaming Migration2DB analog)."""
+    src = str(tmpdir / "src")
+    orders = read_table(spark, sf_dir, "orders").limit(200).cache()
+    orders.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    customers = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    stream = file_stream(spark, src, schema)
+    enriched = stream.join(customers, stream.o_custkey == customers.c_custkey, "left")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_orders_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from enriched_orders_t")
+    assert got.count() == 200
+    # every order with a known customer carries a segment
+    n_matched = got.filter(F.col("c_mktsegment").isNotNull()).count()
+    want_matched = (
+        orders.join(customers, orders.o_custkey == customers.c_custkey, "inner").count()
+    )
+    assert n_matched == want_matched
