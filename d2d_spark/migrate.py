@@ -160,7 +160,7 @@ class Migration2DB:
         format_data: Callable[[DataFrame], DataFrame] | None = None,
         legacy_semantics: bool = False,
         order_col: str | None = None,
-        broadcast_right: bool = True,
+        broadcast_right: bool | str = "auto",
     ):
         self.src1, self.src2, self.sink = database_from1, database_from2, database_to
         self.t1, self.t2, self.t_out = table_from1, table_from2, table_to

@@ -47,3 +47,33 @@ def table_count(df: DataFrame) -> int:
     """get_count analog — Spark answers parquet counts from footer
     metadata without a full scan."""
     return df.count()
+
+
+def sketch_quantiles(
+    df: DataFrame, col: str, probs: list[float], k: int = 200
+) -> DataFrame:
+    """Mergeable KLL quantile sketch: one bounded-size sketch per
+    partition, merged in a single reduce — the 100 TB replacement for
+    exact percentiles (whose sort-based aggregation buffers whole
+    groups). Error is rank-based and shrinks with k; pytest bounds it
+    against the exact answer. One row out: q_<prob> columns."""
+    sk = F.expr(f"kll_sketch_agg_double({col}, {k})")
+    agg = df.agg(sk.alias("__sk"))
+    cols = [
+        F.expr(f"kll_sketch_get_quantile_double(__sk, {p})").alias(
+            f"q_{str(p).replace('.', '_')}"
+        )
+        for p in probs
+    ]
+    return agg.select(*cols)
+
+
+def sketch_distinct_counts(df: DataFrame, cols: list[str]) -> DataFrame:
+    """HLL distinct estimates for several columns in ONE pass — no
+    per-column shuffle, sketches merge associatively (the same
+    aggregate runs map-side partial at any scale). approx 2% error at
+    the default lgConfigK; pytest-bounded vs exact."""
+    aggs = [
+        F.expr(f"hll_sketch_estimate(hll_sketch_agg({c}))").alias(f"n_{c}") for c in cols
+    ]
+    return df.agg(*aggs)

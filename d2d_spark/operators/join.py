@@ -46,7 +46,7 @@ def key_merge(
     left_key: str,
     right_key: str,
     how: str = "left",
-    broadcast_right: bool = True,
+    broadcast_right: bool | str = "auto",
     normalize_keys: bool = True,
 ) -> DataFrame:
     """Migration2DB key-merge (d22d/task.py:243-328).
@@ -55,12 +55,19 @@ def key_merge(
     float -> int), merges right columns over left (right wins on name
     collisions, format_data d22d/task.py:322-328). ``how='left'`` is
     code-faithful; ``how='full'`` is doc-faithful (README.md:283-320).
+
+    ``broadcast_right='auto'`` (default) leaves the physical choice to
+    Catalyst/AQE: small build sides broadcast (the reference's
+    dict-in-memory analog), big ones fall back to sort-merge instead
+    of OOMing — the reference required the build side to fit in
+    memory; we merely prefer it. ``True`` forces the broadcast hint
+    (the hint wins regardless of size — 100 TB footgun, opt-in only).
     """
     lk = format_value(F.col(left_key)) if normalize_keys else F.col(left_key).cast("string")
     rk = format_value(F.col(right_key)) if normalize_keys else F.col(right_key).cast("string")
     lj = left.withColumn("__jk", lk)
     rj = right.withColumn("__jk", rk)
-    if broadcast_right:
+    if broadcast_right is True:
         rj = F.broadcast(rj)
 
     shared = [c for c in left.columns if c in set(right.columns)]

@@ -62,3 +62,30 @@ def test_approx_count_distinct_close(spark, sf_dir):
     exact = o.select(F.countDistinct("o_custkey")).collect()[0][0]
     approx = o.select(F.approx_count_distinct("o_custkey")).collect()[0][0]
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_sketch_quantiles_close_to_exact(spark, sf_dir):
+    from d2d_spark.operators.agg import sketch_quantiles
+
+    o = read_table(spark, sf_dir, "orders")
+    got = sketch_quantiles(o, "o_totalprice", [0.5, 0.9]).collect()[0]
+    exact = o.agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+    ).collect()[0]
+    # KLL is rank-accurate: compare by rank displacement, not value
+    n = o.count()
+    for sk_v, ex_v in ((got.q_0_5, exact.p50), (got.q_0_9, exact.p90)):
+        rank_sk = o.filter(F.col("o_totalprice") <= sk_v).count() / n
+        rank_ex = o.filter(F.col("o_totalprice") <= ex_v).count() / n
+        assert abs(rank_sk - rank_ex) < 0.03
+
+
+def test_sketch_distinct_counts_close(spark, sf_dir):
+    from d2d_spark.operators.agg import sketch_distinct_counts
+
+    o = read_table(spark, sf_dir, "orders")
+    got = sketch_distinct_counts(o, ["o_custkey", "o_orderpriority"]).collect()[0]
+    exact_cust = o.select("o_custkey").distinct().count()
+    assert abs(got.n_o_custkey - exact_cust) / exact_cust < 0.05
+    assert got.n_o_orderpriority == 5
