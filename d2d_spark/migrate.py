@@ -53,7 +53,16 @@ def apply_format_data(df: DataFrame, fn: RowFn | dict[str, Column] | None, sampl
 
     def run(batches):
         for pdf in batches:
-            out = [t for t in (fn(rec) for rec in pdf.to_dict("records")) if t]
+            out = []
+            for rec in pdf.to_dict("records"):
+                try:
+                    t = fn(rec)
+                except Exception as e:
+                    # reference parity: failures carry the offending row
+                    # (d22d/task.py:172-180 logs index + payload, re-raises)
+                    raise RuntimeError(f"format_data failed on row {rec!r}") from e
+                if t:
+                    out.append(t)
             yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(
                 {c: pd.Series(dtype="object") for c in cols}
             )

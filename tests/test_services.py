@@ -67,3 +67,43 @@ def test_throughput_meter():
         m()
     assert m.n == 100
     assert m.avg_hz > 0
+
+
+def test_random_dataframe_deterministic(spark):
+    from pyspark.sql import types as T
+
+    from d2d_spark.functions.datagen import random_dataframe
+
+    schema = T.StructType(
+        [
+            T.StructField("i", T.LongType()),
+            T.StructField("f", T.DoubleType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("b", T.BooleanType()),
+            T.StructField("d", T.DateType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    a = random_dataframe(spark, schema, 100, seed=7).collect()
+    b = random_dataframe(spark, schema, 100, seed=7).collect()
+    assert a == b
+    c = random_dataframe(spark, schema, 100, seed=8).collect()
+    assert a != c
+    assert len(a) == 100
+    assert all(8 <= len(r.s) <= 16 for r in a)
+    assert len({r.s for r in a}) > 90  # strings vary
+
+
+def test_format_data_error_carries_row(spark):
+    import pytest as _pytest
+
+    from d2d_spark.migrate import apply_format_data
+    from d2d_spark.sources import MemoryConnector
+
+    mem = MemoryConnector({"t": [{"k": 1}, {"k": 0}]}, spark)
+
+    def fmt(d):
+        return {"inv": 1 / d["k"]}
+
+    with _pytest.raises(Exception, match="format_data failed on row"):
+        apply_format_data(mem.read("t"), fmt, sample=1).collect()
