@@ -50,6 +50,10 @@ def main() -> int:
 
     for t in ("lineitem", "events", "documents", "embeddings"):
         _rt(spark, SF_DIR, t).count()
+    # warm the Python/Arrow worker pool (mapInPandas forks once per core)
+    spark.range(0, spark.sparkContext.defaultParallelism * 4, 1).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -67,9 +67,13 @@ def minhash_signature(
     num_hashes: int = 32,
     shingle_n: int = 3,
     impl: str = "arrow",
+    emit_hashed_shingles: bool = False,
 ) -> DataFrame:
     """Append a `minhash` array column: per permutation j,
     min over shingles of (a_j * hash(shingle) + b_j) mod M.
+    ``emit_hashed_shingles`` adds a `__hset` column (sorted distinct
+    shingle hashes) in the same pass, so a downstream exact-Jaccard
+    verify needs no second tokenization stage.
 
     ``impl='arrow'`` (default): Arrow-batched mapInPandas with the
     permutation matrix as one vectorized numpy broadcast per document
@@ -89,7 +93,7 @@ def minhash_signature(
     map stage.
     """
     if impl == "arrow":
-        return _minhash_signature_arrow(df, text_col, num_hashes, shingle_n)
+        return _minhash_signature_arrow(df, text_col, num_hashes, shingle_n, emit_hashed_shingles)
 
     def perm(a, b):
         # closure (not lambda defaults): PySpark reads lambda arity
@@ -98,11 +102,18 @@ def minhash_signature(
 
     hashed = df.withColumn("__h31", _hashed_shingles(F.col(text_col), shingle_n))
     mins = [F.array_min(F.transform(F.col("__h31"), perm(a, b))) for a, b in _perm_coeffs(num_hashes)]
-    return hashed.withColumn("minhash", F.array(*mins)).drop("__h31")
+    out = hashed.withColumn("minhash", F.array(*mins))
+    if emit_hashed_shingles:
+        return out.withColumn("__hset", F.array_sort(F.array_distinct(F.col("__h31")))).drop("__h31")
+    return out.drop("__h31")
 
 
 def _minhash_signature_arrow(
-    df: DataFrame, text_col: str, num_hashes: int, shingle_n: int
+    df: DataFrame,
+    text_col: str,
+    num_hashes: int,
+    shingle_n: int,
+    emit_hashed_shingles: bool = False,
 ) -> DataFrame:
     import numpy as np
     import pandas as pd
@@ -111,9 +122,10 @@ def _minhash_signature_arrow(
     coeffs = _perm_coeffs(num_hashes)
     a_vec = [c[0] for c in coeffs]
     b_vec = [c[1] for c in coeffs]
-    out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField("minhash", T.ArrayType(T.LongType()))]
-    )
+    fields = list(df.schema.fields) + [T.StructField("minhash", T.ArrayType(T.LongType()))]
+    if emit_hashed_shingles:
+        fields.append(T.StructField("__hset", T.ArrayType(T.LongType())))
+    out_schema = T.StructType(fields)
 
     def gen(batches):
         import zlib
@@ -122,13 +134,14 @@ def _minhash_signature_arrow(
         b = np.asarray(b_vec, dtype=np.int64)[:, None]
         empty_sig = [int(x) for x in ((a[:, 0] * 0 + b[:, 0]) % _MERSENNE)]
         for pdf in batches:
-            sigs = []
+            sigs, hsets = [], []
             for text in pdf[text_col]:
                 toks = (text or "").split()
                 n_grams = max(len(toks) - (shingle_n - 1), 1)
                 grams = {" ".join(toks[i : i + shingle_n]) for i in range(n_grams)}
                 if not grams or grams == {""}:
                     sigs.append(empty_sig)
+                    hsets.append([])
                     continue
                 # 31-bit hashes keep a*h + b under 2^62: no overflow
                 h = np.fromiter(
@@ -137,8 +150,12 @@ def _minhash_signature_arrow(
                     count=len(grams),
                 )
                 sigs.append([int(x) for x in ((a * h[None, :] + b) % _MERSENNE).min(axis=1)])
+                if emit_hashed_shingles:
+                    hsets.append(sorted({int(x) for x in h}))
             out = pdf.copy()
             out["minhash"] = pd.Series(sigs, index=pdf.index)
+            if emit_hashed_shingles:
+                out["__hset"] = pd.Series(hsets, index=pdf.index)
             yield out
 
     return df.mapInPandas(gen, schema=out_schema)
@@ -161,18 +178,26 @@ def minhash_lsh_pairs(
 
     Scale posture: the band join carries ONLY (id, band, band_hash) —
     never the shingle arrays, which would multiply shuffle volume by
-    bands x avg-doc-size. Shingles are re-derived for just the
-    surviving candidate pairs via two slim joins. The only shuffles
-    are the repartition that spreads the signature map stage, the
+    bands x avg-doc-size. The signature pass emits the hashed shingle
+    sets alongside the signature (one tokenization for the whole
+    pipeline), and the exchange placed ABOVE that stage is reused by
+    the band branch and both verify branches — the Python stage runs
+    exactly once. Verification intersects integer hash sets, not
+    strings. The only shuffles are the two repartitions, the
     band-bucket join (uniform hash keys), and the pair distinct.
     No O(n^2) stage anywhere.
     """
     rows_per_band = num_hashes // bands
     npart = df.sparkSession.sparkContext.defaultParallelism
-    # Exchange FIRST so the expensive signature map stage is spread
-    # across all cores even when the source scan is one file/partition.
+    # Exchange below the Python stage spreads the map work off a
+    # one-file scan; exchange above it makes the stage's output the
+    # shared subplan every downstream branch reuses.
     base = df.select(F.col(id_col).alias("__id"), F.col(text_col)).repartition(npart, "__id")
-    sig = minhash_signature(base, text_col, num_hashes, shingle_n)
+    sig = (
+        minhash_signature(base, text_col, num_hashes, shingle_n, emit_hashed_shingles=True)
+        .select("__id", "minhash", "__hset")
+        .repartition(npart, "__id")
+    )
     band_hashes = F.array(
         *[
             F.xxhash64(
@@ -196,9 +221,7 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sh_tbl = base.select(
-        "__id", F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("__sh")
-    )
+    sh_tbl = sig.select("__id", F.col("__hset").alias("__sh"))
     verified = (
         cand.join(sh_tbl.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
         .join(sh_tbl.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
