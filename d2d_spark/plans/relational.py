@@ -743,3 +743,74 @@ def percentiles_order_price(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "asof_join_click_purchase",
+    oracle="""
+    WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+         r AS (SELECT user_id, ts, event_id AS purchase_id,
+                      CAST(value AS DECIMAL(18,2)) AS purchase_value
+               FROM events WHERE event_type = 'purchase')
+    SELECT l.event_id,
+           r.purchase_id,
+           CAST(r.purchase_value AS DOUBLE) AS purchase_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    tags=("join", "asof"),
+)
+def asof_join_click_purchase(spark, sf_dir):
+    """As-of join: each click picks the user's latest purchase at or
+    before the click (point-in-time enrichment). Implemented as a
+    union + carry-forward window — one shuffle, no theta-join blowup —
+    and checked against DuckDB's native ASOF JOIN."""
+    from d2d_spark.operators.join import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    l = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    r = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").cast(DEC).alias("purchase_value"),
+    )
+    out = asof_join(l, r, on="user_id", left_ts="ts", right_ts="ts")
+    return out.select(
+        "event_id", "purchase_id", F.col("purchase_value").cast("double").alias("purchase_value")
+    )
+
+
+@query(
+    "range_join_price_bands",
+    oracle="""
+    WITH bands AS (
+      SELECT * FROM (VALUES ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+                            ('high', 150000.0, 1000000.0)) AS t(band, lo, hi))
+    SELECT b.band, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band ORDER BY b.band
+    """,
+    tags=("join", "range"),
+)
+def range_join_price_bands(spark, sf_dir):
+    """Interval (range) join: facts against a small banded dimension —
+    the broadcast-nested-loop case where the inner side is tiny by
+    construction, then aggregated."""
+    o = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50000.0), ("mid", 50000.0, 150000.0), ("high", 150000.0, 1000000.0)],
+        "band string, lo double, hi double",
+    )
+    j = o.join(
+        F.broadcast(bands),
+        (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+    )
+    return (
+        j.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"),
+        )
+        .orderBy("band")
+    )

@@ -74,3 +74,46 @@ def test_resize_payload_plumbing(spark, sf_dir):
     for r in rows:
         assert r.out_width == 8 and r.out_height == 4
         assert 0 < len(r.resized) <= 32
+
+
+def test_asof_join_tolerance_and_inner(spark):
+    from datetime import datetime
+
+    from d2d_spark.operators.join import asof_join
+
+    def ts(s):
+        return datetime.fromisoformat(s)
+
+    l = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), "a"),
+         (1, ts("2024-01-01 12:00:00"), "b"),
+         (2, ts("2024-01-01 09:00:00"), "c")],
+        "k int, t timestamp, tag string",
+    )
+    r = spark.createDataFrame(
+        [(1, ts("2024-01-01 09:30:00"), 10.0),
+         (1, ts("2024-01-01 11:59:00"), 20.0)],
+        "k int, t timestamp, px double",
+    )
+    out = {(x.tag): x.px for x in asof_join(l, r, "k", "t", "t").collect()}
+    assert out == {"a": 10.0, "b": 20.0, "c": None}
+
+    # tolerance: a match older than 10 minutes is voided
+    tol = {(x.tag): x.px for x in asof_join(l, r, "k", "t", "t", tolerance="10 minutes").collect()}
+    assert tol == {"a": None, "b": 20.0, "c": None}
+
+    inner = {x.tag for x in asof_join(l, r, "k", "t", "t", how="inner").collect()}
+    assert inner == {"a", "b"}
+
+
+def test_asof_exact_timestamp_matches(spark):
+    """A right row at exactly left_ts matches (<= semantics)."""
+    from datetime import datetime
+
+    from d2d_spark.operators.join import asof_join
+
+    t0 = datetime.fromisoformat("2024-01-01 10:00:00")
+    l = spark.createDataFrame([(1, t0, "x")], "k int, t timestamp, tag string")
+    r = spark.createDataFrame([(1, t0, 5.0)], "k int, t timestamp, px double")
+    rows = asof_join(l, r, "k", "t", "t").collect()
+    assert rows[0].px == 5.0
