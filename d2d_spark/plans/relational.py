@@ -814,3 +814,64 @@ def range_join_price_bands(spark, sf_dir):
         )
         .orderBy("band")
     )
+
+
+@query(
+    "correlated_exists_orders",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+    """,
+    tags=("subquery", "exists", "decorrelation"),
+)
+def correlated_exists_orders(spark, sf_dir):
+    """Correlated EXISTS / NOT EXISTS through spark.sql — Catalyst
+    decorrelates both into semi/anti joins (SURVEY §4: free via the
+    SQL surface; the reference could only ship this to a remote
+    engine)."""
+    from d2d_spark.session import load_tables
+
+    load_tables(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+        """
+    )
+
+
+@query(
+    "string_funcs_part",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS uname,
+           substr(p_name, 1, 8) AS prefix,
+           CASE WHEN p_name LIKE '%%12%%' THEN 1 ELSE 0 END AS has_12,
+           regexp_extract(p_name, '([0-9]+)', 1) AS first_num,
+           length(replace(p_name, '_', '')) AS clean_len,
+           concat(p_name, '#', CAST(p_size AS VARCHAR)) AS tagged
+    FROM part WHERE p_partkey <= 500
+    """,
+    tags=("scalar", "string"),
+)
+def string_funcs_part(spark, sf_dir):
+    """String-function family: case, substring, LIKE, regexp extract,
+    replace, concat — all whole-stage-codegen expressions."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.substring("p_name", 1, 8).alias("prefix"),
+        F.when(F.col("p_name").like("%12%"), 1).otherwise(0).alias("has_12"),
+        F.regexp_extract("p_name", r"([0-9]+)", 1).alias("first_num"),
+        F.length(F.regexp_replace("p_name", "_", "")).alias("clean_len"),
+        F.concat_ws("#", F.col("p_name"), F.col("p_size").cast("string")).alias("tagged"),
+    )

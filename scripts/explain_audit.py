@@ -21,7 +21,12 @@ sys.path.insert(0, str(REPO))
 
 SF = "/root/testdata/sf0.01"
 # quadratic-by-design baselines, exempt from the cross-join flag
-ALLOW_NLJ = {"ngram_jaccard_pairs", "embedding_near_pairs", "ann_bruteforce_topk"}
+ALLOW_NLJ = {
+    "ngram_jaccard_pairs",
+    "embedding_near_pairs",
+    "ann_bruteforce_topk",
+    "range_join_price_bands",  # interval join: non-equi by definition
+}
 
 
 def main() -> int:
@@ -40,6 +45,8 @@ def main() -> int:
         "tumbling_hourly_events",
         "cube_orders_priority_status",
         "partitioned_write_prune",
+        "asof_join_click_purchase",
+        "correlated_exists_orders",
     ]
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     problems = []
