@@ -33,6 +33,9 @@ HEADLINE = [
     "text_stats_documents",
     "tumbling_hourly_events",
     "session_windows_per_user",
+    "asof_join_click_purchase",
+    "cube_orders_priority_status",
+    "ann_gemm_topk",
 ]
 
 
