@@ -144,13 +144,21 @@ def stateful_dedup_users(spark, sf_dir):
     schema = spark.read.parquet(src).schema
     stream = file_stream(spark, src, schema, max_files_per_trigger=8)
     deduped = stateful_dedup_keys(stream, "user_id")
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName("stateful_dedup_q")
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
+    # shuffle partitions fix the state-store count at query start; a
+    # vanilla session's 200 is waste at this key cardinality — set a
+    # sane count for the stream, restore for whoever runs next
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("stateful_dedup_q")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.sql("select user_id from stateful_dedup_q").orderBy("user_id")

@@ -121,6 +121,24 @@ class CsvConnector(FileConnector):
             root, spark, header=str(header).lower(), inferSchema=str(inferSchema).lower(), **options
         )
 
+    def get_count(self, index: str) -> int:
+        """Line count minus headers — one text scan, no schema
+        inference pass (the reference's get_line_num_fast,
+        d22d/utils/db/__init__.py:477-488). Multi-line quoted records
+        would need the full CSV parse; header=false means raw lines."""
+        import glob as _glob
+
+        path = self.path(index)
+        lines = self.spark.read.text(path).count()
+        if self.options.get("header") != "true":
+            return lines
+        n_files = (
+            len([p for p in _glob.glob(os.path.join(path, "part-*")) if os.path.isfile(p)])
+            if os.path.isdir(path)
+            else 1
+        )
+        return lines - n_files
+
 
 class TxtConnector(CsvConnector):
     """Header + arbitrary-delimiter text (TxtD); quotes stripped by the
