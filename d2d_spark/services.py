@@ -139,3 +139,26 @@ class throughput_meter:
             return 0.0
         elapsed = time.monotonic() - self.t0
         return self.n / elapsed if elapsed > 0 else 0.0
+
+
+def flyweight(cls):
+    """Instance cache keyed by constructor args (reference @flyweight,
+    d22d/utils/decorators.py:169-202): the same connector config
+    yields the same instance — one pool per target per process, which
+    is exactly the per-executor-singleton discipline JDBC/ES
+    connections need inside foreachPartition."""
+    instances: dict = {}
+
+    def get(*args, **kwargs):
+        key = (args, tuple(sorted(kwargs.items())))
+        try:
+            hash(key)
+        except TypeError:
+            return cls(*args, **kwargs)  # unhashable config: no caching
+        if key not in instances:
+            instances[key] = cls(*args, **kwargs)
+        return instances[key]
+
+    get.__wrapped__ = cls
+    get.cache = instances
+    return get

@@ -107,3 +107,24 @@ def test_format_data_error_carries_row(spark):
 
     with _pytest.raises(Exception, match="format_data failed on row"):
         apply_format_data(mem.read("t"), fmt, sample=1).collect()
+
+
+def test_flyweight_instance_cache():
+    from d2d_spark.services import flyweight
+
+    calls = []
+
+    @flyweight
+    class Conn:
+        def __init__(self, host, port=1):
+            calls.append((host, port))
+
+    a = Conn("h1", port=5)
+    b = Conn("h1", port=5)
+    c = Conn("h2")
+    assert a is b and a is not c
+    assert len(calls) == 2
+    # unhashable args fall back to fresh instances
+    d1 = Conn(["x"])
+    d2 = Conn(["x"])
+    assert d1 is not d2
