@@ -43,16 +43,19 @@ def stopword_ratio(col: Column, stopwords=EN_STOPWORDS) -> Column:
 
 
 def punct_ratio(col: Column) -> Column:
-    """Fraction of characters that are common punctuation."""
+    """Fraction of characters that are common punctuation. NULL for
+    empty text (nullif guard: a bare /length throws DIVIDE_BY_ZERO
+    under ANSI mode, which Spark 4 enables by default)."""
     stripped = F.regexp_replace(col, r"[.,!?;:]", "")
-    return (F.length(col) - F.length(stripped)) / F.length(col)
+    return (F.length(col) - F.length(stripped)) / F.nullif(F.length(col), F.lit(0))
 
 
 def ascii_ratio(col: Column) -> Column:
     """Fraction of printable-ASCII characters — a crude script
-    detector feeding the language-ID heuristic."""
+    detector feeding the language-ID heuristic. NULL for empty text
+    (ANSI divide-by-zero guard)."""
     kept = F.regexp_replace(col, "[^ -~]", "")
-    return F.length(kept) / F.length(col)
+    return F.length(kept) / F.nullif(F.length(col), F.lit(0))
 
 
 def mean_word_len(col: Column) -> Column:

@@ -76,6 +76,15 @@ def _split_pks(pks: str | list[str] | None) -> list[str]:
     return [p.strip() for p in pks.split(",")] if isinstance(pks, str) else list(pks)
 
 
+def _effective_mode(mode: str, pks: list[str]) -> str:
+    """Keyed modes need keys: with no PKs declared, the reference's
+    default INSERT IGNORE degrades to a plain write — mirror that
+    instead of erroring (ignore/replace/upsert are key-relative)."""
+    if not pks and mode in ("ignore", "replace", "upsert"):
+        return "overwrite"
+    return mode
+
+
 class Migration:
     """table(s) from one connector to another.
 
@@ -122,7 +131,7 @@ class Migration:
         self.sink.write(
             df,
             table_to or table_from,
-            mode=self.mode if pks else ("overwrite" if self.mode == "ignore" else self.mode),
+            mode=_effective_mode(self.mode, pks),
             pks=pks or None,
             **self.write_kwargs,
         )
@@ -198,5 +207,7 @@ class Migration2DB:
             df = df.dropDuplicates()
         if self.size is not None:
             df = df.limit(self.size)
-        self.sink.write(df, self.t_out, mode=self.mode, pks=self.pks or None)
+        self.sink.write(
+            df, self.t_out, mode=_effective_mode(self.mode, self.pks), pks=self.pks or None
+        )
         return df

@@ -225,6 +225,10 @@ def minhash_lsh_pairs(
     verified = (
         cand.join(sh_tbl.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
         .join(sh_tbl.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
+        # shingle-less docs (empty/whitespace text) share the empty
+        # signature and band together; 0/0 jaccard would throw under
+        # ANSI — they are not meaningful near-dups, drop them
+        .filter((F.size("sh_a") > 0) & (F.size("sh_b") > 0))
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (
@@ -266,9 +270,19 @@ def simhash64(df: DataFrame, text_col: str) -> DataFrame:
 def simhash_near_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 8
 ) -> DataFrame:
-    """Near-dup pairs by simhash Hamming distance, banded on 16-bit
-    chunks (Pigeonhole: distance<=8 over 64 bits guarantees at least
-    one of 4 chunks is exactly equal) so the join is equi, not theta."""
+    """Near-dup pairs by simhash Hamming distance, banded so the join
+    is equi, not theta.
+
+    Pigeonhole with FULL recall needs max_hamming + 1 chunks: d
+    differing bits can dirty at most d chunks, so with d+1 chunks at
+    least one chunk matches exactly. Chunk count (and so bucket
+    density and candidate volume) therefore scales with the distance
+    asked for — small max_hamming is the cheap regime, exactly like
+    the published simhash dedup setups (k=3, 4 chunks)."""
+    n_chunks = min(max_hamming + 1, 64)
+    width = 64 // n_chunks
+    widths = [width + (1 if c < 64 % n_chunks else 0) for c in range(n_chunks)]
+    offsets = [sum(widths[:c]) for c in range(n_chunks)]
     npart = df.sparkSession.sparkContext.defaultParallelism
     base = df.select(F.col(id_col).alias("__id"), F.col(text_col)).repartition(npart, "__id")
     sh = simhash64(base, text_col).select("__id", "simhash")
@@ -278,8 +292,10 @@ def simhash_near_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF))
-                    for c in range(4)
+                    F.shiftright(F.col("simhash"), offsets[c]).bitwiseAND(
+                        F.lit((1 << widths[c]) - 1)
+                    )
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("__chunk", "__cv"),

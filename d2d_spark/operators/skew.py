@@ -25,11 +25,19 @@ def salted_join(
     n_salts: int = 16,
     how: str = "inner",
 ) -> DataFrame:
-    """Equi-join where ``left`` has skewed keys. Result is identical
-    to ``left.join(right, on, how)``; only the shuffle layout changes:
+    """Equi-join where ``left`` has skewed keys. For ``how`` in
+    {'inner', 'left', 'left_semi'} the result is identical to
+    ``left.join(right, on, how)``; only the shuffle layout changes:
     left rows scatter by (key, salt), right rows replicate across all
-    salts, so no single reducer owns a whole hot key."""
+    salts, so no single reducer owns a whole hot key. Right/full/anti
+    joins are rejected — every unmatched right replica would surface
+    n_salts times; salt the other side instead."""
     keys = [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"):
+        raise ValueError(
+            f"salted_join(how={how!r}): unmatched right rows would duplicate "
+            "n_salts times; swap sides or use AQE skew handling"
+        )
     l = left.withColumn(
         "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
     )

@@ -17,6 +17,8 @@ need an ACID table format underneath.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -114,12 +116,20 @@ def write_mode(
         out = upsert_rows(target, df, pks)
     else:
         raise ValueError(f"unknown write mode {mode!r}")
-    # Rewrite via a staging path: Spark cannot overwrite a path it is
-    # concurrently reading from lazily.
-    staged = out.cache()
-    staged.count()
-    w2 = staged.write.format(fmt)
+    # Write the merged set to a DURABLE staging path first, then swap
+    # it in. cache()+count() is NOT a safe barrier: cached blocks can
+    # evict or die with an executor, and recomputation would re-read
+    # the target mid-overwrite — silent corruption. A completed write
+    # to a sibling path has no lineage back to the target. (On an
+    # object store the same pattern is write-new-prefix-then-repoint;
+    # an ACID table format replaces all of this with MERGE.)
+    import shutil as _shutil
+    import uuid as _uuid
+
+    staging = f"{path}.__stage_{_uuid.uuid4().hex[:8]}"
+    w2 = out.write.format(fmt)
     if partition_by:
         w2 = w2.partitionBy(*partition_by)
-    w2.mode("overwrite").save(path)
-    staged.unpersist()
+    w2.mode("overwrite").save(staging)
+    _shutil.rmtree(path, ignore_errors=True)
+    os.replace(staging, path)

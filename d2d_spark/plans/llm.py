@@ -31,10 +31,11 @@ _SQL_STOP = (
     f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
     "t -> t IN ('the','a','an','and','of','to','in','is','for','on')))"
 )
-_SQL_ASCII = "length(regexp_replace(text, '[^ -~]', '', 'g'))*1.0 / length(text)"
+_SQL_ASCII = "length(regexp_replace(text, '[^ -~]', '', 'g'))*1.0 / nullif(length(text), 0)"
 _SQL_MWL = f"list_sum(list_transform({_SQL_TOKS}, t -> length(t)))*1.0 / {_SQL_NTOK}"
 _SQL_PUNCT = (
-    "(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))*1.0 / length(text)"
+    "(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))*1.0"
+    " / nullif(length(text), 0)"
 )
 # word-3-gram shingles, distinct
 _SQL_SHINGLES = (

@@ -41,16 +41,20 @@ class FileConnector(Connector):
         return os.path.join(self.root, f"{index}{self.ext}")
 
     def get_indexes(self) -> list[str]:
+        """Tables = entries (plain file or part-file directory) named
+        ``<name><ext>``. Backups (``*.bak``) and dotfiles are never
+        tables — read() appends the extension to whatever is returned
+        here, so anything else would resolve to a phantom path."""
         if not os.path.isdir(self.root):
             return []
-        out = []
-        for name in sorted(os.listdir(self.root)):
-            if name.endswith(self.ext) and not name.startswith("."):
-                out.append(name[: -len(self.ext)] if self.ext else name)
-            elif os.path.isdir(os.path.join(self.root, name)):
-                # part-file directory written by a distributed job
-                out.append(name[: -len(self.ext)] if name.endswith(self.ext) else name)
-        return out
+        return sorted(
+            name[: -len(self.ext)]
+            for name in os.listdir(self.root)
+            if name.endswith(self.ext)
+            and not name.startswith(".")
+            and not name.endswith(".bak")
+            and ".bak" not in name
+        )
 
     # -- read ----------------------------------------------------------
     def _read_options(self, **kw) -> dict[str, str]:

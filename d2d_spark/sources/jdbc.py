@@ -100,10 +100,11 @@ class JdbcConnector(Connector):
         **kw,
     ) -> None:
         """append/overwrite map straight to the JDBC writer.
-        ignore/replace/upsert need engine-side key semantics: done by
-        staging to a temp table then issuing INSERT IGNORE/REPLACE
-        SELECT on the engine — or MERGE on engines that have it. The
-        stage-and-merge SQL comes from :func:`staged_merge_sql`."""
+        ignore/replace/upsert need engine-side key semantics: stage to
+        a temp table, then issue the INSERT IGNORE / REPLACE / ON
+        DUPLICATE KEY UPDATE … SELECT from :func:`staged_merge_sql`
+        on the engine (one statement moves the whole batch, like the
+        reference's mode-selected executemany) and drop the stage."""
         writer = (
             df.write.format("jdbc")
             .option("url", self.url)
@@ -114,6 +115,25 @@ class JdbcConnector(Connector):
         for k, v in self.props.items():
             writer = writer.option(k, v)
         writer.mode("append" if mode not in ("append", "overwrite") else mode).save()
+        if mode not in ("append", "overwrite"):
+            self.execute_statements(staged_merge_sql(index, df.columns, mode))
+
+    def execute_statements(self, statements: list[str]) -> None:
+        """Run engine-side SQL over the same JDBC url (py4j
+        DriverManager — the path Spark's own writer uses)."""
+        jvm = self.spark._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(
+            self.url, self.props.get("user", ""), self.props.get("password", "")
+        )
+        try:
+            stmt = conn.createStatement()
+            try:
+                for sql in statements:
+                    stmt.execute(sql)
+            finally:
+                stmt.close()
+        finally:
+            conn.close()
 
 
 def staged_merge_sql(index: str, columns: list[str], mode: str) -> list[str]:

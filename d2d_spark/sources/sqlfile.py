@@ -323,6 +323,18 @@ class SqlFileConnector(Connector):
         include_ddl: bool = True,
         **kw,
     ) -> None:
+        # translate Sink-contract modes into dump-statement prefixes:
+        # a dump file has no existing state to merge with, so
+        # append/overwrite render plain INSERTs and upsert renders the
+        # ON DUPLICATE KEY UPDATE suffix (all non-pk columns) the
+        # reference's gen_insert_sql(duplicate_update=True) produces
+        if mode in ("append", "overwrite"):
+            mode = "insert"
+        elif mode == "upsert":
+            mode = "insert"
+            if duplicate_update is None:
+                non_pk = [c for c in df.columns if c not in (pks or [])]
+                duplicate_update = ", ".join(f"`{c}`=VALUES(`{c}`)" for c in non_pk) or None
         stmts = render_sql_statements(
             df, index, mode=mode, compress=compress, duplicate_update=duplicate_update
         )

@@ -59,9 +59,16 @@ def sync_available_now(
     return q
 
 
-def stream_to_memory(df: DataFrame, name: str, available_now: bool = True):
-    """Test/debug sink: materialize a stream into an in-memory table."""
-    writer = df.writeStream.format("memory").queryName(name).outputMode("complete" if df.isStreaming and _has_aggregation(df) else "append")
+def stream_to_memory(
+    df: DataFrame, name: str, available_now: bool = True, output_mode: str | None = None
+):
+    """Test/debug sink: materialize a stream into an in-memory table.
+    Pass ``output_mode`` explicitly for operators whose declared mode
+    the plan-shape heuristic can't see; by default aggregations get
+    'complete', stateful flatMapGroupsWithState operators 'update',
+    everything else 'append'."""
+    mode = output_mode or _default_output_mode(df)
+    writer = df.writeStream.format("memory").queryName(name).outputMode(mode)
     if available_now:
         writer = writer.trigger(availableNow=True)
     q = writer.start()
@@ -69,9 +76,18 @@ def stream_to_memory(df: DataFrame, name: str, available_now: bool = True):
     return q
 
 
-def _has_aggregation(df: DataFrame) -> bool:
+def _default_output_mode(df: DataFrame) -> str:
+    if not df.isStreaming:
+        return "append"
     plan = df._jdf.queryExecution().analyzed().toString()
-    return "Aggregate" in plan
+    for line in plan.splitlines():
+        # stateful operators carry their declared mode in the plan
+        # node ("..., Append, NoTimeout") — the sink must match it
+        if "WithState" in line:
+            return "update" if ", Update," in line or line.rstrip().endswith("Update") or " Update," in line else "append"
+    if "Aggregate" in plan:
+        return "complete"
+    return "append"
 
 
 def sync_with_mode(
