@@ -400,6 +400,10 @@ def connected_components(
     )
     # undirected: keep both directions so min-label can flow both ways
     edges = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # materialize ONCE: edges join into every iteration, and without a
+    # checkpoint the (possibly expensive) pair-generation upstream
+    # re-executes per round
+    edges = edges.localCheckpoint(eager=True)
 
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -415,14 +419,26 @@ def connected_components(
             .agg(F.min("component").alias("nbr_component"))
             .withColumnRenamed("src", "id")
         )
+        stepped = labels.join(neighbor_min, on="id", how="left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce("nbr_component", F.col("component"))
+            ).alias("component"),
+        )
+        # pointer-doubling hop fused into the same round (one
+        # materialization + one convergence count per iteration —
+        # driver-side job launches, not shuffle volume, dominate this
+        # loop on shallow dup graphs)
         new_labels = (
-            labels.join(neighbor_min, on="id", how="left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
-                ).alias("component"),
+            stepped.alias("l")
+            .join(
+                stepped.select(
+                    F.col("id").alias("component"), F.col("component").alias("root")
+                ).alias("r"),
+                on="component",
+                how="left",
             )
+            .select("id", F.coalesce("root", "component").alias("component"))
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -434,20 +450,6 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-        # pointer-doubling hop: relabel through the current label's label
-        hop = (
-            labels.alias("l")
-            .join(
-                labels.select(
-                    F.col("id").alias("component"), F.col("component").alias("root")
-                ).alias("r"),
-                on="component",
-                how="left",
-            )
-            .select("id", F.coalesce("root", "component").alias("component"))
-            .localCheckpoint(eager=True)
-        )
-        labels = hop
     return labels
 
 

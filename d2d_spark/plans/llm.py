@@ -259,11 +259,39 @@ def lsh_bucket_histogram(spark, sf_dir):
     )
 
 
-@query("ann_lsh_topk", oracle=None, tags=("llm", "similarity", "ann", "lsh"))
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH c AS (SELECT vec_id AS neighbor_id, embedding, {_bucket_sql('embedding', 4)} AS bucket
+               FROM embeddings),
+         q0 AS (SELECT vec_id AS query_id, embedding AS qv, {_bucket_sql('embedding', 4)} AS bucket
+                FROM embeddings WHERE vec_id % 100 = 0),
+         probes AS (SELECT query_id, qv,
+                           unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                                   xor(bucket, 4), xor(bucket, 8)]) AS bucket
+                    FROM q0),
+         cand AS (SELECT DISTINCT p.query_id, p.qv, c.neighbor_id, c.embedding
+                  FROM probes p JOIN c USING (bucket) WHERE p.query_id <> c.neighbor_id),
+         scored AS (SELECT query_id, neighbor_id,
+                           list_cosine_similarity(CAST(qv AS DOUBLE[]),
+                                                  CAST(embedding AS DOUBLE[])) AS cs
+                    FROM cand),
+         ranked AS (SELECT query_id, neighbor_id, cs,
+                           ROW_NUMBER() OVER (PARTITION BY query_id
+                                              ORDER BY cs DESC, neighbor_id) AS rank
+                    FROM scored)
+    SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+    tags=("llm", "similarity", "ann", "lsh"),
+)
 def ann_lsh_topk(spark, sf_dir):
     """Approximate top-k restricted to the query's LSH bucket —
     the scale path (bucket equi-join instead of full cross join).
-    Recall vs ann_bruteforce_topk is pytest-checked."""
+    The bucket function uses exact integer weights, so the WHOLE
+    approximate pipeline (bucketing, multi-probe, candidate join,
+    rank) is reproduced in SQL and hash-checked, not just sampled.
+    Recall vs ann_bruteforce_topk is additionally pytest-checked."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
     # 4 bits = 16 buckets: coarse enough for decent recall on the
@@ -312,16 +340,47 @@ def multimodal_decode_features(spark, sf_dir):
     return M.decode_features(M.attach_binary_payload(d))
 
 
-@query("dedup_clusters_documents", oracle=None, tags=("llm", "dedup", "clusters"))
+@query(
+    "dedup_clusters_documents",
+    oracle=f"""
+    WITH RECURSIVE
+     sh AS MATERIALIZED (SELECT doc_id, {_SQL_SHINGLES} AS s FROM documents),
+     pairs AS MATERIALIZED (
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM sh a, sh b
+       WHERE a.doc_id < b.doc_id
+         AND len(list_intersect(a.s, b.s))*1.0 / len(list_distinct(a.s || b.s)) >= 0.5),
+     edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+     reach(id, r) AS (
+       SELECT src, src FROM edges
+       UNION
+       SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+     comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+    SELECT id, component FROM comp ORDER BY id
+    """,
+    tags=("llm", "dedup", "clusters"),
+)
 def dedup_clusters_documents(spark, sf_dir):
-    """Near-dup clustering end-to-end: LSH pairs -> distributed
-    connected components (iterative min-label propagation) -> one
-    (id, component) row per clustered document. Iterative, so no SQL
-    oracle; equivalence to a union-find ground truth is
-    pytest-verified."""
+    """Near-dup clustering end-to-end: exact-Jaccard pairs ->
+    distributed connected components (iterative min-label propagation
+    with pointer doubling) -> one (id, component) row per clustered
+    document. The oracle computes the same transitive closure with a
+    recursive CTE — an iterative Spark algorithm checked exactly
+    against SQL recursion."""
     d = _t(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(d, "text", "doc_id", jaccard_threshold=0.5)
-    return D.connected_components(pairs).orderBy("id")
+    pairs = D.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+    # pin shuffle width for the iteration loop: a vanilla session's
+    # 200 partitions x ~10 stages x rounds is pure overhead on a
+    # near-dup graph; restore for the caller
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = D.connected_components(pairs).orderBy("id")
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return out
 
 
 @query("ann_gemm_topk", oracle=None, tags=("llm", "similarity", "ann", "gemm"))

@@ -121,13 +121,17 @@ def session_windows_per_user(spark, sf_dir):
     )
 
 
-@query("stateful_dedup_users", oracle=None, tags=("streaming", "stateful"))
+@query(
+    "stateful_dedup_users",
+    oracle="SELECT DISTINCT user_id FROM events ORDER BY user_id",
+    tags=("streaming", "stateful"),
+)
 def stateful_dedup_users(spark, sf_dir):
     """Custom stateful operator (applyInPandasWithState) end-to-end:
     events staged as a file stream, keys deduped across micro-batches
-    via checkpointed keyed state, result materialized. Not
-    SQL-expressible (driver records the rows-only check); equality
-    with batch distinct is pytest-verified."""
+    via checkpointed keyed state, result materialized. The mechanism
+    is not SQL-expressible but its RESULT is plain DISTINCT — so the
+    oracle still hash-checks it exactly."""
     import tempfile
     from pathlib import Path
 
