@@ -394,3 +394,33 @@ def ann_gemm_topk(spark, sf_dir):
     return out.select(
         "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
     )
+
+
+@query(
+    "token_histogram_documents",
+    oracle="""
+    SELECT tok, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+          FROM documents)
+    WHERE tok <> ''
+    GROUP BY tok HAVING COUNT(*) >= 50
+    ORDER BY freq DESC, tok
+    """,
+    tags=("llm", "text", "explode"),
+)
+def token_histogram_documents(spark, sf_dir):
+    """Corpus token histogram: explode (lateral unnest) -> hash
+    aggregate -> having. The generator pattern behind every
+    vocabulary/BPE-frequency pass; partial aggregation absorbs the
+    explosion before the shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    )
+    return (
+        toks.filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= 50)
+        .orderBy(F.col("freq").desc(), "tok")
+    )

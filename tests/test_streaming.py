@@ -212,3 +212,47 @@ def test_stream_static_enrichment_join(spark, sf_dir, tmpdir):
         orders.join(customers, orders.o_custkey == customers.c_custkey, "inner").count()
     )
     assert n_matched == want_matched
+
+
+def test_stream_stream_join_with_watermarks(spark, sf_dir, tmpdir):
+    """Stream-stream inner join with event-time range condition —
+    both sides unbounded, state bounded by watermarks."""
+    src = str(tmpdir / "src")
+    ev = read_table(spark, sf_dir, "events").limit(2000).cache()
+    ev.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    clicks = file_stream(spark, src, schema).filter(F.col("event_type") == "click")
+    views = file_stream(spark, src, schema).filter(F.col("event_type") == "view")
+    c = clicks.select("user_id", F.col("ts").alias("click_ts")).withWatermark("click_ts", "1 day")
+    v = views.select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    ).withWatermark("view_ts", "1 day")
+    joined = c.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 2 HOURS"))
+        & (F.col("view_ts") <= F.col("click_ts")),
+        "inner",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmpdir / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select count(*) c from ss_join_t").collect()[0].c
+
+    bc = ev.filter("event_type = 'click'").select("user_id", F.col("ts").alias("click_ts"))
+    bv = ev.filter("event_type = 'view'").select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
+    want = bc.join(
+        bv,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 2 HOURS"))
+        & (F.col("view_ts") <= F.col("click_ts")),
+        "inner",
+    ).count()
+    assert got == want and want > 0
