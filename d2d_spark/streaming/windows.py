@@ -73,3 +73,76 @@ def session_agg(
         F.col("session_window.end").alias("session_end"),
         "*",
     ).drop("session_window")
+
+
+def incremental_rollup(
+    stream: DataFrame,
+    target_path: str,
+    checkpoint_path: str,
+    ts_col: str,
+    duration: str,
+    keys: list[str],
+    sum_cols: dict[str, str] | None = None,
+    fmt: str = "parquet",
+):
+    """Continuously-maintained windowed rollup table (the hypertable
+    continuous-aggregate pattern): each micro-batch computes partial
+    (count, sums) per (window, keys) and MERGES them into the target
+    by adding to existing partials — correct cumulative aggregates
+    across batches, unlike a blind upsert that would overwrite one
+    batch's partial with another's.
+
+    Merge math: count and sum are associative, so batch partials add;
+    avg and friends derive from (sum, count) at read time. The merge
+    itself is the keyed read-modify-write from operators.writes
+    (durable staging swap), driven exactly-once-per-batch by the
+    checkpoint.
+    """
+    from pyspark.sql import functions as F
+
+    from d2d_spark.operators.writes import upsert_rows
+
+    sum_cols = sum_cols or {}
+    group_keys = ["ws", "we", *keys]
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+            F.sum(F.col(c).cast("double")).alias(alias) for c, alias in sum_cols.items()
+        ]
+        part = (
+            batch_df.groupBy(F.window(F.col(ts_col), duration), *keys)
+            .agg(*aggs)
+            .select(
+                F.col("window.start").alias("ws"), F.col("window.end").alias("we"),
+                *keys, "n_rows", *[alias for alias in sum_cols.values()],
+            )
+        )
+        try:
+            current = spark.read.format(fmt).load(target_path)
+        except Exception:
+            part.write.format(fmt).mode("overwrite").save(target_path)
+            return
+        joined = current.unionByName(part)
+        merged = joined.groupBy(*group_keys).agg(
+            F.sum("n_rows").alias("n_rows"),
+            *[F.sum(alias).alias(alias) for alias in sum_cols.values()],
+        )
+        # durable staging swap (see operators.writes.write_mode)
+        import os as _os
+        import shutil as _shutil
+        import uuid as _uuid
+
+        staging = f"{target_path}.__stage_{_uuid.uuid4().hex[:8]}"
+        merged.write.format(fmt).mode("overwrite").save(staging)
+        _shutil.rmtree(target_path, ignore_errors=True)
+        _os.replace(staging, target_path)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -256,3 +256,39 @@ def test_stream_stream_join_with_watermarks(spark, sf_dir, tmpdir):
         "inner",
     ).count()
     assert got == want and want > 0
+
+
+def test_incremental_rollup_matches_batch(spark, sf_dir, tmpdir):
+    """The continuously-merged rollup equals a one-shot batch rollup
+    over all data, across multiple micro-batches AND a second
+    catch-up run with new files."""
+    from d2d_spark.streaming.windows import incremental_rollup
+
+    src, tgt, ckpt = (str(tmpdir / n) for n in ("src", "tgt", "ckpt"))
+    ev = read_table(spark, sf_dir, "events").limit(1000).cache()
+    ev.repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run():
+        incremental_rollup(
+            file_stream(spark, src, schema, max_files_per_trigger=1),
+            tgt, ckpt, ts_col="ts", duration="1 hour",
+            keys=["event_type"], sum_cols={"value": "sum_value"},
+        )
+
+    run()
+    # new data arrives -> only it is merged in
+    extra = ev.withColumn("event_id", F.col("event_id") + 10_000_000)
+    extra.write.mode("append").parquet(src)
+    run()
+
+    got = spark.read.parquet(tgt)
+    want = (
+        spark.read.parquet(src)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum(F.col("value").cast("double")).alias("sum_value"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n_rows", "sum_value")
+    )
+    g = {(r.ws, r.event_type): (r.n_rows, round(r.sum_value, 6)) for r in got.collect()}
+    w = {(r.ws, r.event_type): (r.n_rows, round(r.sum_value, 6)) for r in want.collect()}
+    assert g == w
