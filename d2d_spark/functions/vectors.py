@@ -23,7 +23,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL (not an ANSI DIVIDE_BY_ZERO crash) when either vector has
+    zero norm — zero vectors have no direction; threshold filters
+    drop the NULL rows."""
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
 def sign_projection_bucket(vec: Column, n_bits: int = 8) -> Column:

@@ -78,10 +78,11 @@ def _split_pks(pks: str | list[str] | None) -> list[str]:
 
 def _effective_mode(mode: str, pks: list[str]) -> str:
     """Keyed modes need keys: with no PKs declared, the reference's
-    default INSERT IGNORE degrades to a plain write — mirror that
-    instead of erroring (ignore/replace/upsert are key-relative)."""
+    INSERT IGNORE / REPLACE degrade to plain INSERTs (no unique key to
+    conflict on) — rows accumulate. Degrading to overwrite instead
+    would wipe the target on every keyless default run."""
     if not pks and mode in ("ignore", "replace", "upsert"):
-        return "overwrite"
+        return "append"
     return mode
 
 

@@ -361,7 +361,7 @@ def embedding_near_pairs(
     )
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     # norms precomputed per side: per-pair work is one dot fold
-    sim = dot(F.col("v_a"), F.col("v_b")) / (F.col("__na") * F.col("__nb"))
+    sim = dot(F.col("v_a"), F.col("v_b")) / F.nullif(F.col("__na") * F.col("__nb"), F.lit(0.0))
     return (
         pairs.withColumn("cos_sim", sim)
         .filter(F.col("cos_sim") >= threshold)

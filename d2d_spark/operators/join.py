@@ -71,14 +71,22 @@ def key_merge(
         rj = F.broadcast(rj)
 
     shared = [c for c in left.columns if c in set(right.columns)]
-    # right wins on collisions when matched; left value kept when no match
+    # right wins on collisions when MATCHED — including a matched
+    # right NULL (the reference's dict overwrite replaces the value
+    # unconditionally; coalesce would conflate 'matched but NULL'
+    # with 'no match' and keep a stale left value)
     rj = rj.select(
-        "__jk", *[F.col(c).alias(f"__r_{c}" if c in shared else c) for c in right.columns]
+        "__jk",
+        F.lit(True).alias("__matched"),
+        *[F.col(c).alias(f"__r_{c}" if c in shared else c) for c in right.columns],
     )
     joined = lj.join(rj, on="__jk", how="full_outer" if how == "full" else how)
     merged = joined
     for c in shared:
-        merged = merged.withColumn(c, F.coalesce(F.col(f"__r_{c}"), F.col(c))).drop(f"__r_{c}")
+        merged = merged.withColumn(
+            c,
+            F.when(F.col("__matched"), F.col(f"__r_{c}")).otherwise(F.col(c)),
+        ).drop(f"__r_{c}")
     out_cols = list(left.columns) + [c for c in right.columns if c not in shared]
     return merged.select(*out_cols)
 

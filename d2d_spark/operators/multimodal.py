@@ -115,10 +115,13 @@ def resize_payload(
 def sample_frames(df: DataFrame, text_col: str = "text", every: int = 16) -> DataFrame:
     """Frame-sampling analog: take every `every`-th "pixel" (character
     code) as a frame array — pure columnar expression, no Python."""
+    frames = F.transform(
+        F.sequence(F.lit(1), F.length(text_col), F.lit(every)),
+        lambda p: F.ascii(F.substring(F.col(text_col), p, 1)),
+    )
+    # sequence(1, 0) throws under Spark; empty text has no frames
+    # (matches the oracle's range(), which yields [])
     return df.withColumn(
         "frames",
-        F.transform(
-            F.sequence(F.lit(1), F.length(text_col), F.lit(every)),
-            lambda p: F.ascii(F.substring(F.col(text_col), p, 1)),
-        ),
+        F.when(F.length(text_col) == 0, F.array().cast("array<int>")).otherwise(frames),
     )

@@ -47,7 +47,8 @@ def brute_force_topk(
         .withColumn("__cn", norm(F.col("__cv")))
     )
     scored = q.crossJoin(c).withColumn(
-        "cos_sim", dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+        "cos_sim", dot(F.col("__qv"), F.col("__cv"))
+        / F.nullif(F.col("__qn") * F.col("__cn"), F.lit(0.0))
     )
     scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(
@@ -117,7 +118,8 @@ def lsh_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn(
-            "cos_sim", dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+            "cos_sim", dot(F.col("__qv"), F.col("__cv"))
+        / F.nullif(F.col("__qn") * F.col("__cn"), F.lit(0.0))
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -26,15 +26,12 @@ from pyspark.sql import functions as F
 def filter_new_rows(incoming: DataFrame, target_keys: DataFrame, pks: list[str]) -> DataFrame:
     """INSERT IGNORE probe: keep only incoming rows whose PK is absent
     from the target. target_keys need only contain the PK columns; at
-    scale prefer handing a pushdown-pruned scan of just those columns."""
+    scale prefer handing a pushdown-pruned scan of just those columns.
+    No broadcast hint: an explicit hint is honored regardless of size
+    (AQE does NOT demote it), which would OOM on a billion-key target —
+    size-based selection is Catalyst's call."""
     probe = target_keys.select(*pks).dropDuplicates(pks)
-    return incoming.join(F.broadcast(probe) if _small(probe) else probe, on=pks, how="left_anti")
-
-
-def _small(df: DataFrame, limit_cols: int = 4) -> bool:
-    # Heuristic only: a key-projection with few columns is usually
-    # broadcastable; AQE will still fall back if the runtime size is big.
-    return len(df.columns) <= limit_cols
+    return incoming.join(probe, on=pks, how="left_anti")
 
 
 def upsert_rows(target: DataFrame, incoming: DataFrame, pks: list[str]) -> DataFrame:
@@ -86,30 +83,45 @@ def write_mode(
     fmt: str = "parquet",
     spark=None,
     partition_by: list[str] | None = None,
+    options: dict[str, str] | None = None,
 ) -> None:
     """Apply an insert mode against a path-based table.
 
     `append` streams through; `ignore`/`replace`/`upsert` read the
     current target, compute the surviving set, and overwrite. On a
     production lake this maps to Delta/Iceberg MERGE; the dataflow and
-    semantics are identical.
+    semantics are identical. ``options`` (header/sep/...) apply to
+    BOTH the target read and every write — a keyed CSV merge that
+    read the target with default options would mis-parse it.
     """
-    writer = df.write.format(fmt)
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
+    options = options or {}
+
+    def _writer(d: DataFrame):
+        w = d.write.format(fmt)
+        for k, v in options.items():
+            w = w.option(k, v)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        return w
+
     if mode == "append":
-        writer.mode("append").save(path)
+        _writer(df).mode("append").save(path)
         return
     if mode == "overwrite":
-        writer.mode("overwrite").save(path)
+        _writer(df).mode("overwrite").save(path)
         return
     if pks is None or spark is None:
         raise ValueError(f"mode={mode!r} needs pks and spark")
-    try:
-        target = spark.read.format(fmt).load(path)
-    except Exception:
-        writer.mode("overwrite").save(path)
+    # ONLY a genuinely-missing target may fall through to a fresh
+    # write: swallowing every read error would let a transient/corrupt
+    # read replace accumulated data with just this batch
+    if not _target_exists(spark, path):
+        _writer(df).mode("overwrite").save(path)
         return
+    reader = spark.read.format(fmt)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    target = reader.load(path)
     if mode == "ignore":
         out = target.unionByName(filter_new_rows(df, target, pks))
     elif mode in ("replace", "upsert"):
@@ -127,9 +139,17 @@ def write_mode(
     import uuid as _uuid
 
     staging = f"{path}.__stage_{_uuid.uuid4().hex[:8]}"
-    w2 = out.write.format(fmt)
-    if partition_by:
-        w2 = w2.partitionBy(*partition_by)
-    w2.mode("overwrite").save(staging)
+    _writer(out).mode("overwrite").save(staging)
     _shutil.rmtree(path, ignore_errors=True)
     os.replace(staging, path)
+
+
+def _target_exists(spark, path: str) -> bool:
+    """True iff the target path exists — via Hadoop FS so non-local
+    schemes (hdfs://, s3a://) answer correctly too."""
+    if "://" not in path:
+        return os.path.exists(path)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)

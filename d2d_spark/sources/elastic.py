@@ -89,7 +89,11 @@ class ElasticConnector(Connector):
     def write(self, df: DataFrame, index: str, mode: str = "append", pks=None, **kw) -> None:
         if pks:
             df = synthesize_doc_id(df, pks)
-        writer = df.write.format(ES_FORMAT).mode("append" if pks else mode)
+            # keyed writes are id-upserts, which ride append semantics —
+            # but an EXPLICIT overwrite request still truncates first
+            if mode not in ("overwrite",):
+                mode = "append"
+        writer = df.write.format(ES_FORMAT).mode(mode)
         for k, v in self.write_options(index, pks).items():
             writer = writer.option(k, v)
         writer.save(index)

@@ -100,7 +100,17 @@ class FileConnector(Connector):
 
         if pks is None:
             raise ValueError(f"mode={mode!r} requires pks")
-        write_mode(df, target, mode=mode, pks=pks, fmt=self.fmt, spark=self.spark)
+        write_mode(
+            df,
+            target,
+            mode=mode,
+            pks=pks,
+            fmt=self.fmt,
+            spark=self.spark,
+            # the target must be re-read and re-written with THIS
+            # connector's format options (header/sep/...), not defaults
+            options=self._read_options(**kw),
+        )
 
 
 class ParquetConnector(FileConnector):

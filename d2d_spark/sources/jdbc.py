@@ -114,7 +114,10 @@ class JdbcConnector(Connector):
         )
         for k, v in self.props.items():
             writer = writer.option(k, v)
-        writer.mode("append" if mode not in ("append", "overwrite") else mode).save()
+        # the stage table is OVERWRITTEN, never appended: a crash after
+        # a previous load (before its DROP TABLE) must not leak stale
+        # rows into this batch's merge
+        writer.mode("overwrite" if mode not in ("append",) else mode).save()
         if mode not in ("append", "overwrite"):
             self.execute_statements(staged_merge_sql(index, df.columns, mode))
 

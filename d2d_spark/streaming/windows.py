@@ -93,19 +93,26 @@ def incremental_rollup(
     batch's partial with another's.
 
     Merge math: count and sum are associative, so batch partials add;
-    avg and friends derive from (sum, count) at read time. The merge
-    itself is the keyed read-modify-write from operators.writes
-    (durable staging swap), driven exactly-once-per-batch by the
-    checkpoint.
-    """
-    from pyspark.sql import functions as F
+    avg and friends derive from (sum, count) at read time.
 
-    from d2d_spark.operators.writes import upsert_rows
+    Replay safety: foreachBatch is at-least-once — an additive merge
+    re-applied after a crash between the target swap and the
+    checkpoint commit would double-count. A marker ledger next to the
+    target records every merged batch_id, making the merge
+    idempotent: a replayed batch is skipped.
+    """
+    import os as _os
+
+    from pyspark.sql import functions as F
 
     sum_cols = sum_cols or {}
     group_keys = ["ws", "we", *keys]
+    ledger_dir = f"{target_path}.merged_batches"
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = _os.path.join(ledger_dir, f"batch_{batch_id}")
+        if _os.path.exists(marker):
+            return  # replayed batch: already merged
         spark = batch_df.sparkSession
         aggs = [F.count(F.lit(1)).alias("n_rows")] + [
             F.sum(F.col(c).cast("double")).alias(alias) for c, alias in sum_cols.items()
@@ -118,18 +125,18 @@ def incremental_rollup(
                 *keys, "n_rows", *[alias for alias in sum_cols.values()],
             )
         )
-        try:
-            current = spark.read.format(fmt).load(target_path)
-        except Exception:
+        if not _os.path.exists(target_path):
             part.write.format(fmt).mode("overwrite").save(target_path)
+            _os.makedirs(ledger_dir, exist_ok=True)
+            open(marker, "w").close()
             return
+        current = spark.read.format(fmt).load(target_path)
         joined = current.unionByName(part)
         merged = joined.groupBy(*group_keys).agg(
             F.sum("n_rows").alias("n_rows"),
             *[F.sum(alias).alias(alias) for alias in sum_cols.values()],
         )
         # durable staging swap (see operators.writes.write_mode)
-        import os as _os
         import shutil as _shutil
         import uuid as _uuid
 
@@ -137,6 +144,8 @@ def incremental_rollup(
         merged.write.format(fmt).mode("overwrite").save(staging)
         _shutil.rmtree(target_path, ignore_errors=True)
         _os.replace(staging, target_path)
+        _os.makedirs(ledger_dir, exist_ok=True)
+        open(marker, "w").close()
 
     q = (
         stream.writeStream.foreachBatch(merge_batch)
