@@ -122,3 +122,67 @@ def test_salted_join_rejects_right_outer(spark):
     r = spark.createDataFrame([Row(k=2)])
     with pytest.raises(ValueError, match="salted_join"):
         salted_join(l, r, on="k", how="full")
+
+
+def test_keyless_default_migration_accumulates(spark, tmpdir):
+    """Default (no-pks) mode='ignore' must behave like the reference's
+    plain INSERT: two runs accumulate, never wipe."""
+    dst = ParquetConnector(str(tmpdir), spark)
+    Migration(MemoryConnector({"t": [{"a": 1}]}, spark), dst, table_from="t").run()
+    Migration(MemoryConnector({"t": [{"a": 2}]}, spark), dst, table_from="t").run()
+    assert dst.read("t").count() == 2
+
+
+def test_key_merge_matched_null_wins(spark):
+    """Dict-overwrite fidelity: a matched right NULL replaces the left
+    value; only a genuine no-match keeps it."""
+    from d2d_spark.operators.join import key_merge
+
+    l = spark.createDataFrame([Row(k=1, status="A"), Row(k=2, status="B")])
+    r = spark.createDataFrame([(1, None, "x")], "k bigint, status string, extra string")
+    out = {x.k: (x.status, x.extra) for x in key_merge(l, r, "k", "k", how="left").collect()}
+    assert out[1] == (None, "x")  # matched: right NULL wins
+    assert out[2] == ("B", None)  # unmatched: left survives
+
+
+def test_incremental_rollup_replay_is_idempotent(spark, sf_dir, tmpdir):
+    """A replayed micro-batch (checkpoint lost, ledger intact) must
+    not double-count."""
+    from d2d_spark.session import read_table
+    from d2d_spark.streaming.filestream import file_stream
+    from d2d_spark.streaming.windows import incremental_rollup
+
+    src, tgt = str(tmpdir / "src"), str(tmpdir / "tgt")
+    ev = read_table(spark, sf_dir, "events").limit(200).cache()
+    ev.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run(ckpt):
+        incremental_rollup(
+            file_stream(spark, src, schema), tgt, str(tmpdir / ckpt),
+            ts_col="ts", duration="1 hour", keys=["event_type"],
+        )
+
+    run("ckpt1")
+    total1 = spark.read.parquet(tgt).agg(F.sum("n_rows")).collect()[0][0]
+    # fresh checkpoint => Structured Streaming redelivers everything;
+    # the batch ledger must recognize and skip the replay
+    run("ckpt2")
+    total2 = spark.read.parquet(tgt).agg(F.sum("n_rows")).collect()[0][0]
+    assert total1 == total2 == 200
+
+
+def test_txt_upsert_keeps_format_options(spark, tmpdir):
+    """Keyed write on a delimited-text target must re-read the target
+    with the connector's sep/header options."""
+    from d2d_spark.sources import TxtConnector
+
+    conn = TxtConnector(str(tmpdir), spark, sep="|")
+    df = spark.createDataFrame([Row(id=1, v="a"), Row(id=2, v="b")])
+    conn.write(df, "t")
+    conn.write(
+        spark.createDataFrame([Row(id=2, v="B2"), Row(id=3, v="c")]),
+        "t", mode="upsert", pks=["id"],
+    )
+    back = {r.id: r.v for r in conn.read("t").collect()}
+    assert back == {1: "a", 2: "B2", 3: "c"}
