@@ -875,3 +875,59 @@ def string_funcs_part(spark, sf_dir):
         F.length(F.regexp_replace("p_name", "_", "")).alias("clean_len"),
         F.concat_ws("#", F.col("p_name"), F.col("p_size").cast("string")).alias("tagged"),
     )
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS st_f,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS st_o,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS st_p
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("agg", "pivot"),
+)
+def pivot_status_by_priority(spark, sf_dir):
+    """PIVOT: status values become columns (one pass, conditional
+    aggregation under the hood — explicit value list so the plan
+    needs no extra distinct-scan job)."""
+    o = _t(spark, sf_dir, "orders")
+    out = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .orderBy("o_orderpriority")
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("st_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("st_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("st_p"),
+    )
+
+
+@query(
+    "unpivot_order_measures",
+    oracle="""
+    SELECT o_orderkey, measure, CAST(value AS DOUBLE) AS value
+    FROM (SELECT o_orderkey,
+                 CAST(o_totalprice AS DOUBLE) AS total_price,
+                 CAST(o_custkey AS DOUBLE) AS cust_key
+          FROM orders WHERE o_orderkey <= 500)
+    UNPIVOT (value FOR measure IN (total_price, cust_key))
+    """,
+    tags=("reshape", "unpivot"),
+)
+def unpivot_order_measures(spark, sf_dir):
+    """UNPIVOT/melt: wide measure columns into (key, measure, value)
+    rows — the normalization step feeding any long-format pipeline."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    wide = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("total_price"),
+        F.col("o_custkey").cast("double").alias("cust_key"),
+    )
+    return wide.unpivot(
+        ["o_orderkey"], ["total_price", "cust_key"], "measure", "value"
+    )
