@@ -931,3 +931,58 @@ def unpivot_order_measures(spark, sf_dir):
     return wide.unpivot(
         ["o_orderkey"], ["total_price", "cust_key"], "measure", "value"
     )
+
+
+@query(
+    "fuzzy_name_pairs",
+    oracle="""
+    WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey <= 200)
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM p a, p b
+    WHERE a.p_partkey < b.p_partkey AND levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    tags=("join", "fuzzy", "levenshtein"),
+)
+def fuzzy_name_pairs(spark, sf_dir):
+    """Fuzzy string matching: near-identical names by edit distance.
+    Quadratic on a bounded slice (the scale route for fuzzy joins is
+    LSH over character shingles — see the dedup family)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200).select("p_partkey", "p_name")
+    a = p.select(F.col("p_partkey").alias("id_a"), F.col("p_name").alias("n_a"))
+    b = p.select(F.col("p_partkey").alias("id_b"), F.col("p_name").alias("n_b"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    dist = F.levenshtein("n_a", "n_b")
+    return (
+        pairs.withColumn("dist", dist.cast("long"))
+        .filter(F.col("dist") <= 2)
+        .select("id_a", "id_b", "dist")
+    )
+
+
+@query(
+    "date_parts_orders",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("scalar", "date", "agg"),
+)
+def date_parts_orders(spark, sf_dir):
+    """Calendar rollup by extracted date parts — the partition-key
+    derivation pattern for any date-sliced 100 TB table."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.quarter("o_orderdate").cast("long").alias("qtr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"),
+        )
+        .orderBy("yr", "qtr")
+    )

@@ -292,3 +292,54 @@ def test_incremental_rollup_matches_batch(spark, sf_dir, tmpdir):
     g = {(r.ws, r.event_type): (r.n_rows, round(r.sum_value, 6)) for r in got.collect()}
     w = {(r.ws, r.event_type): (r.n_rows, round(r.sum_value, 6)) for r in want.collect()}
     assert g == w
+
+
+def test_watermark_drops_late_rows(spark, sf_dir, tmpdir):
+    """Late-data policy: with a finished watermark, a second batch of
+    events older than the watermark must NOT change closed windows
+    (append-mode emission happens only once per closed window)."""
+    from datetime import datetime
+
+    src, ckpt = str(tmpdir / "src"), str(tmpdir / "ckpt")
+
+    def ts(h, m=0):
+        return datetime(2024, 1, 1, h, m)
+
+    on_time = spark.createDataFrame(
+        [(1, ts(10, 5)), (2, ts(10, 20)), (3, ts(12, 40))], "id long, ts timestamp"
+    )
+    on_time.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        stream = file_stream(spark, src, schema)
+        windowed = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("window.start").alias("ws"), "n")
+        )
+        q = (
+            windowed.writeStream.format("parquet")
+            .option("path", str(tmpdir / "out"))
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = {(r.ws, r.n) for r in spark.read.parquet(str(tmpdir / "out")).collect()}
+    # watermark advanced to 11:40; the 10:00 window is closed+emitted
+    assert (ts(10), 2) in first
+
+    # a straggler for the CLOSED 10:00 window arrives
+    spark.createDataFrame([(4, ts(10, 45))], "id long, ts timestamp").write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    second = {(r.ws, r.n) for r in spark.read.parquet(str(tmpdir / "out")).collect()}
+    # the closed window's emitted count is immutable: no (10:00, 3) row
+    assert (ts(10), 3) not in second
+    assert (ts(10), 2) in second
