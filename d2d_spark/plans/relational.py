@@ -986,3 +986,46 @@ def date_parts_orders(spark, sf_dir):
         )
         .orderBy("yr", "qtr")
     )
+
+
+@query(
+    "moving_avg_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1)
+    SELECT CAST(d AS VARCHAR) AS day,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(SUM(rev) OVER w AS DOUBLE)
+             / COUNT(*) OVER w AS avg_3d
+    FROM daily
+    WINDOW w AS (ORDER BY d RANGE BETWEEN INTERVAL 2 DAY PRECEDING AND CURRENT ROW)
+    ORDER BY d
+    """,
+    tags=("window", "range-frame"),
+)
+def moving_avg_daily_revenue(spark, sf_dir):
+    """3-day moving average over daily revenue using a RANGE frame —
+    value-based (interval) framing, which keeps the window correct
+    when days are missing (a ROWS frame would silently span gaps)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev")
+    )
+    # RANGE frames need a numeric ordering expression in Spark: days
+    # since epoch gives exact integer day arithmetic
+    w = (
+        Window.orderBy(F.unix_date(F.col("d")))
+        .rangeBetween(-2, Window.currentRow)
+    )
+    return (
+        daily.select(
+            F.col("d").cast("string").alias("day"),
+            F.col("rev").cast("double").alias("revenue"),
+            (F.sum("rev").over(w).cast("double") / F.count(F.lit(1)).over(w)).alias("avg_3d"),
+        )
+        .orderBy("day")
+    )
