@@ -424,3 +424,71 @@ def token_histogram_documents(spark, sf_dir):
         .filter(F.col("freq") >= 50)
         .orderBy(F.col("freq").desc(), "tok")
     )
+
+
+@query(
+    "llm_pipeline_end_to_end",
+    oracle=f"""
+    WITH RECURSIVE
+     scored AS MATERIALIZED (
+       SELECT doc_id, lang, text,
+              least(length(text)/500.0, 1.0) * 0.4
+              + least(({_SQL_STOP}*1.0/{_SQL_NTOK}) / 0.05, 1.0) * 0.3
+              + greatest(0.0, 1.0 - ({_SQL_PUNCT}) * 5) * 0.2
+              + (CASE WHEN {_SQL_MWL} >= 3 AND {_SQL_MWL} <= 10 THEN 1.0 ELSE 0.5 END) * 0.1
+                AS quality
+       FROM documents),
+     kept AS MATERIALIZED (SELECT * FROM scored WHERE quality >= 0.5),
+     exact AS MATERIALIZED (
+       SELECT k.* FROM kept k
+       JOIN (SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+                    MIN(doc_id) AS keep_id
+             FROM kept GROUP BY 1) e
+       ON k.doc_id = e.keep_id),
+     sh AS MATERIALIZED (SELECT doc_id, {_SQL_SHINGLES} AS s FROM exact),
+     pairs AS MATERIALIZED (
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM sh a, sh b
+       WHERE a.doc_id < b.doc_id
+         AND len(list_intersect(a.s, b.s))*1.0 / len(list_distinct(a.s || b.s)) >= 0.5),
+     edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+     reach(id, r) AS (
+       SELECT src, src FROM edges
+       UNION
+       SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+     comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+     losers AS (SELECT id FROM comp WHERE id <> component),
+     final AS (SELECT * FROM exact WHERE doc_id NOT IN (SELECT id FROM losers))
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
+    FROM final GROUP BY lang ORDER BY lang
+    """,
+    tags=("llm", "pipeline", "end-to-end"),
+)
+def llm_pipeline_end_to_end(spark, sf_dir):
+    """The full training-data pipeline in one plan: quality filter ->
+    exact dedup (min id per fingerprint) -> near-dup clustering
+    (exact-Jaccard pairs + connected components) -> keep one
+    representative per cluster -> per-language corpus stats. Every
+    stage is an operator verified elsewhere; this query proves they
+    COMPOSE, hash-checked end-to-end against the equivalent
+    five-stage SQL (including recursive closure)."""
+    from d2d_spark.operators.dedup import dedup_representatives, ngram_jaccard_pairs
+    from d2d_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.withColumn("quality", X.quality_score(F.col("text")))
+    kept = scored.filter(F.col("quality") >= 0.5)
+    keepers = exact_dedup(kept, "text", "doc_id").select("doc_id")
+    exact = kept.join(keepers, "doc_id")
+    pairs = ngram_jaccard_pairs(exact, "text", "doc_id", n=3, threshold=0.5)
+    final = dedup_representatives(exact, pairs, "doc_id")
+    return (
+        final.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("quality").cast("decimal(18,6)")).cast("double").alias("sum_quality"),
+        )
+        .orderBy("lang")
+    )
