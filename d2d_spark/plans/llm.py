@@ -331,13 +331,39 @@ def multimodal_metadata(spark, sf_dir):
     )
 
 
-@query("multimodal_decode_features", oracle=None, tags=("llm", "multimodal", "pandas-udf"))
+@query(
+    "multimodal_decode_features",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_bytes,
+           (length(text) % 640) + 1 AS fake_width,
+           (length(text) % 480) + 1 AS fake_height,
+           [CAST(ascii(substr(text, 1, 1)) AS DOUBLE),
+            CAST(ascii(substr(text, length(text), 1)) AS DOUBLE),
+            CAST(length(text) % 256 AS DOUBLE),
+            CAST(length(text) % 101 AS DOUBLE)] AS feature
+    FROM documents
+    WHERE doc_id % 20 = 0 AND regexp_matches(text, '^[ -~]+$')
+    """,
+    tags=("llm", "multimodal", "pandas-udf"),
+)
 def multimodal_decode_features(spark, sf_dir):
     """Arrow-batched stub decode via mapInPandas — the real multimodal
-    plumbing (schema/batching/partitioning); decode kernel is a
-    deterministic sandbox stub."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
-    return M.decode_features(M.attach_binary_payload(d))
+    plumbing (schema/batching/partitioning) with a deterministic
+    kernel. Restricted to all-ASCII documents, byte arithmetic equals
+    codepoint arithmetic, so even the Pandas-UDF path is
+    hash-verified against SQL (non-ASCII payloads take the same code
+    path; only the oracle needs the restriction)."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 0)
+        .filter(F.col("text").rlike("^[ -~]+$"))
+    )
+    out = M.decode_features(M.attach_binary_payload(d))
+    return out.select(
+        "doc_id", "n_bytes", "fake_width", "fake_height",
+        F.col("feature").cast("array<double>").alias("feature"),
+    )
 
 
 @query(
