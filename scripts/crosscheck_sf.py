@@ -16,7 +16,12 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-SKIP = {"ngram_jaccard_pairs", "embedding_near_pairs", "dedup_clusters_documents"}
+SKIP = {
+    "ngram_jaccard_pairs",
+    "embedding_near_pairs",
+    "dedup_clusters_documents",
+    "llm_pipeline_end_to_end",  # contains the quadratic pair stage
+}
 
 
 def main() -> int:
