@@ -89,3 +89,44 @@ def test_sketch_distinct_counts_close(spark, sf_dir):
     exact_cust = o.select("o_custkey").distinct().count()
     assert abs(got.n_o_custkey - exact_cust) / exact_cust < 0.05
     assert got.n_o_orderpriority == 5
+
+
+def test_uncovered_scalar_helpers(spark):
+    """clamp_datetime / cast_with_default / json_encode / bytes_b64 /
+    secure_filename semantics."""
+    from datetime import datetime
+
+    from d2d_spark.functions.scalars import (
+        bytes_b64,
+        cast_with_default,
+        clamp_datetime,
+        json_encode,
+        secure_filename,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (datetime(1950, 1, 1), "123", '{"a": 1}', b"hi", "bad/na me:*?.csv"),
+            (datetime(2200, 1, 1), "oops", None, b"", "CON"),
+            (datetime(2000, 6, 1), "4.5", None, None, "x" * 300),
+        ],
+        "ts timestamp, num string, js string, bin binary, fname string",
+    )
+    out = df.select(
+        clamp_datetime(F.col("ts")).alias("ts"),
+        cast_with_default(F.col("num"), "double", -1.0).alias("num"),
+        json_encode(F.struct(F.col("num"))).alias("js"),
+        bytes_b64(F.col("bin")).alias("b64"),
+        secure_filename(F.col("fname")).alias("fn"),
+    ).collect()
+    assert out[0].ts == datetime(1971, 1, 1)  # clamped up
+    assert out[1].ts == datetime(2106, 1, 1)  # clamped down
+    assert out[2].ts == datetime(2000, 6, 1)  # untouched
+    assert [r.num for r in out] == [123.0, -1.0, 4.5]
+    assert out[0].js == '{"num":"123"}'
+    import base64
+
+    assert base64.b64decode(out[0].b64) == b"hi"
+    assert out[0].fn == "badna_me.csv"  # forbidden chars gone, space -> _
+    assert out[1].fn == "_CON"  # device-name guard
+    assert len(out[2].fn) == 250  # truncation
