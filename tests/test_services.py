@@ -128,3 +128,53 @@ def test_flyweight_instance_cache():
     d1 = Conn(["x"])
     d2 = Conn(["x"])
     assert d1 is not d2
+
+
+def test_job_progress_context(spark, sf_dir):
+    import logging
+
+    from d2d_spark.services import job_progress
+    from d2d_spark.session import read_table
+
+    logging.getLogger("d2d_spark").setLevel(logging.INFO)
+    with job_progress(spark, "test-job", every_s=0.1):
+        n = read_table(spark, sf_dir, "orders").count()
+    assert n > 0  # context must not swallow or alter the work
+
+
+def test_kv_pairs_last_mode(spark):
+    from d2d_spark.sources import MemoryConnector, kv_pairs
+
+    mem = MemoryConnector(
+        {"t": [{"k": 1, "v": "old", "ver": 1}, {"k": 1, "v": "new", "ver": 2},
+               {"k": 2, "v": "only", "ver": 1}]},
+        spark,
+    )
+    got = {r.k: r.v for r in kv_pairs(mem.read("t"), "k", "v", order_col="ver").collect()}
+    assert got == {1: "new", 2: "only"}
+
+
+def test_engine_register_dir_and_migrate_join(spark, tmp_path):
+    from d2d_spark.api import Engine
+    from d2d_spark.sources import MemoryConnector, ParquetConnector
+    from tests.conftest import SF_SMALL
+
+    eng = Engine(spark)
+    tables = eng.register_dir(SF_SMALL, ("nation", "region"))
+    assert set(tables) == {"nation", "region"}
+    joined = eng.sql(
+        "SELECT r.r_name, COUNT(*) AS n FROM nation n "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY 1 ORDER BY 1"
+    )
+    assert joined.count() == 5
+
+    s1 = MemoryConnector({"a": [{"k": 1, "x": 10}]}, spark)
+    s2 = MemoryConnector({"b": [{"k": 1, "y": 20}]}, spark)
+    dst = ParquetConnector(str(tmp_path), spark)
+    out = eng.migrate_join(
+        s1, s2, dst,
+        table_from1="a", table_from2="b", table_to="j",
+        migration_key1="k", migration_key2="k", mode="overwrite",
+    )
+    row = dst.read("j").collect()[0]
+    assert (row.k, row.x, row.y) == (1, 10, 20)
