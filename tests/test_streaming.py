@@ -343,3 +343,36 @@ def test_watermark_drops_late_rows(spark, sf_dir, tmpdir):
     # the closed window's emitted count is immutable: no (10:00, 3) row
     assert (ts(10), 3) not in second
     assert (ts(10), 2) in second
+
+
+def test_stream_to_memory_mode_detection(spark, sf_dir, tmpdir):
+    """The debug sink must pick the right output mode for plain
+    streams, aggregations, and append-mode stateful operators (the
+    review-found case: state ops declare their own mode)."""
+    from d2d_spark.streaming.filestream import stream_to_memory
+    from d2d_spark.streaming.stateful import stateful_dedup_keys
+
+    src = str(tmpdir / "src")
+    ev = read_table(spark, sf_dir, "events").limit(100).cache()
+    ev.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    # plain projection -> append
+    stream_to_memory(
+        file_stream(spark, src, schema).select("event_id"), "stm_plain"
+    )
+    assert spark.sql("select count(*) c from stm_plain").collect()[0].c == 100
+
+    # aggregation -> complete
+    stream_to_memory(
+        file_stream(spark, src, schema).groupBy("event_type").count(), "stm_agg"
+    )
+    assert spark.sql("select count(*) c from stm_agg").collect()[0].c > 0
+
+    # append-mode stateful operator -> must NOT be forced into update
+    dedup = stateful_dedup_keys(
+        file_stream(spark, src, schema).select("user_id"), "user_id"
+    )
+    stream_to_memory(dedup, "stm_state")
+    n = spark.sql("select count(*) c from stm_state").collect()[0].c
+    assert n == ev.select("user_id").distinct().count()
