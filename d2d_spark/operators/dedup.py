@@ -286,15 +286,16 @@ def simhash_near_pairs(
     npart = df.sparkSession.sparkContext.defaultParallelism
     base = df.select(F.col(id_col).alias("__id"), F.col(text_col)).repartition(npart, "__id")
     sh = simhash64(base, text_col).select("__id", "simhash")
+    # a 64-bit-wide chunk (max_hamming=0) masks with all-ones, which is
+    # -1 as a signed long — (1<<64)-1 overflows the JVM literal
+    masks = [(1 << w) - 1 if w < 64 else -1 for w in widths]
     chunks = sh.select(
         "__id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), offsets[c]).bitwiseAND(
-                        F.lit((1 << widths[c]) - 1)
-                    )
+                    F.shiftright(F.col("simhash"), offsets[c]).bitwiseAND(F.lit(masks[c]))
                     for c in range(n_chunks)
                 ]
             )

@@ -42,6 +42,13 @@ _SQL_SHINGLES = (
     f"list_distinct(list_transform(range(1, greatest({_SQL_NTOK} - 2, 1) + 1), "
     f"i -> array_to_string(({_SQL_TOKS})[i:i+2], ' ')))"
 )
+# C4/Gopher-style heuristic quality score (functions/text.py:quality_score)
+_SQL_QUALITY = (
+    "least(length(text)/500.0, 1.0) * 0.4"
+    f" + least(({_SQL_STOP}*1.0/{_SQL_NTOK}) / 0.05, 1.0) * 0.3"
+    f" + greatest(0.0, 1.0 - ({_SQL_PUNCT}) * 5) * 0.2"
+    f" + (CASE WHEN {_SQL_MWL} >= 3 AND {_SQL_MWL} <= 10 THEN 1.0 ELSE 0.5 END) * 0.1"
+)
 
 
 @query(
@@ -73,49 +80,38 @@ def text_stats_documents(spark, sf_dir):
 
 
 @query(
-    "lang_id_documents",
+    "lang_quality_documents",
     oracle=f"""
     SELECT CASE WHEN {_SQL_ASCII} >= 0.9 AND {_SQL_STOP}*1.0/{_SQL_NTOK} >= 0.02 THEN 'en'
                 WHEN {_SQL_ASCII} < 0.5 THEN 'other'
                 ELSE 'unknown' END AS lang_pred,
            lang AS lang_actual,
-           COUNT(*) AS cnt
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST({_SQL_QUALITY} AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
     FROM documents GROUP BY 1, 2 ORDER BY 1, 2
     """,
-    tags=("llm", "text", "lang-id"),
+    tags=("llm", "text", "lang-id", "quality"),
 )
-def lang_id_documents(spark, sf_dir):
+def lang_quality_documents(spark, sf_dir):
     """Heuristic language ID (ASCII ratio + stopword density) crossed
-    against the labeled lang column — a confusion-matrix query."""
+    against the labeled lang column, carrying the C4/Gopher-style
+    quality score per cell — confusion matrix + quality audit in one
+    pass (both text ops, one shuffle; exact-decimal sum so partial
+    aggregation order can't move the double)."""
     d = _t(spark, sf_dir, "documents")
     return (
         d.select(
             X.lang_id(F.col("text")).alias("lang_pred"),
             F.col("lang").alias("lang_actual"),
+            X.quality_score(F.col("text")).alias("__q"),
         )
         .groupBy("lang_pred", "lang_actual")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("__q").cast("decimal(18,6)")).cast("double").alias("sum_quality"),
+        )
         .orderBy("lang_pred", "lang_actual")
     )
-
-
-@query(
-    "quality_score_documents",
-    oracle=f"""
-    SELECT doc_id,
-           least(length(text)/500.0, 1.0) * 0.4
-           + least(({_SQL_STOP}*1.0/{_SQL_NTOK}) / 0.05, 1.0) * 0.3
-           + greatest(0.0, 1.0 - ({_SQL_PUNCT}) * 5) * 0.2
-           + (CASE WHEN {_SQL_MWL} >= 3 AND {_SQL_MWL} <= 10 THEN 1.0 ELSE 0.5 END) * 0.1
-             AS quality
-    FROM documents WHERE doc_id % 5 = 0
-    """,
-    tags=("llm", "text", "quality"),
-)
-def quality_score_documents(spark, sf_dir):
-    """C4/Gopher-style heuristic quality score per document."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
-    return d.select("doc_id", X.quality_score(F.col("text")).alias("quality"))
 
 
 @query(
@@ -157,22 +153,91 @@ def ngram_jaccard_pairs(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@query("minhash_lsh_pairs", oracle=None, tags=("llm", "dedup", "minhash"))
+@query(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    WITH f AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+               UNION ALL
+               SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 2 = 0),
+         canon AS (SELECT doc_id,
+                          array_to_string(list_sort({_SQL_SHINGLES}), chr(1)) AS fp
+                   FROM f)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM canon a JOIN canon b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    WHERE a.fp <> ''
+    """,
+    tags=("llm", "dedup", "minhash"),
+)
 def minhash_lsh_pairs(spark, sf_dir):
-    """MinHash+LSH near-dup pairs: signature -> banded buckets ->
-    candidate join -> exact-Jaccard verify. No SQL oracle (xxhash64 is
-    Spark-specific); recall vs ngram_jaccard_pairs is pytest-checked."""
-    d = _t(spark, sf_dir, "documents")
-    out = D.minhash_lsh_pairs(d, "text", "doc_id", jaccard_threshold=0.5)
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    """MinHash+LSH near-dup pairs on a planted-duplicate fixture:
+    half the corpus unioned with an identical clone per document
+    (id + 1,000,000), pipeline = signature -> banded buckets ->
+    candidate join -> exact-Jaccard verify at threshold 1.0.
+
+    Exact-by-construction oracle: jaccard == 1 over distinct shingles
+    is precisely shingle-SET equality, which SQL expresses as an
+    equi-join on the sorted-shingle fingerprint — and identical
+    shingle sets give identical signatures, so every band collides
+    and LSH recall on these pairs is guaranteed, not probabilistic.
+    The id PAIR SET is hash-checked (ids only — signature internals
+    are engine-specific). Recall at sub-1.0 thresholds vs the exact
+    ngram_jaccard ground truth stays pytest-checked
+    (tests/test_llm_ops.py)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    base = d.select("doc_id", "text")
+    clones = base.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    fixture = base.unionAll(clones)
+    out = D.minhash_lsh_pairs(fixture, "text", "doc_id", jaccard_threshold=1.0)
+    return out.select("id_a", "id_b")
 
 
-@query("simhash_near_pairs", oracle=None, tags=("llm", "dedup", "simhash"))
+@query(
+    "simhash_near_pairs",
+    oracle="""
+    WITH f AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+               UNION ALL
+               SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 2 = 0),
+         canon AS (SELECT doc_id,
+                          array_to_string(list_sort(list_distinct(
+                              string_split_regex(trim(lower(text)), '\\s+'))), chr(1)) AS fp
+                   FROM f)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM canon a JOIN canon b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    """,
+    tags=("llm", "dedup", "simhash"),
+)
 def simhash_near_pairs(spark, sf_dir):
-    """SimHash near-dup pairs via banded Hamming distance (pigeonhole
-    equi-join, never a theta join)."""
-    d = _t(spark, sf_dir, "documents")
-    return D.simhash_near_pairs(d, "text", "doc_id", max_hamming=12)
+    """SimHash near-dup pairs on the same planted-clone fixture:
+    pigeonhole-banded candidates at Hamming distance 0, then an exact
+    token-set verify (the standard simhash dedup shape: cheap banded
+    candidate generation, exact check on candidates).
+
+    Exactness: equal token sets => equal simhash => every pigeonhole
+    chunk collides, so all planted pairs become candidates; the
+    verify keeps exactly the token-set-equal ones — the same set the
+    SQL fingerprint join computes. Hamming<=12 behavior on organic
+    near-dups stays pytest-checked."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    base = d.select("doc_id", "text")
+    clones = base.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    fixture = base.unionAll(clones)
+    cand = D.simhash_near_pairs(fixture, "text", "doc_id", max_hamming=0)
+    from d2d_spark.functions.text import tokens_ws
+
+    fp = fixture.select(
+        F.col("doc_id"),
+        F.md5(
+            F.concat_ws(
+                "\x01", F.array_sort(F.array_distinct(tokens_ws(F.lower(F.col("text")))))
+            )
+        ).alias("__fp"),
+    )
+    return (
+        cand.join(fp.select(F.col("doc_id").alias("id_a"), F.col("__fp").alias("fp_a")), "id_a")
+        .join(fp.select(F.col("doc_id").alias("id_b"), F.col("__fp").alias("fp_b")), "id_b")
+        .filter(F.col("fp_a") == F.col("fp_b"))
+        .select("id_a", "id_b")
+    )
 
 
 @query(
@@ -195,9 +260,11 @@ def embedding_near_pairs(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
-@query(
-    "ann_bruteforce_topk",
-    oracle="""
+# Exact cosine top-5 per query vector — shared by ann_bruteforce_topk
+# and ann_gemm_topk: both compute the identical exact result, so the
+# same SQL oracles both (the GEMM path is a physical strategy, not a
+# different query).
+_SQL_EXACT_TOPK = """
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
          scored AS (
       SELECT q.query_id, e.vec_id AS neighbor_id,
@@ -209,7 +276,12 @@ def embedding_near_pairs(spark, sf_dir):
       FROM scored)
     SELECT query_id, neighbor_id, round(c, 6) AS cos_sim, rank
     FROM ranked WHERE rank <= 5
-    """,
+    """
+
+
+@query(
+    "ann_bruteforce_topk",
+    oracle=_SQL_EXACT_TOPK,
     tags=("llm", "similarity", "ann"),
 )
 def ann_bruteforce_topk(spark, sf_dir):
@@ -303,66 +375,59 @@ def ann_lsh_topk(spark, sf_dir):
 
 
 @query(
-    "multimodal_metadata",
+    "multimodal_pipeline",
     oracle="""
     SELECT doc_id,
-           octet_length(encode(text)) AS n_bytes,
-           (octet_length(encode(text)) % 640) + 1 AS fake_width,
-           (octet_length(encode(text)) % 480) + 1 AS fake_height,
-           list_transform(range(1, length(text) + 1, 16),
-                          p -> ascii(substr(text, CAST(p AS INT), 1))) AS frames
-    FROM documents WHERE doc_id % 20 = 0
-    """,
-    tags=("llm", "multimodal"),
-)
-def multimodal_metadata(spark, sf_dir):
-    """Multimodal column plumbing, metadata path: opaque binary
-    payload + typed metadata + frame sampling, all columnar."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
-    d = M.attach_binary_payload(d)
-    d = M.sample_frames(d, every=16)
-    nb = F.length("payload")
-    return d.select(
-        "doc_id",
-        nb.alias("n_bytes"),
-        ((nb % 640) + 1).alias("fake_width"),
-        ((nb % 480) + 1).alias("fake_height"),
-        "frames",
-    )
-
-
-@query(
-    "multimodal_decode_features",
-    oracle="""
-    SELECT doc_id,
-           length(text) AS n_bytes,
-           (length(text) % 640) + 1 AS fake_width,
-           (length(text) % 480) + 1 AS fake_height,
-           [CAST(ascii(substr(text, 1, 1)) AS DOUBLE),
-            CAST(ascii(substr(text, length(text), 1)) AS DOUBLE),
-            CAST(length(text) % 256 AS DOUBLE),
-            CAST(length(text) % 101 AS DOUBLE)] AS feature
+           CAST(length(text) AS INT) AS n_bytes,
+           CAST((length(text) % 640) + 1 AS INT) AS fake_width,
+           CAST((length(text) % 480) + 1 AS INT) AS fake_height,
+           array_to_string(list_transform(range(1, length(text) + 1, 16),
+                           p -> ascii(substr(text, CAST(p AS INT), 1))), ',') AS frames_csv,
+           array_to_string([ascii(substr(text, 1, 1)),
+                            ascii(substr(text, length(text), 1)),
+                            length(text) % 256,
+                            length(text) % 101], ',') AS feature_csv
     FROM documents
     WHERE doc_id % 20 = 0 AND regexp_matches(text, '^[ -~]+$')
     """,
     tags=("llm", "multimodal", "pandas-udf"),
 )
-def multimodal_decode_features(spark, sf_dir):
-    """Arrow-batched stub decode via mapInPandas — the real multimodal
-    plumbing (schema/batching/partitioning) with a deterministic
-    kernel. Restricted to all-ASCII documents, byte arithmetic equals
-    codepoint arithmetic, so even the Pandas-UDF path is
-    hash-verified against SQL (non-ASCII payloads take the same code
-    path; only the oracle needs the restriction)."""
+def multimodal_pipeline(spark, sf_dir):
+    """Multimodal plumbing end-to-end: opaque binary payload + typed
+    metadata, columnar frame sampling, and the Arrow-batched stub
+    decode (mapInPandas) joined back on the id — both the metadata
+    path and the Pandas-UDF decode path in one hash-checked result.
+
+    Restricted to all-ASCII documents so byte arithmetic equals
+    codepoint arithmetic in the oracle (non-ASCII payloads take the
+    same code path; only the oracle needs the restriction). Array
+    outputs are CSV-joined to scalars: the driver canonicalizer
+    sorts result columns with pandas, which cannot hash raw list
+    cells — and the frame/feature values are integral, so the string
+    forms are engine-exact."""
     d = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 20 == 0)
         .filter(F.col("text").rlike("^[ -~]+$"))
     )
-    out = M.decode_features(M.attach_binary_payload(d))
-    return out.select(
-        "doc_id", "n_bytes", "fake_width", "fake_height",
-        F.col("feature").cast("array<double>").alias("feature"),
+    d = M.attach_binary_payload(d)
+    d = M.sample_frames(d, every=16)
+    meta = d.select(
+        "doc_id",
+        F.array_join(F.transform("frames", lambda x: x.cast("string")), ",").alias(
+            "frames_csv"
+        ),
+    )
+    feats = M.decode_features(d)
+    return feats.join(meta, "doc_id").select(
+        "doc_id",
+        "n_bytes",
+        "fake_width",
+        "fake_height",
+        "frames_csv",
+        F.array_join(
+            F.transform("feature", lambda x: x.cast("bigint").cast("string")), ","
+        ).alias("feature_csv"),
     )
 
 
@@ -409,11 +474,12 @@ def dedup_clusters_documents(spark, sf_dir):
     return out
 
 
-@query("ann_gemm_topk", oracle=None, tags=("llm", "similarity", "ann", "gemm"))
+@query("ann_gemm_topk", oracle=_SQL_EXACT_TOPK, tags=("llm", "similarity", "ann", "gemm"))
 def ann_gemm_topk(spark, sf_dir):
     """Blocked-GEMM exact top-k — the BLAS throughput path for
-    brute-force search (equality with ann_bruteforce_topk is
-    pytest-checked, so no separate oracle needed)."""
+    brute-force search. Computes the identical exact cosine top-k as
+    ann_bruteforce_topk, so the same SQL oracles it (plus a pytest
+    equality check against the fold-based path)."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
     out = S.gemm_topk(e, q, "vec_id", "embedding", "vec_id", "embedding", k=5)

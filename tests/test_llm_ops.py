@@ -14,9 +14,16 @@ def _pairs(df):
 
 
 def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
+    """The registered query pins the exact jaccard==1 contract; the
+    organic sub-1.0-threshold recall of the same operator is asserted
+    here against the exact ngram ground truth."""
+    from d2d_spark.operators.dedup import minhash_lsh_pairs
+    from d2d_spark.session import read_table
+
     qs = load_all()
     truth = _pairs(qs["ngram_jaccard_pairs"].fn(spark, sf_dir))
-    found = _pairs(qs["minhash_lsh_pairs"].fn(spark, sf_dir))
+    d = read_table(spark, sf_dir, "documents")
+    found = _pairs(minhash_lsh_pairs(d, "text", "doc_id", jaccard_threshold=0.5))
     assert truth, "fixture should contain planted near-dup pairs"
     # exact-Jaccard verification step makes precision 1.0 by construction;
     # banding should catch nearly all >=0.5 pairs
@@ -26,9 +33,13 @@ def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
 
 
 def test_simhash_finds_planted_dups(spark, sf_dir):
+    from d2d_spark.operators.dedup import simhash_near_pairs
+    from d2d_spark.session import read_table
+
     qs = load_all()
     truth = _pairs(qs["ngram_jaccard_pairs"].fn(spark, sf_dir))
-    sim = _pairs(qs["simhash_near_pairs"].fn(spark, sf_dir))
+    d = read_table(spark, sf_dir, "documents")
+    sim = _pairs(simhash_near_pairs(d, "text", "doc_id", max_hamming=12))
     hit = len(truth & sim) / len(truth)
     assert hit >= 0.5, f"simhash caught only {hit:.2f} of planted near-dups"
 
@@ -54,8 +65,11 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
 
 
 def test_multimodal_decode_runs_in_batches(spark, sf_dir):
-    qs = load_all()
-    out = qs["multimodal_decode_features"].fn(spark, sf_dir)
+    from d2d_spark.operators.multimodal import attach_binary_payload, decode_features
+    from d2d_spark.session import read_table
+
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    out = decode_features(attach_binary_payload(d))
     rows = out.collect()
     assert rows
     assert all(len(r.feature) == 4 for r in rows)
