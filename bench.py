@@ -25,16 +25,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "q1_pricing_summary",
     "join_revenue_by_nation",
-    "join_broadcast_part",
     "top_hits_latest_event_per_user",
     "dedup_exact_events",
     "minhash_lsh_pairs",
     "ann_bruteforce_topk",
     "text_stats_documents",
-    "tumbling_hourly_events",
+    "windowed_aggs_events",
     "session_windows_per_user",
     "asof_join_click_purchase",
-    "cube_orders_priority_status",
+    "rollup_cube_grouping",
     "ann_gemm_topk",
 ]
 

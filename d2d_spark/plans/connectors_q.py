@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from d2d_spark.migrate import Migration, apply_format_data
 from d2d_spark.plans.registry import query
 from d2d_spark.session import read_table
-from d2d_spark.sources import CsvConnector, JsonlConnector, SqlFileConnector
+from d2d_spark.sources import BlobStore, CsvConnector, JsonlConnector, SqlFileConnector
 
 STAGE = Path(tempfile.gettempdir()) / "d2d_spark_stage"
 
@@ -78,6 +78,42 @@ def csv_roundtrip_customer(spark, sf_dir):
             F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("bal"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "blob_store_roundtrip",
+    oracle="""
+    SELECT concat('doc_', CAST(doc_id AS VARCHAR)) AS key,
+           md5(text) AS payload_md5,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents WHERE doc_id % 20 = 0
+    """,
+    tags=("source", "blobstore", "kv"),
+)
+def blob_store_roundtrip(spark, sf_dir):
+    """K/V blob store round-trip (reference BaseStore protocol,
+    d22d/model/midhardware.py:4-48): document text bytes saved one
+    object per key FROM THE EXECUTORS (foreachPartition — no driver
+    collect), read back as a distributed binaryFile scan, and
+    verified by content md5 + byte length. Proves the store is
+    lossless and the bulk paths are partition-parallel."""
+    root = str(STAGE / "blobstore")
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    store = BlobStore(root, spark)
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    blobs = d.select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("key"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    store.save_dataframe(blobs, "key", "payload")
+    back = store.read_all()
+    return back.select(
+        "key",
+        F.md5("payload").alias("payload_md5"),
+        F.col("length").alias("n_bytes"),
     )
 
 

@@ -157,67 +157,36 @@ def join_revenue_by_nation(spark, sf_dir):
 
 
 @query(
-    "join_broadcast_part",
+    "semi_anti_join_customers",
     oracle="""
-    SELECT p.p_brand AS brand,
-           COUNT(*) AS n_items,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE p.p_size <= 20
-    GROUP BY p.p_brand
-    ORDER BY brand
-    """,
-    tags=("join", "broadcast", "agg"),
-)
-def join_broadcast_part(spark, sf_dir):
-    """Fact x filtered-dim with an explicit broadcast hint — the
-    physical analog of Migration2DB's build-side-in-memory dict."""
-    li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
-    return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .groupBy(F.col("p_brand").alias("brand"))
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
-        )
-        .orderBy("brand")
-    )
-
-
-@query(
-    "semi_join_customers_with_orders",
-    oracle="""
-    SELECT c_custkey, c_name FROM customer c
+    SELECT c_custkey, c_name, 'has_big_order' AS src FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
-    """,
-    tags=("join", "semi"),
-)
-def semi_join_customers_with_orders(spark, sf_dir):
-    """LEFT SEMI join — the insert-mode machinery's membership probe
-    (SURVEY §2.6), free as a join type here."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
-
-
-@query(
-    "anti_join_customers_without_orders",
-    oracle="""
-    SELECT c_custkey, c_mktsegment FROM customer c
+    UNION ALL
+    SELECT c_custkey, c_name, 'no_orders' AS src FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
-    tags=("join", "anti"),
+    tags=("join", "semi", "anti"),
 )
-def anti_join_customers_without_orders(spark, sf_dir):
-    """LEFT ANTI join — the INSERT IGNORE primitive (skip rows whose
-    key already exists in the target, d22d/utils/db/myutils.py:693-752)."""
+def semi_anti_join_customers(spark, sf_dir):
+    """LEFT SEMI + LEFT ANTI joins in one tagged result: the semi leg
+    is the insert-mode membership probe, the anti leg the INSERT
+    IGNORE primitive (skip rows whose key already exists in the
+    target, d22d/utils/db/myutils.py:693-752)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_mktsegment"
+    big = o.filter(F.col("o_totalprice") > 200000)
+    semi = (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .withColumn("src", F.lit("has_big_order"))
     )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .withColumn("src", F.lit("no_orders"))
+    )
+    return semi.unionAll(anti)
 
 
 @query(
@@ -394,37 +363,36 @@ def top_hits_latest_event_per_user(spark, sf_dir):
 # sort / limit / offset / top-k (§2.7)
 # ---------------------------------------------------------------------------
 @query(
-    "topk_orders_by_price",
+    "topk_limit_offset_orders",
     oracle="""
-    SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
-    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    (SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total,
+            'topk' AS src
+     FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
+    UNION ALL
+    (SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total,
+            'offset' AS src
+     FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 100)
     """,
-    tags=("topk", "sort", "limit"),
+    tags=("topk", "sort", "limit", "offset"),
 )
-def topk_orders_by_price(spark, sf_dir):
-    """ORDER BY + LIMIT -> TakeOrderedAndProject (per-partition heaps,
-    no global sort)."""
+def topk_limit_offset_orders(spark, sf_dir):
+    """ORDER BY + LIMIT (-> TakeOrderedAndProject, per-partition heaps,
+    no global sort) and LIMIT offset,n (d22d/utils/db/myutils.py:
+    886-888, row_number over an explicit total order) as one tagged
+    result covering the §2.7 sort/limit/offset/top-k family."""
     o = _t(spark, sf_dir, "orders")
-    return top_k(o, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 10).select(
-        "o_orderkey", F.col("o_totalprice").cast(DEC).cast("double").alias("total")
+    total = F.col("o_totalprice").cast(DEC).cast("double").alias("total")
+    topk_leg = (
+        top_k(o, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 10)
+        .select("o_orderkey", total)
+        .withColumn("src", F.lit("topk"))
     )
-
-
-@query(
-    "limit_offset_orders",
-    oracle="""
-    SELECT o_orderkey, o_orderpriority FROM orders
-    ORDER BY o_orderkey LIMIT 20 OFFSET 100
-    """,
-    tags=("limit", "offset"),
-)
-def limit_offset_orders(spark, sf_dir):
-    """SQL LIMIT offset,n (d22d/utils/db/myutils.py:886-888) via
-    row_number over an explicit total order."""
-    o = _t(spark, sf_dir, "orders")
-    return limit_offset(o, [F.col("o_orderkey")], limit=20, offset=100).select(
-        "o_orderkey", "o_orderpriority"
+    offset_leg = (
+        limit_offset(o, [F.col("o_orderkey")], limit=20, offset=100)
+        .select("o_orderkey", total)
+        .withColumn("src", F.lit("offset"))
     )
+    return topk_leg.unionAll(offset_leg)
 
 
 # ---------------------------------------------------------------------------
@@ -462,31 +430,6 @@ def setops_nation_coverage(spark, sf_dir):
 # scalar functions (§2.8)
 # ---------------------------------------------------------------------------
 @query(
-    "scalar_funcs_documents",
-    oracle="""
-    SELECT doc_id,
-           md5(text) AS text_md5,
-           length(text) AS text_len,
-           upper(source) AS source_uc,
-           substring(text, 1, 16) AS prefix16
-    FROM documents WHERE doc_id % 10 = 0
-    """,
-    tags=("scalar",),
-)
-def scalar_funcs_documents(spark, sf_dir):
-    """Scalar lib: md5 (utils.py:365-369), case/substring/length —
-    all JVM-side built-ins."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    return d.select(
-        "doc_id",
-        md5_hex(F.col("text")).alias("text_md5"),
-        F.length("text").alias("text_len"),
-        F.upper("source").alias("source_uc"),
-        F.substring("text", 1, 16).alias("prefix16"),
-    )
-
-
-@query(
     "json_extract_events",
     oracle="""
     SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
@@ -511,13 +454,17 @@ def json_extract_events(spark, sf_dir):
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
            CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
            CAST(strftime(ts, '%H') AS INT) AS hour_of_day,
-           CAST(isodow(ts) - 1 AS INT) AS weekday_mon0
+           CAST(isodow(ts) - 1 AS INT) AS weekday_mon0,
+           CAST(EXTRACT(year FROM ts) AS BIGINT) AS yr,
+           CAST(EXTRACT(quarter FROM ts) AS BIGINT) AS qtr
     FROM events WHERE event_id % 11 = 0
     """,
-    tags=("scalar", "time"),
+    tags=("scalar", "time", "date"),
 )
 def time_funcs_events(spark, sf_dir):
-    """Epoch<->string time helpers (d22d/utils/timeutils.py:1-31)."""
+    """Epoch<->string time helpers (d22d/utils/timeutils.py:1-31) plus
+    calendar part extraction (year/quarter — the partition-key
+    derivation for any date-sliced 100 TB table)."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
     return ev.select(
         "event_id",
@@ -525,47 +472,69 @@ def time_funcs_events(spark, sf_dir):
         F.unix_timestamp("ts").alias("epoch_s"),
         F.hour("ts").cast("int").alias("hour_of_day"),
         F.weekday("ts").cast("int").alias("weekday_mon0"),
+        F.year("ts").cast("long").alias("yr"),
+        F.quarter("ts").cast("long").alias("qtr"),
     )
-
-
-@query(
-    "format_value_normalize",
-    oracle="""
-    SELECT DISTINCT
-      CASE WHEN l_quantity = floor(l_quantity)
-           THEN CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
-           ELSE trim(CAST(l_quantity AS VARCHAR)) END AS qty_norm
-    FROM lineitem
-    """,
-    tags=("scalar", "normalize"),
-)
-def format_value_normalize(spark, sf_dir):
-    """format_value (d22d/task.py:23-28): integral floats -> int form,
-    strings trimmed — the join-key normalization rule."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.select(format_value(F.col("l_quantity")).alias("qty_norm")).distinct()
 
 
 # ---------------------------------------------------------------------------
 # rollup / window functions (capability extensions via spark.sql)
 # ---------------------------------------------------------------------------
 @query(
-    "rollup_returnflag_status",
+    "rollup_cube_grouping",
     oracle="""
-    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    SELECT 'rollup_lineitem' AS src,
+           COALESCE(l_returnflag, 'ALL') AS dim1,
+           COALESCE(l_linestatus, 'ALL') AS dim2,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'cube_orders' AS src,
+           COALESCE(o_orderpriority, 'ALL') AS dim1,
+           COALESCE(o_orderstatus, 'ALL') AS dim2,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
     """,
-    tags=("agg", "rollup"),
+    tags=("agg", "rollup", "cube"),
 )
-def rollup_returnflag_status(spark, sf_dir):
-    """ROLLUP grouping sets — absent in the reference (§2.5), free via
-    Catalyst."""
+def rollup_cube_grouping(spark, sf_dir):
+    """ROLLUP and CUBE grouping-set lattices in one tagged result —
+    absent in the reference (§2.5), free via Catalyst; each lattice is
+    computed in a single shuffle with partial aggregation (the
+    reference could only do this via passthrough SQL)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+    o = _t(spark, sf_dir, "orders")
+    rollup_leg = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("total"),
+        )
+        .select(
+            F.lit("rollup_lineitem").alias("src"),
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("dim1"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("dim2"),
+            "n",
+            "total",
+        )
     )
+    cube_leg = (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"),
+        )
+        .select(
+            F.lit("cube_orders").alias("src"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("dim1"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("dim2"),
+            "n",
+            "total",
+        )
+    )
+    return rollup_leg.unionAll(cube_leg)
 
 
 @query(
@@ -577,14 +546,20 @@ def rollup_returnflag_status(spark, sf_dir):
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS running_total,
            RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
-             AS price_rank
+             AS price_rank,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w3 AS DOUBLE)
+             / COUNT(*) OVER w3 AS avg_3d
     FROM orders WHERE o_custkey % 50 = 0
+    WINDOW w3 AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+                  RANGE BETWEEN INTERVAL 2 DAY PRECEDING AND CURRENT ROW)
     """,
-    tags=("window",),
+    tags=("window", "range-frame"),
 )
 def window_running_order_total(spark, sf_dir):
-    """Analytic windows (running sum, rank) — engine upgrade over the
-    reference's passthrough-only SQL."""
+    """Analytic windows: running sum, rank, and a 3-day moving average
+    over a RANGE (interval) frame — value-based framing stays correct
+    when days are missing (a ROWS frame would silently span gaps).
+    Engine upgrade over the reference's passthrough-only SQL."""
     from pyspark.sql import Window
 
     o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
@@ -596,11 +571,22 @@ def window_running_order_total(spark, sf_dir):
     w_rank = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
+    # RANGE frames need a numeric ordering expression in Spark: days
+    # since epoch gives exact integer day arithmetic
+    w_rng = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_date(F.to_date("o_orderdate")))
+        .rangeBetween(-2, Window.currentRow)
+    )
+    price = F.col("o_totalprice").cast(DEC)
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast(DEC)).over(w_run).cast("double").alias("running_total"),
+        F.sum(price).over(w_run).cast("double").alias("running_total"),
         F.rank().over(w_rank).alias("price_rank"),
+        (F.sum(price).over(w_rng).cast("double") / F.count(F.lit(1)).over(w_rng)).alias(
+            "avg_3d"
+        ),
     )
 
 
@@ -610,16 +596,20 @@ def window_running_order_total(spark, sf_dir):
     SELECT o_orderpriority,
            COUNT(*) AS cnt,
            COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses,
            CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
            CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
-    tags=("agg", "stats"),
+    tags=("agg", "stats", "distinct"),
 )
 def agg_stats_orders(spark, sf_dir):
-    """min/max/avg/count-distinct — the §2.5 'only via passthrough'
-    aggregates, native here."""
+    """min/max/avg plus exact MULTI-column COUNT DISTINCT — the §2.5
+    'only via passthrough' aggregates, native here (Catalyst expands
+    multiple distincts into one Expand + two-phase aggregate).
+    approx_count_distinct is the 100 TB variant when exactness isn't
+    required — pytest checks it lands within 5% of the exact answer."""
     o = _t(spark, sf_dir, "orders")
     price = F.col("o_totalprice").cast(DEC)
     return (
@@ -627,67 +617,12 @@ def agg_stats_orders(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderstatus").alias("n_statuses"),
             F.min(price).cast("double").alias("min_price"),
             F.max(price).cast("double").alias("max_price"),
             (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
         )
         .orderBy("o_orderpriority")
-    )
-
-
-@query(
-    "cube_orders_priority_status",
-    oracle="""
-    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
-           COALESCE(o_orderstatus, 'ALL') AS status,
-           COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-    FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
-    ORDER BY priority, status
-    """,
-    tags=("agg", "cube"),
-)
-def cube_orders_priority_status(spark, sf_dir):
-    """CUBE over (priority, status): all 4 grouping sets in one pass —
-    partial aggregation handles the whole lattice in a single shuffle
-    (the reference could only do this via passthrough SQL)."""
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.cube("o_orderpriority", "o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"),
-        )
-        .select(
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
-            "n",
-            "total",
-        )
-        .orderBy("priority", "status")
-    )
-
-
-@query(
-    "count_distinct_orders",
-    oracle="""
-    SELECT COUNT(DISTINCT o_custkey) AS n_customers,
-           COUNT(DISTINCT o_orderpriority) AS n_priorities,
-           COUNT(*) AS n_orders
-    FROM orders
-    """,
-    tags=("agg", "distinct"),
-)
-def count_distinct_orders(spark, sf_dir):
-    """Exact multi-column COUNT DISTINCT (the reference had none
-    natively, SURVEY §2.5). approx_count_distinct is the 100 TB
-    variant when exactness isn't required — pytest checks it lands
-    within 5% of this query's exact answer."""
-    o = _t(spark, sf_dir, "orders")
-    return o.agg(
-        F.countDistinct("o_custkey").alias("n_customers"),
-        F.countDistinct("o_orderpriority").alias("n_priorities"),
-        F.count(F.lit(1)).alias("n_orders"),
     )
 
 
@@ -857,14 +792,20 @@ def correlated_exists_orders(spark, sf_dir):
            CASE WHEN p_name LIKE '%%12%%' THEN 1 ELSE 0 END AS has_12,
            regexp_extract(p_name, '([0-9]+)', 1) AS first_num,
            length(replace(p_name, '_', '')) AS clean_len,
-           concat(p_name, '#', CAST(p_size AS VARCHAR)) AS tagged
+           concat(p_name, '#', CAST(p_size AS VARCHAR)) AS tagged,
+           md5(p_name) AS name_md5,
+           CAST(CAST(floor(p_retailprice) AS BIGINT) AS VARCHAR) AS price_norm
     FROM part WHERE p_partkey <= 500
     """,
-    tags=("scalar", "string"),
+    tags=("scalar", "string", "normalize"),
 )
 def string_funcs_part(spark, sf_dir):
-    """String-function family: case, substring, LIKE, regexp extract,
-    replace, concat — all whole-stage-codegen expressions."""
+    """Scalar-function family: case, substring, LIKE, regexp extract,
+    replace, concat — all whole-stage-codegen expressions — plus md5
+    (d22d get_md5, utils.py:365-369) and format_value (d22d/task.py:
+    23-28: integral floats -> int form, strings trimmed — the
+    join-key normalization rule; floor() keeps the input integral so
+    both engines exercise the int branch deterministically)."""
     p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
     return p.select(
         "p_partkey",
@@ -874,63 +815,44 @@ def string_funcs_part(spark, sf_dir):
         F.regexp_extract("p_name", r"([0-9]+)", 1).alias("first_num"),
         F.length(F.regexp_replace("p_name", "_", "")).alias("clean_len"),
         F.concat_ws("#", F.col("p_name"), F.col("p_size").cast("string")).alias("tagged"),
+        md5_hex(F.col("p_name")).alias("name_md5"),
+        format_value(F.floor("p_retailprice")).alias("price_norm"),
     )
 
 
 @query(
-    "pivot_status_by_priority",
+    "pivot_unpivot_roundtrip",
     oracle="""
-    SELECT o_orderpriority,
-           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS st_f,
-           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS st_o,
-           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS st_p
-    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    WITH wide AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS st_f,
+             CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS st_o,
+             CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS st_p
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderpriority, status, cnt
+    FROM wide UNPIVOT (cnt FOR status IN (st_f, st_o, st_p))
     """,
-    tags=("agg", "pivot"),
+    tags=("agg", "pivot", "unpivot", "reshape"),
 )
-def pivot_status_by_priority(spark, sf_dir):
-    """PIVOT: status values become columns (one pass, conditional
-    aggregation under the hood — explicit value list so the plan
-    needs no extra distinct-scan job)."""
+def pivot_unpivot_roundtrip(spark, sf_dir):
+    """PIVOT (status values become columns: one pass, conditional
+    aggregation under the hood, explicit value list so the plan needs
+    no extra distinct-scan job) then UNPIVOT/melt back to long form —
+    the two reshape operators composed, so the round-trip proves they
+    are mutual inverses on the non-null lattice."""
     o = _t(spark, sf_dir, "orders")
-    out = (
+    wide = (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(F.count(F.lit(1)))
-        .orderBy("o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("F"), F.lit(0)).alias("st_f"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("st_o"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("st_p"),
+        )
     )
-    return out.select(
-        "o_orderpriority",
-        F.coalesce(F.col("F"), F.lit(0)).alias("st_f"),
-        F.coalesce(F.col("O"), F.lit(0)).alias("st_o"),
-        F.coalesce(F.col("P"), F.lit(0)).alias("st_p"),
-    )
-
-
-@query(
-    "unpivot_order_measures",
-    oracle="""
-    SELECT o_orderkey, measure, CAST(value AS DOUBLE) AS value
-    FROM (SELECT o_orderkey,
-                 CAST(o_totalprice AS DOUBLE) AS total_price,
-                 CAST(o_custkey AS DOUBLE) AS cust_key
-          FROM orders WHERE o_orderkey <= 500)
-    UNPIVOT (value FOR measure IN (total_price, cust_key))
-    """,
-    tags=("reshape", "unpivot"),
-)
-def unpivot_order_measures(spark, sf_dir):
-    """UNPIVOT/melt: wide measure columns into (key, measure, value)
-    rows — the normalization step feeding any long-format pipeline."""
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
-    wide = o.select(
-        "o_orderkey",
-        F.col("o_totalprice").cast("double").alias("total_price"),
-        F.col("o_custkey").cast("double").alias("cust_key"),
-    )
-    return wide.unpivot(
-        ["o_orderkey"], ["total_price", "cust_key"], "measure", "value"
-    )
+    return wide.unpivot(["o_orderpriority"], ["st_f", "st_o", "st_p"], "status", "cnt")
 
 
 @query(
@@ -960,72 +882,3 @@ def fuzzy_name_pairs(spark, sf_dir):
     )
 
 
-@query(
-    "date_parts_orders",
-    oracle="""
-    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
-           CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr,
-           COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-    FROM orders GROUP BY 1, 2 ORDER BY 1, 2
-    """,
-    tags=("scalar", "date", "agg"),
-)
-def date_parts_orders(spark, sf_dir):
-    """Calendar rollup by extracted date parts — the partition-key
-    derivation pattern for any date-sliced 100 TB table."""
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.groupBy(
-            F.year("o_orderdate").cast("long").alias("yr"),
-            F.quarter("o_orderdate").cast("long").alias("qtr"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"),
-        )
-        .orderBy("yr", "qtr")
-    )
-
-
-@query(
-    "moving_avg_daily_revenue",
-    oracle="""
-    WITH daily AS (
-      SELECT CAST(o_orderdate AS DATE) AS d,
-             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
-      FROM orders GROUP BY 1)
-    SELECT CAST(d AS VARCHAR) AS day,
-           CAST(rev AS DOUBLE) AS revenue,
-           CAST(SUM(rev) OVER w AS DOUBLE)
-             / COUNT(*) OVER w AS avg_3d
-    FROM daily
-    WINDOW w AS (ORDER BY d RANGE BETWEEN INTERVAL 2 DAY PRECEDING AND CURRENT ROW)
-    ORDER BY d
-    """,
-    tags=("window", "range-frame"),
-)
-def moving_avg_daily_revenue(spark, sf_dir):
-    """3-day moving average over daily revenue using a RANGE frame —
-    value-based (interval) framing, which keeps the window correct
-    when days are missing (a ROWS frame would silently span gaps)."""
-    from pyspark.sql import Window
-
-    o = _t(spark, sf_dir, "orders")
-    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
-        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev")
-    )
-    # RANGE frames need a numeric ordering expression in Spark: days
-    # since epoch gives exact integer day arithmetic
-    w = (
-        Window.orderBy(F.unix_date(F.col("d")))
-        .rangeBetween(-2, Window.currentRow)
-    )
-    return (
-        daily.select(
-            F.col("d").cast("string").alias("day"),
-            F.col("rev").cast("double").alias("revenue"),
-            (F.sum("rev").over(w).cast("double") / F.count(F.lit(1)).over(w)).alias("avg_3d"),
-        )
-        .orderBy("day")
-    )

@@ -19,69 +19,52 @@ DEC = "decimal(18,2)"
 
 
 @query(
-    "tumbling_hourly_events",
+    "windowed_aggs_events",
     oracle="""
-    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+    SELECT 'tumbling_1h' AS kind,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events
-    GROUP BY 1, 2 ORDER BY 1, 2
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sliding_2h_1h' AS kind,
+           strftime(date_trunc('hour', ts) - to_hours(off), '%Y-%m-%d %H:%M:%S') AS window_start,
+           '' AS event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events CROSS JOIN (SELECT unnest([0, 1]) AS off)
+    GROUP BY 2
     """,
-    tags=("streaming", "window", "tumbling"),
+    tags=("streaming", "window", "tumbling", "sliding"),
 )
-def tumbling_hourly_events(spark, sf_dir):
-    """Tumbling 1-hour windows per event_type: count + exact-decimal
-    value sum. Streaming-identical code path (F.window groupBy)."""
+def windowed_aggs_events(spark, sf_dir):
+    """Tumbling 1-hour windows per event_type AND sliding 2-hour
+    windows advancing hourly (every event lands in exactly two
+    windows; oracle: explicit offset unnest), one tagged result.
+    Count + exact-decimal value sum; streaming-identical code path
+    (F.window groupBy)."""
     ev = read_table(spark, sf_dir, "events")
-    out = tumbling_agg(
-        ev,
-        "ts",
-        "1 hour",
-        aggs=[
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
-        ],
-        keys=["event_type"],
-    )
-    return out.select(
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+    ]
+    tumbling = tumbling_agg(ev, "ts", "1 hour", aggs=aggs, keys=["event_type"]).select(
+        F.lit("tumbling_1h").alias("kind"),
         F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
         "n_events",
         "sum_value",
-    ).orderBy("window_start", "event_type")
-
-
-@query(
-    "sliding_window_events",
-    oracle="""
-    SELECT strftime(date_trunc('hour', ts) - to_hours(off), '%Y-%m-%d %H:%M:%S') AS window_start,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-    FROM events CROSS JOIN (SELECT unnest([0, 1]) AS off)
-    GROUP BY 1 ORDER BY 1
-    """,
-    tags=("streaming", "window", "sliding"),
-)
-def sliding_window_events(spark, sf_dir):
-    """Sliding 2-hour windows advancing hourly — every event counts in
-    exactly two windows (oracle: explicit offset unnest)."""
-    ev = read_table(spark, sf_dir, "events")
-    out = sliding_agg(
-        ev,
-        "ts",
-        "2 hours",
-        "1 hour",
-        aggs=[
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
-        ],
     )
-    return out.select(
+    sliding = sliding_agg(ev, "ts", "2 hours", "1 hour", aggs=aggs).select(
+        F.lit("sliding_2h_1h").alias("kind"),
         F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.lit("").alias("event_type"),
         "n_events",
         "sum_value",
-    ).orderBy("window_start")
+    )
+    return tumbling.unionAll(sliding)
 
 
 @query(

@@ -39,14 +39,14 @@ def main() -> int:
     names = sys.argv[1:] or [
         "q1_pricing_summary",
         "join_revenue_by_nation",
-        "join_broadcast_part",
         "top_hits_latest_event_per_user",
         "dedup_exact_events",
-        "tumbling_hourly_events",
-        "cube_orders_priority_status",
+        "windowed_aggs_events",
+        "rollup_cube_grouping",
         "partitioned_write_prune",
         "asof_join_click_purchase",
         "correlated_exists_orders",
+        "semi_anti_join_customers",
     ]
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     problems = []
