@@ -28,6 +28,30 @@ from d2d_spark.functions.vectors import dot, norm
 # Large prime > 2^31 for minhash permutations.
 _MERSENNE = (1 << 61) - 1
 
+# Above this input size, an all-pairs crossJoin is a cartesian blowup,
+# not a verify step — the quadratic ground-truth operators refuse it
+# unless the caller explicitly opts in.
+QUADRATIC_CAP = 20_000
+
+
+def _guard_quadratic(df: DataFrame, what: str, allow_quadratic: bool, cap: int) -> None:
+    """Refuse unbounded inputs to O(n^2) operators: counting the input
+    costs one cheap scan; silently launching an n^2 crossJoin at 100 TB
+    costs the cluster. Pass ``allow_quadratic=True`` only for inputs
+    that are bounded candidate sets by construction."""
+    if allow_quadratic:
+        return
+    n = df.count()
+    if n > cap:
+        raise ValueError(
+            f"{what}: input has {n:,} rows (> cap {cap:,}); an all-pairs "
+            f"crossJoin would materialize ~{n * (n - 1) // 2:,} candidate "
+            "pairs. Route candidates through a banded path instead "
+            "(minhash_lsh_pairs / simhash_near_pairs / fuzzy_pairs_lsh / "
+            "similarity.lsh_topk), or pass allow_quadratic=True if this "
+            "input really is a bounded candidate set."
+        )
+
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep one representative (min id) per normalized-text
@@ -317,10 +341,19 @@ def simhash_near_pairs(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    allow_quadratic: bool = False,
+    cap: int = QUADRATIC_CAP,
 ) -> DataFrame:
     """Exact n-gram Jaccard over all pairs — the quadratic baseline
-    the LSH paths approximate. Only for bounded candidate sets."""
+    the LSH paths approximate. Guarded: inputs above ``cap`` rows are
+    refused unless ``allow_quadratic=True`` (use minhash_lsh_pairs and
+    verify on its candidates at scale)."""
+    _guard_quadratic(df, "ngram_jaccard_pairs", allow_quadratic, cap)
     npart = df.sparkSession.sparkContext.defaultParallelism
     sh = df.select(
         F.col(id_col).alias("__id"),
@@ -345,12 +378,17 @@ def ngram_jaccard_pairs(
 
 
 def embedding_near_pairs(
-    emb: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    allow_quadratic: bool = False,
+    cap: int = QUADRATIC_CAP,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs. Quadratic form for
-    bounded sets; route through sign_projection_bucket (similarity.py)
-    to band it at scale."""
-
+    bounded sets — guarded above ``cap`` rows; route through
+    sign_projection_bucket (similarity.py) to band it at scale."""
+    _guard_quadratic(emb, "embedding_near_pairs", allow_quadratic, cap)
     npart = emb.sparkSession.sparkContext.defaultParallelism
     a = (
         emb.repartition(npart)
@@ -367,6 +405,139 @@ def embedding_near_pairs(
         pairs.withColumn("cos_sim", sim)
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def levenshtein_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int = 2,
+    allow_quadratic: bool = False,
+    cap: int = QUADRATIC_CAP,
+) -> DataFrame:
+    """Exact edit-distance pairs (id_a < id_b, dist <= max_dist) —
+    the quadratic fuzzy-match ground truth, guarded above ``cap``
+    rows. At scale use fuzzy_pairs_lsh, which generates candidates
+    with character-shingle LSH and runs THIS verify only on them."""
+    _guard_quadratic(df, "levenshtein_pairs", allow_quadratic, cap)
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    base = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    a = base.repartition(npart).select(F.col("__id").alias("id_a"), F.col("__t").alias("t_a"))
+    b = base.select(F.col("__id").alias("id_b"), F.col("__t").alias("t_b"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    # length prefilter: |len(a)-len(b)| > d implies dist > d — prunes
+    # before the O(len^2) edit-distance kernel; Spark's 3-arg
+    # levenshtein also early-exits above the bound
+    pairs = pairs.filter(
+        F.abs(F.length("t_a") - F.length("t_b")) <= max_dist
+    )
+    dist = F.levenshtein("t_a", "t_b", max_dist)
+    return (
+        pairs.withColumn("dist", dist.cast("long"))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+        .select("id_a", "id_b", "dist")
+    )
+
+
+def fuzzy_pairs_lsh(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int = 2,
+    shingle_jaccard: float = 0.4,
+) -> DataFrame:
+    """Fuzzy string matching at scale: character-3-shingle MinHash+LSH
+    candidate generation, exact Levenshtein verify on candidates only
+    — never an all-pairs join.
+
+    Character shingles ride the existing word-shingle machinery by
+    space-separating the characters (so word-3-grams of the spaced
+    text ARE char-3-grams of the original; whitespace itself carries
+    no signal for edit distance). A single edit dirties at most 3
+    shingles, so strings within ``max_dist`` edits of typical key
+    length share most shingles; ``shingle_jaccard`` is the recall
+    dial (lower = more candidates, higher recall)."""
+    spaced = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__t"),
+        F.regexp_replace(F.col(text_col), "(.)", "$1 ").alias("__chars"),
+    )
+    cand = minhash_lsh_pairs(
+        spaced, "__chars", "__id", jaccard_threshold=shingle_jaccard
+    ).select("id_a", "id_b")
+    txt = spaced.select("__id", "__t")
+    joined = (
+        cand.join(txt.select(F.col("__id").alias("id_a"), F.col("__t").alias("t_a")), "id_a")
+        .join(txt.select(F.col("__id").alias("id_b"), F.col("__t").alias("t_b")), "id_b")
+    )
+    dist = F.levenshtein("t_a", "t_b", max_dist)
+    return (
+        joined.withColumn("dist", dist.cast("long"))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+        .select("id_a", "id_b", "dist")
+    )
+
+
+def _delete_one_char(s: Column) -> Column:
+    """Array of all strings formed by deleting one character of ``s``
+    (the empty string maps to [""]) — pure Column expression."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(s), F.lit(1))),
+        lambda i: F.concat(
+            F.substr(s, F.lit(1), i - 1), F.substr(s, i + 1, F.length(s))
+        ),
+    )
+
+
+def fuzzy_pairs_deletion(
+    df: DataFrame, text_col: str, id_col: str, max_dist: int = 2
+) -> DataFrame:
+    """Edit-distance pairs with GUARANTEED recall and no quadratic
+    stage: deletion-neighborhood candidate generation (the FastSS
+    construction — Bocek et al., "Fast Similarity Search in Large
+    Dictionaries", 2007) + exact Levenshtein verify on candidates.
+
+    If ed(a, b) <= d, then deleting the unmatched characters of an
+    optimal alignment (at most d per side) yields a COMMON string in
+    both deletion neighborhoods of depth d — so the equi-join on
+    variant hashes surfaces every true pair, and the exact verify
+    makes precision 1.0. Candidate volume is O(rows * L^d) variant
+    keys (L = string length), linear in the table — the right shape
+    for fuzzy joins over short keys (names, codes) at 100 TB. For
+    long free text use fuzzy_pairs_lsh (probabilistic) or the
+    shingle-Jaccard dedup family instead."""
+    base = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    base = base.repartition(npart, "__id")
+    variants = base.select("__id", F.col("__t").alias("__v"))
+    frontier = variants
+    for _ in range(max_dist):
+        frontier = frontier.select(
+            "__id", F.explode(_delete_one_char(F.col("__v"))).alias("__v")
+        )
+        variants = variants.union(frontier)
+    # variant strings -> 64-bit hashes: the join shuffles fixed-width
+    # keys instead of strings (collisions only add candidates, which
+    # the exact verify removes)
+    sigs = variants.select("__id", F.xxhash64("__v").alias("__h")).distinct()
+    cand = (
+        sigs.select(F.col("__id").alias("id_a"), "__h")
+        .join(sigs.select(F.col("__id").alias("id_b"), "__h"), "__h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    txt = base.select("__id", "__t")
+    joined = (
+        cand.join(txt.select(F.col("__id").alias("id_a"), F.col("__t").alias("t_a")), "id_a")
+        .join(txt.select(F.col("__id").alias("id_b"), F.col("__t").alias("t_b")), "id_b")
+    )
+    dist = F.levenshtein("t_a", "t_b", max_dist)
+    return (
+        joined.withColumn("dist", dist.cast("long"))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+        .select("id_a", "id_b", "dist")
     )
 
 

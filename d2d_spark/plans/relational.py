@@ -868,17 +868,13 @@ def pivot_unpivot_roundtrip(spark, sf_dir):
 )
 def fuzzy_name_pairs(spark, sf_dir):
     """Fuzzy string matching: near-identical names by edit distance.
-    Quadratic on a bounded slice (the scale route for fuzzy joins is
-    LSH over character shingles — see the dedup family)."""
+    The guarded quadratic ground truth on a bounded slice — the
+    operator refuses unbounded inputs; the scale route is
+    dedup.fuzzy_pairs_lsh (character-shingle LSH candidates + exact
+    Levenshtein verify), pytest-checked equal to this on the slice."""
+    from d2d_spark.operators.dedup import levenshtein_pairs
+
     p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200).select("p_partkey", "p_name")
-    a = p.select(F.col("p_partkey").alias("id_a"), F.col("p_name").alias("n_a"))
-    b = p.select(F.col("p_partkey").alias("id_b"), F.col("p_name").alias("n_b"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    dist = F.levenshtein("n_a", "n_b")
-    return (
-        pairs.withColumn("dist", dist.cast("long"))
-        .filter(F.col("dist") <= 2)
-        .select("id_a", "id_b", "dist")
-    )
+    return levenshtein_pairs(p, "p_name", "p_partkey", max_dist=2)
 
 
