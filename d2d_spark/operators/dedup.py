@@ -151,36 +151,70 @@ def _minhash_signature_arrow(
         fields.append(T.StructField("__hset", T.ArrayType(T.LongType())))
     out_schema = T.StructType(fields)
 
+    # distinct per-position multipliers + a murmur3 finalizer decorrelate
+    # the combined shingle hash from its token hashes (a bare linear
+    # combination has structured collisions)
+    pos_mult = [0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+                0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63][:shingle_n] or [0x9E3779B185EBCA87]
+    while len(pos_mult) < shingle_n:
+        pos_mult.append((pos_mult[-1] * 0x9E3779B1) & 0xFFFFFFFFFFFFFFFF)
+
     def gen(batches):
         import zlib
 
-        a = np.asarray(a_vec, dtype=np.int64)[:, None]
-        b = np.asarray(b_vec, dtype=np.int64)[:, None]
-        empty_sig = [int(x) for x in ((a[:, 0] * 0 + b[:, 0]) % _MERSENNE)]
-        for pdf in batches:
-            sigs, hsets = [], []
-            for text in pdf[text_col]:
-                toks = (text or "").split()
-                n_grams = max(len(toks) - (shingle_n - 1), 1)
-                grams = {" ".join(toks[i : i + shingle_n]) for i in range(n_grams)}
-                if not grams or grams == {""}:
-                    sigs.append(empty_sig)
-                    hsets.append([])
-                    continue
-                # 31-bit hashes keep a*h + b under 2^62: no overflow
-                h = np.fromiter(
-                    (zlib.crc32(g.encode("utf-8")) & 0x7FFFFFFF for g in grams),
-                    dtype=np.int64,
-                    count=len(grams),
-                )
-                sigs.append([int(x) for x in ((a * h[None, :] + b) % _MERSENNE).min(axis=1)])
+        a = np.asarray(a_vec, dtype=np.uint64)[:, None]
+        b = np.asarray(b_vec, dtype=np.uint64)[:, None]
+        m_big = np.uint64(_MERSENNE)
+        empty_sig = [int(x) for x in ((b[:, 0]) % m_big)]
+        mults = [np.uint64(m) for m in pos_mult]
+        mask31 = np.uint64(0x7FFFFFFF)
+        # token-hash cache shared across the batch stream: corpus token
+        # frequency is zipfian, so most crc32 calls become dict hits
+        cache: dict[str, int] = {}
+        crc32 = zlib.crc32
+
+        def tok_hashes(toks):
+            out = np.empty(len(toks), dtype=np.uint64)
+            for i, t in enumerate(toks):
+                v = cache.get(t)
+                if v is None:
+                    v = crc32(t.encode("utf-8")) & 0x7FFFFFFF
+                    cache[t] = v
+                out[i] = v
+            return out
+
+        with np.errstate(over="ignore"):  # uint64 wrap is the hash mix
+            for pdf in batches:
+                sigs, hsets = [], []
+                for text in pdf[text_col]:
+                    toks = (text or "").split()
+                    if not toks:
+                        sigs.append(empty_sig)
+                        hsets.append([])
+                        continue
+                    th = tok_hashes(toks)
+                    width = min(len(th), shingle_n)
+                    n_grams = len(th) - width + 1
+                    # combined shingle hash, vectorized over positions:
+                    # sum_k mult[k] * tok_hash[i+k], then murmur3-mix,
+                    # masked to 31 bits (keeps a*g + b under 2^62)
+                    g = np.zeros(n_grams, dtype=np.uint64)
+                    for k in range(width):
+                        g += mults[k] * th[k : n_grams + k]
+                    g ^= g >> np.uint64(33)
+                    g *= np.uint64(0xFF51AFD7ED558CCD)
+                    g ^= g >> np.uint64(33)
+                    g = np.unique(g & mask31)
+                    sigs.append(
+                        [int(x) for x in ((a * g[None, :] + b) % m_big).min(axis=1)]
+                    )
+                    if emit_hashed_shingles:
+                        hsets.append([int(x) for x in g])
+                out = pdf.copy()
+                out["minhash"] = pd.Series(sigs, index=pdf.index)
                 if emit_hashed_shingles:
-                    hsets.append(sorted({int(x) for x in h}))
-            out = pdf.copy()
-            out["minhash"] = pd.Series(sigs, index=pdf.index)
-            if emit_hashed_shingles:
-                out["__hset"] = pd.Series(hsets, index=pdf.index)
-            yield out
+                    out["__hset"] = pd.Series(hsets, index=pdf.index)
+                yield out
 
     return df.mapInPandas(gen, schema=out_schema)
 
