@@ -10,7 +10,7 @@ from d2d_spark.sources.files import (
 )
 from d2d_spark.sources.memory import MemoryConnector, kv_pairs
 from d2d_spark.sources.sqlfile import SqlFileConnector, read_sql_dump, render_sql_statements
-from d2d_spark.sources.archive import read_zip
+from d2d_spark.sources.archive import read_rar, read_zip
 from d2d_spark.sources.blobstore import BlobStore
 from d2d_spark.sources.jdbc import JdbcConnector, staged_merge_sql
 from d2d_spark.sources.excel import ExcelConnector
@@ -33,6 +33,7 @@ __all__ = [
     "read_sql_dump",
     "render_sql_statements",
     "read_zip",
+    "read_rar",
     "BlobStore",
     "JdbcConnector",
     "staged_merge_sql",
