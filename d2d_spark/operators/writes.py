@@ -135,13 +135,52 @@ def write_mode(
     # to a sibling path has no lineage back to the target. (On an
     # object store the same pattern is write-new-prefix-then-repoint;
     # an ACID table format replaces all of this with MERGE.)
-    import shutil as _shutil
     import uuid as _uuid
 
     staging = f"{path}.__stage_{_uuid.uuid4().hex[:8]}"
     _writer(out).mode("overwrite").save(staging)
-    _shutil.rmtree(path, ignore_errors=True)
-    os.replace(staging, path)
+    _swap_paths(spark, staging, path)
+
+
+def _swap_paths(spark, staging: str, path: str) -> None:
+    """Replace `path` with `staging`, crash-safe on any Hadoop-visible
+    scheme (hdfs://, s3a://, file://) — not just the local FS.
+
+    Sequence: target -> .__bak, staging -> target, drop .__bak. At no
+    point is the data unrecoverable: a crash before the second rename
+    leaves the old data in .__bak (and restore is attempted on error);
+    a crash after it leaves the new data live and only backup debris.
+    Local paths use os.replace (atomic dir rename); remote schemes use
+    the Hadoop FileSystem rename/delete that _target_exists already
+    resolves.
+    """
+    backup = f"{path}.__bak_{os.path.basename(staging).rsplit('_', 1)[-1]}"
+    if "://" not in path:
+        import shutil as _shutil
+
+        os.replace(path, backup)
+        try:
+            os.replace(staging, path)
+        except BaseException:
+            os.replace(backup, path)  # restore the old target
+            raise
+        _shutil.rmtree(backup, ignore_errors=True)
+        return
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(path).getFileSystem(conf)
+    if not fs.rename(P(path), P(backup)):
+        raise IOError(f"cannot stage-swap: rename {path} -> {backup} failed")
+    ok = False
+    try:
+        ok = fs.rename(P(staging), P(path))
+    finally:
+        if not ok:
+            fs.rename(P(backup), P(path))  # restore the old target
+    if not ok:
+        raise IOError(f"stage-swap rename {staging} -> {path} failed; target restored")
+    fs.delete(P(backup), True)
 
 
 def _target_exists(spark, path: str) -> bool:

@@ -29,11 +29,48 @@ class MemoryConnector(Connector):
         return self.spark.createDataFrame([Row(**r) for r in rows])
 
     def write(self, df: DataFrame, index: str, mode: str = "overwrite", pks=None, **kw) -> None:
+        """§2.6 write modes over the in-memory row list. Keyed modes
+        (`ignore`/`replace`/`upsert`) implement the reference's SQL
+        semantics (INSERT IGNORE never deletes, REPLACE/ON DUPLICATE
+        KEY UPDATE merge by key — d22d/utils/db/myutils.py:693-752);
+        they REQUIRE pks rather than silently degrading to overwrite,
+        because Migration's default mode is 'ignore' and a silent
+        overwrite here discards existing rows."""
         rows = [r.asDict(recursive=True) for r in df.collect()]
-        if mode == "append" and index in self.tables:
-            self.tables[index].extend(rows)
-        else:
+        existing = self.tables.get(index)
+        if mode in ("ignore", "replace", "upsert"):
+            if not pks:
+                raise ValueError(f"mode={mode!r} needs pks")
+            if existing is None:
+                self.tables[index] = rows
+                return
+            key = lambda r: tuple(r[k] for k in pks)
+            if mode == "ignore":
+                # INSERT IGNORE: first occurrence of a new key wins,
+                # existing rows untouched.
+                seen = {key(r) for r in existing}
+                out = list(existing)
+                for r in rows:
+                    k = key(r)
+                    if k not in seen:
+                        out.append(r)
+                        seen.add(k)
+                self.tables[index] = out
+            else:
+                # REPLACE / upsert: incoming wins; duplicate incoming
+                # keys resolve last-wins like the reference's
+                # executemany order.
+                merged = {key(r): r for r in existing}
+                for r in rows:
+                    merged[key(r)] = r
+                self.tables[index] = list(merged.values())
+            return
+        if mode == "append" and existing is not None:
+            existing.extend(rows)
+        elif mode in ("append", "overwrite"):
             self.tables[index] = rows
+        else:
+            raise ValueError(f"unknown write mode {mode!r}")
 
     # key-value projections (ListD.get_dict_kv / get_dict_kv_set)
     def get_dict_kv(self, index: str, key: str, value: str) -> dict:

@@ -91,6 +91,65 @@ def test_sketch_distinct_counts_close(spark, sf_dir):
     assert got.n_o_orderpriority == 5
 
 
+def test_memory_connector_keyed_modes_preserve_rows(spark):
+    """Regression (r2 verdict #1): a second keyed write must NOT wipe
+    the table — INSERT IGNORE never deletes, upsert merges by key."""
+    from d2d_spark.sources.memory import MemoryConnector
+
+    mem = MemoryConnector({"t": [{"id": 1, "v": "old1"}, {"id": 2, "v": "old2"}]}, spark=spark)
+    inc = spark.createDataFrame([Row(id=2, v="new2"), Row(id=3, v="new3")])
+
+    mem2 = MemoryConnector({"t": list(mem.tables["t"])}, spark=spark)
+    mem2.write(inc, "t", mode="ignore", pks=["id"])
+    got = {r["id"]: r["v"] for r in mem2.tables["t"]}
+    assert got == {1: "old1", 2: "old2", 3: "new3"}  # existing row 2 kept
+
+    mem3 = MemoryConnector({"t": list(mem.tables["t"])}, spark=spark)
+    mem3.write(inc, "t", mode="upsert", pks=["id"])
+    got = {r["id"]: r["v"] for r in mem3.tables["t"]}
+    assert got == {1: "old1", 2: "new2", 3: "new3"}  # incoming wins, 1 survives
+
+    # keyed mode without pks must refuse, not silently overwrite
+    with pytest.raises(ValueError):
+        mem.write(inc, "t", mode="ignore")
+    # append still extends, overwrite still replaces
+    mem4 = MemoryConnector({"t": [{"id": 1, "v": "a"}]}, spark=spark)
+    mem4.write(inc, "t", mode="append")
+    assert len(mem4.tables["t"]) == 3
+
+
+def test_write_mode_swap_failure_no_data_loss(spark, monkeypatch, tmp_path):
+    """Regression (r2 verdict #2): a failed staging swap must leave the
+    original target readable — the old data is restored from backup."""
+    import os as _os
+
+    from d2d_spark.operators.writes import write_mode
+
+    path = str(tmp_path / "tgt")
+    base = spark.createDataFrame([Row(id=1, v="a"), Row(id=2, v="b")])
+    write_mode(base, path, mode="overwrite", spark=spark)
+    inc = spark.createDataFrame([Row(id=2, v="B"), Row(id=3, v="c")])
+
+    real_replace = _os.replace
+
+    def failing_replace(src, dst):
+        if dst == path and "__stage_" in src:
+            raise OSError("simulated swap crash")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(_os, "replace", failing_replace)
+    with pytest.raises(OSError, match="simulated swap crash"):
+        write_mode(inc, path, mode="upsert", pks=["id"], spark=spark)
+    monkeypatch.undo()
+    # old target restored, fully readable
+    got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "b"}
+    # and the happy path still merges correctly
+    write_mode(inc, path, mode="upsert", pks=["id"], spark=spark)
+    got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+
+
 def test_uncovered_scalar_helpers(spark):
     """clamp_datetime / cast_with_default / json_encode / bytes_b64 /
     secure_filename semantics."""
