@@ -187,11 +187,22 @@ def read_sql_dump(
 ) -> DataFrame:
     """Parse one dump (file or directory of .sql parts) into a typed
     DataFrame. ``table`` selects among multi-table dumps; default =
-    the only/first table encountered."""
+    the only/first table encountered — NEVER a mix of all tables (a
+    two-table dump read with table=None yields just the first table's
+    rows, matching the documented single-table contract)."""
     lines = spark.read.text(path)
     is_insert = F.upper(F.trim(F.col("value"))).rlike(r"^(INSERT|REPLACE)\s")
     ddl_lines = [r.value for r in lines.filter(~is_insert).collect()]
     col_map = _ddl_columns(ddl_lines)
+    if table is None:
+        if col_map:
+            # dict preserves insertion order = file order of the DDL
+            table = next(iter(col_map))
+        else:
+            first = lines.filter(is_insert).first()
+            m = _INSERT_RE.match(first.value) if first is not None else None
+            if m:
+                table = m.group(2)
 
     def parse_part(rows):
         for r in rows:
@@ -327,7 +338,10 @@ class SqlFileConnector(Connector):
         # a dump file has no existing state to merge with, so
         # append/overwrite render plain INSERTs and upsert renders the
         # ON DUPLICATE KEY UPDATE suffix (all non-pk columns) the
-        # reference's gen_insert_sql(duplicate_update=True) produces
+        # reference's gen_insert_sql(duplicate_update=True) produces.
+        # `append` must also append FILES — a second append batch adds
+        # statement parts next to the first instead of clobbering it.
+        text_mode = "append" if mode == "append" else "overwrite"
         if mode in ("append", "overwrite"):
             mode = "insert"
         elif mode == "upsert":
@@ -338,7 +352,7 @@ class SqlFileConnector(Connector):
         stmts = render_sql_statements(
             df, index, mode=mode, compress=compress, duplicate_update=duplicate_update
         )
-        stmts.write.mode("overwrite").text(self.path(index))
+        stmts.write.mode(text_mode).text(self.path(index))
         if include_ddl:
             os.makedirs(self.root, exist_ok=True)
             ddl_path = os.path.join(self.root, f"{index}.ddl.sql")

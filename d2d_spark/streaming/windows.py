@@ -97,21 +97,49 @@ def incremental_rollup(
 
     Replay safety: foreachBatch is at-least-once — an additive merge
     re-applied after a crash between the target swap and the
-    checkpoint commit would double-count. A marker ledger next to the
-    target records every merged batch_id, making the merge
-    idempotent: a replayed batch is skipped.
+    checkpoint commit would double-count. The ledger of merged
+    batch_ids lives INSIDE the target directory (`_merged_batches/`,
+    underscore-prefixed so parquet file listing ignores it) and is
+    staged together with the data, so the swap commits data + marker
+    atomically: there is no window where the data is live but the
+    marker is missing, and a replayed batch is always skipped.
     """
+    merge_batch = make_rollup_merger(target_path, ts_col, duration, keys, sum_cols, fmt)
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+_LEDGER = "_merged_batches"
+
+
+def make_rollup_merger(
+    target_path: str,
+    ts_col: str,
+    duration: str,
+    keys: list[str],
+    sum_cols: dict[str, str] | None = None,
+    fmt: str = "parquet",
+):
+    """Build the idempotent foreachBatch merger for incremental_rollup
+    (factored out so replay behavior is unit-testable). The batch_id
+    ledger rides inside the staged directory and swaps in with the
+    data — crash-safe idempotence, see incremental_rollup docstring."""
     import os as _os
+    import shutil as _shutil
 
     from pyspark.sql import functions as F
 
     sum_cols = sum_cols or {}
     group_keys = ["ws", "we", *keys]
-    ledger_dir = f"{target_path}.merged_batches"
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        marker = _os.path.join(ledger_dir, f"batch_{batch_id}")
-        if _os.path.exists(marker):
+        if _os.path.exists(_os.path.join(target_path, _LEDGER, f"batch_{batch_id}")):
             return  # replayed batch: already merged
         spark = batch_df.sparkSession
         aggs = [F.count(F.lit(1)).alias("n_rows")] + [
@@ -125,33 +153,33 @@ def incremental_rollup(
                 *keys, "n_rows", *[alias for alias in sum_cols.values()],
             )
         )
-        if not _os.path.exists(target_path):
-            part.write.format(fmt).mode("overwrite").save(target_path)
-            _os.makedirs(ledger_dir, exist_ok=True)
-            open(marker, "w").close()
-            return
-        current = spark.read.format(fmt).load(target_path)
-        joined = current.unionByName(part)
-        merged = joined.groupBy(*group_keys).agg(
-            F.sum("n_rows").alias("n_rows"),
-            *[F.sum(alias).alias(alias) for alias in sum_cols.values()],
-        )
-        # durable staging swap (see operators.writes.write_mode)
-        import shutil as _shutil
         import uuid as _uuid
 
         staging = f"{target_path}.__stage_{_uuid.uuid4().hex[:8]}"
+        if not _os.path.exists(target_path):
+            part.write.format(fmt).mode("overwrite").save(staging)
+            _stage_ledger(staging, None, batch_id)
+            _os.replace(staging, target_path)  # data + marker land together
+            return
+        current = spark.read.format(fmt).load(target_path)
+        merged = current.unionByName(part).groupBy(*group_keys).agg(
+            F.sum("n_rows").alias("n_rows"),
+            *[F.sum(alias).alias(alias) for alias in sum_cols.values()],
+        )
         merged.write.format(fmt).mode("overwrite").save(staging)
-        _shutil.rmtree(target_path, ignore_errors=True)
-        _os.replace(staging, target_path)
-        _os.makedirs(ledger_dir, exist_ok=True)
-        open(marker, "w").close()
+        # prior markers + this batch's marker go into staging BEFORE
+        # the swap: the ledger is never behind the data it describes
+        _stage_ledger(staging, _os.path.join(target_path, _LEDGER), batch_id)
+        from d2d_spark.operators.writes import _swap_paths
 
-    q = (
-        stream.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return q
+        _swap_paths(spark, staging, target_path)
+
+    def _stage_ledger(staging: str, prior_ledger: str | None, batch_id: int) -> None:
+        dst = _os.path.join(staging, _LEDGER)
+        if prior_ledger and _os.path.isdir(prior_ledger):
+            _shutil.copytree(prior_ledger, dst)
+        else:
+            _os.makedirs(dst, exist_ok=True)
+        open(_os.path.join(dst, f"batch_{batch_id}"), "w").close()
+
+    return merge_batch

@@ -157,6 +157,46 @@ def test_read_sql_dump_with_create_table(spark, tmpdir):
     assert rows == {1: "x", 2: "y", 3: None}
 
 
+def test_sqlfile_append_keeps_both_batches(spark, tmpdir):
+    """Regression (r2 verdict #4): append mode must add statements to
+    the dump, not clobber the first batch."""
+    conn = SqlFileConnector(str(tmpdir), spark)
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, name string")
+    b2 = spark.createDataFrame([(3, "c")], "id bigint, name string")
+    conn.write(b1, "t", mode="append", pks=["id"])
+    conn.write(b2, "t", mode="append", pks=["id"])
+    back = conn.read("t")
+    assert {r.id: r.name for r in back.collect()} == {1: "a", 2: "b", 3: "c"}
+    # overwrite still replaces
+    conn.write(b2, "t", mode="overwrite", pks=["id"])
+    assert {r.id for r in conn.read("t").collect()} == {3}
+
+
+def test_read_sql_dump_multitable_default_first(spark, tmpdir):
+    """Regression (r2 verdict #4): table=None on a two-table dump must
+    yield ONLY the first table, never a schema-mixed union."""
+    dump = tmpdir / "multi.sql"
+    dump.write_text(
+        "CREATE TABLE `alpha` (\n  `id` bigint,\n  `name` varchar(8)\n);\n"
+        "INSERT INTO `alpha` VALUES (1,'x'),(2,'y');\n"
+        "CREATE TABLE `beta` (\n  `bid` bigint,\n  `score` double\n);\n"
+        "INSERT INTO `beta` VALUES (9,1.5);\n"
+    )
+    df = read_sql_dump(spark, str(dump))
+    assert set(df.columns) == {"id", "name"}
+    assert {r.id: r.name for r in df.collect()} == {1: "x", 2: "y"}
+    beta = read_sql_dump(spark, str(dump), table="beta")
+    assert {r.bid: r.score for r in beta.collect()} == {9: 1.5}
+    # no-DDL dump: first INSERT's table decides
+    dump2 = tmpdir / "noddl.sql"
+    dump2.write_text(
+        "INSERT INTO `g` (`id`, `v`) VALUES (1,'a');\n"
+        "INSERT INTO `h` (`hid`) VALUES (7);\n"
+    )
+    df2 = read_sql_dump(spark, str(dump2))
+    assert set(df2.columns) == {"id", "v"} and df2.count() == 1
+
+
 # --- archive ---------------------------------------------------------
 
 

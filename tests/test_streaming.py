@@ -294,6 +294,35 @@ def test_incremental_rollup_matches_batch(spark, sf_dir, tmpdir):
     assert g == w
 
 
+def test_rollup_replayed_batch_is_skipped(spark, sf_dir, tmpdir):
+    """Regression (r2 verdict #3): at-least-once foreachBatch replays a
+    batch_id after a crash — the merge must be idempotent, including
+    when the replay lands mid-sequence after later batches merged."""
+    from d2d_spark.streaming.windows import make_rollup_merger
+
+    tgt = str(tmpdir / "tgt")
+    merge = make_rollup_merger(tgt, ts_col="ts", duration="1 hour",
+                               keys=["event_type"], sum_cols={"value": "sum_value"})
+    ev = read_table(spark, sf_dir, "events").limit(600).cache()
+    b0, b1, b2 = (ev.filter(F.col("event_id") % 3 == i) for i in range(3))
+
+    merge(b0, 0)
+    merge(b1, 1)
+    merge(b0, 0)  # replay of an old batch mid-sequence
+    merge(b2, 2)
+    merge(b2, 2)  # replay of the latest batch
+
+    got = {(r.ws, r.event_type): (r.n_rows, round(r.sum_value, 6))
+           for r in spark.read.parquet(tgt).collect()}
+    want_df = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum(F.col("value").cast("double")).alias("sum_value"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n_rows", "sum_value")
+    )
+    want = {(r.ws, r.event_type): (r.n_rows, round(r.sum_value, 6)) for r in want_df.collect()}
+    assert got == want
+
+
 def test_watermark_drops_late_rows(spark, sf_dir, tmpdir):
     """Late-data policy: with a finished watermark, a second batch of
     events older than the watermark must NOT change closed windows
