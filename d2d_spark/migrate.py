@@ -63,6 +63,17 @@ def apply_format_data(df: DataFrame, fn: RowFn | dict[str, Column] | None, sampl
                     raise RuntimeError(f"format_data failed on row {rec!r}") from e
                 if t:
                     out.append(t)
+            if out:
+                # a key the sample never saw would be silently dropped
+                # by the fixed-column DataFrame below — fail loudly
+                # instead (schema drift is a bug, not a column to lose)
+                extra = set().union(*(t.keys() for t in out)) - set(cols)
+                if extra:
+                    raise ValueError(
+                        f"format_data emitted keys absent from the sampled schema: "
+                        f"{sorted(extra)}; emit them in the first {sample} rows or "
+                        f"raise the sample size"
+                    )
             yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(
                 {c: pd.Series(dtype="object") for c in cols}
             )

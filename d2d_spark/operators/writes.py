@@ -34,19 +34,40 @@ def filter_new_rows(incoming: DataFrame, target_keys: DataFrame, pks: list[str])
     return incoming.join(probe, on=pks, how="left_anti")
 
 
-def upsert_rows(target: DataFrame, incoming: DataFrame, pks: list[str]) -> DataFrame:
+def upsert_rows(
+    target: DataFrame, incoming: DataFrame, pks: list[str], order_col: str | None = None
+) -> DataFrame:
     """ON DUPLICATE KEY UPDATE as a dataflow: incoming wins on key
     collision, unmatched target rows survive. Equivalent to
-    MERGE WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT."""
-    inc = incoming.dropDuplicates(pks)
+    MERGE WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT.
+
+    Duplicate keys WITHIN the incoming batch: the reference's
+    executemany applies rows in order, so the last occurrence wins.
+    A distributed batch has no inherent order — pass ``order_col``
+    to pin the winner (max value per key); without it the choice
+    among incoming duplicates is an explicit arbitrary-but-single
+    pick (dropDuplicates)."""
+    if order_col is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*pks).orderBy(F.col(order_col).desc())
+        inc = (
+            incoming.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        inc = incoming.dropDuplicates(pks)
     kept = target.join(inc.select(*pks), on=pks, how="left_anti")
     return kept.unionByName(inc, allowMissingColumns=False)
 
 
-def replace_rows(target: DataFrame, incoming: DataFrame, pks: list[str]) -> DataFrame:
+def replace_rows(
+    target: DataFrame, incoming: DataFrame, pks: list[str], order_col: str | None = None
+) -> DataFrame:
     """MySQL REPLACE (delete+insert) — same end state as upsert for
     whole-row payloads."""
-    return upsert_rows(target, incoming, pks)
+    return upsert_rows(target, incoming, pks, order_col)
 
 
 def update_rows(df: DataFrame, set_exprs: dict[str, "F.Column"], where: "F.Column") -> DataFrame:
@@ -84,6 +105,7 @@ def write_mode(
     spark=None,
     partition_by: list[str] | None = None,
     options: dict[str, str] | None = None,
+    order_col: str | None = None,
 ) -> None:
     """Apply an insert mode against a path-based table.
 
@@ -125,7 +147,7 @@ def write_mode(
     if mode == "ignore":
         out = target.unionByName(filter_new_rows(df, target, pks))
     elif mode in ("replace", "upsert"):
-        out = upsert_rows(target, df, pks)
+        out = upsert_rows(target, df, pks, order_col)
     else:
         raise ValueError(f"unknown write mode {mode!r}")
     # Write the merged set to a DURABLE staging path first, then swap

@@ -250,6 +250,63 @@ def test_jdbc_options_and_ddl(spark, sf_dir):
     assert "ON DUPLICATE KEY UPDATE" in stmts[0] and stmts[1].startswith("DROP TABLE")
 
 
+def test_staged_merge_sql_dialects():
+    """Regression (r2 verdict #5): the staged merge must speak each
+    engine's grammar, not emit MySQL everywhere."""
+    from d2d_spark.sources.jdbc import url_dialect
+
+    assert url_dialect("jdbc:postgresql://h/db") == "postgresql"
+    assert url_dialect("jdbc:clickhouse://h:8123/db") == "clickhouse"
+    assert url_dialect("jdbc:oracle:thin:@h:1521/orcl") == "oracle"
+    assert url_dialect("jdbc:mysql://h/db") == "mysql"
+
+    cols, pks = ["id", "v"], ["id"]
+    pg_up = staged_merge_sql("t", cols, "upsert", "postgresql", pks)
+    assert 'ON CONFLICT ("id") DO UPDATE SET "v" = EXCLUDED."v"' in pg_up[0]
+    pg_ig = staged_merge_sql("t", cols, "ignore", "postgresql", pks)
+    assert 'ON CONFLICT ("id") DO NOTHING' in pg_ig[0]
+    assert pg_ig[1] == 'DROP TABLE "t__stage"'
+
+    ch_ig = staged_merge_sql("t", cols, "ignore", "clickhouse", pks)
+    assert "LEFT ANTI JOIN" in ch_ig[0]
+    ch_up = staged_merge_sql("t", cols, "upsert", "clickhouse", pks)
+    assert ch_up[0].startswith("DELETE FROM `t` WHERE (`id`) IN")
+    assert ch_up[1].startswith("INSERT INTO `t`")
+
+    ora = staged_merge_sql("t", cols, "upsert", "oracle", pks)
+    assert ora[0].startswith('MERGE INTO "t" t USING "t__stage" s ON (t."id" = s."id")')
+    assert 'WHEN MATCHED THEN UPDATE SET t."v" = s."v"' in ora[0]
+    assert "WHEN NOT MATCHED THEN INSERT" in ora[0]
+    ora_ig = staged_merge_sql("t", cols, "ignore", "oracle", pks)
+    assert "WHEN MATCHED" not in ora_ig[0]
+
+    # non-MySQL dialects have no engine-side key to fall back on
+    with pytest.raises(ValueError):
+        staged_merge_sql("t", cols, "upsert", "postgresql")
+
+
+def test_create_table_sql_dialects(spark, sf_dir):
+    """Regression (r2 verdict #5): target bootstrap emits an explicit
+    PRIMARY KEY per dialect."""
+    from d2d_spark.sources.ddl import create_table_sql
+
+    df = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    my = create_table_sql("t", df.schema, ["o_orderkey"], "mysql")
+    assert my.startswith("CREATE TABLE IF NOT EXISTS `t`")
+    assert "PRIMARY KEY (`o_orderkey`)" in my and "`o_orderkey` bigint NOT NULL" in my
+
+    pg = create_table_sql("t", df.schema, ["o_orderkey"], "postgresql")
+    assert 'PRIMARY KEY ("o_orderkey")' in pg and '"o_totalprice" double precision' in pg
+
+    ch = create_table_sql("t", df.schema, ["o_orderkey"], "clickhouse")
+    assert "ENGINE = MergeTree ORDER BY (`o_orderkey`)" in ch
+    assert "Nullable(Float64)" in ch and "Nullable(Int64)" not in ch.split("ORDER BY")[0].split("`o_orderkey`")[1].split("\n")[0]
+
+    ora = create_table_sql("t", df.schema, ["o_orderkey"], "oracle")
+    assert ora.startswith("BEGIN EXECUTE IMMEDIATE") and "SQLCODE != -955" in ora
+    assert '"o_orderkey" NUMBER(19) NOT NULL' in ora
+
+
 def test_excel_gated(spark, tmpdir):
     from d2d_spark.sources.excel import HAVE_ENGINE, ExcelConnector
 

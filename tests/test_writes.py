@@ -150,6 +150,45 @@ def test_write_mode_swap_failure_no_data_loss(spark, monkeypatch, tmp_path):
     assert got == {1: "a", 2: "B", 3: "c"}
 
 
+def test_upsert_order_col_pins_last_wins(spark):
+    """Regression (r1 ask #9 / r2 verdict #6): duplicate incoming keys
+    resolve by order_col — the executemany last-wins semantics, made
+    deterministic."""
+    from d2d_spark.operators.writes import upsert_rows
+
+    target = spark.createDataFrame([Row(id=1, v="old", seq=0)])
+    inc = spark.createDataFrame(
+        [Row(id=1, v="first", seq=1), Row(id=1, v="last", seq=9), Row(id=2, v="x", seq=5)]
+    ).repartition(4)
+    out = {r.id: r.v for r in upsert_rows(target, inc, ["id"], order_col="seq").collect()}
+    assert out == {1: "last", 2: "x"}
+    # without order_col: still exactly one row per key
+    n = upsert_rows(target, inc, ["id"]).groupBy("id").count().collect()
+    assert all(r["count"] == 1 for r in n)
+
+
+def test_format_data_unseen_key_raises(spark):
+    """Regression (r1 ask #8 / r2 verdict #6): a transform emitting a
+    key the sampled schema never saw must raise, not silently drop the
+    column distributed-side."""
+    from d2d_spark.migrate import apply_format_data
+
+    df = spark.createDataFrame([Row(id=i) for i in range(8)]).coalesce(1)
+
+    def fn(d):
+        out = dict(d)
+        if d["id"] >= 4:  # appears only beyond the sample
+            out["surprise"] = 1
+        return out
+
+    shaped = apply_format_data(df, fn, sample=2)
+    with pytest.raises(Exception, match="absent from the sampled schema"):
+        shaped.collect()
+    # a transform whose sample covers all keys still works
+    ok = apply_format_data(df, lambda d: {**d, "k": d["id"] * 2}, sample=2)
+    assert {r.k for r in ok.collect()} == {0, 2, 4, 6, 8, 10, 12, 14}
+
+
 def test_uncovered_scalar_helpers(spark):
     """clamp_datetime / cast_with_default / json_encode / bytes_b64 /
     secure_filename semantics."""
