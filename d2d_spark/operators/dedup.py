@@ -35,18 +35,20 @@ QUADRATIC_CAP = 20_000
 
 
 def _guard_quadratic(df: DataFrame, what: str, allow_quadratic: bool, cap: int) -> None:
-    """Refuse unbounded inputs to O(n^2) operators: counting the input
-    costs one cheap scan; silently launching an n^2 crossJoin at 100 TB
-    costs the cluster. Pass ``allow_quadratic=True`` only for inputs
-    that are bounded candidate sets by construction."""
+    """Refuse unbounded inputs to O(n^2) operators. The probe is
+    bounded — ``limit(cap+1)`` short-circuits the scan after cap+1
+    rows, so guarding a 100 TB input costs ~cap rows, not a full
+    count of the very table the guard protects against. Pass
+    ``allow_quadratic=True`` only for inputs that are bounded
+    candidate sets by construction."""
     if allow_quadratic:
         return
-    n = df.count()
+    n = df.limit(cap + 1).count()
     if n > cap:
         raise ValueError(
-            f"{what}: input has {n:,} rows (> cap {cap:,}); an all-pairs "
-            f"crossJoin would materialize ~{n * (n - 1) // 2:,} candidate "
-            "pairs. Route candidates through a banded path instead "
+            f"{what}: input exceeds the all-pairs cap ({cap:,} rows); an "
+            "n^2 crossJoin would materialize an unbounded candidate-pair "
+            "set. Route candidates through a banded path instead "
             "(minhash_lsh_pairs / simhash_near_pairs / fuzzy_pairs_lsh / "
             "similarity.lsh_topk), or pass allow_quadratic=True if this "
             "input really is a bounded candidate set."
@@ -132,12 +134,20 @@ def minhash_signature(
     return out.drop("__h31")
 
 
+#: per-task token-hash cache bound — zipfian corpora fit comfortably;
+#: high-cardinality token streams (ids, hashes) reset instead of
+#: growing a worker dict without bound. A reset only costs crc32
+#: recomputes, never correctness.
+TOKEN_CACHE_CAP = 1 << 19
+
+
 def _minhash_signature_arrow(
     df: DataFrame,
     text_col: str,
     num_hashes: int,
     shingle_n: int,
     emit_hashed_shingles: bool = False,
+    token_cache_cap: int = TOKEN_CACHE_CAP,
 ) -> DataFrame:
     import numpy as np
     import pandas as pd
@@ -169,7 +179,8 @@ def _minhash_signature_arrow(
         mults = [np.uint64(m) for m in pos_mult]
         mask31 = np.uint64(0x7FFFFFFF)
         # token-hash cache shared across the batch stream: corpus token
-        # frequency is zipfian, so most crc32 calls become dict hits
+        # frequency is zipfian, so most crc32 calls become dict hits;
+        # bounded so a 100 TB vocabulary can't OOM the worker
         cache: dict[str, int] = {}
         crc32 = zlib.crc32
 
@@ -179,6 +190,8 @@ def _minhash_signature_arrow(
                 v = cache.get(t)
                 if v is None:
                     v = crc32(t.encode("utf-8")) & 0x7FFFFFFF
+                    if len(cache) >= token_cache_cap:
+                        cache.clear()
                     cache[t] = v
                 out[i] = v
             return out

@@ -26,23 +26,42 @@ should use the DataFrame forms.
 from __future__ import annotations
 
 import os
+from urllib.parse import quote, unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from d2d_spark.sources.base import require_spark
 
-_UNSAFE = set('\\/:*?"<>|')
+#: filesystem name limit is 255 bytes; refuse keys whose encoding
+#: exceeds it rather than truncate (truncation re-introduces
+#: collisions)
+_MAX_NAME = 255
 
 
 def _safe_name(key: str) -> str:
-    """Python-side mirror of functions.scalars.secure_filename (d22d
-    secure_filename, d22d/utils/db/__init__.py:54-85): strip path
-    separators and shell-unsafe characters so a hostile key cannot
-    escape the store root."""
-    cleaned = "".join("_" if c in _UNSAFE or ord(c) < 32 else c for c in key)
-    cleaned = cleaned.strip(". ")
-    return cleaned[:250] or "_"
+    """Collision-free, reversible key -> filename encoding: RFC 3986
+    percent-encoding of every non-alphanumeric byte. Distinct keys
+    ('a/b' vs 'a:b') get distinct names, a hostile key cannot escape
+    the store root (no '/' survives), and the original key is
+    recovered exactly by :func:`_key_of` — both single-key and
+    read_all() paths return true keys, not sanitized shadows."""
+    if not key:
+        raise ValueError("blob key must be non-empty")
+    name = quote(key, safe="._-")
+    if name.startswith("."):  # never collide with hidden/tmp staging
+        name = "%2E" + name[1:]
+    if len(name.encode("utf-8")) > _MAX_NAME:
+        raise ValueError(
+            f"blob key encodes to {len(name)} bytes (> {_MAX_NAME}); "
+            "shorten the key or shard it into a sub-prefix"
+        )
+    return name
+
+
+def _key_of(name: str) -> str:
+    """Inverse of _safe_name."""
+    return unquote(name)
 
 
 class BlobStore:
@@ -64,9 +83,14 @@ class BlobStore:
         return os.path.join(self.root, _safe_name(key))
 
     def list(self) -> list[str]:
+        """Original (decoded) keys — never the on-disk encodings."""
         if not os.path.isdir(self.root):
             return []
-        return sorted(n for n in os.listdir(self.root) if not n.startswith("."))
+        return sorted(
+            _key_of(n)
+            for n in os.listdir(self.root)
+            if not n.startswith(".") and not n.endswith(".tmp")
+        )
 
     def check(self, key: str) -> bool:
         return os.path.isfile(self._path(key))
@@ -76,7 +100,10 @@ class BlobStore:
             return f.read()
 
     def save(self, key: str, payload: bytes) -> None:
-        tmp = self._path(key) + ".tmp"
+        # dot-prefixed staging like the bulk path: list()/read_all()
+        # can never observe a half-written or crash-leaked temp file
+        name = _safe_name(key)
+        tmp = os.path.join(self.root, f".{name}.tmp")
         with open(tmp, "wb") as f:
             f.write(payload)
         os.replace(tmp, self._path(key))  # atomic: readers never see partial blobs
@@ -93,6 +120,27 @@ class BlobStore:
         streams its own blobs, nothing is collected to the driver.
         Last-writer-wins on duplicate keys (GridFS put semantics)."""
         root = self.root
+        # fail fast instead of silently scattering blobs across
+        # executor-local disks: plain open() only reaches a shared
+        # location when the root is a mounted path on a local master
+        # (or a genuinely shared mount the caller vouches for)
+        master = df.sparkSession.sparkContext.master
+        if "://" in root:
+            raise ValueError(
+                f"save_dataframe writes with plain open(); remote root "
+                f"{root!r} needs an fsspec/Hadoop opener — read_all() "
+                "supports remote roots, the write side does not yet"
+            )
+        if not master.startswith("local") and not os.environ.get(
+            "D2D_BLOBSTORE_SHARED_ROOT"
+        ):
+            raise ValueError(
+                f"master {master!r} is multi-node: blobs written with "
+                f"open() under {root!r} would land on executor-local "
+                "disks and read_all() would silently return partial "
+                "data. Point root at a shared mount and set "
+                "D2D_BLOBSTORE_SHARED_ROOT=1 to assert it is shared."
+            )
         os.makedirs(root, exist_ok=True)
 
         def write_partition(rows):
@@ -117,8 +165,13 @@ class BlobStore:
         if glob:
             reader = reader.option("pathGlobFilter", glob)
         raw = reader.load(self.root)
+        # drop staging debris (current staging is dot-prefixed and
+        # already invisible; pre-encoding stores staged '<name>.tmp'),
+        # then decode the filename back to the ORIGINAL key (url_decode
+        # is the JVM-side inverse of _safe_name's percent-encoding)
+        raw = raw.filter(~F.col("path").endswith(".tmp"))
         return raw.select(
-            F.element_at(F.split(F.col("path"), "/"), -1).alias("key"),
+            F.url_decode(F.element_at(F.split(F.col("path"), "/"), -1)).alias("key"),
             F.col("content").alias("payload"),
             F.col("length"),
             F.col("modificationTime").alias("mod_time"),

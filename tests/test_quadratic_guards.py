@@ -35,6 +35,35 @@ def test_levenshtein_pairs_refuses_unbounded_input(spark, sf_dir):
         levenshtein_pairs(p, "p_name", "p_partkey", cap=10)
 
 
+def test_guard_probe_is_bounded(spark, sf_dir):
+    """ADVICE r2: the guard probes limit(cap+1), never a full scan of
+    the input it protects — the executed plan carries the limit."""
+    from unittest import mock
+
+    from d2d_spark.operators import dedup as dd
+
+    d = read_table(spark, sf_dir, "documents")
+    with mock.patch.object(
+        d.__class__, "limit", autospec=True, side_effect=d.__class__.limit
+    ) as lim:
+        with pytest.raises(ValueError):
+            dd._guard_quadratic(d, "probe-test", False, 10)
+        assert any(c.args[1] == 11 for c in lim.call_args_list)
+
+
+def test_minhash_token_cache_cap_is_correctness_neutral(spark, sf_dir):
+    """ADVICE r2: a thrashing (tiny) token cache must yield identical
+    signatures — the cap only bounds memory, never results."""
+    from d2d_spark.operators.dedup import _minhash_signature_arrow
+
+    d = read_table(spark, sf_dir, "documents").limit(40).select("doc_id", "text")
+    big = _minhash_signature_arrow(d, "text", num_hashes=16, shingle_n=3)
+    tiny = _minhash_signature_arrow(d, "text", num_hashes=16, shingle_n=3, token_cache_cap=4)
+    g = {r.doc_id: tuple(r.minhash) for r in big.collect()}
+    t = {r.doc_id: tuple(r.minhash) for r in tiny.collect()}
+    assert g == t
+
+
 def test_allow_quadratic_opt_in_still_works(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents").limit(30)
     out = ngram_jaccard_pairs(d, "text", "doc_id", allow_quadratic=True, cap=10)

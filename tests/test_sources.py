@@ -225,6 +225,60 @@ def test_memory_connector(spark):
     assert {r.k: set(r.v) for r in got} == {1: {"a", "b"}, 2: {"c"}}
 
 
+# --- blob store -------------------------------------------------------
+
+
+def test_blobstore_distinct_keys_never_collide(spark, tmpdir):
+    """ADVICE r2: 'a/b' and 'a:b' must be two blobs, and every read
+    path must return the ORIGINAL keys, not sanitized shadows."""
+    from d2d_spark.sources.blobstore import BlobStore
+
+    store = BlobStore(str(tmpdir / "store"), spark)
+    store.save("a/b", b"one")
+    store.save("a:b", b"two")
+    store.save("doc café +%", b"three")
+    assert store.get("a/b") == b"one" and store.get("a:b") == b"two"
+    assert store.get("doc café +%") == b"three"
+    assert sorted(store.list()) == ["a/b", "a:b", "doc café +%"]
+    got = {r.key: bytes(r.payload) for r in store.read_all().collect()}
+    assert got == {"a/b": b"one", "a:b": b"two", "doc café +%": b"three"}
+    # hostile keys cannot escape the root
+    store.save("../escape", b"x")
+    import os as _os
+
+    assert _os.listdir(str(tmpdir / "store")) and not (tmpdir / "escape").exists()
+    with pytest.raises(ValueError):
+        store.save("k" * 300, b"x")
+    with pytest.raises(ValueError):
+        store.save("", b"x")
+
+
+def test_blobstore_tmp_staging_hidden(spark, tmpdir):
+    """ADVICE r2: crash-leaked temp files are dot-prefixed, invisible
+    to list() and the binaryFile scan."""
+    from d2d_spark.sources.blobstore import BlobStore
+
+    store = BlobStore(str(tmpdir / "store"), spark)
+    store.save("good", b"ok")
+    # simulate a crash mid-save: a leaked staging file
+    (tmpdir / "store" / ".half.tmp").write_bytes(b"partial")
+    (tmpdir / "store" / "stray.tmp").write_bytes(b"partial")
+    assert store.list() == ["good"]
+    assert {r.key for r in store.read_all().collect()} == {"good"}
+
+
+def test_blobstore_remote_root_fails_fast(spark, tmpdir):
+    """ADVICE r2: a root plain open() can't reach must refuse, not
+    silently scatter blobs."""
+    from d2d_spark.sources.blobstore import BlobStore
+
+    store = BlobStore(str(tmpdir / "store"), spark)
+    df = spark.createDataFrame([("k", bytearray(b"v"))], "key string, payload binary")
+    store.root = "s3a://bucket/prefix"
+    with pytest.raises(ValueError, match="fsspec/Hadoop opener"):
+        store.save_dataframe(df, "key", "payload")
+
+
 # --- jdbc (no server: options/DDL only) ------------------------------
 
 
