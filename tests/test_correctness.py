@@ -35,3 +35,19 @@ def test_rows_only_queries_run(spark):
             df = q.fn(spark, SF_SMALL)
             assert df.columns, q.name
             df.limit(5).collect()
+
+
+def test_coverage_doc_cites_only_live_queries():
+    """COVERAGE.md is the map a new reader trusts — every query name
+    it cites must exist in the registry (r2 verdict #8)."""
+    import re
+    from pathlib import Path
+
+    names = set(load_all().keys())
+    text = (Path(__file__).resolve().parent.parent / "COVERAGE.md").read_text()
+    # query citations are backticked snake_case referencing 'query `x`'
+    cited = set(re.findall(r"quer(?:y|ies) `([a-z0-9_]+)`", text))
+    cited |= set(re.findall(r"`([a-z0-9_]+)` \(oracled", text))
+    missing = sorted(cited - names)
+    assert not missing, f"COVERAGE.md cites unknown queries: {missing}"
+    assert len(names) == 50, "registry must stay at the driver's 50-query window"
