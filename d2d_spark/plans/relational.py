@@ -867,14 +867,17 @@ def pivot_unpivot_roundtrip(spark, sf_dir):
     tags=("join", "fuzzy", "levenshtein"),
 )
 def fuzzy_name_pairs(spark, sf_dir):
-    """Fuzzy string matching: near-identical names by edit distance.
-    The guarded quadratic ground truth on a bounded slice — the
-    operator refuses unbounded inputs; the scale route is
-    dedup.fuzzy_pairs_lsh (character-shingle LSH candidates + exact
-    Levenshtein verify), pytest-checked equal to this on the slice."""
-    from d2d_spark.operators.dedup import levenshtein_pairs
+    """Fuzzy string matching: near-identical names by edit distance,
+    computed by the SCALE path — deletion-neighborhood (FastSS)
+    candidate generation + exact Levenshtein verify. Guaranteed
+    recall and precision 1.0 make it hash-identical to the quadratic
+    ground truth the oracle runs, so the driver check certifies the
+    very plan that runs at 100 TB (no all-pairs stage anywhere);
+    dedup.levenshtein_pairs stays as the guarded quadratic baseline,
+    pytest-checked equal on slices."""
+    from d2d_spark.operators.dedup import fuzzy_pairs_deletion
 
     p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200).select("p_partkey", "p_name")
-    return levenshtein_pairs(p, "p_name", "p_partkey", max_dist=2)
+    return fuzzy_pairs_deletion(p, "p_name", "p_partkey", max_dist=2)
 
 

@@ -68,3 +68,28 @@ def require_spark(spark: SparkSession | None) -> SparkSession:
     if active is None:
         raise RuntimeError("no active SparkSession; pass spark= explicitly")
     return active
+
+
+def check_executor_local_root(spark: SparkSession, root: str, what: str) -> None:
+    """Fail fast for sinks whose executors write with plain ``open()``:
+    a remote scheme never works through open(), and on a multi-node
+    master a non-shared local path would scatter files across executor
+    disks — a later scan silently returns partial data. Set
+    ``D2D_BLOBSTORE_SHARED_ROOT=1`` to assert the mount is shared."""
+    import os as _os
+
+    if "://" in root:
+        raise ValueError(
+            f"{what} writes with plain open(); remote root {root!r} needs "
+            "an fsspec/Hadoop opener — the scan side supports remote "
+            "roots, the executor write side does not yet"
+        )
+    master = spark.sparkContext.master
+    if not master.startswith("local") and not _os.environ.get("D2D_BLOBSTORE_SHARED_ROOT"):
+        raise ValueError(
+            f"master {master!r} is multi-node: {what} files written with "
+            f"open() under {root!r} would land on executor-local disks and "
+            "a later scan would silently return partial data. Point the "
+            "root at a shared mount and set D2D_BLOBSTORE_SHARED_ROOT=1 "
+            "to assert it is shared."
+        )

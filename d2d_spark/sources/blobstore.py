@@ -31,7 +31,7 @@ from urllib.parse import quote, unquote
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from d2d_spark.sources.base import require_spark
+from d2d_spark.sources.base import check_executor_local_root, require_spark
 
 #: filesystem name limit is 255 bytes; refuse keys whose encoding
 #: exceeds it rather than truncate (truncation re-introduces
@@ -120,27 +120,7 @@ class BlobStore:
         streams its own blobs, nothing is collected to the driver.
         Last-writer-wins on duplicate keys (GridFS put semantics)."""
         root = self.root
-        # fail fast instead of silently scattering blobs across
-        # executor-local disks: plain open() only reaches a shared
-        # location when the root is a mounted path on a local master
-        # (or a genuinely shared mount the caller vouches for)
-        master = df.sparkSession.sparkContext.master
-        if "://" in root:
-            raise ValueError(
-                f"save_dataframe writes with plain open(); remote root "
-                f"{root!r} needs an fsspec/Hadoop opener — read_all() "
-                "supports remote roots, the write side does not yet"
-            )
-        if not master.startswith("local") and not os.environ.get(
-            "D2D_BLOBSTORE_SHARED_ROOT"
-        ):
-            raise ValueError(
-                f"master {master!r} is multi-node: blobs written with "
-                f"open() under {root!r} would land on executor-local "
-                "disks and read_all() would silently return partial "
-                "data. Point root at a shared mount and set "
-                "D2D_BLOBSTORE_SHARED_ROOT=1 to assert it is shared."
-            )
+        check_executor_local_root(df.sparkSession, root, "save_dataframe")
         os.makedirs(root, exist_ok=True)
 
         def write_partition(rows):

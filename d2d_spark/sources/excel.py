@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from d2d_spark.functions.scalars import scrub_illegal_xml
-from d2d_spark.sources.base import Connector, require_spark
+from d2d_spark.sources.base import Connector, check_executor_local_root, require_spark
 
 try:  # pragma: no cover - absent in the sandbox
     import openpyxl  # noqa: F401
@@ -59,21 +59,35 @@ class ExcelConnector(Connector):
             for p in glob.glob(os.path.join(self.root, f"*{self.ext}"))
         )
 
+    def part_dir(self, index: str) -> str:
+        """Directory of distributed workbook parts for ``index``."""
+        return self.path(index) + ".d"
+
     def read(self, index: str, **kw) -> DataFrame:
         """Workbook -> DataFrame. Excel files are not splittable, so
         the scale unit is one executor task per workbook: files are
         listed driver-side and decoded inside a parallelized map, not
-        on the driver."""
+        on the driver. Reads either a single ``<index>.xlsx`` or a
+        directory of distributed parts ``<index>.xlsx.d/``."""
         _require_engine()
         path = self.path(index)
+        if not os.path.exists(path) and os.path.isdir(self.part_dir(index)):
+            path = self.part_dir(index)
+            sample = sorted(glob.glob(os.path.join(path, "*.xlsx")))[0]
+        else:
+            sample = path
 
         def decode(p: str) -> pd.DataFrame:
             sheets = pd.read_excel(p, sheet_name=None)  # all sheets
             return pd.concat(sheets.values(), ignore_index=True)
 
         # binaryFile keeps the workbook bytes executor-side
-        bin_df = self.spark.read.format("binaryFile").load(path)
-        first = decode(path)  # schema from a driver-side sample read
+        bin_df = (
+            self.spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.xlsx")
+            .load(path)
+        )
+        first = decode(sample)  # schema from a driver-side sample read
         schema = self.spark.createDataFrame(first.head(100)).schema
 
         def per_file(iterator):
@@ -86,11 +100,31 @@ class ExcelConnector(Connector):
 
         return bin_df.select("content").mapInPandas(per_file, schema=schema)
 
-    def write(self, df: DataFrame, index: str, mode: str = "overwrite", pks=None, **kw) -> None:
+    #: above this many rows, refuse the driver-side single-workbook
+    #: assembly — the caller must take the distributed part path
+    DRIVER_ROW_CAP = 1_000_000
+
+    def write(
+        self,
+        df: DataFrame,
+        index: str,
+        mode: str = "overwrite",
+        pks=None,
+        distributed: bool | None = None,
+        **kw,
+    ) -> None:
         """Scrub illegal XML chars (reference :896-909), roll over to a
-        new sheet every max_rows_per_sheet. Workbook assembly is
-        driver-side (xlsx is one unsplittable zip container) — Excel
-        is an export format, not a scale path; cap enforced."""
+        new sheet every max_rows_per_sheet (reference :887-893).
+
+        Two shapes:
+          - single workbook (small exports): driver-side assembly,
+            REFUSED above DRIVER_ROW_CAP rows (bounded limit-probe,
+            not a full count);
+          - ``distributed=True``: each partition writes its own
+            ``part-*.xlsx`` into ``<index>.xlsx.d/`` FROM THE
+            EXECUTORS via mapInPandas — no driver collect, sheet
+            rollover inside each part; ``read`` unions the parts.
+        """
         _require_engine()
         scrubbed = df.select(
             *[
@@ -98,10 +132,57 @@ class ExcelConnector(Connector):
                 for c, dt in df.dtypes
             ]
         )
-        pdf = scrubbed.toPandas()
-        os.makedirs(self.root, exist_ok=True)
-        with pd.ExcelWriter(self.path(index)) as writer:
-            for i, start in enumerate(range(0, max(len(pdf), 1), self.max_rows_per_sheet)):
-                pdf.iloc[start : start + self.max_rows_per_sheet].to_excel(
-                    writer, sheet_name=f"sheet{i + 1}", index=False
+        if distributed is None:
+            distributed = False
+        if not distributed:
+            probe = df.limit(self.DRIVER_ROW_CAP + 1).count()
+            if probe > self.DRIVER_ROW_CAP:
+                raise ValueError(
+                    f"single-workbook Excel write caps at {self.DRIVER_ROW_CAP:,} "
+                    "driver-side rows; pass distributed=True to write "
+                    "partition-parallel workbook parts"
                 )
+            pdf = scrubbed.toPandas()
+            os.makedirs(self.root, exist_ok=True)
+            with pd.ExcelWriter(self.path(index)) as writer:
+                for name, chunk in sheet_chunks(pdf, self.max_rows_per_sheet):
+                    chunk.to_excel(writer, sheet_name=name, index=False)
+            return
+
+        out_dir = self.part_dir(index)
+        check_executor_local_root(df.sparkSession, out_dir, "distributed Excel write")
+        if mode == "overwrite" and os.path.isdir(out_dir):
+            import shutil
+
+            shutil.rmtree(out_dir)
+        os.makedirs(out_dir, exist_ok=True)
+        max_rows = self.max_rows_per_sheet
+        out_schema = "part string, n_rows long"
+
+        def write_part(batches):
+            import uuid
+
+            pdfs = [b for b in batches if len(b)]
+            if not pdfs:
+                yield pd.DataFrame({"part": pd.Series(dtype="object"), "n_rows": pd.Series(dtype="int64")})
+                return
+            part = pd.concat(pdfs, ignore_index=True)
+            name = f"part-{uuid.uuid4().hex[:12]}.xlsx"
+            tmp = os.path.join(out_dir, f".{name}.tmp")
+            with pd.ExcelWriter(tmp, engine="openpyxl") as writer:
+                for sheet, chunk in sheet_chunks(part, max_rows):
+                    chunk.to_excel(writer, sheet_name=sheet, index=False)
+            os.replace(tmp, os.path.join(out_dir, name))
+            yield pd.DataFrame({"part": [name], "n_rows": [len(part)]})
+
+        # the tiny (part, n_rows) manifest is the only thing collected
+        scrubbed.mapInPandas(write_part, schema=out_schema).collect()
+
+
+def sheet_chunks(pdf: "pd.DataFrame", max_rows: int):
+    """(sheet_name, frame-slice) pairs implementing the reference's
+    sheet rollover: sheet1 gets the first max_rows rows, sheet2 the
+    next, … An empty frame still yields one empty sheet (a workbook
+    needs at least one)."""
+    for i, start in enumerate(range(0, max(len(pdf), 1), max_rows)):
+        yield f"sheet{i + 1}", pdf.iloc[start : start + max_rows]

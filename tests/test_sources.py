@@ -368,10 +368,27 @@ def test_excel_gated(spark, tmpdir):
     if not HAVE_ENGINE:
         with pytest.raises(NotImplementedError):
             conn.read("x")
+        with pytest.raises(NotImplementedError):
+            conn.write(spark.createDataFrame([Row(a=1)]), "t", distributed=True)
     else:  # pragma: no cover
         df = spark.createDataFrame([Row(a=1, b="x")])
         conn.write(df, "t")
-        assert conn.read("t").count() == 1
+
+
+def test_excel_sheet_rollover_chunks():
+    """Sheet rollover semantics (engine-independent): rows split
+    sheet1..sheetN every max_rows; empty frames still get one sheet."""
+    import pandas as pd
+
+    from d2d_spark.sources.excel import sheet_chunks
+
+    pdf = pd.DataFrame({"x": range(25)})
+    chunks = list(sheet_chunks(pdf, 10))
+    assert [name for name, _ in chunks] == ["sheet1", "sheet2", "sheet3"]
+    assert [len(c) for _, c in chunks] == [10, 10, 5]
+    assert list(chunks[2][1]["x"]) == [20, 21, 22, 23, 24]
+    empty = list(sheet_chunks(pdf.iloc[0:0], 10))
+    assert len(empty) == 1 and empty[0][0] == "sheet1" and len(empty[0][1]) == 0
 
 
 def test_elastic_option_assembly(spark):
