@@ -42,8 +42,7 @@ class MemoryConnector(Connector):
             if not pks:
                 raise ValueError(f"mode={mode!r} needs pks")
             if existing is None:
-                self.tables[index] = rows
-                return
+                existing = []  # create case: same keyed dedup applies
             key = lambda r: tuple(r[k] for k in pks)
             if mode == "ignore":
                 # INSERT IGNORE: first occurrence of a new key wins,

@@ -135,6 +135,15 @@ def make_rollup_merger(
 
     from pyspark.sql import functions as F
 
+    if "://" in target_path:
+        # the batch-id ledger rides on local-FS rename/copy semantics;
+        # on an object store the honest continuous-aggregate answer is
+        # an ACID table format's MERGE, not this directory swap
+        raise ValueError(
+            "incremental_rollup targets a local/shared mount; for "
+            f"remote path {target_path!r} use a transactional table "
+            "format (Delta/Iceberg MERGE) as the rollup target"
+        )
     sum_cols = sum_cols or {}
     group_keys = ["ws", "we", *keys]
 

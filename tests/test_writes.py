@@ -112,6 +112,14 @@ def test_memory_connector_keyed_modes_preserve_rows(spark):
     # keyed mode without pks must refuse, not silently overwrite
     with pytest.raises(ValueError):
         mem.write(inc, "t", mode="ignore")
+    # create case still dedups within the incoming batch by key
+    dup = spark.createDataFrame([Row(id=1, v="first"), Row(id=1, v="second")]).coalesce(1)
+    mem5 = MemoryConnector({}, spark=spark)
+    mem5.write(dup, "fresh", mode="ignore", pks=["id"])
+    assert [r["v"] for r in mem5.tables["fresh"]] == ["first"]  # first wins
+    mem6 = MemoryConnector({}, spark=spark)
+    mem6.write(dup, "fresh", mode="upsert", pks=["id"])
+    assert [r["v"] for r in mem6.tables["fresh"]] == ["second"]  # last wins
     # append still extends, overwrite still replaces
     mem4 = MemoryConnector({"t": [{"id": 1, "v": "a"}]}, spark=spark)
     mem4.write(inc, "t", mode="append")
