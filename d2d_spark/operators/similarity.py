@@ -12,6 +12,7 @@ Two paths:
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -120,6 +121,124 @@ def lsh_topk(
         .withColumn(
             "cos_sim", dot(F.col("__qv"), F.col("__cv"))
         / F.nullif(F.col("__qn") * F.col("__cn"), F.lit(0.0))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 64,
+    iters: int = 5,
+    sample: int = 10_000,
+):
+    """Spherical k-means centroids from a BOUNDED deterministic sample
+    (hash-ordered take — TakeOrderedAndProject, no full sort/shuffle):
+    the classic IVF coarse quantizer trained driver-side. ``sample``
+    caps driver memory regardless of corpus size; at 100 TB the
+    training set is still `sample` rows. Deterministic init (first
+    n_centroids of the hash order) + Lloyd iterations on normalized
+    vectors => identical centroids across runs and engines. Returns a
+    float64 ndarray (n_centroids, dim), rows L2-normalized."""
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(vec_col).alias("__v"), F.xxhash64(F.col(id_col)).alias("__h"))
+        .orderBy("__h")
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r["__v"] for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    k = min(n_centroids, len(X))
+    C = X[:k].copy()
+    for _ in range(iters):
+        S = X @ C.T  # cosine against unit centroids
+        assign = np.argmax(S, axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):  # empty clusters keep their centroid
+                c = members.sum(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+    return C
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    k: int = 5,
+    n_centroids: int = 64,
+    n_probe: int = 4,
+    iters: int = 5,
+    sample: int = 10_000,
+) -> DataFrame:
+    """IVF approximate top-k: a learned coarse quantizer (spherical
+    k-means) replaces lsh_topk's random projections — candidates are
+    the members of each query's ``n_probe`` nearest centroid cells,
+    then exact cosine rank within candidates.
+
+    Scale shape (same as lsh_topk): the corpus is scanned once to
+    attach its cell id (one vectorized GEMM per Arrow batch against
+    the broadcast centroid matrix; in production the corpus is
+    *stored* cell-partitioned so the probe join prunes partitions);
+    each query equi-joins against n_probe cells, never the whole
+    corpus. Learned cells track the data distribution, so recall per
+    probed candidate is typically better than data-blind LSH buckets."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    C = train_ivf_centroids(corpus, id_col, vec_col, n_centroids, iters, sample)
+
+    def assign_kernel(vec_series: pd.Series) -> pd.Series:
+        X = np.array(list(vec_series), dtype=np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(Xn @ C.T, axis=1).astype(np.int64))
+
+    assign = F.pandas_udf(assign_kernel, T.LongType())
+
+    def probe_kernel(vec_series: pd.Series) -> pd.Series:
+        X = np.array(list(vec_series), dtype=np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        S = Xn @ C.T
+        p = min(n_probe, S.shape[1])
+        idx = np.argpartition(-S, p - 1, axis=1)[:, :p].astype(np.int64)
+        return pd.Series(list(idx))
+
+    probe = F.pandas_udf(probe_kernel, T.ArrayType(T.LongType()))
+
+    npart = corpus.sparkSession.sparkContext.defaultParallelism
+    c = (
+        corpus.repartition(npart)
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+        .withColumn("cell", assign(F.col("__cv")))
+        .withColumn("__cn", norm(F.col("__cv")))
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qv")
+        )
+        .withColumn("cell", F.explode(probe(F.col("__qv"))))
+        .withColumn("__qn", norm(F.col("__qv")))
+    )
+    scored = (
+        q.join(c, on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_sim", dot(F.col("__qv"), F.col("__cv"))
+            / F.nullif(F.col("__qn") * F.col("__cn"), F.lit(0.0))
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -64,6 +64,44 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.3, f"multi-probe lsh recall@5 only {recall:.2f}"
 
 
+def test_ann_ivf_recall_and_determinism(spark, sf_dir):
+    """IVF (learned coarse quantizer) recall@5 vs exact top-5 on the
+    near-random fixture, plus run-to-run determinism of the trained
+    centroids (hash-ordered sample + fixed init)."""
+    import numpy as np
+
+    from d2d_spark.operators.similarity import brute_force_topk, ivf_topk, train_ivf_centroids
+    from d2d_spark.session import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 37 == 0).limit(5)
+    exact = brute_force_topk(e, queries, "vec_id", "embedding", "vec_id", "embedding", k=5).collect()
+    approx = ivf_topk(
+        e, queries, "vec_id", "embedding", "vec_id", "embedding",
+        k=5, n_centroids=16, n_probe=4,
+    ).collect()
+    assert approx and all(-1.0 <= r.cos_sim <= 1.0 for r in approx)
+    et5, at5 = {}, {}
+    for r in exact:
+        et5.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        at5.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(et5[q] & at5.get(q, set())) / len(et5[q]) for q in et5]
+    recall = sum(recalls) / len(recalls)
+    assert recall >= 0.3, f"ivf n_probe=4/16 recall@5 only {recall:.2f}"
+    # n_probe = n_centroids probes every cell => exact results
+    full = ivf_topk(
+        e, queries, "vec_id", "embedding", "vec_id", "embedding",
+        k=5, n_centroids=16, n_probe=16,
+    ).collect()
+    assert {(r.query_id, r.neighbor_id) for r in full} == {
+        (r.query_id, r.neighbor_id) for r in exact
+    }
+    c1 = train_ivf_centroids(e, "vec_id", "embedding", n_centroids=16)
+    c2 = train_ivf_centroids(e, "vec_id", "embedding", n_centroids=16)
+    assert np.array_equal(c1, c2)
+
+
 def test_multimodal_decode_runs_in_batches(spark, sf_dir):
     from d2d_spark.operators.multimodal import attach_binary_payload, decode_features
     from d2d_spark.session import read_table
