@@ -47,6 +47,10 @@ def main() -> int:
         "asof_join_click_purchase",
         "correlated_exists_orders",
         "semi_anti_join_customers",
+        "fuzzy_name_pairs",      # FastSS deletion path: must be equi-join only
+        "ann_lsh_topk",          # bucket equi-join, no cartesian
+        "minhash_lsh_pairs",     # band equi-join, ArrowEval only
+        "scan_filter_project",
     ]
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     problems = []
