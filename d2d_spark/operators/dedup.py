@@ -636,6 +636,7 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    prev_sum = None
     for _ in range(max_iterations):
         # neighbor labels: for each node, the min of its neighbors' labels
         neighbor_min = (
@@ -666,15 +667,15 @@ def connected_components(
             .select("id", F.coalesce("root", "component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        # convergence via one aggregate over the checkpointed labels:
+        # min-label propagation only ever DECREASES a component id, so
+        # the label sum strictly decreases until the fixpoint — no
+        # old-vs-new join needed
+        cur_sum = new_labels.agg(F.sum("component")).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if prev_sum is not None and cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 
