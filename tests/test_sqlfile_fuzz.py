@@ -96,3 +96,38 @@ def test_roundtrip_property(rows):
                 ), (rendered, w, g)
             else:
                 assert g == w, (rendered, w, g)
+
+
+# --- blob-key encoding (same file: the repo's property-fuzz home) ----
+
+
+@given(st.text(min_size=1, max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_blob_key_roundtrip(key):
+    """_safe_name must be injective and exactly invertible: any
+    printable-or-not key round-trips, never contains a path
+    separator, and never collides with the dot-prefixed staging
+    namespace."""
+    from d2d_spark.sources.blobstore import _key_of, _safe_name
+
+    try:
+        name = _safe_name(key)
+    except ValueError:
+        return  # over-long encodings are refused, not truncated
+    assert "/" not in name and "\\" not in name
+    assert not name.startswith(".")
+    assert _key_of(name) == key
+
+
+@given(st.lists(st.text(min_size=1, max_size=40), min_size=2, max_size=6, unique=True))
+@settings(max_examples=200, deadline=None)
+def test_blob_keys_never_collide(keys):
+    from d2d_spark.sources.blobstore import _safe_name
+
+    names = []
+    for k in keys:
+        try:
+            names.append(_safe_name(k))
+        except ValueError:
+            pass
+    assert len(set(names)) == len(names)
