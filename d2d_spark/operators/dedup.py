@@ -423,12 +423,15 @@ def ngram_jaccard_pairs(
     # intersect/union folds then compare 8-byte longs instead of
     # ~20-char strings (~1.6x on the verify stage); jaccard values are
     # identical absent a 64-bit collision (~2^-64 per shingle pair)
+    from pyspark import StorageLevel
+
+    # persisted: shingling runs once, not once per cross-join side
     sh = df.select(
         F.col(id_col).alias("__id"),
         F.array_distinct(
             F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
         ).alias("__sh"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # Spread the probe side so the quadratic verify runs on all cores
     # (broadcast-nested-loop parallelism = left-side partitions).
     a = sh.repartition(npart).select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
