@@ -62,10 +62,11 @@ def main() -> int:
         q = queries.get(name)
         if q is None:
             continue
-        # best-of-2: the second run measures steady state (plans and
-        # code paths warm); min filters one-off GC/scheduler noise
+        # best-of-3: later runs measure steady state (plans, caches
+        # and code paths warm); min filters GC/scheduler/host noise,
+        # which on this box swings single runs up to 2x
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             q.fn(spark, SF_DIR).count()
             best = min(best, time.perf_counter() - t0)
@@ -94,7 +95,7 @@ def main() -> int:
 
         n_rows = read_table(spark, SF_DIR, "lineitem").count()
         mig_s = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             Migration(
                 _Src(),
