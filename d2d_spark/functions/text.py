@@ -96,6 +96,79 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalized)
 
 
+def lines_of(col: Column) -> Column:
+    """Non-empty trimmed lines of a document."""
+    return F.filter(F.transform(F.split(col, r"\n"), lambda l: F.trim(l)), lambda l: l != "")
+
+
+def dup_line_fraction(col: Column) -> Column:
+    """Fraction of lines that are repeats of an earlier line —
+    the Gopher repetition filter's `duplicate_line_fraction` signal
+    (Rae et al. 2021, table A1). 0.0 for all-distinct documents,
+    NULL for documents with no non-empty lines (ANSI divide guard).
+    Pure per-row Column expression: embarrassingly parallel, no
+    shuffle, whole-stage codegen."""
+    ls = lines_of(col)
+    n = F.size(ls)
+    return (n - F.size(F.array_distinct(ls))) / F.nullif(n, F.lit(0)).cast("double")
+
+
+def dup_line_char_fraction(col: Column) -> Column:
+    """Fraction of line-characters sitting in duplicated lines
+    (every occurrence of a line that appears >1x counts, matching
+    Gopher's `duplicate_line_character_fraction`). NULL when there
+    are no non-empty lines.
+
+    Per-line occurrence counts come from a higher-order filter —
+    O(lines^2) per document, bounded by document size, still a pure
+    per-row map with no shuffle."""
+    ls = lines_of(col)
+    total = F.aggregate(ls, F.lit(0), lambda acc, l: acc + F.length(l))
+    dup_chars = F.aggregate(
+        ls,
+        F.lit(0),
+        lambda acc, l: acc
+        + F.when(F.size(F.filter(ls, lambda x: x == l)) > 1, F.length(l)).otherwise(0),
+    )
+    return dup_chars / F.nullif(total, F.lit(0)).cast("double")
+
+
+def top_ngram_fraction(col: Column, n: int = 2) -> Column:
+    """Fraction of n-gram occurrences claimed by the single most
+    frequent word n-gram — Gopher's `top_n_gram_fraction` family
+    (n=2..4). High values flag boilerplate/spam repetition that
+    line-level dedup misses. NULL for documents shorter than n words.
+
+    Counting is a higher-order max over distinct grams —
+    O(distinct x total) per document, document-bounded, no shuffle."""
+    toks = tokens_ws(col)
+    k = F.size(toks)
+    grams = F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(1), k - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    )
+    top = F.array_max(
+        F.transform(F.array_distinct(grams), lambda g: F.size(F.filter(grams, lambda x: x == g)))
+    )
+    return top / F.nullif(F.size(grams), F.lit(0)).cast("double")
+
+
+def repetition_signals(col: Column, prefix: str = "rep_") -> dict[str, Column]:
+    """The Gopher repetition-filter bundle as named Columns, ready for
+    ``df.withColumns``: duplicate-line fraction, duplicate-line
+    character fraction, top 2/3/4-gram occupancy."""
+    return {
+        f"{prefix}dup_line": dup_line_fraction(col),
+        f"{prefix}dup_line_chars": dup_line_char_fraction(col),
+        f"{prefix}top_2gram": top_ngram_fraction(col, 2),
+        f"{prefix}top_3gram": top_ngram_fraction(col, 3),
+        f"{prefix}top_4gram": top_ngram_fraction(col, 4),
+    }
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingles (distinct), the MinHash/Jaccard unit.
     Documents shorter than n tokens yield their full token string."""

@@ -1,0 +1,112 @@
+"""Deterministic sampling, splitting, and corpus mixing — the
+data-mixture toolkit of a training pipeline.
+
+Everything here derives from ONE primitive: a per-row bucket in
+[0, 1e6) computed as ``xxhash64(key, seed) mod 1e6``. Because the
+bucket is a pure function of (key, seed):
+
+- results are reproducible run-to-run and engine-to-engine (no RNG
+  state, unlike ``df.sample``);
+- the same key always lands in the same split — joins across derived
+  tables stay consistent, and re-running a mixing job is idempotent;
+- it is a pure filter: NO shuffle, no driver collect, codegen-side —
+  at 100 TB each of these ops is a map over the scan.
+
+Disjointness/coverage guarantee: ``hash_split`` carves [0, 1e6) into
+contiguous ranges, so splits are provably disjoint and exhaustive.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: bucket resolution: fractions are honored to 1e-6
+_BUCKETS = 1_000_000
+
+
+def hash_bucket(key: Column, seed: int = 0) -> Column:
+    """Deterministic bucket in [0, 1e6) for a key column."""
+    return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(_BUCKETS))
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float, seed: int = 0) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash. Deterministic:
+    the same (key, seed) is kept or dropped identically on every run,
+    so downstream tables derived from the sample stay join-consistent."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(hash_bucket(F.col(key_col), seed) < int(round(fraction * _BUCKETS)))
+
+
+def hash_split(
+    df: DataFrame, key_col: str, weights: Sequence[float], seed: int = 0
+) -> list[DataFrame]:
+    """Split into len(weights) disjoint, exhaustive parts (weights
+    normalized). The canonical train/val/test split: every row lands
+    in exactly one part, keys are stable across runs, and adding rows
+    later never moves an existing key between parts."""
+    if not weights or any(w < 0 for w in weights) or sum(weights) <= 0:
+        raise ValueError(f"weights must be non-negative with a positive sum, got {weights}")
+    total = float(sum(weights))
+    bounds = [0]
+    acc = 0.0
+    for w in weights[:-1]:
+        acc += w / total
+        bounds.append(int(round(acc * _BUCKETS)))
+    bounds.append(_BUCKETS)
+    b = hash_bucket(F.col(key_col), seed)
+    return [
+        df.filter((b >= bounds[i]) & (b < bounds[i + 1])) for i in range(len(weights))
+    ]
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    key_col: str,
+    seed: int = 0,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum hash sampling — exact-intent downsampling for
+    data-mixture reweighting (e.g. keep 100% of books, 10% of
+    common-crawl). Strata absent from ``fractions`` keep
+    ``default_fraction``. Pure filter: the mixture applies at scan
+    time with no shuffle, unlike ``df.sampleBy`` it is deterministic
+    per key."""
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for stratum {k!r} must be in [0, 1], got {v}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
+    pairs: list[Column] = []
+    for k, v in fractions.items():
+        pairs += [F.lit(k), F.lit(int(round(v * _BUCKETS)))]
+    threshold = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(strata_col)) if pairs else F.lit(None),
+        F.lit(int(round(default_fraction * _BUCKETS))),
+    )
+    return df.filter(hash_bucket(F.col(key_col), seed) < threshold)
+
+
+def mix_corpora(
+    sources: Mapping[str, tuple[DataFrame, float]],
+    key_col: str,
+    seed: int = 0,
+    source_col: str = "source",
+) -> DataFrame:
+    """Weighted union of corpora: hash-sample each source to its
+    fraction, tag rows with the source name, union by name. The
+    deterministic analog of mixture sampling at data-prep time; a
+    re-run (or an incremental re-run over a grown source) reproduces
+    and extends the same mixture instead of redrawing it."""
+    out: DataFrame | None = None
+    for name, (df, fraction) in sources.items():
+        part = hash_sample(df, key_col, fraction, seed).withColumn(source_col, F.lit(name))
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError("mix_corpora needs at least one source")
+    return out

@@ -1,0 +1,266 @@
+"""Tests for the training-data-pipeline extensions: repetition
+signals, PII scrub, benchmark decontamination, deterministic
+sampling/splitting/mixing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from d2d_spark.functions.pii import has_pii, pii_counts, redact_pii
+from d2d_spark.functions.text import (
+    dup_line_char_fraction,
+    dup_line_fraction,
+    repetition_signals,
+    top_ngram_fraction,
+)
+from d2d_spark.operators.decontam import contamination_scores, decontaminate
+from d2d_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    mix_corpora,
+    stratified_sample,
+)
+from d2d_spark.session import read_table
+
+
+# ---------------------------------------------------------------- repetition
+
+
+def test_repetition_signals_exact_values(spark):
+    df = spark.createDataFrame(
+        [
+            # 4 non-empty lines, "same line" x3 -> dup_line 2/4; chars:
+            # 9*3 dup over 9*3+10 = 37 total
+            (1, "same line\nsame line\n\nsame line\nother одна"),
+            (2, "a b c d"),  # all distinct
+            (3, ""),  # no lines -> NULL
+            # "x y" bigram occurs 3x of 5 bigrams
+            (4, "x y x y x y"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            dup_line_fraction(F.col("text")).alias("dl"),
+            dup_line_char_fraction(F.col("text")).alias("dlc"),
+            top_ngram_fraction(F.col("text"), 2).alias("t2"),
+        ).collect()
+    }
+    assert rows[1]["dl"] == pytest.approx(0.5)
+    assert rows[1]["dlc"] == pytest.approx(27 / 37)
+    assert rows[2]["dl"] == 0.0 and rows[2]["dlc"] == 0.0
+    assert rows[3]["dl"] is None and rows[3]["dlc"] is None
+    assert rows[4]["t2"] == pytest.approx(3 / 5)
+    # single-word doc: no bigram -> NULL
+    one = spark.createDataFrame([("w",)], "text string")
+    assert one.select(top_ngram_fraction(F.col("text"), 2).alias("t")).first()["t"] is None
+
+
+def test_repetition_signals_bundle_over_fixture(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    out = docs.withColumns(repetition_signals(F.col("text"))).select(
+        "doc_id", "rep_dup_line", "rep_top_2gram", "rep_top_3gram", "rep_top_4gram"
+    )
+    got = out.collect()
+    assert len(got) == docs.count()
+    for r in got:  # fractions stay in [0, 1] wherever defined
+        for c in ("rep_dup_line", "rep_top_2gram", "rep_top_3gram", "rep_top_4gram"):
+            assert r[c] is None or 0.0 <= r[c] <= 1.0
+
+
+# ----------------------------------------------------------------------- pii
+
+
+def test_pii_counts_and_redaction(spark):
+    text = (
+        "mail a@b.com or c.d+x@e.org, call 555-123-4567, "
+        "server 10.0.0.1, card 4111 1111 1111 1111, ssn 123-45-6789"
+    )
+    df = spark.createDataFrame([(text,), ("clean text, no pii here",)], "text string")
+    counted = df.select(
+        pii_counts(F.col("text")).alias("c"),
+        redact_pii(F.col("text")).alias("red"),
+        has_pii(F.col("text")).alias("any"),
+    ).collect()
+    dirty, clean = counted
+    assert dirty["c"]["email"] == 2
+    assert dirty["c"]["ip"] == 1
+    assert dirty["c"]["card"] == 1
+    assert dirty["c"]["ssn"] == 1
+    assert dirty["c"]["phone"] >= 1
+    assert dirty["any"] is True
+    for tok in ("<EMAIL>", "<IP>", "<CARD>", "<SSN>", "<PHONE>"):
+        assert tok in dirty["red"]
+    # redaction removed every raw lexeme
+    for raw in ("a@b.com", "10.0.0.1", "4111", "123-45-6789", "555-123-4567"):
+        assert raw not in dirty["red"]
+    assert clean["any"] is False and clean["red"] == "clean text, no pii here"
+
+
+def test_redaction_is_idempotent_and_count_clean(spark):
+    df = spark.createDataFrame([("a@b.com at 10.0.0.1 call 555-123-4567",)], "text string")
+    once = df.select(redact_pii(F.col("text")).alias("t"))
+    twice = once.select(redact_pii(F.col("t")).alias("t"))
+    assert once.first()["t"] == twice.first()["t"]
+    c = once.select(pii_counts(F.col("t")).alias("c")).first()["c"]
+    assert all(v == 0 for v in c.asDict().values())
+
+
+# -------------------------------------------------------------- decontam
+
+
+def test_decontamination_flags_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "qid long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the full benchmark 9-gram plus padding
+            (10, "intro words the quick brown fox jumps over the lazy dog outro words"),
+            (11, "completely unrelated content about spark and parquet files here"),
+            # shares only a 4-gram -> clean at n=8
+            (12, "the quick brown fox went home early to sleep soundly tonight"),
+        ],
+        "doc_id long, text string",
+    )
+    scores = {
+        r["doc_id"]: r
+        for r in contamination_scores(corpus, bench, n=8).collect()
+    }
+    assert scores[10]["n_contaminated"] > 0
+    assert scores[11]["n_contaminated"] == 0
+    assert scores[12]["n_contaminated"] == 0
+    assert 0 < scores[10]["contamination"] <= 1.0
+
+    kept = decontaminate(corpus, bench, n=8)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [11, 12]
+    assert kept.columns == corpus.columns
+
+
+def test_decontamination_self_and_disjoint(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").limit(50)
+    # against itself every doc shares all its grams -> everything drops
+    assert decontaminate(docs, docs, n=5).count() == 0
+    # against a disjoint benchmark nothing drops
+    bench = spark.createDataFrame([("zz qq ww ee rr tt yy uu ii oo",)], "text string")
+    assert decontaminate(docs, bench, n=5).count() == docs.count()
+
+
+def test_contamination_matches_duckdb_oracle(spark, sf_dir):
+    """Cross-check the distributed gram-overlap count against a DuckDB
+    set computation on the same data (string grams, not hashes — also
+    certifies the 64-bit hash stand-in loses nothing here)."""
+    import duckdb
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    bench = docs.filter(F.col("doc_id") % 3 == 0)
+    got = {
+        r["doc_id"]: r["n_contaminated"]
+        for r in contamination_scores(docs, bench, n=5).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW d AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE doc_id < 30"
+    )
+    want = dict(
+        con.execute(
+            r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') t
+              FROM d
+            ), grams AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+              FROM (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, greatest(len(t) - 4, 1))) AS i
+                FROM toks
+              )
+            ), bgrams AS (
+              SELECT DISTINCT g FROM grams WHERE doc_id % 3 = 0
+            )
+            SELECT doc_id, count(b.g)
+            FROM grams LEFT JOIN bgrams b USING (g)
+            GROUP BY doc_id
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+# -------------------------------------------------------------- sampling
+
+
+def test_hash_sample_deterministic_and_sized(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders")
+    n = orders.count()
+    s1 = hash_sample(orders, "o_orderkey", 0.3, seed=7)
+    s2 = hash_sample(orders, "o_orderkey", 0.3, seed=7)
+    k1 = sorted(r["o_orderkey"] for r in s1.select("o_orderkey").collect())
+    k2 = sorted(r["o_orderkey"] for r in s2.select("o_orderkey").collect())
+    assert k1 == k2  # run-to-run identical
+    assert 0.2 * n < len(k1) < 0.4 * n
+    # different seed -> different draw
+    k3 = sorted(
+        r["o_orderkey"] for r in hash_sample(orders, "o_orderkey", 0.3, seed=8).collect()
+    )
+    assert k1 != k3
+    assert hash_sample(orders, "o_orderkey", 0.0).count() == 0
+    assert hash_sample(orders, "o_orderkey", 1.0).count() == n
+    with pytest.raises(ValueError):
+        hash_sample(orders, "o_orderkey", 1.5)
+
+
+def test_hash_split_disjoint_exhaustive_stable(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders")
+    parts = hash_split(orders, "o_orderkey", [0.8, 0.1, 0.1], seed=1)
+    keys = [set(r["o_orderkey"] for r in p.select("o_orderkey").collect()) for p in parts]
+    all_keys = set(r["o_orderkey"] for r in orders.select("o_orderkey").collect())
+    assert keys[0] | keys[1] | keys[2] == all_keys
+    assert not (keys[0] & keys[1]) and not (keys[0] & keys[2]) and not (keys[1] & keys[2])
+    assert len(keys[0]) > 5 * len(keys[1])
+    # growing the input never moves an existing key between parts
+    half = orders.filter(F.col("o_orderkey") % 2 == 0)
+    half_train = set(
+        r["o_orderkey"]
+        for r in hash_split(half, "o_orderkey", [0.8, 0.1, 0.1], seed=1)[0].collect()
+    )
+    assert half_train == {k for k in keys[0] if k % 2 == 0}
+    with pytest.raises(ValueError):
+        hash_split(orders, "o_orderkey", [])
+
+
+def test_stratified_sample_per_stratum_fractions(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    by_src = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    srcs = sorted(by_src)
+    fr = {srcs[0]: 1.0, srcs[1]: 0.2}
+    out = stratified_sample(docs, "source", fr, key_col="doc_id", seed=3)
+    got = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert got[srcs[0]] == by_src[srcs[0]]  # kept whole
+    assert 0 < got[srcs[1]] < by_src[srcs[1]]  # downsampled
+    for s in srcs[2:]:  # default fraction 0 -> dropped
+        assert s not in got
+    # default_fraction keeps unlisted strata
+    out2 = stratified_sample(docs, "source", fr, key_col="doc_id", seed=3, default_fraction=1.0)
+    got2 = {r["source"]: r["n"] for r in out2.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for s in srcs[2:]:
+        assert got2[s] == by_src[s]
+
+
+def test_mix_corpora_tags_and_reproduces(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("doc_id"), F.col("o_orderpriority").alias("text")
+    )
+    mixed = mix_corpora({"docs": (docs, 1.0), "orders": (orders, 0.1)}, key_col="doc_id", seed=5)
+    counts = {r["source"]: r["n"] for r in mixed.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["docs"] == docs.count()
+    assert 0 < counts["orders"] < 0.3 * orders.count()
+    again = mix_corpora({"docs": (docs, 1.0), "orders": (orders, 0.1)}, key_col="doc_id", seed=5)
+    assert again.count() == mixed.count()
