@@ -24,16 +24,50 @@ from d2d_spark.sources.base import Sink, Source
 RowFn = Callable[[dict], dict | None]
 
 
-def apply_format_data(df: DataFrame, fn: RowFn | dict[str, Column] | None, sample: int = 100) -> DataFrame:
+def _infer_transform_schema(df: DataFrame, fn: RowFn, sample: int, on_error: str):
+    """Run ``fn`` over a driver-side sample to infer the output schema
+    (the plan-level analog of the reference's infer-from-first-row).
+    Sample-row failures respect ``on_error`` — under skip/quarantine a
+    row that crashes the transform must not crash inference either."""
+    sample_rows = [r.asDict(recursive=True) for r in df.limit(sample).collect()]
+    transformed = []
+    for r in sample_rows:
+        try:
+            t = fn(r)
+        except Exception:
+            if on_error == "raise":
+                raise
+            continue
+        if t:
+            transformed.append(t)
+    if not transformed:
+        raise ValueError(
+            "format_data dropped or failed every sample row; cannot infer output schema"
+        )
+    schema = df.sparkSession.createDataFrame(pd.DataFrame(transformed)).schema
+    return schema, [f.name for f in schema.fields]
+
+
+def apply_format_data(
+    df: DataFrame,
+    fn: RowFn | dict[str, Column] | None,
+    sample: int = 100,
+    on_error: str = "raise",
+) -> DataFrame:
     """The per-row transform bridge (format_data, d22d/task.py:113-125).
 
     Expression fast path: a {col: Column} dict becomes withColumns —
     pure Catalyst, codegen, no Python in the hot path. Callable path:
     the reference's dict->dict contract runs in Arrow-batched
     mapInPandas; output schema is inferred by running the transform
-    over a driver-side sample (the plan-level analog of the
-    reference's infer-from-first-row), then applied distributed.
-    Returning a falsy value drops the row (:115-117).
+    over a driver-side sample, then applied distributed. Returning a
+    falsy value drops the row (:115-117).
+
+    ``on_error``: ``'raise'`` is reference parity — failures re-raise
+    carrying the offending row (d22d/task.py:172-180). ``'skip'``
+    drops failing rows (a 100 TB run survives the one malformed
+    record). For an auditable bad-row channel use
+    ``format_data_with_quarantine``.
     """
     if fn is None:
         return df
@@ -42,14 +76,10 @@ def apply_format_data(df: DataFrame, fn: RowFn | dict[str, Column] | None, sampl
         for name, expr in fn.items():
             out = out.withColumn(name, expr)
         return out
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
 
-    sample_rows = [r.asDict(recursive=True) for r in df.limit(sample).collect()]
-    transformed = [t for t in (fn(r) for r in sample_rows) if t]
-    if not transformed:
-        raise ValueError("format_data dropped every sample row; cannot infer output schema")
-    spark = df.sparkSession
-    schema = spark.createDataFrame(pd.DataFrame(transformed)).schema
-    cols = [f.name for f in schema.fields]
+    schema, cols = _infer_transform_schema(df, fn, sample, on_error)
 
     def run(batches):
         for pdf in batches:
@@ -58,6 +88,8 @@ def apply_format_data(df: DataFrame, fn: RowFn | dict[str, Column] | None, sampl
                 try:
                     t = fn(rec)
                 except Exception as e:
+                    if on_error == "skip":
+                        continue
                     # reference parity: failures carry the offending row
                     # (d22d/task.py:172-180 logs index + payload, re-raises)
                     raise RuntimeError(f"format_data failed on row {rec!r}") from e
@@ -79,6 +111,73 @@ def apply_format_data(df: DataFrame, fn: RowFn | dict[str, Column] | None, sampl
             )
 
     return df.mapInPandas(run, schema=schema)
+
+
+def format_data_with_quarantine(
+    df: DataFrame, fn: RowFn, sample: int = 100, persist: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """Per-row transform with an auditable bad-row channel.
+
+    Returns ``(good, bad)``: ``good`` is the transformed frame exactly
+    as ``apply_format_data`` would produce it; ``bad`` has one row per
+    failing input — ``(row_json, error)`` — ready to write to a
+    quarantine table for replay after the transform is fixed.
+
+    Both frames are filters over ONE wide mapInPandas stage, so the
+    transform logic runs once per row per action. A caller consuming
+    both sides should either write them in one pass (``Migration``'s
+    ``quarantine`` mode persists the wide stage around its two writes)
+    or persist the inputs themselves.
+    """
+    import json
+
+    from pyspark.sql import types as T
+
+    schema, cols = _infer_transform_schema(df, fn, sample, on_error="skip")
+    wide_schema = T.StructType(
+        list(schema.fields)
+        + [T.StructField("__row", T.StringType()), T.StructField("__error", T.StringType())]
+    )
+    wide_cols = cols + ["__row", "__error"]
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for rec in pdf.to_dict("records"):
+                try:
+                    t = fn(rec)
+                except Exception as e:
+                    out.append(
+                        {
+                            "__row": json.dumps(rec, default=str, sort_keys=True),
+                            "__error": f"{type(e).__name__}: {e}",
+                        }
+                    )
+                    continue
+                if t:
+                    extra = set(t.keys()) - set(cols)
+                    if extra:
+                        raise ValueError(
+                            f"format_data emitted keys absent from the sampled "
+                            f"schema: {sorted(extra)}"
+                        )
+                    out.append(t)
+            yield pd.DataFrame(out, columns=wide_cols) if out else pd.DataFrame(
+                {c: pd.Series(dtype="object") for c in wide_cols}
+            )
+
+    wide = df.mapInPandas(run, schema=wide_schema)
+    if persist:
+        from pyspark import StorageLevel
+
+        # one materialization feeds both legs; blocks are reclaimed by
+        # the context cleaner once the frames go out of scope
+        wide = wide.persist(StorageLevel.MEMORY_AND_DISK)
+    good = wide.filter(F.col("__error").isNull()).drop("__row", "__error")
+    bad = wide.filter(F.col("__error").isNotNull()).select(
+        F.col("__row").alias("row_json"), F.col("__error").alias("error")
+    )
+    return good, bad
 
 
 def _split_pks(pks: str | list[str] | None) -> list[str]:
@@ -117,7 +216,13 @@ class Migration:
         mode: str = "ignore",
         format_data: RowFn | dict[str, Column] | None = None,
         write_kwargs: dict | None = None,
+        on_error: str = "raise",
+        quarantine_to: str | None = None,
     ):
+        if on_error not in ("raise", "skip", "quarantine"):
+            raise ValueError(
+                f"on_error must be 'raise', 'skip' or 'quarantine', got {on_error!r}"
+            )
         self.source = database_from
         self.sink = database_to
         self.table_from = table_from
@@ -129,10 +234,21 @@ class Migration:
         self.mode = mode
         self.format_data = format_data
         self.write_kwargs = write_kwargs or {}
+        self.on_error = on_error
+        self.quarantine_to = quarantine_to
 
     def run_one(self, table_from: str, table_to: str | None = None, pks: list[str] | None = None) -> DataFrame:
         df = self.source.read(table_from)
-        df = apply_format_data(df, self.format_data)
+        bad = None
+        if callable(self.format_data) and self.on_error == "quarantine":
+            # bad rows land in `<table>_quarantine` (row_json, error)
+            # for replay; expression (dict) transforms never fail
+            # per-row, so quarantine only applies to the callable path
+            df, bad = format_data_with_quarantine(df, self.format_data, persist=True)
+        else:
+            df = apply_format_data(
+                df, self.format_data, on_error="raise" if self.on_error == "quarantine" else self.on_error
+            )
         if self.quchong:
             # the reference's in-memory set (OOM-unsafe, README.md:154)
             # becomes a shuffled, spill-safe distinct
@@ -147,6 +263,12 @@ class Migration:
             pks=pks or None,
             **self.write_kwargs,
         )
+        if bad is not None:
+            self.sink.write(
+                bad,
+                self.quarantine_to or f"{table_to or table_from}_quarantine",
+                mode="append",
+            )
         return df
 
     def run(self) -> list[str]:

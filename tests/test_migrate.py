@@ -192,3 +192,57 @@ def test_engine_facade(spark, tmpdir):
     done = eng.migrate(mem, JsonlConnector(str(tmpdir), spark), "users", mode="overwrite")
     assert done == ["users"]
     assert JsonlConnector(str(tmpdir), spark).read("users").count() == 4
+
+
+def test_format_data_on_error_skip(spark):
+    mem = MemoryConnector({"u": USERS}, spark)
+
+    def fmt(d):
+        if d["user_id"] == 2:
+            raise ValueError("boom")
+        return {"uid": d["user_id"], "v": d["score"]}
+
+    out = apply_format_data(mem.read("u"), fmt, on_error="skip")
+    assert {(r.uid, r.v) for r in out.collect()} == {(1, 10), (3, 30)}
+    # default stays reference-faithful: re-raise with the row payload
+    with pytest.raises(Exception, match="boom|format_data failed"):
+        apply_format_data(mem.read("u"), fmt).collect()
+    with pytest.raises(ValueError, match="on_error"):
+        apply_format_data(mem.read("u"), fmt, on_error="nope")
+
+
+def test_format_data_quarantine_channel(spark):
+    from d2d_spark.migrate import format_data_with_quarantine
+
+    mem = MemoryConnector({"u": USERS}, spark)
+
+    def fmt(d):
+        if d["user_id"] == 2:
+            raise ValueError("bad id 2")
+        return {"uid": d["user_id"], "v": d["score"]}
+
+    good, bad = format_data_with_quarantine(mem.read("u"), fmt)
+    assert {(r.uid, r.v) for r in good.collect()} == {(1, 10), (3, 30)}
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 2  # the duplicated user_id=2 row fails twice
+    assert all(r.error == "ValueError: bad id 2" for r in bad_rows)
+    assert all('"user_id": 2' in r.row_json for r in bad_rows)
+
+
+def test_migration_quarantine_writes_bad_rows(spark, tmpdir):
+    src = MemoryConnector({"users": USERS}, spark)
+    dst = JsonlConnector(str(tmpdir), spark)
+
+    def fmt(d):
+        if d["name"] == "c":
+            raise RuntimeError("no c allowed")
+        return {"uid": d["user_id"], "label": d["name"]}
+
+    Migration(src, dst, table_from="users", format_data=fmt, mode="overwrite",
+              on_error="quarantine").run()
+    good = {(r.uid, r.label) for r in dst.read("users").collect()}
+    assert good == {(1, "a"), (2, "b")}
+    q = dst.read("users_quarantine").collect()
+    assert len(q) == 1
+    assert q[0].error == "RuntimeError: no c allowed"
+    assert '"name": "c"' in q[0].row_json
