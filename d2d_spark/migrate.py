@@ -284,6 +284,73 @@ class Migration:
         return done
 
 
+class IncrementalMigration(Migration):
+    """High-watermark incremental migration — the reference's
+    "scheduled incremental migration" (claimed as a TODO,
+    README.md:13,559-560) made real: each run moves only source rows
+    with ``watermark_col`` strictly greater than the target's current
+    maximum, so a cron-style re-run is cheap and idempotent.
+
+    The watermark predicate is a plain Column filter, so it reaches
+    the source scan as a pushed filter (parquet min/max skipping, a
+    JDBC WHERE clause) — an incremental run reads the new slice, not
+    the table. The high watermark itself is one ``max()`` over the
+    target: on a partitioned warehouse that is a metadata-cheap agg;
+    callers who track the watermark externally can pass ``since=`` and
+    skip the target read entirely.
+
+    First run (target missing/empty) is a full load. The sink must
+    also be readable (every file/JDBC/memory connector here is) unless
+    ``since`` is given. Combine with ``pks``/``mode='ignore'`` for
+    belt-and-braces idempotence under watermark ties; the strict
+    ``>`` comparison alone re-moves nothing when the source is
+    append-only with a monotone watermark.
+    """
+
+    def __init__(self, *args, watermark_col: str, since=None, **kw):
+        kw.setdefault("mode", "append")
+        super().__init__(*args, **kw)
+        self.watermark_col = watermark_col
+        self.since = since
+
+    def high_watermark(self, table_to: str):
+        """Current max watermark in the target, or None when the
+        target is missing/empty (-> full load)."""
+        if self.since is not None:
+            return self.since
+        try:
+            tgt = self.sink.read(table_to)
+        except Exception:
+            return None
+        row = tgt.agg(F.max(self.watermark_col).alias("hwm")).first()
+        return row["hwm"] if row else None
+
+    def run_one(self, table_from: str, table_to: str | None = None, pks: list[str] | None = None) -> DataFrame:
+        hwm = self.high_watermark(table_to or table_from)
+        source, self.source = self.source, _FilteredSource(
+            self.source, self.watermark_col, hwm
+        )
+        try:
+            return super().run_one(table_from, table_to, pks)
+        finally:
+            self.source = source
+
+
+class _FilteredSource:
+    """Source wrapper applying the watermark predicate below the
+    transform, so it pushes into the scan."""
+
+    def __init__(self, inner: Source, col: str, hwm):
+        self.inner, self.col, self.hwm = inner, col, hwm
+
+    def read(self, index: str, **kw) -> DataFrame:
+        df = self.inner.read(index, **kw)
+        return df if self.hwm is None else df.filter(F.col(self.col) > F.lit(self.hwm))
+
+    def get_indexes(self) -> list[str]:
+        return self.inner.get_indexes()
+
+
 class Migration2DB:
     """Join two tables by key into a new table (d22d/task.py:183-328).
 

@@ -246,3 +246,66 @@ def test_migration_quarantine_writes_bad_rows(spark, tmpdir):
     assert len(q) == 1
     assert q[0].error == "RuntimeError: no c allowed"
     assert '"name": "c"' in q[0].row_json
+
+
+def test_incremental_migration_moves_only_new_rows(spark, tmpdir):
+    from d2d_spark.migrate import IncrementalMigration
+
+    src_rows = [
+        {"id": 1, "ts": 100, "v": "a"},
+        {"id": 2, "ts": 200, "v": "b"},
+    ]
+    src = MemoryConnector({"t": src_rows}, spark)
+    dst = ParquetConnector(str(tmpdir), spark)
+
+    m = IncrementalMigration(src, dst, table_from="t", watermark_col="ts")
+    m.run()  # first run = full load
+    assert {r.id for r in dst.read("t").collect()} == {1, 2}
+
+    # grow the source; re-run moves only ts > 200
+    src.write(
+        spark.createDataFrame([(3, 300, "c"), (2, 200, "b")], "id long, ts long, v string"),
+        "t",
+        mode="overwrite",
+    )
+    src.write(
+        spark.createDataFrame([(1, 100, "a")], "id long, ts long, v string"), "t", mode="append"
+    )
+    IncrementalMigration(src, dst, table_from="t", watermark_col="ts").run()
+    got = sorted((r.id, r.ts) for r in dst.read("t").collect())
+    assert got == [(1, 100), (2, 200), (3, 300)]  # no duplicates, new row present
+
+
+def test_incremental_migration_pushes_watermark_filter(spark, tmpdir):
+    from d2d_spark.migrate import IncrementalMigration, _FilteredSource
+
+    src = ParquetConnector(str(tmpdir / "src"), spark)
+    src.write(
+        spark.createDataFrame([(1, 100, "a"), (2, 200, "b")], "id long, ts long, v string"),
+        "t",
+        mode="overwrite",
+    )
+    wrapped = _FilteredSource(src, "ts", 100)
+    plan = wrapped.read("t")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan(ts,100)" in plan
+
+
+def test_incremental_migration_explicit_since_skips_target_read(spark, tmpdir):
+    from d2d_spark.migrate import IncrementalMigration
+
+    src = MemoryConnector(
+        {"t": [{"id": 1, "ts": 100}, {"id": 2, "ts": 200}]}, spark
+    )
+
+    class WriteOnly:
+        def __init__(self):
+            self.frames = []
+
+        def write(self, df, index, mode="append", pks=None, **kw):
+            self.frames.append((index, mode, df.collect()))
+
+    dst = WriteOnly()
+    IncrementalMigration(src, dst, table_from="t", watermark_col="ts", since=100).run()
+    (index, mode, rows), = dst.frames
+    assert index == "t" and mode == "append"
+    assert [r.id for r in rows] == [2]
