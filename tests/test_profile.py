@@ -1,0 +1,72 @@
+"""Table profiler and schema-drift preflight, cross-checked against
+DuckDB on the fixture tables."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from d2d_spark.operators.profile import profile_table, schema_drift
+from d2d_spark.session import read_table
+
+
+def test_profile_matches_duckdb(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders")
+    prof = {r["column"]: r for r in profile_table(orders).collect()}
+    want = duckdb.sql(
+        f"""SELECT count(*) n, count(o_custkey) nn, count(DISTINCT o_custkey) nd,
+                   min(o_totalprice), max(o_totalprice), avg(o_totalprice)
+            FROM read_parquet('{sf_dir}/orders.parquet')"""
+    ).fetchone()
+    n, nn, nd, lo, hi, mean = want
+    assert prof["o_custkey"]["n_rows"] == n
+    assert prof["o_custkey"]["n_nulls"] == n - nn
+    assert abs(prof["o_custkey"]["approx_distinct"] - nd) <= 0.1 * nd
+    assert float(prof["o_totalprice"]["min"]) == pytest.approx(lo)
+    assert float(prof["o_totalprice"]["max"]) == pytest.approx(hi)
+    assert prof["o_totalprice"]["mean"] == pytest.approx(mean)
+    assert prof["o_orderstatus"]["mean"] is None  # non-numeric
+    assert prof["o_orderstatus"]["dtype"] == "string"
+    # one pass covers every column
+    assert set(prof) == set(orders.columns)
+
+
+def test_profile_single_aggregation_pass(spark, sf_dir):
+    plan = (
+        profile_table(read_table(spark, sf_dir, "orders"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one aggregate pair (partial+final), no join, no extra shuffle
+    assert plan.count("HashAggregate") + plan.count("SortAggregate") <= 4
+    assert "Join" not in plan
+
+
+def test_profile_nulls_and_unorderable(spark):
+    df = spark.createDataFrame(
+        [(1, None, [1, 2]), (2, "x", [3])], "id long, s string, arr array<long>"
+    )
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert prof["s"]["n_nulls"] == 1 and prof["s"]["null_frac"] == pytest.approx(0.5)
+    assert prof["arr"]["min"] is None and prof["arr"]["max"] is None
+    assert prof["id"]["min"] == "1" and prof["id"]["max"] == "2"
+    with pytest.raises(ValueError, match="no such columns"):
+        profile_table(df, columns=["nope"])
+
+
+def test_profile_empty_table(spark):
+    df = spark.createDataFrame([], "id long, s string")
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert prof["id"]["n_rows"] == 0 and prof["id"]["null_frac"] is None
+
+
+def test_schema_drift(spark):
+    a = spark.createDataFrame([], "id long, v string, extra double")
+    b = spark.createDataFrame([], "id long, v int, gone string")
+    drift = {r["column"]: r for r in schema_drift(a, b).collect()}
+    assert drift["extra"]["change"] == "added"
+    assert drift["gone"]["change"] == "removed"
+    assert drift["v"]["change"] == "type_changed"
+    assert drift["v"]["source_type"] == "string" and drift["v"]["target_type"] == "int"
+    assert "id" not in drift
+    assert schema_drift(a, a).count() == 0
