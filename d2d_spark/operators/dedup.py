@@ -34,6 +34,18 @@ _MERSENNE = (1 << 61) - 1
 QUADRATIC_CAP = 20_000
 
 
+def _spread(df: DataFrame, npart: int, *cols) -> DataFrame:
+    """Repartition to ``npart`` ONLY when the upstream scan is too
+    narrow to parallelize the following map/join stage (a one-file
+    local fixture: 1-2 input splits). A 100 TB table arrives in
+    thousands of splits already — skipping the repartition there
+    avoids a full-corpus shuffle whose only purpose is small-scan
+    spreading. Partition count never changes results, only layout."""
+    if df.rdd.getNumPartitions() >= max(2, npart // 2):
+        return df
+    return df.repartition(npart, *cols) if cols else df.repartition(npart)
+
+
 def _guard_quadratic(df: DataFrame, what: str, allow_quadratic: bool, cap: int) -> None:
     """Refuse unbounded inputs to O(n^2) operators. The probe is
     bounded — ``limit(cap+1)`` short-circuits the scan after cap+1
@@ -270,7 +282,7 @@ def minhash_lsh_pairs(
     # under pressure rather than OOM.
     from pyspark import StorageLevel
 
-    base = df.select(F.col(id_col).alias("__id"), F.col(text_col)).repartition(npart, "__id")
+    base = _spread(df.select(F.col(id_col).alias("__id"), F.col(text_col)), npart, "__id")
     sig = (
         minhash_signature(base, text_col, num_hashes, shingle_n, emit_hashed_shingles=True)
         .select("__id", "minhash", "__hset")
@@ -362,7 +374,7 @@ def simhash_near_pairs(
     widths = [width + (1 if c < 64 % n_chunks else 0) for c in range(n_chunks)]
     offsets = [sum(widths[:c]) for c in range(n_chunks)]
     npart = df.sparkSession.sparkContext.defaultParallelism
-    base = df.select(F.col(id_col).alias("__id"), F.col(text_col)).repartition(npart, "__id")
+    base = _spread(df.select(F.col(id_col).alias("__id"), F.col(text_col)), npart, "__id")
     # the simhash expression is 64 aggregates over the token array —
     # persist so the self-join's two sides read it instead of each
     # re-evaluating it (~5x on the planted-clone bench); lineage kept,
@@ -434,7 +446,7 @@ def ngram_jaccard_pairs(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # Spread the probe side so the quadratic verify runs on all cores
     # (broadcast-nested-loop parallelism = left-side partitions).
-    a = sh.repartition(npart).select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    a = _spread(sh, npart).select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
     b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     # size-ratio prefilter: jaccard <= min(|a|,|b|)/max(|a|,|b|), so
@@ -464,7 +476,7 @@ def embedding_near_pairs(
     _guard_quadratic(emb, "embedding_near_pairs", allow_quadratic, cap)
     npart = emb.sparkSession.sparkContext.defaultParallelism
     a = (
-        emb.repartition(npart)
+        _spread(emb, npart)
         .select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
         .withColumn("__na", norm(F.col("v_a")))
     )
@@ -496,7 +508,7 @@ def levenshtein_pairs(
     _guard_quadratic(df, "levenshtein_pairs", allow_quadratic, cap)
     npart = df.sparkSession.sparkContext.defaultParallelism
     base = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
-    a = base.repartition(npart).select(F.col("__id").alias("id_a"), F.col("__t").alias("t_a"))
+    a = _spread(base, npart).select(F.col("__id").alias("id_a"), F.col("__t").alias("t_a"))
     b = base.select(F.col("__id").alias("id_b"), F.col("__t").alias("t_b"))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     # length prefilter: |len(a)-len(b)| > d implies dist > d — prunes
@@ -582,7 +594,7 @@ def fuzzy_pairs_deletion(
     shingle-Jaccard dedup family instead."""
     base = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
     npart = df.sparkSession.sparkContext.defaultParallelism
-    base = base.repartition(npart, "__id")
+    base = _spread(base, npart, "__id")
     variants = base.select("__id", F.col("__t").alias("__v"))
     frontier = variants
     for _ in range(max_dist):

@@ -16,6 +16,7 @@ import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from d2d_spark.operators.dedup import _spread
 from d2d_spark.functions.vectors import dot, norm, sign_projection_bucket
 
 
@@ -43,7 +44,7 @@ def brute_force_topk(
     )
     npart = corpus.sparkSession.sparkContext.defaultParallelism
     c = (
-        corpus.repartition(npart)  # spread the dot-product stage off a one-file scan
+        _spread(corpus, npart)  # spread the dot-product stage off a one-file scan
         .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
         .withColumn("__cn", norm(F.col("__cv")))
     )
@@ -93,7 +94,7 @@ def lsh_topk(
 
     npart = corpus.sparkSession.sparkContext.defaultParallelism
     c = add_lsh_bucket(
-        corpus.repartition(npart).select(
+        _spread(corpus, npart).select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
         ),
         "__cv",
@@ -221,7 +222,7 @@ def ivf_topk(
 
     npart = corpus.sparkSession.sparkContext.defaultParallelism
     c = (
-        corpus.repartition(npart)
+        _spread(corpus, npart)
         .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
         .withColumn("cell", assign(F.col("__cv")))
         .withColumn("__cn", norm(F.col("__cv")))
