@@ -56,3 +56,33 @@ class Engine:
 
     def migrate_join(self, src1: Source, src2: Source, dst: Sink, **kw) -> DataFrame:
         return Migration2DB(src1, src2, dst, **kw).run()
+
+    def migrate_incremental(
+        self, src: Source, dst: Sink, table: str, watermark_col: str, **kw
+    ) -> list[str]:
+        """High-watermark re-sync: moves only rows newer than the
+        target's current max watermark (cron-safe, pushdown-backed)."""
+        from d2d_spark.migrate import IncrementalMigration
+
+        return IncrementalMigration(
+            src, dst, table_from=table, watermark_col=watermark_col, **kw
+        ).run()
+
+    # -- preflight / maintenance --------------------------------------
+    def profile(self, name: str, **kw) -> DataFrame:
+        """One-pass per-column stats report for a registered table."""
+        from d2d_spark.operators.profile import profile_table
+
+        return profile_table(self.table(name), **kw)
+
+    def schema_drift(self, source: str, target: str) -> DataFrame:
+        """Column-level schema diff between two registered tables."""
+        from d2d_spark.operators.profile import schema_drift
+
+        return schema_drift(self.table(source), self.table(target))
+
+    def compact(self, path: str, target_file_mb: float = 128, **kw) -> dict:
+        """Rewrite a table directory into target-sized files."""
+        from d2d_spark.operators.maintenance import compact_table
+
+        return compact_table(self.spark, path, target_file_mb, **kw)

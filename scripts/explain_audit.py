@@ -70,7 +70,41 @@ def main() -> int:
                 print("   ", line.strip()[:140])
         if flags:
             problems.append((name, flags))
-    print(f"\n{len(names) - len(problems)}/{len(names)} plans clean")
+
+    # Curation extension plans (pytest-verified, outside the registry
+    # window) — each with a positive shape assertion, not just the
+    # absence of red flags.
+    from d2d_spark.operators.decontam import decontaminate
+    from d2d_spark.operators.sampling import stratified_sample
+    from d2d_spark.session import read_table
+
+    docs = read_table(spark, SF, "documents")
+    bench_set = docs.filter("doc_id % 7 = 0").select("text")
+    extras = {
+        # benchmark gram set must BROADCAST into the corpus probe —
+        # a sort-merge join here would shuffle the whole corpus
+        "decontaminate": (
+            decontaminate(docs, bench_set, n=5),
+            lambda p: [] if "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+            else ["benchmark probe not broadcast"],
+        ),
+        # sampling/mixing are pure filters: ANY exchange is a bug
+        "stratified_sample": (
+            stratified_sample(docs, "source", {"web": 0.5}, key_col="doc_id", default_fraction=0.1),
+            lambda p: [] if "Exchange" not in p else ["sampling shuffled"],
+        ),
+    }
+    for name, (df, check) in extras.items():
+        plan = df._jdf.queryExecution().explainString(mode)
+        flags = check(plan)
+        if "BatchEvalPython" in plan:
+            flags.append("row-at-a-time Python UDF")
+        print(f"== {name}: {'FLAGS: ' + ', '.join(flags) if flags else 'clean'}")
+        if flags:
+            problems.append((name, flags))
+
+    total = len(names) + len(extras)
+    print(f"\n{total - len(problems)}/{total} plans clean")
     return 1 if problems else 0
 
 
