@@ -730,3 +730,75 @@ def dedup_representatives(
         F.col("id").alias(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sep: str = "\n\n",
+    keep_first: bool = True,
+) -> DataFrame:
+    """Paragraph-level exact dedup across the corpus (the CCNet /
+    RefinedWeb pass that document-level dedup misses): every repeated
+    paragraph keeps its first occurrence — ordered by (doc id,
+    position) — and later copies are cut out of their documents; each
+    document's surviving paragraphs are stitched back in order.
+    ``keep_first=False`` removes EVERY copy of any repeated paragraph
+    (boilerplate stripping).
+
+    Scale shape: explode to (id, pos, paragraph) — row count = corpus
+    paragraph count; one groupBy on the paragraph fingerprint (md5 —
+    uniform keys) picks winners; one groupBy on the doc id rebuilds
+    text. Both shuffles carry the paragraph payload once. Whitespace
+    -only paragraphs are dropped (they carry no content and would all
+    collide on one hot key).
+
+    Returns the input frame with ``text_col`` rewritten and an
+    ``n_dropped_paragraphs`` count; documents losing every paragraph
+    keep an empty string.
+    """
+    paras = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__p"),
+        )
+        .filter(F.trim(F.col("__p")) != "")
+        .withColumn("__fp", fingerprint(F.col("__p")))
+    )
+    winners = paras.groupBy("__fp").agg(
+        F.min(F.struct("__id", "__pos")).alias("__w"), F.count(F.lit(1)).alias("__n")
+    )
+    tagged = paras.join(winners, "__fp")
+    if keep_first:
+        kept = tagged.filter(
+            (F.col("__n") == 1)
+            | ((F.col("__id") == F.col("__w.__id")) & (F.col("__pos") == F.col("__w.__pos")))
+        )
+    else:
+        kept = tagged.filter(F.col("__n") == 1)
+    rebuilt = kept.groupBy("__id").agg(
+        F.concat_ws(
+            sep, F.transform(F.array_sort(F.collect_list(F.struct("__pos", "__p"))), lambda s: s["__p"])
+        ).alias("__text"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    n_paras = df.select(
+        F.col(id_col).alias("__id"),
+        F.size(
+            F.filter(F.split(F.col(text_col), sep), lambda p: F.trim(p) != "")
+        ).alias("__total"),
+    )
+    out_cols = [c for c in df.columns if c != text_col]
+    return (
+        df.join(rebuilt, on=[df[id_col] == rebuilt["__id"]], how="left")
+        .drop("__id")
+        .join(n_paras, on=[df[id_col] == n_paras["__id"]], how="left")
+        .select(
+            *out_cols,
+            F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
+            (F.col("__total") - F.coalesce(F.col("__kept"), F.lit(0))).alias(
+                "n_dropped_paragraphs"
+            ),
+        )
+    )

@@ -110,3 +110,61 @@ def mix_corpora(
     if out is None:
         raise ValueError("mix_corpora needs at least one source")
     return out
+
+
+def pack_documents(
+    df: DataFrame,
+    tokens_col: str,
+    budget: int,
+    sort_col: str | None = None,
+) -> DataFrame:
+    """Greedy sequence packing: assign each row a ``bin_id`` such that
+    the rows sharing a bin total at most ``budget`` tokens — the
+    standard pre-training step that concatenates documents into fixed
+    context windows with minimal padding. A single document over
+    budget gets a bin of its own (truncation is the trainer's call).
+
+    Packing is PER PARTITION (first-fit on the partition's row
+    stream): bins never span executors, there is no shuffle and no
+    global coordination, and bin ids are unique across partitions
+    (partition_id << 32 | local bin). Pass ``sort_col`` to make the
+    within-partition stream — and therefore the packing — fully
+    deterministic for a given partitioning.
+    """
+    import pandas as pd
+    from pyspark import TaskContext
+    from pyspark.sql import types as T
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    base = df.sortWithinPartitions(sort_col) if sort_col else df
+    schema = T.StructType(list(df.schema.fields) + [T.StructField("bin_id", T.LongType())])
+
+    def pack(batches):
+        pid = TaskContext.get().partitionId()
+        next_bin = 0
+        open_bins: list[tuple[int, int]] = []  # (bin local id, used tokens)
+        for pdf in batches:
+            ids = []
+            for n in pdf[tokens_col]:
+                n = int(n) if n is not None and n == n else 0
+                placed = None
+                for i, (b, used) in enumerate(open_bins):
+                    if used + n <= budget:
+                        open_bins[i] = (b, used + n)
+                        placed = b
+                        break
+                if placed is None:
+                    placed = next_bin
+                    open_bins.append((next_bin, n))
+                    next_bin += 1
+                    # first-fit with a bounded open list: keeps the
+                    # scan O(1) amortized on long streams
+                    if len(open_bins) > 64:
+                        open_bins.pop(0)
+                ids.append((pid << 32) | placed)
+            out = pdf.copy()
+            out["bin_id"] = pd.Series(ids, index=pdf.index, dtype="int64")
+            yield out
+
+    return base.mapInPandas(pack, schema=schema)

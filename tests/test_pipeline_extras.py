@@ -264,3 +264,117 @@ def test_mix_corpora_tags_and_reproduces(spark, sf_dir):
     assert 0 < counts["orders"] < 0.3 * orders.count()
     again = mix_corpora({"docs": (docs, 1.0), "orders": (orders, 0.1)}, key_col="doc_id", seed=5)
     assert again.count() == mixed.count()
+
+
+# ------------------------------------------------------- paragraph dedup
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    from d2d_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "unique one\n\nshared para\n\nunique two"),
+            (2, "shared para\n\nonly in two"),   # loses the shared para
+            (3, "shared para"),                  # loses everything
+            (4, "   \n\nonly whitespace dropped\n\n  "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(df, "text", "doc_id").collect()}
+    assert out[1]["text"] == "unique one\n\nshared para\n\nunique two"
+    assert out[1]["n_dropped_paragraphs"] == 0
+    assert out[2]["text"] == "only in two" and out[2]["n_dropped_paragraphs"] == 1
+    assert out[3]["text"] == "" and out[3]["n_dropped_paragraphs"] == 1
+    assert out[4]["text"] == "only whitespace dropped"
+    assert set(out) == {1, 2, 3, 4}  # every document survives as a row
+
+    # keep_first=False strips every copy of repeated paragraphs
+    strip = {r["doc_id"]: r for r in
+             paragraph_dedup(df, "text", "doc_id", keep_first=False).collect()}
+    assert strip[1]["text"] == "unique one\n\nunique two"
+
+
+def test_paragraph_dedup_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    from d2d_spark.operators.dedup import paragraph_dedup
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    # single-newline paragraphs: the fixture text has no blank lines
+    got = {
+        r["doc_id"]: (r["text"], r["n_dropped_paragraphs"])
+        for r in paragraph_dedup(docs, "text", "doc_id", sep="\n").select(
+            "doc_id", "text", "n_dropped_paragraphs"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW d AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE doc_id < 60"
+    )
+    want = {
+        row[0]: (row[1], row[2])
+        for row in con.execute(
+            r"""
+            WITH paras AS (
+              SELECT doc_id, i AS pos, p,
+                     md5(lower(trim(regexp_replace(p, '\s+', ' ', 'g')))) fp
+              FROM (SELECT doc_id, unnest(string_split(text, chr(10))) p,
+                           generate_subscripts(string_split(text, chr(10)), 1) i
+                    FROM d)
+              WHERE trim(p) <> ''
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) rk,
+                        count(*) OVER (PARTITION BY fp) n
+              FROM paras
+            ), kept AS (
+              SELECT * FROM ranked WHERE n = 1 OR rk = 1
+            ), rebuilt AS (
+              SELECT doc_id, string_agg(p, chr(10) ORDER BY pos) t, count(*) k
+              FROM kept GROUP BY doc_id
+            ), totals AS (
+              SELECT doc_id, count(*) tot FROM paras GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(r.t, ''), coalesce(tot, 0) - coalesce(r.k, 0)
+            FROM d LEFT JOIN rebuilt r USING (doc_id) LEFT JOIN totals USING (doc_id)
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+# ----------------------------------------------------------- packing
+
+
+def test_pack_documents_respects_budget(spark, sf_dir):
+    from d2d_spark.operators.sampling import pack_documents
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    packed = pack_documents(docs, "n_tokens", budget=200, sort_col="doc_id")
+    rows = packed.select("doc_id", "n_tokens", "bin_id").collect()
+    assert len(rows) == docs.count()  # every document assigned
+    by_bin: dict[int, list[int]] = {}
+    for r in rows:
+        by_bin.setdefault(r["bin_id"], []).append(r["n_tokens"])
+    for b, toks in by_bin.items():
+        assert sum(toks) <= 200 or len(toks) == 1  # over-budget => singleton
+    # packing actually packs: fewer bins than documents
+    assert len(by_bin) < len(rows)
+    # deterministic given the same partitioning + sort
+    again = pack_documents(docs, "n_tokens", budget=200, sort_col="doc_id")
+    assert {(r["doc_id"], r["bin_id"]) for r in again.collect()} == {
+        (r["doc_id"], r["bin_id"]) for r in rows
+    }
+
+
+def test_pack_documents_validates(spark, sf_dir):
+    import pytest as _pytest
+
+    from d2d_spark.operators.sampling import pack_documents
+
+    docs = read_table(spark, sf_dir, "documents").withColumn("n", F.lit(1))
+    with _pytest.raises(ValueError, match="budget"):
+        pack_documents(docs, "n", budget=0)
