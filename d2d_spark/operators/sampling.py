@@ -168,3 +168,35 @@ def pack_documents(
             yield out
 
     return base.mapInPandas(pack, schema=schema)
+
+
+def shuffle_and_shard(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic global shuffle into ``n_shards`` near-equal
+    shards — the final step before training consumes a corpus. The
+    shard is ``xxhash64(key, seed) mod n_shards`` (a pure function of
+    the key: reproducible run-to-run, a new seed is a new
+    permutation), and rows land physically grouped by shard and
+    ordered by the same hash, so re-reading any shard yields a stable
+    document order.
+
+    One exchange on the shard id — same cost as any global
+    re-bucketing; no driver involvement, no RNG state, no sampled
+    range bounds (``repartitionByRange`` draws bounds from a random
+    sample, which would make shard assignment run-dependent). Write
+    with ``.write.partitionBy("shard")`` for one directory per shard.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    h = F.xxhash64(F.col(key_col), F.lit(seed))
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", F.pmod(F.col("__h"), F.lit(n_shards)))
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "__h")
+        .drop("__h")
+    )

@@ -378,3 +378,29 @@ def test_pack_documents_validates(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents").withColumn("n", F.lit(1))
     with _pytest.raises(ValueError, match="budget"):
         pack_documents(docs, "n", budget=0)
+
+
+def test_shuffle_and_shard_deterministic_balanced(spark, sf_dir):
+    from d2d_spark.operators.sampling import shuffle_and_shard
+
+    orders = read_table(spark, sf_dir, "orders")
+    n = orders.count()
+    sharded = shuffle_and_shard(orders, "o_orderkey", n_shards=4, seed=1)
+    rows = [(r["o_orderkey"], r["shard"]) for r in sharded.select("o_orderkey", "shard").collect()]
+    assert len(rows) == n
+    sizes = {}
+    for _, s in rows:
+        sizes[s] = sizes.get(s, 0) + 1
+    assert set(sizes) == {0, 1, 2, 3}
+    assert max(sizes.values()) < 2 * min(sizes.values())  # near-equal shards
+    # same seed reproduces the assignment exactly; new seed permutes
+    again = {(r["o_orderkey"], r["shard"]) for r in
+             shuffle_and_shard(orders, "o_orderkey", n_shards=4, seed=1)
+             .select("o_orderkey", "shard").collect()}
+    assert again == set(rows)
+    other = {(r["o_orderkey"], r["shard"]) for r in
+             shuffle_and_shard(orders, "o_orderkey", n_shards=4, seed=2)
+             .select("o_orderkey", "shard").collect()}
+    assert other != set(rows)
+    with pytest.raises(ValueError, match="n_shards"):
+        shuffle_and_shard(orders, "o_orderkey", 0)
