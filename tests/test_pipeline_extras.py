@@ -404,3 +404,57 @@ def test_shuffle_and_shard_deterministic_balanced(spark, sf_dir):
     assert other != set(rows)
     with pytest.raises(ValueError, match="n_shards"):
         shuffle_and_shard(orders, "o_orderkey", 0)
+
+
+def test_paragraph_dedup_is_idempotent(spark, sf_dir):
+    """A second pass over already-deduped text is a fixed point."""
+    from d2d_spark.operators.dedup import paragraph_dedup
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    once = paragraph_dedup(docs, "text", "doc_id", sep="\n").select("doc_id", "text")
+    twice = paragraph_dedup(once, "text", "doc_id", sep="\n").select(
+        "doc_id", "text", "n_dropped_paragraphs"
+    )
+    rows = twice.collect()
+    assert all(r["n_dropped_paragraphs"] == 0 for r in rows)
+    assert {(r["doc_id"], r["text"]) for r in rows} == {
+        (r["doc_id"], r["text"]) for r in once.collect()
+    }
+
+
+def test_curation_filters_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The curation Columns (quality/repetition/PII) are pure per-row
+    expressions, so the SAME code runs unchanged on a stream — pinned
+    by comparing an availableNow file-stream pass against batch."""
+    from d2d_spark.functions.pii import redact_pii
+    from d2d_spark.functions.text import dup_line_fraction
+    from d2d_spark.streaming.filestream import file_stream
+
+    src = str(tmp_path / "docs_src")
+    docs = read_table(spark, sf_dir, "documents").limit(80)
+    docs.write.parquet(src)
+    batch_df = spark.read.parquet(src)
+
+    def curate(df):
+        return df.select(
+            "doc_id",
+            redact_pii(F.col("text")).alias("clean_text"),
+            dup_line_fraction(F.col("text")).alias("rep"),
+        ).filter(F.coalesce(F.col("rep"), F.lit(0.0)) < 0.5)
+
+    expected = {(r["doc_id"], r["clean_text"]) for r in curate(batch_df).collect()}
+    stream = file_stream(spark, src, batch_df.schema, max_files_per_trigger=2)
+    q = (
+        curate(stream)
+        .writeStream.format("memory")
+        .queryName("curate_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["clean_text"])
+        for r in spark.sql("select * from curate_stream_test").collect()
+    }
+    assert got == expected
