@@ -15,6 +15,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -320,9 +321,13 @@ class IncrementalMigration(Migration):
             return self.since
         try:
             tgt = self.sink.read(table_to)
-        except Exception:
+            row = tgt.agg(F.max(self.watermark_col).alias("hwm")).first()
+        except (AnalysisException, KeyError, FileNotFoundError):
+            # target doesn't exist yet -> full load. ONLY
+            # missing-target errors degrade to a full load: an
+            # unreadable/corrupt target must raise, because silently
+            # re-loading everything into append mode duplicates rows.
             return None
-        row = tgt.agg(F.max(self.watermark_col).alias("hwm")).first()
         return row["hwm"] if row else None
 
     def run_one(self, table_from: str, table_to: str | None = None, pks: list[str] | None = None) -> DataFrame:

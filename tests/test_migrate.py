@@ -309,3 +309,22 @@ def test_incremental_migration_explicit_since_skips_target_read(spark, tmpdir):
     (index, mode, rows), = dst.frames
     assert index == "t" and mode == "append"
     assert [r.id for r in rows] == [2]
+
+
+def test_incremental_migration_unreadable_target_raises(spark, tmpdir):
+    """Only a MISSING target degrades to a full load; a target that
+    exists but cannot be read must raise (a silent full re-load would
+    duplicate every row under append mode)."""
+    from d2d_spark.migrate import IncrementalMigration
+
+    src = MemoryConnector({"t": [{"id": 1, "ts": 100}]}, spark)
+
+    class BrokenSink:
+        def read(self, index, **kw):
+            raise RuntimeError("target exists but is corrupt")
+
+        def write(self, df, index, mode="append", pks=None, **kw):
+            raise AssertionError("must not write")
+
+    with pytest.raises(RuntimeError, match="corrupt"):
+        IncrementalMigration(src, BrokenSink(), table_from="t", watermark_col="ts").run()
