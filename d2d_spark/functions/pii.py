@@ -68,8 +68,10 @@ def redact_pii(col: Column, kinds: tuple[str, ...] = tuple(PII_PATTERNS)) -> Col
 def has_pii(col: Column) -> Column:
     """True if any class matches — the cheap pre-filter: a corpus
     scrub runs the (pure-filter, no-shuffle) detector over everything
-    and the rewrite only over the matching minority."""
+    and the rewrite only over the matching minority. ``rlike`` (not
+    ``regexp_count``) so each class short-circuits at its first
+    match instead of scanning the document to the end."""
     out = F.lit(False)
     for k in PII_PATTERNS:
-        out = out | (pii_count(col, k) > 0)
+        out = out | col.rlike(PII_PATTERNS[k])
     return out

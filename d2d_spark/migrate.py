@@ -70,6 +70,8 @@ def apply_format_data(
     record). For an auditable bad-row channel use
     ``format_data_with_quarantine``.
     """
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
     if fn is None:
         return df
     if isinstance(fn, dict):
@@ -77,8 +79,6 @@ def apply_format_data(
         for name, expr in fn.items():
             out = out.withColumn(name, expr)
         return out
-    if on_error not in ("raise", "skip"):
-        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
 
     schema, cols = _infer_transform_schema(df, fn, sample, on_error)
 
@@ -142,13 +142,14 @@ def format_data_with_quarantine(
     wide_cols = cols + ["__row", "__error"]
 
     def run(batches):
+        yielded = False
         for pdf in batches:
-            out = []
+            good, bad = [], []
             for rec in pdf.to_dict("records"):
                 try:
                     t = fn(rec)
                 except Exception as e:
-                    out.append(
+                    bad.append(
                         {
                             "__row": json.dumps(rec, default=str, sort_keys=True),
                             "__error": f"{type(e).__name__}: {e}",
@@ -162,10 +163,19 @@ def format_data_with_quarantine(
                             f"format_data emitted keys absent from the sampled "
                             f"schema: {sorted(extra)}"
                         )
-                    out.append(t)
-            yield pd.DataFrame(out, columns=wide_cols) if out else pd.DataFrame(
-                {c: pd.Series(dtype="object") for c in wide_cols}
-            )
+                    good.append(t)
+            # good and bad rows are SEPARATE frames: one mixed frame
+            # would NaN-fill the data columns of bad rows, coercing
+            # int64 columns to float64 and silently rounding good-row
+            # values above 2^53
+            if good:
+                yielded = True
+                yield pd.DataFrame(good, columns=wide_cols)
+            if bad:
+                yielded = True
+                yield pd.DataFrame(bad, columns=wide_cols, dtype="object")
+        if not yielded:
+            yield pd.DataFrame({c: pd.Series(dtype="object") for c in wide_cols})
 
     wide = df.mapInPandas(run, schema=wide_schema)
     if persist:
@@ -321,13 +331,15 @@ class IncrementalMigration(Migration):
             return self.since
         try:
             tgt = self.sink.read(table_to)
-            row = tgt.agg(F.max(self.watermark_col).alias("hwm")).first()
         except (AnalysisException, KeyError, FileNotFoundError):
-            # target doesn't exist yet -> full load. ONLY
-            # missing-target errors degrade to a full load: an
-            # unreadable/corrupt target must raise, because silently
-            # re-loading everything into append mode duplicates rows.
+            # target doesn't exist yet -> full load. ONLY the
+            # missing-target read degrades to a full load: an
+            # unreadable/corrupt target — or a bad watermark column in
+            # the aggregation below, which deliberately sits OUTSIDE
+            # this try — must raise, because silently re-loading
+            # everything into append mode duplicates rows.
             return None
+        row = tgt.agg(F.max(self.watermark_col).alias("hwm")).first()
         return row["hwm"] if row else None
 
     def run_one(self, table_from: str, table_to: str | None = None, pks: list[str] | None = None) -> DataFrame:

@@ -758,10 +758,14 @@ def paragraph_dedup(
     ``n_dropped_paragraphs`` count; documents losing every paragraph
     keep an empty string.
     """
+    # split() takes a Java regex but the rebuild joins with the
+    # LITERAL separator — quote it so metachar separators ('||', '.')
+    # split where they should instead of on every character
+    sep_rx = "\\Q" + sep + "\\E"
     paras = (
         df.select(
             F.col(id_col).alias("__id"),
-            F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__p"),
+            F.posexplode(F.split(F.col(text_col), sep_rx)).alias("__pos", "__p"),
         )
         .filter(F.trim(F.col("__p")) != "")
         .withColumn("__fp", fingerprint(F.col("__p")))
@@ -783,22 +787,15 @@ def paragraph_dedup(
         ).alias("__text"),
         F.count(F.lit(1)).alias("__kept"),
     )
-    n_paras = df.select(
-        F.col(id_col).alias("__id"),
-        F.size(
-            F.filter(F.split(F.col(text_col), sep), lambda p: F.trim(p) != "")
-        ).alias("__total"),
-    )
+    # per-doc totals come from the already-exploded frame — no second
+    # scan/split of the source text, and one id join instead of two
+    totals = paras.groupBy("__id").agg(F.count(F.lit(1)).alias("__total"))
+    stats = totals.join(rebuilt, "__id", "left")
     out_cols = [c for c in df.columns if c != text_col]
-    return (
-        df.join(rebuilt, on=[df[id_col] == rebuilt["__id"]], how="left")
-        .drop("__id")
-        .join(n_paras, on=[df[id_col] == n_paras["__id"]], how="left")
-        .select(
-            *out_cols,
-            F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
-            (F.col("__total") - F.coalesce(F.col("__kept"), F.lit(0))).alias(
-                "n_dropped_paragraphs"
-            ),
-        )
+    return df.join(stats, on=[df[id_col] == stats["__id"]], how="left").select(
+        *out_cols,
+        F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
+        (
+            F.coalesce(F.col("__total"), F.lit(0)) - F.coalesce(F.col("__kept"), F.lit(0))
+        ).alias("n_dropped_paragraphs"),
     )

@@ -25,7 +25,7 @@ from d2d_spark.operators.writes import _swap_paths
 from d2d_spark.sources.base import require_spark
 
 
-def data_file_stats(spark: SparkSession, path: str, fmt: str = "parquet") -> tuple[int, int]:
+def data_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
     """(file_count, total_bytes) of a table directory's data files,
     via the Hadoop FileSystem (works on any scheme). Metadata-only."""
     jvm = spark._jvm
@@ -42,6 +42,19 @@ def data_file_stats(spark: SparkSession, path: str, fmt: str = "parquet") -> tup
         n += 1
         total += st.getLen()
     return n, total
+
+
+def _is_hive_partitioned(spark: SparkSession, path: str) -> bool:
+    """True if the directory has `col=value` subdirectories (hive
+    partition layout)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    for st in fs.listStatus(p):
+        if st.isDirectory() and "=" in st.getPath().getName():
+            return True
+    return False
 
 
 def compact_table(
@@ -63,7 +76,15 @@ def compact_table(
     Returns ``{files_before, bytes, files_after, compacted}``.
     """
     spark = require_spark(spark)
-    n_files, total = data_file_stats(spark, path, fmt)
+    if _is_hive_partitioned(spark, path):
+        # a flat rewrite would fold `col=value` directories into data
+        # columns and destroy the partition layout (and its pruning);
+        # compact each partition directory individually instead
+        raise ValueError(
+            f"compact_table: {path} is hive-partitioned; run compact_table "
+            "on each partition directory (col=value/) instead"
+        )
+    n_files, total = data_file_stats(spark, path)
     target_bytes = max(1, int(target_file_mb * (1 << 20)))
     want = max(1, -(-total // target_bytes)) if total else 1
     if n_files < min_files or n_files <= want:
@@ -72,7 +93,7 @@ def compact_table(
     staging = f"{path}.__compact_{uuid.uuid4().hex[:8]}"
     df.repartition(int(want)).write.format(fmt).mode("overwrite").save(staging)
     _swap_paths(spark, staging, path)
-    after, _ = data_file_stats(spark, path, fmt)
+    after, _ = data_file_stats(spark, path)
     return {"files_before": n_files, "bytes": total, "files_after": after, "compacted": True}
 
 

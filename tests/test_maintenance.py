@@ -82,3 +82,20 @@ def test_clustered_write_gives_disjoint_ranges(spark, sf_dir, tmpdir):
 def test_write_clustered_validates(spark, sf_dir, tmpdir):
     with pytest.raises(ValueError, match="cluster_by"):
         write_clustered(read_table(spark, sf_dir, "orders"), str(tmpdir / "x"), [])
+
+
+def test_compaction_refuses_hive_partitioned_layout(spark, sf_dir, tmpdir):
+    """Review finding: a flat rewrite would fold col=value directories
+    into data columns and destroy partition pruning."""
+    orders = read_table(spark, sf_dir, "orders")
+    path = str(tmpdir / "part")
+    orders.write.partitionBy("o_orderstatus").parquet(path)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        compact_table(spark, path)
+    # ...but compacting ONE partition directory works
+    sub = next(
+        str(p) for p in (tmpdir / "part").iterdir() if p.is_dir() and "=" in p.name
+    )
+    stats = compact_table(spark, sub, target_file_mb=128, min_files=1)
+    assert spark.read.parquet(sub).count() > 0
+    assert stats["files_after"] >= 1

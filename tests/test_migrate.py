@@ -328,3 +328,42 @@ def test_incremental_migration_unreadable_target_raises(spark, tmpdir):
 
     with pytest.raises(RuntimeError, match="corrupt"):
         IncrementalMigration(src, BrokenSink(), table_from="t", watermark_col="ts").run()
+
+
+def test_incremental_migration_bad_watermark_column_raises(spark, tmpdir):
+    """A typo'd watermark column on an EXISTING target must raise, not
+    silently full-load (review finding: the agg sat inside the
+    missing-target try)."""
+    from d2d_spark.migrate import IncrementalMigration
+
+    src = MemoryConnector({"t": [{"id": 1, "ts": 100}]}, spark)
+    dst = ParquetConnector(str(tmpdir), spark)
+    IncrementalMigration(src, dst, table_from="t", watermark_col="ts").run()
+    with pytest.raises(Exception, match="tz|UNRESOLVED|resolve"):
+        IncrementalMigration(src, dst, table_from="t", watermark_col="tz").run()
+
+
+def test_quarantine_preserves_large_ints_in_mixed_batches(spark):
+    """Good rows must keep int64 precision even when the same batch
+    holds a failing row (review finding: one NaN-filled frame coerced
+    int64 -> float64, rounding values above 2^53)."""
+    from d2d_spark.migrate import format_data_with_quarantine
+
+    big = (1 << 53) + 1
+    rows = [{"id": 1, "v": big}, {"id": 2, "v": 5}]
+    mem = MemoryConnector({"u": rows}, spark)
+
+    def fmt(d):
+        if d["id"] == 2:
+            raise ValueError("bad")
+        return {"id": d["id"], "v": d["v"]}
+
+    good, bad = format_data_with_quarantine(mem.read("u").coalesce(1), fmt)
+    assert {(r.id, r.v) for r in good.collect()} == {(1, big)}
+    assert bad.count() == 1
+
+
+def test_format_data_on_error_validated_for_dict_transforms(spark):
+    mem = MemoryConnector({"u": USERS}, spark)
+    with pytest.raises(ValueError, match="on_error"):
+        apply_format_data(mem.read("u"), {"x": F.col("score")}, on_error="quarantine")

@@ -458,3 +458,18 @@ def test_curation_filters_stream_equals_batch(spark, sf_dir, tmp_path):
         for r in spark.sql("select * from curate_stream_test").collect()
     }
     assert got == expected
+
+
+def test_paragraph_dedup_regex_metachar_separator(spark):
+    """Separators are literals, not regexes (review finding: '||' as a
+    regex split on every character)."""
+    from d2d_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a||b||a"), (2, "c.d.c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(df, "text", "doc_id", sep="||").collect()}
+    assert out[1]["text"] == "a||b" and out[1]["n_dropped_paragraphs"] == 1
+    assert out[2]["text"] == "c.d.c"  # no '||' -> untouched single paragraph
+    dot = {r["doc_id"]: r for r in paragraph_dedup(df, "text", "doc_id", sep=".").collect()}
+    assert dot[2]["text"] == "c.d" and dot[2]["n_dropped_paragraphs"] == 1
