@@ -799,3 +799,136 @@ def paragraph_dedup(
             F.coalesce(F.col("__total"), F.lit(0)) - F.coalesce(F.col("__kept"), F.lit(0))
         ).alias("n_dropped_paragraphs"),
     )
+
+
+class SignatureStore:
+    """Persistent MinHash signature store for INCREMENTAL corpus
+    dedup — the 100 TB workflow where re-running LSH over the whole
+    corpus per crawl is off the table: each new batch dedups against
+    the store (banded candidate join + exact-Jaccard verify), and only
+    the surviving rows' signatures append to the store.
+
+    Layout: one parquet table of (``__id``, ``minhash``, ``__hset``),
+    exactly the persisted stage of ``minhash_lsh_pairs`` — the batch
+    and incremental paths share hashing, banding, and verification, so
+    incremental results match what a full re-run would keep (pinned in
+    tests). The band join still carries (id, band, hash) only; the
+    store is read via a normal parquet scan, so at warehouse scale it
+    partitions/prunes like any other table.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        num_hashes: int = 32,
+        bands: int = 8,
+        shingle_n: int = 3,
+        jaccard_threshold: float = 0.5,
+    ):
+        if num_hashes % bands:
+            raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+        self.path = path
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_n = shingle_n
+        self.jaccard_threshold = jaccard_threshold
+
+    def _band_hashes(self):
+        rows_per_band = self.num_hashes // self.bands
+        return F.array(
+            *[
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("minhash")[i].cast("string")
+                            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                        ],
+                    )
+                )
+                for b in range(self.bands)
+            ]
+        )
+
+    def _signatures(self, df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+        base = df.select(F.col(id_col).alias("__id"), F.col(text_col))
+        npart = df.sparkSession.sparkContext.defaultParallelism
+        return minhash_signature(
+            _spread(base, npart, "__id"),
+            text_col,
+            self.num_hashes,
+            self.shingle_n,
+            emit_hashed_shingles=True,
+        ).select("__id", "minhash", "__hset")
+
+    def _read_store(self, spark) -> DataFrame | None:
+        from pyspark.errors import AnalysisException
+
+        try:
+            return spark.read.parquet(self.path)
+        except AnalysisException:
+            return None  # first batch: empty store
+
+    def dedup_batch(self, df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+        """Return the rows of ``df`` that are NOT near-duplicates of
+        anything already in the store, then append the survivors'
+        signatures (in-batch duplicates resolve min-id-wins first, so
+        a batch of mutual clones keeps exactly one).
+
+        Crash note: the append runs after the survivor set is
+        computed; a retry of a failed append would re-add signature
+        rows, which is harmless (duplicate signatures change no
+        candidate decision — the pair set is id-distinct).
+        """
+        from pyspark import StorageLevel
+
+        spark = df.sparkSession
+        sig = self._signatures(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+        bands = sig.select("__id", F.posexplode(self._band_hashes()).alias("__band", "__bh"))
+
+        # 1) in-batch dedup: min id per colliding pair survives
+        in_pairs = (
+            bands.select(F.col("__id").alias("id_a"), "__band", "__bh")
+            .join(bands.select(F.col("__id").alias("id_b"), "__band", "__bh"), ["__band", "__bh"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        in_dups = self._verified(in_pairs, sig, sig).select(F.col("id_b").alias("__dup"))
+
+        # 2) store dedup: batch ids matching ANY stored doc drop
+        store = self._read_store(spark)
+        if store is not None:
+            store_bands = store.select(
+                F.col("__id").alias("id_b"), F.posexplode(self._band_hashes()).alias("__band", "__bh")
+            )
+            x_pairs = (
+                bands.select(F.col("__id").alias("id_a"), "__band", "__bh")
+                .join(store_bands, ["__band", "__bh"])
+                .select("id_a", "id_b")
+                .distinct()
+            )
+            x_dups = self._verified(
+                x_pairs, sig, store.select("__id", "__hset")
+            ).select(F.col("id_a").alias("__dup"))
+            dups = in_dups.unionByName(x_dups).distinct()
+        else:
+            dups = in_dups.distinct()
+
+        survivors = df.join(dups, on=[F.col(id_col) == F.col("__dup")], how="left_anti")
+        new_sigs = sig.join(dups, on=[F.col("__id") == F.col("__dup")], how="left_anti")
+        new_sigs.write.mode("append").parquet(self.path)
+        sig.unpersist()
+        return survivors
+
+    def _verified(self, pairs: DataFrame, left_sig: DataFrame, right_sig: DataFrame) -> DataFrame:
+        sh_a = left_sig.select(F.col("__id").alias("id_a"), F.col("__hset").alias("sh_a"))
+        sh_b = right_sig.select(F.col("__id").alias("id_b"), F.col("__hset").alias("sh_b"))
+        jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+        return (
+            pairs.join(sh_a, "id_a")
+            .join(sh_b, "id_b")
+            .filter((F.size("sh_a") > 0) & (F.size("sh_b") > 0))
+            .filter(jac >= self.jaccard_threshold)
+            .select("id_a", "id_b")
+        )

@@ -473,3 +473,56 @@ def test_paragraph_dedup_regex_metachar_separator(spark):
     assert out[2]["text"] == "c.d.c"  # no '||' -> untouched single paragraph
     dot = {r["doc_id"]: r for r in paragraph_dedup(df, "text", "doc_id", sep=".").collect()}
     assert dot[2]["text"] == "c.d" and dot[2]["n_dropped_paragraphs"] == 1
+
+
+def test_signature_store_incremental_dedup(spark, sf_dir, tmp_path):
+    """Two-batch incremental dedup: in-batch clones collapse to one,
+    cross-batch clones drop against the store, and the surviving id
+    set matches what one batch-mode LSH run over the union keeps."""
+    from d2d_spark.operators.dedup import (
+        SignatureStore,
+        dedup_representatives,
+        minhash_lsh_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    base = docs.select("doc_id", "text")
+    # batch 1: docs 0..39 plus an in-batch clone of each doc < 5
+    clones1 = base.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    batch1 = base.unionAll(clones1)
+    # batch 2: clones of docs 10..19 (cross-batch dups) + genuinely new docs
+    clones2 = base.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)).select(
+        (F.col("doc_id") + 2000).alias("doc_id"), "text"
+    )
+    fresh = read_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") >= 60) & (F.col("doc_id") < 80)
+    ).select((F.col("doc_id") + 3000).alias("doc_id"), "text")
+    batch2 = clones2.unionAll(fresh)
+
+    store = SignatureStore(str(tmp_path / "sigs"), jaccard_threshold=1.0)
+    kept1 = store.dedup_batch(batch1, "text", "doc_id")
+    ids1 = {r["doc_id"] for r in kept1.select("doc_id").collect()}
+    assert ids1 == {r["doc_id"] for r in base.select("doc_id").collect()}  # min-id wins
+
+    kept2 = store.dedup_batch(batch2, "text", "doc_id")
+    ids2 = {r["doc_id"] for r in kept2.select("doc_id").collect()}
+    assert ids2 == {r["doc_id"] for r in fresh.select("doc_id").collect()}
+
+    # equivalence with one batch-mode run over everything (batch-1 ids
+    # are smaller, so min-id representatives = incremental survivors)
+    union = batch1.unionAll(batch2)
+    pairs = minhash_lsh_pairs(union, "text", "doc_id", jaccard_threshold=1.0)
+    batch_kept = {
+        r["doc_id"]
+        for r in dedup_representatives(union, pairs, "doc_id").select("doc_id").collect()
+    }
+    assert ids1 | ids2 == batch_kept
+
+
+def test_signature_store_validates_bands(tmp_path):
+    from d2d_spark.operators.dedup import SignatureStore
+
+    with pytest.raises(ValueError, match="bands"):
+        SignatureStore(str(tmp_path / "x"), num_hashes=32, bands=5)
