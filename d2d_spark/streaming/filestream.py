@@ -119,3 +119,40 @@ def sync_with_mode(
     )
     q.awaitTermination()
     return q
+
+
+def stream_dedup_sink(
+    df: DataFrame,
+    store,
+    target_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fmt: str = "parquet",
+):
+    """Streaming incremental near-dedup: every micro-batch dedups
+    against the persisted minhash ``SignatureStore`` (in-batch AND
+    against all previously accepted documents), appends the survivors
+    to ``target_path``, and appends their signatures to the store —
+    the crawl-ingestion shape: files land, stream picks them up
+    exactly once (checkpoint ledger), corpus stays near-dup-free
+    without ever re-running LSH over it.
+
+    Exactly-once: the checkpoint dedups *file pickup*; a replayed
+    batch re-offers the same ids, whose signatures are already in the
+    store, so its clones drop and only genuinely-new rows append —
+    the store itself makes the dedup replay-tolerant.
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        kept = store.dedup_batch(batch_df, text_col, id_col)
+        kept.write.mode("append").format(fmt).save(target_path)
+
+    q = (
+        df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -526,3 +526,39 @@ def test_signature_store_validates_bands(tmp_path):
 
     with pytest.raises(ValueError, match="bands"):
         SignatureStore(str(tmp_path / "x"), num_hashes=32, bands=5)
+
+
+def test_stream_dedup_sink_end_to_end(spark, sf_dir, tmp_path):
+    """Crawl-ingestion shape: two file drops stream through the
+    signature store; cross-drop clones never reach the target."""
+    from d2d_spark.operators.dedup import SignatureStore
+    from d2d_spark.streaming.filestream import file_stream, stream_dedup_sink
+
+    src = str(tmp_path / "incoming")
+    target = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    store = SignatureStore(str(tmp_path / "sigs"), jaccard_threshold=1.0)
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    base = docs.select("doc_id", "text")
+    base.write.parquet(src)  # drop 1
+    stream = file_stream(spark, src, base.schema, max_files_per_trigger=2)
+    stream_dedup_sink(stream, store, target, ckpt)
+    assert spark.read.parquet(target).count() == base.count()
+
+    # drop 2: clones of existing docs + new ones
+    clones = base.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 5000).alias("doc_id"), "text"
+    )
+    fresh = read_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 120)
+    ).select("doc_id", "text")
+    clones.unionAll(fresh).write.mode("append").parquet(src)
+    stream2 = file_stream(spark, src, base.schema, max_files_per_trigger=2)
+    stream_dedup_sink(stream2, store, target, ckpt)
+
+    got = {r["doc_id"] for r in spark.read.parquet(target).select("doc_id").collect()}
+    want = {r["doc_id"] for r in base.select("doc_id").collect()} | {
+        r["doc_id"] for r in fresh.select("doc_id").collect()
+    }
+    assert got == want  # no clone ids, all fresh ids, drop-1 intact
