@@ -62,3 +62,27 @@ def _int_weight(i: Column, j: int) -> Column:
     # silently, other engines promote — results would diverge).
     h = (i.cast("long") * 1103515245 + F.lit(j) * 12345 + 7) % 97
     return (h - 48).cast("double")
+
+
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric int8 quantization of a float vector: struct of
+    ``(scale, q)`` with ``q[i] = round(v[i] / scale)`` in [-127, 127]
+    and ``scale = max(|v|) / 127``. A 4x storage/shuffle cut for
+    embedding columns at warehouse scale; cosine on dequantized
+    vectors stays within ~1% of exact (pinned in tests). Pure Column
+    expressions — runs in the scan projection. Zero vectors keep
+    scale 0 and all-zero codes."""
+    absmax = F.array_max(F.transform(vec, lambda x: F.abs(x)))
+    scale = (absmax / F.lit(127.0)).cast("float")
+    q = F.transform(
+        vec,
+        lambda x: F.when(scale > 0, F.round(x / scale).cast("tinyint")).otherwise(
+            F.lit(0).cast("tinyint")
+        ),
+    )
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def dequantize_int8(qv: Column) -> Column:
+    """Inverse of ``quantize_int8``: float array ``q[i] * scale``."""
+    return F.transform(qv["q"], lambda x: (x * qv["scale"]).cast("float"))

@@ -562,3 +562,40 @@ def test_stream_dedup_sink_end_to_end(spark, sf_dir, tmp_path):
         r["doc_id"] for r in fresh.select("doc_id").collect()
     }
     assert got == want  # no clone ids, all fresh ids, drop-1 intact
+
+
+def test_int8_quantization_roundtrip_and_recall(spark, sf_dir):
+    """Quantized cosine stays within ~1% of exact, and exact top-5
+    neighbor sets survive quantization with high overlap."""
+    from d2d_spark.functions.vectors import cosine, dequantize_int8, quantize_int8
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    deq = emb.select(
+        "vec_id",
+        "embedding",
+        dequantize_int8(quantize_int8(F.col("embedding"))).alias("approx"),
+    )
+    err = deq.select(
+        F.abs(cosine(F.col("embedding"), F.col("approx")) - 1.0).alias("e")
+    ).agg(F.max("e").alias("worst")).first()["worst"]
+    assert err < 0.01  # dequantized vector nearly parallel to original
+
+    # top-5 neighbors of 3 probe vectors: exact vs quantized corpus
+    from d2d_spark.operators.similarity import brute_force_topk
+
+    queries = emb.filter(F.col("vec_id") < 3).select("vec_id", "embedding")
+    exact = brute_force_topk(emb, queries, "vec_id", "embedding", "vec_id", "embedding", k=5)
+    qcorpus = deq.select("vec_id", F.col("approx").alias("embedding"))
+    approx = brute_force_topk(qcorpus, queries, "vec_id", "embedding", "vec_id", "embedding", k=5)
+    for qid in range(3):
+        a = {r["neighbor_id"] for r in exact.filter(F.col("query_id") == qid).collect()}
+        b = {r["neighbor_id"] for r in approx.filter(F.col("query_id") == qid).collect()}
+        assert len(a & b) >= 4  # >=80% overlap per probe
+
+
+def test_int8_quantization_zero_vector(spark):
+    from d2d_spark.functions.vectors import dequantize_int8, quantize_int8
+
+    df = spark.createDataFrame([([0.0, 0.0, 0.0],)], "embedding array<float>")
+    out = df.select(dequantize_int8(quantize_int8(F.col("embedding"))).alias("v")).first()
+    assert out["v"] == [0.0, 0.0, 0.0]
