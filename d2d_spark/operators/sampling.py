@@ -200,3 +200,52 @@ def shuffle_and_shard(
         .sortWithinPartitions("shard", "__h")
         .drop("__h")
     )
+
+
+def quality_weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    score_col: str,
+    temperature: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic quality-weighted sampling: keep probability =
+    ``clamp(score, 0, 1) ** temperature`` per row, decided by the same
+    hash-bucket primitive as ``hash_sample`` — so draws are
+    reproducible per key and nested in temperature (lowering the
+    exponent only ever ADDS rows for scores in [0,1]). The standard
+    quality-curriculum move: temperature 0 keeps everything, higher
+    temperatures concentrate the corpus on high-scoring documents.
+    Pure filter, no shuffle; NULL scores drop."""
+    if temperature < 0:
+        raise ValueError(f"temperature must be >= 0, got {temperature}")
+    p = F.pow(F.least(F.greatest(F.col(score_col), F.lit(0.0)), F.lit(1.0)), F.lit(float(temperature)))
+    return df.filter(hash_bucket(F.col(key_col), seed) < p * _BUCKETS)
+
+
+def concat_bins(
+    df: DataFrame,
+    bin_col: str = "bin_id",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Materialize ``pack_documents`` bins into training sequences:
+    one row per bin with documents concatenated in stable (id) order,
+    the member id list, and the token total. One groupBy on the bin id
+    (uniform: ids embed the partition); the text payload shuffles once
+    — the unavoidable cost of physically building sequences."""
+    aggs = [
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(id_col, text_col))), lambda s: s[text_col]
+            ),
+        ).alias(text_col),
+        F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        F.count(F.lit(1)).alias("n_docs"),
+    ]
+    if tokens_col is not None:
+        aggs.append(F.sum(tokens_col).alias("n_tokens"))
+    return df.groupBy(bin_col).agg(*aggs)

@@ -599,3 +599,40 @@ def test_int8_quantization_zero_vector(spark):
     df = spark.createDataFrame([([0.0, 0.0, 0.0],)], "embedding array<float>")
     out = df.select(dequantize_int8(quantize_int8(F.col("embedding"))).alias("v")).first()
     assert out["v"] == [0.0, 0.0, 0.0]
+
+
+def test_quality_weighted_sample_monotone(spark, sf_dir):
+    from d2d_spark.operators.sampling import quality_weighted_sample
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "score", (F.col("doc_id") % 100) / 100.0
+    )
+    cold = {r["doc_id"] for r in quality_weighted_sample(docs, "doc_id", "score", 2.0).collect()}
+    warm = {r["doc_id"] for r in quality_weighted_sample(docs, "doc_id", "score", 1.0).collect()}
+    assert cold <= warm  # sharper temperature only removes rows
+    assert len(cold) < len(warm) < docs.count()
+    everything = quality_weighted_sample(docs, "doc_id", "score", 0.0)
+    assert everything.count() == docs.count()  # T=0 keeps all (score^0 = 1)
+    # keep rate rises with score
+    kept_low = len([i for i in warm if i % 100 < 30])
+    kept_high = len([i for i in warm if i % 100 >= 70])
+    assert kept_high > kept_low
+    with pytest.raises(ValueError, match="temperature"):
+        quality_weighted_sample(docs, "doc_id", "score", -1)
+
+
+def test_concat_bins_builds_sequences(spark, sf_dir):
+    from d2d_spark.operators.sampling import concat_bins, pack_documents
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    ).select("doc_id", "text", "n_tokens")
+    packed = pack_documents(docs, "n_tokens", budget=300, sort_col="doc_id")
+    seqs = concat_bins(packed, tokens_col="n_tokens")
+    rows = seqs.collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        assert r["n_tokens"] <= 300 or r["n_docs"] == 1
+        assert r["doc_ids"] == sorted(r["doc_ids"])
+        # concatenation holds every member's text in id order
+        assert r["text"].count("\n\n") == r["n_docs"] - 1 or "\n\n" in r["text"]
