@@ -93,6 +93,15 @@ def main() -> int:
             stratified_sample(docs, "source", {"web": 0.5}, key_col="doc_id", default_fraction=0.1),
             lambda p: [] if "Exchange" not in p else ["sampling shuffled"],
         ),
+        # equi-joins only: a cartesian in the paragraph rebuild would
+        # be quadratic in corpus paragraphs
+        "paragraph_dedup": (
+            __import__("d2d_spark.operators.dedup", fromlist=["paragraph_dedup"]).paragraph_dedup(
+                docs, "text", "doc_id", sep="\n"
+            ),
+            lambda p: [] if "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+            else ["non-equi join in paragraph dedup"],
+        ),
     }
     for name, (df, check) in extras.items():
         plan = df._jdf.queryExecution().explainString(mode)
