@@ -60,19 +60,27 @@ def get_spark(
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one fixture table, normalizing physical quirks.
 
-    `events.ts` is TIMESTAMP(NANOS) parquet, which Spark refuses
-    natively; we read nanos as long (runtime SQL conf) and rebuild a
-    microsecond timestamp JVM-side — same floor(ns/1000) truncation
-    DuckDB applies, and still a pure columnar scan."""
+    `events.ts` arrives in two physical shapes depending on fixture
+    generation: TIMESTAMP(NANOS) (Spark refuses natively; read nanos
+    as long via runtime SQL conf and rebuild a microsecond timestamp
+    JVM-side — same floor(ns/1000) truncation DuckDB applies) or
+    tz-less timestamp[us], which Spark 4 infers as TIMESTAMP_NTZ.
+    Both normalize to instant TIMESTAMP: watermarks/event-time ops
+    require it, and under the engine's pinned UTC session timezone the
+    NTZ→instant cast is wall-clock-identical, so oracle comparisons
+    are unaffected. Still a pure columnar scan either way."""
     from pyspark.sql import functions as F
 
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
             )
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -14,6 +14,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _with_watermark(df: DataFrame, ts_col: str, watermark: str) -> DataFrame:
+    """Apply a watermark, casting a TIMESTAMP_NTZ event-time column to
+    instant TIMESTAMP first — Spark rejects watermarks on NTZ
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), and under the engine's
+    pinned UTC session timezone the cast is wall-clock-identical."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df.withWatermark(ts_col, watermark)
+
+
 def tumbling_agg(
     df: DataFrame,
     ts_col: str,
@@ -26,7 +36,7 @@ def tumbling_agg(
     bound state; late rows beyond it are dropped (the late-data
     policy). window.start/end surface as ws/we timestamps."""
     if watermark and df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+        df = _with_watermark(df, ts_col, watermark)
     gb = [F.window(F.col(ts_col), duration)] + [F.col(k) for k in (keys or [])]
     out = df.groupBy(*gb).agg(*aggs)
     return out.select(
@@ -46,7 +56,7 @@ def sliding_agg(
     """Sliding-window aggregation — each event lands in
     duration/slide overlapping windows."""
     if watermark and df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+        df = _with_watermark(df, ts_col, watermark)
     gb = [F.window(F.col(ts_col), duration, slide)] + [F.col(k) for k in (keys or [])]
     out = df.groupBy(*gb).agg(*aggs)
     return out.select(
@@ -65,7 +75,7 @@ def session_agg(
     """Session-window aggregation: a session closes after `gap` of
     inactivity per key. State is merged incrementally on streams."""
     if watermark and df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+        df = _with_watermark(df, ts_col, watermark)
     gb = [F.session_window(F.col(ts_col), gap)] + [F.col(k) for k in keys]
     out = df.groupBy(*gb).agg(*aggs)
     return out.select(
