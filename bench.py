@@ -62,11 +62,12 @@ def main() -> int:
         q = queries.get(name)
         if q is None:
             continue
-        # best-of-3: later runs measure steady state (plans, caches
+        # best-of-5: later runs measure steady state (plans, caches
         # and code paths warm); min filters GC/scheduler/host noise,
-        # which on this box swings single runs up to 2x
+        # which on this box swings single runs up to 3x — two extra
+        # trials per query cost ~30s total and stabilize the minimum
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             q.fn(spark, SF_DIR).count()
             best = min(best, time.perf_counter() - t0)

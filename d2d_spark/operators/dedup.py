@@ -288,6 +288,13 @@ def minhash_lsh_pairs(
         .select("__id", "minhash", "__hset")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Materialize the cache EAGERLY: the three consumers below all sit
+    # inside one job, and Spark's block cache does not dedupe
+    # *concurrent* first computations — branches racing on an unfilled
+    # cache each rerun the Python signature stage (measured: up to 3x
+    # the stage, with high run-to-run variance). One cheap count pins
+    # the blocks first; lineage stays intact for fault recovery.
+    sig.count()
     band_hashes = F.array(
         *[
             F.xxhash64(
