@@ -393,6 +393,7 @@ def simhash_near_pairs(
         .select("__id", "simhash")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    sh.count()  # fill the cache before the self-join branches race on it
     # a 64-bit-wide chunk (max_hamming=0) masks with all-ones, which is
     # -1 as a signed long — (1<<64)-1 overflows the JVM literal
     masks = [(1 << w) - 1 if w < 64 else -1 for w in widths]
@@ -451,6 +452,7 @@ def ngram_jaccard_pairs(
             F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
         ).alias("__sh"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    sh.count()  # fill the cache before the cross-join sides race on it
     # Spread the probe side so the quadratic verify runs on all cores
     # (broadcast-nested-loop parallelism = left-side partitions).
     a = _spread(sh, npart).select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
@@ -621,6 +623,7 @@ def fuzzy_pairs_deletion(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    sigs.count()  # fill the cache before the self-join sides race on it
     cand = (
         sigs.select(F.col("__id").alias("id_a"), "__h")
         .join(sigs.select(F.col("__id").alias("id_b"), "__h"), "__h")
@@ -891,6 +894,7 @@ class SignatureStore:
 
         spark = df.sparkSession
         sig = self._signatures(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+        sig.count()  # fill the cache before the band/verify branches race on it
         bands = sig.select("__id", F.posexplode(self._band_hashes()).alias("__band", "__bh"))
 
         # 1) in-batch dedup: min id per colliding pair survives
