@@ -102,6 +102,16 @@ def main() -> int:
             lambda p: [] if "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
             else ["non-equi join in paragraph dedup"],
         ),
+        # within-cell pairs must ride the cell equi-join — a cartesian
+        # here is the exact corpus-quadratic stage SemDeDup avoids
+        "semantic_near_pairs": (
+            __import__("d2d_spark.operators.semantic", fromlist=["semantic_near_pairs"]).semantic_near_pairs(
+                read_table(spark, SF, "embeddings"), "vec_id", "embedding",
+                n_centroids=8, sample=500,
+            ),
+            lambda p: [] if "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+            else ["non-equi join in semantic dedup"],
+        ),
     }
     for name, (df, check) in extras.items():
         plan = df._jdf.queryExecution().explainString(mode)
