@@ -112,6 +112,75 @@ def mix_corpora(
     return out
 
 
+def mix_to_token_budget(
+    sources: Mapping[str, tuple[DataFrame, float]],
+    key_col: str,
+    token_col: str,
+    total_tokens: int,
+    seed: int = 0,
+    source_col: str = "source",
+    epoch_col: str = "epoch",
+    max_epochs: float = 10.0,
+) -> DataFrame:
+    """Mix corpora to target TOKEN shares, not row fractions — the
+    form mixture specs are actually written in (e.g. "30% web, 50%
+    books, 20% code of a 1T-token budget"). Each source is scaled to
+    ``share / sum(shares) * total_tokens`` tokens:
+
+    - sources above their target downsample via ``hash_sample``
+      (deterministic, pure filter);
+    - sources below their target UPSAMPLE: every row repeats
+      ``floor(ratio)`` times and the fractional remainder is a
+      hash-selected extra copy — the standard low-resource-corpus
+      move. Copies are distinguished by ``epoch_col`` (0-based), so
+      downstream shuffles/packing treat them as distinct rows and a
+      deterministic global shuffle spreads epochs apart.
+
+    One ``sum(token_col)`` aggregate per source is the only full scan
+    (map-side partials, one scalar to the driver); the mix itself is a
+    pure per-row filter/explode — no shuffle at any corpus size.
+    Ratios above ``max_epochs`` raise: needing 10+ epochs of a source
+    is almost always a mis-specified mixture, and silently looping a
+    tiny corpus degrades training more than failing loudly.
+
+    Expected (not exact) token totals: hash sampling honors fractions
+    to 1e-6 in probability; at corpus scale the realized share
+    concentrates tightly around the target.
+    """
+    if total_tokens <= 0:
+        raise ValueError(f"total_tokens must be positive, got {total_tokens}")
+    share_sum = float(sum(share for _, share in sources.values()))
+    if not sources or share_sum <= 0:
+        raise ValueError("mix_to_token_budget needs sources with positive shares")
+
+    out: DataFrame | None = None
+    for name, (df, share) in sources.items():
+        have = df.agg(F.sum(F.col(token_col)).cast("double")).collect()[0][0] or 0.0
+        if have <= 0:
+            raise ValueError(f"source {name!r} has no tokens in {token_col!r}")
+        target = share / share_sum * total_tokens
+        ratio = target / have
+        if ratio > max_epochs:
+            raise ValueError(
+                f"source {name!r} needs {ratio:.1f} epochs to reach its "
+                f"{target:,.0f}-token target (> max_epochs={max_epochs}); "
+                "shrink its share or raise max_epochs explicitly"
+            )
+        if ratio <= 1.0:
+            part = hash_sample(df, key_col, ratio, seed).withColumn(epoch_col, F.lit(0))
+        else:
+            n_full = int(ratio)
+            frac = ratio - n_full
+            extra = (hash_bucket(F.col(key_col), seed) < int(round(frac * _BUCKETS))).cast("int")
+            part = df.withColumn(
+                epoch_col,
+                F.explode(F.sequence(F.lit(0), F.lit(n_full - 1) + extra)),
+            )
+        out_part = part.withColumn(source_col, F.lit(name))
+        out = out_part if out is None else out.unionByName(out_part)
+    return out
+
+
 def pack_documents(
     df: DataFrame,
     tokens_col: str,

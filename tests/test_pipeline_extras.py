@@ -636,3 +636,70 @@ def test_concat_bins_builds_sequences(spark, sf_dir):
         assert r["doc_ids"] == sorted(r["doc_ids"])
         # concatenation holds every member's text in id order
         assert r["text"].count("\n\n") == r["n_docs"] - 1 or "\n\n" in r["text"]
+
+
+# ------------------------------------------------- token-budget mixing
+
+
+def test_mix_to_token_budget_down_and_upsample(spark, sf_dir):
+    from d2d_spark.operators.sampling import mix_to_token_budget
+    from d2d_spark.functions.text import token_count_ws
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "source")
+        .withColumn("n_tokens", token_count_ws(F.col("text")))
+    )
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    other = docs.filter(F.col("doc_id") % 2 == 1)
+    tok_half = half.agg(F.sum("n_tokens")).collect()[0][0]
+    tok_other = other.agg(F.sum("n_tokens")).collect()[0][0]
+
+    # budget sized so 'a' must downsample (~50%) and 'b' must upsample
+    # (~2.5 epochs): shares 1:5 over a budget of (0.5 + 2.5x) tokens
+    budget = int(0.5 * tok_half + 2.5 * tok_other)
+    shares = {"a": (half, 0.5 * tok_half / budget), "b": (other, 2.5 * tok_other / budget)}
+    mixed = mix_to_token_budget(shares, "doc_id", "n_tokens", budget, seed=3)
+
+    got = {
+        r["source"]: r["t"]
+        for r in mixed.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    assert abs(got["a"] - 0.5 * tok_half) / (0.5 * tok_half) < 0.2
+    assert abs(got["b"] - 2.5 * tok_other) / (2.5 * tok_other) < 0.2
+
+    # upsampled rows repeat 2 or 3 times with distinct epoch indices
+    reps = (
+        mixed.filter(F.col("source") == "b")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"), F.countDistinct("epoch").alias("ne"))
+        .collect()
+    )
+    assert all(r["n"] in (2, 3) and r["ne"] == r["n"] for r in reps)
+
+    # deterministic
+    again = mix_to_token_budget(shares, "doc_id", "n_tokens", budget, seed=3)
+    assert again.count() == mixed.count()
+
+
+def test_mix_to_token_budget_validates(spark, sf_dir):
+    import pytest as _pytest
+
+    from d2d_spark.operators.sampling import mix_to_token_budget
+    from d2d_spark.functions.text import token_count_ws
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("n_tokens", token_count_ws(F.col("text")))
+    )
+    total = docs.agg(F.sum("n_tokens")).collect()[0][0]
+    with _pytest.raises(ValueError, match="epochs"):
+        mix_to_token_budget({"a": (docs, 1.0)}, "doc_id", "n_tokens", int(total * 50))
+    with _pytest.raises(ValueError, match="no tokens"):
+        mix_to_token_budget(
+            {"a": (docs.withColumn("n_tokens", F.lit(0)), 1.0)},
+            "doc_id",
+            "n_tokens",
+            1000,
+        )
