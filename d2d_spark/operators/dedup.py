@@ -280,6 +280,14 @@ def minhash_lsh_pairs(
     # bench) — lineage stays intact, so a lost executor recomputes
     # its blocks instead of failing the job, and blocks spill/evict
     # under pressure rather than OOM.
+    # Deliberate trade-off: the cached plan is NOT unpersisted (the
+    # result is returned lazily, so there is no safe point inside this
+    # function), and plan construction is eager (the fill count runs
+    # here). Spark's CacheManager matches the plan across repeated
+    # identical calls — a rerun reuses the blocks instead of
+    # recomputing (measured 4.5s -> 1.6s steady state); distinct
+    # inputs evict/spill under storage-memory pressure. Callers that
+    # need the memory back can spark.catalog.clearCache().
     from pyspark import StorageLevel
 
     base = _spread(df.select(F.col(id_col).alias("__id"), F.col(text_col)), npart, "__id")
@@ -720,8 +728,11 @@ def connected_components(
         # convergence via one aggregate over the checkpointed labels:
         # min-label propagation only ever DECREASES a component id, so
         # the label sum strictly decreases until the fixpoint — no
-        # old-vs-new join needed
-        cur_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+        # old-vs-new join needed. Summed as DECIMAL(38,0): a long sum
+        # of xxhash64-scale ids overflows (and crashes under ANSI)
+        cur_sum = new_labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).collect()[0][0]
         labels = new_labels
         if prev_sum is not None and cur_sum == prev_sum:
             break
@@ -885,10 +896,14 @@ class SignatureStore:
         signatures (in-batch duplicates resolve min-id-wins first, so
         a batch of mutual clones keeps exactly one).
 
-        Crash note: the append runs after the survivor set is
-        computed; a retry of a failed append would re-add signature
-        rows, which is harmless (duplicate signatures change no
-        candidate decision — the pair set is id-distinct).
+        Replay-safe: the store join excludes SAME-id matches, so a
+        replayed batch whose signatures already landed (crash between
+        the append and the caller's downstream write / checkpoint
+        commit) re-derives exactly the original survivor set instead
+        of dropping every row as "a duplicate of the store" — pinned
+        by test_signature_store_replay_idempotent. Duplicate signature
+        rows from a replayed append are harmless: candidate pairs are
+        id-distinct, and self-pairs are excluded.
         """
         from pyspark import StorageLevel
 
@@ -916,6 +931,9 @@ class SignatureStore:
             x_pairs = (
                 bands.select(F.col("__id").alias("id_a"), "__band", "__bh")
                 .join(store_bands, ["__band", "__bh"])
+                # a replayed batch meets its OWN stored signatures —
+                # a self-id match is not a duplicate, it's the same row
+                .filter(F.col("id_a") != F.col("id_b"))
                 .select("id_a", "id_b")
                 .distinct()
             )
@@ -926,6 +944,11 @@ class SignatureStore:
         else:
             dups = in_dups.distinct()
 
+        # pin the (small) dup-id set eagerly: after it, neither the
+        # returned survivors nor anything downstream depends on the
+        # persisted sig frame — so unpersisting here doesn't force the
+        # caller's first action to recompute the whole signature stage
+        dups = dups.localCheckpoint(eager=True)
         survivors = df.join(dups, on=[F.col(id_col) == F.col("__dup")], how="left_anti")
         new_sigs = sig.join(dups, on=[F.col("__id") == F.col("__dup")], how="left_anti")
         new_sigs.write.mode("append").parquet(self.path)

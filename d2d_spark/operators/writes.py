@@ -136,8 +136,10 @@ def write_mode(
         raise ValueError(f"mode={mode!r} needs pks and spark")
     # ONLY a genuinely-missing target may fall through to a fresh
     # write: swallowing every read error would let a transient/corrupt
-    # read replace accumulated data with just this batch
-    if not _target_exists(spark, path):
+    # read replace accumulated data with just this batch. A target
+    # missing because a crash landed between _swap_paths' two renames
+    # is NOT genuinely missing — restore its backup first.
+    if not _target_exists(spark, path) and not restore_swap_debris(spark, path):
         _writer(df).mode("overwrite").save(path)
         return
     reader = spark.read.format(fmt)
@@ -203,6 +205,45 @@ def _swap_paths(spark, staging: str, path: str) -> None:
     if not ok:
         raise IOError(f"stage-swap rename {staging} -> {path} failed; target restored")
     fs.delete(P(backup), True)
+
+
+def restore_swap_debris(spark, path: str) -> bool:
+    """Recover from a crash inside :func:`_swap_paths`: if the target
+    is missing but a ``.__bak_*`` sibling exists (the window between
+    the two renames), restore the newest backup and return True.
+
+    Without this, every keyed writer whose "missing target ⇒ fresh
+    write" branch runs after such a crash would silently reinitialize
+    the table from one batch, stranding all accumulated data in the
+    backup directory."""
+    if "://" not in path:
+        import glob as _glob
+
+        if os.path.exists(path):
+            return False
+        baks = sorted(_glob.glob(f"{path}.__bak_*"), key=os.path.getmtime)
+        if not baks:
+            return False
+        os.replace(baks[-1], path)
+        return True
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    P = jvm.org.apache.hadoop.fs.Path
+    p = P(path)
+    fs = p.getFileSystem(conf)
+    if fs.exists(p):
+        return False
+    parent = p.getParent()
+    if parent is None or not fs.exists(parent):
+        return False
+    prefix = p.getName() + ".__bak_"
+    cands = [st for st in fs.listStatus(parent) if st.getPath().getName().startswith(prefix)]
+    if not cands:
+        return False
+    newest = max(cands, key=lambda st: st.getModificationTime()).getPath()
+    if not fs.rename(newest, p):
+        raise IOError(f"cannot restore swap backup {newest} -> {path}")
+    return True
 
 
 def _target_exists(spark, path: str) -> bool:

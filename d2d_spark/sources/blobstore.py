@@ -33,10 +33,11 @@ from pyspark.sql import functions as F
 
 from d2d_spark.sources.base import check_executor_local_root, require_spark
 
-#: filesystem name limit is 255 bytes; refuse keys whose encoding
-#: exceeds it rather than truncate (truncation re-introduces
+#: filesystem name limit is 255 bytes, and writes stage to
+#: ``.{name}.tmp`` (+5 bytes); refuse keys whose encoding exceeds the
+#: staged form rather than truncate (truncation re-introduces
 #: collisions)
-_MAX_NAME = 255
+_MAX_NAME = 250
 
 
 def _safe_name(key: str) -> str:
@@ -86,10 +87,12 @@ class BlobStore:
         """Original (decoded) keys — never the on-disk encodings."""
         if not os.path.isdir(self.root):
             return []
+        # staging files are dot-prefixed (and _safe_name never emits a
+        # leading '.'), so the dot filter alone separates blobs from
+        # debris — filtering '*.tmp' here would hide a legitimate key
+        # like 'report.tmp'
         return sorted(
-            _key_of(n)
-            for n in os.listdir(self.root)
-            if not n.startswith(".") and not n.endswith(".tmp")
+            _key_of(n) for n in os.listdir(self.root) if not n.startswith(".")
         )
 
     def check(self, key: str) -> bool:
@@ -145,11 +148,11 @@ class BlobStore:
         if glob:
             reader = reader.option("pathGlobFilter", glob)
         raw = reader.load(self.root)
-        # drop staging debris (current staging is dot-prefixed and
-        # already invisible; pre-encoding stores staged '<name>.tmp'),
-        # then decode the filename back to the ORIGINAL key (url_decode
-        # is the JVM-side inverse of _safe_name's percent-encoding)
-        raw = raw.filter(~F.col("path").endswith(".tmp"))
+        # staging debris is dot-prefixed and thus already invisible to
+        # Hadoop file listing (no '*.tmp' filter — that would hide a
+        # legitimate key like 'report.tmp'); decode the filename back
+        # to the ORIGINAL key (url_decode is the JVM-side inverse of
+        # _safe_name's percent-encoding)
         return raw.select(
             F.url_decode(F.element_at(F.split(F.col("path"), "/"), -1)).alias("key"),
             F.col("content").alias("payload"),

@@ -73,7 +73,13 @@ class ExcelConnector(Connector):
         path = self.path(index)
         if not os.path.exists(path) and os.path.isdir(self.part_dir(index)):
             path = self.part_dir(index)
-            sample = sorted(glob.glob(os.path.join(path, "*.xlsx")))[0]
+            parts = sorted(glob.glob(os.path.join(path, "*.xlsx")))
+            if not parts:
+                raise FileNotFoundError(
+                    f"workbook part directory {path!r} holds no parts — "
+                    "the distributed write saw only empty partitions"
+                )
+            sample = parts[0]
         else:
             sample = path
 
@@ -160,15 +166,20 @@ class ExcelConnector(Connector):
         out_schema = "part string, n_rows long"
 
         def write_part(batches):
-            import uuid
+            from pyspark import TaskContext
 
             pdfs = [b for b in batches if len(b)]
             if not pdfs:
                 yield pd.DataFrame({"part": pd.Series(dtype="object"), "n_rows": pd.Series(dtype="int64")})
                 return
             part = pd.concat(pdfs, ignore_index=True)
-            name = f"part-{uuid.uuid4().hex[:12]}.xlsx"
-            tmp = os.path.join(out_dir, f".{name}.tmp")
+            # deterministic per-partition name: a retried or speculative
+            # task overwrites its own part (os.replace last-wins)
+            # instead of adding a second uuid-named copy of the same
+            # rows — Spark task retries stay idempotent
+            pid = TaskContext.get().partitionId()
+            name = f"part-{pid:05d}.xlsx"
+            tmp = os.path.join(out_dir, f".{name}.{TaskContext.get().taskAttemptId()}.tmp")
             with pd.ExcelWriter(tmp, engine="openpyxl") as writer:
                 for sheet, chunk in sheet_chunks(part, max_rows):
                     chunk.to_excel(writer, sheet_name=sheet, index=False)

@@ -175,6 +175,12 @@ def make_rollup_merger(
         import uuid as _uuid
 
         staging = f"{target_path}.__stage_{_uuid.uuid4().hex[:8]}"
+        # a target missing because a crash hit _swap_paths between its
+        # two renames must be RESTORED, not reinitialized from one
+        # batch — the prior rollup and its ledger are in the backup
+        from d2d_spark.operators.writes import restore_swap_debris
+
+        restore_swap_debris(spark, target_path)
         if not _os.path.exists(target_path):
             part.write.format(fmt).mode("overwrite").save(staging)
             _stage_ledger(staging, None, batch_id)

@@ -186,3 +186,101 @@ def test_txt_upsert_keeps_format_options(spark, tmpdir):
     )
     back = {r.id: r.v for r in conn.read("t").collect()}
     assert back == {1: "a", 2: "B2", 3: "c"}
+
+
+# ------------------------- round-3 self-review regression fixes
+
+
+def test_signature_store_replay_idempotent(spark, sf_dir, tmpdir):
+    """A replayed batch (its signatures already in the store) must
+    re-derive the original survivors, not drop every row as a
+    duplicate of itself."""
+    from d2d_spark.operators.dedup import SignatureStore
+    from d2d_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text").limit(40)
+    store = SignatureStore(str(tmpdir / "sigs"), jaccard_threshold=0.5)
+    first = sorted(r.doc_id for r in store.dedup_batch(docs, "text", "doc_id").collect())
+    assert first, "first batch must keep rows"
+    replay = sorted(r.doc_id for r in store.dedup_batch(docs, "text", "doc_id").collect())
+    assert replay == first
+
+
+def test_connected_components_large_ids_no_overflow(spark):
+    """xxhash64-scale ids must not overflow the convergence sum under
+    ANSI mode."""
+    from d2d_spark.operators.dedup import connected_components
+
+    big = 9_100_000_000_000_000_000
+    pairs = spark.createDataFrame(
+        [Row(id_a=big, id_b=big + 7), Row(id_a=big + 7, id_b=big + 11)]
+    )
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comp == {big: big, big + 7: big, big + 11: big}
+
+
+def test_write_mode_restores_swap_debris(spark, sf_dir, tmpdir):
+    """A target stranded in .__bak_* by a crash between the swap's two
+    renames must be restored — a keyed write afterwards merges into
+    the full prior data instead of reinitializing from one batch."""
+    import os
+
+    from d2d_spark.operators.writes import write_mode
+    from d2d_spark.session import read_table
+
+    target = str(tmpdir / "tbl")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = orders.limit(50)
+    write_mode(base, target, mode="overwrite", spark=spark)
+    n_base = spark.read.parquet(target).count()
+    # simulate the crash window: target renamed away, staging never in
+    os.replace(target, target + ".__bak_deadbeef")
+
+    extra = orders.limit(60)  # 50 overlap + 10 new
+    write_mode(extra, target, mode="ignore", pks=["o_orderkey"], spark=spark)
+    got = spark.read.parquet(target).count()
+    assert got >= n_base, "prior data lost: keyed write reinitialized the target"
+    assert not os.path.exists(target + ".__bak_deadbeef")
+
+
+def test_rollup_merger_restores_swap_debris(spark, sf_dir, tmpdir):
+    """incremental_rollup's first-batch branch must restore swap
+    debris instead of overwriting the rollup with one batch."""
+    import os
+
+    from d2d_spark.session import read_table
+    from d2d_spark.streaming.windows import make_rollup_merger
+
+    target = str(tmpdir / "rollup")
+    events = read_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+    merge = make_rollup_merger(target, "ts", "1 hour", ["user_id"], {"value": "sum_value"})
+    merge(events.limit(500), 0)
+    n0 = spark.read.parquet(target).agg(F.sum("n_rows")).collect()[0][0]
+    os.replace(target, target + ".__bak_cafecafe")
+
+    merge(events.limit(200), 1)
+    n1 = spark.read.parquet(target).agg(F.sum("n_rows")).collect()[0][0]
+    assert n1 == n0 + 200, f"rollup lost history: {n1} != {n0} + 200"
+
+
+def test_blobstore_tmp_suffix_key_visible(spark, tmpdir):
+    """A legitimate key ending in '.tmp' must appear in list() and
+    read_all()."""
+    from d2d_spark.sources.blobstore import BlobStore
+
+    bs = BlobStore(str(tmpdir / "blobs"), spark)
+    bs.save("report.tmp", b"hello")
+    assert bs.list() == ["report.tmp"]
+    rows = bs.read_all().collect()
+    assert [r.key for r in rows] == ["report.tmp"]
+    assert bytes(rows[0].payload) == b"hello"
+
+
+def test_blobstore_long_key_rejected_before_staging(spark, tmpdir):
+    """Keys whose encoding fits 255 bytes but not the staged
+    '.{name}.tmp' form must fail with ValueError, not ENAMETOOLONG."""
+    from d2d_spark.sources.blobstore import BlobStore
+
+    bs = BlobStore(str(tmpdir / "blobs"), spark)
+    with pytest.raises(ValueError, match="shorten the key"):
+        bs.save("a" * 252, b"x")

@@ -260,9 +260,11 @@ def test_blobstore_tmp_staging_hidden(spark, tmpdir):
 
     store = BlobStore(str(tmpdir / "store"), spark)
     store.save("good", b"ok")
-    # simulate a crash mid-save: a leaked staging file
+    # simulate a crash mid-save: a leaked staging file. All staging is
+    # dot-prefixed — a bare '*.tmp' name is indistinguishable from a
+    # legitimate key 'x.tmp' and is therefore NOT treated as debris
+    # (see test_blobstore_tmp_suffix_key_visible).
     (tmpdir / "store" / ".half.tmp").write_bytes(b"partial")
-    (tmpdir / "store" / "stray.tmp").write_bytes(b"partial")
     assert store.list() == ["good"]
     assert {r.key for r in store.read_all().collect()} == {"good"}
 
