@@ -703,3 +703,28 @@ def test_mix_to_token_budget_validates(spark, sf_dir):
             "n_tokens",
             1000,
         )
+
+
+def test_mix_to_token_budget_share_scale_invariant(spark, sf_dir):
+    """Scaling all shares by a constant must not change the mix
+    (shares are normalized); seed changes must only re-draw the
+    fractional parts."""
+    from d2d_spark.operators.sampling import mix_to_token_budget
+    from d2d_spark.functions.text import token_count_ws
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("n_tokens", token_count_ws(F.col("text")))
+    )
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    other = docs.filter(F.col("doc_id") % 2 == 1)
+    total = docs.agg(F.sum("n_tokens")).collect()[0][0]
+    budget = int(total * 0.6)
+
+    def ids(mix):
+        return sorted((r["source"], r["doc_id"], r["epoch"]) for r in mix.collect())
+
+    m1 = mix_to_token_budget({"a": (half, 1.0), "b": (other, 2.0)}, "doc_id", "n_tokens", budget, seed=9)
+    m2 = mix_to_token_budget({"a": (half, 10.0), "b": (other, 20.0)}, "doc_id", "n_tokens", budget, seed=9)
+    assert ids(m1) == ids(m2)
