@@ -3,11 +3,10 @@ d22d/utils/db/__init__.py:839-982): .xlsx tables, first row = column
 names, multi-sheet union, sheet rollover on write every ``max_rows``
 rows, illegal-XML-character scrubbing.
 
-The container ships no Excel engine (openpyxl/xlrd), so the
-byte-level encode/decode is GATED: the Spark plumbing — pandas
-round-trip via Arrow, sheet partitioning, scrub expressions — is real
-and tested with the engine stubbed; on a cluster with openpyxl
-installed the same code runs unmodified.
+Byte codec: pandas+openpyxl when installed (full fidelity: dates,
+styles); otherwise the self-contained SpreadsheetML codec in
+``xlsx_lite`` (stdlib zip+XML, values only) — the connector works
+everywhere, including this sandbox, through the same code paths.
 """
 
 from __future__ import annotations
@@ -30,13 +29,27 @@ except ImportError:
     HAVE_ENGINE = False
 
 
-def _require_engine() -> None:
-    if not HAVE_ENGINE:
-        raise NotImplementedError(
-            "Excel byte codec needs openpyxl, which is not installed; "
-            "the connector's Spark plumbing is importable and testable "
-            "without it (see tests/test_sources.py)."
-        )
+def _decode_workbook(data: bytes) -> pd.DataFrame:
+    """Workbook bytes -> one frame (all sheets unioned, reference
+    get_cols_name_set semantics)."""
+    if HAVE_ENGINE:
+        sheets = pd.read_excel(io.BytesIO(data), sheet_name=None)
+    else:
+        from d2d_spark.sources.xlsx_lite import read_sheets
+
+        sheets = read_sheets(data)
+    return pd.concat(sheets.values(), ignore_index=True)
+
+
+def _write_workbook(sheets: list[tuple[str, pd.DataFrame]], path: str) -> None:
+    if HAVE_ENGINE:
+        with pd.ExcelWriter(path, engine="openpyxl") as writer:
+            for name, chunk in sheets:
+                chunk.to_excel(writer, sheet_name=name, index=False)
+    else:
+        from d2d_spark.sources.xlsx_lite import write_sheets
+
+        write_sheets(sheets, path)
 
 
 class ExcelConnector(Connector):
@@ -69,7 +82,6 @@ class ExcelConnector(Connector):
         listed driver-side and decoded inside a parallelized map, not
         on the driver. Reads either a single ``<index>.xlsx`` or a
         directory of distributed parts ``<index>.xlsx.d/``."""
-        _require_engine()
         path = self.path(index)
         if not os.path.exists(path) and os.path.isdir(self.part_dir(index)):
             path = self.part_dir(index)
@@ -83,26 +95,20 @@ class ExcelConnector(Connector):
         else:
             sample = path
 
-        def decode(p: str) -> pd.DataFrame:
-            sheets = pd.read_excel(p, sheet_name=None)  # all sheets
-            return pd.concat(sheets.values(), ignore_index=True)
-
         # binaryFile keeps the workbook bytes executor-side
         bin_df = (
             self.spark.read.format("binaryFile")
             .option("pathGlobFilter", "*.xlsx")
             .load(path)
         )
-        first = decode(sample)  # schema from a driver-side sample read
+        with open(sample, "rb") as f:  # schema from a driver-side sample read
+            first = _decode_workbook(f.read())
         schema = self.spark.createDataFrame(first.head(100)).schema
 
         def per_file(iterator):
             for pdf in iterator:
                 for content in pdf["content"]:
-                    yield pd.concat(
-                        pd.read_excel(io.BytesIO(content), sheet_name=None).values(),
-                        ignore_index=True,
-                    )
+                    yield _decode_workbook(bytes(content))
 
         return bin_df.select("content").mapInPandas(per_file, schema=schema)
 
@@ -131,7 +137,6 @@ class ExcelConnector(Connector):
             EXECUTORS via mapInPandas — no driver collect, sheet
             rollover inside each part; ``read`` unions the parts.
         """
-        _require_engine()
         scrubbed = df.select(
             *[
                 scrub_illegal_xml(df[c]).alias(c) if dt == "string" else df[c]
@@ -150,9 +155,7 @@ class ExcelConnector(Connector):
                 )
             pdf = scrubbed.toPandas()
             os.makedirs(self.root, exist_ok=True)
-            with pd.ExcelWriter(self.path(index)) as writer:
-                for name, chunk in sheet_chunks(pdf, self.max_rows_per_sheet):
-                    chunk.to_excel(writer, sheet_name=name, index=False)
+            _write_workbook(list(sheet_chunks(pdf, self.max_rows_per_sheet)), self.path(index))
             return
 
         out_dir = self.part_dir(index)
@@ -180,9 +183,7 @@ class ExcelConnector(Connector):
             pid = TaskContext.get().partitionId()
             name = f"part-{pid:05d}.xlsx"
             tmp = os.path.join(out_dir, f".{name}.{TaskContext.get().taskAttemptId()}.tmp")
-            with pd.ExcelWriter(tmp, engine="openpyxl") as writer:
-                for sheet, chunk in sheet_chunks(part, max_rows):
-                    chunk.to_excel(writer, sheet_name=sheet, index=False)
+            _write_workbook(list(sheet_chunks(part, max_rows)), tmp)
             os.replace(tmp, os.path.join(out_dir, name))
             yield pd.DataFrame({"part": [name], "n_rows": [len(part)]})
 

@@ -363,18 +363,43 @@ def test_create_table_sql_dialects(spark, sf_dir):
     assert '"o_orderkey" NUMBER(19) NOT NULL' in ora
 
 
-def test_excel_gated(spark, tmpdir):
-    from d2d_spark.sources.excel import HAVE_ENGINE, ExcelConnector
+def test_excel_roundtrip_single_workbook(spark, tmpdir):
+    """Byte-level xlsx roundtrip (openpyxl when installed, the
+    self-contained xlsx_lite codec otherwise): write + distributed
+    read, sheet rollover across the max_rows boundary."""
+    from d2d_spark.sources.excel import ExcelConnector
+
+    conn = ExcelConnector(str(tmpdir), spark, max_rows_per_sheet=7)
+    df = spark.createDataFrame(
+        [Row(k=i, name=f"row <&> {i}", score=i * 1.5) for i in range(20)]
+    )
+    conn.write(df, "t")
+    assert conn.get_indexes() == ["t"]
+    back = conn.read("t")
+    assert back.count() == 20  # 3 sheets (7+7+6) union back to 20 rows
+    got = {(r.k, r.name, r.score) for r in back.collect()}
+    assert got == {(i, f"row <&> {i}", i * 1.5) for i in range(20)}
+
+
+def test_excel_distributed_parts_roundtrip(spark, tmpdir):
+    from d2d_spark.sources.excel import ExcelConnector
 
     conn = ExcelConnector(str(tmpdir), spark)
-    if not HAVE_ENGINE:
-        with pytest.raises(NotImplementedError):
-            conn.read("x")
-        with pytest.raises(NotImplementedError):
-            conn.write(spark.createDataFrame([Row(a=1)]), "t", distributed=True)
-    else:  # pragma: no cover
-        df = spark.createDataFrame([Row(a=1, b="x")])
-        conn.write(df, "t")
+    df = spark.createDataFrame([Row(k=i, t=f"v{i}") for i in range(50)]).repartition(4)
+    conn.write(df, "p", distributed=True)
+    parts = sorted(p.name for p in (tmpdir / "p.xlsx.d").iterdir())
+    assert parts and all(p.startswith("part-") for p in parts)
+    back = conn.read("p")
+    assert sorted((r.k, r.t) for r in back.collect()) == [(i, f"v{i}") for i in range(50)]
+
+
+def test_excel_empty_part_dir_clear_error(spark, tmpdir):
+    from d2d_spark.sources.excel import ExcelConnector
+
+    conn = ExcelConnector(str(tmpdir), spark)
+    (tmpdir / "e.xlsx.d").mkdir()
+    with pytest.raises(FileNotFoundError, match="no parts"):
+        conn.read("e")
 
 
 def test_excel_sheet_rollover_chunks():
