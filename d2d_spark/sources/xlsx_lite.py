@@ -70,7 +70,8 @@ def write_sheets(sheets: list[tuple[str, "pd.DataFrame"]], buf) -> None:
         z.writestr("[Content_Types].xml", _CONTENT_TYPES.format(sheet_overrides=overrides))
         z.writestr("_rels/.rels", _ROOT_RELS)
         sheet_tags = "\n".join(
-            f'<sheet name="{escape(name)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+            # attribute context: double quotes must be entity-escaped too
+            f'<sheet name="{escape(name, {chr(34): "&quot;"})}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
             for i, (name, _) in enumerate(sheets)
         )
         z.writestr(
