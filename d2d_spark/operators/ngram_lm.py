@@ -1,0 +1,127 @@
+"""Character-n-gram LM perplexity scoring — the CCNet-style quality
+filter (Wenzek et al., "CCNet: Extracting high quality monolingual
+datasets from web crawl data", 2020): score each document by how well
+a language model trained on a trusted corpus predicts it, then keep
+the low-perplexity (head/middle) buckets.
+
+CCNet uses KenLM; the sandbox has no LM runtime, so the model here is
+the simplest thing that ranks the same way: an MLE character-n-gram
+model with a floor penalty for unseen grams. Everything is DataFrame
+ops:
+
+  train — explode char n-grams, count, normalize by (n-1)-gram prefix
+          totals; keep the ``vocab_size`` most frequent grams so the
+          model is broadcastable BY CONSTRUCTION (a few MB regardless
+          of corpus size).
+  score — explode the candidate corpus's grams, broadcast-join the
+          model, one per-doc aggregate of mean log-prob. The only
+          shuffle is the per-doc agg; the model join is a broadcast
+          hash join at any corpus scale.
+
+Perplexity here = exp(-mean log P(c_i | prefix)) per document —
+monotone in the mean, so bucket thresholds behave like CCNet's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: log-prob assigned to grams the model has never seen (or docs whose
+#: prefix fell below min_count) — harsher than any retained gram
+DEFAULT_FLOOR_LOGP = -16.0
+
+
+def _normalize(col: Column) -> Column:
+    """Lowercase + collapse whitespace runs: the LM unit is content,
+    not formatting."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def _char_grams(col: Column, n: int) -> Column:
+    """ALL character n-grams (with multiplicity — counts need them),
+    as a pure Column expression; shorter-than-n text yields none."""
+    length = F.length(col)
+    return F.when(
+        length >= n,
+        F.transform(
+            F.sequence(F.lit(1), length - (n - 1)),
+            lambda i: F.substring(col, i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def train_char_lm(
+    df: DataFrame,
+    text_col: str,
+    n: int = 3,
+    vocab_size: int = 100_000,
+    min_count: int = 2,
+) -> DataFrame:
+    """Train the model: returns a (gram, logp) DataFrame of at most
+    ``vocab_size`` rows, logp = log(count(gram) / count(prefix)) with
+    prefix totals computed over the FULL gram distribution (so kept
+    grams carry true conditionals, not renormalized ones). Ties at the
+    vocabulary boundary break deterministically by gram text."""
+    grams = df.select(
+        F.explode(_char_grams(_normalize(F.col(text_col)), n)).alias("gram")
+    )
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__c"))
+    prefix = counts.groupBy(F.substring("gram", 1, n - 1).alias("__p")).agg(
+        F.sum("__c").alias("__pc")
+    )
+    return (
+        counts.filter(F.col("__c") >= min_count)
+        .orderBy(F.col("__c").desc(), F.col("gram"))
+        .limit(vocab_size)
+        .join(prefix, on=[F.substring("gram", 1, n - 1) == F.col("__p")])
+        .select(
+            "gram",
+            (F.log(F.col("__c").cast("double")) - F.log(F.col("__pc").cast("double"))).alias("logp"),
+        )
+    )
+
+
+def perplexity_score(
+    df: DataFrame,
+    lm: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    floor_logp: float = DEFAULT_FLOOR_LOGP,
+    out_col: str = "ppl",
+) -> DataFrame:
+    """Append ``out_col`` (per-char perplexity, lower = more fluent)
+    and ``mean_logp``. Documents shorter than ``n`` normalized chars
+    score NULL — no grams to judge, and NULL never passes a threshold
+    filter silently."""
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_char_grams(_normalize(F.col(text_col)), n)).alias("gram"),
+    )
+    scored = (
+        grams.join(F.broadcast(lm), on="gram", how="left")
+        .groupBy("__id")
+        .agg(F.avg(F.coalesce("logp", F.lit(floor_logp))).alias("mean_logp"))
+    )
+    return df.join(scored, on=[F.col(id_col) == F.col("__id")], how="left").select(
+        *df.columns,
+        F.col("mean_logp"),
+        F.exp(-F.col("mean_logp")).alias(out_col),
+    )
+
+
+def perplexity_filter(
+    df: DataFrame,
+    lm: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_ppl: float,
+    n: int = 3,
+    floor_logp: float = DEFAULT_FLOOR_LOGP,
+) -> DataFrame:
+    """Keep documents whose per-char perplexity under ``lm`` is at
+    most ``max_ppl`` (the CCNet head/middle-bucket move). NULL-scored
+    (too-short) documents drop — they carry no evidence of fluency."""
+    scored = perplexity_score(df, lm, text_col, id_col, n, floor_logp)
+    return scored.filter(F.col("ppl") <= max_ppl).select(*df.columns)

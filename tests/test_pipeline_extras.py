@@ -5,7 +5,7 @@ sampling/splitting/mixing."""
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
+from pyspark.sql import Row, functions as F
 
 from d2d_spark.functions.pii import has_pii, pii_counts, redact_pii
 from d2d_spark.functions.text import (
@@ -728,3 +728,43 @@ def test_mix_to_token_budget_share_scale_invariant(spark, sf_dir):
     m1 = mix_to_token_budget({"a": (half, 1.0), "b": (other, 2.0)}, "doc_id", "n_tokens", budget, seed=9)
     m2 = mix_to_token_budget({"a": (half, 10.0), "b": (other, 20.0)}, "doc_id", "n_tokens", budget, seed=9)
     assert ids(m1) == ids(m2)
+
+
+# ------------------------------------------------ perplexity LM filter
+
+
+def test_char_lm_ranks_in_domain_below_gibberish(spark, sf_dir):
+    from d2d_spark.operators.ngram_lm import perplexity_filter, perplexity_score, train_char_lm
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lm = train_char_lm(docs, "text", n=3, vocab_size=50_000)
+    assert lm.count() > 0
+
+    sample_text = docs.orderBy("doc_id").first().text
+    probe = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=sample_text),
+            Row(doc_id=2, text="zzqxj wvvkq zzxqj pqzzv xjqkw qqvzx jjxqw"),
+            Row(doc_id=3, text="ab"),  # shorter than n: no grams
+        ]
+    )
+    rows = {r.doc_id: r for r in perplexity_score(probe, lm, "text", "doc_id").collect()}
+    assert rows[1].ppl < rows[2].ppl, "in-domain text must score below gibberish"
+    assert rows[3].ppl is None
+
+    kept = perplexity_filter(probe, lm, "text", "doc_id", max_ppl=rows[1].ppl * 1.5)
+    assert [r.doc_id for r in kept.collect()] == [1]
+    assert kept.columns == probe.columns
+
+
+def test_char_lm_deterministic_and_capped(spark, sf_dir):
+    from d2d_spark.operators.ngram_lm import train_char_lm
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = sorted((r.gram, round(r.logp, 12)) for r in train_char_lm(docs, "text", vocab_size=25).collect())
+    b = sorted((r.gram, round(r.logp, 12)) for r in train_char_lm(docs, "text", vocab_size=25).collect())
+    assert a == b
+    assert len(a) <= 25
+    import math
+
+    assert all(lp <= 0 or math.isclose(lp, 0) for _, lp in a), "log-probs must be <= 0"
