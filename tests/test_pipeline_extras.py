@@ -768,3 +768,77 @@ def test_char_lm_deterministic_and_capped(spark, sf_dir):
     import math
 
     assert all(lp <= 0 or math.isclose(lp, 0) for _, lp in a), "log-probs must be <= 0"
+
+
+def test_char_lm_matches_duckdb_oracle(spark, sf_dir):
+    """Differential check: the trained (gram, logp) model and a
+    document's mean log-prob match an independent DuckDB derivation."""
+    import math
+
+    import duckdb
+
+    from d2d_spark.operators.ngram_lm import perplexity_score, train_char_lm
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    got = {
+        r.gram: r.logp
+        for r in train_char_lm(docs, "text", n=3, vocab_size=50, min_count=2).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = dict(
+        con.execute(
+            r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents
+),
+grams AS (
+  SELECT substr(t, i, 3) AS gram
+  FROM norm, unnest(generate_series(1, greatest(length(t) - 2, 0))) AS u(i)
+  WHERE length(t) >= 3
+),
+counts AS (SELECT gram, count(*) AS c FROM grams GROUP BY gram),
+prefix AS (SELECT substr(gram, 1, 2) AS p, sum(c) AS pc FROM counts GROUP BY p)
+SELECT gram, ln(c::double) - ln(pc::double) AS logp
+FROM (SELECT * FROM counts WHERE c >= 2 ORDER BY c DESC, gram LIMIT 50) k
+JOIN prefix ON substr(k.gram, 1, 2) = prefix.p
+"""
+        ).fetchall()
+    )
+    assert set(got) == set(want)
+    assert all(math.isclose(got[g], want[g], rel_tol=1e-12) for g in got)
+
+    # score one fixture document against the same 50-gram model
+    lm = train_char_lm(docs, "text", n=3, vocab_size=50, min_count=2)
+    probe = docs.orderBy("doc_id").limit(1)
+    got_mean = perplexity_score(probe, lm, "text", "doc_id").collect()[0].mean_logp
+    want_mean = con.execute(
+        r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents
+),
+model AS (
+  WITH grams AS (
+    SELECT substr(t, i, 3) AS gram
+    FROM norm, unnest(generate_series(1, greatest(length(t) - 2, 0))) AS u(i)
+    WHERE length(t) >= 3
+  ),
+  counts AS (SELECT gram, count(*) AS c FROM grams GROUP BY gram),
+  prefix AS (SELECT substr(gram, 1, 2) AS p, sum(c) AS pc FROM counts GROUP BY p)
+  SELECT gram, ln(c::double) - ln(pc::double) AS logp
+  FROM (SELECT * FROM counts WHERE c >= 2 ORDER BY c DESC, gram LIMIT 50) k
+  JOIN prefix ON substr(k.gram, 1, 2) = prefix.p
+),
+doc_grams AS (
+  SELECT substr(t, i, 3) AS gram
+  FROM (SELECT t FROM norm ORDER BY doc_id LIMIT 1) d,
+       unnest(generate_series(1, greatest(length(t) - 2, 0))) AS u(i)
+  WHERE length(t) >= 3
+)
+SELECT avg(coalesce(model.logp, -16.0)) FROM doc_grams LEFT JOIN model USING (gram)
+"""
+    ).fetchone()[0]
+    assert math.isclose(got_mean, want_mean, rel_tol=1e-12)
