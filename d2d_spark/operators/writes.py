@@ -221,7 +221,10 @@ def restore_swap_debris(spark, path: str) -> bool:
 
         if os.path.exists(path):
             return False
-        baks = sorted(_glob.glob(f"{path}.__bak_*"), key=os.path.getmtime)
+        # escape the path: glob metacharacters ('[', '*', '?') in a
+        # table path would otherwise hide the very backup this
+        # function exists to find
+        baks = sorted(_glob.glob(_glob.escape(path) + ".__bak_*"), key=os.path.getmtime)
         if not baks:
             return False
         os.replace(baks[-1], path)

@@ -41,6 +41,21 @@ def _decode_workbook(data: bytes) -> pd.DataFrame:
     return pd.concat(sheets.values(), ignore_index=True)
 
 
+def _schema_of(pdf: pd.DataFrame):
+    """Spark schema from pandas dtypes: numeric/bool map directly,
+    everything else (object, all-NULL, strings) is a string column —
+    deterministic for any sample content."""
+    from pyspark.sql import types as T
+
+    kind_map = {"i": T.LongType(), "u": T.LongType(), "f": T.DoubleType(), "b": T.BooleanType()}
+    return T.StructType(
+        [
+            T.StructField(str(c), kind_map.get(pdf[c].dtype.kind, T.StringType()))
+            for c in pdf.columns
+        ]
+    )
+
+
 def _write_workbook(sheets: list[tuple[str, pd.DataFrame]], path: str) -> None:
     if HAVE_ENGINE:
         with pd.ExcelWriter(path, engine="openpyxl") as writer:
@@ -101,9 +116,17 @@ class ExcelConnector(Connector):
             .option("pathGlobFilter", "*.xlsx")
             .load(path)
         )
-        with open(sample, "rb") as f:  # schema from a driver-side sample read
+        # Schema from the pandas dtypes of one driver-side sample
+        # decode (the executors re-decode that file — schema needs a
+        # driver peek, and only the one sample pays twice). Mapping
+        # dtypes directly (object -> string) stays well-defined for
+        # empty workbooks and all-NULL columns, where row-based
+        # inference would raise CANNOT_INFER_EMPTY_SCHEMA.
+        with open(sample, "rb") as f:
             first = _decode_workbook(f.read())
-        schema = self.spark.createDataFrame(first.head(100)).schema
+        if not len(first.columns):
+            raise ValueError(f"workbook {sample!r} has no header row to infer a schema from")
+        schema = _schema_of(first)
 
         def per_file(iterator):
             for pdf in iterator:
@@ -167,6 +190,13 @@ class ExcelConnector(Connector):
         os.makedirs(out_dir, exist_ok=True)
         max_rows = self.max_rows_per_sheet
         out_schema = "part string, n_rows long"
+        # one token per WRITE (driver-side): task retries of this write
+        # overwrite their own part (idempotent), while a later
+        # mode='append' write gets a fresh token and accumulates parts
+        # instead of clobbering same-numbered partitions
+        import uuid
+
+        write_token = uuid.uuid4().hex[:8]
 
         def write_part(batches):
             from pyspark import TaskContext
@@ -176,12 +206,12 @@ class ExcelConnector(Connector):
                 yield pd.DataFrame({"part": pd.Series(dtype="object"), "n_rows": pd.Series(dtype="int64")})
                 return
             part = pd.concat(pdfs, ignore_index=True)
-            # deterministic per-partition name: a retried or speculative
-            # task overwrites its own part (os.replace last-wins)
-            # instead of adding a second uuid-named copy of the same
-            # rows — Spark task retries stay idempotent
+            # deterministic per-(write, partition) name: a retried or
+            # speculative task overwrites its own part (os.replace
+            # last-wins) instead of adding a second uuid-named copy of
+            # the same rows — Spark task retries stay idempotent
             pid = TaskContext.get().partitionId()
-            name = f"part-{pid:05d}.xlsx"
+            name = f"part-{write_token}-{pid:05d}.xlsx"
             tmp = os.path.join(out_dir, f".{name}.{TaskContext.get().taskAttemptId()}.tmp")
             _write_workbook(list(sheet_chunks(part, max_rows)), tmp)
             os.replace(tmp, os.path.join(out_dir, name))

@@ -100,8 +100,8 @@ def write_sheets(sheets: list[tuple[str, "pd.DataFrame"]], buf) -> None:
 def _cell_xml(ref: str, value) -> str:
     if hasattr(value, "item") and type(value).__module__ == "numpy":
         value = value.item()  # numpy scalars are not int/float/bool subclasses
-    if value is None or value != value:  # NaN
-        return ""
+    if value is None or (not isinstance(value, (str, bytes)) and pd.isna(value)):
+        return ""  # pd.isna is scalar-safe for NaN/NaT/pd.NA alike
     if isinstance(value, bool):
         return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
     if isinstance(value, (int, float)):
@@ -113,8 +113,11 @@ def _sheet_xml(pdf: "pd.DataFrame") -> str:
     rows = ['<row r="1">' + "".join(
         _cell_xml(f"{_col_ref(c)}1", str(name)) for c, name in enumerate(pdf.columns)
     ) + "</row>"]
-    for r, (_, row) in enumerate(pdf.iterrows(), start=2):
-        cells = "".join(_cell_xml(f"{_col_ref(c)}{r}", v) for c, v in enumerate(row))
+    col_refs = [_col_ref(c) for c in range(len(pdf.columns))]
+    # itertuples, not iterrows: no per-row Series construction — the
+    # 500k-rows-per-sheet default makes the row walk the hot path
+    for r, row in enumerate(pdf.itertuples(index=False, name=None), start=2):
+        cells = "".join(_cell_xml(f"{col_refs[c]}{r}", v) for c, v in enumerate(row))
         rows.append(f'<row r="{r}">{cells}</row>')
     return (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
@@ -181,8 +184,12 @@ def _parse_sheet(xml: bytes, shared: list[str]) -> "pd.DataFrame":
             elif ctype == "str":  # cached formula result
                 cells[col] = v.text
             else:
-                num = float(v.text)
-                cells[col] = int(num) if num.is_integer() else num
+                # SpreadsheetML numbers are IEEE doubles with no int
+                # granularity — parse as float ALWAYS. Collapsing
+                # integral values to int per cell would let one
+                # workbook part infer a long schema while a sibling
+                # part holds 1.5, crashing a distributed read.
+                cells[col] = float(v.text)
         grid.append(cells)
     if not grid:
         return pd.DataFrame()

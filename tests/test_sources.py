@@ -475,3 +475,71 @@ def test_sqlfile_adversarial_roundtrip(spark, tmpdir):
     got = {r.id: r.s for r in back.collect()}
     want = {r.id: r.s for r in rows}
     assert got == want
+
+
+def test_excel_double_column_integral_sample_part(spark, tmpdir):
+    """A double column whose sampled part holds only integral values
+    must still read parts containing non-integral values (numbers are
+    IEEE doubles in SpreadsheetML — no per-cell int collapse)."""
+    from d2d_spark.sources.excel import ExcelConnector
+
+    conn = ExcelConnector(str(tmpdir), spark)
+    df = spark.createDataFrame(
+        [Row(k=1, score=2.0), Row(k=2, score=4.0), Row(k=3, score=1.5)]
+    ).repartition(3)
+    conn.write(df, "d", distributed=True)
+    got = sorted((r.k, r.score) for r in conn.read("d").collect())
+    assert got == [(1, 2.0), (2, 4.0), (3, 1.5)]
+
+
+def test_excel_append_accumulates_parts(spark, tmpdir):
+    from d2d_spark.sources.excel import ExcelConnector
+
+    conn = ExcelConnector(str(tmpdir), spark)
+    conn.write(spark.createDataFrame([Row(k=1)]), "t", mode="append", distributed=True)
+    conn.write(spark.createDataFrame([Row(k=2)]), "t", mode="append", distributed=True)
+    assert sorted(r.k for r in conn.read("t").collect()) == [1, 2]
+
+
+def test_excel_empty_workbook_reads_empty(spark, tmpdir):
+    from d2d_spark.sources.excel import ExcelConnector
+
+    conn = ExcelConnector(str(tmpdir), spark)
+    empty = spark.createDataFrame([], "a long, b string")
+    conn.write(empty, "e")
+    back = conn.read("e")
+    assert back.columns == ["a", "b"]
+    assert back.count() == 0
+
+
+def test_xlsx_lite_nullable_scalars(tmpdir):
+    """pandas nullable dtypes (pd.NA) must serialize as omitted cells,
+    not crash."""
+    import io
+
+    import pandas as pd
+
+    from d2d_spark.sources.xlsx_lite import read_sheets, write_sheets
+
+    pdf = pd.DataFrame({"a": pd.array([1, None], dtype="Int64"), "b": ["x", None]})
+    buf = io.BytesIO()
+    write_sheets([("s", pdf)], buf)
+    back = read_sheets(buf.getvalue())["s"]
+    assert back.iloc[0]["a"] == 1.0 and back.iloc[0]["b"] == "x"
+    assert back.iloc[1].isna().all()
+
+
+def test_restore_swap_debris_glob_metachar_path(spark, sf_dir, tmpdir):
+    """Backup restore must work for paths containing glob
+    metacharacters."""
+    import os
+
+    from d2d_spark.operators.writes import restore_swap_debris, write_mode
+    from d2d_spark.session import read_table
+
+    target = str(tmpdir / "t[1]")
+    base = read_table(spark, sf_dir, "orders").select("o_orderkey").limit(10)
+    write_mode(base, target, mode="overwrite", spark=spark)
+    os.replace(target, target + ".__bak_12345678")
+    assert restore_swap_debris(spark, target) is True
+    assert os.path.exists(target)
