@@ -842,3 +842,42 @@ SELECT avg(coalesce(model.logp, -16.0)) FROM doc_grams LEFT JOIN model USING (gr
 """
     ).fetchone()[0]
     assert math.isclose(got_mean, want_mean, rel_tol=1e-12)
+
+
+def test_perplexity_filter_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Perplexity scores are per-document (one groupBy on the doc id),
+    so applying the filter per micro-batch via foreachBatch equals one
+    batch pass — the incremental-crawl usage shape."""
+    from d2d_spark.operators.ngram_lm import perplexity_filter, train_char_lm
+    from d2d_spark.streaming.filestream import file_stream
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text").limit(60)
+    lm = train_char_lm(docs, "text", n=3, vocab_size=20_000)
+    lm = lm.localCheckpoint(eager=True)  # static side of the per-batch join
+
+    src = str(tmp_path / "ppl_src")
+    docs.write.parquet(src)
+    batch_df = spark.read.parquet(src)
+    # threshold at the batch median so the filter genuinely splits
+    import statistics
+
+    from d2d_spark.operators.ngram_lm import perplexity_score
+
+    ppls = [r.ppl for r in perplexity_score(batch_df, lm, "text", "doc_id").collect() if r.ppl]
+    cut = statistics.median(ppls)
+    expected = {r.doc_id for r in perplexity_filter(batch_df, lm, "text", "doc_id", cut).collect()}
+    assert 0 < len(expected) < 60
+
+    got = set()
+    stream = file_stream(spark, src, batch_df.schema, max_files_per_trigger=2)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, _bid: got.update(
+                r.doc_id for r in perplexity_filter(bdf, lm, "text", "doc_id", cut).collect()
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert got == expected
