@@ -96,7 +96,7 @@ def main() -> int:
 
         n_rows = read_table(spark, SF_DIR, "lineitem").count()
         mig_s = float("inf")
-        for _ in range(3):
+        for _ in range(5):  # the write leg is the noisiest query on this host
             t0 = time.perf_counter()
             Migration(
                 _Src(),

@@ -102,3 +102,84 @@ def schema_drift(source: DataFrame, target: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         rows, "column string, change string, source_type string, target_type string"
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str | None = None,
+    source_col: str | None = None,
+    deciles: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Document-corpus data card: one long-format frame of
+    ``(section, key, value)`` doubles covering size totals, exact-dup
+    rate, token-length and quality-score quantiles, and (optional)
+    per-language / per-source composition.
+
+    Shape at scale: ONE global aggregation pass (map-side partials;
+    percentile_approx and HLL are mergeable sketches) plus one small
+    groupBy per composition column — nothing collects to the driver,
+    and each section's cost is a partial-agg shuffle of at most
+    |distinct keys| rows.
+    """
+    from d2d_spark.functions.text import fingerprint, quality_score, token_count_ws
+
+    base = df.select(
+        F.col(text_col).alias("__t"),
+        fingerprint(F.col(text_col)).alias("__fp"),
+        token_count_ws(F.col(text_col)).cast("double").alias("__tok"),
+        quality_score(F.col(text_col)).alias("__q"),
+        *([F.col(lang_col).alias("__lang")] if lang_col else []),
+        *([F.col(source_col).alias("__src")] if source_col else []),
+    )
+    qs = list(deciles)
+    one = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum(F.length("__t")).cast("double").alias("n_chars"),
+        F.sum("__tok").alias("n_tokens"),
+        F.approx_count_distinct("__fp").cast("double").alias("n_distinct_fp"),
+        F.percentile_approx("__tok", qs).alias("tok_q"),
+        F.percentile_approx("__q", qs).alias("qual_q"),
+    )
+    entries = F.array(
+        F.struct(F.lit("totals").alias("section"), F.lit("n_docs").alias("key"), F.col("n_docs").alias("value")),
+        F.struct(F.lit("totals").alias("section"), F.lit("n_chars").alias("key"), F.col("n_chars").alias("value")),
+        F.struct(F.lit("totals").alias("section"), F.lit("n_tokens").alias("key"), F.col("n_tokens").alias("value")),
+        F.struct(
+            F.lit("totals").alias("section"),
+            F.lit("exact_dup_frac").alias("key"),
+            (
+                (F.col("n_docs") - F.col("n_distinct_fp")) / F.nullif(F.col("n_docs"), F.lit(0.0))
+            ).alias("value"),
+        ),
+        *[
+            F.struct(
+                F.lit("token_quantiles").alias("section"),
+                F.lit(f"p{int(q * 100)}").alias("key"),
+                F.col("tok_q")[i].cast("double").alias("value"),
+            )
+            for i, q in enumerate(qs)
+        ],
+        *[
+            F.struct(
+                F.lit("quality_quantiles").alias("section"),
+                F.lit(f"p{int(q * 100)}").alias("key"),
+                F.col("qual_q")[i].cast("double").alias("value"),
+            )
+            for i, q in enumerate(qs)
+        ],
+    )
+    out = one.select(F.explode(entries).alias("e")).select("e.section", "e.key", "e.value")
+    if lang_col:
+        out = out.unionByName(
+            base.groupBy("__lang").agg(F.count(F.lit(1)).cast("double").alias("value")).select(
+                F.lit("lang").alias("section"), F.col("__lang").alias("key"), "value"
+            )
+        )
+    if source_col:
+        out = out.unionByName(
+            base.groupBy("__src").agg(F.count(F.lit(1)).cast("double").alias("value")).select(
+                F.lit("source").alias("section"), F.col("__src").alias("key"), "value"
+            )
+        )
+    return out

@@ -70,3 +70,38 @@ def test_schema_drift(spark):
     assert drift["v"]["source_type"] == "string" and drift["v"]["target_type"] == "int"
     assert "id" not in drift
     assert schema_drift(a, a).count() == 0
+
+
+def test_corpus_report_sections_and_totals(spark, sf_dir):
+    from d2d_spark.operators.profile import corpus_report
+    from d2d_spark.session import read_table
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, sf_dir, "documents")
+    rep = corpus_report(docs, "text", lang_col="lang", source_col="source").collect()
+    by = {(r.section, r.key): r.value for r in rep}
+
+    n = docs.count()
+    assert by[("totals", "n_docs")] == float(n)
+    assert by[("totals", "n_chars")] == float(
+        docs.agg(F.sum(F.length("text"))).collect()[0][0]
+    )
+    assert 0.0 <= by[("totals", "exact_dup_frac")] < 1.0
+    # quantiles are monotone
+    toks = [by[("token_quantiles", f"p{p}")] for p in (10, 25, 50, 75, 90)]
+    assert toks == sorted(toks) and toks[0] > 0
+    # composition sections sum to the doc count
+    langs = {k: v for (s, k), v in by.items() if s == "lang"}
+    srcs = {k: v for (s, k), v in by.items() if s == "source"}
+    assert sum(langs.values()) == float(n) and sum(srcs.values()) == float(n)
+    want_langs = {r.lang: float(r.n) for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert langs == want_langs
+
+
+def test_corpus_report_without_composition_cols(spark, sf_dir):
+    from d2d_spark.operators.profile import corpus_report
+    from d2d_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    secs = {r.section for r in corpus_report(docs, "text").collect()}
+    assert secs == {"totals", "token_quantiles", "quality_quantiles"}
