@@ -27,8 +27,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: log-prob assigned to grams the model has never seen (or docs whose
-#: prefix fell below min_count) — harsher than any retained gram
+#: fallback unseen-gram log-prob when the model is empty; normally the
+#: floor derives from the model itself (min retained logp minus ln 10)
+#: so an unseen gram is ALWAYS scored worse than any seen one — a
+#: fixed constant could rank an unseen gram above a real-but-rare gram
 DEFAULT_FLOOR_LOGP = -16.0
 
 
@@ -88,13 +90,23 @@ def perplexity_score(
     text_col: str,
     id_col: str,
     n: int = 3,
-    floor_logp: float = DEFAULT_FLOOR_LOGP,
+    floor_logp: float | None = None,
     out_col: str = "ppl",
 ) -> DataFrame:
     """Append ``out_col`` (per-char perplexity, lower = more fluent)
     and ``mean_logp``. Documents shorter than ``n`` normalized chars
     score NULL — no grams to judge, and NULL never passes a threshold
-    filter silently."""
+    filter silently.
+
+    ``floor_logp`` (unseen-gram penalty) defaults to the model's own
+    minimum retained log-prob minus ln 10 — one decade less likely
+    than the rarest gram the model kept, so unseen always ranks below
+    seen regardless of corpus size or vocab setting."""
+    import math
+
+    if floor_logp is None:
+        lm_min = lm.agg(F.min("logp")).collect()[0][0]
+        floor_logp = (lm_min - math.log(10)) if lm_min is not None else DEFAULT_FLOOR_LOGP
     grams = df.select(
         F.col(id_col).alias("__id"),
         F.explode(_char_grams(_normalize(F.col(text_col)), n)).alias("gram"),
@@ -118,7 +130,7 @@ def perplexity_filter(
     id_col: str,
     max_ppl: float,
     n: int = 3,
-    floor_logp: float = DEFAULT_FLOOR_LOGP,
+    floor_logp: float | None = None,
 ) -> DataFrame:
     """Keep documents whose per-char perplexity under ``lm`` is at
     most ``max_ppl`` (the CCNet head/middle-bucket move). NULL-scored

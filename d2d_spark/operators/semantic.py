@@ -64,6 +64,11 @@ def assign_cells(
     ``n_centroids + cell * 2**split_bits + bucket``), so downstream
     equi-joins can't conflate a split shard with an unsplit cell.
 
+    The split separates DISTINCT skewed vectors; byte-identical
+    vectors share every sign bit and cannot be split apart — collapse
+    exact duplicates first (``semantic_dedup`` does) or a clone-heavy
+    cell stays clone-heavy.
+
     The per-cell counts are one tiny aggregate (≤ ``n_centroids``
     rows, broadcast back); the assignment kernel is a single GEMM per
     Arrow batch against the broadcast centroid matrix — no per-row
@@ -81,8 +86,18 @@ def assign_cells(
 
     assign = F.pandas_udf(assign_kernel, T.LongType())
 
+    from pyspark import StorageLevel
+
     npart = df.sparkSession.sparkContext.defaultParallelism
-    base = _spread(df, npart).withColumn("cell", assign(F.col(vec_col)))
+    # the assignment GEMM is the most expensive kernel here and feeds
+    # BOTH the per-cell counts and the output — cache it (eagerly, see
+    # dedup.py's concurrent-first-computation note) so it runs once
+    base = (
+        _spread(df, npart)
+        .withColumn("cell", assign(F.col(vec_col)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    base.count()
     counts = base.groupBy("cell").agg(F.count(F.lit(1)).alias("__cn"))
     sub = sign_projection_bucket(F.col(vec_col), split_bits)
     return (
@@ -155,12 +170,31 @@ def semantic_dedup(
 ) -> DataFrame:
     """Drop semantic near-duplicates, keeping the min-id representative
     of each connected component of the within-cell pair graph. Returns
-    the surviving rows of ``df`` unchanged (all original columns)."""
-    pairs = semantic_near_pairs(df, id_col, vec_col, threshold, **cluster_kw)
+    the surviving rows of ``df`` unchanged (all original columns).
+
+    Exact-duplicate vectors collapse FIRST (hash-groupBy on the vector
+    bytes, min id survives): identical vectors are duplicates at any
+    threshold, and — sharing every sign bit — they would defeat the
+    oversized-cell split and re-grow a quadratic cell. After the
+    collapse the pair stage sees only distinct vectors, so the
+    ``max_cell`` bound holds under clone-heavy skew too."""
+    vec_key = F.md5(F.to_json(F.col(vec_col)))
+    reps = (
+        df.groupBy(vec_key.alias("__vk"))
+        .agg(F.min(F.col(id_col)).alias("__rep"))
+        .select("__rep")
+    )
+    uniq = df.join(
+        reps, on=[F.col(id_col) == F.col("__rep")], how="left_semi"
+    )
+    pairs = semantic_near_pairs(uniq, id_col, vec_col, threshold, **cluster_kw)
     comps = connected_components(pairs, "id_a", "id_b")
     losers = comps.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias("__loser")
     )
-    return df.join(
+    survivors = uniq.join(
         losers, on=[F.col(id_col) == F.col("__loser")], how="left_anti"
     )
+    # exact-dup losers (non-representatives) drop here because only
+    # `uniq` rows can survive
+    return survivors

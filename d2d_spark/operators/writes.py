@@ -23,13 +23,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def filter_new_rows(incoming: DataFrame, target_keys: DataFrame, pks: list[str]) -> DataFrame:
+def filter_new_rows(
+    incoming: DataFrame,
+    target_keys: DataFrame,
+    pks: list[str],
+    order_col: str | None = None,
+) -> DataFrame:
     """INSERT IGNORE probe: keep only incoming rows whose PK is absent
-    from the target. target_keys need only contain the PK columns; at
-    scale prefer handing a pushdown-pruned scan of just those columns.
-    No broadcast hint: an explicit hint is honored regardless of size
-    (AQE does NOT demote it), which would OOM on a billion-key target —
-    size-based selection is Catalyst's call."""
+    from the target — AND collapse duplicate keys WITHIN the incoming
+    batch to one row (MySQL inserts the first occurrence, ignores the
+    rest; appending both would break the target's PK uniqueness).
+    ``order_col`` pins the in-batch winner (min value per key — the
+    'first' row of the reference's ordered executemany); without it
+    the pick is an explicit arbitrary-but-single dropDuplicates.
+
+    target_keys need only contain the PK columns; at scale prefer
+    handing a pushdown-pruned scan of just those columns. No broadcast
+    hint: an explicit hint is honored regardless of size (AQE does NOT
+    demote it), which would OOM on a billion-key target — size-based
+    selection is Catalyst's call."""
+    if order_col is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*pks).orderBy(F.col(order_col).asc())
+        incoming = (
+            incoming.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        incoming = incoming.dropDuplicates(pks)
     probe = target_keys.select(*pks).dropDuplicates(pks)
     return incoming.join(probe, on=pks, how="left_anti")
 
@@ -147,7 +170,7 @@ def write_mode(
         reader = reader.option(k, v)
     target = reader.load(path)
     if mode == "ignore":
-        out = target.unionByName(filter_new_rows(df, target, pks))
+        out = target.unionByName(filter_new_rows(df, target, pks, order_col))
     elif mode in ("replace", "upsert"):
         out = upsert_rows(target, df, pks, order_col)
     else:
@@ -161,9 +184,35 @@ def write_mode(
     # an ACID table format replaces all of this with MERGE.)
     import uuid as _uuid
 
+    # single-writer contract: any .__stage_* sibling is a crashed
+    # earlier attempt — without cleanup each failed keyed write leaks
+    # a full staged copy of the table until the volume fills
+    _drop_stage_debris(spark, path)
     staging = f"{path}.__stage_{_uuid.uuid4().hex[:8]}"
     _writer(out).mode("overwrite").save(staging)
     _swap_paths(spark, staging, path)
+
+
+def _drop_stage_debris(spark, path: str) -> None:
+    if "://" not in path:
+        import glob as _glob
+        import shutil as _shutil
+
+        for stale in _glob.glob(_glob.escape(path) + ".__stage_*"):
+            _shutil.rmtree(stale, ignore_errors=True)
+        return
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    P = jvm.org.apache.hadoop.fs.Path
+    p = P(path)
+    fs = p.getFileSystem(conf)
+    parent = p.getParent()
+    if parent is None or not fs.exists(parent):
+        return
+    prefix = p.getName() + ".__stage_"
+    for st in fs.listStatus(parent):
+        if st.getPath().getName().startswith(prefix):
+            fs.delete(st.getPath(), True)
 
 
 def _swap_paths(spark, staging: str, path: str) -> None:

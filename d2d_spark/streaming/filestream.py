@@ -84,7 +84,7 @@ def _default_output_mode(df: DataFrame) -> str:
         # stateful operators carry their declared mode in the plan
         # node ("..., Append, NoTimeout") — the sink must match it
         if "WithState" in line:
-            return "update" if ", Update," in line or line.rstrip().endswith("Update") or " Update," in line else "append"
+            return "update" if " Update," in line or line.rstrip().endswith("Update") else "append"
     if "Aggregate" in plan:
         return "complete"
     return "append"
@@ -98,18 +98,35 @@ def sync_with_mode(
     pks: list[str],
     fmt: str = "parquet",
     transform: Callable[[DataFrame], DataFrame] | None = None,
+    options: dict[str, str] | None = None,
+    order_col: str | None = None,
+    partition_by: list[str] | None = None,
 ):
     """Streaming keyed sink: each micro-batch applies an insert mode
     (ignore/replace/upsert, operators.writes semantics) against the
     target via foreachBatch — the streaming analog of the reference's
     per-window save_data(mode=...) flush (d22d/task.py:140-155), with
     exactly-once per-batch bookkeeping from the checkpoint. Single
-    writer per target, as documented in operators/writes.py."""
+    writer per target, as documented in operators/writes.py.
+
+    ``options``/``order_col``/``partition_by`` forward to write_mode —
+    a keyed CSV sync without its header/sep options would re-read the
+    target mis-parsed on every merge leg."""
     from d2d_spark.operators.writes import write_mode
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         out = transform(batch_df) if transform is not None else batch_df
-        write_mode(out, target_path, mode=mode, pks=pks, fmt=fmt, spark=out.sparkSession)
+        write_mode(
+            out,
+            target_path,
+            mode=mode,
+            pks=pks,
+            fmt=fmt,
+            spark=out.sparkSession,
+            options=options,
+            order_col=order_col,
+            partition_by=partition_by,
+        )
 
     q = (
         df.writeStream.foreachBatch(handle)
@@ -138,15 +155,22 @@ def stream_dedup_sink(
     exactly once (checkpoint ledger), corpus stays near-dup-free
     without ever re-running LSH over it.
 
-    Exactly-once: the checkpoint dedups *file pickup*; a replayed
-    batch re-offers the same ids, whose signatures are already in the
-    store, so its clones drop and only genuinely-new rows append —
-    the store itself makes the dedup replay-tolerant.
+    Exactly-once: the checkpoint dedups *file pickup*, the store's
+    same-id exclusion makes a replayed batch re-derive its ORIGINAL
+    survivor set, and each batch lands in its own
+    ``batch_id=N`` subdirectory via mode=overwrite — so a replay
+    (crash before OR after the data write) rewrites the same
+    subdirectory with identical content instead of appending a second
+    copy. Readers scan ``target_path`` as one partitioned table (the
+    batch_id partition column records provenance).
     """
+    import os as _os
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         kept = store.dedup_batch(batch_df, text_col, id_col)
-        kept.write.mode("append").format(fmt).save(target_path)
+        kept.write.mode("overwrite").format(fmt).save(
+            _os.path.join(target_path, f"batch_id={batch_id}")
+        )
 
     q = (
         df.writeStream.foreachBatch(handle)

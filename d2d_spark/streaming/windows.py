@@ -139,7 +139,13 @@ def make_rollup_merger(
     """Build the idempotent foreachBatch merger for incremental_rollup
     (factored out so replay behavior is unit-testable). The batch_id
     ledger rides inside the staged directory and swaps in with the
-    data — crash-safe idempotence, see incremental_rollup docstring."""
+    data — crash-safe idempotence, see incremental_rollup docstring.
+
+    The ledger assumes ONE checkpoint lifetime per target: batch ids
+    restart at 0 if the checkpoint is deleted/rebuilt, which this
+    ledger cannot distinguish from a replay — repoint a rebuilt
+    checkpoint at a FRESH target (or use an ACID table MERGE), never
+    at a target with existing markers."""
     import os as _os
     import shutil as _shutil
 
@@ -154,13 +160,27 @@ def make_rollup_merger(
             f"remote path {target_path!r} use a transactional table "
             "format (Delta/Iceberg MERGE) as the rollup target"
         )
+    if fmt not in ("parquet", "orc"):
+        # the merge leg reads the target back with no schema/options;
+        # only self-describing formats round-trip that safely (CSV
+        # would come back headerless all-string and corrupt the merge)
+        raise ValueError(f"incremental_rollup needs a self-describing format, got {fmt!r}")
     sum_cols = sum_cols or {}
     group_keys = ["ws", "we", *keys]
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # a target missing because a crash hit _swap_paths between its
+        # two renames must be RESTORED before anything else — including
+        # the replay-marker check, which must see the restored ledger —
+        # never reinitialized from one batch. Stale staged attempts
+        # from crashed batches get dropped (single writer), not leaked.
+        from d2d_spark.operators.writes import _drop_stage_debris, restore_swap_debris
+
+        restore_swap_debris(spark, target_path)
+        _drop_stage_debris(spark, target_path)
         if _os.path.exists(_os.path.join(target_path, _LEDGER, f"batch_{batch_id}")):
             return  # replayed batch: already merged
-        spark = batch_df.sparkSession
         aggs = [F.count(F.lit(1)).alias("n_rows")] + [
             F.sum(F.col(c).cast("double")).alias(alias) for c, alias in sum_cols.items()
         ]
@@ -175,12 +195,6 @@ def make_rollup_merger(
         import uuid as _uuid
 
         staging = f"{target_path}.__stage_{_uuid.uuid4().hex[:8]}"
-        # a target missing because a crash hit _swap_paths between its
-        # two renames must be RESTORED, not reinitialized from one
-        # batch — the prior rollup and its ledger are in the backup
-        from d2d_spark.operators.writes import restore_swap_debris
-
-        restore_swap_debris(spark, target_path)
         if not _os.path.exists(target_path):
             part.write.format(fmt).mode("overwrite").save(staging)
             _stage_ledger(staging, None, batch_id)

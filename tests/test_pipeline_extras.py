@@ -814,7 +814,7 @@ JOIN prefix ON substr(k.gram, 1, 2) = prefix.p
     # score one fixture document against the same 50-gram model
     lm = train_char_lm(docs, "text", n=3, vocab_size=50, min_count=2)
     probe = docs.orderBy("doc_id").limit(1)
-    got_mean = perplexity_score(probe, lm, "text", "doc_id").collect()[0].mean_logp
+    got_mean = perplexity_score(probe, lm, "text", "doc_id", floor_logp=-16.0).collect()[0].mean_logp
     want_mean = con.execute(
         r"""
 WITH norm AS (

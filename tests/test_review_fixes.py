@@ -284,3 +284,49 @@ def test_blobstore_long_key_rejected_before_staging(spark, tmpdir):
     bs = BlobStore(str(tmpdir / "blobs"), spark)
     with pytest.raises(ValueError, match="shorten the key"):
         bs.save("a" * 252, b"x")
+
+
+def test_write_mode_ignore_collapses_incoming_duplicates(spark, tmpdir):
+    """INSERT IGNORE semantics: two incoming rows with the same new
+    key insert exactly one row (MySQL takes the first, ignores the
+    rest) — never both."""
+    from d2d_spark.operators.writes import write_mode
+
+    target = str(tmpdir / "tbl")
+    base = spark.createDataFrame([Row(id=1, v="a")])
+    write_mode(base, target, mode="overwrite", spark=spark)
+    dup_batch = spark.createDataFrame(
+        [Row(id=7, v="first", seq=1), Row(id=7, v="second", seq=2), Row(id=8, v="x", seq=3)]
+    ).drop("seq")
+    write_mode(dup_batch, target, mode="ignore", pks=["id"], spark=spark)
+    rows = spark.read.parquet(target).collect()
+    ids = sorted(r.id for r in rows)
+    assert ids == [1, 7, 8], f"duplicate key appended twice: {ids}"
+    # order_col pins WHICH duplicate wins (min = 'first occurrence')
+    target2 = str(tmpdir / "tbl2")
+    write_mode(
+        spark.createDataFrame([Row(id=1, v="a", seq=0)]), target2, mode="overwrite", spark=spark
+    )
+    dup2 = spark.createDataFrame(
+        [Row(id=7, v="first", seq=1), Row(id=7, v="second", seq=2)]
+    )
+    write_mode(dup2, target2, mode="ignore", pks=["id"], spark=spark, order_col="seq")
+    got = {r.v for r in spark.read.parquet(target2).filter("id = 7").collect()}
+    assert got == {"first"}
+
+
+def test_write_mode_cleans_stale_staging(spark, sf_dir, tmpdir):
+    """A crashed keyed write's .__stage_* directory must be removed by
+    the next write, not leaked forever."""
+    import os
+
+    from d2d_spark.operators.writes import write_mode
+    from d2d_spark.session import read_table
+
+    target = str(tmpdir / "tbl")
+    base = read_table(spark, sf_dir, "orders").select("o_orderkey").limit(20)
+    write_mode(base, target, mode="overwrite", spark=spark)
+    stale = target + ".__stage_deadbeef"
+    os.makedirs(stale)
+    write_mode(base.limit(5), target, mode="ignore", pks=["o_orderkey"], spark=spark)
+    assert not os.path.exists(stale)
