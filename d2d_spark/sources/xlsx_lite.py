@@ -106,7 +106,10 @@ def _cell_xml(ref: str, value) -> str:
         return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
     if isinstance(value, (int, float)):
         return f'<c r="{ref}"><v>{value!r}</v></c>'
-    return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{escape(str(value))}</t></is></c>'
+    # XML parsers normalize a literal '\r' (and '\r\n') to '\n' in
+    # content — a carriage return only round-trips as a char reference
+    text = escape(str(value)).replace("\r", "&#13;")
+    return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{text}</t></is></c>'
 
 
 def _sheet_xml(pdf: "pd.DataFrame") -> str:
