@@ -18,6 +18,18 @@ def dot(a: Column, b: Column) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
 
+def as_double(a: Column) -> Column:
+    """Pre-cast a float array to ``array<double>`` once per row.
+
+    ``dot`` casts each element inside its fold lambda; on an all-pairs
+    stage that is 2 x dim interpreted casts PER PAIR. Casting each
+    side's array once before the pair join lets Catalyst's
+    SimplifyCasts elide the in-fold casts (double -> double is a
+    no-op), leaving the fold as bare multiply-add. Float -> double is
+    exact, so results are bit-identical to casting inside the fold."""
+    return F.transform(a, lambda x: x.cast("double"))
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from d2d_spark.functions.text import fingerprint, shingles, tokens_ws
-from d2d_spark.functions.vectors import dot, norm
+from d2d_spark.functions.vectors import as_double, dot, norm
 
 # Large prime > 2^31 for minhash permutations.
 _MERSENNE = (1 << 61) - 1
@@ -34,14 +34,29 @@ _MERSENNE = (1 << 61) - 1
 QUADRATIC_CAP = 20_000
 
 
-def _spread(df: DataFrame, npart: int, *cols) -> DataFrame:
+def _spread(df: DataFrame, npart: int, *cols, full: bool = False) -> DataFrame:
     """Repartition to ``npart`` ONLY when the upstream scan is too
     narrow to parallelize the following map/join stage (a one-file
     local fixture: 1-2 input splits). A 100 TB table arrives in
     thousands of splits already — skipping the repartition there
     avoids a full-corpus shuffle whose only purpose is small-scan
-    spreading. Partition count never changes results, only layout."""
-    if df.rdd.getNumPartitions() >= max(2, npart // 2):
+    spreading. Partition count never changes results, only layout.
+
+    Two thresholds, chosen per call site:
+
+    ``full=False`` (default) — skip once the scan is at half width.
+    Right for shuffle-dominated stages whose payload is the full
+    text column (minhash/simhash signatures): re-shuffling the
+    corpus costs more than the lost half of the cores (measured:
+    minhash 4.47s -> 2.70s when the skip landed).
+
+    ``full=True`` — skip only at FULL width (>= npart). Right for
+    compute-bound stages (cosine/dot-product over fixed-width
+    vectors): running them at half the cores costs more than one
+    round-robin spread of a narrow scan — a 16-split scan on 32
+    cores regressed ann_bruteforce_topk 40% under the half rule."""
+    floor = npart if full else npart // 2
+    if df.rdd.getNumPartitions() >= max(2, floor):
         return df
     return df.repartition(npart, *cols) if cols else df.repartition(npart)
 
@@ -463,7 +478,9 @@ def ngram_jaccard_pairs(
     sh.count()  # fill the cache before the cross-join sides race on it
     # Spread the probe side so the quadratic verify runs on all cores
     # (broadcast-nested-loop parallelism = left-side partitions).
-    a = _spread(sh, npart).select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    a = _spread(sh, npart, full=True).select(
+        F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")
+    )
     b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     # size-ratio prefilter: jaccard <= min(|a|,|b|)/max(|a|,|b|), so
@@ -493,13 +510,13 @@ def embedding_near_pairs(
     _guard_quadratic(emb, "embedding_near_pairs", allow_quadratic, cap)
     npart = emb.sparkSession.sparkContext.defaultParallelism
     a = (
-        _spread(emb, npart)
-        .select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+        _spread(emb, npart, full=True)
+        .select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("v_a"))
         .withColumn("__na", norm(F.col("v_a")))
     )
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")).withColumn(
-        "__nb", norm(F.col("v_b"))
-    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("v_b")
+    ).withColumn("__nb", norm(F.col("v_b")))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     # norms precomputed per side: per-pair work is one dot fold
     sim = dot(F.col("v_a"), F.col("v_b")) / F.nullif(F.col("__na") * F.col("__nb"), F.lit(0.0))
@@ -525,7 +542,9 @@ def levenshtein_pairs(
     _guard_quadratic(df, "levenshtein_pairs", allow_quadratic, cap)
     npart = df.sparkSession.sparkContext.defaultParallelism
     base = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
-    a = _spread(base, npart).select(F.col("__id").alias("id_a"), F.col("__t").alias("t_a"))
+    a = _spread(base, npart, full=True).select(
+        F.col("__id").alias("id_a"), F.col("__t").alias("t_a")
+    )
     b = base.select(F.col("__id").alias("id_b"), F.col("__t").alias("t_b"))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     # length prefilter: |len(a)-len(b)| > d implies dist > d — prunes

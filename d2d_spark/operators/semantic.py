@@ -40,7 +40,7 @@ import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from d2d_spark.functions.vectors import dot, norm, sign_projection_bucket
+from d2d_spark.functions.vectors import as_double, dot, norm, sign_projection_bucket
 from d2d_spark.operators.dedup import _spread, connected_components
 from d2d_spark.operators.similarity import train_ivf_centroids
 
@@ -93,7 +93,7 @@ def assign_cells(
     # BOTH the per-cell counts and the output — cache it (eagerly, see
     # dedup.py's concurrent-first-computation note) so it runs once
     base = (
-        _spread(df, npart)
+        _spread(df, npart, full=True)
         .withColumn("cell", assign(F.col(vec_col)))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -133,7 +133,7 @@ def semantic_near_pairs(
 
     cells = (
         assign_cells(
-            df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")),
+            df.select(F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")),
             "__id",
             "__v",
             n_centroids,

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from d2d_spark.operators.dedup import _spread
-from d2d_spark.functions.vectors import dot, norm, sign_projection_bucket
+from d2d_spark.functions.vectors import as_double, dot, norm, sign_projection_bucket
 
 
 def brute_force_topk(
@@ -39,13 +39,13 @@ def brute_force_topk(
 
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qv")
+            F.col(query_id_col).alias("query_id"), as_double(F.col(query_vec_col)).alias("__qv")
         ).withColumn("__qn", norm(F.col("__qv")))
     )
     npart = corpus.sparkSession.sparkContext.defaultParallelism
     c = (
-        _spread(corpus, npart)  # spread the dot-product stage off a one-file scan
-        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+        _spread(corpus, npart, full=True)  # compute-bound: want every core on the dot-product stage
+        .select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("__cv"))
         .withColumn("__cn", norm(F.col("__cv")))
     )
     scored = q.crossJoin(c).withColumn(
@@ -94,8 +94,8 @@ def lsh_topk(
 
     npart = corpus.sparkSession.sparkContext.defaultParallelism
     c = add_lsh_bucket(
-        _spread(corpus, npart).select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        _spread(corpus, npart, full=True).select(
+            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("__cv")
         ),
         "__cv",
         n_bits,
@@ -103,7 +103,7 @@ def lsh_topk(
     q0 = add_lsh_bucket(
         queries.select(
             F.col(query_id_col).alias("query_id"),
-            F.col(query_vec_col).alias("__qv"),
+            as_double(F.col(query_vec_col)).alias("__qv"),
         ),
         "__qv",
         n_bits,
@@ -222,14 +222,14 @@ def ivf_topk(
 
     npart = corpus.sparkSession.sparkContext.defaultParallelism
     c = (
-        _spread(corpus, npart)
-        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+        _spread(corpus, npart, full=True)
+        .select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("__cv"))
         .withColumn("cell", assign(F.col("__cv")))
         .withColumn("__cn", norm(F.col("__cv")))
     )
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qv")
+            F.col(query_id_col).alias("query_id"), as_double(F.col(query_vec_col)).alias("__qv")
         )
         .withColumn("cell", F.explode(probe(F.col("__qv"))))
         .withColumn("__qn", norm(F.col("__qv")))
