@@ -298,11 +298,17 @@ def minhash_lsh_pairs(
     # Deliberate trade-off: the cached plan is NOT unpersisted (the
     # result is returned lazily, so there is no safe point inside this
     # function), and plan construction is eager (the fill count runs
-    # here). Spark's CacheManager matches the plan across repeated
+    # here — a job runs even if the caller never consumes the
+    # result). Spark's CacheManager matches the plan across repeated
     # identical calls — a rerun reuses the blocks instead of
-    # recomputing (measured 4.5s -> 1.6s steady state); distinct
-    # inputs evict/spill under storage-memory pressure. Callers that
-    # need the memory back can spark.catalog.clearCache().
+    # recomputing (measured 4.5s -> 1.6s steady state). Distinct
+    # inputs each leave a cache entry: MEMORY evicts under pressure,
+    # but the DISK halves of MEMORY_AND_DISK blocks persist until
+    # unpersist/clearCache and accumulate without bound in a
+    # long-lived session cycling many corpora. Callers in that shape
+    # should spark.catalog.clearCache() between corpora (or unpersist
+    # the matching entry via spark.catalog) — the cost is only a
+    # signature recompute on the next call.
     from pyspark import StorageLevel
 
     base = _spread(df.select(F.col(id_col).alias("__id"), F.col(text_col)), npart, "__id")
@@ -966,8 +972,15 @@ class SignatureStore:
         # pin the (small) dup-id set eagerly: after it, neither the
         # returned survivors nor anything downstream depends on the
         # persisted sig frame — so unpersisting here doesn't force the
-        # caller's first action to recompute the whole signature stage
-        dups = dups.localCheckpoint(eager=True)
+        # caller's first action to recompute the whole signature stage.
+        # A configured checkpoint dir gets a RELIABLE checkpoint (an
+        # executor loss replays from storage); localCheckpoint blocks
+        # are executor-local and non-replicated — fine on local[n],
+        # unrecoverable on a cluster — so it is only the fallback.
+        if spark.sparkContext.getCheckpointDir() is not None:
+            dups = dups.checkpoint(eager=True)
+        else:
+            dups = dups.localCheckpoint(eager=True)
         survivors = df.join(dups, on=[F.col(id_col) == F.col("__dup")], how="left_anti")
         new_sigs = sig.join(dups, on=[F.col("__id") == F.col("__dup")], how="left_anti")
         new_sigs.write.mode("append").parquet(self.path)

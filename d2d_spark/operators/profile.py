@@ -112,7 +112,8 @@ def corpus_report(
     deciles: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9),
 ) -> DataFrame:
     """Document-corpus data card: one long-format frame of
-    ``(section, key, value)`` doubles covering size totals, exact-dup
+    ``(section, key, value)`` doubles covering size totals, an
+    approximate (HLL-derived, clamped to [0, 1]) duplicate
     rate, token-length and quality-score quantiles, and (optional)
     per-language / per-source composition.
 
@@ -147,9 +148,17 @@ def corpus_report(
         F.struct(F.lit("totals").alias("section"), F.lit("n_tokens").alias("key"), F.col("n_tokens").alias("value")),
         F.struct(
             F.lit("totals").alias("section"),
-            F.lit("exact_dup_frac").alias("key"),
-            (
-                (F.col("n_docs") - F.col("n_distinct_fp")) / F.nullif(F.col("n_docs"), F.lit(0.0))
+            F.lit("approx_dup_frac").alias("key"),
+            # HLL cardinality carries ~rsd relative error, so the raw
+            # ratio can dip slightly negative (or over 1) on a
+            # dup-free corpus — clamp to the meaningful range
+            F.least(
+                F.greatest(
+                    (F.col("n_docs") - F.col("n_distinct_fp"))
+                    / F.nullif(F.col("n_docs"), F.lit(0.0)),
+                    F.lit(0.0),
+                ),
+                F.lit(1.0),
             ).alias("value"),
         ),
         *[

@@ -136,8 +136,11 @@ def mix_to_token_budget(
       downstream shuffles/packing treat them as distinct rows and a
       deterministic global shuffle spreads epochs apart.
 
-    One ``sum(token_col)`` aggregate per source is the only full scan
-    (map-side partials, one scalar to the driver); the mix itself is a
+    Token inventory is ONE Spark job for any number of sources: the
+    sources union on a (tag, tokens) projection and a single grouped
+    sum returns every per-source total (map-side partials, N scalars
+    to the driver) — a 20-source mixture pays one scheduler
+    round-trip, not 20 sequential count jobs. The mix itself is a
     pure per-row filter/explode — no shuffle at any corpus size.
     Ratios above ``max_epochs`` raise: needing 10+ epochs of a source
     is almost always a mis-specified mixture, and silently looping a
@@ -153,9 +156,20 @@ def mix_to_token_budget(
     if not sources or share_sum <= 0:
         raise ValueError("mix_to_token_budget needs sources with positive shares")
 
+    tagged: DataFrame | None = None
+    for name, (df, _share) in sources.items():
+        part = df.select(
+            F.lit(name).alias("__src"), F.col(token_col).cast("double").alias("__tok")
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    have_by_source = {
+        r["__src"]: float(r["__have"] or 0.0)
+        for r in tagged.groupBy("__src").agg(F.sum("__tok").alias("__have")).collect()
+    }
+
     out: DataFrame | None = None
     for name, (df, share) in sources.items():
-        have = df.agg(F.sum(F.col(token_col)).cast("double")).collect()[0][0] or 0.0
+        have = have_by_source.get(name, 0.0)
         if have <= 0:
             raise ValueError(f"source {name!r} has no tokens in {token_col!r}")
         target = share / share_sum * total_tokens
@@ -199,6 +213,15 @@ def pack_documents(
     (partition_id << 32 | local bin). Pass ``sort_col`` to make the
     within-partition stream — and therefore the packing — fully
     deterministic for a given partitioning.
+
+    Greedy approximation bound: at most 64 bins stay open per
+    partition; opening a 65th CLOSES the fullest open bin (least
+    remaining capacity — the cheapest bin to give up), and a closed
+    bin can never receive another row. On adversarial length streams
+    this raises padding waste versus unbounded first-fit, but keeps
+    the per-row scan O(64) regardless of stream length; the
+    packing-efficiency test pins total bins <= ~2x the ideal
+    ceil(sum(tokens)/budget) on skewed streams.
     """
     import pandas as pd
     from pyspark import TaskContext
@@ -227,10 +250,11 @@ def pack_documents(
                     placed = next_bin
                     open_bins.append((next_bin, n))
                     next_bin += 1
-                    # first-fit with a bounded open list: keeps the
-                    # scan O(1) amortized on long streams
+                    # bounded open list keeps the scan O(64) per row;
+                    # close the FULLEST bin — it has the least room
+                    # left, so giving it up wastes the fewest tokens
                     if len(open_bins) > 64:
-                        open_bins.pop(0)
+                        open_bins.pop(max(range(len(open_bins)), key=lambda i: open_bins[i][1]))
                 ids.append((pid << 32) | placed)
             out = pdf.copy()
             out["bin_id"] = pd.Series(ids, index=pdf.index, dtype="int64")

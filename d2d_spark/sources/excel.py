@@ -44,9 +44,21 @@ def _decode_workbook(data: bytes) -> pd.DataFrame:
 def _schema_of(pdf: pd.DataFrame):
     """Spark schema from pandas dtypes: numeric/bool map directly,
     everything else (object, all-NULL, strings) is a string column —
-    deterministic for any sample content."""
+    deterministic for any sample content.
+
+    A repeated header name makes ``pdf[c]`` return a DataFrame (no
+    ``.dtype``) and would surface as an opaque AttributeError mid-read
+    — and Spark schemas reject duplicate field names anyway — so
+    duplicates are refused up front with the offending names."""
     from pyspark.sql import types as T
 
+    names = [str(c) for c in pdf.columns]
+    dupes = sorted({n for n in names if names.count(n) > 1})
+    if dupes:
+        raise ValueError(
+            f"workbook header row repeats column name(s) {dupes}; rename the "
+            "duplicate headers to unique names before reading"
+        )
     kind_map = {"i": T.LongType(), "u": T.LongType(), "f": T.DoubleType(), "b": T.BooleanType()}
     return T.StructType(
         [

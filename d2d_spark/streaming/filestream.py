@@ -163,8 +163,30 @@ def stream_dedup_sink(
     subdirectory with identical content instead of appending a second
     copy. Readers scan ``target_path`` as one partitioned table (the
     batch_id partition column records provenance).
+
+    ONE checkpoint lifetime per target (same hazard documented on
+    ``windows.make_rollup_merger``): batch ids are assigned by the
+    checkpoint, so a deleted/rebuilt checkpoint restarts them at 0 and
+    would silently overwrite historical ``batch_id=N`` partitions
+    while later ones survive — duplicates and lost provenance. A
+    fresh checkpoint against a target that already has batch dirs is
+    therefore refused; point the new checkpoint at a new target (or
+    clear the old target deliberately).
     """
     import os as _os
+
+    checkpoint_is_fresh = not _os.path.isdir(_os.path.join(checkpoint_path, "offsets"))
+    target_has_batches = _os.path.isdir(target_path) and any(
+        name.startswith("batch_id=") for name in _os.listdir(target_path)
+    )
+    if checkpoint_is_fresh and target_has_batches:
+        raise ValueError(
+            f"stream_dedup_sink: checkpoint {checkpoint_path!r} is fresh but "
+            f"target {target_path!r} already holds batch_id= partitions from "
+            "a previous checkpoint lifetime. Restarting batch ids at 0 would "
+            "silently overwrite historical batches. Use a new target_path, "
+            "restore the original checkpoint, or clear the target first."
+        )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         kept = store.dedup_batch(batch_df, text_col, id_col)

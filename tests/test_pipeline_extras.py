@@ -370,6 +370,61 @@ def test_pack_documents_respects_budget(spark, sf_dir):
     }
 
 
+def test_pack_documents_efficiency_under_skew(spark, sf_dir):
+    """The bounded open-bin list (fullest-bin eviction past 64) must
+    not blow up padding waste on an adversarial stream: alternating
+    near-full and tiny docs, plus some over-budget singletons. Pin
+    total bins <= 2x the ideal ceil(total/budget)."""
+    import math
+
+    from d2d_spark.operators.sampling import pack_documents
+
+    budget = 1000
+    # 600 rows/partition: tiny docs arrive long after the big ones
+    # opened bins, so the eviction path actually exercises
+    sizes = []
+    for i in range(300):
+        sizes.append(900)   # near-full: leaves room only for tiny docs
+        sizes.append(60)    # tiny: must land in an open bin to avoid waste
+    for i in range(10):
+        sizes.append(1500)  # over-budget singletons
+    rows = [(i, s) for i, s in enumerate(sizes)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_tokens long").repartition(2)
+    packed = pack_documents(docs, "n_tokens", budget=budget, sort_col="doc_id")
+    got = packed.select("doc_id", "n_tokens", "bin_id").collect()
+    assert len(got) == len(rows)
+    by_bin: dict[int, int] = {}
+    for r in got:
+        by_bin[r["bin_id"]] = by_bin.get(r["bin_id"], 0) + r["n_tokens"]
+    for b, tot in by_bin.items():
+        assert tot <= budget or tot in (1500,)  # over-budget => singleton
+    ideal = math.ceil(sum(sizes) / budget)
+    assert len(by_bin) <= 2 * ideal, (len(by_bin), ideal)
+
+
+def test_concat_bins_skewed_bin(spark, sf_dir):
+    """One over-budget doc among many small ones: the giant lands in a
+    singleton bin (pack_documents' budget invariant), so no concat
+    group concentrates more than ~budget characters — the collect_list
+    payload per bin is bounded by the packing budget, not by the
+    worst document mix."""
+    from d2d_spark.operators.sampling import concat_bins, pack_documents
+
+    budget = 500
+    rows = [(0, "x" * 2000, 2000)] + [(i, f"doc{i} " * 10, 50) for i in range(1, 101)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_tokens long")
+    packed = pack_documents(docs, "n_tokens", budget=budget, sort_col="doc_id")
+    seqs = concat_bins(packed, tokens_col="n_tokens").collect()
+    by_tokens = {r["n_tokens"]: r for r in seqs}
+    giant = by_tokens[2000]
+    assert giant["n_docs"] == 1 and giant["doc_ids"] == [0]  # singleton bin
+    for r in seqs:
+        assert r["n_tokens"] <= budget or r["n_docs"] == 1
+    # every doc appears exactly once across sequences
+    all_ids = sorted(i for r in seqs for i in r["doc_ids"])
+    assert all_ids == list(range(101))
+
+
 def test_pack_documents_validates(spark, sf_dir):
     import pytest as _pytest
 
@@ -562,6 +617,35 @@ def test_stream_dedup_sink_end_to_end(spark, sf_dir, tmp_path):
         r["doc_id"] for r in fresh.select("doc_id").collect()
     }
     assert got == want  # no clone ids, all fresh ids, drop-1 intact
+
+
+def test_stream_dedup_sink_refuses_fresh_checkpoint_on_used_target(spark, sf_dir, tmp_path):
+    """A rebuilt checkpoint restarts batch ids at 0, which would
+    silently overwrite historical batch_id=N partitions — the sink
+    must refuse that combination up front."""
+    import pytest as _pytest
+
+    from d2d_spark.operators.dedup import SignatureStore
+    from d2d_spark.streaming.filestream import file_stream, stream_dedup_sink
+
+    src = str(tmp_path / "incoming")
+    target = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    store = SignatureStore(str(tmp_path / "sigs"), jaccard_threshold=1.0)
+
+    base = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10).select("doc_id", "text")
+    base.write.parquet(src)
+    stream = file_stream(spark, src, base.schema, max_files_per_trigger=2)
+    stream_dedup_sink(stream, store, target, ckpt)
+
+    # same checkpoint resumes fine (no-op: no new files)
+    stream_dedup_sink(file_stream(spark, src, base.schema), store, target, ckpt)
+
+    # a FRESH checkpoint against the populated target is refused
+    with _pytest.raises(ValueError, match="checkpoint lifetime"):
+        stream_dedup_sink(
+            file_stream(spark, src, base.schema), store, target, str(tmp_path / "ckpt2")
+        )
 
 
 def test_int8_quantization_roundtrip_and_recall(spark, sf_dir):

@@ -86,7 +86,7 @@ def test_corpus_report_sections_and_totals(spark, sf_dir):
     assert by[("totals", "n_chars")] == float(
         docs.agg(F.sum(F.length("text"))).collect()[0][0]
     )
-    assert 0.0 <= by[("totals", "exact_dup_frac")] < 1.0
+    assert 0.0 <= by[("totals", "approx_dup_frac")] < 1.0
     # quantiles are monotone
     toks = [by[("token_quantiles", f"p{p}")] for p in (10, 25, 50, 75, 90)]
     assert toks == sorted(toks) and toks[0] > 0

@@ -512,6 +512,28 @@ def test_excel_empty_workbook_reads_empty(spark, tmpdir):
     assert back.count() == 0
 
 
+def test_excel_duplicate_header_clear_error(spark, tmpdir):
+    """A workbook whose header row repeats a name must fail with a
+    descriptive ValueError at schema inference, not an opaque
+    AttributeError mid-read (pdf[c] on a repeated name returns a
+    DataFrame with no .dtype)."""
+    import os
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from d2d_spark.sources.excel import ExcelConnector
+    from d2d_spark.sources.xlsx_lite import write_sheets
+
+    pdf = pd.DataFrame([[1, 2], [3, 4]])
+    pdf.columns = ["a", "a"]
+    with open(os.path.join(str(tmpdir), "dup.xlsx"), "wb") as f:
+        write_sheets([("s", pdf)], f)
+    conn = ExcelConnector(str(tmpdir), spark)
+    with _pytest.raises(ValueError, match="repeats column name"):
+        conn.read("dup")
+
+
 def test_xlsx_lite_nullable_scalars(tmpdir):
     """pandas nullable dtypes (pd.NA) must serialize as omitted cells,
     not crash."""
