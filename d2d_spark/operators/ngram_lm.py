@@ -111,10 +111,24 @@ def perplexity_score(
         F.col(id_col).alias("__id"),
         F.explode(_char_grams(_normalize(F.col(text_col)), n)).alias("gram"),
     )
+    # mean via exact-decimal sum / count, not avg(double): double
+    # summation order varies with partitioning (and differs from other
+    # engines), while a DECIMAL(28,14) sum is exact — the same mean to
+    # the last bit on any partitioning and in the DuckDB oracle. 14
+    # decimals keeps per-gram quantization error ~1e-14 (logp ulp is
+    # ~1e-16); 14 integer digits bounds sums to 1e14 — far above any
+    # real document's gram count times |logp|.
     scored = (
         grams.join(F.broadcast(lm), on="gram", how="left")
         .groupBy("__id")
-        .agg(F.avg(F.coalesce("logp", F.lit(floor_logp))).alias("mean_logp"))
+        .agg(
+            (
+                F.sum(F.coalesce("logp", F.lit(floor_logp)).cast("decimal(28,14)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("mean_logp")
+        )
     )
     return df.join(scored, on=[F.col(id_col) == F.col("__id")], how="left").select(
         *df.columns,

@@ -58,46 +58,50 @@ def sqlfile_roundtrip_orders(spark, sf_dir):
 
 
 @query(
-    "csv_roundtrip_customer",
+    "csv_blob_roundtrip",
     oracle="""
-    SELECT c_mktsegment, COUNT(*) AS n, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
-    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    SELECT 'csv' AS leg, c_mktsegment AS k, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+           CAST(NULL AS VARCHAR) AS payload_md5
+    FROM customer GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'blob' AS leg, concat('doc_', CAST(doc_id AS VARCHAR)) AS k,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n,
+           CAST(NULL AS DOUBLE) AS bal,
+           md5(text) AS payload_md5
+    FROM documents WHERE doc_id % 20 = 0
     """,
-    tags=("source", "csv"),
+    tags=("source", "csv", "blobstore", "kv"),
 )
-def csv_roundtrip_customer(spark, sf_dir):
-    """customer -> CSV (header, schema re-inferred on read) ->
-    aggregate; proves quoting/escaping and type inference survive."""
+def csv_blob_roundtrip(spark, sf_dir):
+    """Two lossless-codec round-trips in one tagged result.
+
+    csv leg: customer -> CSV (header, schema re-inferred on read) ->
+    aggregate; proves quoting/escaping and type inference survive.
+
+    blob leg: K/V blob store (reference BaseStore protocol,
+    d22d/model/midhardware.py:4-48) — document text bytes saved one
+    object per key FROM THE EXECUTORS (foreachPartition — no driver
+    collect), read back as a distributed binaryFile scan, verified by
+    content md5 + byte length; the bulk paths are partition-parallel."""
     conn = CsvConnector(str(STAGE / "csv"), spark)
     conn.write(read_table(spark, sf_dir, "customer"), "customer")
-    back = conn.read("customer")
-    return (
-        back.groupBy("c_mktsegment")
+    csv_leg = (
+        conn.read("customer")
+        .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("bal"),
         )
-        .orderBy("c_mktsegment")
+        .select(
+            F.lit("csv").alias("leg"),
+            F.col("c_mktsegment").alias("k"),
+            "n",
+            "bal",
+            F.lit(None).cast("string").alias("payload_md5"),
+        )
     )
 
-
-@query(
-    "blob_store_roundtrip",
-    oracle="""
-    SELECT concat('doc_', CAST(doc_id AS VARCHAR)) AS key,
-           md5(text) AS payload_md5,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-    FROM documents WHERE doc_id % 20 = 0
-    """,
-    tags=("source", "blobstore", "kv"),
-)
-def blob_store_roundtrip(spark, sf_dir):
-    """K/V blob store round-trip (reference BaseStore protocol,
-    d22d/model/midhardware.py:4-48): document text bytes saved one
-    object per key FROM THE EXECUTORS (foreachPartition — no driver
-    collect), read back as a distributed binaryFile scan, and
-    verified by content md5 + byte length. Proves the store is
-    lossless and the bulk paths are partition-parallel."""
     root = str(STAGE / "blobstore")
     import shutil
 
@@ -109,12 +113,14 @@ def blob_store_roundtrip(spark, sf_dir):
         F.encode("text", "UTF-8").alias("payload"),
     )
     store.save_dataframe(blobs, "key", "payload")
-    back = store.read_all()
-    return back.select(
-        "key",
+    blob_leg = store.read_all().select(
+        F.lit("blob").alias("leg"),
+        F.col("key").alias("k"),
+        F.col("length").alias("n"),
+        F.lit(None).cast("double").alias("bal"),
         F.md5("payload").alias("payload_md5"),
-        F.col("length").alias("n_bytes"),
     )
+    return csv_leg.unionAll(blob_leg)
 
 
 @query(

@@ -310,28 +310,6 @@ def _bucket_sql(vec: str, n_bits: int = 8) -> str:
 
 
 @query(
-    "lsh_bucket_histogram",
-    oracle=f"""
-    SELECT {_bucket_sql('embedding')} AS bucket, COUNT(*) AS cnt
-    FROM embeddings GROUP BY 1 ORDER BY 1
-    """,
-    tags=("llm", "similarity", "lsh"),
-)
-def lsh_bucket_histogram(spark, sf_dir):
-    """Sign-projection LSH bucket distribution — proves the bucketing
-    function is deterministic and roughly uniform (it is the partition
-    key for ANN at scale)."""
-    e = _t(spark, sf_dir, "embeddings")
-    npart = spark.sparkContext.defaultParallelism
-    return (
-        S.add_lsh_bucket(e.repartition(npart), "embedding", n_bits=8)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy("bucket")
-    )
-
-
-@query(
     "ann_lsh_topk",
     oracle=f"""
     WITH c AS (SELECT vec_id AS neighbor_id, embedding, {_bucket_sql('embedding', 4)} AS bucket
@@ -515,6 +493,270 @@ def token_histogram_documents(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") >= 50)
         .orderBy(F.col("freq").desc(), "tok")
+    )
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=_SQL_EXACT_TOPK,
+    tags=("llm", "similarity", "ann", "ivf"),
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF top-k at probe-all (n_probe = n_centroids): candidates
+    cover every cell, so the result is EXACTLY the ground-truth top-k
+    and the exact-top-k SQL oracles the whole IVF machinery — the
+    driver-side spherical-k-means training, the per-batch GEMM cell
+    assignment, the multi-probe cell equi-join, and the
+    within-candidate rank. Recall at n_probe < n_centroids (the
+    production setting — each query touches n_probe cells, not the
+    corpus) is pytest-checked."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    out = S.ivf_topk(
+        e, q, "vec_id", "embedding", "vec_id", "embedding",
+        k=5, n_centroids=16, n_probe=16,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
+
+
+@query(
+    "semantic_dedup_embeddings",
+    oracle="""
+    WITH f AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
+               UNION ALL
+               SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 2 = 0),
+         canon AS (SELECT vec_id, array_to_string(embedding, ',') AS fp FROM f)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM canon a JOIN canon b ON a.fp = b.fp AND a.vec_id < b.vec_id
+    """,
+    tags=("llm", "dedup", "semantic", "semdedup"),
+)
+def semantic_dedup_embeddings(spark, sf_dir):
+    """SemDeDup near-pairs on a planted-clone fixture (half the
+    embeddings unioned with an identical clone each, id + 1,000,000):
+    k-means cells partition the corpus, candidate pairs form only
+    within a cell, and cosine >= threshold keeps a pair.
+
+    Exact-by-construction oracle at threshold ~1: identical vectors
+    always share a cell (cell assignment is a pure function of the
+    vector) and score cosine 1 up to one ulp, so the surviving pair
+    set is precisely the bit-identical-vector pairs — which SQL
+    expresses as an equi-join on the rendered vector. Sub-1 threshold
+    recall/precision stays pytest-checked (planted-clone recall,
+    oversized-cell split bound)."""
+    from d2d_spark.operators.semantic import semantic_near_pairs
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 2 == 0)
+    base = e.select("vec_id", "embedding")
+    clones = base.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    fixture = base.unionAll(clones)
+    out = semantic_near_pairs(
+        fixture, "vec_id", "embedding", threshold=0.999999999, n_centroids=16
+    )
+    return out.select("id_a", "id_b")
+
+
+@query(
+    "paragraph_dedup_documents",
+    oracle=r"""
+    WITH paras AS (
+      SELECT doc_id, i AS pos, p,
+             md5(lower(trim(regexp_replace(p, '\s+', ' ', 'g')))) AS fp
+      FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS p,
+                   generate_subscripts(string_split(text, chr(10)), 1) AS i
+            FROM documents)
+      WHERE trim(p) <> ''
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rk,
+                count(*) OVER (PARTITION BY fp) AS n
+      FROM paras
+    ), kept AS (
+      SELECT * FROM ranked WHERE n = 1 OR rk = 1
+    ), rebuilt AS (
+      SELECT doc_id, string_agg(p, chr(10) ORDER BY pos) AS t, count(*) AS k
+      FROM kept GROUP BY doc_id
+    ), totals AS (
+      SELECT doc_id, count(*) AS tot FROM paras GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(r.t, '') AS text,
+           coalesce(tot, 0) - coalesce(r.k, 0) AS n_dropped_paragraphs
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id) LEFT JOIN totals USING (doc_id)
+    """,
+    tags=("llm", "dedup", "paragraph"),
+)
+def paragraph_dedup_documents(spark, sf_dir):
+    """Paragraph-level exact dedup across the whole corpus (the
+    CCNet/RefinedWeb pass document-level dedup misses): every repeated
+    paragraph keeps its first (doc id, position) occurrence, later
+    copies are cut, documents are stitched back in order. Newline
+    paragraphs — the fixture text has no blank lines. The oracle
+    rebuilds the same corpus with window functions over the exploded
+    paragraph table."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = D.paragraph_dedup(d, "text", "doc_id", sep="\n")
+    return out.select("doc_id", "text", "n_dropped_paragraphs")
+
+
+@query(
+    "perplexity_filter_documents",
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents
+    ),
+    doc_grams AS (
+      SELECT doc_id, substr(t, i, 3) AS gram
+      FROM norm, unnest(generate_series(1, greatest(length(t) - 2, 0))) AS u(i)
+      WHERE length(t) >= 3
+    ),
+    counts AS (SELECT gram, count(*) AS c FROM doc_grams GROUP BY gram),
+    prefix AS (SELECT substr(gram, 1, 2) AS p, sum(c) AS pc FROM counts GROUP BY p),
+    model AS (
+      SELECT gram, ln(c::DOUBLE) - ln(pc::DOUBLE) AS logp
+      FROM (SELECT * FROM counts WHERE c >= 2 ORDER BY c DESC, gram LIMIT 5000) k
+      JOIN prefix ON substr(k.gram, 1, 2) = prefix.p
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(coalesce(model.logp, -16.0) AS DECIMAL(28,14))) AS DOUBLE)
+               / COUNT(*) AS mean_logp
+      FROM doc_grams LEFT JOIN model USING (gram)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, round(mean_logp, 6) AS mean_logp6
+    FROM scored WHERE exp(-mean_logp) <= 25.0
+    """,
+    tags=("llm", "quality", "perplexity", "ccnet"),
+)
+def perplexity_filter_documents(spark, sf_dir):
+    """CCNet-style perplexity filter: train the char-3-gram LM on the
+    corpus itself, score every document, keep per-char perplexity
+    <= 25. The mean log-prob is an exact DECIMAL(28,14) sum divided
+    once — bit-identical on any partitioning and in the oracle — and
+    is returned rounded so the driver hash pins the score values, not
+    just the surviving id set."""
+    from d2d_spark.operators.ngram_lm import perplexity_score, train_char_lm
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    lm = train_char_lm(d, "text", n=3, vocab_size=5000, min_count=2)
+    scored = perplexity_score(d, lm, "text", "doc_id", floor_logp=-16.0)
+    return scored.filter(F.col("ppl") <= 25.0).select(
+        "doc_id", F.round("mean_logp", 6).alias("mean_logp6")
+    )
+
+
+@query(
+    "token_budget_mix",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_NTOK} AS n_toks FROM documents)
+    SELECT doc_id, n_toks, CAST(0 AS INT) AS epoch, 'head' AS source
+    FROM t WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, n_toks, CAST(u.e AS INT) AS epoch, 'tail' AS source
+    FROM t, unnest([0, 1]) AS u(e) WHERE doc_id % 3 <> 0
+    """,
+    tags=("llm", "sampling", "mixing"),
+)
+def token_budget_mix(spark, sf_dir):
+    """Token-budget corpus mixing: shares chosen so the 'head' source
+    hits exactly 1.0 epochs and 'tail' exactly 2.0 — every row of head
+    kept at epoch 0, every row of tail upsampled to epochs {{0, 1}} —
+    making the expected-token machinery (single-job tag-union
+    inventory, ratio computation, epoch explode, source tagging)
+    hash-checkable without reproducing xxhash64 in SQL. The
+    fractional hash-sampling paths stay pytest-checked
+    (share-scale invariance, epoch caps, determinism)."""
+    from d2d_spark.operators.sampling import mix_to_token_budget
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", X.token_count_ws(F.col("text")).alias("n_toks")
+    )
+    head = d.filter(F.col("doc_id") % 3 == 0)
+    tail = d.filter(F.col("doc_id") % 3 != 0)
+    have_h = head.agg(F.sum("n_toks")).collect()[0][0]
+    have_t = tail.agg(F.sum("n_toks")).collect()[0][0]
+    out = mix_to_token_budget(
+        {"head": (head, float(have_h)), "tail": (tail, float(2 * have_t))},
+        key_col="doc_id",
+        token_col="n_toks",
+        total_tokens=have_h + 2 * have_t,
+    )
+    return out.select("doc_id", "n_toks", "epoch", "source")
+
+
+@query(
+    "pack_and_concat",
+    oracle=f"""
+    WITH RECURSIVE
+     t AS MATERIALIZED (
+       SELECT doc_id, text, {_SQL_NTOK} AS n_toks,
+              ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+       FROM documents),
+     p AS MATERIALIZED (
+       SELECT CAST(ceil(SUM(n_toks) / 50.0) AS BIGINT) AS budget FROM t),
+     s(rn, loads, bin) AS (
+       SELECT CAST(0 AS BIGINT), CAST([] AS BIGINT[]), CAST(NULL AS BIGINT)
+       UNION ALL
+       SELECT d.rn,
+         CASE WHEN list_filter(range(1, len(s.loads) + 1),
+                               i -> s.loads[i] + d.n_toks <= p.budget)[1] IS NULL
+              THEN list_append(s.loads, d.n_toks)
+              ELSE list_transform(range(1, len(s.loads) + 1),
+                     i -> CASE WHEN i = list_filter(range(1, len(s.loads) + 1),
+                                      j -> s.loads[j] + d.n_toks <= p.budget)[1]
+                               THEN s.loads[i] + d.n_toks ELSE s.loads[i] END)
+         END,
+         CASE WHEN list_filter(range(1, len(s.loads) + 1),
+                               i -> s.loads[i] + d.n_toks <= p.budget)[1] IS NULL
+              THEN len(s.loads)
+              ELSE list_filter(range(1, len(s.loads) + 1),
+                               i -> s.loads[i] + d.n_toks <= p.budget)[1] - 1 END
+       FROM s JOIN t d ON d.rn = s.rn + 1 CROSS JOIN p
+     )
+    SELECT s.bin AS bin_id,
+           string_agg(t.text, chr(10) || chr(10) ORDER BY t.doc_id) AS text,
+           array_to_string(list(t.doc_id ORDER BY t.doc_id), ',') AS doc_ids_csv,
+           COUNT(*) AS n_docs,
+           SUM(t.n_toks) AS n_tokens
+    FROM s JOIN t USING (rn) WHERE s.rn > 0
+    GROUP BY s.bin
+    """,
+    tags=("llm", "packing"),
+)
+def pack_and_concat(spark, sf_dir):
+    """Sequence packing + bin materialization end-to-end: first-fit
+    pack into ~50 bins (budget = ceil(total_tokens / 50) — both
+    engines derive it identically), then concatenate each bin into
+    one training sequence with its member ids and token total.
+
+    Packed on ONE partition in doc_id order so the greedy first-fit
+    stream — and therefore every bin id — is deterministic and the
+    oracle can replay it exactly (a sequential recursive CTE carrying
+    the open-bin load list). Production packs per partition with no
+    single-partition funnel; per-partition semantics and the 64-bin
+    eviction bound are pytest-checked."""
+    import math
+
+    from d2d_spark.operators.sampling import concat_bins, pack_documents
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", X.token_count_ws(F.col("text")).alias("n_toks")
+    )
+    total = d.agg(F.sum("n_toks")).collect()[0][0]
+    budget = int(math.ceil(total / 50.0))
+    packed = pack_documents(d.repartition(1), "n_toks", budget=budget, sort_col="doc_id")
+    out = concat_bins(
+        packed, bin_col="bin_id", text_col="text", id_col="doc_id", tokens_col="n_toks"
+    )
+    return out.select(
+        "bin_id",
+        "text",
+        F.array_join(F.transform("doc_ids", lambda x: x.cast("string")), ",").alias(
+            "doc_ids_csv"
+        ),
+        "n_docs",
+        "n_tokens",
     )
 
 

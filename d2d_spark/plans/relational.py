@@ -430,44 +430,31 @@ def setops_nation_coverage(spark, sf_dir):
 # scalar functions (§2.8)
 # ---------------------------------------------------------------------------
 @query(
-    "json_extract_events",
-    oracle="""
-    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
-    FROM events WHERE event_id % 7 = 0
-    """,
-    tags=("scalar", "json"),
-)
-def json_extract_events(spark, sf_dir):
-    """JSON-string boundary (§1.2: nested values JSON-serialized at the
-    sink): get_json_object pulls typed values back out."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
-    return ev.select(
-        "event_id",
-        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
-    )
-
-
-@query(
-    "time_funcs_events",
+    "json_time_funcs_events",
     oracle="""
     SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
            CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
            CAST(strftime(ts, '%H') AS INT) AS hour_of_day,
            CAST(isodow(ts) - 1 AS INT) AS weekday_mon0,
            CAST(EXTRACT(year FROM ts) AS BIGINT) AS yr,
            CAST(EXTRACT(quarter FROM ts) AS BIGINT) AS qtr
-    FROM events WHERE event_id % 11 = 0
+    FROM events WHERE event_id % 7 = 0
     """,
-    tags=("scalar", "time", "date"),
+    tags=("scalar", "json", "time", "date"),
 )
-def time_funcs_events(spark, sf_dir):
-    """Epoch<->string time helpers (d22d/utils/timeutils.py:1-31) plus
-    calendar part extraction (year/quarter — the partition-key
-    derivation for any date-sliced 100 TB table)."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+def json_time_funcs_events(spark, sf_dir):
+    """Scalar-function families in one projection: the JSON-string
+    boundary (§1.2: nested values JSON-serialized at the sink —
+    get_json_object pulls typed values back out) plus epoch<->string
+    time helpers (d22d/utils/timeutils.py:1-31) and calendar part
+    extraction (year/quarter — the partition-key derivation for any
+    date-sliced 100 TB table)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
     return ev.select(
         "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
         F.unix_timestamp("ts").alias("epoch_s"),
         F.hour("ts").cast("int").alias("hour_of_day"),
@@ -538,28 +525,35 @@ def rollup_cube_grouping(spark, sf_dir):
 
 
 @query(
-    "window_running_order_total",
+    "window_analytics_orders",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
              AS running_total,
            RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
              AS price_rank,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w3 AS DOUBLE)
-             / COUNT(*) OVER w3 AS avg_3d
+             / COUNT(*) OVER w3 AS avg_3d,
+           lag(o_orderkey) OVER wo AS prev_order,
+           lead(o_orderkey) OVER wo AS next_order,
+           CAST(ntile(4) OVER wo AS BIGINT) AS quartile
     FROM orders WHERE o_custkey % 50 = 0
-    WINDOW w3 AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           w3 AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
                   RANGE BETWEEN INTERVAL 2 DAY PRECEDING AND CURRENT ROW)
     """,
-    tags=("window", "range-frame"),
+    tags=("window", "range-frame", "lag-lead"),
 )
-def window_running_order_total(spark, sf_dir):
-    """Analytic windows: running sum, rank, and a 3-day moving average
-    over a RANGE (interval) frame — value-based framing stays correct
-    when days are missing (a ROWS frame would silently span gaps).
-    Engine upgrade over the reference's passthrough-only SQL."""
+def window_analytics_orders(spark, sf_dir):
+    """The analytic-window family in one projection: running sum,
+    rank, a 3-day moving average over a RANGE (interval) frame —
+    value-based framing stays correct when days are missing (a ROWS
+    frame would silently span gaps) — plus lag/lead/ntile navigation
+    over the same per-customer order. Engine upgrade over the
+    reference's passthrough-only SQL; one shuffle serves every frame
+    (all windows share the o_custkey partitioning)."""
     from pyspark.sql import Window
 
     o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
@@ -568,6 +562,7 @@ def window_running_order_total(spark, sf_dir):
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    w_nav = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     w_rank = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
@@ -587,6 +582,9 @@ def window_running_order_total(spark, sf_dir):
         (F.sum(price).over(w_rng).cast("double") / F.count(F.lit(1)).over(w_rng)).alias(
             "avg_3d"
         ),
+        F.lag("o_orderkey").over(w_nav).alias("prev_order"),
+        F.lead("o_orderkey").over(w_nav).alias("next_order"),
+        F.ntile(4).over(w_nav).cast("long").alias("quartile"),
     )
 
 
@@ -599,17 +597,22 @@ def window_running_order_total(spark, sf_dir):
            COUNT(DISTINCT o_orderstatus) AS n_statuses,
            CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
            CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
-    tags=("agg", "stats", "distinct"),
+    tags=("agg", "stats", "distinct", "percentiles"),
 )
 def agg_stats_orders(spark, sf_dir):
     """min/max/avg plus exact MULTI-column COUNT DISTINCT — the §2.5
     'only via passthrough' aggregates, native here (Catalyst expands
-    multiple distincts into one Expand + two-phase aggregate).
-    approx_count_distinct is the 100 TB variant when exactness isn't
-    required — pytest checks it lands within 5% of the exact answer."""
+    multiple distincts into one Expand + two-phase aggregate) — and
+    exact interpolated percentiles per group in the same pass.
+    approx_count_distinct / approx_percentile are the 100 TB sketch
+    variants when exactness isn't required — pytest checks they land
+    within tolerance of the exact answers."""
     o = _t(spark, sf_dir, "orders")
     price = F.col("o_totalprice").cast(DEC)
     return (
@@ -621,57 +624,6 @@ def agg_stats_orders(spark, sf_dir):
             F.min(price).cast("double").alias("min_price"),
             F.max(price).cast("double").alias("max_price"),
             (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
-        )
-        .orderBy("o_orderpriority")
-    )
-
-
-@query(
-    "lag_lead_events_per_user",
-    oracle="""
-    SELECT user_id, event_id,
-           lag(event_id) OVER w AS prev_event,
-           lead(event_id) OVER w AS next_event,
-           CAST(ntile(4) OVER w AS BIGINT) AS quartile
-    FROM events WHERE user_id <= 20
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    """,
-    tags=("window", "lag-lead"),
-)
-def lag_lead_events_per_user(spark, sf_dir):
-    """lag/lead/ntile over per-user event-time order — the navigation
-    window family (sessionization building blocks)."""
-    from pyspark.sql import Window
-
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
-        "user_id",
-        "event_id",
-        F.lag("event_id").over(w).alias("prev_event"),
-        F.lead("event_id").over(w).alias("next_event"),
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-    )
-
-
-@query(
-    "percentiles_order_price",
-    oracle="""
-    SELECT o_orderpriority,
-           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
-           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
-    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
-    """,
-    tags=("agg", "percentiles"),
-)
-def percentiles_order_price(spark, sf_dir):
-    """Exact interpolated percentiles per group (approx_percentile is
-    the sketch variant for 100 TB; exact keeps the oracle honest)."""
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_orderpriority")
-        .agg(
             F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
             F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
             F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),

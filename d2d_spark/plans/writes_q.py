@@ -17,22 +17,24 @@ STAGE = Path(tempfile.gettempdir()) / "d2d_spark_stage"
 
 
 @query(
-    "update_rows_orders",
+    "update_delete_rows_orders",
     oracle="""
     SELECT o_orderkey,
            CASE WHEN o_orderstatus = 'P' THEN 'PENDING' ELSE o_orderstatus END AS o_orderstatus,
            CASE WHEN o_orderstatus = 'P'
                 THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE)
                 ELSE o_totalprice END AS o_totalprice
-    FROM orders WHERE o_orderkey <= 2000
+    FROM orders WHERE o_orderkey <= 2000 AND NOT (o_orderstatus = 'F')
     """,
-    tags=("writes", "update"),
+    tags=("writes", "update", "delete"),
 )
-def update_rows_orders(spark, sf_dir):
-    """UPDATE orders SET status='PENDING', price=price*2 WHERE
-    status='P' — matched rows rewritten, others pass through."""
+def update_delete_rows_orders(spark, sf_dir):
+    """UPDATE then DELETE on one dataflow: SET status='PENDING',
+    price=price*2 WHERE status='P' (matched rows rewritten, others
+    pass through), then DELETE WHERE status='F' — survivors only;
+    NULL predicates neither update nor delete."""
     o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
-    out = update_rows(
+    updated = update_rows(
         o,
         {
             "o_orderstatus": F.lit("PENDING"),
@@ -40,24 +42,8 @@ def update_rows_orders(spark, sf_dir):
         },
         F.col("o_orderstatus") == "P",
     )
+    out = delete_rows(updated, F.col("o_orderstatus") == "F")
     return out.select("o_orderkey", "o_orderstatus", "o_totalprice")
-
-
-@query(
-    "delete_rows_lineitem",
-    oracle="""
-    SELECT l_orderkey, l_linenumber, l_returnflag
-    FROM lineitem
-    WHERE l_orderkey <= 2000 AND NOT (l_returnflag = 'R')
-    """,
-    tags=("writes", "delete"),
-)
-def delete_rows_lineitem(spark, sf_dir):
-    """DELETE FROM lineitem WHERE l_returnflag = 'R' — survivors
-    only; NULL predicates do not delete."""
-    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
-    out = delete_rows(li, F.col("l_returnflag") == "R")
-    return out.select("l_orderkey", "l_linenumber", "l_returnflag")
 
 
 @query(

@@ -51,6 +51,12 @@ def main() -> int:
         "ann_lsh_topk",          # bucket equi-join, no cartesian
         "minhash_lsh_pairs",     # band equi-join, ArrowEval only
         "scan_filter_project",
+        "ann_ivf_topk",          # cell equi-join, ArrowEval assignment only
+        "semantic_dedup_embeddings",     # within-cell pairs ride the cell equi-join
+        "paragraph_dedup_documents",     # fingerprint/doc-id equi-joins only
+        "perplexity_filter_documents",   # LM must broadcast into the gram probe
+        "token_budget_mix",      # pure filter/explode mix: no join at all
+        "pack_and_concat",       # mapInPandas packing: ArrowEval, no Python UDF
     ]
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     problems = []

@@ -922,7 +922,8 @@ doc_grams AS (
        unnest(generate_series(1, greatest(length(t) - 2, 0))) AS u(i)
   WHERE length(t) >= 3
 )
-SELECT avg(coalesce(model.logp, -16.0)) FROM doc_grams LEFT JOIN model USING (gram)
+SELECT CAST(SUM(CAST(coalesce(model.logp, -16.0) AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*)
+FROM doc_grams LEFT JOIN model USING (gram)
 """
     ).fetchone()[0]
     assert math.isclose(got_mean, want_mean, rel_tol=1e-12)
