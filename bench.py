@@ -35,6 +35,11 @@ HEADLINE = [
     "asof_join_click_purchase",
     "rollup_cube_grouping",
     "ann_gemm_topk",
+    # curation legs: the newest (and most shuffle-heavy) operator
+    # families, timed so regressions there are visible per-round
+    "paragraph_dedup_documents",
+    "semantic_dedup_embeddings",
+    "perplexity_filter_documents",
 ]
 
 

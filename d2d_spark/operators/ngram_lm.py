@@ -42,15 +42,32 @@ def _normalize(col: Column) -> Column:
 
 def _char_grams(col: Column, n: int) -> Column:
     """ALL character n-grams (with multiplicity — counts need them),
-    as a pure Column expression; shorter-than-n text yields none."""
-    length = F.length(col)
-    return F.when(
-        length >= n,
-        F.transform(
-            F.sequence(F.lit(1), length - (n - 1)),
-            lambda i: F.substring(col, i, F.lit(n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    as a pure Column expression; shorter-than-n text yields none.
+
+    Built from a per-row char array + O(1) element_at lookups, NOT
+    substring(col, i, n): positional substring on UTF-8 must scan to
+    the i-th codepoint, making the gram pass O(len^2) per document —
+    measured 16s for 1.5M grams at sf0.1 vs ~1s linear.
+
+    The char array is bound as a LAMBDA VARIABLE (transform over a
+    one-element array), not referenced as a plain subexpression:
+    Catalyst has no common-subexpression elimination inside lambda
+    bodies, so a bare ``split(col, '')`` referenced per gram would
+    re-split the whole string n times per gram — measured 6x SLOWER
+    than even the quadratic substring form. A lambda variable holds
+    the evaluated array, so the split runs once per row."""
+
+    def _grams_of(chars: Column) -> Column:
+        length = F.size(chars)
+        return F.when(
+            length >= n,
+            F.transform(
+                F.sequence(F.lit(1), length - (n - 1)),
+                lambda i: F.concat(*[F.element_at(chars, i + j) for j in range(n)]),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.transform(F.array(F.split(col, "")), _grams_of).getItem(0)
 
 
 def train_char_lm(
