@@ -13,7 +13,7 @@ from d2d_spark.sources.sqlfile import SqlFileConnector, read_sql_dump, render_sq
 from d2d_spark.sources.archive import read_rar, read_zip
 from d2d_spark.sources.blobstore import BlobStore
 from d2d_spark.sources.jdbc import JdbcConnector, staged_merge_sql
-from d2d_spark.sources.excel import ExcelConnector
+from d2d_spark.sources.excel import ExcelConnector, XlsConnector
 from d2d_spark.sources.elastic import ElasticConnector, synthesize_doc_id
 from d2d_spark.sources.mongo import MongoConnector, backup_collection_name
 
@@ -38,6 +38,7 @@ __all__ = [
     "JdbcConnector",
     "staged_merge_sql",
     "ExcelConnector",
+    "XlsConnector",
     "ElasticConnector",
     "synthesize_doc_id",
     "MongoConnector",

@@ -31,8 +31,17 @@ except ImportError:
 
 def _decode_workbook(data: bytes) -> pd.DataFrame:
     """Workbook bytes -> one frame (all sheets unioned, reference
-    get_cols_name_set semantics)."""
-    if HAVE_ENGINE:
+    get_cols_name_set semantics). Format is sniffed from the bytes:
+    OLE2 signature -> legacy BIFF8 ``.xls`` via the self-contained
+    ``xls_lite`` codec (openpyxl cannot read .xls and xlrd is absent,
+    so the codec is the .xls path regardless of installed engines);
+    otherwise SpreadsheetML ``.xlsx``."""
+    from d2d_spark.sources.xls_lite import read_sheets as read_xls
+    from d2d_spark.sources.xls_lite import sniff_xls
+
+    if sniff_xls(data):
+        sheets = read_xls(data)
+    elif HAVE_ENGINE:
         sheets = pd.read_excel(io.BytesIO(data), sheet_name=None)
     else:
         from d2d_spark.sources.xlsx_lite import read_sheets
@@ -68,8 +77,16 @@ def _schema_of(pdf: pd.DataFrame):
     )
 
 
-def _write_workbook(sheets: list[tuple[str, pd.DataFrame]], path: str) -> None:
-    if HAVE_ENGINE:
+def _write_workbook(
+    sheets: list[tuple[str, pd.DataFrame]], path: str, ext: str = ".xlsx"
+) -> None:
+    if ext == ".xls":
+        # legacy BIFF8: always the self-contained codec (openpyxl
+        # writes only .xlsx)
+        from d2d_spark.sources.xls_lite import write_sheets as write_xls
+
+        write_xls(sheets, path)
+    elif HAVE_ENGINE:
         with pd.ExcelWriter(path, engine="openpyxl") as writer:
             for name, chunk in sheets:
                 chunk.to_excel(writer, sheet_name=name, index=False)
@@ -112,7 +129,7 @@ class ExcelConnector(Connector):
         path = self.path(index)
         if not os.path.exists(path) and os.path.isdir(self.part_dir(index)):
             path = self.part_dir(index)
-            parts = sorted(glob.glob(os.path.join(path, "*.xlsx")))
+            parts = sorted(glob.glob(os.path.join(path, f"*{self.ext}")))
             if not parts:
                 raise FileNotFoundError(
                     f"workbook part directory {path!r} holds no parts — "
@@ -125,7 +142,7 @@ class ExcelConnector(Connector):
         # binaryFile keeps the workbook bytes executor-side
         bin_df = (
             self.spark.read.format("binaryFile")
-            .option("pathGlobFilter", "*.xlsx")
+            .option("pathGlobFilter", f"*{self.ext}")
             .load(path)
         )
         # Schema from the pandas dtypes of one driver-side sample
@@ -190,7 +207,11 @@ class ExcelConnector(Connector):
                 )
             pdf = scrubbed.toPandas()
             os.makedirs(self.root, exist_ok=True)
-            _write_workbook(list(sheet_chunks(pdf, self.max_rows_per_sheet)), self.path(index))
+            _write_workbook(
+                list(sheet_chunks(pdf, self.max_rows_per_sheet)),
+                self.path(index),
+                ext=self.ext,
+            )
             return
 
         out_dir = self.part_dir(index)
@@ -209,6 +230,7 @@ class ExcelConnector(Connector):
         import uuid
 
         write_token = uuid.uuid4().hex[:8]
+        ext = self.ext
 
         def write_part(batches):
             from pyspark import TaskContext
@@ -223,14 +245,26 @@ class ExcelConnector(Connector):
             # last-wins) instead of adding a second uuid-named copy of
             # the same rows — Spark task retries stay idempotent
             pid = TaskContext.get().partitionId()
-            name = f"part-{write_token}-{pid:05d}.xlsx"
+            name = f"part-{write_token}-{pid:05d}{ext}"
             tmp = os.path.join(out_dir, f".{name}.{TaskContext.get().taskAttemptId()}.tmp")
-            _write_workbook(list(sheet_chunks(part, max_rows)), tmp)
+            _write_workbook(list(sheet_chunks(part, max_rows)), tmp, ext=ext)
             os.replace(tmp, os.path.join(out_dir, name))
             yield pd.DataFrame({"part": [name], "n_rows": [len(part)]})
 
         # the tiny (part, n_rows) manifest is the only thing collected
         scrubbed.mapInPandas(write_part, schema=out_schema).collect()
+
+
+class XlsConnector(ExcelConnector):
+    """Directory of legacy ``<table>.xls`` workbooks (reference
+    XlsIbyFileD, d22d/utils/db/__init__.py:839-939, minus the xlrd
+    dependency): same rectangular-table, first-row-header,
+    multi-sheet-union semantics as ``ExcelConnector``, byte codec =
+    the self-contained BIFF8 ``xls_lite`` (read AND write — xlrd/xlwt
+    are not needed). The distributed ``part-*.xls`` write path and
+    driver-row cap are inherited unchanged."""
+
+    ext = ".xls"
 
 
 def sheet_chunks(pdf: "pd.DataFrame", max_rows: int):

@@ -393,6 +393,99 @@ def test_excel_distributed_parts_roundtrip(spark, tmpdir):
     assert sorted((r.k, r.t) for r in back.collect()) == [(i, f"v{i}") for i in range(50)]
 
 
+def test_xls_connector_roundtrip(spark, tmpdir):
+    """Legacy BIFF8 .xls roundtrip through the self-contained
+    xls_lite codec (no xlrd/xlwt): write + distributed read with
+    sheet rollover, strings/floats/bools/NULLs preserved."""
+    from d2d_spark.sources.excel import XlsConnector
+
+    conn = XlsConnector(str(tmpdir), spark, max_rows_per_sheet=7)
+    df = spark.createDataFrame(
+        [Row(k=float(i), name=f"légacy row {i}", flag=i % 2 == 0) for i in range(20)]
+    )
+    conn.write(df, "t")
+    assert conn.get_indexes() == ["t"]
+    assert (tmpdir / "t.xls").exists()
+    back = conn.read("t")
+    got = {(r.k, r.name, r.flag) for r in back.collect()}
+    assert got == {(float(i), f"légacy row {i}", i % 2 == 0) for i in range(20)}
+
+
+def test_xls_distributed_parts_roundtrip(spark, tmpdir):
+    from d2d_spark.sources.excel import XlsConnector
+
+    conn = XlsConnector(str(tmpdir), spark)
+    df = spark.createDataFrame([Row(k=float(i), t=f"v{i}") for i in range(50)]).repartition(4)
+    conn.write(df, "p", distributed=True)
+    parts = sorted(p.name for p in (tmpdir / "p.xls.d").iterdir())
+    assert parts and all(p.startswith("part-") and p.endswith(".xls") for p in parts)
+    back = conn.read("p")
+    assert sorted((r.k, r.t) for r in back.collect()) == [(float(i), f"v{i}") for i in range(50)]
+
+
+def test_xls_sst_continue_spanning_strings(tmpdir):
+    """SST strings big enough to span CONTINUE records — including
+    mid-string splits that re-emit the encoding flag, in both the
+    compressed (latin-1) and UTF-16 forms — must round-trip exactly."""
+    import io
+
+    import pandas as pd
+
+    from d2d_spark.sources.xls_lite import read_sheets, write_sheets
+
+    long_ascii = "".join(chr(ord("a") + (i % 26)) for i in range(9000))
+    long_unicode = "".join(chr(0x100 + (i % 500)) for i in range(7000))
+    pdf = pd.DataFrame(
+        {
+            "a": [long_ascii, long_unicode, "short"],
+            "b": [1.0, 2.0, 3.0],
+        }
+    )
+    buf = io.BytesIO()
+    write_sheets([("s", pdf)], buf)
+    back = read_sheets(buf.getvalue())["s"]
+    assert list(back["a"]) == [long_ascii, long_unicode, "short"]
+    assert list(back["b"]) == [1.0, 2.0, 3.0]
+
+
+def test_xls_reader_rk_and_mulrk_cells(tmpdir):
+    """Hand-built worksheet with RK and MULRK records (emitted by real
+    producers, never by our writer) decodes to the right numbers."""
+    import struct
+
+    import pandas as pd
+
+    from d2d_spark.sources import xls_lite as X
+
+    sst = X._sst_records(["h1", "h2", "h3"], 3)
+    header_cells = b"".join(
+        X._rec(X._LABELSST, struct.pack("<HHHI", 0, c, 15, c)) for c in range(3)
+    )
+    rk_int = (42 << 2) | 2
+    rk_div = (4242 << 2) | 2 | 1  # 42.42 via /100
+    rk_f = struct.unpack("<I", struct.pack("<d", 0.5)[4:])[0] & 0xFFFFFFFC
+    data_cells = X._rec(X._RK, struct.pack("<HHHI", 1, 0, 15, rk_int)) + X._rec(
+        X._MULRK,
+        struct.pack("<HH", 1, 1)
+        + struct.pack("<HI", 15, rk_div)
+        + struct.pack("<HI", 15, rk_f)
+        + struct.pack("<H", 2),
+    )
+    sheet = X._bof(0x0010) + header_cells + data_cells + X._rec(X._EOF, b"")
+    bs_name = X._short_string("s")
+    globals_len = len(X._bof(0x0005)) + (4 + 6 + len(bs_name)) + len(sst) + 4
+    stream = (
+        X._bof(0x0005)
+        + X._rec(X._BOUNDSHEET, struct.pack("<IH", globals_len, 0) + bs_name)
+        + sst
+        + X._rec(X._EOF, b"")
+        + sheet
+    )
+    back = X.read_sheets(X._cfb_wrap(stream))["s"]
+    assert list(back.columns) == ["h1", "h2", "h3"]
+    assert list(back.iloc[0]) == [42.0, 42.42, 0.5]
+
+
 def test_excel_empty_part_dir_clear_error(spark, tmpdir):
     from d2d_spark.sources.excel import ExcelConnector
 
