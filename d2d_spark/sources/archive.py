@@ -75,28 +75,37 @@ def read_rar(
     """Every member of every rar under ``path`` -> one DataFrame
     (reference RarD, d22d/utils/db/__init__.py:640-694 +
     d22d/utils/rarutils.py). Same executor-side explode shape as
-    read_zip; the rar codec is gated exactly like the Excel engine —
-    a clear driver-side capability error when ``rarfile`` is absent
-    (the Spark plumbing is this function; only the codec import is
-    environment-dependent)."""
-    if not HAVE_RAR:
-        raise NotImplementedError(
-            "read_rar needs the 'rarfile' package (plus an unrar backend) "
-            "on driver and executors; not available in this environment. "
-            "The explode/parse plumbing is shared with read_zip, which is "
-            "fully tested."
-        )
+    read_zip. Codec: the ``rarfile`` package (full, incl. compressed
+    members) when installed; otherwise the self-contained
+    ``rar_lite`` container parser, which decodes STORED members of
+    RAR4/RAR5 archives and raises a clear capability error on
+    compressed ones (RAR compression is proprietary — only the
+    container format is re-implementable)."""
 
     def explode_archive(kv):
-        import rarfile
-
         _, content = kv
-        with rarfile.RarFile(io.BytesIO(content)) as rf:
-            for info in rf.infolist():
-                if info.is_dir() or not info.filename.endswith(member_suffix):
-                    continue
-                for row in parser(info.filename, rf.read(info)):
-                    yield json.dumps(row, ensure_ascii=False, default=str)
+        if HAVE_RAR:
+            import rarfile
+
+            with rarfile.RarFile(io.BytesIO(content)) as rf:
+                members = (
+                    (info.filename, rf.read(info))
+                    for info in rf.infolist()
+                    if not info.is_dir()
+                )
+                for name, data in members:
+                    if not name.endswith(member_suffix):
+                        continue
+                    for row in parser(name, data):
+                        yield json.dumps(row, ensure_ascii=False, default=str)
+            return
+        from d2d_spark.sources.rar_lite import rar_members
+
+        for name, data in rar_members(bytes(content)):
+            if not name.endswith(member_suffix):
+                continue
+            for row in parser(name, data):
+                yield json.dumps(row, ensure_ascii=False, default=str)
 
     rdd = spark.sparkContext.binaryFiles(path).flatMap(explode_archive)
     if rdd.isEmpty():

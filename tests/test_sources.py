@@ -209,6 +209,94 @@ def test_read_zip(spark, tmpdir):
     assert {(r.id, r.name) for r in df.collect()} == {("1", "x"), ("2", "y"), ("3", "z")}
 
 
+def _vint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        out.append(b | (0x80 if n else 0))
+        if not n:
+            return bytes(out)
+
+
+def _make_rar5(members, method=0):
+    """Hand-built RAR5 archive of stored members (test fixture — the
+    sandbox has no rar writer either)."""
+    import struct
+    import zlib
+
+    def block(btype, flags, fields, data=b""):
+        hdr = _vint(btype) + _vint(flags)
+        if flags & 0x02:
+            hdr += _vint(len(data))
+        hdr += fields
+        return struct.pack("<I", zlib.crc32(hdr)) + _vint(len(hdr)) + hdr + data
+
+    out = bytearray(b"Rar!\x1a\x07\x01\x00")
+    out += block(1, 0, _vint(0))  # main archive header
+    for name, payload in members:
+        nb = name.encode()
+        fields = (
+            _vint(0)  # file flags
+            + _vint(len(payload))  # unpacked size
+            + _vint(0)  # attributes
+            + _vint(method << 7)  # compression info
+            + _vint(0)  # host os
+            + _vint(len(nb))
+            + nb
+        )
+        out += block(2, 0x02, fields, payload)
+    out += block(5, 0, _vint(0))  # end of archive
+    return bytes(out)
+
+
+def _make_rar4(members, method=0x30):
+    import struct
+    import zlib
+
+    out = bytearray(b"Rar!\x1a\x07\x00")
+    out += struct.pack("<HBHH", 0, 0x73, 0, 13) + b"\0" * 6  # main header
+    for name, payload in members:
+        nb = name.encode()
+        out += struct.pack("<HBHH", 0, 0x74, 0, 7 + 25 + len(nb))
+        out += struct.pack(
+            "<IIBIIBBHI",
+            len(payload), len(payload), 0, zlib.crc32(payload), 0, 29, method, len(nb), 0,
+        )
+        out += nb + payload
+    out += struct.pack("<HBHH", 0, 0x7B, 0, 7)  # end of archive
+    return bytes(out)
+
+
+def test_read_rar_stored_members(spark, tmpdir):
+    """Stored-member rar archives (both generations) read without the
+    rarfile package through the self-contained container parser."""
+    from d2d_spark.sources.archive import read_rar
+
+    (tmpdir / "a5.rar").write_bytes(
+        _make_rar5([("a.csv", b"id,name\n1,x\n2,y\n"), ("b.csv", b"id,name\n3,z\n")])
+    )
+    df5 = read_rar(spark, str(tmpdir / "a5.rar"))
+    assert {(r.id, r.name) for r in df5.collect()} == {("1", "x"), ("2", "y"), ("3", "z")}
+
+    (tmpdir / "a4.rar").write_bytes(_make_rar4([("c.csv", b"id,name\n4,w\n")]))
+    df4 = read_rar(spark, str(tmpdir / "a4.rar"))
+    assert {(r.id, r.name) for r in df4.collect()} == {("4", "w")}
+
+
+def test_rar_lite_compressed_member_clear_error():
+    """Compressed members (method != store) must raise the rarfile
+    capability gate, not mis-decode; non-rar bytes are rejected."""
+    from d2d_spark.sources.rar_lite import rar_members
+
+    with pytest.raises(NotImplementedError, match="rarfile"):
+        list(rar_members(_make_rar5([("x.csv", b"a,b\n1,2\n")], method=3)))
+    with pytest.raises(NotImplementedError, match="rarfile"):
+        list(rar_members(_make_rar4([("x.csv", b"a,b\n1,2\n")], method=0x33)))
+    with pytest.raises(ValueError, match="signature"):
+        list(rar_members(b"PK\x03\x04 not a rar"))
+
+
 # --- memory ----------------------------------------------------------
 
 
