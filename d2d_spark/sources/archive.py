@@ -88,22 +88,21 @@ def read_rar(
             import rarfile
 
             with rarfile.RarFile(io.BytesIO(content)) as rf:
-                members = (
-                    (info.filename, rf.read(info))
-                    for info in rf.infolist()
-                    if not info.is_dir()
-                )
-                for name, data in members:
-                    if not name.endswith(member_suffix):
+                for info in rf.infolist():
+                    # suffix test BEFORE rf.read: unwanted members
+                    # must not be decompressed and materialized
+                    if info.is_dir() or not info.filename.endswith(member_suffix):
                         continue
-                    for row in parser(name, data):
+                    for row in parser(info.filename, rf.read(info)):
                         yield json.dumps(row, ensure_ascii=False, default=str)
             return
         from d2d_spark.sources.rar_lite import rar_members
 
-        for name, data in rar_members(bytes(content)):
-            if not name.endswith(member_suffix):
-                continue
+        # name filter passed down: a compressed member of an UNWANTED
+        # type must not fail an archive whose wanted members are stored
+        for name, data in rar_members(
+            bytes(content), want=lambda n: n.endswith(member_suffix)
+        ):
             for row in parser(name, data):
                 yield json.dumps(row, ensure_ascii=False, default=str)
 

@@ -262,9 +262,14 @@ class XlsConnector(ExcelConnector):
     multi-sheet-union semantics as ``ExcelConnector``, byte codec =
     the self-contained BIFF8 ``xls_lite`` (read AND write — xlrd/xlwt
     are not needed). The distributed ``part-*.xls`` write path and
-    driver-row cap are inherited unchanged."""
+    driver-row cap are inherited unchanged. The default sheet
+    rollover honors BIFF8's 65,536-row sheet cap (row indexes are
+    u16), where .xlsx sheets allow ~1M rows."""
 
     ext = ".xls"
+
+    def __init__(self, root: str, spark: SparkSession | None = None, max_rows_per_sheet: int = 65_535):
+        super().__init__(root, spark, max_rows_per_sheet=max_rows_per_sheet)
 
 
 def sheet_chunks(pdf: "pd.DataFrame", max_rows: int):

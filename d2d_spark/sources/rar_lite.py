@@ -19,10 +19,16 @@ same honest gate the Excel connector used before ``xlsx_lite``.
 from __future__ import annotations
 
 import struct
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 _SIG_RAR5 = b"Rar!\x1a\x07\x01\x00"
 _SIG_RAR4 = b"Rar!\x1a\x07\x00"
+
+#: accepts a member name; False skips the member BEFORE its
+#: compression method is checked (so one compressed member of an
+#: unwanted type cannot fail an archive whose wanted members are all
+#: stored)
+NameFilter = Callable[[str], bool]
 
 
 def _vint(data: bytes, pos: int) -> tuple[int, int]:
@@ -36,7 +42,7 @@ def _vint(data: bytes, pos: int) -> tuple[int, int]:
         shift += 7
 
 
-def _members_rar5(data: bytes) -> Iterator[tuple[str, bytes]]:
+def _members_rar5(data: bytes, want: NameFilter) -> Iterator[tuple[str, bytes]]:
     pos = len(_SIG_RAR5)
     while pos + 7 <= len(data):
         # block: crc32 u32, header_size vint, header bytes, data area
@@ -67,7 +73,7 @@ def _members_rar5(data: bytes) -> Iterator[tuple[str, bytes]]:
             name = hdr[p : p + name_len].decode("utf-8", "replace")
             is_dir = bool(file_flags & 0x01)
             method = (comp >> 7) & 0x07
-            if not is_dir:
+            if not is_dir and want(name):
                 payload = data[hdr_end : hdr_end + data_size]
                 if method != 0:
                     raise NotImplementedError(
@@ -84,10 +90,16 @@ def _members_rar5(data: bytes) -> Iterator[tuple[str, bytes]]:
         pos = hdr_end + data_size
 
 
-def _members_rar4(data: bytes) -> Iterator[tuple[str, bytes]]:
+def _members_rar4(data: bytes, want: NameFilter) -> Iterator[tuple[str, bytes]]:
     pos = len(_SIG_RAR4)
     while pos + 7 <= len(data):
         _crc, btype, flags, size = struct.unpack_from("<HBHH", data, pos)
+        if size < 7:
+            # a zero/short header size would stall the walk forever
+            raise ValueError(
+                f"corrupt RAR4 archive: block at offset {pos} declares "
+                f"header size {size} (< 7)"
+            )
         add_size = 0
         if btype == 0x74:
             pack_size, unp_size, _host, _crc32, _ftime, _ver, method, name_size, _attr = (
@@ -102,7 +114,7 @@ def _members_rar4(data: bytes) -> Iterator[tuple[str, bytes]]:
                 name_off += 8
             name = data[name_off : name_off + name_size].decode("utf-8", "replace")
             is_dir = (flags & 0xE0) == 0xE0
-            if not is_dir:
+            if not is_dir and want(name):
                 payload = data[pos + size : pos + size + add_size]
                 if method != 0x30:
                     raise NotImplementedError(
@@ -123,12 +135,17 @@ def _members_rar4(data: bytes) -> Iterator[tuple[str, bytes]]:
         pos += size + add_size
 
 
-def rar_members(data: bytes) -> Iterator[tuple[str, bytes]]:
+def rar_members(
+    data: bytes, want: NameFilter | None = None
+) -> Iterator[tuple[str, bytes]]:
     """Yield ``(member_name, raw_bytes)`` for every stored file in a
-    RAR4 or RAR5 archive. Compressed members raise."""
+    RAR4 or RAR5 archive whose name passes ``want`` (default: all).
+    A WANTED compressed member raises; unwanted members are skipped
+    before their method is inspected."""
+    want = want or (lambda _name: True)
     if data[: len(_SIG_RAR5)] == _SIG_RAR5:
-        yield from _members_rar5(data)
+        yield from _members_rar5(data, want)
     elif data[: len(_SIG_RAR4)] == _SIG_RAR4:
-        yield from _members_rar4(data)
+        yield from _members_rar4(data, want)
     else:
         raise ValueError("not a RAR archive (bad signature)")

@@ -84,7 +84,10 @@ def _cfb_read_stream(data: bytes, names: tuple[str, ...]) -> bytes:
     difat_start = _u32(data, 68)
 
     def sector(n: int) -> bytes:
-        off = 512 + n * sect_size
+        # per-spec offset is (n+1)*sect_size: identical to 512+n*512
+        # for v3, and correct for v4 files whose 4096-byte sector 0
+        # starts at offset 4096
+        off = (n + 1) * sect_size
         return data[off : off + sect_size]
 
     difat = [
@@ -167,20 +170,35 @@ def _dir_entry(
     )
 
 
+_DIFSECT = 0xFFFFFFFC
+
+
 def _cfb_wrap(stream: bytes) -> bytes:
     """Wrap one stream as a ``Workbook`` entry in a minimal v3 CFB.
 
     The stream is zero-padded to the 4096-byte mini-stream cutoff so
     it always lives in regular sectors (the BIFF reader stops at EOF
-    records / zero record type, so the padding is inert)."""
+    records / zero record type, so the padding is inert). Streams
+    needing more than 109 FAT sectors (~7 MB) spill the extra FAT
+    pointers into chained DIFAT sectors, so workbook size is bounded
+    by BIFF8's own row limits, not by the container."""
     stream = stream + b"\0" * max(0, 4096 - len(stream))
     n_stream = math.ceil(len(stream) / 512)
-    n_fat = 1
-    while math.ceil((n_fat + 1 + n_stream) / 128) != n_fat:
-        n_fat = math.ceil((n_fat + 1 + n_stream) / 128)
-    dir_sect = n_fat
-    first_stream = n_fat + 1
-    fat = [_FATSECT] * n_fat + [_ENDCHAIN]  # FAT sectors + single directory sector
+    # fixpoint over (FAT sectors, DIFAT sectors): both occupy sectors
+    # the FAT itself must cover
+    n_fat, n_difat = 1, 0
+    while True:
+        total = n_difat + n_fat + 1 + n_stream
+        need_fat = math.ceil(total / 128)
+        need_difat = 0 if need_fat <= 109 else math.ceil((need_fat - 109) / 127)
+        if (need_fat, need_difat) == (n_fat, n_difat):
+            break
+        n_fat, n_difat = need_fat, need_difat
+    # layout: [DIFAT sectors][FAT sectors][directory][stream]
+    fat_first = n_difat
+    dir_sect = n_difat + n_fat
+    first_stream = dir_sect + 1
+    fat = [_DIFSECT] * n_difat + [_FATSECT] * n_fat + [_ENDCHAIN]  # + directory
     fat += [first_stream + i + 1 for i in range(n_stream - 1)] + [_ENDCHAIN]
     fat += [_FREE] * (n_fat * 128 - len(fat))
     header = (
@@ -197,19 +215,27 @@ def _cfb_wrap(stream: bytes) -> bytes:
             4096,  # mini cutoff
             _ENDCHAIN,  # no mini FAT
             0,
-            _ENDCHAIN,  # no DIFAT sectors
-            0,
+            0 if n_difat else _ENDCHAIN,  # first DIFAT sector
+            n_difat,
         )
     )
-    difat = [i for i in range(n_fat)] + [_FREE] * (109 - n_fat)
-    header += struct.pack("<109I", *difat)
+    fat_ids = [fat_first + i for i in range(n_fat)]
+    difat_head = fat_ids[:109] + [_FREE] * (109 - min(n_fat, 109))
+    header += struct.pack("<109I", *difat_head)
+    difat_sects = b""
+    rest = fat_ids[109:]
+    for i in range(n_difat):
+        chunk = rest[i * 127 : (i + 1) * 127]
+        chunk += [_FREE] * (127 - len(chunk))
+        nxt = i + 1 if i + 1 < n_difat else _ENDCHAIN
+        difat_sects += struct.pack("<127I", *chunk) + struct.pack("<I", nxt)
     directory = (
         _dir_entry("Root Entry", 5, _FREE, _FREE, 1, _ENDCHAIN, 0)
         + _dir_entry("Workbook", 2, _FREE, _FREE, _FREE, first_stream, len(stream))
         + _dir_entry("", 0, _FREE, _FREE, _FREE, 0, 0) * 2
     )
     fat_bytes = struct.pack(f"<{len(fat)}I", *fat)
-    body = fat_bytes + directory + stream
+    body = difat_sects + fat_bytes + directory + stream
     pad = (-len(body)) % 512
     return header + body + b"\0" * pad
 
@@ -252,6 +278,11 @@ def _sst_records(strings: list[str], total_refs: int) -> bytes:
         compressed = all(ord(c) < 256 for c in s)
         data = s.encode("latin-1") if compressed else s.encode("utf-16-le")
         cch = len(s) if compressed else len(data) // 2
+        if cch > 32767:
+            raise ValueError(
+                f"cell text of {cch:,} UTF-16 units exceeds the BIFF8 cap "
+                "(32,767); truncate the value or write .xlsx instead"
+            )
         char_w = 1 if compressed else 2
         if len(buf) + 3 > _REC_CAP - 1:  # header must not split
             flush()
@@ -296,6 +327,19 @@ def write_sheets(sheets: list[tuple[str, "pd.DataFrame"]], buf) -> None:
         ncols = len(pdf.columns)
         rows = [tuple(str(c) for c in pdf.columns)]
         rows += list(pdf.itertuples(index=False, name=None))
+        # BIFF8 hard limits: 65,536 rows x 256 columns per sheet —
+        # cell records carry u16/byte indexes, so exceeding them would
+        # otherwise die in struct.pack mid-write
+        if len(rows) > 65536:
+            raise ValueError(
+                f"sheet of {len(rows):,} rows (incl. header) exceeds the "
+                "BIFF8 cap (65,536); lower max_rows_per_sheet or write .xlsx"
+            )
+        if ncols > 256:
+            raise ValueError(
+                f"sheet of {ncols} columns exceeds the BIFF8 cap (256); "
+                "write .xlsx instead"
+            )
         for r, row in enumerate(rows):
             row_cells = len(cells)
             for c, v in enumerate(row):
@@ -397,8 +441,12 @@ class _Blocks:
             if not self._advance_block():
                 break
             blk = self.blocks[self.bi]
-            if self.off == 0 and parts:
-                # mid-string continuation: fresh grbit byte
+            if self.off == 0 and self.bi > 0:
+                # char data entering a CONTINUE record always begins
+                # with a fresh grbit byte — including when ZERO chars
+                # were consumed yet (a string whose cch/flags header
+                # ended exactly at the previous record's edge); gating
+                # this on chars-already-read corrupts that layout
                 high = bool(blk[0] & 1)
                 self.off = 1
             w = 2 if high else 1
@@ -539,6 +587,17 @@ def read_sheets(data: bytes) -> dict[str, "pd.DataFrame"]:
     bounds: list[tuple[str, int]] = []
     sst_blocks: list[bytes] | None = None
     for rid, payload, _pos in _records(stream):
+        if rid == _BOF:
+            # BIFF5/7 ('Book' streams from Excel 5.0/95) use different
+            # string layouts — parsing them with BIFF8 rules would
+            # silently garble text, so refuse with the version
+            ver = struct.unpack_from("<H", payload)[0] if len(payload) >= 2 else 0
+            if ver != 0x0600:
+                raise NotImplementedError(
+                    f"workbook BOF version {ver:#06x} is not BIFF8 (0x0600); "
+                    "only BIFF8 .xls (Excel 97+) is supported — resave as "
+                    ".xls (97-2003) or .xlsx"
+                )
         if rid == _EOF:
             break
         if rid == _BOUNDSHEET:

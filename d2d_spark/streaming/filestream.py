@@ -174,10 +174,25 @@ def stream_dedup_sink(
     clear the old target deliberately).
     """
     import os as _os
+    from urllib.parse import urlparse as _urlparse
 
-    checkpoint_is_fresh = not _os.path.isdir(_os.path.join(checkpoint_path, "offsets"))
-    target_has_batches = _os.path.isdir(target_path) and any(
-        name.startswith("batch_id=") for name in _os.listdir(target_path)
+    def _local(p: str) -> str | None:
+        """Local filesystem path for ``p``, or None when it lives on a
+        filesystem os.path cannot probe (hdfs://, s3a://, ...) — the
+        guard is best-effort there rather than misfiring: treating a
+        URI string as a relative path would call a legitimately
+        resumed 'file:/ckpt' checkpoint fresh and refuse a valid run."""
+        scheme = _urlparse(p).scheme
+        if scheme in ("", "file"):
+            return _urlparse(p).path if scheme else p
+        return None
+
+    ckpt_local, target_local = _local(checkpoint_path), _local(target_path)
+    checkpoint_is_fresh = ckpt_local is not None and not _os.path.isdir(
+        _os.path.join(ckpt_local, "offsets")
+    )
+    target_has_batches = target_local is not None and _os.path.isdir(target_local) and any(
+        name.startswith("batch_id=") for name in _os.listdir(target_local)
     )
     if checkpoint_is_fresh and target_has_batches:
         raise ValueError(

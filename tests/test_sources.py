@@ -536,6 +536,133 @@ def test_xls_sst_continue_spanning_strings(tmpdir):
     assert list(back["b"]) == [1.0, 2.0, 3.0]
 
 
+def test_xls_sst_header_at_record_boundary(tmpdir):
+    """A string whose cch/flags header lands exactly at the end of an
+    SST record: the char data then STARTS a CONTINUE record and begins
+    with a grbit byte even though zero chars were consumed — the
+    reader must re-read the flag there, not decode it as text."""
+    import io
+
+    import pandas as pd
+
+    from d2d_spark.sources.xls_lite import read_sheets, write_sheets
+
+    filler = "a" * 8205  # leaves exactly 3 bytes of record room for the next header
+    probe = "Ā" * 10
+    pdf = pd.DataFrame({"a": [filler, probe]})
+    buf = io.BytesIO()
+    write_sheets([("s", pdf)], buf)
+    back = read_sheets(buf.getvalue())["s"]
+    assert list(back["a"]) == [filler, probe]
+
+
+def test_xls_biff8_limits_clear_errors(spark, tmpdir):
+    """Row/column/string caps fail loudly, not via struct.error."""
+    import io
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from d2d_spark.sources.excel import XlsConnector
+    from d2d_spark.sources.xls_lite import write_sheets
+
+    with _pytest.raises(ValueError, match="65,536"):
+        write_sheets([("s", pd.DataFrame({"a": range(70_000)}))], io.BytesIO())
+    with _pytest.raises(ValueError, match="256"):
+        wide = pd.DataFrame([[1.0] * 300], columns=[f"c{i}" for i in range(300)])
+        write_sheets([("s", wide)], io.BytesIO())
+    with _pytest.raises(ValueError, match="32,767"):
+        write_sheets([("s", pd.DataFrame({"a": ["x" * 40_000]}))], io.BytesIO())
+    # the connector's default rollover keeps each sheet under the cap
+    conn = XlsConnector(str(tmpdir), spark)
+    assert conn.max_rows_per_sheet == 65_535
+
+
+def test_xls_large_workbook_difat(tmpdir):
+    """A workbook stream past ~7 MB needs chained DIFAT sectors (the
+    109-entry header DIFAT only covers 109 FAT sectors)."""
+    import io
+
+    import pandas as pd
+
+    from d2d_spark.sources.xls_lite import read_sheets, write_sheets
+
+    pdf = pd.DataFrame({f"c{i}": [float(r * 8 + i) for r in range(60_000)] for i in range(8)})
+    buf = io.BytesIO()
+    write_sheets([("s", pdf)], buf)
+    assert len(buf.getvalue()) > 7_000_000
+    back = read_sheets(buf.getvalue())["s"]
+    assert len(back) == 60_000
+    assert list(back.iloc[-1]) == [float(59_999 * 8 + i) for i in range(8)]
+
+
+def test_xls_biff5_rejected(tmpdir):
+    """A BIFF5 ('Book' stream, BOF version 0x0500) workbook must be
+    refused with a clear error, not silently mis-decoded."""
+    import struct
+
+    import pytest as _pytest
+
+    from d2d_spark.sources import xls_lite as X
+
+    biff5_bof = X._rec(X._BOF, struct.pack("<HH", 0x0500, 0x0005))
+    stream = biff5_bof + X._rec(X._EOF, b"")
+    with _pytest.raises(NotImplementedError, match="BIFF8"):
+        X.read_sheets(X._cfb_wrap(stream))
+
+
+def test_rar4_zero_size_block_raises(tmpdir):
+    """A corrupt RAR4 block declaring header size 0 must raise, not
+    loop forever in the executor."""
+    import struct
+
+    import pytest as _pytest
+
+    from d2d_spark.sources.rar_lite import rar_members
+
+    bad = b"Rar!\x1a\x07\x00" + struct.pack("<HBHH", 0, 0x73, 0, 0)
+    with _pytest.raises(ValueError, match="corrupt"):
+        list(rar_members(bad))
+
+
+def test_rar_unwanted_compressed_member_skipped(spark, tmpdir):
+    """One compressed member of an unwanted type must not fail an
+    archive whose wanted members are all stored."""
+    from d2d_spark.sources.archive import read_rar
+    from d2d_spark.sources.rar_lite import rar_members
+
+    # build one archive holding a compressed .png and a stored .csv
+    import struct
+    import zlib
+
+    def block(btype, flags, fields, data=b""):
+        hdr = _vint(btype) + _vint(flags)
+        if flags & 0x02:
+            hdr += _vint(len(data))
+        hdr += fields
+        return struct.pack("<I", zlib.crc32(hdr)) + _vint(len(hdr)) + hdr + data
+
+    def file_block(name, payload, method):
+        nb = name.encode()
+        fields = (
+            _vint(0) + _vint(len(payload)) + _vint(0)
+            + _vint(method << 7) + _vint(0) + _vint(len(nb)) + nb
+        )
+        return block(2, 0x02, fields, payload)
+
+    out = bytearray(b"Rar!\x1a\x07\x01\x00")
+    out += block(1, 0, _vint(0))
+    out += file_block("logo.png", b"\x00" * 10, method=3)  # compressed, unwanted
+    out += file_block("data.csv", b"id,name\n9,q\n", method=0)  # stored, wanted
+    out += block(5, 0, _vint(0))
+    (tmpdir / "mixed.rar").write_bytes(bytes(out))
+
+    got = dict(rar_members(bytes(out), want=lambda n: n.endswith(".csv")))
+    assert got == {"data.csv": b"id,name\n9,q\n"}
+    df = read_rar(spark, str(tmpdir / "mixed.rar"), member_suffix=".csv")
+    assert {(r.id, r.name) for r in df.collect()} == {("9", "q")}
+
+
 def test_xls_reader_rk_and_mulrk_cells(tmpdir):
     """Hand-built worksheet with RK and MULRK records (emitted by real
     producers, never by our writer) decodes to the right numbers."""
