@@ -154,6 +154,78 @@ def perplexity_score(
     )
 
 
+def perplexity_self_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    vocab_size: int = 100_000,
+    min_count: int = 2,
+    floor_logp: float | None = None,
+    out_col: str = "ppl",
+) -> DataFrame:
+    """Train on the corpus ITSELF and score every document — the
+    self-referential quality gate (spot statistical outliers against
+    the corpus's own distribution), and the shape the registered
+    driver query uses.
+
+    Identical results to ``train_char_lm`` + ``perplexity_score``,
+    but the corpus explodes into grams exactly ONCE: the (doc, gram)
+    frame persists and feeds both the model counts and the scoring
+    join, halving the dominant cost (at sf0.1 the gram explode is
+    ~1.5M rows; separate train/score plans each pay it). The per-doc
+    score frame is pinned before the gram cache unpersists, so
+    nothing downstream recomputes the explode."""
+    import math
+
+    from pyspark import StorageLevel
+
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_char_grams(_normalize(F.col(text_col)), n)).alias("gram"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    grams.count()  # fill before the counts/score branches race on it
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__c"))
+    prefix = counts.groupBy(F.substring("gram", 1, n - 1).alias("__p")).agg(
+        F.sum("__c").alias("__pc")
+    )
+    lm = (
+        counts.filter(F.col("__c") >= min_count)
+        .orderBy(F.col("__c").desc(), "gram")
+        .limit(vocab_size)
+        .join(prefix, on=[F.substring("gram", 1, n - 1) == F.col("__p")])
+        .select(
+            "gram",
+            (F.log(F.col("__c").cast("double")) - F.log(F.col("__pc").cast("double"))).alias("logp"),
+        )
+    )
+    # the model is tiny by construction (<= vocab_size rows): pin it so
+    # the scoring join doesn't re-derive the counts branch
+    lm = lm.localCheckpoint(eager=True)
+    if floor_logp is None:
+        lm_min = lm.agg(F.min("logp")).collect()[0][0]
+        floor_logp = (lm_min - math.log(10)) if lm_min is not None else DEFAULT_FLOOR_LOGP
+    scored = (
+        grams.join(F.broadcast(lm), on="gram", how="left")
+        .groupBy("__id")
+        .agg(
+            (
+                F.sum(F.coalesce("logp", F.lit(floor_logp)).cast("decimal(28,14)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("mean_logp")
+        )
+    )
+    scored = scored.localCheckpoint(eager=True)
+    grams.unpersist()
+    return df.join(scored, on=[F.col(id_col) == F.col("__id")], how="left").select(
+        *df.columns,
+        F.col("mean_logp"),
+        F.exp(-F.col("mean_logp")).alias(out_col),
+    )
+
+
 def perplexity_filter(
     df: DataFrame,
     lm: DataFrame,

@@ -636,15 +636,14 @@ def perplexity_filter_documents(spark, sf_dir):
     once — bit-identical on any partitioning and in the oracle — and
     is returned rounded so the driver hash pins the score values, not
     just the surviving id set."""
-    from d2d_spark.operators.ngram_lm import perplexity_score, train_char_lm
+    from d2d_spark.operators.ngram_lm import perplexity_self_score
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    lm = train_char_lm(d, "text", n=3, vocab_size=5000, min_count=2)
-    # the model is tiny (<= vocab_size rows) but its plan re-explodes
-    # the whole corpus — pin it so the scoring pass pays the gram
-    # explode exactly once
-    lm = lm.localCheckpoint(eager=True)
-    scored = perplexity_score(d, lm, "text", "doc_id", floor_logp=-16.0)
+    # one shared gram explode feeds both the model counts and the
+    # scoring join (separate train/score plans would each pay it)
+    scored = perplexity_self_score(
+        d, "text", "doc_id", n=3, vocab_size=5000, min_count=2, floor_logp=-16.0
+    )
     return scored.filter(F.col("ppl") <= 25.0).select(
         "doc_id", F.round("mean_logp", 6).alias("mean_logp6")
     )

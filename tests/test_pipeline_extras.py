@@ -929,6 +929,30 @@ FROM doc_grams LEFT JOIN model USING (gram)
     assert math.isclose(got_mean, want_mean, rel_tol=1e-12)
 
 
+def test_perplexity_self_score_equals_two_pass(spark, sf_dir):
+    """The shared-explode self-scoring path must equal train-then-
+    score exactly (same model, same means, bit-for-bit)."""
+    from d2d_spark.operators.ngram_lm import (
+        perplexity_score,
+        perplexity_self_score,
+        train_char_lm,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text").limit(80)
+    lm = train_char_lm(docs, "text", n=3, vocab_size=200, min_count=2)
+    want = {
+        r.doc_id: r.mean_logp
+        for r in perplexity_score(docs, lm, "text", "doc_id", floor_logp=-16.0).collect()
+    }
+    got = {
+        r.doc_id: r.mean_logp
+        for r in perplexity_self_score(
+            docs, "text", "doc_id", n=3, vocab_size=200, min_count=2, floor_logp=-16.0
+        ).collect()
+    }
+    assert got == want  # exact equality: both means are decimal-sum exact
+
+
 def test_perplexity_filter_stream_equals_batch(spark, sf_dir, tmp_path):
     """Perplexity scores are per-document (one groupBy on the doc id),
     so applying the filter per micro-batch via foreachBatch equals one
