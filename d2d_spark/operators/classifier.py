@@ -1,0 +1,305 @@
+"""Linear bag-of-words text classification as pure DataFrame algebra —
+the model-based filter stage of modern pretraining pipelines (GPT-3's
+LR quality classifier, CCNet/fastText language ID, RefinedWeb's
+document scoring). The reference engine has no model stage; this is a
+capability extension in the same spirit as `ngram_lm` (which covers
+the perplexity side of CCNet).
+
+fastText is a shallow linear model over bag-of-words features; the
+sandbox has no trainer, so the model here is the closest thing that
+is exactly expressible as DataFrame ops AND in ANSI SQL for the
+oracle: multinomial Naive Bayes with Laplace smoothing. Training is
+two grouped aggregates; the fitted model is a (token, label, loglik)
+table of at most ``vocab_size * n_labels`` rows — broadcastable BY
+CONSTRUCTION, like the char-LM. Scoring is one token explode, one
+broadcast hash join, one per-doc aggregate: the identical shuffle
+shape as perplexity scoring, proven at scale there.
+
+Scale posture at 100 TB: training shuffles (token, label) pairs once
+into a counts table (uniform keys — token frequency skew lands on the
+map-side partial aggregation, not the shuffle); the model itself is a
+few MB regardless of corpus size; scoring is a map-side broadcast
+join plus one per-doc aggregate. No driver-side loop touches row
+data — the only collects are the bounded label set and scalar floors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: special token for the per-label prior / floor rows inside the model
+#: table (NULL would be ambiguous with a genuinely missing token)
+_META_TOKEN = "\x00meta"
+
+
+def word_tokens(col: Column) -> Column:
+    """Lowercased word tokens (runs of letters/digits) with
+    multiplicity — NB features are token COUNTS, so duplicates must
+    survive. Pure Column: split on non-alphanumeric runs."""
+    return F.filter(
+        F.split(F.lower(col), r"[^\p{L}\p{N}]+"),
+        lambda t: t != "",
+    )
+
+
+def train_nb_classifier(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    vocab_size: int = 100_000,
+    min_count: int = 1,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Fit multinomial Naive Bayes; returns the model as ONE small
+    DataFrame with rows of two kinds:
+
+    - ``(token, label, loglik)`` — log P(token | label) with Laplace
+      ``alpha`` smoothing over the retained vocabulary:
+      ``ln((c_tl + alpha) / (total_l + alpha * V))``;
+    - ``(\\x00meta, label, logprior, floor)`` — the label's log prior
+      ``ln(n_docs_l / n_docs)`` and its unseen-token log-likelihood
+      ``ln(alpha / (total_l + alpha * V))`` (tokens outside the
+      vocabulary, or in-vocabulary tokens never seen with the label,
+      score the same floor — the standard out-of-vocabulary collapse).
+
+    The vocabulary is the ``vocab_size`` globally most frequent tokens
+    with count >= ``min_count`` (ties broken by token text, so the
+    model is deterministic on any partitioning); ``total_l`` counts
+    only vocabulary tokens, so likelihoods stay a proper distribution
+    over V + 1 outcomes (V vocab tokens + the unseen bucket).
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    pairs = df.select(
+        F.col(label_col).alias("label"),
+        F.explode(word_tokens(F.col(text_col))).alias("token"),
+    )
+    tl = pairs.groupBy("token", "label").agg(F.count(F.lit(1)).alias("__c"))
+    vocab = (
+        tl.groupBy("token")
+        .agg(F.sum("__c").alias("__g"))
+        .filter(F.col("__g") >= min_count)
+        .orderBy(F.col("__g").desc(), "token")
+        .limit(vocab_size)
+        .select("token")
+    )
+    n_vocab = vocab.count()
+    kept = tl.join(F.broadcast(vocab), on="token")
+    totals = kept.groupBy("label").agg(F.sum("__c").alias("__tot"))
+    doc_counts = (
+        df.groupBy(F.col(label_col).alias("label")).agg(F.count(F.lit(1)).alias("__docs"))
+    )
+    n_docs = df.count()
+    denom = F.col("__tot") + F.lit(alpha) * F.lit(n_vocab)
+    lik = (
+        kept.join(F.broadcast(totals), on="label")
+        .select(
+            "token",
+            "label",
+            (F.log(F.col("__c") + F.lit(alpha)) - F.log(denom)).alias("loglik"),
+            F.lit(None).cast("double").alias("logprior"),
+            F.lit(None).cast("double").alias("floor"),
+        )
+    )
+    meta = (
+        totals.join(F.broadcast(doc_counts), on="label")
+        .select(
+            F.lit(_META_TOKEN).alias("token"),
+            "label",
+            F.lit(None).cast("double").alias("loglik"),
+            (F.log(F.col("__docs").cast("double")) - F.log(F.lit(float(n_docs)))).alias(
+                "logprior"
+            ),
+            (F.log(F.lit(alpha)) - F.log(denom)).alias("floor"),
+        )
+    )
+    return lik.unionByName(meta)
+
+
+def classify(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str,
+    id_col: str,
+    out_col: str = "predicted",
+    score_col: str = "logscore",
+) -> DataFrame:
+    """Score every document under the fitted model and append the
+    argmax label plus its total log-probability (prior + token
+    likelihood sum). Ties break toward the lexicographically smallest
+    label; a document with no tokens scores priors only (so it still
+    gets the majority-prior label, never NULL).
+
+    Token sums use exact DECIMAL(28,14) accumulation — the score is
+    bit-identical on any partitioning and in the SQL oracle, the same
+    determinism contract as `ngram_lm.perplexity_score`."""
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_tokens(F.col(text_col))).alias("token"),
+    )
+    scored, prior_lab, prior_score = _score_token_frame(toks, model, out_col, score_col)
+    # documents with zero tokens have no row in the aggregate: they
+    # score priors only (majority-prior label), never NULL
+    return df.join(scored, on=[F.col(id_col) == F.col("__id")], how="left").select(
+        *df.columns,
+        F.coalesce(F.col(out_col), F.lit(prior_lab)).alias(out_col),
+        F.coalesce(F.col(score_col), F.lit(prior_score)).alias(score_col),
+    )
+
+
+def _score_token_frame(
+    toks: DataFrame, model: DataFrame, out_col: str, score_col: str
+) -> tuple[DataFrame, str, float]:
+    """Score a pre-exploded (__id, token) frame: broadcast-join the
+    pivoted model, one per-doc aggregate, argmax. Shared by `classify`
+    and `classify_self` so the self-scoring path can reuse its cached
+    token explode."""
+    meta_rows = (
+        model.filter(F.col("token") == _META_TOKEN)
+        .select("label", "logprior", "floor")
+        .collect()
+    )
+    if not meta_rows:
+        raise ValueError("model has no meta rows — was it built by train_nb_classifier?")
+    labels = sorted(r["label"] for r in meta_rows)
+    prior = {r["label"]: float(r["logprior"]) for r in meta_rows}
+    floor = {r["label"]: float(r["floor"]) for r in meta_rows}
+
+    # pivot the (token, label, loglik) rows to one row per token with
+    # a column per label — the broadcast side stays <= vocab_size rows
+    wide = (
+        model.filter(F.col("token") != _META_TOKEN)
+        .groupBy("token")
+        .agg(
+            *[
+                F.max(F.when(F.col("label") == lab, F.col("loglik"))).alias(f"__ll_{i}")
+                for i, lab in enumerate(labels)
+            ]
+        )
+    )
+    joined = toks.select("__id", "token").join(F.broadcast(wide), on="token", how="left")
+    sums = joined.groupBy("__id").agg(
+        *[
+            F.sum(
+                F.coalesce(F.col(f"__ll_{i}"), F.lit(floor[lab])).cast("decimal(28,14)")
+            )
+            .cast("double")
+            .alias(f"__s_{i}")
+            for i, lab in enumerate(labels)
+        ]
+    )
+    totals = [
+        (F.lit(prior[lab]) + F.coalesce(F.col(f"__s_{i}"), F.lit(0.0))).alias(f"__t_{i}")
+        for i, lab in enumerate(labels)
+    ]
+    scored = sums.select("__id", *totals)
+    # argmax via one array_sort over (score, label) structs: descending
+    # score, ascending label on ties — deterministic and JVM-side
+    best = F.element_at(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        (-F.col(f"__t_{i}")).alias("neg"),
+                        F.lit(lab).alias("lab"),
+                        F.col(f"__t_{i}").alias("score"),
+                    )
+                    for i, lab in enumerate(labels)
+                ]
+            )
+        ),
+        1,
+    )
+    prior_lab, prior_score = min(
+        ((lab, prior[lab]) for lab in labels), key=lambda t: (-t[1], t[0])
+    )
+    return (
+        scored.select("__id", best["lab"].alias(out_col), best["score"].alias(score_col)),
+        prior_lab,
+        prior_score,
+    )
+
+
+def classify_self(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    id_col: str,
+    vocab_size: int = 100_000,
+    min_count: int = 1,
+    alpha: float = 1.0,
+    out_col: str = "predicted",
+    score_col: str = "logscore",
+) -> DataFrame:
+    """Train on the labeled corpus and score that same corpus — the
+    shape the registered driver query uses (label recovery / anomaly
+    surfacing: documents whose predicted label disagrees with their
+    recorded one are the mislabel candidates).
+
+    Identical results to ``train_nb_classifier`` + ``classify`` but
+    the corpus tokenizes exactly ONCE: the (id, label, token) explode
+    persists and feeds both the count aggregates and the scoring join,
+    halving the dominant cost — the same shared-explode optimization
+    as `ngram_lm.perplexity_self_score`."""
+    from pyspark import StorageLevel
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).alias("label"),
+        F.explode(word_tokens(F.col(text_col))).alias("token"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    toks.count()  # fill before the train/score branches race on it
+
+    labeled = toks.select("label", "token")
+    tl = labeled.groupBy("token", "label").agg(F.count(F.lit(1)).alias("__c"))
+    vocab = (
+        tl.groupBy("token")
+        .agg(F.sum("__c").alias("__g"))
+        .filter(F.col("__g") >= min_count)
+        .orderBy(F.col("__g").desc(), "token")
+        .limit(vocab_size)
+        .select("token")
+    )
+    n_vocab = vocab.count()
+    kept = tl.join(F.broadcast(vocab), on="token")
+    totals = kept.groupBy("label").agg(F.sum("__c").alias("__tot"))
+    doc_counts = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("__docs")
+    )
+    n_docs = df.count()
+    denom = F.col("__tot") + F.lit(alpha) * F.lit(n_vocab)
+    lik = (
+        kept.join(F.broadcast(totals), on="label")
+        .select(
+            "token",
+            "label",
+            (F.log(F.col("__c") + F.lit(alpha)) - F.log(denom)).alias("loglik"),
+            F.lit(None).cast("double").alias("logprior"),
+            F.lit(None).cast("double").alias("floor"),
+        )
+    )
+    meta = (
+        totals.join(F.broadcast(doc_counts), on="label")
+        .select(
+            F.lit(_META_TOKEN).alias("token"),
+            "label",
+            F.lit(None).cast("double").alias("loglik"),
+            (F.log(F.col("__docs").cast("double")) - F.log(F.lit(float(n_docs)))).alias(
+                "logprior"
+            ),
+            (F.log(F.lit(alpha)) - F.log(denom)).alias("floor"),
+        )
+    )
+    # the model is tiny by construction (<= vocab_size * n_labels + n
+    # labels rows): pin it so the scoring join doesn't re-derive the
+    # count aggregates, then score over the SAME cached explode
+    model = lik.unionByName(meta).localCheckpoint(eager=True)
+    scored, prior_lab, prior_score = _score_token_frame(toks, model, out_col, score_col)
+    scored = scored.localCheckpoint(eager=True)
+    toks.unpersist()
+    return df.join(scored, on=[F.col(id_col) == F.col("__id")], how="left").select(
+        *df.columns,
+        F.coalesce(F.col(out_col), F.lit(prior_lab)).alias(out_col),
+        F.coalesce(F.col(score_col), F.lit(prior_score)).alias(score_col),
+    )

@@ -829,3 +829,71 @@ def llm_pipeline_end_to_end(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# word tokens shared by the NB classifier oracle: lowercase, split on
+# non-alphanumeric runs, drop empties — lockstep with
+# operators/classifier.word_tokens
+_SQL_WTOKS = (
+    r"list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')"
+)
+
+
+@query(
+    "nb_langid_documents",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, t.token
+      FROM documents, unnest({_SQL_WTOKS}) AS t(token)
+    ),
+    tl AS (SELECT token, lang AS label, count(*) AS c FROM toks GROUP BY 1, 2),
+    vocab AS (SELECT token FROM (SELECT token, sum(c) AS g FROM tl GROUP BY token)
+              WHERE g >= 1 ORDER BY g DESC, token LIMIT 5000),
+    nv AS (SELECT count(*) AS v FROM vocab),
+    kept AS (SELECT tl.* FROM tl JOIN vocab USING (token)),
+    tot AS (SELECT label, sum(c) AS tot FROM kept GROUP BY label),
+    docs AS (SELECT lang AS label, count(*) AS ndl FROM documents GROUP BY 1),
+    ndocs AS (SELECT count(*) AS n FROM documents),
+    model AS (SELECT token, label, ln(c + 1.0) - ln(tot + 1.0 * v) AS loglik
+              FROM kept JOIN tot USING (label) CROSS JOIN nv),
+    meta AS (SELECT label,
+                    ln(CAST(ndl AS DOUBLE)) - ln(CAST(n AS DOUBLE)) AS logprior,
+                    ln(1.0) - ln(tot + 1.0 * v) AS flr
+             FROM tot JOIN docs USING (label) CROSS JOIN nv CROSS JOIN ndocs),
+    scored AS (
+      SELECT toks.doc_id, meta.label, meta.logprior,
+             CAST(SUM(CAST(coalesce(model.loglik, meta.flr) AS DECIMAL(28,14)))
+                  AS DOUBLE) AS s
+      FROM toks CROSS JOIN meta
+           LEFT JOIN model ON model.token = toks.token AND model.label = meta.label
+      GROUP BY 1, 2, 3
+    ),
+    best AS (SELECT doc_id, label AS predicted, logprior + s AS score,
+                    ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY logprior + s DESC, label) AS rn
+             FROM scored)
+    SELECT d.doc_id, d.lang, b.predicted, round(b.score, 6) AS logscore6
+    FROM documents d JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+    """,
+    tags=("llm", "classifier", "naive-bayes", "lang-id"),
+)
+def nb_langid_documents(spark, sf_dir):
+    """Model-based language ID: train a multinomial Naive Bayes
+    classifier (the SQL-expressible stand-in for the fastText models
+    CCNet/GPT-3/RefinedWeb use for language/quality filtering) on the
+    corpus's own (text, lang) labels and score every document. The
+    full fit — vocabulary selection, smoothed likelihoods, priors,
+    unseen floors — plus the argmax scoring pass is reproduced in SQL
+    and hash-checked, including the exact-decimal score itself.
+    Fixture texts are same-vocabulary word soup, so predictions hug
+    the priors — the CHECK is that two independent engines fit and
+    apply the identical model bit-for-bit."""
+    from d2d_spark.operators.classifier import classify_self
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    out = classify_self(
+        d, "text", "lang", "doc_id", vocab_size=5000, min_count=1, alpha=1.0
+    )
+    return out.select(
+        "doc_id", "lang", "predicted", F.round("logscore", 6).alias("logscore6")
+    )
