@@ -897,3 +897,56 @@ def nb_langid_documents(spark, sf_dir):
     return out.select(
         "doc_id", "lang", "predicted", F.round("logscore", 6).alias("logscore6")
     )
+
+
+@query(
+    "duplicate_span_strip_documents",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, substr(text, CAST(u.i AS INT), 25) AS g
+      FROM documents, unnest(generate_series(1, greatest(length(text) - 24, 0))) AS u(i)
+    ),
+    m AS (SELECT doc_id, pos,
+                 count(*) OVER (PARTITION BY g) AS n,
+                 row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+          FROM w),
+    dup AS (SELECT doc_id, pos FROM m WHERE n >= 2 AND rn > 1),
+    isl AS (SELECT doc_id, pos,
+                   CASE WHEN max(pos + 25) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                          OR pos > max(pos + 25) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        THEN 1 ELSE 0 END AS ng
+            FROM dup),
+    grp AS (SELECT doc_id, pos, sum(ng) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+            FROM isl),
+    iv AS (SELECT doc_id, gid, min(pos) AS s, max(pos) + 25 AS e FROM grp GROUP BY 1, 2),
+    seg AS (SELECT doc_id, s, e,
+                   lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY s) AS prev_e
+            FROM iv),
+    kept AS (SELECT d.doc_id, d.text AS orig,
+                    coalesce(string_agg(substr(d.text, seg.prev_e + 1, seg.s - seg.prev_e),
+                                        '' ORDER BY seg.s), '')
+                    || substr(d.text, coalesce(max(seg.e), 0) + 1,
+                              length(d.text) - coalesce(max(seg.e), 0)) AS text
+             FROM documents d LEFT JOIN seg ON d.doc_id = seg.doc_id
+             GROUP BY d.doc_id, d.text)
+    SELECT doc_id, text,
+           CAST(length(orig) - length(text) AS INT) AS n_dropped_chars
+    FROM kept
+    """,
+    tags=("llm", "dedup", "substring", "exact-span"),
+)
+def duplicate_span_strip_documents(spark, sf_dir):
+    """Substring-level exact dedup (Lee et al. 2022): every 25-char
+    window repeated anywhere in the corpus keeps only its canonical
+    first (doc, pos) occurrence; later copies are cut and the
+    surviving segments stitched back. The oracle rebuilds the IDENTICAL
+    cleaned text with substrings + window functions, so the hash pins
+    window detection, ownership tie-breaks, interval merging, and the
+    stitching itself."""
+    from d2d_spark.operators.spans import strip_duplicate_spans
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = strip_duplicate_spans(d, "text", "doc_id", k=25)
+    return out.select("doc_id", "text", F.col("n_dropped_chars").cast("int").alias("n_dropped_chars"))
