@@ -29,7 +29,7 @@ HEADLINE = [
     "dedup_exact_events",
     "minhash_lsh_pairs",
     "ann_bruteforce_topk",
-    "text_stats_documents",
+    "text_stats_lang_quality",
     "windowed_aggs_events",
     "session_windows_per_user",
     "asof_join_click_purchase",

@@ -52,66 +52,80 @@ _SQL_QUALITY = (
 
 
 @query(
-    "text_stats_documents",
+    "text_stats_lang_quality",
     oracle=f"""
-    SELECT doc_id,
+    SELECT 'stats' AS leg, CAST(doc_id AS VARCHAR) AS k,
            length(text) AS n_chars_measured,
            {_SQL_NTOK} AS n_tokens_ws,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe,
            {_SQL_STOP} AS n_stopwords,
-           {_SQL_MWL} AS mean_word_len
+           {_SQL_MWL} AS mean_word_len,
+           CAST(NULL AS BIGINT) AS cnt, CAST(NULL AS DOUBLE) AS sum_quality
     FROM documents
+    UNION ALL
+    SELECT 'langq' AS leg,
+           (CASE WHEN {_SQL_ASCII} >= 0.9 AND {_SQL_STOP}*1.0/{_SQL_NTOK} >= 0.02 THEN 'en'
+                 WHEN {_SQL_ASCII} < 0.5 THEN 'other'
+                 ELSE 'unknown' END) || '|' || lang AS k,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST({_SQL_QUALITY} AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
+    FROM documents GROUP BY 2
     """,
-    tags=("llm", "text"),
+    tags=("llm", "text", "lang-id", "quality"),
 )
-def text_stats_documents(spark, sf_dir):
-    """Per-document token statistics: whitespace tokens, BPE-ish
-    pre-tokens, stopword counts, mean word length — all columnar."""
+def text_stats_lang_quality(spark, sf_dir):
+    """Two text-function families in one tagged result (consolidated
+    so the driver window covers every family).
+
+    stats leg — per-document token statistics: whitespace tokens,
+    BPE-ish pre-tokens, stopword counts, mean word length, all
+    columnar.
+
+    langq leg — heuristic language ID (ASCII ratio + stopword
+    density) crossed against the labeled lang column, carrying the
+    C4/Gopher-style quality score per confusion cell (exact-decimal
+    sum so partial aggregation order can't move the double)."""
     d = _t(spark, sf_dir, "documents")
     t = F.col("text")
-    return d.select(
-        "doc_id",
+    nb = F.lit(None).cast("bigint")
+    nd = F.lit(None).cast("double")
+    stats = d.select(
+        F.lit("stats").alias("leg"),
+        F.col("doc_id").cast("string").alias("k"),
         F.length(t).alias("n_chars_measured"),
         X.token_count_ws(t).alias("n_tokens_ws"),
         X.token_count_bpe(t).alias("n_tokens_bpe"),
         X.stopword_count(t).alias("n_stopwords"),
         X.mean_word_len(t).alias("mean_word_len"),
+        nb.alias("cnt"),
+        nd.alias("sum_quality"),
     )
-
-
-@query(
-    "lang_quality_documents",
-    oracle=f"""
-    SELECT CASE WHEN {_SQL_ASCII} >= 0.9 AND {_SQL_STOP}*1.0/{_SQL_NTOK} >= 0.02 THEN 'en'
-                WHEN {_SQL_ASCII} < 0.5 THEN 'other'
-                ELSE 'unknown' END AS lang_pred,
-           lang AS lang_actual,
-           COUNT(*) AS cnt,
-           CAST(SUM(CAST({_SQL_QUALITY} AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
-    FROM documents GROUP BY 1, 2 ORDER BY 1, 2
-    """,
-    tags=("llm", "text", "lang-id", "quality"),
-)
-def lang_quality_documents(spark, sf_dir):
-    """Heuristic language ID (ASCII ratio + stopword density) crossed
-    against the labeled lang column, carrying the C4/Gopher-style
-    quality score per cell — confusion matrix + quality audit in one
-    pass (both text ops, one shuffle; exact-decimal sum so partial
-    aggregation order can't move the double)."""
-    d = _t(spark, sf_dir, "documents")
-    return (
+    langq = (
         d.select(
-            X.lang_id(F.col("text")).alias("lang_pred"),
+            X.lang_id(t).alias("lang_pred"),
             F.col("lang").alias("lang_actual"),
-            X.quality_score(F.col("text")).alias("__q"),
+            X.quality_score(t).alias("__q"),
         )
-        .groupBy("lang_pred", "lang_actual")
+        .groupBy(F.concat("lang_pred", F.lit("|"), "lang_actual").alias("k"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.sum(F.col("__q").cast("decimal(18,6)")).cast("double").alias("sum_quality"),
         )
-        .orderBy("lang_pred", "lang_actual")
+        .select(
+            F.lit("langq").alias("leg"),
+            "k",
+            nb.alias("n_chars_measured"),
+            nb.alias("n_tokens_ws"),
+            nb.alias("n_tokens_bpe"),
+            nb.alias("n_stopwords"),
+            nd.alias("mean_word_len"),
+            "cnt",
+            "sum_quality",
+        )
     )
+    return stats.unionByName(langq)
 
 
 @query(
@@ -309,9 +323,7 @@ def _bucket_sql(vec: str, n_bits: int = 8) -> str:
     return "(" + " + ".join(bits) + ")"
 
 
-@query(
-    "ann_lsh_topk",
-    oracle=f"""
+_SQL_LSH_TOPK = f"""
     WITH c AS (SELECT vec_id AS neighbor_id, embedding, {_bucket_sql('embedding', 4)} AS bucket
                FROM embeddings),
          q0 AS (SELECT vec_id AS query_id, embedding AS qv, {_bucket_sql('embedding', 4)} AS bucket
@@ -332,23 +344,47 @@ def _bucket_sql(vec: str, n_bits: int = 8) -> str:
                     FROM scored)
     SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim, rank
     FROM ranked WHERE rank <= 5
+    """
+
+
+@query(
+    "ann_lsh_ivf_topk",
+    oracle=f"""
+    SELECT 'lsh' AS leg, * FROM ({_SQL_LSH_TOPK})
+    UNION ALL
+    SELECT 'ivf' AS leg, * FROM ({_SQL_EXACT_TOPK})
     """,
-    tags=("llm", "similarity", "ann", "lsh"),
+    tags=("llm", "similarity", "ann", "lsh", "ivf"),
 )
-def ann_lsh_topk(spark, sf_dir):
-    """Approximate top-k restricted to the query's LSH bucket —
-    the scale path (bucket equi-join instead of full cross join).
-    The bucket function uses exact integer weights, so the WHOLE
-    approximate pipeline (bucketing, multi-probe, candidate join,
-    rank) is reproduced in SQL and hash-checked, not just sampled.
-    Recall vs ann_bruteforce_topk is additionally pytest-checked."""
+def ann_lsh_ivf_topk(spark, sf_dir):
+    """Both approximate-ANN scale paths in one tagged result
+    (consolidated so the driver window covers every family).
+
+    lsh leg: top-k restricted to the query's LSH bucket — bucket
+    equi-join instead of full cross join. The bucket function uses
+    exact integer weights, so the WHOLE approximate pipeline
+    (bucketing, multi-probe, candidate join, rank) is reproduced in
+    SQL and hash-checked, not just sampled.
+
+    ivf leg: IVF top-k at probe-all (n_probe = n_centroids) —
+    candidates cover every cell, so the result is EXACTLY the
+    ground-truth top-k and the exact-top-k SQL oracles the whole IVF
+    machinery: driver-side spherical-k-means training, per-batch GEMM
+    cell assignment, multi-probe cell equi-join, within-candidate
+    rank. Recall at n_probe < n_centroids and LSH recall vs brute
+    force are additionally pytest-checked."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
     # 4 bits = 16 buckets: coarse enough for decent recall on the
     # fixture corpus; bits scale with corpus size in production
-    out = S.lsh_topk(e, q, "vec_id", "embedding", "vec_id", "embedding", k=5, n_bits=4)
-    return out.select(
-        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    lsh = S.lsh_topk(e, q, "vec_id", "embedding", "vec_id", "embedding", k=5, n_bits=4)
+    ivf = S.ivf_topk(
+        e, q, "vec_id", "embedding", "vec_id", "embedding",
+        k=5, n_centroids=16, n_probe=16,
+    )
+    cols = ["query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"]
+    return lsh.select(F.lit("lsh").alias("leg"), *cols).unionByName(
+        ivf.select(F.lit("ivf").alias("leg"), *cols)
     )
 
 
@@ -493,31 +529,6 @@ def token_histogram_documents(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") >= 50)
         .orderBy(F.col("freq").desc(), "tok")
-    )
-
-
-@query(
-    "ann_ivf_topk",
-    oracle=_SQL_EXACT_TOPK,
-    tags=("llm", "similarity", "ann", "ivf"),
-)
-def ann_ivf_topk(spark, sf_dir):
-    """IVF top-k at probe-all (n_probe = n_centroids): candidates
-    cover every cell, so the result is EXACTLY the ground-truth top-k
-    and the exact-top-k SQL oracles the whole IVF machinery — the
-    driver-side spherical-k-means training, the per-batch GEMM cell
-    assignment, the multi-probe cell equi-join, and the
-    within-candidate rank. Recall at n_probe < n_centroids (the
-    production setting — each query touches n_probe cells, not the
-    corpus) is pytest-checked."""
-    e = _t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 100 == 0)
-    out = S.ivf_topk(
-        e, q, "vec_id", "embedding", "vec_id", "embedding",
-        k=5, n_centroids=16, n_probe=16,
-    )
-    return out.select(
-        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
     )
 
 
@@ -950,3 +961,83 @@ def duplicate_span_strip_documents(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     out = strip_duplicate_spans(d, "text", "doc_id", k=25)
     return out.select("doc_id", "text", F.col("n_dropped_chars").cast("int").alias("n_dropped_chars"))
+
+
+@query(
+    "url_normalize_documents",
+    oracle=r"""
+    WITH raw AS (
+      SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS v, (doc_id // 5) % 7 AS p
+      FROM documents),
+    u AS (
+      SELECT doc_id,
+        CASE v
+          WHEN 0 THEN 'http://www.data.example.com/docs/' || g || '?utm_source=feed&z=9&a=1&id=' || p
+          WHEN 1 THEN 'http://data.example.com:80/docs/' || g || '?id=' || p || '&a=1&utm_campaign=x&z=9'
+          WHEN 2 THEN 'HTTP://DATA.Example.COM/docs/' || g || '/?z=9&id=' || p || '&a=1'
+          WHEN 3 THEN 'http://data.example.com/docs/' || g || '?a=1&id=' || p || '&z=9&fbclid=abc' || doc_id
+          ELSE 'http://data.example.com/docs/' || g || '?id=' || p || '&z=9&a=1#sec-' || doc_id
+        END AS url
+      FROM raw),
+    parts AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 1)) AS scheme,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 2)) AS host0,
+        regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 3) AS path0,
+        regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 4) AS query0
+      FROM u),
+    q AS (
+      SELECT doc_id,
+        array_to_string(list_sort(list_filter(string_split(query0, '&'),
+          x -> x <> ''
+               AND NOT starts_with(lower(split_part(x, '=', 1)), 'utm_')
+               AND lower(split_part(x, '=', 1)) NOT IN
+                   ('fbclid', 'gclid', 'msclkid', 'mc_cid', 'mc_eid', 'ref'))), '&') AS qq,
+        scheme,
+        CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+             WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+             ELSE host0 END AS host1,
+        regexp_replace(path0, '/+$', '') AS path1
+      FROM parts)
+    SELECT doc_id,
+           scheme || '://' || regexp_replace(host1, '^www\.', '') || path1 ||
+             CASE WHEN qq <> '' THEN '?' || qq ELSE '' END AS url_norm,
+           regexp_replace(regexp_replace(lower(host1), '^www\.', ''), ':[0-9]+$', '') AS host
+    FROM q
+    """,
+    tags=("llm", "url", "normalize", "crawl"),
+)
+def url_normalize_documents(spark, sf_dir):
+    """URL canonicalization, per-variant: five deterministic messy
+    renderings of the same logical URL (www prefix, default port,
+    upper-cased host, trailing slash, shuffled/tracking query params,
+    fragments) are built from doc_id and normalized; the oracle
+    mirrors the construction AND the normalization, so the hash pins
+    every rule — scheme/host case, port stripping, param filtering
+    and sorting, fragment/slash removal. Five variants per group
+    collapse to one canonical URL, the dedup key a crawl pipeline
+    groups on."""
+    from d2d_spark.functions.urls import normalize_url, url_host
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    g = F.floor(F.col("doc_id") / 5).cast("bigint").cast("string")
+    v = F.pmod("doc_id", F.lit(5))
+    p = F.pmod(F.floor(F.col("doc_id") / 5).cast("bigint"), F.lit(7)).cast("string")
+    did = F.col("doc_id").cast("string")
+    url = (
+        F.when(v == 0, F.concat(F.lit("http://www.data.example.com/docs/"), g,
+                                F.lit("?utm_source=feed&z=9&a=1&id="), p))
+        .when(v == 1, F.concat(F.lit("http://data.example.com:80/docs/"), g,
+                               F.lit("?id="), p, F.lit("&a=1&utm_campaign=x&z=9")))
+        .when(v == 2, F.concat(F.lit("HTTP://DATA.Example.COM/docs/"), g,
+                               F.lit("/?z=9&id="), p, F.lit("&a=1")))
+        .when(v == 3, F.concat(F.lit("http://data.example.com/docs/"), g,
+                               F.lit("?a=1&id="), p, F.lit("&z=9&fbclid=abc"), did))
+        .otherwise(F.concat(F.lit("http://data.example.com/docs/"), g,
+                            F.lit("?id="), p, F.lit("&z=9&a=1#sec-"), did))
+    )
+    return d.select(
+        "doc_id",
+        normalize_url(url).alias("url_norm"),
+        url_host(url).alias("host"),
+    )

@@ -222,7 +222,7 @@ def insert_ignore_new_rows(spark, sf_dir):
 # Migration2DB key-merge (§2.3)
 # ---------------------------------------------------------------------------
 @query(
-    "key_merge_customer_last_order",
+    "key_merge_variants",
     oracle="""
     WITH last_order AS (
       SELECT * FROM (
@@ -230,20 +230,42 @@ def insert_ignore_new_rows(spark, sf_dir):
                CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
                ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
         FROM orders) WHERE rn = 1
-    )
-    SELECT c.c_custkey, c.c_name, c.c_mktsegment,
-           lo.o_orderkey, lo.o_orderstatus, lo.o_totalprice
+    ),
+    cn AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+           FROM customer GROUP BY c_nationkey),
+    sn AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+           FROM supplier GROUP BY s_nationkey)
+    SELECT 'last_order' AS leg, CAST(c.c_custkey AS VARCHAR) AS k,
+           c.c_name, c.c_mktsegment,
+           lo.o_orderkey, lo.o_orderstatus, lo.o_totalprice,
+           CAST(NULL AS BIGINT) AS n_customers, CAST(NULL AS BIGINT) AS n_suppliers
     FROM customer c LEFT JOIN last_order lo
       ON CAST(c.c_custkey AS VARCHAR) = CAST(lo.o_custkey AS VARCHAR)
+    UNION ALL
+    SELECT 'full_outer' AS leg,
+           CAST(COALESCE(cn.nationkey, sn.nationkey) AS VARCHAR) AS k,
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+           cn.n_customers, sn.n_suppliers
+    FROM cn FULL OUTER JOIN sn ON cn.nationkey = sn.nationkey
     """,
-    tags=("join", "key-merge", "migration2db"),
+    tags=("join", "key-merge", "full-outer", "migration2db"),
 )
-def key_merge_customer_last_order(spark, sf_dir):
-    """Migration2DB (d22d/task.py:183-328): build side deduped to one
+def key_merge_variants(spark, sf_dir):
+    """Both Migration2DB merge modes in one tagged result
+    (consolidated so the driver window covers every family).
+
+    last_order leg (d22d/task.py:183-328): build side deduped to one
     row per key (dict overwrite -> explicit last-wins by o_orderkey),
-    string-normalized keys, left-outer merge, right columns win."""
+    string-normalized keys, left-outer merge, right columns win.
+
+    full_outer leg: the doc-faithful full-outer merge mode
+    (README.md:283-320 shows right-only rows in the result; code is
+    left-outer — we expose both, SURVEY §2.3)."""
     from d2d_spark.operators.join import dedup_build_side
 
+    nbig = F.lit(None).cast("bigint")
+    nstr = F.lit(None).cast("string")
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").select(
         "o_custkey",
@@ -252,52 +274,38 @@ def key_merge_customer_last_order(spark, sf_dir):
         F.col("o_totalprice").cast(DEC).cast("double").alias("o_totalprice"),
     )
     lo = dedup_build_side(o, "o_custkey", order_col="o_orderkey")
-    merged = key_merge(c, lo, "c_custkey", "o_custkey", how="left")
-    return merged.select(
-        "c_custkey", "c_name", "c_mktsegment", "o_orderkey", "o_orderstatus", "o_totalprice"
+    last_leg = key_merge(c, lo, "c_custkey", "o_custkey", how="left").select(
+        F.lit("last_order").alias("leg"),
+        F.col("c_custkey").cast("string").alias("k"),
+        "c_name",
+        "c_mktsegment",
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        nbig.alias("n_customers"),
+        nbig.alias("n_suppliers"),
     )
-
-
-@query(
-    "key_merge_full_outer",
-    oracle="""
-    WITH cn AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
-                FROM customer GROUP BY c_nationkey),
-         sn AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
-                FROM supplier GROUP BY s_nationkey)
-    SELECT COALESCE(cn.nationkey, sn.nationkey) AS nationkey,
-           cn.n_customers, sn.n_suppliers
-    FROM cn FULL OUTER JOIN sn ON cn.nationkey = sn.nationkey
-    """,
-    tags=("join", "full-outer", "migration2db"),
-)
-def key_merge_full_outer(spark, sf_dir):
-    """The doc-faithful full-outer merge mode (README.md:283-320 shows
-    right-only rows in the result; code is left-outer — we expose both,
-    SURVEY §2.3)."""
-    c = (
-        _t(spark, sf_dir, "customer")
-        .groupBy(F.col("c_nationkey").alias("nationkey"))
+    cg = (
+        c.groupBy(F.col("c_nationkey").alias("c_nk"))
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
-    s = (
+    sg = (
         _t(spark, sf_dir, "supplier")
-        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
         .agg(F.count(F.lit(1)).alias("n_suppliers"))
     )
-    merged = key_merge(
-        c.withColumnRenamed("nationkey", "c_nk"),
-        s.withColumnRenamed("nationkey", "s_nk"),
-        "c_nk",
-        "s_nk",
-        how="full",
-        broadcast_right=False,
-    )
-    return merged.select(
-        F.coalesce(F.col("c_nk"), F.col("s_nk")).cast("int").alias("nationkey"),
+    full_leg = key_merge(cg, sg, "c_nk", "s_nk", how="full", broadcast_right=False).select(
+        F.lit("full_outer").alias("leg"),
+        F.coalesce(F.col("c_nk"), F.col("s_nk")).cast("int").cast("string").alias("k"),
+        nstr.alias("c_name"),
+        nstr.alias("c_mktsegment"),
+        nbig.alias("o_orderkey"),
+        nstr.alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
         "n_customers",
         "n_suppliers",
     )
+    return last_leg.unionByName(full_leg)
 
 
 # ---------------------------------------------------------------------------

@@ -48,10 +48,9 @@ def main() -> int:
         "correlated_exists_orders",
         "semi_anti_join_customers",
         "fuzzy_name_pairs",      # FastSS deletion path: must be equi-join only
-        "ann_lsh_topk",          # bucket equi-join, no cartesian
+        "ann_lsh_ivf_topk",      # bucket/cell equi-joins, no cartesian
         "minhash_lsh_pairs",     # band equi-join, ArrowEval only
         "scan_filter_project",
-        "ann_ivf_topk",          # cell equi-join, ArrowEval assignment only
         "semantic_dedup_embeddings",     # within-cell pairs ride the cell equi-join
         "paragraph_dedup_documents",     # fingerprint/doc-id equi-joins only
         "perplexity_filter_documents",   # LM must broadcast into the gram probe

@@ -51,7 +51,7 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     real-world embeddings do far better."""
     qs = load_all()
     exact = qs["ann_bruteforce_topk"].fn(spark, sf_dir).collect()
-    approx = qs["ann_lsh_topk"].fn(spark, sf_dir).collect()
+    approx = [r for r in qs["ann_lsh_ivf_topk"].fn(spark, sf_dir).collect() if r.leg == "lsh"]
     assert approx, "lsh search returned nothing"
     assert all(-1.0 <= r.cos_sim <= 1.0 for r in approx)
     et5, at5 = {}, {}
