@@ -179,3 +179,61 @@ def shingles(col: Column, n: int = 3) -> Column:
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
     return F.array_distinct(grams)
+
+
+def gopher_quality_flags(col: Column, prefix: str = "gq_") -> dict[str, Column]:
+    """The Gopher (Rae et al. 2021) document-level quality rules as
+    named boolean Columns for ``df.withColumns`` — a document passing
+    every flag survives the filter. Complements `repetition_signals`
+    (the repetition half of the same paper's rule set); thresholds are
+    the published ones:
+
+    - 50 <= word count <= 100,000
+    - 3 <= mean word length <= 10
+    - symbol-to-word ratio (# or ellipsis) <= 0.1
+    - < 90% of lines start with a bullet, < 30% end with an ellipsis
+    - >= 80% of words contain at least one alphabetic character
+    - >= 2 distinct stopwords present (the "harmful boilerplate" rule)
+    """
+    toks = tokens_ws(col)
+    n = F.size(toks)
+    nd = F.nullif(n, F.lit(0)).cast("double")
+    lines = lines_of(col)
+    nlines = F.nullif(F.size(lines), F.lit(0)).cast("double")
+    mwl = mean_word_len(col)
+    symbols = F.size(F.filter(toks, lambda t: t.contains("#") | t.contains("..."))) + (
+        F.length(col) - F.length(F.regexp_replace(col, "…", ""))
+    )
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^([-*•]|\d+[.)])"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))
+    )
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    distinct_stops = F.size(
+        F.array_intersect(
+            F.transform(toks, lambda t: F.lower(t)),
+            F.array(*[F.lit(s) for s in EN_STOPWORDS]),
+        )
+    )
+    return {
+        f"{prefix}word_count_ok": (n >= 50) & (n <= 100_000),
+        f"{prefix}mean_word_len_ok": (mwl >= 3.0) & (mwl <= 10.0),
+        f"{prefix}symbol_ratio_ok": (symbols / nd) <= 0.1,
+        f"{prefix}bullet_lines_ok": (bullet_lines / nlines) < 0.9,
+        f"{prefix}ellipsis_lines_ok": (ellipsis_lines / nlines) < 0.3,
+        f"{prefix}alpha_words_ok": (alpha_words / nd) >= 0.8,
+        f"{prefix}stopwords_ok": distinct_stops >= 2,
+    }
+
+
+def gopher_pass(col: Column) -> Column:
+    """True iff every `gopher_quality_flags` rule passes (NULL-safe:
+    an empty/whitespace document fails rather than passing on NULL
+    ratios)."""
+    flags = gopher_quality_flags(col)
+    out = F.lit(True)
+    for c in flags.values():
+        out = out & F.coalesce(c, F.lit(False))
+    return out

@@ -316,6 +316,42 @@ def quality_weighted_sample(
     return df.filter(hash_bucket(F.col(key_col), seed) < p * _BUCKETS)
 
 
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    max_rows: int,
+    order_col: str | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Keep at most ``max_rows`` rows per key — the per-domain quota of
+    crawl pipelines (one mega-site must not dominate the corpus; pair
+    ``key_col`` with functions/urls.url_host). Which rows survive is
+    deterministic: ranked by ``order_col`` when given, else by the
+    same xxhash64 primitive as `hash_sample` (a stable pseudo-random
+    draw per key, reproducible run-to-run).
+
+    One shuffle on the key. A pathological key (one host = half the
+    corpus) is exactly what AQE skew-join/partition splitting handles;
+    the rank itself is a running top-N per key, not a sort of the
+    whole corpus.
+    """
+    from pyspark.sql import Window
+
+    if max_rows <= 0:
+        raise ValueError(f"max_rows must be positive, got {max_rows}")
+    order = (
+        F.col(order_col)
+        if order_col
+        else F.xxhash64(*[F.col(c) for c in df.columns if c != key_col], F.lit(seed))
+    )
+    w = Window.partitionBy(key_col).orderBy(order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_rows)
+        .drop("__rn")
+    )
+
+
 def concat_bins(
     df: DataFrame,
     bin_col: str = "bin_id",

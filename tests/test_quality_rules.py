@@ -1,0 +1,96 @@
+"""Gopher quality rules (functions/text.py) and per-key caps
+(operators/sampling.py) — rule-by-rule behavior on crafted documents
+plus the quota determinism contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from d2d_spark.functions.text import gopher_pass, gopher_quality_flags
+
+
+GOOD = (
+    "the house stood on a small hill beside the river and every morning "
+    "light came through the trees while people walked along the path to "
+    "the market carrying baskets of fruit and bread for their families "
+    "and friends who waited near the old stone bridge by the water mill "
+    "under a clear sky full of birds"
+)
+
+
+def _flags(spark, text):
+    df = spark.createDataFrame([(text,)], ["text"])
+    row = df.withColumns(gopher_quality_flags(F.col("text"))).collect()[0]
+    return {k: row[k] for k in row.asDict() if k.startswith("gq_")}
+
+
+def test_good_document_passes_all(spark):
+    flags = _flags(spark, GOOD)
+    assert all(flags.values()), flags
+    df = spark.createDataFrame([(GOOD,)], ["text"])
+    assert df.select(gopher_pass(F.col("text")).alias("p")).collect()[0].p is True
+
+
+def test_too_short_fails_word_count(spark):
+    assert not _flags(spark, "only four words here")["gq_word_count_ok"]
+
+
+def test_symbol_soup_fails(spark):
+    text = " ".join(["##tag"] * 30 + ["word"] * 30)
+    assert not _flags(spark, text)["gq_symbol_ratio_ok"]
+
+
+def test_bullet_list_fails(spark):
+    text = "\n".join(f"- item {i} in the list" for i in range(20))
+    assert not _flags(spark, text)["gq_bullet_lines_ok"]
+
+
+def test_numeric_noise_fails_alpha_rule(spark):
+    text = " ".join(str(i) for i in range(100))
+    assert not _flags(spark, text)["gq_alpha_words_ok"]
+
+
+def test_no_stopwords_fails(spark):
+    text = " ".join(["lorem", "ipsum", "dolor", "sit", "amet"] * 20)
+    assert not _flags(spark, text)["gq_stopwords_ok"]
+
+
+def test_empty_doc_fails_gopher_pass_not_null(spark):
+    df = spark.createDataFrame([("",), ("   ",)], ["text"])
+    rows = df.select(gopher_pass(F.col("text")).alias("p")).collect()
+    assert [r.p for r in rows] == [False, False]
+
+
+# -- cap_per_key ------------------------------------------------------
+def test_cap_per_key_quota_and_determinism(spark, sf_dir):
+    from d2d_spark.operators.sampling import cap_per_key
+    from d2d_spark.session import read_table
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    capped = cap_per_key(d, "source", max_rows=20, order_col="doc_id")
+    per = capped.groupBy("source").count().collect()
+    assert all(r["count"] <= 20 for r in per)
+    # order_col ranking keeps the LOWEST doc_ids per source
+    lows = {
+        (r.source, r.doc_id)
+        for r in d.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "source"
+                ).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") <= 20)
+        .select("source", "doc_id")
+        .collect()
+    }
+    got = {(r.source, r.doc_id) for r in capped.select("source", "doc_id").collect()}
+    assert got == lows
+    # hash fallback: deterministic across partitionings
+    a = {r.doc_id for r in cap_per_key(d, "source", 20).select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in cap_per_key(d.repartition(9), "source", 20).select("doc_id").collect()
+    }
+    assert a == b
