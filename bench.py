@@ -40,6 +40,8 @@ HEADLINE = [
     "paragraph_dedup_documents",
     "semantic_dedup_embeddings",
     "perplexity_filter_documents",
+    "duplicate_span_strip_documents",
+    "nb_langid_documents",
 ]
 
 

@@ -69,12 +69,28 @@ def train_nb_classifier(
     only vocabulary tokens, so likelihoods stay a proper distribution
     over V + 1 outcomes (V vocab tokens + the unseen bucket).
     """
-    if alpha <= 0:
-        raise ValueError(f"alpha must be positive, got {alpha}")
     pairs = df.select(
         F.col(label_col).alias("label"),
         F.explode(word_tokens(F.col(text_col))).alias("token"),
     )
+    return _fit(pairs, df.groupBy(F.col(label_col).alias("label")), df.count(),
+                vocab_size, min_count, alpha)
+
+
+def _fit(
+    pairs: DataFrame,
+    doc_groups,
+    n_docs: int,
+    vocab_size: int,
+    min_count: int,
+    alpha: float,
+) -> DataFrame:
+    """The shared fit over a (label, token) pair frame: count
+    aggregates, bounded vocabulary, smoothed likelihoods, priors and
+    floors — used by both `train_nb_classifier` (fresh explode) and
+    `classify_self` (cached explode)."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
     tl = pairs.groupBy("token", "label").agg(F.count(F.lit(1)).alias("__c"))
     vocab = (
         tl.groupBy("token")
@@ -87,10 +103,7 @@ def train_nb_classifier(
     n_vocab = vocab.count()
     kept = tl.join(F.broadcast(vocab), on="token")
     totals = kept.groupBy("label").agg(F.sum("__c").alias("__tot"))
-    doc_counts = (
-        df.groupBy(F.col(label_col).alias("label")).agg(F.count(F.lit(1)).alias("__docs"))
-    )
-    n_docs = df.count()
+    doc_counts = doc_groups.agg(F.count(F.lit(1)).alias("__docs"))
     denom = F.col("__tot") + F.lit(alpha) * F.lit(n_vocab)
     lik = (
         kept.join(F.broadcast(totals), on="label")
@@ -251,50 +264,15 @@ def classify_self(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     toks.count()  # fill before the train/score branches race on it
 
-    labeled = toks.select("label", "token")
-    tl = labeled.groupBy("token", "label").agg(F.count(F.lit(1)).alias("__c"))
-    vocab = (
-        tl.groupBy("token")
-        .agg(F.sum("__c").alias("__g"))
-        .filter(F.col("__g") >= min_count)
-        .orderBy(F.col("__g").desc(), "token")
-        .limit(vocab_size)
-        .select("token")
-    )
-    n_vocab = vocab.count()
-    kept = tl.join(F.broadcast(vocab), on="token")
-    totals = kept.groupBy("label").agg(F.sum("__c").alias("__tot"))
-    doc_counts = df.groupBy(F.col(label_col).alias("label")).agg(
-        F.count(F.lit(1)).alias("__docs")
-    )
-    n_docs = df.count()
-    denom = F.col("__tot") + F.lit(alpha) * F.lit(n_vocab)
-    lik = (
-        kept.join(F.broadcast(totals), on="label")
-        .select(
-            "token",
-            "label",
-            (F.log(F.col("__c") + F.lit(alpha)) - F.log(denom)).alias("loglik"),
-            F.lit(None).cast("double").alias("logprior"),
-            F.lit(None).cast("double").alias("floor"),
-        )
-    )
-    meta = (
-        totals.join(F.broadcast(doc_counts), on="label")
-        .select(
-            F.lit(_META_TOKEN).alias("token"),
-            "label",
-            F.lit(None).cast("double").alias("loglik"),
-            (F.log(F.col("__docs").cast("double")) - F.log(F.lit(float(n_docs)))).alias(
-                "logprior"
-            ),
-            (F.log(F.lit(alpha)) - F.log(denom)).alias("floor"),
-        )
-    )
-    # the model is tiny by construction (<= vocab_size * n_labels + n
-    # labels rows): pin it so the scoring join doesn't re-derive the
-    # count aggregates, then score over the SAME cached explode
-    model = lik.unionByName(meta).localCheckpoint(eager=True)
+    model = _fit(
+        toks.select("label", "token"),
+        df.groupBy(F.col(label_col).alias("label")),
+        df.count(),
+        vocab_size,
+        min_count,
+        alpha,
+    ).localCheckpoint(eager=True)
+
     scored, prior_lab, prior_score = _score_token_frame(toks, model, out_col, score_col)
     scored = scored.localCheckpoint(eager=True)
     toks.unpersist()
