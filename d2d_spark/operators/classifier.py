@@ -73,14 +73,13 @@ def train_nb_classifier(
         F.col(label_col).alias("label"),
         F.explode(word_tokens(F.col(text_col))).alias("token"),
     )
-    return _fit(pairs, df.groupBy(F.col(label_col).alias("label")), df.count(),
+    return _fit(pairs, df.groupBy(F.col(label_col).alias("label")),
                 vocab_size, min_count, alpha)
 
 
 def _fit(
     pairs: DataFrame,
     doc_groups,
-    n_docs: int,
     vocab_size: int,
     min_count: int,
     alpha: float,
@@ -88,9 +87,17 @@ def _fit(
     """The shared fit over a (label, token) pair frame: count
     aggregates, bounded vocabulary, smoothed likelihoods, priors and
     floors — used by both `train_nb_classifier` (fresh explode) and
-    `classify_self` (cached explode)."""
+    `classify_self` (cached explode).
+
+    The two scalars the math needs — |vocab| and the total document
+    count — ride the dataflow (a broadcastable one-row count and a
+    window sum over the tiny per-label frame) instead of separate
+    count() jobs: the whole fit is ONE job however many labels, which
+    matters for scheduler round-trips, not row throughput."""
     if alpha <= 0:
         raise ValueError(f"alpha must be positive, got {alpha}")
+    from pyspark.sql import Window
+
     tl = pairs.groupBy("token", "label").agg(F.count(F.lit(1)).alias("__c"))
     vocab = (
         tl.groupBy("token")
@@ -100,11 +107,15 @@ def _fit(
         .limit(vocab_size)
         .select("token")
     )
-    n_vocab = vocab.count()
+    vcount = vocab.agg(F.count(F.lit(1)).alias("__v"))
     kept = tl.join(F.broadcast(vocab), on="token")
-    totals = kept.groupBy("label").agg(F.sum("__c").alias("__tot"))
-    doc_counts = doc_groups.agg(F.count(F.lit(1)).alias("__docs"))
-    denom = F.col("__tot") + F.lit(alpha) * F.lit(n_vocab)
+    totals = kept.groupBy("label").agg(F.sum("__c").alias("__tot")).crossJoin(
+        F.broadcast(vcount)
+    )
+    doc_counts = doc_groups.agg(F.count(F.lit(1)).alias("__docs")).withColumn(
+        "__ndocs", F.sum("__docs").over(Window.partitionBy())
+    )
+    denom = F.col("__tot") + F.lit(alpha) * F.col("__v")
     lik = (
         kept.join(F.broadcast(totals), on="label")
         .select(
@@ -121,7 +132,7 @@ def _fit(
             F.lit(_META_TOKEN).alias("token"),
             "label",
             F.lit(None).cast("double").alias("loglik"),
-            (F.log(F.col("__docs").cast("double")) - F.log(F.lit(float(n_docs)))).alias(
+            (F.log(F.col("__docs").cast("double")) - F.log(F.col("__ndocs").cast("double"))).alias(
                 "logprior"
             ),
             (F.log(F.lit(alpha)) - F.log(denom)).alias("floor"),
@@ -164,33 +175,38 @@ def classify(
 def _score_token_frame(
     toks: DataFrame, model: DataFrame, out_col: str, score_col: str
 ) -> tuple[DataFrame, str, float]:
-    """Score a pre-exploded (__id, token) frame: broadcast-join the
-    pivoted model, one per-doc aggregate, argmax. Shared by `classify`
-    and `classify_self` so the self-scoring path can reuse its cached
-    token explode."""
-    meta_rows = (
-        model.filter(F.col("token") == _META_TOKEN)
-        .select("label", "logprior", "floor")
-        .collect()
-    )
+    """Score a pre-exploded (__id, token) frame. The model is BOUNDED
+    by construction (<= vocab_size * n_labels + n_labels rows), so it
+    collects in ONE job and the pivoted broadcast side is built
+    driver-side — no checkpoint job, no distributed pivot, no separate
+    meta collect; the scoring plan is exactly one broadcast join and
+    one per-doc aggregate. Shared by `classify` and `classify_self`
+    so the self-scoring path can reuse its cached token explode."""
+    from pyspark.sql import types as T
+
+    rows = model.collect()
+    meta_rows = [r for r in rows if r["token"] == _META_TOKEN]
     if not meta_rows:
         raise ValueError("model has no meta rows — was it built by train_nb_classifier?")
     labels = sorted(r["label"] for r in meta_rows)
+    idx = {lab: i for i, lab in enumerate(labels)}
     prior = {r["label"]: float(r["logprior"]) for r in meta_rows}
     floor = {r["label"]: float(r["floor"]) for r in meta_rows}
 
-    # pivot the (token, label, loglik) rows to one row per token with
-    # a column per label — the broadcast side stays <= vocab_size rows
-    wide = (
-        model.filter(F.col("token") != _META_TOKEN)
-        .groupBy("token")
-        .agg(
-            *[
-                F.max(F.when(F.col("label") == lab, F.col("loglik"))).alias(f"__ll_{i}")
-                for i, lab in enumerate(labels)
-            ]
-        )
+    # one row per token, a loglik column per label; None (not NaN)
+    # for absent (token, label) pairs so coalesce() applies the floor
+    ll: dict[str, list] = {}
+    for r in rows:
+        if r["token"] == _META_TOKEN:
+            continue
+        ll.setdefault(r["token"], [None] * len(labels))[idx[r["label"]]] = r["loglik"]
+    schema = T.StructType(
+        [T.StructField("token", T.StringType())]
+        + [T.StructField(f"__ll_{i}", T.DoubleType()) for i in range(len(labels))]
     )
+    spark = toks.sparkSession
+    wide = spark.createDataFrame([(t, *v) for t, v in ll.items()], schema)
+
     joined = toks.select("__id", "token").join(F.broadcast(wide), on="token", how="left")
     sums = joined.groupBy("__id").agg(
         *[
@@ -264,14 +280,15 @@ def classify_self(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     toks.count()  # fill before the train/score branches race on it
 
+    # no checkpoint: _score_token_frame collects the bounded model in
+    # one job, which IS the materialization point for the fit
     model = _fit(
         toks.select("label", "token"),
         df.groupBy(F.col(label_col).alias("label")),
-        df.count(),
         vocab_size,
         min_count,
         alpha,
-    ).localCheckpoint(eager=True)
+    )
 
     scored, prior_lab, prior_score = _score_token_frame(toks, model, out_col, score_col)
     scored = scored.localCheckpoint(eager=True)
