@@ -181,6 +181,12 @@ def shingles(col: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+#: the published Gopher stopword list (Rae et al. 2021, Table A1) —
+#: deliberately NOT EN_STOPWORDS, which serves the C4-style density
+#: heuristics and has a different composition
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
 def gopher_quality_flags(col: Column, prefix: str = "gq_") -> dict[str, Column]:
     """The Gopher (Rae et al. 2021) document-level quality rules as
     named boolean Columns for ``df.withColumns`` — a document passing
@@ -193,7 +199,8 @@ def gopher_quality_flags(col: Column, prefix: str = "gq_") -> dict[str, Column]:
     - symbol-to-word ratio (# or ellipsis) <= 0.1
     - < 90% of lines start with a bullet, < 30% end with an ellipsis
     - >= 80% of words contain at least one alphabetic character
-    - >= 2 distinct stopwords present (the "harmful boilerplate" rule)
+    - >= 2 distinct stopwords from the paper's own 8-word list
+      (`GOPHER_STOPWORDS`) present — the "harmful boilerplate" rule
     """
     toks = tokens_ws(col)
     n = F.size(toks)
@@ -214,7 +221,7 @@ def gopher_quality_flags(col: Column, prefix: str = "gq_") -> dict[str, Column]:
     distinct_stops = F.size(
         F.array_intersect(
             F.transform(toks, lambda t: F.lower(t)),
-            F.array(*[F.lit(s) for s in EN_STOPWORDS]),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
         )
     )
     return {

@@ -16,7 +16,7 @@ Implementation notes:
 
 - Build: each partition fills a local numpy bitmap (vectorized
   double hashing via pandas' stable 64-bit hash, two keyed seeds),
-  then bitmaps OR together on a tree (``treeReduce``) so the driver
+  then bitmaps OR together on a tree (``treeAggregate``) so the driver
   receives ONE bitmap, not one per partition.
 - Probe: the bitmap ships in the task closure (Spark broadcasts
   closures > 1 MB via the same torrent machinery as explicit
@@ -49,9 +49,19 @@ def _hash_pair(values) -> tuple[np.ndarray, np.ndarray]:
     import pandas as pd
     from pandas.core.util.hashing import hash_pandas_object
 
-    s = pd.Series(values, dtype="string").fillna("\x00null")
-    h1 = hash_pandas_object(s, index=False, hash_key=_H1_KEY).to_numpy(dtype=np.uint64)
-    h2 = hash_pandas_object(s, index=False, hash_key=_H2_KEY).to_numpy(dtype=np.uint64)
+    s = pd.Series(values, dtype="string")
+    null = s.isna().to_numpy()
+    h1 = hash_pandas_object(s.fillna(""), index=False, hash_key=_H1_KEY).to_numpy(
+        dtype=np.uint64
+    )
+    h2 = hash_pandas_object(s.fillna(""), index=False, hash_key=_H2_KEY).to_numpy(
+        dtype=np.uint64
+    )
+    # NULL is its own key, distinguished by flipping bits rather than a
+    # sentinel STRING — a sentinel could equal a real key and alias it
+    # deterministically, outside the fpp contract
+    h1 = np.where(null, h1 ^ np.uint64(0x9E3779B97F4A7C15), h1)
+    h2 = np.where(null, h2 ^ np.uint64(0xC2B2AE3D27D4EB4F), h2)
     # force h2 odd so the double-hash probe sequence cycles the whole
     # power-of-two table instead of a short subgroup
     return h1, h2 | np.uint64(1)
@@ -158,9 +168,11 @@ def build_bloom(
         )
         .rdd.map(lambda r: np.frombuffer(r["b"], dtype=np.uint8))
     )
-    merged = rdd.treeReduce(np.bitwise_or) if not rdd.isEmpty() else np.zeros(
-        num_bits // 8, dtype=np.uint8
-    )
+    # treeAggregate (not treeReduce) so an empty input yields the zero
+    # bitmap without a separate isEmpty() probe job — isEmpty() would
+    # hash a whole partition into a bitmap just to throw it away
+    zero = np.zeros(num_bits // 8, dtype=np.uint8)
+    merged = rdd.treeAggregate(zero, np.bitwise_or, np.bitwise_or)
     return BloomFilter(num_bits, k, merged.copy())
 
 
@@ -193,11 +205,18 @@ def bloom_dedup_incremental(
     """One crawl round: drop keys already in ``prior``, return the
     surviving rows plus the UPDATED filter (prior ∪ this round's
     survivors) to persist for the next round. With ``prior=None``
-    starts a fresh seen-set."""
+    starts a fresh seen-set.
+
+    ``fresh`` is consumed twice — once to fold the survivors into the
+    returned filter, once when the caller materializes it — so it is
+    persisted here; unpersist it (or clearCache) after the caller's
+    write completes."""
+    from pyspark import StorageLevel
+
     if prior is None:
         num_bits, k = BloomFilter.sizing(expected_items, fpp)
         prior = BloomFilter(num_bits, k, np.zeros(num_bits // 8, dtype=np.uint8))
-    fresh = filter_seen(new_df, prior, key_col)
+    fresh = filter_seen(new_df, prior, key_col).persist(StorageLevel.MEMORY_AND_DISK)
     add = build_bloom(
         fresh, key_col, expected_items, fpp
     )

@@ -339,12 +339,9 @@ def cap_per_key(
 
     if max_rows <= 0:
         raise ValueError(f"max_rows must be positive, got {max_rows}")
-    order = (
-        F.col(order_col)
-        if order_col
-        else F.xxhash64(*[F.col(c) for c in df.columns if c != key_col], F.lit(seed))
-    )
-    w = Window.partitionBy(key_col).orderBy(order)
+    tiebreak = F.xxhash64(*[F.col(c) for c in df.columns if c != key_col], F.lit(seed))
+    order = [F.col(order_col), tiebreak] if order_col else [tiebreak]
+    w = Window.partitionBy(key_col).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= max_rows)

@@ -17,8 +17,9 @@ window hashing:
      repeated window, its canonical owner is the min (doc_id, pos)
      occurrence;
   3. non-owner occurrences merge into per-document intervals
-     ([pos, pos+k) unions) with a fold — duplicated-char stats and
-     the stitched clean text are pure Column aggregates.
+     ([pos, pos+k) unions) via window-function island detection —
+     duplicated-char stats are a grouped sum and the stitched clean
+     text is a pure Column fold over the (few) merged intervals.
 
 Any repeated span of length >= k is covered by a run of repeated
 windows, so merged intervals reconstruct (a superset of) the maximal
@@ -77,7 +78,14 @@ def duplicate_windows(
     times corpus-wide and which is NOT the canonical first occurrence
     (min (doc_id, pos) owns the content; ids must be orderable).
     ``anchor_mod > 1`` subsamples windows content-defined (see module
-    docstring) — the scale knob."""
+    docstring) — the scale knob.
+
+    The O(total chars) window explode runs ONCE and shuffles ONCE:
+    occurrence counts and the canonical owner are window aggregates
+    over the hash partition, not a separate aggregate joined back
+    (which would explode and shuffle the corpus a second time)."""
+    from pyspark.sql import Window
+
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     if anchor_mod < 1:
@@ -91,45 +99,44 @@ def duplicate_windows(
     )
     if anchor_mod > 1:
         wins = wins.filter(F.pmod("h", F.lit(anchor_mod)) == 0)
-    per_hash = wins.groupBy("h").agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.min(F.struct("__id", "pos")).alias("__owner"),
+    w = Window.partitionBy("h")
+    marked = wins.select(
+        "__id",
+        "pos",
+        F.count(F.lit(1)).over(w).alias("__n"),
+        F.min(F.struct("__id", "pos")).over(w).alias("__owner"),
     )
-    return (
-        wins.join(per_hash, on="h")
-        .filter(
-            (F.col("__n") >= 2)
-            & ~(
-                (F.col("__owner.__id") == F.col("__id"))
-                & (F.col("__owner.pos") == F.col("pos"))
-            )
+    return marked.filter(
+        (F.col("__n") >= 2)
+        & ~(
+            (F.col("__owner.__id") == F.col("__id"))
+            & (F.col("__owner.pos") == F.col("pos"))
         )
-        .select("__id", "pos")
+    ).select("__id", "pos")
+
+
+def _interval_rows(dup: DataFrame, k: int) -> DataFrame:
+    """Merge duplicated positions into disjoint (__id, s, e) interval
+    rows with window functions (island detection: a position opens a
+    new interval iff it clears the running max end of everything
+    before it) — O(n log n) in duplicate positions per document, where
+    the previous per-row array fold was quadratic in intervals on
+    exactly the boilerplate-heavy documents this operator targets."""
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy("__id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        wo.rowsBetween(Window.unboundedPreceding, -1)
     )
-
-
-def _merged_intervals(pos_list: Column, k: int) -> Column:
-    """Fold a SORTED position array into disjoint merged intervals
-    [s, e) where each position contributes [pos, pos+k)."""
-    return F.aggregate(
-        pos_list,
-        F.array().cast(_IV),
-        lambda acc, p: F.when(
-            (F.size(acc) > 0) & (p <= F.element_at(acc, -1)["e"]),
-            F.concat(
-                F.slice(acc, F.lit(1), F.size(acc) - 1),
-                F.array(
-                    F.struct(
-                        F.element_at(acc, -1)["s"].alias("s"),
-                        F.greatest(F.element_at(acc, -1)["e"], p + k).cast("int").alias("e"),
-                    )
-                ),
-            ),
-        ).otherwise(
-            F.concat(
-                acc, F.array(F.struct(p.cast("int").alias("s"), (p + k).cast("int").alias("e")))
-            )
-        ),
+    marked = dup.withColumn(
+        "__ng", F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    )
+    grp = marked.withColumn(
+        "__gid", F.sum("__ng").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return grp.groupBy("__id", "__gid").agg(
+        F.min("pos").cast("int").alias("s"),
+        (F.max("pos") + k).cast("int").alias("e"),
     )
 
 
@@ -140,16 +147,10 @@ def duplicate_span_stats(
     non-canonical spans, overlaps merged) and ``dup_frac`` — the
     contamination dashboard before deciding to strip."""
     dup = duplicate_windows(df, text_col, id_col, k, anchor_mod)
-    per_doc = dup.groupBy("__id").agg(F.sort_array(F.collect_list("pos")).alias("__ps"))
-    iv = per_doc.select(
-        "__id", _merged_intervals(F.col("__ps"), k).alias("__iv")
-    ).select(
-        "__id",
-        F.aggregate(
-            F.col("__iv"), F.lit(0), lambda a, x: a + (x["e"] - x["s"])
-        ).alias("dup_chars"),
+    per_doc = _interval_rows(dup, k).groupBy("__id").agg(
+        F.sum(F.col("e") - F.col("s")).alias("dup_chars")
     )
-    return df.join(iv, on=[F.col(id_col) == F.col("__id")], how="left").select(
+    return df.join(per_doc, on=[F.col(id_col) == F.col("__id")], how="left").select(
         *df.columns,
         F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
         (
@@ -170,8 +171,9 @@ def strip_duplicate_spans(
     string rather than disappearing — dropping rows is the caller's
     policy call."""
     dup = duplicate_windows(df, text_col, id_col, k, anchor_mod)
-    per_doc = dup.groupBy("__id").agg(F.sort_array(F.collect_list("pos")).alias("__ps"))
-    iv = per_doc.select("__id", _merged_intervals(F.col("__ps"), k).alias("__iv"))
+    iv = _interval_rows(dup, k).groupBy("__id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("__iv")
+    )
     joined = df.join(iv, on=[F.col(id_col) == F.col("__id")], how="left")
     t = F.col(text_col)
     # fold intervals into (kept-so-far, cursor); finish with the tail.

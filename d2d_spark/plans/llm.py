@@ -882,9 +882,15 @@ _SQL_WTOKS = (
     best AS (SELECT doc_id, label AS predicted, logprior + s AS score,
                     ROW_NUMBER() OVER (PARTITION BY doc_id
                                        ORDER BY logprior + s DESC, label) AS rn
-             FROM scored)
-    SELECT d.doc_id, d.lang, b.predicted, round(b.score, 6) AS logscore6
-    FROM documents d JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+             FROM scored),
+    fallback AS (SELECT label AS fb_label, logprior AS fb_score
+                 FROM meta ORDER BY logprior DESC, label LIMIT 1)
+    SELECT d.doc_id, d.lang,
+           coalesce(b.predicted, f.fb_label) AS predicted,
+           round(coalesce(b.score, f.fb_score), 6) AS logscore6
+    FROM documents d
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+    CROSS JOIN fallback f
     """,
     tags=("llm", "classifier", "naive-bayes", "lang-id"),
 )
@@ -898,7 +904,10 @@ def nb_langid_documents(spark, sf_dir):
     and hash-checked, including the exact-decimal score itself.
     Fixture texts are same-vocabulary word soup, so predictions hug
     the priors — the CHECK is that two independent engines fit and
-    apply the identical model bit-for-bit."""
+    apply the identical model bit-for-bit. Zero-token documents take
+    the majority-prior label on BOTH sides (the oracle's LEFT JOIN +
+    fallback mirrors classify_self's coalesce), so a fixture regen
+    with empty/punctuation-only texts can't desync the row counts."""
     from d2d_spark.operators.classifier import classify_self
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")

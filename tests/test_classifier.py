@@ -22,7 +22,9 @@ def _toy(spark):
         rows.append((i, "apple banana cherry fruit salad apple", "fruit"))
     for i in range(30, 60):
         rows.append((i, "bolt wrench gear piston engine bolt", "machine"))
-    # held-out-ish rows: same vocabularies, fewer tokens
+    # held-out-ish rows: same vocabularies, fewer tokens; one per
+    # label keeps the class priors EXACTLY tied (31 vs 31) so the
+    # zero-token test exercises the lexicographic tie-break for real
     rows.append((100, "apple banana", "fruit"))
     rows.append((101, "gear piston", "machine"))
     return spark.createDataFrame(rows, ["doc_id", "text", "label"])
@@ -56,15 +58,20 @@ def test_deterministic_under_repartitioning(spark):
 
 
 def test_zero_token_doc_gets_prior_label(spark):
+    # add one zero-token doc per label: priors stay tied 32 vs 32, so
+    # the prior fallback must break the tie to the lexicographically
+    # smallest label for BOTH rows
     d = _toy(spark).union(
-        spark.createDataFrame([(200, "???!!!...", "fruit")], ["doc_id", "text", "label"])
+        spark.createDataFrame(
+            [(200, "???!!!...", "fruit"), (201, "...!!!", "machine")],
+            ["doc_id", "text", "label"],
+        )
     )
     out = classify_self(d, "text", "label", "doc_id")
-    row = out.filter(F.col("doc_id") == 200).collect()[0]
-    # 31 fruit vs 31 machine docs -> tied priors, tie breaks to the
-    # lexicographically smallest label
-    assert row["predicted"] == "fruit"
-    assert row["logscore"] is not None
+    rows = {r.doc_id: r for r in out.filter(F.col("doc_id") >= 200).collect()}
+    assert rows[200]["predicted"] == "fruit"
+    assert rows[201]["predicted"] == "fruit"
+    assert rows[200]["logscore"] is not None
 
 
 def test_model_size_bounded_by_vocab(spark):
