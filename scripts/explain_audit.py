@@ -56,6 +56,9 @@ def main() -> int:
         "perplexity_filter_documents",   # LM must broadcast into the gram probe
         "token_budget_mix",      # pure filter/explode mix: no join at all
         "pack_and_concat",       # mapInPandas packing: ArrowEval, no Python UDF
+        "nb_langid_documents",   # model must broadcast into the token probe
+        "duplicate_span_strip_documents",  # one window-hash shuffle, id equi-join back
+        "url_normalize_documents",         # pure codegen over the scan: no join/shuffle
     ]
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     problems = []
