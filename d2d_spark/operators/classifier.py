@@ -298,3 +298,136 @@ def classify_self(
         F.coalesce(F.col(out_col), F.lit(prior_lab)).alias(out_col),
         F.coalesce(F.col(score_col), F.lit(prior_score)).alias(score_col),
     )
+
+
+def nb_quality_score(
+    df: DataFrame,
+    good_seed: DataFrame,
+    text_col: str,
+    id_col: str,
+    contrast_fraction: float = 1.0,
+    vocab_size: int = 100_000,
+    min_count: int = 1,
+    alpha: float = 1.0,
+    seed: int = 0,
+    out_col: str = "quality_prob",
+    per_token: bool = True,
+) -> DataFrame:
+    """GPT-3-style quality scoring: train a binary classifier to tell
+    a trusted reference corpus ("good") from the raw corpus itself,
+    then score every raw document with the probability it looks like
+    the reference (Brown et al. 2020 §A; they used a logistic
+    classifier over hashed features — here the NB fit, same
+    discriminative use).
+
+    The negative class is a deterministic ``contrast_fraction`` hash
+    sample of ``df`` (no labeling needed: raw data IS the background
+    class). The appended ``out_col`` is the class log-odds squashed
+    through a sigmoid — in (0, 1), monotone in "looks like the seed
+    corpus". ``per_token=True`` (default) normalizes the odds by
+    token count: length-invariant, right for thresholding and
+    analysis. ``per_token=False`` keeps document-level odds — scores
+    saturate toward 0/1 like GPT-3's logistic classifier, which is
+    what the published Pareto keep rule is calibrated against
+    (`nb_quality_filter` uses this form). Documents with no tokens
+    score from the priors alone.
+    """
+    import math
+
+    from d2d_spark.operators.sampling import hash_sample
+
+    train = good_seed.select(
+        F.col(text_col).alias("__text"), F.lit("good").alias("__label")
+    ).unionByName(
+        hash_sample(df, id_col, contrast_fraction, seed).select(
+            F.col(text_col).alias("__text"), F.lit("raw").alias("__label")
+        )
+    )
+    model = train_nb_classifier(
+        train, "__text", "__label", vocab_size=vocab_size, min_count=min_count, alpha=alpha
+    )
+    rows = model.collect()
+    meta = {r["label"]: r for r in rows if r["token"] == _META_TOKEN}
+    if set(meta) != {"good", "raw"}:
+        raise ValueError(f"expected labels good/raw, got {sorted(meta)}")
+    ll: dict[str, tuple] = {}
+    for r in rows:
+        if r["token"] == _META_TOKEN:
+            continue
+        g, w = ll.get(r["token"], (None, None))
+        if r["label"] == "good":
+            ll[r["token"]] = (r["loglik"], w)
+        else:
+            ll[r["token"]] = (g, r["loglik"])
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("token", T.StringType()),
+            T.StructField("__llg", T.DoubleType()),
+            T.StructField("__llr", T.DoubleType()),
+        ]
+    )
+    wide = df.sparkSession.createDataFrame([(t, *v) for t, v in ll.items()], schema)
+    floor_g = float(meta["good"]["floor"])
+    floor_r = float(meta["raw"]["floor"])
+    prior_margin = float(meta["good"]["logprior"]) - float(meta["raw"]["logprior"])
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_tokens(F.col(text_col))).alias("token"),
+    )
+    margins = (
+        toks.join(F.broadcast(wide), on="token", how="left")
+        .groupBy("__id")
+        .agg(
+            (
+                F.sum(
+                    (
+                        F.coalesce("__llg", F.lit(floor_g))
+                        - F.coalesce("__llr", F.lit(floor_r))
+                    ).cast("decimal(28,14)")
+                ).cast("double")
+                / (F.count(F.lit(1)) if per_token else F.lit(1.0))
+            ).alias("__margin")
+        )
+    )
+    # sigmoid of (per-token margin + prior margin); zero-token docs
+    # fall back to the prior margin alone
+    m = F.coalesce(F.col("__margin"), F.lit(0.0)) + F.lit(prior_margin)
+    return df.join(margins, on=[F.col(id_col) == F.col("__id")], how="left").select(
+        *df.columns, (F.lit(1.0) / (F.lit(1.0) + F.exp(-m))).alias(out_col)
+    )
+
+
+def nb_quality_filter(
+    df: DataFrame,
+    good_seed: DataFrame,
+    text_col: str,
+    id_col: str,
+    pareto_alpha: float = 9.0,
+    seed: int = 0,
+    **score_kw,
+) -> DataFrame:
+    """The GPT-3 keep rule on top of `nb_quality_score`: a document
+    survives iff ``pareto(alpha) > 1 - score`` — high scorers almost
+    always kept, low scorers kept with tail probability, preserving
+    some distributional diversity instead of a hard threshold. The
+    score is the DOCUMENT-level (not per-token) class probability:
+    like the GPT-3 classifier the rule was published for, it
+    saturates toward 0/1, so good documents keep at near-certainty
+    and the Pareto tail only governs the rejects. The draw is
+    derandomized through the hash-bucket primitive
+    (P(keep | score) = (2 - score)^-alpha exactly), so the kept set
+    is reproducible per (id, seed)."""
+    from d2d_spark.operators.sampling import _BUCKETS, hash_bucket
+
+    if pareto_alpha <= 0:
+        raise ValueError(f"pareto_alpha must be positive, got {pareto_alpha}")
+    scored = nb_quality_score(
+        df, good_seed, text_col, id_col, seed=seed, per_token=False, **score_kw
+    )
+    p_keep = F.pow(F.lit(2.0) - F.col("quality_prob"), F.lit(-float(pareto_alpha)))
+    return scored.filter(
+        hash_bucket(F.col(id_col), seed + 1) < p_keep * F.lit(_BUCKETS)
+    ).select(*df.columns, "quality_prob")

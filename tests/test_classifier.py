@@ -93,3 +93,58 @@ def test_unseen_tokens_score_floor_not_crash(spark):
     test = spark.createDataFrame([(9, "zz qq ww", "?")], ["doc_id", "text", "label"])
     out = classify(test, model, "text", "doc_id").collect()[0]
     assert out["predicted"] in ("x", "y")
+
+
+# -- GPT-3-style quality scoring/filtering ----------------------------
+def _quality_corpora(spark):
+    good = spark.createDataFrame(
+        [(i, "the house stood beside the river and light came through the trees")
+         for i in range(40)],
+        ["doc_id", "text"],
+    )
+    raw_rows = [
+        (i, "the house stood beside the river and light came through the trees")
+        for i in range(20)
+    ] + [
+        (100 + i, "buy cheap pills now click here winner casino bonus offer deal")
+        for i in range(20)
+    ]
+    raw = spark.createDataFrame(raw_rows, ["doc_id", "text"])
+    return good, raw
+
+
+def test_quality_score_separates_seedlike_from_spam(spark):
+    from d2d_spark.operators.classifier import nb_quality_score
+
+    good, raw = _quality_corpora(spark)
+    out = {r.doc_id: r.quality_prob for r in
+           nb_quality_score(raw, good, "text", "doc_id").collect()}
+    seedlike = [out[i] for i in range(20)]
+    spam = [out[100 + i] for i in range(20)]
+    assert min(seedlike) > max(spam)
+    assert all(0.0 < v < 1.0 for v in out.values())
+
+
+def test_quality_filter_prefers_seedlike_and_is_deterministic(spark):
+    from d2d_spark.operators.classifier import nb_quality_filter
+
+    good, raw = _quality_corpora(spark)
+    kept1 = {r.doc_id for r in nb_quality_filter(raw, good, "text", "doc_id").collect()}
+    kept2 = {r.doc_id for r in nb_quality_filter(raw, good, "text", "doc_id").collect()}
+    assert kept1 == kept2
+    n_seedlike = sum(1 for i in kept1 if i < 100)
+    n_spam = len(kept1) - n_seedlike
+    assert n_seedlike > n_spam
+    # Pareto tail: spam is suppressed hard but the rule is not a
+    # cliff — P(keep) is (2 - score)^-9 >= 2^-9 > 0, so no assertion
+    # that spam count is zero
+
+
+def test_quality_score_zero_token_doc_gets_prior(spark):
+    from d2d_spark.operators.classifier import nb_quality_score
+
+    good, raw = _quality_corpora(spark)
+    raw2 = raw.union(spark.createDataFrame([(999, "!!!")], ["doc_id", "text"]))
+    out = {r.doc_id: r.quality_prob for r in
+           nb_quality_score(raw2, good, "text", "doc_id").collect()}
+    assert out[999] is not None and 0.0 < out[999] < 1.0
