@@ -375,3 +375,51 @@ def concat_bins(
     if tokens_col is not None:
         aggs.append(F.sum(tokens_col).alias("n_tokens"))
     return df.groupBy(bin_col).agg(*aggs)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_chars: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split long documents into fixed-size windows with ``overlap``
+    carried between consecutive chunks — the other half of sequence
+    prep: `pack_documents` joins short documents up to the context
+    budget, this cuts long ones down to it. One row per chunk with
+    ``chunk_index`` (0-based) and the original columns; empty/NULL
+    text yields a single chunk so no document silently disappears.
+
+    Pure Column explode: chunk starts are a `sequence`, the cut is
+    `substr`. Chunk count per document is ceil(len / stride), so the
+    explode is linear in corpus size; positional substr re-scans the
+    row's string per chunk, quadratic only in CHUNKS per document
+    (len/stride of them), which for real context budgets (thousands
+    of chars) is a handful per document.
+    """
+    if max_chars <= 0:
+        raise ValueError(f"max_chars must be positive, got {max_chars}")
+    if not 0 <= overlap < max_chars:
+        raise ValueError(f"overlap must be in [0, max_chars), got {overlap}")
+    stride = max_chars - overlap
+    t = F.col(text_col)
+    n = F.coalesce(F.length(t), F.lit(0))
+    # last start must introduce at least one NEW char (not just replay
+    # the previous chunk's overlap), hence the n - overlap - 1 bound
+    starts = F.sequence(F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(stride))
+    chunk = F.explode(
+        F.transform(
+            starts,
+            lambda s: F.struct(
+                (s / stride).cast("int").alias("chunk_index"),
+                t.substr(s + 1, F.lit(max_chars)).alias("__chunk"),
+            ),
+        )
+    )
+    out_cols = [c for c in df.columns if c != text_col]
+    return df.select(*out_cols, chunk.alias("__c")).select(
+        *out_cols,
+        F.col("__c.chunk_index").alias("chunk_index"),
+        F.col("__c.__chunk").alias(text_col),
+    )

@@ -138,6 +138,48 @@ def sync_with_mode(
     return q
 
 
+def _local_path(p: str) -> str | None:
+    """Local filesystem path for ``p``, or None when it lives on a
+    filesystem os.path cannot probe (hdfs://, s3a://, ...) — guards
+    using this are best-effort there rather than misfiring: treating a
+    URI string as a relative path would call a legitimately resumed
+    'file:/ckpt' checkpoint fresh and refuse a valid run."""
+    from urllib.parse import urlparse
+
+    scheme = urlparse(p).scheme
+    if scheme in ("", "file"):
+        return urlparse(p).path if scheme else p
+    return None
+
+
+def _refuse_fresh_checkpoint_on_used_target(
+    name: str, checkpoint_path: str, target_path: str
+) -> None:
+    """ONE checkpoint lifetime per target: batch ids are assigned by
+    the checkpoint, so a deleted/rebuilt checkpoint restarts them at 0
+    and would silently overwrite historical ``batch_id=N`` partitions
+    while later ones survive — duplicates and lost provenance."""
+    import os
+
+    ckpt_local, target_local = _local_path(checkpoint_path), _local_path(target_path)
+    checkpoint_is_fresh = ckpt_local is not None and not os.path.isdir(
+        os.path.join(ckpt_local, "offsets")
+    )
+    target_has_batches = (
+        target_local is not None
+        and os.path.isdir(target_local)
+        and any(n.startswith("batch_id=") for n in os.listdir(target_local))
+    )
+    if checkpoint_is_fresh and target_has_batches:
+        raise ValueError(
+            f"{name}: checkpoint {checkpoint_path!r} is fresh but "
+            f"target {target_path!r} already holds batch_id= partitions from "
+            "a previous checkpoint lifetime. Restarting batch ids at 0 would "
+            "silently overwrite historical batches. Use a new target_path, "
+            "restore the original checkpoint, or clear the target first."
+        )
+
+
 def stream_dedup_sink(
     df: DataFrame,
     store,
@@ -173,41 +215,105 @@ def stream_dedup_sink(
     therefore refused; point the new checkpoint at a new target (or
     clear the old target deliberately).
     """
-    import os as _os
-    from urllib.parse import urlparse as _urlparse
-
-    def _local(p: str) -> str | None:
-        """Local filesystem path for ``p``, or None when it lives on a
-        filesystem os.path cannot probe (hdfs://, s3a://, ...) — the
-        guard is best-effort there rather than misfiring: treating a
-        URI string as a relative path would call a legitimately
-        resumed 'file:/ckpt' checkpoint fresh and refuse a valid run."""
-        scheme = _urlparse(p).scheme
-        if scheme in ("", "file"):
-            return _urlparse(p).path if scheme else p
-        return None
-
-    ckpt_local, target_local = _local(checkpoint_path), _local(target_path)
-    checkpoint_is_fresh = ckpt_local is not None and not _os.path.isdir(
-        _os.path.join(ckpt_local, "offsets")
+    _refuse_fresh_checkpoint_on_used_target(
+        "stream_dedup_sink", checkpoint_path, target_path
     )
-    target_has_batches = target_local is not None and _os.path.isdir(target_local) and any(
-        name.startswith("batch_id=") for name in _os.listdir(target_local)
-    )
-    if checkpoint_is_fresh and target_has_batches:
-        raise ValueError(
-            f"stream_dedup_sink: checkpoint {checkpoint_path!r} is fresh but "
-            f"target {target_path!r} already holds batch_id= partitions from "
-            "a previous checkpoint lifetime. Restarting batch ids at 0 would "
-            "silently overwrite historical batches. Use a new target_path, "
-            "restore the original checkpoint, or clear the target first."
-        )
+
+    import os
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         kept = store.dedup_batch(batch_df, text_col, id_col)
         kept.write.mode("overwrite").format(fmt).save(
-            _os.path.join(target_path, f"batch_id={batch_id}")
+            os.path.join(target_path, f"batch_id={batch_id}")
         )
+
+    q = (
+        df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def stream_bloom_dedup_sink(
+    df: DataFrame,
+    key_col: str,
+    state_dir: str,
+    target_path: str,
+    checkpoint_path: str,
+    expected_items: int,
+    fpp: float = 0.01,
+    fmt: str = "parquet",
+):
+    """Streaming exact seen-set dedup: each micro-batch drops keys the
+    persisted Bloom filter has ever accepted, writes the survivors to
+    ``target_path/batch_id=N``, and persists the updated filter. The
+    zero-shuffle sibling of `stream_dedup_sink` (which answers
+    NEAR-duplicate questions via the signature store): one broadcast
+    bitmap probe per batch, no join against a key store, ~``fpp`` of
+    genuinely-new keys sacrificed.
+
+    Replay-tolerant by construction: the filter state is persisted
+    KEYED BY BATCH ID (``state_after_batch_N.bloom``), and batch N
+    always loads the newest state with id < N — a replayed batch
+    re-reads its original pre-state and re-derives the identical
+    survivor set, then overwrites both its data partition and its
+    state file with identical bytes. (Folding survivors into a single
+    mutable state file would make a replayed batch see its own keys
+    as seen and silently emit nothing.) Old state files are the
+    provenance trail; prune them like any checkpoint retention.
+
+    Same ONE-checkpoint-lifetime-per-target contract as
+    `stream_dedup_sink` (fresh checkpoint against a used target is
+    refused)."""
+    import os
+    import re
+
+    from d2d_spark.operators.bloom import BloomFilter, build_bloom, filter_seen
+
+    _refuse_fresh_checkpoint_on_used_target(
+        "stream_bloom_dedup_sink", checkpoint_path, target_path
+    )
+    os.makedirs(state_dir, exist_ok=True)
+    pat = re.compile(r"^state_after_batch_(\d+)\.bloom$")
+
+    def _load_before(batch_id: int) -> "BloomFilter | None":
+        best = None
+        for name in os.listdir(state_dir):
+            m = pat.match(name)
+            if m and int(m.group(1)) < batch_id:
+                best = max(best, int(m.group(1))) if best is not None else int(m.group(1))
+        if best is None:
+            return None
+        with open(os.path.join(state_dir, f"state_after_batch_{best}.bloom"), "rb") as f:
+            return BloomFilter.from_bytes(f.read())
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        import numpy as np
+
+        prior = _load_before(batch_id)
+        if prior is None:
+            num_bits, k = BloomFilter.sizing(expected_items, fpp)
+            prior = BloomFilter(num_bits, k, np.zeros(num_bits // 8, dtype=np.uint8))
+        fresh = filter_seen(batch_df, prior, key_col)
+        fresh.persist()
+        try:
+            fresh.write.mode("overwrite").format(fmt).save(
+                os.path.join(target_path, f"batch_id={batch_id}")
+            )
+            add = build_bloom(fresh, key_col, expected_items, fpp)
+            updated = prior.union(add)
+            # stage-then-rename: a crash mid-write leaves no truncated
+            # state file for the next batch to load
+            final = os.path.join(state_dir, f"state_after_batch_{batch_id}.bloom")
+            tmp = final + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(updated.to_bytes())
+            os.replace(tmp, final)
+        finally:
+            fresh.unpersist()
 
     q = (
         df.writeStream.foreachBatch(handle)

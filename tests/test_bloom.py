@@ -92,3 +92,64 @@ def test_null_keys_hash_consistently(spark):
     df = spark.createDataFrame([(None,), ("a",), (None,)], ["k"])
     bf = build_bloom(df, "k", expected_items=100)
     assert filter_seen(df, bf, "k").count() == 0
+
+
+def test_stream_bloom_dedup_sink_end_to_end(spark, tmp_path):
+    """Two file drops with overlapping keys: the second batch's
+    overlap is dropped against the persisted filter; a simulated
+    replay of a batch re-derives its original survivors from the
+    pre-state instead of seeing its own keys as seen."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from d2d_spark.streaming.filestream import file_stream, stream_bloom_dedup_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    target = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType([T.StructField("k", T.StringType())])
+
+    _keys(spark, 0, 300).write.mode("overwrite").parquet(str(src / "drop1"))
+    stream = file_stream(spark, str(src) + "/*", schema)
+    stream_bloom_dedup_sink(stream, "k", state, target, ckpt, expected_items=10_000)
+    got1 = {r.k for r in spark.read.parquet(target).collect()}
+    assert got1 == {f"key_{i}" for i in range(300)}
+
+    # second drop overlaps 100..299 — only 300..499 survive
+    _keys(spark, 100, 500).write.mode("overwrite").parquet(str(src / "drop2"))
+    stream = file_stream(spark, str(src) + "/*", schema)
+    stream_bloom_dedup_sink(stream, "k", state, target, ckpt, expected_items=10_000)
+    got = {r.k for r in spark.read.parquet(target).collect()}
+    missing_new = {f"key_{i}" for i in range(300, 500)} - got
+    assert len(missing_new) <= 200 * 0.03  # fp-dropped headroom only
+    assert len(got) == len(got1) + (200 - len(missing_new))
+    assert len({f for f in os.listdir(state) if f.endswith(".bloom")}) >= 2
+
+    # replay: the latest batch's data partition rewritten from the SAME
+    # pre-state must be byte-identical survivors, not an empty set
+    batches = sorted(
+        int(d.split("=")[1]) for d in os.listdir(target) if d.startswith("batch_id=")
+    )
+    last = batches[-1]
+    before = {
+        r.k for r in spark.read.parquet(os.path.join(target, f"batch_id={last}")).collect()
+    }
+    assert before  # the batch that carried drop2's survivors
+    import re as _re
+
+    from d2d_spark.operators.bloom import BloomFilter, filter_seen
+
+    pat = _re.compile(r"state_after_batch_(\d+)\.bloom$")
+    prior_ids = [
+        int(pat.match(f).group(1))
+        for f in os.listdir(state)
+        if pat.match(f) and int(pat.match(f).group(1)) < last
+    ]
+    with open(os.path.join(state, f"state_after_batch_{max(prior_ids)}.bloom"), "rb") as f:
+        prior = BloomFilter.from_bytes(f.read())
+    replay_input = _keys(spark, 100, 500)
+    replayed = {r.k for r in filter_seen(replay_input, prior, "k").collect()}
+    assert replayed == before

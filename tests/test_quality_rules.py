@@ -94,3 +94,32 @@ def test_cap_per_key_quota_and_determinism(spark, sf_dir):
         for r in cap_per_key(d.repartition(9), "source", 20).select("doc_id").collect()
     }
     assert a == b
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from d2d_spark.operators.sampling import chunk_documents
+
+    d = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "xy"), (3, ""), (4, None)], ["doc_id", "text"]
+    )
+    out = chunk_documents(d, "text", "doc_id", max_chars=4, overlap=1)
+    rows = {(r.doc_id, r.chunk_index): r.text for r in out.collect()}
+    assert rows[(1, 0)] == "abcd" and rows[(1, 1)] == "defg" and rows[(1, 2)] == "ghij"
+    assert (1, 3) not in rows  # trailing overlap-only chunk suppressed
+    assert rows[(2, 0)] == "xy" and rows[(3, 0)] == "" and rows[(4, 0)] is None
+    # stitched chunks (dropping each chunk's leading overlap) recover
+    # the original text exactly
+    stitched = rows[(1, 0)] + rows[(1, 1)][1:] + rows[(1, 2)][1:]
+    assert stitched == "abcdefghij"
+
+
+def test_chunk_documents_validates_args(spark):
+    from d2d_spark.operators.sampling import chunk_documents
+
+    d = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    for bad in ((0, 0), (4, 4), (4, -1)):
+        try:
+            chunk_documents(d, "text", "doc_id", max_chars=bad[0], overlap=bad[1])
+            assert False, bad
+        except ValueError:
+            pass
