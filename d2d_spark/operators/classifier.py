@@ -278,7 +278,9 @@ def classify_self(
         F.col(label_col).alias("label"),
         F.explode(word_tokens(F.col(text_col))).alias("token"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    toks.count()  # fill before the train/score branches race on it
+    # no eager fill: the model collect (first consumer) materializes
+    # the cache; the scoring job reuses it — consumers are sequential
+    # jobs, so there is no concurrent-first-computation race to guard
 
     # no checkpoint: _score_token_frame collects the bounded model in
     # one job, which IS the materialization point for the fit

@@ -184,7 +184,10 @@ def perplexity_self_score(
         F.col(id_col).alias("__id"),
         F.explode(_char_grams(_normalize(F.col(text_col)), n)).alias("gram"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    grams.count()  # fill before the counts/score branches race on it
+    # no eager fill: the cache's consumers are SEQUENTIAL jobs (the lm
+    # checkpoint materializes it, the scoring job reuses it), so the
+    # concurrent-first-computation race minhash guards against cannot
+    # happen here and an extra count() job would be pure overhead
     counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__c"))
     prefix = counts.groupBy(F.substring("gram", 1, n - 1).alias("__p")).agg(
         F.sum("__c").alias("__pc")
