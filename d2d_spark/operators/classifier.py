@@ -333,20 +333,40 @@ def nb_quality_score(
     what the published Pareto keep rule is calibrated against
     (`nb_quality_filter` uses this form). Documents with no tokens
     score from the priors alone.
+
+    The raw corpus tokenizes exactly ONCE: the (id, token) explode
+    persists and feeds both the raw-class training pairs (filtered to
+    the contrast sample) and the scoring join — the same
+    shared-explode discipline as `classify_self`.
     """
-    import math
+    from pyspark import StorageLevel
 
-    from d2d_spark.operators.sampling import hash_sample
+    from d2d_spark.operators.sampling import _BUCKETS, hash_bucket
 
-    train = good_seed.select(
-        F.col(text_col).alias("__text"), F.lit("good").alias("__label")
-    ).unionByName(
-        hash_sample(df, id_col, contrast_fraction, seed).select(
-            F.col(text_col).alias("__text"), F.lit("raw").alias("__label")
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_tokens(F.col(text_col))).alias("token"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    threshold = int(round(contrast_fraction * _BUCKETS))
+    raw_pairs = toks.filter(hash_bucket(F.col("__id"), seed) < threshold).select(
+        F.lit("raw").alias("label"), "token"
+    )
+    good_pairs = good_seed.select(
+        F.lit("good").alias("label"),
+        F.explode(word_tokens(F.col(text_col))).alias("token"),
+    )
+    # per-label DOC counts for the priors: seed docs + sampled raw docs
+    label_rows = good_seed.select(F.lit("good").alias("label")).unionByName(
+        df.filter(hash_bucket(F.col(id_col), seed) < threshold).select(
+            F.lit("raw").alias("label")
         )
     )
-    model = train_nb_classifier(
-        train, "__text", "__label", vocab_size=vocab_size, min_count=min_count, alpha=alpha
+    model = _fit(
+        good_pairs.unionByName(raw_pairs),
+        label_rows.groupBy("label"),
+        vocab_size,
+        min_count,
+        alpha,
     )
     rows = model.collect()
     meta = {r["label"]: r for r in rows if r["token"] == _META_TOKEN}
@@ -375,10 +395,6 @@ def nb_quality_score(
     floor_r = float(meta["raw"]["floor"])
     prior_margin = float(meta["good"]["logprior"]) - float(meta["raw"]["logprior"])
 
-    toks = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(word_tokens(F.col(text_col))).alias("token"),
-    )
     margins = (
         toks.join(F.broadcast(wide), on="token", how="left")
         .groupBy("__id")
@@ -394,6 +410,10 @@ def nb_quality_score(
             ).alias("__margin")
         )
     )
+    # pin the per-doc margins, then release the token cache — the
+    # caller's action must not recompute the explode from a dead cache
+    margins = margins.localCheckpoint(eager=True)
+    toks.unpersist()
     # sigmoid of (per-token margin + prior margin); zero-token docs
     # fall back to the prior margin alone
     m = F.coalesce(F.col("__margin"), F.lit(0.0)) + F.lit(prior_margin)
@@ -408,8 +428,12 @@ def nb_quality_filter(
     text_col: str,
     id_col: str,
     pareto_alpha: float = 9.0,
+    contrast_fraction: float = 1.0,
+    vocab_size: int = 100_000,
+    min_count: int = 1,
+    alpha: float = 1.0,
     seed: int = 0,
-    **score_kw,
+    out_col: str = "quality_prob",
 ) -> DataFrame:
     """The GPT-3 keep rule on top of `nb_quality_score`: a document
     survives iff ``pareto(alpha) > 1 - score`` — high scorers almost
@@ -427,9 +451,19 @@ def nb_quality_filter(
     if pareto_alpha <= 0:
         raise ValueError(f"pareto_alpha must be positive, got {pareto_alpha}")
     scored = nb_quality_score(
-        df, good_seed, text_col, id_col, seed=seed, per_token=False, **score_kw
+        df,
+        good_seed,
+        text_col,
+        id_col,
+        contrast_fraction=contrast_fraction,
+        vocab_size=vocab_size,
+        min_count=min_count,
+        alpha=alpha,
+        seed=seed,
+        out_col=out_col,
+        per_token=False,
     )
-    p_keep = F.pow(F.lit(2.0) - F.col("quality_prob"), F.lit(-float(pareto_alpha)))
+    p_keep = F.pow(F.lit(2.0) - F.col(out_col), F.lit(-float(pareto_alpha)))
     return scored.filter(
         hash_bucket(F.col(id_col), seed + 1) < p_keep * F.lit(_BUCKETS)
-    ).select(*df.columns, "quality_prob")
+    ).select(*df.columns, out_col)

@@ -411,8 +411,8 @@ def chunk_documents(
     chunk = F.explode(
         F.transform(
             starts,
-            lambda s: F.struct(
-                (s / stride).cast("int").alias("chunk_index"),
+            lambda s, i: F.struct(
+                i.alias("chunk_index"),
                 t.substr(s + 1, F.lit(max_chars)).alias("__chunk"),
             ),
         )

@@ -271,40 +271,81 @@ def stream_bloom_dedup_sink(
     import os
     import re
 
-    from d2d_spark.operators.bloom import BloomFilter, build_bloom, filter_seen
+    from d2d_spark.operators.bloom import (
+        BloomFilter,
+        bloom_dedup_incremental,
+    )
+    from d2d_spark.operators.sampling import cap_per_key
 
     _refuse_fresh_checkpoint_on_used_target(
         "stream_bloom_dedup_sink", checkpoint_path, target_path
     )
     os.makedirs(state_dir, exist_ok=True)
     pat = re.compile(r"^state_after_batch_(\d+)\.bloom$")
+    state_ids = [
+        int(pat.match(n).group(1)) for n in os.listdir(state_dir) if pat.match(n)
+    ]
+    # the filter state and the checkpoint must share a lifetime, same
+    # as the target: a fresh checkpoint over old state would overwrite
+    # state_after_batch_0 and erase the seen-set; a resumed checkpoint
+    # over a wiped state_dir would silently re-admit every seen key
+    ckpt_local = _local_path(checkpoint_path)
+    checkpoint_is_fresh = ckpt_local is not None and not os.path.isdir(
+        os.path.join(ckpt_local, "offsets")
+    )
+    if checkpoint_is_fresh and state_ids:
+        raise ValueError(
+            f"stream_bloom_dedup_sink: checkpoint {checkpoint_path!r} is fresh "
+            f"but state_dir {state_dir!r} already holds filter state from a "
+            "previous checkpoint lifetime. Use a fresh state_dir with the "
+            "fresh checkpoint (and a fresh target), or restore the original "
+            "checkpoint."
+        )
+    if ckpt_local is not None and not checkpoint_is_fresh and not state_ids:
+        raise ValueError(
+            f"stream_bloom_dedup_sink: checkpoint {checkpoint_path!r} is "
+            f"resuming but state_dir {state_dir!r} has no filter state — "
+            "every historically-seen key would be re-admitted. Restore the "
+            "state files or start over with a fresh checkpoint AND target."
+        )
 
     def _load_before(batch_id: int) -> "BloomFilter | None":
-        best = None
-        for name in os.listdir(state_dir):
-            m = pat.match(name)
-            if m and int(m.group(1)) < batch_id:
-                best = max(best, int(m.group(1))) if best is not None else int(m.group(1))
-        if best is None:
+        # re-list per batch: earlier batches of THIS run add state too
+        prior_ids = [
+            int(pat.match(n).group(1))
+            for n in os.listdir(state_dir)
+            if pat.match(n) and int(pat.match(n).group(1)) < batch_id
+        ]
+        if not prior_ids:
             return None
+        best = max(prior_ids)
         with open(os.path.join(state_dir, f"state_after_batch_{best}.bloom"), "rb") as f:
             return BloomFilter.from_bytes(f.read())
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        import numpy as np
-
         prior = _load_before(batch_id)
-        if prior is None:
-            num_bits, k = BloomFilter.sizing(expected_items, fpp)
-            prior = BloomFilter(num_bits, k, np.zeros(num_bits // 8, dtype=np.uint8))
-        fresh = filter_seen(batch_df, prior, key_col)
-        fresh.persist()
+        if prior is not None:
+            # fail BEFORE writing the data partition if the sizing no
+            # longer matches the persisted state
+            if (prior.num_bits, prior.num_hashes) != BloomFilter.sizing(
+                expected_items, fpp
+            ):
+                raise ValueError(
+                    "stream_bloom_dedup_sink: expected_items/fpp changed "
+                    "between runs — rebuild the seen-set state from history "
+                    "instead of mixing filter shapes"
+                )
+        # in-batch dedup first (deterministic winner per key): the
+        # prior filter only knows EARLIER batches, so same-batch
+        # duplicates would otherwise all survive
+        unique = cap_per_key(batch_df, key_col, max_rows=1)
+        fresh, updated = bloom_dedup_incremental(
+            unique, key_col, prior, expected_items, fpp
+        )
         try:
             fresh.write.mode("overwrite").format(fmt).save(
                 os.path.join(target_path, f"batch_id={batch_id}")
             )
-            add = build_bloom(fresh, key_col, expected_items, fpp)
-            updated = prior.union(add)
             # stage-then-rename: a crash mid-write leaves no truncated
             # state file for the next batch to load
             final = os.path.join(state_dir, f"state_after_batch_{batch_id}.bloom")

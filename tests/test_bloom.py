@@ -153,3 +153,51 @@ def test_stream_bloom_dedup_sink_end_to_end(spark, tmp_path):
     replay_input = _keys(spark, 100, 500)
     replayed = {r.k for r in filter_seen(replay_input, prior, "k").collect()}
     assert replayed == before
+
+
+def test_stream_bloom_sink_in_batch_dedup_and_lifetime_guards(spark, tmp_path):
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from d2d_spark.streaming.filestream import file_stream, stream_bloom_dedup_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    target = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType([T.StructField("k", T.StringType())])
+
+    # one drop containing each key TWICE: in-batch dedup must keep one
+    dupes = _keys(spark, 0, 100).union(_keys(spark, 0, 100))
+    dupes.write.mode("overwrite").parquet(str(src / "drop1"))
+    stream = file_stream(spark, str(src) + "/*", schema)
+    stream_bloom_dedup_sink(stream, "k", state, target, ckpt, expected_items=10_000)
+    rows = [r.k for r in spark.read.parquet(target).collect()]
+    assert sorted(rows) == sorted({f"key_{i}" for i in range(100)})
+
+    # resumed checkpoint + wiped state: refused (seen keys would leak)
+    for f in os.listdir(state):
+        os.remove(os.path.join(state, f))
+    stream = file_stream(spark, str(src) + "/*", schema)
+    try:
+        stream_bloom_dedup_sink(stream, "k", state, target, ckpt, expected_items=10_000)
+        assert False, "resumed checkpoint without state must refuse"
+    except ValueError as e:
+        assert "no filter state" in str(e)
+
+    # fresh checkpoint + surviving state: refused
+    state2 = str(tmp_path / "state2")
+    os.makedirs(state2)
+    with open(os.path.join(state2, "state_after_batch_0.bloom"), "wb") as f:
+        f.write(b"D2DBLOOMxxxx")
+    shutil.rmtree(ckpt)
+    target2 = str(tmp_path / "out2")
+    stream = file_stream(spark, str(src) + "/*", schema)
+    try:
+        stream_bloom_dedup_sink(stream, "k", state2, target2, ckpt, expected_items=10_000)
+        assert False, "fresh checkpoint over old state must refuse"
+    except ValueError as e:
+        assert "previous checkpoint lifetime" in str(e)
