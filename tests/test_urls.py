@@ -68,3 +68,30 @@ def test_url_host(spark):
     rows = df.select("i", url_host(F.col("u")).alias("h")).orderBy("i").collect()
     assert rows[0].h == "news.example.org"
     assert rows[1].h == ""
+
+
+def test_fuzz_idempotence_and_totality(spark):
+    """Random URL-ish strings assembled from hostile components: the
+    normalizer must be total (never NULL on non-NULL input) and
+    idempotent, and url_host must agree with the host embedded in the
+    normalized form."""
+    import random
+
+    rng = random.Random(20260814)
+    schemes = ["http", "HTTP", "https", "ftp", "", "ht!tp"]
+    hosts = ["Example.com", "WWW.site.ORG", "a.b.c", "x", "127.0.0.1", ""]
+    ports = ["", ":80", ":443", ":8080", ":0", ":"]
+    paths = ["", "/", "/a/b", "/a//b///", "/%20x", "/a/b/"]
+    queries = ["", "?", "?a=1", "?utm_source=x", "?b=2&a=1&a=0", "?fbclid=1&z",
+               "?==&&a", "?a=1&utm_x=2&REF=3"]
+    frags = ["", "#", "#frag", "#a?b=1"]
+    urls = []
+    for _ in range(300):
+        u = (rng.choice(schemes) + "://" if rng.random() < 0.8 else "") + rng.choice(
+            hosts
+        ) + rng.choice(ports) + rng.choice(paths) + rng.choice(queries) + rng.choice(frags)
+        urls.append(u)
+    once = _norm(spark, urls)
+    assert all(v is not None for v in once)
+    twice = _norm(spark, once)
+    assert once == twice
