@@ -73,13 +73,13 @@ def train_nb_classifier(
         F.col(label_col).alias("label"),
         F.explode(word_tokens(F.col(text_col))).alias("token"),
     )
-    return _fit(pairs, df.groupBy(F.col(label_col).alias("label")),
+    return _fit(pairs, df.select(F.col(label_col).alias("label")),
                 vocab_size, min_count, alpha)
 
 
 def _fit(
     pairs: DataFrame,
-    doc_groups,
+    labeled_docs: DataFrame,
     vocab_size: int,
     min_count: int,
     alpha: float,
@@ -87,7 +87,8 @@ def _fit(
     """The shared fit over a (label, token) pair frame: count
     aggregates, bounded vocabulary, smoothed likelihoods, priors and
     floors — used by both `train_nb_classifier` (fresh explode) and
-    `classify_self` (cached explode).
+    `classify_self` (cached explode). ``labeled_docs`` is one row per
+    training document with a ``label`` column (the priors' numerator).
 
     The two scalars the math needs — |vocab| and the total document
     count — ride the dataflow (a broadcastable one-row count and a
@@ -112,7 +113,9 @@ def _fit(
     totals = kept.groupBy("label").agg(F.sum("__c").alias("__tot")).crossJoin(
         F.broadcast(vcount)
     )
-    doc_counts = doc_groups.agg(F.count(F.lit(1)).alias("__docs")).withColumn(
+    doc_counts = labeled_docs.groupBy("label").agg(
+        F.count(F.lit(1)).alias("__docs")
+    ).withColumn(
         "__ndocs", F.sum("__docs").over(Window.partitionBy())
     )
     denom = F.col("__tot") + F.lit(alpha) * F.col("__v")
@@ -172,16 +175,12 @@ def classify(
     )
 
 
-def _score_token_frame(
-    toks: DataFrame, model: DataFrame, out_col: str, score_col: str
-) -> tuple[DataFrame, str, float]:
-    """Score a pre-exploded (__id, token) frame. The model is BOUNDED
-    by construction (<= vocab_size * n_labels + n_labels rows), so it
-    collects in ONE job and the pivoted broadcast side is built
-    driver-side — no checkpoint job, no distributed pivot, no separate
-    meta collect; the scoring plan is exactly one broadcast join and
-    one per-doc aggregate. Shared by `classify` and `classify_self`
-    so the self-scoring path can reuse its cached token explode."""
+def _collect_model(model: DataFrame, spark) -> tuple[list, dict, dict, DataFrame]:
+    """Collect the (bounded-by-construction) model in ONE job and
+    build the pivoted broadcast side driver-side: (sorted labels,
+    prior, floor, wide frame with one loglik column per label —
+    None, not NaN, for absent pairs so coalesce() applies the
+    floor). Shared by the argmax scorer and the quality scorer."""
     from pyspark.sql import types as T
 
     rows = model.collect()
@@ -192,9 +191,6 @@ def _score_token_frame(
     idx = {lab: i for i, lab in enumerate(labels)}
     prior = {r["label"]: float(r["logprior"]) for r in meta_rows}
     floor = {r["label"]: float(r["floor"]) for r in meta_rows}
-
-    # one row per token, a loglik column per label; None (not NaN)
-    # for absent (token, label) pairs so coalesce() applies the floor
     ll: dict[str, list] = {}
     for r in rows:
         if r["token"] == _META_TOKEN:
@@ -204,8 +200,21 @@ def _score_token_frame(
         [T.StructField("token", T.StringType())]
         + [T.StructField(f"__ll_{i}", T.DoubleType()) for i in range(len(labels))]
     )
-    spark = toks.sparkSession
     wide = spark.createDataFrame([(t, *v) for t, v in ll.items()], schema)
+    return labels, prior, floor, wide
+
+
+def _score_token_frame(
+    toks: DataFrame, model: DataFrame, out_col: str, score_col: str
+) -> tuple[DataFrame, str, float]:
+    """Score a pre-exploded (__id, token) frame. The model is BOUNDED
+    by construction (<= vocab_size * n_labels + n_labels rows), so it
+    collects in ONE job and the pivoted broadcast side is built
+    driver-side — no checkpoint job, no distributed pivot, no separate
+    meta collect; the scoring plan is exactly one broadcast join and
+    one per-doc aggregate. Shared by `classify` and `classify_self`
+    so the self-scoring path can reuse its cached token explode."""
+    labels, prior, floor, wide = _collect_model(model, toks.sparkSession)
 
     joined = toks.select("__id", "token").join(F.broadcast(wide), on="token", how="left")
     sums = joined.groupBy("__id").agg(
@@ -286,7 +295,7 @@ def classify_self(
     # one job, which IS the materialization point for the fit
     model = _fit(
         toks.select("label", "token"),
-        df.groupBy(F.col(label_col).alias("label")),
+        df.select(F.col(label_col).alias("label")),
         vocab_size,
         min_count,
         alpha,
@@ -363,37 +372,16 @@ def nb_quality_score(
     )
     model = _fit(
         good_pairs.unionByName(raw_pairs),
-        label_rows.groupBy("label"),
+        label_rows,
         vocab_size,
         min_count,
         alpha,
     )
-    rows = model.collect()
-    meta = {r["label"]: r for r in rows if r["token"] == _META_TOKEN}
-    if set(meta) != {"good", "raw"}:
-        raise ValueError(f"expected labels good/raw, got {sorted(meta)}")
-    ll: dict[str, tuple] = {}
-    for r in rows:
-        if r["token"] == _META_TOKEN:
-            continue
-        g, w = ll.get(r["token"], (None, None))
-        if r["label"] == "good":
-            ll[r["token"]] = (r["loglik"], w)
-        else:
-            ll[r["token"]] = (g, r["loglik"])
-    from pyspark.sql import types as T
-
-    schema = T.StructType(
-        [
-            T.StructField("token", T.StringType()),
-            T.StructField("__llg", T.DoubleType()),
-            T.StructField("__llr", T.DoubleType()),
-        ]
-    )
-    wide = df.sparkSession.createDataFrame([(t, *v) for t, v in ll.items()], schema)
-    floor_g = float(meta["good"]["floor"])
-    floor_r = float(meta["raw"]["floor"])
-    prior_margin = float(meta["good"]["logprior"]) - float(meta["raw"]["logprior"])
+    labels, prior, floor, wide = _collect_model(model, df.sparkSession)
+    if labels != ["good", "raw"]:
+        raise ValueError(f"expected labels good/raw, got {labels}")
+    # labels are sorted, so __ll_0 = good, __ll_1 = raw
+    prior_margin = prior["good"] - prior["raw"]
 
     margins = (
         toks.join(F.broadcast(wide), on="token", how="left")
@@ -402,8 +390,8 @@ def nb_quality_score(
             (
                 F.sum(
                     (
-                        F.coalesce("__llg", F.lit(floor_g))
-                        - F.coalesce("__llr", F.lit(floor_r))
+                        F.coalesce("__ll_0", F.lit(floor["good"]))
+                        - F.coalesce("__ll_1", F.lit(floor["raw"]))
                     ).cast("decimal(28,14)")
                 ).cast("double")
                 / (F.count(F.lit(1)) if per_token else F.lit(1.0))
