@@ -2,9 +2,11 @@
 
 from d2d_spark.sources.base import Connector, Sink, Source, WRITE_MODES
 from d2d_spark.sources.files import (
+    AvroConnector,
     CsvConnector,
     FileConnector,
     JsonlConnector,
+    OrcConnector,
     ParquetConnector,
     TxtConnector,
 )
@@ -26,6 +28,8 @@ __all__ = [
     "CsvConnector",
     "TxtConnector",
     "JsonlConnector",
+    "OrcConnector",
+    "AvroConnector",
     "ParquetConnector",
     "MemoryConnector",
     "kv_pairs",

@@ -171,3 +171,40 @@ class JsonlConnector(FileConnector):
 
     fmt = "json"
     ext = ".jsonl"
+
+
+class OrcConnector(FileConnector):
+    """ORC (no reference counterpart — warehouse-interop extension).
+    Columnar like parquet: predicate pushdown, column pruning and
+    stripe-level statistics all apply, so it slots into the same
+    scan-heavy plans without a penalty at scale."""
+
+    fmt = "orc"
+    ext = ".orc"
+
+
+class AvroConnector(FileConnector):
+    """Avro (row-oriented interop format, common as a Kafka/ingest
+    landing format). The `spark-avro` datasource is a separate module
+    not bundled with every distribution — construction probes for it
+    and raises a clear gate error when absent rather than failing
+    deep inside a job with a ClassNotFoundException."""
+
+    fmt = "avro"
+    ext = ".avro"
+
+    def __init__(self, root: str, spark: SparkSession | None = None, **options: str):
+        super().__init__(root, spark, **options)
+        # the registration, not the class, is what's missing when the
+        # module isn't deployed — ask Spark's own datasource resolver
+        jvm = self.spark.sparkContext._jvm
+        try:
+            jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+                "avro", self.spark._jsparkSession.sessionState().conf()
+            )
+        except Exception:
+            raise NotImplementedError(
+                "the spark-avro module is not on the classpath; submit with "
+                "--packages org.apache.spark:spark-avro_2.13:<spark-version> "
+                "to enable the Avro connector"
+            ) from None

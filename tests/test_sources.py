@@ -15,9 +15,11 @@ from pyspark.sql import Row, functions as F
 
 from d2d_spark.session import read_table
 from d2d_spark.sources import (
+    AvroConnector,
     CsvConnector,
     JsonlConnector,
     MemoryConnector,
+    OrcConnector,
     ParquetConnector,
     SqlFileConnector,
     TxtConnector,
@@ -47,7 +49,7 @@ def _sorted_rows(df, key="n_nationkey"):
 # --- file formats ----------------------------------------------------
 
 
-@pytest.mark.parametrize("cls", [CsvConnector, JsonlConnector, ParquetConnector])
+@pytest.mark.parametrize("cls", [CsvConnector, JsonlConnector, ParquetConnector, OrcConnector])
 def test_file_roundtrip(spark, sf_dir, tmpdir, cls):
     conn = cls(str(tmpdir), spark)
     df = _nation(spark, sf_dir)
@@ -59,6 +61,20 @@ def test_file_roundtrip(spark, sf_dir, tmpdir, cls):
     got = {r.n_nationkey: r.n_name for r in back.collect()}
     want = {r.n_nationkey: r.n_name for r in df.collect()}
     assert got == want
+
+
+def test_avro_gate_or_roundtrip(spark, sf_dir, tmpdir):
+    # spark-avro is a separate module; when absent the connector must
+    # refuse at construction with a clear gate error, when present it
+    # must behave like any other file connector
+    try:
+        conn = AvroConnector(str(tmpdir), spark)
+    except NotImplementedError as e:
+        assert "spark-avro" in str(e)
+        return
+    df = _nation(spark, sf_dir)
+    conn.write(df, "nation")
+    assert _sorted_rows(conn.read("nation")) == _sorted_rows(df)
 
 
 def test_txt_sep_roundtrip(spark, sf_dir, tmpdir):
