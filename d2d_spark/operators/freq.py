@@ -1,0 +1,139 @@
+"""Frequency estimation over unbounded key spaces — count-min sketch
+and heavy hitters.
+
+Corpus curation keeps asking "how often does this token / n-gram /
+domain occur?" at cardinalities where an exact `groupBy` answer is
+itself a large table (trillions of distinct n-grams at 100 TB). The
+count-min sketch (Cormode & Muthukrishnan 2005) bounds the state at
+``depth * width`` counters regardless of input cardinality, at the
+cost of one-sided error: estimates only ever OVERcount, by at most
+``N / width`` with probability ``1 - 2^-depth`` (N = total items).
+
+Everything is DataFrame algebra — the sketch IS a DataFrame of
+``(row, bucket, c)`` counters:
+
+  build  — one projection computes all ``depth`` bucket ids per item
+           (pure xxhash64 Columns), one explode, one groupBy over a
+           key space bounded by depth*width. Map-side partial
+           aggregation absorbs item skew; the shuffle moves at most
+           depth*width*partitions rows however big the corpus is.
+  merge  — union + re-sum: counters are linear, so sketches built on
+           different corpora/days combine exactly (same mergeability
+           contract as the KLL/HLL sketches in operators/agg.py).
+  lookup — explode the probe items the same way, broadcast-join the
+           sketch, take min over the depth rows per item.
+
+`heavy_hitters` stays EXACT: Spark's hash aggregate does map-side
+combine, so top-k-by-count is one uniform shuffle of the distinct
+keys and a TakeOrdered — the right tool whenever the distinct-key
+table fits a shuffle at all. Reach for the sketch when it doesn't.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: counter-table shape guard: a sketch wider than this is almost
+#: certainly a mis-keyed call (the POINT is bounded state)
+_MAX_COUNTERS = 50_000_000
+
+
+def _bucketed(df: DataFrame, col: str, depth: int, width: int) -> DataFrame:
+    """(row, bucket) pairs for every item under the depth independent
+    hash functions — xxhash64 seeded by the row index. NULL items are
+    dropped (they are absence, not a countable key)."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(width)).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(F.explode(pairs).alias("rb"))
+        .select(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    )
+
+
+def _check_shape(depth: int, width: int) -> None:
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth and width must be >= 1, got depth={depth} width={width}")
+    if depth * width > _MAX_COUNTERS:
+        raise ValueError(
+            f"depth*width = {depth * width} counters exceeds {_MAX_COUNTERS}; "
+            "a count-min sketch this large defeats its purpose — lower width "
+            "or use an exact groupBy, which Spark handles at that scale"
+        )
+
+
+def cms_build(df: DataFrame, col: str, depth: int = 4, width: int = 8192) -> DataFrame:
+    """Build the sketch: a DataFrame of (row, bucket, c) with at most
+    depth*width rows. Deterministic for a given (col, depth, width) —
+    the hash seeds are the row indexes, so independently-built
+    sketches over the same data are identical and mergeable with any
+    other sketch built with the same shape."""
+    _check_shape(depth, width)
+    return (
+        _bucketed(df, col, depth, width)
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Combine sketches built with the SAME (depth, width): counters
+    are linear, so union + re-sum equals the sketch of the combined
+    input exactly (tests pin this)."""
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("c").alias("c"))
+
+
+def cms_lookup(
+    sketch: DataFrame, items: DataFrame, col: str, depth: int = 4, width: int = 8192
+) -> DataFrame:
+    """Estimated count per distinct probe item: min over the depth
+    counter rows. The sketch is bounded by construction, so it
+    broadcasts; the probe is one map-side join + one per-item min.
+    Estimates are >= the true count, never under."""
+    _check_shape(depth, width)
+    probes = items.filter(F.col(col).isNotNull()).select(col).distinct()
+    bucketed = probes.select(
+        F.col(col),
+        *[
+            F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(width)).alias(f"__b{i}")
+            for i in range(depth)
+        ],
+    )
+    out = bucketed
+    for i in range(depth):
+        row_i = F.broadcast(
+            sketch.filter(F.col("row") == i).select(
+                F.col("bucket").alias(f"__b{i}"), F.col("c").alias(f"__c{i}")
+            )
+        )
+        out = out.join(row_i, on=f"__b{i}", how="left")
+    # an empty counter row means the bucket was never touched: 0
+    est = F.least(*[F.coalesce(F.col(f"__c{i}"), F.lit(0)) for i in range(depth)])
+    return out.select(F.col(col), est.alias("est_count"))
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
+    """EXACT top-k items by count — map-side combine + TakeOrdered;
+    ties break by item text so the cut is deterministic. Scales as
+    long as the distinct-key table shuffles at all; beyond that,
+    estimate with cms_build/cms_lookup over a candidate set."""
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col(col))
+        .limit(k)
+    )

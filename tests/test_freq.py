@@ -1,0 +1,98 @@
+"""Count-min sketch + exact heavy hitters (operators/freq.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from d2d_spark.operators.freq import cms_build, cms_lookup, cms_merge, heavy_hitters
+
+DEPTH, WIDTH = 4, 1024
+
+
+def _zipfish(spark, n_heavy=5, heavy_count=200, n_tail=400):
+    """A few very frequent tokens + a long unique tail."""
+    rows = []
+    for h in range(n_heavy):
+        rows += [(f"heavy_{h}",)] * heavy_count
+    rows += [(f"tail_{i}",) for i in range(n_tail)]
+    return spark.createDataFrame(rows, "tok string").repartition(8)
+
+
+def _true_counts(df):
+    return {r["tok"]: r["cnt"] for r in df.groupBy("tok").agg(F.count("*").alias("cnt")).collect()}
+
+
+def test_cms_never_undercounts_and_bounds_error(spark):
+    df = _zipfish(spark)
+    sk = cms_build(df, "tok", DEPTH, WIDTH)
+    est = {
+        r["tok"]: r["est_count"]
+        for r in cms_lookup(sk, df, "tok", DEPTH, WIDTH).collect()
+    }
+    true = _true_counts(df)
+    n_total = sum(true.values())
+    assert set(est) == set(true)
+    for tok, c in true.items():
+        assert est[tok] >= c, f"{tok} undercounted"
+        # CM bound: overflow <= 2N/width with prob 1 - 2^-depth per
+        # item; assert the generous deterministic envelope instead of
+        # the probabilistic one so the test can't flake
+        assert est[tok] - c <= 4 * n_total / WIDTH
+
+
+def test_cms_heavy_items_near_exact(spark):
+    df = _zipfish(spark)
+    sk = cms_build(df, "tok", DEPTH, WIDTH)
+    heavy = spark.createDataFrame([(f"heavy_{h}",) for h in range(5)], "tok string")
+    est = {r["tok"]: r["est_count"] for r in cms_lookup(sk, heavy, "tok", DEPTH, WIDTH).collect()}
+    for h in range(5):
+        assert 200 <= est[f"heavy_{h}"] <= 200 + 10
+
+
+def test_cms_sketch_bounded_and_deterministic(spark):
+    df = _zipfish(spark)
+    sk = cms_build(df, "tok", DEPTH, WIDTH)
+    assert sk.count() <= DEPTH * WIDTH
+    a = sorted(map(tuple, sk.collect()))
+    b = sorted(map(tuple, cms_build(df.repartition(3), "tok", DEPTH, WIDTH).collect()))
+    assert a == b
+
+
+def test_cms_merge_equals_combined_build(spark):
+    df = _zipfish(spark)
+    first = df.filter(F.xxhash64("tok") % 2 == 0)
+    second = df.filter(F.xxhash64("tok") % 2 != 0)
+    merged = cms_merge(
+        cms_build(first, "tok", DEPTH, WIDTH), cms_build(second, "tok", DEPTH, WIDTH)
+    )
+    combined = cms_build(df, "tok", DEPTH, WIDTH)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, combined.collect()))
+
+
+def test_cms_unseen_item_small_and_null_dropped(spark):
+    df = _zipfish(spark)
+    sk = cms_build(df.withColumn("tok", F.when(F.col("tok") == "tail_0", None).otherwise(F.col("tok"))), "tok", DEPTH, WIDTH)
+    probe = spark.createDataFrame([("never_seen",), (None,)], "tok string")
+    rows = cms_lookup(sk, probe, "tok", DEPTH, WIDTH).collect()
+    assert len(rows) == 1  # NULL probe dropped
+    n_total = _zipfish(spark).count()
+    assert 0 <= rows[0]["est_count"] <= 4 * n_total / WIDTH
+
+
+def test_cms_shape_validation(spark):
+    df = _zipfish(spark, n_heavy=1, heavy_count=1, n_tail=1)
+    with pytest.raises(ValueError, match="counters exceeds"):
+        cms_build(df, "tok", depth=100, width=10_000_000)
+    with pytest.raises(ValueError, match=">= 1"):
+        cms_build(df, "tok", depth=0, width=16)
+
+
+def test_heavy_hitters_exact_and_deterministic(spark):
+    df = _zipfish(spark)
+    top = heavy_hitters(df, "tok", k=6).collect()
+    assert [r["tok"] for r in top[:5]] == [f"heavy_{h}" for h in range(5)]
+    assert all(r["cnt"] == 200 for r in top[:5])
+    # the 6th row is the lexicographically smallest tail token (all
+    # tail counts tie at 1)
+    assert top[5]["tok"] == "tail_0" and top[5]["cnt"] == 1
