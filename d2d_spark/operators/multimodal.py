@@ -7,6 +7,10 @@ clearly-marked deterministic STUB (`_fake_decode`) — the Spark-side
 contract (schema, batch shape, partitioning, UDF signature) is real
 and tested, and swapping in PIL/torchaudio later changes only the
 kernel body.
+
+`sniff_image_metadata` is NOT a stub: PNG/GIF/BMP/JPEG dimensions
+live in the container headers and parse with stdlib byte reads — the
+size/aspect/format filter pass over a media corpus needs no codec.
 """
 
 from __future__ import annotations
@@ -106,6 +110,88 @@ def resize_payload(
                     "resized": resized,
                     "out_width": target_w,
                     "out_height": target_h,
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(kernel, out_schema)
+
+
+def _image_dims(payload: bytes) -> tuple[str | None, int | None, int | None]:
+    """REAL (not stubbed) image-header sniffing: container format and
+    pixel dimensions from the first bytes of PNG / GIF / BMP / JPEG
+    payloads, stdlib-only — dimension metadata never needs a codec.
+    Unknown or truncated payloads return NULLs (bad media is a row to
+    filter downstream, not a job-killer)."""
+    try:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+            return (
+                "png",
+                int.from_bytes(payload[16:20], "big"),
+                int.from_bytes(payload[20:24], "big"),
+            )
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return (
+                "gif",
+                int.from_bytes(payload[6:8], "little"),
+                int.from_bytes(payload[8:10], "little"),
+            )
+        if payload[:2] == b"BM" and len(payload) >= 26:
+            return (
+                "bmp",
+                int.from_bytes(payload[18:22], "little", signed=True),
+                abs(int.from_bytes(payload[22:26], "little", signed=True)),
+            )
+        if payload[:2] == b"\xff\xd8":
+            # walk JPEG segments to the first SOF marker (C0-CF minus
+            # the non-frame C4/C8/CC): height/width sit 5 bytes in
+            i = 2
+            while i + 9 < len(payload):
+                if payload[i] != 0xFF:
+                    break
+                marker = payload[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    return (
+                        "jpeg",
+                        int.from_bytes(payload[i + 7 : i + 9], "big"),
+                        int.from_bytes(payload[i + 5 : i + 7], "big"),
+                    )
+                i += 2 + seg_len
+    except (IndexError, ValueError):
+        pass
+    return (None, None, None)
+
+
+METADATA_SCHEMA_FIELDS = [
+    T.StructField("format", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_bytes", T.IntegerType()),
+]
+
+
+def sniff_image_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Typed metadata from raw image bytes — the first real pass over
+    an ingested media corpus (size/aspect filters, format composition
+    stats) and the one that needs NO codec. Arrow-batched map-only
+    kernel; unknown formats surface as NULL rows to filter, never
+    errors. Unlike `decode_features`' stub kernel, this parses the
+    actual container headers."""
+    out_schema = T.StructType([df.schema[id_col]] + METADATA_SCHEMA_FIELDS)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [_image_dims(p or b"") for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "format": pd.array([d[0] for d in dims], dtype="string"),
+                    "width": pd.array([d[1] for d in dims], dtype="Int32"),
+                    "height": pd.array([d[2] for d in dims], dtype="Int32"),
+                    "n_bytes": [len(p or b"") for p in pdf["payload"]],
                 }
             )
 

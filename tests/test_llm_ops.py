@@ -114,6 +114,69 @@ def test_multimodal_decode_runs_in_batches(spark, sf_dir):
     assert all(1 <= r.fake_width <= 640 for r in rows)
 
 
+def _png(w, h):
+    import struct
+    import zlib as _z
+
+    ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", _z.crc32(chunk))
+    )
+
+
+def _gif(w, h):
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00" * 6
+
+
+def _bmp(w, h):
+    return (
+        b"BM"
+        + b"\x00" * 16
+        + w.to_bytes(4, "little")
+        + (-h).to_bytes(4, "little", signed=True)  # top-down BMPs store negative height
+        + b"\x00" * 12
+    )
+
+
+def _jpeg(w, h):
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 3) + b"\x00" * 3
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_image_metadata_sniffing_real_headers(spark):
+    """`sniff_image_metadata` parses ACTUAL container headers (no
+    codec, no stub): hand-built PNG/GIF/BMP/JPEG byte streams must
+    yield their true format and dimensions; garbage, truncated and
+    empty payloads yield NULLs instead of failing the job."""
+    from d2d_spark.operators.multimodal import sniff_image_metadata
+
+    payloads = [
+        (1, _png(640, 480)),
+        (2, _gif(13, 7)),
+        (3, _bmp(800, 600)),
+        (4, _jpeg(1920, 1080)),
+        (5, b"not an image at all"),
+        (6, b"\x89PNG\r\n\x1a"),  # truncated magic
+        (7, b""),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary").repartition(3)
+    got = {r["doc_id"]: (r["format"], r["width"], r["height"], r["n_bytes"]) for r in sniff_image_metadata(df).collect()}
+    assert got[1] == ("png", 640, 480, len(_png(640, 480)))
+    assert got[2] == ("gif", 13, 7, len(_gif(13, 7)))
+    assert got[3] == ("bmp", 800, 600, len(_bmp(800, 600)))
+    assert got[4] == ("jpeg", 1920, 1080, len(_jpeg(1920, 1080)))
+    for bad in (5, 6, 7):
+        assert got[bad][:3] == (None, None, None)
+    assert got[7][3] == 0
+
+
 def test_exact_dedup_operator(spark, sf_dir):
     from d2d_spark.operators.dedup import exact_dedup
     from d2d_spark.session import read_table
