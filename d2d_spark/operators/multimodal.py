@@ -198,6 +198,67 @@ def sniff_image_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(kernel, out_schema)
 
 
+def _wav_meta(payload: bytes) -> tuple[int | None, int | None, int | None, float | None]:
+    """(channels, sample_rate, bits_per_sample, seconds) from a
+    RIFF/WAVE header — like image dims, audio bookkeeping metadata
+    parses with stdlib byte reads, no codec. NULLs for anything that
+    isn't a WAV or is truncated."""
+    try:
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            return (None, None, None, None)
+        i = 12
+        channels = rate = bits = None
+        data_size = None
+        while i + 8 <= len(payload):
+            cid = payload[i : i + 4]
+            size = int.from_bytes(payload[i + 4 : i + 8], "little")
+            if cid == b"fmt " and i + 24 <= len(payload):
+                channels = int.from_bytes(payload[i + 10 : i + 12], "little")
+                rate = int.from_bytes(payload[i + 12 : i + 16], "little")
+                bits = int.from_bytes(payload[i + 22 : i + 24], "little")
+            elif cid == b"data":
+                data_size = size
+            i += 8 + size + (size & 1)  # chunks are word-aligned
+        if channels and rate and bits and data_size is not None:
+            seconds = data_size / (rate * channels * (bits // 8))
+            return (channels, rate, bits, seconds)
+    except (IndexError, ValueError, ZeroDivisionError):
+        pass
+    return (None, None, None, None)
+
+
+AUDIO_SCHEMA_FIELDS = [
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("bits_per_sample", T.IntegerType()),
+    T.StructField("seconds", T.DoubleType()),
+    T.StructField("n_bytes", T.IntegerType()),
+]
+
+
+def sniff_audio_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """WAV bookkeeping metadata (duration/rate/channel filters over an
+    audio corpus) straight from the RIFF header — real, codec-free,
+    Arrow-batched, map-only. Non-WAV payloads yield NULL rows."""
+    out_schema = T.StructType([df.schema[id_col]] + AUDIO_SCHEMA_FIELDS)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [_wav_meta(p or b"") for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "channels": pd.array([m[0] for m in metas], dtype="Int32"),
+                    "sample_rate": pd.array([m[1] for m in metas], dtype="Int32"),
+                    "bits_per_sample": pd.array([m[2] for m in metas], dtype="Int32"),
+                    "seconds": pd.array([m[3] for m in metas], dtype="Float64"),
+                    "n_bytes": [len(p or b"") for p in pdf["payload"]],
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(kernel, out_schema)
+
+
 def sample_frames(df: DataFrame, text_col: str = "text", every: int = 16) -> DataFrame:
     """Frame-sampling analog: take every `every`-th "pixel" (character
     code) as a frame array — pure columnar expression, no Python."""

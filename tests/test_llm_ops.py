@@ -177,6 +177,38 @@ def test_image_metadata_sniffing_real_headers(spark):
     assert got[7][3] == 0
 
 
+def test_audio_metadata_sniffing_wav_headers(spark):
+    from d2d_spark.operators.multimodal import sniff_audio_metadata
+
+    def _wav(channels, rate, bits, n_samples):
+        import io
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(bits // 8)
+            w.setframerate(rate)
+            w.writeframes(b"\x00" * (n_samples * channels * (bits // 8)))
+        return buf.getvalue()
+
+    payloads = [
+        (1, _wav(1, 16000, 16, 16000)),  # 1 second mono
+        (2, _wav(2, 44100, 16, 44100 * 3)),  # 3 seconds stereo
+        (3, b"RIFF\x00\x00\x00\x00AVI "),  # RIFF but not WAVE
+        (4, b"junk"),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary").repartition(2)
+    got = {
+        r["doc_id"]: (r["channels"], r["sample_rate"], r["bits_per_sample"], r["seconds"])
+        for r in sniff_audio_metadata(df).collect()
+    }
+    assert got[1] == (1, 16000, 16, 1.0)
+    assert got[2] == (2, 44100, 16, 3.0)
+    assert got[3] == (None, None, None, None)
+    assert got[4] == (None, None, None, None)
+
+
 def test_exact_dedup_operator(spark, sf_dir):
     from d2d_spark.operators.dedup import exact_dedup
     from d2d_spark.session import read_table
