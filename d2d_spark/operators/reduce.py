@@ -75,7 +75,13 @@ def _partial_moment_rows(df: DataFrame, vec_col: str) -> list:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            try:
+                X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            except ValueError as e:
+                raise ValueError(
+                    f"fit_pca: ragged or non-numeric vectors in {vec_col!r} "
+                    "— all embeddings must share one dimensionality"
+                ) from e
             n += X.shape[0]
             bx = X.sum(axis=0)
             bxx = X.T @ X
@@ -98,6 +104,13 @@ def fit_pca(df: DataFrame, vec_col: str, k: int) -> PcaModel:
     if not rows:
         raise ValueError("fit_pca: input has no vectors")
     d = len(rows[0]["sx"])
+    # a dimension mismatch ACROSS partitions surfaces here (within a
+    # partition the moment kernel raises the same error)
+    if any(len(r["sx"]) != d for r in rows):
+        raise ValueError(
+            f"fit_pca: ragged vectors in {vec_col!r} — partitions disagree on "
+            "dimensionality; all embeddings must share one width"
+        )
     if not 1 <= k <= d:
         raise ValueError(f"k must be in [1, {d}], got {k}")
     n = sum(r["n"] for r in rows)

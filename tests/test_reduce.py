@@ -88,6 +88,11 @@ def test_pca_validation(spark):
         fit_pca(df, "emb", k=33)
     with pytest.raises(ValueError, match="no vectors"):
         fit_pca(df.filter(F.col("id") < 0), "emb", k=2)
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0, 2.0, 3.0])], "id long, emb array<float>"
+    )
+    with pytest.raises(Exception, match="ragged"):
+        fit_pca(ragged, "emb", k=1)
 
 
 def test_random_projection_jl_distances(spark):
