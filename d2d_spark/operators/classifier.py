@@ -279,7 +279,10 @@ def classify_self(
     the corpus tokenizes exactly ONCE: the (id, label, token) explode
     persists and feeds both the count aggregates and the scoring join,
     halving the dominant cost — the same shared-explode optimization
-    as `ngram_lm.perplexity_self_score`."""
+    as `ngram_lm.perplexity_self_score`, including its cache policy:
+    the explode stays cached (CacheManager reuses it across repeated
+    identical calls; distinct corpora accumulate disk blocks until
+    ``spark.catalog.clearCache()``)."""
     from pyspark import StorageLevel
 
     toks = df.select(
@@ -303,7 +306,6 @@ def classify_self(
 
     scored, prior_lab, prior_score = _score_token_frame(toks, model, out_col, score_col)
     scored = scored.localCheckpoint(eager=True)
-    toks.unpersist()
     return df.join(scored, on=[F.col(id_col) == F.col("__id")], how="left").select(
         *df.columns,
         F.coalesce(F.col(out_col), F.lit(prior_lab)).alias(out_col),
@@ -398,10 +400,9 @@ def nb_quality_score(
             ).alias("__margin")
         )
     )
-    # pin the per-doc margins, then release the token cache — the
-    # caller's action must not recompute the explode from a dead cache
+    # pin the per-doc margins; the token cache stays registered so a
+    # repeated identical call reuses it (classify_self's cache policy)
     margins = margins.localCheckpoint(eager=True)
-    toks.unpersist()
     # sigmoid of (per-token margin + prior margin); zero-token docs
     # fall back to the prior margin alone
     m = F.coalesce(F.col("__margin"), F.lit(0.0)) + F.lit(prior_margin)

