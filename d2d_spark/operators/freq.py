@@ -7,7 +7,9 @@ itself a large table (trillions of distinct n-grams at 100 TB). The
 count-min sketch (Cormode & Muthukrishnan 2005) bounds the state at
 ``depth * width`` counters regardless of input cardinality, at the
 cost of one-sided error: estimates only ever OVERcount, by at most
-``N / width`` with probability ``1 - 2^-depth`` (N = total items).
+``2N / width`` with probability ``1 - 2^-depth`` (N = total items;
+the Markov bound per row is 2N/width at probability 1/2, made
+exponentially unlikely by taking the min over ``depth`` rows).
 
 Everything is DataFrame algebra — the sketch IS a DataFrame of
 ``(row, bucket, c)`` counters:
@@ -70,30 +72,50 @@ def _check_shape(depth: int, width: int) -> None:
         )
 
 
+def _shape_meta(depth: int, width: int) -> dict:
+    return {"cms_depth": depth, "cms_width": width}
+
+
+def _shape_of(sketch: DataFrame) -> tuple[int, int] | None:
+    """(depth, width) stamped on the counter column at build time, or
+    None for a sketch frame from an external source."""
+    meta = sketch.schema["c"].metadata or {}
+    if "cms_depth" in meta and "cms_width" in meta:
+        return int(meta["cms_depth"]), int(meta["cms_width"])
+    return None
+
+
 def cms_build(df: DataFrame, col: str, depth: int = 4, width: int = 8192) -> DataFrame:
     """Build the sketch: a DataFrame of (row, bucket, c) with at most
     depth*width rows. Deterministic for a given (col, depth, width) —
     the hash seeds are the row indexes, so independently-built
     sketches over the same data are identical and mergeable with any
-    other sketch built with the same shape."""
+    other sketch built with the same shape. The shape is stamped on
+    the counter column's metadata so a mismatched lookup/merge fails
+    loudly instead of silently under-counting."""
     _check_shape(depth, width)
     return (
         _bucketed(df, col, depth, width)
         .groupBy("row", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.count(F.lit(1)).alias("c", metadata=_shape_meta(depth, width)))
     )
 
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:
     """Combine sketches built with the SAME (depth, width): counters
     are linear, so union + re-sum equals the sketch of the combined
-    input exactly (tests pin this)."""
+    input exactly (tests pin this). Sketches carrying mismatched
+    shape stamps refuse to merge — the result would be garbage."""
     if not sketches:
         raise ValueError("cms_merge needs at least one sketch")
+    shapes = {s for s in map(_shape_of, sketches) if s is not None}
+    if len(shapes) > 1:
+        raise ValueError(f"cms_merge: sketches have different shapes {sorted(shapes)}")
+    meta = _shape_meta(*shapes.pop()) if shapes else None
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("row", "bucket").agg(F.sum("c").alias("c"))
+    return out.groupBy("row", "bucket").agg(F.sum("c").alias("c", metadata=meta))
 
 
 def cms_lookup(
@@ -102,8 +124,18 @@ def cms_lookup(
     """Estimated count per distinct probe item: min over the depth
     counter rows. The sketch is bounded by construction, so it
     broadcasts; the probe is one map-side join + one per-item min.
-    Estimates are >= the true count, never under."""
+    Estimates are >= the true count, never under — PROVIDED the
+    (depth, width) match the build; the shape stamped on the sketch
+    at build time is checked here, so a mismatch raises instead of
+    silently probing rows that don't exist (est 0 for everything) or
+    hashing into the wrong buckets."""
     _check_shape(depth, width)
+    stamped = _shape_of(sketch)
+    if stamped is not None and stamped != (depth, width):
+        raise ValueError(
+            f"cms_lookup: sketch was built with (depth, width)={stamped}, "
+            f"lookup asked for {(depth, width)} — estimates would be garbage"
+        )
     probes = items.filter(F.col(col).isNotNull()).select(col).distinct()
     bucketed = probes.select(
         F.col(col),
@@ -130,10 +162,11 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
     ties break by item text so the cut is deterministic. Scales as
     long as the distinct-key table shuffles at all; beyond that,
     estimate with cms_build/cms_lookup over a candidate set."""
-    return (
+    from d2d_spark.operators.topk import top_k
+
+    counts = (
         df.filter(F.col(col).isNotNull())
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.col("cnt").desc(), F.col(col))
-        .limit(k)
     )
+    return top_k(counts, [F.col("cnt").desc(), F.col(col)], k)

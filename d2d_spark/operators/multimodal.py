@@ -122,21 +122,32 @@ def _image_dims(payload: bytes) -> tuple[str | None, int | None, int | None]:
     payloads, stdlib-only — dimension metadata never needs a codec.
     Unknown or truncated payloads return NULLs (bad media is a row to
     filter downstream, not a job-killer)."""
+    # Python slices never raise on short payloads and int.from_bytes
+    # of an empty slice is 0, so every branch checks the byte length
+    # it is about to read EXPLICITLY — a magic prefix on a truncated
+    # file must yield NULLs, not 0-dim phantom metadata
+    def _dims(fmt: str, w: int, h: int):
+        return (fmt, w, h) if w > 0 and h > 0 else (None, None, None)
+
     try:
         if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
-            return (
+            if len(payload) < 24:
+                return (None, None, None)
+            return _dims(
                 "png",
                 int.from_bytes(payload[16:20], "big"),
                 int.from_bytes(payload[20:24], "big"),
             )
         if payload[:6] in (b"GIF87a", b"GIF89a"):
-            return (
+            if len(payload) < 10:
+                return (None, None, None)
+            return _dims(
                 "gif",
                 int.from_bytes(payload[6:8], "little"),
                 int.from_bytes(payload[8:10], "little"),
             )
         if payload[:2] == b"BM" and len(payload) >= 26:
-            return (
+            return _dims(
                 "bmp",
                 int.from_bytes(payload[18:22], "little", signed=True),
                 abs(int.from_bytes(payload[22:26], "little", signed=True)),
@@ -148,13 +159,18 @@ def _image_dims(payload: bytes) -> tuple[str | None, int | None, int | None]:
             while i + 9 < len(payload):
                 if payload[i] != 0xFF:
                     break
+                if payload[i + 1] == 0xFF:
+                    # optional 0xFF fill bytes before a marker are
+                    # legal — skip them, they are not the marker
+                    i += 1
+                    continue
                 marker = payload[i + 1]
                 if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                     i += 2
                     continue
                 seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
                 if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-                    return (
+                    return _dims(
                         "jpeg",
                         int.from_bytes(payload[i + 7 : i + 9], "big"),
                         int.from_bytes(payload[i + 5 : i + 7], "big"),

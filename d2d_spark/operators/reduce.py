@@ -77,13 +77,23 @@ def _partial_moment_rows(df: DataFrame, vec_col: str) -> list:
                 continue
             try:
                 X = np.array(list(pdf[vec_col]), dtype=np.float64)
-            except ValueError as e:
+                if X.ndim != 2:  # an all-NULL batch parses as 1-D NaNs
+                    raise ValueError("inhomogeneous vector widths")
+            except (ValueError, TypeError) as e:
                 raise ValueError(
-                    f"fit_pca: ragged or non-numeric vectors in {vec_col!r} "
+                    f"fit_pca: NULL, ragged or non-numeric vectors in {vec_col!r} "
                     "— all embeddings must share one dimensionality"
                 ) from e
             n += X.shape[0]
             bx = X.sum(axis=0)
+            # widths must also agree ACROSS batches: += would either
+            # raise a raw broadcast error or, for width 1, silently
+            # broadcast garbage into the moments
+            if sx is not None and bx.shape != sx.shape:
+                raise ValueError(
+                    f"fit_pca: ragged vectors in {vec_col!r} — batches disagree "
+                    f"on dimensionality ({sx.shape[0]} vs {bx.shape[0]})"
+                )
             bxx = X.T @ X
             sx = bx if sx is None else sx + bx
             sxx = bxx if sxx is None else sxx + bxx
@@ -142,7 +152,15 @@ def _project_kernel(vec_col: str, out_col: str, mean: np.ndarray, mat: np.ndarra
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            try:
+                X = np.array(list(pdf[vec_col]), dtype=np.float64)
+                if X.ndim != 2:
+                    raise ValueError("inhomogeneous vector widths")
+            except (ValueError, TypeError) as e:
+                raise ValueError(
+                    f"project: NULL, ragged or non-numeric vectors in {vec_col!r} "
+                    "— filter or impute them before projecting"
+                ) from e
             Y = (X - mean) @ mat.T
             out = pdf[passthrough].copy()
             out[out_col] = list(Y)

@@ -202,9 +202,13 @@ class AvroConnector(FileConnector):
             jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
                 "avro", self.spark._jsparkSession.sessionState().conf()
             )
-        except Exception:
+        except Exception as e:
+            # chain the cause: the probe touches internal APIs, and a
+            # failure that is NOT a missing module (stopped session,
+            # relocated internal class) must stay diagnosable
             raise NotImplementedError(
-                "the spark-avro module is not on the classpath; submit with "
-                "--packages org.apache.spark:spark-avro_2.13:<spark-version> "
-                "to enable the Avro connector"
-            ) from None
+                "the avro datasource did not resolve — usually the spark-avro "
+                "module is not on the classpath (submit with --packages "
+                "org.apache.spark:spark-avro_2.13:<spark-version>); see the "
+                "chained exception for the actual resolver error"
+            ) from e

@@ -88,6 +88,25 @@ def test_cms_shape_validation(spark):
         cms_build(df, "tok", depth=0, width=16)
 
 
+def test_cms_mismatched_shape_refused(spark):
+    """A lookup or merge whose (depth, width) differ from the build
+    would silently undercount (missing rows coalesce to 0) — the
+    shape stamped on the sketch must make it raise instead."""
+    df = _zipfish(spark, n_heavy=2, heavy_count=5, n_tail=10)
+    sk = cms_build(df, "tok", DEPTH, WIDTH)
+    with pytest.raises(ValueError, match="built with"):
+        cms_lookup(sk, df, "tok", depth=DEPTH + 4, width=WIDTH)
+    with pytest.raises(ValueError, match="built with"):
+        cms_lookup(sk, df, "tok", depth=DEPTH, width=WIDTH * 2)
+    with pytest.raises(ValueError, match="different shapes"):
+        cms_merge(sk, cms_build(df, "tok", DEPTH, WIDTH * 2))
+    # merged sketches keep the stamp, so a mismatched lookup after a
+    # merge still refuses
+    merged = cms_merge(sk, cms_build(df, "tok", DEPTH, WIDTH))
+    with pytest.raises(ValueError, match="built with"):
+        cms_lookup(merged, df, "tok", depth=DEPTH + 1, width=WIDTH)
+
+
 def test_heavy_hitters_exact_and_deterministic(spark):
     df = _zipfish(spark)
     top = heavy_hitters(df, "tok", k=6).collect()

@@ -165,6 +165,11 @@ def test_image_metadata_sniffing_real_headers(spark):
         (5, b"not an image at all"),
         (6, b"\x89PNG\r\n\x1a"),  # truncated magic
         (7, b""),
+        (8, b"GIF89a"),  # magic only, dims truncated away
+        (9, _png(640, 480)[:20]),  # IHDR tag present, height cut off
+        # a legal 0xFF fill byte before the SOF marker must not
+        # derail the segment walker
+        (10, _jpeg(32, 16)[:20] + b"\xff" + _jpeg(32, 16)[20:]),
     ]
     df = spark.createDataFrame(payloads, "doc_id long, payload binary").repartition(3)
     got = {r["doc_id"]: (r["format"], r["width"], r["height"], r["n_bytes"]) for r in sniff_image_metadata(df).collect()}
@@ -172,9 +177,10 @@ def test_image_metadata_sniffing_real_headers(spark):
     assert got[2] == ("gif", 13, 7, len(_gif(13, 7)))
     assert got[3] == ("bmp", 800, 600, len(_bmp(800, 600)))
     assert got[4] == ("jpeg", 1920, 1080, len(_jpeg(1920, 1080)))
-    for bad in (5, 6, 7):
+    for bad in (5, 6, 7, 8, 9):
         assert got[bad][:3] == (None, None, None)
     assert got[7][3] == 0
+    assert got[10][:3] == ("jpeg", 32, 16)
 
 
 def test_audio_metadata_sniffing_wav_headers(spark):

@@ -93,6 +93,18 @@ def test_pca_validation(spark):
     )
     with pytest.raises(Exception, match="ragged"):
         fit_pca(ragged, "emb", k=1)
+    # a NULL vector must fail with the named-column message, not a raw
+    # numpy shape error deep in the kernel
+    with_null = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, None)], "id long, emb array<float>"
+    ).repartition(1)
+    with pytest.raises(Exception, match="NULL, ragged or non-numeric"):
+        fit_pca(with_null, "emb", k=1)
+    model = PcaModel(
+        mean=np.zeros(2), components=np.eye(2), explained_variance_ratio=np.ones(2)
+    )
+    with pytest.raises(Exception, match="NULL, ragged or non-numeric"):
+        project(with_null, "emb", model).collect()
 
 
 def test_random_projection_jl_distances(spark):
