@@ -183,6 +183,34 @@ def test_image_metadata_sniffing_real_headers(spark):
     assert got[10][:3] == ("jpeg", 32, 16)
 
 
+def test_sniffers_total_on_arbitrary_bytes():
+    """The header parsers must be TOTAL: any byte string — including
+    ones starting with real magics — returns a tuple, never raises.
+    Pure-Python property, no Spark session needed."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from d2d_spark.operators.multimodal import _image_dims, _wav_meta
+
+    magics = [b"", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"BM", b"\xff\xd8", b"RIFF", b"RIFFxxxxWAVE"]
+
+    @settings(max_examples=300, deadline=None)
+    @given(prefix=st.sampled_from(magics), tail=st.binary(max_size=64))
+    def check(prefix, tail):
+        img = _image_dims(prefix + tail)
+        wav = _wav_meta(prefix + tail)
+        assert isinstance(img, tuple) and len(img) == 3
+        assert isinstance(wav, tuple) and len(wav) == 4
+        # the NULL contract: dims are either both present and positive
+        # or both NULL
+        fmt, w, h = img
+        assert (fmt is None) == (w is None) == (h is None)
+        if w is not None:
+            assert w > 0 and h > 0
+
+    check()
+
+
 def test_audio_metadata_sniffing_wav_headers(spark):
     from d2d_spark.operators.multimodal import sniff_audio_metadata
 
