@@ -244,3 +244,40 @@ def gopher_pass(col: Column) -> Column:
     for c in flags.values():
         out = out & F.coalesce(c, F.lit(False))
     return out
+
+
+#: C4's (Raffel et al. 2020, §2.2) line-level blocklist phrases
+_C4_BAD_PHRASES = ("javascript", "lorem ipsum", "terms of use", "privacy policy", "cookie policy", "uses cookies")
+
+
+def c4_clean_lines(col: Column, min_words: int = 5) -> Column:
+    """C4's LINE-level cleaning (Raffel et al. 2020): rebuild each
+    document from only the lines that
+
+    - end in terminal punctuation (. ! ? or closing quote),
+    - contain at least ``min_words`` words,
+    - contain no curly brace (code leakage),
+    - and match none of the boilerplate blocklist phrases
+      ("javascript", "lorem ipsum", policy/cookie notices).
+
+    Complements the DOCUMENT-level Gopher rules: C4 repairs pages by
+    cutting boilerplate lines, Gopher drops whole documents. Pure
+    Column (split → filter → rejoin), rides the scan like the rest of
+    this module; documents with no surviving lines come back as the
+    empty string for a downstream length filter to drop."""
+
+    def keep(l: Column) -> Column:
+        t = F.trim(l)
+        low = F.lower(t)
+        bad = F.lit(False)
+        for p in _C4_BAD_PHRASES:
+            bad = bad | low.contains(p)
+        return (
+            t.rlike("[.!?][\"')\\]]?$")
+            & (F.size(F.filter(F.split(t, r"\s+"), lambda w: w != "")) >= min_words)
+            & ~t.contains("{")
+            & ~t.contains("}")
+            & ~bad
+        )
+
+    return F.array_join(F.filter(F.split(col, "\n"), keep), "\n")

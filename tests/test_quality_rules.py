@@ -123,3 +123,58 @@ def test_chunk_documents_validates_args(spark):
             assert False, bad
         except ValueError:
             pass
+
+
+# --- C4 line-level cleaning -----------------------------------------
+
+
+def _c4(spark, text, **kw):
+    from d2d_spark.functions.text import c4_clean_lines
+
+    df = spark.createDataFrame([(text,)], ["text"])
+    return df.select(c4_clean_lines(F.col("text"), **kw).alias("t")).first()["t"]
+
+
+def test_c4_keeps_real_sentences_drops_boilerplate(spark):
+    doc = "\n".join(
+        [
+            "This is a perfectly normal sentence with enough words.",
+            "Click here",  # too short, no terminal punctuation
+            "Please enable JavaScript to view the comments powered by widgets.",
+            "This site uses cookies to improve your experience on our pages.",
+            "function f() { return 1; }",  # curly braces
+            "Another good sentence follows the bad ones right here!",
+            'He said "it ends with a quoted stop."',
+            "no terminal punctuation on this line of prose at all",
+        ]
+    )
+    out = _c4(spark, doc)
+    lines = out.split("\n")
+    assert lines == [
+        "This is a perfectly normal sentence with enough words.",
+        "Another good sentence follows the bad ones right here!",
+        'He said "it ends with a quoted stop."',
+    ]
+
+
+def test_c4_min_words_dial_and_empty_result(spark):
+    short = "Tiny line ends well."
+    assert _c4(spark, short) == ""  # 4 words < default 5
+    assert _c4(spark, short, min_words=4) == short
+    assert _c4(spark, "lorem ipsum dolor sit amet consectetur adipiscing elit.") == ""
+
+
+def test_c4_composes_with_html_extraction(spark):
+    from d2d_spark.functions.html import html_to_text
+    from d2d_spark.functions.text import c4_clean_lines
+
+    html = (
+        "<html><body><p>The quick brown fox jumps over the lazy dog today.</p>"
+        "<div><a href='/'>Home</a></div>"
+        "<p>Privacy Policy and Terms of Use for this website apply here.</p></body></html>"
+    )
+    df = spark.createDataFrame([(html,)], ["html"])
+    out = df.select(
+        c4_clean_lines(html_to_text(F.col("html"))).alias("t")
+    ).first()["t"]
+    assert out == "The quick brown fox jumps over the lazy dog today."
