@@ -729,7 +729,8 @@ def token_budget_mix(spark, sf_dir):
        FROM s JOIN t d ON d.rn = s.rn + 1 CROSS JOIN p
      )
     SELECT s.bin AS bin_id,
-           string_agg(t.text, chr(10) || chr(10) ORDER BY t.doc_id) AS text,
+           md5(string_agg(t.text, chr(10) || chr(10) ORDER BY t.doc_id)) AS text_md5,
+           length(string_agg(t.text, chr(10) || chr(10) ORDER BY t.doc_id)) AS text_len,
            array_to_string(list(t.doc_id ORDER BY t.doc_id), ',') AS doc_ids_csv,
            COUNT(*) AS n_docs,
            SUM(t.n_toks) AS n_tokens
@@ -749,7 +750,15 @@ def pack_and_concat(spark, sf_dir):
     oracle can replay it exactly (a sequential recursive CTE carrying
     the open-bin load list). Production packs per partition with no
     single-partition funnel; per-partition semantics and the 64-bin
-    eviction bound are pytest-checked."""
+    eviction bound are pytest-checked.
+
+    The concatenated payload is compared as (md5, length) per bin
+    rather than the raw multi-line text: the rebuilt sequence is the
+    only output in the window that would otherwise carry full
+    newline-joined text through the driver's value canonicalizer,
+    which proved environment-sensitive in round 4 (hash-only
+    mismatch, locally unreproducible). The raw text equality stays
+    pinned in pytest (tests/test_sampling.py)."""
     import math
 
     from d2d_spark.operators.sampling import concat_bins, pack_documents
@@ -765,7 +774,8 @@ def pack_and_concat(spark, sf_dir):
     )
     return out.select(
         "bin_id",
-        "text",
+        F.md5(F.col("text")).alias("text_md5"),
+        F.length(F.col("text")).cast("bigint").alias("text_len"),
         F.array_join(F.transform("doc_ids", lambda x: x.cast("string")), ",").alias(
             "doc_ids_csv"
         ),
