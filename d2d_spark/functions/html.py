@@ -60,7 +60,15 @@ def strip_tags(col: Column) -> Column:
 def html_to_text(col: Column) -> Column:
     """Full extraction: strip markup, decode entities, normalize
     whitespace (spaces collapse within lines, blank runs collapse to
-    one newline, edges trim). Idempotent on already-plain text."""
+    one newline, edges trim).
+
+    ONE-PASS contract: idempotent on already-plain text WITHOUT
+    angle brackets, but the output of a pass over entity-encoded
+    markup may itself contain literal angle-bracket text (strip
+    happens before decode, so "&lt;tags&gt;" correctly becomes the
+    visible text "<tags>") — a second accidental pass would strip
+    that as markup and silently delete content. Run the extraction
+    stage exactly once per document; don't feed its output back in."""
     col = decode_entities(strip_tags(col))
     col = F.regexp_replace(col, r"[ \t\x0b\f\r]+", " ")
     col = F.regexp_replace(col, r" ?\n ?", "\n")

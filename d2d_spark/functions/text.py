@@ -254,11 +254,19 @@ def c4_clean_lines(col: Column, min_words: int = 5) -> Column:
     """C4's LINE-level cleaning (Raffel et al. 2020): rebuild each
     document from only the lines that
 
-    - end in terminal punctuation (. ! ? or closing quote),
+    - end in a terminal mark: . ! ? optionally followed by a closing
+      quote/bracket, or a bare closing quotation mark (the paper
+      counts an end quotation mark itself as terminal punctuation),
     - contain at least ``min_words`` words,
     - contain no curly brace (code leakage),
     - and match none of the boilerplate blocklist phrases
       ("javascript", "lorem ipsum", policy/cookie notices).
+
+    Two deliberate demotions from the paper: Raffel et al. apply the
+    curly-brace and "lorem ipsum" rules at PAGE level (the whole
+    document drops); here they drop only the offending LINE, keeping
+    the rest of the page — strictly gentler, and composable with a
+    page-level gate built from the same flags when wanted.
 
     Complements the DOCUMENT-level Gopher rules: C4 repairs pages by
     cutting boilerplate lines, Gopher drops whole documents. Pure
@@ -273,7 +281,7 @@ def c4_clean_lines(col: Column, min_words: int = 5) -> Column:
         for p in _C4_BAD_PHRASES:
             bad = bad | low.contains(p)
         return (
-            t.rlike("[.!?][\"')\\]]?$")
+            t.rlike("([.!?][\"')\\]]?|[\"”])$")
             & (F.size(F.filter(F.split(t, r"\s+"), lambda w: w != "")) >= min_words)
             & ~t.contains("{")
             & ~t.contains("}")

@@ -153,7 +153,9 @@ def cms_lookup(
         )
         out = out.join(row_i, on=f"__b{i}", how="left")
     # an empty counter row means the bucket was never touched: 0
-    est = F.least(*[F.coalesce(F.col(f"__c{i}"), F.lit(0)) for i in range(depth)])
+    # (F.least needs >= 2 columns, so depth 1 uses its row directly)
+    counters = [F.coalesce(F.col(f"__c{i}"), F.lit(0)) for i in range(depth)]
+    est = counters[0] if depth == 1 else F.least(*counters)
     return out.select(F.col(col), est.alias("est_count"))
 
 

@@ -53,10 +53,21 @@ class PcaModel:
     explained_variance_ratio: np.ndarray
 
 
+#: moment rows collected to the driver are pre-reduced below this
+#: fan-in: a 20k-partition corpus at d=512 would otherwise ship
+#: O(partitions * d^2) doubles (~tens of GB) to the driver
+_MAX_MOMENT_ROWS = 64
+
+
 def _partial_moment_rows(df: DataFrame, vec_col: str) -> list:
     """One row of sufficient statistics per non-empty partition:
-    (partition_id, n, sum_x flat, sum_xxT flat). Collecting them is
-    bounded by the partition count — never by the corpus."""
+    (partition_id, n, sum_x flat, sum_xxT flat) — then, when the
+    partition count exceeds ``_MAX_MOMENT_ROWS``, a second narrow
+    stage (coalesce, no shuffle) sums the partials distributively so
+    the driver collects O(d^2) doubles, not O(partitions * d^2).
+    Within each coalesced group rows sum in partition order and the
+    groups are consecutive pid ranges, so the fixed-layout
+    reproducibility contract (sum in partition order) is preserved."""
     out_schema = T.StructType(
         [
             T.StructField("pid", T.IntegerType()),
@@ -103,7 +114,33 @@ def _partial_moment_rows(df: DataFrame, vec_col: str) -> list:
                 {"pid": [pid], "n": [n], "sx": [sx.tolist()], "sxx": [sxx.ravel().tolist()]}
             )
 
-    return df.select(vec_col).mapInPandas(kernel, out_schema).collect()
+    def combine(batches):
+        rows: list = []
+        for pdf in batches:
+            rows.extend(pdf.to_dict("records"))
+        if not rows:
+            return
+        rows.sort(key=lambda r: r["pid"])
+        d0 = len(rows[0]["sx"])
+        if any(len(r["sx"]) != d0 for r in rows):
+            raise ValueError(
+                f"fit_pca: ragged vectors in {vec_col!r} — partitions disagree on "
+                "dimensionality; all embeddings must share one width"
+            )
+        n = sum(int(r["n"]) for r in rows)
+        sx = np.zeros(d0)
+        sxx = np.zeros(d0 * d0)
+        for r in rows:
+            sx += np.asarray(r["sx"])
+            sxx += np.asarray(r["sxx"])
+        yield pd.DataFrame(
+            {"pid": [rows[0]["pid"]], "n": [n], "sx": [sx.tolist()], "sxx": [sxx.tolist()]}
+        )
+
+    moments = df.select(vec_col).mapInPandas(kernel, out_schema)
+    if df.rdd.getNumPartitions() > _MAX_MOMENT_ROWS:
+        moments = moments.coalesce(_MAX_MOMENT_ROWS).mapInPandas(combine, out_schema)
+    return moments.collect()
 
 
 def fit_pca(df: DataFrame, vec_col: str, k: int) -> PcaModel:

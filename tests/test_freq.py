@@ -115,3 +115,15 @@ def test_heavy_hitters_exact_and_deterministic(spark):
     # the 6th row is the lexicographically smallest tail token (all
     # tail counts tie at 1)
     assert top[5]["tok"] == "tail_0" and top[5]["cnt"] == 1
+
+
+def test_cms_depth_one_build_and_lookup(spark):
+    """depth=1 is a legal (if weak) sketch: build and lookup must agree
+    on it instead of lookup dying on a one-column F.least."""
+    df = _zipfish(spark, n_heavy=2, heavy_count=50, n_tail=50)
+    sk = cms_build(df, "tok", 1, WIDTH)
+    est = {r["tok"]: r["est_count"] for r in cms_lookup(sk, df, "tok", 1, WIDTH).collect()}
+    true = _true_counts(df)
+    assert set(est) == set(true)
+    for tok, c in true.items():
+        assert est[tok] >= c

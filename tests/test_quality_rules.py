@@ -178,3 +178,15 @@ def test_c4_composes_with_html_extraction(spark):
         c4_clean_lines(html_to_text(F.col("html"))).alias("t")
     ).first()["t"]
     assert out == "The quick brown fox jumps over the lazy dog today."
+
+
+def test_c4_bare_closing_quote_is_terminal(spark):
+    """C4 counts an end quotation mark as terminal punctuation: a line
+    ending in a bare closing quote survives; an unterminated line
+    still drops."""
+    quoted = '"I never said half the things I said," he told us later"'
+    assert _c4(spark, quoted) == quoted
+    curly = "He finished with the words everyone expected of him”"
+    assert _c4(spark, curly) == curly
+    unterminated = "this line just trails off with no punctuation at all"
+    assert _c4(spark, unterminated) == ""

@@ -173,3 +173,25 @@ def test_reduced_vectors_feed_ann(spark):
     ]
     assert sum(overlaps) / len(overlaps) >= 0.6
     red.unpersist()
+
+
+def test_pca_moment_collect_pre_reduced_many_partitions(spark):
+    """With more partitions than _MAX_MOMENT_ROWS the driver collect
+    is pre-reduced distributively — and the fit still matches a
+    low-partition fit to float tolerance."""
+    import numpy as np
+
+    from d2d_spark.operators import reduce as R
+
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((400, 6))
+    rows = [(i, x.tolist()) for i, x in enumerate(X)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    wide = df.repartition(R._MAX_MOMENT_ROWS + 40)
+    collected = R._partial_moment_rows(wide, "vec")
+    assert len(collected) <= R._MAX_MOMENT_ROWS
+    assert sum(r["n"] for r in collected) == 400
+    m_wide = R.fit_pca(wide, "vec", 3)
+    m_narrow = R.fit_pca(df.coalesce(2), "vec", 3)
+    assert np.allclose(m_wide.mean, m_narrow.mean, atol=1e-9)
+    assert np.allclose(np.abs(m_wide.components), np.abs(m_narrow.components), atol=1e-7)
