@@ -27,14 +27,13 @@ HEADLINE = [
     "join_revenue_by_nation",
     "top_hits_latest_event_per_user",
     "dedup_exact_events",
-    "minhash_lsh_pairs",
-    "ann_bruteforce_topk",
+    "minhash_simhash_pairs",  # r4's minhash_lsh_pairs + simhash legs in one query
+    "ann_exact_topk",  # r4's ann_bruteforce_topk + ann_gemm_topk in one query
     "text_stats_lang_quality",
     "windowed_aggs_events",
     "session_windows_per_user",
     "asof_join_click_purchase",
     "rollup_cube_grouping",
-    "ann_gemm_topk",
     # curation legs: the newest (and most shuffle-heavy) operator
     # families, timed so regressions there are visible per-round
     "paragraph_dedup_documents",
@@ -42,6 +41,9 @@ HEADLINE = [
     "perplexity_filter_documents",
     "duplicate_span_strip_documents",
     "nb_langid_documents",
+    # r5: the two newest Python-stage/regex-heavy paths
+    "bpe_pack_mix_pipeline",
+    "html_clean_gopher_chunk",
 ]
 
 

@@ -33,23 +33,35 @@ table fits a shuffle at all. Reach for the sketch when it doesn't.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+#: a hash family maps (item column, row index) -> bucket-able int64
+Hasher = Callable[[Column, int], Column]
 
 #: counter-table shape guard: a sketch wider than this is almost
 #: certainly a mis-keyed call (the POINT is bounded state)
 _MAX_COUNTERS = 50_000_000
 
 
-def _bucketed(df: DataFrame, col: str, depth: int, width: int) -> DataFrame:
+def _default_hasher(col: Column, i: int) -> Column:
+    """xxhash64 seeded by the row index — the production family."""
+    return F.xxhash64(col, F.lit(i))
+
+
+def _bucketed(
+    df: DataFrame, col: str, depth: int, width: int, hasher: Hasher
+) -> DataFrame:
     """(row, bucket) pairs for every item under the depth independent
-    hash functions — xxhash64 seeded by the row index. NULL items are
-    dropped (they are absence, not a countable key)."""
+    hash functions. NULL items are dropped (they are absence, not a
+    countable key)."""
     pairs = F.array(
         *[
             F.struct(
                 F.lit(i).alias("row"),
-                F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(width)).alias("bucket"),
+                F.pmod(hasher(F.col(col), i), F.lit(width)).alias("bucket"),
             )
             for i in range(depth)
         ]
@@ -85,17 +97,30 @@ def _shape_of(sketch: DataFrame) -> tuple[int, int] | None:
     return None
 
 
-def cms_build(df: DataFrame, col: str, depth: int = 4, width: int = 8192) -> DataFrame:
+def cms_build(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 8192,
+    hasher: Hasher | None = None,
+) -> DataFrame:
     """Build the sketch: a DataFrame of (row, bucket, c) with at most
     depth*width rows. Deterministic for a given (col, depth, width) —
     the hash seeds are the row indexes, so independently-built
     sketches over the same data are identical and mergeable with any
     other sketch built with the same shape. The shape is stamped on
     the counter column's metadata so a mismatched lookup/merge fails
-    loudly instead of silently under-counting."""
+    loudly instead of silently under-counting.
+
+    ``hasher`` swaps the hash family (default xxhash64-by-row-index):
+    any pairwise-independent-ish (Column, row index) -> int64 map
+    works — e.g. a polynomial hash over integer keys when the sketch
+    must be reproducible outside Spark. Build and lookup MUST use the
+    same family; the shape stamp can't check that, so keep the
+    hasher with the sketch."""
     _check_shape(depth, width)
     return (
-        _bucketed(df, col, depth, width)
+        _bucketed(df, col, depth, width, hasher or _default_hasher)
         .groupBy("row", "bucket")
         .agg(F.count(F.lit(1)).alias("c", metadata=_shape_meta(depth, width)))
     )
@@ -119,7 +144,12 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
 
 
 def cms_lookup(
-    sketch: DataFrame, items: DataFrame, col: str, depth: int = 4, width: int = 8192
+    sketch: DataFrame,
+    items: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 8192,
+    hasher: Hasher | None = None,
 ) -> DataFrame:
     """Estimated count per distinct probe item: min over the depth
     counter rows. The sketch is bounded by construction, so it
@@ -136,11 +166,12 @@ def cms_lookup(
             f"cms_lookup: sketch was built with (depth, width)={stamped}, "
             f"lookup asked for {(depth, width)} — estimates would be garbage"
         )
+    h = hasher or _default_hasher
     probes = items.filter(F.col(col).isNotNull()).select(col).distinct()
     bucketed = probes.select(
         F.col(col),
         *[
-            F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(width)).alias(f"__b{i}")
+            F.pmod(h(F.col(col), i), F.lit(width)).alias(f"__b{i}")
             for i in range(depth)
         ],
     )

@@ -1,0 +1,559 @@
+"""Curation-cohort queries: HTML extraction + C4/Gopher cleaning,
+count-min frequency estimation, random-projection reduction, Bloom
+seen-set dedup, the GPT-3-style quality classifier, and the BPE ->
+pack -> mix integration — the round-4 operator families, brought
+inside the driver's 50-query correctness window.
+
+Oracle conventions follow plans/llm.py: exact-by-construction
+fixtures where an operator's internals are engine-specific (Bloom's
+bitmap, the HTML fixture), literal-weight reproductions where the
+math is portable (the projection matrix, the polynomial CMS hash
+family), DECIMAL accumulation + terminal rounding wherever doubles
+aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from d2d_spark.functions import text as X
+from d2d_spark.plans.registry import query
+from d2d_spark.session import read_table
+
+
+def _t(spark, sf_dir, name):
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text -> C4 -> Gopher -> chunk, one cleaning pipeline
+# ---------------------------------------------------------------------------
+
+#: C4 line blocklist, kept in lockstep with functions/text._C4_BAD_PHRASES
+_C4_PHRASES = ("javascript", "lorem ipsum", "terms of use", "privacy policy",
+               "cookie policy", "uses cookies")
+
+#: Gopher stopword list (functions/text.GOPHER_STOPWORDS)
+_GOPHER_STOPS = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
+
+# first text line, whitespace-normalized — the visible payload wrapped
+# in markup on both sides
+_SQL_FL = "trim(regexp_replace(string_split(text, chr(10))[1], ' +', ' ', 'g'))"
+
+# the <p> line after extraction: payload + decoded-entity tail
+_SQL_LINE2 = f"{_SQL_FL} || ' extra&more <ok>.'"
+
+# expected html_to_text output of the constructed document
+_SQL_EXTRACTED = (
+    f"'Doc ' || doc_id || ' Doc ' || doc_id || ' heading' || chr(10) || {_SQL_LINE2}"
+    " || chr(10) || 'Home' || chr(10) || 'About us'"
+)
+
+_SQL_C4_KEPT = (
+    f"CASE WHEN len(list_filter(string_split_regex({_SQL_LINE2}, '\\s+'), w -> w <> '')) >= 5"
+    + "".join(f" AND NOT contains(lower({_SQL_LINE2}), '{p}')" for p in _C4_PHRASES)
+    + f" THEN {_SQL_LINE2} ELSE '' END"
+)
+
+_SQL_GOPHER_BITS = r"""
+    (SELECT CAST(
+        (CASE WHEN n BETWEEN 50 AND 100000 THEN 1 ELSE 0 END)
+      + (CASE WHEN coalesce(mwl >= 3.0 AND mwl <= 10.0, false) THEN 2 ELSE 0 END)
+      + (CASE WHEN coalesce(symbols / CAST(nullif(n, 0) AS DOUBLE) <= 0.1, false) THEN 4 ELSE 0 END)
+      + (CASE WHEN coalesce(bullets / CAST(nullif(nlines, 0) AS DOUBLE) < 0.9, false) THEN 8 ELSE 0 END)
+      + (CASE WHEN coalesce(ells / CAST(nullif(nlines, 0) AS DOUBLE) < 0.3, false) THEN 16 ELSE 0 END)
+      + (CASE WHEN coalesce(alphas / CAST(nullif(n, 0) AS DOUBLE) >= 0.8, false) THEN 32 ELSE 0 END)
+      + (CASE WHEN stops >= 2 THEN 64 ELSE 0 END)
+      + (CASE WHEN n BETWEEN 50 AND 100000
+               AND coalesce(mwl >= 3.0 AND mwl <= 10.0, false)
+               AND coalesce(symbols / CAST(nullif(n, 0) AS DOUBLE) <= 0.1, false)
+               AND coalesce(bullets / CAST(nullif(nlines, 0) AS DOUBLE) < 0.9, false)
+               AND coalesce(ells / CAST(nullif(nlines, 0) AS DOUBLE) < 0.3, false)
+               AND coalesce(alphas / CAST(nullif(n, 0) AS DOUBLE) >= 0.8, false)
+               AND stops >= 2 THEN 128 ELSE 0 END)
+      AS BIGINT)
+     FROM (SELECT
+         len(toks) AS n,
+         list_sum(list_transform(toks, t -> length(t))) * 1.0 / len(toks) AS mwl,
+         len(list_filter(toks, t -> contains(t, '#') OR contains(t, '...')))
+           + (length(text) - length(replace(text, '…', ''))) AS symbols,
+         len(lns) AS nlines,
+         len(list_filter(lns, l -> regexp_matches(trim(l), '^([-*•]|[0-9]+[.)])'))) AS bullets,
+         len(list_filter(lns, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS ells,
+         len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS alphas,
+         len(list_distinct(list_intersect(list_transform(toks, t -> lower(t)),
+    """ + _GOPHER_STOPS + r"""))) AS stops
+       FROM (SELECT string_split_regex(trim(text), '\s+') AS toks,
+                    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                                l -> l <> '') AS lns)))
+"""
+
+
+@query(
+    "html_clean_gopher_chunk",
+    oracle=f"""
+    WITH slice AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 4 = 0 AND regexp_matches(string_split(text, chr(10))[1], '^[a-z ]+$')
+    )
+    SELECT 'extract' AS leg, doc_id, CAST(NULL AS BIGINT) AS idx,
+           {_SQL_EXTRACTED} AS txt, CAST(NULL AS BIGINT) AS num,
+           round(least(12.0 / length({_SQL_EXTRACTED}), 1.0), 6) AS val
+    FROM slice
+    UNION ALL
+    SELECT 'c4' AS leg, doc_id, CAST(NULL AS BIGINT), {_SQL_C4_KEPT},
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM slice
+    UNION ALL
+    SELECT 'gopher' AS leg, doc_id, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           {_SQL_GOPHER_BITS}, CAST(NULL AS DOUBLE)
+    FROM slice
+    UNION ALL
+    SELECT 'chunk' AS leg, doc_id, CAST(u.s // 120 AS BIGINT) AS idx,
+           substr(text, CAST(u.s + 1 AS INT), 150), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM slice, unnest(generate_series(0, greatest(length(text) - 31, 0), 120)) AS u(s)
+    """,
+    tags=("llm", "html", "extraction", "c4", "gopher", "quality", "chunking"),
+)
+def html_clean_gopher_chunk(spark, sf_dir):
+    """The crawl-side cleaning pipeline end-to-end, hash-checked
+    against intent (not merely self-consistency): each document's
+    first line is wrapped in deterministic markup — title, a script
+    block containing a literal '<', an h1, a paragraph with encoded
+    entities, a nav list of anchors, a comment — and driven through
+    the real operators; the oracle constructs the EXPECTED result of
+    each stage directly, so the hash pins what extraction/cleaning
+    must produce.
+
+    extract leg — `html_to_text` (script/comment removal, block-break
+    newlines, entity decoding incl. the &amp; ordering rule,
+    whitespace normalization) plus `html_link_density` (the two nav
+    anchors over the visible text, the jusText/Gopher boilerplate
+    signal) rounded to 6.
+
+    c4 leg — `c4_clean_lines` over the extracted text: the heading and
+    nav lines drop (no terminal punctuation), the paragraph survives
+    iff it clears the word-count/blocklist/brace rules, which the
+    oracle re-evaluates on the same constructed line.
+
+    gopher leg — all seven `gopher_quality_flags` rules plus
+    `gopher_pass` on the raw document, packed into one bit vector so
+    every rule's verdict on every document is hash-pinned.
+
+    chunk leg — `chunk_documents` (150-char windows, 30 overlap) over
+    the raw text: start arithmetic, overlap carry, and the cut itself
+    replayed as generate_series + substr."""
+    from d2d_spark.functions.html import html_link_density, html_to_text
+    from d2d_spark.operators.sampling import chunk_documents
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.split(F.col("text"), r"\n")[0].rlike("^[a-z ]+$"))
+        .filter(F.col("doc_id") % 4 == 0)
+    )
+    fl = F.trim(F.regexp_replace(F.split(F.col("text"), r"\n")[0], " +", " "))
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), did,
+        F.lit('</title><script type="text/javascript">var x = 1 < 2;</script>'
+              "</head><body><h1>Doc "), did, F.lit(" heading</h1><p>"), fl,
+        F.lit(' extra&amp;more &lt;ok&gt;.</p><ul><li><a href="/a">Home</a></li>'
+              '<li><a href="/b">About us</a></li></ul><!-- note --></body></html>'),
+    )
+    nb = F.lit(None).cast("bigint")
+    ns = F.lit(None).cast("string")
+    nd = F.lit(None).cast("double")
+
+    wrapped = d.select("doc_id", "text", html.alias("__html"))
+    extract = wrapped.select(
+        F.lit("extract").alias("leg"),
+        "doc_id",
+        nb.alias("idx"),
+        html_to_text(F.col("__html")).alias("txt"),
+        nb.alias("num"),
+        F.round(html_link_density(F.col("__html")), 6).alias("val"),
+    )
+    c4 = wrapped.select(
+        F.lit("c4").alias("leg"),
+        "doc_id",
+        nb.alias("idx"),
+        X.c4_clean_lines(html_to_text(F.col("__html"))).alias("txt"),
+        nb.alias("num"),
+        nd.alias("val"),
+    )
+    flags = X.gopher_quality_flags(F.col("text"))
+    bits = F.lit(0)
+    for i, flag in enumerate(flags.values()):
+        bits = bits + F.when(F.coalesce(flag, F.lit(False)), F.lit(1 << i)).otherwise(0)
+    bits = bits + F.when(X.gopher_pass(F.col("text")), F.lit(128)).otherwise(0)
+    gopher = d.select(
+        F.lit("gopher").alias("leg"),
+        "doc_id",
+        nb.alias("idx"),
+        ns.alias("txt"),
+        bits.cast("bigint").alias("num"),
+        nd.alias("val"),
+    )
+    chunks = chunk_documents(d, "text", "doc_id", max_chars=150, overlap=30).select(
+        F.lit("chunk").alias("leg"),
+        "doc_id",
+        F.col("chunk_index").cast("bigint").alias("idx"),
+        F.col("text").alias("txt"),
+        nb.alias("num"),
+        nd.alias("val"),
+    )
+    return extract.unionByName(c4).unionByName(gopher).unionByName(chunks)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch with a portable polynomial hash family
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH, _CMS_WIDTH, _CMS_P = 3, 64, 2147483647
+
+
+def _cms_a(i: int) -> int:
+    return 2654435761 + 40503 * i
+
+
+def _cms_b(i: int) -> int:
+    return 97 * i + 13
+
+
+def _poly_hasher(col, i: int):
+    """(k * A_i + B_i) mod P — reproducible in any engine, which is
+    the point: the whole sketch (build, merge, lookup) becomes exact
+    SQL. xxhash64 stays the production default."""
+    return F.pmod(
+        col.cast("bigint") * F.lit(_cms_a(i)) + F.lit(_cms_b(i)), F.lit(_CMS_P)
+    )
+
+
+def _sql_bucket(k: str, i: int) -> str:
+    return f"(({k} * {_cms_a(i)} + {_cms_b(i)}) % {_CMS_P}) % {_CMS_WIDTH}"
+
+
+@query(
+    "countmin_freq_estimates",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT i AS row, bucket, count(*) AS c
+      FROM (SELECT u.i,
+                   CASE u.i
+                     WHEN 0 THEN {_sql_bucket('o_custkey', 0)}
+                     WHEN 1 THEN {_sql_bucket('o_custkey', 1)}
+                     ELSE {_sql_bucket('o_custkey', 2)} END AS bucket
+            FROM orders, unnest([0, 1, 2]) AS u(i))
+      GROUP BY 1, 2
+    ),
+    probes AS (SELECT DISTINCT c_custkey AS k FROM customer),
+    est AS (
+      SELECT p.k, min(coalesce(cnt.c, 0)) AS e
+      FROM (SELECT k, u.i,
+                   CASE u.i
+                     WHEN 0 THEN {_sql_bucket('k', 0)}
+                     WHEN 1 THEN {_sql_bucket('k', 1)}
+                     ELSE {_sql_bucket('k', 2)} END AS bucket
+            FROM probes, unnest([0, 1, 2]) AS u(i)) p
+      LEFT JOIN cnt ON cnt.row = p.i AND cnt.bucket = p.bucket
+      GROUP BY p.k
+    ),
+    hh AS (
+      SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1
+      ORDER BY c DESC, k LIMIT 20
+    )
+    SELECT 'counter' AS leg, row AS a, bucket AS b, c AS v FROM cnt
+    UNION ALL
+    SELECT 'est' AS leg, k, CAST(NULL AS BIGINT), e FROM est
+    UNION ALL
+    SELECT 'hh' AS leg, k, CAST(NULL AS BIGINT), c FROM hh
+    """,
+    tags=("llm", "sketch", "count-min", "heavy-hitters", "frequency"),
+)
+def countmin_freq_estimates(spark, sf_dir):
+    """The frequency-estimation family end-to-end, exact in SQL via a
+    pluggable polynomial hash family (the production default stays
+    xxhash64; the family swap is itself part of the operator surface).
+
+    counter leg — `cms_build` over each half of orders (split by
+    order key parity) then `cms_merge`: counter linearity means the
+    merged sketch must equal the combined build, and the oracle
+    computes those combined counters directly — every cell of the
+    sketch is hash-checked.
+
+    est leg — `cms_lookup` probing every customer key (including
+    customers with no orders, exercising the untouched-bucket -> 0
+    path): min over the depth rows, never an undercount.
+
+    hh leg — `heavy_hitters`: the EXACT top-20 keys by count with
+    deterministic tie-breaks, the companion the sketch approximates
+    past shuffle scale."""
+    from d2d_spark.operators.freq import cms_build, cms_lookup, cms_merge, heavy_hitters
+
+    o = _t(spark, sf_dir, "orders")
+    sk = cms_merge(
+        cms_build(o.filter(F.col("o_orderkey") % 2 == 0), "o_custkey",
+                  _CMS_DEPTH, _CMS_WIDTH, hasher=_poly_hasher),
+        cms_build(o.filter(F.col("o_orderkey") % 2 != 0), "o_custkey",
+                  _CMS_DEPTH, _CMS_WIDTH, hasher=_poly_hasher),
+    )
+    nb = F.lit(None).cast("bigint")
+    counter = sk.select(
+        F.lit("counter").alias("leg"),
+        F.col("row").cast("bigint").alias("a"),
+        F.col("bucket").cast("bigint").alias("b"),
+        F.col("c").cast("bigint").alias("v"),
+    )
+    c = _t(spark, sf_dir, "customer")
+    est = cms_lookup(sk, c, "c_custkey", _CMS_DEPTH, _CMS_WIDTH, hasher=_poly_hasher).select(
+        F.lit("est").alias("leg"),
+        F.col("c_custkey").cast("bigint").alias("a"),
+        nb.alias("b"),
+        F.col("est_count").cast("bigint").alias("v"),
+    )
+    hh = heavy_hitters(o, "o_custkey", k=20).select(
+        F.lit("hh").alias("leg"),
+        F.col("o_custkey").cast("bigint").alias("a"),
+        nb.alias("b"),
+        F.col("cnt").cast("bigint").alias("v"),
+    )
+    return counter.unionByName(est).unionByName(hh)
+
+
+# ---------------------------------------------------------------------------
+# random-projection reduction with the literal seeded matrix
+# ---------------------------------------------------------------------------
+
+_RP_DIM, _RP_K, _RP_SEED = 64, 4, 0
+
+
+def _rp_oracle() -> str:
+    """The seeded Gaussian matrix, inlined as SQL literals: repr()
+    round-trips float64 exactly, products are then single identical
+    IEEE ops in both engines, and only the summation order differs —
+    absorbed by rounding to 4 decimals (error ~1e-12 vs a 5e-5
+    boundary)."""
+    from d2d_spark.operators.reduce import random_projection_matrix
+
+    W = random_projection_matrix(_RP_DIM, _RP_K, _RP_SEED)
+    cols = []
+    for j in range(_RP_K):
+        lits = ", ".join(repr(float(x)) for x in W[j])
+        cols.append(
+            f"round(list_sum(list_transform(CAST(embedding AS DOUBLE[]), "
+            f"(x, i) -> x * ([{lits}])[i])), 4) AS r{j}"
+        )
+    return "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
+
+
+@query(
+    "embedding_reduce_project",
+    oracle=_rp_oracle(),
+    tags=("llm", "reduce", "random-projection", "jl", "embedding"),
+)
+def embedding_reduce_project(spark, sf_dir):
+    """Random-projection dimensionality reduction (64 -> 4): the
+    seeded Gaussian matrix IS the model, so the oracle inlines the
+    same matrix as literals and replays the GEMM per vector — matrix
+    generation, the Arrow-batched projection kernel, and column
+    passthrough are all hash-checked. PCA shares the identical
+    projection kernel and is pytest-checked against numpy exact
+    (tests/test_reduce.py); the JL distance bound and determinism are
+    pytest-pinned too."""
+    from d2d_spark.operators.reduce import random_project
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = random_project(e, "embedding", dim=_RP_DIM, k=_RP_K, seed=_RP_SEED)
+    r = F.col("reduced")
+    return out.select(
+        "vec_id", *[F.round(r[j], 4).alias(f"r{j}") for j in range(_RP_K)]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom seen-set dedup
+# ---------------------------------------------------------------------------
+@query(
+    "bloom_seen_filter",
+    oracle="""
+    SELECT 'new' AS leg, doc_id FROM documents WHERE doc_id % 2 = 1
+    UNION ALL
+    SELECT 'seen' AS leg, doc_id FROM documents WHERE doc_id % 2 = 0
+    """,
+    tags=("llm", "dedup", "bloom", "seen-set", "crawl"),
+)
+def bloom_seen_filter(spark, sf_dir):
+    """Bloom seen-set dedup: build the filter over the even-id half of
+    the corpus (the 'previous crawl'), probe every document; the new
+    leg keeps what a next crawl would ingest, the seen leg the
+    maybe-duplicates.
+
+    The oracle is the TRUE seen-set split, which the Bloom result
+    equals exactly when no false positive fires: the filter is sized
+    at fpp 1e-6 with ~16 hashes over a 2^20-bit map (~1e-23 realized
+    per-probe fp rate at this fill), the operator is fully
+    deterministic (keyed SipHash pair, no RNG), and the fixtures are
+    fixed — verified collision-free at sf0.001/0.01/0.1 via
+    crosscheck_sf. No-false-NEGATIVE is structural (a seen key can
+    never probe clear), so the 'new' leg can never lose a row; the
+    probabilistic side is pytest-pinned (fpp envelope, zero false
+    negatives, union/serialize round-trips)."""
+    from d2d_spark.operators.bloom import build_bloom, filter_seen
+
+    d = _t(spark, sf_dir, "documents").withColumn("__k", F.col("doc_id").cast("string"))
+    prior = build_bloom(
+        d.filter(F.col("doc_id") % 2 == 0), "__k", expected_items=20_000, fpp=1e-6
+    )
+    new = filter_seen(d, prior, "__k", keep_seen=False).select(
+        F.lit("new").alias("leg"), "doc_id"
+    )
+    seen = filter_seen(d, prior, "__k", keep_seen=True).select(
+        F.lit("seen").alias("leg"), "doc_id"
+    )
+    return new.unionByName(seen)
+
+
+# ---------------------------------------------------------------------------
+# GPT-3-style seed-corpus quality scoring
+# ---------------------------------------------------------------------------
+
+# word tokens in lockstep with operators/classifier.word_tokens
+_SQL_WTOKS = (
+    r"list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')"
+)
+
+
+@query(
+    "gpt3_quality_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, t.token FROM documents, unnest({_SQL_WTOKS}) AS t(token)
+    ),
+    pairs AS (
+      SELECT 'good' AS label, t.token
+      FROM documents, unnest({_SQL_WTOKS}) AS t(token) WHERE lang = 'en'
+      UNION ALL
+      SELECT 'raw' AS label, token FROM toks
+    ),
+    tl AS (SELECT token, label, count(*) AS c FROM pairs GROUP BY 1, 2),
+    vocab AS (SELECT token FROM (SELECT token, sum(c) AS g FROM tl GROUP BY token)
+              WHERE g >= 1 ORDER BY g DESC, token LIMIT 5000),
+    nv AS (SELECT count(*) AS v FROM vocab),
+    kept AS (SELECT tl.* FROM tl JOIN vocab USING (token)),
+    tot AS (SELECT label, sum(c) AS tot FROM kept GROUP BY label),
+    mg AS (SELECT token, ln(c + 1.0) - ln(tot + 1.0 * v) AS ll
+           FROM kept JOIN tot USING (label) CROSS JOIN nv WHERE label = 'good'),
+    mr AS (SELECT token, ln(c + 1.0) - ln(tot + 1.0 * v) AS ll
+           FROM kept JOIN tot USING (label) CROSS JOIN nv WHERE label = 'raw'),
+    flr AS (SELECT
+      (SELECT ln(1.0) - ln(tot + 1.0 * v) FROM tot CROSS JOIN nv WHERE label = 'good') AS fg,
+      (SELECT ln(1.0) - ln(tot + 1.0 * v) FROM tot CROSS JOIN nv WHERE label = 'raw') AS fr),
+    dcounts AS (SELECT count(*) FILTER (WHERE lang = 'en') AS ng, count(*) AS nr
+                FROM documents),
+    pri AS (SELECT (ln(CAST(ng AS DOUBLE)) - ln(CAST(ng + nr AS DOUBLE)))
+                 - (ln(CAST(nr AS DOUBLE)) - ln(CAST(ng + nr AS DOUBLE))) AS pm
+            FROM dcounts),
+    marg AS (
+      SELECT toks.doc_id,
+             CAST(SUM(CAST(coalesce(mg.ll, flr.fg) - coalesce(mr.ll, flr.fr)
+                           AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS m
+      FROM toks LEFT JOIN mg USING (token) LEFT JOIN mr USING (token) CROSS JOIN flr
+      GROUP BY 1
+    )
+    SELECT d.doc_id, round(1.0 / (1.0 + exp(-(coalesce(marg.m, 0.0) + pri.pm))), 6)
+             AS qprob6
+    FROM documents d LEFT JOIN marg USING (doc_id) CROSS JOIN pri
+    """,
+    tags=("llm", "classifier", "quality", "gpt3", "seed-corpus"),
+)
+def gpt3_quality_score(spark, sf_dir):
+    """GPT-3-style quality scoring (Brown et al. 2020 §A): train a
+    binary classifier to tell a trusted seed corpus (here the
+    lang='en' slice) from the raw corpus itself, then score every raw
+    document with the probability it looks like the seed. The FULL
+    machinery — shared token explode, two-class NB fit with
+    vocabulary selection and unseen floors, per-token margin with
+    exact DECIMAL accumulation, prior margin, sigmoid squash — is
+    reproduced in SQL and hash-checked to 6 decimals.
+    contrast_fraction=1.0 makes the negative class the whole corpus,
+    so no hash-sampling enters the hashed surface; the Pareto keep
+    rule on top (`nb_quality_filter`) is derandomized through
+    xxhash64 and stays pytest-checked."""
+    from d2d_spark.operators.classifier import nb_quality_score
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    good = d.filter(F.col("lang") == "en").select("text")
+    out = nb_quality_score(
+        d, good, "text", "doc_id",
+        contrast_fraction=1.0, vocab_size=5000, min_count=1, alpha=1.0,
+        per_token=True,
+    )
+    return out.select("doc_id", F.round("quality_prob", 6).alias("qprob6"))
+
+
+# ---------------------------------------------------------------------------
+# BPE -> pack -> mix integration (not SQL-expressible: the learned
+# merge table drives the counts; driver records a rows-only check,
+# the train/encode algebra is pytest-checked against an independent
+# naive reference in tests/test_bpe.py)
+# ---------------------------------------------------------------------------
+@query(
+    "bpe_pack_mix_pipeline",
+    oracle=None,
+    tags=("llm", "bpe", "tokenizer", "packing", "mixing", "integration"),
+)
+def bpe_pack_mix_pipeline(spark, sf_dir):
+    """The tokenizer composed with the mixture machinery end-to-end
+    over REAL subword counts: train BPE on the corpus (one distributed
+    frequency aggregate + the driver merge loop), encode every
+    document (Arrow-batched, merge ranks in the closure), then (a)
+    first-fit pack documents into ~20 token-budget bins and (b) mix a
+    head/tail split to exact 1x/2x epoch targets using the exact BPE
+    token counts instead of the whitespace proxy. Output is the bin
+    inventory plus per-(source, epoch) token totals — deterministic,
+    bounded, and stable across partitionings. Not SQL-expressible
+    (the merge table is learned); the driver records rows-only, while
+    train/encode equivalence to a naive reference and the packing
+    waste bound are pytest-pinned."""
+    import math
+
+    from d2d_spark.operators.bpe import bpe_encode, train_bpe
+    from d2d_spark.operators.sampling import mix_to_token_budget, pack_documents
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = train_bpe(d, "text", n_merges=100, top_words=10_000)
+    enc = bpe_encode(d, "text", merges, out_col="bpe", count_col="n_tok").select(
+        "doc_id", "text", F.col("n_tok").cast("bigint").alias("n_tok")
+    )
+    total = enc.agg(F.sum("n_tok")).collect()[0][0]
+    budget = int(math.ceil(total / 20.0))
+    packed = pack_documents(enc.repartition(1), "n_tok", budget=budget, sort_col="doc_id")
+    bins = packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("tok")
+    ).select(
+        F.lit("bin").alias("leg"),
+        F.col("bin_id").cast("string").alias("k"),
+        "n",
+        "tok",
+    )
+    head = enc.filter(F.col("doc_id") % 3 == 0)
+    tail = enc.filter(F.col("doc_id") % 3 != 0)
+    have_h = head.agg(F.sum("n_tok")).collect()[0][0]
+    have_t = tail.agg(F.sum("n_tok")).collect()[0][0]
+    mixed = mix_to_token_budget(
+        {"head": (head, float(have_h)), "tail": (tail, float(2 * have_t))},
+        key_col="doc_id",
+        token_col="n_tok",
+        total_tokens=have_h + 2 * have_t,
+    )
+    mix_leg = mixed.groupBy("source", "epoch").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("tok")
+    ).select(
+        F.lit("mix").alias("leg"),
+        F.concat_ws("#", "source", F.col("epoch").cast("string")).alias("k"),
+        "n",
+        "tok",
+    )
+    return bins.unionByName(mix_leg)

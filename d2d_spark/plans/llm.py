@@ -146,98 +146,66 @@ def fingerprint_dedup_documents(spark, sf_dir):
     )
 
 
-@query(
-    "ngram_jaccard_pairs",
-    oracle=f"""
-    WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM documents)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(len(list_intersect(a.s, b.s))*1.0
-                 / len(list_distinct(a.s || b.s)), 6) AS jaccard
-    FROM sh a, sh b
-    WHERE a.doc_id < b.doc_id
-      AND len(list_intersect(a.s, b.s))*1.0 / len(list_distinct(a.s || b.s)) >= 0.5
-    """,
-    tags=("llm", "dedup", "jaccard"),
-)
-def ngram_jaccard_pairs(spark, sf_dir):
-    """Exact word-3-gram Jaccard near-dup pairs (the quadratic ground
-    truth the LSH paths approximate; fixtures plant ~25 true pairs)."""
-    d = _t(spark, sf_dir, "documents")
-    out = D.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 @query(
-    "minhash_lsh_pairs",
+    "minhash_simhash_pairs",
     oracle=f"""
     WITH f AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
                UNION ALL
                SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 2 = 0),
-         canon AS (SELECT doc_id,
-                          array_to_string(list_sort({_SQL_SHINGLES}), chr(1)) AS fp
-                   FROM f)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM canon a JOIN canon b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         sh_canon AS (SELECT doc_id,
+                             array_to_string(list_sort({_SQL_SHINGLES}), chr(1)) AS fp
+                      FROM f),
+         tk_canon AS (SELECT doc_id,
+                             array_to_string(list_sort(list_distinct(
+                                 string_split_regex(trim(lower(text)), '\\s+'))), chr(1)) AS fp
+                      FROM f)
+    SELECT 'minhash' AS leg, a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sh_canon a JOIN sh_canon b ON a.fp = b.fp AND a.doc_id < b.doc_id
     WHERE a.fp <> ''
+    UNION ALL
+    SELECT 'simhash' AS leg, a.doc_id AS id_a, b.doc_id AS id_b
+    FROM tk_canon a JOIN tk_canon b ON a.fp = b.fp AND a.doc_id < b.doc_id
     """,
-    tags=("llm", "dedup", "minhash"),
+    tags=("llm", "dedup", "minhash", "simhash"),
 )
-def minhash_lsh_pairs(spark, sf_dir):
-    """MinHash+LSH near-dup pairs on a planted-duplicate fixture:
-    half the corpus unioned with an identical clone per document
-    (id + 1,000,000), pipeline = signature -> banded buckets ->
-    candidate join -> exact-Jaccard verify at threshold 1.0.
+def minhash_simhash_pairs(spark, sf_dir):
+    """Both banded near-dup pipelines on one planted-duplicate fixture
+    (half the corpus unioned with an identical clone per document,
+    id + 1,000,000), consolidated so the driver window covers every
+    family.
 
-    Exact-by-construction oracle: jaccard == 1 over distinct shingles
-    is precisely shingle-SET equality, which SQL expresses as an
-    equi-join on the sorted-shingle fingerprint — and identical
-    shingle sets give identical signatures, so every band collides
-    and LSH recall on these pairs is guaranteed, not probabilistic.
-    The id PAIR SET is hash-checked (ids only — signature internals
-    are engine-specific). Recall at sub-1.0 thresholds vs the exact
-    ngram_jaccard ground truth stays pytest-checked
-    (tests/test_llm_ops.py)."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
-    base = d.select("doc_id", "text")
-    clones = base.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
-    fixture = base.unionAll(clones)
-    out = D.minhash_lsh_pairs(fixture, "text", "doc_id", jaccard_threshold=1.0)
-    return out.select("id_a", "id_b")
+    minhash leg: signature -> banded buckets -> candidate join ->
+    exact-Jaccard verify at threshold 1.0. Exact-by-construction
+    oracle: jaccard == 1 over distinct shingles is precisely
+    shingle-SET equality, which SQL expresses as an equi-join on the
+    sorted-shingle fingerprint — and identical shingle sets give
+    identical signatures, so every band collides and LSH recall on
+    these pairs is guaranteed, not probabilistic. Ids only — signature
+    internals are engine-specific; sub-1.0-threshold recall vs the
+    exact ngram_jaccard ground truth stays pytest-checked.
 
-
-@query(
-    "simhash_near_pairs",
-    oracle="""
-    WITH f AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
-               UNION ALL
-               SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 2 = 0),
-         canon AS (SELECT doc_id,
-                          array_to_string(list_sort(list_distinct(
-                              string_split_regex(trim(lower(text)), '\\s+'))), chr(1)) AS fp
-                   FROM f)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM canon a JOIN canon b ON a.fp = b.fp AND a.doc_id < b.doc_id
-    """,
-    tags=("llm", "dedup", "simhash"),
-)
-def simhash_near_pairs(spark, sf_dir):
-    """SimHash near-dup pairs on the same planted-clone fixture:
-    pigeonhole-banded candidates at Hamming distance 0, then an exact
-    token-set verify (the standard simhash dedup shape: cheap banded
-    candidate generation, exact check on candidates).
-
-    Exactness: equal token sets => equal simhash => every pigeonhole
-    chunk collides, so all planted pairs become candidates; the
-    verify keeps exactly the token-set-equal ones — the same set the
-    SQL fingerprint join computes. Hamming<=12 behavior on organic
+    simhash leg: pigeonhole-banded candidates at Hamming distance 0,
+    then an exact token-set verify (the standard simhash dedup shape:
+    cheap banded candidate generation, exact check on candidates).
+    Equal token sets => equal simhash => every pigeonhole chunk
+    collides, so all planted pairs become candidates; the verify
+    keeps exactly the token-set-equal ones — the same set the SQL
+    fingerprint join computes. Hamming<=12 behavior on organic
     near-dups stays pytest-checked."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
-    base = d.select("doc_id", "text")
-    clones = base.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
-    fixture = base.unionAll(clones)
-    cand = D.simhash_near_pairs(fixture, "text", "doc_id", max_hamming=0)
     from d2d_spark.functions.text import tokens_ws
 
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    base = d.select("doc_id", "text")
+    clones = base.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    fixture = base.unionAll(clones)
+
+    mh = D.minhash_lsh_pairs(fixture, "text", "doc_id", jaccard_threshold=1.0).select(
+        F.lit("minhash").alias("leg"), "id_a", "id_b"
+    )
+
+    cand = D.simhash_near_pairs(fixture, "text", "doc_id", max_hamming=0)
     fp = fixture.select(
         F.col("doc_id"),
         F.md5(
@@ -246,12 +214,13 @@ def simhash_near_pairs(spark, sf_dir):
             )
         ).alias("__fp"),
     )
-    return (
+    sh = (
         cand.join(fp.select(F.col("doc_id").alias("id_a"), F.col("__fp").alias("fp_a")), "id_a")
         .join(fp.select(F.col("doc_id").alias("id_b"), F.col("__fp").alias("fp_b")), "id_b")
         .filter(F.col("fp_a") == F.col("fp_b"))
-        .select("id_a", "id_b")
+        .select(F.lit("simhash").alias("leg"), "id_a", "id_b")
     )
+    return mh.unionByName(sh)
 
 
 @query(
@@ -294,18 +263,29 @@ _SQL_EXACT_TOPK = """
 
 
 @query(
-    "ann_bruteforce_topk",
-    oracle=_SQL_EXACT_TOPK,
-    tags=("llm", "similarity", "ann"),
+    "ann_exact_topk",
+    oracle=f"""
+    SELECT 'fold' AS leg, * FROM ({_SQL_EXACT_TOPK})
+    UNION ALL
+    SELECT 'gemm' AS leg, * FROM ({_SQL_EXACT_TOPK})
+    """,
+    tags=("llm", "similarity", "ann", "gemm"),
 )
-def ann_bruteforce_topk(spark, sf_dir):
-    """Exact cosine top-5 neighbors for each query vector (vec_id
-    multiple of 100) — the ANN ground-truth baseline."""
+def ann_exact_topk(spark, sf_dir):
+    """Both exact cosine top-5 strategies in one tagged result
+    (consolidated so the driver window covers every family): the
+    fold leg is the Column-fold brute-force baseline (the ANN ground
+    truth), the gemm leg the blocked-GEMM BLAS throughput path.
+    They compute the IDENTICAL exact result, so the same SQL oracles
+    both — the GEMM path is a physical strategy, not a different
+    query."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
-    out = S.brute_force_topk(e, q, "vec_id", "embedding", "vec_id", "embedding", k=5)
-    return out.select(
-        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    cols = ["query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"]
+    fold = S.brute_force_topk(e, q, "vec_id", "embedding", "vec_id", "embedding", k=5)
+    gemm = S.gemm_topk(e, q, "vec_id", "embedding", "vec_id", "embedding", k=5)
+    return fold.select(F.lit("fold").alias("leg"), *cols).unionByName(
+        gemm.select(F.lit("gemm").alias("leg"), *cols)
     )
 
 
@@ -446,12 +426,14 @@ def multimodal_pipeline(spark, sf_dir):
 
 
 @query(
-    "dedup_clusters_documents",
+    "jaccard_pairs_clusters",
     oracle=f"""
     WITH RECURSIVE
      sh AS MATERIALIZED (SELECT doc_id, {_SQL_SHINGLES} AS s FROM documents),
      pairs AS MATERIALIZED (
-       SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              round(len(list_intersect(a.s, b.s))*1.0
+                    / len(list_distinct(a.s || b.s)), 6) AS jaccard
        FROM sh a, sh b
        WHERE a.doc_id < b.doc_id
          AND len(list_intersect(a.s, b.s))*1.0 / len(list_distinct(a.s || b.s)) >= 0.5),
@@ -462,44 +444,46 @@ def multimodal_pipeline(spark, sf_dir):
        UNION
        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
      comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
-    SELECT id, component FROM comp ORDER BY id
+    SELECT 'pair' AS leg, id_a AS a, id_b AS b, jaccard FROM pairs
+    UNION ALL
+    SELECT 'comp' AS leg, id, component, CAST(NULL AS DOUBLE) FROM comp
     """,
-    tags=("llm", "dedup", "clusters"),
+    tags=("llm", "dedup", "jaccard", "clusters"),
 )
-def dedup_clusters_documents(spark, sf_dir):
-    """Near-dup clustering end-to-end: exact-Jaccard pairs ->
-    distributed connected components (iterative min-label propagation
-    with pointer doubling) -> one (id, component) row per clustered
-    document. The oracle computes the same transitive closure with a
-    recursive CTE — an iterative Spark algorithm checked exactly
-    against SQL recursion."""
+def jaccard_pairs_clusters(spark, sf_dir):
+    """Near-dup clustering end-to-end in one tagged result
+    (consolidated so the driver window covers every family): the pair
+    leg is the exact word-3-gram Jaccard ground truth the LSH paths
+    approximate (fixtures plant ~25 true pairs, scores hash-checked to
+    6 decimals); the comp leg runs those pairs through distributed
+    connected components (iterative min-label propagation with pointer
+    doubling) — an iterative Spark algorithm checked exactly against
+    SQL recursion."""
     d = _t(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+    pair_leg = pairs.select(
+        F.lit("pair").alias("leg"),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
     # pin shuffle width for the iteration loop: a vanilla session's
     # 200 partitions x ~10 stages x rounds is pure overhead on a
     # near-dup graph; restore for the caller
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        out = D.connected_components(pairs).orderBy("id")
-        out = out.localCheckpoint(eager=True)
+        comp = D.connected_components(pairs)
+        comp = comp.localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
-    return out
-
-
-@query("ann_gemm_topk", oracle=_SQL_EXACT_TOPK, tags=("llm", "similarity", "ann", "gemm"))
-def ann_gemm_topk(spark, sf_dir):
-    """Blocked-GEMM exact top-k — the BLAS throughput path for
-    brute-force search. Computes the identical exact cosine top-k as
-    ann_bruteforce_topk, so the same SQL oracles it (plus a pytest
-    equality check against the fold-based path)."""
-    e = _t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 100 == 0)
-    out = S.gemm_topk(e, q, "vec_id", "embedding", "vec_id", "embedding", k=5)
-    return out.select(
-        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    comp_leg = comp.select(
+        F.lit("comp").alias("leg"),
+        F.col("id").alias("a"),
+        F.col("component").alias("b"),
+        F.lit(None).cast("double").alias("jaccard"),
     )
+    return pair_leg.unionByName(comp_leg)
 
 
 @query(
@@ -1017,26 +1001,40 @@ def duplicate_span_strip_documents(spark, sf_dir):
              WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
              ELSE host0 END AS host1,
         regexp_replace(path0, '/+$', '') AS path1
-      FROM parts)
-    SELECT doc_id,
-           scheme || '://' || regexp_replace(host1, '^www\.', '') || path1 ||
-             CASE WHEN qq <> '' THEN '?' || qq ELSE '' END AS url_norm,
-           regexp_replace(regexp_replace(lower(host1), '^www\.', ''), ':[0-9]+$', '') AS host
-    FROM q
+      FROM parts),
+    norm AS (
+      SELECT doc_id,
+             scheme || '://' || regexp_replace(host1, '^www\.', '') || path1 ||
+               CASE WHEN qq <> '' THEN '?' || qq ELSE '' END AS url_norm,
+             regexp_replace(regexp_replace(lower(host1), '^www\.', ''), ':[0-9]+$', '') AS host
+      FROM q)
+    SELECT 'norm' AS leg, doc_id, url_norm, host FROM norm
+    UNION ALL
+    SELECT 'quota' AS leg, doc_id, url_norm, host
+    FROM (SELECT *, row_number() OVER (PARTITION BY url_norm ORDER BY doc_id) AS rn
+          FROM norm)
+    WHERE rn <= 2
     """,
-    tags=("llm", "url", "normalize", "crawl"),
+    tags=("llm", "url", "normalize", "crawl", "quota", "cap-per-key"),
 )
 def url_normalize_documents(spark, sf_dir):
-    """URL canonicalization, per-variant: five deterministic messy
-    renderings of the same logical URL (www prefix, default port,
-    upper-cased host, trailing slash, shuffled/tracking query params,
-    fragments) are built from doc_id and normalized; the oracle
-    mirrors the construction AND the normalization, so the hash pins
-    every rule — scheme/host case, port stripping, param filtering
-    and sorting, fragment/slash removal. Five variants per group
-    collapse to one canonical URL, the dedup key a crawl pipeline
-    groups on."""
+    """URL canonicalization + per-key quota in one tagged result.
+
+    norm leg — five deterministic messy renderings of the same
+    logical URL (www prefix, default port, upper-cased host, trailing
+    slash, shuffled/tracking query params, fragments) are built from
+    doc_id and normalized; the oracle mirrors the construction AND
+    the normalization, so the hash pins every rule — scheme/host
+    case, port stripping, param filtering and sorting, fragment/slash
+    removal. Five variants per group collapse to one canonical URL,
+    the dedup key a crawl pipeline groups on.
+
+    quota leg — `cap_per_key` over that canonical URL (at most 2 of
+    the 5 variants survive per group, deterministic by doc_id): the
+    per-domain/per-page quota of crawl pipelines, a running top-N per
+    key that the oracle replays as a window rank."""
     from d2d_spark.functions.urls import normalize_url, url_host
+    from d2d_spark.operators.sampling import cap_per_key
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
     g = F.floor(F.col("doc_id") / 5).cast("bigint").cast("string")
@@ -1055,8 +1053,12 @@ def url_normalize_documents(spark, sf_dir):
         .otherwise(F.concat(F.lit("http://data.example.com/docs/"), g,
                             F.lit("?id="), p, F.lit("&z=9&a=1#sec-"), did))
     )
-    return d.select(
+    norm = d.select(
         "doc_id",
         normalize_url(url).alias("url_norm"),
         url_host(url).alias("host"),
+    )
+    quota = cap_per_key(norm, "url_norm", max_rows=2, order_col="doc_id")
+    return norm.select(F.lit("norm").alias("leg"), "doc_id", "url_norm", "host").unionByName(
+        quota.select(F.lit("quota").alias("leg"), "doc_id", "url_norm", "host")
     )

@@ -58,7 +58,7 @@ def load_all() -> dict[str, Query]:
     every family."""
     global _LOADED
     if not _LOADED:
-        from d2d_spark.plans import connectors_q, writes_q, streaming_q, relational, llm  # noqa: F401
+        from d2d_spark.plans import connectors_q, writes_q, streaming_q, relational, llm, curation_q  # noqa: F401
 
         _LOADED = True
     return QUERIES

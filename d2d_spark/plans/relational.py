@@ -157,36 +157,59 @@ def join_revenue_by_nation(spark, sf_dir):
 
 
 @query(
-    "semi_anti_join_customers",
+    "semi_anti_exists_customers",
     oracle="""
-    SELECT c_custkey, c_name, 'has_big_order' AS src FROM customer c
+    SELECT 'has_big_order' AS leg, c_custkey, c_name AS c_val FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
     UNION ALL
-    SELECT c_custkey, c_name, 'no_orders' AS src FROM customer c
+    SELECT 'no_orders' AS leg, c_custkey, c_name AS c_val FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'exists_sql' AS leg, c_custkey, c_mktsegment AS c_val
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
     """,
-    tags=("join", "semi", "anti"),
+    tags=("join", "semi", "anti", "subquery", "exists", "decorrelation"),
 )
-def semi_anti_join_customers(spark, sf_dir):
-    """LEFT SEMI + LEFT ANTI joins in one tagged result: the semi leg
-    is the insert-mode membership probe, the anti leg the INSERT
-    IGNORE primitive (skip rows whose key already exists in the
-    target, d22d/utils/db/myutils.py:693-752)."""
+def semi_anti_exists_customers(spark, sf_dir):
+    """LEFT SEMI + LEFT ANTI joins plus correlated EXISTS in one
+    tagged result (consolidated so the driver window covers every
+    family): the semi leg is the insert-mode membership probe, the
+    anti leg the INSERT IGNORE primitive (skip rows whose key already
+    exists in the target, d22d/utils/db/myutils.py:693-752), and the
+    exists_sql leg routes correlated EXISTS / NOT EXISTS through
+    spark.sql — Catalyst decorrelates both into semi/anti joins
+    (SURVEY §4: free via the SQL surface; the reference could only
+    ship this to a remote engine)."""
+    from d2d_spark.session import load_tables
+
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     big = o.filter(F.col("o_totalprice") > 200000)
     semi = (
         c.join(big, c.c_custkey == big.o_custkey, "left_semi")
-        .select("c_custkey", "c_name")
-        .withColumn("src", F.lit("has_big_order"))
+        .select(F.lit("has_big_order").alias("leg"), "c_custkey", F.col("c_name").alias("c_val"))
     )
     anti = (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .select("c_custkey", "c_name")
-        .withColumn("src", F.lit("no_orders"))
+        .select(F.lit("no_orders").alias("leg"), "c_custkey", F.col("c_name").alias("c_val"))
     )
-    return semi.unionAll(anti)
+    load_tables(spark, sf_dir, ("customer", "orders"))
+    exists_leg = spark.sql(
+        """
+        SELECT 'exists_sql' AS leg, c_custkey, c_mktsegment AS c_val
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+        """
+    )
+    return semi.unionAll(anti).unionAll(exists_leg)
 
 
 @query(
@@ -371,105 +394,146 @@ def top_hits_latest_event_per_user(spark, sf_dir):
 # sort / limit / offset / top-k (§2.7)
 # ---------------------------------------------------------------------------
 @query(
-    "topk_limit_offset_orders",
+    "topk_setops_suite",
     oracle="""
-    (SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total,
-            'topk' AS src
+    (SELECT 'topk' AS leg, o_orderkey AS k,
+            CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
      FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
     UNION ALL
-    (SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total,
-            'offset' AS src
+    (SELECT 'offset' AS leg, o_orderkey AS k,
+            CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
      FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 100)
-    """,
-    tags=("topk", "sort", "limit", "offset"),
-)
-def topk_limit_offset_orders(spark, sf_dir):
-    """ORDER BY + LIMIT (-> TakeOrderedAndProject, per-partition heaps,
-    no global sort) and LIMIT offset,n (d22d/utils/db/myutils.py:
-    886-888, row_number over an explicit total order) as one tagged
-    result covering the §2.7 sort/limit/offset/top-k family."""
-    o = _t(spark, sf_dir, "orders")
-    total = F.col("o_totalprice").cast(DEC).cast("double").alias("total")
-    topk_leg = (
-        top_k(o, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 10)
-        .select("o_orderkey", total)
-        .withColumn("src", F.lit("topk"))
-    )
-    offset_leg = (
-        limit_offset(o, [F.col("o_orderkey")], limit=20, offset=100)
-        .select("o_orderkey", total)
-        .withColumn("src", F.lit("offset"))
-    )
-    return topk_leg.unionAll(offset_leg)
-
-
-# ---------------------------------------------------------------------------
-# set ops (§2.7)
-# ---------------------------------------------------------------------------
-@query(
-    "setops_nation_coverage",
-    oracle="""
-    SELECT nationkey, 'both' AS src FROM
+    UNION ALL
+    SELECT 'both' AS leg, nationkey AS k, CAST(NULL AS DOUBLE) AS total FROM
       (SELECT c_nationkey AS nationkey FROM customer
        INTERSECT SELECT s_nationkey FROM supplier)
     UNION ALL
-    SELECT nationkey, 'customer_only' AS src FROM
+    SELECT 'customer_only' AS leg, nationkey AS k, CAST(NULL AS DOUBLE) AS total FROM
       (SELECT c_nationkey AS nationkey FROM customer
        EXCEPT SELECT s_nationkey FROM supplier)
     UNION ALL
-    SELECT nationkey, 'supplier_only' AS src FROM
+    SELECT 'supplier_only' AS leg, nationkey AS k, CAST(NULL AS DOUBLE) AS total FROM
       (SELECT s_nationkey AS nationkey FROM supplier
        EXCEPT SELECT c_nationkey FROM customer)
     """,
-    tags=("setops",),
+    tags=("topk", "sort", "limit", "offset", "setops"),
 )
-def setops_nation_coverage(spark, sf_dir):
-    """UNION/INTERSECT/EXCEPT — recognized-but-unexecuted in the
-    reference's SQL scanner (sqlfileextra.py:14,121-125); native here."""
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    both = c.intersect(s).withColumn("src", F.lit("both"))
-    c_only = c.subtract(s).withColumn("src", F.lit("customer_only"))
-    s_only = s.subtract(c).withColumn("src", F.lit("supplier_only"))
-    return both.unionAll(c_only).unionAll(s_only)
+def topk_setops_suite(spark, sf_dir):
+    """The §2.7 sort/limit/set-op family in one tagged result
+    (consolidated so the driver window covers every family):
+
+    topk/offset legs — ORDER BY + LIMIT (-> TakeOrderedAndProject,
+    per-partition heaps, no global sort) and LIMIT offset,n
+    (d22d/utils/db/myutils.py:886-888, row_number over an explicit
+    total order).
+
+    set-op legs — UNION/INTERSECT/EXCEPT coverage of nation keys,
+    recognized-but-unexecuted in the reference's SQL scanner
+    (sqlfileextra.py:14,121-125); native here."""
+    o = _t(spark, sf_dir, "orders")
+    total = F.col("o_totalprice").cast(DEC).cast("double").alias("total")
+    nd = F.lit(None).cast("double")
+    topk_leg = (
+        top_k(o, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 10)
+        .select(F.lit("topk").alias("leg"), F.col("o_orderkey").alias("k"), total)
+    )
+    offset_leg = (
+        limit_offset(o, [F.col("o_orderkey")], limit=20, offset=100)
+        .select(F.lit("offset").alias("leg"), F.col("o_orderkey").alias("k"), total)
+    )
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    both = c.intersect(s).select(F.lit("both").alias("leg"), "k", nd.alias("total"))
+    c_only = c.subtract(s).select(
+        F.lit("customer_only").alias("leg"), "k", nd.alias("total")
+    )
+    s_only = s.subtract(c).select(
+        F.lit("supplier_only").alias("leg"), "k", nd.alias("total")
+    )
+    return topk_leg.unionAll(offset_leg).unionAll(both).unionAll(c_only).unionAll(s_only)
 
 
 # ---------------------------------------------------------------------------
 # scalar functions (§2.8)
 # ---------------------------------------------------------------------------
 @query(
-    "json_time_funcs_events",
+    "scalar_funcs_suite",
     oracle="""
-    SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
-           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
-           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
-           CAST(strftime(ts, '%H') AS INT) AS hour_of_day,
-           CAST(isodow(ts) - 1 AS INT) AS weekday_mon0,
-           CAST(EXTRACT(year FROM ts) AS BIGINT) AS yr,
-           CAST(EXTRACT(quarter FROM ts) AS BIGINT) AS qtr
+    SELECT 'json_time' AS leg, event_id AS id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS s1,
+           CAST(NULL AS VARCHAR) AS s2, CAST(NULL AS VARCHAR) AS s3,
+           CAST(NULL AS VARCHAR) AS s4, CAST(NULL AS VARCHAR) AS s5,
+           CAST(NULL AS VARCHAR) AS s6,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS n1,
+           CAST(floor(epoch(ts)) AS BIGINT) AS n2,
+           CAST(strftime(ts, '%H') AS BIGINT) AS n3,
+           CAST(isodow(ts) - 1 AS BIGINT) AS n4,
+           CAST(EXTRACT(year FROM ts) AS BIGINT) AS n5,
+           CAST(EXTRACT(quarter FROM ts) AS BIGINT) AS n6
     FROM events WHERE event_id % 7 = 0
+    UNION ALL
+    SELECT 'string' AS leg, p_partkey AS id,
+           upper(p_name) AS s1,
+           substr(p_name, 1, 8) AS s2,
+           regexp_extract(p_name, '([0-9]+)', 1) AS s3,
+           concat(p_name, '#', CAST(p_size AS VARCHAR)) AS s4,
+           md5(p_name) AS s5,
+           CAST(CAST(floor(p_retailprice) AS BIGINT) AS VARCHAR) AS s6,
+           CAST(CASE WHEN p_name LIKE '%%12%%' THEN 1 ELSE 0 END AS BIGINT) AS n1,
+           CAST(length(replace(p_name, '_', '')) AS BIGINT) AS n2,
+           CAST(NULL AS BIGINT) AS n3, CAST(NULL AS BIGINT) AS n4,
+           CAST(NULL AS BIGINT) AS n5, CAST(NULL AS BIGINT) AS n6
+    FROM part WHERE p_partkey <= 500
     """,
-    tags=("scalar", "json", "time", "date"),
+    tags=("scalar", "json", "time", "date", "string", "normalize"),
 )
-def json_time_funcs_events(spark, sf_dir):
-    """Scalar-function families in one projection: the JSON-string
-    boundary (§1.2: nested values JSON-serialized at the sink —
-    get_json_object pulls typed values back out) plus epoch<->string
-    time helpers (d22d/utils/timeutils.py:1-31) and calendar part
-    extraction (year/quarter — the partition-key derivation for any
-    date-sliced 100 TB table)."""
+def scalar_funcs_suite(spark, sf_dir):
+    """The §2.8 scalar library in one tagged result (consolidated so
+    the driver window covers every family).
+
+    json_time leg — the JSON-string boundary (§1.2: nested values
+    JSON-serialized at the sink — get_json_object pulls typed values
+    back out) plus epoch<->string time helpers
+    (d22d/utils/timeutils.py:1-31) and calendar part extraction
+    (year/quarter — the partition-key derivation for any date-sliced
+    100 TB table).
+
+    string leg — case, substring, LIKE, regexp extract, replace,
+    concat — all whole-stage-codegen expressions — plus md5 (d22d
+    get_md5, utils.py:365-369) and format_value (d22d/task.py:23-28:
+    integral floats -> int form, strings trimmed — the join-key
+    normalization rule; floor() keeps the input integral so both
+    engines exercise the int branch deterministically)."""
+    ns = F.lit(None).cast("string")
+    nb = F.lit(None).cast("bigint")
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
-    return ev.select(
-        "event_id",
-        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
-        F.unix_timestamp("ts").alias("epoch_s"),
-        F.hour("ts").cast("int").alias("hour_of_day"),
-        F.weekday("ts").cast("int").alias("weekday_mon0"),
-        F.year("ts").cast("long").alias("yr"),
-        F.quarter("ts").cast("long").alias("qtr"),
+    json_leg = ev.select(
+        F.lit("json_time").alias("leg"),
+        F.col("event_id").alias("id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("s1"),
+        ns.alias("s2"), ns.alias("s3"), ns.alias("s4"), ns.alias("s5"), ns.alias("s6"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("n1"),
+        F.unix_timestamp("ts").alias("n2"),
+        F.hour("ts").cast("bigint").alias("n3"),
+        F.weekday("ts").cast("bigint").alias("n4"),
+        F.year("ts").cast("bigint").alias("n5"),
+        F.quarter("ts").cast("bigint").alias("n6"),
     )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    string_leg = p.select(
+        F.lit("string").alias("leg"),
+        F.col("p_partkey").alias("id"),
+        F.upper("p_name").alias("s1"),
+        F.substring("p_name", 1, 8).alias("s2"),
+        F.regexp_extract("p_name", r"([0-9]+)", 1).alias("s3"),
+        F.concat_ws("#", F.col("p_name"), F.col("p_size").cast("string")).alias("s4"),
+        md5_hex(F.col("p_name")).alias("s5"),
+        format_value(F.floor("p_retailprice")).alias("s6"),
+        F.when(F.col("p_name").like("%12%"), 1).otherwise(0).cast("bigint").alias("n1"),
+        F.length(F.regexp_replace("p_name", "_", "")).cast("bigint").alias("n2"),
+        nb.alias("n3"), nb.alias("n4"), nb.alias("n5"), nb.alias("n6"),
+    )
+    return json_leg.unionByName(string_leg)
 
 
 # ---------------------------------------------------------------------------
@@ -708,75 +772,6 @@ def range_join_price_bands(spark, sf_dir):
             F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"),
         )
         .orderBy("band")
-    )
-
-
-@query(
-    "correlated_exists_orders",
-    oracle="""
-    SELECT c_custkey, c_mktsegment
-    FROM customer c
-    WHERE EXISTS (SELECT 1 FROM orders o
-                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
-      AND NOT EXISTS (SELECT 1 FROM orders o2
-                      WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
-    """,
-    tags=("subquery", "exists", "decorrelation"),
-)
-def correlated_exists_orders(spark, sf_dir):
-    """Correlated EXISTS / NOT EXISTS through spark.sql — Catalyst
-    decorrelates both into semi/anti joins (SURVEY §4: free via the
-    SQL surface; the reference could only ship this to a remote
-    engine)."""
-    from d2d_spark.session import load_tables
-
-    load_tables(spark, sf_dir, ("customer", "orders"))
-    return spark.sql(
-        """
-        SELECT c_custkey, c_mktsegment
-        FROM customer c
-        WHERE EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
-          AND NOT EXISTS (SELECT 1 FROM orders o2
-                          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
-        """
-    )
-
-
-@query(
-    "string_funcs_part",
-    oracle="""
-    SELECT p_partkey,
-           upper(p_name) AS uname,
-           substr(p_name, 1, 8) AS prefix,
-           CASE WHEN p_name LIKE '%%12%%' THEN 1 ELSE 0 END AS has_12,
-           regexp_extract(p_name, '([0-9]+)', 1) AS first_num,
-           length(replace(p_name, '_', '')) AS clean_len,
-           concat(p_name, '#', CAST(p_size AS VARCHAR)) AS tagged,
-           md5(p_name) AS name_md5,
-           CAST(CAST(floor(p_retailprice) AS BIGINT) AS VARCHAR) AS price_norm
-    FROM part WHERE p_partkey <= 500
-    """,
-    tags=("scalar", "string", "normalize"),
-)
-def string_funcs_part(spark, sf_dir):
-    """Scalar-function family: case, substring, LIKE, regexp extract,
-    replace, concat — all whole-stage-codegen expressions — plus md5
-    (d22d get_md5, utils.py:365-369) and format_value (d22d/task.py:
-    23-28: integral floats -> int form, strings trimmed — the
-    join-key normalization rule; floor() keeps the input integral so
-    both engines exercise the int branch deterministically)."""
-    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
-    return p.select(
-        "p_partkey",
-        F.upper("p_name").alias("uname"),
-        F.substring("p_name", 1, 8).alias("prefix"),
-        F.when(F.col("p_name").like("%12%"), 1).otherwise(0).alias("has_12"),
-        F.regexp_extract("p_name", r"([0-9]+)", 1).alias("first_num"),
-        F.length(F.regexp_replace("p_name", "_", "")).alias("clean_len"),
-        F.concat_ws("#", F.col("p_name"), F.col("p_size").cast("string")).alias("tagged"),
-        md5_hex(F.col("p_name")).alias("name_md5"),
-        format_value(F.floor("p_retailprice")).alias("price_norm"),
     )
 
 

@@ -17,9 +17,8 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 SKIP = {
-    "ngram_jaccard_pairs",
+    "jaccard_pairs_clusters",
     "embedding_near_pairs",
-    "dedup_clusters_documents",
     "llm_pipeline_end_to_end",  # contains the quadratic pair stage
 }
 

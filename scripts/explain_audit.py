@@ -22,9 +22,9 @@ sys.path.insert(0, str(REPO))
 SF = "/root/testdata/sf0.01"
 # quadratic-by-design baselines, exempt from the cross-join flag
 ALLOW_NLJ = {
-    "ngram_jaccard_pairs",
+    "jaccard_pairs_clusters",
     "embedding_near_pairs",
-    "ann_bruteforce_topk",
+    "ann_exact_topk",
     "range_join_price_bands",  # interval join: non-equi by definition
 }
 
@@ -45,11 +45,10 @@ def main() -> int:
         "rollup_cube_grouping",
         "partitioned_write_prune",
         "asof_join_click_purchase",
-        "correlated_exists_orders",
-        "semi_anti_join_customers",
+        "semi_anti_exists_customers",  # incl. the decorrelated EXISTS legs
         "fuzzy_name_pairs",      # FastSS deletion path: must be equi-join only
         "ann_lsh_ivf_topk",      # bucket/cell equi-joins, no cartesian
-        "minhash_lsh_pairs",     # band equi-join, ArrowEval only
+        "minhash_simhash_pairs",  # band equi-joins, ArrowEval only
         "scan_filter_project",
         "semantic_dedup_embeddings",     # within-cell pairs ride the cell equi-join
         "paragraph_dedup_documents",     # fingerprint/doc-id equi-joins only
@@ -58,7 +57,12 @@ def main() -> int:
         "pack_and_concat",       # mapInPandas packing: ArrowEval, no Python UDF
         "nb_langid_documents",   # model must broadcast into the token probe
         "duplicate_span_strip_documents",  # one window-hash shuffle, id equi-join back
-        "url_normalize_documents",         # pure codegen over the scan: no join/shuffle
+        "url_normalize_documents",         # codegen scan + one quota-rank shuffle
+        "html_clean_gopher_chunk",  # pure Column pipeline: regex/explode over the scan
+        "countmin_freq_estimates",  # bounded sketch must BROADCAST into the probe
+        "embedding_reduce_project",  # map-only Arrow GEMM: no shuffle at all
+        "bloom_seen_filter",     # bitmap probe is map-side: no join, no shuffle
+        "gpt3_quality_score",    # model broadcast + one per-doc aggregate
     ]
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     problems = []

@@ -21,7 +21,11 @@ def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
     from d2d_spark.session import read_table
 
     qs = load_all()
-    truth = _pairs(qs["ngram_jaccard_pairs"].fn(spark, sf_dir))
+    truth = _pairs(
+        qs["jaccard_pairs_clusters"].fn(spark, sf_dir)
+        .filter("leg = 'pair'")
+        .selectExpr("a AS id_a", "b AS id_b")
+    )
     d = read_table(spark, sf_dir, "documents")
     found = _pairs(minhash_lsh_pairs(d, "text", "doc_id", jaccard_threshold=0.5))
     assert truth, "fixture should contain planted near-dup pairs"
@@ -37,7 +41,11 @@ def test_simhash_finds_planted_dups(spark, sf_dir):
     from d2d_spark.session import read_table
 
     qs = load_all()
-    truth = _pairs(qs["ngram_jaccard_pairs"].fn(spark, sf_dir))
+    truth = _pairs(
+        qs["jaccard_pairs_clusters"].fn(spark, sf_dir)
+        .filter("leg = 'pair'")
+        .selectExpr("a AS id_a", "b AS id_b")
+    )
     d = read_table(spark, sf_dir, "documents")
     sim = _pairs(simhash_near_pairs(d, "text", "doc_id", max_hamming=12))
     hit = len(truth & sim) / len(truth)
@@ -50,7 +58,9 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     for LSH — multi-probe still reaches ~0.4+ recall; clustered
     real-world embeddings do far better."""
     qs = load_all()
-    exact = qs["ann_bruteforce_topk"].fn(spark, sf_dir).collect()
+    exact = [
+        r for r in qs["ann_exact_topk"].fn(spark, sf_dir).collect() if r.leg == "fold"
+    ]
     approx = [r for r in qs["ann_lsh_ivf_topk"].fn(spark, sf_dir).collect() if r.leg == "lsh"]
     assert approx, "lsh search returned nothing"
     assert all(-1.0 <= r.cos_sim <= 1.0 for r in approx)
