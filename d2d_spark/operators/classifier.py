@@ -285,11 +285,16 @@ def classify_self(
     ``spark.catalog.clearCache()``)."""
     from pyspark import StorageLevel
 
-    toks = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(label_col).alias("label"),
-        F.explode(word_tokens(F.col(text_col))).alias("token"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    from d2d_spark import cache as opcache
+
+    toks = opcache.register(
+        "nb_classifier",
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(label_col).alias("label"),
+            F.explode(word_tokens(F.col(text_col))).alias("token"),
+        ).persist(StorageLevel.MEMORY_AND_DISK),
+    )
     # no eager fill: the model collect (first consumer) materializes
     # the cache; the scoring job reuses it — consumers are sequential
     # jobs, so there is no concurrent-first-computation race to guard
@@ -354,10 +359,15 @@ def nb_quality_score(
 
     from d2d_spark.operators.sampling import _BUCKETS, hash_bucket
 
-    toks = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(word_tokens(F.col(text_col))).alias("token"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    from d2d_spark import cache as opcache
+
+    toks = opcache.register(
+        "nb_classifier",
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(word_tokens(F.col(text_col))).alias("token"),
+        ).persist(StorageLevel.MEMORY_AND_DISK),
+    )
     threshold = int(round(contrast_fraction * _BUCKETS))
     raw_pairs = toks.filter(hash_bucket(F.col("__id"), seed) < threshold).select(
         F.lit("raw").alias("label"), "token"

@@ -306,16 +306,20 @@ def minhash_lsh_pairs(
     # but the DISK halves of MEMORY_AND_DISK blocks persist until
     # unpersist/clearCache and accumulate without bound in a
     # long-lived session cycling many corpora. Callers in that shape
-    # should spark.catalog.clearCache() between corpora (or unpersist
-    # the matching entry via spark.catalog) — the cost is only a
-    # signature recompute on the next call.
+    # release per-corpus via d2d_spark.cache.release("minhash_lsh")
+    # after consuming the pairs (always safe — lineage is intact, an
+    # early release only costs a recompute), or clearCache() for the
+    # blunt version.
     from pyspark import StorageLevel
 
+    from d2d_spark import cache as opcache
+
     base = _spread(df.select(F.col(id_col).alias("__id"), F.col(text_col)), npart, "__id")
-    sig = (
+    sig = opcache.register(
+        "minhash_lsh",
         minhash_signature(base, text_col, num_hashes, shingle_n, emit_hashed_shingles=True)
         .select("__id", "minhash", "__hset")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK),
     )
     # Materialize the cache EAGERLY: the three consumers below all sit
     # inside one job, and Spark's block cache does not dedupe
@@ -974,13 +978,24 @@ class SignatureStore:
         # persisted sig frame — so unpersisting here doesn't force the
         # caller's first action to recompute the whole signature stage.
         # A configured checkpoint dir gets a RELIABLE checkpoint (an
-        # executor loss replays from storage); localCheckpoint blocks
-        # are executor-local and non-replicated — fine on local[n],
-        # unrecoverable on a cluster — so it is only the fallback.
+        # executor loss replays from storage). The fallback is
+        # persist + eager count, NOT localCheckpoint: persisted blocks
+        # keep their lineage, so losing an executor between here and
+        # consumption recomputes the lost partitions instead of
+        # failing the job (localCheckpoint truncates lineage into
+        # executor-local, non-replicated blocks — fine on local[n],
+        # unrecoverable on a cluster). The dup-id blocks are tiny
+        # (ids only) and releasable per-corpus via
+        # d2d_spark.cache.release("signature_store").
         if spark.sparkContext.getCheckpointDir() is not None:
             dups = dups.checkpoint(eager=True)
         else:
-            dups = dups.localCheckpoint(eager=True)
+            from pyspark import StorageLevel as _SL
+
+            from d2d_spark import cache as opcache
+
+            dups = opcache.register("signature_store", dups.persist(_SL.MEMORY_AND_DISK))
+            dups.count()
         survivors = df.join(dups, on=[F.col(id_col) == F.col("__dup")], how="left_anti")
         new_sigs = sig.join(dups, on=[F.col("__id") == F.col("__dup")], how="left_anti")
         new_sigs.write.mode("append").parquet(self.path)

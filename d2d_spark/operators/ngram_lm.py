@@ -182,16 +182,24 @@ def perplexity_self_score(
     (measured ~2x steady-state). Distinct corpora each leave a cache
     entry whose disk half persists until
     ``spark.catalog.clearCache()`` — long-lived sessions cycling many
-    corpora should clear between them; the cost is only a gram
-    recompute on the next call."""
+    corpora should release per-corpus via
+    ``d2d_spark.cache.release("ngram_lm")`` after consuming the
+    scores (always safe; an early release only costs a recompute) or
+    ``spark.catalog.clearCache()``; either way the cost is only a
+    gram recompute on the next call."""
     import math
 
     from pyspark import StorageLevel
 
-    grams = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(_char_grams(_normalize(F.col(text_col)), n)).alias("gram"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    from d2d_spark import cache as opcache
+
+    grams = opcache.register(
+        "ngram_lm",
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(_char_grams(_normalize(F.col(text_col)), n)).alias("gram"),
+        ).persist(StorageLevel.MEMORY_AND_DISK),
+    )
     # no eager fill: the cache's consumers are SEQUENTIAL jobs (the lm
     # checkpoint materializes it, the scoring job reuses it), so the
     # concurrent-first-computation race minhash guards against cannot

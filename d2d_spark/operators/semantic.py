@@ -92,10 +92,13 @@ def assign_cells(
     # the assignment GEMM is the most expensive kernel here and feeds
     # BOTH the per-cell counts and the output — cache it (eagerly, see
     # dedup.py's concurrent-first-computation note) so it runs once
-    base = (
+    from d2d_spark import cache as opcache
+
+    base = opcache.register(
+        "semantic",
         _spread(df, npart, full=True)
         .withColumn("cell", assign(F.col(vec_col)))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK),
     )
     base.count()
     counts = base.groupBy("cell").agg(F.count(F.lit(1)).alias("__cn"))
@@ -145,6 +148,9 @@ def semantic_near_pairs(
         .withColumn("__n", norm(F.col("__v")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    from d2d_spark import cache as opcache
+
+    opcache.register("semantic", cells)
     cells.count()  # fill the cache before the self-join sides race on it
     a = cells.select(
         "cell", F.col("__id").alias("id_a"), F.col("__v").alias("v_a"), F.col("__n").alias("n_a")

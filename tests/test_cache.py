@@ -1,0 +1,60 @@
+"""Operator cache registry (d2d_spark/cache.py): shared-explode
+persists register per-operator and release() actually drops them."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from d2d_spark import cache as opcache
+
+
+def _docs(spark, n=40):
+    rows = [(i, f"doc {i} " + " ".join(f"w{(i + j) % 7}" for j in range(12))) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_cache_registers_and_releases(spark):
+    from d2d_spark.operators.dedup import minhash_lsh_pairs
+
+    opcache.release()  # isolate from earlier tests
+    df = _docs(spark)
+    pairs = minhash_lsh_pairs(df, "text", "doc_id", jaccard_threshold=0.9)
+    pairs.count()
+    regs = opcache.entries("minhash_lsh")
+    assert regs, "minhash should register its signature cache"
+    assert all(e.storageLevel.useMemory or e.storageLevel.useDisk for e in regs)
+    n = opcache.release("minhash_lsh")
+    assert n == len(regs)
+    # unpersist resets the storage level to NONE on the same frame
+    assert all(not (e.storageLevel.useMemory or e.storageLevel.useDisk) for e in regs)
+    assert opcache.entries("minhash_lsh") == []
+
+
+def test_release_is_safe_before_consumption(spark):
+    """Releasing too early must only cost a recompute, never change
+    the result."""
+    from d2d_spark.operators.ngram_lm import perplexity_self_score
+
+    opcache.release()
+    df = _docs(spark, 30)
+    scored = perplexity_self_score(df, "text", "doc_id", n=3, vocab_size=500)
+    assert opcache.entries("ngram_lm")
+    opcache.release("ngram_lm")  # BEFORE consuming the lazy result
+    a = sorted((r["doc_id"], round(r["mean_logp"], 9)) for r in scored.collect())
+    opcache.release()
+    b_df = perplexity_self_score(df, "text", "doc_id", n=3, vocab_size=500)
+    b = sorted((r["doc_id"], round(r["mean_logp"], 9)) for r in b_df.collect())
+    assert a == b
+    opcache.release()
+
+
+def test_release_all_and_tags(spark):
+    from d2d_spark.operators.classifier import classify_self
+
+    opcache.release()
+    df = _docs(spark, 30).withColumn("lang", F.lit("en"))
+    classify_self(df, "text", "lang", "doc_id", vocab_size=500).count()
+    assert "nb_classifier" in opcache.tags()
+    assert opcache.release() >= 1
+    assert opcache.tags() == []
+    assert opcache.release() == 0
