@@ -118,8 +118,9 @@ def resize_payload(
 
 def _image_dims(payload: bytes) -> tuple[str | None, int | None, int | None]:
     """REAL (not stubbed) image-header sniffing: container format and
-    pixel dimensions from the first bytes of PNG / GIF / BMP / JPEG
-    payloads, stdlib-only — dimension metadata never needs a codec.
+    pixel dimensions from the first bytes of PNG / GIF / BMP / JPEG /
+    WebP (VP8, VP8L, VP8X) payloads, stdlib-only — dimension metadata
+    never needs a codec.
     Unknown or truncated payloads return NULLs (bad media is a row to
     filter downstream, not a job-killer)."""
     # Python slices never raise on short payloads and int.from_bytes
@@ -152,6 +153,29 @@ def _image_dims(payload: bytes) -> tuple[str | None, int | None, int | None]:
                 int.from_bytes(payload[18:22], "little", signed=True),
                 abs(int.from_bytes(payload[22:26], "little", signed=True)),
             )
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            # dims live in the first chunk's header: VP8 (lossy) sync
+            # frame, VP8L (lossless) stream header, or VP8X canvas
+            if len(payload) < 30:
+                return (None, None, None)
+            chunk = payload[12:16]
+            d = payload[20:]
+            if chunk == b"VP8 " and d[3:6] == b"\x9d\x01\x2a":
+                return _dims(
+                    "webp",
+                    int.from_bytes(d[6:8], "little") & 0x3FFF,
+                    int.from_bytes(d[8:10], "little") & 0x3FFF,
+                )
+            if chunk == b"VP8L" and d[0:1] == b"\x2f":
+                bits = int.from_bytes(d[1:5], "little")
+                return _dims("webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+            if chunk == b"VP8X" and len(d) >= 10:
+                return _dims(
+                    "webp",
+                    int.from_bytes(d[4:7], "little") + 1,
+                    int.from_bytes(d[7:10], "little") + 1,
+                )
+            return (None, None, None)
         if payload[:2] == b"\xff\xd8":
             # walk JPEG segments to the first SOF marker (C0-CF minus
             # the non-frame C4/C8/CC): height/width sit 5 bytes in
@@ -268,6 +292,116 @@ def sniff_audio_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "sample_rate": pd.array([m[1] for m in metas], dtype="Int32"),
                     "bits_per_sample": pd.array([m[2] for m in metas], dtype="Int32"),
                     "seconds": pd.array([m[3] for m in metas], dtype="Float64"),
+                    "n_bytes": [len(p or b"") for p in pdf["payload"]],
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(kernel, out_schema)
+
+
+def _mp4_boxes(payload: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for the ISO-BMFF boxes in
+    payload[start:end]. Stops (never raises) on truncated/garbage
+    sizes; size==1 reads the 64-bit largesize, size==0 extends to the
+    region end."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(payload[i : i + 4], "big")
+        btype = payload[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = int.from_bytes(payload[i + 8 : i + 16], "big")
+            body = i + 16
+            if size < 16:
+                return
+        elif size == 0:
+            size = end - i
+        elif size < 8:
+            return
+        if i + size > end:
+            return
+        yield btype, body, i + size
+        i += size
+
+
+def _mp4_meta(
+    payload: bytes,
+) -> tuple[str | None, float | None, int | None, int | None, int | None]:
+    """(brand, seconds, n_tracks, width, height) from an MP4/ISO-BMFF
+    container — the same codec-free byte walk as the image/WAV
+    sniffers: ftyp gives the brand, moov/mvhd the timescale+duration,
+    moov/trak count the tracks, the first trak/tkhd with a non-zero
+    16.16 canvas gives the visual dimensions. NULLs for anything that
+    isn't BMFF or is truncated mid-box."""
+    brand = seconds = n_tracks = width = height = None
+    try:
+        if payload[4:8] != b"ftyp":
+            return (None, None, None, None, None)
+        for btype, body, bend in _mp4_boxes(payload, 0, len(payload)):
+            if btype == b"ftyp" and bend - body >= 4:
+                brand = payload[body : body + 4].decode("ascii", "replace").strip()
+            elif btype == b"moov":
+                n_tracks = 0
+                for ctype, cbody, cend in _mp4_boxes(payload, body, bend):
+                    if ctype == b"mvhd" and cend - cbody >= 4:
+                        ver = payload[cbody]
+                        if ver == 1 and cend - cbody >= 32:
+                            ts = int.from_bytes(payload[cbody + 20 : cbody + 24], "big")
+                            dur = int.from_bytes(payload[cbody + 24 : cbody + 32], "big")
+                        elif ver == 0 and cend - cbody >= 20:
+                            ts = int.from_bytes(payload[cbody + 12 : cbody + 16], "big")
+                            dur = int.from_bytes(payload[cbody + 16 : cbody + 20], "big")
+                        else:
+                            continue
+                        if ts:
+                            seconds = dur / ts
+                    elif ctype == b"trak":
+                        n_tracks += 1
+                        for ttype, tbody, tend in _mp4_boxes(payload, cbody, cend):
+                            if ttype != b"tkhd":
+                                continue
+                            off = 88 if payload[tbody] == 1 else 76
+                            if tend - tbody >= off + 8 and width is None:
+                                w = int.from_bytes(payload[tbody + off : tbody + off + 4], "big") >> 16
+                                h = int.from_bytes(payload[tbody + off + 4 : tbody + off + 8], "big") >> 16
+                                if w > 0 and h > 0:
+                                    width, height = w, h
+    except (IndexError, ValueError):
+        pass
+    return (brand, seconds, n_tracks, width, height)
+
+
+VIDEO_SCHEMA_FIELDS = [
+    T.StructField("brand", T.StringType()),
+    T.StructField("seconds", T.DoubleType()),
+    T.StructField("n_tracks", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_bytes", T.IntegerType()),
+]
+
+
+def sniff_video_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """MP4/ISO-BMFF bookkeeping metadata (brand, duration, track
+    count, visual dimensions) straight from the box structure — real,
+    codec-free, Arrow-batched, map-only; the video analog of
+    `sniff_image_metadata`/`sniff_audio_metadata`. Non-BMFF payloads
+    yield NULL rows to filter downstream, never errors."""
+    out_schema = T.StructType([df.schema[id_col]] + VIDEO_SCHEMA_FIELDS)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [_mp4_meta(p or b"") for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "brand": pd.array([m[0] for m in metas], dtype="string"),
+                    "seconds": pd.array([m[1] for m in metas], dtype="Float64"),
+                    "n_tracks": pd.array([m[2] for m in metas], dtype="Int32"),
+                    "width": pd.array([m[3] for m in metas], dtype="Int32"),
+                    "height": pd.array([m[4] for m in metas], dtype="Int32"),
                     "n_bytes": [len(p or b"") for p in pdf["payload"]],
                 }
             )

@@ -333,3 +333,122 @@ def test_gemm_topk_matches_bruteforce(spark, sf_dir):
         return out
 
     assert by_query(gemm.collect()) == by_query(exact.collect())
+
+
+def _webp_vp8(w, h):
+    data = b"\x00\x00\x00" + b"\x9d\x01\x2a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00" * 8
+    chunk = b"VP8 " + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+
+
+def _webp_vp8l(w, h):
+    bits = (w - 1) | ((h - 1) << 14)
+    data = b"\x2f" + bits.to_bytes(4, "little") + b"\x00" * 8
+    chunk = b"VP8L" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+
+
+def _webp_vp8x(w, h):
+    data = b"\x00" + b"\x00" * 3 + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+    chunk = b"VP8X" + len(data).to_bytes(4, "little") + data + b"\x00" * 8
+    return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+
+
+def test_webp_dimension_sniffing(spark):
+    """WebP dims parse from all three chunk layouts (lossy sync frame,
+    lossless stream header, extended canvas); truncation -> NULLs."""
+    from d2d_spark.operators.multimodal import sniff_image_metadata
+
+    payloads = [
+        (1, _webp_vp8(320, 240)),
+        (2, _webp_vp8l(1024, 512)),
+        (3, _webp_vp8x(4000, 3000)),
+        (4, b"RIFF\x10\x00\x00\x00WEBP"),  # no chunk at all
+        (5, _webp_vp8(320, 240)[:24]),  # cut inside the frame tag
+        (6, b"RIFF\x10\x00\x00\x00WAVEVP8 "),  # RIFF but not WEBP
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary").repartition(2)
+    got = {r["doc_id"]: (r["format"], r["width"], r["height"]) for r in sniff_image_metadata(df).collect()}
+    assert got[1] == ("webp", 320, 240)
+    assert got[2] == ("webp", 1024, 512)
+    assert got[3] == ("webp", 4000, 3000)
+    for bad in (4, 5, 6):
+        assert got[bad] == (None, None, None)
+
+
+def _mp4_box(btype, body):
+    return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+
+def _mp4(timescale=1000, duration=12_500, tracks=((640, 360), (0, 0)), v1=False):
+    """Minimal ISO-BMFF: ftyp + moov(mvhd + trak(tkhd)...)."""
+    if v1:
+        mvhd = b"\x01" + b"\x00" * 3 + b"\x00" * 16 + timescale.to_bytes(4, "big") + duration.to_bytes(8, "big")
+    else:
+        mvhd = b"\x00" + b"\x00" * 3 + b"\x00" * 8 + timescale.to_bytes(4, "big") + duration.to_bytes(4, "big")
+    traks = b""
+    for w, h in tracks:
+        tkhd = (
+            b"\x00" + b"\x00" * 3 + b"\x00" * 72
+            + (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big")
+        )
+        traks += _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd))
+    moov = _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd) + traks)
+    ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    return ftyp + moov
+
+
+def test_mp4_metadata_sniffing(spark):
+    """MP4 brand/duration/tracks/dims parse from the real box walk;
+    the first non-zero tkhd canvas wins; v0 and v1 headers both
+    parse; garbage and truncation yield NULLs."""
+    from d2d_spark.operators.multimodal import sniff_video_metadata
+
+    p1 = _mp4()
+    p2 = _mp4(timescale=600, duration=600 * 7, tracks=((0, 0), (1920, 1080)), v1=True)
+    payloads = [
+        (1, p1),
+        (2, p2),
+        (3, b"not a video"),
+        (4, p1[: len(p1) // 2]),  # moov cut mid-box: brand still parses
+        (5, b""),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary").repartition(2)
+    got = {
+        r["doc_id"]: (r["brand"], r["seconds"], r["n_tracks"], r["width"], r["height"])
+        for r in sniff_video_metadata(df).collect()
+    }
+    assert got[1] == ("isom", 12.5, 2, 640, 360)
+    assert got[2] == ("isom", 7.0, 2, 1920, 1080)
+    assert got[3] == (None, None, None, None, None)
+    assert got[4][0] == "isom" and got[4][3] is None
+    assert got[5] == (None, None, None, None, None)
+
+
+def test_video_and_webp_sniffers_total_on_arbitrary_bytes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from d2d_spark.operators.multimodal import _image_dims, _mp4_meta
+
+    magics = [
+        b"", b"RIFF", b"RIFF\x10\x00\x00\x00WEBP", b"RIFF\x10\x00\x00\x00WEBPVP8 ",
+        b"RIFF\x10\x00\x00\x00WEBPVP8L", b"RIFF\x10\x00\x00\x00WEBPVP8X",
+        b"\x00\x00\x00\x14ftyp", b"\x00\x00\x00\x01ftyp", b"\x00\x00\x00\x00ftyp",
+    ]
+
+    @settings(max_examples=300, deadline=None)
+    @given(prefix=st.sampled_from(magics), tail=st.binary(max_size=96))
+    def check(prefix, tail):
+        img = _image_dims(prefix + tail)
+        vid = _mp4_meta(prefix + tail)
+        assert isinstance(img, tuple) and len(img) == 3
+        assert isinstance(vid, tuple) and len(vid) == 5
+        fmt, w, h = img
+        assert (fmt is None) == (w is None) == (h is None)
+        if w is not None:
+            assert w > 0 and h > 0
+        if vid[3] is not None:
+            assert vid[3] > 0 and vid[4] > 0
+
+    check()
