@@ -361,7 +361,17 @@ def concat_bins(
     one row per bin with documents concatenated in stable (id) order,
     the member id list, and the token total. One groupBy on the bin id
     (uniform: ids embed the partition); the text payload shuffles once
-    — the unavoidable cost of physically building sequences."""
+    — the unavoidable cost of physically building sequences.
+
+    Skew bound: the packing budget IS the per-group size bound. A bin
+    from `pack_documents` totals at most ``budget`` tokens — except a
+    single over-budget document, which sits ALONE in its bin — so the
+    `collect_list` state for any group is O(budget-worth of text) or
+    O(one document), never "half the corpus under one key". One giant
+    document among millions of small ones therefore concentrates
+    exactly its own row, and a hot reduce task processes one document
+    — the same cost any operator pays to read it
+    (test_concat_bins_skewed_bin pins this adversarially)."""
     aggs = [
         F.concat_ws(
             sep,

@@ -136,3 +136,48 @@ def test_null_and_empty_text(spark):
     assert rows[1].bpe_tokens is None and rows[1].n_tokens_bpe_exact is None
     assert rows[2].bpe_tokens == [] and rows[2].n_tokens_bpe_exact == 0
     assert rows[3].bpe_tokens == ["ok", "ok"]
+
+
+def test_bpe_pack_mix_composition(spark):
+    """The registered bpe_pack_mix_pipeline end-to-end, audited by the
+    independent naive reference: the pipeline's bin inventory and
+    mixture totals must equal what reference-BPE token counts imply —
+    the tokenizer genuinely drives the packing and mixing."""
+    import math
+    import re
+
+    from d2d_spark.operators.bpe import PRETOKEN_RE, train_bpe
+    from d2d_spark.plans.registry import load_all
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = load_all()["bpe_pack_mix_pipeline"].fn(spark, sf_dir).collect()
+
+    from d2d_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    pat = re.compile(PRETOKEN_RE)
+    merges = train_bpe(
+        read_table(spark, sf_dir, "documents"), "text", n_merges=100, top_words=10_000
+    )
+    ref_counts = {
+        r["doc_id"]: sum(len(_ref_encode(w, merges)) for w in pat.findall(r["text"] or ""))
+        for r in docs
+    }
+    total = sum(ref_counts.values())
+    budget = int(math.ceil(total / 20.0))
+
+    bins = [r for r in out if r["leg"] == "bin"]
+    assert sum(r["n"] for r in bins) == len(docs)
+    assert sum(r["tok"] for r in bins) == total
+    for r in bins:
+        # a bin over budget can only be a single over-budget document
+        assert r["tok"] <= budget or r["n"] == 1
+    assert len(bins) <= 2 * math.ceil(total / budget) + 1
+
+    mix = {r["k"]: (r["n"], r["tok"]) for r in out if r["leg"] == "mix"}
+    head_ids = [d for d in ref_counts if d % 3 == 0]
+    tail_ids = [d for d in ref_counts if d % 3 != 0]
+    assert mix["head#0"] == (len(head_ids), sum(ref_counts[d] for d in head_ids))
+    assert mix["tail#0"] == (len(tail_ids), sum(ref_counts[d] for d in tail_ids))
+    assert mix["tail#1"] == mix["tail#0"]
+    assert set(mix) == {"head#0", "tail#0", "tail#1"}
