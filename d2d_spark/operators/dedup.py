@@ -397,22 +397,61 @@ def simhash64(df: DataFrame, text_col: str) -> DataFrame:
     return hashed.withColumn("simhash", out).drop("__th")
 
 
-def simhash_near_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 8
+def hamming_near_pairs(
+    hashed: DataFrame, hash_col: str, id_col: str, max_hamming: int = 8
 ) -> DataFrame:
-    """Near-dup pairs by simhash Hamming distance, banded so the join
-    is equi, not theta.
+    """(id_a < id_b, hamming) pairs whose 64-bit ``hash_col`` values
+    differ in at most ``max_hamming`` bits — the banded-equi-join core
+    shared by simhash (text) and perceptual-hash (image) dedup.
 
     Pigeonhole with FULL recall needs max_hamming + 1 chunks: d
     differing bits can dirty at most d chunks, so with d+1 chunks at
     least one chunk matches exactly. Chunk count (and so bucket
     density and candidate volume) therefore scales with the distance
     asked for — small max_hamming is the cheap regime, exactly like
-    the published simhash dedup setups (k=3, 4 chunks)."""
+    the published simhash dedup setups (k=3, 4 chunks). The input is
+    consumed as-is (callers persist their hash stage when it is
+    expensive — see simhash_near_pairs)."""
     n_chunks = min(max_hamming + 1, 64)
     width = 64 // n_chunks
     widths = [width + (1 if c < 64 % n_chunks else 0) for c in range(n_chunks)]
     offsets = [sum(widths[:c]) for c in range(n_chunks)]
+    # a 64-bit-wide chunk (max_hamming=0) masks with all-ones, which is
+    # -1 as a signed long — (1<<64)-1 overflows the JVM literal
+    masks = [(1 << w) - 1 if w < 64 else -1 for w in widths]
+    sh = hashed.select(F.col(id_col).alias("__id"), F.col(hash_col).alias("__h"))
+    chunks = sh.select(
+        "__id",
+        "__h",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("__h"), offsets[c]).bitwiseAND(F.lit(masks[c]))
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("__chunk", "__cv"),
+    )
+    l = chunks.select(F.col("__id").alias("id_a"), F.col("__h").alias("sh_a"), "__chunk", "__cv")
+    r = chunks.select(F.col("__id").alias("id_b"), F.col("__h").alias("sh_b"), "__chunk", "__cv")
+    cand = (
+        l.join(r, on=["__chunk", "__cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 8
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance — `simhash64` then
+    the shared `hamming_near_pairs` banded core."""
     npart = df.sparkSession.sparkContext.defaultParallelism
     base = _spread(df.select(F.col(id_col).alias("__id"), F.col(text_col)), npart, "__id")
     # the simhash expression is 64 aggregates over the token array —
@@ -427,34 +466,7 @@ def simhash_near_pairs(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sh.count()  # fill the cache before the self-join branches race on it
-    # a 64-bit-wide chunk (max_hamming=0) masks with all-ones, which is
-    # -1 as a signed long — (1<<64)-1 overflows the JVM literal
-    masks = [(1 << w) - 1 if w < 64 else -1 for w in widths]
-    chunks = sh.select(
-        "__id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("simhash"), offsets[c]).bitwiseAND(F.lit(masks[c]))
-                    for c in range(n_chunks)
-                ]
-            )
-        ).alias("__chunk", "__cv"),
-    )
-    l = chunks.select(F.col("__id").alias("id_a"), F.col("simhash").alias("sh_a"), "__chunk", "__cv")
-    r = chunks.select(F.col("__id").alias("id_b"), F.col("simhash").alias("sh_b"), "__chunk", "__cv")
-    cand = (
-        l.join(r, on=["__chunk", "__cv"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        cand.withColumn("hamming", ham)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    return hamming_near_pairs(sh, "simhash", "__id", max_hamming)
 
 
 def ngram_jaccard_pairs(
