@@ -114,6 +114,22 @@ def main() -> int:
             lambda p: [] if "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
             else ["non-equi join in paragraph dedup"],
         ),
+        # image near-dups must ride the pigeonhole chunk equi-join —
+        # and the hash must be pure Columns (no Python stage at all)
+        "phash_near_pairs": (
+            __import__("d2d_spark.operators.phash", fromlist=["phash_near_pairs"]).phash_near_pairs(
+                docs.selectExpr(
+                    "doc_id AS img_id",
+                    "transform(sequence(1, 192), i -> CAST(ascii(substr(text, ((i - 1) % length(text)) + 1, 1)) AS INT)) AS px",
+                    "CAST(16 AS INT) AS w",
+                    "CAST(12 AS INT) AS h",
+                ),
+                "img_id", "px", "w", "h", max_hamming=4,
+            ),
+            lambda p: [] if "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+            and "ArrowEvalPython" not in p
+            else ["image near-dup join not a pure-Column equi-join"],
+        ),
         # within-cell pairs must ride the cell equi-join — a cartesian
         # here is the exact corpus-quadratic stage SemDeDup avoids
         "semantic_near_pairs": (

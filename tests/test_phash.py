@@ -129,3 +129,43 @@ def test_phash_validates_method(spark):
     df = spark.createDataFrame([(1, [0] * 100, 10, 10)], SCHEMA)
     with pytest.raises(ValueError, match="method"):
         with_phash(df, "px", "w", "h", method="md5")
+
+
+def test_hamming_near_pairs_equals_bruteforce(spark):
+    """The pigeonhole banding is FULL recall by construction: results
+    must equal the quadratic brute-force pair set exactly, for several
+    max_hamming settings, on adversarial hashes (clusters of small
+    perturbations plus uniform noise)."""
+    import itertools
+
+    from d2d_spark.operators.dedup import hamming_near_pairs
+
+    rng = random.Random(11)
+    hashes = []
+    for base in (rng.getrandbits(63) for _ in range(6)):
+        hashes.append(base)
+        for _ in range(3):  # flip up to 6 random bits
+            v = base
+            for _ in range(rng.randint(1, 6)):
+                v ^= 1 << rng.randrange(64)
+            hashes.append(v)
+    hashes += [rng.getrandbits(63) for _ in range(20)]
+    # two's-complement into int64: bit 63 may be set by the flips
+    hashes = [v - (1 << 64) if v >= 1 << 63 else v for v in hashes]
+    rows = [(i, hv) for i, hv in enumerate(hashes)]
+    df = spark.createDataFrame(rows, "img_id long, hv long")
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    for max_h in (0, 3, 8):
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in hamming_near_pairs(df, "hv", "img_id", max_hamming=max_h).collect()
+        }
+        want = {
+            (a, b, ham(hashes[a], hashes[b]))
+            for a, b in itertools.combinations(range(len(hashes)), 2)
+            if ham(hashes[a], hashes[b]) <= max_h
+        }
+        assert got == want, f"banding diverged from brute force at max_hamming={max_h}"
