@@ -1,0 +1,127 @@
+"""Product quantization (operators/pq.py): reconstruction quality,
+encode determinism, ADC recall vs exact search, guards."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from d2d_spark.operators.pq import PqModel, pq_encode, pq_topk, train_pq
+
+DIM, M, KSUB = 16, 4, 32
+
+
+def _clustered(spark, n=400, n_clusters=10, seed=5):
+    """Vectors in tight clusters — the regime PQ is built for."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, DIM)) * 3
+    rows = []
+    for i in range(n):
+        v = centers[i % n_clusters] + rng.standard_normal(DIM) * 0.3
+        v = v / np.linalg.norm(v)
+        rows.append((i, v.tolist()))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_train_is_deterministic_and_shaped(spark):
+    df = _clustered(spark)
+    a = train_pq(df, "vec_id", "embedding", m=M, ksub=KSUB, sample=300)
+    b = train_pq(df.repartition(7), "vec_id", "embedding", m=M, ksub=KSUB, sample=300)
+    assert a.codebooks.shape == (M, KSUB, DIM // M)
+    assert np.array_equal(a.codebooks, b.codebooks), "training must be partition-invariant"
+
+
+def test_encode_reconstruction_beats_coarser_model(spark):
+    df = _clustered(spark)
+    fine = train_pq(df, "vec_id", "embedding", m=M, ksub=KSUB, sample=300)
+    coarse = train_pq(df, "vec_id", "embedding", m=M, ksub=4, sample=300)
+    X = np.array([r["embedding"] for r in df.orderBy("vec_id").collect()])
+
+    def mse(model):
+        codes = pq_encode(df, "embedding", model).orderBy("vec_id").collect()
+        R = model.decode(np.array([r["pq_code"] for r in codes]))
+        return float(((X - R) ** 2).mean())
+
+    e_fine, e_coarse = mse(fine), mse(coarse)
+    assert e_fine < e_coarse, "more centroids must reconstruct better"
+    assert e_fine < 0.02, f"clustered data should quantize tightly, mse={e_fine}"
+
+
+def test_encode_passthrough_and_null_guard(spark):
+    df = _clustered(spark, n=20)
+    model = train_pq(df, "vec_id", "embedding", m=M, ksub=8, sample=50)
+    bad = spark.createDataFrame(
+        [(100, None), (101, [0.0] * (DIM - 3))], "vec_id long, embedding array<double>"
+    )
+    out = pq_encode(df.unionByName(bad), "embedding", model).collect()
+    got = {r["vec_id"]: r["pq_code"] for r in out}
+    assert got[100] is None and got[101] is None
+    assert all(len(got[i]) == M for i in range(20))
+    assert all(0 <= c < 8 for i in range(20) for c in got[i])
+
+
+def test_adc_candidates_cover_true_neighbors(spark):
+    """The standard PQ evaluation (recall@R): the exact top-5 must sit
+    inside ADC's oversampled candidate set — on clustered vectors the
+    8-byte codes can't rank WITHIN a tight cluster (that is the
+    quantization trade), but they reliably find it."""
+    from d2d_spark.operators.similarity import brute_force_topk
+
+    df = _clustered(spark)
+    model = train_pq(df, "vec_id", "embedding", m=M, ksub=KSUB, sample=300)
+    codes = pq_encode(df, "embedding", model)
+    q = df.filter(F.col("vec_id") % 40 == 0)
+    approx = pq_topk(codes, q, "vec_id", "pq_code", "vec_id", "embedding", model, k=50)
+    exact = brute_force_topk(df, q, "vec_id", "embedding", "vec_id", "embedding", k=5)
+    atR: dict = {}
+    et5: dict = {}
+    for r in approx.collect():
+        atR.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in exact.collect():
+        et5.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(atR) == set(et5)
+    recall = sum(len(atR[qid] & et5[qid]) for qid in et5) / sum(len(et5[qid]) for qid in et5)
+    assert recall >= 0.9, f"ADC recall@50 {recall:.2f} on clustered vectors"
+    assert all(len(v) == 50 for v in atR.values())
+
+
+def test_pq_rerank_matches_exact_topk(spark):
+    """ADC candidates + exact rerank: with full candidate coverage the
+    two-stage search returns EXACTLY the brute-force top-5."""
+    from d2d_spark.operators.pq import pq_topk_rerank
+    from d2d_spark.operators.similarity import brute_force_topk
+
+    df = _clustered(spark)
+    model = train_pq(df, "vec_id", "embedding", m=M, ksub=KSUB, sample=300)
+    codes = pq_encode(df, "embedding", model)
+    q = df.filter(F.col("vec_id") % 40 == 0)
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in pq_topk_rerank(
+            df, codes, q, "vec_id", "embedding", "pq_code", "vec_id", "embedding",
+            model, k=5, oversample=10,
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in brute_force_topk(
+            df, q, "vec_id", "embedding", "vec_id", "embedding", k=5
+        ).collect()
+    }
+    assert got == want
+
+
+def test_pq_validates(spark):
+    df = _clustered(spark, n=30)
+    with pytest.raises(ValueError, match="divisible"):
+        train_pq(df, "vec_id", "embedding", m=5)
+    with pytest.raises(ValueError, match="ksub"):
+        train_pq(df, "vec_id", "embedding", m=4, ksub=0)
+    model = train_pq(df, "vec_id", "embedding", m=M, ksub=8, sample=50)
+    short_q = spark.createDataFrame([(0, [0.0] * 4)], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="dim"):
+        pq_topk(
+            pq_encode(df, "embedding", model), short_q,
+            "vec_id", "pq_code", "vec_id", "embedding", model,
+        )
