@@ -205,3 +205,32 @@ def bpe_encode(
             yield out
 
     return df.mapInPandas(run, schema=schema)
+
+
+def merges_to_text(merges: list[tuple[str, str]]) -> str:
+    """Serialize the learned merge list in the GPT-2 ``merges.txt``
+    shape: a version header, then one space-separated pair per line in
+    rank order. Unambiguous because pre-tokens (PRETOKEN_RE) never
+    contain whitespace, so neither does any merged symbol — asserted
+    here so a future pre-tokenizer change fails loudly instead of
+    writing an unparseable table."""
+    lines = ["#version: d2d-bpe-1"]
+    for a, b in merges:
+        if any(ch.isspace() for ch in a + b):
+            raise ValueError(f"merge symbols must be whitespace-free, got {(a, b)!r}")
+        lines.append(f"{a} {b}")
+    return "\n".join(lines) + "\n"
+
+
+def merges_from_text(text: str) -> list[tuple[str, str]]:
+    """Parse `merges_to_text` output (header and blank lines ignored);
+    rank = line order. Round-trips bit-exactly with the writer."""
+    merges: list[tuple[str, str]] = []
+    for ln in text.splitlines():
+        if not ln.strip() or ln.startswith("#"):
+            continue
+        parts = ln.split(" ")
+        if len(parts) != 2:
+            raise ValueError(f"malformed merge line: {ln!r}")
+        merges.append((parts[0], parts[1]))
+    return merges

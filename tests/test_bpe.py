@@ -181,3 +181,35 @@ def test_bpe_pack_mix_composition(spark):
     assert mix["tail#0"] == (len(tail_ids), sum(ref_counts[d] for d in tail_ids))
     assert mix["tail#1"] == mix["tail#0"]
     assert set(mix) == {"head#0", "tail#0", "tail#1"}
+
+
+def test_merges_serialize_roundtrip(spark):
+    """Train -> save -> load -> encode must equal encoding with the
+    in-memory merges (the tokenizer artifact lifecycle)."""
+    from d2d_spark.operators.bpe import (
+        bpe_encode,
+        merges_from_text,
+        merges_to_text,
+        train_bpe,
+    )
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string")
+    merges = train_bpe(df, "text", n_merges=50)
+    assert merges, "fixture corpus must learn some merges"
+    loaded = merges_from_text(merges_to_text(merges))
+    assert loaded == merges
+    a = bpe_encode(df, "text", merges).orderBy("doc_id").collect()
+    b = bpe_encode(df, "text", loaded).orderBy("doc_id").collect()
+    assert [r["bpe_tokens"] for r in a] == [r["bpe_tokens"] for r in b]
+
+
+def test_merges_text_rejects_garbage():
+    import pytest
+
+    from d2d_spark.operators.bpe import merges_from_text, merges_to_text
+
+    with pytest.raises(ValueError, match="malformed"):
+        merges_from_text("a b c\n")
+    with pytest.raises(ValueError, match="whitespace"):
+        merges_to_text([("a b", "c")])
+    assert merges_from_text("#version: x\n\n") == []
