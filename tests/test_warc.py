@@ -1,0 +1,102 @@
+"""WARC source (sources/warc.py): record parsing, gzip member
+handling, HTTP envelope stripping, html pipeline composition."""
+
+from __future__ import annotations
+
+import gzip
+
+from d2d_spark.sources.warc import (
+    http_body,
+    parse_warc_records,
+    read_warc,
+    warc_html_text,
+)
+
+
+def _record(rtype, uri, payload: bytes, rid="<urn:uuid:1>"):
+    headers = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {rtype}\r\n"
+        f"WARC-Record-ID: {rid}\r\n"
+        f"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode()
+    return headers + payload + b"\r\n\r\n"
+
+
+def _http(html: str) -> bytes:
+    body = html.encode()
+    return (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        + f"Content-Length: {len(body)}\r\n\r\n".encode()
+        + body
+    )
+
+
+def _warc_bytes(n=3):
+    out = b""
+    out += _record("warcinfo", "", b"software: test\r\n", rid="<urn:uuid:0>")
+    for i in range(n):
+        out += _record(
+            "response",
+            f"http://example.com/page{i}",
+            _http(f"<html><body><p>Hello page {i}.</p></body></html>"),
+            rid=f"<urn:uuid:{i + 1}>",
+        )
+    return out
+
+
+def test_parse_records_and_http_body():
+    recs = list(parse_warc_records(_warc_bytes(2)))
+    assert [r["headers"]["warc-type"] for r in recs] == ["warcinfo", "response", "response"]
+    body = http_body(recs[1]["payload"])
+    assert body == b"<html><body><p>Hello page 0.</p></body></html>"
+    assert http_body(b"no envelope") == b"no envelope"
+
+
+def test_parse_stops_at_corrupt_record_keeps_prefix():
+    data = _warc_bytes(2) + b"WARC/1.0\r\nContent-Length: nonsense\r\n\r\n"
+    recs = list(parse_warc_records(data))
+    assert len(recs) == 3  # everything before the broken tail
+    truncated = _warc_bytes(1)[:-20]
+    assert len(list(parse_warc_records(truncated))) == 1  # warcinfo only
+
+
+def test_read_warc_plain_and_per_record_gzip(spark, tmp_path):
+    raw = _warc_bytes(3)
+    (tmp_path / "a.warc").write_bytes(raw)
+    # Common Crawl layout: one gzip member per record
+    members = b"".join(
+        gzip.compress(_record("response", f"http://gz.example/{i}", _http(f"<p>gz {i}.</p>")))
+        for i in range(2)
+    )
+    (tmp_path / "b.warc.gz").write_bytes(members)
+    df = read_warc(spark, str(tmp_path) + "/*")
+    rows = df.collect()
+    assert len(rows) == 5  # 3 plain responses + 2 gz (warcinfo filtered)
+    assert all(r["warc_type"] == "response" for r in rows)
+    by_uri = {r["target_uri"]: r for r in rows}
+    assert bytes(by_uri["http://example.com/page1"]["payload"]) == (
+        b"<html><body><p>Hello page 1.</p></body></html>"
+    )
+    assert bytes(by_uri["http://gz.example/0"]["payload"]) == b"<p>gz 0.</p>"
+
+
+def test_warc_html_pipeline_composes(spark, tmp_path):
+    (tmp_path / "c.warc").write_bytes(_warc_bytes(3))
+    out = warc_html_text(spark, str(tmp_path / "c.warc")).collect()
+    got = {r["target_uri"]: r["text"] for r in out}
+    assert got["http://example.com/page2"] == "Hello page 2."
+    assert len(got) == 3
+
+
+def test_read_warc_keeps_all_types_when_asked(spark, tmp_path):
+    (tmp_path / "d.warc").write_bytes(_warc_bytes(1))
+    df = read_warc(spark, str(tmp_path / "d.warc"), record_types=(), strip_http=False)
+    # empty tuple = no filter; warcinfo + response both surface, and
+    # the response payload keeps its HTTP envelope
+    rows = {r["warc_type"]: r for r in df.collect()}
+    assert set(rows) == {"warcinfo", "response"}
+    assert bytes(rows["response"]["payload"]).startswith(b"HTTP/1.1 200")
