@@ -518,6 +518,118 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    order: str = "freq",
+) -> DataFrame:
+    """Exact-threshold n-gram Jaccard pairs WITHOUT the quadratic —
+    prefix-filtering set-similarity join (AllPairs / PPJoin family:
+    Bayardo et al., WWW 2007; Chaudhuri et al., ICDE 2006).
+
+    Identical output to ``ngram_jaccard_pairs`` (id_a < id_b, exact
+    jaccard >= threshold) but candidate generation is an EQUI-JOIN on
+    prefix tokens, so it needs no ``allow_quadratic`` cap: this is the
+    exact scale path, where MinHash+LSH is the approximate one.
+
+    Prefix lemma: fix any global total order on tokens and sort each
+    record's distinct token set by it. Jaccard(a,b) >= t implies
+    |a&b| >= ceil(t*|a|) and >= ceil(t*|b|); sets with overlap >= alpha
+    must share a token within their first |s| - alpha + 1 tokens. So
+    emitting only the first |s| - ceil(t*|s|) + 1 tokens of each record
+    as join keys loses NO qualifying pair — completeness holds for any
+    fixed order, and every candidate is then verified exactly.
+
+    ``order`` picks that global order:
+      'freq' (default) — ascending document frequency (rare-first), the
+        published choice: prefixes hold the rarest tokens, so frequent
+        tokens (stop-words, boilerplate) never become join keys —
+        candidate count AND join-key skew both collapse. Costs one
+        token-frequency aggregate + one rebuild shuffle.
+      'hash' — ascending 64-bit token hash: zero extra shuffles, but a
+        corpus-wide common token that lands in many prefixes becomes a
+        hot key; fine for corpora without heavy boilerplate.
+
+    Scale posture: shuffles are the frequency agg + per-doc rebuild
+    ('freq' only), the prefix equi-join (ids + sizes only — the token
+    arrays never ride the join), the candidate distinct, and two
+    id-keyed verify joins. Nothing is O(n^2) in corpus size; per-token
+    fan-out is bounded by the prefix length, which shrinks as the
+    threshold rises (t=1.0 -> 1 token per record)."""
+    t = float(threshold)
+    if not 0.0 < t <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if order not in ("freq", "hash"):
+        raise ValueError(f"order must be 'freq' or 'hash', got {order!r}")
+    from pyspark import StorageLevel
+
+    from d2d_spark import cache as opcache
+
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    base = _spread(df.select(F.col(id_col).alias("__id"), F.col(text_col)), npart, "__id")
+    sets = base.select(
+        "__id",
+        F.array_distinct(
+            F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
+        ).alias("__sh"),
+    )
+    if order == "freq":
+        # Global rare-first order: token document frequencies, then each
+        # record's tokens rebuilt sorted by (df, token). (df, token) is
+        # unique within a record (tokens are distinct), so the sort is a
+        # deterministic total order regardless of collect_list ordering.
+        tok = sets.select("__id", F.explode("__sh").alias("__tok"))
+        freq = tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+        ordered = (
+            tok.join(freq, "__tok")
+            .groupBy("__id")
+            .agg(F.array_sort(F.collect_list(F.struct("__df", "__tok"))).alias("__o"))
+            .withColumn("__sh", F.transform("__o", lambda x: x["__tok"]))
+            .drop("__o")
+        )
+        # records whose text yields zero shingles drop out of the
+        # explode; they can never pair (empty intersection), so losing
+        # them here matches the quadratic baseline's null-jaccard drop
+    else:
+        ordered = sets.withColumn("__sh", F.array_sort("__sh"))
+    # one persisted frame feeds the prefix explode AND both verify
+    # sides (same policy and release tag discipline as minhash_lsh)
+    ordered = opcache.register(
+        "jaccard_prefix",
+        ordered.withColumn("__sz", F.size("__sh")).persist(StorageLevel.MEMORY_AND_DISK),
+    )
+    ordered.count()  # fill before the join branches race on it
+    # prefix length |s| - ceil(t*|s|) + 1 — always >= 1 for t <= 1
+    plen = (F.col("__sz") - F.ceil(F.lit(t) * F.col("__sz")) + F.lit(1)).cast("int")
+    pref = ordered.select(
+        "__id", "__sz", F.explode(F.slice("__sh", F.lit(1), plen)).alias("__tok")
+    )
+    a = pref.select(F.col("__id").alias("id_a"), F.col("__sz").alias("sz_a"), "__tok")
+    b = pref.select(F.col("__id").alias("id_b"), F.col("__sz").alias("sz_b"), "__tok")
+    cand = (
+        a.join(b, "__tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # size filter: jaccard <= min/max of the sizes, so mismatched
+        # sizes prune BEFORE the distinct shuffle
+        .filter((F.col("sz_a") >= t * F.col("sz_b")) & (F.col("sz_b") >= t * F.col("sz_a")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh_tbl = ordered.select("__id", "__sh")
+    verified = cand.join(
+        sh_tbl.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a"
+    ).join(sh_tbl.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        verified.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= t)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def embedding_near_pairs(
     emb: DataFrame,
     id_col: str,

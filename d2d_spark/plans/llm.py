@@ -446,6 +446,8 @@ def multimodal_pipeline(spark, sf_dir):
      comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
     SELECT 'pair' AS leg, id_a AS a, id_b AS b, jaccard FROM pairs
     UNION ALL
+    SELECT 'prefix' AS leg, id_a AS a, id_b AS b, jaccard FROM pairs
+    UNION ALL
     SELECT 'comp' AS leg, id, component, CAST(NULL AS DOUBLE) FROM comp
     """,
     tags=("llm", "dedup", "jaccard", "clusters"),
@@ -455,7 +457,11 @@ def jaccard_pairs_clusters(spark, sf_dir):
     (consolidated so the driver window covers every family): the pair
     leg is the exact word-3-gram Jaccard ground truth the LSH paths
     approximate (fixtures plant ~25 true pairs, scores hash-checked to
-    6 decimals); the comp leg runs those pairs through distributed
+    6 decimals); the prefix leg recomputes the SAME pairs via the
+    prefix-filtering set-similarity join (AllPairs-style equi-join on
+    rare-first prefix tokens — the exact algorithm at 100-TB scale,
+    no quadratic anywhere) and must hash-match the quadratic truth
+    bit-for-bit; the comp leg runs those pairs through distributed
     connected components (iterative min-label propagation with pointer
     doubling) — an iterative Spark algorithm checked exactly against
     SQL recursion."""
@@ -463,6 +469,12 @@ def jaccard_pairs_clusters(spark, sf_dir):
     pairs = D.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
     pair_leg = pairs.select(
         F.lit("pair").alias("leg"),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+    prefix_leg = D.jaccard_prefix_pairs(d, "text", "doc_id", n=3, threshold=0.5).select(
+        F.lit("prefix").alias("leg"),
         F.col("id_a").alias("a"),
         F.col("id_b").alias("b"),
         F.round("jaccard", 6).alias("jaccard"),
@@ -483,7 +495,7 @@ def jaccard_pairs_clusters(spark, sf_dir):
         F.col("component").alias("b"),
         F.lit(None).cast("double").alias("jaccard"),
     )
-    return pair_leg.unionByName(comp_leg)
+    return pair_leg.unionByName(prefix_leg).unionByName(comp_leg)
 
 
 @query(

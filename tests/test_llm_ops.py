@@ -452,3 +452,77 @@ def test_video_and_webp_sniffers_total_on_arbitrary_bytes():
             assert vid[3] > 0 and vid[4] > 0
 
     check()
+
+
+def _scored_pairs(df):
+    return {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in df.select("id_a", "id_b", "jaccard").collect()
+    }
+
+
+def test_jaccard_prefix_pairs_equals_quadratic_baseline(spark, sf_dir):
+    """The prefix-filter join must reproduce the quadratic ground
+    truth EXACTLY — same pairs, same jaccard values — in both global
+    orders. This is the completeness proof of the prefix lemma in
+    practice: no qualifying pair may be lost to candidate pruning."""
+    from d2d_spark.operators.dedup import jaccard_prefix_pairs, ngram_jaccard_pairs
+    from d2d_spark.session import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    truth = _scored_pairs(ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.5))
+    assert truth, "fixture should contain planted near-dup pairs"
+    for order in ("freq", "hash"):
+        got = _scored_pairs(
+            jaccard_prefix_pairs(d, "text", "doc_id", threshold=0.5, order=order)
+        )
+        assert got == truth, f"order={order}: prefix join diverged from baseline"
+
+
+def test_jaccard_prefix_pairs_thresholds_random_corpus(spark):
+    """Seeded synthetic corpus with graded overlaps: equivalence must
+    hold across thresholds including t=1.0 (exact-dup only, prefix
+    length 1)."""
+    import random
+
+    from d2d_spark.operators.dedup import jaccard_prefix_pairs, ngram_jaccard_pairs
+
+    rng = random.Random(1234)
+    words = [f"w{i}" for i in range(60)]
+    docs = []
+    base = [rng.choice(words) for _ in range(30)]
+    for i in range(40):
+        if i % 4 == 0:
+            # mutated copy of base: graded overlap
+            body = list(base)
+            for _ in range(rng.randrange(0, 12)):
+                body[rng.randrange(len(body))] = rng.choice(words)
+        else:
+            body = [rng.choice(words) for _ in range(rng.randrange(5, 40))]
+        docs.append((i, " ".join(body)))
+    # exact duplicate for the t=1.0 leg
+    docs.append((100, docs[0][1]))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for t in (0.3, 0.6, 1.0):
+        truth = _scored_pairs(
+            ngram_jaccard_pairs(df, "text", "doc_id", threshold=t, allow_quadratic=True)
+        )
+        got = _scored_pairs(jaccard_prefix_pairs(df, "text", "doc_id", threshold=t))
+        assert got == truth, f"t={t}: {got ^ truth}"
+    assert any(p[0] == 0 and p[1] == 100 for p in truth)  # the planted exact dup
+
+
+def test_jaccard_prefix_pairs_validation_and_release(spark):
+    import pytest as pt
+
+    from d2d_spark import cache as opcache
+    from d2d_spark.operators.dedup import jaccard_prefix_pairs
+
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b c e")], "doc_id long, text string")
+    with pt.raises(ValueError, match="threshold"):
+        jaccard_prefix_pairs(df, "text", "doc_id", threshold=0.0)
+    with pt.raises(ValueError, match="order"):
+        jaccard_prefix_pairs(df, "text", "doc_id", order="nope")
+    jaccard_prefix_pairs(df, "text", "doc_id").count()
+    assert "jaccard_prefix" in opcache.tags()
+    assert opcache.release("jaccard_prefix") >= 1
