@@ -166,6 +166,60 @@ def read_warc(
     return spark.createDataFrame(rdd, WARC_SCHEMA)
 
 
+def read_wet(
+    spark: SparkSession, path: str, min_chars: int = 1
+) -> DataFrame:
+    """WET sidecar (``*.warc.wet.gz``) — the crawl's pre-extracted
+    plain text: ``conversion`` records whose payload is already text,
+    one per page. The cheap entry point when the pipeline doesn't need
+    its own HTML extraction (a WET pass reads ~1/10 the bytes of the
+    full WARC). Returns (target_uri, warc_date, text) — the same shape
+    as ``warc_html_text``, so the two are drop-in interchangeable
+    upstream of the curation stages."""
+    docs = read_warc(spark, path, record_types=("conversion",), strip_http=False)
+    return (
+        docs.withColumn("text", F.decode(F.col("payload"), "UTF-8"))
+        .filter(F.length("text") >= min_chars)
+        .select("target_uri", "warc_date", "text")
+    )
+
+
+def read_wat(spark: SparkSession, path: str) -> DataFrame:
+    """WAT sidecar (``*.warc.wat.gz``) — per-page crawl metadata as
+    JSON in ``metadata`` records. Returns (target_uri, warc_date,
+    meta_json); drill into the envelope with ``get_json_object`` /
+    ``from_json``, or use ``wat_links`` for the common case."""
+    recs = read_warc(spark, path, record_types=("metadata",), strip_http=False)
+    return recs.select(
+        "target_uri",
+        "warc_date",
+        F.decode(F.col("payload"), "UTF-8").alias("meta_json"),
+    )
+
+
+#: JSON path of the outbound-link array inside a WAT envelope
+_WAT_LINKS_PATH = (
+    "$['Envelope']['Payload-Metadata']['HTTP-Response-Metadata']"
+    "['HTML-Metadata']['Links']"
+)
+
+
+def wat_links(wat: DataFrame) -> DataFrame:
+    """The crawl link graph from a ``read_wat`` frame: one (src, url)
+    row per outbound link — JVM-side JSON traversal (get_json_object +
+    from_json), no Python in the hot path. Compose with
+    ``functions.urls.normalize_url`` for a canonical edge list."""
+    links = F.from_json(
+        F.get_json_object(F.col("meta_json"), _WAT_LINKS_PATH),
+        "array<struct<path string, url string>>",
+    )
+    return (
+        wat.select(F.col("target_uri").alias("src"), F.explode(links).alias("l"))
+        .select("src", F.col("l.url").alias("url"))
+        .filter(F.col("url").isNotNull())
+    )
+
+
 def warc_html_text(
     spark: SparkSession, path: str, min_chars: int = 1
 ) -> DataFrame:

@@ -100,3 +100,90 @@ def test_read_warc_keeps_all_types_when_asked(spark, tmp_path):
     rows = {r["warc_type"]: r for r in df.collect()}
     assert set(rows) == {"warcinfo", "response"}
     assert bytes(rows["response"]["payload"]).startswith(b"HTTP/1.1 200")
+
+
+def _wet_bytes(n=3):
+    out = b""
+    out += _record("warcinfo", "", b"software: wet-test\r\n", rid="<urn:uuid:0>")
+    for i in range(n):
+        out += _record(
+            "conversion",
+            f"http://example.com/page{i}",
+            f"Extracted text of page {i}.\nSecond line.".encode(),
+            rid=f"<urn:uuid:{i + 1}>",
+        )
+    return out
+
+
+def _wat_bytes():
+    import json
+
+    out = b""
+    for i in range(2):
+        env = {
+            "Envelope": {
+                "Payload-Metadata": {
+                    "HTTP-Response-Metadata": {
+                        "HTML-Metadata": {
+                            "Links": [
+                                {"path": "A@/href", "url": f"http://other.org/{i}/a"},
+                                {"path": "IMG@/src", "url": f"http://cdn.org/{i}.png"},
+                            ]
+                        }
+                    }
+                }
+            }
+        }
+        out += _record(
+            "metadata",
+            f"http://example.com/page{i}",
+            json.dumps(env).encode(),
+            rid=f"<urn:uuid:{i}>",
+        )
+    return out
+
+
+def test_read_wet_plain_and_gzipped(spark, tmp_path):
+    from d2d_spark.sources.warc import read_wet
+
+    (tmp_path / "a.warc.wet").write_bytes(_wet_bytes(2))
+    # per-record gzip members, the Common Crawl layout
+    recs = list(parse_warc_records(_wet_bytes(2)))
+    gz = b"".join(
+        gzip.compress(_record("conversion", r["headers"]["warc-target-uri"], r["payload"]))
+        for r in recs
+        if r["headers"]["warc-type"] == "conversion"
+    )
+    (tmp_path / "b.warc.wet.gz").write_bytes(gz)
+    got = read_wet(spark, str(tmp_path / "*")).collect()
+    assert len(got) == 4  # warcinfo filtered, 2 conversions per file
+    assert all(r.text.startswith("Extracted text of page") for r in got)
+    assert {r.target_uri for r in got} == {
+        "http://example.com/page0",
+        "http://example.com/page1",
+    }
+
+
+def test_read_wat_and_link_graph(spark, tmp_path):
+    from d2d_spark.sources.warc import read_wat, wat_links
+
+    (tmp_path / "c.warc.wat").write_bytes(_wat_bytes())
+    wat = read_wat(spark, str(tmp_path / "c.warc.wat"))
+    assert wat.count() == 2
+    edges = {(r.src, r.url) for r in wat_links(wat).collect()}
+    assert edges == {
+        ("http://example.com/page0", "http://other.org/0/a"),
+        ("http://example.com/page0", "http://cdn.org/0.png"),
+        ("http://example.com/page1", "http://other.org/1/a"),
+        ("http://example.com/page1", "http://cdn.org/1.png"),
+    }
+
+
+def test_wat_links_tolerates_missing_metadata(spark, tmp_path):
+    from d2d_spark.sources.warc import read_wat, wat_links
+
+    (tmp_path / "d.warc.wat").write_bytes(
+        _record("metadata", "http://example.com/x", b'{"Envelope": {}}')
+    )
+    wat = read_wat(spark, str(tmp_path / "d.warc.wat"))
+    assert wat_links(wat).count() == 0
