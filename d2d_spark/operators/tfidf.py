@@ -1,0 +1,127 @@
+"""TF-IDF term weighting, per-document keyword extraction, and BM25
+relevance scoring over the corpus — the classic lexical statistics a
+curation pipeline needs next to dedup (boilerplate terms score near
+zero, document-distinctive terms float to the top) and the baseline
+ranking function for corpus search.
+
+Spark shape (all JVM-side, no Python in the hot path):
+
+  tokenize -> explode -> per-(doc, term) counts  [one shuffle]
+           -> term document-frequency agg        [one shuffle, vocab-sized]
+           -> join counts to df                  [AQE broadcasts the
+                                                  vocab side when small]
+  corpus size N is a scalar aggregate (one number to the driver).
+
+At 100 TB: the explode is linear in corpus tokens and partial
+aggregation absorbs it map-side before either shuffle; the df table
+is vocabulary-sized (zipfian corpora: millions of terms, not
+billions of rows), so the counts<-df join broadcasts under AQE. The
+top-k stage is a per-document window — WindowGroupLimit pushes the
+rank filter below the sort at the shuffle boundary.
+
+Formulas (ln-smoothed, sklearn's convention):
+  idf(t)    = ln((N + 1) / (df_t + 1)) + 1
+  tfidf     = tf * idf              (raw term count, not normalized —
+                                     normalize downstream if needed)
+  BM25(d,q) = sum over t in q of
+              idf_bm25(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * |d|/avgdl))
+  idf_bm25  = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))   (Robertson)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _term_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, tok, tf) — lowercase whitespace tokens, empties dropped."""
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return toks.groupBy("__id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def tf_idf(
+    df: DataFrame, text_col: str, id_col: str, min_df: int = 1
+) -> DataFrame:
+    """Per-(document, term) weights: (id, tok, tf, df, tfidf). Terms
+    appearing in fewer than ``min_df`` documents are dropped (typo
+    and hapax noise)."""
+    n_docs = df.select(F.col(id_col)).distinct().count()  # scalar agg
+    tc = _term_counts(df, text_col, id_col)
+    dfreq = tc.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    if min_df > 1:
+        dfreq = dfreq.filter(F.col("df") >= min_df)
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0
+    return (
+        tc.join(dfreq, "tok")
+        .withColumn("tfidf", F.col("tf") * idf)
+        .select(F.col("__id").alias(id_col), "tok", "tf", "df", "tfidf")
+    )
+
+
+def top_keywords(
+    df: DataFrame, text_col: str, id_col: str, k: int = 5, min_df: int = 1
+) -> DataFrame:
+    """The ``k`` highest-tfidf terms per document: (id, keywords) with
+    keywords an array ordered best-first, ties broken by term so the
+    result is deterministic."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("tok"))
+    ranked = tf_idf(df, text_col, id_col, min_df=min_df).withColumn(
+        "__rk", F.row_number().over(w)
+    )
+    return (
+        ranked.filter(F.col("__rk") <= k)
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__rk", "tok"))),
+                lambda x: x["tok"],
+            ).alias("keywords")
+        )
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against a bag of query terms:
+    (id, score), matching documents only, Robertson idf. The query is
+    a literal in the plan (a broadcast of size |q|); everything else
+    is the same two aggregates tf_idf uses plus one per-doc sum."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    q = [t.lower() for t in query_terms]
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    tc = _term_counts(df, text_col, id_col)
+    # per-document length and corpus average, from the counts we have
+    dlen = tc.groupBy("__id").agg(F.sum("tf").alias("__dl"))
+    avgdl = float(dlen.agg(F.avg("__dl")).first()[0])
+    hits = tc.filter(F.col("tok").isin(q))
+    dfreq = hits.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    per_term = (
+        hits.join(dfreq, "tok")
+        .join(dlen, "__id")
+        .withColumn(
+            "__s",
+            idf
+            * F.col("tf")
+            * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("__dl") / F.lit(avgdl))),
+        )
+    )
+    return per_term.groupBy("__id").agg(F.sum("__s").alias("score")).select(
+        F.col("__id").alias(id_col), "score"
+    )

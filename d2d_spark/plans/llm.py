@@ -501,31 +501,64 @@ def jaccard_pairs_clusters(spark, sf_dir):
 @query(
     "token_histogram_documents",
     oracle="""
-    SELECT tok, COUNT(*) AS freq
-    FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
-          FROM documents)
-    WHERE tok <> ''
-    GROUP BY tok HAVING COUNT(*) >= 50
-    ORDER BY freq DESC, tok
+    WITH toks AS (SELECT doc_id,
+                         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+                  FROM documents),
+    tc AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+           WHERE tok <> '' GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tc GROUP BY tok),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents)
+    SELECT 'hist' AS leg, tok, SUM(tf) AS freq,
+           CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS tfidf
+    FROM tc GROUP BY tok HAVING SUM(tf) >= 50
+    UNION ALL
+    SELECT 'tfidf', tc.tok, CAST(NULL AS BIGINT), tc.doc_id,
+           round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6)
+    FROM tc JOIN dfreq USING (tok), n
+    WHERE tc.doc_id % 100 = 0 AND df >= 2
     """,
-    tags=("llm", "text", "explode"),
+    tags=("llm", "text", "explode", "tfidf"),
 )
 def token_histogram_documents(spark, sf_dir):
-    """Corpus token histogram: explode (lateral unnest) -> hash
-    aggregate -> having. The generator pattern behind every
-    vocabulary/BPE-frequency pass; partial aggregation absorbs the
-    explosion before the shuffle."""
+    """Two legs of the corpus lexical statistics. 'hist': token
+    histogram — explode (lateral unnest) -> hash aggregate -> having,
+    the generator pattern behind every vocabulary/BPE-frequency pass;
+    partial aggregation absorbs the explosion before the shuffle.
+    'tfidf': per-(document, term) TF-IDF weights from operators/tfidf
+    on a doc slice (ln-smoothed idf hash-checked to 6 decimals against
+    the SQL formula — the ranking/top-k layer on these weights is
+    pinned in pytest where tie-breaks can't drift across engines)."""
+    from d2d_spark.operators import tfidf as TI
+
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
     )
-    return (
+    hist = (
         toks.filter(F.col("tok") != "")
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") >= 50)
-        .orderBy(F.col("freq").desc(), "tok")
+        .select(
+            F.lit("hist").alias("leg"),
+            "tok",
+            "freq",
+            F.lit(None).cast("bigint").alias("doc_id"),
+            F.lit(None).cast("double").alias("tfidf"),
+        )
     )
+    weights = (
+        TI.tf_idf(d, "text", "doc_id", min_df=2)
+        .filter(F.col("doc_id") % 100 == 0)
+        .select(
+            F.lit("tfidf").alias("leg"),
+            "tok",
+            F.lit(None).cast("bigint").alias("freq"),
+            "doc_id",
+            F.round("tfidf", 6).alias("tfidf"),
+        )
+    )
+    return hist.unionByName(weights)
 
 
 @query(
