@@ -123,6 +123,88 @@ def write_clustered(
     part.sortWithinPartitions(*cols).write.format(fmt).mode("overwrite").save(path)
 
 
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    n_files: int | None = None,
+    fmt: str = "parquet",
+    bits: int = 8,
+    relative_error: float = 0.001,
+) -> None:
+    """Write ``df`` clustered on a Z-order (Morton) curve over two or
+    more numeric columns, so parquet min/max statistics prune on EVERY
+    listed dimension — where ``write_clustered`` sharpens only a key
+    prefix, a Z-ordered file covers a small hyper-rectangle, and a
+    predicate on any single dimension (or any combination) skips most
+    files.
+
+    Shape: each dimension is bucketed into ``2**bits`` quantile
+    buckets (approxQuantile boundaries — rank-based, so zipfian or
+    lumpy value distributions still fill the curve evenly; the
+    assignment itself is a JVM ml.Bucketizer, no Python in the row
+    path), the bucket codes bit-interleave into one long, and the
+    write is a range partition + within-file sort on that key — the
+    same two-job cost as ``write_clustered``, plus one bounded
+    approxQuantile pass per dimension over the pruned column.
+    NULL/NaN values land in the top bucket (sort last, never error).
+
+    New tables only (overwrite), same as ``write_clustered``; use
+    ``cluster_ranges`` on each dimension to audit the result.
+    """
+    if len(zorder_by) < 2:
+        raise ValueError(
+            "write_zordered needs >= 2 columns (one-dimensional "
+            "clustering is write_clustered's job)"
+        )
+    k = len(zorder_by)
+    if bits < 1 or bits * k > 63:
+        raise ValueError(f"bits*len(zorder_by) must fit a long, got {bits}*{k}")
+    from pyspark.ml.feature import Bucketizer
+
+    nb = 1 << bits
+    probs = [j / nb for j in range(1, nb)]
+    work = df
+    codes = []
+    for i, c in enumerate(zorder_by):
+        qs = (
+            df.select(F.col(c).cast("double").alias("__q"))
+            .na.drop()
+            .approxQuantile("__q", probs, relative_error)
+        )
+        # strictly-increasing splits: heavy repeated values collapse
+        # duplicate boundaries (fewer, fuller buckets — still <= 2**bits)
+        splits = [float("-inf"), *sorted(set(qs)), float("inf")]
+        work = work.withColumn(f"__zin{i}", F.col(c).cast("double"))
+        work = (
+            Bucketizer(
+                splits=splits,
+                inputCol=f"__zin{i}",
+                outputCol=f"__zb{i}",
+                handleInvalid="keep",  # NULL/NaN -> extra top bucket
+            ).transform(work)
+        )
+        codes.append(
+            F.least(F.col(f"__zb{i}").cast("long"), F.lit(nb - 1))
+        )
+    # Morton interleave: bit b of dimension j lands at position b*k + j.
+    # Disjoint positions, so summing the shifted bits IS the bitwise or.
+    z = None
+    for bit in range(bits):
+        for j, code in enumerate(codes):
+            term = F.shiftleft(F.shiftright(code, bit).bitwiseAND(F.lit(1)), bit * k + j)
+            z = term if z is None else z + term
+    out = work.withColumn("__z", z)
+    part = (
+        out.repartitionByRange(n_files, F.col("__z"))
+        if n_files
+        else out.repartitionByRange(F.col("__z"))
+    )
+    part.sortWithinPartitions("__z").select(df.columns).write.format(fmt).mode(
+        "overwrite"
+    ).save(path)
+
+
 def cluster_ranges(spark: SparkSession, path: str, column: str) -> list[tuple]:
     """Per-file (min, max) of ``column`` from parquet footer metadata —
     the statistics a clustered write exists to sharpen. Diagnostic

@@ -99,3 +99,66 @@ def test_compaction_refuses_hive_partitioned_layout(spark, sf_dir, tmpdir):
     stats = compact_table(spark, sub, target_file_mb=128, min_files=1)
     assert spark.read.parquet(sub).count() > 0
     assert stats["files_after"] >= 1
+
+
+def test_zorder_write_prunes_both_dimensions(spark, tmpdir):
+    """Z-order must bound EVERY listed dimension per file: a 2-D
+    uniform grid written into 16 files should leave each file
+    covering a small rectangle, where a 1-D range-cluster on x leaves
+    y unbounded (full-range) in every file."""
+    from d2d_spark.operators.maintenance import write_zordered
+
+    rows = [(i % 256, (i * 73) % 256, i) for i in range(256 * 64)]
+    df = spark.createDataFrame(rows, "x long, y long, payload long")
+    zpath = str(tmpdir / "ztab")
+    write_zordered(df, zpath, ["x", "y"], n_files=16)
+    # rows survive the rewrite
+    back = spark.read.parquet(zpath)
+    assert back.count() == 256 * 64
+    assert back.columns == ["x", "y", "payload"]
+
+    def spans(path, col):
+        return [
+            (hi - lo) / 255.0
+            for lo, hi in cluster_ranges(spark, path, col)
+            if lo is not None
+        ]
+
+    zx, zy = spans(zpath, "x"), spans(zpath, "y")
+    assert len(zx) >= 8
+    # each file covers a bounded rectangle in BOTH dims (16 files on
+    # an 8x8+ grid of z-cells: expect ~0.25-0.5 span; allow slack)
+    assert sum(zx) / len(zx) <= 0.6, zx
+    assert sum(zy) / len(zy) <= 0.6, zy
+
+    cpath = str(tmpdir / "ctab")
+    write_clustered(df, cpath, ["x"], n_files=16)
+    cy = spans(cpath, "y")
+    # the 1-D cluster leaves y near-unbounded per file; z-order must
+    # beat it decisively on the dimension the 1-D sort can't see
+    assert sum(cy) / len(cy) >= 0.8, cy
+    assert sum(zy) / len(zy) <= 0.6 * (sum(cy) / len(cy)), (zy, cy)
+
+
+def test_zorder_handles_nulls_and_skew(spark, tmpdir):
+    from d2d_spark.operators.maintenance import write_zordered
+
+    rows = [(None if i % 100 == 0 else i % 7, float(i), i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "x long, y double, payload long")
+    path = str(tmpdir / "zskew")
+    write_zordered(df, path, ["x", "y"], n_files=4, bits=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 2000
+    assert back.filter("x IS NULL").count() == 20
+
+
+def test_zorder_validates(spark, tmpdir):
+    import pytest as pt
+
+    from d2d_spark.operators.maintenance import write_zordered
+
+    df = spark.range(10).selectExpr("id AS x", "id AS y")
+    with pt.raises(ValueError, match=">= 2 columns"):
+        write_zordered(df, str(tmpdir / "z1"), ["x"])
+    with pt.raises(ValueError, match="fit a long"):
+        write_zordered(df, str(tmpdir / "z2"), ["x", "y"], bits=40)
