@@ -1,0 +1,171 @@
+"""Link-graph analytics over edge lists — the ranking layer on top of
+the crawl link graph (``sources/warc.py:wat_links`` → ``normalize_url``
+→ edges). Crawl pipelines use PageRank-family scores to prioritize
+fetch frontiers and as a document-quality prior (a page linked from
+many well-linked pages is rarely spam); the reference has no graph
+capability, so this is part of the LLM-pipeline extension surface.
+
+Spark shape: pure DataFrame power iteration. Each round is ONE
+edge⋈rank equi-join plus ONE groupBy(dst) sum — both shuffle on the
+node key, and AQE coalesces/broadcasts as sizes allow. Rank state is
+(node, rank): O(nodes), persisted per round with lineage truncated
+every few rounds (the iterative-plan blowup discipline
+connected_components already uses). Dangling mass (nodes with no
+out-links — most of any real crawl frontier) is redistributed
+uniformly each round via one scalar aggregate, keeping the rank
+vector a true probability distribution (sums to 1, test-pinned).
+
+At 100 TB: edges dominate and stream through each round's join;
+nothing driver-side ever holds a node or edge collection — the only
+driver values are the node count and per-round scalar sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def page_rank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iters: int = 20,
+    tol: float | None = 1.0e-6,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """PageRank over a directed edge list: returns (node, rank) with
+    ranks summing to 1. Duplicate edges are collapsed (a page linking
+    twice still casts one vote — the convention of the original
+    formulation); self-loops count like any other edge.
+
+    Stops after ``max_iters`` rounds or when the L1 delta between
+    consecutive rank vectors drops below ``tol`` (one scalar aggregate
+    per round; pass ``tol=None`` to always run ``max_iters``).
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
+    from pyspark import StorageLevel
+
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = nodes.count()
+    if n == 0:
+        e.unpersist(blocking=False)
+        nodes.unpersist(blocking=False)
+        return edges.sparkSession.createDataFrame([], "node string, rank double")
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # out-link structure is loop-invariant: join it to the node set once
+    base = (
+        nodes.join(outdeg, nodes.node == outdeg.src, "left")
+        .select("node", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    base.count()
+    # The iterative plan MUST be truncated, not just cached: each
+    # round's frame references the previous round's plan, and a cached
+    # block does not stop the analyzer/optimizer from walking the
+    # whole growing tree — by round ~30 compilation dominates wall
+    # time (measured; the same blowup connected_components guards
+    # against). Reliable checkpoint when a dir is configured (the
+    # durable choice on a real cluster — survives executor loss);
+    # localCheckpoint otherwise, accepting its executor-local blocks
+    # on the same documented terms as connected_components.
+    sc = edges.sparkSession.sparkContext
+    can_checkpoint = sc.getCheckpointDir() is not None
+    ranks = base.select("node", "outdeg", F.lit(1.0 / n).alias("rank")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    ranks.count()
+    for it in range(max_iters):
+        # mass leaving dangling nodes has nowhere to go — spread it
+        # uniformly so the vector stays stochastic. The sum stays IN
+        # the plan (one-row aggregate, broadcast crossJoin) — no
+        # driver round-trip per iteration.
+        dang = ranks.filter(F.col("outdeg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")
+        )
+        contribs = (
+            e.join(ranks, e.src == ranks.node)
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        nxt = (
+            base.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                "outdeg",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce("inflow", F.lit(0.0)) + F.col("__dang") / n)
+                ).alias("rank"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0 or it == max_iters - 1:
+            nxt = (
+                nxt.checkpoint(eager=True)
+                if can_checkpoint
+                else nxt.localCheckpoint(eager=True)
+            )
+        else:
+            nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
+            nxt.count()  # materialize BEFORE dropping the previous round
+        if tol is not None:
+            delta = (
+                nxt.join(ranks.select("node", F.col("rank").alias("prev_rank")), "node")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("prev_rank"))))
+                .first()[0]
+            )
+        else:
+            delta = None
+        ranks.unpersist(blocking=False)
+        ranks = nxt
+        if delta is not None and delta < tol:
+            break
+    from d2d_spark import cache as opcache
+
+    # the survivors (loop-invariant structure + final vector) register
+    # for per-corpus release; everything per-round is already dropped
+    opcache.register("page_rank", base)
+    if ranks.is_cached:
+        opcache.register("page_rank", ranks)
+    out = ranks.select("node", "rank")
+    e.unpersist(blocking=False)
+    nodes.unpersist(blocking=False)
+    return out
+
+
+def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(node, out_degree, in_degree) for every node in the edge list —
+    the cheap crawl-frontier diagnostic (two aggs + one outer join)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    outd = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    ind = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    return (
+        outd.join(ind, "node", "full")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )

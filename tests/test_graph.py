@@ -1,0 +1,128 @@
+"""Link-graph ops (operators/graph.py): PageRank vs driver-side power
+iteration, stochasticity, dangling handling, degree stats."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from d2d_spark.operators.graph import degree_stats, page_rank
+
+
+def _reference_pagerank(edges, damping=0.85, iters=30):
+    """Pure-Python power iteration with uniform dangling spread —
+    independent of any Spark code path."""
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    uniq = sorted(set(edges))
+    out = {v: 0 for v in nodes}
+    for a, _ in uniq:
+        out[a] += 1
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dangling = sum(rank[v] for v in nodes if out[v] == 0)
+        inflow = {v: 0.0 for v in nodes}
+        for a, b in uniq:
+            inflow[b] += rank[a] / out[a]
+        rank = {
+            v: (1 - damping) / n + damping * (inflow[v] + dangling / n)
+            for v in nodes
+        }
+    return rank
+
+
+EDGES = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+    ("d", "c"), ("d", "a"), ("e", "d"),
+    # f is dangling (no out-links), linked from a hub
+    ("c", "f"), ("a", "f"),
+    # duplicate edge must count once
+    ("a", "b"),
+]
+
+
+def test_page_rank_matches_power_iteration(spark):
+    got = {
+        r.node: r.rank
+        for r in page_rank(
+            spark.createDataFrame(EDGES, "src string, dst string"),
+            max_iters=30,
+            tol=None,
+        ).collect()
+    }
+    want = _reference_pagerank(EDGES, iters=30)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # the hub 'c' (3 in-links incl. from hubs) outranks the leaf 'e'
+    assert got["c"] > got["e"]
+
+
+def test_page_rank_tol_early_stop_close_to_converged(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {r.node: r.rank for r in page_rank(df, max_iters=100, tol=1e-9).collect()}
+    want = _reference_pagerank(EDGES, iters=300)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-7), v
+
+
+def test_page_rank_validation_empty_and_release(spark):
+    from d2d_spark import cache as opcache
+
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    with pytest.raises(ValueError, match="damping"):
+        page_rank(df, damping=1.0)
+    with pytest.raises(ValueError, match="max_iters"):
+        page_rank(df, max_iters=0)
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert page_rank(empty).count() == 0
+    page_rank(df, max_iters=2, tol=None).count()
+    assert "page_rank" in opcache.tags()
+    assert opcache.release("page_rank") >= 1
+
+
+def test_degree_stats(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {r.node: (r.out_degree, r.in_degree) for r in degree_stats(df).collect()}
+    # duplicate a->b counts twice here: degree_stats reports raw edges
+    assert got["a"] == (4, 2)
+    assert got["f"] == (0, 2)
+    assert got["e"] == (1, 0)
+
+
+def test_page_rank_composes_with_wat_links(spark, tmp_path):
+    """The crawl story end-to-end: WAT metadata -> link edges ->
+    PageRank scores."""
+    import json
+
+    from d2d_spark.sources.warc import read_wat, wat_links
+
+    def rec(uri, links):
+        env = {
+            "Envelope": {
+                "Payload-Metadata": {
+                    "HTTP-Response-Metadata": {
+                        "HTML-Metadata": {
+                            "Links": [{"path": "A@/href", "url": u} for u in links]
+                        }
+                    }
+                }
+            }
+        }
+        payload = json.dumps(env).encode()
+        head = (
+            f"WARC/1.0\r\nWARC-Type: metadata\r\nWARC-Record-ID: <urn:uuid:x>\r\n"
+            f"WARC-Date: 2024-01-01T00:00:00Z\r\nWARC-Target-URI: {uri}\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode()
+        return head + payload + b"\r\n\r\n"
+
+    data = rec("http://a.com/", ["http://b.com/", "http://c.com/"]) + rec(
+        "http://b.com/", ["http://c.com/"]
+    )
+    (tmp_path / "links.warc.wat").write_bytes(data)
+    wat = read_wat(spark, str(tmp_path / "links.warc.wat"))
+    ranks = page_rank(wat_links(wat), src="src", dst="url", max_iters=20)
+    got = {r.node: r.rank for r in ranks.collect()}
+    assert got["http://c.com/"] == max(got.values())
