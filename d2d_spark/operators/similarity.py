@@ -173,6 +173,86 @@ def train_ivf_centroids(
     return C
 
 
+def kmeans_refine(
+    corpus: DataFrame,
+    vec_col: str,
+    centroids,
+    iters: int = 3,
+):
+    """Distributed spherical-Lloyd refinement of a centroid matrix
+    over the FULL corpus — the scale-correct second stage after
+    ``train_ivf_centroids``'s bounded-sample fit: the sample bounds
+    driver memory but also caps how well centroids track the true
+    distribution; refinement restores that fidelity without ever
+    collecting a vector.
+
+    Per round: assignment is a map-only Arrow GEMM against the
+    broadcast centroid matrix (zero shuffle); the centroid update is
+    a dimension posexplode -> groupBy(cell, dim) sum whose map-side
+    partials compress each task's contribution to <= k*d rows, so the
+    shuffle AND the driver collect are model-sized (k*d sums + k
+    counts) — corpus-independent, the same sufficient-statistics
+    shape as reduce.py's PCA moment pass. Zero-norm vectors are
+    excluded (no cell), empty cells keep their centroid (the
+    convention the sample trainer uses). Returns the refined
+    (k, d) float64 matrix, rows L2-normalized."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from d2d_spark import cache as opcache
+
+    C = np.array(centroids, dtype=np.float64)
+    if C.ndim != 2:
+        raise ValueError(f"centroids must be a (k, d) matrix, got shape {C.shape}")
+    k, d = C.shape
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    npart = corpus.sparkSession.sparkContext.defaultParallelism
+    base = (
+        _spread(corpus, npart, full=True)
+        .select(as_double(F.col(vec_col)).alias("__v"))
+        .withColumn("__n", norm(F.col("__v")))
+        .filter(F.col("__n") > 0)
+        .withColumn("__u", F.transform("__v", lambda x: x / F.col("__n")))
+        .select("__u")
+    )
+    from pyspark import StorageLevel
+
+    # read `iters` times (assignment + stats per round) — persist once,
+    # release per-corpus via cache.release("kmeans_refine")
+    base = opcache.register(
+        "kmeans_refine", base.persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    base.count()
+    def _assign_udf(Cb):
+        # factory: binds THIS round's centroid copy into the closure
+        def assign_kernel(vec_series: pd.Series) -> pd.Series:
+            X = np.array(list(vec_series), dtype=np.float64)
+            return pd.Series(np.argmax(X @ Cb.T, axis=1).astype(np.int64))
+
+        return F.pandas_udf(assign_kernel, T.LongType())
+
+    for _ in range(iters):
+        assigned = base.withColumn("cell", _assign_udf(C.copy())(F.col("__u")))
+        stats = (
+            assigned.select("cell", F.posexplode("__u").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"))
+            .collect()
+        )
+        counts = {
+            r["cell"]: r["cnt"]
+            for r in assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        S = np.zeros((k, d), dtype=np.float64)
+        for r in stats:
+            S[r["cell"], r["pos"]] = r["s"]
+        for j in range(k):
+            if counts.get(j):  # empty cells keep their centroid
+                C[j] = S[j] / max(np.linalg.norm(S[j]), 1e-12)
+    return C
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -526,3 +526,84 @@ def test_jaccard_prefix_pairs_validation_and_release(spark):
     jaccard_prefix_pairs(df, "text", "doc_id").count()
     assert "jaccard_prefix" in opcache.tags()
     assert opcache.release("jaccard_prefix") >= 1
+
+
+def test_kmeans_refine_matches_numpy_full_lloyd(spark):
+    """Distributed refinement must equal a numpy Lloyd pass over the
+    same (full) data from the same init — the sufficient-statistics
+    shuffle may not change the math."""
+    import numpy as np
+
+    from d2d_spark.operators.similarity import kmeans_refine
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(400, 16))
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C0 = Xn[:8].copy()
+
+    # independent driver-side spherical Lloyd
+    C_np = C0.copy()
+    for _ in range(3):
+        assign = np.argmax(Xn @ C_np.T, axis=1)
+        for j in range(8):
+            m = Xn[assign == j]
+            if len(m):
+                s = m.sum(axis=0)
+                C_np[j] = s / max(np.linalg.norm(s), 1e-12)
+
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+    C_sp = kmeans_refine(df, "embedding", C0, iters=3)
+    assert np.allclose(C_sp, C_np, atol=1e-9)
+
+
+def test_kmeans_refine_improves_sampled_centroids(spark):
+    """On clustered data, refining a tiny-sample fit over the full
+    corpus must not lower the mean best-cosine objective."""
+    import numpy as np
+
+    from d2d_spark.operators.similarity import kmeans_refine, train_ivf_centroids
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(4, 12)) * 3
+    X = np.vstack([c + rng.normal(size=(150, 12)) for c in centers])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    C0 = train_ivf_centroids(df, "vec_id", "embedding", n_centroids=4, iters=2, sample=20)
+    C1 = kmeans_refine(df, "embedding", C0, iters=4)
+
+    def objective(C):
+        return float(np.max(Xn @ np.asarray(C).T, axis=1).mean())
+
+    assert objective(C1) >= objective(C0) - 1e-12
+    # and the refined quantizer is meaningfully good on planted clusters
+    assert objective(C1) >= 0.9 * objective(
+        kmeans_refine(df, "embedding", Xn[::150][:4].copy(), iters=6)
+    )
+
+
+def test_kmeans_refine_validation_and_zero_vectors(spark):
+    import numpy as np
+    import pytest as pt
+
+    from d2d_spark import cache as opcache
+    from d2d_spark.operators.similarity import kmeans_refine
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pt.raises(ValueError, match="matrix"):
+        kmeans_refine(df, "embedding", np.zeros(4))
+    with pt.raises(ValueError, match="iters"):
+        kmeans_refine(df, "embedding", np.eye(2), iters=0)
+    C = kmeans_refine(df, "embedding", np.eye(2), iters=2)
+    # zero vector is excluded; the two axis vectors are their own cells
+    assert np.allclose(C, np.eye(2), atol=1e-12)
+    assert "kmeans_refine" in opcache.tags()
+    assert opcache.release("kmeans_refine") >= 1
