@@ -82,6 +82,22 @@ def main() -> int:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # r5: the exact-threshold dedup scale path (prefix-filter
+    # set-similarity join) — timed directly (its registry home,
+    # jaccard_pairs_clusters, also carries the quadratic ground truth
+    # and the DuckDB-recursion comparison, which would swamp the
+    # operator's own cost)
+    from d2d_spark.operators.dedup import jaccard_prefix_pairs
+    from d2d_spark.session import read_table as _rt2
+
+    docs = _rt2(spark, SF_DIR, "documents")
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jaccard_prefix_pairs(docs, "text", "doc_id", threshold=0.5).count()
+        best = min(best, time.perf_counter() - t0)
+    timings["jaccard_prefix_pairs"] = round(best, 3)
+
     # End-to-end Migration throughput (rows/s), comparable to the
     # reference's best batched write path (~15.6k rows/s,
     # BASELINE.md): lineitem through read -> transform -> sink.

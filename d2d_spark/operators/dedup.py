@@ -605,16 +605,39 @@ def jaccard_prefix_pairs(
     # prefix length |s| - ceil(t*|s|) + 1 — always >= 1 for t <= 1
     plen = (F.col("__sz") - F.ceil(F.lit(t) * F.col("__sz")) + F.lit(1)).cast("int")
     pref = ordered.select(
-        "__id", "__sz", F.explode(F.slice("__sh", F.lit(1), plen)).alias("__tok")
+        "__id",
+        "__sz",
+        F.posexplode(F.slice("__sh", F.lit(1), plen)).alias("__pos", "__tok"),
     )
-    a = pref.select(F.col("__id").alias("id_a"), F.col("__sz").alias("sz_a"), "__tok")
-    b = pref.select(F.col("__id").alias("id_b"), F.col("__sz").alias("sz_b"), "__tok")
+    a = pref.select(
+        F.col("__id").alias("id_a"),
+        F.col("__sz").alias("sz_a"),
+        F.col("__pos").alias("pos_a"),
+        "__tok",
+    )
+    b = pref.select(
+        F.col("__id").alias("id_b"),
+        F.col("__sz").alias("sz_b"),
+        F.col("__pos").alias("pos_b"),
+        "__tok",
+    )
+    # pair-level overlap requirement for jaccard >= t:
+    #   alpha = ceil(t/(1+t) * (|a| + |b|))
+    alpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("sz_a") + F.col("sz_b")))
+    # positional filter (PPJoin, Xiao et al. 2008): tokens at or after
+    # this shared one number min(|a|-pos_a, |b|-pos_b) (0-based pos) —
+    # an upper bound on the overlap. A true pair always survives at
+    # its FIRST shared token (every overlap token sits at or after
+    # it), so pruning pairs whose bound misses alpha loses nothing;
+    # it only drops join hits that could never reach the threshold.
+    ub = F.least(F.col("sz_a") - F.col("pos_a"), F.col("sz_b") - F.col("pos_b"))
     cand = (
         a.join(b, "__tok")
         .filter(F.col("id_a") < F.col("id_b"))
         # size filter: jaccard <= min/max of the sizes, so mismatched
         # sizes prune BEFORE the distinct shuffle
         .filter((F.col("sz_a") >= t * F.col("sz_b")) & (F.col("sz_b") >= t * F.col("sz_a")))
+        .filter(ub >= alpha)
         .select("id_a", "id_b")
         .distinct()
     )
