@@ -364,3 +364,117 @@ def stream_bloom_dedup_sink(
     )
     q.awaitTermination()
     return q
+
+
+def stream_cms_sink(
+    df: DataFrame,
+    col: str,
+    state_dir: str,
+    checkpoint_path: str,
+    depth: int = 4,
+    width: int = 8192,
+):
+    """Maintain a corpus-wide count-min frequency sketch over a
+    stream: each micro-batch's sketch (bounded: <= depth*width rows)
+    merges into the persisted corpus sketch — counters are linear, so
+    the stream-maintained state EXACTLY equals the batch sketch of
+    everything ever seen (test-pinned). The streaming face of
+    `operators/freq.py`, next to the Bloom sink: Bloom answers
+    "seen before?", this answers "how often?" for token/domain/URL
+    frequency monitoring without unbounded key state.
+
+    Replay-tolerant like `stream_bloom_dedup_sink`, and by the same
+    construction: state is persisted KEYED BY BATCH ID
+    (``state_after_batch_N/`` parquet), batch N merges into the newest
+    state with id < N, and a replayed batch re-derives byte-identical
+    counters from its original pre-state (deterministic build) rather
+    than double-counting into its own output. Same
+    one-checkpoint-lifetime contract; shape changes between runs are
+    refused (mixed-shape counters would be garbage)."""
+    import os
+    import re
+    import shutil
+
+    from d2d_spark.operators.freq import _shape_of, cms_build, cms_merge
+
+    spark = df.sparkSession
+    os.makedirs(state_dir, exist_ok=True)
+    pat = re.compile(r"^state_after_batch_(\d+)$")
+    state_ids = [
+        int(pat.match(n).group(1)) for n in os.listdir(state_dir) if pat.match(n)
+    ]
+    ckpt_local = _local_path(checkpoint_path)
+    checkpoint_is_fresh = ckpt_local is not None and not os.path.isdir(
+        os.path.join(ckpt_local, "offsets")
+    )
+    if checkpoint_is_fresh and state_ids:
+        raise ValueError(
+            f"stream_cms_sink: checkpoint {checkpoint_path!r} is fresh but "
+            f"state_dir {state_dir!r} holds sketch state from a previous "
+            "checkpoint lifetime — use a fresh state_dir, or restore the "
+            "original checkpoint."
+        )
+    if ckpt_local is not None and not checkpoint_is_fresh and not state_ids:
+        raise ValueError(
+            f"stream_cms_sink: checkpoint {checkpoint_path!r} is resuming "
+            f"but state_dir {state_dir!r} has no sketch state — counts from "
+            "processed batches would be silently lost. Restore the state "
+            "files or start over with a fresh checkpoint."
+        )
+
+    def _load_before(batch_id: int):
+        prior_ids = [
+            int(pat.match(n).group(1))
+            for n in os.listdir(state_dir)
+            if pat.match(n) and int(pat.match(n).group(1)) < batch_id
+        ]
+        if not prior_ids:
+            return None
+        return spark.read.parquet(
+            os.path.join(state_dir, f"state_after_batch_{max(prior_ids)}")
+        )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        prior = _load_before(batch_id)
+        sketch = cms_build(batch_df, col, depth=depth, width=width)
+        if prior is not None:
+            stamped = _shape_of(prior)
+            if stamped is not None and stamped != (depth, width):
+                raise ValueError(
+                    "stream_cms_sink: depth/width changed between runs "
+                    f"(state has {stamped}, sink asked for {(depth, width)}) "
+                    "— rebuild the sketch state from history instead of "
+                    "mixing shapes"
+                )
+            sketch = cms_merge(prior, sketch)
+        final = os.path.join(state_dir, f"state_after_batch_{batch_id}")
+        tmp = final + ".tmp"
+        sketch.write.mode("overwrite").parquet(tmp)
+        # replace atomically-enough: a crash between rmtree and rename
+        # loses only state N, which the replayed batch N re-derives
+        # from state N-1
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+
+    q = (
+        df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def latest_cms_state(spark: SparkSession, state_dir: str):
+    """The newest persisted sketch from a `stream_cms_sink` state dir
+    (None if empty) — feed it to `operators/freq.cms_lookup`."""
+    import os
+    import re
+
+    pat = re.compile(r"^state_after_batch_(\d+)$")
+    ids = [int(pat.match(n).group(1)) for n in os.listdir(state_dir) if pat.match(n)]
+    if not ids:
+        return None
+    return spark.read.parquet(os.path.join(state_dir, f"state_after_batch_{max(ids)}"))

@@ -127,3 +127,71 @@ def test_cms_depth_one_build_and_lookup(spark):
     assert set(est) == set(true)
     for tok, c in true.items():
         assert est[tok] >= c
+
+
+def test_stream_cms_sink_equals_batch_sketch(spark, tmp_path):
+    """Stream-maintained counters must EXACTLY equal the batch sketch
+    of everything seen (linearity), across incremental restarts; a
+    fresh-checkpoint/old-state mismatch is refused."""
+    import os
+
+    import pytest as pt
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from d2d_spark.operators.freq import cms_build, cms_lookup
+    from d2d_spark.streaming.filestream import (
+        file_stream,
+        latest_cms_state,
+        stream_cms_sink,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType([T.StructField("tok", T.StringType())])
+
+    def drop(name, toks):
+        spark.createDataFrame([(t,) for t in toks], schema).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    drop("d1", ["a", "b", "a", "c"] * 10)
+    stream = file_stream(spark, str(src) + "/*", schema)
+    stream_cms_sink(stream, "tok", state, ckpt, depth=4, width=256)
+
+    drop("d2", ["b", "d"] * 25)
+    stream = file_stream(spark, str(src) + "/*", schema)
+    stream_cms_sink(stream, "tok", state, ckpt, depth=4, width=256)
+
+    all_rows = spark.read.parquet(str(src) + "/*")
+    want = {
+        (r.row, r.bucket, r.c)
+        for r in cms_build(all_rows, "tok", depth=4, width=256).collect()
+    }
+    got_state = latest_cms_state(spark, state)
+    got = {(r.row, r.bucket, r.c) for r in got_state.collect()}
+    assert got == want
+    # and lookups agree with exact counts at this collision-free size
+    est = {
+        r.tok: r.est_count
+        for r in cms_lookup(got_state, all_rows, "tok", depth=4, width=256).collect()
+    }
+    exact = {
+        r.tok: r.n
+        for r in all_rows.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert est == exact
+    assert len([n for n in os.listdir(state) if n.startswith("state_after_batch_")]) >= 2
+
+    # shape change between runs is refused before any state is written
+    drop("d3", ["e"])
+    stream = file_stream(spark, str(src) + "/*", schema)
+    with pt.raises(Exception, match="depth/width changed"):
+        stream_cms_sink(stream, "tok", state, ckpt, depth=4, width=512)
+
+    # fresh checkpoint over surviving state is refused
+    stream = file_stream(spark, str(src) + "/*", schema)
+    with pt.raises(ValueError, match="fresh"):
+        stream_cms_sink(stream, "tok", state, str(tmp_path / "ckpt2"), depth=4, width=256)
