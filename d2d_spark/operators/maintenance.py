@@ -205,6 +205,35 @@ def write_zordered(
     ).save(path)
 
 
+def scan_pruning_report(
+    spark: SparkSession, path: str, column: str, lo=None, hi=None
+) -> dict:
+    """How many of a table's files a range predicate ``lo <= column
+    <= hi`` (either bound optional) could skip on parquet footer
+    min/max statistics alone — the number clustered/z-ordered writes
+    exist to drive up, measurable without reading a data page. A file
+    with no statistics for the column must be read. Returns
+    ``{files, read, skipped, skip_frac}``."""
+    if lo is None and hi is None:
+        raise ValueError("scan_pruning_report needs at least one of lo/hi")
+    ranges = cluster_ranges(spark, path, column)
+    read = 0
+    for fmin, fmax in ranges:
+        if fmin is None or fmax is None:
+            read += 1  # no stats -> cannot skip
+            continue
+        if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
+            continue  # provably disjoint from the predicate
+        read += 1
+    total = len(ranges)
+    return {
+        "files": total,
+        "read": read,
+        "skipped": total - read,
+        "skip_frac": round((total - read) / total, 4) if total else 0.0,
+    }
+
+
 def cluster_ranges(spark: SparkSession, path: str, column: str) -> list[tuple]:
     """Per-file (min, max) of ``column`` from parquet footer metadata —
     the statistics a clustered write exists to sharpen. Diagnostic
