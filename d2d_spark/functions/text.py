@@ -34,6 +34,27 @@ def token_count_bpe(col: Column) -> Column:
     return F.regexp_count(col, F.lit(BPE_SPLIT_PATTERN))
 
 
+#: sentence boundary: terminal punctuation (optionally closing
+#: quote/bracket) followed by whitespace. A pragmatic rule, not a
+#: linguistic one — abbreviations like "Dr." split; RAG/chunking
+#: pipelines tolerate over-splitting far better than mid-sentence
+#: cuts, and the rule stays deterministic and SQL-mirrorable.
+SENTENCE_SPLIT_PATTERN = r'(?<=[.!?]["”\')\]]?)\s+'
+
+
+def split_sentences(col: Column) -> Column:
+    """Array of sentences: split after terminal punctuation (with an
+    optional closing quote/bracket) + whitespace; runs of whitespace
+    collapse. Empty/whitespace text gives an empty array."""
+    return F.filter(
+        F.split(F.trim(col), SENTENCE_SPLIT_PATTERN), lambda s: s != ""
+    )
+
+
+def sentence_count(col: Column) -> Column:
+    return F.size(split_sentences(col))
+
+
 def stopword_count(col: Column, stopwords=EN_STOPWORDS) -> Column:
     return F.size(F.filter(tokens_ws(F.lower(col)), lambda x: x.isin(list(stopwords))))
 

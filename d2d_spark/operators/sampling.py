@@ -433,3 +433,62 @@ def chunk_documents(
         F.col("__c.chunk_index").alias("chunk_index"),
         F.col("__c.__chunk").alias(text_col),
     )
+
+
+def chunk_by_sentences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_chars: int,
+    joiner: str = " ",
+) -> DataFrame:
+    """Sentence-aware chunking: greedy-fill whole sentences into
+    chunks of at most ``max_chars`` — the RAG-friendly variant of
+    `chunk_documents`, which cuts mid-sentence. A single sentence
+    longer than the budget becomes its own (oversized) chunk rather
+    than being split — compose with `chunk_documents` afterwards to
+    hard-cap those. Same output convention: one row per chunk,
+    ``chunk_index`` 0-based, chunk text under ``text_col``; empty/NULL
+    text yields one empty chunk so no document disappears.
+
+    Pure Column pipeline: `split_sentences` (JVM regex) then ONE
+    `aggregate` fold over the sentence array building the chunk list
+    — linear in document length, zero Python, zero shuffle."""
+    if max_chars <= 0:
+        raise ValueError(f"max_chars must be positive, got {max_chars}")
+    from d2d_spark.functions.text import split_sentences
+
+    sents = split_sentences(F.col(text_col))
+    init = F.struct(
+        F.array().cast("array<string>").alias("chunks"), F.lit("").alias("cur")
+    )
+
+    def step(acc, s):
+        cur = acc["cur"]
+        joined = F.concat(cur, F.lit(joiner), s)
+        return (
+            F.when(cur == "", F.struct(acc["chunks"].alias("chunks"), s.alias("cur")))
+            .when(
+                F.length(joined) <= max_chars,
+                F.struct(acc["chunks"].alias("chunks"), joined.alias("cur")),
+            )
+            .otherwise(
+                F.struct(
+                    F.array_append(acc["chunks"], cur).alias("chunks"), s.alias("cur")
+                )
+            )
+        )
+
+    agg = F.aggregate(
+        sents,
+        init,
+        step,
+        lambda acc: F.when(acc["cur"] == "", acc["chunks"]).otherwise(
+            F.array_append(acc["chunks"], acc["cur"])
+        ),
+    )
+    chunks = F.when(F.size(agg) > 0, agg).otherwise(F.array(F.lit("")))
+    out_cols = [c for c in df.columns if c != text_col]
+    return df.select(*out_cols, F.posexplode(chunks).alias("chunk_index", "__chunk")).select(
+        *out_cols, "chunk_index", F.col("__chunk").alias(text_col)
+    )

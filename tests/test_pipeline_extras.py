@@ -990,3 +990,58 @@ def test_perplexity_filter_stream_equals_batch(spark, sf_dir, tmp_path):
     )
     q.awaitTermination(120)
     assert got == expected
+
+
+def test_split_sentences_rules(spark):
+    from pyspark.sql import functions as F
+
+    from d2d_spark.functions.text import sentence_count, split_sentences
+
+    rows = spark.createDataFrame(
+        [
+            (1, 'One. Two!  Three? "Quoted." After'),
+            (2, "no terminal punctuation at all"),
+            (3, "   "),
+            (4, None),
+        ],
+        "id long, text string",
+    ).select("id", split_sentences(F.col("text")).alias("s"),
+             sentence_count(F.col("text")).alias("n"))
+    got = {r.id: (r.s, r.n) for r in rows.collect()}
+    assert got[1] == (["One.", "Two!", "Three?", '"Quoted."', "After"], 5)
+    assert got[2] == (["no terminal punctuation at all"], 1)
+    assert got[3] == ([], 0)
+    assert got[4][0] is None
+
+
+def test_chunk_by_sentences_greedy_fill_and_coverage(spark):
+    from d2d_spark.operators.sampling import chunk_by_sentences
+
+    text = "Aaaa bbb. Cc dd! Eeeee? Ff. " + "G" * 50 + ". Hh ii."
+    df = spark.createDataFrame([(1, text), (2, ""), (3, None)], "doc_id long, text string")
+    out = chunk_by_sentences(df, "text", "doc_id", max_chars=20)
+    rows = sorted(
+        ((r.doc_id, r.chunk_index, r.text) for r in out.collect())
+    )
+    by_doc = {}
+    for d, i, c in rows:
+        by_doc.setdefault(d, []).append((i, c))
+    # chunks ordered, sentences intact, every chunk <= 20 chars except
+    # the single oversized sentence
+    chunks1 = [c for _, c in sorted(by_doc[1])]
+    assert all(len(c) <= 20 or c.startswith("G" * 10) for c in chunks1)
+    assert " ".join(chunks1).split() == text.split()  # full coverage, order kept
+    assert chunks1[0] == "Aaaa bbb. Cc dd!"  # greedy fill packs two sentences
+    # empty and NULL text keep one (empty) chunk row
+    assert by_doc[2] == [(0, "")]
+    assert by_doc[3] == [(0, "")]
+
+
+def test_chunk_by_sentences_validates(spark):
+    import pytest as pt
+
+    from d2d_spark.operators.sampling import chunk_by_sentences
+
+    df = spark.createDataFrame([(1, "x.")], "doc_id long, text string")
+    with pt.raises(ValueError, match="max_chars"):
+        chunk_by_sentences(df, "text", "doc_id", max_chars=0)
