@@ -234,19 +234,21 @@ def kmeans_refine(
 
     for _ in range(iters):
         assigned = base.withColumn("cell", _assign_udf(C.copy())(F.col("__u")))
+        # ONE job per round: member counts ride the same aggregate as
+        # the per-dimension sums (identical per pos — read off pos 0),
+        # so the assignment UDF runs once, not once per statistic
         stats = (
             assigned.select("cell", F.posexplode("__u").alias("pos", "x"))
             .groupBy("cell", "pos")
-            .agg(F.sum("x").alias("s"))
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
             .collect()
         )
-        counts = {
-            r["cell"]: r["cnt"]
-            for r in assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("cnt")).collect()
-        }
         S = np.zeros((k, d), dtype=np.float64)
+        counts: dict[int, int] = {}
         for r in stats:
             S[r["cell"], r["pos"]] = r["s"]
+            if r["pos"] == 0:
+                counts[r["cell"]] = r["cnt"]
         for j in range(k):
             if counts.get(j):  # empty cells keep their centroid
                 C[j] = S[j] / max(np.linalg.norm(S[j]), 1e-12)
