@@ -13,6 +13,7 @@ Red flags checked:
 
 from __future__ import annotations
 
+import re
 import sys
 from pathlib import Path
 
@@ -141,6 +142,78 @@ def main() -> int:
             else ["non-equi join in semantic dedup"],
         ),
     }
+    # r5 additions
+    from d2d_spark.operators.dedup import jaccard_prefix_pairs
+    from d2d_spark.operators.sampling import chunk_by_sentences
+    from d2d_spark.operators.scd import scd2_history
+    from d2d_spark.operators.tfidf import bm25_scores
+
+    events = read_table(spark, SF, "events")
+    extras.update(
+        {
+            # candidates must come from prefix-token equi-joins — a
+            # cartesian here would be the quadratic this operator
+            # exists to avoid; the whole pipeline is pure Column
+            "jaccard_prefix_pairs": (
+                jaccard_prefix_pairs(docs, "text", "doc_id", threshold=0.5),
+                lambda p: []
+                if "CartesianProduct" not in p
+                and "BroadcastNestedLoopJoin" not in p
+                and "ArrowEvalPython" not in p
+                else ["prefix join not a pure-Column equi-join"],
+            ),
+            # the link-graph degree pass: node-keyed hash aggregates
+            # joined hash-wise, nothing Python, no cartesian (the
+            # page_rank loop reuses exactly these shapes per round,
+            # plus the deliberate one-row dangling-mass broadcast;
+            # its iterative plan truncates, so the round shape is
+            # audited here on the same primitives)
+            "degree_stats": (
+                __import__(
+                    "d2d_spark.operators.graph", fromlist=["degree_stats"]
+                ).degree_stats(
+                    events.selectExpr(
+                        "CAST(user_id AS STRING) AS src", "event_type AS dst"
+                    )
+                ),
+                lambda p: []
+                if "HashAggregate" in p
+                and "CartesianProduct" not in p
+                and "EvalPython" not in p
+                else ["degree pass not a pure hash-agg/join pipeline"],
+            ),
+            # type-2 history is ONE key-partitioned window shuffle:
+            # both window functions must reuse a single Exchange
+            # (count the node headers, not every mention of the word)
+            "scd2_history": (
+                scd2_history(events, ["user_id"], "ts", ["event_type"], ["event_id"]),
+                lambda p: []
+                if "Window" in p
+                and len(re.findall(r"\+- Exchange", p)) == 1
+                else [
+                    "scd2 expected exactly one Exchange node, plan has "
+                    f"{len(re.findall(r'[+]- Exchange', p))}"
+                ],
+            ),
+            # sentence chunking is a per-row Column fold: ANY exchange
+            # (or Python stage) is a bug
+            "chunk_by_sentences": (
+                chunk_by_sentences(docs, "text", "doc_id", max_chars=512),
+                lambda p: []
+                if "Exchange" not in p and "EvalPython" not in p
+                else ["sentence chunking shuffled or left the JVM"],
+            ),
+            # BM25 scoring: aggregates only, no Python, no cartesian
+            "bm25_scores": (
+                bm25_scores(docs, "text", "doc_id", ["the", "data"]),
+                lambda p: []
+                if "CartesianProduct" not in p
+                and "EvalPython" not in p
+                and "HashAggregate" in p
+                else ["bm25 not a pure aggregate pipeline"],
+            ),
+        }
+    )
     for name, (df, check) in extras.items():
         plan = df._jdf.queryExecution().explainString(mode)
         flags = check(plan)
