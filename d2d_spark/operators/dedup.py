@@ -460,10 +460,13 @@ def simhash_near_pairs(
     # blocks spill/evict under pressure
     from pyspark import StorageLevel
 
-    sh = (
+    from d2d_spark import cache as opcache
+
+    sh = opcache.register(
+        "simhash",
         simhash64(base, text_col)
         .select("__id", "simhash")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK),
     )
     sh.count()  # fill the cache before the self-join branches race on it
     return hamming_near_pairs(sh, "simhash", "__id", max_hamming)

@@ -164,26 +164,35 @@ def write_zordered(
 
     nb = 1 << bits
     probs = [j / nb for j in range(1, nb)]
+    # ONE quantile job covers every dimension (approxQuantile takes a
+    # column list and ignores nulls) — k separate full scans would
+    # multiply the startup cost of large-table writes for nothing
+    qcols = [f"__q{i}" for i in range(k)]
+    all_qs = df.select(
+        *[F.col(c).cast("double").alias(q) for c, q in zip(zorder_by, qcols)]
+    ).approxQuantile(qcols, probs, relative_error)
     work = df
     codes = []
     for i, c in enumerate(zorder_by):
-        qs = (
-            df.select(F.col(c).cast("double").alias("__q"))
-            .na.drop()
-            .approxQuantile("__q", probs, relative_error)
-        )
+        qs = all_qs[i]
         # strictly-increasing splits: heavy repeated values collapse
         # duplicate boundaries (fewer, fuller buckets — still <= 2**bits)
         splits = [float("-inf"), *sorted(set(qs)), float("inf")]
         work = work.withColumn(f"__zin{i}", F.col(c).cast("double"))
-        work = (
-            Bucketizer(
-                splits=splits,
-                inputCol=f"__zin{i}",
-                outputCol=f"__zb{i}",
-                handleInvalid="keep",  # NULL/NaN -> extra top bucket
-            ).transform(work)
-        )
+        if len(splits) < 3:
+            # all-NULL column: no boundaries to bucket on — the
+            # dimension contributes a constant code instead of
+            # crashing Bucketizer (needs >= 2 buckets)
+            work = work.withColumn(f"__zb{i}", F.lit(0.0))
+        else:
+            work = (
+                Bucketizer(
+                    splits=splits,
+                    inputCol=f"__zin{i}",
+                    outputCol=f"__zb{i}",
+                    handleInvalid="keep",  # NULL/NaN -> extra top bucket
+                ).transform(work)
+            )
         codes.append(
             F.least(F.col(f"__zb{i}").cast("long"), F.lit(nb - 1))
         )

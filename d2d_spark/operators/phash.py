@@ -168,11 +168,14 @@ def phash_near_pairs(
     base = _spread(
         df.select(id_col, pixels_col, width_col, height_col), npart, id_col
     )
-    hashed = (
+    from d2d_spark import cache as opcache
+
+    hashed = opcache.register(
+        "phash",
         with_phash(base, pixels_col, width_col, height_col, method=method)
         .filter(F.col("phash").isNotNull())
         .select(id_col, "phash")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK),
     )
     hashed.count()  # fill before the self-join branches race on it
     return hamming_near_pairs(hashed, "phash", id_col, max_hamming)

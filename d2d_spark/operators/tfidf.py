@@ -35,10 +35,13 @@ from pyspark.sql import functions as F
 
 
 def _term_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, tok, tf) — lowercase whitespace tokens, empties dropped."""
+    """(id, tok, tf) — lowercase whitespace tokens (the canonical
+    tokenizer every text operator shares), empties dropped."""
+    from d2d_spark.functions.text import tokens_ws
+
     toks = df.select(
         F.col(id_col).alias("__id"),
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+        F.explode(tokens_ws(F.lower(F.col(text_col)))).alias("tok"),
     ).filter(F.col("tok") != "")
     return toks.groupBy("__id", "tok").agg(F.count(F.lit(1)).alias("tf"))
 
@@ -105,7 +108,14 @@ def bm25_scores(
     tc = _term_counts(df, text_col, id_col)
     # per-document length and corpus average, from the counts we have
     dlen = tc.groupBy("__id").agg(F.sum("tf").alias("__dl"))
-    avgdl = float(dlen.agg(F.avg("__dl")).first()[0])
+    avg_row = dlen.agg(F.avg("__dl")).first()[0]
+    if avg_row is None:
+        # every document tokenized to nothing: no matches, by the
+        # repo's degrade-don't-crash convention
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} {df.schema[id_col].dataType.simpleString()}, score double"
+        )
+    avgdl = float(avg_row)
     hits = tc.filter(F.col("tok").isin(q))
     dfreq = hits.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(

@@ -86,13 +86,18 @@ def parse_warc_records(data: bytes) -> Iterator[dict]:
             return
         if not data[i : i + 5] == b"WARC/":
             return
-        head_end = data.find(b"\r\n\r\n", i)
-        sep = 4
-        if head_end == -1:
-            head_end = data.find(b"\n\n", i)
-            sep = 2
-            if head_end == -1:
-                return
+        # take the EARLIER of the two terminator styles: preferring
+        # \r\n\r\n found anywhere later would let an LF-terminated
+        # header block swallow payload bytes (a response payload's
+        # HTTP envelope virtually always contains \r\n\r\n)
+        crlf = data.find(b"\r\n\r\n", i)
+        lf = data.find(b"\n\n", i)
+        if crlf == -1 and lf == -1:
+            return
+        if lf == -1 or (crlf != -1 and crlf <= lf):
+            head_end, sep = crlf, 4
+        else:
+            head_end, sep = lf, 2
         headers: dict[str, str] = {}
         head = data[i:head_end].decode("utf-8", errors="replace")
         lines = head.splitlines()
@@ -103,6 +108,11 @@ def parse_warc_records(data: bytes) -> Iterator[dict]:
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
+            return
+        if length < 0:
+            # a negative length would walk the cursor BACKWARDS and
+            # can re-parse the same record forever — structurally
+            # broken, end this file's scan
             return
         body_start = head_end + sep
         if body_start + length > n:
@@ -120,11 +130,15 @@ def http_body(payload: bytes) -> bytes:
     with no envelope pass through unchanged."""
     if not payload.startswith(b"HTTP/"):
         return payload
-    for sep in (b"\r\n\r\n", b"\n\n"):
-        j = payload.find(sep)
-        if j != -1:
-            return payload[j + len(sep):]
-    return payload
+    # earlier-match rule, same as the record parser: an LF-only
+    # envelope whose BODY contains \r\n\r\n must split at the \n\n
+    crlf = payload.find(b"\r\n\r\n")
+    lf = payload.find(b"\n\n")
+    if crlf == -1 and lf == -1:
+        return payload
+    if lf == -1 or (crlf != -1 and crlf <= lf):
+        return payload[crlf + 4:]
+    return payload[lf + 2:]
 
 
 def read_warc(

@@ -58,3 +58,25 @@ def test_release_all_and_tags(spark):
     assert opcache.release() >= 1
     assert opcache.tags() == []
     assert opcache.release() == 0
+
+
+def test_simhash_and_phash_register_in_cache(spark):
+    from d2d_spark import cache as opcache
+    from d2d_spark.operators.dedup import simhash_near_pairs
+    from d2d_spark.operators.phash import phash_near_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"some text body number {i} with shared words") for i in range(20)],
+        "doc_id long, text string",
+    )
+    simhash_near_pairs(docs, "text", "doc_id").count()
+    assert "simhash" in opcache.tags()
+    assert opcache.release("simhash") >= 1
+
+    imgs = spark.createDataFrame(
+        [(i, [((i * 7 + p) % 256) for p in range(64)], 8, 8) for i in range(10)],
+        "img_id long, px array<int>, w int, h int",
+    )
+    phash_near_pairs(imgs, "img_id", "px", "w", "h").count()
+    assert "phash" in opcache.tags()
+    assert opcache.release("phash") >= 1

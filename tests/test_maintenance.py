@@ -191,3 +191,14 @@ def test_scan_pruning_report_quantifies_zorder_benefit(spark, tmpdir):
     assert n == df.filter("x BETWEEN 10 AND 20").count()
     with pt.raises(ValueError, match="lo/hi"):
         scan_pruning_report(spark, z, "x")
+
+
+def test_zorder_all_null_dimension_contributes_constant_code(spark, tmpdir):
+    from d2d_spark.operators.maintenance import write_zordered
+
+    df = spark.createDataFrame(
+        [(None, i, i) for i in range(500)], "x long, y long, payload long"
+    )
+    path = str(tmpdir / "znull")
+    write_zordered(df, path, ["x", "y"], n_files=2, bits=4)
+    assert spark.read.parquet(path).count() == 500

@@ -97,3 +97,12 @@ def test_bm25_matches_hand_computation(spark):
 def test_bm25_rejects_empty_query(spark):
     with pytest.raises(ValueError, match="query_terms"):
         bm25_scores(_corpus(spark), "text", "doc_id", [])
+
+
+def test_bm25_empty_corpus_degrades_to_no_matches(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None)], "doc_id long, text string"
+    )
+    out = bm25_scores(df, "text", "doc_id", ["anything"])
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "score"]

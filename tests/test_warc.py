@@ -187,3 +187,34 @@ def test_wat_links_tolerates_missing_metadata(spark, tmp_path):
     )
     wat = read_wat(spark, str(tmp_path / "d.warc.wat"))
     assert wat_links(wat).count() == 0
+
+
+def test_negative_content_length_ends_scan_not_loops():
+    """A corrupt negative Content-Length must end the file's scan, not
+    walk the cursor backwards into an infinite re-parse."""
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: -43\r\n\r\n"
+    )
+    recs = list(parse_warc_records(_warc_bytes(1) + bad))
+    assert [r["headers"]["warc-type"] for r in recs] == ["warcinfo", "response"]
+
+
+def test_lf_only_headers_with_crlf_in_payload():
+    """LF-terminated WARC headers whose payload contains \\r\\n\\r\\n
+    must split at the EARLIER \\n\\n, or framing drifts into the
+    payload and every following record is lost."""
+    payload = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>body</p>"
+    head = (
+        f"WARC/1.0\nWARC-Type: response\nWARC-Target-URI: http://x/\n"
+        f"Content-Length: {len(payload)}\n\n"
+    ).encode()
+    two = (head + payload + b"\r\n\r\n") * 2
+    recs = list(parse_warc_records(two))
+    assert len(recs) == 2
+    assert all(r["payload"] == payload for r in recs)
+    assert http_body(recs[0]["payload"]) == b"<p>body</p>"
+
+
+def test_http_body_lf_envelope_with_crlf_in_body():
+    lf_env = b"HTTP/1.1 200 OK\nContent-Type: text/plain\n\nkeep\r\n\r\nall of this"
+    assert http_body(lf_env) == b"keep\r\n\r\nall of this"
