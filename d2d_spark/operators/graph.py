@@ -34,11 +34,20 @@ def page_rank(
     max_iters: int = 20,
     tol: float | None = 1.0e-6,
     checkpoint_every: int = 4,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list: returns (node, rank) with
     ranks summing to 1. Duplicate edges are collapsed (a page linking
     twice still casts one vote — the convention of the original
     formulation); self-loops count like any other edge.
+
+    ``seeds`` (a one-column frame of node ids) switches to
+    PERSONALIZED PageRank: teleportation — and dangling mass — lands
+    only on the seed set, so ranks measure proximity to the seeds
+    (the crawl-frontier prioritization form: seed with known-good
+    domains, rank the frontier by closeness). Seeds not present in
+    the graph still receive teleport mass; an empty seed frame is
+    refused.
 
     Stops after ``max_iters`` rounds or when the L1 delta between
     consecutive rank vectors drops below ``tol`` (one scalar aggregate
@@ -67,13 +76,33 @@ def page_rank(
         e.unpersist(blocking=False)
         nodes.unpersist(blocking=False)
         return edges.sparkSession.createDataFrame([], "node string, rank double")
+    if seeds is not None:
+        sd = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+        # seeds outside the edge list still teleport: they join the
+        # node universe (with outdeg 0)
+        nodes2 = nodes.union(sd.select("node")).distinct()
+        ns = sd.count()
+        if ns == 0:
+            raise ValueError("page_rank: seeds frame is empty")
+        n = nodes2.count()
+    else:
+        sd = None
+        nodes2 = nodes
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # out-link structure is loop-invariant: join it to the node set once
-    base = (
-        nodes.join(outdeg, nodes.node == outdeg.src, "left")
-        .select("node", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # out-link structure is loop-invariant: join it to the node set
+    # once; the personalization vector v (uniform on seeds, else
+    # uniform everywhere) is loop-invariant too and rides the same
+    # frame
+    base = nodes2.join(outdeg, nodes2.node == outdeg.src, "left").select(
+        "node", F.coalesce("outdeg", F.lit(0)).alias("outdeg")
     )
+    if sd is not None:
+        base = base.join(
+            sd.select("node", F.lit(1.0 / ns).alias("__v")), "node", "left"
+        ).select("node", "outdeg", F.coalesce("__v", F.lit(0.0)).alias("__v"))
+    else:
+        base = base.select("node", "outdeg", F.lit(1.0 / n).alias("__v"))
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     base.count()
     # The iterative plan MUST be truncated, not just cached: each
     # round's frame references the previous round's plan, and a cached
@@ -86,7 +115,7 @@ def page_rank(
     # on the same documented terms as connected_components.
     sc = edges.sparkSession.sparkContext
     can_checkpoint = sc.getCheckpointDir() is not None
-    ranks = base.select("node", "outdeg", F.lit(1.0 / n).alias("rank")).persist(
+    ranks = base.select("node", "outdeg", "__v", F.col("__v").alias("rank")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     ranks.count()
@@ -110,10 +139,14 @@ def page_rank(
             .select(
                 "node",
                 "outdeg",
+                "__v",
                 (
-                    F.lit((1.0 - damping) / n)
+                    F.lit(1.0 - damping) * F.col("__v")
                     + F.lit(damping)
-                    * (F.coalesce("inflow", F.lit(0.0)) + F.col("__dang") / n)
+                    * (
+                        F.coalesce("inflow", F.lit(0.0))
+                        + F.col("__dang") * F.col("__v")
+                    )
                 ).alias("rank"),
             )
         )

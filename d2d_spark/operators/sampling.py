@@ -112,6 +112,34 @@ def mix_corpora(
     return out
 
 
+def temperature_weights(
+    sizes: Mapping[str, float], alpha: float = 0.3, scale_to_largest: bool = True
+) -> dict[str, float]:
+    """Sampling fractions that flatten a size-skewed corpus mixture:
+    each source's probability is proportional to ``size**alpha`` (the
+    multilingual-LM convention — alpha=1 keeps natural proportions,
+    alpha=0 makes every source equal; XLM-R/mT5 use ~0.3). Returned as
+    per-source KEEP FRACTIONS for `mix_corpora`: with
+    ``scale_to_largest`` the most-upweighted source keeps fraction
+    1.0 (no source is upsampled — pair with `mix_to_token_budget`'s
+    epoch upsampling when over-representation is wanted) and the rest
+    scale down proportionally."""
+    if not sizes:
+        raise ValueError("temperature_weights needs at least one source size")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if any(n <= 0 for n in sizes.values()):
+        raise ValueError("source sizes must be positive")
+    total = sum(n**alpha for n in sizes.values())
+    # target share p_i ~ n_i^alpha; keep fraction f_i = p_i * C / n_i,
+    # C chosen so max f_i = 1 (nothing upsamples)
+    raw = {k: (n**alpha / total) / n for k, n in sizes.items()}
+    if scale_to_largest:
+        c = 1.0 / max(raw.values())
+        return {k: min(1.0, v * c) for k, v in raw.items()}
+    return raw
+
+
 def mix_to_token_budget(
     sources: Mapping[str, tuple[DataFrame, float]],
     key_col: str,

@@ -126,3 +126,52 @@ def test_page_rank_composes_with_wat_links(spark, tmp_path):
     ranks = page_rank(wat_links(wat), src="src", dst="url", max_iters=20)
     got = {r.node: r.rank for r in ranks.collect()}
     assert got["http://c.com/"] == max(got.values())
+
+
+def test_personalized_page_rank_teleports_to_seeds(spark):
+    """PPR with seed {a}: teleport and dangling mass land on the seed
+    only — exact match to an independent power iteration, and ranks
+    concentrate near the seed."""
+    def ref_ppr(edges, seeds, damping=0.85, iters=40):
+        nodes = sorted({a for a, _ in edges} | {b for _, b in edges} | set(seeds))
+        uniq = sorted(set(edges))
+        out = {v: 0 for v in nodes}
+        for a, _ in uniq:
+            out[a] += 1
+        v = {x: (1.0 / len(seeds) if x in seeds else 0.0) for x in nodes}
+        rank = dict(v)
+        for _ in range(iters):
+            dangling = sum(rank[x] for x in nodes if out[x] == 0)
+            inflow = {x: 0.0 for x in nodes}
+            for a, b in uniq:
+                inflow[b] += rank[a] / out[a]
+            rank = {
+                x: (1 - damping) * v[x] + damping * (inflow[x] + dangling * v[x])
+                for x in nodes
+            }
+        return rank
+
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r.node: r.rank
+        for r in page_rank(df, seeds=seeds, max_iters=40, tol=None).collect()
+    }
+    want = ref_ppr(EDGES, {"a"})
+    assert set(got) == set(want)
+    for x in want:
+        assert got[x] == pytest.approx(want[x], abs=1e-9), x
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # proximity: the seed's direct targets outrank the far leaf 'e'
+    assert got["b"] > got["e"] and got["f"] > got["e"]
+    # a seed OUTSIDE the graph still receives teleport mass
+    seeds2 = spark.createDataFrame([("zzz",)], "node string")
+    got2 = {
+        r.node: r.rank
+        for r in page_rank(df, seeds=seeds2, max_iters=5, tol=None).collect()
+    }
+    assert got2["zzz"] > 0
+    import pytest as pt
+
+    with pt.raises(ValueError, match="seeds"):
+        page_rank(df, seeds=spark.createDataFrame([], "node string"))

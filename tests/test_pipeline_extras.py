@@ -1045,3 +1045,44 @@ def test_chunk_by_sentences_validates(spark):
     df = spark.createDataFrame([(1, "x.")], "doc_id long, text string")
     with pt.raises(ValueError, match="max_chars"):
         chunk_by_sentences(df, "text", "doc_id", max_chars=0)
+
+
+def test_temperature_weights_flatten_mixture(spark):
+    import pytest as pt
+
+    from d2d_spark.operators.sampling import mix_corpora, temperature_weights
+
+    sizes = {"web": 1_000_000, "books": 10_000, "code": 100_000}
+    # alpha=1: natural proportions -> every keep fraction is 1.0
+    assert temperature_weights(sizes, alpha=1.0) == {
+        "web": 1.0, "books": 1.0, "code": 1.0
+    }
+    # alpha=0: equal shares -> the smallest source keeps everything,
+    # larger sources keep size_small/size ratios
+    w0 = temperature_weights(sizes, alpha=0.0)
+    assert w0["books"] == pt.approx(1.0)
+    assert w0["code"] == pt.approx(0.1)
+    assert w0["web"] == pt.approx(0.01)
+    # intermediate alpha: resulting SHARES follow size^alpha exactly
+    a = 0.3
+    w = temperature_weights(sizes, alpha=a)
+    shares = {k: sizes[k] * w[k] for k in sizes}
+    target = {k: sizes[k] ** a for k in sizes}
+    for k in sizes:
+        for j in sizes:
+            assert shares[k] / shares[j] == pt.approx(target[k] / target[j])
+    # and the fractions drive mix_corpora end-to-end
+    dfs = {
+        k: (
+            spark.range(n // 1000).selectExpr("id AS doc_id"),
+            w[k],
+        )
+        for k, n in sizes.items()
+    }
+    mixed = mix_corpora(dfs, "doc_id")
+    counts = {r["source"]: r["n"] for r in mixed.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    assert counts["books"] == 10  # fraction 1.0 keeps all 10 rows
+    with pt.raises(ValueError, match="alpha"):
+        temperature_weights(sizes, alpha=-1)
+    with pt.raises(ValueError, match="positive"):
+        temperature_weights({"x": 0})
