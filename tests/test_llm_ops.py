@@ -607,3 +607,35 @@ def test_kmeans_refine_validation_and_zero_vectors(spark):
     assert np.allclose(C, np.eye(2), atol=1e-12)
     assert "kmeans_refine" in opcache.tags()
     assert opcache.release("kmeans_refine") >= 1
+
+
+def test_jaccard_prefix_pairs_hypothesis_fuzz(spark):
+    """Property fuzz of the prefix lemma + positional filter: on
+    arbitrary small corpora and thresholds, the prefix join must equal
+    the quadratic baseline EXACTLY — pairs and scores."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from d2d_spark.operators.dedup import jaccard_prefix_pairs, ngram_jaccard_pairs
+
+    vocab = [f"w{i}" for i in range(12)]
+    doc = st.lists(st.sampled_from(vocab), min_size=0, max_size=25).map(" ".join)
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        docs=st.lists(doc, min_size=2, max_size=12),
+        t=st.sampled_from([0.2, 0.5, 0.8, 1.0]),
+        order=st.sampled_from(["freq", "hash"]),
+        n=st.sampled_from([1, 2, 3]),
+    )
+    def check(docs, t, order, n):
+        df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+        truth = _scored_pairs(
+            ngram_jaccard_pairs(df, "text", "doc_id", n=n, threshold=t, allow_quadratic=True)
+        )
+        got = _scored_pairs(
+            jaccard_prefix_pairs(df, "text", "doc_id", n=n, threshold=t, order=order)
+        )
+        assert got == truth, (t, order, n, got ^ truth)
+
+    check()
