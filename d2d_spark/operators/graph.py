@@ -35,11 +35,18 @@ def page_rank(
     tol: float | None = 1.0e-6,
     checkpoint_every: int = 4,
     seeds: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list: returns (node, rank) with
     ranks summing to 1. Duplicate edges are collapsed (a page linking
     twice still casts one vote — the convention of the original
     formulation); self-loops count like any other edge.
+
+    ``weight_col`` makes votes proportional to an edge weight (e.g.
+    anchor count or link quality): duplicate (src, dst) edges sum
+    their weights, a node's vote splits by weight share instead of
+    evenly, and non-positive-weight edges are dropped. Unweighted is
+    the weight=1 special case (test-pinned).
 
     ``seeds`` (a one-column frame of node ids) switches to
     PERSONALIZED PageRank: teleportation — and dangling mass — lands
@@ -59,12 +66,31 @@ def page_rank(
         raise ValueError(f"max_iters must be >= 1, got {max_iters}")
     from pyspark import StorageLevel
 
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    if weight_col is not None:
+        e = (
+            edges.select(
+                F.col(src).alias("src"),
+                F.col(dst).alias("dst"),
+                F.col(weight_col).cast("double").alias("w"),
+            )
+            .filter(
+                F.col("src").isNotNull()
+                & F.col("dst").isNotNull()
+                & (F.col("w") > 0)
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    else:
+        e = (
+            edges.select(
+                F.col(src).alias("src"), F.col(dst).alias("dst"), F.lit(1.0).alias("w")
+            )
+            .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select("dst"))
@@ -88,7 +114,7 @@ def page_rank(
     else:
         sd = None
         nodes2 = nodes
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    outdeg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
     # out-link structure is loop-invariant: join it to the node set
     # once; the personalization vector v (uniform on seeds, else
     # uniform everywhere) is loop-invariant too and rides the same
@@ -129,7 +155,10 @@ def page_rank(
         )
         contribs = (
             e.join(ranks, e.src == ranks.node)
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outdeg")).alias("c"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") * F.col("w") / F.col("outdeg")).alias("c"),
+            )
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )

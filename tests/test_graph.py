@@ -175,3 +175,67 @@ def test_personalized_page_rank_teleports_to_seeds(spark):
 
     with pt.raises(ValueError, match="seeds"):
         page_rank(df, seeds=spark.createDataFrame([], "node string"))
+
+
+def test_weighted_page_rank(spark):
+    """weight=1 equals the classic result exactly; a weighted graph
+    matches an independent weighted power iteration, and shifting
+    weight toward a target raises its rank."""
+    wedges = [
+        ("a", "b", 3.0), ("a", "c", 1.0), ("b", "c", 1.0),
+        ("c", "a", 2.0), ("d", "a", 1.0),
+        ("a", "b", 1.0),  # duplicate edge: weights sum (-> 4.0)
+    ]
+
+    def ref_weighted(edges, damping=0.85, iters=30):
+        from collections import defaultdict
+
+        w = defaultdict(float)
+        for a, b, x in edges:
+            w[(a, b)] += x
+        nodes = sorted({a for a, _ in w} | {b for _, b in w})
+        out = defaultdict(float)
+        for (a, _), x in w.items():
+            out[a] += x
+        n = len(nodes)
+        rank = {v: 1.0 / n for v in nodes}
+        for _ in range(iters):
+            dang = sum(rank[v] for v in nodes if out[v] == 0)
+            inflow = defaultdict(float)
+            for (a, b), x in w.items():
+                inflow[b] += rank[a] * x / out[a]
+            rank = {
+                v: (1 - damping) / n + damping * (inflow[v] + dang / n)
+                for v in nodes
+            }
+        return rank
+
+    df = spark.createDataFrame(wedges, "src string, dst string, w double")
+    got = {
+        r.node: r.rank
+        for r in page_rank(df, weight_col="w", max_iters=30, tol=None).collect()
+    }
+    want = ref_weighted(wedges)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+    # all-ones weights reproduce the unweighted result exactly (on a
+    # duplicate-free edge list: the unweighted path collapses dups to
+    # one vote, the weighted path deliberately sums them)
+    uniq_edges = sorted(set(EDGES))
+    ones = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in uniq_edges], "src string, dst string, w double"
+    )
+    un = {r.node: r.rank for r in page_rank(
+        spark.createDataFrame(uniq_edges, "src string, dst string"), max_iters=10, tol=None
+    ).collect()}
+    wt = {r.node: r.rank for r in page_rank(
+        ones, weight_col="w", max_iters=10, tol=None
+    ).collect()}
+    for v in un:
+        assert wt[v] == pytest.approx(un[v], abs=1e-12), v
+    # b receives 4/5 of a's vote under weights vs 1/2 unweighted
+    got_un = {r.node: r.rank for r in page_rank(
+        spark.createDataFrame([(a, b) for a, b, _ in wedges], "src string, dst string"),
+        max_iters=30, tol=None,
+    ).collect()}
+    assert got["b"] > got_un["b"]
