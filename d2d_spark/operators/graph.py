@@ -231,3 +231,126 @@ def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFr
             F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
         )
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 20,
+    tol: float | None = 1.0e-6,
+) -> DataFrame:
+    """HITS hubs-and-authorities over a directed edge list: returns
+    (node, hub, authority), both vectors L2-normalized (Kleinberg's
+    convention — the principal singular pair of the adjacency
+    matrix). Good hubs point at good authorities — the complementary
+    signal to PageRank for crawl link graphs: a directory/index page
+    is a strong hub long before it accumulates in-links of its own.
+
+    Per round: authority = one edge⋈hub join + groupBy(dst) sum, hub
+    = one edge⋈authority join + groupBy(src) sum. The raw scores are
+    TRUNCATED every round (checkpoint/localCheckpoint — unlike
+    page_rank's additive update, each normalization here would embed
+    multiple copies of the previous round's plan, so per-round
+    truncation is what keeps the tree linear), then both columns
+    L2-normalize in-plan off the truncated scan via one-row broadcast
+    aggregates. Normalizing authority after computing hub from its
+    raw values is exact: the scale cancels in hub's own
+    normalization (test-pinned against the normalize-then-multiply
+    reference at 1e-9). State is O(nodes)."""
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
+    from pyspark import StorageLevel
+
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node")).union(e.select("dst")).distinct()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n = nodes.count()
+    if n == 0:
+        e.unpersist(blocking=False)
+        nodes.unpersist(blocking=False)
+        return edges.sparkSession.createDataFrame(
+            [], "node string, hub double, authority double"
+        )
+    sc = edges.sparkSession.sparkContext
+    can_checkpoint = sc.getCheckpointDir() is not None
+
+    def _truncate(df_):
+        return df_.checkpoint(eager=True) if can_checkpoint else df_.localCheckpoint(eager=True)
+
+    import math
+
+    state = _truncate(
+        nodes.select(
+            "node",
+            F.lit(1.0 / math.sqrt(n)).alias("hub"),
+            F.lit(1.0 / math.sqrt(n)).alias("authority"),
+        )
+    )
+    for _ in range(max_iters):
+        az = (
+            e.join(state.select(F.col("node").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("a_raw"))
+        )
+        a_full = nodes.join(az, "node", "left").select(
+            "node", F.coalesce("a_raw", F.lit(0.0)).alias("a_raw")
+        )
+        hz = (
+            e.join(a_full.select(F.col("node").alias("dst"), "a_raw"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a_raw").alias("h_raw"))
+        )
+        raw = _truncate(
+            a_full.join(hz, "node", "left").select(
+                "node",
+                F.coalesce("h_raw", F.lit(0.0)).alias("h_raw"),
+                "a_raw",
+            )
+        )
+        norms = raw.agg(
+            F.sqrt(F.coalesce(F.sum(F.col("h_raw") * F.col("h_raw")), F.lit(0.0))).alias("__hn"),
+            F.sqrt(F.coalesce(F.sum(F.col("a_raw") * F.col("a_raw")), F.lit(0.0))).alias("__an"),
+        )
+        nxt = (
+            raw.crossJoin(F.broadcast(norms))
+            .select(
+                "node",
+                (F.col("h_raw") / F.nullif(F.col("__hn"), F.lit(0.0))).alias("hub"),
+                (F.col("a_raw") / F.nullif(F.col("__an"), F.lit(0.0))).alias("authority"),
+            )
+        )
+        nxt = _truncate(nxt)
+        if tol is not None:
+            delta = (
+                nxt.join(
+                    state.select(
+                        "node",
+                        F.col("hub").alias("ph"),
+                        F.col("authority").alias("pa"),
+                    ),
+                    "node",
+                )
+                .agg(
+                    F.sum(
+                        F.abs(F.col("hub") - F.col("ph"))
+                        + F.abs(F.col("authority") - F.col("pa"))
+                    )
+                )
+                .first()[0]
+            )
+        else:
+            delta = None
+        state = nxt
+        if delta is not None and delta < tol:
+            break
+    out = state.select("node", "hub", "authority")
+    e.unpersist(blocking=False)
+    nodes.unpersist(blocking=False)
+    return out

@@ -239,3 +239,59 @@ def test_weighted_page_rank(spark):
         max_iters=30, tol=None,
     ).collect()}
     assert got["b"] > got_un["b"]
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    """HITS must equal the numpy power iteration on the adjacency
+    matrix (same iteration count, same normalization), and identify
+    the planted hub/authority structure."""
+    import numpy as np
+
+    from d2d_spark.operators.graph import hits
+
+    # hub h0 points at authorities x, y, z; h1 points at x, y
+    hedges = [
+        ("h0", "x"), ("h0", "y"), ("h0", "z"),
+        ("h1", "x"), ("h1", "y"),
+        ("x", "y"),
+    ]
+    nodes = sorted({a for a, _ in hedges} | {b for _, b in hedges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for a, b in set(hedges):
+        A[idx[a], idx[b]] = 1.0
+    h = np.full(len(nodes), 1 / np.sqrt(len(nodes)))
+    a = h.copy()
+    for _ in range(15):
+        a = A.T @ h
+        a /= np.linalg.norm(a)
+        h = A @ a
+        h /= np.linalg.norm(h)
+
+    df = spark.createDataFrame(hedges, "src string, dst string")
+    got = {
+        r.node: (r.hub, r.authority)
+        for r in hits(df, max_iters=15, tol=None).collect()
+    }
+    for v in nodes:
+        assert got[v][0] == pytest.approx(h[idx[v]], abs=1e-9), ("hub", v)
+        assert got[v][1] == pytest.approx(a[idx[v]], abs=1e-9), ("auth", v)
+    # structure: h0 is the top hub, x/y the top authorities
+    assert max(got, key=lambda v: got[v][0]) == "h0"
+    assert sorted(got, key=lambda v: -got[v][1])[:2] == ["y", "x"] or sorted(
+        got, key=lambda v: -got[v][1]
+    )[:2] == ["x", "y"]
+
+
+def test_hits_tol_and_empty(spark):
+    from d2d_spark.operators.graph import hits
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert hits(empty).count() == 0
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    out = hits(df, max_iters=60, tol=1e-10)
+    rows = out.collect()
+    import math
+
+    assert math.isclose(sum(r.hub**2 for r in rows), 1.0, abs_tol=1e-9)
+    assert math.isclose(sum(r.authority**2 for r in rows), 1.0, abs_tol=1e-9)
