@@ -218,20 +218,34 @@ _WAT_LINKS_PATH = (
 )
 
 
-def wat_links(wat: DataFrame) -> DataFrame:
-    """The crawl link graph from a ``read_wat`` frame: one (src, url)
-    row per outbound link — JVM-side JSON traversal (get_json_object +
-    from_json), no Python in the hot path. Compose with
+def wat_links(wat: DataFrame, kinds: tuple[str, ...] | None = ("A",)) -> DataFrame:
+    """The crawl link graph from a ``read_wat`` frame: one (src, url,
+    kind) row per outbound link — JVM-side JSON traversal
+    (get_json_object + from_json), no Python in the hot path.
+
+    ``kinds`` filters by the link element tag encoded in the WAT
+    ``path`` field (``A@/href`` → kind ``A``): the default keeps only
+    anchor links — IMG/SCRIPT/LINK references are resource fetches,
+    not endorsements, and would pollute a PageRank/HITS graph. Pass
+    ``None`` for every link. Compose with
     ``functions.urls.normalize_url`` for a canonical edge list."""
     links = F.from_json(
         F.get_json_object(F.col("meta_json"), _WAT_LINKS_PATH),
         "array<struct<path string, url string>>",
     )
-    return (
+    out = (
         wat.select(F.col("target_uri").alias("src"), F.explode(links).alias("l"))
-        .select("src", F.col("l.url").alias("url"))
+        .select(
+            "src",
+            F.col("l.url").alias("url"),
+            # "A@/href" -> "A"; a path with no @ passes through whole
+            F.split(F.coalesce(F.col("l.path"), F.lit("")), "@")[0].alias("kind"),
+        )
         .filter(F.col("url").isNotNull())
     )
+    if kinds is not None:
+        out = out.filter(F.col("kind").isin(list(kinds)))
+    return out
 
 
 def warc_html_text(

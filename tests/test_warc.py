@@ -170,12 +170,19 @@ def test_read_wat_and_link_graph(spark, tmp_path):
     (tmp_path / "c.warc.wat").write_bytes(_wat_bytes())
     wat = read_wat(spark, str(tmp_path / "c.warc.wat"))
     assert wat.count() == 2
+    # default keeps anchor links only — IMG resource fetches are not
+    # endorsements and would pollute a rank graph
     edges = {(r.src, r.url) for r in wat_links(wat).collect()}
     assert edges == {
         ("http://example.com/page0", "http://other.org/0/a"),
-        ("http://example.com/page0", "http://cdn.org/0.png"),
         ("http://example.com/page1", "http://other.org/1/a"),
-        ("http://example.com/page1", "http://cdn.org/1.png"),
+    }
+    every = {(r.src, r.url, r.kind) for r in wat_links(wat, kinds=None).collect()}
+    assert every == {
+        ("http://example.com/page0", "http://other.org/0/a", "A"),
+        ("http://example.com/page0", "http://cdn.org/0.png", "IMG"),
+        ("http://example.com/page1", "http://other.org/1/a", "A"),
+        ("http://example.com/page1", "http://cdn.org/1.png", "IMG"),
     }
 
 
