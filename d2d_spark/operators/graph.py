@@ -354,3 +354,102 @@ def hits(
     e.unpersist(blocking=False)
     nodes.unpersist(blocking=False)
     return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 10,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    UNDIRECTED version of the edge list: every node starts as its own
+    community, then each round adopts the most frequent label among
+    itself and its neighbors (self-vote included — the standard
+    damping that keeps synchronous updates from flip-flopping on
+    bipartite structure), ties broken by smallest label so the whole
+    process is deterministic on any partitioning. Returns
+    (node, community). Communities are denser-than-chance groups —
+    unlike ``dedup.connected_components``, which merges everything
+    reachable, label propagation keeps two cliques joined by one
+    bridge edge apart.
+
+    Per round: one labels⋈edges join + one (node, label) count + one
+    deterministic top-1 per node — all key-partitioned; state is
+    O(nodes), truncated every ``checkpoint_every`` rounds (the update
+    references the prior labels twice: neighbor votes + self vote).
+    Stops early when no label changed (one scalar aggregate per
+    round). max_iters caps the documented synchronous-LPA oscillation
+    risk; near-dup/community graphs settle in a handful of rounds."""
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
+    from pyspark import StorageLevel
+
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .filter(F.col("a") != F.col("b"))  # self-loops add nothing: self-vote is built in
+    )
+    e = (
+        und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = e.select(F.col("a").alias("node")).distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n = nodes.count()
+    if n == 0:
+        e.unpersist(blocking=False)
+        nodes.unpersist(blocking=False)
+        return edges.sparkSession.createDataFrame([], "node string, community string")
+    sc = edges.sparkSession.sparkContext
+    can_checkpoint = sc.getCheckpointDir() is not None
+    labels = nodes.select("node", F.col("node").alias("community")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    labels.count()
+    for it in range(max_iters):
+        votes = (
+            e.join(labels.select(F.col("node").alias("b"), "community"), "b")
+            .select(F.col("a").alias("node"), "community")
+            .unionByName(labels)  # self-vote
+            .groupBy("node", "community")
+            .agg(F.count(F.lit(1)).alias("__votes"))
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("node").orderBy(
+            F.desc("__votes"), F.asc("community")
+        )
+        nxt = (
+            votes.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select("node", "community")
+        )
+        if (it + 1) % checkpoint_every == 0 or it == max_iters - 1:
+            nxt = (
+                nxt.checkpoint(eager=True)
+                if can_checkpoint
+                else nxt.localCheckpoint(eager=True)
+            )
+        else:
+            nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
+            nxt.count()
+        changed = (
+            nxt.join(
+                labels.select("node", F.col("community").alias("__prev")), "node"
+            )
+            .filter(F.col("community") != F.col("__prev"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist(blocking=False)
+        labels = nxt
+        if changed == 0:
+            break
+    out = labels.select("node", "community")
+    e.unpersist(blocking=False)
+    nodes.unpersist(blocking=False)
+    return out

@@ -295,3 +295,74 @@ def test_hits_tol_and_empty(spark):
 
     assert math.isclose(sum(r.hub**2 for r in rows), 1.0, abs_tol=1e-9)
     assert math.isclose(sum(r.authority**2 for r in rows), 1.0, abs_tol=1e-9)
+
+
+def test_label_propagation_separates_bridged_cliques(spark):
+    """Two 5-cliques joined by one bridge edge: LPA must settle on two
+    communities (where connected_components would merge them), match a
+    pure-Python replay of the same rule, and be deterministic."""
+    import itertools
+
+    from d2d_spark.operators.graph import label_propagation
+
+    c1 = [f"a{i}" for i in range(5)]
+    c2 = [f"b{i}" for i in range(5)]
+    ledges = (
+        [(x, y) for x, y in itertools.combinations(c1, 2)]
+        + [(x, y) for x, y in itertools.combinations(c2, 2)]
+        + [("a0", "b0")]
+    )
+
+    def ref_lpa(edges, iters=10):
+        und = set()
+        for a, b in edges:
+            if a != b:
+                und |= {(a, b), (b, a)}
+        nodes = sorted({a for a, _ in und})
+        lab = {v: v for v in nodes}
+        for _ in range(iters):
+            new = {}
+            for v in nodes:
+                votes = {}
+                votes[lab[v]] = votes.get(lab[v], 0) + 1  # self-vote
+                for a, b in und:
+                    if a == v:
+                        votes[lab[b]] = votes.get(lab[b], 0) + 1
+                new[v] = min(
+                    (l for l in votes), key=lambda l: (-votes[l], l)
+                )
+            if new == lab:
+                break
+            lab = new
+        return lab
+
+    df = spark.createDataFrame(ledges, "src string, dst string")
+    got = {
+        r.node: r.community
+        for r in label_propagation(df, max_iters=10).collect()
+    }
+    want = ref_lpa(ledges)
+    assert got == want
+    # exactly two communities, split at the bridge
+    assert len(set(got.values())) == 2
+    assert len({got[v] for v in c1}) == 1
+    assert len({got[v] for v in c2}) == 1
+    assert got["a0"] != got["b0"]
+    # deterministic across a different partitioning
+    again = {
+        r.node: r.community
+        for r in label_propagation(df.repartition(7), max_iters=10).collect()
+    }
+    assert again == got
+
+
+def test_label_propagation_empty_and_validation(spark):
+    import pytest as pt
+
+    from d2d_spark.operators.graph import label_propagation
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert label_propagation(empty).count() == 0
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pt.raises(ValueError, match="max_iters"):
+        label_propagation(df, max_iters=0)
