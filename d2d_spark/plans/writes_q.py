@@ -19,20 +19,43 @@ STAGE = Path(tempfile.gettempdir()) / "d2d_spark_stage"
 @query(
     "update_delete_rows_orders",
     oracle="""
-    SELECT o_orderkey,
-           CASE WHEN o_orderstatus = 'P' THEN 'PENDING' ELSE o_orderstatus END AS o_orderstatus,
-           CASE WHEN o_orderstatus = 'P'
-                THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE)
-                ELSE o_totalprice END AS o_totalprice
-    FROM orders WHERE o_orderkey <= 2000 AND NOT (o_orderstatus = 'F')
+    WITH updel AS (
+      SELECT 'updel' AS leg, o_orderkey AS k,
+             CASE WHEN o_orderstatus = 'P' THEN 'PENDING' ELSE o_orderstatus END AS attr,
+             CASE WHEN o_orderstatus = 'P'
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE)
+                  ELSE o_totalprice END AS price,
+             CAST(NULL AS VARCHAR) AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+             CAST(NULL AS BOOLEAN) AS is_current
+      FROM orders WHERE o_orderkey <= 2000 AND NOT (o_orderstatus = 'F')),
+    lagged AS (
+      SELECT user_id, event_type, ts, LAG(event_type) OVER w AS prev
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    runs AS (
+      SELECT user_id, event_type, ts AS vf FROM lagged
+      WHERE prev IS NULL OR prev IS DISTINCT FROM event_type),
+    scd AS (
+      SELECT 'scd2' AS leg, user_id AS k, event_type AS attr,
+             CAST(NULL AS DOUBLE) AS price,
+             strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+             strftime(LEAD(vf) OVER (PARTITION BY user_id ORDER BY vf),
+                      '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+             LEAD(vf) OVER (PARTITION BY user_id ORDER BY vf) IS NULL AS is_current
+      FROM runs)
+    SELECT * FROM updel UNION ALL SELECT * FROM scd
     """,
-    tags=("writes", "update", "delete"),
+    tags=("writes", "update", "delete", "scd2"),
 )
 def update_delete_rows_orders(spark, sf_dir):
-    """UPDATE then DELETE on one dataflow: SET status='PENDING',
-    price=price*2 WHERE status='P' (matched rows rewritten, others
-    pass through), then DELETE WHERE status='F' — survivors only;
-    NULL predicates neither update nor delete."""
+    """Two write-semantics legs. 'updel': UPDATE then DELETE on one
+    dataflow — SET status='PENDING', price=price*2 WHERE status='P'
+    (matched rows rewritten, others pass through), then DELETE WHERE
+    status='F' (survivors only; NULL predicates neither update nor
+    delete). 'scd2': type-2 dimension history from operators/scd —
+    the events stream per user collapsed into attribute runs with
+    valid_from/valid_to/is_current, hash-checked against the SQL
+    lag/lead formulation (timestamps as strings, the engine-stable
+    convention)."""
     o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
     updated = update_rows(
         o,
@@ -42,8 +65,30 @@ def update_delete_rows_orders(spark, sf_dir):
         },
         F.col("o_orderstatus") == "P",
     )
-    out = delete_rows(updated, F.col("o_orderstatus") == "F")
-    return out.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    survivors = delete_rows(updated, F.col("o_orderstatus") == "F")
+    updel = survivors.select(
+        F.lit("updel").alias("leg"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("attr"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(None).cast("string").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(None).cast("boolean").alias("is_current"),
+    )
+    from d2d_spark.operators.scd import scd2_history
+
+    ev = read_table(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    scd = scd2_history(ev, ["user_id"], "ts", ["event_type"], ["event_id"]).select(
+        F.lit("scd2").alias("leg"),
+        F.col("user_id").alias("k"),
+        F.col("event_type").alias("attr"),
+        F.lit(None).cast("double").alias("price"),
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+        "is_current",
+    )
+    return updel.unionByName(scd)
 
 
 @query(
