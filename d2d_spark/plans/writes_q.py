@@ -41,10 +41,29 @@ STAGE = Path(tempfile.gettempdir()) / "d2d_spark_stage"
              strftime(LEAD(vf) OVER (PARTITION BY user_id ORDER BY vf),
                       '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
              LEAD(vf) OVER (PARTITION BY user_id ORDER BY vf) IS NULL AS is_current
-      FROM runs)
-    SELECT * FROM updel UNION ALL SELECT * FROM scd
+      FROM runs),
+    dold AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+             FROM orders WHERE o_orderkey <= 3000),
+    dnew AS (SELECT o_orderkey, o_orderstatus,
+                    CASE WHEN o_orderstatus = 'P'
+                         THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE)
+                         ELSE o_totalprice END AS o_totalprice
+             FROM orders WHERE o_orderkey BETWEEN 1000 AND 4000),
+    dif AS (
+      SELECT 'diff' AS leg, COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+             CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  ELSE 'changed' END AS attr,
+             n.o_totalprice AS price,
+             CAST(NULL AS VARCHAR) AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+             CAST(NULL AS BOOLEAN) AS is_current
+      FROM dold o FULL JOIN dnew n USING (o_orderkey)
+      WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+         OR (o.o_orderstatus, o.o_totalprice) IS DISTINCT FROM
+            (n.o_orderstatus, n.o_totalprice))
+    SELECT * FROM updel UNION ALL SELECT * FROM scd UNION ALL SELECT * FROM dif
     """,
-    tags=("writes", "update", "delete", "scd2"),
+    tags=("writes", "update", "delete", "scd2", "diff"),
 )
 def update_delete_rows_orders(spark, sf_dir):
     """Two write-semantics legs. 'updel': UPDATE then DELETE on one
@@ -55,7 +74,10 @@ def update_delete_rows_orders(spark, sf_dir):
     the events stream per user collapsed into attribute runs with
     valid_from/valid_to/is_current, hash-checked against the SQL
     lag/lead formulation (timestamps as strings, the engine-stable
-    convention)."""
+    convention). 'diff': operators/diff.table_diff between two orders
+    versions (key-shifted slice + price bump on one status) — change
+    classification and new values hash-checked against the SQL
+    full-join IS DISTINCT FROM formulation."""
     o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
     updated = update_rows(
         o,
@@ -88,7 +110,32 @@ def update_delete_rows_orders(spark, sf_dir):
         F.date_format("valid_to", fmt).alias("valid_to"),
         "is_current",
     )
-    return updel.unionByName(scd)
+    from d2d_spark.operators.diff import table_diff
+
+    orders = read_table(spark, sf_dir, "orders")
+    dold = orders.filter("o_orderkey <= 3000").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    dnew = orders.filter("o_orderkey BETWEEN 1000 AND 4000").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderstatus") == "P",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 2).cast("double"),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    dif = table_diff(dold, dnew, ["o_orderkey"]).select(
+        F.lit("diff").alias("leg"),
+        F.col("o_orderkey").alias("k"),
+        F.col("change_type").alias("attr"),
+        F.col("new_o_totalprice").alias("price"),
+        F.lit(None).cast("string").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(None).cast("boolean").alias("is_current"),
+    )
+    return updel.unionByName(scd).unionByName(dif)
 
 
 @query(
