@@ -349,18 +349,92 @@ def dedup_exact_events(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # ES terms agg + top_hits (§2.5)
 # ---------------------------------------------------------------------------
+def _pagerank_unrolled_oracle(iters: int = 8, d: float = 0.85) -> str:
+    """Fixed-iteration PageRank as plain SQL: standard recursive CTEs
+    forbid aggregates in the recursive term, so the power iteration
+    unrolls into ``iters`` chained CTEs — each one inflow aggregate +
+    one dangling scalar, exactly the per-round algebra the Spark loop
+    runs. Built by a Python loop at import time; the result is a
+    static string like every other oracle."""
+    parts = [
+        """
+    WITH e AS MATERIALIZED (SELECT DISTINCT CAST(user_id AS VARCHAR) AS src, event_type AS dst
+               FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+    nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+    od AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+    base AS MATERIALIZED (SELECT node, COALESCE(outdeg, 0) AS outdeg
+             FROM nodes LEFT JOIN od ON node = od.src),
+    pr0 AS MATERIALIZED (SELECT node, outdeg, 1.0/(SELECT n FROM nn) AS rank FROM base)"""
+    ]
+    for k in range(1, iters + 1):
+        p = f"pr{k - 1}"
+        parts.append(
+            f""",
+    dang{k} AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0) AS dm FROM {p} WHERE outdeg = 0),
+    inf{k} AS MATERIALIZED (SELECT e.dst AS node, SUM(r.rank / r.outdeg) AS inflow
+               FROM e JOIN {p} r ON e.src = r.node GROUP BY e.dst),
+    pr{k} AS MATERIALIZED (SELECT b.node, b.outdeg,
+                     (1 - {d})/(SELECT n FROM nn)
+                     + {d} * (COALESCE(i.inflow, 0)
+                              + (SELECT dm FROM dang{k})/(SELECT n FROM nn)) AS rank
+              FROM base b LEFT JOIN inf{k} i ON b.node = i.node)"""
+        )
+    parts.append(
+        f"""
+    SELECT 'terms' AS leg, event_type AS k, COUNT(*) AS cnt,
+           CAST(NULL AS DOUBLE) AS rank
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'pagerank', node, CAST(NULL AS BIGINT), round(rank, 6) FROM pr{iters}"""
+    )
+    return "".join(parts)
+
+
 @query(
     "group_count_event_types",
-    oracle="""
-    SELECT event_type, COUNT(*) AS cnt FROM events
-    GROUP BY event_type ORDER BY cnt DESC, event_type
-    """,
-    tags=("agg", "terms"),
+    oracle=_pagerank_unrolled_oracle(),
+    tags=("agg", "terms", "graph", "pagerank"),
 )
 def group_count_event_types(spark, sf_dir):
-    """ES terms aggregation: count-by-key ordered desc
-    (d22d/utils/db/myutils.py:476-522)."""
-    return group_count(_t(spark, sf_dir, "events"), "event_type")
+    """Two event-analytics legs. 'terms': ES terms aggregation —
+    count-by-key (d22d/utils/db/myutils.py:476-522). 'pagerank': the
+    iterative distributed PageRank (operators/graph.py) over the
+    bipartite user→event_type graph, 8 fixed rounds, hash-checked to
+    6 decimals against the same power iteration unrolled into chained
+    SQL CTEs — the event types are all dangling (no out-edges), so
+    the uniform dangling-mass redistribution is exercised every
+    round, not just covered."""
+    ev = _t(spark, sf_dir, "events")
+    terms = group_count(ev, "event_type").select(
+        F.lit("terms").alias("leg"),
+        F.col("event_type").alias("k"),
+        "cnt",
+        F.lit(None).cast("double").alias("rank"),
+    )
+    from d2d_spark.operators.graph import page_rank
+
+    edges = ev.select(
+        F.col("user_id").cast("string").alias("src"), F.col("event_type").alias("dst")
+    )
+    # pin shuffle width for the iteration loop: a vanilla session's
+    # 200 partitions x ~5 shuffles x 8 rounds is pure scheduler
+    # overhead on a small graph; restore for the caller (the same
+    # discipline jaccard_pairs_clusters uses for its CC rounds)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        ranked = page_rank(edges, max_iters=8, tol=None)
+        ranked = ranked.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    pr = ranked.select(
+        F.lit("pagerank").alias("leg"),
+        F.col("node").alias("k"),
+        F.lit(None).cast("bigint").alias("cnt"),
+        F.round("rank", 6).alias("rank"),
+    )
+    return terms.unionByName(pr)
 
 
 @query(
