@@ -26,6 +26,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _release_truncated(df: DataFrame) -> None:
+    """Free a DEAD checkpoint-truncated frame. DataFrame.unpersist is
+    a no-op for localCheckpoint state (it lives on the RDD, not in
+    the CacheManager), so the LogicalRDD leaves release directly.
+    Destroys the frame's data unrecoverably (truncation cut the
+    lineage) — call ONLY once every downstream consumer has been
+    materialized into its own truncated storage."""
+    try:
+        df.unpersist(blocking=False)
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() == "LogicalRDD":
+                leaf.rdd().unpersist(False)
+    except Exception:
+        pass  # cleanup must never fail the computation
+
+
 def page_rank(
     edges: DataFrame,
     src: str = "src",
@@ -97,23 +115,32 @@ def page_rank(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n = nodes.count()
-    if n == 0:
-        e.unpersist(blocking=False)
-        nodes.unpersist(blocking=False)
-        return edges.sparkSession.createDataFrame([], "node string, rank double")
+    n = None
     if seeds is not None:
-        sd = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
-        # seeds outside the edge list still teleport: they join the
-        # node universe (with outdeg 0)
-        nodes2 = nodes.union(sd.select("node")).distinct()
+        # NULL seeds would inflate the teleport denominator while the
+        # node join never matches them — total rank mass silently
+        # deflates; filter them out BEFORE counting
+        sd = (
+            seeds.select(F.col(seeds.columns[0]).alias("node"))
+            .filter(F.col("node").isNotNull())
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         ns = sd.count()
         if ns == 0:
             raise ValueError("page_rank: seeds frame is empty")
-        n = nodes2.count()
+        # seeds outside the edge list still teleport: they join the
+        # node universe (with outdeg 0) — and an edgeless graph with
+        # seeds is just the seed set at rank 1/ns, not an empty result
+        nodes2 = nodes.union(sd.select("node")).distinct()
     else:
         sd = None
         nodes2 = nodes
+        n = nodes.count()
+        if n == 0:
+            e.unpersist(blocking=False)
+            nodes.unpersist(blocking=False)
+            return edges.sparkSession.createDataFrame([], "node string, rank double")
     outdeg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
     # out-link structure is loop-invariant: join it to the node set
     # once; the personalization vector v (uniform on seeds, else
@@ -145,6 +172,8 @@ def page_rank(
         StorageLevel.MEMORY_AND_DISK
     )
     ranks.count()
+    ranks_is_trunc = False
+    pending = []
     for it in range(max_iters):
         # mass leaving dangling nodes has nowhere to go — spread it
         # uniformly so the vector stays stochastic. The sum stays IN
@@ -179,7 +208,8 @@ def page_rank(
                 ).alias("rank"),
             )
         )
-        if (it + 1) % checkpoint_every == 0 or it == max_iters - 1:
+        truncate_now = (it + 1) % checkpoint_every == 0 or it == max_iters - 1
+        if truncate_now:
             nxt = (
                 nxt.checkpoint(eager=True)
                 if can_checkpoint
@@ -196,8 +226,18 @@ def page_rank(
             )
         else:
             delta = None
-        ranks.unpersist(blocking=False)
-        ranks = nxt
+        # release discipline: a plain-persisted round unpersists
+        # normally; a truncated round's RDD blocks are only safe to
+        # destroy once a NEWER truncation has no lineage back to it
+        if ranks_is_trunc:
+            pending.append(ranks)
+        else:
+            ranks.unpersist(blocking=False)
+        if truncate_now:
+            for f in pending:
+                _release_truncated(f)
+            pending = []
+        ranks, ranks_is_trunc = nxt, truncate_now
         if delta is not None and delta < tol:
             break
     from d2d_spark import cache as opcache
@@ -210,6 +250,8 @@ def page_rank(
     out = ranks.select("node", "rank")
     e.unpersist(blocking=False)
     nodes.unpersist(blocking=False)
+    if sd is not None:
+        sd.unpersist(blocking=False)
     return out
 
 
@@ -347,6 +389,12 @@ def hits(
             )
         else:
             delta = None
+        # nxt is truncated (own storage, no lineage back): the
+        # previous state and this round's raw intermediate are dead —
+        # destroy their checkpoint blocks, or a long run leaks two
+        # O(nodes) frames per round
+        _release_truncated(state)
+        _release_truncated(raw)
         state = nxt
         if delta is not None and delta < tol:
             break
@@ -386,18 +434,23 @@ def label_propagation(
         raise ValueError(f"max_iters must be >= 1, got {max_iters}")
     from pyspark import StorageLevel
 
-    und = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .filter(F.col("a") != F.col("b"))  # self-loops add nothing: self-vote is built in
+    named = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
     )
+    # votes ignore self-loops (the self-vote is built in), but the
+    # node UNIVERSE must include self-loop-only nodes — they form
+    # singleton communities rather than silently vanishing
+    und = named.filter(F.col("a") != F.col("b"))
     e = (
         und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    nodes = e.select(F.col("a").alias("node")).distinct().persist(
-        StorageLevel.MEMORY_AND_DISK
+    nodes = (
+        named.select(F.col("a").alias("node"))
+        .union(named.select(F.col("b").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = nodes.count()
     if n == 0:
@@ -410,6 +463,8 @@ def label_propagation(
         StorageLevel.MEMORY_AND_DISK
     )
     labels.count()
+    labels_is_trunc = False
+    pending = []
     for it in range(max_iters):
         votes = (
             e.join(labels.select(F.col("node").alias("b"), "community"), "b")
@@ -428,7 +483,8 @@ def label_propagation(
             .filter(F.col("__rk") == 1)
             .select("node", "community")
         )
-        if (it + 1) % checkpoint_every == 0 or it == max_iters - 1:
+        truncate_now = (it + 1) % checkpoint_every == 0 or it == max_iters - 1
+        if truncate_now:
             nxt = (
                 nxt.checkpoint(eager=True)
                 if can_checkpoint
@@ -445,8 +501,17 @@ def label_propagation(
             .limit(1)
             .count()
         )
-        labels.unpersist(blocking=False)
-        labels = nxt
+        # same release discipline as page_rank: truncated rounds wait
+        # for a newer truncation before their blocks are destroyed
+        if labels_is_trunc:
+            pending.append(labels)
+        else:
+            labels.unpersist(blocking=False)
+        if truncate_now:
+            for f in pending:
+                _release_truncated(f)
+            pending = []
+        labels, labels_is_trunc = nxt, truncate_now
         if changed == 0:
             break
     out = labels.select("node", "community")

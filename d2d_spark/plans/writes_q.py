@@ -29,18 +29,21 @@ STAGE = Path(tempfile.gettempdir()) / "d2d_spark_stage"
              CAST(NULL AS BOOLEAN) AS is_current
       FROM orders WHERE o_orderkey <= 2000 AND NOT (o_orderstatus = 'F')),
     lagged AS (
-      SELECT user_id, event_type, ts, LAG(event_type) OVER w AS prev
+      SELECT user_id, event_type, ts, event_id, LAG(event_type) OVER w AS prev
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     runs AS (
-      SELECT user_id, event_type, ts AS vf FROM lagged
+      SELECT user_id, event_type, ts AS vf, event_id FROM lagged
       WHERE prev IS NULL OR prev IS DISTINCT FROM event_type),
     scd AS (
+      -- event_id tiebreak mirrors the Spark side's order_cols: a
+      -- fixture with same-(user, ts) run starts must not flip
+      -- valid_to between the tied runs across engines
       SELECT 'scd2' AS leg, user_id AS k, event_type AS attr,
              CAST(NULL AS DOUBLE) AS price,
              strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
-             strftime(LEAD(vf) OVER (PARTITION BY user_id ORDER BY vf),
+             strftime(LEAD(vf) OVER (PARTITION BY user_id ORDER BY vf, event_id),
                       '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
-             LEAD(vf) OVER (PARTITION BY user_id ORDER BY vf) IS NULL AS is_current
+             LEAD(vf) OVER (PARTITION BY user_id ORDER BY vf, event_id) IS NULL AS is_current
       FROM runs),
     dold AS (SELECT o_orderkey, o_orderstatus, o_totalprice
              FROM orders WHERE o_orderkey <= 3000),

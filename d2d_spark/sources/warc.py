@@ -244,6 +244,13 @@ def wat_links(wat: DataFrame, kinds: tuple[str, ...] | None = ("A",)) -> DataFra
         .filter(F.col("url").isNotNull())
     )
     if kinds is not None:
+        if isinstance(kinds, str):
+            # list("IMG") == ['I','M','G'] — a bare string would match
+            # nothing and silently drop every link
+            raise TypeError(
+                f"kinds must be a tuple/list of tags, got the string {kinds!r} "
+                f"— pass kinds=({kinds!r},)"
+            )
         out = out.filter(F.col("kind").isin(list(kinds)))
     return out
 

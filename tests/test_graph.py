@@ -366,3 +366,47 @@ def test_label_propagation_empty_and_validation(spark):
     df = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pt.raises(ValueError, match="max_iters"):
         label_propagation(df, max_iters=0)
+
+
+def test_review_fixes_ppr_nulls_empty_graph_and_lpa_self_loops(spark):
+    """r5 review regressions: NULL seeds are dropped before the
+    teleport denominator; an edgeless graph WITH seeds returns the
+    seed distribution (not an empty frame); empty seeds always raise;
+    hits() leaves no per-round blocks behind; LPA keeps
+    self-loop-only nodes as singleton communities."""
+    from d2d_spark.operators.graph import hits, label_propagation, page_rank
+
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",), (None,)], "node string")
+    got = {r.node: r.rank for r in page_rank(cyc, seeds=seeds, max_iters=10, tol=None).collect()}
+    assert None not in got
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    only_seeds = {
+        r.node: r.rank
+        for r in page_rank(
+            empty, seeds=spark.createDataFrame([("s1",), ("s2",)], "node string")
+        ).collect()
+    }
+    assert only_seeds == {"s1": pytest.approx(0.5), "s2": pytest.approx(0.5)}
+    with pytest.raises(ValueError, match="seeds"):
+        page_rank(empty, seeds=spark.createDataFrame([], "node string"))
+
+    sc = spark.sparkContext
+    before = sc._jsc.sc().getPersistentRDDs().size()
+    hits(cyc, max_iters=6, tol=None).count()
+    after = sc._jsc.sc().getPersistentRDDs().size()
+    # only the final truncated state may remain, not 2 frames/round
+    assert after - before <= 2, (before, after)
+
+    lpa = {
+        r.node: r.community
+        for r in label_propagation(
+            spark.createDataFrame([("a", "a"), ("b", "c")], "src string, dst string")
+        ).collect()
+    }
+    assert lpa["a"] == "a"  # self-loop-only node keeps a singleton community
+    assert set(lpa) == {"a", "b", "c"}

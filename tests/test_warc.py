@@ -225,3 +225,14 @@ def test_lf_only_headers_with_crlf_in_payload():
 def test_http_body_lf_envelope_with_crlf_in_body():
     lf_env = b"HTTP/1.1 200 OK\nContent-Type: text/plain\n\nkeep\r\n\r\nall of this"
     assert http_body(lf_env) == b"keep\r\n\r\nall of this"
+
+
+def test_wat_links_rejects_bare_string_kinds(spark, tmp_path):
+    import pytest as pt
+
+    from d2d_spark.sources.warc import read_wat, wat_links
+
+    (tmp_path / "k.warc.wat").write_bytes(_wat_bytes())
+    wat = read_wat(spark, str(tmp_path / "k.warc.wat"))
+    with pt.raises(TypeError, match="tuple/list"):
+        wat_links(wat, kinds="IMG")
