@@ -123,6 +123,68 @@ def write_clustered(
     part.sortWithinPartitions(*cols).write.format(fmt).mode("overwrite").save(path)
 
 
+def compact_partitioned_table(
+    spark: SparkSession | None,
+    path: str,
+    target_file_mb: float = 128,
+    fmt: str = "parquet",
+    min_files: int = 2,
+) -> dict:
+    """Per-partition compaction for a hive-layout table (the case
+    ``compact_table`` refuses, since a flat rewrite would fold the
+    `col=value` directories into data columns): every partition
+    directory compacts independently through the same crash-safe
+    staging swap, so a failure mid-way leaves whole partitions either
+    compacted or untouched, never half-rewritten. The driver loop is
+    bounded by partition-directory count (warehouse metadata scale,
+    not data scale); each partition's rewrite is a distributed job.
+
+    Returns ``{partitions, compacted, files_before, files_after}``
+    summed over all leaf partition directories."""
+    spark = require_spark(spark)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(conf)
+
+    def _leaf_partition_dirs(p):
+        subs = [
+            st.getPath()
+            for st in fs.listStatus(p)
+            if st.isDirectory() and "=" in st.getPath().getName()
+        ]
+        if not subs:
+            return [p]
+        out = []
+        for sdir in subs:
+            out.extend(_leaf_partition_dirs(sdir))
+        return out
+
+    leaves = _leaf_partition_dirs(root)
+    if len(leaves) == 1 and leaves[0] == root:
+        raise ValueError(
+            f"compact_partitioned_table: {path} has no col=value partition "
+            "directories — use compact_table"
+        )
+    totals = {"partitions": 0, "compacted": 0, "files_before": 0, "files_after": 0}
+    for leaf in leaves:
+        uri = leaf.toUri()
+        # local paths come back as file:/ URIs — hand compact_table the
+        # plain path form its local staging swap expects
+        leaf_path = (
+            uri.getPath() if uri.getScheme() in (None, "file") else leaf.toString()
+        )
+        stats = compact_table(
+            spark, leaf_path, target_file_mb=target_file_mb, fmt=fmt,
+            min_files=min_files,
+        )
+        totals["partitions"] += 1
+        totals["compacted"] += int(stats["compacted"])
+        totals["files_before"] += stats["files_before"]
+        totals["files_after"] += stats["files_after"]
+    return totals
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

@@ -202,3 +202,31 @@ def test_zorder_all_null_dimension_contributes_constant_code(spark, tmpdir):
     path = str(tmpdir / "znull")
     write_zordered(df, path, ["x", "y"], n_files=2, bits=4)
     assert spark.read.parquet(path).count() == 500
+
+
+def test_compact_partitioned_table_per_partition(spark, sf_dir, tmpdir):
+    """Partitioned compaction: each col=value directory compacts
+    independently, rows and the partition layout survive, and the
+    second pass is a no-op."""
+    from d2d_spark.operators.maintenance import compact_partitioned_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    path = str(tmpdir / "part_compact")
+    orders.repartition(8).write.partitionBy("o_orderstatus").parquet(path)
+    before_rows = spark.read.parquet(path).count()
+    stats = compact_partitioned_table(spark, path, target_file_mb=128)
+    assert stats["partitions"] >= 2
+    assert stats["compacted"] >= 1
+    assert stats["files_after"] < stats["files_before"]
+    back = spark.read.parquet(path)
+    assert back.count() == before_rows
+    # layout intact: the partition column still prunes
+    assert back.filter("o_orderstatus = 'F'").count() > 0
+    again = compact_partitioned_table(spark, path, target_file_mb=128)
+    assert again["compacted"] == 0
+
+    # a flat table is refused (that is compact_table's job)
+    flat = str(tmpdir / "flat_for_part")
+    orders.limit(100).write.parquet(flat)
+    with pytest.raises(ValueError, match="no col=value"):
+        compact_partitioned_table(spark, flat)
