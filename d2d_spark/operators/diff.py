@@ -73,6 +73,27 @@ def table_diff(
     )
 
 
+def table_checksum(
+    df: DataFrame, cols: list[str] | None = None
+) -> int:
+    """Order-insensitive 64-bit content fingerprint: xxhash64 per row
+    over the chosen columns (NULLs fold in explicitly, so NULL vs
+    'null' differ), summed with wraparound. Two tables with equal
+    checksums almost certainly hold the same multiset of rows — the
+    O(scan), zero-shuffle-to-driver drift check to run on source and
+    replica BEFORE paying for a full ``table_diff`` (one long per
+    table crosses the wire, not a row). Sum (not xor) so duplicate
+    row multiplicity changes the value."""
+    use = cols if cols is not None else df.columns
+    if not use:
+        raise ValueError("table_checksum needs at least one column")
+    h = F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in use])
+    # sum in DECIMAL(38,0): a long sum of 64-bit hashes overflows (an
+    # ANSI runtime error); the wraparound happens explicitly below
+    total = df.agg(F.sum(h.cast("decimal(38,0)")).alias("s")).first()[0]
+    return int(total or 0) & 0xFFFFFFFFFFFFFFFF
+
+
 def diff_summary(
     old: DataFrame,
     new: DataFrame,

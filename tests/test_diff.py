@@ -100,3 +100,38 @@ def test_table_diff_validates_and_key_only(spark):
         table_diff(old, new, [])
     with pytest.raises(ValueError, match="both sides"):
         table_diff(old, new, ["k"], compare_cols=["nope"])
+
+
+def test_table_checksum_detects_drift_and_ignores_order(spark, sf_dir):
+    import pytest as pt
+
+    from d2d_spark.operators.diff import table_checksum
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    a = table_checksum(orders)
+    # row order and partitioning are irrelevant
+    assert table_checksum(orders.orderBy(F.desc("o_orderkey")).repartition(13)) == a
+    # any single-row change moves the checksum
+    drifted = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") == orders.first().o_orderkey, 0.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    assert table_checksum(drifted) != a
+    # duplicate multiplicity changes the value (sum, not xor)
+    assert table_checksum(orders.union(orders.limit(1))) != a
+    # NULL is not the string 'null'
+    one = spark.createDataFrame([(1, None)], "k long, v string")
+    two = spark.createDataFrame([(1, "null")], "k long, v string")
+    assert table_checksum(one) != table_checksum(two)
+    # column subset restricts the fingerprint
+    assert table_checksum(orders, ["o_orderkey"]) == table_checksum(
+        drifted, ["o_orderkey"]
+    )
+    with pt.raises(ValueError, match="at least one column"):
+        table_checksum(orders.select())
+    # empty table: stable zero
+    assert table_checksum(orders.filter("o_orderkey < 0")) == 0
