@@ -35,13 +35,30 @@ def _release_truncated(df: DataFrame) -> None:
     materialized into its own truncated storage."""
     try:
         df.unpersist(blocking=False)
+        sess = df.sparkSession
         leaves = df._jdf.queryExecution().analyzed().collectLeaves()
         for i in range(leaves.size()):
             leaf = leaves.apply(i)
             if leaf.getClass().getSimpleName() == "LogicalRDD":
-                leaf.rdd().unpersist(False)
+                rdd = leaf.rdd()
+                rdd.unpersist(False)
+                # reliable checkpoints live as FILES (cleaner does not
+                # collect them by default) — a dead frame's checkpoint
+                # dir is deletable on the same terms as its blocks
+                copt = rdd.getCheckpointFile()
+                if copt.isDefined():
+                    jvm = sess._jvm
+                    cp = jvm.org.apache.hadoop.fs.Path(copt.get())
+                    cp.getFileSystem(sess._jsc.hadoopConfiguration()).delete(cp, True)
     except Exception:
         pass  # cleanup must never fail the computation
+
+
+def _truncate_frame(df: DataFrame, can_checkpoint: bool) -> DataFrame:
+    """Materialize and CUT the plan: reliable checkpoint when a dir is
+    configured (durable — survives executor loss), localCheckpoint
+    otherwise (executor-local, the connected_components trade-off)."""
+    return df.checkpoint(eager=True) if can_checkpoint else df.localCheckpoint(eager=True)
 
 
 def page_rank(
@@ -82,6 +99,8 @@ def page_rank(
         raise ValueError(f"damping must be in (0, 1), got {damping}")
     if max_iters < 1:
         raise ValueError(f"max_iters must be >= 1, got {max_iters}")
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
     from pyspark import StorageLevel
 
     if weight_col is not None:
@@ -210,11 +229,7 @@ def page_rank(
         )
         truncate_now = (it + 1) % checkpoint_every == 0 or it == max_iters - 1
         if truncate_now:
-            nxt = (
-                nxt.checkpoint(eager=True)
-                if can_checkpoint
-                else nxt.localCheckpoint(eager=True)
-            )
+            nxt = _truncate_frame(nxt, can_checkpoint)
         else:
             nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
             nxt.count()  # materialize BEFORE dropping the previous round
@@ -240,6 +255,16 @@ def page_rank(
         ranks, ranks_is_trunc = nxt, truncate_now
         if delta is not None and delta < tol:
             break
+    if pending:
+        # tol convergence can break on a plain-persisted round whose
+        # lineage still reaches the pending truncated frame: truncate
+        # the final state first, THEN the pending blocks are dead
+        old = ranks
+        ranks = _truncate_frame(ranks, can_checkpoint)
+        old.unpersist(blocking=False)
+        for f in pending:
+            _release_truncated(f)
+        pending = []
     from d2d_spark import cache as opcache
 
     # the survivors (loop-invariant structure + final vector) register
@@ -323,17 +348,15 @@ def hits(
     sc = edges.sparkSession.sparkContext
     can_checkpoint = sc.getCheckpointDir() is not None
 
-    def _truncate(df_):
-        return df_.checkpoint(eager=True) if can_checkpoint else df_.localCheckpoint(eager=True)
-
     import math
 
-    state = _truncate(
+    state = _truncate_frame(
         nodes.select(
             "node",
             F.lit(1.0 / math.sqrt(n)).alias("hub"),
             F.lit(1.0 / math.sqrt(n)).alias("authority"),
-        )
+        ),
+        can_checkpoint,
     )
     for _ in range(max_iters):
         az = (
@@ -349,12 +372,13 @@ def hits(
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("a_raw").alias("h_raw"))
         )
-        raw = _truncate(
+        raw = _truncate_frame(
             a_full.join(hz, "node", "left").select(
                 "node",
                 F.coalesce("h_raw", F.lit(0.0)).alias("h_raw"),
                 "a_raw",
-            )
+            ),
+            can_checkpoint,
         )
         norms = raw.agg(
             F.sqrt(F.coalesce(F.sum(F.col("h_raw") * F.col("h_raw")), F.lit(0.0))).alias("__hn"),
@@ -368,7 +392,7 @@ def hits(
                 (F.col("a_raw") / F.nullif(F.col("__an"), F.lit(0.0))).alias("authority"),
             )
         )
-        nxt = _truncate(nxt)
+        nxt = _truncate_frame(nxt, can_checkpoint)
         if tol is not None:
             delta = (
                 nxt.join(
@@ -432,6 +456,8 @@ def label_propagation(
     risk; near-dup/community graphs settle in a handful of rounds."""
     if max_iters < 1:
         raise ValueError(f"max_iters must be >= 1, got {max_iters}")
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
     from pyspark import StorageLevel
 
     named = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
@@ -485,11 +511,7 @@ def label_propagation(
         )
         truncate_now = (it + 1) % checkpoint_every == 0 or it == max_iters - 1
         if truncate_now:
-            nxt = (
-                nxt.checkpoint(eager=True)
-                if can_checkpoint
-                else nxt.localCheckpoint(eager=True)
-            )
+            nxt = _truncate_frame(nxt, can_checkpoint)
         else:
             nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
             nxt.count()
@@ -514,6 +536,16 @@ def label_propagation(
         labels, labels_is_trunc = nxt, truncate_now
         if changed == 0:
             break
+    if pending:
+        # same early-break shape as page_rank: convergence commonly
+        # fires one round after a truncation — truncate the final
+        # state before destroying what its lineage still reaches
+        old = labels
+        labels = _truncate_frame(labels, can_checkpoint)
+        old.unpersist(blocking=False)
+        for f in pending:
+            _release_truncated(f)
+        pending = []
     out = labels.select("node", "community")
     e.unpersist(blocking=False)
     nodes.unpersist(blocking=False)

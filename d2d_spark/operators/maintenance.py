@@ -52,7 +52,8 @@ def _is_hive_partitioned(spark: SparkSession, path: str) -> bool:
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(conf)
     for st in fs.listStatus(p):
-        if st.isDirectory() and "=" in st.getPath().getName():
+        name = st.getPath().getName()
+        if st.isDirectory() and "=" in name and not name.startswith((".", "_")):
             return True
     return False
 
@@ -90,7 +91,20 @@ def compact_table(
     if n_files < min_files or n_files <= want:
         return {"files_before": n_files, "bytes": total, "files_after": n_files, "compacted": False}
     df = spark.read.format(fmt).load(path)
-    staging = f"{path}.__compact_{uuid.uuid4().hex[:8]}"
+    # hidden staging basename: when compacting a partition directory
+    # inside a table root, a visible sibling containing '=' would be
+    # discovered as a phantom partition by concurrent readers; hidden
+    # names are skipped by Spark's file index (and by the partition
+    # walkers here). Stale debris from a crashed run is dropped first.
+    base_dir, base_name = os.path.split(path.rstrip("/"))
+    import glob as _glob
+    import shutil as _shutil
+
+    for stale in _glob.glob(
+        os.path.join(_glob.escape(base_dir or "."), "." + _glob.escape(base_name) + ".__compact_*")
+    ) + _glob.glob(_glob.escape(path) + ".__compact_*"):
+        _shutil.rmtree(stale, ignore_errors=True)
+    staging = os.path.join(base_dir or ".", f".{base_name}.__compact_{uuid.uuid4().hex[:8]}")
     df.repartition(int(want)).write.format(fmt).mode("overwrite").save(staging)
     _swap_paths(spark, staging, path)
     after, _ = data_file_stats(spark, path)
@@ -151,7 +165,9 @@ def compact_partitioned_table(
         subs = [
             st.getPath()
             for st in fs.listStatus(p)
-            if st.isDirectory() and "=" in st.getPath().getName()
+            if st.isDirectory()
+            and "=" in st.getPath().getName()
+            and not st.getPath().getName().startswith((".", "_"))
         ]
         if not subs:
             return [p]

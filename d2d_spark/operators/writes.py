@@ -226,8 +226,19 @@ def _swap_paths(spark, staging: str, path: str) -> None:
     Local paths use os.replace (atomic dir rename); remote schemes use
     the Hadoop FileSystem rename/delete that _target_exists already
     resolves.
+
+    The backup basename is DOT-PREFIXED: when the target is a
+    partition directory inside a table root (per-partition
+    compaction), a visible sibling whose name contains `=` would be
+    discovered as a phantom partition by any concurrent or post-crash
+    reader — hidden files/dirs are skipped by Spark's file index.
+    ``restore_swap_debris`` accepts both this and the older visible
+    form.
     """
-    backup = f"{path}.__bak_{os.path.basename(staging).rsplit('_', 1)[-1]}"
+    suffix = os.path.basename(staging).rsplit("_", 1)[-1]
+    backup = os.path.join(
+        os.path.dirname(path) or ".", f".{os.path.basename(path)}.__bak_{suffix}"
+    )
     if "://" not in path:
         import shutil as _shutil
 
@@ -272,8 +283,18 @@ def restore_swap_debris(spark, path: str) -> bool:
             return False
         # escape the path: glob metacharacters ('[', '*', '?') in a
         # table path would otherwise hide the very backup this
-        # function exists to find
-        baks = sorted(_glob.glob(_glob.escape(path) + ".__bak_*"), key=os.path.getmtime)
+        # function exists to find. Both backup generations match:
+        # the current hidden form and the older visible one.
+        import os.path as _osp
+
+        hidden = _osp.join(
+            _glob.escape(_osp.dirname(path) or "."),
+            "." + _glob.escape(_osp.basename(path)) + ".__bak_*",
+        )
+        baks = sorted(
+            _glob.glob(_glob.escape(path) + ".__bak_*") + _glob.glob(hidden),
+            key=os.path.getmtime,
+        )
         if not baks:
             return False
         os.replace(baks[-1], path)
@@ -288,8 +309,12 @@ def restore_swap_debris(spark, path: str) -> bool:
     parent = p.getParent()
     if parent is None or not fs.exists(parent):
         return False
-    prefix = p.getName() + ".__bak_"
-    cands = [st for st in fs.listStatus(parent) if st.getPath().getName().startswith(prefix)]
+    prefixes = (p.getName() + ".__bak_", "." + p.getName() + ".__bak_")
+    cands = [
+        st
+        for st in fs.listStatus(parent)
+        if st.getPath().getName().startswith(prefixes)
+    ]
     if not cands:
         return False
     newest = max(cands, key=lambda st: st.getModificationTime()).getPath()

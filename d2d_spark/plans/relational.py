@@ -424,8 +424,10 @@ def group_count_event_types(spark, sf_dir):
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
+        # page_rank always truncates its final round, so the returned
+        # frame is already materialized and lineage-free — no extra
+        # checkpoint needed to decouple from the conf restore
         ranked = page_rank(edges, max_iters=8, tol=None)
-        ranked = ranked.localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     pr = ranked.select(

@@ -410,3 +410,55 @@ def test_review_fixes_ppr_nulls_empty_graph_and_lpa_self_loops(spark):
     }
     assert lpa["a"] == "a"  # self-loop-only node keeps a singleton community
     assert set(lpa) == {"a", "b", "c"}
+
+
+def test_iterative_loops_validate_and_flush_pending_on_early_break(spark, tmp_path):
+    """r5 review round 2: checkpoint_every is validated; tol
+    convergence on a non-truncation round must not strand pending
+    truncated frames; with a checkpoint dir configured, dead reliable
+    checkpoints are deleted from disk."""
+    import os
+
+    from d2d_spark.operators.graph import label_propagation, page_rank
+
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        page_rank(df, checkpoint_every=0)
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        label_propagation(df, checkpoint_every=0)
+
+    sc = spark.sparkContext
+    before = sc._jsc.sc().getPersistentRDDs().size()
+    # loose tol with checkpoint_every=3: convergence fires on a
+    # plain-persisted round, exercising the exit flush
+    got = {
+        r.node: r.rank
+        for r in page_rank(df, max_iters=50, tol=1e-4, checkpoint_every=3).collect()
+    }
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+    after = sc._jsc.sc().getPersistentRDDs().size()
+    # loop-invariant frames release; at most the final truncated state
+    # plus the registered base may remain
+    assert after - before <= 3, (before, after)
+
+    # reliable-checkpoint mode: dead round checkpoints are deleted
+    ckdir = str(tmp_path / "ck")
+    sc.setCheckpointDir(ckdir)
+    try:
+        page_rank(df, max_iters=9, tol=None, checkpoint_every=3).count()
+        remaining = [
+            os.path.join(r, f)
+            for r, _, fs_ in os.walk(ckdir)
+            for f in fs_
+        ]
+        # 3 truncations happened (rounds 3, 6, 9); the two dead ones
+        # are deleted, only the final state's files may remain
+        rdd_dirs = {
+            d for d, subs, _ in os.walk(ckdir) if os.path.basename(d).startswith("rdd-")
+        }
+        assert len(rdd_dirs) <= 1, sorted(rdd_dirs)
+    finally:
+        # restore "no checkpoint dir" (tmp_path dies with this test —
+        # later graph calls must fall back to localCheckpoint)
+        none = getattr(getattr(sc._jvm.scala, "None$"), "MODULE$")
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(none)

@@ -230,3 +230,33 @@ def test_compact_partitioned_table_per_partition(spark, sf_dir, tmpdir):
     orders.limit(100).write.parquet(flat)
     with pytest.raises(ValueError, match="no col=value"):
         compact_partitioned_table(spark, flat)
+
+
+def test_compaction_staging_is_invisible_to_partition_readers(spark, sf_dir, tmpdir):
+    """r5 review: staging/backup siblings of a partition directory
+    must be HIDDEN — a visible name containing '=' would be picked up
+    as a phantom partition by readers and by the partition walker, and
+    crashed-run debris must be swept by the next compaction."""
+    import os
+
+    from d2d_spark.operators.maintenance import compact_partitioned_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    path = str(tmpdir / "part_phantom")
+    orders.repartition(6).write.partitionBy("o_orderstatus").parquet(path)
+    true_rows = spark.read.parquet(path).count()
+    # simulate a crashed compaction: hidden staging debris inside root
+    debris = os.path.join(path, ".o_orderstatus=F.__compact_deadbeef")
+    orders.filter("o_orderstatus = 'F'").limit(50).write.parquet(debris)
+    # readers see no phantom partition and no duplicate rows
+    assert spark.read.parquet(path).count() == true_rows
+    statuses = {
+        r.o_orderstatus
+        for r in spark.read.parquet(path).select("o_orderstatus").distinct().collect()
+    }
+    assert all("__compact" not in s for s in statuses)
+    # the next compaction sweeps the debris and ignores it as a leaf
+    stats = compact_partitioned_table(spark, path, target_file_mb=128)
+    assert not os.path.exists(debris)
+    assert stats["partitions"] == len(statuses)
+    assert spark.read.parquet(path).count() == true_rows
