@@ -163,3 +163,112 @@ def asof_join(
     if how == "inner":
         out = out.dropna(subset=rcols, how="all")
     return out
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    on: list[str] | str | None = None,
+    bin_width: float | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Join two interval sets on OVERLAP: emit (l, r) when
+    ``l.start <= r.end AND r.start <= l.end`` (closed endpoints),
+    optionally also requiring equality on ``on`` keys — the
+    sessions-x-outages / spans-x-annotations join that a plain
+    equi-join can't express.
+
+    Two physical paths:
+
+    - ``bin_width=None``: the declarative theta-join. Catalyst can
+      only broadcast-nested-loop this, so it is right ONLY when one
+      side is broadcast-small. Refused when both sides are plans we
+      can't size (no silent cartesian at 100 TB).
+    - ``bin_width=w``: the scale path. Each interval explodes to the
+      w-width bins it covers, pairs meet by (keys, bin) EQUI-join
+      (hash shuffle, AQE-skew-splittable), and each overlapping pair
+      is emitted exactly once — only in the canonical bin containing
+      ``greatest(l.start, r.start)``, which any overlapping pair
+      covers on both sides — so no distinct/dedup shuffle is needed.
+      Explode factor is len(interval)/w + 1: pick w near the median
+      interval length (cost reasoning in SCALE.md).
+
+    Timestamp columns are binned via their epoch seconds (``w`` in
+    seconds); the exact overlap predicate stays on the original
+    values. NULL or reversed (start > end) intervals never match,
+    same as the SQL predicate's NULL semantics.
+
+    Right columns colliding with left names come back with
+    ``suffix``.
+    """
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+
+    shared = set(left.columns)
+    ren = {c: (f"{c}{suffix}" if c in shared else c) for c in right.columns}
+    r = right.select(*[F.col(c).alias(ren[c]) for c in right.columns])
+    rs, re_ = ren[right_start], ren[right_end]
+
+    overlap = (F.col(left_start) <= F.col(re_)) & (F.col(rs) <= F.col(left_end))
+    eq = None
+    for k in keys:
+        c = F.col(k) == F.col(ren[k])
+        eq = c if eq is None else eq & c
+
+    if bin_width is None:
+        if not keys:
+            raise ValueError(
+                "interval_overlap_join without keys or bin_width is a "
+                "broadcast-nested-loop cartesian; pass bin_width= for the "
+                "scale path or on= keys to bound the blowup"
+            )
+        out = left.join(r, eq & overlap, "inner")
+        return out.drop(*[ren[k] for k in keys if ren[k] != k])
+
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+
+    def _num(col: str, df_schema) -> F.Column:
+        # bin on epoch seconds for time types; exact filter stays on
+        # the original column so no precision is lost
+        dt = df_schema[col].dataType.simpleString()
+        c = F.col(col)
+        if dt.startswith("timestamp"):
+            return c.cast("double")
+        if dt == "date":
+            return c.cast("timestamp").cast("double")
+        return c.cast("double")
+
+    lnum_s, lnum_e = _num(left_start, left.schema), _num(left_end, left.schema)
+    rnum_s = _num(rs, r.schema)
+    rnum_e = _num(re_, r.schema)
+    w = float(bin_width)
+
+    # ANSI trap: F.sequence errors on descending ranges, so reversed/
+    # NULL intervals must be filtered BEFORE the expression computes
+    lb = (
+        left.filter(F.col(left_start).isNotNull() & (F.col(left_start) <= F.col(left_end)))
+        .withColumn("__bin", F.explode(F.sequence(
+            F.floor(lnum_s / F.lit(w)), F.floor(lnum_e / F.lit(w))
+        )))
+    )
+    rb = (
+        r.filter(F.col(rs).isNotNull() & (F.col(rs) <= F.col(re_)))
+        .withColumn("__binr", F.explode(F.sequence(
+            F.floor(rnum_s / F.lit(w)), F.floor(rnum_e / F.lit(w))
+        )))
+    )
+
+    cond = F.col("__bin") == F.col("__binr")
+    if eq is not None:
+        cond = cond & eq
+    joined = lb.join(rb, cond, "inner").filter(overlap)
+    # emit each pair once: only in the bin holding the later start
+    canonical = F.floor(
+        F.greatest(lnum_s, rnum_s) / F.lit(w)
+    ) == F.col("__bin")
+    out = joined.filter(canonical).drop("__bin", "__binr")
+    return out.drop(*[ren[k] for k in keys if ren[k] != k])
