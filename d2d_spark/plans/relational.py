@@ -472,27 +472,39 @@ def top_hits_latest_event_per_user(spark, sf_dir):
 @query(
     "topk_setops_suite",
     oracle="""
-    (SELECT 'topk' AS leg, o_orderkey AS k,
+    (SELECT 'topk' AS leg, CAST(o_orderkey AS VARCHAR) AS k,
             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
      FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
     UNION ALL
-    (SELECT 'offset' AS leg, o_orderkey AS k,
+    (SELECT 'offset' AS leg, CAST(o_orderkey AS VARCHAR) AS k,
             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
      FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 100)
     UNION ALL
-    SELECT 'both' AS leg, nationkey AS k, CAST(NULL AS DOUBLE) AS total FROM
+    SELECT 'both' AS leg, CAST(nationkey AS VARCHAR) AS k, CAST(NULL AS DOUBLE) AS total FROM
       (SELECT c_nationkey AS nationkey FROM customer
        INTERSECT SELECT s_nationkey FROM supplier)
     UNION ALL
-    SELECT 'customer_only' AS leg, nationkey AS k, CAST(NULL AS DOUBLE) AS total FROM
+    SELECT 'customer_only' AS leg, CAST(nationkey AS VARCHAR) AS k, CAST(NULL AS DOUBLE) AS total FROM
       (SELECT c_nationkey AS nationkey FROM customer
        EXCEPT SELECT s_nationkey FROM supplier)
     UNION ALL
-    SELECT 'supplier_only' AS leg, nationkey AS k, CAST(NULL AS DOUBLE) AS total FROM
+    SELECT 'supplier_only' AS leg, CAST(nationkey AS VARCHAR) AS k, CAST(NULL AS DOUBLE) AS total FROM
       (SELECT s_nationkey AS nationkey FROM supplier
        EXCEPT SELECT c_nationkey FROM customer)
+    UNION ALL
+    SELECT 'pivot' AS leg, o_orderpriority || '|' || status AS k,
+           CAST(cnt AS DOUBLE) AS total
+    FROM (
+      WITH wide AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS st_f,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS st_o,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS st_p
+        FROM orders GROUP BY o_orderpriority)
+      SELECT o_orderpriority, status, cnt
+      FROM wide UNPIVOT (cnt FOR status IN (st_f, st_o, st_p)))
     """,
-    tags=("topk", "sort", "limit", "offset", "setops"),
+    tags=("topk", "sort", "limit", "offset", "setops", "pivot", "unpivot"),
 )
 def topk_setops_suite(spark, sf_dir):
     """The §2.7 sort/limit/set-op family in one tagged result
@@ -505,28 +517,59 @@ def topk_setops_suite(spark, sf_dir):
 
     set-op legs — UNION/INTERSECT/EXCEPT coverage of nation keys,
     recognized-but-unexecuted in the reference's SQL scanner
-    (sqlfileextra.py:14,121-125); native here."""
+    (sqlfileextra.py:14,121-125); native here.
+
+    'pivot' leg — PIVOT (status values become columns: one pass,
+    conditional aggregation, explicit value list so the plan needs no
+    extra distinct-scan job) then UNPIVOT/melt back to long form: the
+    two reshape operators composed prove they are mutual inverses on
+    the non-null lattice."""
     o = _t(spark, sf_dir, "orders")
     total = F.col("o_totalprice").cast(DEC).cast("double").alias("total")
     nd = F.lit(None).cast("double")
+    ks = F.col("k").cast("string").alias("k")
     topk_leg = (
         top_k(o, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 10)
         .select(F.lit("topk").alias("leg"), F.col("o_orderkey").alias("k"), total)
+        .select("leg", ks, "total")
     )
     offset_leg = (
         limit_offset(o, [F.col("o_orderkey")], limit=20, offset=100)
         .select(F.lit("offset").alias("leg"), F.col("o_orderkey").alias("k"), total)
+        .select("leg", ks, "total")
     )
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
-    both = c.intersect(s).select(F.lit("both").alias("leg"), "k", nd.alias("total"))
+    both = c.intersect(s).select(F.lit("both").alias("leg"), ks, nd.alias("total"))
     c_only = c.subtract(s).select(
-        F.lit("customer_only").alias("leg"), "k", nd.alias("total")
+        F.lit("customer_only").alias("leg"), ks, nd.alias("total")
     )
     s_only = s.subtract(c).select(
-        F.lit("supplier_only").alias("leg"), "k", nd.alias("total")
+        F.lit("supplier_only").alias("leg"), ks, nd.alias("total")
     )
-    return topk_leg.unionAll(offset_leg).unionAll(both).unionAll(c_only).unionAll(s_only)
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("F"), F.lit(0)).alias("st_f"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("st_o"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("st_p"),
+        )
+    )
+    pivot_leg = (
+        wide.unpivot(["o_orderpriority"], ["st_f", "st_o", "st_p"], "status", "cnt")
+        .select(
+            F.lit("pivot").alias("leg"),
+            F.concat_ws("|", "o_orderpriority", "status").alias("k"),
+            F.col("cnt").cast("double").alias("total"),
+        )
+    )
+    return (
+        topk_leg.unionAll(offset_leg).unionAll(both).unionAll(c_only)
+        .unionAll(s_only).unionAll(pivot_leg)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -816,22 +859,47 @@ def asof_join_click_purchase(spark, sf_dir):
 
 
 @query(
-    "range_join_price_bands",
+    "range_interval_join_suite",
     oracle="""
     WITH bands AS (
       SELECT * FROM (VALUES ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
-                            ('high', 150000.0, 1000000.0)) AS t(band, lo, hi))
-    SELECT b.band, COUNT(*) AS n,
+                            ('high', 150000.0, 1000000.0)) AS t(band, lo, hi)),
+    L AS MATERIALIZED (
+      SELECT o_custkey % 20 AS k, o_orderdate AS s,
+             o_orderdate + CAST(o_orderkey % 20 AS INT) AS e
+      FROM orders WHERE o_orderkey % 7 = 0),
+    R AS MATERIALIZED (
+      SELECT o_custkey % 20 AS k, o_orderdate AS s,
+             o_orderdate + CAST(o_orderkey % 13 AS INT) AS e
+      FROM orders WHERE o_orderkey % 11 = 0)
+    SELECT b.band AS leg, b.band AS k, COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
-    GROUP BY b.band ORDER BY b.band
+    GROUP BY b.band
+    UNION ALL
+    SELECT 'overlap' AS leg, CAST(L.k AS VARCHAR) AS k, COUNT(*) AS n,
+           CAST(SUM(date_diff('day', greatest(L.s, R.s), least(L.e, R.e)) + 1)
+                AS DOUBLE) AS total
+    FROM L JOIN R ON L.k = R.k AND L.s <= R.e AND R.s <= L.e
+    GROUP BY L.k
     """,
-    tags=("join", "range"),
+    tags=("join", "range", "interval", "overlap"),
 )
-def range_join_price_bands(spark, sf_dir):
-    """Interval (range) join: facts against a small banded dimension —
-    the broadcast-nested-loop case where the inner side is tiny by
-    construction, then aggregated."""
+def range_interval_join_suite(spark, sf_dir):
+    """Two interval-join flavors in one tagged result.
+
+    band legs: facts against a small banded dimension — the
+    broadcast-nested-loop case where the inner side is tiny by
+    construction, then aggregated.
+
+    'overlap' leg: interval-OVERLAP join between two derived
+    order-interval sets via `interval_overlap_join`'s binned scale
+    path (7-day bins): each pair is emitted exactly once, in the bin
+    holding the later start — the oracle is the plain theta-join, so
+    a double-emit or a missed boundary pair breaks count AND summed
+    overlap length."""
+    from d2d_spark.operators.join import interval_overlap_join
+
     o = _t(spark, sf_dir, "orders")
     bands = spark.createDataFrame(
         [("low", 0.0, 50000.0), ("mid", 50000.0, 150000.0), ("high", 150000.0, 1000000.0)],
@@ -841,14 +909,39 @@ def range_join_price_bands(spark, sf_dir):
         F.broadcast(bands),
         (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
     )
-    return (
+    band_leg = (
         j.groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"),
         )
-        .orderBy("band")
+        .select(F.col("band").alias("leg"), F.col("band").alias("k"), "n", "total")
     )
+
+    def intervals(mod_filter: int, span_mod: int):
+        return o.filter(F.col("o_orderkey") % mod_filter == 0).select(
+            (F.col("o_custkey") % 20).alias("k"),
+            F.col("o_orderdate").alias("s"),
+            F.date_add(
+                F.col("o_orderdate"), (F.col("o_orderkey") % span_mod).cast("int")
+            ).alias("e"),
+        )
+
+    pairs = interval_overlap_join(
+        intervals(7, 20), intervals(11, 13), "s", "e", "s", "e",
+        on="k", bin_width=7 * 86400,
+    )
+    overlap_leg = (
+        pairs.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.datediff(F.least("e", "e_r"), F.greatest("s", "s_r")) + 1
+            ).cast("double").alias("total"),
+        )
+        .select(F.lit("overlap").alias("leg"), F.col("k").cast("string").alias("k"), "n", "total")
+    )
+    return band_leg.unionByName(overlap_leg)
 
 
 @query(
