@@ -237,7 +237,11 @@ def interval_overlap_join(
         dt = df_schema[col].dataType.simpleString()
         c = F.col(col)
         if dt.startswith("timestamp"):
-            return c.cast("double")
+            # TIMESTAMP_NTZ has no direct cast to double in Spark 4;
+            # route every timestamp flavor through TIMESTAMP (LTZ)
+            # first — binning stays consistent because the exact
+            # overlap predicate runs on the original columns
+            return c.cast("timestamp").cast("double")
         if dt == "date":
             return c.cast("timestamp").cast("double")
         return c.cast("double")

@@ -865,12 +865,12 @@ def asof_join_click_purchase(spark, sf_dir):
       SELECT * FROM (VALUES ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
                             ('high', 150000.0, 1000000.0)) AS t(band, lo, hi)),
     L AS MATERIALIZED (
-      SELECT o_custkey % 20 AS k, o_orderdate AS s,
-             o_orderdate + CAST(o_orderkey % 20 AS INT) AS e
+      SELECT o_custkey % 20 AS k, CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE) + CAST(o_orderkey % 20 AS INT) AS e
       FROM orders WHERE o_orderkey % 7 = 0),
     R AS MATERIALIZED (
-      SELECT o_custkey % 20 AS k, o_orderdate AS s,
-             o_orderdate + CAST(o_orderkey % 13 AS INT) AS e
+      SELECT o_custkey % 20 AS k, CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE) + CAST(o_orderkey % 13 AS INT) AS e
       FROM orders WHERE o_orderkey % 11 = 0)
     SELECT b.band AS leg, b.band AS k, COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
@@ -921,7 +921,7 @@ def range_interval_join_suite(spark, sf_dir):
     def intervals(mod_filter: int, span_mod: int):
         return o.filter(F.col("o_orderkey") % mod_filter == 0).select(
             (F.col("o_custkey") % 20).alias("k"),
-            F.col("o_orderdate").alias("s"),
+            F.col("o_orderdate").cast("date").alias("s"),
             F.date_add(
                 F.col("o_orderdate"), (F.col("o_orderkey") % span_mod).cast("int")
             ).alias("e"),

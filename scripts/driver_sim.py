@@ -41,12 +41,20 @@ def main() -> int:
     failed = []
     for name in names:
         q = load_all()[name]
-        if q.oracle is None:
-            n = q.fn(spark, SF).count()
-            print(f"{name}: rows-only check, {n} rows")
-            continue
         t0 = time.time()
-        problems = compare_query(spark, con, q, SF)
+        # per-query isolation: one broken query must report ERROR and
+        # let the rest run, mirroring the real driver
+        try:
+            if q.oracle is None:
+                n = q.fn(spark, SF).count()
+                print(f"{name}: rows-only check, {n} rows")
+                continue
+            problems = compare_query(spark, con, q, SF)
+        except Exception as exc:  # noqa: BLE001
+            print(f"{name}: ERROR ({time.time() - t0:.1f}s)")
+            print(f"  {type(exc).__name__}: {exc}".splitlines()[0][:300])
+            failed.append(name)
+            continue
         status = "OK" if not problems else "MISMATCH"
         print(f"{name}: {status} ({time.time() - t0:.1f}s)")
         for p in problems:

@@ -264,6 +264,32 @@ def test_interval_overlap_timestamps_and_nulls(spark):
     assert got_set == {(1, 10), (1, 11)}
 
 
+def test_interval_overlap_timestamp_ntz(spark):
+    """TIMESTAMP_NTZ columns (what tz-naive parquet reads as) must
+    bin cleanly — Spark 4 refuses a direct NTZ→double cast, the bug
+    that broke range_interval_join_suite in round 5."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    l = spark.createDataFrame(
+        [(1, ts(0), ts(60)), (2, ts(300), ts(400))],
+        "lid int, ls timestamp_ntz, le timestamp_ntz",
+    )
+    r = spark.createDataFrame(
+        [(10, ts(30), ts(45)), (11, ts(59), ts(200)), (12, ts(500), ts(600))],
+        "rid int, rs timestamp_ntz, re timestamp_ntz",
+    )
+    assert dict(l.dtypes)["ls"] == "timestamp_ntz"
+    got = interval_overlap_join(
+        l, r, "ls", "le", "rs", "re", bin_width=600.0
+    ).select("lid", "rid").collect()
+    assert {(x.lid, x.rid) for x in got} == {(1, 10), (1, 11)}
+
+
 def test_interval_overlap_theta_path_needs_keys(spark):
     l, r = _interval_fixture(spark)
     with pytest.raises(ValueError, match="cartesian"):
