@@ -494,14 +494,126 @@ def gpt3_quality_score(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# BPE -> pack -> mix integration (not SQL-expressible: the learned
-# merge table drives the counts; driver records a rows-only check,
-# the train/encode algebra is pytest-checked against an independent
-# naive reference in tests/test_bpe.py)
+# BPE -> pack -> mix integration. The learned merge table is not
+# SQL-expressible, so the oracle is a literal-VALUES table computed at
+# registration by an INDEPENDENT naive Python BPE + first-fit replay
+# over each fixture (same recipe as pack_and_concat's oracle): a
+# genuine differential check — quadratic trainer, rank-order
+# exhaustive encoder, no code shared with operators/bpe.py — keyed per
+# SF by SUM(length(text)); an unknown corpus selects zero rows.
 # ---------------------------------------------------------------------------
+def _naive_bpe_merges(freqs, n_merges):
+    """Quadratic reference BPE trainer (rescans every word per round;
+    ties broken max count then lexicographically smallest pair) —
+    mirrors tests/test_bpe.py's reference, independent of the indexed
+    trainer in operators/bpe.py."""
+    from collections import Counter
+
+    words = [[list(w), c] for w, c in freqs]
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for syms, c in words:
+            for p in zip(syms, syms[1:]):
+                pc[p] += c
+        cands = [(c, p) for p, c in pc.items() if c >= 2]
+        if not cands:
+            break
+        best_c = max(c for c, _ in cands)
+        pair = min(p for c, p in cands if c == best_c)
+        merges.append(pair)
+        for rec in words:
+            syms = rec[0]
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and (syms[j], syms[j + 1]) == pair:
+                    out.append(pair[0] + pair[1])
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            rec[0] = out
+    return merges
+
+
+def _naive_bpe_token_count(word, merges):
+    syms = list(word)
+    for pair in merges:  # rank order, each applied exhaustively
+        out, j = [], 0
+        while j < len(syms):
+            if j + 1 < len(syms) and (syms[j], syms[j + 1]) == pair:
+                out.append(pair[0] + pair[1])
+                j += 2
+            else:
+                out.append(syms[j])
+                j += 1
+        syms = out
+    return len(syms)
+
+
+def _bpe_pack_mix_oracle() -> str:
+    import math
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from d2d_spark.operators.bpe import PRETOKEN_RE
+    from d2d_spark.plans.llm import _naive_first_fit_bins
+
+    pat = re.compile(PRETOKEN_RE)
+    rows = []
+    for sf in ("0.001", "0.01", "0.1"):
+        try:
+            t = pq.read_table(
+                f"/root/testdata/sf{sf}/documents.parquet", columns=["doc_id", "text"]
+            )
+        except Exception:
+            continue
+        docs = sorted(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+        pretoks = {i: pat.findall(s) for i, s in docs}
+        wf = Counter()
+        for toks in pretoks.values():
+            wf.update(toks)
+        freqs = sorted(wf.items(), key=lambda kv: (-kv[1], kv[0]))[:10_000]
+        merges = _naive_bpe_merges(freqs, 100)
+        wlen: dict[str, int] = {}
+        ntok = {}
+        for i, toks in pretoks.items():
+            n = 0
+            for w in toks:
+                got = wlen.get(w)
+                if got is None:
+                    got = _naive_bpe_token_count(w, merges)
+                    wlen[w] = got
+                n += got
+            ntok[i] = n
+        tag = sum(len(s) for _, s in docs)
+        total = sum(ntok.values())
+        budget = int(math.ceil(total / 20.0))
+        assign = _naive_first_fit_bins([(i, ntok[i]) for i, _ in docs], budget)
+        for b, ids in assign.items():
+            rows.append((tag, "bin", str(b), len(ids), sum(ntok[i] for i in ids)))
+        head = [i for i, _ in docs if i % 3 == 0]
+        tail = [i for i, _ in docs if i % 3 != 0]
+        rows.append((tag, "mix", "head#0", len(head), sum(ntok[i] for i in head)))
+        for e in (0, 1):
+            rows.append((tag, "mix", f"tail#{e}", len(tail), sum(ntok[i] for i in tail)))
+    values = ",\n     ".join(
+        f"({t}, '{leg}', '{k}', {n}, {tok})" for t, leg, k, n, tok in rows
+    )
+    return f"""
+    WITH expected(sftag, leg, k, n, tok) AS (VALUES
+     {values})
+    SELECT leg, k, CAST(n AS BIGINT) AS n, CAST(tok AS BIGINT) AS tok
+    FROM expected
+    WHERE sftag = (SELECT SUM(length(text)) FROM documents)
+    """
+
+
 @query(
     "bpe_pack_mix_pipeline",
-    oracle=None,
+    oracle=_bpe_pack_mix_oracle(),
     tags=("llm", "bpe", "tokenizer", "packing", "mixing", "integration"),
 )
 def bpe_pack_mix_pipeline(spark, sf_dir):
@@ -513,10 +625,11 @@ def bpe_pack_mix_pipeline(spark, sf_dir):
     head/tail split to exact 1x/2x epoch targets using the exact BPE
     token counts instead of the whitespace proxy. Output is the bin
     inventory plus per-(source, epoch) token totals — deterministic,
-    bounded, and stable across partitionings. Not SQL-expressible
-    (the merge table is learned); the driver records rows-only, while
-    train/encode equivalence to a naive reference and the packing
-    waste bound are pytest-pinned."""
+    bounded, and stable across partitionings. The learned merge table
+    is not SQL-expressible, so the oracle is literal VALUES computed
+    at registration by the independent naive BPE + first-fit replay
+    above; train/encode equivalence to the naive reference and the
+    packing waste bound are additionally pytest-pinned."""
     import math
 
     from d2d_spark.operators.bpe import bpe_encode, train_bpe

@@ -728,44 +728,105 @@ def token_budget_mix(spark, sf_dir):
     return out.select("doc_id", "n_toks", "epoch", "source")
 
 
+def _naive_first_fit_bins(docs, budget: int):
+    """Independent naive replay of `pack_documents`' contract on a
+    single doc_id-ordered stream: first-fit into open bins, a new bin
+    when nothing fits, fullest bin closed past 64 open. Pure Python,
+    shares no code with the operator — a genuine differential
+    implementation."""
+    open_bins: list[tuple[int, int]] = []  # (bin id, used tokens)
+    next_bin = 0
+    assign: dict[int, list[int]] = {}
+    for doc_id, n in docs:
+        placed = None
+        for j, (b, used) in enumerate(open_bins):
+            if used + n <= budget:
+                open_bins[j] = (b, used + n)
+                placed = b
+                break
+        if placed is None:
+            placed = next_bin
+            open_bins.append((next_bin, n))
+            next_bin += 1
+            if len(open_bins) > 64:
+                open_bins.pop(
+                    max(range(len(open_bins)), key=lambda k: open_bins[k][1])
+                )
+        assign.setdefault(placed, []).append(doc_id)
+    return assign
+
+
+def _ntok_ascii(text: str) -> int:
+    """Python twin of token_count_ws / _SQL_NTOK with JVM-regex
+    semantics: trim strips ASCII spaces, \\s is the ASCII class."""
+    import re
+
+    return len(re.split(r"[ \t\n\x0b\f\r]+", text.strip(" ")))
+
+
+def _pack_and_concat_oracle() -> str:
+    """Literal-VALUES oracle for pack_and_concat, computed at
+    registration by an independent Python packer over each fixture.
+
+    Round 4 (raw text surface) and round 5 (md5+length surface) both
+    hash-mismatched at the driver while passing the identical local
+    sim — and token_budget_mix, which shares _SQL_NTOK, passes at the
+    driver, so per-doc token counts agree there. The remaining suspect
+    was the DuckDB recursive-CTE first-fit replay
+    (list_filter/list_transform/recursive UNION ALL — the most
+    version-sensitive oracle surface in the registry). This oracle
+    removes DuckDB recursion entirely: expected rows are inlined as
+    literals keyed by SUM(length(text)), which distinguishes every
+    fixture SF; an unknown corpus selects zero rows and fails loudly."""
+    import hashlib
+    import math
+
+    import pyarrow.parquet as pq
+
+    rows = []
+    for sf in ("0.001", "0.01", "0.1"):
+        try:
+            t = pq.read_table(
+                f"/root/testdata/sf{sf}/documents.parquet", columns=["doc_id", "text"]
+            )
+        except Exception:
+            continue
+        docs = sorted(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+        ntok = {i: _ntok_ascii(s) for i, s in docs}
+        total = sum(ntok.values())
+        budget = int(math.ceil(total / 50.0))
+        assign = _naive_first_fit_bins([(i, ntok[i]) for i, _ in docs], budget)
+        tag = sum(len(s) for _, s in docs)
+        txt = dict(docs)
+        for b, ids in assign.items():
+            joined = "\n\n".join(txt[i] for i in ids)
+            rows.append((
+                tag, b,
+                hashlib.md5(joined.encode("utf-8")).hexdigest(),
+                len(joined),
+                ",".join(str(i) for i in ids),
+                len(ids),
+                sum(ntok[i] for i in ids),
+            ))
+    values = ",\n     ".join(
+        f"({t}, {b}, '{m}', {ln}, '{csv}', {nd}, {nt})"
+        for t, b, m, ln, csv, nd, nt in rows
+    )
+    return f"""
+    WITH expected(sftag, bin_id, text_md5, text_len, doc_ids_csv, n_docs, n_tokens)
+      AS (VALUES
+     {values})
+    SELECT CAST(bin_id AS BIGINT) AS bin_id, text_md5,
+           CAST(text_len AS BIGINT) AS text_len, doc_ids_csv,
+           CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM expected
+    WHERE sftag = (SELECT SUM(length(text)) FROM documents)
+    """
+
+
 @query(
     "pack_and_concat",
-    oracle=f"""
-    WITH RECURSIVE
-     t AS MATERIALIZED (
-       SELECT doc_id, text, {_SQL_NTOK} AS n_toks,
-              ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
-       FROM documents),
-     p AS MATERIALIZED (
-       SELECT CAST(ceil(SUM(n_toks) / 50.0) AS BIGINT) AS budget FROM t),
-     s(rn, loads, bin) AS (
-       SELECT CAST(0 AS BIGINT), CAST([] AS BIGINT[]), CAST(NULL AS BIGINT)
-       UNION ALL
-       SELECT d.rn,
-         CASE WHEN list_filter(range(1, len(s.loads) + 1),
-                               i -> s.loads[i] + d.n_toks <= p.budget)[1] IS NULL
-              THEN list_append(s.loads, d.n_toks)
-              ELSE list_transform(range(1, len(s.loads) + 1),
-                     i -> CASE WHEN i = list_filter(range(1, len(s.loads) + 1),
-                                      j -> s.loads[j] + d.n_toks <= p.budget)[1]
-                               THEN s.loads[i] + d.n_toks ELSE s.loads[i] END)
-         END,
-         CASE WHEN list_filter(range(1, len(s.loads) + 1),
-                               i -> s.loads[i] + d.n_toks <= p.budget)[1] IS NULL
-              THEN len(s.loads)
-              ELSE list_filter(range(1, len(s.loads) + 1),
-                               i -> s.loads[i] + d.n_toks <= p.budget)[1] - 1 END
-       FROM s JOIN t d ON d.rn = s.rn + 1 CROSS JOIN p
-     )
-    SELECT s.bin AS bin_id,
-           md5(string_agg(t.text, chr(10) || chr(10) ORDER BY t.doc_id)) AS text_md5,
-           length(string_agg(t.text, chr(10) || chr(10) ORDER BY t.doc_id)) AS text_len,
-           array_to_string(list(t.doc_id ORDER BY t.doc_id), ',') AS doc_ids_csv,
-           COUNT(*) AS n_docs,
-           SUM(t.n_toks) AS n_tokens
-    FROM s JOIN t USING (rn) WHERE s.rn > 0
-    GROUP BY s.bin
-    """,
+    oracle=_pack_and_concat_oracle(),
     tags=("llm", "packing"),
 )
 def pack_and_concat(spark, sf_dir):
@@ -781,12 +842,11 @@ def pack_and_concat(spark, sf_dir):
     single-partition funnel; per-partition semantics and the 64-bin
     eviction bound are pytest-checked.
 
-    The concatenated payload is compared as (md5, length) per bin
-    rather than the raw multi-line text: the rebuilt sequence is the
-    only output in the window that would otherwise carry full
-    newline-joined text through the driver's value canonicalizer,
-    which proved environment-sensitive in round 4 (hash-only
-    mismatch, locally unreproducible). The raw text equality stays
+    The oracle is a literal-VALUES table computed at registration by
+    an independent pure-Python first-fit packer over the fixture
+    (keyed per SF by SUM(length(text))) — see _pack_and_concat_oracle
+    for why DuckDB recursion was removed. The concatenated payload is
+    compared as (md5, length) per bin; the raw text equality stays
     pinned in pytest (tests/test_sampling.py)."""
     import math
 
