@@ -40,6 +40,20 @@ def md5_hex(col: Column) -> Column:
     return F.md5(col.cast("string"))
 
 
+def as_double(col: Column, dtype: str) -> Column:
+    """Numeric view of any orderable column for binning/bucketing.
+
+    Spark 4 refuses a direct TIMESTAMP_NTZ -> DOUBLE cast
+    (DATATYPE_MISMATCH.CAST_WITHOUT_SUGGESTION) and DATE -> DOUBLE
+    likewise, so every temporal flavor routes through TIMESTAMP first
+    (epoch seconds). Pass the column's ``simpleString()`` dtype.
+    Callers that bin on the result must keep exact predicates on the
+    original column — this view is for bucket ARITHMETIC only."""
+    if dtype.startswith("timestamp") or dtype == "date":
+        return col.cast("timestamp").cast("double")
+    return col.cast("double")
+
+
 def epoch_to_ts(col: Column) -> Column:
     """Epoch seconds -> timestamp (timeutils.py:1-31)."""
     return F.to_timestamp(F.from_unixtime(col.cast("long")))

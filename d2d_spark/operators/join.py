@@ -233,18 +233,11 @@ def interval_overlap_join(
 
     def _num(col: str, df_schema) -> F.Column:
         # bin on epoch seconds for time types; exact filter stays on
-        # the original column so no precision is lost
-        dt = df_schema[col].dataType.simpleString()
-        c = F.col(col)
-        if dt.startswith("timestamp"):
-            # TIMESTAMP_NTZ has no direct cast to double in Spark 4;
-            # route every timestamp flavor through TIMESTAMP (LTZ)
-            # first — binning stays consistent because the exact
-            # overlap predicate runs on the original columns
-            return c.cast("timestamp").cast("double")
-        if dt == "date":
-            return c.cast("timestamp").cast("double")
-        return c.cast("double")
+        # the original column so no precision is lost (as_double
+        # handles the TIMESTAMP_NTZ/DATE -> double cast refusal)
+        from d2d_spark.functions.scalars import as_double
+
+        return as_double(F.col(col), df_schema[col].dataType.simpleString())
 
     lnum_s, lnum_e = _num(left_start, left.schema), _num(left_end, left.schema)
     rnum_s = _num(rs, r.schema)

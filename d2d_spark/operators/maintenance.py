@@ -246,8 +246,15 @@ def write_zordered(
     # column list and ignores nulls) — k separate full scans would
     # multiply the startup cost of large-table writes for nothing
     qcols = [f"__q{i}" for i in range(k)]
+    from d2d_spark.functions.scalars import as_double
+
+    def _dim(c: str) -> F.Column:
+        # temporal z-order dimensions bin on epoch seconds; as_double
+        # handles Spark 4's TIMESTAMP_NTZ/DATE -> double cast refusal
+        return as_double(F.col(c), df.schema[c].dataType.simpleString())
+
     all_qs = df.select(
-        *[F.col(c).cast("double").alias(q) for c, q in zip(zorder_by, qcols)]
+        *[_dim(c).alias(q) for c, q in zip(zorder_by, qcols)]
     ).approxQuantile(qcols, probs, relative_error)
     work = df
     codes = []
@@ -256,7 +263,7 @@ def write_zordered(
         # strictly-increasing splits: heavy repeated values collapse
         # duplicate boundaries (fewer, fuller buckets — still <= 2**bits)
         splits = [float("-inf"), *sorted(set(qs)), float("inf")]
-        work = work.withColumn(f"__zin{i}", F.col(c).cast("double"))
+        work = work.withColumn(f"__zin{i}", _dim(c))
         if len(splits) < 3:
             # all-NULL column: no boundaries to bucket on — the
             # dimension contributes a constant code instead of

@@ -47,9 +47,25 @@ def test_html_to_text_strips_everything_invisible(spark):
 def test_plain_text_passes_through_unchanged(spark):
     plain = "Just a plain sentence.\nAnd a second line."
     assert _one(spark, html_to_text, plain) == plain
-    # idempotence: extracting already-extracted text is a no-op
+    # idempotence on bracket-free output: extracting already-extracted
+    # text is a no-op
     once = _one(spark, html_to_text, DOC.replace("&lt;tags&gt;", "tags"))
     assert _one(spark, html_to_text, once) == once
+
+
+def test_one_pass_contract_on_entity_encoded_markup(spark):
+    """The documented ONE-PASS contract, exercised head-on instead of
+    sidestepped: a pass over entity-encoded markup yields literal
+    angle-bracket TEXT (strip happens before decode, so &lt;tags&gt;
+    is visible content, not markup) — and a second accidental pass
+    would strip that text as markup. Both halves pinned."""
+    once = _one(spark, html_to_text, DOC)
+    assert "<tags>" in once, "entities must decode to visible bracket text"
+    twice = _one(spark, html_to_text, once)
+    assert twice != once, "second pass strips decoded brackets (why the contract is one-pass)"
+    assert "<tags>" not in twice
+    # everything outside the decoded brackets survives the second pass
+    assert "item one" in twice and "Second paragraph." in twice
 
 
 def test_entity_decode_order(spark):
