@@ -91,7 +91,11 @@ def hll_merge(
             f"column {sketch_col!r} carries no d2d.hll.lgk stamp; merge only "
             "sketches produced by hll_build/hll_merge (or re-stamp the column)"
         )
-    agg = F.expr(f"hll_union_agg({sketch_col}, true)").alias(
+    # allowDifferentLgConfigK=false: the column-level lgk stamp is one
+    # merged value per frame, so an append-mode store mixing lgk
+    # batches would slip past it — the JVM aggregate failing loudly is
+    # the real guard; the stamp check above is the friendly fast path
+    agg = F.expr(f"hll_union_agg({sketch_col}, false)").alias(
         "sketch", metadata=_lgk_meta(lgk)
     )
     return parts.groupBy(*keys).agg(agg)

@@ -179,7 +179,17 @@ def pq_topk(
 
     books = model.codebooks
     m, dsub, dim = model.m, model.dsub, model.dim
+    for frame, col, side in ((queries, query_id_col, "query"), (corpus_codes, id_col, "corpus")):
+        dt = frame.schema[col].dataType.simpleString()
+        if dt not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"pq_topk needs integral {side} ids, got {col}: {dt} — cast "
+                "or map string ids to int64 upstream (the kernel packs ids "
+                "into int64 numpy arrays)"
+            )
     q_rows = queries.select(query_id_col, query_vec_col).collect()
+    if not q_rows:
+        raise ValueError("pq_topk got an empty queries frame — nothing to search for")
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([r[1] for r in q_rows], dtype=np.float64)
     if Q.shape[1] != dim:

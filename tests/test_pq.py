@@ -125,3 +125,21 @@ def test_pq_validates(spark):
             pq_encode(df, "embedding", model), short_q,
             "vec_id", "pq_code", "vec_id", "embedding", model,
         )
+    # loud up-front failures instead of opaque executor errors:
+    codes = pq_encode(df, "embedding", model)
+    good_q = df.limit(3)
+    with pytest.raises(ValueError, match="empty queries"):
+        pq_topk(
+            codes, good_q.filter("vec_id < 0"),
+            "vec_id", "pq_code", "vec_id", "embedding", model,
+        )
+    str_q = good_q.select(
+        F.col("vec_id").cast("string").alias("vec_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="integral query ids"):
+        pq_topk(codes, str_q, "vec_id", "pq_code", "vec_id", "embedding", model)
+    str_corpus = codes.select(
+        F.col("vec_id").cast("string").alias("vec_id"), "pq_code"
+    )
+    with pytest.raises(ValueError, match="integral corpus ids"):
+        pq_topk(str_corpus, good_q, "vec_id", "pq_code", "vec_id", "embedding", model)

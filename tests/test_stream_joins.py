@@ -346,6 +346,24 @@ def test_hll_merge_refuses_unstamped_and_bad_lgk(spark):
         m(plain)
 
 
+def test_hll_merge_mixed_lgk_fails_loudly_in_jvm(spark):
+    """An append-mode store with different-lgk batches carries ONE
+    merged column stamp, so the friendly stamp check can't see the
+    mix — the JVM aggregate must fail loudly rather than silently
+    unioning at the coarser precision."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    from d2d_spark.operators.hll import hll_merge as m
+
+    a = hll_build(spark.range(100).select(F.col("id").alias("v")), "v", lgk=12)
+    b = hll_build(spark.range(100).select(F.col("id").alias("v")), "v", lgk=14)
+    # forge the single-stamp store shape: both rows under one stamp
+    mixed = a.unionByName(b.select(F.col("sketch").alias("sketch", metadata={"d2d.hll.lgk": 12})))
+    with pytest.raises((Py4JJavaError, PySparkException)):
+        m(mixed).collect()
+
+
 def test_hll_global_estimate(spark):
     df = spark.range(50_000).select((F.col("id") % 12_345).alias("v"))
     est = hll_estimate(hll_build(df, "v")).collect()[0].n_distinct
