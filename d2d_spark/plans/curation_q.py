@@ -235,6 +235,23 @@ def _sql_bucket(k: str, i: int) -> str:
     return f"(({k} * {_cms_a(i)} + {_cms_b(i)}) % {_CMS_P}) % {_CMS_WIDTH}"
 
 
+# KMV sketch: row 3 of the same polynomial family, space = P, so the
+# whole sketch (every kept hash) and the theta arithmetic reproduce
+# exactly in SQL
+_KMV_K, _KMV_I = 64, 3
+
+
+def _kmv_poly(col):
+    return F.pmod(
+        col.cast("bigint") * F.lit(_cms_a(_KMV_I)) + F.lit(_cms_b(_KMV_I)),
+        F.lit(_CMS_P),
+    )
+
+
+def _sql_kmv_h(k: str) -> str:
+    return f"(({k}) * {_cms_a(_KMV_I)} + {_cms_b(_KMV_I)}) % {_CMS_P}"
+
+
 @query(
     "countmin_freq_estimates",
     oracle=f"""
@@ -263,14 +280,51 @@ def _sql_bucket(k: str, i: int) -> str:
     hh AS (
       SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1
       ORDER BY c DESC, k LIMIT 20
+    ),
+    kmvA AS (SELECT DISTINCT {_sql_kmv_h('o_custkey')} AS h
+             FROM orders WHERE o_orderkey % 2 = 0 ORDER BY h LIMIT {_KMV_K}),
+    kmvB AS (SELECT DISTINCT {_sql_kmv_h('o_custkey')} AS h
+             FROM orders WHERE o_orderkey % 2 <> 0 ORDER BY h LIMIT {_KMV_K}),
+    kmvU AS (SELECT DISTINCT {_sql_kmv_h('o_custkey')} AS h
+             FROM orders ORDER BY h LIMIT {_KMV_K}),
+    thA AS (SELECT CASE WHEN count(*) < {_KMV_K} THEN 1.0
+                        ELSE CAST(max(h) AS DOUBLE) / {float(_CMS_P)} END AS th,
+                   count(*) AS nk FROM kmvA),
+    thB AS (SELECT CASE WHEN count(*) < {_KMV_K} THEN 1.0
+                        ELSE CAST(max(h) AS DOUBLE) / {float(_CMS_P)} END AS th,
+                   count(*) AS nk FROM kmvB),
+    thMin AS (SELECT least(thA.th, thB.th) AS th FROM thA, thB),
+    kmvEst AS (
+      SELECT 0 AS i, round(CASE WHEN th >= 1.0 THEN CAST(nk AS DOUBLE)
+                                ELSE {float(_KMV_K - 1)} / th END, 6) AS e FROM thA
+      UNION ALL
+      SELECT 1, round(CASE WHEN th >= 1.0 THEN CAST(nk AS DOUBLE)
+                           ELSE {float(_KMV_K - 1)} / th END, 6) FROM thB
+      UNION ALL
+      SELECT 2, round(CAST((SELECT count(*) FROM kmvA
+                            WHERE h IN (SELECT h FROM kmvB)
+                              AND CAST(h AS DOUBLE) / {float(_CMS_P)} < (SELECT th FROM thMin))
+                      AS DOUBLE) / (SELECT th FROM thMin), 6)
+      UNION ALL
+      SELECT 3, round(CAST((SELECT count(*) FROM kmvA
+                            WHERE h NOT IN (SELECT h FROM kmvB)
+                              AND CAST(h AS DOUBLE) / {float(_CMS_P)} < (SELECT th FROM thMin))
+                      AS DOUBLE) / (SELECT th FROM thMin), 6)
     )
-    SELECT 'counter' AS leg, row AS a, bucket AS b, c AS v FROM cnt
+    SELECT 'counter' AS leg, row AS a, bucket AS b, c AS v,
+           CAST(NULL AS DOUBLE) AS vd FROM cnt
     UNION ALL
-    SELECT 'est' AS leg, k, CAST(NULL AS BIGINT), e FROM est
+    SELECT 'est' AS leg, k, CAST(NULL AS BIGINT), e, CAST(NULL AS DOUBLE) FROM est
     UNION ALL
-    SELECT 'hh' AS leg, k, CAST(NULL AS BIGINT), c FROM hh
+    SELECT 'hh' AS leg, k, CAST(NULL AS BIGINT), c, CAST(NULL AS DOUBLE) FROM hh
+    UNION ALL
+    SELECT 'kmv_u' AS leg, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), h,
+           CAST(NULL AS DOUBLE) FROM kmvU
+    UNION ALL
+    SELECT 'kmv_est' AS leg, i, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), e
+    FROM kmvEst
     """,
-    tags=("llm", "sketch", "count-min", "heavy-hitters", "frequency"),
+    tags=("llm", "sketch", "count-min", "kmv", "theta", "heavy-hitters", "frequency"),
 )
 def countmin_freq_estimates(spark, sf_dir):
     """The frequency-estimation family end-to-end, exact in SQL via a
@@ -289,8 +343,22 @@ def countmin_freq_estimates(spark, sf_dir):
 
     hh leg — `heavy_hitters`: the EXACT top-20 keys by count with
     deterministic tie-breaks, the companion the sketch approximates
-    past shuffle scale."""
+    past shuffle scale.
+
+    kmv legs — the KMV/theta sketch (operators/kmv.py) under the same
+    polynomial family: kmv_u hash-checks EVERY value of the lossless
+    union of the two half-corpus sketches against the sketch of the
+    whole (merge correctness, not just estimates); kmv_est checks the
+    four theta-style estimates (|A|, |B|, |A∩B|, |A\\B|) to 6 decimals
+    — the set-intersection capability HLL cannot provide."""
     from d2d_spark.operators.freq import cms_build, cms_lookup, cms_merge, heavy_hitters
+    from d2d_spark.operators.kmv import (
+        kmv_build,
+        kmv_difference_estimate,
+        kmv_estimate,
+        kmv_intersect_estimate,
+        kmv_union,
+    )
 
     o = _t(spark, sf_dir, "orders")
     sk = cms_merge(
@@ -300,11 +368,13 @@ def countmin_freq_estimates(spark, sf_dir):
                   _CMS_DEPTH, _CMS_WIDTH, hasher=_poly_hasher),
     )
     nb = F.lit(None).cast("bigint")
+    nd = F.lit(None).cast("double")
     counter = sk.select(
         F.lit("counter").alias("leg"),
         F.col("row").cast("bigint").alias("a"),
         F.col("bucket").cast("bigint").alias("b"),
         F.col("c").cast("bigint").alias("v"),
+        nd.alias("vd"),
     )
     c = _t(spark, sf_dir, "customer")
     est = cms_lookup(sk, c, "c_custkey", _CMS_DEPTH, _CMS_WIDTH, hasher=_poly_hasher).select(
@@ -312,14 +382,43 @@ def countmin_freq_estimates(spark, sf_dir):
         F.col("c_custkey").cast("bigint").alias("a"),
         nb.alias("b"),
         F.col("est_count").cast("bigint").alias("v"),
+        nd.alias("vd"),
     )
     hh = heavy_hitters(o, "o_custkey", k=20).select(
         F.lit("hh").alias("leg"),
         F.col("o_custkey").cast("bigint").alias("a"),
         nb.alias("b"),
         F.col("cnt").cast("bigint").alias("v"),
+        nd.alias("vd"),
     )
-    return counter.unionByName(est).unionByName(hh)
+    ka = kmv_build(
+        o.filter(F.col("o_orderkey") % 2 == 0), "o_custkey",
+        k=_KMV_K, hasher=_kmv_poly, space=_CMS_P,
+    )
+    kb = kmv_build(
+        o.filter(F.col("o_orderkey") % 2 != 0), "o_custkey",
+        k=_KMV_K, hasher=_kmv_poly, space=_CMS_P,
+    )
+    kmv_u = kmv_union(ka, kb).select(
+        F.lit("kmv_u").alias("leg"), nb.alias("a"), nb.alias("b"),
+        F.col("h").cast("bigint").alias("v"), nd.alias("vd"),
+    )
+    ests = [
+        kmv_estimate(ka, "e"), kmv_estimate(kb, "e"),
+        kmv_intersect_estimate(ka, kb).withColumnRenamed("estimate", "e"),
+        kmv_difference_estimate(ka, kb).withColumnRenamed("estimate", "e"),
+    ]
+    kmv_est = None
+    for i, e in enumerate(ests):
+        row = e.select(
+            F.lit("kmv_est").alias("leg"), F.lit(i).cast("bigint").alias("a"),
+            nb.alias("b"), nb.alias("v"), F.round("e", 6).alias("vd"),
+        )
+        kmv_est = row if kmv_est is None else kmv_est.unionByName(row)
+    return (
+        counter.unionByName(est).unionByName(hh)
+        .unionByName(kmv_u).unionByName(kmv_est)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -26,7 +26,14 @@ ALLOW_NLJ = {
     "jaccard_pairs_clusters",
     "embedding_near_pairs",
     "ann_exact_topk",
-    "range_join_price_bands",  # interval join: non-equi by definition
+    "range_interval_join_suite",  # band/interval joins: non-equi by definition
+}
+
+# queries whose plan legitimately carries BroadcastNestedLoopJoin of
+# ONE-ROW frames (scalar fold-ins: KMV theta, band dimensions) but
+# must still never produce a CartesianProduct
+ALLOW_ONE_ROW_BNLJ = {
+    "countmin_freq_estimates",  # kmv theta one-row crossJoins
 }
 
 
@@ -74,7 +81,8 @@ def main() -> int:
         if "BatchEvalPython" in plan:
             flags.append("row-at-a-time Python UDF")
         if name not in ALLOW_NLJ and (
-            "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+            "CartesianProduct" in plan
+            or ("BroadcastNestedLoopJoin" in plan and name not in ALLOW_ONE_ROW_BNLJ)
         ):
             flags.append("non-equi join")
         print(f"== {name}: {'FLAGS: ' + ', '.join(flags) if flags else 'clean'}")
