@@ -523,6 +523,12 @@ _SQL_WTOKS = (
     r"list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')"
 )
 
+# DSIR features in lockstep with operators/dsir._grams: whitespace
+# tokens (functions/text.tokens_ws), not the classifier's word regex
+_SQL_WTOKS_RAW = r"string_split_regex(trim(text), '\s+')"
+
+_DSIR_B, _DSIR_N, _DSIR_SEED = 256, 20, 3
+
 
 @query(
     "gpt3_quality_score",
@@ -560,12 +566,50 @@ _SQL_WTOKS = (
                            AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS m
       FROM toks LEFT JOIN mg USING (token) LEFT JOIN mr USING (token) CROSS JOIN flr
       GROUP BY 1
+    ),
+    dgrams AS MATERIALIZED (
+      SELECT doc_id, u.g
+      FROM (SELECT doc_id,
+                   list_concat(toks, list_transform(range(1, len(toks)),
+                                                    i -> toks[i] || ' ' || toks[i+1])) AS gs
+            FROM (SELECT doc_id, {_SQL_WTOKS_RAW} AS toks FROM documents)),
+           unnest(gs) AS u(g)
+    ),
+    dbuck AS MATERIALIZED (
+      SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % {_DSIR_B} AS b
+      FROM dgrams
+    ),
+    allb AS (SELECT u.b FROM unnest(generate_series(0, {_DSIR_B - 1})) AS u(b)),
+    tcnt AS (SELECT b, count(*) AS c FROM dbuck JOIN documents USING (doc_id)
+             WHERE lang = 'en' GROUP BY b),
+    ttot AS (SELECT coalesce(SUM(c), 0) AS t FROM tcnt),
+    tmm AS (SELECT allb.b, ln(coalesce(tcnt.c, 0) + 1.0) - ln(ttot.t + {float(_DSIR_B)}) AS lt
+            FROM allb LEFT JOIN tcnt USING (b) CROSS JOIN ttot),
+    rcnt AS (SELECT b, count(*) AS c FROM dbuck GROUP BY b),
+    rtot AS (SELECT SUM(c) AS t FROM rcnt),
+    rmm AS (SELECT allb.b, ln(coalesce(rcnt.c, 0) + 1.0) - ln(rtot.t + {float(_DSIR_B)}) AS lr
+            FROM allb LEFT JOIN rcnt USING (b) CROSS JOIN rtot),
+    dw AS (
+      SELECT doc_id, CAST(SUM(CAST(tmm.lt - rmm.lr AS DECIMAL(28,14))) AS DOUBLE) AS lw
+      FROM dbuck JOIN tmm ON tmm.b = dbuck.b JOIN rmm ON rmm.b = dbuck.b
+      GROUP BY doc_id
+    ),
+    gkeys AS (
+      SELECT doc_id, lw + (-ln(-ln(
+        (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#{_DSIR_SEED}'), 1, 8))
+              AS BIGINT) % 1048576 + 0.5) / 1048576.0))) AS k
+      FROM dw
     )
-    SELECT d.doc_id, round(1.0 / (1.0 + exp(-(coalesce(marg.m, 0.0) + pri.pm))), 6)
-             AS qprob6
+    SELECT 'gpt3' AS leg, d.doc_id,
+           round(1.0 / (1.0 + exp(-(coalesce(marg.m, 0.0) + pri.pm))), 6) AS val
     FROM documents d LEFT JOIN marg USING (doc_id) CROSS JOIN pri
+    UNION ALL
+    SELECT 'dsir_w' AS leg, doc_id, round(lw, 6) FROM dw
+    UNION ALL
+    SELECT 'dsir_pick' AS leg, doc_id, round(k, 6)
+    FROM (SELECT doc_id, k FROM gkeys ORDER BY k DESC, doc_id LIMIT {_DSIR_N})
     """,
-    tags=("llm", "classifier", "quality", "gpt3", "seed-corpus"),
+    tags=("llm", "classifier", "quality", "gpt3", "seed-corpus", "dsir", "resampling"),
 )
 def gpt3_quality_score(spark, sf_dir):
     """GPT-3-style quality scoring (Brown et al. 2020 §A): train a
@@ -579,8 +623,22 @@ def gpt3_quality_score(spark, sf_dir):
     contrast_fraction=1.0 makes the negative class the whole corpus,
     so no hash-sampling enters the hashed surface; the Pareto keep
     rule on top (`nb_quality_filter`) is derandomized through
-    xxhash64 and stays pytest-checked."""
+    xxhash64 and stays pytest-checked.
+
+    dsir legs — DSIR importance resampling (Xie et al. 2023) over the
+    same target-vs-raw framing: dsir_w hash-checks every document's
+    hashed-uni+bigram importance log-weight (two 256-bucket smoothed
+    models, exact DECIMAL accumulation); dsir_pick hash-checks the
+    Gumbel top-20 weighted sample itself — the md5-derandomized noise
+    reproduces in SQL, so the oracle replays the exact selection."""
     from d2d_spark.operators.classifier import nb_quality_score
+    from d2d_spark.operators.dsir import (
+        dsir_log_ratio,
+        dsir_resample,
+        fit_hashed_ngram_dist,
+        hashed_ngram_features,
+        md5_prefix_hasher,
+    )
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     good = d.filter(F.col("lang") == "en").select("text")
@@ -589,7 +647,28 @@ def gpt3_quality_score(spark, sf_dir):
         contrast_fraction=1.0, vocab_size=5000, min_count=1, alpha=1.0,
         per_token=True,
     )
-    return out.select("doc_id", F.round("quality_prob", 6).alias("qprob6"))
+    gpt3 = out.select(
+        F.lit("gpt3").alias("leg"), "doc_id",
+        F.round("quality_prob", 6).alias("val"),
+    )
+    t_model = fit_hashed_ngram_dist(
+        hashed_ngram_features(
+            d.filter(F.col("lang") == "en"), "text", "doc_id", _DSIR_B, md5_prefix_hasher
+        ),
+        _DSIR_B,
+    )
+    r_model = fit_hashed_ngram_dist(
+        hashed_ngram_features(d, "text", "doc_id", _DSIR_B, md5_prefix_hasher), _DSIR_B
+    )
+    lw = dsir_log_ratio(d, "text", "doc_id", t_model, r_model, _DSIR_B, md5_prefix_hasher)
+    dsir_w = lw.select(
+        F.lit("dsir_w").alias("leg"), "doc_id", F.round("log_weight", 6).alias("val")
+    )
+    picked = dsir_resample(lw, "doc_id", _DSIR_N, seed=_DSIR_SEED)
+    dsir_pick = picked.select(
+        F.lit("dsir_pick").alias("leg"), "doc_id", F.round("gumbel_key", 6).alias("val")
+    )
+    return gpt3.unionByName(dsir_w).unionByName(dsir_pick)
 
 
 # ---------------------------------------------------------------------------

@@ -34,6 +34,7 @@ ALLOW_NLJ = {
 # must still never produce a CartesianProduct
 ALLOW_ONE_ROW_BNLJ = {
     "countmin_freq_estimates",  # kmv theta one-row crossJoins
+    "gpt3_quality_score",  # dsir model-total one-row crossJoins
 }
 
 
