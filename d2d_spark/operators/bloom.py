@@ -226,3 +226,78 @@ def bloom_dedup_incremental(
             "filter from history instead of unioning mismatched shapes"
         )
     return fresh, prior.union(add)
+
+
+def bloom_prune_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+    fpp: float = 0.001,
+    expected_items: int | None = None,
+    max_bits: int = 1 << 31,
+) -> DataFrame:
+    """Join with a Bloom prefilter on the BIG side — the runtime-filter
+    pattern for selective joins where the small side is too large to
+    BROADCAST as a hash relation but its key BITMAP fits (a bitmap is
+    10-100x smaller than a broadcast hash set; 100M keys at fpp 1e-3
+    is ~180 MB).
+
+    The result is EXACTLY ``big.join(small, on, how)``: Bloom false
+    positives survive the prefilter but die in the real join, and the
+    no-false-negative guarantee means no matching row is ever lost.
+    What changes is the shuffle: only the ~matching fraction of the
+    big side (plus fpp of the rest) reaches the exchange, so a 1%
+    -selective join of a 100-TB fact table shuffles ~1 TB instead of
+    100 TB. Spark's AQE injects the same filter only within one query
+    and only behind `spark.sql.optimizer.runtime.bloomFilter.*`; this
+    operator makes it explicit, reusable across stages, and
+    persistable (`BloomFilter.to_bytes`).
+
+    - ``inner`` / ``left_semi``: prefilter the big side to maybe-seen
+      rows, then join.
+    - ``left_anti``: rows whose key is DEFINITELY unseen skip the join
+      entirely (the Bloom "no" is authoritative); only maybe-seen rows
+      — matching keys plus ~fpp noise — shuffle into the anti join.
+      Costs a second map-only pass over ``big`` (no extra shuffle);
+      rows with NULL keys never match a join key, so both paths are
+      exact regardless of which side of the filter they land on.
+
+    Multi-column keys hash a '\\x1f'-joined string view; collisions in
+    that view only ADD false positives, which the real join removes.
+    ``expected_items`` defaults to one COUNT(DISTINCT) job over the
+    small side's keys — pass it explicitly to skip that job.
+    """
+    if how not in ("inner", "left_semi", "left_anti"):
+        raise ValueError(
+            f"bloom_prune_join supports inner/left_semi/left_anti, got {how!r} "
+            "— an outer join keeps every big-side row, so there is nothing "
+            "to prune; use a plain join"
+        )
+    from pyspark.sql import functions as F
+
+    keys = [on] if isinstance(on, str) else list(on)
+    for frame, side in ((big, "big"), (small, "small")):
+        missing = [k for k in keys if k not in frame.columns]
+        if missing:
+            raise ValueError(f"bloom_prune_join: {side} side lacks key column(s) {missing}")
+
+    def keyed(df: DataFrame) -> DataFrame:
+        if len(keys) == 1:
+            return df.withColumn("__bk", F.col(keys[0]).cast("string"))
+        return df.withColumn(
+            "__bk", F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
+        )
+
+    small_keys = keyed(small.select(*keys).distinct())
+    if expected_items is None:
+        expected_items = small_keys.count()
+    bloom = build_bloom(small_keys, "__bk", max(expected_items, 1), fpp, max_bits)
+
+    big_k = keyed(big)
+    if how == "left_anti":
+        survivors = filter_seen(big_k, bloom, "__bk", keep_seen=True).drop("__bk")
+        bypass = filter_seen(big_k, bloom, "__bk", keep_seen=False).drop("__bk")
+        return survivors.join(small, keys, "left_anti").unionByName(bypass)
+    pruned = filter_seen(big_k, bloom, "__bk", keep_seen=True).drop("__bk")
+    return pruned.join(small, keys, how)

@@ -201,3 +201,91 @@ def test_stream_bloom_sink_in_batch_dedup_and_lifetime_guards(spark, tmp_path):
         assert False, "fresh checkpoint over old state must refuse"
     except ValueError as e:
         assert "previous checkpoint lifetime" in str(e)
+
+
+# ---------------------------------------------------------------------------
+# bloom_prune_join: the runtime-filter join — result must be EXACTLY
+# the plain join for every supported how, with the big side pruned
+# map-side before the shuffle
+# ---------------------------------------------------------------------------
+
+
+def _join_fixtures(spark):
+    # big: 4000 rows over 400 keys; small: 37 selective keys + extras
+    big = spark.range(4000).select(
+        (F.col("id") % 400).alias("k"), (F.col("id") * 7).alias("payload")
+    )
+    small = spark.range(37).select(
+        (F.col("id") * 11).alias("k"), F.concat(F.lit("dim_"), "id").alias("name")
+    )
+    return big, small
+
+
+def _sorted_rows(df):
+    return sorted((tuple(r) for r in df.collect()), key=repr)
+
+
+def test_bloom_prune_join_inner_equals_plain(spark):
+    from d2d_spark.operators.bloom import bloom_prune_join
+
+    big, small = _join_fixtures(spark)
+    got = bloom_prune_join(big, small, "k", "inner", fpp=1e-6)
+    want = big.join(small, "k", "inner")
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_bloom_prune_join_semi_and_anti_equal_plain(spark):
+    from d2d_spark.operators.bloom import bloom_prune_join
+
+    big, small = _join_fixtures(spark)
+    for how in ("left_semi", "left_anti"):
+        got = bloom_prune_join(big, small, "k", how, fpp=1e-6)
+        want = big.join(small, "k", how)
+        assert _sorted_rows(got) == _sorted_rows(want), how
+    # anti + semi partition the big side exactly
+    n_semi = bloom_prune_join(big, small, "k", "left_semi").count()
+    n_anti = bloom_prune_join(big, small, "k", "left_anti").count()
+    assert n_semi + n_anti == big.count()
+
+
+def test_bloom_prune_join_multi_key_and_null_keys(spark):
+    from d2d_spark.operators.bloom import bloom_prune_join
+
+    big = spark.createDataFrame(
+        [(1, "a", 10), (1, None, 11), (2, "b", 12), (None, "b", 13), (3, "c", 14)],
+        "k1 int, k2 string, payload int",
+    )
+    small = spark.createDataFrame(
+        [(1, "a", "x"), (3, "c", "y"), (9, "z", "w")], "k1 int, k2 string, name string"
+    )
+    for how in ("inner", "left_semi", "left_anti"):
+        got = bloom_prune_join(big, small, ["k1", "k2"], how, fpp=1e-6)
+        want = big.join(small, ["k1", "k2"], how)
+        assert _sorted_rows(got) == _sorted_rows(want), how
+
+
+def test_bloom_prune_join_actually_prunes(spark):
+    from d2d_spark.operators.bloom import bloom_prune_join, build_bloom
+
+    big, small = _join_fixtures(spark)
+    # the prefilter itself (what reaches the join) keeps only matching
+    # keys at fpp 1e-6 on this fixture — the shuffle-volume claim
+    sk = small.select(F.col("k").cast("string").alias("__bk")).distinct()
+    bf = build_bloom(sk, "__bk", expected_items=37, fpp=1e-6)
+    kept = filter_seen(
+        big.withColumn("__bk", F.col("k").cast("string")), bf, "__bk", keep_seen=True
+    )
+    matching = big.join(small.select("k").distinct(), "k", "left_semi")
+    assert kept.count() == matching.count()
+
+
+def test_bloom_prune_join_validation(spark):
+    import pytest as _pytest
+
+    from d2d_spark.operators.bloom import bloom_prune_join
+
+    big, small = _join_fixtures(spark)
+    with _pytest.raises(ValueError, match="inner/left_semi/left_anti"):
+        bloom_prune_join(big, small, "k", "left")
+    with _pytest.raises(ValueError, match="lacks key column"):
+        bloom_prune_join(big, small, "nope")
