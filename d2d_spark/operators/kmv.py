@@ -237,3 +237,27 @@ def load_kmv(spark, path: str) -> DataFrame:
     if _k_of(df) is None:
         raise ValueError(f"{path}: no d2d.kmv.k stamp — not a kmv_build output")
     return df
+
+
+def kmv_estimate_grouped(
+    sk: DataFrame, by: str | list[str], out_col: str = "n_distinct"
+) -> DataFrame:
+    """Per-group distinct estimate over a `kmv_build_grouped` store —
+    one hash aggregate over k-row-per-group sketch state (never raw
+    data): exact for groups that kept fewer than k values, else
+    (k - 1) / theta with theta the group's k-th minimum."""
+    k = _k_of(sk)
+    if k is None:
+        raise ValueError("kmv_estimate_grouped: no d2d.kmv.k stamp on the sketch")
+    space = _space_of(sk)
+    keys = [by] if isinstance(by, str) else list(by)
+    per = sk.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        (F.max("h").cast("double") / F.lit(float(space))).alias("__theta"),
+    )
+    return per.select(
+        *keys,
+        F.when(F.col("__n_kept") < k, F.col("__n_kept").cast("double"))
+        .otherwise(F.lit(float(k - 1)) / F.col("__theta"))
+        .alias(out_col),
+    )

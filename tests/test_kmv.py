@@ -118,3 +118,29 @@ def test_hash_space_bound(spark):
     mx = sk.agg(F.max("h")).collect()[0][0]
     mn = sk.agg(F.min("h")).collect()[0][0]
     assert 0 <= mn and mx < _SPACE
+
+
+def test_grouped_estimates(spark):
+    from d2d_spark.operators.kmv import kmv_estimate_grouped
+
+    # group 'a': 40 distinct (< k, exact); group 'b': 3000 (> k, ~3%)
+    df = spark.range(3040).select(
+        F.when(F.col("id") < 40, F.lit("a")).otherwise(F.lit("b")).alias("g"),
+        F.concat(F.lit("v"), "id").alias("v"),
+    )
+    sk = kmv_build_grouped(df, "v", "g", k=256)
+    est = {r.g: r.n_distinct for r in kmv_estimate_grouped(sk, "g").collect()}
+    assert est["a"] == 40.0
+    assert abs(est["b"] - 3000) / 3000 < 0.2
+    # grouped rows estimate identically to a standalone build per group
+    solo = kmv_build(df.filter(F.col("g") == "b"), "v", k=256)
+    solo_est = kmv_estimate(solo).collect()[0].n_distinct
+    assert est["b"] == solo_est
+
+
+def test_grouped_estimate_requires_stamp(spark):
+    from d2d_spark.operators.kmv import kmv_estimate_grouped
+
+    df = spark.range(10).select(F.lit("a").alias("g"), F.col("id").alias("h"))
+    with pytest.raises(ValueError, match="stamp"):
+        kmv_estimate_grouped(df, "g")
