@@ -529,6 +529,57 @@ _SQL_WTOKS_RAW = r"string_split_regex(trim(text), '\s+')"
 
 _DSIR_B, _DSIR_N, _DSIR_SEED = 256, 20, 3
 
+# logistic-regression legs (operators/logreg.py): same whitespace
+# uni+bigram gram stream as DSIR (the dgrams CTE is shared), hashed
+# into a smaller model under the same md5 family
+_LR_B, _LR_ROUNDS, _LR_LR, _LR_REG = 64, 6, 0.5, 0.1
+
+
+def _lr_cte_chain() -> str:
+    """Unrolled-CTE replay of fit_logreg_hashed: one (z, g, w) CTE
+    trio per full-batch GD round, every sum in exact DECIMAL — the
+    PageRank precedent for oracling iterative algorithms. EVERY round
+    CTE is AS MATERIALIZED or DuckDB inlines each level into the next
+    (exponential blowup)."""
+    decay = repr(1.0 - _LR_LR * _LR_REG)
+    parts = [f"""
+    lrdocy AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+               FROM documents),
+    lrfeats AS MATERIALIZED (
+      SELECT b.doc_id AS fid, b.bucket, 1.0 AS x, lrdocy.y
+      FROM (SELECT DISTINCT doc_id,
+                   CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % {_LR_B} AS bucket
+            FROM dgrams) b JOIN lrdocy USING (doc_id)
+      UNION ALL
+      SELECT doc_id, -1, 1.0, y FROM lrdocy
+    ),
+    lrn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    lrw0 AS (SELECT u.b AS bucket, 0.0 AS w
+             FROM unnest(generate_series(-1, {_LR_B - 1})) AS u(b))"""]
+    for t in range(1, _LR_ROUNDS + 1):
+        parts.append(f"""
+    lrz{t} AS MATERIALIZED (
+      SELECT fid, max(y) AS y,
+             CAST(SUM(CAST(x * w AS DECIMAL(28,14))) AS DOUBLE) AS z
+      FROM lrfeats JOIN lrw{t - 1} USING (bucket) GROUP BY fid
+    ),
+    lrg{t} AS MATERIALIZED (
+      SELECT bucket,
+             CAST(SUM(CAST(x * (1.0 / (1.0 + exp(-z.z)) - z.y) AS DECIMAL(28,14)))
+                  AS DOUBLE) / (SELECT n FROM lrn) AS g
+      FROM lrfeats f JOIN lrz{t} z ON z.fid = f.fid GROUP BY bucket
+    ),
+    lrw{t} AS MATERIALIZED (
+      SELECT w.bucket, w.w * {decay} - {_LR_LR!r} * coalesce(g.g, 0.0) AS w
+      FROM lrw{t - 1} w LEFT JOIN lrg{t} g USING (bucket)
+    )""")
+    parts.append(f"""
+    lrpfin AS MATERIALIZED (
+      SELECT fid, CAST(SUM(CAST(x * w AS DECIMAL(28,14))) AS DOUBLE) AS z
+      FROM lrfeats JOIN lrw{_LR_ROUNDS} USING (bucket) GROUP BY fid
+    )""")
+    return ",".join(parts)
+
 
 @query(
     "gpt3_quality_score",
@@ -599,7 +650,8 @@ _DSIR_B, _DSIR_N, _DSIR_SEED = 256, 20, 3
         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#{_DSIR_SEED}'), 1, 8))
               AS BIGINT) % 1048576 + 0.5) / 1048576.0))) AS k
       FROM dw
-    )
+    ),
+    {_lr_cte_chain()}
     SELECT 'gpt3' AS leg, d.doc_id,
            round(1.0 / (1.0 + exp(-(coalesce(marg.m, 0.0) + pri.pm))), 6) AS val
     FROM documents d LEFT JOIN marg USING (doc_id) CROSS JOIN pri
@@ -608,8 +660,15 @@ _DSIR_B, _DSIR_N, _DSIR_SEED = 256, 20, 3
     UNION ALL
     SELECT 'dsir_pick' AS leg, doc_id, round(k, 6)
     FROM (SELECT doc_id, k FROM gkeys ORDER BY k DESC, doc_id LIMIT {_DSIR_N})
+    UNION ALL
+    SELECT 'lr_w' AS leg, bucket AS doc_id, round(w, 6) FROM lrw{_LR_ROUNDS}
+    UNION ALL
+    SELECT 'lr_p' AS leg, fid AS doc_id, round(1.0 / (1.0 + exp(-z)), 6) FROM lrpfin
     """,
-    tags=("llm", "classifier", "quality", "gpt3", "seed-corpus", "dsir", "resampling"),
+    tags=(
+        "llm", "classifier", "quality", "gpt3", "seed-corpus", "dsir",
+        "resampling", "logreg",
+    ),
 )
 def gpt3_quality_score(spark, sf_dir):
     """GPT-3-style quality scoring (Brown et al. 2020 §A): train a
@@ -630,7 +689,16 @@ def gpt3_quality_score(spark, sf_dir):
     hashed-uni+bigram importance log-weight (two 256-bucket smoothed
     models, exact DECIMAL accumulation); dsir_pick hash-checks the
     Gumbel top-20 weighted sample itself — the md5-derandomized noise
-    reproduces in SQL, so the oracle replays the exact selection."""
+    reproduces in SQL, so the oracle replays the exact selection.
+
+    lr legs — trainable logistic regression over the same hashed
+    gram features (`operators/logreg.py`, the fastText-shaped
+    discriminative step up from NB): lr_w hash-checks the ENTIRE
+    weight vector after the fixed full-batch GD rounds against an
+    unrolled one-CTE-chain-per-round SQL replay (the PageRank
+    precedent — exact DECIMAL sums make both engines' accumulation
+    order-invariant), lr_p hash-checks every document's final sigmoid
+    score. Labels are lang='en', the same gold-vs-raw framing."""
     from d2d_spark.operators.classifier import nb_quality_score
     from d2d_spark.operators.dsir import (
         dsir_log_ratio,
@@ -639,6 +707,7 @@ def gpt3_quality_score(spark, sf_dir):
         hashed_ngram_features,
         md5_prefix_hasher,
     )
+    from d2d_spark.operators.logreg import fit_logreg_hashed, score_logreg_hashed
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     good = d.filter(F.col("lang") == "en").select("text")
@@ -668,7 +737,28 @@ def gpt3_quality_score(spark, sf_dir):
     dsir_pick = picked.select(
         F.lit("dsir_pick").alias("leg"), "doc_id", F.round("gumbel_key", 6).alias("val")
     )
-    return gpt3.unionByName(dsir_w).unionByName(dsir_pick)
+    labeled = d.withColumn(
+        "__y", F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    wts = fit_logreg_hashed(
+        labeled, "text", "__y", "doc_id",
+        n_buckets=_LR_B, rounds=_LR_ROUNDS, lr=_LR_LR, reg=_LR_REG,
+        hasher=md5_prefix_hasher, feature_partitions=16,
+    )
+    lr_w = wts.select(
+        F.lit("lr_w").alias("leg"), F.col("bucket").alias("doc_id"),
+        F.round("w", 6).alias("val"),
+    )
+    probs = score_logreg_hashed(
+        d, "text", "doc_id", wts, n_buckets=_LR_B, hasher=md5_prefix_hasher
+    )
+    lr_p = probs.select(
+        F.lit("lr_p").alias("leg"), "doc_id", F.round("prob", 6).alias("val")
+    )
+    return (
+        gpt3.unionByName(dsir_w).unionByName(dsir_pick)
+        .unionByName(lr_w).unionByName(lr_p)
+    )
 
 
 # ---------------------------------------------------------------------------
