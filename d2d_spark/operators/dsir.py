@@ -99,8 +99,12 @@ def fit_hashed_ngram_dist(
     range — untouched buckets get the floor, so the model is total
     and the scorer needs no null fallback. At most n_buckets rows."""
     counts = features.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    # empty feature stream => NULL SUM, which would silently NULL every
+    # logp downstream; coalescing to 0 yields the smoothed UNIFORM
+    # model (logp = -log B for all buckets) — defined, and the same
+    # thing the SQL oracle's coalesced total computes
     total = counts.agg(
-        F.sum("c").alias("__total")
+        F.coalesce(F.sum("c"), F.lit(0)).alias("__total")
     )
     full = (
         features.sparkSession.range(n_buckets)
@@ -130,12 +134,27 @@ def dsir_log_ratio(
     hasher: GramHasher | None = None,
     out_col: str = "log_weight",
 ) -> DataFrame:
-    """Per-document importance log-weight. Documents with no grams
-    (empty after tokenization never happens with tokens_ws — one
-    empty-string token still hashes) keep a defined weight. Exact
-    DECIMAL(28,14) accumulation so the sum is partitioning-invariant
-    and engine-portable."""
+    """Per-document importance log-weight. Non-NULL texts always
+    produce grams (tokens_ws of an empty string is one empty token,
+    which still hashes), so every non-NULL-text document gets a
+    weight; NULL-text documents contribute no feature rows and are
+    ABSENT from the output — filter or impute upstream if they must
+    be sampleable. Exact DECIMAL(28,14) accumulation so the sum is
+    partitioning-invariant and engine-portable."""
     feats = hashed_ngram_features(df, text_col, id_col, n_buckets, hasher)
+    return _log_ratio_from_features(feats, id_col, target_model, raw_model, out_col)
+
+
+def _log_ratio_from_features(
+    feats: DataFrame,
+    id_col: str,
+    target_model: DataFrame,
+    raw_model: DataFrame,
+    out_col: str = "log_weight",
+) -> DataFrame:
+    """`dsir_log_ratio` over an already-built (id, bucket) feature
+    stream — lets `dsir_select` featurize the raw corpus ONCE for
+    both the raw-model fit and the scoring pass."""
     model = (
         target_model.select("bucket", F.col("logp").alias("__lt"))
         .join(raw_model.select("bucket", F.col("logp").alias("__lr")), "bucket")
@@ -204,14 +223,19 @@ def dsir_select(
 ) -> DataFrame:
     """The whole pipeline in one call: fit both models, weigh every
     raw document, resample n. Returns the selected rows of ``raw``
-    plus (log_weight, gumbel_key)."""
+    plus (log_weight, gumbel_key). The raw corpus is featurized ONCE
+    (persisted) — the gram explode is the dominant scan, and both the
+    raw-model fit and the scoring pass read the same stream."""
+    from d2d_spark import cache
+
     h = hasher or xxhash_hasher
     t_model = fit_hashed_ngram_dist(
         hashed_ngram_features(target, text_col, id_col, n_buckets, h), n_buckets, alpha
     )
-    r_model = fit_hashed_ngram_dist(
-        hashed_ngram_features(raw, text_col, id_col, n_buckets, h), n_buckets, alpha
+    raw_feats = cache.register(
+        "dsir", hashed_ngram_features(raw, text_col, id_col, n_buckets, h).persist()
     )
-    lw = dsir_log_ratio(raw, text_col, id_col, t_model, r_model, n_buckets, h)
+    r_model = fit_hashed_ngram_dist(raw_feats, n_buckets, alpha)
+    lw = _log_ratio_from_features(raw_feats, id_col, t_model, r_model)
     picked = dsir_resample(lw, id_col, n, seed)
     return raw.join(picked, id_col)

@@ -105,17 +105,31 @@ def fit_logreg_hashed(
     spark = df.sparkSession
     y = F.col(label_col).cast("double")
     labels = df.select(id_col, y.alias("__y"))
-    bad = labels.filter(
-        F.col("__y").isNull() | ~F.col("__y").isin(0.0, 1.0)
-    ).limit(1).count()
-    if bad:
+    # ONE validation job covers labels, duplicates, and N: duplicate
+    # ids would silently double the intercept feature and let
+    # max('__y') pick among conflicting labels — corrupt fits must
+    # refuse loudly, not converge quietly
+    stats = labels.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count_distinct(F.col(id_col)).alias("__nid"),
+        F.sum(
+            (F.col("__y").isNull() | ~F.col("__y").isin(0.0, 1.0)).cast("int")
+        ).alias("__bad"),
+    ).collect()[0]
+    if stats["__bad"]:
         raise ValueError(
             f"fit_logreg_hashed: {label_col} must be binary 0/1 with no NULLs "
             "— filter or impute labels upstream"
         )
+    if stats["__nid"] != stats["__n"]:
+        raise ValueError(
+            f"fit_logreg_hashed: {id_col} has duplicate (or NULL) values "
+            f"({stats['__n']} rows, {stats['__nid']} distinct ids) — each "
+            "document must appear once; dedup upstream"
+        )
     # MEAN gradient, so lr is corpus-size-free (sum-gradient diverges
     # as N grows); N is a one-scalar driver constant, model-sized
-    n_docs = labels.count()
+    n_docs = stats["__n"]
     if n_docs == 0:
         raise ValueError("fit_logreg_hashed: empty input — nothing to fit")
     # label rides the feature stream so no per-round label join exists

@@ -867,6 +867,11 @@ def _bpe_pack_mix_oracle() -> str:
         rows.append((tag, "mix", "head#0", len(head), sum(ntok[i] for i in head)))
         for e in (0, 1):
             rows.append((tag, "mix", f"tail#{e}", len(tail), sum(ntok[i] for i in tail)))
+    if not rows:
+        # no fixture readable at registration: keep the SQL parseable
+        # and the failure shape the documented loud zero-row mismatch
+        # (sentinel tag never equals a real SUM(length(text)) > 0)
+        rows = [(-1, "", "", 0, 0)]
     values = ",\n     ".join(
         f"({t}, '{leg}', '{k}', {n}, {tok})" for t, leg, k, n, tok in rows
     )

@@ -808,6 +808,12 @@ def _pack_and_concat_oracle() -> str:
                 len(ids),
                 sum(ntok[i] for i in ids),
             ))
+    if not rows:
+        # no fixture readable at registration: a bare "VALUES )" would
+        # be a parser error masquerading as an oracle bug — keep the
+        # documented loud-zero-row failure shape with a sentinel tag
+        # that can never equal a real SUM(length(text)) > 0
+        rows = [(-1, 0, "", 0, "", 0, 0)]
     values = ",\n     ".join(
         f"({t}, {b}, '{m}', {ln}, '{csv}', {nd}, {nt})"
         for t, b, m, ln, csv, nd, nt in rows

@@ -31,11 +31,57 @@ ALLOW_NLJ = {
 
 # queries whose plan legitimately carries BroadcastNestedLoopJoin of
 # ONE-ROW frames (scalar fold-ins: KMV theta, band dimensions) but
-# must still never produce a CartesianProduct
+# must still never produce a CartesianProduct. The one-row claim is
+# ENFORCED, not trusted: _one_row_bnlj_flags checks every
+# IdentityBroadcastMode subtree really is aggregate-bounded.
 ALLOW_ONE_ROW_BNLJ = {
     "countmin_freq_estimates",  # kmv theta one-row crossJoins
     "gpt3_quality_score",  # dsir model-total one-row crossJoins
 }
+
+_EMPTY_KEYS_AGG = re.compile(r"(Hash|Sort|ObjectHash)Aggregate.*\bkeys=\[\]")
+_SCAN = re.compile(r"\b(FileScan|LocalTableScan|Scan \w)")
+
+
+def _indent(line: str) -> int:
+    return len(line) - len(line.lstrip(" :+-*("))
+
+
+def _subtree_end(lines: list[str], i: int) -> int:
+    ind = _indent(lines[i])
+    j = i + 1
+    while j < len(lines) and _indent(lines[j]) > ind:
+        j += 1
+    return j
+
+
+def _one_row_bnlj_flags(plan_simple: str) -> list[str]:
+    """For a query allowed BNLJ on the one-row-broadcast theory, verify
+    the theory: inside every ``BroadcastExchange IdentityBroadcastMode``
+    subtree, every scan must sit BELOW an aggregate with empty grouping
+    keys (exactly-one-row output) — so the broadcast relation is
+    provably scalar-sized, and a future edit that sneaks a real table
+    into a nested-loop broadcast gets flagged instead of exempted."""
+    lines = [ln for ln in plan_simple.splitlines() if ln.strip()]
+    flags = []
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange IdentityBroadcastMode" not in ln:
+            continue
+        end = _subtree_end(lines, i)
+        aggs = [
+            (a, _subtree_end(lines, a))
+            for a in range(i + 1, end)
+            if _EMPTY_KEYS_AGG.search(lines[a])
+        ]
+        for s in range(i + 1, end):
+            if not _SCAN.search(lines[s]):
+                continue
+            if not any(a < s < a_end for a, a_end in aggs):
+                flags.append(
+                    "BNLJ broadcast side scans a real relation with no "
+                    f"one-row aggregate above it: {lines[s].strip()[:90]}"
+                )
+    return flags
 
 
 def main() -> int:
@@ -86,6 +132,11 @@ def main() -> int:
             or ("BroadcastNestedLoopJoin" in plan and name not in ALLOW_ONE_ROW_BNLJ)
         ):
             flags.append("non-equi join")
+        if name in ALLOW_ONE_ROW_BNLJ and "BroadcastNestedLoopJoin" in plan:
+            simple = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+            )
+            flags.extend(_one_row_bnlj_flags(simple))
         print(f"== {name}: {'FLAGS: ' + ', '.join(flags) if flags else 'clean'}")
         for line in plan.splitlines():
             if "PushedFilters" in line or "PartitionFilters" in line:

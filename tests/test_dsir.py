@@ -175,3 +175,29 @@ def test_validation(spark):
     lw = spark.createDataFrame([(1, 0.0)], "doc_id long, log_weight double")
     with pytest.raises(ValueError, match="n must be"):
         dsir_resample(lw, "doc_id", 0)
+
+
+def test_gumbel_selection_proportional_to_exp_lw():
+    """The statistical Gumbel-max property itself: over many seeds the
+    n=1 winner frequency is proportional to exp(lw). Pure Python over
+    the SAME key formula test_resample_matches_python_gumbel pins
+    bit-for-bit against the Spark column, so the check transfers.
+    Deterministic (fixed seed range + md5), so it either holds forever
+    or fails immediately — no flake."""
+    lw = {1: 0.0, 2: math.log(2.0), 3: math.log(4.0)}
+
+    def key(i, seed):
+        u = (
+            int(hashlib.md5(f"{i}#{seed}".encode()).hexdigest()[:8], 16) % (1 << 20)
+            + 0.5
+        ) / float(1 << 20)
+        return lw[i] + (-math.log(-math.log(u)))
+
+    n_trials = 7000
+    wins = {i: 0 for i in lw}
+    for seed in range(n_trials):
+        wins[max(lw, key=lambda i: key(i, seed))] += 1
+    for i, p in ((1, 1 / 7), (2, 2 / 7), (3, 4 / 7)):
+        # ~3.4 sd at the worst-case p — generous but still a real
+        # proportionality check (uniform selection would be ~0.19 off)
+        assert abs(wins[i] / n_trials - p) < 0.02, (i, wins)
