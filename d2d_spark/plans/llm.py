@@ -128,22 +128,183 @@ def text_stats_lang_quality(spark, sf_dir):
     return stats.unionByName(langq)
 
 
+def _py_md5h(g: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16)
+
+
+def _py_winnow(text: str, k: int, w: int) -> set[tuple[int, int]]:
+    """Independent pure-Python winnowing (no code shared with
+    operators/winnow.py): k-gram md5-prefix hashes, window of w, min
+    with rightmost tie-break, distinct (pos, h) selections."""
+    if text is None or len(text) < k:
+        return set()
+    grams = [(i, _py_md5h(text[i : i + k])) for i in range(len(text) - k + 1)]
+    picked = set()
+    for s in range(max(len(grams) - w + 1, 1)):
+        win = grams[s : s + w]
+        m = min(h for _, h in win)
+        picked.add((max(p for p, h in win if h == m), m))
+    return picked
+
+
+_WINNOW_K, _WINNOW_W = 8, 4
+_WINNOW_THR = 80  # pairs-leg jaccard threshold, percent
+
+
+def _fingerprint_suite_oracle() -> str:
+    """exact leg in plain SQL; winnow + pairs legs as literal VALUES
+    computed at registration by _py_winnow over each fixture (keyed
+    per SF by SUM(length(text)) — the pack_and_concat precedent; an
+    unknown corpus selects zero literal rows and fails loudly)."""
+    import hashlib
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    k, w = _WINNOW_K, _WINNOW_W
+    rows: list[tuple[int, str, str, int, int]] = []
+    for sf in ("0.001", "0.01", "0.1"):
+        try:
+            t = pq.read_table(
+                f"/root/testdata/sf{sf}/documents.parquet", columns=["doc_id", "text"]
+            )
+        except Exception:
+            continue
+        docs = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+        tag = sum(len(s) for s in docs.values())
+        # winnow leg: canonical per-doc fingerprint digest, doc_id % 7
+        for i in sorted(docs):
+            if i % 7:
+                continue
+            fps = sorted(_py_winnow(docs[i], k, w))
+            if not fps:
+                continue
+            canon = ",".join(f"{p}:{h}" for p, h in fps)
+            rows.append(
+                (tag, "winnow", hashlib.md5(canon.encode()).hexdigest(), i, len(fps))
+            )
+        # pairs leg: doc_id % 5 corpus + clones (id + 1,000,000) of
+        # doc_id % 10, distinct-hash-set jaccard >= threshold
+        corpus = {i: docs[i] for i in docs if i % 5 == 0}
+        corpus.update({i + 1_000_000: docs[i] for i in docs if i % 10 == 0})
+        hsets = {i: {h for _, h in _py_winnow(s, k, w)} for i, s in corpus.items()}
+        shared: Counter = Counter()
+        inv: dict[int, list[int]] = {}
+        for i, hs in hsets.items():
+            for h in hs:
+                inv.setdefault(h, []).append(i)
+        for ids in inv.values():
+            ids.sort()
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    shared[(ids[x], ids[y])] += 1
+        for (a, b), n in sorted(shared.items()):
+            if 100 * n >= _WINNOW_THR * (len(hsets[a]) + len(hsets[b]) - n):
+                rows.append((tag, "pairs", f"{a}|{b}", b, n))
+    if not rows:
+        rows = [(-1, "", "", 0, 0)]
+    values = ",\n     ".join(
+        f"({t}, '{leg}', '{fp}', {d}, {n})" for t, leg, fp, d, n in rows
+    )
+    return f"""
+    SELECT 'exact' AS leg,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+           MIN(doc_id) AS doc_id, COUNT(*) AS n
+    FROM documents GROUP BY 2
+    UNION ALL
+    SELECT leg, fp, CAST(doc_id AS BIGINT) AS doc_id, CAST(n AS BIGINT) AS n
+    FROM (VALUES
+     {values}) AS expected(sftag, leg, fp, doc_id, n)
+    WHERE sftag = (SELECT SUM(length(text)) FROM documents)
+    """
+
+
 @query(
     "fingerprint_dedup_documents",
-    oracle="""
-    SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
-           MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
-    FROM documents GROUP BY 1
-    """,
-    tags=("llm", "dedup", "exact"),
+    oracle=_fingerprint_suite_oracle(),
+    tags=("llm", "dedup", "exact", "winnow"),
 )
 def fingerprint_dedup_documents(spark, sf_dir):
-    """Exact dedup via normalized-text fingerprint: one representative
-    (min doc_id) per md5 — hash-groupBy, uniform shuffle keys."""
+    """Document fingerprinting suite, three legs on one shared schema
+    (leg, fp, doc_id, n):
+
+    exact — normalized-text md5 dedup, one representative (min
+    doc_id) per hash: hash-groupBy, uniform shuffle keys.
+
+    winnow — rolling-hash winnowing fingerprints (Schleimer et al.
+    2003, operators/winnow.py) over the doc_id % 7 subset with the
+    engine-portable md5-prefix hasher; each doc's DISTINCT (pos, h)
+    selections are pinned exactly via an md5 over their canonical
+    ','-joined 'pos:h' serialization, sorted by (pos, h) — one row
+    per doc, fp = digest, n = fingerprint count.
+
+    pairs — winnow_near_pairs on a planted-clone corpus (doc_id % 5
+    subset plus byte-identical clones, id + 1,000,000, of the
+    doc_id % 10 subset) at 80% fingerprint-set jaccard with integer
+    cross-multiplication — fp = 'id_a|id_b', doc_id = id_b,
+    n = shared-fingerprint count.
+
+    The winnow/pairs oracle legs are literal VALUES computed at
+    registration by an independent pure-Python winnowing
+    implementation (_py_winnow) — a genuine differential test with
+    no DuckDB list-function surface (see _pack_and_concat_oracle for
+    why that surface is avoided)."""
+    from d2d_spark.operators.dsir import md5_prefix_hasher
+    from d2d_spark.operators.winnow import winnow_fingerprints, winnow_near_pairs
+
     d = _t(spark, sf_dir, "documents")
-    return d.groupBy(X.fingerprint(F.col("text")).alias("fp")).agg(
-        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies")
+    exact = (
+        d.groupBy(X.fingerprint(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n"))
+        .select(F.lit("exact").alias("leg"), "fp", "doc_id", "n")
     )
+    sub = d.filter(F.col("doc_id") % 7 == 0)
+    fps = winnow_fingerprints(
+        sub, "text", "doc_id", k=_WINNOW_K, w=_WINNOW_W, hasher=md5_prefix_hasher
+    )
+    winnow = (
+        fps.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "h"))),
+                        lambda s: F.concat_ws(
+                            ":", s["pos"].cast("string"), s["h"].cast("string")
+                        ),
+                    ),
+                )
+            ).alias("fp"),
+        )
+        .select(F.lit("winnow").alias("leg"), "fp", "doc_id", "n")
+    )
+    base = d.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    clones = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    pairs = winnow_near_pairs(
+        base.unionByName(clones),
+        "text",
+        "doc_id",
+        k=_WINNOW_K,
+        w=_WINNOW_W,
+        threshold_pct=_WINNOW_THR,
+        max_df=None,  # fixture-sized corpus, no boilerplate to cap
+        hasher=md5_prefix_hasher,
+    ).select(
+        F.lit("pairs").alias("leg"),
+        F.concat_ws(
+            "|", F.col("id_a").cast("string"), F.col("id_b").cast("string")
+        ).alias("fp"),
+        F.col("id_b").alias("doc_id"),
+        F.col("n_shared").alias("n"),
+    )
+    return exact.unionByName(winnow).unionByName(pairs)
 
 
 

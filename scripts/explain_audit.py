@@ -118,6 +118,7 @@ def main() -> int:
         "embedding_reduce_project",  # map-only Arrow GEMM: no shuffle at all
         "bloom_seen_filter",     # bitmap probe is map-side: no join, no shuffle
         "gpt3_quality_score",    # model broadcast + one per-doc aggregate
+        "fingerprint_dedup_documents",  # winnow pairs: h equi-join only, map-only selection
     ]
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     problems = []
