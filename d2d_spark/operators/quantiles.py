@@ -1,0 +1,196 @@
+"""Exact distributed quantiles without the value buffer.
+
+Spark's exact `percentile` / DuckDB's `quantile_disc` materialize
+every value of a group in one aggregation buffer — fine per small
+group, impossible for a GLOBAL quantile over 100 TB (the buffer is
+the dataset). `approx_percentile` is the sketch answer when error is
+acceptable; this module is the exact answer with bounded memory:
+
+  1. collapse to (value, count) — one groupBy with map-side combine;
+     the working set is DISTINCT values, not rows;
+  2. bucket the distinct values by EXPLICIT in-plan boundaries (a
+     one-row percentile_approx over the distinct values, folded in
+     by one-row broadcast crossJoin; bucket id = boundaries-below
+     count). Deterministic by construction — unlike
+     repartitionByRange + spark_partition_id, whose sampled
+     boundaries are not guaranteed identical if the exchange is
+     recomputed for the two consumers below;
+  3. distributed prefix sum: per-bucket subtotals (one tiny agg,
+     <= #buckets rows) cumsum on a single-partition window —
+     legitimate, the frame is bucket-COUNT-sized — then a broadcast
+     join hands each bucket its offset and a window partitioned BY
+     BUCKET computes within-bucket running counts. No global-order
+     single-partition window ever sees row- or value-scale data;
+  4. the quantile targets fold in via a one-row crossJoin of the
+     total count (the KMV/countmin one-row-broadcast discipline) and
+     each (value) row keeps the targets its cumulative range covers.
+
+Buckets split the DISTINCT-value mass evenly (the boundaries are
+quantiles of the distinct values themselves), which is the right
+balance target: every downstream width — window size, shuffle rows —
+is measured in distinct values, not input rows.
+
+Semantics are `percentile_disc`: the SMALLEST value whose cumulative
+count reaches ceil(p * n), p = 0 mapping to the minimum. Values
+return unchanged (no interpolation), so results are engine-exact —
+no float drift to canonicalize.
+
+`group_quantiles_exact` is the per-key variant: the cumsum window
+partitions by key, so parallelism comes from key count and a single
+mega-key degrades to the global case — which is exactly what
+`quantiles_exact` handles; route true whale keys there.
+
+Reference parity: the reference exposes only engine passthrough
+percentiles (SURVEY §2.5); this extends the family the same way the
+KLL/HLL sketches do, with an exact scale path instead of a buffer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _check_probs(probs: Sequence[float]) -> list[float]:
+    ps = list(probs)
+    if not ps:
+        raise ValueError("probs must be non-empty")
+    for p in ps:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"every prob must be in [0, 1], got {p}")
+    if len(set(ps)) != len(ps):
+        raise ValueError(f"probs must be distinct, got {ps}")
+    return ps
+
+
+def _targets(n_col, probs: list[float]):
+    """array<struct<p,double r>> of 1-based target ranks for a total
+    count column: r = max(ceil(p*n), 1)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("p"),
+                F.greatest(F.ceil(F.lit(p) * n_col), F.lit(1)).alias("r"),
+            )
+            for p in probs
+        ]
+    )
+
+
+def quantiles_exact(
+    df: DataFrame, value_col: str, probs: Sequence[float], *, num_partitions: int | None = None
+) -> DataFrame:
+    """(p, value) — exact percentile_disc of ``value_col`` (NULLs
+    excluded) for every p in ``probs``. Empty (or all-NULL) input
+    returns zero rows. Memory is bounded by distinct-values-per-
+    partition; no executor ever buffers the value multiset."""
+    probs = _check_probs(probs)
+    v = F.col(value_col)
+    counts = (
+        df.filter(v.isNotNull())
+        .groupBy(v.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    if num_partitions is not None and num_partitions < 1:
+        raise ValueError(f"num_partitions must be >= 1, got {num_partitions}")
+    nb = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    # explicit deterministic bucket boundaries: equal DISTINCT-value
+    # mass; one row, folded in by broadcast (empty input -> NULL
+    # boundary array -> zero rows survive, handled by coalesce)
+    bnds = counts.agg(
+        F.percentile_approx(
+            "__v", F.array(*[F.lit((i + 1) / nb) for i in range(max(nb - 1, 1))]), 10_000
+        ).alias("__b")
+    )
+    bucketed = counts.crossJoin(F.broadcast(bnds)).select(
+        "__v",
+        "__c",
+        F.coalesce(
+            F.aggregate(
+                "__b", F.lit(0), lambda acc, b: acc + (b < F.col("__v")).cast("int")
+            ),
+            F.lit(0),
+        ).alias("__pid"),
+    )
+    # bucket offsets: <= #buckets rows, safe on one window
+    offs = (
+        bucketed.groupBy("__pid")
+        .agg(F.sum("__c").alias("__pc"))
+        .select(
+            "__pid",
+            (
+                F.sum("__pc").over(
+                    Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+                )
+            ).alias("__off"),
+        )
+        .fillna({"__off": 0})
+    )
+    cum = (
+        bucketed.join(F.broadcast(offs), "__pid")
+        .withColumn(
+            "__cum",
+            F.col("__off")
+            + F.sum("__c").over(
+                Window.partitionBy("__pid")
+                .orderBy("__v")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("__start", F.col("__cum") - F.col("__c"))
+    )
+    total = counts.agg(F.sum("__c").alias("__n"))
+    hit = (
+        cum.crossJoin(F.broadcast(total))  # one-row fold-in
+        .select(
+            "__v",
+            F.filter(
+                _targets(F.col("__n"), probs),
+                lambda t: (t["r"] > F.col("__start")) & (t["r"] <= F.col("__cum")),
+            ).alias("__hits"),
+        )
+        .filter(F.size("__hits") > 0)
+        .select(F.explode("__hits").alias("t"), F.col("__v"))
+    )
+    return hit.select(F.col("t.p").alias("p"), F.col("__v").alias("value")).orderBy("p")
+
+
+def group_quantiles_exact(
+    df: DataFrame, key_cols: Sequence[str] | str, value_col: str, probs: Sequence[float]
+) -> DataFrame:
+    """(keys..., p, value) — exact per-key percentile_disc. One
+    groupBy to (key, value, count), one key-partitioned cumsum
+    window, one key-level total joined back. Parallelism = key
+    count; a single whale key serializes its own distinct values on
+    one task — use `quantiles_exact` for global/whale cases."""
+    probs = _check_probs(probs)
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    v = F.col(value_col)
+    counts = (
+        df.filter(v.isNotNull())
+        .groupBy(*keys, v.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.partitionBy(*keys).orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.withColumn("__cum", F.sum("__c").over(w)).withColumn(
+        "__start", F.col("__cum") - F.col("__c")
+    )
+    totals = counts.groupBy(*keys).agg(F.sum("__c").alias("__n"))
+    hit = (
+        cum.join(totals, keys)
+        .select(
+            *keys,
+            "__v",
+            F.filter(
+                _targets(F.col("__n"), probs),
+                lambda t: (t["r"] > F.col("__start")) & (t["r"] <= F.col("__cum")),
+            ).alias("__hits"),
+        )
+        .filter(F.size("__hits") > 0)
+        .select(*keys, F.explode("__hits").alias("t"), F.col("__v"))
+    )
+    return hit.select(*keys, F.col("t.p").alias("p"), F.col("__v").alias("value"))

@@ -791,7 +791,10 @@ def window_analytics_orders(spark, sf_dir):
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
            round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
            round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
-           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+           percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25_disc,
+           percentile_disc(0.5)  WITHIN GROUP (ORDER BY o_totalprice) AS p50_disc,
+           percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75_disc
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     tags=("agg", "stats", "distinct", "percentiles"),
@@ -803,10 +806,20 @@ def agg_stats_orders(spark, sf_dir):
     exact interpolated percentiles per group in the same pass.
     approx_count_distinct / approx_percentile are the 100 TB sketch
     variants when exactness isn't required — pytest checks they land
-    within tolerance of the exact answers."""
+    within tolerance of the exact answers.
+
+    The p{25,50,75}_disc columns run `group_quantiles_exact`
+    (operators/quantiles.py) — the bounded-memory exact quantile path
+    that never buffers a group's value multiset (unlike
+    F.percentile's aggregation buffer) — checked against DuckDB's
+    percentile_disc. Probs are binary-exact (0.25/0.5/0.75) so the
+    ceil(p*n) rank rule is engine-portable, and discrete quantiles
+    return data values unchanged: no float drift."""
+    from d2d_spark.operators.quantiles import group_quantiles_exact
+
     o = _t(spark, sf_dir, "orders")
     price = F.col("o_totalprice").cast(DEC)
-    return (
+    main = (
         o.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
@@ -819,8 +832,15 @@ def agg_stats_orders(spark, sf_dir):
             F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
             F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
         )
-        .orderBy("o_orderpriority")
     )
+    disc = group_quantiles_exact(o, "o_orderpriority", "o_totalprice", [0.25, 0.5, 0.75])
+    wide = disc.groupBy("o_orderpriority").agg(
+        *[
+            F.max(F.when(F.col("p") == F.lit(p), F.col("value"))).alias(name)
+            for p, name in ((0.25, "p25_disc"), (0.5, "p50_disc"), (0.75, "p75_disc"))
+        ]
+    )
+    return main.join(F.broadcast(wide), "o_orderpriority").orderBy("o_orderpriority")
 
 
 @query(

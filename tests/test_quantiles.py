@@ -1,0 +1,102 @@
+"""Exact distributed quantiles vs DuckDB percentile_disc and a pure
+Python rank rule; determinism across partitionings and bucket counts."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from d2d_spark.operators.quantiles import group_quantiles_exact, quantiles_exact
+
+PROBS = [0.0, 0.25, 0.5, 0.75, 0.9, 1.0]
+
+
+def py_disc(values: list[float], p: float):
+    """percentile_disc: smallest value whose cumulative count reaches
+    ceil(p * n) (>= 1)."""
+    s = sorted(values)
+    r = max(math.ceil(p * len(s)), 1)
+    return s[r - 1]
+
+
+@pytest.fixture(scope="module")
+def rnd_values():
+    rng = random.Random(42)
+    # duplicates on purpose: rank ranges wider than 1
+    return [float(rng.randint(0, 500)) for _ in range(4000)]
+
+
+def test_matches_python_and_duckdb(spark, rnd_values):
+    df = spark.createDataFrame([(v,) for v in rnd_values], "x double")
+    got = {r["p"]: r["value"] for r in quantiles_exact(df, "x", PROBS).collect()}
+    assert set(got) == set(PROBS)
+    for p in PROBS:
+        assert got[p] == py_disc(rnd_values, p), p
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES " +
+                ",".join(f"({v})" for v in rnd_values) + ") AS t(x)")
+    for p in (0.25, 0.5, 0.75):  # binary-exact probs: engine-portable
+        want = con.execute(
+            f"SELECT percentile_disc({p}) WITHIN GROUP (ORDER BY x) FROM t"
+        ).fetchone()[0]
+        assert got[p] == want, p
+
+
+def test_bucket_count_invariance(spark, rnd_values):
+    df = spark.createDataFrame([(v,) for v in rnd_values], "x double")
+    base = sorted(quantiles_exact(df, "x", PROBS).collect())
+    for nb in (1, 3, 64):
+        assert sorted(quantiles_exact(df, "x", PROBS, num_partitions=nb).collect()) == base
+    # partitioning of the input is irrelevant too
+    assert sorted(quantiles_exact(df.repartition(17), "x", PROBS).collect()) == base
+
+
+def test_nulls_and_edges(spark):
+    df = spark.createDataFrame(
+        [(None,), (5.0,), (None,), (1.0,)], "x double"
+    )
+    got = {r["p"]: r["value"] for r in quantiles_exact(df, "x", [0.5, 1.0]).collect()}
+    assert got == {0.5: 1.0, 1.0: 5.0}
+    empty = spark.createDataFrame([], "x double")
+    assert quantiles_exact(empty, "x", [0.5]).count() == 0
+    one = spark.createDataFrame([(3.0,)], "x double")
+    assert {r["value"] for r in quantiles_exact(one, "x", PROBS).collect()} == {3.0}
+
+
+def test_group_quantiles(spark, rnd_values):
+    rows = [(("a" if i % 3 else "b"), v) for i, v in enumerate(rnd_values)]
+    df = spark.createDataFrame(rows, "k string, x double")
+    got = {
+        (r["k"], r["p"]): r["value"]
+        for r in group_quantiles_exact(df, "k", "x", PROBS).collect()
+    }
+    for k in ("a", "b"):
+        vals = [v for kk, v in rows if kk == k]
+        for p in PROBS:
+            assert got[(k, p)] == py_disc(vals, p), (k, p)
+
+
+def test_group_matches_global_on_constant_key(spark, rnd_values):
+    df = spark.createDataFrame([("k", v) for v in rnd_values], "k string, x double")
+    g = {r["p"]: r["value"] for r in group_quantiles_exact(df, "k", "x", PROBS).collect()}
+    q = {
+        r["p"]: r["value"]
+        for r in quantiles_exact(df, "x", PROBS, num_partitions=8).collect()
+    }
+    assert g == q
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError, match="non-empty"):
+        quantiles_exact(df, "x", [])
+    with pytest.raises(ValueError, match="in \\[0, 1\\]"):
+        quantiles_exact(df, "x", [1.5])
+    with pytest.raises(ValueError, match="distinct"):
+        quantiles_exact(df, "x", [0.5, 0.5])
+    with pytest.raises(ValueError, match="num_partitions"):
+        quantiles_exact(df, "x", [0.5], num_partitions=0)
