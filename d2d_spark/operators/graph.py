@@ -550,3 +550,84 @@ def label_propagation(
     e.unpersist(blocking=False)
     nodes.unpersist(blocking=False)
     return out
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(node, triangles) — exact triangle participation count per node
+    over the UNDIRECTED simple graph induced by the edge list
+    (direction, duplicate edges and self-loops are discarded; each
+    triangle counts once per corner). Global triangle count =
+    sum(triangles) / 3.
+
+    Degree-ordered orientation (the classic compact-forward /
+    node-iterator++ bound): every undirected edge points from the
+    (degree, node)-smaller endpoint to the larger, so each triangle
+    has exactly ONE node with two out-edges and is enumerated exactly
+    once as a wedge at that node closed by one equi-join probe. Wedge
+    work is sum(out_degree^2) which the orientation bounds by
+    O(m^1.5) regardless of raw degree skew — a celebrity node with
+    10M followers gets out-degree O(sqrt(m)), not 10M, because almost
+    all its edges point INTO it. All equi-join/agg shuffles on edge-
+    or node-sized frames (canonical dedup, degree agg + two key
+    joins, wedge self-join, close probe, corner count); nothing
+    iterative, nothing on the driver."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient by (degree, node): total order, no ties possible
+    keyed = (
+        e.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+        .select(
+            F.when(
+                F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v")),
+                F.struct(
+                    F.col("u").alias("s"),
+                    F.col("v").alias("t"),
+                    F.struct(
+                        F.col("dv").alias("kd"), F.col("v").alias("kn")
+                    ).alias("tkey"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("v").alias("s"),
+                    F.col("u").alias("t"),
+                    F.struct(
+                        F.col("du").alias("kd"), F.col("u").alias("kn")
+                    ).alias("tkey"),
+                )
+            )
+            .alias("o")
+        )
+        .select("o.s", "o.t", "o.tkey")
+    )
+    wedges = (
+        keyed.select(F.col("s"), F.col("t").alias("y"), F.col("tkey").alias("ykey"))
+        .join(
+            keyed.select(F.col("s"), F.col("t").alias("z"), F.col("tkey").alias("zkey")),
+            "s",
+        )
+        .filter(F.col("ykey") < F.col("zkey"))
+        .select("s", "y", "z")
+    )
+    tri = wedges.join(
+        keyed.select(F.col("s").alias("y"), F.col("t").alias("z")), ["y", "z"]
+    ).select("s", "y", "z")
+    corners = (
+        tri.select(F.explode(F.array("s", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return corners

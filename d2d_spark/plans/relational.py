@@ -381,12 +381,25 @@ def _pagerank_unrolled_oracle(iters: int = 8, d: float = 0.85) -> str:
               FROM base b LEFT JOIN inf{k} i ON b.node = i.node)"""
         )
     parts.append(
-        f"""
+        f""",
+    tri_e AS MATERIALIZED (
+      SELECT DISTINCT least(o_custkey % 100, o_orderkey % 100) AS u,
+             greatest(o_custkey % 100, o_orderkey % 100) AS v
+      FROM orders
+      WHERE o_orderkey % 7 = 0 AND (o_custkey % 100) <> (o_orderkey % 100)),
+    tri AS MATERIALIZED (
+      SELECT a.u AS x, a.v AS y, b.v AS z
+      FROM tri_e a JOIN tri_e b ON b.u = a.v
+      JOIN tri_e c ON c.u = a.u AND c.v = b.v)
     SELECT 'terms' AS leg, event_type AS k, COUNT(*) AS cnt,
            CAST(NULL AS DOUBLE) AS rank
     FROM events GROUP BY event_type
     UNION ALL
-    SELECT 'pagerank', node, CAST(NULL AS BIGINT), round(rank, 6) FROM pr{iters}"""
+    SELECT 'pagerank', node, CAST(NULL AS BIGINT), round(rank, 6) FROM pr{iters}
+    UNION ALL
+    SELECT 'triangles', CAST(n AS VARCHAR), COUNT(*), CAST(NULL AS DOUBLE)
+    FROM (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri) GROUP BY n"""
     )
     return "".join(parts)
 
@@ -394,17 +407,23 @@ def _pagerank_unrolled_oracle(iters: int = 8, d: float = 0.85) -> str:
 @query(
     "group_count_event_types",
     oracle=_pagerank_unrolled_oracle(),
-    tags=("agg", "terms", "graph", "pagerank"),
+    tags=("agg", "terms", "graph", "pagerank", "triangles"),
 )
 def group_count_event_types(spark, sf_dir):
-    """Two event-analytics legs. 'terms': ES terms aggregation —
-    count-by-key (d22d/utils/db/myutils.py:476-522). 'pagerank': the
-    iterative distributed PageRank (operators/graph.py) over the
-    bipartite user→event_type graph, 8 fixed rounds, hash-checked to
-    6 decimals against the same power iteration unrolled into chained
-    SQL CTEs — the event types are all dangling (no out-edges), so
-    the uniform dangling-mass redistribution is exercised every
-    round, not just covered."""
+    """Three graph/event-analytics legs. 'terms': ES terms
+    aggregation — count-by-key (d22d/utils/db/myutils.py:476-522).
+    'pagerank': the iterative distributed PageRank
+    (operators/graph.py) over the bipartite user→event_type graph, 8
+    fixed rounds, hash-checked to 6 decimals against the same power
+    iteration unrolled into chained SQL CTEs — the event types are
+    all dangling (no out-edges), so the uniform dangling-mass
+    redistribution is exercised every round, not just covered.
+    'triangles': exact per-node triangle counts
+    (graph.triangle_count, degree-ordered orientation) on a
+    deterministic sparse graph derived from orders (keys mod 100,
+    1-in-7 rows) — the oracle enumerates ordered triples with a plain
+    triple self-join, a different algorithm than the oriented wedge
+    close, so the leg is a genuine cross-algorithm differential."""
     ev = _t(spark, sf_dir, "events")
     terms = group_count(ev, "event_type").select(
         F.lit("terms").alias("leg"),
@@ -436,7 +455,20 @@ def group_count_event_types(spark, sf_dir):
         F.lit(None).cast("bigint").alias("cnt"),
         F.round("rank", 6).alias("rank"),
     )
-    return terms.unionByName(pr)
+    from d2d_spark.operators.graph import triangle_count
+
+    o = _t(spark, sf_dir, "orders")
+    tri_edges = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        (F.col("o_custkey") % 100).alias("src"),
+        (F.col("o_orderkey") % 100).alias("dst"),
+    )
+    tri = triangle_count(tri_edges).select(
+        F.lit("triangles").alias("leg"),
+        F.col("node").cast("string").alias("k"),
+        F.col("triangles").alias("cnt"),
+        F.lit(None).cast("double").alias("rank"),
+    )
+    return terms.unionByName(pr).unionByName(tri)
 
 
 @query(

@@ -462,3 +462,77 @@ def test_iterative_loops_validate_and_flush_pending_on_early_break(spark, tmp_pa
         # later graph calls must fall back to localCheckpoint)
         none = getattr(getattr(sc._jvm.scala, "None$"), "MODULE$")
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(none)
+
+
+# ---------------------------------------------------------------------------
+# triangle counting
+# ---------------------------------------------------------------------------
+def _py_triangles(edge_list):
+    """Independent reference: adjacency sets, ordered triple scan."""
+    adj = {}
+    for a, b in edge_list:
+        if a is None or b is None or a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    per = {n: 0 for n in nodes}
+    for i, x in enumerate(nodes):
+        for y in adj[x]:
+            if y <= x:
+                continue
+            for z in adj[x] & adj[y]:
+                if z > y:
+                    for n in (x, y, z):
+                        per[n] += 1
+    return {n: c for n, c in per.items() if c}
+
+
+def test_triangles_match_python_reference(spark):
+    import random
+
+    rng = random.Random(11)
+    edge_list = list({(rng.randint(0, 60), rng.randint(0, 60)) for _ in range(500)})
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+    from d2d_spark.operators.graph import triangle_count
+
+    got = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
+    assert got == _py_triangles(edge_list)
+    # global count: each triangle contributes exactly 3 corners
+    assert sum(got.values()) % 3 == 0
+
+
+def test_triangles_direction_dup_selfloop_invariant(spark):
+    base = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    noisy = base + [(2, 1), (3, 2), (1, 2), (4, 4), (3, 1)]
+    from d2d_spark.operators.graph import triangle_count
+
+    for edges in (base, noisy):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
+        assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangles_skew_star_plus_clique(spark):
+    """A hub with many leaf edges (zero triangles) plus one clique:
+    the degree orientation must not blow the hub's wedge set, and
+    counts stay exact."""
+    hub = [(0, i) for i in range(100, 180)]
+    clique_nodes = [1, 2, 3, 4, 5]
+    clique = [(a, b) for a in clique_nodes for b in clique_nodes if a < b]
+    df = spark.createDataFrame(hub + clique + [(0, 1)], "src long, dst long")
+    from d2d_spark.operators.graph import triangle_count
+
+    got = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
+    # C(5,3)=10 triangles, each clique node in C(4,2)=6 of them
+    assert got == {n: 6 for n in clique_nodes}
+    assert triangle_count(spark.createDataFrame(hub, "src long, dst long")).count() == 0
+
+
+def test_triangles_empty_and_triangle_free(spark):
+    from d2d_spark.operators.graph import triangle_count
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert triangle_count(empty).count() == 0
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    assert triangle_count(path).count() == 0
