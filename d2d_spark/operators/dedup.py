@@ -521,6 +521,62 @@ def ngram_jaccard_pairs(
     )
 
 
+def _ordered_shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, n: int, order: str, tag: str
+) -> DataFrame:
+    """Persisted (__id, __sh, __sz) with each record's distinct
+    word-n-gram hashes sorted by a GLOBAL total order — the shared
+    first stage of the prefix-filter joins (jaccard_prefix_pairs,
+    containment_prefix_pairs).
+
+    'freq' order: ascending document frequency (rare-first), the
+    published choice — prefixes hold the rarest tokens, so frequent
+    tokens (stop-words, boilerplate) never become join keys; costs one
+    token-frequency aggregate + one rebuild shuffle. (df, token) is
+    unique within a record (tokens are distinct), so the sort is a
+    deterministic total order regardless of collect_list ordering.
+    'hash' order: ascending 64-bit token hash — zero extra shuffles,
+    but corpus-wide common tokens can become hot join keys.
+
+    Records whose text yields zero shingles drop out of the explode;
+    they can never pair (empty intersection), matching the quadratic
+    baseline's null drop."""
+    if order not in ("freq", "hash"):
+        raise ValueError(f"order must be 'freq' or 'hash', got {order!r}")
+    from pyspark import StorageLevel
+
+    from d2d_spark import cache as opcache
+
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    base = _spread(df.select(F.col(id_col).alias("__id"), F.col(text_col)), npart, "__id")
+    sets = base.select(
+        "__id",
+        F.array_distinct(
+            F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
+        ).alias("__sh"),
+    )
+    if order == "freq":
+        tok = sets.select("__id", F.explode("__sh").alias("__tok"))
+        freq = tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+        ordered = (
+            tok.join(freq, "__tok")
+            .groupBy("__id")
+            .agg(F.array_sort(F.collect_list(F.struct("__df", "__tok"))).alias("__o"))
+            .withColumn("__sh", F.transform("__o", lambda x: x["__tok"]))
+            .drop("__o")
+        )
+    else:
+        ordered = sets.withColumn("__sh", F.array_sort("__sh"))
+    # one persisted frame feeds the prefix explode AND the verify
+    # sides (same policy and release tag discipline as minhash_lsh)
+    ordered = opcache.register(
+        tag,
+        ordered.withColumn("__sz", F.size("__sh")).persist(StorageLevel.MEMORY_AND_DISK),
+    )
+    ordered.count()  # fill before the join branches race on it
+    return ordered
+
+
 def jaccard_prefix_pairs(
     df: DataFrame,
     text_col: str,
@@ -565,46 +621,7 @@ def jaccard_prefix_pairs(
     t = float(threshold)
     if not 0.0 < t <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    if order not in ("freq", "hash"):
-        raise ValueError(f"order must be 'freq' or 'hash', got {order!r}")
-    from pyspark import StorageLevel
-
-    from d2d_spark import cache as opcache
-
-    npart = df.sparkSession.sparkContext.defaultParallelism
-    base = _spread(df.select(F.col(id_col).alias("__id"), F.col(text_col)), npart, "__id")
-    sets = base.select(
-        "__id",
-        F.array_distinct(
-            F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
-        ).alias("__sh"),
-    )
-    if order == "freq":
-        # Global rare-first order: token document frequencies, then each
-        # record's tokens rebuilt sorted by (df, token). (df, token) is
-        # unique within a record (tokens are distinct), so the sort is a
-        # deterministic total order regardless of collect_list ordering.
-        tok = sets.select("__id", F.explode("__sh").alias("__tok"))
-        freq = tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
-        ordered = (
-            tok.join(freq, "__tok")
-            .groupBy("__id")
-            .agg(F.array_sort(F.collect_list(F.struct("__df", "__tok"))).alias("__o"))
-            .withColumn("__sh", F.transform("__o", lambda x: x["__tok"]))
-            .drop("__o")
-        )
-        # records whose text yields zero shingles drop out of the
-        # explode; they can never pair (empty intersection), so losing
-        # them here matches the quadratic baseline's null-jaccard drop
-    else:
-        ordered = sets.withColumn("__sh", F.array_sort("__sh"))
-    # one persisted frame feeds the prefix explode AND both verify
-    # sides (same policy and release tag discipline as minhash_lsh)
-    ordered = opcache.register(
-        "jaccard_prefix",
-        ordered.withColumn("__sz", F.size("__sh")).persist(StorageLevel.MEMORY_AND_DISK),
-    )
-    ordered.count()  # fill before the join branches race on it
+    ordered = _ordered_shingle_sets(df, text_col, id_col, n, order, "jaccard_prefix")
     # prefix length |s| - ceil(t*|s|) + 1 — always >= 1 for t <= 1
     plen = (F.col("__sz") - F.ceil(F.lit(t) * F.col("__sz")) + F.lit(1)).cast("int")
     pref = ordered.select(
@@ -653,6 +670,76 @@ def jaccard_prefix_pairs(
         verified.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= t)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def containment_prefix_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    order: str = "freq",
+) -> DataFrame:
+    """DIRECTED containment pairs (id_a, id_b, containment) with
+    |A ∩ B| / |A| >= threshold, a != b — "A's shingles are mostly
+    inside B": quote detection, subsumption dedup, version-of
+    relationships. Jaccard misses these when |B| >> |A|; containment
+    is the asymmetric measure (both directions of a pair are reported
+    when both qualify).
+
+    Prefix filtering adapts asymmetrically (SSJoin family, Chaudhuri
+    et al. 2006): overlap >= ceil(t*|A|) forces a shared token inside
+    A's first |A| - ceil(t*|A|) + 1 GLOBALLY-ORDERED tokens, but B's
+    matching token can sit anywhere — so only the CONTAINED side
+    prefix-explodes; the container side contributes its full ordered
+    token stream. Rare-first ordering matters even more than for
+    jaccard: every A-prefix key is a rare token, so the full B stream
+    fans out only where document frequency is already small. Filters
+    before the candidate distinct: size (|B| >= t*|A| — overlap can't
+    exceed |B|; nothing bounds |B| above, that's the asymmetry) and
+    the positional bound min(|A|-pos_a, |B|-pos_b) >= t*|A|, valid at
+    the first shared ordered token for the same reason as PPJoin's.
+    Exact verify on the candidate ids only.
+
+    Thresholding is double-math `ov >= t * |A|` on both the candidate
+    bound and the final verify — the same IEEE expression an oracle
+    engine computes, no epsilon."""
+    t = float(threshold)
+    if not 0.0 < t <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    ordered = _ordered_shingle_sets(df, text_col, id_col, n, order, "containment_prefix")
+    plen = (F.col("__sz") - F.ceil(F.lit(t) * F.col("__sz")) + F.lit(1)).cast("int")
+    a = ordered.select(
+        F.col("__id").alias("id_a"),
+        F.col("__sz").alias("sz_a"),
+        F.posexplode(F.slice("__sh", F.lit(1), plen)).alias("pos_a", "__tok"),
+    )
+    b = ordered.select(
+        F.col("__id").alias("id_b"),
+        F.col("__sz").alias("sz_b"),
+        F.posexplode("__sh").alias("pos_b", "__tok"),
+    )
+    need = F.lit(t) * F.col("sz_a")
+    ub = F.least(F.col("sz_a") - F.col("pos_a"), F.col("sz_b") - F.col("pos_b"))
+    cand = (
+        a.join(b, "__tok")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(F.col("sz_b") >= need)
+        .filter(ub >= need)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh_tbl = ordered.select("__id", "__sh")
+    verified = cand.join(
+        sh_tbl.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a"
+    ).join(sh_tbl.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
+    ov = F.size(F.array_intersect("sh_a", "sh_b"))
+    sz_a = F.size("sh_a")
+    return (
+        verified.filter(ov >= F.lit(t) * sz_a)
+        .withColumn("containment", ov / sz_a)
+        .select("id_a", "id_b", "containment")
     )
 
 

@@ -604,12 +604,22 @@ def multimodal_pipeline(spark, sf_dir):
        SELECT src, src FROM edges
        UNION
        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
-     comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+     comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+     ctok AS MATERIALIZED (SELECT doc_id, unnest(s) AS tk FROM sh WHERE len(s) > 0),
+     csz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sa FROM ctok GROUP BY doc_id),
+     cov AS MATERIALIZED (
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ov
+       FROM ctok a JOIN ctok b ON a.tk = b.tk AND a.doc_id <> b.doc_id
+       WHERE a.doc_id % 3 = 0
+       GROUP BY 1, 2)
     SELECT 'pair' AS leg, id_a AS a, id_b AS b, jaccard FROM pairs
     UNION ALL
     SELECT 'prefix' AS leg, id_a AS a, id_b AS b, jaccard FROM pairs
     UNION ALL
     SELECT 'comp' AS leg, id, component, CAST(NULL AS DOUBLE) FROM comp
+    UNION ALL
+    SELECT 'contain' AS leg, id_a, id_b, round(ov*1.0/sa, 6)
+    FROM cov JOIN csz ON csz.doc_id = cov.id_a WHERE ov >= 0.8 * sa
     """,
     tags=("llm", "dedup", "jaccard", "clusters"),
 )
@@ -656,7 +666,25 @@ def jaccard_pairs_clusters(spark, sf_dir):
         F.col("component").alias("b"),
         F.lit(None).cast("double").alias("jaccard"),
     )
-    return pair_leg.unionByName(prefix_leg).unionByName(comp_leg)
+    # directed containment (|A∩B|/|A| >= 0.8) via the asymmetric
+    # prefix-filter join; contained side restricted to doc_id % 3 = 0
+    # to bound the oracle's quadratic replay (the Spark path needs no
+    # such bound — it post-filters the equi-join output)
+    contain_leg = (
+        D.containment_prefix_pairs(d, "text", "doc_id", n=3, threshold=0.8)
+        .filter(F.col("id_a") % 3 == 0)
+        .select(
+            F.lit("contain").alias("leg"),
+            F.col("id_a").alias("a"),
+            F.col("id_b").alias("b"),
+            F.round("containment", 6).alias("jaccard"),
+        )
+    )
+    return (
+        pair_leg.unionByName(prefix_leg)
+        .unionByName(comp_leg)
+        .unionByName(contain_leg)
+    )
 
 
 @query(

@@ -639,3 +639,66 @@ def test_jaccard_prefix_pairs_hypothesis_fuzz(spark):
         assert got == truth, (t, order, n, got ^ truth)
 
     check()
+
+
+def _py_containment_pairs(docs, n, t):
+    """Quadratic Python reference: distinct word-n-gram shingle sets,
+    directed containment |A∩B|/|A| >= t."""
+    def sh(text):
+        toks = text.split()
+        if not toks:
+            return frozenset()
+        if len(toks) < n:
+            return frozenset({" ".join(toks)})
+        return frozenset(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+
+    sets = {i: sh(s) for i, s in docs}
+    out = {}
+    for a, sa in sets.items():
+        if not sa:
+            continue
+        for b, sb in sets.items():
+            if a == b:
+                continue
+            ov = len(sa & sb)
+            if ov >= t * len(sa):
+                out[(a, b)] = round(ov / len(sa), 6)
+    return out
+
+
+def test_containment_prefix_pairs_vs_quadratic(spark):
+    """Directed containment join ≡ quadratic reference, both global
+    orders, several thresholds — incl. planted strict-subset docs
+    that jaccard would miss."""
+    import random
+
+    from d2d_spark.operators.dedup import containment_prefix_pairs
+
+    rng = random.Random(77)
+    words = [f"w{i}" for i in range(80)]
+    docs = []
+    big = [rng.choice(words) for _ in range(120)]
+    docs.append((0, " ".join(big)))
+    # strict substrings of doc 0: fully contained, tiny jaccard
+    docs.append((1, " ".join(big[10:28])))
+    docs.append((2, " ".join(big[50:110])))
+    for i in range(3, 30):
+        docs.append((i, " ".join(rng.choice(words) for _ in range(rng.randrange(5, 60)))))
+    docs.append((100, docs[1][1]))  # exact dup of a fragment
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for t in (1.0, 0.8, 0.5):
+        want = _py_containment_pairs(docs, 3, t)
+        for order in ("freq", "hash"):
+            got = {
+                (r["id_a"], r["id_b"]): round(r["containment"], 6)
+                for r in containment_prefix_pairs(
+                    df, "text", "doc_id", n=3, threshold=t, order=order
+                ).collect()
+            }
+            assert got == want, (t, order)
+    # the planted fragments must actually be found at t=1.0
+    assert (1, 0) in _py_containment_pairs(docs, 3, 1.0)
+    import pytest
+
+    with pytest.raises(ValueError, match="threshold"):
+        containment_prefix_pairs(df, "text", "doc_id", threshold=0.0)
