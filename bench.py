@@ -98,6 +98,46 @@ def main() -> int:
         best = min(best, time.perf_counter() - t0)
     timings["jaccard_prefix_pairs"] = round(best, 3)
 
+    # r6 operator legs, timed directly for the same reason: their
+    # registry homes carry oracle-replay scaffolding (literal-VALUES
+    # subsets, quadratic ground truths) that would swamp operator cost
+    from pyspark.sql import functions as _F
+
+    from d2d_spark.operators.dedup import containment_prefix_pairs
+    from d2d_spark.operators.graph import triangle_count
+    from d2d_spark.operators.quantiles import quantiles_exact
+    from d2d_spark.operators.winnow import winnow_near_pairs
+
+    li = _rt2(spark, SF_DIR, "lineitem")
+    orders_df = _rt2(spark, SF_DIR, "orders")
+    tri_edges = orders_df.select(
+        (_F.col("o_custkey") % 5000).alias("src"),
+        (_F.col("o_orderkey") % 5000).alias("dst"),
+    )
+    r6 = {
+        # the fixture corpus is heavily templated (max fingerprint df
+        # 2660 over 5000 docs) — max_df=20 is the documented
+        # stop-fingerprint dial; the loose default leaves sum(df^2) ~
+        # 85M candidate rows on this corpus shape
+        "winnow_near_pairs": lambda: winnow_near_pairs(
+            docs, "text", "doc_id", k=16, w=8, threshold_pct=50, max_df=20
+        ).count(),
+        "containment_prefix_pairs": lambda: containment_prefix_pairs(
+            docs, "text", "doc_id", threshold=0.8
+        ).count(),
+        "triangle_count": lambda: triangle_count(tri_edges).count(),
+        "quantiles_exact_lineitem": lambda: quantiles_exact(
+            li, "l_extendedprice", [0.01, 0.25, 0.5, 0.75, 0.99]
+        ).count(),
+    }
+    for name, run in r6.items():
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            run()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
     # End-to-end Migration throughput (rows/s), comparable to the
     # reference's best batched write path (~15.6k rows/s,
     # BASELINE.md): lineitem through read -> transform -> sink.
