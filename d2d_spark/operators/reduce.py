@@ -46,11 +46,15 @@ from pyspark.sql import types as T
 class PcaModel:
     """Fitted PCA: ``components`` is (k, d) row-orthonormal, ``mean``
     is (d,), ``explained_variance_ratio`` is (k,) of the TOTAL
-    variance each component carries (sums to <= 1)."""
+    variance each component carries (sums to <= 1);
+    ``explained_variance`` is the (k,) raw eigenvalues — what
+    whitening divides by (None on hand-built models: whitening then
+    refuses)."""
 
     mean: np.ndarray
     components: np.ndarray
     explained_variance_ratio: np.ndarray
+    explained_variance: np.ndarray | None = None
 
 
 #: moment rows collected to the driver are pre-reduced below this
@@ -181,7 +185,12 @@ def fit_pca(df: DataFrame, vec_col: str, k: int) -> PcaModel:
     comps = comps * flip[:, None]
     total_var = float(np.trace(cov))
     ratio = (evals[order] / total_var) if total_var > 0 else np.zeros(k)
-    return PcaModel(mean=mean, components=comps, explained_variance_ratio=ratio)
+    return PcaModel(
+        mean=mean,
+        components=comps,
+        explained_variance_ratio=ratio,
+        explained_variance=evals[order],
+    )
 
 
 def _project_kernel(vec_col: str, out_col: str, mean: np.ndarray, mat: np.ndarray, passthrough):
@@ -213,12 +222,41 @@ def _projected_schema(df: DataFrame, vec_col: str, out_col: str) -> tuple[list, 
     return passthrough, schema
 
 
-def project(df: DataFrame, vec_col: str, model: PcaModel, out_col: str = "reduced") -> DataFrame:
+def project(
+    df: DataFrame,
+    vec_col: str,
+    model: PcaModel,
+    out_col: str = "reduced",
+    whiten: bool = False,
+) -> DataFrame:
     """Replace ``vec_col`` with its k-dim PCA projection ``out_col``
     (all other columns pass through). Map-only; the model rides the
-    closure (k*d + d doubles — a few KB)."""
+    closure (k*d + d doubles — a few KB).
+
+    ``whiten=True`` additionally scales each component coordinate by
+    1/sqrt(eigenvalue), giving the output identity covariance — the
+    standard preprocessing before cosine/L2 similarity on anisotropic
+    embedding spaces (and before ZCA). Folded into the projection
+    matrix on the driver, so the executor-side cost is identical.
+    Refuses degenerate components (eigenvalue <= 0 or a hand-built
+    model without eigenvalues): whitening would divide by ~0 and
+    amplify pure noise."""
     passthrough, schema = _projected_schema(df, vec_col, out_col)
-    kernel = _project_kernel(vec_col, out_col, model.mean, model.components, passthrough)
+    mat = model.components
+    if whiten:
+        ev = model.explained_variance
+        if ev is None:
+            raise ValueError(
+                "project(whiten=True) needs a model with explained_variance "
+                "(fit_pca provides it)"
+            )
+        if np.any(ev <= 0):
+            raise ValueError(
+                "project(whiten=True): some selected components have "
+                "eigenvalue <= 0 — whitening would divide by zero; reduce k"
+            )
+        mat = mat / np.sqrt(ev)[:, None]
+    kernel = _project_kernel(vec_col, out_col, model.mean, mat, passthrough)
     return df.mapInPandas(kernel, schema)
 
 

@@ -195,3 +195,39 @@ def test_pca_moment_collect_pre_reduced_many_partitions(spark):
     m_narrow = R.fit_pca(df.coalesce(2), "vec", 3)
     assert np.allclose(m_wide.mean, m_narrow.mean, atol=1e-9)
     assert np.allclose(np.abs(m_wide.components), np.abs(m_narrow.components), atol=1e-7)
+
+
+def test_pca_whitening(spark):
+    """Whitened projections have identity covariance; values match the
+    numpy formula exactly; degenerate whitening refuses."""
+    rng = np.random.default_rng(5)
+    # anisotropic: stretch two directions very differently
+    X = rng.normal(size=(500, 6)) @ np.diag([9.0, 4.0, 2.0, 1.0, 0.5, 0.1])
+    df = _df_of(spark, X)
+    model = fit_pca(df, "emb", k=3)
+    out = {r["id"]: np.array(r["reduced"]) for r in
+           project(df, "emb", model, whiten=True).collect()}
+    Y = np.stack([out[i] for i in range(len(X))])
+    # numpy twin of the folded matrix
+    want = (X - model.mean) @ (model.components / np.sqrt(model.explained_variance)[:, None]).T
+    assert np.allclose(Y, want, atol=1e-9)
+    cov = np.cov(Y, rowvar=False)
+    assert np.allclose(cov, np.eye(3), atol=0.05), cov
+    # un-whitened output is NOT unit variance on this data
+    raw = {r["id"]: np.array(r["reduced"]) for r in
+           project(df, "emb", model).collect()}
+    R = np.stack([raw[i] for i in range(len(X))])
+    assert np.var(R[:, 0]) > 10 * np.var(R[:, 2])
+    import pytest as _pt
+
+    bare = PcaModel(mean=model.mean, components=model.components,
+                    explained_variance_ratio=model.explained_variance_ratio)
+    with _pt.raises(ValueError, match="explained_variance"):
+        project(df, "emb", bare, whiten=True)
+    # constant data: zero eigenvalues must refuse, not divide
+    const = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(4)], "id long, emb array<double>"
+    )
+    degen = fit_pca(const, "emb", k=2)
+    with _pt.raises(ValueError, match="eigenvalue"):
+        project(const, "emb", degen, whiten=True)
