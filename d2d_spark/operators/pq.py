@@ -293,3 +293,188 @@ def pq_topk_rerank(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+@dataclass(frozen=True)
+class IvfPqModel:
+    """IVFADC index model: unit-row coarse centroids (nc, d) +
+    a PqModel trained on RESIDUALS (x_normalized - centroid)."""
+
+    centroids: np.ndarray
+    pq: "PqModel"
+
+
+def _cell_residual_frame(
+    corpus: DataFrame, id_col: str, vec_col: str, centroids: np.ndarray
+) -> DataFrame:
+    """(id, cell, __resid): L2-normalize each vector, assign its
+    nearest (max dot) coarse centroid, emit the residual. Map-only
+    Arrow kernel; NULL/ragged vectors are dropped (rows to filter
+    upstream, same contract as pq_encode's NULL codes)."""
+    import pandas as pd
+
+    dim = centroids.shape[1]
+    fields = [f for f in corpus.schema.fields if f.name == id_col]
+    schema = T.StructType(
+        fields
+        + [
+            T.StructField("cell", T.LongType()),
+            T.StructField("__resid", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = list(pdf[vec_col])
+            good = [v is not None and len(v) == dim for v in vecs]
+            X = np.array(
+                [v if ok else [0.0] * dim for v, ok in zip(vecs, good)],
+                dtype=np.float64,
+            )
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            cells = np.argmax(Xn @ centroids.T, axis=1)
+            R = Xn - centroids[cells]
+            out = pdf[[id_col]][good].copy()
+            out["cell"] = cells[good]
+            out["__resid"] = pd.Series(
+                [r.tolist() for r in R[good]], index=out.index, dtype="object"
+            )
+            yield out
+
+    return corpus.select(id_col, vec_col).mapInPandas(kernel, schema)
+
+
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    ksub: int = 16,
+    n_centroids: int = 64,
+    iters: int = 5,
+    pq_iters: int = 10,
+    sample: int = 10_000,
+) -> tuple[DataFrame, IvfPqModel]:
+    """IVFADC index build (Jégou et al. 2011 §IV): coarse spherical
+    k-means cells + product quantization OF THE RESIDUALS — the
+    residual distribution is far tighter than the raw one, so the
+    same m bytes buy much more precision than flat PQ.
+
+    Returns (codes, model): ``codes`` is (id, cell, pq_code) — at
+    production scale, WRITE it partitioned by cell so probe joins
+    prune partitions — and ``model`` carries centroids + codebooks
+    (nc*d + m*ksub*dsub doubles, broadcastable by construction).
+    Two corpus passes (train sample + encode), both map-only."""
+    from d2d_spark.operators.similarity import train_ivf_centroids
+
+    C = train_ivf_centroids(corpus, id_col, vec_col, n_centroids, iters, sample)
+    resid = _cell_residual_frame(corpus, id_col, vec_col, C)
+    pq = train_pq(resid, id_col, "__resid", m=m, ksub=ksub, iters=pq_iters, sample=sample)
+    codes = pq_encode(resid, "__resid", pq, out_col="pq_code")
+    return codes, IvfPqModel(centroids=C, pq=pq)
+
+
+def ivf_pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    model: IvfPqModel,
+    k: int = 5,
+    n_probe: int = 8,
+    cell_col: str = "cell",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """IVFADC search: each query probes its ``n_probe`` best cells
+    and ADC-scores ONLY those cells' codes. Score decomposes exactly
+    as q·x̂ = q·centroid(cell) + q·residual̂: the first term computes
+    once per (query, probed cell) on the driver, the second is m
+    lookup-table gathers per candidate row. The probe side is a tiny
+    literal frame (|Q| * n_probe rows) broadcast into an equi-join on
+    cell — candidates never exceed the probed cells' membership, and
+    with cell-partitioned storage the join prunes partitions.
+    Returns (query_id, neighbor_id, score, rank); self-matches drop."""
+    import pandas as pd
+
+    for frame, col, side in ((queries, query_id_col, "query"), (codes, id_col, "corpus")):
+        dt = frame.schema[col].dataType.simpleString()
+        if dt not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"ivf_pq_topk needs integral {side} ids, got {col}: {dt}"
+            )
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    if not q_rows:
+        raise ValueError("ivf_pq_topk got an empty queries frame")
+    C, books = model.centroids, model.pq.codebooks
+    m, dsub, dim = model.pq.m, model.pq.dsub, model.pq.dim
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([r[1] for r in q_rows], dtype=np.float64)
+    if Q.shape[1] != dim:
+        raise ValueError(f"query dim {Q.shape[1]} != model dim {dim}")
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    S = Qn @ C.T  # (|Q|, nc): the q·centroid terms
+    p = min(n_probe, C.shape[0])
+    probe_idx = np.argpartition(-S, p - 1, axis=1)[:, :p]
+    lut = np.stack(
+        [Qn[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)], axis=1
+    )
+    spark = codes.sparkSession
+    qcells = spark.createDataFrame(
+        [
+            (int(q_ids[qi]), int(qi), int(c), float(S[qi, c]))
+            for qi in range(len(q_ids))
+            for c in probe_idx[qi]
+        ],
+        f"query_id long, __qidx int, {cell_col} long, __qc double",
+    )
+    joined = F.broadcast(qcells).join(
+        codes.select(
+            F.col(id_col).alias("neighbor_id"), F.col(cell_col), F.col(code_col)
+        ),
+        cell_col,
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    kk = k + 1  # the query itself may appear in its own cells
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = pdf[pdf[code_col].notna()]
+            if len(rows) == 0:
+                continue
+            qidx = rows["__qidx"].to_numpy(dtype=np.int64)
+            cds = np.array(list(rows[code_col]), dtype=np.int64)  # (n, m)
+            s = rows["__qc"].to_numpy(dtype=np.float64).copy()
+            for j in range(m):
+                s += lut[qidx, j, cds[:, j]]
+            out = pd.DataFrame(
+                {
+                    "query_id": rows["query_id"].to_numpy(dtype=np.int64),
+                    "neighbor_id": rows["neighbor_id"].to_numpy(dtype=np.int64),
+                    "score": s,
+                }
+            )
+            # per-batch top-k per query: O(|Q| * k) rows leave Python,
+            # not the probed-cell membership (the pq_topk discipline)
+            yield out.sort_values("score", ascending=False).groupby(
+                "query_id", sort=False
+            ).head(kk)
+
+    scored = joined.mapInPandas(kernel, out_schema).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -143,3 +143,64 @@ def test_pq_validates(spark):
     )
     with pytest.raises(ValueError, match="integral corpus ids"):
         pq_topk(str_corpus, good_q, "vec_id", "pq_code", "vec_id", "embedding", model)
+
+
+def test_ivf_pq_recall_and_determinism(spark):
+    """IVFADC end-to-end: residual-PQ recall@10 vs exact brute force
+    on clustered data, probe-all completeness, determinism across
+    partitionings, and validation."""
+    from d2d_spark.operators.pq import build_ivf_pq_index, ivf_pq_topk
+    from d2d_spark.operators.similarity import brute_force_topk
+
+    df = _clustered(spark, n=400, n_clusters=10)
+    queries = df.filter(F.col("vec_id") % 40 == 0)
+    codes, model = build_ivf_pq_index(
+        df, "vec_id", "embedding", m=8, ksub=16, n_centroids=16, sample=400
+    )
+    assert model.centroids.shape[0] <= 16 and model.pq.m == 8
+    exact = brute_force_topk(df, queries, "vec_id", "embedding", "vec_id", "embedding", k=10)
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    # ADC blurs ranks within a tight cluster, so (as in the flat-PQ
+    # tests) the pinned property is candidate coverage: the exact
+    # top-10 must sit inside the 50 ADC candidates from 6 of 16 cells
+    got = {}
+    res = ivf_pq_topk(codes, queries, "vec_id", "vec_id", "embedding", model, k=50, n_probe=6)
+    for r in res.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    assert hits / total >= 0.9, f"top-10 coverage in 50 ADC candidates {hits/total:.2f}"
+
+    # determinism across input partitionings
+    codes2, model2 = build_ivf_pq_index(
+        df.repartition(13), "vec_id", "embedding", m=8, ksub=16, n_centroids=16, sample=400
+    )
+    assert (model.centroids == model2.centroids).all()
+    assert (model.pq.codebooks == model2.pq.codebooks).all()
+    r1 = sorted(tuple(r) for r in res.collect())
+    r2 = sorted(
+        tuple(r)
+        for r in ivf_pq_topk(codes2, queries, "vec_id", "vec_id", "embedding", model2, k=50, n_probe=6).collect()
+    )
+    assert r1 == r2
+
+    # probing every cell ≡ flat residual-ADC over the whole corpus:
+    # recall then bounded only by quantization, and on this clustered
+    # fixture the top-1 true neighbor is recovered for every query
+    all_res = ivf_pq_topk(codes, queries, "vec_id", "vec_id", "embedding", model, k=50, n_probe=16)
+    got_all = {}
+    for r in all_res.collect():
+        got_all.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    top1 = {r["query_id"]: r["neighbor_id"] for r in exact.collect() if r["rank"] == 1}
+    assert all(top1[q] in got_all[q] for q in top1)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="empty queries"):
+        ivf_pq_topk(codes, queries.filter(F.lit(False)), "vec_id", "vec_id", "embedding", model)
+    sq = queries.select(F.col("vec_id").cast("string").alias("vec_id"), "embedding")
+    with _pt.raises(ValueError, match="integral"):
+        ivf_pq_topk(codes, sq, "vec_id", "vec_id", "embedding", model)
