@@ -151,6 +151,10 @@ def _py_winnow(text: str, k: int, w: int) -> set[tuple[int, int]]:
 
 _WINNOW_K, _WINNOW_W = 8, 4
 _WINNOW_THR = 80  # pairs-leg jaccard threshold, percent
+_WINNOW_MAXDF = 24  # stop-fingerprint cap: the fixture corpus is
+# heavily templated; without it the pairs join (and the Python oracle
+# twin) pays sum(df^2) over boilerplate fingerprints — ~25M pair
+# increments at sf0.1 for zero near-dup signal
 
 
 def _fingerprint_suite_oracle() -> str:
@@ -190,6 +194,11 @@ def _fingerprint_suite_oracle() -> str:
         corpus = {i: docs[i] for i in docs if i % 5 == 0}
         corpus.update({i + 1_000_000: docs[i] for i in docs if i % 10 == 0})
         hsets = {i: {h for _, h in _py_winnow(s, k, w)} for i, s in corpus.items()}
+        dfc: Counter = Counter(h for hs in hsets.values() for h in hs)
+        hsets = {
+            i: {h for h in hs if dfc[h] <= _WINNOW_MAXDF} for i, hs in hsets.items()
+        }
+        hsets = {i: hs for i, hs in hsets.items() if hs}
         shared: Counter = Counter()
         inv: dict[int, list[int]] = {}
         for i, hs in hsets.items():
@@ -243,8 +252,10 @@ def fingerprint_dedup_documents(spark, sf_dir):
     pairs — winnow_near_pairs on a planted-clone corpus (doc_id % 5
     subset plus byte-identical clones, id + 1,000,000, of the
     doc_id % 10 subset) at 80% fingerprint-set jaccard with integer
-    cross-multiplication — fp = 'id_a|id_b', doc_id = id_b,
-    n = shared-fingerprint count.
+    cross-multiplication, under the max_df stop-fingerprint cap
+    (the templated fixture makes boilerplate fingerprints hot; both
+    engines measure sizes and overlap on the SAME capped sets) —
+    fp = 'id_a|id_b', doc_id = id_b, n = shared-fingerprint count.
 
     The winnow/pairs oracle legs are literal VALUES computed at
     registration by an independent pure-Python winnowing
@@ -294,7 +305,7 @@ def fingerprint_dedup_documents(spark, sf_dir):
         k=_WINNOW_K,
         w=_WINNOW_W,
         threshold_pct=_WINNOW_THR,
-        max_df=None,  # fixture-sized corpus, no boilerplate to cap
+        max_df=_WINNOW_MAXDF,
         hasher=md5_prefix_hasher,
     ).select(
         F.lit("pairs").alias("leg"),
@@ -529,11 +540,103 @@ def ann_lsh_ivf_topk(spark, sf_dir):
     )
 
 
-@query(
-    "multimodal_pipeline",
-    oracle="""
-    SELECT doc_id,
-           CAST(length(text) AS INT) AS n_bytes,
+_PHASH_W, _PHASH_H = 24, 16  # synthetic grayscale canvas per doc
+
+
+def _phash_px(doc_id: int) -> list[int]:
+    """Python twin of the pure-Column pixel generator: deterministic
+    0..245 grayscale from (doc_id, pixel index) — brightness-shifted
+    clones stay within 0..255."""
+    return [
+        (doc_id * 37 + i * 101 + (i * i) % 251) % 246
+        for i in range(_PHASH_W * _PHASH_H)
+    ]
+
+
+def _py_cells(px: list[int], w: int, h: int, gw: int, gh: int):
+    out = []
+    for ty in range(gh):
+        for tx in range(gw):
+            x0, x1 = tx * w // gw, (tx + 1) * w // gw
+            y0, y1 = ty * h // gh, (ty + 1) * h // gh
+            s = sum(px[y * w + x] for y in range(y0, y1) for x in range(x0, x1))
+            out.append((s, (x1 - x0) * (y1 - y0)))
+    return out
+
+
+def _wrap64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _py_dhash(px: list[int], w: int = _PHASH_W, h: int = _PHASH_H) -> int:
+    """Python twin of phash._dhash_bits (9x8 grid, integer
+    cross-multiplied gradient signs, two's-complement 64-bit)."""
+    gw, gh = 9, 8
+    cells = _py_cells(px, w, h, gw, gh)
+    v = 0
+    for ty in range(gh):
+        for tx in range(gw - 1):
+            (sa, ca), (sb, cb) = cells[ty * gw + tx], cells[ty * gw + tx + 1]
+            if sa * cb > sb * ca:
+                v += 1 << (ty * (gw - 1) + tx)
+    return _wrap64(v)
+
+
+def _py_ahash(px: list[int], w: int = _PHASH_W, h: int = _PHASH_H) -> int:
+    """Python twin of phash._ahash_bits — float ops replayed in the
+    same order (left fold of means, one global division)."""
+    gw, gh = 8, 8
+    cells = _py_cells(px, w, h, gw, gh)
+    means = [s / c for s, c in cells]
+    acc = 0.0
+    for m in means:
+        acc += m
+    gmean = acc / float(gw * gh)
+    v = 0
+    for k, m in enumerate(means):
+        if m > gmean:
+            v += 1 << k
+    return _wrap64(v)
+
+
+def _multimodal_suite_oracle() -> str:
+    """decode leg in plain SQL; phash + phash_pairs legs as literal
+    VALUES from the Python hash twins (keyed per SF by
+    SUM(length(text)) — the established literal-oracle pattern)."""
+    import pyarrow.parquet as pq
+
+    rows: list[tuple] = []
+    for sf in ("0.001", "0.01", "0.1"):
+        try:
+            t = pq.read_table(
+                f"/root/testdata/sf{sf}/documents.parquet", columns=["doc_id", "text"]
+            )
+        except Exception:
+            continue
+        docs = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+        tag = sum(len(s) for s in docs.values())
+        sub = sorted(i for i in docs if i % 9 == 0)
+        hashes = {}
+        for i in sub:
+            base = _phash_px(i)
+            hashes[i] = _py_dhash(base)
+            rows.append((tag, "phash", i, hashes[i], str(_py_ahash(base))))
+            if i % 18 == 0:  # brightness-shifted clone
+                hashes[i + 1_000_000] = _py_dhash([p + 10 for p in base])
+        ids = sorted(hashes)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                hd = bin((hashes[ids[x]] ^ hashes[ids[y]]) & ((1 << 64) - 1)).count("1")
+                if hd <= 8:
+                    rows.append((tag, "phash_pairs", ids[x], hd, str(ids[y])))
+    if not rows:
+        rows = [(-1, "", 0, 0, "")]
+    values = ",\n     ".join(
+        f"({t}, '{leg}', {d}, {n}, '{s}')" for t, leg, d, n, s in rows
+    )
+    return f"""
+    SELECT 'decode' AS leg, doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
            CAST((length(text) % 640) + 1 AS INT) AS fake_width,
            CAST((length(text) % 480) + 1 AS INT) AS fake_height,
            array_to_string(list_transform(range(1, length(text) + 1, 16),
@@ -544,8 +647,20 @@ def ann_lsh_ivf_topk(spark, sf_dir):
                             length(text) % 101], ',') AS feature_csv
     FROM documents
     WHERE doc_id % 20 = 0 AND regexp_matches(text, '^[ -~]+$')
-    """,
-    tags=("llm", "multimodal", "pandas-udf"),
+    UNION ALL
+    SELECT leg, CAST(doc_id AS BIGINT), CAST(n_bytes AS BIGINT),
+           CAST(NULL AS INT), CAST(NULL AS INT), frames_csv,
+           CAST(NULL AS VARCHAR)
+    FROM (VALUES
+     {values}) AS expected(sftag, leg, doc_id, n_bytes, frames_csv)
+    WHERE sftag = (SELECT SUM(length(text)) FROM documents)
+    """
+
+
+@query(
+    "multimodal_pipeline",
+    oracle=_multimodal_suite_oracle(),
+    tags=("llm", "multimodal", "pandas-udf", "phash"),
 )
 def multimodal_pipeline(spark, sf_dir):
     """Multimodal plumbing end-to-end: opaque binary payload + typed
@@ -559,11 +674,22 @@ def multimodal_pipeline(spark, sf_dir):
     outputs are CSV-joined to scalars: the driver canonicalizer
     sorts result columns with pandas, which cannot hash raw list
     cells — and the frame/feature values are integral, so the string
-    forms are engine-exact."""
-    d = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 20 == 0)
-        .filter(F.col("text").rlike("^[ -~]+$"))
+    forms are engine-exact.
+
+    The phash/phash_pairs legs drive perceptual hashing
+    (operators/phash.py) end-to-end against Python twins of the exact
+    bit rules (_py_dhash/_py_ahash) inlined as literal VALUES:
+    deterministic synthetic 24x16 grayscale canvases per doc_id
+    (pure-Column generator, 0..245), dhash + ahash per image over the
+    doc_id % 9 subset, then banded-Hamming near pairs over the subset
+    plus brightness-shifted (+10) clones of the % 18 slice —
+    cross-multiplied gradient signs make the clones EXACT dhash
+    matches, so every planted pair surfaces at hamming 0 (zero
+    organic sub-8 pairs: generator hashes are effectively uniform
+    64-bit)."""
+    base_docs = _t(spark, sf_dir, "documents")
+    d = base_docs.filter(F.col("doc_id") % 20 == 0).filter(
+        F.col("text").rlike("^[ -~]+$")
     )
     d = M.attach_binary_payload(d)
     d = M.sample_frames(d, every=16)
@@ -574,9 +700,10 @@ def multimodal_pipeline(spark, sf_dir):
         ),
     )
     feats = M.decode_features(d)
-    return feats.join(meta, "doc_id").select(
+    decode = feats.join(meta, "doc_id").select(
+        F.lit("decode").alias("leg"),
         "doc_id",
-        "n_bytes",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
         "fake_width",
         "fake_height",
         "frames_csv",
@@ -584,6 +711,89 @@ def multimodal_pipeline(spark, sf_dir):
             F.transform("feature", lambda x: x.cast("bigint").cast("string")), ","
         ).alias("feature_csv"),
     )
+
+    from d2d_spark.operators.phash import phash_near_pairs, with_phash
+
+    n_px = _PHASH_W * _PHASH_H
+
+    def px_gen(shift: int) -> F.Column:
+        # brightness shift applied INSIDE the generator so the clone
+        # frame is its own flat projection over the scan — deriving
+        # clones from the imgs frame nests the generator under a
+        # second transform and the optimizer's projection-pushdown
+        # walk blows up on the hash trees above it
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n_px - 1)),
+            lambda i: (
+                ((F.col("doc_id") * 37 + i * 101 + F.pmod(i * i, 251)) % 246) + shift
+            ).cast("int"),
+        )
+
+    imgs = base_docs.filter(F.col("doc_id") % 9 == 0).select(
+        "doc_id",
+        px_gen(0).alias("px"),
+        F.lit(_PHASH_W).alias("w"),
+        F.lit(_PHASH_H).alias("h"),
+    )
+    # pixels FIRST, id alias in a separate projection: in one select,
+    # lateral-column-alias resolution binds px_gen's doc_id reference
+    # to the +1,000,000 alias, silently hashing the wrong canvas
+    clones = (
+        base_docs.filter(F.col("doc_id") % 18 == 0)
+        .select("doc_id", px_gen(10).alias("px"))
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            "px",
+            F.lit(_PHASH_W).alias("w"),
+            F.lit(_PHASH_H).alias("h"),
+        )
+    )
+    # The hash stages stack ~150 unrolled cell/bit expressions, so a
+    # 1-GB-driver plan can hold at most a couple of them: materialize
+    # the (small, id + 384-int-array) canvas as a leaf, compute each
+    # hash tree EXACTLY ONCE over it, and materialize the 16-byte
+    # (id, hash) results before any join/band stage sees them (the
+    # eager-localCheckpoint discipline of the CC leg above, applied
+    # at every hash-tree boundary).
+    canvas = imgs.unionByName(clones).localCheckpoint(eager=True)
+    dh_all = (
+        with_phash(canvas, "px", "w", "h", method="dhash", out_col="dhash")
+        .select("doc_id", "dhash")
+        .localCheckpoint(eager=True)
+    )
+    ah_imgs = (
+        with_phash(
+            canvas.filter(F.col("doc_id") < 1_000_000),
+            "px", "w", "h", method="ahash", out_col="ahash",
+        )
+        .select("doc_id", "ahash")
+        .localCheckpoint(eager=True)
+    )
+    phash_leg = (
+        dh_all.filter(F.col("doc_id") < 1_000_000)
+        .join(ah_imgs, "doc_id")
+        .select(
+            F.lit("phash").alias("leg"),
+            "doc_id",
+            F.col("dhash").alias("n_bytes"),
+            F.lit(None).cast("int").alias("fake_width"),
+            F.lit(None).cast("int").alias("fake_height"),
+            F.col("ahash").cast("string").alias("frames_csv"),
+            F.lit(None).cast("string").alias("feature_csv"),
+        )
+    )
+    from d2d_spark.operators.dedup import hamming_near_pairs
+
+    pairs = hamming_near_pairs(dh_all, "dhash", "doc_id", max_hamming=8).select(
+        F.lit("phash_pairs").alias("leg"),
+        F.col("id_a").alias("doc_id"),
+        F.col("hamming").cast("bigint").alias("n_bytes"),
+        F.lit(None).cast("int").alias("fake_width"),
+        F.lit(None).cast("int").alias("fake_height"),
+        F.col("id_b").cast("string").alias("frames_csv"),
+        F.lit(None).cast("string").alias("feature_csv"),
+    )
+    return decode.unionByName(phash_leg).unionByName(pairs)
 
 
 @query(
