@@ -1,0 +1,176 @@
+"""Event-funnel and retention analytics — the ClickHouse
+`windowFunnel` / `retention` capability family (the reference fronts
+ES/ClickHouse for event analytics; these are the two canonical
+event-sequence aggregates those engines ship natively).
+
+Semantics (documented exactly, because funnel engines differ):
+
+  funnel_stages — GREEDY EARLIEST-CHAIN funnel. Per user, events are
+  scanned in (ts, tiebreak) order; stage 1 matches at the user's
+  earliest step-1 event; stage k+1 matches at the earliest step-k+1
+  event STRICTLY AFTER the stage-k match; with ``within`` set, every
+  match must also fall within that many seconds of the CHAIN START
+  (the stage-1 match). Greedy-earliest is deterministic and exactly
+  replayable in plain SQL (chained per-stage min subqueries) — the
+  trade-off, shared with most production funnel implementations, is
+  that a later chain start reaching further is NOT searched for.
+
+  retention_cohorts — classic cohort retention: a user's cohort is
+  the day of their first event; retained at offset d means the user
+  has an event exactly d days after their cohort day. Counts are
+  exact distinct users per (cohort_day, offset).
+
+Spark shape: ONE groupBy per aggregate. The funnel folds each user's
+sorted (ts, type) event array with ``F.aggregate`` — state is the
+n_steps-wide array of match timestamps, so per-user work is linear
+in events and the shuffle carries (user, array<ts>) only. Retention
+is two grouped aggregates (first-event day, then distinct users per
+offset). No windows over global order, no Python.
+
+At 100 TB: both shuffle once on user_id (uniform unless one user is
+a whale — same exposure as any sessionization); funnel state is
+n_steps timestamps per user, retention state one date per user.
+The collect_list per user is bounded by per-user event counts —
+cap upstream (cap_per_key) for adversarial actors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TS = "double"  # epoch seconds; exact for sub-microsecond fixtures
+
+
+def _fold_funnel(events: Column, steps: list[str], within: float | None) -> Column:
+    """Fold a (ts, type)-sorted event array into the array of stage
+    match times (NULL = stage unreached). State s[k] is the stage-k
+    match timestamp; an event matching step k+1 fills s[k+1] when
+    s[k] is set, the event is strictly later, and (with ``within``)
+    sits inside the window anchored at s[1]."""
+    n = len(steps)
+    zero = F.array(*[F.lit(None).cast(_TS) for _ in range(n)])
+
+    def step(acc: Column, ev: Column) -> Column:
+        ts, et = ev["ts"], ev["et"]
+        cols = []
+        for k in range(n):
+            cur = F.element_at(acc, k + 1)
+            prev_ok = (
+                F.lit(True)
+                if k == 0
+                else (
+                    F.element_at(acc, k).isNotNull()
+                    & (ts > F.element_at(acc, k))
+                )
+            )
+            win_ok = (
+                F.lit(True)
+                if within is None or k == 0
+                else (ts - F.element_at(acc, 1) <= F.lit(float(within)))
+            )
+            take = cur.isNull() & (et == F.lit(steps[k])) & prev_ok & win_ok
+            cols.append(F.when(take, ts).otherwise(cur))
+        return F.array(*cols)
+
+    return F.aggregate(events, zero, step)
+
+
+def funnel_stages(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+    within: float | None = None,
+) -> DataFrame:
+    """(user, stage, stage_ts...) — per-user greedy-earliest funnel
+    progress: ``stage`` = deepest step reached (0 = none), plus one
+    ``ts_step_k`` column per step with the match time (epoch seconds,
+    NULL = unreached). One groupBy; see module docstring for the
+    exact chain semantics."""
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError(f"need >= 2 funnel steps, got {steps}")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct, got {steps}")
+    if within is not None and within <= 0:
+        raise ValueError(f"within must be > 0 seconds, got {within}")
+    ev = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).cast("timestamp").cast(_TS).alias("ts"),
+                F.col(type_col).alias("et"),
+            )
+        )
+    )
+    folded = (
+        df.filter(F.col(type_col).isin(steps) & F.col(ts_col).isNotNull())
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(_fold_funnel(ev, steps, within).alias("__s"))
+    )
+    stage = F.aggregate(
+        F.col("__s"), F.lit(0), lambda acc, t: F.when(t.isNotNull(), acc + 1).otherwise(acc)
+    )
+    # stages fill strictly in order, so the count of non-NULLs IS the
+    # deepest prefix reached
+    return folded.select(
+        "user",
+        stage.alias("stage"),
+        *[
+            F.element_at(F.col("__s"), k + 1).alias(f"ts_step_{k + 1}")
+            for k in range(len(steps))
+        ],
+    )
+
+
+def funnel_counts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+    within: float | None = None,
+) -> DataFrame:
+    """(stage, n_users) — how many users reached AT LEAST each stage
+    (stage 1..n; the classic conversion funnel). Derived from
+    funnel_stages with one more tiny aggregate."""
+    st = funnel_stages(df, user_col, ts_col, type_col, steps, within)
+    n = len(list(steps))
+    lvls = F.sequence(F.lit(1), F.lit(n))
+    return (
+        st.select(F.explode(F.filter(lvls, lambda k: k <= F.col("stage"))).alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    offsets: Sequence[int] = (0, 1, 7, 14, 30),
+) -> DataFrame:
+    """(cohort_day, day_offset, n_users) — exact cohort retention:
+    cohort = date of the user's first event; the user counts at
+    offset d iff they have an event on cohort_day + d days. Two
+    grouped aggregates + one small join; offsets beyond the data run
+    simply produce no rows."""
+    offsets = sorted(set(int(o) for o in offsets))
+    if not offsets or offsets[0] < 0:
+        raise ValueError(f"offsets must be non-negative, got {offsets}")
+    days = df.filter(F.col(ts_col).isNotNull()).select(
+        F.col(user_col).alias("user"), F.to_date(ts_col).alias("__d")
+    ).distinct()
+    first = days.groupBy("user").agg(F.min("__d").alias("cohort_day"))
+    hits = (
+        days.join(first, "user")
+        .select("user", "cohort_day", F.datediff("__d", "cohort_day").alias("day_offset"))
+        .filter(F.col("day_offset").isin(offsets))
+        .distinct()
+    )
+    return hits.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

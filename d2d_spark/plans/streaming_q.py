@@ -36,15 +36,72 @@ DEC = "decimal(18,2)"
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events CROSS JOIN (SELECT unnest([0, 1]) AS off)
     GROUP BY 2
+    UNION ALL
+    SELECT 'funnel' AS kind, fm.csv AS window_start,
+           CAST(fm.user_id AS VARCHAR) AS event_type,
+           fm.stage AS n_events, CAST(NULL AS DOUBLE) AS sum_value
+    FROM (
+      WITH f0 AS (SELECT DISTINCT user_id FROM events
+                  WHERE event_type IN ('signup','view','click','purchase')),
+      s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+             WHERE event_type = 'signup' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+             WHERE e.event_type = 'view' AND e.ts > s1.t1
+               AND epoch(e.ts) - epoch(s1.t1) <= 172800 GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+             JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+             WHERE e.event_type = 'click' AND e.ts > s2.t2
+               AND epoch(e.ts) - epoch(s1.t1) <= 172800 GROUP BY e.user_id),
+      s4 AS (SELECT e.user_id, MIN(e.ts) AS t4 FROM events e
+             JOIN s3 USING (user_id) JOIN s1 USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.ts > s3.t3
+               AND epoch(e.ts) - epoch(s1.t1) <= 172800 GROUP BY e.user_id)
+      SELECT f0.user_id,
+             CAST(t1 IS NOT NULL AS INT) + CAST(t2 IS NOT NULL AS INT)
+             + CAST(t3 IS NOT NULL AS INT) + CAST(t4 IS NOT NULL AS INT) AS stage,
+             concat(coalesce(strftime(t1, '%Y-%m-%d %H:%M:%S'), ''), '|',
+                    coalesce(strftime(t2, '%Y-%m-%d %H:%M:%S'), ''), '|',
+                    coalesce(strftime(t3, '%Y-%m-%d %H:%M:%S'), ''), '|',
+                    coalesce(strftime(t4, '%Y-%m-%d %H:%M:%S'), '')) AS csv
+      FROM f0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+              LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
+    ) fm
+    UNION ALL
+    SELECT 'retention' AS kind,
+           strftime(cohort_day, '%Y-%m-%d') AS window_start,
+           CAST(day_offset AS VARCHAR) AS event_type,
+           COUNT(*) AS n_events, CAST(NULL AS DOUBLE) AS sum_value
+    FROM (
+      WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      first AS (SELECT user_id, MIN(d) AS cohort_day FROM days GROUP BY user_id)
+      SELECT DISTINCT days.user_id, first.cohort_day,
+             date_diff('day', first.cohort_day, days.d) AS day_offset
+      FROM days JOIN first USING (user_id)
+      WHERE date_diff('day', first.cohort_day, days.d) IN (0, 1, 2, 7)
+    ) GROUP BY cohort_day, day_offset
     """,
-    tags=("streaming", "window", "tumbling", "sliding"),
+    tags=("streaming", "window", "tumbling", "sliding", "funnel", "retention"),
 )
 def windowed_aggs_events(spark, sf_dir):
-    """Tumbling 1-hour windows per event_type AND sliding 2-hour
-    windows advancing hourly (every event lands in exactly two
-    windows; oracle: explicit offset unnest), one tagged result.
-    Count + exact-decimal value sum; streaming-identical code path
-    (F.window groupBy)."""
+    """Event-time analytics suite, four tagged legs.
+
+    tumbling_1h / sliding_2h_1h: tumbling 1-hour windows per
+    event_type AND sliding 2-hour windows advancing hourly (every
+    event lands in exactly two windows; oracle: explicit offset
+    unnest). Count + exact-decimal value sum; streaming-identical
+    code path (F.window groupBy).
+
+    funnel: per-user greedy-earliest-chain funnel
+    (operators/funnel.py) signup→view→click→purchase inside a 48-hour
+    window anchored at the chain start — the ClickHouse windowFunnel
+    analog. The oracle replays the documented greedy semantics as
+    chained per-stage MIN subqueries (a different algorithm than the
+    Spark array fold — a genuine cross-algorithm differential); the
+    csv column pins every stage timestamp, not just the depth.
+
+    retention: cohort retention (ClickHouse retention analog) —
+    cohort = first-event day, exact distinct users at day offsets
+    0/1/2/7."""
     ev = read_table(spark, sf_dir, "events")
     aggs = [
         F.count(F.lit(1)).alias("n_events"),
@@ -64,7 +121,36 @@ def windowed_aggs_events(spark, sf_dir):
         "n_events",
         "sum_value",
     )
-    return tumbling.unionAll(sliding)
+    from d2d_spark.operators.funnel import funnel_stages, retention_cohorts
+
+    steps = ["signup", "view", "click", "purchase"]
+    fs = funnel_stages(ev, "user_id", "ts", "event_type", steps, within=172_800.0)
+    fmt = [
+        F.coalesce(
+            F.date_format(
+                F.timestamp_seconds(F.col(f"ts_step_{k + 1}")), "yyyy-MM-dd HH:mm:ss"
+            ),
+            F.lit(""),
+        )
+        for k in range(4)
+    ]
+    funnel = fs.select(
+        F.lit("funnel").alias("kind"),
+        F.concat(fmt[0], F.lit("|"), fmt[1], F.lit("|"), fmt[2], F.lit("|"), fmt[3]).alias(
+            "window_start"
+        ),
+        F.col("user").cast("string").alias("event_type"),
+        F.col("stage").cast("long").alias("n_events"),
+        F.lit(None).cast("double").alias("sum_value"),
+    )
+    retention = retention_cohorts(ev, "user_id", "ts", offsets=[0, 1, 2, 7]).select(
+        F.lit("retention").alias("kind"),
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("window_start"),
+        F.col("day_offset").cast("string").alias("event_type"),
+        F.col("n_users").alias("n_events"),
+        F.lit(None).cast("double").alias("sum_value"),
+    )
+    return tumbling.unionAll(sliding).unionAll(funnel).unionAll(retention)
 
 
 @query(
