@@ -149,3 +149,28 @@ def test_validation(spark, docs):  # noqa: F811
         winnow_near_pairs(docs, "text", "doc_id", threshold_pct=0)
     with pytest.raises(ValueError, match="max_df"):
         winnow_near_pairs(docs, "text", "doc_id", max_df=1)
+
+
+def test_random_unicode_corpus_matches_python(spark):
+    """Seeded random corpus over a unicode-heavy alphabet (CJK,
+    accents, emoji-free BMP, whitespace): Spark's char split and the
+    Python reference's code-point indexing must agree on every
+    fingerprint — the parity the literal driver oracles stand on."""
+    import random
+
+    alphabet = "abĉdé中文字αβγж .!?\t"
+    rng = random.Random(99)
+    corpus = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 120))))
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    for k, w in ((3, 5), (6, 2)):
+        got = {
+            (r["doc_id"], r["pos"], r["h"])
+            for r in winnow_fingerprints(
+                df, "text", "doc_id", k=k, w=w, hasher=md5_prefix_hasher
+            ).collect()
+        }
+        want = {(i, p, h) for i, t in corpus for p, h in py_winnow(t, k, w)}
+        assert got == want, (k, w)
