@@ -332,3 +332,116 @@ def _target_exists(spark, path: str) -> bool:
     conf = spark._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
     return p.getFileSystem(conf).exists(p)
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    on: list[str],
+    matched_update: dict[str, str] | None = None,
+    matched_update_condition: str | None = None,
+    matched_delete_condition: str | None = None,
+    insert_unmatched: bool = True,
+    insert_values: dict[str, str] | None = None,
+    verify_unique: bool = True,
+) -> DataFrame:
+    """Multi-clause MERGE INTO as one dataflow — the Delta/Iceberg
+    `MERGE INTO t USING s ON … WHEN MATCHED [AND cond] THEN
+    UPDATE/DELETE WHEN NOT MATCHED THEN INSERT` statement computed as
+    the new target snapshot (swap/write it with write_mode; on an
+    ACID format this is the single-statement upsert+delete+insert the
+    reference spreads over three SQL modes).
+
+    Clause semantics (documented; engines differ):
+      * matched rows check ``matched_delete_condition`` FIRST (drop),
+        then ``matched_update_condition`` (default: all matched) for
+        the ``matched_update`` SET map; unmatched-by-any-clause
+        matched rows pass through unchanged;
+      * NULL conditions are false (SQL WHERE discipline);
+      * source rows matching nothing insert when ``insert_unmatched``
+        — columns mapped by ``insert_values`` (target column ->
+        expression), defaulting to same-named source columns and NULL
+        elsewhere; join keys always carry over;
+      * all expressions are SQL strings over aliases ``t`` (target)
+        and ``s`` (source) — e.g. ``"s.price > t.price"`` — evaluated
+        against ORIGINAL rows (update_rows' no-chaining rule).
+
+    A source with duplicate keys makes MERGE ill-defined (Delta
+    raises at runtime); ``verify_unique`` pre-checks with one tiny
+    aggregate and raises with the offending count. Keys must be
+    non-NULL on the source side (NULL never matches; such rows would
+    silently insert — they raise instead).
+
+    Shape: ONE full-outer equi-join on the keys plus per-row CASE
+    projections — no shuffle beyond the join, broadcastable small
+    sources welcome."""
+    if not on:
+        raise ValueError("merge_into: need at least one join key")
+    missing = [k for k in on if k not in target.columns or k not in source.columns]
+    if missing:
+        raise ValueError(f"merge_into: join keys {missing} absent from both frames")
+    if matched_update is None and matched_delete_condition is None and not insert_unmatched:
+        raise ValueError("merge_into: no clause given — nothing to do")
+    bad = [c for c in (matched_update or {}) if c in on]
+    if bad:
+        raise ValueError(f"merge_into: refusing to UPDATE join keys {bad}")
+    if verify_unique:
+        stats = source.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(*[F.col(k) for k in on]).alias("nk"),
+            F.sum(
+                (sum(F.col(k).isNull().cast("int") for k in on) > 0).cast("int")
+            ).alias("nulls"),
+        ).collect()[0]
+        if stats["nulls"]:
+            raise ValueError(
+                f"merge_into: {stats['nulls']} source rows have NULL join keys — "
+                "NULL never matches; filter or fix upstream"
+            )
+        if stats["nk"] != stats["n"]:
+            raise ValueError(
+                f"merge_into: source has duplicate join keys ({stats['n']} rows, "
+                f"{stats['nk']} distinct) — MERGE is ill-defined on multi-matches"
+            )
+    t = target.alias("t")
+    s = source.alias("s")
+    cond = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in on]
+    j = (
+        t.withColumn("__t", F.lit(1))
+        .alias("t")
+        .join(s.withColumn("__s", F.lit(1)).alias("s"), cond, "full_outer")
+    )
+    is_matched = F.col("t.__t").isNotNull() & F.col("s.__s").isNotNull()
+    t_only = F.col("s.__s").isNull()
+    del_c = (
+        F.coalesce(F.expr(matched_delete_condition), F.lit(False))
+        if matched_delete_condition
+        else F.lit(False)
+    )
+    upd_c = (
+        F.coalesce(F.expr(matched_update_condition), F.lit(False))
+        if matched_update_condition
+        else F.lit(True)
+    )
+    kept = j.filter(t_only | (is_matched & ~del_c) | (~F.col("t.__t").isNotNull() & F.lit(insert_unmatched)))
+    ins = dict(insert_values or {})
+    out_cols = []
+    for c in target.columns:
+        t_val = F.col(f"t.{c}")
+        if matched_update and c in matched_update:
+            upd_val = F.when(is_matched & upd_c, F.expr(matched_update[c])).otherwise(t_val)
+        else:
+            upd_val = t_val
+        if c in ins:
+            ins_val = F.expr(ins[c])
+        elif c in on or c in source.columns:
+            ins_val = F.col(f"s.{c}")
+        else:
+            ins_val = F.lit(None)
+        out_cols.append(
+            F.when(F.col("t.__t").isNotNull(), upd_val)
+            .otherwise(ins_val)
+            .cast(dict(target.dtypes)[c])
+            .alias(c)
+        )
+    return kept.select(*out_cols)

@@ -63,13 +63,29 @@ STAGE = Path(tempfile.gettempdir()) / "d2d_spark_stage"
       FROM dold o FULL JOIN dnew n USING (o_orderkey)
       WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
          OR (o.o_orderstatus, o.o_totalprice) IS DISTINCT FROM
-            (n.o_orderstatus, n.o_totalprice))
-    SELECT * FROM updel UNION ALL SELECT * FROM scd UNION ALL SELECT * FROM dif
+            (n.o_orderstatus, n.o_totalprice)),
+    mt AS (SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS p
+           FROM orders WHERE o_orderkey <= 3000),
+    ms AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE) AS np
+           FROM orders WHERE o_orderkey BETWEEN 2000 AND 5000),
+    mg AS (
+      SELECT 'merge' AS leg, COALESCE(t.k, s.k) AS k,
+             CASE WHEN t.k IS NULL THEN s.st ELSE t.st END AS attr,
+             CASE WHEN t.k IS NULL THEN s.np
+                  WHEN s.k IS NOT NULL AND s.st = 'P' THEN s.np
+                  ELSE t.p END AS price,
+             CAST(NULL AS VARCHAR) AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+             CAST(NULL AS BOOLEAN) AS is_current
+      FROM mt t FULL JOIN ms s ON t.k = s.k
+      WHERE NOT (t.k IS NOT NULL AND s.k IS NOT NULL AND s.st = 'F'))
+    SELECT * FROM updel UNION ALL SELECT * FROM scd
+    UNION ALL SELECT * FROM dif UNION ALL SELECT * FROM mg
     """,
-    tags=("writes", "update", "delete", "scd2", "diff"),
+    tags=("writes", "update", "delete", "scd2", "diff", "merge"),
 )
 def update_delete_rows_orders(spark, sf_dir):
-    """Two write-semantics legs. 'updel': UPDATE then DELETE on one
+    """Four write-semantics legs. 'updel': UPDATE then DELETE on one
     dataflow — SET status='PENDING', price=price*2 WHERE status='P'
     (matched rows rewritten, others pass through), then DELETE WHERE
     status='F' (survivors only; NULL predicates neither update nor
@@ -80,7 +96,11 @@ def update_delete_rows_orders(spark, sf_dir):
     convention). 'diff': operators/diff.table_diff between two orders
     versions (key-shifted slice + price bump on one status) — change
     classification and new values hash-checked against the SQL
-    full-join IS DISTINCT FROM formulation."""
+    full-join IS DISTINCT FROM formulation. 'merge': multi-clause
+    MERGE INTO (operators/writes.merge_into — Delta-style WHEN
+    MATCHED AND status='F' DELETE / WHEN MATCHED AND status='P'
+    UPDATE price / WHEN NOT MATCHED INSERT, one full-outer join)
+    against a CASE full-join replay in SQL."""
     o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
     updated = update_rows(
         o,
@@ -138,7 +158,38 @@ def update_delete_rows_orders(spark, sf_dir):
         F.lit(None).cast("string").alias("valid_to"),
         F.lit(None).cast("boolean").alias("is_current"),
     )
-    return updel.unionByName(scd).unionByName(dif)
+    from d2d_spark.operators.writes import merge_into
+
+    mt = orders.filter("o_orderkey <= 3000").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    ms = orders.filter("o_orderkey BETWEEN 2000 AND 5000").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 2)
+        .cast("double")
+        .alias("np"),
+    )
+    merged = merge_into(
+        mt,
+        ms,
+        on=["o_orderkey"],
+        matched_update={"o_totalprice": "s.np"},
+        matched_update_condition="s.o_orderstatus = 'P'",
+        matched_delete_condition="s.o_orderstatus = 'F'",
+        insert_unmatched=True,
+        insert_values={"o_totalprice": "s.np", "o_orderstatus": "s.o_orderstatus"},
+    )
+    mg = merged.select(
+        F.lit("merge").alias("leg"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("attr"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(None).cast("string").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(None).cast("boolean").alias("is_current"),
+    )
+    return updel.unionByName(scd).unionByName(dif).unionByName(mg)
 
 
 @query(
