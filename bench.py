@@ -130,6 +130,13 @@ def main() -> int:
             li, "l_extendedprice", [0.01, 0.25, 0.5, 0.75, 0.99]
         ).count(),
     }
+    from d2d_spark import cache as opcache
+
+    # the prefix joins persist an ordered-shingle stage per CALL; the
+    # best-of-5 loops above/below would stack five copies each and
+    # squeeze the legs timed after them — release each tag once its
+    # leg is measured
+    opcache.release("jaccard_prefix")
     for name, run in r6.items():
         best = float("inf")
         for _ in range(5):
@@ -137,6 +144,7 @@ def main() -> int:
             run()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        opcache.release("containment_prefix")
 
     # End-to-end Migration throughput (rows/s), comparable to the
     # reference's best batched write path (~15.6k rows/s,

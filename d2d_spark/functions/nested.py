@@ -64,19 +64,27 @@ def flatten_structs(df: DataFrame, sep: str = "_", max_depth: int = 16) -> DataF
     cols: list[tuple[str, list[str]]] = []
     for f in df.schema.fields:
         cols.extend(expand([f.name], f.dataType))
-    names = [n for n, _ in cols]
-    dupes = {n for n in names if names.count(n) > 1}
-    if dupes:
-        raise ValueError(
-            f"flatten_structs: name collisions {sorted(dupes)} — pick a "
-            f"different sep than {sep!r} or rename upstream"
-        )
+    _check_collisions("flatten_structs", [n for n, _ in cols], sep)
     return df.select(
         *[
             (F.col(path[0]) if len(path) == 1 else _field(path)).alias(name)
             for name, path in cols
         ]
     )
+
+
+def _check_collisions(who: str, names: list[str], sep: str) -> None:
+    """Spark resolves column names case-INSENSITIVELY by default, so
+    the collision refusal must fold case too — 'user_Id' vs 'user_id'
+    would pass a string-equality check and then blow up (or silently
+    shadow) at the next by-name reference."""
+    folded = [n.lower() for n in names]
+    dupes = sorted({names[i] for i, n in enumerate(folded) if folded.count(n) > 1})
+    if dupes:
+        raise ValueError(
+            f"{who}: name collisions (case-insensitive) {dupes} — pick a "
+            f"different sep than {sep!r} or rename upstream"
+        )
 
 
 def _field(path: list[str]):
@@ -123,7 +131,5 @@ def explode_path(
         )
     else:
         out = exploded.withColumnRenamed(tmp, out_name)
-    clash = {c for c in out.columns if out.columns.count(c) > 1}
-    if clash:
-        raise ValueError(f"explode_path: flattened names collide: {sorted(clash)}")
+    _check_collisions("explode_path", list(out.columns), sep)
     return out

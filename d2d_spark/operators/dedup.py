@@ -584,6 +584,7 @@ def jaccard_prefix_pairs(
     n: int = 3,
     threshold: float = 0.5,
     order: str = "freq",
+    ordered: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-threshold n-gram Jaccard pairs WITHOUT the quadratic —
     prefix-filtering set-similarity join (AllPairs / PPJoin family:
@@ -621,7 +622,8 @@ def jaccard_prefix_pairs(
     t = float(threshold)
     if not 0.0 < t <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    ordered = _ordered_shingle_sets(df, text_col, id_col, n, order, "jaccard_prefix")
+    if ordered is None:
+        ordered = _ordered_shingle_sets(df, text_col, id_col, n, order, "jaccard_prefix")
     # prefix length |s| - ceil(t*|s|) + 1 — always >= 1 for t <= 1
     plen = (F.col("__sz") - F.ceil(F.lit(t) * F.col("__sz")) + F.lit(1)).cast("int")
     pref = ordered.select(
@@ -680,6 +682,7 @@ def containment_prefix_pairs(
     n: int = 3,
     threshold: float = 0.8,
     order: str = "freq",
+    ordered: DataFrame | None = None,
 ) -> DataFrame:
     """DIRECTED containment pairs (id_a, id_b, containment) with
     |A ∩ B| / |A| >= threshold, a != b — "A's shingles are mostly
@@ -704,11 +707,18 @@ def containment_prefix_pairs(
 
     Thresholding is double-math `ov >= t * |A|` on both the candidate
     bound and the final verify — the same IEEE expression an oracle
-    engine computes, no epsilon."""
+    engine computes, no epsilon.
+
+    ``ordered`` accepts the persisted frame from a sibling
+    jaccard/containment call on the SAME (corpus, n, order) so one
+    pipeline running both joins builds the shingle stage once."""
     t = float(threshold)
     if not 0.0 < t <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    ordered = _ordered_shingle_sets(df, text_col, id_col, n, order, "containment_prefix")
+    if ordered is None:
+        ordered = _ordered_shingle_sets(
+            df, text_col, id_col, n, order, "containment_prefix"
+        )
     plen = (F.col("__sz") - F.ceil(F.lit(t) * F.col("__sz")) + F.lit(1)).cast("int")
     a = ordered.select(
         F.col("__id").alias("id_a"),

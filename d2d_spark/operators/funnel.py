@@ -165,11 +165,13 @@ def retention_cohorts(
         F.col(user_col).alias("user"), F.to_date(ts_col).alias("__d")
     ).distinct()
     first = days.groupBy("user").agg(F.min("__d").alias("cohort_day"))
+    # no distinct here: `days` is already unique on (user, day) and
+    # day_offset is a function of (user, day), so these rows are
+    # duplicate-free by construction
     hits = (
         days.join(first, "user")
         .select("user", "cohort_day", F.datediff("__d", "cohort_day").alias("day_offset"))
         .filter(F.col("day_offset").isin(offsets))
-        .distinct()
     )
     return hits.groupBy("cohort_day", "day_offset").agg(
         F.count(F.lit(1)).alias("n_users")

@@ -377,9 +377,10 @@ def merge_into(
     sources welcome."""
     if not on:
         raise ValueError("merge_into: need at least one join key")
-    missing = [k for k in on if k not in target.columns or k not in source.columns]
-    if missing:
-        raise ValueError(f"merge_into: join keys {missing} absent from both frames")
+    for side, frame in (("target", target), ("source", source)):
+        missing = [k for k in on if k not in frame.columns]
+        if missing:
+            raise ValueError(f"merge_into: join keys {missing} absent from the {side}")
     if matched_update is None and matched_delete_condition is None and not insert_unmatched:
         raise ValueError("merge_into: no clause given — nothing to do")
     bad = [c for c in (matched_update or {}) if c in on]
@@ -403,16 +404,24 @@ def merge_into(
                 f"merge_into: source has duplicate join keys ({stats['n']} rows, "
                 f"{stats['nk']} distinct) — MERGE is ill-defined on multi-matches"
             )
-    t = target.alias("t")
-    s = source.alias("s")
+    # presence-marker names must not shadow REAL columns (withColumn
+    # silently overwrites, which would both corrupt a caller's __t
+    # column and break matched-row detection)
+    taken = {c.lower() for c in target.columns} | {c.lower() for c in source.columns}
+    mk_t, mk_s = "__t", "__s"
+    while mk_t.lower() in taken:
+        mk_t += "_"
+    while mk_s.lower() in taken or mk_s == mk_t:
+        mk_s += "_"
     cond = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in on]
     j = (
-        t.withColumn("__t", F.lit(1))
+        target.withColumn(mk_t, F.lit(1))
         .alias("t")
-        .join(s.withColumn("__s", F.lit(1)).alias("s"), cond, "full_outer")
+        .join(source.withColumn(mk_s, F.lit(1)).alias("s"), cond, "full_outer")
     )
-    is_matched = F.col("t.__t").isNotNull() & F.col("s.__s").isNotNull()
-    t_only = F.col("s.__s").isNull()
+    t_present = F.col(f"t.{mk_t}").isNotNull()
+    is_matched = t_present & F.col(f"s.{mk_s}").isNotNull()
+    t_only = F.col(f"s.{mk_s}").isNull()
     del_c = (
         F.coalesce(F.expr(matched_delete_condition), F.lit(False))
         if matched_delete_condition
@@ -423,7 +432,7 @@ def merge_into(
         if matched_update_condition
         else F.lit(True)
     )
-    kept = j.filter(t_only | (is_matched & ~del_c) | (~F.col("t.__t").isNotNull() & F.lit(insert_unmatched)))
+    kept = j.filter(t_only | (is_matched & ~del_c) | (~t_present & F.lit(insert_unmatched)))
     ins = dict(insert_values or {})
     out_cols = []
     for c in target.columns:
@@ -439,7 +448,7 @@ def merge_into(
         else:
             ins_val = F.lit(None)
         out_cols.append(
-            F.when(F.col("t.__t").isNotNull(), upd_val)
+            F.when(t_present, upd_val)
             .otherwise(ins_val)
             .cast(dict(target.dtypes)[c])
             .alias(c)

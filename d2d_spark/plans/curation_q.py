@@ -886,7 +886,7 @@ def _bpe_pack_mix_oracle() -> str:
 
 @query(
     "bpe_pack_mix_pipeline",
-    oracle=_bpe_pack_mix_oracle(),
+    oracle=_bpe_pack_mix_oracle,
     tags=("llm", "bpe", "tokenizer", "packing", "mixing", "integration"),
 )
 def bpe_pack_mix_pipeline(spark, sf_dir):

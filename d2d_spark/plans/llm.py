@@ -232,7 +232,7 @@ def _fingerprint_suite_oracle() -> str:
 
 @query(
     "fingerprint_dedup_documents",
-    oracle=_fingerprint_suite_oracle(),
+    oracle=_fingerprint_suite_oracle,
     tags=("llm", "dedup", "exact", "winnow"),
 )
 def fingerprint_dedup_documents(spark, sf_dir):
@@ -659,7 +659,7 @@ def _multimodal_suite_oracle() -> str:
 
 @query(
     "multimodal_pipeline",
-    oracle=_multimodal_suite_oracle(),
+    oracle=_multimodal_suite_oracle,
     tags=("llm", "multimodal", "pandas-udf", "phash"),
 )
 def multimodal_pipeline(spark, sf_dir):
@@ -854,7 +854,12 @@ def jaccard_pairs_clusters(spark, sf_dir):
         F.col("id_b").alias("b"),
         F.round("jaccard", 6).alias("jaccard"),
     )
-    prefix_leg = D.jaccard_prefix_pairs(d, "text", "doc_id", n=3, threshold=0.5).select(
+    # ONE persisted ordered-shingle stage feeds the prefix AND
+    # containment joins (identical (corpus, n, order) inputs)
+    shingle_stage = D._ordered_shingle_sets(d, "text", "doc_id", 3, "freq", "jaccard_prefix")
+    prefix_leg = D.jaccard_prefix_pairs(
+        d, "text", "doc_id", n=3, threshold=0.5, ordered=shingle_stage
+    ).select(
         F.lit("prefix").alias("leg"),
         F.col("id_a").alias("a"),
         F.col("id_b").alias("b"),
@@ -881,7 +886,9 @@ def jaccard_pairs_clusters(spark, sf_dir):
     # to bound the oracle's quadratic replay (the Spark path needs no
     # such bound — it post-filters the equi-join output)
     contain_leg = (
-        D.containment_prefix_pairs(d, "text", "doc_id", n=3, threshold=0.8)
+        D.containment_prefix_pairs(
+            d, "text", "doc_id", n=3, threshold=0.8, ordered=shingle_stage
+        )
         .filter(F.col("id_a") % 3 == 0)
         .select(
             F.lit("contain").alias("leg"),
@@ -1231,7 +1238,7 @@ def _pack_and_concat_oracle() -> str:
 
 @query(
     "pack_and_concat",
-    oracle=_pack_and_concat_oracle(),
+    oracle=_pack_and_concat_oracle,
     tags=("llm", "packing"),
 )
 def pack_and_concat(spark, sf_dir):

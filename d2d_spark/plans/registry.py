@@ -10,26 +10,50 @@ row-count + schema + order-insensitive value hash.
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass, field
+# (plain class, not a dataclass: oracle is a lazily-resolving property)
 
 from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
-@dataclass
 class Query:
-    name: str
-    fn: QueryFn
-    oracle: str | None
-    doc: str = ""
-    tags: tuple[str, ...] = field(default_factory=tuple)
+    """A registered (spark_fn, oracle) pair. ``oracle`` may be given
+    as a zero-arg callable for EXPENSIVE builders (the literal-VALUES
+    oracles compute Python reference implementations over the
+    fixtures) — it resolves lazily on first access and caches, so
+    importing the registry stays cheap for consumers that never
+    compare oracles (bench, explain_audit, library users)."""
+
+    def __init__(
+        self,
+        name: str,
+        fn: QueryFn,
+        oracle: "str | Callable[[], str] | None",
+        doc: str = "",
+        tags: tuple[str, ...] = (),
+    ) -> None:
+        self.name = name
+        self.fn = fn
+        self._oracle = oracle
+        self.doc = doc
+        self.tags = tags
+
+    @property
+    def oracle(self) -> str | None:
+        if callable(self._oracle):
+            self._oracle = self._oracle()
+        return self._oracle
 
 
 QUERIES: dict[str, Query] = {}
 
 
-def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+def query(
+    name: str,
+    oracle: "str | Callable[[], str] | None" = None,
+    tags: tuple[str, ...] = (),
+):
     """Register a (spark_fn, oracle_sql) pair under ``name``.
 
     Column names MUST match between the Spark result and the oracle —

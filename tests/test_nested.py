@@ -102,3 +102,11 @@ def test_flatten_pushdown_prunes_scan(spark, tmp_path):
     assert "ReadSchema" in plan
     rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "geo" in rs and "items" not in rs and "tags" not in rs
+
+
+def test_flatten_collision_case_insensitive(spark):
+    """Spark resolves names case-insensitively by default — a
+    differing-case collision must refuse too."""
+    bad = spark.createDataFrame([(1, (2,), 3)], "id long, a struct<B:int>, a_b long")
+    with pytest.raises(ValueError, match="collision"):
+        flatten_structs(bad)

@@ -89,3 +89,14 @@ def test_merge_into_null_condition_is_false(spark):
         matched_delete_condition="s.flag",  # NULL -> no delete
     )
     assert [tuple(r) for r in out.collect()] == [(1, 10.0)]
+
+
+def test_merge_into_survives_dunder_marker_columns(spark):
+    """A real __t/__s column in either frame must not be clobbered by
+    the presence markers."""
+    from d2d_spark.operators.writes import merge_into
+
+    target = spark.createDataFrame([(1, 5), (2, 6)], "k long, __t long")
+    source = spark.createDataFrame([(2, 99), (3, 77)], "k long, __t long")
+    out = merge_into(target, source, on=["k"], matched_update={"__t": "s.__t"})
+    assert sorted(tuple(r) for r in out.collect()) == [(1, 5), (2, 99), (3, 77)]
