@@ -135,3 +135,84 @@ def bm25_scores(
     return per_term.groupBy("__id").agg(F.sum("__s").alias("score")).select(
         F.col("__id").alias(id_col), "score"
     )
+
+
+def bm25_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_text_col: str,
+    query_id_col: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Multi-query BM25 retrieval: (query_id, doc_id, score, rank) —
+    the top-``k`` corpus documents per query, Robertson idf, DISTINCT
+    query terms (qtf saturates to 1, the standard short-query form).
+    The retrieval layer over bm25_scores' single-bag scoring: one
+    postings build serves EVERY query.
+
+    Exactness discipline: each per-term contribution (an irrational
+    double both engines compute identically from the same IEEE
+    expression) is rounded to 9 decimals and accumulated in
+    DECIMAL(28,14), so the per-document sum is partition-order
+    invariant and engine-portable — this is what lets the whole
+    ranking be driver-oracled instead of pytest-only. Ranks break
+    score ties by ascending doc id.
+
+    Shape at scale: term counts + doc lengths + document frequencies
+    are the tf_idf aggregates (vocab- and corpus-bounded, map-side
+    combined); corpus-level scalars (N, avgdl) fold in through
+    one-row broadcast crossJoins — NO driver action anywhere; the
+    query side is an exploded distinct (query, term) frame joined on
+    term, so work scales with postings of the query terms, not the
+    corpus; one final (query, doc) aggregate + WindowGroupLimit
+    top-k."""
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    tc = _term_counts(corpus, text_col, id_col)
+    dlen = tc.groupBy("__id").agg(F.sum("tf").alias("__dl"))
+    nd = corpus.agg(F.count_distinct(F.col(id_col)).alias("__n"))
+    ad = dlen.agg(F.avg("__dl").alias("__avgdl"))
+    dfreq = tc.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    qt = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(F.split(F.trim(F.lower(F.col(query_text_col))), r"\s+")).alias(
+                "tok"
+            ),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    hits = (
+        qt.join(tc, "tok")
+        .join(dfreq, "tok")
+        .join(dlen, "__id")
+        .crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(ad))
+    )
+    idf = F.log(
+        1.0 + (F.col("__n").cast("double") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = (
+        idf
+        * F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl")))
+    )
+    scored = (
+        hits.withColumn("__c", F.round(contrib, 9).cast("decimal(28,14)"))
+        .groupBy("query_id", "__id")
+        .agg(F.sum("__c").cast("double").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("__id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("__id").alias("doc_id"), "score", "rank")
+    )

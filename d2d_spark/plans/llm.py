@@ -913,7 +913,27 @@ def jaccard_pairs_clusters(spark, sf_dir):
     tc AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
            WHERE tok <> '' GROUP BY doc_id, tok),
     dfreq AS (SELECT tok, COUNT(*) AS df FROM tc GROUP BY tok),
-    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents)
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tc GROUP BY doc_id),
+    ad AS (SELECT AVG(dl) AS avgdl FROM dl),
+    qt AS (SELECT DISTINCT doc_id AS qid, tok FROM toks
+           WHERE doc_id % 250 = 0 AND tok <> ''),
+    sc AS (SELECT qid, tc.doc_id AS did,
+             CAST(SUM(CAST(round(
+               ln(CAST(1.0 AS DOUBLE)
+                  + (CAST(n AS DOUBLE) - df + CAST(0.5 AS DOUBLE))
+                    / (df + CAST(0.5 AS DOUBLE)))
+               * tf * CAST(2.2 AS DOUBLE)
+               / (tf + CAST(1.2 AS DOUBLE)
+                       * (CAST(0.25 AS DOUBLE)
+                          + CAST(0.75 AS DOUBLE) * dl / avgdl)), 9)
+             AS DECIMAL(28,14))) AS DOUBLE) AS s
+           FROM qt JOIN tc USING (tok) JOIN dfreq USING (tok)
+                JOIN dl ON dl.doc_id = tc.doc_id, n, ad
+           GROUP BY qid, tc.doc_id),
+    ranked AS (SELECT qid, did, s,
+                      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, did) AS r
+               FROM sc)
     SELECT 'hist' AS leg, tok, SUM(tf) AS freq,
            CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS tfidf
     FROM tc GROUP BY tok HAVING SUM(tf) >= 50
@@ -922,6 +942,9 @@ def jaccard_pairs_clusters(spark, sf_dir):
            round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6)
     FROM tc JOIN dfreq USING (tok), n
     WHERE tc.doc_id % 100 = 0 AND df >= 2
+    UNION ALL
+    SELECT 'search', CAST(qid AS VARCHAR), r, did, s
+    FROM ranked WHERE r <= 10
     """,
     tags=("llm", "text", "explode", "tfidf"),
 )
@@ -964,7 +987,22 @@ def token_histogram_documents(spark, sf_dir):
             F.round("tfidf", 6).alias("tfidf"),
         )
     )
-    return hist.unionByName(weights)
+    search = TI.bm25_search(
+        d,
+        d.filter(F.col("doc_id") % 250 == 0).select("doc_id", "text"),
+        "text",
+        "doc_id",
+        "text",
+        "doc_id",
+        k=10,
+    ).select(
+        F.lit("search").alias("leg"),
+        F.col("query_id").cast("string").alias("tok"),
+        F.col("rank").cast("bigint").alias("freq"),
+        "doc_id",
+        F.col("score").alias("tfidf"),
+    )
+    return hist.unionByName(weights).unionByName(search)
 
 
 @query(

@@ -106,3 +106,62 @@ def test_bm25_empty_corpus_degrades_to_no_matches(spark):
     out = bm25_scores(df, "text", "doc_id", ["anything"])
     assert out.count() == 0
     assert out.columns == ["doc_id", "score"]
+
+
+def test_bm25_search_matches_python(spark):
+    """Multi-query retrieval vs an independent Python BM25 with the
+    same rounding discipline; ranks deterministic."""
+    import math
+    from collections import Counter
+
+    from d2d_spark.operators.tfidf import bm25_search
+
+    corpus = [
+        (1, "the cat sat on the mat"),
+        (2, "a dog chased the cat"),
+        (3, "dogs and cats living together"),
+        (4, "completely unrelated words here"),
+        (5, "cat cat cat dog"),
+        (6, ""),
+    ]
+    queries = [(100, "cat dog"), (200, "the mat"), (300, "zzz")]
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    qdf = spark.createDataFrame(queries, "qid long, qtext string")
+    out = bm25_search(cdf, qdf, "text", "doc_id", "qtext", "qid", k=3)
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+        for r in out.collect()
+    }
+
+    k1, b = 1.2, 0.75
+    toks = {i: [t for t in s.lower().split() if t] for i, s in corpus}
+    tf = {i: Counter(ts) for i, ts in toks.items()}
+    dl = {i: len(ts) for i, ts in toks.items() if ts}
+    n = len(corpus)
+    avgdl = sum(dl.values()) / len(dl)
+    dfreq = Counter(t for i in tf for t in tf[i])
+
+    def score(qtext, d):
+        s = 0
+        for t in set(qtext.lower().split()):
+            if t not in tf[d] or d not in dl:
+                continue
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            f = tf[d][t]
+            c = idf * f * (k1 + 1.0) / (f + k1 * (1.0 - b + b * dl[d] / avgdl))
+            s += round(c, 9)
+        return round(s, 9)
+
+    for qid, qtext in queries:
+        want = sorted(
+            ((d, score(qtext, d)) for d, _ in corpus if score(qtext, d) > 0),
+            key=lambda x: (-x[1], x[0]),
+        )[:3]
+        for r, (d, sc) in enumerate(want, start=1):
+            assert got[(qid, r)] == (d, sc), (qid, r)
+        assert not any(q == qid and r > len(want) for q, r in got)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="k must be"):
+        bm25_search(cdf, qdf, "text", "doc_id", "qtext", "qid", k=0)
