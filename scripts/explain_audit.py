@@ -37,6 +37,7 @@ ALLOW_NLJ = {
 ALLOW_ONE_ROW_BNLJ = {
     "countmin_freq_estimates",  # kmv theta one-row crossJoins
     "gpt3_quality_score",  # dsir model-total one-row crossJoins
+    "token_histogram_documents",  # bm25 N/avgdl one-row crossJoins
 }
 
 _EMPTY_KEYS_AGG = re.compile(r"(Hash|Sort|ObjectHash)Aggregate.*\bkeys=\[\]")
@@ -119,6 +120,8 @@ def main() -> int:
         "bloom_seen_filter",     # bitmap probe is map-side: no join, no shuffle
         "gpt3_quality_score",    # model broadcast + one per-doc aggregate
         "fingerprint_dedup_documents",  # winnow pairs: h equi-join only, map-only selection
+        "windowed_aggs_events",  # funnel fold + retention: user-keyed shuffles only
+        "token_histogram_documents",  # bm25 search: term equi-joins, one-row scalar folds
     ]
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     problems = []
