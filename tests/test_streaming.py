@@ -8,6 +8,7 @@ import shutil
 import tempfile
 from pathlib import Path
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -405,3 +406,68 @@ def test_stream_to_memory_mode_detection(spark, sf_dir, tmpdir):
     stream_to_memory(dedup, "stm_state")
     n = spark.sql("select count(*) c from stm_state").collect()[0].c
     assert n == ev.select("user_id").distinct().count()
+
+
+def test_stateful_funnel_matches_batch(spark, sf_dir, tmpdir):
+    """In-order micro-batches: the incremental funnel's final state
+    per user equals the batch funnel over the whole stream."""
+    from d2d_spark.operators.funnel import funnel_stages
+    from d2d_spark.streaming.stateful import stateful_funnel
+
+    steps = ["signup", "view", "click", "purchase"]
+    src = str(tmpdir / "funnel_src")
+    ev = read_table(spark, sf_dir, "events").limit(2000).cache()
+    # time-ordered micro-batches => per-user event time is
+    # non-decreasing across batches (the documented parity contract).
+    # The file source orders by modification time, so each ts-quartile
+    # writes as its OWN append a beat apart.
+    import time as _time
+
+    from pyspark.sql.window import Window as _W
+
+    sliced = ev.withColumn(
+        "__b", F.ntile(4).over(_W.orderBy("ts", "event_id"))
+    ).cache()
+    for i in range(1, 5):
+        sliced.filter(F.col("__b") == i).drop("__b").write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(1.2)
+    schema = spark.read.parquet(src).schema
+
+    stream = file_stream(spark, src, schema, max_files_per_trigger=1)
+    out = stateful_funnel(stream, "user_id", "ts", "event_type", steps, within=172_800.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_t")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmpdir / "funnel_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.sql("select * from funnel_t").toPandas()
+        .groupby("user_id").tail(1).set_index("user_id")
+    )
+    exp = funnel_stages(
+        ev, "user_id", "ts", "event_type", steps, within=172_800.0
+    ).toPandas().set_index("user")
+    assert len(got) == len(exp)
+    for uid, row in exp.iterrows():
+        assert got.loc[uid, "stage"] == row["stage"], uid
+        for k in range(4):
+            a, b = got.loc[uid, f"ts_step_{k+1}"], row[f"ts_step_{k+1}"]
+            assert (pd.isna(a) and pd.isna(b)) or a == b, (uid, k)
+
+
+def test_stateful_funnel_validation(spark, sf_dir):
+    import pytest
+
+    from d2d_spark.streaming.stateful import stateful_funnel
+
+    ev = read_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError, match="distinct funnel steps"):
+        stateful_funnel(ev, "user_id", "ts", "event_type", ["a"])
+    with pytest.raises(ValueError, match="within"):
+        stateful_funnel(ev, "user_id", "ts", "event_type", ["a", "b"], within=0)
