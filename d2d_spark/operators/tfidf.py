@@ -170,11 +170,23 @@ def bm25_search(
     term, so work scales with postings of the query terms, not the
     corpus; one final (query, doc) aggregate + WindowGroupLimit
     top-k."""
+    from pyspark import StorageLevel
     from pyspark.sql.window import Window
+
+    from d2d_spark import cache as opcache
+    from d2d_spark.functions.text import tokens_ws
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    tc = _term_counts(corpus, text_col, id_col)
+    # the corpus term-count explode feeds FOUR consumers (postings
+    # join, df agg, doc lengths, avgdl) — persist it once, the shared-
+    # explode discipline of classifier/semantic (release tag
+    # "bm25_search" per corpus)
+    tc = opcache.register(
+        "bm25_search",
+        _term_counts(corpus, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK),
+    )
+    tc.count()  # fill before the consumers race on it
     dlen = tc.groupBy("__id").agg(F.sum("tf").alias("__dl"))
     nd = corpus.agg(F.count_distinct(F.col(id_col)).alias("__n"))
     ad = dlen.agg(F.avg("__dl").alias("__avgdl"))
@@ -182,9 +194,9 @@ def bm25_search(
     qt = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
-            F.explode(F.split(F.trim(F.lower(F.col(query_text_col))), r"\s+")).alias(
-                "tok"
-            ),
+            # the CANONICAL tokenizer, same as the corpus side — an
+            # inline copy would silently drift if tokens_ws changes
+            F.explode(tokens_ws(F.lower(F.col(query_text_col)))).alias("tok"),
         )
         .filter(F.col("tok") != "")
         .distinct()

@@ -97,7 +97,7 @@ def main() -> int:
         "join_revenue_by_nation",
         "top_hits_latest_event_per_user",
         "dedup_exact_events",
-        "windowed_aggs_events",
+        "windowed_aggs_events",  # incl. funnel fold + retention: user-keyed shuffles only
         "rollup_cube_grouping",
         "partitioned_write_prune",
         "asof_join_click_purchase",
@@ -120,7 +120,6 @@ def main() -> int:
         "bloom_seen_filter",     # bitmap probe is map-side: no join, no shuffle
         "gpt3_quality_score",    # model broadcast + one per-doc aggregate
         "fingerprint_dedup_documents",  # winnow pairs: h equi-join only, map-only selection
-        "windowed_aggs_events",  # funnel fold + retention: user-keyed shuffles only
         "token_histogram_documents",  # bm25 search: term equi-joins, one-row scalar folds
     ]
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")

@@ -462,8 +462,6 @@ def test_stateful_funnel_matches_batch(spark, sf_dir, tmpdir):
 
 
 def test_stateful_funnel_validation(spark, sf_dir):
-    import pytest
-
     from d2d_spark.streaming.stateful import stateful_funnel
 
     ev = read_table(spark, sf_dir, "events")
