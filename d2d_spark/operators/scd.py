@@ -84,3 +84,45 @@ def scd2_apply(
     )
     batch = updates.select(*key_cols, *tracked_cols, F.col(ts_col))
     return scd2_history(events.unionByName(batch), key_cols, ts_col, tracked_cols)
+
+
+def scd2_lookup(
+    history: DataFrame,
+    probes: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time enrichment against a type-2 history: each probe
+    row picks the history version whose validity interval contains
+    its timestamp — ``valid_from <= ts < valid_to`` (open current
+    rows match everything at-or-after valid_from). Probes with no
+    version at their time keep NULL attributes (left join).
+
+    The join is an equi-join ON THE KEYS with the interval predicate
+    as a residual condition — per key the history holds one row per
+    attribute RUN (bounded, versions not events), so the per-key
+    fan-out is run-count, not quadratic. This is the lookup side of
+    scd2_history: history answers "what were the attributes of key K
+    at time T" without storing the raw event stream."""
+    for c in (valid_from, valid_to):
+        if c not in history.columns:
+            raise ValueError(f"scd2_lookup: history lacks {c!r}")
+    overlap = [c for c in probes.columns if c in history.columns and c not in key_cols]
+    if overlap:
+        raise ValueError(
+            f"scd2_lookup: probe columns {overlap} collide with history — "
+            "rename upstream so the enriched row is unambiguous"
+        )
+    h = history.alias("h")
+    p = probes.alias("p")
+    cond = [F.col(f"p.{k}") == F.col(f"h.{k}") for k in key_cols]
+    ts = F.col(f"p.{ts_col}")
+    cond.append(F.col(f"h.{valid_from}") <= ts)
+    cond.append(F.col(f"h.{valid_to}").isNull() | (ts < F.col(f"h.{valid_to}")))
+    out_history = [c for c in history.columns if c not in key_cols]
+    return p.join(h, cond, "left").select(
+        *[F.col(f"p.{c}") for c in probes.columns],
+        *[F.col(f"h.{c}") for c in out_history],
+    )

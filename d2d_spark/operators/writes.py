@@ -454,3 +454,74 @@ def merge_into(
             .alias(c)
         )
     return kept.select(*out_cols)
+
+
+def apply_changes(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    op_col: str = "op",
+    upsert_op: str = "u",
+    delete_op: str = "d",
+) -> DataFrame:
+    """CDC change-feed apply (the Debezium/DLT APPLY CHANGES INTO
+    shape): fold an ordered op log of upserts and deletes into the
+    new target snapshot. Per key only the HIGHEST-``seq_col`` change
+    decides the outcome — an upsert wins with its payload, a delete
+    removes the key — and earlier changes for the key are superseded
+    whole-row (out-of-order arrivals within the feed are fine: the
+    sequence column is the order, not arrival). Keys absent from the
+    feed pass through.
+
+    Deterministic by construction only if (keys, seq_col) is unique —
+    duplicate sequence numbers for one key make "last" meaningless,
+    so they raise (one tiny aggregate), the merge_into discipline.
+
+    Shape: one window shuffle on the feed (top-1 per key), then ONE
+    anti-join + union against the target — the feed is typically tiny
+    next to the table, so both joins broadcast."""
+    from pyspark.sql.window import Window
+
+    if not keys:
+        raise ValueError("apply_changes: need at least one key column")
+    for side, frame, need in (
+        ("target", target, keys),
+        ("changes", changes, keys + [seq_col, op_col]),
+    ):
+        missing = [c for c in need if c not in frame.columns]
+        if missing:
+            raise ValueError(f"apply_changes: {side} lacks columns {missing}")
+    payload = [c for c in target.columns if c not in keys]
+    missing_payload = [c for c in payload if c not in changes.columns]
+    if missing_payload:
+        raise ValueError(
+            f"apply_changes: changes feed lacks payload columns {missing_payload} "
+            "— CDC upserts carry whole rows"
+        )
+    stats = changes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(*[F.col(c) for c in keys + [seq_col]]).alias("nk"),
+        F.sum(
+            (~F.col(op_col).isin(upsert_op, delete_op)).cast("int")
+        ).alias("badop"),
+    ).collect()[0]
+    if stats["badop"]:
+        raise ValueError(
+            f"apply_changes: {stats['badop']} rows have ops outside "
+            f"({upsert_op!r}, {delete_op!r})"
+        )
+    if stats["nk"] != stats["n"]:
+        raise ValueError(
+            "apply_changes: duplicate (key, sequence) rows — 'latest change "
+            "wins' is ill-defined; fix the feed's sequencing upstream"
+        )
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+    last = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    survivors = target.join(last.select(*keys), keys, "left_anti")
+    inserts = last.filter(F.col(op_col) == upsert_op).select(*target.columns)
+    return survivors.unionByName(inserts)

@@ -100,3 +100,157 @@ def test_merge_into_survives_dunder_marker_columns(spark):
     source = spark.createDataFrame([(2, 99), (3, 77)], "k long, __t long")
     out = merge_into(target, source, on=["k"], matched_update={"__t": "s.__t"})
     assert sorted(tuple(r) for r in out.collect()) == [(1, 5), (2, 99), (3, 77)]
+
+
+# ---------------------------------------------------------------------------
+# apply_changes (CDC op-log fold)
+# ---------------------------------------------------------------------------
+def test_apply_changes_latest_wins(spark):
+    from d2d_spark.operators.writes import apply_changes
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, status string, price double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 1, "u", "a1", 11.0),
+            (1, 3, "u", "a3", 13.0),   # latest upsert for k=1
+            (1, 2, "d", None, None),   # superseded delete
+            (2, 5, "d", None, None),   # latest = delete for k=2
+            (2, 4, "u", "zz", 99.0),
+            (4, 1, "u", "new", 40.0),  # brand-new key
+            (5, 1, "d", None, None),   # delete of absent key = no-op
+        ],
+        "k long, seq long, op string, status string, price double",
+    )
+    out = apply_changes(target, changes, keys=["k"], seq_col="seq")
+    assert sorted(tuple(r) for r in out.collect()) == [
+        (1, "a3", 13.0),
+        (3, "c", 30.0),
+        (4, "new", 40.0),
+    ]
+    assert out.columns == target.columns
+
+
+def test_apply_changes_validation(spark):
+    import pytest
+
+    from d2d_spark.operators.writes import apply_changes
+
+    target = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    ok = spark.createDataFrame([(1, 1, "u", 2.0)], "k long, seq long, op string, v double")
+    with pytest.raises(ValueError, match="at least one key"):
+        apply_changes(target, ok, keys=[], seq_col="seq")
+    with pytest.raises(ValueError, match="lacks columns"):
+        apply_changes(target, ok.drop("seq"), keys=["k"], seq_col="seq")
+    with pytest.raises(ValueError, match="payload columns"):
+        apply_changes(target, ok.drop("v"), keys=["k"], seq_col="seq")
+    bad_op = spark.createDataFrame(
+        [(1, 1, "x", 2.0)], "k long, seq long, op string, v double"
+    )
+    with pytest.raises(ValueError, match="ops outside"):
+        apply_changes(target, bad_op, keys=["k"], seq_col="seq")
+    dup = ok.unionByName(ok)
+    with pytest.raises(ValueError, match="duplicate \\(key, sequence\\)"):
+        apply_changes(target, dup, keys=["k"], seq_col="seq")
+
+
+def test_apply_changes_equals_sequential_replay(spark):
+    """Random op log folded by apply_changes ≡ a sequential Python
+    replay of the same log in sequence order."""
+    import random
+
+    from d2d_spark.operators.writes import apply_changes
+
+    rng = random.Random(3)
+    state = {k: float(k) for k in range(10)}
+    target = spark.createDataFrame(
+        [(k, v) for k, v in state.items()], "k long, v double"
+    )
+    log = []
+    for seq in range(200):
+        k = rng.randrange(0, 15)
+        if rng.random() < 0.3:
+            log.append((k, seq, "d", None))
+        else:
+            log.append((k, seq, "u", float(seq)))
+    for k, seq, op, v in log:  # python replay in seq order
+        if op == "d":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    shuffled = log[:]
+    rng.shuffle(shuffled)  # arrival order must not matter
+    changes = spark.createDataFrame(shuffled, "k long, seq long, op string, v double")
+    got = {r["k"]: r["v"] for r in apply_changes(target, changes, ["k"], "seq").collect()}
+    assert got == state
+
+
+# ---------------------------------------------------------------------------
+# scd2_lookup (point-in-time enrichment)
+# ---------------------------------------------------------------------------
+def test_scd2_lookup_point_in_time(spark, sf_dir):
+    """Every probe picks exactly the version valid at its time; the
+    composition scd2_history -> scd2_lookup answers historical
+    attribute questions exactly (checked against a per-row scan of
+    the raw events)."""
+    from pyspark.sql import functions as F
+
+    from d2d_spark.operators.scd import scd2_history, scd2_lookup
+    from d2d_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events").limit(600).cache()
+    hist = scd2_history(ev, ["user_id"], "ts", ["event_type"], ["event_id"]).cache()
+    # probes: each user's events shifted 1s forward (inside the run
+    # that was current at that moment)
+    probes = ev.select(
+        "user_id", (F.col("ts") + F.expr("INTERVAL 1 SECOND")).alias("at_ts")
+    ).limit(200)
+    got = scd2_lookup(hist, probes, ["user_id"], "at_ts")
+    rows = got.collect()
+    assert len(rows) == probes.count()  # exactly one version per probe
+    raw = [
+        (r["user_id"], r["ts"], r["event_type"], r["event_id"]) for r in ev.collect()
+    ]
+    for r in rows:
+        # expected attribute: type of the latest event at or before at_ts
+        cand = [
+            (ts, eid, et)
+            for (u, ts, et, eid) in raw
+            if u == r["user_id"] and ts <= r["at_ts"]
+        ]
+        want = max(cand)[2] if cand else None
+        assert r["event_type"] == want, r
+
+
+def test_scd2_lookup_misses_and_validation(spark):
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from d2d_spark.operators.scd import scd2_lookup
+
+    t0 = dt.datetime(2024, 1, 1)
+    hist = spark.createDataFrame(
+        [(1, "a", t0, t0 + dt.timedelta(days=1), False),
+         (1, "b", t0 + dt.timedelta(days=1), None, True)],
+        "k long, attr string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    probes = spark.createDataFrame(
+        [(1, t0 - dt.timedelta(hours=1)),  # before first version
+         (1, t0 + dt.timedelta(hours=1)),  # in closed run
+         (1, t0 + dt.timedelta(days=2)),   # in open run
+         (2, t0)],                          # unknown key
+        "k long, at timestamp",
+    )
+    got = {(r["k"], str(r["at"])): r["attr"] for r in
+           scd2_lookup(hist, probes, ["k"], "at").collect()}
+    assert len(got) == 4
+    vals = sorted(got.values(), key=lambda x: (x is None, x))
+    assert vals.count(None) == 2 and "a" in vals and "b" in vals
+    with pytest.raises(ValueError, match="lacks"):
+        scd2_lookup(hist.drop("valid_to"), probes, ["k"], "at")
+    with pytest.raises(ValueError, match="collide"):
+        scd2_lookup(hist, probes.withColumn("attr", F.lit("x")), ["k"], "at")
