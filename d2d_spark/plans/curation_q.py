@@ -819,6 +819,9 @@ def _naive_bpe_token_count(word, merges):
     return len(syms)
 
 
+_UNI_VOCAB, _UNI_TOPW, _UNI_ITERS = 300, 5_000, 2
+
+
 def _bpe_pack_mix_oracle() -> str:
     import math
     import re
@@ -867,6 +870,30 @@ def _bpe_pack_mix_oracle() -> str:
         rows.append((tag, "mix", "head#0", len(head), sum(ntok[i] for i in head)))
         for e in (0, 1):
             rows.append((tag, "mix", f"tail#{e}", len(tail), sum(ntok[i] for i in tail)))
+        # unigram leg: Python replay of the distributed train+encode —
+        # word table via Counter (the word_frequencies contract: count
+        # desc, word asc, top N), the SAME pure-Python trainer both
+        # paths use by design, Viterbi pieces digested per doc
+        import hashlib
+
+        from d2d_spark.operators.unigram_tok import (
+            _viterbi,
+            train_unigram_from_frequencies,
+        )
+
+        ufreqs = sorted(wf.items(), key=lambda kv: (-kv[1], kv[0]))[:_UNI_TOPW]
+        um = train_unigram_from_frequencies(
+            ufreqs, vocab_size=_UNI_VOCAB, n_iters=_UNI_ITERS
+        )
+        umax = max(len(p) for p in um.logp)
+        for i, toks in pretoks.items():
+            if i % 40:
+                continue
+            pieces = [p for w in toks for p in _viterbi(w, um.logp, umax)]
+            digest = int(
+                hashlib.md5("\x01".join(pieces).encode("utf-8")).hexdigest()[:15], 16
+            )
+            rows.append((tag, "unigram", str(i), len(pieces), digest))
     if not rows:
         # no fixture readable at registration: keep the SQL parseable
         # and the failure shape the documented loud zero-row mismatch
@@ -942,4 +969,27 @@ def bpe_pack_mix_pipeline(spark, sf_dir):
         "n",
         "tok",
     )
-    return bins.unionByName(mix_leg)
+    # unigram leg: the SECOND tokenizer family through the same
+    # distributed plumbing — Spark word-frequency aggregate feeds the
+    # pure-Python Viterbi-EM trainer, Arrow encode segments a doc
+    # subset, and the piece streams are pinned per doc by count +
+    # md5-prefix digest against the registration-time Python replay
+    # (trainer equivalence itself is pytest-pinned; this leg checks
+    # the distributed aggregate + encode cross-engine)
+    from d2d_spark.operators.unigram_tok import train_unigram, unigram_encode
+
+    um = train_unigram(
+        d, "text", vocab_size=_UNI_VOCAB, top_words=_UNI_TOPW, n_iters=_UNI_ITERS
+    )
+    uenc = unigram_encode(d.filter(F.col("doc_id") % 40 == 0), "text", um)
+    uni_leg = uenc.select(
+        F.lit("unigram").alias("leg"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.size("pieces").cast("bigint").alias("n"),
+        F.conv(
+            F.substring(F.md5(F.concat_ws("\x01", "pieces")), 1, 15), 16, 10
+        )
+        .cast("bigint")
+        .alias("tok"),
+    )
+    return bins.unionByName(mix_leg).unionByName(uni_leg)
