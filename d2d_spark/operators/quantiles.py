@@ -194,3 +194,45 @@ def group_quantiles_exact(
         .select(*keys, F.explode("__hits").alias("t"), F.col("__v"))
     )
     return hit.select(*keys, F.col("t.p").alias("p"), F.col("__v").alias("value"))
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    key_cols: Sequence[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Clamp ``value_col`` to its exact [lower, upper] percentile_disc
+    bounds — the standard outlier guard before training-signal
+    aggregation (mean quality scores, reward stats) where a single
+    corrupt value otherwise dominates. NULLs pass through unclamped.
+
+    Global form uses `quantiles_exact` (bounds fold in by one-row
+    broadcast crossJoin — no driver action); with ``key_cols`` the
+    bounds come from `group_quantiles_exact` per key and join back on
+    the keys. Either way the data column is scanned twice (bounds,
+    clamp) and never buffered."""
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(f"need 0 <= lower < upper <= 1, got {lower}, {upper}")
+    v = F.col(value_col)
+    if key_cols:
+        keys = list(key_cols)
+        b = group_quantiles_exact(df, keys, value_col, [lower, upper])
+        wide = b.groupBy(*keys).agg(
+            F.min(F.when(F.col("p") == lower, F.col("value"))).alias("__lo"),
+            F.min(F.when(F.col("p") == upper, F.col("value"))).alias("__hi"),
+        )
+        joined = df.join(wide, keys, "left")
+    else:
+        q = quantiles_exact(df, value_col, [lower, upper], num_partitions=num_partitions)
+        wide = q.agg(
+            F.min(F.when(F.col("p") == lower, F.col("value"))).alias("__lo"),
+            F.min(F.when(F.col("p") == upper, F.col("value"))).alias("__hi"),
+        )
+        joined = df.crossJoin(F.broadcast(wide))
+    clamped = F.when(v.isNull(), v).otherwise(
+        F.greatest(F.least(v, F.col("__hi")), F.col("__lo"))
+    )
+    return joined.withColumn(value_col, clamped).drop("__lo", "__hi")

@@ -100,3 +100,27 @@ def test_validation(spark):
         quantiles_exact(df, "x", [0.5, 0.5])
     with pytest.raises(ValueError, match="num_partitions"):
         quantiles_exact(df, "x", [0.5], num_partitions=0)
+
+
+def test_winsorize_global_and_grouped(spark, rnd_values):
+    from d2d_spark.operators.quantiles import winsorize
+
+    rows = [(("a" if i % 2 else "b"), v) for i, v in enumerate(rnd_values)]
+    df = spark.createDataFrame(rows + [("a", None)], "k string, x double")
+    out = winsorize(df, "x", 0.05, 0.95)
+    lo, hi = py_disc(rnd_values, 0.05), py_disc(rnd_values, 0.95)
+    got = [r["x"] for r in out.collect()]
+    assert got.count(None) == 1
+    vals = [g for g in got if g is not None]
+    assert min(vals) == lo and max(vals) == hi
+    want = sorted(min(max(v, lo), hi) for v in rnd_values)
+    assert sorted(vals) == want
+    # grouped: each key clamps to ITS OWN bounds
+    gout = winsorize(df, "x", 0.05, 0.95, key_cols=["k"])
+    for k in ("a", "b"):
+        kvals = [v for kk, v in rows if kk == k]
+        klo, khi = py_disc(kvals, 0.05), py_disc(kvals, 0.95)
+        gv = [r["x"] for r in gout.filter(F.col("k") == k).collect() if r["x"] is not None]
+        assert sorted(gv) == sorted(min(max(v, klo), khi) for v in kvals)
+    with pytest.raises(ValueError, match="lower < upper"):
+        winsorize(df, "x", 0.9, 0.1)
