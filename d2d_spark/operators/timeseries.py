@@ -1,0 +1,165 @@
+"""Time-series regularization — the hypertable-style bucket/gap-fill
+pair (TimescaleDB's time_bucket_gapfill / locf): turn an irregular
+event stream into a REGULAR per-key grid that window models and
+dashboards can consume, with explicit gap semantics instead of
+silently missing rows.
+
+  resample     — bucket events to a fixed interval per key and
+                 aggregate (one groupBy — the plain time_bucket).
+  gap_fill     — expand each key's bucket range to the FULL regular
+                 grid (per-key min..max by default, or an explicit
+                 [start, end) range shared by all keys), then fill
+                 value gaps: 'null' (explicit holes), 'locf' (last
+                 observation carried forward), or 'zero'.
+
+Spark shape: resample is one shuffle (groupBy key+bucket with
+map-side combine). The grid is a per-key `sequence()` explode — rows
+generated executor-side, sized by (range / interval) per key, no
+driver loop; the fill join is an equi-join on (key, bucket); locf is
+one carry-forward window per key (the asof_join machinery's core
+move). State never exceeds the OUTPUT grid — which is the product
+the caller asked for.
+
+At 100 TB: the aggregate dominates and is the usual partial-agg
+shuffle; grids are output-sized. The honest knob is the grid span —
+a key with events 5 years apart at 1-second buckets EXPLODES by
+construction, so `max_buckets_per_key` refuses silent grid bombs
+(the quadratic-guard discipline)."""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    interval: str,
+    aggs: dict[str, Column],
+) -> DataFrame:
+    """(keys..., bucket, <aggs...>) — fixed-interval tumbling buckets
+    per key (bucket = window start, a timestamp). ``interval`` is any
+    Spark window duration ('5 minutes', '1 hour', '1 day')."""
+    if not aggs:
+        raise ValueError("resample: need at least one aggregate")
+    keys = list(key_cols)
+    out = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(*keys, F.window(ts_col, interval).alias("__w"))
+        .agg(*[e.alias(n) for n, e in aggs.items()])
+    )
+    return out.select(*keys, F.col("__w.start").alias("bucket"), *aggs.keys())
+
+
+def gap_fill(
+    buckets: DataFrame,
+    key_cols: Sequence[str],
+    bucket_col: str,
+    interval: str,
+    value_cols: Sequence[str],
+    fill: str = "null",
+    start=None,
+    end=None,
+    max_buckets_per_key: int = 1_000_000,
+) -> DataFrame:
+    """Expand a (keys, bucket, values...) frame to the full regular
+    grid and fill the holes. Grid per key spans its own [min, max]
+    bucket unless ``start``/``end`` (timestamp-coercible; end
+    EXCLUSIVE) pin one shared range. ``fill``:
+
+      'null' — grid rows exist, missing values stay NULL (the honest
+               default: a gap is a fact, not a zero);
+      'zero' — missing values become 0 (count semantics);
+      'locf' — last observation carried forward per key (leading
+               gaps before a key's first value stay NULL).
+
+    A `gap` boolean marks generated rows. Keys must not repeat a
+    bucket (resample output never does; raises otherwise — filling a
+    duplicated grid silently would double-count)."""
+    if fill not in ("null", "locf", "zero"):
+        raise ValueError(f"fill must be 'null' | 'locf' | 'zero', got {fill!r}")
+    if max_buckets_per_key < 1:
+        raise ValueError("max_buckets_per_key must be >= 1")
+    parts = interval.strip().split()
+    unit = parts[-1].lower().rstrip("s")
+    secs_per = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+    if unit not in secs_per or len(parts) != 2:
+        raise ValueError(
+            f"gap_fill needs a DAY-TIME interval ('<n> seconds..weeks'), got "
+            f"{interval!r} — calendar months/years have no fixed length, so "
+            "a regular grid is ill-defined"
+        )
+    step_secs = float(parts[0]) * secs_per[unit]
+    keys = list(key_cols)
+    vals = list(value_cols)
+    missing = [c for c in keys + [bucket_col] + vals if c not in buckets.columns]
+    if missing:
+        raise ValueError(f"gap_fill: input lacks columns {missing}")
+    dup = (
+        buckets.groupBy(*keys, bucket_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "gap_fill: duplicate (key, bucket) rows — aggregate first "
+            "(resample), a duplicated grid would double-count"
+        )
+    iv = F.expr(f"INTERVAL {interval}")
+    if start is not None or end is not None:
+        if start is None or end is None:
+            raise ValueError("gap_fill: pass BOTH start and end (end exclusive)")
+        lo = F.lit(start).cast("timestamp")
+        hi_excl = F.lit(end).cast("timestamp")
+        span = buckets.select(*keys).distinct().select(
+            *keys, lo.alias("__lo"), (hi_excl - iv).alias("__hi")
+        )
+    else:
+        span = buckets.groupBy(*keys).agg(
+            F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+        )
+    n_buckets = (
+        F.col("__hi").cast("double") - F.col("__lo").cast("double")
+    ) / F.lit(step_secs) + 1
+    guard = span.filter(F.col("__hi") >= F.col("__lo")).withColumn(
+        "__nb", n_buckets
+    )
+    over = guard.filter(F.col("__nb") > max_buckets_per_key).limit(1).collect()
+    if over:
+        raise ValueError(
+            f"gap_fill: a key would generate {int(over[0]['__nb'])} grid rows "
+            f"(> max_buckets_per_key={max_buckets_per_key}) — widen the "
+            "interval, narrow the range, or raise the cap explicitly"
+        )
+    grid = guard.select(
+        *keys,
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"), iv)).alias(bucket_col),
+    )
+    joined = grid.join(
+        buckets.withColumn("__present", F.lit(True)), keys + [bucket_col], "left"
+    )
+    out_vals: list[Column] = []
+    for c in vals:
+        col = F.col(c)
+        if fill == "zero":
+            col = F.coalesce(col, F.lit(0).cast(dict(buckets.dtypes)[c]))
+        elif fill == "locf":
+            w = (
+                Window.partitionBy(*keys)
+                .orderBy(bucket_col)
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            col = F.last(col, ignorenulls=True).over(w)
+        out_vals.append(col.alias(c))
+    return joined.select(
+        *keys,
+        bucket_col,
+        *out_vals,
+        F.coalesce(~F.col("__present"), F.lit(True)).alias("gap"),
+    )
