@@ -236,3 +236,53 @@ def winsorize(
         F.greatest(F.least(v, F.col("__hi")), F.col("__lo"))
     )
     return joined.withColumn(value_col, clamped).drop("__lo", "__hi")
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    key_cols: Sequence[str] | None = None,
+    k: float = 3.0,
+    out_col: str = "is_outlier",
+) -> DataFrame:
+    """Flag robust outliers by the median/MAD rule: a value is an
+    outlier when |x - median| > k * MAD, MAD = median(|x - median|) —
+    the standard-deviation rule's robust twin (one corrupt value
+    shifts a mean/stddev arbitrarily; it cannot move either median).
+    Exact medians via the bounded-memory quantile path, global or per
+    key; NULL values flag NULL. A degenerate group (MAD = 0 — more
+    than half the values identical) flags exactly the values that
+    differ from the median, the conventional limit behavior.
+
+    Two quantile passes (median, then median of deviations) + one
+    flag projection; nothing buffers a value multiset anywhere."""
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    v = F.col(value_col)
+    if key_cols:
+        keys = list(key_cols)
+
+        def med(frame: DataFrame, col: str, alias: str) -> DataFrame:
+            q = group_quantiles_exact(frame, keys, col, [0.5])
+            return q.select(*keys, F.col("value").alias(alias))
+
+        m1 = med(df, value_col, "__med")
+        dev = df.join(m1, keys).withColumn("__adev", F.abs(v - F.col("__med")))
+        m2 = med(dev, "__adev", "__mad")
+        out = df.join(m1, keys, "left").join(m2, keys, "left")
+    else:
+        def gmed(frame: DataFrame, col: str, alias: str) -> DataFrame:
+            return quantiles_exact(frame, col, [0.5]).select(
+                F.col("value").alias(alias)
+            )
+
+        m1 = gmed(df, value_col, "__med")
+        dev = df.crossJoin(F.broadcast(m1)).withColumn(
+            "__adev", F.abs(v - F.col("__med"))
+        )
+        m2 = gmed(dev, "__adev", "__mad")
+        out = df.crossJoin(F.broadcast(m1)).crossJoin(F.broadcast(m2))
+    flag = F.when(v.isNull(), F.lit(None).cast("boolean")).otherwise(
+        F.abs(v - F.col("__med")) > F.lit(float(k)) * F.col("__mad")
+    )
+    return out.withColumn(out_col, flag).drop("__med", "__mad")

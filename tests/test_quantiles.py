@@ -124,3 +124,32 @@ def test_winsorize_global_and_grouped(spark, rnd_values):
         assert sorted(gv) == sorted(min(max(v, klo), khi) for v in kvals)
     with pytest.raises(ValueError, match="lower < upper"):
         winsorize(df, "x", 0.9, 0.1)
+
+
+def test_mad_outliers(spark):
+    from d2d_spark.operators.quantiles import mad_outliers
+
+    vals = [10.0] * 5 + [11.0, 12.0, 9.0, 8.0, 1000.0, -500.0, None]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {r["x"]: r["is_outlier"] for r in mad_outliers(df, "x", k=3.0).collect()}
+    # median 10, MAD = median(|x-10|) = 1 -> outliers beyond +-3
+    assert got[1000.0] is True and got[-500.0] is True
+    assert got[10.0] is False and got[12.0] is False and got[9.0] is False
+    assert got[None] is None
+    # grouped: each key judged by ITS OWN median/MAD
+    rows = [("a", float(v)) for v in range(10)] + [("a", 1e6)] + [
+        ("b", float(1000 + v)) for v in range(10)
+    ]
+    gdf = spark.createDataFrame(rows, "k string, x double")
+    g = {(r["k"], r["x"]): r["is_outlier"] for r in
+         mad_outliers(gdf, "x", key_cols=["k"], k=3.0).collect()}
+    assert g[("a", 1e6)] is True
+    assert all(not g[("b", 1000.0 + v)] for v in range(10))
+    # degenerate MAD=0: only values differing from the median flag
+    c = spark.createDataFrame([(5.0,)] * 6 + [(7.0,)], "x double")
+    cg = {r["x"]: r["is_outlier"] for r in mad_outliers(c, "x").collect()}
+    assert cg[5.0] is False and cg[7.0] is True
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="k must be"):
+        mad_outliers(df, "x", k=0)
