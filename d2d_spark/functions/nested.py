@@ -119,6 +119,8 @@ def explode_path(
     out_name = sep.join(parts)
     keep = [c for c in df.columns if not (len(parts) == 1 and c == parts[0])]
     tmp = f"__{out_name}"
+    while tmp in keep:  # a real column may already own the temp name
+        tmp += "_"
     exploded = df.select(*keep, gen.alias(tmp))
     el = dt.elementType
     if isinstance(el, T.StructType):

@@ -85,12 +85,27 @@ def funnel_stages(
     type_col: str,
     steps: Sequence[str],
     within: float | None = None,
+    max_events_per_user: int | None = None,
 ) -> DataFrame:
     """(user, stage, stage_ts...) — per-user greedy-earliest funnel
-    progress: ``stage`` = deepest step reached (0 = none), plus one
-    ``ts_step_k`` column per step with the match time (epoch seconds,
-    NULL = unreached). One groupBy; see module docstring for the
-    exact chain semantics."""
+    progress: ``stage`` = deepest step reached, plus one ``ts_step_k``
+    column per step with the match time (epoch seconds, NULL =
+    unreached). One groupBy; see module docstring for the exact chain
+    semantics.
+
+    Only users with AT LEAST ONE step-typed event appear in the
+    output — a user with zero matching events is absent entirely, not
+    emitted as stage 0 (present users can still land on stage 0 when
+    no event starts a chain — e.g. only later-step events, or every
+    chain disqualified by ``within``; to count the never-entered
+    population, left-join your full user universe and coalesce stage
+    to 0).
+
+    Per-user state is the user's step-typed event list; upstream
+    discipline bounds it. ``max_events_per_user`` makes the bound a
+    contract: one cheap pre-aggregate, and any user over the cap
+    raises loudly instead of ballooning an executor (the grid-bomb
+    guard discipline)."""
     steps = list(steps)
     if len(steps) < 2:
         raise ValueError(f"need >= 2 funnel steps, got {steps}")
@@ -98,6 +113,26 @@ def funnel_stages(
         raise ValueError(f"funnel steps must be distinct, got {steps}")
     if within is not None and within <= 0:
         raise ValueError(f"within must be > 0 seconds, got {within}")
+    if max_events_per_user is not None:
+        if max_events_per_user < 1:
+            raise ValueError(
+                f"max_events_per_user must be >= 1, got {max_events_per_user}"
+            )
+        whale = (
+            df.filter(F.col(type_col).isin(steps) & F.col(ts_col).isNotNull())
+            .groupBy(user_col)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_events_per_user)
+            .limit(1)
+            .collect()
+        )
+        if whale:
+            raise ValueError(
+                f"funnel_stages: user {whale[0][0]!r} has {whale[0]['__n']} "
+                f"step events (> max_events_per_user={max_events_per_user}) — "
+                "dedup/sample upstream or raise the cap explicitly; a whale "
+                "key would balloon one executor's collect_list state"
+            )
     ev = F.array_sort(
         F.collect_list(
             F.struct(

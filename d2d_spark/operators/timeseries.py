@@ -28,7 +28,9 @@ construction, so `max_buckets_per_key` refuses silent grid bombs
 
 from __future__ import annotations
 
+import math as _math
 from collections.abc import Sequence
+from datetime import timedelta as _timedelta
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -79,7 +81,15 @@ def gap_fill(
 
     A `gap` boolean marks generated rows. Keys must not repeat a
     bucket (resample output never does; raises otherwise — filling a
-    duplicated grid silently would double-count)."""
+    duplicated grid silently would double-count). Every input bucket
+    must land ON the regular grid — a bucket misaligned with the
+    grid's origin/interval raises loudly (silently dropping it while
+    emitting its slot as gap=true would claim a gap where data
+    exists); re-bucket with ``resample`` first. With an explicit
+    range, ``end`` must be > ``start`` and the grid covers every
+    bucket start in [start, end) even when the span is not a whole
+    multiple of the interval (the last partial bucket keeps its
+    row)."""
     if fill not in ("null", "locf", "zero"):
         raise ValueError(f"fill must be 'null' | 'locf' | 'zero', got {fill!r}")
     if max_buckets_per_key < 1:
@@ -115,10 +125,38 @@ def gap_fill(
     if start is not None or end is not None:
         if start is None or end is None:
             raise ValueError("gap_fill: pass BOTH start and end (end exclusive)")
-        lo = F.lit(start).cast("timestamp")
-        hi_excl = F.lit(end).cast("timestamp")
+        rng = (
+            buckets.sparkSession.range(1)
+            .select(
+                F.lit(start).try_cast("timestamp").alias("lo"),
+                F.lit(end).try_cast("timestamp").alias("hi"),
+            )
+            .first()
+        )
+        if rng["lo"] is None or rng["hi"] is None:
+            raise ValueError(
+                f"gap_fill: start={start!r} / end={end!r} did not coerce to "
+                "timestamps"
+            )
+        if rng["hi"] <= rng["lo"]:
+            raise ValueError(
+                f"gap_fill: end ({rng['hi']}) must be strictly after start "
+                f"({rng['lo']}) — end is exclusive, an empty range is a bug "
+                "upstream, not an empty grid"
+            )
+        # Last grid point strictly before end: covers the partial
+        # final bucket when (end - start) is not a multiple of the
+        # interval (span 10s at 3s steps -> starts 0,3,6,9 — not 0..6).
+        span_secs = (rng["hi"] - rng["lo"]).total_seconds()
+        k_last = _math.ceil(span_secs / step_secs) - 1
+        hi_last = rng["lo"] + _timedelta(seconds=k_last * step_secs)
+        while k_last > 0 and hi_last >= rng["hi"]:  # float-edge safety
+            k_last -= 1
+            hi_last = rng["lo"] + _timedelta(seconds=k_last * step_secs)
         span = buckets.select(*keys).distinct().select(
-            *keys, lo.alias("__lo"), (hi_excl - iv).alias("__hi")
+            *keys,
+            F.lit(rng["lo"]).alias("__lo"),
+            F.lit(hi_last).alias("__hi"),
         )
     else:
         span = buckets.groupBy(*keys).agg(
@@ -141,6 +179,23 @@ def gap_fill(
         *keys,
         F.explode(F.sequence(F.col("__lo"), F.col("__hi"), iv)).alias(bucket_col),
     )
+    # Every observed (key, bucket) must land ON the grid — otherwise the
+    # left join below would silently drop the row while emitting its
+    # slot as gap=true (a gap claimed where data exists). Same loud-
+    # refusal discipline as the duplicate check above.
+    stray = (
+        buckets.select(*keys, bucket_col)
+        .join(grid, keys + [bucket_col], "left_anti")
+        .limit(1)
+        .collect()
+    )
+    if stray:
+        raise ValueError(
+            f"gap_fill: input bucket {tuple(stray[0])} is not on the regular "
+            f"grid (misaligned with the grid origin / {interval!r} interval, "
+            "or outside the explicit [start, end) range) — re-bucket with "
+            "resample() on the same interval, or widen the range"
+        )
     joined = grid.join(
         buckets.withColumn("__present", F.lit(True)), keys + [bucket_col], "left"
     )

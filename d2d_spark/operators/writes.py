@@ -18,6 +18,7 @@ need an ACID table format underneath.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -334,6 +335,39 @@ def _target_exists(spark, path: str) -> bool:
     return p.getFileSystem(conf).exists(p)
 
 
+# Widening numeric promotions follow standard SQL implicit-coercion
+# order; anything else (string->numeric, fractional->integral,
+# timestamp->date, cross-flavor timestamps, decimal reshapes) must be
+# spelled out by the caller.
+_NUM_RANK = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3, "float": 4, "double": 5}
+_INT_DIGITS = {"tinyint": 3, "smallint": 5, "int": 10, "bigint": 19}
+_DEC_RE = re.compile(r"decimal\((\d+),(\d+)\)")
+
+
+def _cast_is_safe(src: str, dst: str) -> bool:
+    if src == dst or src == "void":  # NULL literals cast to anything
+        return True
+    if dst == "string":
+        return True  # total: every value has a string rendering
+    if src in _NUM_RANK and dst in _NUM_RANK:
+        return _NUM_RANK[dst] > _NUM_RANK[src]
+    ms, md = _DEC_RE.fullmatch(src), _DEC_RE.fullmatch(dst)
+    if ms and md:  # decimal reshape: keep every integer and fraction digit
+        ps, ss = (int(g) for g in ms.groups())
+        pd_, sd = (int(g) for g in md.groups())
+        return sd >= ss and pd_ - sd >= ps - ss
+    if ms and dst == "double":  # <=15 sig digits round-trip through double
+        return int(ms.group(1)) <= 15
+    if ms and dst == "float":
+        return int(ms.group(1)) <= 6
+    if src in _INT_DIGITS and md:
+        pd_, sd = (int(g) for g in md.groups())
+        return pd_ - sd >= _INT_DIGITS[src]
+    if src == "date" and dst in ("timestamp", "timestamp_ntz"):
+        return True
+    return False
+
+
 def merge_into(
     target: DataFrame,
     source: DataFrame,
@@ -434,7 +468,8 @@ def merge_into(
     )
     kept = j.filter(t_only | (is_matched & ~del_c) | (~t_present & F.lit(insert_unmatched)))
     ins = dict(insert_values or {})
-    out_cols = []
+    pre_cols = []
+    branch_probe = []  # (colname, branchname, aliased expr) for the type check
     for c in target.columns:
         t_val = F.col(f"t.{c}")
         if matched_update and c in matched_update:
@@ -447,13 +482,33 @@ def merge_into(
             ins_val = F.col(f"s.{c}")
         else:
             ins_val = F.lit(None)
-        out_cols.append(
-            F.when(t_present, upd_val)
-            .otherwise(ins_val)
-            .cast(dict(target.dtypes)[c])
-            .alias(c)
-        )
-    return kept.select(*out_cols)
+        i = len(pre_cols)
+        branch_probe.append((c, "update", upd_val.alias(f"__u_{i}")))
+        branch_probe.append((c, "insert", ins_val.alias(f"__i_{i}")))
+        pre_cols.append(F.when(t_present, upd_val).otherwise(ins_val).alias(c))
+    # The final snapshot keeps the TARGET's dtypes. Verify each merged
+    # expression coerces LOSSLESSLY before casting: under non-ANSI
+    # mode a lossy .cast() (string source into an int target, double
+    # into int, …) silently NULLs the value — against the module's
+    # fail-loudly discipline. Each WHEN branch is checked SEPARATELY —
+    # the combined when() would coerce the branches to a common type
+    # first (int + string -> bigint under ANSI) and blame the wrong
+    # cast. Analysis-only (schema walk), no job.
+    t_types = dict(target.dtypes)
+    probe_fields = kept.select(*[e for _, _, e in branch_probe]).schema.fields
+    for (c, branch, _), field in zip(branch_probe, probe_fields):
+        want = t_types[c]
+        got = field.dataType.simpleString()
+        if not _cast_is_safe(got, want):
+            raise ValueError(
+                f"merge_into: column {c!r} ({branch} branch) would cast "
+                f"{got} -> {want} — a lossy/implicit coercion that can "
+                "silently NULL or truncate values; cast explicitly in the "
+                "source / insert_values / matched_update expression instead"
+            )
+    return kept.select(
+        *[col.cast(t_types[c]).alias(c) for c, col in zip(target.columns, pre_cols)]
+    )
 
 
 def apply_changes(

@@ -46,6 +46,9 @@ _INSERT_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _CREATE_RE = re.compile(r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?", re.IGNORECASE)
+# Driver-side cap on collected non-INSERT (DDL/comment) lines; a real
+# dump's header is a few hundred lines at most.
+_MAX_DDL_LINES = 200_000
 _COL_DEF_RE = re.compile(r"^\s*`([^`]+)`\s+\w")
 
 
@@ -192,8 +195,19 @@ def read_sql_dump(
     rows, matching the documented single-table contract)."""
     lines = spark.read.text(path)
     is_insert = F.upper(F.trim(F.col("value"))).rlike(r"^(INSERT|REPLACE)\s")
-    ddl_lines = [r.value for r in lines.filter(~is_insert).collect()]
-    col_map = _ddl_columns(ddl_lines)
+    # DDL + comments are bounded in any sane dump, but the collect is
+    # driver-side — cap it so a pathological mostly-comment file fails
+    # loudly instead of OOMing the driver. limit(N+1) keeps the probe
+    # itself bounded.
+    ddl_rows = lines.filter(~is_insert).limit(_MAX_DDL_LINES + 1).collect()
+    if len(ddl_rows) > _MAX_DDL_LINES:
+        raise ValueError(
+            f"read_sql_dump: {path!r} has more than {_MAX_DDL_LINES:,} "
+            "non-INSERT lines — that is not a DDL header, it is a "
+            "comment/garbage bomb; strip the file or raise "
+            "d2d_spark.sources.sqlfile._MAX_DDL_LINES explicitly"
+        )
+    col_map = _ddl_columns([r.value for r in ddl_rows])
     if table is None:
         if col_map:
             # dict preserves insertion order = file order of the DDL

@@ -136,3 +136,22 @@ def test_validation(spark):
         funnel_stages(df, "user_id", "ts", "event_type", STEPS, within=0)
     with pytest.raises(ValueError, match="offsets"):
         retention_cohorts(df, "user_id", "ts", offsets=[-1])
+
+
+def test_whale_key_guard(spark):
+    rows = [(1, t, "view") for t in range(10, 15)] + [(2, 10, "view"), (2, 20, "cart")]
+    df = _mk(spark, rows)
+    with pytest.raises(ValueError, match="max_events_per_user=3"):
+        funnel_stages(
+            df, "user_id", "ts", "event_type", STEPS, max_events_per_user=3
+        )
+    with pytest.raises(ValueError, match=">= 1"):
+        funnel_stages(
+            df, "user_id", "ts", "event_type", STEPS, max_events_per_user=0
+        )
+    # under the cap: identical output to the unguarded call
+    ok = funnel_stages(
+        df, "user_id", "ts", "event_type", STEPS, max_events_per_user=5
+    )
+    plain = funnel_stages(df, "user_id", "ts", "event_type", STEPS)
+    assert sorted(map(tuple, ok.collect())) == sorted(map(tuple, plain.collect()))

@@ -80,6 +80,17 @@ def test_explode_scalar_and_errors(df):
         explode_path(df, "user.name")
 
 
+def test_explode_path_temp_name_collision(spark):
+    """A real column already named __<out_name> must not break the
+    intermediate select (the temp alias uniquifies against it)."""
+    df = spark.createDataFrame(
+        [Row(id=1, __tags="keepme", tags=["x", "y"])]
+    )
+    out = explode_path(df, "tags")
+    got = sorted((r["id"], r["__tags"], r["tags"]) for r in out.collect())
+    assert got == [(1, "keepme", "x"), (1, "keepme", "y")]
+
+
 def test_explode_nested_path(spark):
     df = spark.createDataFrame(
         [Row(id=1, order=Row(lines=[Row(sku="a", qty=1)], note="n"))],

@@ -173,6 +173,24 @@ def test_read_sql_dump_with_create_table(spark, tmpdir):
     assert rows == {1: "x", 2: "y", 3: None}
 
 
+def test_read_sql_dump_comment_bomb_refused(spark, tmpdir, monkeypatch):
+    """A dump that is mostly comments must fail loudly at the DDL cap
+    instead of collecting every non-INSERT line to the driver."""
+    import d2d_spark.sources.sqlfile as sqlfile_mod
+
+    dump = tmpdir / "bomb.sql"
+    dump.write_text(
+        "".join(f"-- filler comment line {i}\n" for i in range(50))
+        + "INSERT INTO `t` VALUES (1,'x');\n"
+    )
+    monkeypatch.setattr(sqlfile_mod, "_MAX_DDL_LINES", 10)
+    with pytest.raises(ValueError, match="non-INSERT lines"):
+        read_sql_dump(spark, str(dump))
+    # under the cap the same dump parses fine
+    monkeypatch.setattr(sqlfile_mod, "_MAX_DDL_LINES", 1000)
+    assert read_sql_dump(spark, str(dump)).count() == 1
+
+
 def test_sqlfile_append_keeps_both_batches(spark, tmpdir):
     """Regression (r2 verdict #4): append mode must add statements to
     the dump, not clobber the first batch."""

@@ -90,6 +90,66 @@ def test_gap_fill_guards(spark):
         gap_fill(dup, ["k"], "bucket", "10 minutes", ["s"])
 
 
+def test_gap_fill_partial_final_bucket(spark):
+    """Explicit range whose span is NOT a multiple of the interval:
+    the last partial bucket's row must survive (the advisor's 00:00:09
+    row in [00:00:00, 00:00:10) at 3s — previously dropped)."""
+    b = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 3, 1, 0, 0, 0), 1.0),
+            ("a", dt.datetime(2024, 3, 1, 0, 0, 9), 9.0),
+        ],
+        "k string, bucket timestamp, s double",
+    )
+    out = gap_fill(
+        b, ["k"], "bucket", "3 seconds", ["s"],
+        start="2024-03-01 00:00:00", end="2024-03-01 00:00:10",
+    )
+    rows = {str(r["bucket"]): (r["s"], r["gap"]) for r in out.collect()}
+    # grid = 00,03,06,09 — four starts in [start, end), partial last kept
+    assert len(rows) == 4
+    assert rows["2024-03-01 00:00:09"] == (9.0, False)
+    assert rows["2024-03-01 00:00:00"] == (1.0, False)
+    assert rows["2024-03-01 00:00:03"] == (None, True)
+    # exact-multiple span still excludes the end bucket (end exclusive)
+    out2 = gap_fill(
+        b.filter(F.col("s") < 5), ["k"], "bucket", "3 seconds", ["s"],
+        start="2024-03-01 00:00:00", end="2024-03-01 00:00:09",
+    )
+    assert sorted(str(r["bucket"]) for r in out2.collect()) == [
+        "2024-03-01 00:00:00", "2024-03-01 00:00:03", "2024-03-01 00:00:06",
+    ]
+
+
+def test_gap_fill_misaligned_and_empty_range_raise(spark):
+    b = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 3, 1, 0, 0, 0), 1.0),
+            ("a", dt.datetime(2024, 3, 1, 0, 0, 1), 2.0),  # off a 3s grid
+        ],
+        "k string, bucket timestamp, s double",
+    )
+    with pytest.raises(ValueError, match="not on the regular grid"):
+        gap_fill(
+            b, ["k"], "bucket", "3 seconds", ["s"],
+            start="2024-03-01 00:00:00", end="2024-03-01 00:00:10",
+        ).collect()
+    # per-key-range mode catches misalignment too (min=00, max=01 at 3s)
+    with pytest.raises(ValueError, match="not on the regular grid"):
+        gap_fill(b, ["k"], "bucket", "3 seconds", ["s"]).collect()
+    ok = b.filter(F.col("s") < 2)
+    with pytest.raises(ValueError, match="strictly after start"):
+        gap_fill(
+            ok, ["k"], "bucket", "3 seconds", ["s"],
+            start="2024-03-01 00:00:10", end="2024-03-01 00:00:10",
+        )
+    with pytest.raises(ValueError, match="did not coerce"):
+        gap_fill(
+            ok, ["k"], "bucket", "3 seconds", ["s"],
+            start="not-a-time", end="2024-03-01 00:00:10",
+        )
+
+
 def test_fixture_events_roundtrip(spark, sf_dir):
     """Grid covers every hour between each user's min/max bucket; sum
     of non-gap counts equals the raw event count."""

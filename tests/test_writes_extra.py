@@ -77,6 +77,33 @@ def test_merge_into_validation(spark):
         merge_into(target, nulls, on=["k"], matched_update={"price": "s.price"})
 
 
+def test_merge_into_refuses_lossy_casts(spark):
+    """A lossy implicit coercion (string source into a numeric target,
+    double into int) raises at plan time instead of silently NULLing
+    inserted values under non-ANSI mode."""
+    import pytest
+
+    from d2d_spark.operators.writes import merge_into
+
+    target = spark.createDataFrame([(1, 10)], "k long, qty int")
+    bad_src = spark.createDataFrame([(5, "oops")], "k long, qty string")
+    with pytest.raises(ValueError, match="string -> int"):
+        merge_into(target, bad_src, on=["k"])
+    narrowing = spark.createDataFrame([(5, 1.5)], "k long, qty double")
+    with pytest.raises(ValueError, match="double -> int"):
+        merge_into(target, narrowing, on=["k"])
+    # safe widenings and exact decimal literals still pass silently
+    targ_d = spark.createDataFrame([(1, "a", 10.0)], "k long, s string, v double")
+    src_i = spark.createDataFrame([(5, 7)], "k long, v int")  # int -> double
+    out = merge_into(targ_d, src_i, on=["k"], insert_values={"s": "'x'"})
+    assert (5, "x", 7.0) in {tuple(r) for r in out.collect()}
+    # bare 1.5 parses as decimal(2,1) in Spark SQL — exact into double
+    out2 = merge_into(
+        targ_d, src_i.select("k"), on=["k"], insert_values={"v": "1.5"}
+    )
+    assert (5, None, 1.5) in {tuple(r) for r in out2.collect()}
+
+
 def test_merge_into_null_condition_is_false(spark):
     from d2d_spark.operators.writes import merge_into
 
