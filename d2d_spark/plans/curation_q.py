@@ -820,6 +820,85 @@ def _naive_bpe_token_count(word, merges):
 
 
 _UNI_VOCAB, _UNI_TOPW, _UNI_ITERS = 300, 5_000, 2
+_UNI_MAXLEN, _UNI_SEEDMULT = 12, 4
+_UNI_FLOOR = -30.0  # unknown-char log-prob floor (documented contract)
+
+
+def _naive_uni_viterbi(word, logp, max_len):
+    """Independent max-likelihood segmenter implementing the
+    documented contract of operators/unigram_tok (module docstring):
+    higher total logp, then fewer pieces, then the lexicographically
+    smaller piece ending at each position; unknown single chars take
+    the floor. No code shared with the operator's _viterbi — a
+    length-major candidate scan with an explicit key min(), against
+    its j-major loop with incremental compares."""
+    n = len(word)
+    best = [None] * (n + 1)  # (score, n_pieces, last_piece)
+    best[0] = (0.0, 0, "")
+    for i in range(1, n + 1):
+        keys = []
+        for ln in range(1, min(max_len, i) + 1):
+            prev = best[i - ln]
+            if prev is None:
+                continue
+            piece = word[i - ln : i]
+            lp = logp.get(piece, _UNI_FLOOR if ln == 1 else None)
+            if lp is None:
+                continue
+            keys.append((-(prev[0] + lp), prev[1] + 1, piece))
+        if keys:
+            negs, cnt, piece = min(keys)
+            best[i] = (-negs, cnt, piece)
+    pieces = []
+    i = n
+    while i > 0:
+        p = best[i][2]
+        pieces.append(p)
+        i -= len(p)
+    pieces.reverse()
+    return pieces
+
+
+def _naive_uni_train(freqs, vocab_size, max_len=_UNI_MAXLEN, seed_mult=_UNI_SEEDMULT,
+                     n_iters=_UNI_ITERS):
+    """Independent replay of the unigram trainer's documented contract
+    (seed = frequency-weighted substring counts top vocab*mult plus
+    every char; hard-EM Viterbi counts; prune to vocab keeping chars;
+    final renormalize summed in sorted piece order). Plain dicts, no
+    imports from operators/unigram_tok."""
+    import math
+
+    chars = set()
+    sub_counts = {}
+    for w, c in freqs:
+        chars.update(w)
+        for i in range(len(w)):
+            for j in range(i + 1, min(i + max_len, len(w)) + 1):
+                s = w[i:j]
+                sub_counts[s] = sub_counts.get(s, 0) + c
+    n_seed = max(vocab_size * seed_mult, len(chars))
+    by_rank = sorted(sub_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    seed = {p for p, _ in by_rank[:n_seed]} | chars
+    total = sum(sub_counts[p] for p in seed)
+    logp = {p: math.log(sub_counts[p] / total) for p in seed}
+    for _ in range(n_iters):
+        used = {}
+        for w, c in freqs:
+            for piece in _naive_uni_viterbi(w, logp, max_len):
+                used[piece] = used.get(piece, 0) + c
+        kept = {p: n for p, n in used.items() if p in logp}
+        for ch in chars:
+            kept.setdefault(ch, 1)
+        tot = sum(kept.values())
+        logp = {p: math.log(n / tot) for p, n in kept.items()}
+        if len(logp) > vocab_size:
+            ranked = sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))
+            pruned = dict(ranked[:vocab_size])
+            for ch in chars:
+                pruned.setdefault(ch, logp[ch])
+            logp = pruned
+    z = math.log(sum(math.exp(lp) for _, lp in sorted(logp.items())))
+    return {p: lp - z for p, lp in sorted(logp.items())}
 
 
 def _bpe_pack_mix_oracle() -> str:
@@ -870,26 +949,22 @@ def _bpe_pack_mix_oracle() -> str:
         rows.append((tag, "mix", "head#0", len(head), sum(ntok[i] for i in head)))
         for e in (0, 1):
             rows.append((tag, "mix", f"tail#{e}", len(tail), sum(ntok[i] for i in tail)))
-        # unigram leg: Python replay of the distributed train+encode —
-        # word table via Counter (the word_frequencies contract: count
-        # desc, word asc, top N), the SAME pure-Python trainer both
-        # paths use by design, Viterbi pieces digested per doc
+        # unigram leg: INDEPENDENT Python replay of the distributed
+        # train+encode — word table via Counter (the word_frequencies
+        # contract: count desc, word asc, top N), then the naive
+        # trainer/Viterbi twins above (plain dicts, length-major
+        # candidate scan — zero code shared with
+        # operators/unigram_tok, the _naive_bpe_merges/_py_winnow
+        # standard), Viterbi pieces digested per doc
         import hashlib
 
-        from d2d_spark.operators.unigram_tok import (
-            _viterbi,
-            train_unigram_from_frequencies,
-        )
-
         ufreqs = sorted(wf.items(), key=lambda kv: (-kv[1], kv[0]))[:_UNI_TOPW]
-        um = train_unigram_from_frequencies(
-            ufreqs, vocab_size=_UNI_VOCAB, n_iters=_UNI_ITERS
-        )
-        umax = max(len(p) for p in um.logp)
+        ulogp = _naive_uni_train(ufreqs, _UNI_VOCAB)
+        umax = max(len(p) for p in ulogp)
         for i, toks in pretoks.items():
             if i % 40:
                 continue
-            pieces = [p for w in toks for p in _viterbi(w, um.logp, umax)]
+            pieces = [p for w in toks for p in _naive_uni_viterbi(w, ulogp, umax)]
             digest = int(
                 hashlib.md5("\x01".join(pieces).encode("utf-8")).hexdigest()[:15], 16
             )

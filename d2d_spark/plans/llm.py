@@ -499,14 +499,161 @@ _SQL_LSH_TOPK = f"""
     """
 
 
-@query(
-    "ann_lsh_ivf_topk",
-    oracle=f"""
+# --- IVFADC literal oracle: a numpy twin of the WHOLE index pipeline
+# (coarse spherical k-means -> residuals -> per-subspace PQ -> ADC
+# probe-all scoring), no imports from operators/pq.py or
+# operators/similarity.py. The only Spark-specific ingredient is the
+# deterministic sample ORDER (orderBy(xxhash64(id))), replayed by a
+# pure-Python XXH64-for-one-long twin (verified == F.xxhash64 in
+# tests). Distributed pieces the twin does NOT share — Arrow
+# batching, the broadcast probe join, per-batch top-k egress, the
+# window rank — are exactly what the leg differentially tests. ---
+
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_U64 = (1 << 64) - 1
+
+
+def _xxh64_long(v: int, seed: int = 42) -> int:
+    """Spark F.xxhash64 of ONE bigint column value (XXH64 of the
+    8-byte block, Spark's default seed 42), signed-int64 result."""
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & _U64
+
+    h = (seed + _XXP5 + 8) & _U64
+    h ^= (rotl((v & _U64) * _XXP2 & _U64, 31) * _XXP1) & _U64
+    h = (rotl(h, 27) * _XXP1 + _XXP4) & _U64
+    h ^= h >> 33
+    h = (h * _XXP2) & _U64
+    h ^= h >> 29
+    h = (h * _XXP3) & _U64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+_IVFADC_M, _IVFADC_KSUB, _IVFADC_NC = 8, 16, 16
+
+
+def _ivfadc_literal_rows() -> list[tuple]:
+    """(sftag, query_id, neighbor_id, score6, rank) rows per fixture."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    out: list[tuple] = []
+    for sf in ("0.001", "0.01", "0.1"):
+        try:
+            t = pq.read_table(
+                f"/root/testdata/sf{sf}/embeddings.parquet",
+                columns=["vec_id", "embedding", "label"],
+            )
+        except Exception:
+            continue
+        ids = t["vec_id"].to_pylist()
+        labs = t["label"].to_pylist()
+        X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        tag = len(ids) * 1_000_000 + sum(
+            lb * (i % 97) for i, lb in zip(ids, labs)
+        )
+        order = sorted(range(len(ids)), key=lambda i: _xxh64_long(ids[i]))
+
+        # coarse centroids: spherical k-means, hash-ordered sample,
+        # init = first nc rows, 5 Lloyd rounds
+        Xs = X[order]
+        Xs = Xs / np.maximum(np.linalg.norm(Xs, axis=1, keepdims=True), 1e-12)
+        nc = min(_IVFADC_NC, len(Xs))
+        C = Xs[:nc].copy()
+        for _ in range(5):
+            assign = np.argmax(Xs @ C.T, axis=1)
+            for j in range(nc):
+                members = Xs[assign == j]
+                if len(members):
+                    c = members.sum(axis=0)
+                    C[j] = c / max(np.linalg.norm(c), 1e-12)
+
+        # residuals over the FULL corpus (row-wise, order-free)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        cells = np.argmax(Xn @ C.T, axis=1)
+        R = Xn - C[cells]
+
+        # per-subspace PQ on the residuals: hash-ordered sample, init
+        # = first ksub rows, 10 Lloyd rounds, then full-corpus encode
+        m = _IVFADC_M
+        dsub = X.shape[1] // m
+        Rs = R[order]
+        k = min(_IVFADC_KSUB, len(Rs))
+        books = np.empty((m, k, dsub))
+        for j in range(m):
+            S = Rs[:, j * dsub : (j + 1) * dsub]
+            B = S[:k].copy()
+            for _ in range(10):
+                d2 = (S * S).sum(axis=1, keepdims=True) - 2.0 * (S @ B.T) + (
+                    B * B
+                ).sum(axis=1)
+                a = np.argmin(d2, axis=1)
+                for c in range(k):
+                    members = S[a == c]
+                    if len(members):
+                        B[c] = members.mean(axis=0)
+            books[j] = B
+        codes = np.empty((len(X), m), dtype=np.int64)
+        for j in range(m):
+            S = R[:, j * dsub : (j + 1) * dsub]
+            codes[:, j] = np.argmin(
+                -2.0 * (S @ books[j].T) + (books[j] * books[j]).sum(axis=1), axis=1
+            )
+
+        # ADC probe-all scoring: score = q.centroid(cell) + m gathers
+        qsel = [i for i in range(len(ids)) if ids[i] % 100 == 0]
+        Q = X[qsel]
+        Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+        qc = Qn @ C.T
+        lut = np.stack(
+            [Qn[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)],
+            axis=1,
+        )
+        nids = np.array(ids, dtype=np.int64)
+        for qi, qrow in enumerate(qsel):
+            s = qc[qi, cells].copy()
+            for j in range(m):
+                s += lut[qi, j, codes[:, j]]
+            cand = [
+                (-s[n], int(nids[n])) for n in range(len(nids))
+                if nids[n] != ids[qrow]
+            ]
+            cand.sort()
+            for rank, (neg, nid) in enumerate(cand[:5], start=1):
+                out.append((tag, ids[qrow], nid, round(-neg, 6), rank))
+    return out
+
+
+def _ann_lsh_ivf_oracle() -> str:
+    rows = _ivfadc_literal_rows()
+    if not rows:
+        rows = [(-1, 0, 0, 0.0, 0)]
+    values = ",\n     ".join(
+        f"({t}, {q}, {n}, CAST({s!r} AS DOUBLE), {r})" for t, q, n, s, r in rows
+    )
+    return f"""
     SELECT 'lsh' AS leg, * FROM ({_SQL_LSH_TOPK})
     UNION ALL
     SELECT 'ivf' AS leg, * FROM ({_SQL_EXACT_TOPK})
-    """,
-    tags=("llm", "similarity", "ann", "lsh", "ivf"),
+    UNION ALL
+    SELECT 'ivfadc' AS leg, query_id, neighbor_id, score AS cos_sim, rank
+    FROM (VALUES
+     {values}) AS ivfadc_exp(sftag, query_id, neighbor_id, score, rank)
+    WHERE sftag = (SELECT COUNT(*) * 1000000 + SUM(label * (vec_id % 97))
+                   FROM embeddings)
+    """
+
+
+@query(
+    "ann_lsh_ivf_topk",
+    oracle=_ann_lsh_ivf_oracle,
+    tags=("llm", "similarity", "ann", "lsh", "ivf", "ivfadc", "pq"),
 )
 def ann_lsh_ivf_topk(spark, sf_dir):
     """Both approximate-ANN scale paths in one tagged result
@@ -524,7 +671,16 @@ def ann_lsh_ivf_topk(spark, sf_dir):
     machinery: driver-side spherical-k-means training, per-batch GEMM
     cell assignment, multi-probe cell equi-join, within-candidate
     rank. Recall at n_probe < n_centroids and LSH recall vs brute
-    force are additionally pytest-checked."""
+    force are additionally pytest-checked.
+
+    ivfadc leg: the full IVFADC index (operators/pq.py —
+    build_ivf_pq_index + ivf_pq_topk at probe-all: residual product
+    quantization over coarse cells, ADC lookup-table scoring) against
+    a literal-VALUES numpy twin of the whole pipeline built at
+    registration — every quantized score of every top-5 row
+    hash-checked to 6 decimals, including the xxhash64 sample order
+    (replayed by a pure-Python XXH64 twin). Recall vs exact and
+    probe-all ≡ exact-candidate coverage stay pytest-pinned."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
     # 4 bits = 16 buckets: coarse enough for decent recall on the
@@ -534,9 +690,21 @@ def ann_lsh_ivf_topk(spark, sf_dir):
         e, q, "vec_id", "embedding", "vec_id", "embedding",
         k=5, n_centroids=16, n_probe=16,
     )
+    from d2d_spark.operators.pq import build_ivf_pq_index, ivf_pq_topk
+
+    codes, model = build_ivf_pq_index(
+        e, "vec_id", "embedding",
+        m=8, ksub=16, n_centroids=16, iters=5, pq_iters=10,
+    )
+    ivfadc = ivf_pq_topk(
+        codes, q, "vec_id", "vec_id", "embedding", model, k=5, n_probe=16
+    )
     cols = ["query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"]
-    return lsh.select(F.lit("lsh").alias("leg"), *cols).unionByName(
-        ivf.select(F.lit("ivf").alias("leg"), *cols)
+    adc_cols = ["query_id", "neighbor_id", F.round("score", 6).alias("cos_sim"), "rank"]
+    return (
+        lsh.select(F.lit("lsh").alias("leg"), *cols)
+        .unionByName(ivf.select(F.lit("ivf").alias("leg"), *cols))
+        .unionByName(ivfadc.select(F.lit("ivfadc").alias("leg"), *adc_cols))
     )
 
 

@@ -349,13 +349,18 @@ def dedup_exact_events(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # ES terms agg + top_hits (§2.5)
 # ---------------------------------------------------------------------------
-def _pagerank_unrolled_oracle(iters: int = 8, d: float = 0.85) -> str:
-    """Fixed-iteration PageRank as plain SQL: standard recursive CTEs
-    forbid aggregates in the recursive term, so the power iteration
-    unrolls into ``iters`` chained CTEs — each one inflow aggregate +
-    one dangling scalar, exactly the per-round algebra the Spark loop
-    runs. Built by a Python loop at import time; the result is a
-    static string like every other oracle."""
+def _pagerank_unrolled_oracle(
+    iters: int = 8, d: float = 0.85, hits_iters: int = 4, lpa_iters: int = 4
+) -> str:
+    """Fixed-iteration PageRank, HITS and label propagation as plain
+    SQL: standard recursive CTEs forbid aggregates in the recursive
+    term, so each power/propagation iteration unrolls into chained
+    CTEs — exactly the per-round algebra the Spark loops run (HITS:
+    authority from RAW previous hub, hub from RAW authority, then both
+    L2-normalize — the same order operators/graph.hits uses, so float
+    shapes line up; LPA: neighbor votes + self-vote, top-1 by count
+    desc then smallest label). Built by a Python loop at import time;
+    the result is a static string like every other oracle."""
     parts = [
         """
     WITH e AS MATERIALIZED (SELECT DISTINCT CAST(user_id AS VARCHAR) AS src, event_type AS dst
@@ -380,6 +385,61 @@ def _pagerank_unrolled_oracle(iters: int = 8, d: float = 0.85) -> str:
                               + (SELECT dm FROM dang{k})/(SELECT n FROM nn)) AS rank
               FROM base b LEFT JOIN inf{k} i ON b.node = i.node)"""
         )
+    # --- HITS over the same bipartite graph (hubs = users,
+    # authorities = event types): h0 = a0 = 1/sqrt(n) ---
+    parts.append(
+        """,
+    h0 AS MATERIALIZED (SELECT node,
+                     1.0/sqrt((SELECT n FROM nn)) AS hub,
+                     1.0/sqrt((SELECT n FROM nn)) AS auth FROM nodes)"""
+    )
+    for k in range(1, hits_iters + 1):
+        p = f"h{k - 1}"
+        parts.append(
+            f""",
+    ar{k} AS MATERIALIZED (
+      SELECT b.node, COALESCE(s.v, 0) AS a_raw FROM nodes b LEFT JOIN (
+        SELECT e.dst AS node, SUM(p.hub) AS v FROM e JOIN {p} p ON e.src = p.node
+        GROUP BY e.dst) s ON b.node = s.node),
+    hr{k} AS MATERIALIZED (
+      SELECT a.node, a.a_raw, COALESCE(s.v, 0) AS h_raw FROM ar{k} a LEFT JOIN (
+        SELECT e.src AS node, SUM(x.a_raw) AS v FROM e JOIN ar{k} x ON e.dst = x.node
+        GROUP BY e.src) s ON a.node = s.node),
+    nm{k} AS MATERIALIZED (SELECT sqrt(COALESCE(SUM(h_raw*h_raw), 0)) AS hn,
+                        sqrt(COALESCE(SUM(a_raw*a_raw), 0)) AS an FROM hr{k}),
+    h{k} AS MATERIALIZED (
+      SELECT node, h_raw / nullif((SELECT hn FROM nm{k}), 0) AS hub,
+             a_raw / nullif((SELECT an FROM nm{k}), 0) AS auth FROM hr{k})"""
+        )
+    # --- synchronous LPA over the orders mod-100 slice: node universe
+    # from RAW endpoints (self-loop-only nodes stay as singletons),
+    # votes over the symmetrized self-loop-free edge set + self-vote ---
+    parts.append(
+        """,
+    lpraw AS MATERIALIZED (SELECT o_custkey % 100 AS a, o_orderkey % 100 AS b
+               FROM orders WHERE o_orderkey % 7 = 0),
+    lpn AS MATERIALIZED (SELECT a AS node FROM lpraw UNION SELECT b FROM lpraw),
+    lpe AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+      SELECT a, b FROM lpraw WHERE a <> b
+      UNION ALL SELECT b, a FROM lpraw WHERE a <> b)),
+    lab0 AS MATERIALIZED (SELECT node, node AS community FROM lpn)"""
+    )
+    for k in range(1, lpa_iters + 1):
+        p = f"lab{k - 1}"
+        parts.append(
+            f""",
+    v{k} AS MATERIALIZED (
+      SELECT node, community, COUNT(*) AS c FROM (
+        SELECT e.a AS node, l.community FROM lpe e JOIN {p} l ON e.b = l.node
+        UNION ALL SELECT node, community FROM {p})
+      GROUP BY node, community),
+    lab{k} AS MATERIALIZED (
+      SELECT node, community FROM (
+        SELECT node, community,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, community) AS rn
+        FROM v{k}) WHERE rn = 1)"""
+        )
     parts.append(
         f""",
     tri_e AS MATERIALIZED (
@@ -399,7 +459,14 @@ def _pagerank_unrolled_oracle(iters: int = 8, d: float = 0.85) -> str:
     UNION ALL
     SELECT 'triangles', CAST(n AS VARCHAR), COUNT(*), CAST(NULL AS DOUBLE)
     FROM (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
-          UNION ALL SELECT z FROM tri) GROUP BY n"""
+          UNION ALL SELECT z FROM tri) GROUP BY n
+    UNION ALL
+    SELECT 'hits_hub', node, CAST(NULL AS BIGINT), round(hub, 6) FROM h{hits_iters}
+    UNION ALL
+    SELECT 'hits_auth', node, CAST(NULL AS BIGINT), round(auth, 6) FROM h{hits_iters}
+    UNION ALL
+    SELECT 'lpa', CAST(node AS VARCHAR), community, CAST(NULL AS DOUBLE)
+    FROM lab{lpa_iters}"""
     )
     return "".join(parts)
 
@@ -407,10 +474,10 @@ def _pagerank_unrolled_oracle(iters: int = 8, d: float = 0.85) -> str:
 @query(
     "group_count_event_types",
     oracle=_pagerank_unrolled_oracle(),
-    tags=("agg", "terms", "graph", "pagerank", "triangles"),
+    tags=("agg", "terms", "graph", "pagerank", "triangles", "hits", "lpa"),
 )
 def group_count_event_types(spark, sf_dir):
-    """Three graph/event-analytics legs. 'terms': ES terms
+    """Six graph/event-analytics legs. 'terms': ES terms
     aggregation — count-by-key (d22d/utils/db/myutils.py:476-522).
     'pagerank': the iterative distributed PageRank
     (operators/graph.py) over the bipartite user→event_type graph, 8
@@ -423,7 +490,16 @@ def group_count_event_types(spark, sf_dir):
     deterministic sparse graph derived from orders (keys mod 100,
     1-in-7 rows) — the oracle enumerates ordered triples with a plain
     triple self-join, a different algorithm than the oriented wedge
-    close, so the leg is a genuine cross-algorithm differential."""
+    close, so the leg is a genuine cross-algorithm differential.
+    'hits_hub'/'hits_auth': Kleinberg HITS (graph.hits), 4 fixed
+    rounds over the same bipartite graph — users are the hubs, event
+    types the authorities — hash-checked to 6 decimals against the
+    unrolled-CTE replay of the same raw-score/normalize order.
+    'lpa': synchronous label propagation (graph.label_propagation, 4
+    rounds, self-vote, smallest-label ties) on the triangles graph —
+    the community label IS the cnt column; the oracle unrolls the
+    vote/top-1 rounds with the node universe taken from RAW endpoints
+    so self-loop-only nodes stay singletons."""
     ev = _t(spark, sf_dir, "events")
     terms = group_count(ev, "event_type").select(
         F.lit("terms").alias("leg"),
@@ -468,7 +544,40 @@ def group_count_event_types(spark, sf_dir):
         F.col("triangles").alias("cnt"),
         F.lit(None).cast("double").alias("rank"),
     )
-    return terms.unionByName(pr).unionByName(tri)
+    from d2d_spark.operators.graph import hits, label_propagation
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        hs = hits(edges, max_iters=4, tol=None)
+        communities = label_propagation(tri_edges, max_iters=4)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    hub = hs.select(
+        F.lit("hits_hub").alias("leg"),
+        F.col("node").alias("k"),
+        F.lit(None).cast("bigint").alias("cnt"),
+        F.round("hub", 6).alias("rank"),
+    )
+    auth = hs.select(
+        F.lit("hits_auth").alias("leg"),
+        F.col("node").alias("k"),
+        F.lit(None).cast("bigint").alias("cnt"),
+        F.round("authority", 6).alias("rank"),
+    )
+    lpa = communities.select(
+        F.lit("lpa").alias("leg"),
+        F.col("node").cast("string").alias("k"),
+        F.col("community").cast("bigint").alias("cnt"),
+        F.lit(None).cast("double").alias("rank"),
+    )
+    return (
+        terms.unionByName(pr)
+        .unionByName(tri)
+        .unionByName(hub)
+        .unionByName(auth)
+        .unionByName(lpa)
+    )
 
 
 @query(
@@ -814,7 +923,33 @@ def window_analytics_orders(spark, sf_dir):
 @query(
     "agg_stats_orders",
     oracle="""
-    SELECT o_orderpriority,
+    WITH wb AS (
+      SELECT o_orderpriority,
+             percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS wlo,
+             percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS whi
+      FROM orders GROUP BY o_orderpriority),
+    wz AS (
+      SELECT o.o_orderpriority,
+             CAST(SUM(CAST(GREATEST(LEAST(o.o_totalprice, wb.whi), wb.wlo)
+                           AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price_winsor
+      FROM orders o JOIN wb USING (o_orderpriority)
+      GROUP BY o.o_orderpriority),
+    m1 AS (
+      SELECT o_orderpriority,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS med
+      FROM orders GROUP BY o_orderpriority),
+    m2 AS (
+      SELECT o.o_orderpriority,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(o.o_totalprice - m1.med)) AS mad
+      FROM orders o JOIN m1 USING (o_orderpriority)
+      GROUP BY o.o_orderpriority),
+    mo AS (
+      SELECT o.o_orderpriority,
+             COUNT(*) FILTER (WHERE abs(o.o_totalprice - m1.med) > 3.0 * m2.mad)
+               AS n_outliers
+      FROM orders o JOIN m1 USING (o_orderpriority) JOIN m2 USING (o_orderpriority)
+      GROUP BY o.o_orderpriority)
+    SELECT o.o_orderpriority,
            COUNT(*) AS cnt,
            COUNT(DISTINCT o_custkey) AS n_customers,
            COUNT(DISTINCT o_orderstatus) AS n_statuses,
@@ -826,10 +961,13 @@ def window_analytics_orders(spark, sf_dir):
            round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
            percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25_disc,
            percentile_disc(0.5)  WITHIN GROUP (ORDER BY o_totalprice) AS p50_disc,
-           percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75_disc
-    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+           percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75_disc,
+           ANY_VALUE(wz.avg_price_winsor) AS avg_price_winsor,
+           ANY_VALUE(mo.n_outliers) AS n_outliers
+    FROM orders o JOIN wz USING (o_orderpriority) JOIN mo USING (o_orderpriority)
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
     """,
-    tags=("agg", "stats", "distinct", "percentiles"),
+    tags=("agg", "stats", "distinct", "percentiles", "winsorize", "mad"),
 )
 def agg_stats_orders(spark, sf_dir):
     """min/max/avg plus exact MULTI-column COUNT DISTINCT — the §2.5
@@ -846,8 +984,21 @@ def agg_stats_orders(spark, sf_dir):
     F.percentile's aggregation buffer) — checked against DuckDB's
     percentile_disc. Probs are binary-exact (0.25/0.5/0.75) so the
     ceil(p*n) rank rule is engine-portable, and discrete quantiles
-    return data values unchanged: no float drift."""
-    from d2d_spark.operators.quantiles import group_quantiles_exact
+    return data values unchanged: no float drift.
+
+    avg_price_winsor runs `winsorize` per group ([p25, p75]
+    clamp — the robust-mean guard) and n_outliers runs
+    `mad_outliers` (|x - median| > 3 * MAD) — both on the same exact
+    quantile machinery, replayed in SQL via percentile_disc bounds +
+    clamp / two chained medians. The clamp sum keeps the
+    DECIMAL(18,2) discipline; the flag count is a FILTER count, so
+    both columns are engine-exact (disc quantiles are data values;
+    abs/compare on the same doubles)."""
+    from d2d_spark.operators.quantiles import (
+        group_quantiles_exact,
+        mad_outliers,
+        winsorize,
+    )
 
     o = _t(spark, sf_dir, "orders")
     price = F.col("o_totalprice").cast(DEC)
@@ -872,7 +1023,25 @@ def agg_stats_orders(spark, sf_dir):
             for p, name in ((0.25, "p25_disc"), (0.5, "p50_disc"), (0.75, "p75_disc"))
         ]
     )
-    return main.join(F.broadcast(wide), "o_orderpriority").orderBy("o_orderpriority")
+    wz = (
+        winsorize(o, "o_totalprice", 0.25, 0.75, key_cols=["o_orderpriority"])
+        .groupBy("o_orderpriority")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast(DEC)).cast("double") / F.count(F.lit(1)))
+            .alias("avg_price_winsor")
+        )
+    )
+    mo = (
+        mad_outliers(o, "o_totalprice", key_cols=["o_orderpriority"], k=3.0)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.when(F.col("is_outlier"), F.lit(1))).alias("n_outliers"))
+    )
+    return (
+        main.join(F.broadcast(wide), "o_orderpriority")
+        .join(F.broadcast(wz), "o_orderpriority")
+        .join(F.broadcast(mo), "o_orderpriority")
+        .orderBy("o_orderpriority")
+    )
 
 
 @query(

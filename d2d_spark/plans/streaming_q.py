@@ -67,6 +67,26 @@ DEC = "decimal(18,2)"
               LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
     ) fm
     UNION ALL
+    SELECT 'resample_locf' AS kind,
+           strftime(b, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type || (CASE WHEN gap THEN '*' ELSE '' END) AS event_type,
+           n_f AS n_events, v_f AS sum_value
+    FROM (
+      WITH rs AS (SELECT event_type, date_trunc('hour', ts) AS b, COUNT(*) AS n,
+                         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+                  FROM events WHERE user_id % 37 = 0 GROUP BY 1, 2),
+      bounds AS (SELECT event_type, MIN(b) AS lo, MAX(b) AS hi FROM rs GROUP BY 1),
+      grid AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+               FROM bounds),
+      j AS (SELECT g.event_type, g.b, rs.n, rs.v, rs.b IS NULL AS gap
+            FROM grid g LEFT JOIN rs ON g.event_type = rs.event_type AND g.b = rs.b)
+      SELECT event_type, b, gap,
+             LAST_VALUE(n IGNORE NULLS) OVER w AS n_f,
+             LAST_VALUE(v IGNORE NULLS) OVER w AS v_f
+      FROM j WINDOW w AS (PARTITION BY event_type ORDER BY b
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    UNION ALL
     SELECT 'retention' AS kind,
            strftime(cohort_day, '%Y-%m-%d') AS window_start,
            CAST(day_offset AS VARCHAR) AS event_type,
@@ -80,7 +100,10 @@ DEC = "decimal(18,2)"
       WHERE date_diff('day', first.cohort_day, days.d) IN (0, 1, 2, 7)
     ) GROUP BY cohort_day, day_offset
     """,
-    tags=("streaming", "window", "tumbling", "sliding", "funnel", "retention"),
+    tags=(
+        "streaming", "window", "tumbling", "sliding", "funnel", "retention",
+        "resample", "gapfill",
+    ),
 )
 def windowed_aggs_events(spark, sf_dir):
     """Event-time analytics suite, four tagged legs.
@@ -101,7 +124,14 @@ def windowed_aggs_events(spark, sf_dir):
 
     retention: cohort retention (ClickHouse retention analog) —
     cohort = first-event day, exact distinct users at day offsets
-    0/1/2/7."""
+    0/1/2/7.
+
+    resample_locf: operators/timeseries resample (1-hour buckets per
+    event_type over a SPARSE user slice, so real gaps exist) +
+    gap_fill with last-observation-carried-forward — the hypertable
+    time_bucket_gapfill/locf pair; generated rows are tagged with a
+    '*' suffix so the gap flag itself is hash-checked. Oracle:
+    generate_series grid + LAST_VALUE IGNORE NULLS replay."""
     ev = read_table(spark, sf_dir, "events")
     aggs = [
         F.count(F.lit(1)).alias("n_events"),
@@ -143,6 +173,30 @@ def windowed_aggs_events(spark, sf_dir):
         F.col("stage").cast("long").alias("n_events"),
         F.lit(None).cast("double").alias("sum_value"),
     )
+    from d2d_spark.operators.timeseries import gap_fill, resample
+
+    sparse = ev.filter(F.col("user_id") % 37 == 0)
+    rs = resample(
+        sparse,
+        ["event_type"],
+        "ts",
+        "1 hour",
+        {
+            "n": F.count(F.lit(1)),
+            "v": F.sum(F.col("value").cast(DEC)).cast("double"),
+        },
+    )
+    gf = gap_fill(rs, ["event_type"], "bucket", "1 hour", ["n", "v"], fill="locf")
+    resampled = gf.select(
+        F.lit("resample_locf").alias("kind"),
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.concat(
+            F.col("event_type"),
+            F.when(F.col("gap"), F.lit("*")).otherwise(F.lit("")),
+        ).alias("event_type"),
+        F.col("n").alias("n_events"),
+        F.col("v").alias("sum_value"),
+    )
     retention = retention_cohorts(ev, "user_id", "ts", offsets=[0, 1, 2, 7]).select(
         F.lit("retention").alias("kind"),
         F.date_format("cohort_day", "yyyy-MM-dd").alias("window_start"),
@@ -150,7 +204,12 @@ def windowed_aggs_events(spark, sf_dir):
         F.col("n_users").alias("n_events"),
         F.lit(None).cast("double").alias("sum_value"),
     )
-    return tumbling.unionAll(sliding).unionAll(funnel).unionAll(retention)
+    return (
+        tumbling.unionAll(sliding)
+        .unionAll(funnel)
+        .unionAll(resampled)
+        .unionAll(retention)
+    )
 
 
 @query(

@@ -78,11 +78,51 @@ STAGE = Path(tempfile.gettempdir()) / "d2d_spark_stage"
              CAST(NULL AS VARCHAR) AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
              CAST(NULL AS BOOLEAN) AS is_current
       FROM mt t FULL JOIN ms s ON t.k = s.k
-      WHERE NOT (t.k IS NOT NULL AND s.k IS NOT NULL AND s.st = 'F'))
+      WHERE NOT (t.k IS NOT NULL AND s.k IS NOT NULL AND s.st = 'F')),
+    -- cdc: latest-seq-wins fold. Feed = seq-1 upsert (doubled price)
+    -- for every key in [2000, 5000], then a seq-2 delete for 'P'
+    -- keys, so per 'P' key the delete SUPERSEDES the earlier upsert:
+    -- survivors = target keys untouched by the feed; everything else
+    -- is the feed's latest non-delete payload.
+    cdc_f AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE) AS np,
+                     o_orderstatus = 'P' AS del
+              FROM orders WHERE o_orderkey BETWEEN 2000 AND 5000),
+    cdc AS (
+      SELECT 'cdc' AS leg, t.k, t.st AS attr, t.p AS price,
+             CAST(NULL AS VARCHAR) AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+             CAST(NULL AS BOOLEAN) AS is_current
+      FROM mt t LEFT JOIN cdc_f f ON t.k = f.k WHERE f.k IS NULL
+      UNION ALL
+      SELECT 'cdc', f.k, f.st, f.np,
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BOOLEAN)
+      FROM cdc_f f WHERE NOT f.del),
+    -- scdlk: point-in-time lookup against the scd2 run history —
+    -- each purchase event probes "what was this user's attribute 30
+    -- minutes earlier"; probes before the user's first run enrich
+    -- NULL (left join).
+    hist AS (
+      SELECT user_id, event_type, vf,
+             LEAD(vf) OVER (PARTITION BY user_id ORDER BY vf, event_id) AS vt
+      FROM runs),
+    probes AS (
+      SELECT user_id, event_id, ts - INTERVAL 30 MINUTE AS pts
+      FROM events WHERE event_type = 'purchase'),
+    scdlk AS (
+      SELECT 'scdlk' AS leg, p.event_id AS k, h.event_type AS attr,
+             CAST(NULL AS DOUBLE) AS price,
+             strftime(h.vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+             strftime(h.vt, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+             CASE WHEN h.user_id IS NULL THEN CAST(NULL AS BOOLEAN)
+                  ELSE h.vt IS NULL END AS is_current
+      FROM probes p LEFT JOIN hist h
+        ON p.user_id = h.user_id AND h.vf <= p.pts
+       AND (h.vt IS NULL OR p.pts < h.vt))
     SELECT * FROM updel UNION ALL SELECT * FROM scd
     UNION ALL SELECT * FROM dif UNION ALL SELECT * FROM mg
+    UNION ALL SELECT * FROM cdc UNION ALL SELECT * FROM scdlk
     """,
-    tags=("writes", "update", "delete", "scd2", "diff", "merge"),
+    tags=("writes", "update", "delete", "scd2", "diff", "merge", "cdc", "scd2-lookup"),
 )
 def update_delete_rows_orders(spark, sf_dir):
     """Four write-semantics legs. 'updel': UPDATE then DELETE on one
@@ -100,7 +140,16 @@ def update_delete_rows_orders(spark, sf_dir):
     MERGE INTO (operators/writes.merge_into — Delta-style WHEN
     MATCHED AND status='F' DELETE / WHEN MATCHED AND status='P'
     UPDATE price / WHEN NOT MATCHED INSERT, one full-outer join)
-    against a CASE full-join replay in SQL."""
+    against a CASE full-join replay in SQL. 'cdc': CDC change-feed
+    apply (operators/writes.apply_changes) — the feed carries a seq-1
+    upsert for every key plus a seq-2 delete for 'P' keys, so the
+    latest-seq-wins fold must let the delete supersede the earlier
+    upsert; the oracle replays the folded outcome as an anti-join +
+    filtered feed. 'scdlk': scd2_lookup point-in-time enrichment —
+    every purchase event asks "what was this user's attribute 30
+    minutes before", hitting mid-history runs, current rows, and
+    before-first-run NULLs; the oracle replays the interval
+    containment over the same lag/lead run table."""
     o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
     updated = update_rows(
         o,
@@ -189,7 +238,63 @@ def update_delete_rows_orders(spark, sf_dir):
         F.lit(None).cast("string").alias("valid_to"),
         F.lit(None).cast("boolean").alias("is_current"),
     )
-    return updel.unionByName(scd).unionByName(dif).unionByName(mg)
+    from d2d_spark.operators.writes import apply_changes
+
+    # cdc leg: two changes per 'P' key (seq-1 upsert, then a seq-2
+    # delete that must supersede it) exercises the latest-seq-wins
+    # fold, not just a single-change merge
+    feed_src = orders.filter("o_orderkey BETWEEN 2000 AND 5000")
+    up1 = feed_src.select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 2)
+        .cast("double")
+        .alias("o_totalprice"),
+        F.lit(1).alias("seq"),
+        F.lit("u").alias("op"),
+    )
+    del2 = feed_src.filter(F.col("o_orderstatus") == "P").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice"),
+        F.lit(2).alias("seq"),
+        F.lit("d").alias("op"),
+    )
+    snapshot = apply_changes(mt, up1.unionByName(del2), ["o_orderkey"], "seq")
+    cdc = snapshot.select(
+        F.lit("cdc").alias("leg"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("attr"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(None).cast("string").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(None).cast("boolean").alias("is_current"),
+    )
+    from d2d_spark.operators.scd import scd2_lookup
+
+    history = scd2_history(ev, ["user_id"], "ts", ["event_type"], ["event_id"])
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("pts"),
+    )
+    looked = scd2_lookup(history, probes, ["user_id"], "pts")
+    scdlk = looked.select(
+        F.lit("scdlk").alias("leg"),
+        F.col("event_id").alias("k"),
+        F.col("event_type").alias("attr"),
+        F.lit(None).cast("double").alias("price"),
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+        "is_current",
+    )
+    return (
+        updel.unionByName(scd)
+        .unionByName(dif)
+        .unionByName(mg)
+        .unionByName(cdc)
+        .unionByName(scdlk)
+    )
 
 
 @query(

@@ -478,3 +478,223 @@ def latest_cms_state(spark: SparkSession, state_dir: str):
     if not ids:
         return None
     return spark.read.parquet(os.path.join(state_dir, f"state_after_batch_{max(ids)}"))
+
+def stream_apply_changes(
+    changes: DataFrame,
+    target: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    state_dir: str,
+    checkpoint_path: str,
+    op_col: str = "op",
+    upsert_op: str = "u",
+    delete_op: str = "d",
+):
+    """Streaming twin of `operators/writes.apply_changes` (the DLT
+    APPLY CHANGES INTO shape) for a CONTINUOUS change feed: fold each
+    micro-batch of upserts/deletes into a persisted target snapshot so
+    that after any prefix of the op log — however it is split across
+    batches, and whatever order batches deliver the sequence numbers —
+    the snapshot EXACTLY equals the batch operator applied to the
+    whole prefix (test-pinned).
+
+    Cross-batch out-of-order arrivals are what make this more than a
+    per-batch merge loop: state rows carry the winning sequence number
+    (``__seq``) and deletes TOMBSTONE rather than drop (``__deleted``)
+    — a seq-5 delete in batch 2 must still beat a seq-3 upsert that
+    only arrives in batch 7, which a delete-forgets-the-key fold would
+    silently resurrect. A change only lands if its seq exceeds the
+    stored one; an equal seq raises (duplicate sequencing is
+    ill-defined, the batch operator's contract). Bootstrap target rows
+    hold a NULL ``__seq`` and lose to any change for their key.
+
+    Replay-tolerant by the `stream_cms_sink` construction: state is
+    keyed by batch id (``state_after_batch_N/``), batch N folds into
+    the newest state with id < N, so a replayed batch re-derives its
+    output from its original pre-state instead of double-applying.
+    Same one-checkpoint-lifetime contract. Read the current snapshot
+    with `latest_cdc_snapshot`.
+
+    Scale shape: per batch ONE window top-1 on the feed + ONE
+    key-equi full-outer join against the snapshot (full outer cannot
+    broadcast, but the feed side is micro-batch-sized, so the shuffle
+    moves the snapshot once and AQE coalesces the rest); state is the
+    table itself plus two bookkeeping columns — no per-key executor
+    state store, so the table can be arbitrarily wider than memory.
+    At warehouse scale, point the state dir at the table's storage
+    and partition the snapshot write by a stable key prefix."""
+    import os
+    import re
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if not keys:
+        raise ValueError("stream_apply_changes: need at least one key column")
+    for c in ("__seq", "__deleted"):
+        if c in target.columns:
+            raise ValueError(
+                f"stream_apply_changes: target column {c!r} collides with "
+                "the snapshot bookkeeping columns — rename it upstream"
+            )
+    payload = [c for c in target.columns if c not in keys]
+    missing = [c for c in keys + payload + [seq_col, op_col] if c not in changes.columns]
+    if missing:
+        raise ValueError(f"stream_apply_changes: changes feed lacks columns {missing}")
+
+    spark = target.sparkSession
+    os.makedirs(state_dir, exist_ok=True)
+    pat = re.compile(r"^state_after_batch_(\d+)$")
+    state_ids = [
+        int(pat.match(n).group(1)) for n in os.listdir(state_dir) if pat.match(n)
+    ]
+    ckpt_local = _local_path(checkpoint_path)
+    checkpoint_is_fresh = ckpt_local is not None and not os.path.isdir(
+        os.path.join(ckpt_local, "offsets")
+    )
+    if checkpoint_is_fresh and state_ids:
+        raise ValueError(
+            f"stream_apply_changes: checkpoint {checkpoint_path!r} is fresh "
+            f"but state_dir {state_dir!r} holds snapshot state from a "
+            "previous checkpoint lifetime — use a fresh state_dir, or "
+            "restore the original checkpoint."
+        )
+    if ckpt_local is not None and not checkpoint_is_fresh and not state_ids:
+        raise ValueError(
+            f"stream_apply_changes: checkpoint {checkpoint_path!r} is "
+            f"resuming but state_dir {state_dir!r} has no snapshot state — "
+            "changes from processed batches would be silently lost. Restore "
+            "the state files or start over with a fresh checkpoint."
+        )
+
+    seq_type = changes.schema[seq_col].dataType
+
+    def _bootstrap() -> DataFrame:
+        return target.select(
+            *keys,
+            *payload,
+            F.lit(None).cast(seq_type).alias("__seq"),
+            F.lit(False).alias("__deleted"),
+        )
+
+    def _load_before(batch_id: int) -> DataFrame:
+        prior_ids = [
+            int(pat.match(n).group(1))
+            for n in os.listdir(state_dir)
+            if pat.match(n) and int(pat.match(n).group(1)) < batch_id
+        ]
+        if not prior_ids:
+            return _bootstrap()
+        return spark.read.parquet(
+            os.path.join(state_dir, f"state_after_batch_{max(prior_ids)}")
+        )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        state = _load_before(batch_id)
+        stats = batch_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(*[F.col(c) for c in keys + [seq_col]]).alias("nk"),
+            F.sum((~F.col(op_col).isin(upsert_op, delete_op)).cast("int")).alias(
+                "badop"
+            ),
+        ).collect()[0]
+        if stats["n"] == 0:
+            wins = None
+        else:
+            if stats["badop"]:
+                raise ValueError(
+                    f"stream_apply_changes: {stats['badop']} rows in batch "
+                    f"{batch_id} have ops outside ({upsert_op!r}, {delete_op!r})"
+                )
+            if stats["nk"] != stats["n"]:
+                raise ValueError(
+                    f"stream_apply_changes: duplicate (key, sequence) rows in "
+                    f"batch {batch_id} — 'latest change wins' is ill-defined"
+                )
+            w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+            wins = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select(
+                    *keys,
+                    *payload,
+                    F.col(seq_col).alias("__seq"),
+                    (F.col(op_col) == F.lit(delete_op)).alias("__deleted"),
+                )
+            )
+        if wins is None:
+            nxt = state
+        else:
+            dup = (
+                wins.alias("s")
+                .join(state.alias("t"), keys)
+                .filter(F.col("s.__seq") == F.col("t.__seq"))
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    "stream_apply_changes: a change in batch "
+                    f"{batch_id} repeats an already-applied (key, sequence) "
+                    f"({tuple(dup[0][k] for k in keys)}, seq "
+                    f"{dup[0]['__seq']}) — duplicate sequencing upstream"
+                )
+            s, t = wins.alias("s"), state.alias("t")
+            j = t.join(F.broadcast(s), keys, "full_outer")
+            s_wins = F.col("t.__seq").isNull() | (
+                F.col("s.__seq") > F.col("t.__seq")
+            )
+            take_s = F.col("s.__seq").isNotNull() & (
+                F.col("t.__deleted").isNull() | s_wins
+            )
+            nxt = j.select(
+                *[F.coalesce(F.col(f"t.{k}"), F.col(f"s.{k}")).alias(k) for k in keys],
+                *[
+                    F.when(take_s, F.col(f"s.{c}"))
+                    .otherwise(F.col(f"t.{c}"))
+                    .alias(c)
+                    for c in payload
+                ],
+                F.when(take_s, F.col("s.__seq"))
+                .otherwise(F.col("t.__seq"))
+                .alias("__seq"),
+                F.when(take_s, F.col("s.__deleted"))
+                .otherwise(F.col("t.__deleted"))
+                .alias("__deleted"),
+            )
+        final = os.path.join(state_dir, f"state_after_batch_{batch_id}")
+        tmp = final + ".tmp"
+        nxt.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+
+    q = (
+        changes.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def latest_cdc_snapshot(spark: SparkSession, state_dir: str):
+    """The current target snapshot from a `stream_apply_changes`
+    state dir (None if empty): the newest state minus tombstones and
+    bookkeeping — row-for-row what batch `apply_changes` over the
+    whole feed so far would return."""
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    pat = re.compile(r"^state_after_batch_(\d+)$")
+    ids = [int(pat.match(n).group(1)) for n in os.listdir(state_dir) if pat.match(n)]
+    if not ids:
+        return None
+    state = spark.read.parquet(
+        os.path.join(state_dir, f"state_after_batch_{max(ids)}")
+    )
+    return state.filter(~F.col("__deleted")).drop("__seq", "__deleted")

@@ -281,3 +281,151 @@ def test_scd2_lookup_misses_and_validation(spark):
         scd2_lookup(hist.drop("valid_to"), probes, ["k"], "at")
     with pytest.raises(ValueError, match="collide"):
         scd2_lookup(hist, probes.withColumn("attr", F.lit("x")), ["k"], "at")
+
+
+# ---------------------------------------------------------------------------
+# stream_apply_changes (continuous CDC twin of apply_changes)
+# ---------------------------------------------------------------------------
+def test_stream_apply_changes_equals_batch(spark, tmp_path):
+    """A random op log split across file-drop micro-batches in SHUFFLED
+    arrival order folds to exactly the batch apply_changes snapshot of
+    the whole log — at every intermediate prefix too."""
+    import random
+
+    from pyspark.sql import types as T
+
+    from d2d_spark.operators.writes import apply_changes
+    from d2d_spark.streaming.filestream import (
+        file_stream,
+        latest_cdc_snapshot,
+        stream_apply_changes,
+    )
+
+    rng = random.Random(11)
+    target = spark.createDataFrame(
+        [(k, float(k)) for k in range(10)], "k long, v double"
+    )
+    log = []
+    for seq in range(120):
+        k = rng.randrange(0, 15)
+        if rng.random() < 0.3:
+            log.append((k, seq, "d", None))
+        else:
+            log.append((k, seq, "u", float(seq)))
+    arrival = log[:]
+    rng.shuffle(arrival)  # later drops carry EARLIER sequence numbers
+    chunks = [arrival[:40], arrival[40:80], arrival[80:]]
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    seen = []
+    for i, chunk in enumerate(chunks):
+        spark.createDataFrame(chunk, schema).write.mode("overwrite").parquet(
+            str(src / f"d{i}")
+        )
+        seen.extend(chunk)
+        stream = file_stream(spark, str(src) + "/*", schema)
+        stream_apply_changes(stream, target, ["k"], "seq", state, ckpt)
+        want_df = apply_changes(
+            target, spark.createDataFrame(seen, schema), ["k"], "seq"
+        )
+        want = {(r["k"], r["v"]) for r in want_df.collect()}
+        got = {
+            (r["k"], r["v"])
+            for r in latest_cdc_snapshot(spark, state).select("k", "v").collect()
+        }
+        assert got == want, f"prefix {i}: {got ^ want}"
+
+
+def test_stream_apply_changes_tombstone_beats_late_upsert(spark, tmp_path):
+    """A high-seq delete arriving BEFORE a low-seq upsert (across
+    batches) keeps the key deleted; a later higher-seq upsert revives
+    it — the fold a delete-forgets-the-key sink gets wrong."""
+    from pyspark.sql import types as T
+
+    from d2d_spark.streaming.filestream import (
+        file_stream,
+        latest_cdc_snapshot,
+        stream_apply_changes,
+    )
+
+    target = spark.createDataFrame([(1, "a")], "k long, v string")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    expected = [set(), set(), {(1, "z")}]
+    for i, drop in enumerate([[(1, 5, "d", None)], [(1, 3, "u", "b")], [(1, 7, "u", "z")]]):
+        spark.createDataFrame(drop, schema).write.mode("overwrite").parquet(
+            str(src / f"d{i}")
+        )
+        stream = file_stream(spark, str(src) + "/*", schema)
+        stream_apply_changes(stream, target, ["k"], "seq", state, ckpt)
+        got = {
+            (r["k"], r["v"])
+            for r in latest_cdc_snapshot(spark, state).collect()
+        }
+        assert got == expected[i], f"after drop {i}"
+
+
+def test_stream_apply_changes_validation(spark, tmp_path):
+    """Duplicate (key, seq) across batches, bad ops, and bookkeeping
+    column collisions all refuse loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from d2d_spark.streaming.filestream import file_stream, stream_apply_changes
+
+    target = spark.createDataFrame([(1, "a")], "k long, v string")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    spark.createDataFrame([(1, 5, "u", "b")], schema).write.mode("overwrite").parquet(
+        str(src / "d0")
+    )
+    stream_apply_changes(
+        file_stream(spark, str(src) + "/*", schema), target, ["k"], "seq", state, ckpt
+    )
+    spark.createDataFrame([(1, 5, "u", "c")], schema).write.mode("overwrite").parquet(
+        str(src / "d1")
+    )
+    with pytest.raises(Exception, match="repeats an already-applied"):
+        stream_apply_changes(
+            file_stream(spark, str(src) + "/*", schema),
+            target, ["k"], "seq", state, ckpt,
+        )
+    with pytest.raises(ValueError, match="collides"):
+        stream_apply_changes(
+            file_stream(spark, str(src) + "/*", schema),
+            target.withColumn("__seq", F.lit(1)),
+            ["k"], "seq", str(tmp_path / "s2"), str(tmp_path / "c2"),
+        )
+    with pytest.raises(ValueError, match="lacks columns"):
+        stream_apply_changes(
+            file_stream(spark, str(src) + "/*", schema).drop("v"),
+            target, ["k"], "seq", str(tmp_path / "s3"), str(tmp_path / "c3"),
+        )
