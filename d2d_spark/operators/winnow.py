@@ -173,10 +173,20 @@ def winnow_fingerprints(
     The gram array materializes in its OWN projection: winnow_select
     references it more than once, and letting CollapseProject inline
     the k-gram transform at each reference would hash every gram
-    twice (the multi-ref-alias discipline from simhash64/phash)."""
-    g = df.select(
-        F.col(id_col), kgram_hashes(F.col(text_col), k, hasher).alias("__g")
-    )
+    twice (the multi-ref-alias discipline from simhash64/phash).
+
+    The input spreads to full core width first (`dedup._spread`,
+    full=True): hashing + selection are compute-bound at O(chars·w),
+    so a one-file local fixture serializing the whole corpus onto one
+    task costs far more than one round-robin shuffle of the raw text
+    — and on a real many-split table the spread is a no-op."""
+    from d2d_spark.operators.dedup import _spread
+
+    g = _spread(
+        df.select(F.col(id_col), F.col(text_col)),
+        df.sparkSession.sparkContext.defaultParallelism,
+        full=True,
+    ).select(F.col(id_col), kgram_hashes(F.col(text_col), k, hasher).alias("__g"))
     return (
         g.select(F.col(id_col), F.explode(winnow_select(F.col("__g"), w)).alias("f"))
         .select(F.col(id_col), F.col("f.pos").alias("pos"), F.col("f.h").alias("h"))
