@@ -182,10 +182,27 @@ def gap_fill(
     # Every observed (key, bucket) must land ON the grid — otherwise the
     # left join below would silently drop the row while emitting its
     # slot as gap=true (a gap claimed where data exists). Same loud-
-    # refusal discipline as the duplicate check above.
+    # refusal discipline as the duplicate check above. Checked
+    # ARITHMETICALLY against the one-row-per-key span frame (in range
+    # and a whole number of steps past the origin) — grid membership
+    # without materializing the grid, which would double the explode
+    # and cost O(grid) for a validation that is O(input).
+    step_micros = int(round(step_secs * 1_000_000))
     stray = (
         buckets.select(*keys, bucket_col)
-        .join(grid, keys + [bucket_col], "left_anti")
+        .join(guard.select(*keys, "__lo", "__hi"), keys)
+        .filter(
+            (F.col(bucket_col) < F.col("__lo"))
+            | (F.col(bucket_col) > F.col("__hi"))
+            | (
+                F.pmod(
+                    F.unix_micros(F.col(bucket_col)) - F.unix_micros(F.col("__lo")),
+                    F.lit(step_micros),
+                )
+                != 0
+            )
+        )
+        .select(*keys, bucket_col)
         .limit(1)
         .collect()
     )

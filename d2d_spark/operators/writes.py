@@ -335,11 +335,18 @@ def _target_exists(spark, path: str) -> bool:
     return p.getFileSystem(conf).exists(p)
 
 
-# Widening numeric promotions follow standard SQL implicit-coercion
-# order; anything else (string->numeric, fractional->integral,
-# timestamp->date, cross-flavor timestamps, decimal reshapes) must be
-# spelled out by the caller.
-_NUM_RANK = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3, "float": 4, "double": 5}
+# Widening numeric promotions must preserve every representable
+# value — SQL's implicit-coercion RANK order is not enough, because a
+# higher-rank float type can hold fewer integer digits than a
+# lower-rank integral type (float's 24-bit mantissa truncates int
+# 16777217; double's 53 bits truncate bigint): integral widenings go
+# by rank, integral->fractional goes by mantissa capacity. Anything
+# else (string->numeric, fractional->integral, timestamp->date,
+# cross-flavor timestamps, decimal reshapes) must be spelled out by
+# the caller.
+_INT_RANK = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+# integral types every value of which round-trips through the target
+_FLOAT_OK = {"float": {"tinyint", "smallint"}, "double": {"tinyint", "smallint", "int"}}
 _INT_DIGITS = {"tinyint": 3, "smallint": 5, "int": 10, "bigint": 19}
 _DEC_RE = re.compile(r"decimal\((\d+),(\d+)\)")
 
@@ -349,8 +356,12 @@ def _cast_is_safe(src: str, dst: str) -> bool:
         return True
     if dst == "string":
         return True  # total: every value has a string rendering
-    if src in _NUM_RANK and dst in _NUM_RANK:
-        return _NUM_RANK[dst] > _NUM_RANK[src]
+    if src in _INT_RANK and dst in _INT_RANK:
+        return _INT_RANK[dst] > _INT_RANK[src]
+    if dst in _FLOAT_OK and src in _FLOAT_OK[dst]:
+        return True
+    if src == "float" and dst == "double":
+        return True
     ms, md = _DEC_RE.fullmatch(src), _DEC_RE.fullmatch(dst)
     if ms and md:  # decimal reshape: keep every integer and fraction digit
         ps, ss = (int(g) for g in ms.groups())
@@ -484,7 +495,8 @@ def merge_into(
             ins_val = F.lit(None)
         i = len(pre_cols)
         branch_probe.append((c, "update", upd_val.alias(f"__u_{i}")))
-        branch_probe.append((c, "insert", ins_val.alias(f"__i_{i}")))
+        if insert_unmatched:  # the insert branch is unreachable otherwise
+            branch_probe.append((c, "insert", ins_val.alias(f"__i_{i}")))
         pre_cols.append(F.when(t_present, upd_val).otherwise(ins_val).alias(c))
     # The final snapshot keeps the TARGET's dtypes. Verify each merged
     # expression coerces LOSSLESSLY before casting: under non-ANSI

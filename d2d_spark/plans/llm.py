@@ -558,7 +558,10 @@ def _ivfadc_literal_rows() -> list[tuple]:
         tag = len(ids) * 1_000_000 + sum(
             lb * (i % 97) for i, lb in zip(ids, labs)
         )
-        order = sorted(range(len(ids)), key=lambda i: _xxh64_long(ids[i]))
+        # hash-ordered TRAINING SAMPLE — both trainers take
+        # orderBy(xxhash64(id)).limit(10_000); the slice keeps the twin
+        # faithful the day a fixture exceeds the cap
+        order = sorted(range(len(ids)), key=lambda i: _xxh64_long(ids[i]))[:10_000]
 
         # coarse centroids: spherical k-means, hash-ordered sample,
         # init = first nc rows, 5 Lloyd rounds

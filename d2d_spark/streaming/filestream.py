@@ -504,16 +504,23 @@ def stream_apply_changes(
     — a seq-5 delete in batch 2 must still beat a seq-3 upsert that
     only arrives in batch 7, which a delete-forgets-the-key fold would
     silently resurrect. A change only lands if its seq exceeds the
-    stored one; an equal seq raises (duplicate sequencing is
-    ill-defined, the batch operator's contract). Bootstrap target rows
-    hold a NULL ``__seq`` and lose to any change for their key.
+    stored one; a seq equal to a key's STORED winner raises (duplicate
+    sequencing is ill-defined, the batch operator's contract — with
+    bounded state a duplicate of an already-superseded seq is
+    indistinguishable from a fresh stale change and folds away
+    harmlessly, so snapshot content still matches the batch fold).
+    Bootstrap target rows hold a NULL ``__seq`` and lose to any change
+    for their key.
 
     Replay-tolerant by the `stream_cms_sink` construction: state is
     keyed by batch id (``state_after_batch_N/``), batch N folds into
     the newest state with id < N, so a replayed batch re-derives its
     output from its original pre-state instead of double-applying.
-    Same one-checkpoint-lifetime contract. Read the current snapshot
-    with `latest_cdc_snapshot`.
+    Only the newest snapshot and its pre-state are retained (all a
+    replay can ever read) — unlike the sketch sinks' bounded counters
+    this state is a full table copy, so unbounded retention would
+    grow O(batches x table). Same one-checkpoint-lifetime contract.
+    Read the current snapshot with `latest_cdc_snapshot`.
 
     Scale shape: per batch ONE window top-1 on the feed + ONE
     key-equi full-outer join against the snapshot (full outer cannot
@@ -591,6 +598,15 @@ def stream_apply_changes(
         )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        # three actions read this micro-batch (stats, dup probe, fold)
+        # — persist once instead of re-reading the source files thrice
+        batch_df = batch_df.persist()
+        try:
+            _fold_batch(batch_df, batch_id)
+        finally:
+            batch_df.unpersist(blocking=False)
+
+    def _fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         state = _load_before(batch_id)
         stats = batch_df.agg(
             F.count(F.lit(1)).alias("n"),
@@ -626,10 +642,19 @@ def stream_apply_changes(
         if wins is None:
             nxt = state
         else:
+            # EVERY batch row (not just the per-key winner — a dup can
+            # ride in alongside a higher seq that would hide it) checks
+            # against the key's stored winning seq. Bounded state can
+            # only remember the winner: a duplicate of an already-
+            # SUPERSEDED seq is indistinguishable from a fresh stale
+            # change and folds away harmlessly (it can never win), so
+            # snapshot content still equals the batch fold; only the
+            # batch operator's whole-history duplicate raise is
+            # necessarily weakened to winner-duplicates here.
             dup = (
-                wins.alias("s")
-                .join(state.alias("t"), keys)
-                .filter(F.col("s.__seq") == F.col("t.__seq"))
+                batch_df.select(*keys, F.col(seq_col).alias("__bseq"))
+                .join(state.select(*keys, "__seq"), keys)
+                .filter(F.col("__bseq") == F.col("__seq"))
                 .limit(1)
                 .collect()
             )
@@ -641,7 +666,7 @@ def stream_apply_changes(
                     f"{dup[0]['__seq']}) — duplicate sequencing upstream"
                 )
             s, t = wins.alias("s"), state.alias("t")
-            j = t.join(F.broadcast(s), keys, "full_outer")
+            j = t.join(s, keys, "full_outer")
             s_wins = F.col("t.__seq").isNull() | (
                 F.col("s.__seq") > F.col("t.__seq")
             )
@@ -669,6 +694,21 @@ def stream_apply_changes(
         if os.path.isdir(final):
             shutil.rmtree(final)
         os.rename(tmp, final)
+        # retention: state is a FULL table snapshot per batch (unlike
+        # the sketch sinks' bounded counters) — keep only this batch's
+        # snapshot and its pre-state (all a replay of batch N+1 can
+        # read); everything older is dead weight that would grow
+        # storage O(batches x table)
+        ids = sorted(
+            int(pat.match(n).group(1))
+            for n in os.listdir(state_dir)
+            if pat.match(n)
+        )
+        for old_id in ids[:-2]:
+            shutil.rmtree(
+                os.path.join(state_dir, f"state_after_batch_{old_id}"),
+                ignore_errors=True,
+            )
 
     q = (
         changes.writeStream.foreachBatch(handle)

@@ -102,6 +102,32 @@ def test_merge_into_refuses_lossy_casts(spark):
         targ_d, src_i.select("k"), on=["k"], insert_values={"v": "1.5"}
     )
     assert (5, None, 1.5) in {tuple(r) for r in out2.collect()}
+    # rank order is NOT capacity order: float's 24-bit mantissa
+    # truncates int 16777217, double's 53 bits truncate bigint
+    targ_f = spark.createDataFrame([(1, 2.0)], "k long, qty float")
+    with pytest.raises(ValueError, match="int -> float"):
+        merge_into(targ_f, spark.createDataFrame([(5, 16777217)], "k long, qty int"),
+                   on=["k"])
+    targ_dd = spark.createDataFrame([(1, 2.0)], "k long, qty double")
+    with pytest.raises(ValueError, match="bigint -> double"):
+        merge_into(targ_dd, spark.createDataFrame([(5, 2**60)], "k long, qty long"),
+                   on=["k"])
+
+
+def test_merge_into_skips_unreachable_insert_branch(spark):
+    """With insert_unmatched=False the insert branch can never emit a
+    row, so its types must not be probed — an update-only merge over a
+    string source column with an explicit CAST stays valid."""
+    from d2d_spark.operators.writes import merge_into
+
+    target = spark.createDataFrame([(1, 10)], "k long, qty int")
+    src = spark.createDataFrame([(1, "7")], "k long, qty string")
+    out = merge_into(
+        target, src, on=["k"],
+        matched_update={"qty": "CAST(s.qty AS INT)"},
+        insert_unmatched=False,
+    )
+    assert {tuple(r) for r in out.collect()} == {(1, 7)}
 
 
 def test_merge_into_null_condition_is_false(spark):
@@ -343,6 +369,11 @@ def test_stream_apply_changes_equals_batch(spark, tmp_path):
             for r in latest_cdc_snapshot(spark, state).select("k", "v").collect()
         }
         assert got == want, f"prefix {i}: {got ^ want}"
+    # retention: only the newest snapshot + its pre-state survive
+    import os
+
+    kept = [n for n in os.listdir(state) if n.startswith("state_after_batch_")]
+    assert len(kept) <= 2, kept
 
 
 def test_stream_apply_changes_tombstone_beats_late_upsert(spark, tmp_path):
@@ -423,6 +454,24 @@ def test_stream_apply_changes_validation(spark, tmp_path):
             file_stream(spark, str(src) + "/*", schema),
             target.withColumn("__seq", F.lit(1)),
             ["k"], "seq", str(tmp_path / "s2"), str(tmp_path / "c2"),
+        )
+    # a duplicate of the stored winner must raise even when a HIGHER
+    # seq in the same batch would have hidden it from the per-key top-1
+    src2 = tmp_path / "src_dup2"
+    src2.mkdir()
+    s4, c4 = str(tmp_path / "s4"), str(tmp_path / "c4")
+    spark.createDataFrame([(1, 5, "u", "b")], schema).write.mode("overwrite").parquet(
+        str(src2 / "d0")
+    )
+    stream_apply_changes(
+        file_stream(spark, str(src2) + "/*", schema), target, ["k"], "seq", s4, c4
+    )
+    spark.createDataFrame(
+        [(1, 5, "u", "dup"), (1, 9, "u", "new")], schema
+    ).write.mode("overwrite").parquet(str(src2 / "d1"))
+    with pytest.raises(Exception, match="repeats an already-applied"):
+        stream_apply_changes(
+            file_stream(spark, str(src2) + "/*", schema), target, ["k"], "seq", s4, c4
         )
     with pytest.raises(ValueError, match="lacks columns"):
         stream_apply_changes(
