@@ -1,0 +1,108 @@
+"""Rank fusion for hybrid retrieval — combine per-query rankings from
+heterogeneous scorers (BM25 lexical, dense ANN, quantized ANN, quality
+priors) into one list without calibrating their incomparable scores.
+
+Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+
+    rrf(d) = sum_i  w_i / (c + rank_i(d))
+
+using only the RANKS — the one signal every retrieval system emits on
+a common scale. A document missing from a system's list contributes
+nothing for that system. c (default 60, the paper's constant) damps
+the head so one system's #1 cannot dominate an item every other
+system places mid-list.
+
+This is the glue the reference's ES-backed search path leaves to the
+application (d22d ships documents to Elasticsearch and stops); here
+retrieval composes inside the engine: `tfidf.bm25_search` for the
+lexical arm, `similarity.*_topk` / `pq.ivf_pq_topk` for the dense
+arms, this module to fuse.
+
+Spark shape: every input is already a per-query top-k frame
+(O(|Q| * k) rows by construction — the retrieval operators' egress
+contract), so fusion is a chain of tiny outer joins on (query, doc)
+plus one window rank: broadcast-sized at any corpus scale. The float
+fold is a FIXED-ORDER sum over the system index (s_0 + s_1 + ...),
+never a SQL SUM over rows, so fused scores are partition- and
+engine-exact — what lets a fused ranking be driver-oracled.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["rrf_fuse"]
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    c: float = 60.0,
+    weights: Sequence[float] | None = None,
+) -> DataFrame:
+    """(query, doc, rrf_score, rank) — the fused top-``k`` per query.
+
+    Every input frame needs ``query_col``, ``doc_col`` and an integer
+    ``rank_col`` (1-based; ties already broken upstream — retrieval
+    operators here all break by ascending doc id). A (query, doc)
+    pair appearing twice in ONE ranking raises (its rank would be
+    ambiguous). Fused ties break by ascending doc id, so the output
+    is deterministic on any partitioning."""
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    if c <= 0:
+        raise ValueError(f"rrf_fuse: c must be > 0, got {c}")
+    if k < 1:
+        raise ValueError(f"rrf_fuse: k must be >= 1, got {k}")
+    w = [1.0] * len(rankings) if weights is None else [float(x) for x in weights]
+    if len(w) != len(rankings):
+        raise ValueError(
+            f"rrf_fuse: {len(rankings)} rankings but {len(w)} weights"
+        )
+    parts = []
+    for i, r in enumerate(rankings):
+        missing = [col for col in (query_col, doc_col, rank_col) if col not in r.columns]
+        if missing:
+            raise ValueError(f"rrf_fuse: ranking {i} lacks columns {missing}")
+        dup = (
+            r.groupBy(query_col, doc_col)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                f"rrf_fuse: ranking {i} lists a (query, doc) pair more than "
+                "once — its rank is ambiguous; dedup upstream"
+            )
+        parts.append(
+            r.select(
+                F.col(query_col).alias("__q"),
+                F.col(doc_col).alias("__d"),
+                (F.lit(w[i]) / (F.lit(float(c)) + F.col(rank_col))).alias(f"__s{i}"),
+            )
+        )
+    fused = parts[0]
+    for i, p in enumerate(parts[1:], start=1):
+        fused = fused.join(p, ["__q", "__d"], "full_outer")
+    # fixed-order fold (s_0 + s_1 + ...), not an agg: engine-exact
+    score = F.coalesce(F.col("__s0"), F.lit(0.0))
+    for i in range(1, len(parts)):
+        score = score + F.coalesce(F.col(f"__s{i}"), F.lit(0.0))
+    win = Window.partitionBy(query_col).orderBy(F.desc("rrf_score"), F.asc(doc_col))
+    return (
+        fused.select(
+            F.col("__q").alias(query_col),
+            F.col("__d").alias(doc_col),
+            score.alias("rrf_score"),
+        )
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+    )

@@ -434,30 +434,101 @@ _SQL_EXACT_TOPK = """
     """
 
 
+# int8-quantized cosine top-5: the same retrieval over vectors that
+# round-tripped through functions/vectors.quantize_int8 — the SQL
+# replays the quantization arithmetic exactly (scale = float32 of
+# absmax/127; q = half-away-from-zero round in double, both engines'
+# rule; dequantized element = float32 of q*scale, exact in double
+# because the product has <= 31 significant bits).
+_SQL_INT8_TOPK = """
+    WITH dq AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST((CASE WHEN sc > 0
+                 THEN CAST(round(CAST(x AS DOUBLE) / CAST(sc AS DOUBLE)) AS TINYINT)
+                 ELSE CAST(0 AS TINYINT) END) * sc AS REAL)) AS dqv
+      FROM (SELECT vec_id, embedding,
+                   CAST(list_max(list_transform(embedding, x -> abs(x))) / 127.0
+                        AS REAL) AS sc
+            FROM embeddings)),
+     q8 AS (SELECT vec_id AS query_id, dqv AS qv FROM dq WHERE vec_id % 100 = 0),
+     scored8 AS (
+      SELECT q8.query_id, d.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(q8.qv AS DOUBLE[]), CAST(d.dqv AS DOUBLE[])) AS c
+      FROM q8, dq d WHERE q8.query_id <> d.vec_id),
+     ranked8 AS (
+      SELECT query_id, neighbor_id, c,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+      FROM scored8)
+    SELECT query_id, neighbor_id, round(c, 6) AS cos_sim, rank
+    FROM ranked8 WHERE rank <= 5
+    """
+
+
 @query(
     "ann_exact_topk",
     oracle=f"""
     SELECT 'fold' AS leg, * FROM ({_SQL_EXACT_TOPK})
     UNION ALL
     SELECT 'gemm' AS leg, * FROM ({_SQL_EXACT_TOPK})
+    UNION ALL
+    SELECT 'int8' AS leg, * FROM ({_SQL_INT8_TOPK})
+    UNION ALL
+    SELECT 'rrf' AS leg, query_id, neighbor_id, s AS cos_sim, rank FROM (
+      SELECT query_id, neighbor_id, s,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, neighbor_id) AS rank
+      FROM (
+        SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+               COALESCE(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+               COALESCE(1.0 / (60 + a.rank), 0) + COALESCE(1.0 / (60 + b.rank), 0) AS s
+        FROM ({_SQL_EXACT_TOPK}) a FULL JOIN ({_SQL_INT8_TOPK}) b
+          ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id))
+    WHERE rank <= 5
     """,
-    tags=("llm", "similarity", "ann", "gemm"),
+    tags=("llm", "similarity", "ann", "gemm", "int8", "rrf"),
 )
 def ann_exact_topk(spark, sf_dir):
-    """Both exact cosine top-5 strategies in one tagged result
-    (consolidated so the driver window covers every family): the
-    fold leg is the Column-fold brute-force baseline (the ANN ground
-    truth), the gemm leg the blocked-GEMM BLAS throughput path.
-    They compute the IDENTICAL exact result, so the same SQL oracles
-    both — the GEMM path is a physical strategy, not a different
-    query."""
+    """Exact and quantized cosine retrieval plus rank fusion in one
+    tagged result (consolidated so the driver window covers every
+    family): the fold leg is the Column-fold brute-force baseline
+    (the ANN ground truth), the gemm leg the blocked-GEMM BLAS
+    throughput path — identical exact results, so one SQL oracles
+    both (the GEMM path is a physical strategy, not a different
+    query). The int8 leg retrieves over vectors round-tripped through
+    functions/vectors.quantize_int8 — the 4x storage/shuffle cut —
+    with the quantization arithmetic replayed digit-exact in SQL. The
+    rrf leg fuses the exact and quantized rankings with
+    operators/retrieval.rrf_fuse (Cormack 2009, c=60): fused scores
+    are a fixed-order fold of 1/(60+rank) terms over rankings already
+    hash-pinned above, so the whole hybrid list is engine-exact with
+    no rounding at all."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
     cols = ["query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"]
     fold = S.brute_force_topk(e, q, "vec_id", "embedding", "vec_id", "embedding", k=5)
     gemm = S.gemm_topk(e, q, "vec_id", "embedding", "vec_id", "embedding", k=5)
-    return fold.select(F.lit("fold").alias("leg"), *cols).unionByName(
-        gemm.select(F.lit("gemm").alias("leg"), *cols)
+    from d2d_spark.functions.vectors import dequantize_int8, quantize_int8
+    from d2d_spark.operators.retrieval import rrf_fuse
+
+    deq = e.select(
+        "vec_id", dequantize_int8(quantize_int8(F.col("embedding"))).alias("embedding")
+    )
+    q8 = deq.filter(F.col("vec_id") % 100 == 0)
+    int8 = S.brute_force_topk(deq, q8, "vec_id", "embedding", "vec_id", "embedding", k=5)
+    fused = rrf_fuse(
+        [fold, int8], query_col="query_id", doc_col="neighbor_id", k=5
+    ).select(
+        F.lit("rrf").alias("leg"),
+        "query_id",
+        "neighbor_id",
+        F.col("rrf_score").alias("cos_sim"),
+        "rank",
+    )
+    return (
+        fold.select(F.lit("fold").alias("leg"), *cols)
+        .unionByName(gemm.select(F.lit("gemm").alias("leg"), *cols))
+        .unionByName(int8.select(F.lit("int8").alias("leg"), *cols))
+        .unionByName(fused)
     )
 
 

@@ -1,0 +1,109 @@
+"""rrf_fuse — reciprocal rank fusion over per-query rankings."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from d2d_spark.operators.retrieval import rrf_fuse
+
+
+def _rank_df(spark, rows):
+    return spark.createDataFrame(rows, "query_id long, doc_id long, rank int")
+
+
+def test_rrf_matches_naive_python(spark):
+    """Fused scores and ranks equal a per-query dict replay of the
+    formula, including docs present in only one list."""
+    r1 = _rank_df(spark, [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1)])
+    r2 = _rank_df(spark, [(1, 11, 1), (1, 13, 2), (2, 21, 1), (2, 20, 2)])
+    got = {
+        (r["query_id"], r["doc_id"]): (r["rrf_score"], r["rank"])
+        for r in rrf_fuse([r1, r2], k=10).collect()
+    }
+    naive: dict[int, dict[int, float]] = {}
+    for df_rows in (
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1)],
+        [(1, 11, 1), (1, 13, 2), (2, 21, 1), (2, 20, 2)],
+    ):
+        for q, d, rk in df_rows:
+            naive.setdefault(q, {}).setdefault(d, 0.0)
+            naive[q][d] += 1.0 / (60.0 + rk)
+    for q, docs in naive.items():
+        ordered = sorted(docs.items(), key=lambda kv: (-kv[1], kv[0]))
+        for rank, (d, s) in enumerate(ordered, start=1):
+            assert got[(q, d)] == (pytest.approx(s, abs=0), rank)
+    # doc 11 is in both lists for query 1 -> it must fuse to the top
+    assert got[(1, 11)][1] == 1
+
+
+def test_rrf_weights_and_constant(spark):
+    """Weights scale each system's contribution; c damps the head."""
+    r1 = _rank_df(spark, [(1, 10, 1)])
+    r2 = _rank_df(spark, [(1, 11, 1)])
+    out = {
+        r["doc_id"]: r["rrf_score"]
+        for r in rrf_fuse([r1, r2], weights=[3.0, 1.0], c=10.0).collect()
+    }
+    assert out[10] == pytest.approx(3.0 / 11.0, abs=0)
+    assert out[11] == pytest.approx(1.0 / 11.0, abs=0)
+
+
+def test_rrf_k_truncation_and_tie_break(spark):
+    """Equal fused scores break by ascending doc id; k truncates."""
+    r1 = _rank_df(spark, [(1, 30, 1), (1, 20, 2), (1, 10, 3)])
+    out = rrf_fuse([r1], k=2).orderBy("rank").collect()
+    assert [(r["doc_id"], r["rank"]) for r in out] == [(30, 1), (20, 2)]
+    # two single-system lists with mirrored ranks -> all-equal scores
+    r2 = _rank_df(spark, [(1, 5, 1), (1, 7, 1)])
+    with pytest.raises(ValueError, match="more than"):
+        rrf_fuse([_rank_df(spark, [(1, 5, 1), (1, 5, 2)])])
+    tied = rrf_fuse([r2], k=5).orderBy("rank").collect()
+    assert [(r["doc_id"], r["rank"]) for r in tied] == [(5, 1), (7, 2)]
+
+
+def test_rrf_validation(spark):
+    r1 = _rank_df(spark, [(1, 10, 1)])
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+    with pytest.raises(ValueError, match="c must be"):
+        rrf_fuse([r1], c=0)
+    with pytest.raises(ValueError, match="k must be"):
+        rrf_fuse([r1], k=0)
+    with pytest.raises(ValueError, match="weights"):
+        rrf_fuse([r1], weights=[1.0, 2.0])
+    with pytest.raises(ValueError, match="lacks columns"):
+        rrf_fuse([r1.drop("rank")])
+
+
+def test_rrf_hybrid_bm25_dense_end_to_end(spark, sf_dir):
+    """The intended composition: BM25 lexical + dense cosine rankings
+    over the same corpus fuse into one list; a doc strong in both
+    systems outranks a doc strong in only one."""
+    from d2d_spark.operators.similarity import brute_force_topk
+    from d2d_spark.operators.tfidf import bm25_search
+    from d2d_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "text", "embedding"
+    )
+    queries = corpus.filter(F.col("doc_id") % 100 == 0).limit(3)
+    lex = bm25_search(
+        corpus, queries.select(F.col("doc_id").alias("qid"), "text"),
+        "text", "doc_id", "text", "qid", k=5,
+    ).select("query_id", "doc_id", "rank")
+    dense = brute_force_topk(
+        corpus, queries, "doc_id", "embedding", "doc_id", "embedding", k=5
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    fused = rrf_fuse([lex, dense], k=5)
+    rows = fused.collect()
+    assert rows, "fusion produced nothing"
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in per_q.items():
+        ranks = sorted(x["rank"] for x in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        assert all(x["rrf_score"] > 0 for x in rs)
