@@ -521,6 +521,98 @@ def ngram_jaccard_pairs(
     )
 
 
+def weighted_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    weight_col: str,
+    threshold_pct: int = 50,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """EXACT weighted-Jaccard near-pairs over a long-format
+    (id, token, weight) frame:
+
+        J_w(A, B) = sum_t min(w_A(t), w_B(t)) / sum_t max(w_A(t), w_B(t))
+
+    — the weighted sibling of `ngram_jaccard_pairs` for the cases
+    where token IMPORTANCE matters, not membership: tf or tf-idf
+    weighted document similarity (a doc repeating a rare term 40x is
+    nearer its source than one mentioning it once), weighted user/
+    item profiles, histogram overlap. Returns
+    (id_a, id_b, w_shared, w_a, w_b) for every pair with
+    ``100 * w_shared >= threshold_pct * (w_a + w_b - w_shared)`` —
+    the identity max(a,b) = a + b - min(a,b) means ONE sum-of-min
+    per pair recovers the whole measure, so no per-pair union
+    materializes. With integral weights every sum is a long and the
+    cross-multiplied predicate is exact and engine-portable;
+    fractional weights sum as double (last-ulp partition drift
+    possible — discretize upstream when exactness matters).
+
+    Shape: one duplicate/positivity probe, optional df cap on the
+    token (the stop-token dial winnow/tfidf use — overlap and sizes
+    are BOTH measured on the filtered sets, the standard convention),
+    per-id size aggregate, then a token equi-join whose fan-out is
+    bounded by per-token document frequency: sum(df^2) candidate
+    rows, never |corpus|^2. The scale posture is identical to
+    winnow_near_pairs' join stage."""
+    if not 1 <= threshold_pct <= 100:
+        raise ValueError(f"threshold_pct must be in [1, 100], got {threshold_pct}")
+    if max_df is not None and max_df < 2:
+        raise ValueError(f"max_df must be >= 2 (or None), got {max_df}")
+    w = F.col(weight_col)
+    bad = (
+        df.filter(w.isNull() | (w <= 0))
+        .select(id_col, token_col)
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"weighted_jaccard_pairs: ({bad[0][0]!r}, {bad[0][1]!r}) has a "
+            "NULL/non-positive weight — weights are magnitudes; drop or fix "
+            "upstream"
+        )
+    dup = (
+        df.groupBy(id_col, token_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "weighted_jaccard_pairs: duplicate (id, token) rows — a token's "
+            "weight per document must be a single number; aggregate upstream"
+        )
+    wt = df.select(F.col(id_col).alias("__id"), F.col(token_col).alias("__t"), w.alias("__w"))
+    if max_df is not None:
+        from pyspark.sql import Window
+
+        wt = (
+            wt.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("__t")))
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+        )
+    sizes = wt.groupBy("__id").agg(F.sum("__w").alias("__wt"))
+    a = wt.select(F.col("__id").alias("id_a"), "__t", F.col("__w").alias("__wa"))
+    b = wt.select(F.col("__id").alias("id_b"), "__t", F.col("__w").alias("__wb"))
+    shared = (
+        a.join(b, "__t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("__wa", "__wb")).alias("w_shared"))
+    )
+    out = (
+        shared.join(sizes.select(F.col("__id").alias("id_a"), F.col("__wt").alias("w_a")), "id_a")
+        .join(sizes.select(F.col("__id").alias("id_b"), F.col("__wt").alias("w_b")), "id_b")
+        .filter(
+            F.col("w_shared") * 100
+            >= F.lit(threshold_pct) * (F.col("w_a") + F.col("w_b") - F.col("w_shared"))
+        )
+    )
+    return out.select("id_a", "id_b", "w_shared", "w_a", "w_b")
+
+
 def _ordered_shingle_sets(
     df: DataFrame, text_col: str, id_col: str, n: int, order: str, tag: str
 ) -> DataFrame:

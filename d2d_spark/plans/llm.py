@@ -1063,6 +1063,18 @@ def multimodal_pipeline(spark, sf_dir):
        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ov
        FROM ctok a JOIN ctok b ON a.tk = b.tk AND a.doc_id <> b.doc_id
        WHERE a.doc_id % 3 = 0
+       GROUP BY 1, 2),
+     wtf AS MATERIALIZED (
+       SELECT doc_id, tok, COUNT(*) AS w FROM (
+         SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+         FROM documents WHERE doc_id % 3 = 0)
+       WHERE tok <> '' GROUP BY doc_id, tok),
+     wkeep AS MATERIALIZED (SELECT tok FROM wtf GROUP BY tok HAVING COUNT(*) <= 100),
+     wflt AS MATERIALIZED (SELECT wtf.* FROM wtf JOIN wkeep USING (tok)),
+     wsz AS MATERIALIZED (SELECT doc_id, SUM(w) AS wt FROM wflt GROUP BY doc_id),
+     wsh AS MATERIALIZED (
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(LEAST(a.w, b.w)) AS sm
+       FROM wflt a JOIN wflt b USING (tok) WHERE a.doc_id < b.doc_id
        GROUP BY 1, 2)
     SELECT 'pair' AS leg, id_a AS a, id_b AS b, jaccard FROM pairs
     UNION ALL
@@ -1072,8 +1084,14 @@ def multimodal_pipeline(spark, sf_dir):
     UNION ALL
     SELECT 'contain' AS leg, id_a, id_b, round(ov*1.0/sa, 6)
     FROM cov JOIN csz ON csz.doc_id = cov.id_a WHERE ov >= 0.8 * sa
+    UNION ALL
+    SELECT 'wjac' AS leg, id_a, id_b,
+           round(sm * 1.0 / (sa.wt + sb.wt - sm), 6)
+    FROM wsh JOIN wsz sa ON sa.doc_id = wsh.id_a
+             JOIN wsz sb ON sb.doc_id = wsh.id_b
+    WHERE 100 * sm >= 30 * (sa.wt + sb.wt - sm)
     """,
-    tags=("llm", "dedup", "jaccard", "clusters"),
+    tags=("llm", "dedup", "jaccard", "clusters", "weighted-jaccard"),
 )
 def jaccard_pairs_clusters(spark, sf_dir):
     """Near-dup clustering end-to-end in one tagged result
@@ -1087,7 +1105,14 @@ def jaccard_pairs_clusters(spark, sf_dir):
     bit-for-bit; the comp leg runs those pairs through distributed
     connected components (iterative min-label propagation with pointer
     doubling) — an iterative Spark algorithm checked exactly against
-    SQL recursion."""
+    SQL recursion.
+
+    The wjac leg runs `weighted_jaccard_pairs` — EXACT weighted
+    Jaccard (sum-min over sum-max via the max = a+b-min identity) on
+    tf-weighted word profiles of the %3 slice, df-capped at 100 —
+    against a plain token-join SQL replay: integer weights make every
+    sum and the cross-multiplied threshold engine-exact, and the one
+    reported ratio is a single division of exact integers."""
     d = _t(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
     pair_leg = pairs.select(
@@ -1139,10 +1164,31 @@ def jaccard_pairs_clusters(spark, sf_dir):
             F.round("containment", 6).alias("jaccard"),
         )
     )
+    wtf = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    wjac_leg = D.weighted_jaccard_pairs(
+        wtf, "doc_id", "tok", "w", threshold_pct=30, max_df=100
+    ).select(
+        F.lit("wjac").alias("leg"),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        F.round(
+            F.col("w_shared") / (F.col("w_a") + F.col("w_b") - F.col("w_shared")), 6
+        ).alias("jaccard"),
+    )
     return (
         pair_leg.unionByName(prefix_leg)
         .unionByName(comp_leg)
         .unionByName(contain_leg)
+        .unionByName(wjac_leg)
     )
 
 

@@ -1,0 +1,132 @@
+"""weighted_jaccard_pairs — exact sum-of-min weighted Jaccard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from d2d_spark.operators.dedup import weighted_jaccard_pairs
+
+
+def _wdf(spark, rows):
+    return spark.createDataFrame(rows, "id long, tok string, w long")
+
+
+def test_weighted_jaccard_matches_naive(spark):
+    """Every returned pair and every size/overlap equals a dict replay
+    of sum-min / sum-max over the same weighted profiles."""
+    profiles = {
+        1: {"a": 4, "b": 2, "c": 1},
+        2: {"a": 3, "b": 3, "d": 2},
+        3: {"a": 1, "x": 9},
+        4: {"a": 4, "b": 2, "c": 1},  # exact clone of 1
+    }
+    rows = [(i, t, w) for i, p in profiles.items() for t, w in p.items()]
+    got = {
+        (r["id_a"], r["id_b"]): (r["w_shared"], r["w_a"], r["w_b"])
+        for r in weighted_jaccard_pairs(
+            _wdf(spark, rows), "id", "tok", "w", threshold_pct=30, max_df=None
+        ).collect()
+    }
+    want = {}
+    ids = sorted(profiles)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            pa, pb = profiles[ids[x]], profiles[ids[y]]
+            mn = sum(min(pa.get(t, 0), pb.get(t, 0)) for t in set(pa) | set(pb))
+            mx = sum(max(pa.get(t, 0), pb.get(t, 0)) for t in set(pa) | set(pb))
+            if 100 * mn >= 30 * mx:
+                want[(ids[x], ids[y])] = (mn, sum(pa.values()), sum(pb.values()))
+    assert got == want
+    # the planted clone is a 100%-threshold pair; an unrelated doc is not
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in weighted_jaccard_pairs(
+            _wdf(spark, rows), "id", "tok", "w", threshold_pct=100, max_df=None
+        ).collect()
+    }
+    assert full == {(1, 4)}
+
+
+def test_weighted_jaccard_df_cap_consistency(spark):
+    """A capped stop-token leaves BOTH the overlap and the sizes (the
+    winnow convention) — a pair can still reach 100% on what remains."""
+    rows = [
+        (1, "stop", 50), (1, "rare", 2),
+        (2, "stop", 50), (2, "rare", 2),
+        (3, "stop", 50), (3, "other", 7),
+    ]
+    out = {
+        (r["id_a"], r["id_b"]): (r["w_shared"], r["w_a"], r["w_b"])
+        for r in weighted_jaccard_pairs(
+            _wdf(spark, rows), "id", "tok", "w", threshold_pct=100, max_df=2
+        ).collect()
+    }
+    # 'stop' has df 3 > 2 -> dropped everywhere; (1,2) share all of 'rare'
+    assert out == {(1, 2): (2, 2, 2)}
+
+
+def test_weighted_jaccard_weights_matter(spark):
+    """Same token SETS, different weights: the unweighted Jaccard is 1
+    but the weighted measure is low — the case the operator exists for."""
+    rows = [(1, "a", 10), (1, "b", 1), (2, "a", 1), (2, "b", 10)]
+    out = weighted_jaccard_pairs(
+        _wdf(spark, rows), "id", "tok", "w", threshold_pct=50, max_df=None
+    ).collect()
+    assert out == []  # min-sum 2 vs max-sum 20 -> 10%
+    low = weighted_jaccard_pairs(
+        _wdf(spark, rows), "id", "tok", "w", threshold_pct=10, max_df=None
+    ).collect()
+    assert [(r["w_shared"], r["w_a"], r["w_b"]) for r in low] == [(2, 11, 11)]
+
+
+def test_weighted_jaccard_validation(spark):
+    ok = _wdf(spark, [(1, "a", 1)])
+    with pytest.raises(ValueError, match="threshold_pct"):
+        weighted_jaccard_pairs(ok, "id", "tok", "w", threshold_pct=0)
+    with pytest.raises(ValueError, match="max_df"):
+        weighted_jaccard_pairs(ok, "id", "tok", "w", max_df=1)
+    with pytest.raises(ValueError, match="non-positive"):
+        weighted_jaccard_pairs(_wdf(spark, [(1, "a", 0)]), "id", "tok", "w")
+    with pytest.raises(ValueError, match="duplicate"):
+        weighted_jaccard_pairs(
+            _wdf(spark, [(1, "a", 1), (1, "a", 2)]), "id", "tok", "w"
+        )
+
+
+def test_weighted_jaccard_all_ones_equals_set_jaccard(spark, sf_dir):
+    """With unit weights the measure degrades to plain set Jaccard —
+    checked on real fixture tokens against a Python set replay."""
+    from d2d_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 200 == 0
+    )
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+        .withColumn("w", F.lit(1))
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["w_shared"], r["w_a"], r["w_b"])
+        for r in weighted_jaccard_pairs(
+            toks, "doc_id", "tok", "w", threshold_pct=20, max_df=None
+        ).collect()
+    }
+    sets = {
+        r["doc_id"]: set(r["ts"])
+        for r in toks.groupBy("doc_id").agg(F.collect_set("tok").alias("ts")).collect()
+    }
+    ids = sorted(sets)
+    want = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sets[ids[x]], sets[ids[y]]
+            mn, mx = len(a & b), len(a | b)
+            if 100 * mn >= 20 * mx:
+                want[(ids[x], ids[y])] = (mn, len(a), len(b))
+    assert got == want
