@@ -521,6 +521,42 @@ def ngram_jaccard_pairs(
     )
 
 
+def _weighted_profiles(
+    df: DataFrame, id_col: str, token_col: str, weight_col: str, what: str
+) -> DataFrame:
+    """Validated long-format weighted profiles as (__id, __t, __w):
+    refuses NULL/non-positive weights and duplicate (id, token) rows —
+    shared contract of the weighted-similarity operators."""
+    w = F.col(weight_col)
+    bad = (
+        df.filter(w.isNull() | (w <= 0))
+        .select(id_col, token_col)
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"{what}: ({bad[0][0]!r}, {bad[0][1]!r}) has a "
+            "NULL/non-positive weight — weights are magnitudes; drop or fix "
+            "upstream"
+        )
+    dup = (
+        df.groupBy(id_col, token_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            f"{what}: duplicate (id, token) rows — a token's "
+            "weight per document must be a single number; aggregate upstream"
+        )
+    return df.select(
+        F.col(id_col).alias("__id"), F.col(token_col).alias("__t"), w.alias("__w")
+    )
+
+
 def weighted_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -559,32 +595,7 @@ def weighted_jaccard_pairs(
         raise ValueError(f"threshold_pct must be in [1, 100], got {threshold_pct}")
     if max_df is not None and max_df < 2:
         raise ValueError(f"max_df must be >= 2 (or None), got {max_df}")
-    w = F.col(weight_col)
-    bad = (
-        df.filter(w.isNull() | (w <= 0))
-        .select(id_col, token_col)
-        .limit(1)
-        .collect()
-    )
-    if bad:
-        raise ValueError(
-            f"weighted_jaccard_pairs: ({bad[0][0]!r}, {bad[0][1]!r}) has a "
-            "NULL/non-positive weight — weights are magnitudes; drop or fix "
-            "upstream"
-        )
-    dup = (
-        df.groupBy(id_col, token_col)
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > 1)
-        .limit(1)
-        .count()
-    )
-    if dup:
-        raise ValueError(
-            "weighted_jaccard_pairs: duplicate (id, token) rows — a token's "
-            "weight per document must be a single number; aggregate upstream"
-        )
-    wt = df.select(F.col(id_col).alias("__id"), F.col(token_col).alias("__t"), w.alias("__w"))
+    wt = _weighted_profiles(df, id_col, token_col, weight_col, "weighted_jaccard_pairs")
     if max_df is not None:
         from pyspark.sql import Window
 
@@ -599,6 +610,132 @@ def weighted_jaccard_pairs(
     shared = (
         a.join(b, "__t")
         .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("__wa", "__wb")).alias("w_shared"))
+    )
+    out = (
+        shared.join(sizes.select(F.col("__id").alias("id_a"), F.col("__wt").alias("w_a")), "id_a")
+        .join(sizes.select(F.col("__id").alias("id_b"), F.col("__wt").alias("w_b")), "id_b")
+        .filter(
+            F.col("w_shared") * 100
+            >= F.lit(threshold_pct) * (F.col("w_a") + F.col("w_b") - F.col("w_shared"))
+        )
+    )
+    return out.select("id_a", "id_b", "w_shared", "w_a", "w_b")
+
+
+def weighted_minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    weight_col: str,
+    threshold_pct: int = 50,
+    num_hashes: int = 32,
+    bands: int = 16,
+    resolution: float = 1.0,
+    max_replicas_per_token: int = 1024,
+) -> DataFrame:
+    """The APPROXIMATE arm of `weighted_jaccard_pairs` — for the
+    corpora where a df cap is not acceptable (the heavy shared tokens
+    ARE the signal) and an exact token join would fan out on them.
+
+    Candidates come from minhash over DISCRETIZED-REPLICATED items
+    (the classic weighted->unweighted reduction: token t with weight w
+    becomes ceil(w * resolution) items (t, 1..q), so plain set Jaccard
+    of the item sets IS the weighted Jaccard of the discretized
+    weights); banding then gives the standard 1-(1-J^r)^b candidate
+    recall curve with NO dependence on token document frequency.
+    Every candidate pair is verified EXACTLY on the true (undiscretized)
+    weights — same sum-min/sizes math and the same
+    (id_a, id_b, w_shared, w_a, w_b) contract as the exact join, so
+    reported pairs are never approximate; only recall is.
+
+    Integer weights at resolution 1 replicate exactly (q = w).
+    ``max_replicas_per_token`` refuses weight bombs loudly (one
+    million-weight token would explode the item stream) — rescale or
+    cap weights upstream.
+
+    Shape: items explode (sum-of-replicas rows), one (id, k) partial-
+    aggregated min shuffle for the K permutations, band-bucket join on
+    (band, hash) carrying ids only, candidate distinct, then the
+    verify joins restricted to candidate pairs. No quadratic stage,
+    no df-sensitive fan-out."""
+    if not 1 <= threshold_pct <= 100:
+        raise ValueError(f"threshold_pct must be in [1, 100], got {threshold_pct}")
+    if num_hashes % bands:
+        raise ValueError(f"num_hashes ({num_hashes}) must divide into bands ({bands})")
+    if resolution <= 0:
+        raise ValueError(f"resolution must be > 0, got {resolution}")
+    wt = _weighted_profiles(df, id_col, token_col, weight_col, "weighted_minhash_lsh_pairs")
+    q = F.ceil(F.col("__w") * F.lit(float(resolution))).cast("long")
+    bomb = wt.filter(q > max_replicas_per_token).limit(1).collect()
+    if bomb:
+        raise ValueError(
+            f"weighted_minhash_lsh_pairs: token {bomb[0]['__t']!r} of id "
+            f"{bomb[0]['__id']!r} discretizes to more than "
+            f"{max_replicas_per_token} replicas — rescale weights or lower "
+            "resolution; a weight bomb would explode the item stream"
+        )
+    items = wt.select(
+        "__id", "__t", F.explode(F.sequence(F.lit(1), q)).alias("__i")
+    ).select(
+        "__id",
+        # 31-bit item domain (the _hashed_shingles discipline): 31-bit
+        # hash x 31-bit coefficient stays under 2^62 — no ANSI overflow
+        F.pmod(F.xxhash64(F.col("__t"), F.col("__i")), F.lit((1 << 31) - 1)).alias(
+            "__h31"
+        ),
+    )
+
+    def perm(a, b):
+        return F.pmod(F.col("__h31") * a + b, F.lit(_MERSENNE))
+
+    coeffs = _perm_coeffs(num_hashes)
+    perk = items.select(
+        "__id",
+        F.posexplode(F.array(*[perm(a, b) for a, b in coeffs])).alias("__k", "__v"),
+    )
+    # map-side partial min on (id, k): the shuffle carries one row per
+    # (id, permutation) per partition, not per item
+    mins = perk.groupBy("__id", "__k").agg(F.min("__v").alias("__m"))
+    rows_per_band = num_hashes // bands
+    sig = mins.groupBy("__id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__k", "__m"))), lambda s: s["__m"]
+        ).alias("__sig")
+    )
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("__sig")[i].cast("string")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("__id", F.posexplode(band_hashes).alias("__band", "__bh"))
+    cand = (
+        banded.select(F.col("__id").alias("id_a"), "__band", "__bh")
+        .join(banded.select(F.col("__id").alias("id_b"), "__band", "__bh"), ["__band", "__bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sizes = wt.groupBy("__id").agg(F.sum("__w").alias("__wt"))
+    pa = cand.join(
+        wt.select(F.col("__id").alias("id_a"), "__t", F.col("__w").alias("__wa")),
+        "id_a",
+    )
+    shared = (
+        pa.join(
+            wt.select(F.col("__id").alias("id_b"), "__t", F.col("__w").alias("__wb")),
+            ["id_b", "__t"],
+        )
         .groupBy("id_a", "id_b")
         .agg(F.sum(F.least("__wa", "__wb")).alias("w_shared"))
     )

@@ -130,3 +130,95 @@ def test_weighted_jaccard_all_ones_equals_set_jaccard(spark, sf_dir):
             if 100 * mn >= 20 * mx:
                 want[(ids[x], ids[y])] = (mn, len(a), len(b))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# weighted_minhash_lsh_pairs (approximate candidate arm, exact verify)
+# ---------------------------------------------------------------------------
+def test_weighted_minhash_clones_certain_and_scores_exact(spark):
+    """Identical profiles band identically in EVERY band, so clone
+    recall is certain — and every reported score equals the exact
+    join's (the verify runs on true weights)."""
+    from d2d_spark.operators.dedup import weighted_minhash_lsh_pairs
+
+    profiles = {i: {f"t{j}": (i + j) % 5 + 1 for j in range(12)} for i in range(20)}
+    profiles.update({100 + i: dict(profiles[i]) for i in range(8)})  # clones
+    rows = [(i, t, w) for i, p in profiles.items() for t, w in p.items()]
+    df = _wdf(spark, rows)
+    got = weighted_minhash_lsh_pairs(
+        df, "id", "tok", "w", threshold_pct=100, num_hashes=32, bands=16
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    assert {(i, 100 + i) for i in range(8)} <= pairs
+    exact = {
+        (r["id_a"], r["id_b"]): (r["w_shared"], r["w_a"], r["w_b"])
+        for r in weighted_jaccard_pairs(
+            df, "id", "tok", "w", threshold_pct=100, max_df=None
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): (r["w_shared"], r["w_a"], r["w_b"])
+        for r in got.collect()
+    }
+    for pr, v in lsh.items():
+        assert exact[pr] == v
+
+
+def test_weighted_minhash_recall_and_precision_vs_exact(spark):
+    """On a seeded near-dup fixture the banded candidates recover
+    almost all true >=50% pairs (r=2, b=16 -> ~99% per-pair recall at
+    J=0.5) and NEVER report a pair the exact join would not."""
+    import random
+
+    from d2d_spark.operators.dedup import weighted_minhash_lsh_pairs
+
+    rng = random.Random(7)
+    base = {f"w{j}": rng.randrange(1, 6) for j in range(30)}
+    profiles = {}
+    for i in range(30):
+        p = dict(base)
+        for _ in range(rng.randrange(0, 8)):  # perturb a few weights
+            p[f"w{rng.randrange(30)}"] = rng.randrange(1, 6)
+        profiles[i] = p
+    for i in range(30, 60):  # unrelated docs
+        profiles[i] = {f"u{i}_{j}": rng.randrange(1, 6) for j in range(20)}
+    rows = [(i, t, w) for i, p in profiles.items() for t, w in p.items()]
+    df = _wdf(spark, rows)
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in weighted_jaccard_pairs(
+            df, "id", "tok", "w", threshold_pct=50, max_df=None
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in weighted_minhash_lsh_pairs(
+            df, "id", "tok", "w", threshold_pct=50, num_hashes=32, bands=16
+        ).collect()
+    }
+    assert got <= truth  # exact verify -> no false positives, ever
+    assert truth, "fixture produced no true pairs"
+    assert len(got) >= 0.9 * len(truth), (len(got), len(truth))
+
+
+def test_weighted_minhash_determinism_and_guards(spark):
+    from d2d_spark.operators.dedup import weighted_minhash_lsh_pairs
+
+    rows = [(1, "a", 3), (1, "b", 1), (2, "a", 3), (2, "b", 1), (3, "c", 9)]
+    df = _wdf(spark, rows)
+    one = {tuple(r) for r in weighted_minhash_lsh_pairs(df, "id", "tok", "w").collect()}
+    two = {
+        tuple(r)
+        for r in weighted_minhash_lsh_pairs(df.repartition(7), "id", "tok", "w").collect()
+    }
+    assert one == two == {(1, 2, 4, 4, 4)}
+    import pytest as pt
+
+    with pt.raises(ValueError, match="replicas"):
+        weighted_minhash_lsh_pairs(
+            _wdf(spark, [(1, "a", 99999)]), "id", "tok", "w", max_replicas_per_token=10
+        )
+    with pt.raises(ValueError, match="divide"):
+        weighted_minhash_lsh_pairs(df, "id", "tok", "w", num_hashes=30, bands=16)
+    with pt.raises(ValueError, match="resolution"):
+        weighted_minhash_lsh_pairs(df, "id", "tok", "w", resolution=0)
