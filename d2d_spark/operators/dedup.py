@@ -525,20 +525,29 @@ def _weighted_profiles(
     df: DataFrame, id_col: str, token_col: str, weight_col: str, what: str
 ) -> DataFrame:
     """Validated long-format weighted profiles as (__id, __t, __w):
-    refuses NULL/non-positive weights and duplicate (id, token) rows —
-    shared contract of the weighted-similarity operators."""
+    refuses NULL ids/tokens, NULL/non-positive weights, and duplicate
+    (id, token) rows — shared contract of the weighted-similarity
+    operators. A NULL token would be silently wrong, not loud: it
+    passes a weight probe and groups as a duplicate key, inflates the
+    profile size sums, but can never match in the token equi-join
+    (NULL != NULL), so two exact clones would score below 100%."""
     w = F.col(weight_col)
     bad = (
-        df.filter(w.isNull() | (w <= 0))
-        .select(id_col, token_col)
+        df.filter(
+            w.isNull()
+            | (w <= 0)
+            | F.col(id_col).isNull()
+            | F.col(token_col).isNull()
+        )
+        .select(id_col, token_col, w.alias("__w"))
         .limit(1)
         .collect()
     )
     if bad:
         raise ValueError(
-            f"{what}: ({bad[0][0]!r}, {bad[0][1]!r}) has a "
-            "NULL/non-positive weight — weights are magnitudes; drop or fix "
-            "upstream"
+            f"{what}: row (id={bad[0][0]!r}, token={bad[0][1]!r}, "
+            f"weight={bad[0]['__w']!r}) has a NULL id/token or a "
+            "NULL/non-positive weight — drop or fix upstream"
         )
     dup = (
         df.groupBy(id_col, token_col)
@@ -554,6 +563,71 @@ def _weighted_profiles(
         )
     return df.select(
         F.col(id_col).alias("__id"), F.col(token_col).alias("__t"), w.alias("__w")
+    )
+
+
+def _weighted_pairs_output(
+    shared: DataFrame, sizes: DataFrame, threshold_pct: int
+) -> DataFrame:
+    """Shared tail of the weighted-pair operators: join per-id sizes
+    onto per-pair overlaps and apply the cross-multiplied threshold
+    (max = a+b-min identity), emitting the common
+    (id_a, id_b, w_shared, w_a, w_b) contract."""
+    out = (
+        shared.join(
+            sizes.select(F.col("__id").alias("id_a"), F.col("__wt").alias("w_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("__id").alias("id_b"), F.col("__wt").alias("w_b")),
+            "id_b",
+        )
+        .filter(
+            F.col("w_shared") * 100
+            >= F.lit(threshold_pct)
+            * (F.col("w_a") + F.col("w_b") - F.col("w_shared"))
+        )
+    )
+    return out.select("id_a", "id_b", "w_shared", "w_a", "w_b")
+
+
+def _band_candidates(sig: DataFrame, sig_col: str, num_hashes: int, bands: int) -> DataFrame:
+    """Distinct (id_a, id_b) pairs whose ``sig_col`` signature array
+    agrees on at least one of ``bands`` equal slices — the shared LSH
+    bucket join (ids only on the wire). Refuses band counts that would
+    silently truncate the signature (num_hashes // bands dropping
+    permutations) or silently emit nothing (bands < 1)."""
+    if bands < 1 or bands > num_hashes or num_hashes % bands:
+        raise ValueError(
+            f"bands ({bands}) must be in [1, num_hashes] and divide "
+            f"num_hashes ({num_hashes}) — anything else silently drops "
+            "permutations or emits no candidates"
+        )
+    rows_per_band = num_hashes // bands
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(sig_col)[i].cast("string")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("__id", F.posexplode(band_hashes).alias("__band", "__bh"))
+    return (
+        banded.select(F.col("__id").alias("id_a"), "__band", "__bh")
+        .join(
+            banded.select(F.col("__id").alias("id_b"), "__band", "__bh"),
+            ["__band", "__bh"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
 
 
@@ -613,15 +687,7 @@ def weighted_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.sum(F.least("__wa", "__wb")).alias("w_shared"))
     )
-    out = (
-        shared.join(sizes.select(F.col("__id").alias("id_a"), F.col("__wt").alias("w_a")), "id_a")
-        .join(sizes.select(F.col("__id").alias("id_b"), F.col("__wt").alias("w_b")), "id_b")
-        .filter(
-            F.col("w_shared") * 100
-            >= F.lit(threshold_pct) * (F.col("w_a") + F.col("w_b") - F.col("w_shared"))
-        )
-    )
-    return out.select("id_a", "id_b", "w_shared", "w_a", "w_b")
+    return _weighted_pairs_output(shared, sizes, threshold_pct)
 
 
 def weighted_minhash_lsh_pairs(
@@ -662,11 +728,28 @@ def weighted_minhash_lsh_pairs(
     no df-sensitive fan-out."""
     if not 1 <= threshold_pct <= 100:
         raise ValueError(f"threshold_pct must be in [1, 100], got {threshold_pct}")
-    if num_hashes % bands:
-        raise ValueError(f"num_hashes ({num_hashes}) must divide into bands ({bands})")
+    if bands < 1 or bands > num_hashes or num_hashes % bands:
+        raise ValueError(
+            f"bands ({bands}) must be in [1, num_hashes] and divide "
+            f"num_hashes ({num_hashes})"
+        )
     if resolution <= 0:
         raise ValueError(f"resolution must be > 0, got {resolution}")
-    wt = _weighted_profiles(df, id_col, token_col, weight_col, "weighted_minhash_lsh_pairs")
+    from pyspark import StorageLevel
+
+    from d2d_spark import cache as opcache
+
+    # the profile frame feeds FIVE consumers (bomb probe, item
+    # explode, sizes, both verify joins): persist once, the
+    # minhash_lsh_pairs discipline (lineage intact; release per corpus
+    # via cache.release("weighted_minhash"))
+    wt = opcache.register(
+        "weighted_minhash",
+        _weighted_profiles(
+            df, id_col, token_col, weight_col, "weighted_minhash_lsh_pairs"
+        ).persist(StorageLevel.MEMORY_AND_DISK),
+    )
+    wt.count()
     q = F.ceil(F.col("__w") * F.lit(float(resolution))).cast("long")
     bomb = wt.filter(q > max_replicas_per_token).limit(1).collect()
     if bomb:
@@ -698,34 +781,23 @@ def weighted_minhash_lsh_pairs(
     # map-side partial min on (id, k): the shuffle carries one row per
     # (id, permutation) per partition, not per item
     mins = perk.groupBy("__id", "__k").agg(F.min("__v").alias("__m"))
-    rows_per_band = num_hashes // bands
-    sig = mins.groupBy("__id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("__k", "__m"))), lambda s: s["__m"]
-        ).alias("__sig")
+    # persist the signature: the band-candidate self-join consumes it
+    # on both sides, and its upstream (item explode over sum-of-
+    # replicas rows x K permutations) is the expensive stage — the
+    # sibling minhash_lsh_pairs measured branches racing on an
+    # unfilled plan re-running it up to 3x
+    sig = opcache.register(
+        "weighted_minhash",
+        mins.groupBy("__id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__k", "__m"))), lambda s: s["__m"]
+            ).alias("__sig")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK),
     )
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col("__sig")[i].cast("string")
-                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                    ],
-                )
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select("__id", F.posexplode(band_hashes).alias("__band", "__bh"))
-    cand = (
-        banded.select(F.col("__id").alias("id_a"), "__band", "__bh")
-        .join(banded.select(F.col("__id").alias("id_b"), "__band", "__bh"), ["__band", "__bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    sig.count()
+    cand = _band_candidates(sig, "__sig", num_hashes, bands)
     sizes = wt.groupBy("__id").agg(F.sum("__w").alias("__wt"))
     pa = cand.join(
         wt.select(F.col("__id").alias("id_a"), "__t", F.col("__w").alias("__wa")),
@@ -739,15 +811,7 @@ def weighted_minhash_lsh_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.sum(F.least("__wa", "__wb")).alias("w_shared"))
     )
-    out = (
-        shared.join(sizes.select(F.col("__id").alias("id_a"), F.col("__wt").alias("w_a")), "id_a")
-        .join(sizes.select(F.col("__id").alias("id_b"), F.col("__wt").alias("w_b")), "id_b")
-        .filter(
-            F.col("w_shared") * 100
-            >= F.lit(threshold_pct) * (F.col("w_a") + F.col("w_b") - F.col("w_shared"))
-        )
-    )
-    return out.select("id_a", "id_b", "w_shared", "w_a", "w_b")
+    return _weighted_pairs_output(shared, sizes, threshold_pct)
 
 
 def _ordered_shingle_sets(

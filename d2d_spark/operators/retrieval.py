@@ -82,6 +82,20 @@ def rrf_fuse(
                 f"rrf_fuse: ranking {i} lists a (query, doc) pair more than "
                 "once — its rank is ambiguous; dedup upstream"
             )
+        # ranks are 1-based by contract: a 0-based list silently shifts
+        # every contribution (w/(c+0) at the head) and a NULL rank
+        # silently reads as "absent from this system" — refuse both
+        badrank = (
+            r.filter(F.col(rank_col).isNull() | (F.col(rank_col) < 1))
+            .limit(1)
+            .count()
+        )
+        if badrank:
+            raise ValueError(
+                f"rrf_fuse: ranking {i} has a NULL or < 1 {rank_col!r} — "
+                "ranks are 1-based integers (the retrieval operators' "
+                "row_number contract)"
+            )
         parts.append(
             r.select(
                 F.col(query_col).alias("__q"),

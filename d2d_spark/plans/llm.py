@@ -1164,18 +1164,13 @@ def jaccard_pairs_clusters(spark, sf_dir):
             F.round("containment", 6).alias("jaccard"),
         )
     )
-    wtf = (
-        d.filter(F.col("doc_id") % 3 == 0)
-        .select(
-            "doc_id",
-            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
-        )
-        .filter(F.col("tok") != "")
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
+    from d2d_spark.operators.tfidf import _term_counts
+
+    # the canonical lowercase-whitespace tokenizer every text operator
+    # shares — the leg must stay comparable with the tfidf/BM25 legs
+    wtf = _term_counts(d.filter(F.col("doc_id") % 3 == 0), "text", "doc_id")
     wjac_leg = D.weighted_jaccard_pairs(
-        wtf, "doc_id", "tok", "w", threshold_pct=30, max_df=100
+        wtf, "__id", "tok", "tf", threshold_pct=30, max_df=100
     ).select(
         F.lit("wjac").alias("leg"),
         F.col("id_a").alias("a"),

@@ -102,10 +102,11 @@ def test_weighted_jaccard_all_ones_equals_set_jaccard(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 200 == 0
     )
+    from d2d_spark.functions.text import tokens_ws
+
     toks = (
         docs.select(
-            "doc_id",
-            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+            "doc_id", F.explode(tokens_ws(F.lower(F.col("text")))).alias("tok")
         )
         .filter(F.col("tok") != "")
         .distinct()
@@ -220,5 +221,16 @@ def test_weighted_minhash_determinism_and_guards(spark):
         )
     with pt.raises(ValueError, match="divide"):
         weighted_minhash_lsh_pairs(df, "id", "tok", "w", num_hashes=30, bands=16)
+    # negative/zero bands would silently emit zero candidates / divide
+    # by zero — both must refuse loudly
+    with pt.raises(ValueError, match="bands"):
+        weighted_minhash_lsh_pairs(df, "id", "tok", "w", bands=-16)
+    with pt.raises(ValueError, match="bands"):
+        weighted_minhash_lsh_pairs(df, "id", "tok", "w", bands=0)
     with pt.raises(ValueError, match="resolution"):
         weighted_minhash_lsh_pairs(df, "id", "tok", "w", resolution=0)
+    with pt.raises(ValueError, match="NULL id/token"):
+        weighted_jaccard_pairs(
+            spark.createDataFrame([(1, None, 1)], "id long, tok string, w long"),
+            "id", "tok", "w",
+        )

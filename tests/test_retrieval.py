@@ -74,6 +74,11 @@ def test_rrf_validation(spark):
         rrf_fuse([r1], weights=[1.0, 2.0])
     with pytest.raises(ValueError, match="lacks columns"):
         rrf_fuse([r1.drop("rank")])
+    with pytest.raises(ValueError, match="1-based"):
+        rrf_fuse([_rank_df(spark, [(1, 10, 0)])])  # 0-based off-by-one
+    with pytest.raises(ValueError, match="1-based"):
+        rrf_fuse([spark.createDataFrame([(1, 10, None)],
+                                        "query_id long, doc_id long, rank int")])
 
 
 def test_rrf_hybrid_bm25_dense_end_to_end(spark, sf_dir):
