@@ -285,7 +285,6 @@ def minhash_lsh_pairs(
     band-bucket join (uniform hash keys), and the pair distinct.
     No O(n^2) stage anywhere.
     """
-    rows_per_band = num_hashes // bands
     npart = df.sparkSession.sparkContext.defaultParallelism
     # Exchange below the Python stage spreads the map work off a
     # one-file scan. The signature output feeds THREE branches (bands
@@ -328,29 +327,7 @@ def minhash_lsh_pairs(
     # the stage, with high run-to-run variance). One cheap count pins
     # the blocks first; lineage stays intact for fault recovery.
     sig.count()
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col("minhash")[i].cast("string")
-                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                    ],
-                )
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select("__id", F.posexplode(band_hashes).alias("__band", "__bh"))
-    left = banded.select(F.col("__id").alias("id_a"), "__band", "__bh")
-    right = banded.select(F.col("__id").alias("id_b"), "__band", "__bh")
-    cand = (
-        left.join(right, on=["__band", "__bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand = _band_candidates(sig, "minhash", num_hashes, bands)
     sh_tbl = sig.select("__id", F.col("__hset").alias("__sh"))
     verified = (
         cand.join(sh_tbl.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
