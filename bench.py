@@ -114,6 +114,9 @@ def main() -> int:
         (_F.col("o_custkey") % 5000).alias("src"),
         (_F.col("o_orderkey") % 5000).alias("dst"),
     )
+    from d2d_spark.operators.dedup import weighted_jaccard_pairs
+    from d2d_spark.operators.tfidf import _term_counts
+
     r6 = {
         # the fixture corpus is heavily templated (max fingerprint df
         # 2660 over 5000 docs) — max_df=20 is the documented
@@ -128,6 +131,14 @@ def main() -> int:
         "triangle_count": lambda: triangle_count(tri_edges).count(),
         "quantiles_exact_lineitem": lambda: quantiles_exact(
             li, "l_extendedprice", [0.01, 0.25, 0.5, 0.75, 0.99]
+        ).count(),
+        # r7: exact weighted Jaccard over tf profiles — same %3 slice
+        # + df dial as the driver leg (the cap is corpus-relative: on
+        # the FULL 5000-doc corpus df>100 drops the very tokens the
+        # planted pairs share and the result is empty)
+        "weighted_jaccard_pairs": lambda: weighted_jaccard_pairs(
+            _term_counts(docs.filter(_F.col("doc_id") % 3 == 0), "text", "doc_id"),
+            "__id", "tok", "tf", threshold_pct=30, max_df=100,
         ).count(),
     }
     from d2d_spark import cache as opcache

@@ -65,39 +65,57 @@ def rrf_fuse(
         raise ValueError(
             f"rrf_fuse: {len(rankings)} rankings but {len(w)} weights"
         )
+    from pyspark import StorageLevel
+
+    from d2d_spark import cache as opcache
+
     parts = []
     for i, r in enumerate(rankings):
         missing = [col for col in (query_col, doc_col, rank_col) if col not in r.columns]
         if missing:
             raise ValueError(f"rrf_fuse: ranking {i} lacks columns {missing}")
-        dup = (
-            r.groupBy(query_col, doc_col)
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > 1)
-            .limit(1)
-            .count()
+        # persist the slim ranking: the validation probe AND the fusion
+        # join both consume it, and the upstream is typically a whole
+        # retrieval pipeline — recomputing it per consumer multiplied
+        # the cost several-fold (measured on the ann bench leg).
+        # Registered for per-corpus release, the minhash discipline.
+        slim = opcache.register(
+            "rrf_fuse",
+            r.select(query_col, doc_col, rank_col).persist(
+                StorageLevel.MEMORY_AND_DISK
+            ),
         )
-        if dup:
-            raise ValueError(
-                f"rrf_fuse: ranking {i} lists a (query, doc) pair more than "
-                "once — its rank is ambiguous; dedup upstream"
+        # ONE probe job: duplicate (query, doc) pairs make the rank
+        # ambiguous; ranks are 1-based by contract — a 0-based list
+        # silently shifts every contribution (w/(c+0) at the head) and
+        # a NULL rank silently reads as "absent from this system"
+        bad = (
+            slim.groupBy(query_col, doc_col)
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.min(rank_col).alias("__mn"),
+                F.sum(F.col(rank_col).isNull().cast("int")).alias("__nulls"),
             )
-        # ranks are 1-based by contract: a 0-based list silently shifts
-        # every contribution (w/(c+0) at the head) and a NULL rank
-        # silently reads as "absent from this system" — refuse both
-        badrank = (
-            r.filter(F.col(rank_col).isNull() | (F.col(rank_col) < 1))
+            .filter(
+                (F.col("__n") > 1) | (F.col("__nulls") > 0) | (F.col("__mn") < 1)
+            )
             .limit(1)
-            .count()
+            .collect()
         )
-        if badrank:
+        if bad:
+            b = bad[0]
+            if b["__n"] > 1:
+                raise ValueError(
+                    f"rrf_fuse: ranking {i} lists a (query, doc) pair more "
+                    "than once — its rank is ambiguous; dedup upstream"
+                )
             raise ValueError(
                 f"rrf_fuse: ranking {i} has a NULL or < 1 {rank_col!r} — "
                 "ranks are 1-based integers (the retrieval operators' "
                 "row_number contract)"
             )
         parts.append(
-            r.select(
+            slim.select(
                 F.col(query_col).alias("__q"),
                 F.col(doc_col).alias("__d"),
                 (F.lit(w[i]) / (F.lit(float(c)) + F.col(rank_col))).alias(f"__s{i}"),

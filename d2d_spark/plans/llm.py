@@ -502,10 +502,23 @@ def ann_exact_topk(spark, sf_dir):
     are a fixed-order fold of 1/(60+rank) terms over rankings already
     hash-pinned above, so the whole hybrid list is engine-exact with
     no rounding at all."""
+    from pyspark import StorageLevel
+
+    from d2d_spark import cache as opcache
+
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
     cols = ["query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"]
-    fold = S.brute_force_topk(e, q, "vec_id", "embedding", "vec_id", "embedding", k=5)
+    # fold and int8 each feed TWO consumers (their own leg select and
+    # the rrf fusion): persist the O(|Q|*k) outputs once, or every
+    # consumer recomputes a whole brute-force pass (the minhash
+    # shared-stage discipline; release via cache.release("ann_suite"))
+    fold = opcache.register(
+        "ann_suite",
+        S.brute_force_topk(
+            e, q, "vec_id", "embedding", "vec_id", "embedding", k=5
+        ).persist(StorageLevel.MEMORY_AND_DISK),
+    )
     gemm = S.gemm_topk(e, q, "vec_id", "embedding", "vec_id", "embedding", k=5)
     from d2d_spark.functions.vectors import dequantize_int8, quantize_int8
     from d2d_spark.operators.retrieval import rrf_fuse
@@ -514,7 +527,14 @@ def ann_exact_topk(spark, sf_dir):
         "vec_id", dequantize_int8(quantize_int8(F.col("embedding"))).alias("embedding")
     )
     q8 = deq.filter(F.col("vec_id") % 100 == 0)
-    int8 = S.brute_force_topk(deq, q8, "vec_id", "embedding", "vec_id", "embedding", k=5)
+    int8 = opcache.register(
+        "ann_suite",
+        S.brute_force_topk(
+            deq, q8, "vec_id", "embedding", "vec_id", "embedding", k=5
+        ).persist(StorageLevel.MEMORY_AND_DISK),
+    )
+    fold.count()
+    int8.count()
     fused = rrf_fuse(
         [fold, int8], query_col="query_id", doc_col="neighbor_id", k=5
     ).select(
