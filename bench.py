@@ -81,6 +81,14 @@ def main() -> int:
             q.fn(spark, SF_DIR).count()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        if name == "ann_exact_topk":
+            # the fused-retrieval query registers persisted rankings
+            # per CALL — five trials stack five sets; drop them once
+            # the leg is measured (the jaccard_prefix discipline)
+            from d2d_spark import cache as _oc
+
+            _oc.release("ann_suite")
+            _oc.release("rrf_fuse")
 
     # r5: the exact-threshold dedup scale path (prefix-filter
     # set-similarity join) — timed directly (its registry home,

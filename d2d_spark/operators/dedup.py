@@ -285,6 +285,14 @@ def minhash_lsh_pairs(
     band-bucket join (uniform hash keys), and the pair distinct.
     No O(n^2) stage anywhere.
     """
+    if bands < 1 or bands > num_hashes or num_hashes % bands:
+        # the same refusal _band_candidates makes, hoisted BEFORE the
+        # signature stage runs and persists — a bad call costs nothing
+        # and leaks no registered cache entry
+        raise ValueError(
+            f"bands ({bands}) must be in [1, num_hashes] and divide "
+            f"num_hashes ({num_hashes})"
+        )
     npart = df.sparkSession.sparkContext.defaultParallelism
     # Exchange below the Python stage spreads the map work off a
     # one-file scan. The signature output feeds THREE branches (bands

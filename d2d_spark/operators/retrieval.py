@@ -53,7 +53,15 @@ def rrf_fuse(
     operators here all break by ascending doc id). A (query, doc)
     pair appearing twice in ONE ranking raises (its rank would be
     ambiguous). Fused ties break by ascending doc id, so the output
-    is deterministic on any partitioning."""
+    is deterministic on any partitioning.
+
+    Each slim ranking persists for the duration of the call's plan
+    (the validation probe and the fusion join both consume it, and
+    the upstream is typically a whole retrieval pipeline). Long-lived
+    sessions fusing many distinct ranking sets should release the
+    accumulated blocks per corpus via
+    ``d2d_spark.cache.release("rrf_fuse")`` — always safe, lineage is
+    intact (the minhash cache policy)."""
     if not rankings:
         raise ValueError("rrf_fuse: need at least one ranking")
     if c <= 0:
@@ -103,6 +111,9 @@ def rrf_fuse(
             .collect()
         )
         if bad:
+            # a failed call has no consumer — drop everything this
+            # call persisted instead of leaving orphans registered
+            opcache.release("rrf_fuse")
             b = bad[0]
             if b["__n"] > 1:
                 raise ValueError(

@@ -533,8 +533,9 @@ def ann_exact_topk(spark, sf_dir):
             deq, q8, "vec_id", "embedding", "vec_id", "embedding", k=5
         ).persist(StorageLevel.MEMORY_AND_DISK),
     )
-    fold.count()
-    int8.count()
+    # no eager count: all consumers run in SEQUENTIAL jobs (rrf's
+    # validation probe fires first and fills the cache), unlike the
+    # minhash case where branches race inside one job
     fused = rrf_fuse(
         [fold, int8], query_col="query_id", doc_col="neighbor_id", k=5
     ).select(
