@@ -7,6 +7,18 @@ scale: scan+agg (Q1), shuffle join, broadcast join, window/top-hits,
 dedup (exact + minhash), similarity search, event-time windows. Each
 query is forced with a count() so the full plan executes; wall time
 is per-query, metric is total seconds across the set.
+
+Measurement discipline (r8): every leg runs under its own Spark job
+group, and after each leg's best-of-5 loop ALL operator-registered
+cache tags are released — operators that persist per CALL (the
+prefix joins' ordered-shingle stage, winnow's fingerprint stage, the
+wjac _term_counts stage, the ann fold) would otherwise stack five
+persisted copies per leg and squeeze every later leg's memory, which
+is exactly the cross-round noise that made a 4x wall-time move
+unattributable in r7. Alongside wall time each leg reports shuffle
+bytes and executor task time from the UI REST API — shuffle volume
+is deterministic for a fixed plan (unlike wall time on a shared
+box), so it is the number that flags a REAL plan regression.
 """
 
 from __future__ import annotations
@@ -47,13 +59,71 @@ HEADLINE = [
 ]
 
 
+class _RestMetrics:
+    """Per-leg shuffle bytes + executor task time from the UI REST
+    API, keyed by Spark job group. Best-effort: any failure (UI off,
+    endpoint shape drift) degrades to wall-time-only output rather
+    than failing the bench."""
+
+    def __init__(self, spark) -> None:
+        self.base = None
+        try:
+            ui = spark.sparkContext.uiWebUrl
+            if not ui:
+                return
+            apps = self._get(f"{ui}/api/v1/applications")
+            self.base = f"{ui}/api/v1/applications/{apps[0]['id']}"
+        except Exception:
+            self.base = None
+
+    @staticmethod
+    def _get(url: str):
+        import urllib.request
+
+        with urllib.request.urlopen(url, timeout=10) as r:
+            return json.loads(r.read())
+
+    def for_group(self, group: str) -> dict | None:
+        if self.base is None:
+            return None
+        try:
+            jobs = self._get(f"{self.base}/jobs")
+            stage_ids = set()
+            for j in jobs:
+                if j.get("jobGroup") == group:
+                    stage_ids.update(j.get("stageIds", ()))
+            out = {"shuffle_write_bytes": 0, "shuffle_read_bytes": 0,
+                   "task_time_ms": 0, "tasks": 0}
+            seen = set()
+            for s in self._get(f"{self.base}/stages"):
+                sid = s.get("stageId")
+                # one attempt per stage: the API lists attempts
+                # newest-first, keep the first seen
+                if sid in stage_ids and sid not in seen:
+                    seen.add(sid)
+                    out["shuffle_write_bytes"] += s.get("shuffleWriteBytes", 0)
+                    out["shuffle_read_bytes"] += s.get("shuffleReadBytes", 0)
+                    out["task_time_ms"] += s.get("executorRunTime", 0)
+                    out["tasks"] += s.get("numCompleteTasks", 0)
+            return out
+        except Exception:
+            return None
+
+
 def main() -> int:
+    from d2d_spark import cache as opcache
     from d2d_spark.plans.registry import load_all
     from d2d_spark.session import get_spark
 
-    spark = get_spark("d2d_spark_bench")
+    # UI on, bench-only: the REST status API is the shuffle-bytes
+    # source; everything else matches the library session exactly
+    spark = get_spark(
+        "d2d_spark_bench",
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4055"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     queries = load_all()
+    rest = _RestMetrics(spark)
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the
     # first measured query
@@ -67,64 +137,73 @@ def main() -> int:
     ).count()
 
     timings: dict[str, float] = {}
+    leg_metrics: dict[str, dict] = {}
+    sc = spark.sparkContext
+
+    def timed_leg(name: str, run, trials: int = 5) -> None:
+        """best-of-N: later runs measure steady state (plans, caches
+        and code paths warm); min filters GC/scheduler/host noise,
+        which on this box swings single runs up to 3x. After the loop
+        EVERY operator-registered cache tag is released so no leg's
+        per-call persists (up to N copies) survive into later legs'
+        memory budget — the attributability discipline."""
+        sc.setJobGroup(name, name)
+        try:
+            best = float("inf")
+            for _ in range(trials):
+                t0 = time.perf_counter()
+                run()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        finally:
+            sc.setJobGroup("bench_idle", "between legs")
+            opcache.release()
+        m = rest.for_group(name)
+        if m is not None:
+            # task/shuffle totals cover ALL N trials (cache effects
+            # make trial 1 dominate); deterministic for a fixed plan
+            leg_metrics[name] = m
+
     for name in HEADLINE:
         q = queries.get(name)
         if q is None:
             continue
-        # best-of-5: later runs measure steady state (plans, caches
-        # and code paths warm); min filters GC/scheduler/host noise,
-        # which on this box swings single runs up to 3x — two extra
-        # trials per query cost ~30s total and stabilize the minimum
-        best = float("inf")
-        for _ in range(5):
-            t0 = time.perf_counter()
-            q.fn(spark, SF_DIR).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        if name == "ann_exact_topk":
-            # the fused-retrieval query registers persisted rankings
-            # per CALL — five trials stack five sets; drop them once
-            # the leg is measured (the jaccard_prefix discipline)
-            from d2d_spark import cache as _oc
-
-            _oc.release("ann_suite")
-            _oc.release("rrf_fuse")
+        timed_leg(name, lambda q=q: q.fn(spark, SF_DIR).count())
 
     # r5: the exact-threshold dedup scale path (prefix-filter
     # set-similarity join) — timed directly (its registry home,
     # jaccard_pairs_clusters, also carries the quadratic ground truth
     # and the DuckDB-recursion comparison, which would swamp the
     # operator's own cost)
-    from d2d_spark.operators.dedup import jaccard_prefix_pairs
+    from pyspark.sql import functions as _F
+
+    from d2d_spark.operators.dedup import (
+        containment_prefix_pairs,
+        jaccard_prefix_pairs,
+        weighted_jaccard_pairs,
+    )
+    from d2d_spark.operators.graph import triangle_count
+    from d2d_spark.operators.quantiles import quantiles_exact
+    from d2d_spark.operators.tfidf import _term_counts
+    from d2d_spark.operators.winnow import winnow_near_pairs
     from d2d_spark.session import read_table as _rt2
 
     docs = _rt2(spark, SF_DIR, "documents")
-    best = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        jaccard_prefix_pairs(docs, "text", "doc_id", threshold=0.5).count()
-        best = min(best, time.perf_counter() - t0)
-    timings["jaccard_prefix_pairs"] = round(best, 3)
-
-    # r6 operator legs, timed directly for the same reason: their
-    # registry homes carry oracle-replay scaffolding (literal-VALUES
-    # subsets, quadratic ground truths) that would swamp operator cost
-    from pyspark.sql import functions as _F
-
-    from d2d_spark.operators.dedup import containment_prefix_pairs
-    from d2d_spark.operators.graph import triangle_count
-    from d2d_spark.operators.quantiles import quantiles_exact
-    from d2d_spark.operators.winnow import winnow_near_pairs
-
     li = _rt2(spark, SF_DIR, "lineitem")
     orders_df = _rt2(spark, SF_DIR, "orders")
     tri_edges = orders_df.select(
         (_F.col("o_custkey") % 5000).alias("src"),
         (_F.col("o_orderkey") % 5000).alias("dst"),
     )
-    from d2d_spark.operators.dedup import weighted_jaccard_pairs
-    from d2d_spark.operators.tfidf import _term_counts
 
+    timed_leg(
+        "jaccard_prefix_pairs",
+        lambda: jaccard_prefix_pairs(docs, "text", "doc_id", threshold=0.5).count(),
+    )
+
+    # r6/r7 operator legs, timed directly for the same reason: their
+    # registry homes carry oracle-replay scaffolding (literal-VALUES
+    # subsets, quadratic ground truths) that would swamp operator cost
     r6 = {
         # the fixture corpus is heavily templated (max fingerprint df
         # 2660 over 5000 docs) — max_df=20 is the documented
@@ -149,21 +228,8 @@ def main() -> int:
             "__id", "tok", "tf", threshold_pct=30, max_df=100,
         ).count(),
     }
-    from d2d_spark import cache as opcache
-
-    # the prefix joins persist an ordered-shingle stage per CALL; the
-    # best-of-5 loops above/below would stack five copies each and
-    # squeeze the legs timed after them — release each tag once its
-    # leg is measured
-    opcache.release("jaccard_prefix")
     for name, run in r6.items():
-        best = float("inf")
-        for _ in range(5):
-            t0 = time.perf_counter()
-            run()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        opcache.release("containment_prefix")
+        timed_leg(name, run)
 
     # End-to-end Migration throughput (rows/s), comparable to the
     # reference's best batched write path (~15.6k rows/s,
@@ -187,36 +253,37 @@ def main() -> int:
         from pyspark.sql import functions as F
 
         n_rows = read_table(spark, SF_DIR, "lineitem").count()
-        mig_s = float("inf")
-        for _ in range(5):  # the write leg is the noisiest query on this host
-            t0 = time.perf_counter()
+
+        def run_migration():
             Migration(
                 _Src(),
                 ParquetConnector(out_dir, spark),
                 table_from="lineitem",
                 mode="overwrite",
-                format_data={"net_price": F.col("l_extendedprice") * (1 - F.col("l_discount"))},
+                format_data={
+                    "net_price": F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                },
             ).run()
-            mig_s = min(mig_s, time.perf_counter() - t0)
-        timings["migration_lineitem"] = round(mig_s, 3)
-        migration_rows_per_s = round(n_rows / mig_s)
+
+        # the write leg is the noisiest query on this host
+        timed_leg("migration_lineitem", run_migration)
+        migration_rows_per_s = round(n_rows / timings["migration_lineitem"])
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "migration_rows_per_s": migration_rows_per_s,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "migration_rows_per_s": migration_rows_per_s,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
+    if leg_metrics:
+        out["leg_metrics"] = leg_metrics
+    print(json.dumps(out))
     return 0
 
 

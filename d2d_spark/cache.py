@@ -47,6 +47,30 @@ def tags() -> list[str]:
     return sorted(_ENTRIES)
 
 
+def deregister(tag: str, frames: list[DataFrame]) -> int:
+    """Unpersist and drop ONLY the given frames from ``tag``'s
+    registry — the error-path cleanup for operators whose FAILED call
+    must not release frames registered by earlier successful calls
+    (releasing those is safe but forces a silent recompute on any
+    still-pending consumer)."""
+    lst = _ENTRIES.get(tag)
+    if not lst:
+        return 0
+    ids = {id(f) for f in frames}
+    keep, dropped = [], 0
+    for df in lst:
+        if id(df) in ids:
+            df.unpersist(blocking=False)
+            dropped += 1
+        else:
+            keep.append(df)
+    if keep:
+        _ENTRIES[tag] = keep
+    else:
+        _ENTRIES.pop(tag, None)
+    return dropped
+
+
 def release(tag: str | None = None) -> int:
     """Unpersist (non-blocking) every frame registered under ``tag``
     — or everything, with ``None`` — and drop the references. Returns

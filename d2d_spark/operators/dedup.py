@@ -507,7 +507,12 @@ def ngram_jaccard_pairs(
 
 
 def _weighted_profiles(
-    df: DataFrame, id_col: str, token_col: str, weight_col: str, what: str
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    weight_col: str,
+    what: str,
+    validate: bool = True,
 ) -> DataFrame:
     """Validated long-format weighted profiles as (__id, __t, __w):
     refuses NULL ids/tokens, NULL/non-positive weights, and duplicate
@@ -515,40 +520,47 @@ def _weighted_profiles(
     operators. A NULL token would be silently wrong, not loud: it
     passes a weight probe and groups as a duplicate key, inflates the
     profile size sums, but can never match in the token equi-join
-    (NULL != NULL), so two exact clones would score below 100%."""
+    (NULL != NULL), so two exact clones would score below 100%.
+
+    Validation is ONE full aggregate pass (bad-row count + distinct
+    (id, token) count in the same job); an example row is fetched
+    only on the failure path. Pre-validated pipelines can skip even
+    that pass with ``validate=False`` — with garbage input the
+    operators then return silently wrong ratios, so only set it when
+    the frame provably satisfies the contract (e.g. it came from a
+    groupBy that owns the key)."""
     w = F.col(weight_col)
-    bad = (
-        df.filter(
-            w.isNull()
-            | (w <= 0)
-            | F.col(id_col).isNull()
-            | F.col(token_col).isNull()
-        )
-        .select(id_col, token_col, w.alias("__w"))
-        .limit(1)
-        .collect()
+    out = df.select(
+        F.col(id_col).alias("__id"), F.col(token_col).alias("__t"), w.alias("__w")
     )
-    if bad:
+    if not validate:
+        return out
+    bad_cond = (
+        w.isNull() | (w <= 0) | F.col(id_col).isNull() | F.col(token_col).isNull()
+    )
+    stats = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(bad_cond.cast("long")).alias("__nbad"),
+        # count_distinct skips rows with a NULL id/token, but those
+        # are already counted in __nbad and raise first — so with
+        # __nbad == 0, __n != __nkey iff duplicate (id, token) keys
+        F.count_distinct(F.col(id_col), F.col(token_col)).alias("__nkey"),
+    ).collect()[0]
+    if stats["__nbad"]:
+        bad = (
+            df.filter(bad_cond).select(id_col, token_col, w.alias("__w")).limit(1).collect()
+        )
         raise ValueError(
             f"{what}: row (id={bad[0][0]!r}, token={bad[0][1]!r}, "
             f"weight={bad[0]['__w']!r}) has a NULL id/token or a "
             "NULL/non-positive weight — drop or fix upstream"
         )
-    dup = (
-        df.groupBy(id_col, token_col)
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > 1)
-        .limit(1)
-        .count()
-    )
-    if dup:
+    if stats["__n"] != stats["__nkey"]:
         raise ValueError(
             f"{what}: duplicate (id, token) rows — a token's "
             "weight per document must be a single number; aggregate upstream"
         )
-    return df.select(
-        F.col(id_col).alias("__id"), F.col(token_col).alias("__t"), w.alias("__w")
-    )
+    return out
 
 
 def _weighted_pairs_output(
@@ -623,6 +635,7 @@ def weighted_jaccard_pairs(
     weight_col: str,
     threshold_pct: int = 50,
     max_df: int | None = 1000,
+    validate: bool = True,
 ) -> DataFrame:
     """EXACT weighted-Jaccard near-pairs over a long-format
     (id, token, weight) frame:
@@ -643,18 +656,21 @@ def weighted_jaccard_pairs(
     fractional weights sum as double (last-ulp partition drift
     possible — discretize upstream when exactness matters).
 
-    Shape: one duplicate/positivity probe, optional df cap on the
-    token (the stop-token dial winnow/tfidf use — overlap and sizes
-    are BOTH measured on the filtered sets, the standard convention),
-    per-id size aggregate, then a token equi-join whose fan-out is
-    bounded by per-token document frequency: sum(df^2) candidate
-    rows, never |corpus|^2. The scale posture is identical to
-    winnow_near_pairs' join stage."""
+    Shape: one duplicate/positivity probe (a single aggregate pass;
+    ``validate=False`` skips it for pre-validated pipelines), optional
+    df cap on the token (the stop-token dial winnow/tfidf use —
+    overlap and sizes are BOTH measured on the filtered sets, the
+    standard convention), per-id size aggregate, then a token
+    equi-join whose fan-out is bounded by per-token document
+    frequency: sum(df^2) candidate rows, never |corpus|^2. The scale
+    posture is identical to winnow_near_pairs' join stage."""
     if not 1 <= threshold_pct <= 100:
         raise ValueError(f"threshold_pct must be in [1, 100], got {threshold_pct}")
     if max_df is not None and max_df < 2:
         raise ValueError(f"max_df must be >= 2 (or None), got {max_df}")
-    wt = _weighted_profiles(df, id_col, token_col, weight_col, "weighted_jaccard_pairs")
+    wt = _weighted_profiles(
+        df, id_col, token_col, weight_col, "weighted_jaccard_pairs", validate=validate
+    )
     if max_df is not None:
         from pyspark.sql import Window
 
@@ -685,6 +701,7 @@ def weighted_minhash_lsh_pairs(
     bands: int = 16,
     resolution: float = 1.0,
     max_replicas_per_token: int = 1024,
+    validate: bool = True,
 ) -> DataFrame:
     """The APPROXIMATE arm of `weighted_jaccard_pairs` — for the
     corpora where a df cap is not acceptable (the heavy shared tokens
@@ -724,19 +741,16 @@ def weighted_minhash_lsh_pairs(
 
     from d2d_spark import cache as opcache
 
-    # the profile frame feeds FIVE consumers (bomb probe, item
-    # explode, sizes, both verify joins): persist once, the
-    # minhash_lsh_pairs discipline (lineage intact; release per corpus
-    # via cache.release("weighted_minhash"))
-    wt = opcache.register(
-        "weighted_minhash",
-        _weighted_profiles(
-            df, id_col, token_col, weight_col, "weighted_minhash_lsh_pairs"
-        ).persist(StorageLevel.MEMORY_AND_DISK),
+    profiles = _weighted_profiles(
+        df, id_col, token_col, weight_col, "weighted_minhash_lsh_pairs",
+        validate=validate,
     )
-    wt.count()
+    # probe the weight bomb on the UNPERSISTED profile frame, BEFORE
+    # anything is registered — a bad call must leak no cached blocks
+    # (the bands check above follows the same discipline); the probe
+    # is a limit(1) filter scan, cheap relative to the item explode
     q = F.ceil(F.col("__w") * F.lit(float(resolution))).cast("long")
-    bomb = wt.filter(q > max_replicas_per_token).limit(1).collect()
+    bomb = profiles.filter(q > max_replicas_per_token).limit(1).collect()
     if bomb:
         raise ValueError(
             f"weighted_minhash_lsh_pairs: token {bomb[0]['__t']!r} of id "
@@ -744,6 +758,14 @@ def weighted_minhash_lsh_pairs(
             f"{max_replicas_per_token} replicas — rescale weights or lower "
             "resolution; a weight bomb would explode the item stream"
         )
+    # the profile frame feeds FOUR consumers (item explode, sizes,
+    # both verify joins): persist once, the minhash_lsh_pairs
+    # discipline (lineage intact; release per corpus via
+    # cache.release("weighted_minhash"))
+    wt = opcache.register(
+        "weighted_minhash", profiles.persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    wt.count()
     items = wt.select(
         "__id", "__t", F.explode(F.sequence(F.lit(1), q)).alias("__i")
     ).select(

@@ -73,11 +73,23 @@ def rrf_fuse(
         raise ValueError(
             f"rrf_fuse: {len(rankings)} rankings but {len(w)} weights"
         )
+    import math
+
+    for i, x in enumerate(w):
+        # a zero/negative/NaN weight silently zeroes or inverts a
+        # system's contribution — range-check like c and k; to drop a
+        # system, drop its ranking from the list instead
+        if not math.isfinite(x) or x <= 0:
+            raise ValueError(
+                f"rrf_fuse: weight {i} is {x!r} — every weight must be a "
+                "finite number > 0 (omit the ranking to exclude a system)"
+            )
     from pyspark import StorageLevel
 
     from d2d_spark import cache as opcache
 
     parts = []
+    mine: list[DataFrame] = []  # this CALL's persists, for error cleanup
     for i, r in enumerate(rankings):
         missing = [col for col in (query_col, doc_col, rank_col) if col not in r.columns]
         if missing:
@@ -93,6 +105,7 @@ def rrf_fuse(
                 StorageLevel.MEMORY_AND_DISK
             ),
         )
+        mine.append(slim)
         # ONE probe job: duplicate (query, doc) pairs make the rank
         # ambiguous; ranks are 1-based by contract — a 0-based list
         # silently shifts every contribution (w/(c+0) at the head) and
@@ -111,9 +124,10 @@ def rrf_fuse(
             .collect()
         )
         if bad:
-            # a failed call has no consumer — drop everything this
-            # call persisted instead of leaving orphans registered
-            opcache.release("rrf_fuse")
+            # a failed call has no consumer — drop what THIS call
+            # persisted (not the whole tag: earlier successful calls'
+            # frames may still have pending consumers)
+            opcache.deregister("rrf_fuse", mine)
             b = bad[0]
             if b["__n"] > 1:
                 raise ValueError(

@@ -355,7 +355,12 @@ def _cast_is_safe(src: str, dst: str) -> bool:
     if src == dst or src == "void":  # NULL literals cast to anything
         return True
     if dst == "string":
-        return True  # total: every value has a string rendering
+        # every ATOMIC value has a faithful string rendering — but
+        # binary -> string reinterprets raw bytes as UTF-8 (garbles
+        # non-UTF8 data), and complex-type renderings (array/map/
+        # struct) are display formats, not round-trippable values:
+        # all of those must be spelled out by the caller
+        return src != "binary" and "<" not in src
     if src in _INT_RANK and dst in _INT_RANK:
         return _INT_RANK[dst] > _INT_RANK[src]
     if dst in _FLOAT_OK and src in _FLOAT_OK[dst]:

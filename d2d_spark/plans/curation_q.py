@@ -913,10 +913,12 @@ def _bpe_pack_mix_oracle() -> str:
 
     pat = re.compile(PRETOKEN_RE)
     rows = []
-    for sf in ("0.001", "0.01", "0.1"):
+    from d2d_spark.plans.registry import fixture_table_paths
+
+    for _fixture_path in fixture_table_paths("documents"):
         try:
             t = pq.read_table(
-                f"/root/testdata/sf{sf}/documents.parquet", columns=["doc_id", "text"]
+                _fixture_path, columns=["doc_id", "text"]
             )
         except Exception:
             continue

@@ -169,10 +169,12 @@ def _fingerprint_suite_oracle() -> str:
 
     k, w = _WINNOW_K, _WINNOW_W
     rows: list[tuple[int, str, str, int, int]] = []
-    for sf in ("0.001", "0.01", "0.1"):
+    from d2d_spark.plans.registry import fixture_table_paths
+
+    for _fixture_path in fixture_table_paths("documents"):
         try:
             t = pq.read_table(
-                f"/root/testdata/sf{sf}/documents.parquet", columns=["doc_id", "text"]
+                _fixture_path, columns=["doc_id", "text"]
             )
         except Exception:
             continue
@@ -636,10 +638,12 @@ def _ivfadc_literal_rows() -> list[tuple]:
     import pyarrow.parquet as pq
 
     out: list[tuple] = []
-    for sf in ("0.001", "0.01", "0.1"):
+    from d2d_spark.plans.registry import fixture_table_paths
+
+    for _fixture_path in fixture_table_paths("embeddings"):
         try:
             t = pq.read_table(
-                f"/root/testdata/sf{sf}/embeddings.parquet",
+                _fixture_path,
                 columns=["vec_id", "embedding", "label"],
             )
         except Exception:
@@ -869,10 +873,12 @@ def _multimodal_suite_oracle() -> str:
     import pyarrow.parquet as pq
 
     rows: list[tuple] = []
-    for sf in ("0.001", "0.01", "0.1"):
+    from d2d_spark.plans.registry import fixture_table_paths
+
+    for _fixture_path in fixture_table_paths("documents"):
         try:
             t = pq.read_table(
-                f"/root/testdata/sf{sf}/documents.parquet", columns=["doc_id", "text"]
+                _fixture_path, columns=["doc_id", "text"]
             )
         except Exception:
             continue
@@ -1532,10 +1538,12 @@ def _pack_and_concat_oracle() -> str:
     import pyarrow.parquet as pq
 
     rows = []
-    for sf in ("0.001", "0.01", "0.1"):
+    from d2d_spark.plans.registry import fixture_table_paths
+
+    for _fixture_path in fixture_table_paths("documents"):
         try:
             t = pq.read_table(
-                f"/root/testdata/sf{sf}/documents.parquet", columns=["doc_id", "text"]
+                _fixture_path, columns=["doc_id", "text"]
             )
         except Exception:
             continue

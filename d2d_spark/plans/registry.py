@@ -49,6 +49,25 @@ class Query:
 QUERIES: dict[str, Query] = {}
 
 
+def fixture_table_paths(table: str) -> list[str]:
+    """Parquet paths a literal-VALUES oracle should precompute over:
+    the three standard testdata SF dirs PLUS ``$SPARK_GRAFT_SF_DIR``
+    when it points somewhere else (bench and the driver both honor
+    that env var — without this, running against a non-standard
+    fixture dir would leave the literal expectation empty and present
+    a guaranteed hash mismatch as a correctness failure instead of an
+    unsupported-fixture signal). Builders still content-key each
+    precomputed block (the sftag gate), so a wrong-but-same-shaped
+    corpus cannot silently match."""
+    import os
+
+    dirs = [f"/root/testdata/sf{sf}" for sf in ("0.001", "0.01", "0.1")]
+    env = os.environ.get("SPARK_GRAFT_SF_DIR", "").rstrip("/")
+    if env and env not in dirs:
+        dirs.append(env)
+    return [f"{d}/{table}.parquet" for d in dirs]
+
+
 def query(
     name: str,
     oracle: "str | Callable[[], str] | None" = None,

@@ -152,6 +152,23 @@ def _local_path(p: str) -> str | None:
     return None
 
 
+def _require_local_state_dir(what: str, state_dir: str) -> None:
+    """The stateful sinks manage ``state_dir`` through os-level file
+    APIs (listdir to find the newest state, atomic rename to commit
+    it, rmtree to prune) — semantics with no direct HDFS/S3
+    equivalent, so a non-local path must refuse LOUDLY up front
+    rather than half-work: os.makedirs('s3a://...') would create a
+    literal local directory named 's3a:' and every guard downstream
+    would silently see empty state."""
+    if _local_path(state_dir) is None:
+        raise ValueError(
+            f"{what}: state_dir {state_dir!r} is not a local filesystem "
+            "path — state I/O uses os-level operations (atomic rename for "
+            "crash consistency); point state_dir at node-local or mounted "
+            "storage and sync snapshots to shared storage downstream"
+        )
+
+
 def _refuse_fresh_checkpoint_on_used_target(
     name: str, checkpoint_path: str, target_path: str
 ) -> None:
@@ -280,6 +297,7 @@ def stream_bloom_dedup_sink(
     _refuse_fresh_checkpoint_on_used_target(
         "stream_bloom_dedup_sink", checkpoint_path, target_path
     )
+    _require_local_state_dir("stream_bloom_dedup_sink", state_dir)
     os.makedirs(state_dir, exist_ok=True)
     pat = re.compile(r"^state_after_batch_(\d+)\.bloom$")
     state_ids = [
@@ -398,6 +416,7 @@ def stream_cms_sink(
     from d2d_spark.operators.freq import _shape_of, cms_build, cms_merge
 
     spark = df.sparkSession
+    _require_local_state_dir("stream_cms_sink", state_dir)
     os.makedirs(state_dir, exist_ok=True)
     pat = re.compile(r"^state_after_batch_(\d+)$")
     state_ids = [
@@ -528,8 +547,12 @@ def stream_apply_changes(
     moves the snapshot once and AQE coalesces the rest); state is the
     table itself plus two bookkeeping columns — no per-key executor
     state store, so the table can be arbitrarily wider than memory.
-    At warehouse scale, point the state dir at the table's storage
-    and partition the snapshot write by a stable key prefix."""
+    ``state_dir`` must be a LOCAL filesystem path (enforced loudly —
+    commits use os-level atomic rename, which has no HDFS/S3
+    equivalent here); at warehouse scale keep state on driver-local
+    or mounted storage, partition the snapshot write by a stable key
+    prefix, and sync the published snapshot to shared storage
+    downstream."""
     import os
     import re
     import shutil
@@ -551,6 +574,7 @@ def stream_apply_changes(
         raise ValueError(f"stream_apply_changes: changes feed lacks columns {missing}")
 
     spark = target.sparkSession
+    _require_local_state_dir("stream_apply_changes", state_dir)
     os.makedirs(state_dir, exist_ok=True)
     pat = re.compile(r"^state_after_batch_(\d+)$")
     state_ids = [
