@@ -629,6 +629,67 @@ def _xxh64_long(v: int, seed: int = 42) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
+def _xxh64_bytes(data: bytes, seed: int) -> int:
+    """Full XXH64 of a byte string (stripes + tail, XXH spec) —
+    unsigned result; what Spark's XxHash64 computes for a STRING
+    column's UTF-8 bytes. Parity with F.xxhash64 is test-pinned
+    (short, >32-byte, and non-ASCII inputs)."""
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & _U64
+
+    def rnd(acc: int, inp: int) -> int:
+        acc = (acc + inp * _XXP2) & _U64
+        return (rotl(acc, 31) * _XXP1) & _U64
+
+    seed &= _U64
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXP1 + _XXP2) & _U64
+        v2 = (seed + _XXP2) & _U64
+        v3 = seed
+        v4 = (seed - _XXP1) & _U64
+        while i <= n - 32:
+            v1 = rnd(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = rnd(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = rnd(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = rnd(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & _U64
+        for v in (v1, v2, v3, v4):
+            h ^= rnd(0, v)
+            h = (h * _XXP1 + _XXP4) & _U64
+    else:
+        h = (seed + _XXP5) & _U64
+    h = (h + n) & _U64
+    while i + 8 <= n:
+        h ^= rnd(0, int.from_bytes(data[i : i + 8], "little"))
+        h = (rotl(h, 27) * _XXP1 + _XXP4) & _U64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _XXP1) & _U64
+        h = (rotl(h, 23) * _XXP2 + _XXP3) & _U64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XXP5) & _U64
+        h = (rotl(h, 11) * _XXP1) & _U64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXP2) & _U64
+    h ^= h >> 29
+    h = (h * _XXP3) & _U64
+    h ^= h >> 32
+    return h
+
+
+def _spark_xxh64_str_long(s: str, v: int) -> int:
+    """Spark F.xxhash64(string_col, long_col): seed 42, each column
+    folds the running hash in as the next column's seed; signed."""
+    h = _xxh64_bytes(s.encode("utf-8"), 42)
+    return _xxh64_long(v, h)
+
+
 _IVFADC_M, _IVFADC_KSUB, _IVFADC_NC = 8, 16, 16
 
 
@@ -729,12 +790,78 @@ def _ivfadc_literal_rows() -> list[tuple]:
     return out
 
 
+_KMR_NC, _KMR_TRAIN_ITERS, _KMR_REFINE_ITERS = 16, 5, 3
+
+
+def _kmr_literal_rows() -> list[tuple]:
+    """(sftag, cell, pos, val6, rank) rows per fixture: numpy twin of
+    train_ivf_centroids (hash-ordered 10k sample, init = first nc
+    rows, spherical Lloyd) followed by kmeans_refine's FULL-corpus
+    spherical refinement (zero-norm rows excluded, empty cells keep
+    their centroid) — the distributed sufficient-statistics shuffle
+    may not change the math, so the refined matrix must equal the
+    twin's to 6 decimals (exact-equality pinned at 1e-9 in
+    test_kmeans_refine_matches_numpy_full_lloyd; the driver leg adds
+    the cross-engine hash check). Zero operator imports."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from d2d_spark.plans.registry import fixture_table_paths
+
+    out: list[tuple] = []
+    for _fixture_path in fixture_table_paths("embeddings"):
+        try:
+            t = pq.read_table(
+                _fixture_path, columns=["vec_id", "embedding", "label"]
+            )
+        except Exception:
+            continue
+        ids = t["vec_id"].to_pylist()
+        labs = t["label"].to_pylist()
+        X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        tag = len(ids) * 1_000_000 + sum(
+            lb * (i % 97) for i, lb in zip(ids, labs)
+        )
+        order = sorted(range(len(ids)), key=lambda i: _xxh64_long(ids[i]))[:10_000]
+        Xs = X[order]
+        Xs = Xs / np.maximum(np.linalg.norm(Xs, axis=1, keepdims=True), 1e-12)
+        nc = min(_KMR_NC, len(Xs))
+        C = Xs[:nc].copy()
+        for _ in range(_KMR_TRAIN_ITERS):
+            assign = np.argmax(Xs @ C.T, axis=1)
+            for j in range(nc):
+                members = Xs[assign == j]
+                if len(members):
+                    c = members.sum(axis=0)
+                    C[j] = c / max(np.linalg.norm(c), 1e-12)
+        # full-corpus refine: unit-normalize, drop zero-norm rows
+        n = np.linalg.norm(X, axis=1)
+        Xf = X[n > 0] / n[n > 0, None]
+        for _ in range(_KMR_REFINE_ITERS):
+            assign = np.argmax(Xf @ C.T, axis=1)
+            for j in range(nc):
+                members = Xf[assign == j]
+                if len(members):
+                    s = members.sum(axis=0)
+                    C[j] = s / max(np.linalg.norm(s), 1e-12)
+        for j in range(nc):
+            for pos in range(C.shape[1]):
+                out.append((tag, j, pos, round(float(C[j, pos]), 6), j + 1))
+    return out
+
+
 def _ann_lsh_ivf_oracle() -> str:
     rows = _ivfadc_literal_rows()
     if not rows:
         rows = [(-1, 0, 0, 0.0, 0)]
     values = ",\n     ".join(
         f"({t}, {q}, {n}, CAST({s!r} AS DOUBLE), {r})" for t, q, n, s, r in rows
+    )
+    kmr_rows = _kmr_literal_rows()
+    if not kmr_rows:
+        kmr_rows = [(-1, 0, 0, 0.0, 0)]
+    kmr_values = ",\n     ".join(
+        f"({t}, {c}, {p}, CAST({v!r} AS DOUBLE), {r})" for t, c, p, v, r in kmr_rows
     )
     return f"""
     SELECT 'lsh' AS leg, * FROM ({_SQL_LSH_TOPK})
@@ -744,6 +871,13 @@ def _ann_lsh_ivf_oracle() -> str:
     SELECT 'ivfadc' AS leg, query_id, neighbor_id, score AS cos_sim, rank
     FROM (VALUES
      {values}) AS ivfadc_exp(sftag, query_id, neighbor_id, score, rank)
+    WHERE sftag = (SELECT COUNT(*) * 1000000 + SUM(label * (vec_id % 97))
+                   FROM embeddings)
+    UNION ALL
+    SELECT 'kmr' AS leg, cell AS query_id, pos AS neighbor_id,
+           val AS cos_sim, rank
+    FROM (VALUES
+     {kmr_values}) AS kmr_exp(sftag, cell, pos, val, rank)
     WHERE sftag = (SELECT COUNT(*) * 1000000 + SUM(label * (vec_id % 97))
                    FROM embeddings)
     """
@@ -779,7 +913,13 @@ def ann_lsh_ivf_topk(spark, sf_dir):
     registration — every quantized score of every top-5 row
     hash-checked to 6 decimals, including the xxhash64 sample order
     (replayed by a pure-Python XXH64 twin). Recall vs exact and
-    probe-all ≡ exact-candidate coverage stay pytest-pinned."""
+    probe-all ≡ exact-candidate coverage stay pytest-pinned.
+
+    kmr leg: `kmeans_refine` — distributed full-corpus spherical
+    Lloyd on top of the sample-trained coarse quantizer, every
+    refined centroid component hash-checked to 6 decimals against a
+    numpy twin of train+refine (the sufficient-statistics shuffle may
+    not change the math)."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
     # 4 bits = 16 buckets: coarse enough for decent recall on the
@@ -798,12 +938,31 @@ def ann_lsh_ivf_topk(spark, sf_dir):
     ivfadc = ivf_pq_topk(
         codes, q, "vec_id", "vec_id", "embedding", model, k=5, n_probe=16
     )
+    # kmr leg: distributed full-corpus spherical-Lloyd refinement of
+    # the sample-trained coarse centroids — the refined matrix is
+    # model-sized by construction (k*d sufficient statistics), so
+    # surfacing it as rows is exact, not a sample
+    from d2d_spark.operators.similarity import kmeans_refine, train_ivf_centroids
+
+    C0 = train_ivf_centroids(
+        e, "vec_id", "embedding", n_centroids=_KMR_NC, iters=_KMR_TRAIN_ITERS
+    )
+    C = kmeans_refine(e, "embedding", C0, iters=_KMR_REFINE_ITERS)
+    kmr = spark.createDataFrame(
+        [
+            (j, pos, float(C[j, pos]), j + 1)
+            for j in range(C.shape[0])
+            for pos in range(C.shape[1])
+        ],
+        "query_id long, neighbor_id long, cos_sim double, rank int",
+    )
     cols = ["query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"]
     adc_cols = ["query_id", "neighbor_id", F.round("score", 6).alias("cos_sim"), "rank"]
     return (
         lsh.select(F.lit("lsh").alias("leg"), *cols)
         .unionByName(ivf.select(F.lit("ivf").alias("leg"), *cols))
         .unionByName(ivfadc.select(F.lit("ivfadc").alias("leg"), *adc_cols))
+        .unionByName(kmr.select(F.lit("kmr").alias("leg"), *cols))
     )
 
 
@@ -1065,9 +1224,111 @@ def multimodal_pipeline(spark, sf_dir):
     return decode.unionByName(phash_leg).unionByName(pairs)
 
 
-@query(
-    "jaccard_pairs_clusters",
-    oracle=f"""
+# --- weighted-MinHash twin for the wmh leg: replays the WHOLE
+# operator pipeline (dedup.py:weighted_minhash_lsh_pairs) in pure
+# Python with ZERO operator imports — tf profiles from the canonical
+# lowercase-whitespace tokenizer, discretize-replicate items at
+# resolution 1 (integral tf => q = w replicas), Spark-parity
+# item hashing via _spark_xxh64_str_long (test-pinned against
+# F.xxhash64), the same closed-form permutation coefficients
+# (dedup.py:_perm_coeffs' formula, restated here deliberately), band
+# bucketing by SLICE EQUALITY (the operator buckets by xxhash64 of
+# the slice — identical candidates short of a 2^-64 hash collision,
+# which the IVFADC twin precedent accepts), and the exact sum-min
+# verify on true weights. The emitted (sm, wa, wb) are exact longs;
+# the ratio is computed as one double division IN THE SQL, so both
+# engines evaluate the identical IEEE expression. ---
+
+_WMH_K, _WMH_BANDS, _WMH_THR, _WMH_MOD = 32, 16, 60, 25
+
+
+def _wmh_literal_rows() -> list[tuple]:
+    """(sftag, id_a, id_b, sm, wa, wb) per fixture for the wmh leg."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from d2d_spark.plans.registry import fixture_table_paths
+
+    K, bands, thr = _WMH_K, _WMH_BANDS, _WMH_THR
+    rows_per_band = K // bands
+    mers = (1 << 61) - 1
+    coeffs = [
+        (
+            2 * (j * 0x9E3779B9 % (1 << 30)) + 1,
+            (j * 0x85EBCA6B + 0xC2B2AE35) % (1 << 31),
+        )
+        for j in range(K)
+    ]
+    out: list[tuple] = []
+    seen_tags: set[int] = set()
+    for path in fixture_table_paths("documents"):
+        try:
+            t = pq.read_table(path, columns=["doc_id", "text"])
+        except Exception:
+            continue
+        profiles: dict[int, Counter] = {}
+        tag = 0
+        for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            tag += len(s)
+            if i % _WMH_MOD:
+                continue
+            toks = [x for x in s.strip().lower().split() if x]
+            if toks:
+                profiles[i] = Counter(toks)
+        if tag in seen_tags:
+            continue
+        seen_tags.add(tag)
+        # memoized per-ITEM permutation vectors: the fixture vocab is
+        # tiny and heavily shared, so distinct (token, replica) items
+        # number in the hundreds while item OCCURRENCES number ~10^5
+        perm_by_item: dict[tuple[str, int], tuple[int, ...]] = {}
+
+        def perms(tok: str, i: int) -> tuple[int, ...]:
+            v = perm_by_item.get((tok, i))
+            if v is None:
+                h31 = _spark_xxh64_str_long(tok, i) % ((1 << 31) - 1)
+                v = tuple((h31 * a + b) % mers for a, b in coeffs)
+                perm_by_item[(tok, i)] = v
+            return v
+
+        sigs: dict[int, tuple[int, ...]] = {}
+        for d, prof in profiles.items():
+            mins = [mers + 1] * K
+            for tok, tf in prof.items():
+                for i in range(1, tf + 1):
+                    pv = perms(tok, i)
+                    for k in range(K):
+                        if pv[k] < mins[k]:
+                            mins[k] = pv[k]
+            sigs[d] = tuple(mins)
+        cands: set[tuple[int, int]] = set()
+        for b in range(bands):
+            buckets: dict[tuple[int, ...], list[int]] = {}
+            for d, s in sigs.items():
+                buckets.setdefault(
+                    s[b * rows_per_band : (b + 1) * rows_per_band], []
+                ).append(d)
+            for ds in buckets.values():
+                ds.sort()
+                for x in range(len(ds)):
+                    for y in range(x + 1, len(ds)):
+                        cands.add((ds[x], ds[y]))
+        for a, b in sorted(cands):
+            pa, pb = profiles[a], profiles[b]
+            sm = sum(min(pa[tk], pb[tk]) for tk in pa.keys() & pb.keys())
+            wa, wb = sum(pa.values()), sum(pb.values())
+            if 100 * sm >= thr * (wa + wb - sm):
+                out.append((tag, a, b, sm, wa, wb))
+    return out
+
+
+def _jaccard_suite_oracle() -> str:
+    wmh_rows = _wmh_literal_rows()
+    values = ",".join(f"({t},{a},{b},{sm},{wa},{wb})" for t, a, b, sm, wa, wb in wmh_rows)
+    if not values:
+        values = "(-1,0,0,1,1,1)"  # no fixture: tag -1 never matches
+    return f"""
     WITH RECURSIVE
      sh AS MATERIALIZED (SELECT doc_id, {_SQL_SHINGLES} AS s FROM documents),
      pairs AS MATERIALIZED (
@@ -1117,8 +1378,18 @@ def multimodal_pipeline(spark, sf_dir):
     FROM wsh JOIN wsz sa ON sa.doc_id = wsh.id_a
              JOIN wsz sb ON sb.doc_id = wsh.id_b
     WHERE 100 * sm >= 30 * (sa.wt + sb.wt - sm)
-    """,
-    tags=("llm", "dedup", "jaccard", "clusters", "weighted-jaccard"),
+    UNION ALL
+    SELECT 'wmh' AS leg, id_a, id_b,
+           CAST(sm AS DOUBLE) / (wa + wb - sm)
+    FROM (VALUES {values}) AS wmh_exp(sftag, id_a, id_b, sm, wa, wb)
+    WHERE sftag = (SELECT SUM(length(text)) FROM documents)
+    """
+
+
+@query(
+    "jaccard_pairs_clusters",
+    oracle=_jaccard_suite_oracle,
+    tags=("llm", "dedup", "jaccard", "clusters", "weighted-jaccard", "weighted-minhash"),
 )
 def jaccard_pairs_clusters(spark, sf_dir):
     """Near-dup clustering end-to-end in one tagged result
@@ -1139,7 +1410,14 @@ def jaccard_pairs_clusters(spark, sf_dir):
     tf-weighted word profiles of the %3 slice, df-capped at 100 —
     against a plain token-join SQL replay: integer weights make every
     sum and the cross-multiplied threshold engine-exact, and the one
-    reported ratio is a single division of exact integers."""
+    reported ratio is a single division of exact integers.
+
+    The wmh leg runs `weighted_minhash_lsh_pairs` — the LSH arm, NO
+    df cap — on the %25 slice against a pure-Python twin of the whole
+    pipeline (Spark-parity XXH64 item hashing, same permutation
+    formula, band bucketing, exact verify), the IVFADC oracle recipe:
+    candidate recall is probabilistic by design, so the oracle replays
+    the banding rather than the exact join."""
     d = _t(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
     pair_leg = pairs.select(
@@ -1206,11 +1484,30 @@ def jaccard_pairs_clusters(spark, sf_dir):
             F.col("w_shared") / (F.col("w_a") + F.col("w_b") - F.col("w_shared")), 6
         ).alias("jaccard"),
     )
+    # wmh leg: the LSH arm over UNCAPPED tf profiles of the %25 slice
+    # — candidates from banded weighted minhash, verified exactly;
+    # checked against the pure-Python whole-pipeline twin above. The
+    # ratio is one double division of exact longs (no rounding), so
+    # the hash compare is engine-exact.
+    wmh_src = _term_counts(d.filter(F.col("doc_id") % _WMH_MOD == 0), "text", "doc_id")
+    wmh_leg = D.weighted_minhash_lsh_pairs(
+        wmh_src, "__id", "tok", "tf",
+        threshold_pct=_WMH_THR, num_hashes=_WMH_K, bands=_WMH_BANDS,
+    ).select(
+        F.lit("wmh").alias("leg"),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        (
+            F.col("w_shared").cast("double")
+            / (F.col("w_a") + F.col("w_b") - F.col("w_shared"))
+        ).alias("jaccard"),
+    )
     return (
         pair_leg.unionByName(prefix_leg)
         .unionByName(comp_leg)
         .unionByName(contain_leg)
         .unionByName(wjac_leg)
+        .unionByName(wmh_leg)
     )
 
 

@@ -63,7 +63,9 @@ def fixture_table_paths(table: str) -> list[str]:
 
     dirs = [f"/root/testdata/sf{sf}" for sf in ("0.001", "0.01", "0.1")]
     env = os.environ.get("SPARK_GRAFT_SF_DIR", "").rstrip("/")
-    if env and env not in dirs:
+    # realpath-compare: a symlinked/duplicate env dir must not add the
+    # same fixture twice (doubled literal rows = guaranteed mismatch)
+    if env and os.path.realpath(env) not in {os.path.realpath(d) for d in dirs}:
         dirs.append(env)
     return [f"{d}/{table}.parquet" for d in dirs]
 

@@ -385,6 +385,63 @@ def _pagerank_unrolled_oracle(
                               + (SELECT dm FROM dang{k})/(SELECT n FROM nn)) AS rank
               FROM base b LEFT JOIN inf{k} i ON b.node = i.node)"""
         )
+    # --- weighted PageRank over the SAME graph with per-pair
+    # occurrence counts as edge weights (votes split by frequency
+    # share): outdeg = SUM(w), contribution = rank * w / outdeg —
+    # the operator's exact expression shape (graph.py page_rank
+    # weight_col arm), v = 1.0/n as a computed division both sides ---
+    parts.append(
+        """,
+    we AS MATERIALIZED (SELECT CAST(user_id AS VARCHAR) AS src, event_type AS dst,
+               CAST(COUNT(*) AS DOUBLE) AS w
+             FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             GROUP BY 1, 2),
+    wod AS MATERIALIZED (SELECT src, SUM(w) AS outdeg FROM we GROUP BY src),
+    wbase AS MATERIALIZED (SELECT node, COALESCE(outdeg, 0) AS outdeg
+             FROM nodes LEFT JOIN wod ON node = wod.src),
+    wpr0 AS MATERIALIZED (SELECT node, outdeg, 1.0/(SELECT n FROM nn) AS rank FROM wbase)"""
+    )
+    for k in range(1, iters + 1):
+        p = f"wpr{k - 1}"
+        parts.append(
+            f""",
+    wdang{k} AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0) AS dm FROM {p} WHERE outdeg = 0),
+    winf{k} AS MATERIALIZED (SELECT we.dst AS node, SUM(r.rank * we.w / r.outdeg) AS inflow
+               FROM we JOIN {p} r ON we.src = r.node GROUP BY we.dst),
+    wpr{k} AS MATERIALIZED (SELECT b.node, b.outdeg,
+                     (1 - {d}) * (1.0/(SELECT n FROM nn))
+                     + {d} * (COALESCE(i.inflow, 0)
+                              + (SELECT dm FROM wdang{k}) * (1.0/(SELECT n FROM nn))) AS rank
+              FROM wbase b LEFT JOIN winf{k} i ON b.node = i.node)"""
+        )
+    # --- personalized PageRank: teleport (and dangling mass) land
+    # only on the seed set (users with id % 10 = 0) — v = 1/ns on
+    # seeds, 0 elsewhere, rank0 = v (graph.py page_rank seeds arm) ---
+    parts.append(
+        """,
+    sds AS MATERIALIZED (SELECT DISTINCT CAST(user_id AS VARCHAR) AS node FROM events
+             WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+               AND user_id % 10 = 0),
+    sn AS MATERIALIZED (SELECT COUNT(*) AS ns FROM sds),
+    pbase AS MATERIALIZED (SELECT b.node, b.outdeg,
+               CASE WHEN s.node IS NOT NULL
+                    THEN 1.0/(SELECT ns FROM sn) ELSE 0.0 END AS v
+             FROM base b LEFT JOIN sds s ON b.node = s.node),
+    ppr0 AS MATERIALIZED (SELECT node, outdeg, v, v AS rank FROM pbase)"""
+    )
+    for k in range(1, iters + 1):
+        p = f"ppr{k - 1}"
+        parts.append(
+            f""",
+    pdang{k} AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0) AS dm FROM {p} WHERE outdeg = 0),
+    pinf{k} AS MATERIALIZED (SELECT e.dst AS node, SUM(r.rank / r.outdeg) AS inflow
+               FROM e JOIN {p} r ON e.src = r.node GROUP BY e.dst),
+    ppr{k} AS MATERIALIZED (SELECT b.node, b.outdeg, b.v,
+                     (1 - {d}) * b.v
+                     + {d} * (COALESCE(i.inflow, 0)
+                              + (SELECT dm FROM pdang{k}) * b.v) AS rank
+              FROM pbase b LEFT JOIN pinf{k} i ON b.node = i.node)"""
+        )
     # --- HITS over the same bipartite graph (hubs = users,
     # authorities = event types): h0 = a0 = 1/sqrt(n) ---
     parts.append(
@@ -457,6 +514,10 @@ def _pagerank_unrolled_oracle(
     UNION ALL
     SELECT 'pagerank', node, CAST(NULL AS BIGINT), round(rank, 6) FROM pr{iters}
     UNION ALL
+    SELECT 'pr_w', node, CAST(NULL AS BIGINT), round(rank, 6) FROM wpr{iters}
+    UNION ALL
+    SELECT 'pr_p', node, CAST(NULL AS BIGINT), round(rank, 6) FROM ppr{iters}
+    UNION ALL
     SELECT 'triangles', CAST(n AS VARCHAR), COUNT(*), CAST(NULL AS DOUBLE)
     FROM (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
           UNION ALL SELECT z FROM tri) GROUP BY n
@@ -477,7 +538,7 @@ def _pagerank_unrolled_oracle(
     tags=("agg", "terms", "graph", "pagerank", "triangles", "hits", "lpa"),
 )
 def group_count_event_types(spark, sf_dir):
-    """Six graph/event-analytics legs. 'terms': ES terms
+    """Eight graph/event-analytics legs. 'terms': ES terms
     aggregation — count-by-key (d22d/utils/db/myutils.py:476-522).
     'pagerank': the iterative distributed PageRank
     (operators/graph.py) over the bipartite user→event_type graph, 8
@@ -485,6 +546,15 @@ def group_count_event_types(spark, sf_dir):
     iteration unrolled into chained SQL CTEs — the event types are
     all dangling (no out-edges), so the uniform dangling-mass
     redistribution is exercised every round, not just covered.
+    'pr_w': weighted PageRank — every event row is a unit-weight
+    edge, page_rank sums duplicates so votes split by occurrence
+    share; the oracle unrolls the same rounds with
+    SUM(rank * w / outdeg) inflows. 'pr_p': PERSONALIZED PageRank —
+    teleport and dangling mass land only on the % 10 = 0 user seed
+    set (v = 1/ns on seeds, 0 elsewhere, rank0 = v); in the bipartite
+    graph non-seed users provably hold rank 0, seeds hold teleport +
+    dangling returns, event types hold seed inflow — a shape the
+    uniform leg can never produce, so the differential is real.
     'triangles': exact per-node triangle counts
     (graph.triangle_count, degree-ordered orientation) on a
     deterministic sparse graph derived from orders (keys mod 100,
@@ -518,15 +588,42 @@ def group_count_event_types(spark, sf_dir):
     # discipline jaccard_pairs_clusters uses for its CC rounds)
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # pr_w: every event row casts a vote — page_rank sums the unit
+    # weights per (src, dst), so w = the pair's occurrence count and
+    # votes split by frequency share instead of evenly
+    wedges = ev.select(
+        F.col("user_id").cast("string").alias("src"),
+        F.col("event_type").alias("dst"),
+        F.lit(1.0).alias("w"),
+    )
+    # pr_p: teleport restricted to users with id % 10 = 0 — ranks
+    # become proximity-to-seed-set (crawl-frontier prioritization)
+    seeds = ev.filter(F.col("user_id") % 10 == 0).select(
+        F.col("user_id").cast("string").alias("node")
+    )
     try:
         # page_rank always truncates its final round, so the returned
         # frame is already materialized and lineage-free — no extra
         # checkpoint needed to decouple from the conf restore
         ranked = page_rank(edges, max_iters=8, tol=None)
+        ranked_w = page_rank(wedges, max_iters=8, tol=None, weight_col="w")
+        ranked_p = page_rank(edges, max_iters=8, tol=None, seeds=seeds)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     pr = ranked.select(
         F.lit("pagerank").alias("leg"),
+        F.col("node").alias("k"),
+        F.lit(None).cast("bigint").alias("cnt"),
+        F.round("rank", 6).alias("rank"),
+    )
+    pr_w = ranked_w.select(
+        F.lit("pr_w").alias("leg"),
+        F.col("node").alias("k"),
+        F.lit(None).cast("bigint").alias("cnt"),
+        F.round("rank", 6).alias("rank"),
+    )
+    pr_p = ranked_p.select(
+        F.lit("pr_p").alias("leg"),
         F.col("node").alias("k"),
         F.lit(None).cast("bigint").alias("cnt"),
         F.round("rank", 6).alias("rank"),
@@ -573,6 +670,8 @@ def group_count_event_types(spark, sf_dir):
     )
     return (
         terms.unionByName(pr)
+        .unionByName(pr_w)
+        .unionByName(pr_p)
         .unionByName(tri)
         .unionByName(hub)
         .unionByName(auth)

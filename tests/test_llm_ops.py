@@ -702,3 +702,41 @@ def test_containment_prefix_pairs_vs_quadratic(spark):
 
     with pytest.raises(ValueError, match="threshold"):
         containment_prefix_pairs(df, "text", "doc_id", threshold=0.0)
+
+
+def test_xxh64_bytes_twin_matches_spark(spark):
+    """The pure-Python XXH64 twins behind the literal-VALUES oracles
+    (ivfadc sample order, wmh item hashing) must equal F.xxhash64
+    bit-for-bit: single string (short, 8-byte-tail, >32-byte stripes,
+    non-ASCII), single long, and the chained (string, long) fold."""
+    from pyspark.sql import functions as F
+
+    from d2d_spark.plans.llm import (
+        _spark_xxh64_str_long,
+        _xxh64_bytes,
+        _xxh64_long,
+    )
+
+    cases = [
+        ("", 0),
+        ("a", 1),
+        ("12345678", -3),
+        ("the quick brown fox jumps over the lazy dog and keeps going", 7),
+        ("é中文 mixed ascii", 1 << 40),
+        ("x" * 31, 2),
+        ("x" * 32, 2),
+        ("x" * 33, 2),
+    ]
+    rows = spark.createDataFrame(cases, "t string, i long").select(
+        F.xxhash64("t").alias("hs"),
+        F.xxhash64("i").alias("hl"),
+        F.xxhash64("t", "i").alias("hc"),
+    ).collect()
+
+    def signed(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    for (t, i), r in zip(cases, rows):
+        assert r["hs"] == signed(_xxh64_bytes(t.encode("utf-8"), 42)), t
+        assert r["hl"] == _xxh64_long(i), i
+        assert r["hc"] == _spark_xxh64_str_long(t, i), (t, i)
