@@ -86,6 +86,7 @@ def funnel_stages(
     steps: Sequence[str],
     within: float | None = None,
     max_events_per_user: int | None = None,
+    universe: DataFrame | None = None,
 ) -> DataFrame:
     """(user, stage, stage_ts...) — per-user greedy-earliest funnel
     progress: ``stage`` = deepest step reached, plus one ``ts_step_k``
@@ -93,13 +94,20 @@ def funnel_stages(
     unreached). One groupBy; see module docstring for the exact chain
     semantics.
 
-    Only users with AT LEAST ONE step-typed event appear in the
-    output — a user with zero matching events is absent entirely, not
-    emitted as stage 0 (present users can still land on stage 0 when
-    no event starts a chain — e.g. only later-step events, or every
-    chain disqualified by ``within``; to count the never-entered
-    population, left-join your full user universe and coalesce stage
-    to 0).
+    By default only users with AT LEAST ONE step-typed event appear
+    in the output — a user with zero matching events is absent
+    entirely, not emitted as stage 0 (present users can still land on
+    stage 0 when no event starts a chain — e.g. only later-step
+    events, or every chain disqualified by ``within``). Pass
+    ``universe`` (a one-column frame of user ids) to make the
+    never-entered population first-class: every distinct non-NULL
+    universe user absent from the event fold is emitted at stage 0
+    with all step timestamps NULL, so stage-0 counts denominate
+    conversion without a caller-side join recipe. Users with events
+    but outside the universe are kept (the universe widens the
+    output, never filters it — filter upstream to restrict). Scale
+    shape: one extra key equi-join on the model-to-corpus-sized user
+    frame; everything else unchanged.
 
     Per-user state is the user's step-typed event list; upstream
     discipline bounds it. ``max_events_per_user`` makes the bound a
@@ -151,7 +159,7 @@ def funnel_stages(
     )
     # stages fill strictly in order, so the count of non-NULLs IS the
     # deepest prefix reached
-    return folded.select(
+    out = folded.select(
         "user",
         stage.alias("stage"),
         *[
@@ -159,6 +167,22 @@ def funnel_stages(
             for k in range(len(steps))
         ],
     )
+    if universe is not None:
+        uni = (
+            universe.select(F.col(universe.columns[0]).alias("user"))
+            .filter(F.col("user").isNotNull())
+            .distinct()
+        )
+        missing = uni.join(out.select("user"), "user", "left_anti").select(
+            "user",
+            F.lit(0).cast("int").alias("stage"),
+            *[
+                F.lit(None).cast("double").alias(f"ts_step_{k + 1}")
+                for k in range(len(steps))
+            ],
+        )
+        out = out.unionByName(missing)
+    return out
 
 
 def funnel_counts(

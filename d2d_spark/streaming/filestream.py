@@ -762,3 +762,191 @@ def latest_cdc_snapshot(spark: SparkSession, state_dir: str):
         os.path.join(state_dir, f"state_after_batch_{max(ids)}")
     )
     return state.filter(~F.col("__deleted")).drop("__seq", "__deleted")
+
+
+def stream_scd2_apply(
+    snapshots: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tracked_cols: list[str],
+    state_dir: str,
+    checkpoint_path: str,
+    history: DataFrame | None = None,
+):
+    """Streaming twin of `operators/scd.scd2_apply`: fold each
+    micro-batch of dimension snapshots into a persisted TYPE-2
+    HISTORY, so after any prefix of the snapshot log — however it is
+    split across batches, whatever order batches deliver the
+    timestamps — the stored history EXACTLY equals batch
+    `scd2_history` over the union of all rows so far (test-pinned).
+
+    The fold is `scd2_apply`, which is a REPLAY (history rows convert
+    back to change events and rebuild with the batch through
+    `scd2_history`): replay idempotence is what makes the streaming
+    fold correct by construction — apply(apply(H, B1), B2) =
+    scd2_history(events(H) ∪ B1 ∪ B2) — and is also what makes a
+    foreachBatch REPLAY safe once state is keyed by batch id (batch N
+    folds into the newest state with id < N, the
+    `stream_apply_changes` construction, so a re-delivered batch
+    re-derives its output from its original pre-state).
+
+    A (key, ts) collision with DIFFERENT tracked attributes — within
+    the batch, or between the batch and already-folded events — is
+    refused loudly (the window order between the two versions would
+    be arbitrary, so stream and batch could legitimately disagree);
+    an exact duplicate row collapses harmlessly, the batch operator's
+    documented idempotence.
+
+    ``history`` bootstraps from an existing type-2 history frame
+    (columns: keys + tracked + valid_from/valid_to/is_current);
+    default empty. ``state_dir`` must be a LOCAL path (os-level
+    atomic-rename commits — the stateful-sink constraint). Only the
+    newest snapshot and its pre-state are retained. Read the current
+    history with `latest_scd2_history`. Scale shape per batch: one
+    key-partitioned window over runs + batch (history stores RUNS,
+    bounded by change count, not raw events), one duplicate-probe
+    aggregate."""
+    import os
+    import re
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from d2d_spark.operators.scd import scd2_apply
+
+    if not key_cols or not tracked_cols:
+        raise ValueError("stream_scd2_apply: key_cols and tracked_cols must be non-empty")
+    needed = [*key_cols, *tracked_cols, ts_col]
+    missing = [c for c in needed if c not in snapshots.columns]
+    if missing:
+        raise ValueError(f"stream_scd2_apply: snapshot feed lacks columns {missing}")
+
+    spark = snapshots.sparkSession
+    _require_local_state_dir("stream_scd2_apply", state_dir)
+    os.makedirs(state_dir, exist_ok=True)
+    pat = re.compile(r"^state_after_batch_(\d+)$")
+    state_ids = [
+        int(pat.match(n).group(1)) for n in os.listdir(state_dir) if pat.match(n)
+    ]
+    ckpt_local = _local_path(checkpoint_path)
+    checkpoint_is_fresh = ckpt_local is not None and not os.path.isdir(
+        os.path.join(ckpt_local, "offsets")
+    )
+    if checkpoint_is_fresh and state_ids:
+        raise ValueError(
+            f"stream_scd2_apply: checkpoint {checkpoint_path!r} is fresh "
+            f"but state_dir {state_dir!r} holds history state from a "
+            "previous checkpoint lifetime — use a fresh state_dir, or "
+            "restore the original checkpoint."
+        )
+    if ckpt_local is not None and not checkpoint_is_fresh and not state_ids:
+        raise ValueError(
+            f"stream_scd2_apply: checkpoint {checkpoint_path!r} is resuming "
+            f"but state_dir {state_dir!r} has no history state — snapshots "
+            "from processed batches would be silently lost. Restore the "
+            "state files or start over with a fresh checkpoint."
+        )
+
+    ts_type = snapshots.schema[ts_col].dataType
+
+    def _bootstrap() -> DataFrame:
+        if history is not None:
+            return history
+        return (
+            spark.createDataFrame([], snapshots.schema)
+            .select(*key_cols, *tracked_cols)
+            .withColumn("valid_from", F.lit(None).cast(ts_type))
+            .withColumn("valid_to", F.lit(None).cast(ts_type))
+            .withColumn("is_current", F.lit(True))
+        )
+
+    def _load_before(batch_id: int) -> DataFrame:
+        prior_ids = [
+            int(pat.match(n).group(1))
+            for n in os.listdir(state_dir)
+            if pat.match(n) and int(pat.match(n).group(1)) < batch_id
+        ]
+        if not prior_ids:
+            return _bootstrap()
+        return spark.read.parquet(
+            os.path.join(state_dir, f"state_after_batch_{max(prior_ids)}")
+        )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            _fold_batch(batch_df, batch_id)
+        finally:
+            batch_df.unpersist(blocking=False)
+
+    def _fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        state = _load_before(batch_id)
+        batch = batch_df.select(*key_cols, *tracked_cols, F.col(ts_col))
+        # loud (key, ts)-collision guard: union the batch with the
+        # stored runs-as-events and refuse any (key, ts) carrying two
+        # DISTINCT tracked structs — their window order would be
+        # arbitrary and stream/batch could legitimately diverge.
+        # Exact duplicates collapse in the rebuild (idempotence).
+        events = state.select(
+            *key_cols, *tracked_cols, F.col("valid_from").alias(ts_col)
+        ).unionByName(batch)
+        st = F.struct(*[F.col(c) for c in tracked_cols])
+        clash = (
+            events.groupBy(*key_cols, ts_col)
+            .agg(F.count_distinct(st).alias("__nv"))
+            .filter(F.col("__nv") > 1)
+            .limit(1)
+            .collect()
+        )
+        if clash:
+            raise ValueError(
+                f"stream_scd2_apply: batch {batch_id} carries a (key, "
+                f"{ts_col}) already present with different tracked "
+                f"attributes ({tuple(clash[0][k] for k in key_cols)}, "
+                f"{clash[0][ts_col]!r}) — version order would be arbitrary; "
+                "fix the snapshot source's timestamping"
+            )
+        nxt = scd2_apply(state, batch, key_cols, ts_col, tracked_cols)
+        final = os.path.join(state_dir, f"state_after_batch_{batch_id}")
+        tmp = final + ".tmp"
+        nxt.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        # retention: newest snapshot + its pre-state (all a replay of
+        # batch N+1 can read), the stream_apply_changes discipline
+        ids = sorted(
+            int(pat.match(n).group(1))
+            for n in os.listdir(state_dir)
+            if pat.match(n)
+        )
+        for old_id in ids[:-2]:
+            shutil.rmtree(
+                os.path.join(state_dir, f"state_after_batch_{old_id}"),
+                ignore_errors=True,
+            )
+
+    q = (
+        snapshots.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def latest_scd2_history(spark: SparkSession, state_dir: str):
+    """The current type-2 history from a `stream_scd2_apply` state
+    dir (None if empty) — row-for-row what batch `scd2_history` over
+    every snapshot folded so far would return."""
+    import os
+    import re
+
+    pat = re.compile(r"^state_after_batch_(\d+)$")
+    ids = [int(pat.match(n).group(1)) for n in os.listdir(state_dir) if pat.match(n)]
+    if not ids:
+        return None
+    return spark.read.parquet(
+        os.path.join(state_dir, f"state_after_batch_{max(ids)}")
+    )

@@ -155,3 +155,36 @@ def test_whale_key_guard(spark):
     )
     plain = funnel_stages(df, "user_id", "ts", "event_type", STEPS)
     assert sorted(map(tuple, ok.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_funnel_universe_emits_stage0_population(spark):
+    """universe= makes never-entered users first-class stage-0 rows:
+    absent-from-events universe users appear at stage 0 with NULL
+    step timestamps; users with events keep their fold result; users
+    with events OUTSIDE the universe are kept (widen, never filter);
+    NULL/duplicate universe ids collapse."""
+    rows = [(u, ts, et) for u, evs in CASES for ts, et in evs]
+    df = _mk(spark, rows)
+    uni = spark.createDataFrame(
+        [(1,), (2,), (99,), (98,), (98,), (None,)], "user_id long"
+    )
+    base = {r["user"]: r for r in funnel_stages(
+        df, "user_id", "ts", "event_type", STEPS
+    ).collect()}
+    got = {r["user"]: r for r in funnel_stages(
+        df, "user_id", "ts", "event_type", STEPS, universe=uni
+    ).collect()}
+    # every evented user unchanged (incl. 3..7, outside the universe)
+    for u, r in base.items():
+        assert tuple(got[u]) == tuple(r)
+    # never-entered universe users: one stage-0 row each, NULL steps
+    for u in (98, 99):
+        r = got[u]
+        assert r["stage"] == 0
+        assert all(r[f"ts_step_{k+1}"] is None for k in range(3))
+    assert set(got) == set(base) | {98, 99}  # NULL dropped, 98 deduped
+    # counts denominate: stage-0 rows raise the population, not conversions
+    n_total = funnel_stages(
+        df, "user_id", "ts", "event_type", STEPS, universe=uni
+    ).count()
+    assert n_total == len(base) + 2

@@ -478,3 +478,97 @@ def test_stream_apply_changes_validation(spark, tmp_path):
             file_stream(spark, str(src) + "/*", schema).drop("v"),
             target, ["k"], "seq", str(tmp_path / "s3"), str(tmp_path / "c3"),
         )
+
+
+# ---------------------------------------------------------------------------
+# stream_scd2_apply (continuous type-2 history twin of scd2_apply)
+# ---------------------------------------------------------------------------
+def test_stream_scd2_apply_equals_batch(spark, tmp_path):
+    """A snapshot log split across file-drop micro-batches in SHUFFLED
+    arrival order maintains exactly the batch scd2_history of every
+    row seen so far — at every intermediate prefix. Exact duplicate
+    snapshots collapse (replay idempotence)."""
+    import random
+
+    from pyspark.sql import types as T
+
+    from d2d_spark.operators.scd import scd2_history
+    from d2d_spark.streaming.filestream import (
+        file_stream,
+        latest_scd2_history,
+        stream_scd2_apply,
+    )
+
+    rng = random.Random(7)
+    log = []
+    for k in range(6):
+        attr = f"v{rng.randrange(3)}"
+        for t in sorted(rng.sample(range(100), rng.randrange(3, 7))):
+            if rng.random() < 0.6:
+                attr = f"v{rng.randrange(3)}"
+            log.append((k, t, attr))
+    log.append(log[0])  # exact duplicate row: must collapse, not raise
+    arrival = log[:]
+    rng.shuffle(arrival)  # later drops carry EARLIER timestamps
+    third = len(arrival) // 3
+    chunks = [arrival[:third], arrival[third : 2 * third], arrival[2 * third :]]
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("attr", T.StringType()),
+        ]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    seen = []
+    for i, chunk in enumerate(chunks):
+        spark.createDataFrame(chunk, schema).write.mode("overwrite").parquet(
+            str(src / f"d{i}")
+        )
+        seen.extend(chunk)
+        stream = file_stream(spark, str(src) + "/*", schema)
+        stream_scd2_apply(stream, ["k"], "ts", ["attr"], state, ckpt)
+        want = {
+            tuple(r)
+            for r in scd2_history(
+                spark.createDataFrame(seen, schema), ["k"], "ts", ["attr"]
+            ).collect()
+        }
+        got = {tuple(r) for r in latest_scd2_history(spark, state).collect()}
+        assert got == want, f"prefix {i}: {got ^ want}"
+    import os
+
+    kept = [n for n in os.listdir(state) if n.startswith("state_after_batch_")]
+    assert len(kept) <= 2, kept
+
+
+def test_stream_scd2_apply_refuses_conflicting_version(spark, tmp_path):
+    """The same (key, ts) with DIFFERENT tracked attributes — across
+    batches — refuses loudly instead of picking an arbitrary order."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from d2d_spark.streaming.filestream import file_stream, stream_scd2_apply
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("attr", T.StringType()),
+        ]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    spark.createDataFrame([(1, 10, "a")], schema).write.parquet(str(src / "d0"))
+    stream_scd2_apply(file_stream(spark, str(src) + "/*", schema),
+                      ["k"], "ts", ["attr"], state, ckpt)
+    spark.createDataFrame([(1, 10, "B")], schema).write.parquet(str(src / "d1"))
+    with pytest.raises(Exception, match="different tracked"):
+        stream_scd2_apply(file_stream(spark, str(src) + "/*", schema),
+                          ["k"], "ts", ["attr"], state, ckpt)
+    with pytest.raises(ValueError, match="not a local filesystem"):
+        stream_scd2_apply(file_stream(spark, str(src) + "/*", schema),
+                          ["k"], "ts", ["attr"], "s3a://bucket/state", ckpt)
