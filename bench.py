@@ -94,17 +94,27 @@ class _RestMetrics:
                     stage_ids.update(j.get("stageIds", ()))
             out = {"shuffle_write_bytes": 0, "shuffle_read_bytes": 0,
                    "task_time_ms": 0, "tasks": 0}
-            seen = set()
+            # one attempt per stage, chosen by (COMPLETE first, then
+            # highest attempt id) — the listing's attempt order is not
+            # guaranteed, and counting a failed attempt's partial
+            # bytes would corrupt the one metric meant to be
+            # deterministic
+            best: dict[int, dict] = {}
             for s in self._get(f"{self.base}/stages"):
                 sid = s.get("stageId")
-                # one attempt per stage: the API lists attempts
-                # newest-first, keep the first seen
-                if sid in stage_ids and sid not in seen:
-                    seen.add(sid)
-                    out["shuffle_write_bytes"] += s.get("shuffleWriteBytes", 0)
-                    out["shuffle_read_bytes"] += s.get("shuffleReadBytes", 0)
-                    out["task_time_ms"] += s.get("executorRunTime", 0)
-                    out["tasks"] += s.get("numCompleteTasks", 0)
+                if sid not in stage_ids:
+                    continue
+                rank = (s.get("status") == "COMPLETE", s.get("attemptId", 0))
+                prev = best.get(sid)
+                if prev is None or rank > (
+                    prev.get("status") == "COMPLETE", prev.get("attemptId", 0)
+                ):
+                    best[sid] = s
+            for s in best.values():
+                out["shuffle_write_bytes"] += s.get("shuffleWriteBytes", 0)
+                out["shuffle_read_bytes"] += s.get("shuffleReadBytes", 0)
+                out["task_time_ms"] += s.get("executorRunTime", 0)
+                out["tasks"] += s.get("numCompleteTasks", 0)
             return out
         except Exception:
             return None

@@ -88,12 +88,16 @@ def rrf_fuse(
 
     from d2d_spark import cache as opcache
 
-    parts = []
-    mine: list[DataFrame] = []  # this CALL's persists, for error cleanup
+    # validate EVERY ranking's columns before the first persist — a
+    # raise after iteration 0's persist would leak that frame's
+    # registered cache blocks (the failed call has no consumer)
     for i, r in enumerate(rankings):
         missing = [col for col in (query_col, doc_col, rank_col) if col not in r.columns]
         if missing:
             raise ValueError(f"rrf_fuse: ranking {i} lacks columns {missing}")
+    parts = []
+    mine: list[DataFrame] = []  # this CALL's persists, for error cleanup
+    for i, r in enumerate(rankings):
         # persist the slim ranking: the validation probe AND the fusion
         # join both consume it, and the upstream is typically a whole
         # retrieval pipeline — recomputing it per consumer multiplied

@@ -49,6 +49,25 @@ class Query:
 QUERIES: dict[str, Query] = {}
 
 
+_FIXTURE_MD5: dict[str, str | None] = {}
+
+
+def _file_md5(path: str) -> str | None:
+    """Memoized md5 of one fixture file (None if unreadable)."""
+    if path not in _FIXTURE_MD5:
+        import hashlib
+
+        try:
+            h = hashlib.md5()
+            with open(path, "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
+            _FIXTURE_MD5[path] = h.hexdigest()
+        except OSError:
+            _FIXTURE_MD5[path] = None
+    return _FIXTURE_MD5[path]
+
+
 def fixture_table_paths(table: str) -> list[str]:
     """Parquet paths a literal-VALUES oracle should precompute over:
     the three standard testdata SF dirs PLUS ``$SPARK_GRAFT_SF_DIR``
@@ -58,16 +77,24 @@ def fixture_table_paths(table: str) -> list[str]:
     a guaranteed hash mismatch as a correctness failure instead of an
     unsupported-fixture signal). Builders still content-key each
     precomputed block (the sftag gate), so a wrong-but-same-shaped
-    corpus cannot silently match."""
+    corpus cannot silently match.
+
+    The env dir is dropped when it duplicates a standard fixture BY
+    CONTENT (md5 of the table file), not just by path: an rsync'd or
+    symlinked copy would otherwise make every builder emit its rows
+    twice under the same sftag — doubled literal rows, a guaranteed
+    multiset mismatch presented as a correctness failure."""
     import os
 
     dirs = [f"/root/testdata/sf{sf}" for sf in ("0.001", "0.01", "0.1")]
+    paths = [f"{d}/{table}.parquet" for d in dirs]
     env = os.environ.get("SPARK_GRAFT_SF_DIR", "").rstrip("/")
-    # realpath-compare: a symlinked/duplicate env dir must not add the
-    # same fixture twice (doubled literal rows = guaranteed mismatch)
-    if env and os.path.realpath(env) not in {os.path.realpath(d) for d in dirs}:
-        dirs.append(env)
-    return [f"{d}/{table}.parquet" for d in dirs]
+    if env and env not in dirs:
+        cand = f"{env}/{table}.parquet"
+        md5 = _file_md5(cand)
+        if md5 is not None and md5 not in {_file_md5(p) for p in paths}:
+            paths.append(cand)
+    return paths
 
 
 def query(

@@ -597,10 +597,16 @@ def group_count_event_types(spark, sf_dir):
         F.lit(1.0).alias("w"),
     )
     # pr_p: teleport restricted to users with id % 10 = 0 — ranks
-    # become proximity-to-seed-set (crawl-frontier prioritization)
-    seeds = ev.filter(F.col("user_id") % 10 == 0).select(
-        F.col("user_id").cast("string").alias("node")
-    )
+    # become proximity-to-seed-set (crawl-frontier prioritization).
+    # The event_type/user_id non-NULL filters mirror the oracle's sds
+    # CTE exactly: a %10 user whose only rows have NULL event_type
+    # contributes no edges, and seeding it here while the oracle
+    # excludes it would shift 1/ns on every rank
+    seeds = ev.filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & (F.col("user_id") % 10 == 0)
+    ).select(F.col("user_id").cast("string").alias("node"))
     try:
         # page_rank always truncates its final round, so the returned
         # frame is already materialized and lineage-free — no extra

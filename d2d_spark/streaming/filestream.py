@@ -791,11 +791,20 @@ def stream_scd2_apply(
     re-derives its output from its original pre-state).
 
     A (key, ts) collision with DIFFERENT tracked attributes — within
-    the batch, or between the batch and already-folded events — is
-    refused loudly (the window order between the two versions would
-    be arbitrary, so stream and batch could legitimately disagree);
-    an exact duplicate row collapses harmlessly, the batch operator's
-    documented idempotence.
+    the batch, or between the batch and the stored runs — is refused
+    loudly (the window order between the two versions would be
+    arbitrary, so stream and batch could legitimately disagree); an
+    exact duplicate row collapses harmlessly, the batch operator's
+    documented idempotence. The guard is as strong as bounded state
+    allows, the `stream_apply_changes` weakening: state stores one
+    event per attribute RUN, so a conflicting row at a timestamp that
+    COLLAPSED into a run's interior (same-attr repeat whose event the
+    rebuild discarded) is indistinguishable from a fresh late version
+    and folds deterministically instead of raising. Duplicate
+    timestamps per key violate the CDC contract both operators
+    document — batch `scd2_apply` orders them arbitrarily too, so
+    there is no defined batch result to diverge from; keep per-key
+    timestamps unique upstream and the refusal is airtight.
 
     ``history`` bootstraps from an existing type-2 history frame
     (columns: keys + tracked + valid_from/valid_to/is_current);
