@@ -34,7 +34,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rrf_fuse"]
+__all__ = ["mmr_rerank", "rrf_fuse"]
 
 
 def rrf_fuse(
@@ -167,3 +167,119 @@ def rrf_fuse(
         .withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= k)
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    vectors: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    score_col: str = "rrf_score",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein,
+    SIGIR 1998) of a per-query candidate list — the diversity stage
+    after fusion: ten near-identical copies of the best hit waste
+    nine context slots, so each pick trades relevance against
+    similarity to what is already picked:
+
+        mmr(d) = lam * rel(d) - (1 - lam) * max_{s in S} cos(d, s)
+
+    greedily for ``k`` rounds (first pick = pure relevance; lam = 1
+    reproduces the input order). Returns (query, doc, mmr_score,
+    rank) where ``mmr_score`` is the objective AT SELECTION TIME.
+
+    Determinism: candidates process in ascending ``doc_col`` order
+    and every argmax tie breaks toward the smaller doc id, so the
+    result is independent of input partitioning — exact-duplicate
+    embeddings (the planted-clone fixture shape) tie on every score
+    and resolve by id on any engine.
+
+    Spark shape: candidates are O(|Q| * k') by the retrieval egress
+    contract, so the doc-vector equi-join is key-pruned against the
+    corpus table and each query group is model-sized; the greedy loop
+    runs in one applyInPandas kernel per query — numpy GEMM over a
+    k' x d matrix, O(k' ** 2 * d) per query and embarrassingly
+    parallel across queries. Nothing here scales with corpus size.
+    Zero-norm candidate vectors carry similarity 0 (they repel
+    nothing); candidates MISSING from ``vectors`` are refused loudly
+    — silently dropping them would re-rank a different list."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if k < 1:
+        raise ValueError(f"mmr_rerank: k must be >= 1, got {k}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"mmr_rerank: lam must be in [0, 1], got {lam}")
+    for col in (query_col, doc_col, score_col):
+        if col not in candidates.columns:
+            raise ValueError(f"mmr_rerank: candidates lack column {col!r}")
+    slim = candidates.select(query_col, doc_col, score_col)
+    joined = slim.join(
+        vectors.select(F.col(id_col).alias(doc_col), F.col(vec_col).alias("__vec")),
+        doc_col,
+        "left",
+    )
+    bad = (
+        joined.filter(
+            F.col("__vec").isNull()
+            | F.col(score_col).isNull()
+            | F.isnan(F.col(score_col).cast("double"))
+        )
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"mmr_rerank: candidate doc {bad[0][doc_col]!r} has no corpus "
+            f"vector or a NULL/NaN {score_col!r} — a silently dropped or "
+            "NaN-poisoned candidate would re-rank a different list; fix "
+            "upstream"
+        )
+    out_schema = T.StructType(
+        [
+            joined.schema[query_col],
+            joined.schema[doc_col],
+            T.StructField("mmr_score", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+    lam_f = float(lam)
+    kk = int(k)
+
+    def kernel(pdf: pd.DataFrame):
+        # ascending doc order => np.argmax's first-occurrence rule IS
+        # the smallest-id tie-break (the twin mirrors this exactly)
+        pdf = pdf.sort_values(doc_col, kind="mergesort").reset_index(drop=True)
+        X = np.array(list(pdf["__vec"]), dtype=np.float64)
+        n = np.linalg.norm(X, axis=1)
+        Xn = np.divide(X, np.maximum(n, 1e-300)[:, None])
+        Xn[n == 0] = 0.0  # zero vectors repel nothing
+        rel = pdf[score_col].to_numpy(dtype=np.float64)
+        m = len(pdf)
+        picked: list[int] = []
+        scores: list[float] = []
+        max_sim = np.zeros(m, dtype=np.float64)
+        active = np.ones(m, dtype=bool)
+        for _ in range(min(kk, m)):
+            mmr = lam_f * rel - (1.0 - lam_f) * max_sim
+            mmr[~active] = -np.inf
+            i = int(np.argmax(mmr))
+            picked.append(i)
+            scores.append(float(mmr[i]))
+            active[i] = False
+            max_sim = np.maximum(max_sim, Xn @ Xn[i])
+        return pd.DataFrame(
+            {
+                query_col: pdf[query_col].iloc[picked].to_numpy(),
+                doc_col: pdf[doc_col].iloc[picked].to_numpy(),
+                "mmr_score": scores,
+                "rank": np.arange(1, len(picked) + 1, dtype=np.int32),
+            }
+        )
+
+    return joined.groupBy(query_col).applyInPandas(kernel, out_schema)

@@ -466,9 +466,82 @@ _SQL_INT8_TOPK = """
     """
 
 
-@query(
-    "ann_exact_topk",
-    oracle=f"""
+_MMR_K, _MMR_LAM = 3, 0.7
+
+
+def _mmr_literal_rows() -> list[tuple]:
+    """(sftag, query_id, doc_id, score6, rank) rows per fixture: a
+    numpy twin of the mmr leg — exact cosine top-5 per query (self
+    excluded, ties by ascending id), then the greedy MMR loop
+    MIRRORING operators/retrieval.mmr_rerank's kernel op-for-op
+    (ascending-doc candidate order, matrix-vector max-sim updates,
+    argmax first-occurrence = smallest-id tie-break). Zero operator
+    imports. Relevance here is numpy cosine while the leg feeds the
+    engine's fold cos_sim — the ~1e-16 cross-implementation drift the
+    fold leg's own round-6 oracle already tolerates."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from d2d_spark.plans.registry import fixture_table_paths
+
+    out: list[tuple] = []
+    for _fixture_path in fixture_table_paths("embeddings"):
+        try:
+            t = pq.read_table(
+                _fixture_path, columns=["vec_id", "embedding", "label"]
+            )
+        except Exception:
+            continue
+        ids = t["vec_id"].to_pylist()
+        labs = t["label"].to_pylist()
+        X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        tag = len(ids) * 1_000_000 + sum(
+            lb * (i % 97) for i, lb in zip(ids, labs)
+        )
+        n = np.linalg.norm(X, axis=1)
+        idx_of = {v: i for i, v in enumerate(ids)}
+        for qid in sorted(v for v in ids if v % 100 == 0):
+            qi = idx_of[qid]
+            qn = n[qi]
+            sims = []
+            for j, vid in enumerate(ids):
+                if vid == qid:
+                    continue
+                den = qn * n[j]
+                c = float(X[qi] @ X[j] / den) if den > 0 else None
+                if c is not None:
+                    sims.append((-c, vid))
+            sims.sort()
+            top = sims[: 5]
+            cand_ids = sorted(vid for _, vid in top)
+            rel_of = {vid: -negc for negc, vid in top}
+            rows = [idx_of[v] for v in cand_ids]
+            Xc = X[rows]
+            cn = np.linalg.norm(Xc, axis=1)
+            Xn = np.divide(Xc, np.maximum(cn, 1e-300)[:, None])
+            Xn[cn == 0] = 0.0
+            rel = np.array([rel_of[v] for v in cand_ids], dtype=np.float64)
+            m = len(cand_ids)
+            max_sim = np.zeros(m, dtype=np.float64)
+            active = np.ones(m, dtype=bool)
+            for r in range(1, min(_MMR_K, m) + 1):
+                mmr = _MMR_LAM * rel - (1.0 - _MMR_LAM) * max_sim
+                mmr[~active] = -np.inf
+                i = int(np.argmax(mmr))
+                out.append((tag, qid, cand_ids[i], round(float(mmr[i]), 6), r))
+                active[i] = False
+                max_sim = np.maximum(max_sim, Xn @ Xn[i])
+    return out
+
+
+def _ann_exact_oracle() -> str:
+    mmr_rows = _mmr_literal_rows()
+    if not mmr_rows:
+        mmr_rows = [(-1, 0, 0, 0.0, 0)]
+    mmr_values = ",\n     ".join(
+        f"({t}, {q}, {d}, CAST({s!r} AS DOUBLE), {r})" for t, q, d, s, r in mmr_rows
+    )
+    return f"""
     SELECT 'fold' AS leg, * FROM ({_SQL_EXACT_TOPK})
     UNION ALL
     SELECT 'gemm' AS leg, * FROM ({_SQL_EXACT_TOPK})
@@ -486,8 +559,19 @@ _SQL_INT8_TOPK = """
         FROM ({_SQL_EXACT_TOPK}) a FULL JOIN ({_SQL_INT8_TOPK}) b
           ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id))
     WHERE rank <= 5
-    """,
-    tags=("llm", "similarity", "ann", "gemm", "int8", "rrf"),
+    UNION ALL
+    SELECT 'mmr' AS leg, query_id, doc_id AS neighbor_id, score AS cos_sim, rank
+    FROM (VALUES
+     {mmr_values}) AS mmr_exp(sftag, query_id, doc_id, score, rank)
+    WHERE sftag = (SELECT COUNT(*) * 1000000 + SUM(label * (vec_id % 97))
+                   FROM embeddings)
+    """
+
+
+@query(
+    "ann_exact_topk",
+    oracle=_ann_exact_oracle,
+    tags=("llm", "similarity", "ann", "gemm", "int8", "rrf", "mmr"),
 )
 def ann_exact_topk(spark, sf_dir):
     """Exact and quantized cosine retrieval plus rank fusion in one
@@ -503,7 +587,10 @@ def ann_exact_topk(spark, sf_dir):
     operators/retrieval.rrf_fuse (Cormack 2009, c=60): fused scores
     are a fixed-order fold of 1/(60+rank) terms over rankings already
     hash-pinned above, so the whole hybrid list is engine-exact with
-    no rounding at all."""
+    no rounding at all. The mmr leg diversity-reranks the exact top-5
+    with operators/retrieval.mmr_rerank (Carbonell 1998, lam=0.7,
+    k=3) against a numpy twin mirroring the greedy kernel
+    op-for-op."""
     from pyspark import StorageLevel
 
     from d2d_spark import cache as opcache
@@ -547,11 +634,28 @@ def ann_exact_topk(spark, sf_dir):
         F.col("rrf_score").alias("cos_sim"),
         "rank",
     )
+    from d2d_spark.operators.retrieval import mmr_rerank
+
+    # mmr leg: diversity-rerank the exact top-5 (third consumer of the
+    # persisted fold) — relevance is the fold's cos_sim, doc-doc
+    # similarity recomputed from the corpus vectors in the kernel
+    mmr = mmr_rerank(
+        fold, e, k=_MMR_K, lam=_MMR_LAM,
+        query_col="query_id", doc_col="neighbor_id", score_col="cos_sim",
+        id_col="vec_id", vec_col="embedding",
+    ).select(
+        F.lit("mmr").alias("leg"),
+        "query_id",
+        "neighbor_id",
+        F.round("mmr_score", 6).alias("cos_sim"),
+        "rank",
+    )
     return (
         fold.select(F.lit("fold").alias("leg"), *cols)
         .unionByName(gemm.select(F.lit("gemm").alias("leg"), *cols))
         .unionByName(int8.select(F.lit("int8").alias("leg"), *cols))
         .unionByName(fused)
+        .unionByName(mmr)
     )
 
 

@@ -112,3 +112,128 @@ def test_rrf_hybrid_bm25_dense_end_to_end(spark, sf_dir):
         ranks = sorted(x["rank"] for x in rs)
         assert ranks == list(range(1, len(rs) + 1))
         assert all(x["rrf_score"] > 0 for x in rs)
+
+
+def _py_mmr(cands, vecs, k, lam):
+    """Independent greedy MMR replay: cands = [(doc, rel)], vecs =
+    {doc: list}; plain-Python loops, cosine from math, ties -> min id."""
+    import math
+
+    items = sorted(cands)  # ascending doc id
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v] if n > 0 else [0.0] * len(v)
+
+    U = {d: unit(vecs[d]) for d, _ in items}
+    picked, out = [], []
+    active = {d for d, _ in items}
+    max_sim = {d: 0.0 for d, _ in items}
+    for _ in range(min(k, len(items))):
+        best, best_s = None, None
+        for d, rel in items:
+            if d not in active:
+                continue
+            s = lam * rel - (1.0 - lam) * max_sim[d]
+            if best_s is None or s > best_s:
+                best, best_s = d, s
+        picked.append(best)
+        out.append((best, best_s))
+        active.discard(best)
+        ub = U[best]
+        for d, _ in items:
+            sim = sum(a * b for a, b in zip(U[d], ub))
+            max_sim[d] = max(max_sim[d], sim)
+    return out
+
+
+def test_mmr_rerank_matches_python_greedy(spark):
+    """Operator ≡ the plain-Python greedy on a corpus with planted
+    exact-duplicate vectors (ties resolve by id) and a zero vector."""
+    import random
+
+    from d2d_spark.operators.retrieval import mmr_rerank
+
+    rng = random.Random(3)
+    vecs = {d: [rng.uniform(-1, 1) for _ in range(8)] for d in range(20)}
+    vecs[11] = list(vecs[4])  # exact duplicate pair
+    vecs[12] = [0.0] * 8      # zero vector: repels nothing
+    cands = []
+    for q in (0, 1):
+        docs = rng.sample(range(20), 12)
+        if q == 0:
+            docs = sorted(set(docs) | {4, 11, 12})
+        for d in docs:
+            cands.append((q, d, round(rng.uniform(0, 1), 3)))
+    cdf = spark.createDataFrame(cands, "query_id long, doc_id long, rrf_score double")
+    vdf = spark.createDataFrame(
+        [(d, v) for d, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    for lam in (0.0, 0.5, 0.7, 1.0):
+        got = {}
+        for r in mmr_rerank(cdf, vdf, k=6, lam=lam).collect():
+            got.setdefault(r["query_id"], []).append(
+                (r["doc_id"], round(r["mmr_score"], 9), r["rank"])
+            )
+        for q in (0, 1):
+            rel = {(d): s for qq, d, s in cands if qq == q}
+            want = _py_mmr(list(rel.items()), vecs, 6, lam)
+            got_q = sorted(got[q], key=lambda t: t[2])
+            assert [g[0] for g in got_q] == [w[0] for w in want], (q, lam)
+            for (gd, gs, _), (wd, ws) in zip(got_q, want):
+                assert abs(gs - ws) < 1e-9, (q, lam, gd)
+
+
+def test_mmr_rerank_lam1_is_relevance_order_and_guards(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from d2d_spark.operators.retrieval import mmr_rerank
+
+    cdf = spark.createDataFrame(
+        [(0, 1, 0.9), (0, 2, 0.7), (0, 3, 0.8)],
+        "query_id long, doc_id long, rrf_score double",
+    )
+    vdf = spark.createDataFrame(
+        [(d, [float(d), 1.0]) for d in (1, 2, 3)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = mmr_rerank(cdf, vdf, k=3, lam=1.0).orderBy("rank").collect()
+    assert [r["doc_id"] for r in rows] == [1, 3, 2]  # pure relevance
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+    with pytest.raises(ValueError, match="lam"):
+        mmr_rerank(cdf, vdf, lam=1.5)
+    with pytest.raises(ValueError, match="k must"):
+        mmr_rerank(cdf, vdf, k=0)
+    with pytest.raises(ValueError, match="lack column"):
+        mmr_rerank(cdf.drop("rrf_score"), vdf)
+    with pytest.raises(ValueError, match="no corpus vector"):
+        mmr_rerank(cdf, vdf.filter(F.col("vec_id") != 2))
+    with pytest.raises(ValueError, match="NULL/NaN"):
+        mmr_rerank(
+            cdf.withColumn(
+                "rrf_score",
+                F.when(F.col("doc_id") == 2, F.lit(None)).otherwise(F.col("rrf_score")),
+            ),
+            vdf,
+        )
+
+
+def test_mmr_rerank_partitioning_invariance(spark):
+    """Same result on 1 and 16 input partitions (the tie-break and
+    sort discipline, not partition luck)."""
+    import random
+
+    from d2d_spark.operators.retrieval import mmr_rerank
+
+    rng = random.Random(9)
+    cands = [(q, d, round(rng.uniform(0, 1), 3)) for q in range(5) for d in rng.sample(range(40), 15)]
+    vecs = [(d, [rng.uniform(-1, 1) for _ in range(6)]) for d in range(40)]
+    cdf = spark.createDataFrame(cands, "query_id long, doc_id long, rrf_score double")
+    vdf = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    a = sorted(
+        tuple(r) for r in mmr_rerank(cdf.repartition(1), vdf, k=5, lam=0.6).collect()
+    )
+    b = sorted(
+        tuple(r) for r in mmr_rerank(cdf.repartition(16), vdf, k=5, lam=0.6).collect()
+    )
+    assert a == b
