@@ -205,8 +205,14 @@ def mmr_rerank(
     k' x d matrix, O(k' ** 2 * d) per query and embarrassingly
     parallel across queries. Nothing here scales with corpus size.
     Zero-norm candidate vectors carry similarity 0 (they repel
-    nothing); candidates MISSING from ``vectors`` are refused loudly
-    — silently dropping them would re-rank a different list."""
+    nothing). Candidates MISSING from ``vectors``, duplicate
+    (query, doc) rows (from duplicate candidates or duplicate vector
+    ids), and non-finite scores or vector elements are refused loudly
+    in one probe — each would silently re-rank a different list or
+    re-emit a picked doc. The candidate-vector join persists for the
+    probe + plan pair (release per corpus via
+    ``d2d_spark.cache.release("mmr_rerank")``; a refused call
+    releases its own frame)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -218,27 +224,72 @@ def mmr_rerank(
     for col in (query_col, doc_col, score_col):
         if col not in candidates.columns:
             raise ValueError(f"mmr_rerank: candidates lack column {col!r}")
+    from pyspark import StorageLevel
+
+    from d2d_spark import cache as opcache
+
     slim = candidates.select(query_col, doc_col, score_col)
-    joined = slim.join(
-        vectors.select(F.col(id_col).alias(doc_col), F.col(vec_col).alias("__vec")),
-        doc_col,
-        "left",
+    # persist: the validation probe AND the returned plan both consume
+    # the join, and the upstream is typically a whole retrieval
+    # pipeline (the rrf_fuse discipline — recompute-per-consumer
+    # measured several-fold there); registered for per-corpus release
+    joined = opcache.register(
+        "mmr_rerank",
+        slim.join(
+            vectors.select(F.col(id_col).alias(doc_col), F.col(vec_col).alias("__vec")),
+            doc_col,
+            "left",
+        ).persist(StorageLevel.MEMORY_AND_DISK),
     )
+    # ONE probe job, every silent-corruption mode at once: a missing
+    # vector or a duplicate (query, doc) — from duplicate candidates
+    # OR duplicate vector ids fanning the join — re-ranks a different
+    # list; a non-finite score or vector element poisons the argmax
+    # (-inf ties with the masked picked entries, NaN propagates
+    # through max_sim) and re-emits an already-picked doc
+    sc = F.col(score_col).cast("double")
     bad = (
-        joined.filter(
-            F.col("__vec").isNull()
-            | F.col(score_col).isNull()
-            | F.isnan(F.col(score_col).cast("double"))
+        joined.groupBy(query_col, doc_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.max(F.col("__vec").isNull().cast("int")).alias("__novec"),
+            F.max(
+                (sc.isNull() | F.isnan(sc) | (F.abs(sc) == F.lit(float("inf"))))
+                .cast("int")
+            ).alias("__badscore"),
+            F.max(
+                F.coalesce(
+                    F.exists(
+                        "__vec", lambda x: x.isNull() | F.isnan(x.cast("double"))
+                    ),
+                    F.lit(False),
+                ).cast("int")
+            ).alias("__badel"),
+        )
+        .filter(
+            (F.col("__n") > 1)
+            | (F.col("__novec") > 0)
+            | (F.col("__badscore") > 0)
+            | (F.col("__badel") > 0)
         )
         .limit(1)
         .collect()
     )
     if bad:
+        # a failed call has no consumer — drop what THIS call persisted
+        opcache.deregister("mmr_rerank", [joined])
+        b = bad[0]
+        what = (
+            "appears more than once (duplicate candidates or duplicate "
+            "vector ids fanning the join)" if b["__n"] > 1
+            else "has no corpus vector" if b["__novec"]
+            else f"has a NULL/NaN/Inf {score_col!r}" if b["__badscore"]
+            else "has a NULL/NaN element in its vector"
+        )
         raise ValueError(
-            f"mmr_rerank: candidate doc {bad[0][doc_col]!r} has no corpus "
-            f"vector or a NULL/NaN {score_col!r} — a silently dropped or "
-            "NaN-poisoned candidate would re-rank a different list; fix "
-            "upstream"
+            f"mmr_rerank: candidate (query {b[query_col]!r}, doc "
+            f"{b[doc_col]!r}) {what} — a silently dropped, duplicated or "
+            "poisoned candidate would re-rank a different list; fix upstream"
         )
     out_schema = T.StructType(
         [

@@ -598,10 +598,11 @@ def ann_exact_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
     cols = ["query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"]
-    # fold and int8 each feed TWO consumers (their own leg select and
-    # the rrf fusion): persist the O(|Q|*k) outputs once, or every
-    # consumer recomputes a whole brute-force pass (the minhash
-    # shared-stage discipline; release via cache.release("ann_suite"))
+    # fold feeds THREE consumers (its leg select, the rrf fusion and
+    # the mmr rerank) and int8 two (leg select + fusion): persist the
+    # O(|Q|*k) outputs once, or every consumer recomputes a whole
+    # brute-force pass (the minhash shared-stage discipline; release
+    # via cache.release("ann_suite"))
     fold = opcache.register(
         "ann_suite",
         S.brute_force_topk(

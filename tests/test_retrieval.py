@@ -208,13 +208,43 @@ def test_mmr_rerank_lam1_is_relevance_order_and_guards(spark):
         mmr_rerank(cdf.drop("rrf_score"), vdf)
     with pytest.raises(ValueError, match="no corpus vector"):
         mmr_rerank(cdf, vdf.filter(F.col("vec_id") != 2))
-    with pytest.raises(ValueError, match="NULL/NaN"):
+    with pytest.raises(ValueError, match="NULL/NaN/Inf"):
         mmr_rerank(
             cdf.withColumn(
                 "rrf_score",
                 F.when(F.col("doc_id") == 2, F.lit(None)).otherwise(F.col("rrf_score")),
             ),
             vdf,
+        )
+    # -inf relevance would tie with the masked picked entries in the
+    # argmax and re-emit a picked doc — must refuse, not corrupt
+    with pytest.raises(ValueError, match="NULL/NaN/Inf"):
+        mmr_rerank(
+            cdf.withColumn(
+                "rrf_score",
+                F.when(F.col("doc_id") == 2, F.lit(float("-inf"))).otherwise(
+                    F.col("rrf_score")
+                ),
+            ),
+            vdf,
+        )
+    # duplicate vector ids fan the join: same doc at two ranks
+    with pytest.raises(ValueError, match="more than once"):
+        mmr_rerank(cdf, vdf.unionByName(vdf.filter(F.col("vec_id") == 2)))
+    # duplicate (query, doc) candidates are just as ambiguous
+    with pytest.raises(ValueError, match="more than once"):
+        mmr_rerank(cdf.unionByName(cdf.limit(1)), vdf)
+    # a NaN ELEMENT inside a non-NULL vector poisons max_sim
+    with pytest.raises(ValueError, match="NULL/NaN element"):
+        mmr_rerank(
+            cdf,
+            vdf.withColumn(
+                "embedding",
+                F.when(
+                    F.col("vec_id") == 3,
+                    F.array(F.lit(float("nan")), F.lit(1.0)),
+                ).otherwise(F.col("embedding")),
+            ),
         )
 
 
