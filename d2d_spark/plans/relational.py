@@ -350,7 +350,11 @@ def dedup_exact_events(spark, sf_dir):
 # ES terms agg + top_hits (§2.5)
 # ---------------------------------------------------------------------------
 def _pagerank_unrolled_oracle(
-    iters: int = 8, d: float = 0.85, hits_iters: int = 4, lpa_iters: int = 4
+    iters: int = 8,
+    d: float = 0.85,
+    hits_iters: int = 4,
+    lpa_iters: int = 4,
+    variant_iters: int = 4,
 ) -> str:
     """Fixed-iteration PageRank, HITS and label propagation as plain
     SQL: standard recursive CTEs forbid aggregates in the recursive
@@ -401,7 +405,7 @@ def _pagerank_unrolled_oracle(
              FROM nodes LEFT JOIN wod ON node = wod.src),
     wpr0 AS MATERIALIZED (SELECT node, outdeg, 1.0/(SELECT n FROM nn) AS rank FROM wbase)"""
     )
-    for k in range(1, iters + 1):
+    for k in range(1, variant_iters + 1):
         p = f"wpr{k - 1}"
         parts.append(
             f""",
@@ -429,7 +433,7 @@ def _pagerank_unrolled_oracle(
              FROM base b LEFT JOIN sds s ON b.node = s.node),
     ppr0 AS MATERIALIZED (SELECT node, outdeg, v, v AS rank FROM pbase)"""
     )
-    for k in range(1, iters + 1):
+    for k in range(1, variant_iters + 1):
         p = f"ppr{k - 1}"
         parts.append(
             f""",
@@ -514,9 +518,9 @@ def _pagerank_unrolled_oracle(
     UNION ALL
     SELECT 'pagerank', node, CAST(NULL AS BIGINT), round(rank, 6) FROM pr{iters}
     UNION ALL
-    SELECT 'pr_w', node, CAST(NULL AS BIGINT), round(rank, 6) FROM wpr{iters}
+    SELECT 'pr_w', node, CAST(NULL AS BIGINT), round(rank, 6) FROM wpr{variant_iters}
     UNION ALL
-    SELECT 'pr_p', node, CAST(NULL AS BIGINT), round(rank, 6) FROM ppr{iters}
+    SELECT 'pr_p', node, CAST(NULL AS BIGINT), round(rank, 6) FROM ppr{variant_iters}
     UNION ALL
     SELECT 'triangles', CAST(n AS VARCHAR), COUNT(*), CAST(NULL AS DOUBLE)
     FROM (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
@@ -546,10 +550,11 @@ def group_count_event_types(spark, sf_dir):
     iteration unrolled into chained SQL CTEs — the event types are
     all dangling (no out-edges), so the uniform dangling-mass
     redistribution is exercised every round, not just covered.
-    'pr_w': weighted PageRank — every event row is a unit-weight
-    edge, page_rank sums duplicates so votes split by occurrence
-    share; the oracle unrolls the same rounds with
-    SUM(rank * w / outdeg) inflows. 'pr_p': PERSONALIZED PageRank —
+    'pr_w': weighted PageRank (4 fixed rounds, the HITS/LPA budget) —
+    every event row is a unit-weight edge, page_rank sums duplicates
+    so votes split by occurrence share; the oracle unrolls the same
+    rounds with SUM(rank * w / outdeg) inflows. 'pr_p': PERSONALIZED
+    PageRank (4 rounds) —
     teleport and dangling mass land only on the % 10 = 0 user seed
     set (v = 1/ns on seeds, 0 elsewhere, rank0 = v); in the bipartite
     graph non-seed users provably hold rank 0, seeds hold teleport +
@@ -612,8 +617,14 @@ def group_count_event_types(spark, sf_dir):
         # frame is already materialized and lineage-free — no extra
         # checkpoint needed to decouple from the conf restore
         ranked = page_rank(edges, max_iters=8, tol=None)
-        ranked_w = page_rank(wedges, max_iters=8, tol=None, weight_col="w")
-        ranked_p = page_rank(edges, max_iters=8, tol=None, seeds=seeds)
+        # variants run 4 fixed rounds (the HITS/LPA budget): each
+        # round already exercises the weighted vote split / the
+        # seed-restricted teleport + dangling return, and the classic
+        # leg keeps the 8-round history comparable across rounds —
+        # three 8-round loops were pure scheduler overhead on a graph
+        # this small (~15s of the suite's driver time)
+        ranked_w = page_rank(wedges, max_iters=4, tol=None, weight_col="w")
+        ranked_p = page_rank(edges, max_iters=4, tol=None, seeds=seeds)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     pr = ranked.select(
