@@ -51,3 +51,73 @@ def test_coverage_doc_cites_only_live_queries():
     missing = sorted(cited - names)
     assert not missing, f"COVERAGE.md cites unknown queries: {missing}"
     assert len(names) == 50, "registry must stay at the driver's 50-query window"
+
+
+def test_fixture_table_paths_env_dedup(tmp_path, monkeypatch):
+    """$SPARK_GRAFT_SF_DIR joins the literal-oracle fixture list only
+    when its table file differs BY CONTENT from every standard
+    fixture — an rsync'd copy would double every builder's rows under
+    the same content tag (a guaranteed oracle mismatch); a missing
+    file is dropped; a genuinely different fixture is appended."""
+    import shutil
+
+    from d2d_spark.plans import registry
+
+    std = "/root/testdata/sf0.01/documents.parquet"
+    # content copy of a standard fixture: deduped
+    shutil.copy(std, tmp_path / "documents.parquet")
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", str(tmp_path))
+    registry._FIXTURE_MD5.clear()
+    assert len(registry.fixture_table_paths("documents")) == 3
+    # same dir, different content: appended
+    with open(tmp_path / "documents.parquet", "ab") as f:
+        f.write(b"x")
+    registry._FIXTURE_MD5.clear()
+    paths = registry.fixture_table_paths("documents")
+    assert len(paths) == 4 and paths[-1] == str(tmp_path / "documents.parquet")
+    # missing table in the env dir: dropped, standard three remain
+    registry._FIXTURE_MD5.clear()
+    assert len(registry.fixture_table_paths("orders")) == 3
+    # env pointing at a standard dir: no duplicate
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1/")
+    registry._FIXTURE_MD5.clear()
+    assert len(registry.fixture_table_paths("documents")) == 3
+
+
+def test_bench_compare_classifies_movers(tmp_path):
+    """The bench comparator separates plan changes (shuffle bytes
+    moved) from host noise (wall moved, shuffle flat) and reports
+    pre-metrics legs as unattributable."""
+    import json
+    import subprocess
+    import sys
+
+    a = {
+        "parsed": {
+            "queries": {"q1": 1.0, "q2": 1.0, "q3": 1.0, "gone": 0.5},
+            "leg_metrics": {
+                "q1": {"shuffle_write_bytes": 1_000_000},
+                "q2": {"shuffle_write_bytes": 1_000_000},
+            },
+        }
+    }
+    b = {
+        "queries": {"q1": 3.0, "q2": 3.0, "q3": 3.0, "new": 0.5},
+        "leg_metrics": {
+            "q1": {"shuffle_write_bytes": 5_000_000},
+            "q2": {"shuffle_write_bytes": 1_000_000},
+        },
+    }
+    fa, fb = tmp_path / "a.json", tmp_path / "b.json"
+    fa.write_text(json.dumps(a))
+    fb.write_text(json.dumps(b))
+    out = subprocess.run(
+        [sys.executable, "scripts/bench_compare.py", str(fa), str(fb)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr
+    lines = {ln.split()[0]: ln for ln in out.stdout.splitlines() if ln.startswith("q")}
+    assert "PLAN CHANGE" in lines["q1"]
+    assert "HOST NOISE" in lines["q2"]
+    assert "NO METRICS" in lines["q3"]
+    assert "only in" in out.stdout and "gone" in out.stdout and "new" in out.stdout
