@@ -533,25 +533,31 @@ def _weighted_profiles(
     out = df.select(
         F.col(id_col).alias("__id"), F.col(token_col).alias("__t"), w.alias("__w")
     )
-    if not validate:
-        return out
-    bad_cond = (
-        w.isNull() | (w <= 0) | F.col(id_col).isNull() | F.col(token_col).isNull()
-    )
-    stats = df.agg(
+    if validate:
+        _validate_profiles(out, what)
+    return out
+
+
+def _validate_profiles(out: DataFrame, what: str) -> None:
+    """The one-pass contract check over a (__id, __t, __w) frame —
+    split out so callers that persist the frame first can validate ON
+    the cached copy (the first aggregate fills the cache, and the
+    failure-path example fetch reads it too, instead of re-running
+    the upstream tokenize per probe)."""
+    w = F.col("__w")
+    bad_cond = w.isNull() | (w <= 0) | F.col("__id").isNull() | F.col("__t").isNull()
+    stats = out.agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum(bad_cond.cast("long")).alias("__nbad"),
         # count_distinct skips rows with a NULL id/token, but those
         # are already counted in __nbad and raise first — so with
         # __nbad == 0, __n != __nkey iff duplicate (id, token) keys
-        F.count_distinct(F.col(id_col), F.col(token_col)).alias("__nkey"),
+        F.count_distinct(F.col("__id"), F.col("__t")).alias("__nkey"),
     ).collect()[0]
     if stats["__nbad"]:
-        bad = (
-            df.filter(bad_cond).select(id_col, token_col, w.alias("__w")).limit(1).collect()
-        )
+        bad = out.filter(bad_cond).limit(1).collect()
         raise ValueError(
-            f"{what}: row (id={bad[0][0]!r}, token={bad[0][1]!r}, "
+            f"{what}: row (id={bad[0]['__id']!r}, token={bad[0]['__t']!r}, "
             f"weight={bad[0]['__w']!r}) has a NULL id/token or a "
             "NULL/non-positive weight — drop or fix upstream"
         )
@@ -560,7 +566,6 @@ def _weighted_profiles(
             f"{what}: duplicate (id, token) rows — a token's "
             "weight per document must be a single number; aggregate upstream"
         )
-    return out
 
 
 def _weighted_pairs_output(
@@ -741,31 +746,40 @@ def weighted_minhash_lsh_pairs(
 
     from d2d_spark import cache as opcache
 
-    profiles = _weighted_profiles(
+    # persist FIRST, probe ON the cached copy, register only after
+    # every probe passes: the profile frame feeds SIX scans
+    # (validation agg, bomb probe, item explode, sizes, both verify
+    # joins) and its upstream is typically a whole tokenize pipeline
+    # — probing unpersisted re-ran that pipeline once per probe. A
+    # bad call still leaks no REGISTERED entry (the bands check's
+    # discipline): failure unpersists the frame directly before
+    # raising.
+    wt = _weighted_profiles(
         df, id_col, token_col, weight_col, "weighted_minhash_lsh_pairs",
-        validate=validate,
-    )
-    # probe the weight bomb on the UNPERSISTED profile frame, BEFORE
-    # anything is registered — a bad call must leak no cached blocks
-    # (the bands check above follows the same discipline); the probe
-    # is a limit(1) filter scan, cheap relative to the item explode
-    q = F.ceil(F.col("__w") * F.lit(float(resolution))).cast("long")
-    bomb = profiles.filter(q > max_replicas_per_token).limit(1).collect()
-    if bomb:
-        raise ValueError(
-            f"weighted_minhash_lsh_pairs: token {bomb[0]['__t']!r} of id "
-            f"{bomb[0]['__id']!r} discretizes to more than "
-            f"{max_replicas_per_token} replicas — rescale weights or lower "
-            "resolution; a weight bomb would explode the item stream"
-        )
-    # the profile frame feeds FOUR consumers (item explode, sizes,
-    # both verify joins): persist once, the minhash_lsh_pairs
-    # discipline (lineage intact; release per corpus via
-    # cache.release("weighted_minhash"))
-    wt = opcache.register(
-        "weighted_minhash", profiles.persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    wt.count()
+        validate=False,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        if validate:
+            # the first aggregate fills the cache as it checks
+            _validate_profiles(wt, "weighted_minhash_lsh_pairs")
+        q = F.ceil(F.col("__w") * F.lit(float(resolution))).cast("long")
+        bomb = wt.filter(q > max_replicas_per_token).limit(1).collect()
+        if bomb:
+            raise ValueError(
+                f"weighted_minhash_lsh_pairs: token {bomb[0]['__t']!r} of id "
+                f"{bomb[0]['__id']!r} discretizes to more than "
+                f"{max_replicas_per_token} replicas — rescale weights or "
+                "lower resolution; a weight bomb would explode the item "
+                "stream"
+            )
+    except Exception:
+        wt.unpersist(blocking=False)
+        raise
+    # release per corpus via cache.release("weighted_minhash")
+    opcache.register("weighted_minhash", wt)
+    if not validate:
+        wt.count()  # the validation agg didn't run — fill the cache
+    # (lineage intact — the minhash_lsh_pairs persist discipline)
     items = wt.select(
         "__id", "__t", F.explode(F.sequence(F.lit(1), q)).alias("__i")
     ).select(
