@@ -901,6 +901,78 @@ def _naive_uni_train(freqs, vocab_size, max_len=_UNI_MAXLEN, seed_mult=_UNI_SEED
     return {p: lp - z for p, lp in sorted(logp.items())}
 
 
+_WP_MERGES, _WP_TOPW = 120, 5_000
+
+
+def _naive_wp_train(freqs, n_merges, min_pair=2):
+    """Independent WordPiece trainer twin for the oracle: recounts
+    EVERY pair and symbol from scratch each round (the operator keeps
+    an incremental pair->words index — zero shared code, the
+    _naive_bpe_merges standard). Winner = max count(ab)/(count(a)*
+    count(b)) compared by exact integer cross-products, ties to the
+    lexicographically smallest pair; returns the vocab list."""
+    words = [[w[0]] + ["##" + ch for ch in w[1:]] for w, _ in freqs if w]
+    cnts = [c for w, c in freqs if w]
+    vocab = sorted({s for syms in words for s in syms})
+    for _ in range(n_merges):
+        pc: dict = {}
+        sc: dict = {}
+        for syms, c in zip(words, cnts):
+            for s in syms:
+                sc[s] = sc.get(s, 0) + c
+            for p in zip(syms, syms[1:]):
+                pc[p] = pc.get(p, 0) + c
+        best = None
+        best_n, best_d = 0, 1
+        for p in sorted(pc):
+            n = pc[p]
+            if n < min_pair:
+                continue
+            d = sc[p[0]] * sc[p[1]]
+            if best is None or n * best_d > best_n * d:
+                best, best_n, best_d = p, n, d
+        if best is None:
+            break
+        a, b = best
+        new = a + (b[2:] if b.startswith("##") else b)
+        vocab.append(new)
+        for i, syms in enumerate(words):
+            out = []
+            j = 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                    out.append(new)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[i] = out
+    return vocab
+
+
+def _naive_wp_encode(word, vocab, unk="[UNK]", max_chars=100):
+    """Greedy longest-match-first with ## continuations and whole-word
+    [UNK] fallback — a for/else scan, independent of the operator's
+    while-walk."""
+    if not word:
+        return []
+    if len(word) > max_chars:
+        return [unk]
+    out, start = [], 0
+    while start < len(word):
+        for end in range(len(word), start, -1):
+            cand = word[start:end]
+            if start:
+                cand = "##" + cand
+            if cand in vocab:
+                out.append(cand)
+                start = end
+                break
+        else:
+            return [unk]
+    return out
+
+
 def _bpe_pack_mix_oracle() -> str:
     import math
     import re
@@ -971,6 +1043,20 @@ def _bpe_pack_mix_oracle() -> str:
                 hashlib.md5("\x01".join(pieces).encode("utf-8")).hexdigest()[:15], 16
             )
             rows.append((tag, "unigram", str(i), len(pieces), digest))
+        # wordpiece leg: INDEPENDENT replay of the THIRD tokenizer
+        # family — same bounded word table, the naive likelihood-score
+        # trainer + greedy longest-match encoder above (recount-from-
+        # scratch loop, zero code shared with operators/wordpiece)
+        wfreqs = sorted(wf.items(), key=lambda kv: (-kv[1], kv[0]))[:_WP_TOPW]
+        wvocab = set(_naive_wp_train(wfreqs, _WP_MERGES))
+        for i, toks in pretoks.items():
+            if i % 40 != 20:
+                continue
+            pieces = [p for w in toks for p in _naive_wp_encode(w, wvocab)]
+            digest = int(
+                hashlib.md5("\x01".join(pieces).encode("utf-8")).hexdigest()[:15], 16
+            )
+            rows.append((tag, "wordpiece", str(i), len(pieces), digest))
     if not rows:
         # no fixture readable at registration: keep the SQL parseable
         # and the failure shape the documented loud zero-row mismatch
@@ -1009,11 +1095,19 @@ def bpe_pack_mix_pipeline(spark, sf_dir):
     packing waste bound are additionally pytest-pinned."""
     import math
 
-    from d2d_spark.operators.bpe import bpe_encode, train_bpe
+    from d2d_spark.operators.bpe import (
+        bpe_encode,
+        train_bpe_from_frequencies,
+        word_frequencies,
+    )
     from d2d_spark.operators.sampling import mix_to_token_budget, pack_documents
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    merges = train_bpe(d, "text", n_merges=100, top_words=10_000)
+    # ONE corpus word-frequency aggregate feeds all THREE tokenizer
+    # trainings (the table is (count desc, word asc)-sorted, so the
+    # top-N prefix of the top-10k table IS the direct top-N table)
+    wf_tbl = word_frequencies(d, "text", top_words=10_000)
+    merges = train_bpe_from_frequencies(wf_tbl, 100)
     enc = bpe_encode(d, "text", merges, out_col="bpe", count_col="n_tok").select(
         "doc_id", "text", F.col("n_tok").cast("bigint").alias("n_tok")
     )
@@ -1053,10 +1147,13 @@ def bpe_pack_mix_pipeline(spark, sf_dir):
     # md5-prefix digest against the registration-time Python replay
     # (trainer equivalence itself is pytest-pinned; this leg checks
     # the distributed aggregate + encode cross-engine)
-    from d2d_spark.operators.unigram_tok import train_unigram, unigram_encode
+    from d2d_spark.operators.unigram_tok import (
+        train_unigram_from_frequencies,
+        unigram_encode,
+    )
 
-    um = train_unigram(
-        d, "text", vocab_size=_UNI_VOCAB, top_words=_UNI_TOPW, n_iters=_UNI_ITERS
+    um = train_unigram_from_frequencies(
+        wf_tbl[:_UNI_TOPW], vocab_size=_UNI_VOCAB, n_iters=_UNI_ITERS
     )
     uenc = unigram_encode(d.filter(F.col("doc_id") % 40 == 0), "text", um)
     uni_leg = uenc.select(
@@ -1069,4 +1166,26 @@ def bpe_pack_mix_pipeline(spark, sf_dir):
         .cast("bigint")
         .alias("tok"),
     )
-    return bins.unionByName(mix_leg).unionByName(uni_leg)
+    # wordpiece leg: the THIRD tokenizer family through the same
+    # distributed plumbing — likelihood-score merges over the shared
+    # word table, greedy longest-match Arrow encode over a disjoint
+    # doc subset, pinned per doc by piece count + md5-prefix digest
+    # against the registration-time naive replay
+    from d2d_spark.operators.wordpiece import (
+        train_wordpiece_from_frequencies,
+        wordpiece_encode,
+    )
+
+    wpm = train_wordpiece_from_frequencies(wf_tbl[:_WP_TOPW], n_merges=_WP_MERGES)
+    wenc = wordpiece_encode(
+        d.filter(F.col("doc_id") % 40 == 20), "text", wpm, out_col="wp", count_col=None
+    )
+    wp_leg = wenc.select(
+        F.lit("wordpiece").alias("leg"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.size("wp").cast("bigint").alias("n"),
+        F.conv(F.substring(F.md5(F.concat_ws("\x01", "wp")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("tok"),
+    )
+    return bins.unionByName(mix_leg).unionByName(uni_leg).unionByName(wp_leg)
