@@ -235,3 +235,219 @@ def gap_fill(
         *out_vals,
         F.coalesce(~F.col("__present"), F.lit(True)).alias("gap"),
     )
+
+
+def _probe_series(
+    df: DataFrame, keys: list[str], order_col: str, what: str, max_rows_per_key: int
+) -> None:
+    """ONE validation pass for the series operators below (the
+    single-aggregate discipline): refuses NULL order values, duplicate
+    (key, order) rows (ties make window frames / fold order
+    partitioning-dependent — aggregate first), and whale keys whose
+    full series would exceed ``max_rows_per_key`` (ewma's per-key
+    state is the series itself)."""
+    per_key = (
+        df.groupBy(*keys, order_col)
+        .agg(F.count(F.lit(1)).alias("__n"), F.max(F.col(order_col).isNull()).alias("__on"))
+        .groupBy(*keys)
+        .agg(
+            F.sum("__n").alias("__rows"),
+            F.max("__n").alias("__dup"),
+            F.max("__on").alias("__null"),
+        )
+    )
+    bad = per_key.agg(
+        F.max("__rows").alias("rows"),
+        F.max("__dup").alias("dup"),
+        F.max("__null").alias("null_order"),
+    ).first()
+    if bad["rows"] is None:
+        return  # empty input: every operator below returns empty
+    if bad["null_order"]:
+        raise ValueError(f"{what}: NULL {order_col!r} values — a series point "
+                         "without a position is undefined; filter or impute first")
+    if bad["dup"] > 1:
+        raise ValueError(f"{what}: duplicate (key, {order_col}) rows — order ties "
+                         "make the result partitioning-dependent; aggregate "
+                         "(resample) first")
+    if bad["rows"] > max_rows_per_key:
+        raise ValueError(
+            f"{what}: a key holds {bad['rows']} rows (> max_rows_per_key="
+            f"{max_rows_per_key}) — resample to a coarser grid, split the key, "
+            "or raise the cap explicitly"
+        )
+
+
+def rolling_stats(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    window: int,
+    stats: Sequence[str] = ("avg", "sum", "min", "max", "stddev", "count"),
+    min_periods: int = 1,
+    out_prefix: str = "roll_",
+    validate: bool = True,
+    max_rows_per_key: int = 100_000_000,
+) -> DataFrame:
+    """Trailing-window statistics per key: for each row, aggregate the
+    last ``window`` rows (INCLUDING the current one) of the series
+    ordered by ``order_col``. Appends one ``{out_prefix}{stat}`` column
+    per requested stat; rows whose frame holds fewer than
+    ``min_periods`` non-NULL values get NULL (count excepted — it IS
+    the frame's non-NULL size). NULL values don't contribute (SQL
+    aggregate semantics).
+
+    Spark shape: ONE window shuffle on the keys; every stat shares the
+    same frame so Catalyst collapses them into one Window node. At
+    100 TB the cost is the key shuffle — same as any per-key window;
+    no per-key state beyond the frame. ``validate`` (default on) runs
+    one aggregate pass refusing NULL/duplicate order values — pass
+    False for pre-validated pipelines (resample output qualifies)."""
+    known = {"avg", "sum", "min", "max", "stddev", "count"}
+    req = list(stats)
+    bad = [s for s in req if s not in known]
+    if bad:
+        raise ValueError(f"rolling_stats: unknown stats {bad}; choose from {sorted(known)}")
+    if window < 1:
+        raise ValueError(f"rolling_stats: window must be >= 1, got {window}")
+    if min_periods < 1 or min_periods > window:
+        raise ValueError(
+            f"rolling_stats: min_periods must be in [1, window], got {min_periods}"
+        )
+    keys = list(key_cols)
+    if validate:
+        _probe_series(df, keys, order_col, "rolling_stats", max_rows_per_key)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(-(window - 1), 0)
+    )
+    v = F.col(value_col)
+    n_obs = F.count(v).over(w)
+    exprs = {
+        "avg": F.avg(v).over(w),
+        "sum": F.sum(v).over(w),
+        "min": F.min(v).over(w),
+        "max": F.max(v).over(w),
+        "stddev": F.stddev_samp(v).over(w),
+        "count": n_obs,
+    }
+    out = df
+    for s in req:
+        col = exprs[s]
+        if s != "count":
+            col = F.when(n_obs >= min_periods, col)
+        out = out.withColumn(f"{out_prefix}{s}", col)
+    return out
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+    validate: bool = True,
+    max_rows_per_key: int = 10_000_000,
+) -> DataFrame:
+    """Exponentially-weighted moving average per key — the EXACT
+    sequential recurrence (pandas ``ewm(adjust=False)``):
+
+        y_1 = x_1;   y_t = (1 - alpha) * y_{t-1} + alpha * x_t
+
+    computed as a pure-Column fold: per key, one sorted
+    collect_list + ONE F.aggregate pass over the series, then explode
+    back — all JVM-side, no Python. The float operations are pinned to
+    literally ``(1-alpha)*prev + alpha*x`` so results are
+    bit-reproducible across hosts and replayable by any engine running
+    the same recurrence (the oracle replays it as a recursive CTE).
+    NULL values emit NULL for their row and leave the running state
+    UNTOUCHED (a gap neither decays nor updates the average — resample
+    + gap_fill first if decay-per-bucket is wanted).
+
+    Spark shape: one groupBy shuffle; per-key state is the series
+    itself (the recurrence is inherently sequential), so the whale-key
+    guard refuses keys beyond ``max_rows_per_key`` — at 100 TB you
+    resample to a bounded grid first, which is also what makes an
+    EWMA's time constant well-defined."""
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"ewma: alpha must be in (0, 1], got {alpha}")
+    keys = list(key_cols)
+    if validate:
+        _probe_series(df, keys, order_col, "ewma", max_rows_per_key)
+    rest = [c for c in df.columns if c not in keys]
+    arr = F.sort_array(
+        F.collect_list(F.struct(F.col(order_col).alias("__o"), F.struct(*rest).alias("__r")))
+    )
+    g = df.groupBy(*keys).agg(arr.alias("__s"))
+    one_m = float(1.0 - alpha)
+    a = float(alpha)
+
+    def step(acc, s):
+        x = s["__r"][value_col].cast("double")
+        new_prev = F.when(x.isNull(), acc["prev"]).otherwise(
+            F.when(acc["prev"].isNull(), x).otherwise(
+                F.lit(one_m) * acc["prev"] + F.lit(a) * x
+            )
+        )
+        y = F.when(x.isNull(), F.lit(None).cast("double")).otherwise(new_prev)
+        return F.struct(
+            F.concat(acc["ys"], F.array(y)).alias("ys"), new_prev.alias("prev")
+        )
+
+    init = F.struct(
+        F.expr("CAST(array() AS array<double>)").alias("ys"),
+        F.lit(None).cast("double").alias("prev"),
+    )
+    ys = F.aggregate(F.col("__s"), init, step)["ys"]
+    zipped = F.zip_with(
+        F.col("__s"), ys, lambda s, y: F.struct(s["__r"].alias("r"), y.alias("y"))
+    )
+    ex = g.select(*keys, F.explode(zipped).alias("__z"))
+    return ex.select(
+        *keys,
+        *[F.col(f"__z.r.{c}").alias(c) for c in rest],
+        F.col("__z.y").alias(out_col),
+    )
+
+
+def rolling_zscore_outliers(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    window: int,
+    threshold: float = 3.0,
+    min_periods: int = 3,
+    out_col: str = "is_outlier",
+    z_col: str = "zscore",
+    validate: bool = True,
+) -> DataFrame:
+    """Streaming-style anomaly flag: z-score of each point against its
+    OWN trailing window (including itself — the self-dampened form; use
+    mad_outliers for the robust global variant). Rows whose frame has
+    fewer than ``min_periods`` points, or zero variance, get NULL
+    z/flag — honest "can't say" instead of false negatives. Composes
+    rolling_stats, so the cost is the same single window shuffle."""
+    if threshold <= 0.0:
+        raise ValueError(f"rolling_zscore_outliers: threshold must be > 0, got {threshold}")
+    rolled = rolling_stats(
+        df,
+        key_cols,
+        order_col,
+        value_col,
+        window,
+        stats=("avg", "stddev"),
+        min_periods=min_periods,
+        out_prefix="__rz_",
+        validate=validate,
+    )
+    sd = F.nullif(F.col("__rz_stddev"), F.lit(0.0))
+    z = (F.col(value_col).cast("double") - F.col("__rz_avg")) / sd
+    return (
+        rolled.withColumn(z_col, z)
+        .withColumn(out_col, F.abs(F.col(z_col)) > F.lit(float(threshold)))
+        .drop("__rz_avg", "__rz_stddev")
+    )

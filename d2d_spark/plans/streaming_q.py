@@ -17,10 +17,28 @@ from d2d_spark.streaming.windows import session_agg, sliding_agg, tumbling_agg
 
 DEC = "decimal(18,2)"
 
+#: the resample+locf grid over the sparse user slice — shared verbatim
+#: by the resample_locf and roll oracle legs below
+_LOCF_SQL = """
+      WITH rs AS (SELECT event_type, date_trunc('hour', ts) AS b, COUNT(*) AS n,
+                         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+                  FROM events WHERE user_id % 37 = 0 GROUP BY 1, 2),
+      bounds AS (SELECT event_type, MIN(b) AS lo, MAX(b) AS hi FROM rs GROUP BY 1),
+      grid AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+               FROM bounds),
+      j AS (SELECT g.event_type, g.b, rs.n, rs.v, rs.b IS NULL AS gap
+            FROM grid g LEFT JOIN rs ON g.event_type = rs.event_type AND g.b = rs.b)
+      SELECT event_type, b, gap,
+             LAST_VALUE(n IGNORE NULLS) OVER w AS n_f,
+             LAST_VALUE(v IGNORE NULLS) OVER w AS v_f
+      FROM j WINDOW w AS (PARTITION BY event_type ORDER BY b
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
 
 @query(
     "windowed_aggs_events",
-    oracle="""
+    oracle=f"""
     SELECT 'tumbling_1h' AS kind,
            strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
@@ -72,19 +90,37 @@ DEC = "decimal(18,2)"
            event_type || (CASE WHEN gap THEN '*' ELSE '' END) AS event_type,
            n_f AS n_events, v_f AS sum_value
     FROM (
-      WITH rs AS (SELECT event_type, date_trunc('hour', ts) AS b, COUNT(*) AS n,
-                         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
-                  FROM events WHERE user_id % 37 = 0 GROUP BY 1, 2),
-      bounds AS (SELECT event_type, MIN(b) AS lo, MAX(b) AS hi FROM rs GROUP BY 1),
-      grid AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
-               FROM bounds),
-      j AS (SELECT g.event_type, g.b, rs.n, rs.v, rs.b IS NULL AS gap
-            FROM grid g LEFT JOIN rs ON g.event_type = rs.event_type AND g.b = rs.b)
-      SELECT event_type, b, gap,
-             LAST_VALUE(n IGNORE NULLS) OVER w AS n_f,
-             LAST_VALUE(v IGNORE NULLS) OVER w AS v_f
-      FROM j WINDOW w AS (PARTITION BY event_type ORDER BY b
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      {_LOCF_SQL}
+    )
+    UNION ALL
+    SELECT 'roll' AS kind,
+           strftime(b, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           SUM(n_f) OVER w4 AS n_events,
+           MAX(v_f) OVER w4 AS sum_value
+    FROM (
+      {_LOCF_SQL}
+    ) WINDOW w4 AS (PARTITION BY event_type ORDER BY b
+                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    UNION ALL
+    SELECT 'ewma' AS kind, strftime(d, '%Y-%m-%d') AS window_start,
+           event_type, n AS n_events, y AS sum_value
+    FROM (
+      WITH RECURSIVE base AS MATERIALIZED (
+        SELECT event_type, d, n,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+        FROM (SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+              FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
+      ),
+      rec AS (
+        SELECT event_type, d, n, rn, CAST(n AS DOUBLE) AS y
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT b.event_type, b.d, b.n, b.rn,
+               0.75 * r.y + 0.25 * CAST(b.n AS DOUBLE)
+        FROM rec r JOIN base b ON b.event_type = r.event_type AND b.rn = r.rn + 1
+      )
+      SELECT event_type, d, n, y FROM rec
     )
     UNION ALL
     SELECT 'retention' AS kind,
@@ -125,6 +161,16 @@ def windowed_aggs_events(spark, sf_dir):
     retention: cohort retention (ClickHouse retention analog) —
     cohort = first-event day, exact distinct users at day offsets
     0/1/2/7.
+
+    roll: operators/timeseries rolling_stats over the locf grid —
+    trailing 4-bucket sum of the exact bigint counts and max of the
+    DEC-exact fill (both engine-exact, so the rolling frame machinery
+    itself is hash-checked; float avg/stddev are pytest-pinned).
+
+    ewma: operators/timeseries ewma over per-type daily counts, the
+    exact recurrence y = 0.75*y + 0.25*x — the oracle replays it as a
+    recursive CTE running the identical float ops, so every EWMA value
+    hash-matches with NO rounding.
 
     resample_locf: operators/timeseries resample (1-hour buckets per
     event_type over a SPARSE user slice, so real gaps exist) +
@@ -197,6 +243,46 @@ def windowed_aggs_events(spark, sf_dir):
         F.col("n").alias("n_events"),
         F.col("v").alias("sum_value"),
     )
+    # roll leg: trailing-window stats over the SAME locf grid — the
+    # rolling sum of exact bigint counts and rolling max of the
+    # DEC-exact value fill are both engine-exact (no float folds), so
+    # the whole rolling machinery is hash-checked; avg/stddev paths
+    # are pytest-pinned
+    from d2d_spark.operators.timeseries import ewma as ts_ewma
+    from d2d_spark.operators.timeseries import rolling_stats
+
+    rolled = rolling_stats(
+        gf, ["event_type"], "bucket", "n", 4, stats=("sum",), out_prefix="rs_",
+        validate=False,  # gap_fill output is a validated regular grid
+    )
+    rolled = rolling_stats(
+        rolled, ["event_type"], "bucket", "v", 4, stats=("max",), out_prefix="rv_",
+        validate=False,
+    )
+    roll_leg = rolled.select(
+        F.lit("roll").alias("kind"),
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        F.col("rs_sum").cast("long").alias("n_events"),
+        F.col("rv_max").alias("sum_value"),
+    )
+    # ewma leg: the exact sequential recurrence over per-type DAILY
+    # event counts (alpha=0.25 — both 0.25 and 0.75 are exact binary
+    # doubles, so the oracle's recursive-CTE replay of
+    # 0.75*y + 0.25*x reproduces every float bit-for-bit, NO rounding)
+    daily = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ew = ts_ewma(daily, ["event_type"], "d", "n", alpha=0.25, validate=False)
+    ewma_leg = ew.select(
+        F.lit("ewma").alias("kind"),
+        F.date_format("d", "yyyy-MM-dd").alias("window_start"),
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.col("ewma").alias("sum_value"),
+    )
     retention = retention_cohorts(ev, "user_id", "ts", offsets=[0, 1, 2, 7]).select(
         F.lit("retention").alias("kind"),
         F.date_format("cohort_day", "yyyy-MM-dd").alias("window_start"),
@@ -208,6 +294,8 @@ def windowed_aggs_events(spark, sf_dir):
         tumbling.unionAll(sliding)
         .unionAll(funnel)
         .unionAll(resampled)
+        .unionAll(roll_leg)
+        .unionAll(ewma_leg)
         .unionAll(retention)
     )
 

@@ -173,3 +173,221 @@ def test_fixture_events_roundtrip(spark, sf_dir):
         .filter(F.col("nb") != F.col("want"))
     )
     assert chk.count() == 0
+
+
+# ---------- rolling stats / EWMA / z-score outliers ----------
+
+
+def _series_df(spark, rows):
+    return spark.createDataFrame(rows, "k string, t int, x double")
+
+
+ROWS = [
+    ("a", 1, 10.0), ("a", 2, 12.0), ("a", 3, None), ("a", 4, 20.0),
+    ("a", 5, 11.0), ("a", 6, 100.0), ("a", 7, 12.0),
+    ("b", 1, 5.0), ("b", 3, 7.0), ("b", 9, 6.0),
+]
+
+
+def _py_trailing(rows_k, window, stat, min_periods):
+    import statistics
+
+    out = {}
+    xs = [x for _, x in rows_k]
+    for i, (t, _) in enumerate(rows_k):
+        frame = [v for v in xs[max(0, i - window + 1): i + 1] if v is not None]
+        if stat == "count":
+            out[t] = len(frame)
+            continue
+        if len(frame) < min_periods:
+            out[t] = None
+            continue
+        if stat == "avg":
+            out[t] = sum(frame) / len(frame)
+        elif stat == "sum":
+            out[t] = sum(frame)
+        elif stat == "min":
+            out[t] = min(frame)
+        elif stat == "max":
+            out[t] = max(frame)
+        elif stat == "stddev":
+            out[t] = statistics.stdev(frame) if len(frame) > 1 else None
+    return out
+
+
+def test_rolling_stats_matches_python_reference(spark):
+    from d2d_spark.operators.timeseries import rolling_stats
+
+    df = _series_df(spark, ROWS)
+    got = rolling_stats(df, ["k"], "t", "x", window=3, min_periods=2).collect()
+    by_key = {}
+    for k, t, x in ROWS:
+        by_key.setdefault(k, []).append((t, x))
+    for k in by_key:
+        by_key[k].sort()
+    for r in got:
+        for stat in ("avg", "sum", "min", "max", "stddev", "count"):
+            want = _py_trailing(by_key[r["k"]], 3, stat, 2)[r["t"]]
+            have = r[f"roll_{stat}"]
+            if want is None:
+                assert have is None, (r["k"], r["t"], stat, have)
+            else:
+                assert have == pytest.approx(want, rel=1e-12), (r["k"], r["t"], stat)
+
+
+def test_rolling_stats_partitioning_invariant(spark):
+    from d2d_spark.operators.timeseries import rolling_stats
+
+    df = _series_df(spark, ROWS)
+    a = sorted(map(tuple, rolling_stats(df.repartition(1), ["k"], "t", "x", 4).collect()))
+    b = sorted(map(tuple, rolling_stats(df.repartition(7), ["k"], "t", "x", 4).collect()))
+    assert a == b
+
+
+def test_rolling_stats_validation(spark):
+    from d2d_spark.operators.timeseries import rolling_stats
+
+    df = _series_df(spark, ROWS)
+    with pytest.raises(ValueError, match="unknown stats"):
+        rolling_stats(df, ["k"], "t", "x", 3, stats=("median",))
+    with pytest.raises(ValueError, match="window"):
+        rolling_stats(df, ["k"], "t", "x", 0)
+    with pytest.raises(ValueError, match="min_periods"):
+        rolling_stats(df, ["k"], "t", "x", 3, min_periods=4)
+    dup = _series_df(spark, ROWS + [("a", 1, 99.0)])
+    with pytest.raises(ValueError, match="duplicate"):
+        rolling_stats(dup, ["k"], "t", "x", 3)
+    # validate=False skips the probe (caller's contract)
+    rolling_stats(dup, ["k"], "t", "x", 3, validate=False).collect()
+    nul = _series_df(spark, ROWS + [("a", None, 1.0)])
+    with pytest.raises(ValueError, match="NULL"):
+        rolling_stats(nul, ["k"], "t", "x", 3)
+
+
+def _py_ewma(rows_k, alpha):
+    out, prev = {}, None
+    for t, x in rows_k:
+        if x is None:
+            out[t] = None
+            continue
+        prev = x if prev is None else (1.0 - alpha) * prev + alpha * x
+        out[t] = prev
+    return out
+
+
+def test_ewma_matches_recurrence_bit_for_bit(spark):
+    from d2d_spark.operators.timeseries import ewma
+
+    df = _series_df(spark, ROWS)
+    by_key = {}
+    for k, t, x in ROWS:
+        by_key.setdefault(k, []).append((t, x))
+    for k in by_key:
+        by_key[k].sort()
+    for alpha in (0.3, 0.05, 1.0):
+        for n_parts in (1, 7):
+            got = ewma(df.repartition(n_parts), ["k"], "t", "x", alpha).collect()
+            assert len(got) == len(ROWS)
+            for r in got:
+                want = _py_ewma(by_key[r["k"]], alpha)[r["t"]]
+                # EXACT equality: the operator pins the float ops to the
+                # same recurrence the reference runs
+                assert r["ewma"] == want, (r["k"], r["t"], alpha)
+    # alpha=1 degenerates to the value itself
+    for r in ewma(df, ["k"], "t", "x", 1.0).collect():
+        assert r["ewma"] == dict((t, x) for kk, t, x in ROWS if kk == r["k"])[r["t"]]
+
+
+def test_ewma_null_leaves_state_untouched(spark):
+    from d2d_spark.operators.timeseries import ewma
+
+    rows = [("a", 1, 10.0), ("a", 2, None), ("a", 3, 20.0)]
+    got = {r["t"]: r["ewma"] for r in ewma(_series_df(spark, rows), ["k"], "t", "x", 0.5).collect()}
+    assert got[1] == 10.0
+    assert got[2] is None
+    assert got[3] == 0.5 * 10.0 + 0.5 * 20.0  # prev survived the gap
+
+
+def test_ewma_guards(spark):
+    from d2d_spark.operators.timeseries import ewma
+
+    df = _series_df(spark, ROWS)
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError, match="alpha"):
+            ewma(df, ["k"], "t", "x", bad)
+    with pytest.raises(ValueError, match="max_rows_per_key"):
+        ewma(df, ["k"], "t", "x", 0.5, max_rows_per_key=3)
+    with pytest.raises(ValueError, match="duplicate"):
+        ewma(_series_df(spark, ROWS + [("b", 1, 0.0)]), ["k"], "t", "x", 0.5)
+    assert ewma(df.limit(0), ["k"], "t", "x", 0.5).count() == 0
+
+
+def test_ewma_keeps_other_columns(spark):
+    from d2d_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0, "u"), ("a", 2, 20.0, "v")], "k string, t int, x double, tag string"
+    )
+    got = {r["t"]: r for r in ewma(df, ["k"], "t", "x", 0.5).collect()}
+    assert got[2]["tag"] == "v" and got[2]["x"] == 20.0 and got[2]["ewma"] == 15.0
+
+
+def test_rolling_zscore_outliers(spark):
+    from d2d_spark.operators.timeseries import rolling_zscore_outliers
+
+    import statistics
+
+    df = _series_df(spark, ROWS)
+    got = {(r["k"], r["t"]): r for r in rolling_zscore_outliers(
+        df, ["k"], "t", "x", window=4, threshold=1.1, min_periods=3
+    ).collect()}
+    by_key = {}
+    for k, t, x in ROWS:
+        by_key.setdefault(k, []).append((t, x))
+    for k, series in by_key.items():
+        series.sort()
+        xs = [x for _, x in series]
+        for i, (t, x) in enumerate(series):
+            frame = [v for v in xs[max(0, i - 3): i + 1] if v is not None]
+            r = got[(k, t)]
+            if x is None or len(frame) < 3:
+                assert r["zscore"] is None and r["is_outlier"] is None
+                continue
+            sd = statistics.stdev(frame)
+            if sd == 0.0:
+                assert r["zscore"] is None
+                continue
+            z = (x - sum(frame) / len(frame)) / sd
+            assert r["zscore"] == pytest.approx(z, rel=1e-12)
+            assert r["is_outlier"] == (abs(z) > 1.1)
+    # the planted spike (a, 6, 100.0) must flag (self-inclusion
+    # dampens its z to ~1.15, hence the 1.1 threshold)
+    assert got[("a", 6)]["is_outlier"] is True
+    with pytest.raises(ValueError, match="threshold"):
+        rolling_zscore_outliers(df, ["k"], "t", "x", 4, threshold=0.0)
+
+
+def test_rolling_on_resampled_fixture(spark, sf_dir):
+    """Composition: resample -> rolling sum/count over the regular
+    buckets, checked against a window-free groupBy recomputation."""
+    from d2d_spark.operators.timeseries import rolling_stats
+    from d2d_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events").limit(3000)
+    b = resample(ev, ["event_type"], "ts", "1 hour", {"n": F.count(F.lit(1))})
+    rolled = rolling_stats(
+        b, ["event_type"], "bucket", "n", window=3, validate=False,
+        stats=("sum", "count"),
+    )
+    rows = rolled.collect()
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r["event_type"], []).append((r["bucket"], r["n"]))
+    for k in per_key:
+        per_key[k].sort()
+    for r in rows:
+        series = per_key[r["event_type"]]
+        i = [t for t, _ in series].index(r["bucket"])
+        frame = [n for _, n in series[max(0, i - 2): i + 1]]
+        assert r["roll_sum"] == sum(frame)
+        assert r["roll_count"] == len(frame)
