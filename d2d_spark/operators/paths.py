@@ -1,0 +1,184 @@
+"""Event-sequence path analytics — the Markov-chain / user-journey
+toolkit next to funnels (operators/funnel.py answers "did users
+complete THIS ordered chain"; this module answers "which chains do
+users actually walk"):
+
+  transition_counts — per-key adjacent (from_state, to_state) counts
+                      over the time-ordered event stream, optionally
+                      with virtual __START__/__END__ endpoints (entry
+                      and exit distributions).
+  transition_probs  — row-stochastic normalization: the first-order
+                      Markov transition matrix.
+  top_paths         — most-walked length-n state sequences (sliding
+                      n-grams per key), deterministic top-k.
+
+Spark shape: transition extraction is ONE key-partitioned window
+(lag/lead — the scd2_history move) followed by one bounded groupBy;
+nothing holds per-key state beyond the window frame. top_paths ends
+in orderBy+limit, which Catalyst compiles to TakeOrderedAndProject —
+a per-partition top-k plus a k-row driver merge, NO single-partition
+shuffle. transition_probs is one partial-agg window over the COUNTS
+frame (bounded by the state alphabet squared, not the event count).
+
+Determinism: events are ordered by (ts, *tiebreak_cols) per key; the
+validation probe refuses NULL timestamps/states and duplicate
+ordering tuples (a tie makes lag/lead partitioning-dependent) — pass
+``tiebreak_cols`` (an event id) when timestamps can collide, or
+``validate=False`` for pre-validated pipelines. Ties in top_paths
+break on the lexicographically smallest path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+START = "__START__"
+END = "__END__"
+
+
+def _probe_events(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_cols: Sequence[str],
+    what: str,
+) -> None:
+    """ONE aggregate pass (the single-probe discipline): refuses NULL
+    order/state values and duplicate ordering tuples."""
+    order = [ts_col, *tiebreak_cols]
+    bad = (
+        df.groupBy(key_col, *order)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.max(
+                F.col(ts_col).isNull() | F.col(state_col).isNull()
+            ).alias("__null"),
+        )
+        .agg(F.max("__n").alias("dup"), F.max("__null").alias("has_null"))
+        .first()
+    )
+    if bad["dup"] is None:
+        return  # empty input
+    if bad["has_null"]:
+        raise ValueError(
+            f"{what}: NULL {ts_col!r} or {state_col!r} values — an event "
+            "without a time or a state has no place in a sequence; filter "
+            "or impute first"
+        )
+    if bad["dup"] > 1:
+        raise ValueError(
+            f"{what}: duplicate (key, {', '.join(order)}) ordering tuples — "
+            "ties make lag/lead partitioning-dependent; add tiebreak_cols "
+            "(an event id) or deduplicate first"
+        )
+
+
+def transition_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_cols: Sequence[str] = (),
+    include_endpoints: bool = False,
+    start_marker: str = START,
+    end_marker: str = END,
+    validate: bool = True,
+) -> DataFrame:
+    """(from_state, to_state, n) — adjacent-transition counts over each
+    key's time-ordered stream. With ``include_endpoints``, a virtual
+    (start_marker -> first state) row per key and (last state ->
+    end_marker) complete the chain, so entry/exit distributions and
+    row-stochasticity are exact (every state's outflows sum to its
+    occurrences)."""
+    ties = list(tiebreak_cols)
+    if validate:
+        _probe_events(df, key_col, ts_col, state_col, ties, "transition_counts")
+    w = Window.partitionBy(key_col).orderBy(ts_col, *ties)
+    seq = df.select(
+        F.col(state_col).cast("string").alias("__from"),
+        F.lead(F.col(state_col).cast("string")).over(w).alias("__to"),
+        F.row_number().over(w).alias("__rn"),
+    )
+    if include_endpoints:
+        # explode, not union: a union would evaluate the window
+        # subtree (and its shuffle) twice
+        base = F.struct(
+            F.col("__from").alias("f"),
+            F.coalesce("__to", F.lit(end_marker)).alias("t"),
+        )
+        first = F.struct(F.lit(start_marker).alias("f"), F.col("__from").alias("t"))
+        pairs = seq.select(
+            F.explode(
+                F.when(F.col("__rn") == 1, F.array(first, base)).otherwise(
+                    F.array(base)
+                )
+            ).alias("__p")
+        ).select(F.col("__p.f").alias("__from"), F.col("__p.t").alias("__to"))
+    else:
+        pairs = seq.filter(F.col("__to").isNotNull())
+    return (
+        pairs.groupBy(
+            F.col("__from").alias("from_state"), F.col("__to").alias("to_state")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def transition_probs(
+    counts: DataFrame,
+    from_col: str = "from_state",
+    to_col: str = "to_state",
+    n_col: str = "n",
+    out_col: str = "p",
+) -> DataFrame:
+    """Append the row-stochastic probability: n / sum(n per from
+    state) — ONE exact-long division per row (engine-exact, no float
+    folds), so the matrix is hash-comparable across engines."""
+    missing = [c for c in (from_col, to_col, n_col) if c not in counts.columns]
+    if missing:
+        raise ValueError(f"transition_probs: input lacks columns {missing}")
+    w = Window.partitionBy(from_col)
+    return counts.withColumn(
+        out_col, F.col(n_col).cast("double") / F.sum(n_col).over(w).cast("double")
+    )
+
+
+def top_paths(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    n_steps: int = 3,
+    k: int = 10,
+    sep: str = ">",
+    tiebreak_cols: Sequence[str] = (),
+    validate: bool = True,
+) -> DataFrame:
+    """(path, n, rnk) — the ``k`` most-walked length-``n_steps`` state
+    sequences (every sliding window of ``n_steps`` consecutive events
+    per key counts once). Ties rank by the lexicographically smallest
+    path; rnk is dense 1..k. The final top-k is orderBy+limit
+    (TakeOrderedAndProject), then a rank window over k rows only."""
+    if n_steps < 2:
+        raise ValueError(f"top_paths: n_steps must be >= 2, got {n_steps}")
+    if k < 1:
+        raise ValueError(f"top_paths: k must be >= 1, got {k}")
+    if sep == "":
+        raise ValueError("top_paths: sep must be non-empty (paths would be ambiguous)")
+    ties = list(tiebreak_cols)
+    if validate:
+        _probe_events(df, key_col, ts_col, state_col, ties, "top_paths")
+    w = Window.partitionBy(key_col).orderBy(ts_col, *ties)
+    s = F.col(state_col).cast("string")
+    steps = [s] + [F.lead(s, i).over(w) for i in range(1, n_steps)]
+    grams = df.select(
+        F.concat_ws(sep, *steps).alias("path"), steps[-1].isNotNull().alias("__full")
+    ).filter("__full")
+    counted = grams.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    topk = counted.orderBy(F.col("n").desc(), "path").limit(k)
+    rw = Window.orderBy(F.col("n").desc(), "path")
+    return topk.withColumn("rnk", F.row_number().over(rw))

@@ -511,7 +511,25 @@ def _pagerank_unrolled_oracle(
     tri AS MATERIALIZED (
       SELECT a.u AS x, a.v AS y, b.v AS z
       FROM tri_e a JOIN tri_e b ON b.u = a.v
-      JOIN tri_e c ON c.u = a.u AND c.v = b.v)
+      JOIN tri_e c ON c.u = a.u AND c.v = b.v),
+    seqx AS MATERIALIZED (
+      SELECT event_type AS f,
+             LEAD(event_type) OVER wseq AS t,
+             LEAD(event_type, 2) OVER wseq AS t2,
+             ROW_NUMBER() OVER wseq AS rn
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL AND user_id IS NOT NULL
+      WINDOW wseq AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    tcnt AS MATERIALIZED (
+      SELECT f, t, COUNT(*) AS n FROM (
+        SELECT f, COALESCE(t, '__END__') AS t FROM seqx
+        UNION ALL
+        SELECT '__START__', f FROM seqx WHERE rn = 1)
+      GROUP BY 1, 2),
+    p3 AS MATERIALIZED (
+      SELECT path, n, ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rnk FROM (
+        SELECT f || '>' || t || '>' || t2 AS path, COUNT(*) AS n
+        FROM seqx WHERE t2 IS NOT NULL GROUP BY 1))
     SELECT 'terms' AS leg, event_type AS k, COUNT(*) AS cnt,
            CAST(NULL AS DOUBLE) AS rank
     FROM events GROUP BY event_type
@@ -531,7 +549,13 @@ def _pagerank_unrolled_oracle(
     SELECT 'hits_auth', node, CAST(NULL AS BIGINT), round(auth, 6) FROM h{hits_iters}
     UNION ALL
     SELECT 'lpa', CAST(node AS VARCHAR), community, CAST(NULL AS DOUBLE)
-    FROM lab{lpa_iters}"""
+    FROM lab{lpa_iters}
+    UNION ALL
+    SELECT 'trans', f || '>' || t, n,
+           CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY f) AS DOUBLE)
+    FROM tcnt
+    UNION ALL
+    SELECT 'paths3', path, n, CAST(rnk AS DOUBLE) FROM p3 WHERE rnk <= 20"""
     )
     return "".join(parts)
 
@@ -542,7 +566,10 @@ def _pagerank_unrolled_oracle(
     tags=("agg", "terms", "graph", "pagerank", "triangles", "hits", "lpa"),
 )
 def group_count_event_types(spark, sf_dir):
-    """Eight graph/event-analytics legs. 'terms': ES terms
+    """Ten graph/event-analytics legs. 'trans'/'paths3': event-path
+    analytics (operators/paths.py) — the endpoint-augmented Markov
+    transition matrix with exact-division row-stochastic probabilities,
+    and the deterministic top-20 3-step paths. 'terms': ES terms
     aggregation — count-by-key (d22d/utils/db/myutils.py:476-522).
     'pagerank': the iterative distributed PageRank
     (operators/graph.py) over the bipartite user→event_type graph, 8
@@ -685,6 +712,43 @@ def group_count_event_types(spark, sf_dir):
         F.col("community").cast("bigint").alias("cnt"),
         F.lit(None).cast("double").alias("rank"),
     )
+    # trans / paths3: event-sequence path analytics
+    # (operators/paths.py) — the first-order Markov transition matrix
+    # with virtual __START__/__END__ endpoints (row-stochastic p is
+    # ONE exact-long division, hash-matched with no rounding) and the
+    # top-20 most-walked 3-step paths (TakeOrderedAndProject top-k,
+    # lexicographic ties). Oracle: LEAD-window replay + the same
+    # n/SUM(n) division + ROW_NUMBER rank.
+    from d2d_spark.operators.paths import top_paths, transition_counts, transition_probs
+
+    evf = ev.filter(
+        F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    tp = transition_probs(
+        transition_counts(
+            evf, "user_id", "ts", "event_type",
+            tiebreak_cols=["event_id"], include_endpoints=True,
+        )
+    )
+    trans = tp.select(
+        F.lit("trans").alias("leg"),
+        F.concat_ws(">", "from_state", "to_state").alias("k"),
+        F.col("n").alias("cnt"),
+        F.col("p").alias("rank"),
+    )
+    p3 = top_paths(
+        evf, "user_id", "ts", "event_type", n_steps=3, k=20,
+        tiebreak_cols=["event_id"],
+        validate=False,  # same frame the trans leg just validated
+    )
+    paths3 = p3.select(
+        F.lit("paths3").alias("leg"),
+        F.col("path").alias("k"),
+        F.col("n").alias("cnt"),
+        F.col("rnk").cast("double").alias("rank"),
+    )
     return (
         terms.unionByName(pr)
         .unionByName(pr_w)
@@ -693,6 +757,8 @@ def group_count_event_types(spark, sf_dir):
         .unionByName(hub)
         .unionByName(auth)
         .unionByName(lpa)
+        .unionByName(trans)
+        .unionByName(paths3)
     )
 
 

@@ -1,0 +1,154 @@
+"""Event-path analytics (operators/paths.py): transition counts vs a
+plain-Python replay, endpoint rows, row-stochastic normalization,
+sliding n-gram top-k with deterministic ties, validation probes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from d2d_spark.operators.paths import (
+    END,
+    START,
+    top_paths,
+    transition_counts,
+    transition_probs,
+)
+
+ROWS = [
+    # (user, ts, state)
+    ("u1", 1, "view"), ("u1", 2, "view"), ("u1", 3, "cart"), ("u1", 4, "buy"),
+    ("u2", 1, "view"), ("u2", 5, "cart"), ("u2", 6, "view"),
+    ("u3", 2, "buy"),
+]
+
+
+def _df(spark, rows=ROWS):
+    return spark.createDataFrame(rows, "u string, t int, s string")
+
+
+def _py_transitions(rows, endpoints=False):
+    from collections import Counter, defaultdict
+
+    per = defaultdict(list)
+    for u, t, s in rows:
+        per[u].append((t, s))
+    c = Counter()
+    for u, evs in per.items():
+        evs.sort()
+        states = [s for _, s in evs]
+        if endpoints:
+            states = [START, *states, END]
+        for a, b in zip(states, states[1:]):
+            c[(a, b)] += 1
+    return dict(c)
+
+
+def test_transition_counts_matches_python(spark):
+    df = _df(spark)
+    for endpoints in (False, True):
+        got = {
+            (r["from_state"], r["to_state"]): r["n"]
+            for r in transition_counts(
+                df, "u", "t", "s", include_endpoints=endpoints
+            ).collect()
+        }
+        assert got == _py_transitions(ROWS, endpoints)
+    # single-event keys contribute only endpoint rows (u3's lone
+    # 'buy' adds a START edge; u1 ALSO ends in buy, hence buy->END 2)
+    got = _py_transitions(ROWS, True)
+    assert got[(START, "buy")] == 1 and got[("buy", END)] == 2
+
+
+def test_transition_counts_partitioning_invariant(spark):
+    df = _df(spark)
+    a = sorted(map(tuple, transition_counts(df.repartition(1), "u", "t", "s").collect()))
+    b = sorted(map(tuple, transition_counts(df.repartition(7), "u", "t", "s").collect()))
+    assert a == b
+
+
+def test_transition_probs_row_stochastic(spark):
+    counts = transition_counts(_df(spark), "u", "t", "s", include_endpoints=True)
+    probs = transition_probs(counts)
+    rows = probs.collect()
+    # outflows per from_state sum to exactly 1 (exact-long divisions)
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    for r in rows:
+        sums[r["from_state"]] += r["p"]
+    for s, tot in sums.items():
+        assert tot == pytest.approx(1.0, abs=1e-12), s
+    by = {(r["from_state"], r["to_state"]): r["p"] for r in rows}
+    # view -> {view:1, cart:2, END:1}: p(view->cart) = 2/4
+    assert by[("view", "cart")] == 2.0 / 4.0
+    with pytest.raises(ValueError, match="lacks columns"):
+        transition_probs(counts.drop("n"))
+
+
+def test_top_paths_counts_and_ties(spark):
+    df = _df(spark)
+    got = top_paths(df, "u", "t", "s", n_steps=2, k=3).collect()
+    # bigram counts: view>view 1, view>cart 2, cart>buy 1, cart>view 1
+    assert [(r["path"], r["n"], r["rnk"]) for r in got] == [
+        ("view>cart", 2, 1),
+        ("cart>buy", 1, 2),  # ties at n=1 rank lexicographically
+        ("cart>view", 1, 3),
+    ]
+    tri = top_paths(df, "u", "t", "s", n_steps=3, k=10).collect()
+    assert {(r["path"], r["n"]) for r in tri} == {
+        ("view>view>cart", 1), ("view>cart>buy", 1), ("view>cart>view", 1),
+    }
+    # n_steps longer than any key's stream -> empty, not an error
+    assert top_paths(df, "u", "t", "s", n_steps=5, k=10).count() == 0
+
+
+def test_validation_probes(spark):
+    df = _df(spark)
+    dup = _df(spark, ROWS + [("u1", 1, "cart")])
+    with pytest.raises(ValueError, match="duplicate"):
+        transition_counts(dup, "u", "t", "s")
+    # a tiebreak column resolves the collision
+    df2 = spark.createDataFrame(
+        [("u1", 1, 0, "a"), ("u1", 1, 1, "b")], "u string, t int, e int, s string"
+    )
+    got = transition_counts(df2, "u", "t", "s", tiebreak_cols=["e"]).collect()
+    assert [(r["from_state"], r["to_state"], r["n"]) for r in got] == [("a", "b", 1)]
+    nul = _df(spark, ROWS + [("u9", None, "x")])
+    with pytest.raises(ValueError, match="NULL"):
+        transition_counts(nul, "u", "t", "s")
+    with pytest.raises(ValueError, match="NULL"):
+        top_paths(_df(spark, ROWS + [("u9", 9, None)]), "u", "t", "s")
+    # validate=False skips the probe (caller's contract)
+    transition_counts(dup, "u", "t", "s", validate=False).collect()
+    with pytest.raises(ValueError, match="n_steps"):
+        top_paths(df, "u", "t", "s", n_steps=1)
+    with pytest.raises(ValueError, match="k must"):
+        top_paths(df, "u", "t", "s", k=0)
+    with pytest.raises(ValueError, match="sep"):
+        top_paths(df, "u", "t", "s", sep="")
+    assert transition_counts(df.limit(0), "u", "t", "s").count() == 0
+
+
+def test_fixture_events_conservation(spark, sf_dir):
+    """On the real events table: with endpoints, each state's outflow
+    count equals its occurrence count (chain conservation)."""
+    from d2d_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    tc = transition_counts(
+        ev, "user_id", "ts", "event_type",
+        tiebreak_cols=["event_id"], include_endpoints=True,
+    )
+    outflow = {
+        r["from_state"]: r["tot"]
+        for r in tc.groupBy("from_state").agg(F.sum("n").alias("tot")).collect()
+        if r["from_state"] != START
+    }
+    occur = {
+        r["event_type"]: r["c"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert outflow == occur
