@@ -955,6 +955,90 @@ def _kmr_literal_rows() -> list[tuple]:
     return out
 
 
+_PQRR_M, _PQRR_KSUB, _PQRR_K, _PQRR_OS = 8, 16, 5, 4
+
+
+def _pqrr_literal_rows() -> list[tuple]:
+    """(sftag, query_id, neighbor_id, cos6, rank) per fixture: numpy
+    twin of the STANDARD two-stage PQ search (train_pq on the raw
+    hash-ordered sample -> full-corpus encode via the -2x·c+|c|²
+    argmin -> ADC top k*oversample candidates with (score desc, id)
+    ties -> exact-cosine rerank of the candidates ONLY). oversample=4
+    keeps the ADC stage genuinely selective (20 of 500..2000
+    candidates), so the leg differentially tests candidate generation
+    AND the semi-join-sized rerank, not a degenerate exact scan. Zero
+    operator imports (the _ivfadc_literal_rows standard)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from d2d_spark.plans.registry import fixture_table_paths
+
+    out: list[tuple] = []
+    m, ksub, k, oversample = _PQRR_M, _PQRR_KSUB, _PQRR_K, _PQRR_OS
+    for _fixture_path in fixture_table_paths("embeddings"):
+        try:
+            t = pq.read_table(
+                _fixture_path, columns=["vec_id", "embedding", "label"]
+            )
+        except Exception:
+            continue
+        ids = t["vec_id"].to_pylist()
+        labs = t["label"].to_pylist()
+        X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        tag = len(ids) * 1_000_000 + sum(
+            lb * (i % 97) for i, lb in zip(ids, labs)
+        )
+        order = sorted(range(len(ids)), key=lambda i: _xxh64_long(ids[i]))[:10_000]
+        Xs = X[order]  # RAW vectors — train_pq does not normalize
+        dsub = X.shape[1] // m
+        kk = min(ksub, len(Xs))
+        books = np.empty((m, kk, dsub))
+        for j in range(m):
+            S = Xs[:, j * dsub : (j + 1) * dsub]
+            C = S[:kk].copy()
+            for _ in range(10):
+                d2 = (S * S).sum(axis=1, keepdims=True) - 2.0 * (S @ C.T) + (
+                    C * C
+                ).sum(axis=1)
+                a = np.argmin(d2, axis=1)
+                for c in range(kk):
+                    members = S[a == c]
+                    if len(members):
+                        C[c] = members.mean(axis=0)
+            books[j] = C
+        codes = np.empty((len(X), m), dtype=np.int64)
+        for j in range(m):
+            S = X[:, j * dsub : (j + 1) * dsub]
+            # the encoder's exact argmin expression (-2x·c + |c|²)
+            codes[:, j] = np.argmin(
+                -2.0 * (S @ books[j].T) + (books[j] * books[j]).sum(axis=1), axis=1
+            )
+        qsel = [i for i in range(len(ids)) if ids[i] % 100 == 0]
+        Q = X[qsel]
+        lut = np.stack(
+            [Q[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)], axis=1
+        )
+        nids = np.array(ids, dtype=np.int64)
+        for qi, qrow in enumerate(qsel):
+            s = np.zeros(len(nids))
+            for j in range(m):
+                s += lut[qi, j, codes[:, j]]
+            cand = sorted(
+                (( -s[n], int(nids[n])) for n in range(len(nids)) if nids[n] != ids[qrow])
+            )[: k * oversample]
+            qv = X[qrow]
+            qn = np.linalg.norm(qv)
+            rer = []
+            for _, nid in cand:
+                cv = X[ids.index(nid)]
+                denom = qn * np.linalg.norm(cv)
+                rer.append((-(float(qv @ cv) / denom), nid))
+            rer.sort()
+            for rank, (neg, nid) in enumerate(rer[:k], start=1):
+                out.append((tag, ids[qrow], nid, round(-neg, 6), rank))
+    return out
+
+
 def _ann_lsh_ivf_oracle() -> str:
     rows = _ivfadc_literal_rows()
     if not rows:
@@ -967,6 +1051,12 @@ def _ann_lsh_ivf_oracle() -> str:
         kmr_rows = [(-1, 0, 0, 0.0, 0)]
     kmr_values = ",\n     ".join(
         f"({t}, {c}, {p}, CAST({v!r} AS DOUBLE), {r})" for t, c, p, v, r in kmr_rows
+    )
+    pqrr_rows = _pqrr_literal_rows()
+    if not pqrr_rows:
+        pqrr_rows = [(-1, 0, 0, 0.0, 0)]
+    pqrr_values = ",\n     ".join(
+        f"({t}, {q}, {n}, CAST({s!r} AS DOUBLE), {r})" for t, q, n, s, r in pqrr_rows
     )
     return f"""
     SELECT 'lsh' AS leg, * FROM ({_SQL_LSH_TOPK})
@@ -983,6 +1073,12 @@ def _ann_lsh_ivf_oracle() -> str:
            val AS cos_sim, rank
     FROM (VALUES
      {kmr_values}) AS kmr_exp(sftag, cell, pos, val, rank)
+    WHERE sftag = (SELECT COUNT(*) * 1000000 + SUM(label * (vec_id % 97))
+                   FROM embeddings)
+    UNION ALL
+    SELECT 'pqrr' AS leg, query_id, neighbor_id, score AS cos_sim, rank
+    FROM (VALUES
+     {pqrr_values}) AS pqrr_exp(sftag, query_id, neighbor_id, score, rank)
     WHERE sftag = (SELECT COUNT(*) * 1000000 + SUM(label * (vec_id % 97))
                    FROM embeddings)
     """
@@ -1024,7 +1120,14 @@ def ann_lsh_ivf_topk(spark, sf_dir):
     Lloyd on top of the sample-trained coarse quantizer, every
     refined centroid component hash-checked to 6 decimals against a
     numpy twin of train+refine (the sufficient-statistics shuffle may
-    not change the math)."""
+    not change the math).
+
+    pqrr leg: the standalone two-stage PQ search (`pq_topk_rerank` —
+    ADC generates 20 candidates per query from the 8-byte codes, the
+    exact-cosine rerank reads only those 20 vectors) at a genuinely
+    SELECTIVE oversample=4, vs a numpy twin of the whole train ->
+    encode -> ADC-candidate -> rerank pipeline — scores to 6 decimals,
+    candidate and rerank tie orders replayed exactly."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
     # 4 bits = 16 buckets: coarse enough for decent recall on the
@@ -1061,6 +1164,17 @@ def ann_lsh_ivf_topk(spark, sf_dir):
         ],
         "query_id long, neighbor_id long, cos_sim double, rank int",
     )
+    # pqrr leg: the standalone two-stage search — selective ADC
+    # candidates (k*oversample of the corpus), exact rerank on the
+    # candidates only
+    from d2d_spark.operators.pq import pq_encode, pq_topk_rerank, train_pq
+
+    pqm = train_pq(e, "vec_id", "embedding", m=_PQRR_M, ksub=_PQRR_KSUB, iters=10)
+    pcodes = pq_encode(e, "embedding", pqm)
+    pqrr = pq_topk_rerank(
+        e, pcodes, q, "vec_id", "embedding", "pq_code", "vec_id", "embedding",
+        pqm, k=_PQRR_K, oversample=_PQRR_OS,
+    )
     cols = ["query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"]
     adc_cols = ["query_id", "neighbor_id", F.round("score", 6).alias("cos_sim"), "rank"]
     return (
@@ -1068,6 +1182,7 @@ def ann_lsh_ivf_topk(spark, sf_dir):
         .unionByName(ivf.select(F.lit("ivf").alias("leg"), *cols))
         .unionByName(ivfadc.select(F.lit("ivfadc").alias("leg"), *adc_cols))
         .unionByName(kmr.select(F.lit("kmr").alias("leg"), *cols))
+        .unionByName(pqrr.select(F.lit("pqrr").alias("leg"), *cols))
     )
 
 
