@@ -696,6 +696,91 @@ def weighted_jaccard_pairs(
     return _weighted_pairs_output(shared, sizes, threshold_pct)
 
 
+def weighted_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    weight_col: str,
+    threshold_pct: int = 60,
+    max_df: int | None = 1000,
+    validate: bool = True,
+) -> DataFrame:
+    """EXACT sparse-cosine near-pairs over a long-format
+    (id, token, weight) frame:
+
+        cos(A, B) = sum_t w_A(t)·w_B(t) / (||A|| · ||B||)
+
+    — the third weighted-similarity measure next to weighted Jaccard
+    (min/max overlap) and embedding cosine (dense vectors): the
+    classic tf / tf-idf document-similarity join (Bayardo et al. 2007
+    target the same measure), scale-INVARIANT where weighted Jaccard
+    is scale-sensitive (a doc and its double-length concatenation
+    score 1.0 here). Returns (id_a, id_b, dot, nsq_a, nsq_b, cos_sim)
+    for every pair with cos >= threshold_pct/100, decided EXACTLY:
+    since weights are positive, cos >= t iff
+
+        10000 · dot² >= threshold_pct² · nsq_a · nsq_b
+
+    — all integer products, evaluated in DECIMAL(38,0) (HUGEINT-class
+    exactness; a pathological profile overflowing 38 digits fails
+    LOUDLY under ANSI instead of corrupting the cut). The emitted
+    cos_sim is one multiply + sqrt + divide over exact longs, so it
+    is bit-identical across engines with NO rounding. Fractional
+    weights sum as double (same caveat as weighted_jaccard_pairs —
+    discretize upstream when exactness matters).
+
+    Shape: identical to weighted_jaccard_pairs — one validation
+    aggregate (skippable), the df cap (dot and norms BOTH measured on
+    the filtered profiles), per-id norm aggregate, one token equi-join
+    bounded by sum(df²) candidates. The same 100-TB posture."""
+    if not 1 <= threshold_pct <= 100:
+        raise ValueError(f"threshold_pct must be in [1, 100], got {threshold_pct}")
+    if max_df is not None and max_df < 2:
+        raise ValueError(f"max_df must be >= 2 (or None), got {max_df}")
+    wt = _weighted_profiles(
+        df, id_col, token_col, weight_col, "weighted_cosine_pairs", validate=validate
+    )
+    if max_df is not None:
+        from pyspark.sql import Window
+
+        wt = (
+            wt.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("__t")))
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+        )
+    sizes = wt.groupBy("__id").agg(F.sum(F.col("__w") * F.col("__w")).alias("__nsq"))
+    a = wt.select(F.col("__id").alias("id_a"), "__t", F.col("__w").alias("__wa"))
+    b = wt.select(F.col("__id").alias("id_b"), "__t", F.col("__w").alias("__wb"))
+    shared = (
+        a.join(b, "__t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("__wa") * F.col("__wb")).alias("dot"))
+    )
+    out = shared.join(
+        sizes.select(F.col("__id").alias("id_a"), F.col("__nsq").alias("nsq_a")),
+        "id_a",
+    ).join(
+        sizes.select(F.col("__id").alias("id_b"), F.col("__nsq").alias("nsq_b")),
+        "id_b",
+    )
+    dec = "decimal(38,0)"
+    lhs = F.lit(10_000).cast(dec) * F.col("dot").cast(dec) * F.col("dot").cast(dec)
+    rhs = (
+        F.lit(threshold_pct * threshold_pct).cast(dec)
+        * F.col("nsq_a").cast(dec)
+        * F.col("nsq_b").cast(dec)
+    )
+    return (
+        out.filter(lhs >= rhs)
+        .withColumn(
+            "cos_sim",
+            F.col("dot") / F.sqrt(F.col("nsq_a").cast("double") * F.col("nsq_b")),
+        )
+        .select("id_a", "id_b", "dot", "nsq_a", "nsq_b", "cos_sim")
+    )
+
+
 def weighted_minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

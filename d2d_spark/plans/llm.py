@@ -1583,7 +1583,12 @@ def _jaccard_suite_oracle() -> str:
      wsh AS MATERIALIZED (
        SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(LEAST(a.w, b.w)) AS sm
        FROM wflt a JOIN wflt b USING (tok) WHERE a.doc_id < b.doc_id
-       GROUP BY 1, 2)
+       GROUP BY 1, 2),
+     wdot AS MATERIALIZED (
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS dt
+       FROM wflt a JOIN wflt b USING (tok) WHERE a.doc_id < b.doc_id
+       GROUP BY 1, 2),
+     wnsq AS MATERIALIZED (SELECT doc_id, SUM(w * w) AS nsq FROM wflt GROUP BY doc_id)
     SELECT 'pair' AS leg, id_a AS a, id_b AS b, jaccard FROM pairs
     UNION ALL
     SELECT 'prefix' AS leg, id_a AS a, id_b AS b, jaccard FROM pairs
@@ -1598,6 +1603,12 @@ def _jaccard_suite_oracle() -> str:
     FROM wsh JOIN wsz sa ON sa.doc_id = wsh.id_a
              JOIN wsz sb ON sb.doc_id = wsh.id_b
     WHERE 100 * sm >= 30 * (sa.wt + sb.wt - sm)
+    UNION ALL
+    SELECT 'wcos' AS leg, id_a, id_b,
+           dt / sqrt(CAST(sa.nsq AS DOUBLE) * sb.nsq)
+    FROM wdot JOIN wnsq sa ON sa.doc_id = wdot.id_a
+              JOIN wnsq sb ON sb.doc_id = wdot.id_b
+    WHERE 10000 * CAST(dt AS HUGEINT) * dt >= 3600 * CAST(sa.nsq AS HUGEINT) * sb.nsq
     UNION ALL
     SELECT 'wmh' AS leg, id_a, id_b,
            CAST(sm AS DOUBLE) / (wa + wb - sm)
@@ -1631,6 +1642,12 @@ def jaccard_pairs_clusters(spark, sf_dir):
     against a plain token-join SQL replay: integer weights make every
     sum and the cross-multiplied threshold engine-exact, and the one
     reported ratio is a single division of exact integers.
+
+    The wcos leg runs `weighted_cosine_pairs` — EXACT sparse cosine,
+    the scale-invariant third measure — on the SAME profiles as wjac;
+    the integer cross-multiplied threshold and the single
+    multiply+sqrt+divide score make the whole leg engine-exact with
+    no rounding.
 
     The wmh leg runs `weighted_minhash_lsh_pairs` — the LSH arm, NO
     df cap — on the %25 slice against a pure-Python twin of the whole
@@ -1704,6 +1721,20 @@ def jaccard_pairs_clusters(spark, sf_dir):
             F.col("w_shared") / (F.col("w_a") + F.col("w_b") - F.col("w_shared")), 6
         ).alias("jaccard"),
     )
+    # wcos leg: exact sparse-cosine pairs over the SAME df-capped tf
+    # profiles as the wjac leg — the integer cross-multiplied
+    # threshold (10000·dot² >= 60²·nsq_a·nsq_b, DECIMAL vs HUGEINT)
+    # decides the cut exactly in both engines, and the emitted cosine
+    # is one multiply+sqrt+divide over exact longs, hash-matched with
+    # NO rounding
+    wcos_leg = D.weighted_cosine_pairs(
+        wtf, "__id", "tok", "tf", threshold_pct=60, max_df=100
+    ).select(
+        F.lit("wcos").alias("leg"),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        F.col("cos_sim").alias("jaccard"),
+    )
     # wmh leg: the LSH arm over UNCAPPED tf profiles of the %25 slice
     # — candidates from banded weighted minhash, verified exactly;
     # checked against the pure-Python whole-pipeline twin above. The
@@ -1727,6 +1758,7 @@ def jaccard_pairs_clusters(spark, sf_dir):
         .unionByName(comp_leg)
         .unionByName(contain_leg)
         .unionByName(wjac_leg)
+        .unionByName(wcos_leg)
         .unionByName(wmh_leg)
     )
 

@@ -234,3 +234,118 @@ def test_weighted_minhash_determinism_and_guards(spark):
             spark.createDataFrame([(1, None, 1)], "id long, tok string, w long"),
             "id", "tok", "w",
         )
+
+
+# ---------- weighted_cosine_pairs ----------
+
+
+def test_weighted_cosine_matches_naive(spark):
+    """Every returned pair, dot, norm and the selection itself equal a
+    dict replay using exact Fraction threshold arithmetic."""
+    from fractions import Fraction
+
+    from d2d_spark.operators.dedup import weighted_cosine_pairs
+
+    profiles = {
+        1: {"a": 4, "b": 2, "c": 1},
+        2: {"a": 3, "b": 3, "d": 2},
+        3: {"a": 1, "x": 9},
+        4: {"a": 4, "b": 2, "c": 1},   # exact clone of 1
+        5: {"a": 8, "b": 4, "c": 2},   # 2x-scaled clone of 1
+    }
+    rows = [(i, t, w) for i, p in profiles.items() for t, w in p.items()]
+    for tp in (36, 60, 90, 100):
+        got = {
+            (r["id_a"], r["id_b"]): (r["dot"], r["nsq_a"], r["nsq_b"])
+            for r in weighted_cosine_pairs(
+                _wdf(spark, rows), "id", "tok", "w", threshold_pct=tp, max_df=None
+            ).collect()
+        }
+        want = {}
+        ids = sorted(profiles)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                pa, pb = profiles[ids[x]], profiles[ids[y]]
+                dot = sum(pa[t] * pb.get(t, 0) for t in pa)
+                na = sum(w * w for w in pa.values())
+                nb = sum(w * w for w in pb.values())
+                # exact rational comparison: cos >= tp/100
+                if Fraction(10_000 * dot * dot, na * nb) >= Fraction(tp * tp):
+                    want[(ids[x], ids[y])] = (dot, na, nb)
+        assert got == want, tp
+    # scale invariance: the 2x clone pairs with its source at 100%
+    # (weighted Jaccard would score it 21/42 = 0.5)
+    full = weighted_cosine_pairs(
+        _wdf(spark, rows), "id", "tok", "w", threshold_pct=100, max_df=None
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in full}
+    assert {(1, 4), (1, 5), (4, 5)} <= pairs
+    for r in full:
+        assert r["cos_sim"] == 1.0  # exact: sqrt of a perfect square
+
+
+def test_weighted_cosine_exact_boundary(spark):
+    """A pair sitting EXACTLY at the threshold is kept (>=), decided
+    by integer arithmetic, not float luck: cos = 9/25 = 0.36."""
+    from d2d_spark.operators.dedup import weighted_cosine_pairs
+
+    rows = [(1, "x", 3), (1, "y", 4), (2, "x", 3), (2, "z", 4)]
+    at = weighted_cosine_pairs(
+        _wdf(spark, rows), "id", "tok", "w", threshold_pct=36, max_df=None
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["dot"]) for r in at] == [(1, 2, 9)]
+    assert at[0]["cos_sim"] == 9 / 25
+    above = weighted_cosine_pairs(
+        _wdf(spark, rows), "id", "tok", "w", threshold_pct=37, max_df=None
+    ).collect()
+    assert above == []
+
+
+def test_weighted_cosine_df_cap_and_validation(spark):
+    from d2d_spark.operators.dedup import weighted_cosine_pairs
+
+    # 'a' appears in 3 profiles -> max_df=2 removes it from dot AND norms
+    rows = [
+        (1, "a", 2), (1, "b", 3),
+        (2, "a", 2), (2, "b", 3),
+        (3, "a", 5), (3, "c", 1),
+    ]
+    got = weighted_cosine_pairs(
+        _wdf(spark, rows), "id", "tok", "w", threshold_pct=50, max_df=2
+    ).collect()
+    # only b survives for 1,2 -> cos(1,2) = 9/(3*3) = 1.0
+    assert [(r["id_a"], r["id_b"], r["dot"], r["nsq_a"], r["nsq_b"]) for r in got] == [
+        (1, 2, 9, 9, 9)
+    ]
+    with pytest.raises(ValueError, match="threshold_pct"):
+        weighted_cosine_pairs(_wdf(spark, rows), "id", "tok", "w", threshold_pct=0)
+    with pytest.raises(ValueError, match="max_df"):
+        weighted_cosine_pairs(_wdf(spark, rows), "id", "tok", "w", max_df=1)
+    with pytest.raises(ValueError, match="non-positive"):
+        weighted_cosine_pairs(
+            _wdf(spark, rows + [(9, "q", 0)]), "id", "tok", "w"
+        ).collect()
+    with pytest.raises(ValueError, match="duplicate"):
+        weighted_cosine_pairs(
+            _wdf(spark, rows + [(1, "a", 7)]), "id", "tok", "w"
+        ).collect()
+
+
+def test_weighted_cosine_partitioning_invariant(spark):
+    from d2d_spark.operators.dedup import weighted_cosine_pairs
+
+    rows = [(i, f"t{j}", (i * 7 + j * 3) % 5 + 1) for i in range(12) for j in range(8)]
+    outs = []
+    for n_parts in (1, 7):
+        df = _wdf(spark, rows).repartition(n_parts)
+        outs.append(
+            sorted(
+                map(
+                    tuple,
+                    weighted_cosine_pairs(
+                        df, "id", "tok", "w", threshold_pct=80, max_df=None
+                    ).collect(),
+                )
+            )
+        )
+    assert outs[0] == outs[1] and outs[0]
