@@ -192,3 +192,98 @@ def corpus_report(
             )
         )
     return out
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    top_k: int = 10,
+    max_keys: int = 10_000_000,
+    sep: str = "\x1f",
+) -> DataFrame:
+    """Key-distribution skew diagnostics — the numbers that decide
+    whether a join/groupBy on these keys needs salting, AQE skew
+    handling, or a whale-key refusal (the operational companion to
+    operators/skew.salted_join). Returns (stat, key, n, value) rows:
+
+      rows / keys       — total rows, distinct keys (n)
+      top               — the ``top_k`` heaviest keys with exact row
+                          counts and share = n/rows (ties: largest n,
+                          then smallest key — deterministic)
+      max_over_avg      — max key count / mean key count: ~1 uniform,
+                          >> 1 skewed (the salting trigger)
+      entropy / entropy_norm — Shannon entropy of the key histogram
+                          in nats, and normalized by ln(keys) (1.0 =
+                          uniform; near 0 = one whale). Per-key terms
+                          round to 12 decimals and sum in DECIMAL, so
+                          the fold is partition-order-invariant.
+      gini              — Gini coefficient of the count distribution
+                          (0 uniform, -> 1 concentrated), from the
+                          exact integer rank-sum formula
+                          2*sum(r*n_r)/(K*N) - (K+1)/K over counts
+                          sorted (n asc, key asc).
+
+    Shape: ONE groupBy builds the per-key counts frame (bounded by
+    key cardinality, not row count); the top slice is
+    orderBy+limit (TakeOrderedAndProject); the scalar stats are one
+    aggregate over that counts frame. The Gini rank runs a GLOBAL
+    window over the counts frame — fine for a diagnostic up to
+    ``max_keys`` distinct keys (refused loudly above; sample keys or
+    raise the cap explicitly for wider spaces)."""
+    from pyspark.sql import Window
+
+    if top_k < 1:
+        raise ValueError(f"key_skew_report: top_k must be >= 1, got {top_k}")
+    if not key_cols:
+        raise ValueError("key_skew_report: need at least one key column")
+    key = (
+        F.concat_ws(sep, *[F.col(c).cast("string") for c in key_cols])
+        if len(key_cols) > 1
+        else F.col(key_cols[0]).cast("string")
+    )
+    counts = df.groupBy(key.alias("__k")).agg(F.count(F.lit(1)).alias("__n"))
+    tot = counts.agg(
+        F.sum("__n").alias("N"), F.count(F.lit(1)).alias("K"), F.max("__n").alias("mx")
+    ).first()
+    spark = df.sparkSession
+    schema = "stat string, key string, n long, value double"
+    if tot["N"] is None:
+        return spark.createDataFrame([("rows", None, 0, None), ("keys", None, 0, None)], schema)
+    n_total, n_keys, mx = int(tot["N"]), int(tot["K"]), int(tot["mx"])
+    if n_keys > max_keys:
+        raise ValueError(
+            f"key_skew_report: {n_keys} distinct keys (> max_keys={max_keys}) "
+            "— the gini rank sorts the counts frame on one node; sample keys "
+            "or raise the cap explicitly"
+        )
+    p = F.col("__n").cast("double") / F.lit(float(n_total))
+    term = F.round(p * F.log(p), 12).cast("decimal(28,12)")
+    rnk = F.row_number().over(Window.orderBy("__n", "__k"))
+    scalars = counts.withColumn("__r", rnk).agg(
+        (-F.sum(term)).cast("double").alias("H"),
+        F.sum(F.col("__r").cast("decimal(28,0)") * F.col("__n")).alias("RS"),
+    ).first()
+    h = float(scalars["H"])
+    rs = int(scalars["RS"])
+    import math
+
+    gini = 2.0 * rs / (float(n_keys) * n_total) - (n_keys + 1.0) / n_keys
+    metric_rows = [
+        ("rows", None, n_total, None),
+        ("keys", None, n_keys, None),
+        ("max_over_avg", None, mx, mx * float(n_keys) / n_total),
+        ("entropy", None, None, h),
+        ("entropy_norm", None, None, h / math.log(n_keys) if n_keys > 1 else None),
+        ("gini", None, None, gini),
+    ]
+    top = (
+        counts.orderBy(F.col("__n").desc(), "__k")
+        .limit(top_k)
+        .select(
+            F.lit("top").alias("stat"),
+            F.col("__k").alias("key"),
+            F.col("__n").alias("n"),
+            (F.col("__n").cast("double") / F.lit(float(n_total))).alias("value"),
+        )
+    )
+    return spark.createDataFrame(metric_rows, schema).unionByName(top)

@@ -238,14 +238,20 @@ def gap_fill(
 
 
 def _probe_series(
-    df: DataFrame, keys: list[str], order_col: str, what: str, max_rows_per_key: int
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    what: str,
+    max_rows_per_key: int,
+    allow_dups: bool = False,
 ) -> None:
     """ONE validation pass for the series operators below (the
     single-aggregate discipline): refuses NULL order values, duplicate
-    (key, order) rows (ties make window frames / fold order
-    partitioning-dependent — aggregate first), and whale keys whose
-    full series would exceed ``max_rows_per_key`` (ewma's per-key
-    state is the series itself)."""
+    (key, order) rows (ties make ROW frames / fold order
+    partitioning-dependent — aggregate first; RANGE frames are
+    value-bounded so duplicates are legal there, ``allow_dups``), and
+    whale keys whose full series would exceed ``max_rows_per_key``
+    (ewma's per-key state is the series itself)."""
     per_key = (
         df.groupBy(*keys, order_col)
         .agg(F.count(F.lit(1)).alias("__n"), F.max(F.col(order_col).isNull()).alias("__on"))
@@ -266,7 +272,7 @@ def _probe_series(
     if bad["null_order"]:
         raise ValueError(f"{what}: NULL {order_col!r} values — a series point "
                          "without a position is undefined; filter or impute first")
-    if bad["dup"] > 1:
+    if not allow_dups and bad["dup"] > 1:
         raise ValueError(f"{what}: duplicate (key, {order_col}) rows — order ties "
                          "make the result partitioning-dependent; aggregate "
                          "(resample) first")
@@ -283,46 +289,81 @@ def rolling_stats(
     key_cols: Sequence[str],
     order_col: str,
     value_col: str,
-    window: int,
+    window: int | None = None,
     stats: Sequence[str] = ("avg", "sum", "min", "max", "stddev", "count"),
     min_periods: int = 1,
     out_prefix: str = "roll_",
     validate: bool = True,
     max_rows_per_key: int = 100_000_000,
+    duration: str | None = None,
 ) -> DataFrame:
-    """Trailing-window statistics per key: for each row, aggregate the
-    last ``window`` rows (INCLUDING the current one) of the series
-    ordered by ``order_col``. Appends one ``{out_prefix}{stat}`` column
-    per requested stat; rows whose frame holds fewer than
-    ``min_periods`` non-NULL values get NULL (count excepted — it IS
-    the frame's non-NULL size). NULL values don't contribute (SQL
-    aggregate semantics).
+    """Trailing-window statistics per key: for each row, aggregate
+    either the last ``window`` ROWS of the series (including the
+    current one), or — with ``duration`` ('6 hours', '90 seconds') —
+    every row whose timestamp falls in [t - duration, t] (a RANGE
+    frame: value-bounded, so rows sharing a timestamp are legal and
+    all land in each other's frame). Exactly one of window/duration.
+    Appends one ``{out_prefix}{stat}`` column per requested stat; rows
+    whose frame holds fewer than ``min_periods`` non-NULL values get
+    NULL (count excepted — it IS the frame's non-NULL size). NULL
+    values don't contribute (SQL aggregate semantics).
 
     Spark shape: ONE window shuffle on the keys; every stat shares the
     same frame so Catalyst collapses them into one Window node. At
     100 TB the cost is the key shuffle — same as any per-key window;
     no per-key state beyond the frame. ``validate`` (default on) runs
-    one aggregate pass refusing NULL/duplicate order values — pass
-    False for pre-validated pipelines (resample output qualifies)."""
+    one aggregate pass refusing NULL order values (and duplicates, in
+    rows mode) — pass False for pre-validated pipelines (resample
+    output qualifies)."""
     known = {"avg", "sum", "min", "max", "stddev", "count"}
     req = list(stats)
     bad = [s for s in req if s not in known]
     if bad:
         raise ValueError(f"rolling_stats: unknown stats {bad}; choose from {sorted(known)}")
-    if window < 1:
+    if (window is None) == (duration is None):
+        raise ValueError("rolling_stats: pass exactly one of window / duration")
+    if window is not None and window < 1:
         raise ValueError(f"rolling_stats: window must be >= 1, got {window}")
-    if min_periods < 1 or min_periods > window:
+    if min_periods < 1 or (window is not None and min_periods > window):
         raise ValueError(
             f"rolling_stats: min_periods must be in [1, window], got {min_periods}"
         )
     keys = list(key_cols)
     if validate:
-        _probe_series(df, keys, order_col, "rolling_stats", max_rows_per_key)
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(order_col)
-        .rowsBetween(-(window - 1), 0)
-    )
+        _probe_series(
+            df, keys, order_col, "rolling_stats", max_rows_per_key,
+            allow_dups=duration is not None,
+        )
+    if duration is not None:
+        if dict(df.dtypes).get(order_col) != "timestamp":
+            raise ValueError(
+                f"rolling_stats: duration mode needs a timestamp {order_col!r} "
+                f"column, got {dict(df.dtypes).get(order_col)!r}"
+            )
+        parts = duration.strip().split()
+        unit = parts[-1].lower().rstrip("s")
+        secs_per = {
+            "second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800,
+        }
+        if unit not in secs_per or len(parts) != 2:
+            raise ValueError(
+                f"rolling_stats needs a DAY-TIME duration ('<n> seconds..weeks'), "
+                f"got {duration!r} — calendar months/years have no fixed length"
+            )
+        micros = int(round(float(parts[0]) * secs_per[unit] * 1_000_000))
+        if micros < 1:
+            raise ValueError(f"rolling_stats: duration must be positive, got {duration!r}")
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.unix_micros(F.col(order_col)))
+            .rangeBetween(-micros, 0)
+        )
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(order_col)
+            .rowsBetween(-(window - 1), 0)
+        )
     v = F.col(value_col)
     n_obs = F.count(v).over(w)
     exprs = {

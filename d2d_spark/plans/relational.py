@@ -529,7 +529,19 @@ def _pagerank_unrolled_oracle(
     p3 AS MATERIALIZED (
       SELECT path, n, ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rnk FROM (
         SELECT f || '>' || t || '>' || t2 AS path, COUNT(*) AS n
-        FROM seqx WHERE t2 IS NOT NULL GROUP BY 1))
+        FROM seqx WHERE t2 IS NOT NULL GROUP BY 1)),
+    skc AS MATERIALIZED (
+      SELECT CAST(user_id AS VARCHAR) AS k, COUNT(*) AS n FROM events
+      WHERE user_id IS NOT NULL GROUP BY 1),
+    skt AS MATERIALIZED (SELECT SUM(n) AS nn, COUNT(*) AS kk, MAX(n) AS mx FROM skc),
+    ske AS MATERIALIZED (
+      SELECT -SUM(CAST(round((n / CAST(skt.nn AS DOUBLE))
+                             * ln(n / CAST(skt.nn AS DOUBLE)), 12)
+                       AS DECIMAL(28,12))) AS h
+      FROM skc, skt),
+    skg AS MATERIALIZED (
+      SELECT SUM(CAST(r AS HUGEINT) * n) AS rs FROM (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n, k) AS r FROM skc))
     SELECT 'terms' AS leg, event_type AS k, COUNT(*) AS cnt,
            CAST(NULL AS DOUBLE) AS rank
     FROM events GROUP BY event_type
@@ -555,7 +567,27 @@ def _pagerank_unrolled_oracle(
            CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY f) AS DOUBLE)
     FROM tcnt
     UNION ALL
-    SELECT 'paths3', path, n, CAST(rnk AS DOUBLE) FROM p3 WHERE rnk <= 20"""
+    SELECT 'paths3', path, n, CAST(rnk AS DOUBLE) FROM p3 WHERE rnk <= 20
+    UNION ALL
+    SELECT 'skew', 'rows', nn, CAST(NULL AS DOUBLE) FROM skt
+    UNION ALL
+    SELECT 'skew', 'keys', kk, CAST(NULL AS DOUBLE) FROM skt
+    UNION ALL
+    SELECT 'skew', 'max_over_avg', mx,
+           round(mx * CAST(kk AS DOUBLE) / nn, 9) FROM skt
+    UNION ALL
+    SELECT 'skew', 'entropy', CAST(NULL AS BIGINT),
+           round(CAST(h AS DOUBLE), 9) FROM ske
+    UNION ALL
+    SELECT 'skew', 'entropy_norm', CAST(NULL AS BIGINT),
+           round(CAST(h AS DOUBLE) / ln(CAST(kk AS DOUBLE)), 9) FROM ske, skt
+    UNION ALL
+    SELECT 'skew', 'gini', CAST(NULL AS BIGINT),
+           round(2.0 * rs / (CAST(kk AS DOUBLE) * nn) - (kk + 1.0) / kk, 9)
+    FROM skg, skt
+    UNION ALL
+    SELECT 'skew', 'top:' || k, n, round(n / CAST(nn AS DOUBLE), 9)
+    FROM (SELECT k, n FROM skc ORDER BY n DESC, k LIMIT 10), skt"""
     )
     return "".join(parts)
 
@@ -566,7 +598,10 @@ def _pagerank_unrolled_oracle(
     tags=("agg", "terms", "graph", "pagerank", "triangles", "hits", "lpa"),
 )
 def group_count_event_types(spark, sf_dir):
-    """Ten graph/event-analytics legs. 'trans'/'paths3': event-path
+    """Eleven graph/event-analytics legs. 'skew': key-distribution
+    diagnostics (profile.key_skew_report) over events.user_id —
+    counts, top-10 shares, entropy (DECIMAL-disciplined fold), exact
+    rank-sum gini. 'trans'/'paths3': event-path
     analytics (operators/paths.py) — the endpoint-augmented Markov
     transition matrix with exact-division row-stochastic probabilities,
     and the deterministic top-20 3-step paths. 'terms': ES terms
@@ -749,6 +784,23 @@ def group_count_event_types(spark, sf_dir):
         F.col("n").alias("cnt"),
         F.col("rnk").cast("double").alias("rank"),
     )
+    # skew leg: key-distribution diagnostics (operators/profile.py
+    # key_skew_report) over the events user_id — exact counts/shares,
+    # the DECIMAL-disciplined entropy fold, the integer rank-sum gini;
+    # float-derived metrics round to 9 on both sides
+    from d2d_spark.operators.profile import key_skew_report
+
+    rep = key_skew_report(
+        ev.filter(F.col("user_id").isNotNull()), ["user_id"], top_k=10
+    )
+    skew = rep.select(
+        F.lit("skew").alias("leg"),
+        F.when(F.col("stat") == "top", F.concat(F.lit("top:"), F.col("key")))
+        .otherwise(F.col("stat"))
+        .alias("k"),
+        F.col("n").alias("cnt"),
+        F.round("value", 9).alias("rank"),
+    )
     return (
         terms.unionByName(pr)
         .unionByName(pr_w)
@@ -759,6 +811,7 @@ def group_count_event_types(spark, sf_dir):
         .unionByName(lpa)
         .unionByName(trans)
         .unionByName(paths3)
+        .unionByName(skew)
     )
 
 

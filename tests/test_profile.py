@@ -105,3 +105,71 @@ def test_corpus_report_without_composition_cols(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     secs = {r.section for r in corpus_report(docs, "text").collect()}
     assert secs == {"totals", "token_quantiles", "quality_quantiles"}
+
+
+def test_key_skew_report_matches_python(spark):
+    """Every stat equals an exact Python replay: counts, shares,
+    entropy (via the same 12-dp rounded-term fold), rank-sum gini."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from d2d_spark.operators.profile import key_skew_report
+
+    rows = [(k,) for k in ["a"] * 50 + ["b"] * 25 + ["c"] * 20 + ["d"] * 5]
+    df = spark.createDataFrame(rows, "k string")
+    got = {(r["stat"], r["key"]): (r["n"], r["value"])
+           for r in key_skew_report(df, ["k"], top_k=3).collect()}
+    c = Counter(k for k, in rows)
+    N, K = sum(c.values()), len(c)
+    assert got[("rows", None)] == (N, None)
+    assert got[("keys", None)] == (K, None)
+    assert got[("max_over_avg", None)] == (50, 50 * float(K) / N)
+    # top-3 with exact shares; 'd' excluded by top_k
+    assert got[("top", "a")] == (50, 50 / 100.0)
+    assert got[("top", "b")] == (25, 25 / 100.0)
+    assert got[("top", "c")] == (20, 20 / 100.0)
+    assert ("top", "d") not in got
+    h = -float(sum(
+        Decimal(str(round(n / N * math.log(n / N), 12))) for n in c.values()
+    ))
+    assert got[("entropy", None)][1] == pytest.approx(h, abs=1e-12)
+    assert got[("entropy_norm", None)][1] == pytest.approx(h / math.log(K), abs=1e-12)
+    # gini: counts sorted ascending (5, 20, 25, 50), ranks 1..4
+    rs = 1 * 5 + 2 * 20 + 3 * 25 + 4 * 50
+    gini = 2.0 * rs / (float(K) * N) - (K + 1.0) / K
+    assert got[("gini", None)][1] == pytest.approx(gini, abs=1e-12)
+
+
+def test_key_skew_report_edges(spark):
+    from d2d_spark.operators.profile import key_skew_report
+
+    # uniform distribution: entropy_norm = 1, gini = 0
+    df = spark.createDataFrame([(k,) for k in "abcd" * 25], "k string")
+    got = {r["stat"]: r["value"] for r in key_skew_report(df, ["k"]).collect()}
+    assert got["entropy_norm"] == pytest.approx(1.0, abs=1e-9)
+    assert got["gini"] == pytest.approx(0.0, abs=1e-12)
+    assert got["max_over_avg"] == pytest.approx(1.0, abs=1e-12)
+    # single key: entropy 0, norm NULL, gini 0
+    one = spark.createDataFrame([("x",)] * 7, "k string")
+    g1 = {r["stat"]: (r["n"], r["value"]) for r in key_skew_report(one, ["k"]).collect()}
+    assert g1["entropy"][1] == 0.0 and g1["entropy_norm"][1] is None
+    assert g1["gini"][1] == 0.0
+    # empty input: just the zero counters
+    empty = spark.createDataFrame([], "k string")
+    ge = {r["stat"]: r["n"] for r in key_skew_report(empty, ["k"]).collect()}
+    assert ge == {"rows": 0, "keys": 0}
+    # multi-column keys concatenate; ties in top rank by smallest key
+    two = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 2), ("b", 2)], "x string, y int"
+    )
+    g2 = [r for r in key_skew_report(two, ["x", "y"], top_k=1).collect()
+          if r["stat"] == "top"]
+    assert len(g2) == 1 and g2[0]["key"] == "a\x1f1" and g2[0]["n"] == 2
+    # guards
+    with pytest.raises(ValueError, match="top_k"):
+        key_skew_report(two, ["x"], top_k=0)
+    with pytest.raises(ValueError, match="key column"):
+        key_skew_report(two, [])
+    with pytest.raises(ValueError, match="max_keys"):
+        key_skew_report(df, ["k"], max_keys=2)

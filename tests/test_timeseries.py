@@ -391,3 +391,52 @@ def test_rolling_on_resampled_fixture(spark, sf_dir):
         frame = [n for _, n in series[max(0, i - 2): i + 1]]
         assert r["roll_sum"] == sum(frame)
         assert r["roll_count"] == len(frame)
+
+
+def test_rolling_stats_time_range_mode(spark):
+    """RANGE frames: every row whose ts falls in [t - duration, t],
+    duplicate timestamps legal (both rows see each other)."""
+    from datetime import datetime
+
+    from d2d_spark.operators.timeseries import rolling_stats
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 0), 1.0),
+        ("a", datetime(2024, 1, 1, 0, 30), 2.0),
+        ("a", datetime(2024, 1, 1, 0, 30), 10.0),   # duplicate ts
+        ("a", datetime(2024, 1, 1, 1, 0), 4.0),
+        ("a", datetime(2024, 1, 1, 3, 0), 8.0),
+        ("b", datetime(2024, 1, 1, 0, 0), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, t timestamp, x double")
+    got = rolling_stats(
+        df, ["k"], "t", "x", duration="1 hour", stats=("sum", "count")
+    ).collect()
+    by_key = {}
+    for k, t, x in rows:
+        by_key.setdefault(k, []).append((t, x))
+    for r in got:
+        frame = [
+            x for t, x in by_key[r["k"]]
+            if 0 <= (r["t"] - t).total_seconds() <= 3600
+        ]
+        assert r["roll_sum"] == sum(frame), (r["k"], r["t"])
+        assert r["roll_count"] == len(frame)
+    # the duplicate-ts rows each include BOTH duplicates
+    dups = [r for r in got if r["t"] == datetime(2024, 1, 1, 0, 30)]
+    assert all(r["roll_sum"] == 13.0 and r["roll_count"] == 3 for r in dups)
+    # the 3:00 row's hour window holds only itself
+    late = [r for r in got if r["t"] == datetime(2024, 1, 1, 3, 0)][0]
+    assert late["roll_sum"] == 8.0 and late["roll_count"] == 1
+    # guards: both/neither mode, bad duration, non-timestamp order
+    with pytest.raises(ValueError, match="exactly one"):
+        rolling_stats(df, ["k"], "t", "x")
+    with pytest.raises(ValueError, match="exactly one"):
+        rolling_stats(df, ["k"], "t", "x", window=3, duration="1 hour")
+    with pytest.raises(ValueError, match="DAY-TIME"):
+        rolling_stats(df, ["k"], "t", "x", duration="1 month")
+    with pytest.raises(ValueError, match="timestamp"):
+        rolling_stats(
+            _series_df(spark, ROWS), ["k"], "t", "x", duration="1 hour"
+        )
