@@ -959,3 +959,184 @@ def latest_scd2_history(spark: SparkSession, state_dir: str):
     return spark.read.parquet(
         os.path.join(state_dir, f"state_after_batch_{max(ids)}")
     )
+
+
+def stream_transition_sink(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    state_dir: str,
+    checkpoint_path: str,
+    tiebreak_cols=(),
+):
+    """Maintain the first-order Markov transition matrix
+    (operators/paths.transition_counts, include_endpoints=False)
+    CONTINUOUSLY over a stream: per micro-batch, within-batch
+    transitions count via the batch operator, cross-batch transitions
+    stitch through a per-key carry of the last seen (ts, state), and
+    both fold into batch-id-keyed persisted state — so the
+    stream-maintained counts EXACTLY equal the batch operator over
+    everything seen (test-pinned at every drop prefix).
+
+    In-order contract (the stateful_funnel discipline): each key's
+    events must arrive in non-decreasing batch time — a batch row at
+    or before the key's carried last_ts is REFUSED loudly (counting
+    it would fabricate a transition order no replay could reproduce);
+    dedupe or re-sequence upstream. Virtual __START__/__END__
+    endpoints are a batch-only feature — __END__ is not incrementally
+    stable (every new event moves it).
+
+    Replay discipline: state (counts + carry) is keyed by batch id;
+    batch N folds the newest state with id < N, so foreachBatch
+    re-delivery re-derives byte-identical state from the original
+    pre-state instead of double-counting. Same one-checkpoint-lifetime
+    refusals as the Bloom/CMS/CDC sinks. State size: |observed state
+    alphabet|² counts + one carry row per key — bounded by key
+    cardinality, not event count."""
+    import os
+    import re
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from d2d_spark.operators.paths import transition_counts
+
+    spark = df.sparkSession
+    _require_local_state_dir("stream_transition_sink", state_dir)
+    os.makedirs(state_dir, exist_ok=True)
+    pat = re.compile(r"^state_after_batch_(\d+)$")
+    state_ids = [
+        int(pat.match(n).group(1)) for n in os.listdir(state_dir) if pat.match(n)
+    ]
+    ckpt_local = _local_path(checkpoint_path)
+    checkpoint_is_fresh = ckpt_local is not None and not os.path.isdir(
+        os.path.join(ckpt_local, "offsets")
+    )
+    if checkpoint_is_fresh and state_ids:
+        raise ValueError(
+            f"stream_transition_sink: checkpoint {checkpoint_path!r} is fresh "
+            f"but state_dir {state_dir!r} holds transition state from a "
+            "previous checkpoint lifetime — use a fresh state_dir, or restore "
+            "the original checkpoint."
+        )
+    if ckpt_local is not None and not checkpoint_is_fresh and not state_ids:
+        raise ValueError(
+            f"stream_transition_sink: checkpoint {checkpoint_path!r} is "
+            f"resuming but state_dir {state_dir!r} has no transition state — "
+            "counts from processed batches would be silently lost. Restore "
+            "the state files or start over with a fresh checkpoint."
+        )
+    ties = list(tiebreak_cols)
+
+    def _load_before(batch_id: int):
+        prior_ids = [
+            int(pat.match(n).group(1))
+            for n in os.listdir(state_dir)
+            if pat.match(n) and int(pat.match(n).group(1)) < batch_id
+        ]
+        if not prior_ids:
+            return None, None
+        base = os.path.join(state_dir, f"state_after_batch_{max(prior_ids)}")
+        return (
+            spark.read.parquet(os.path.join(base, "counts")),
+            spark.read.parquet(os.path.join(base, "carry")),
+        )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        prior_counts, prior_carry = _load_before(batch_id)
+        # within-batch transitions (the batch operator, probe ON — it
+        # owns the NULL/tie refusals)
+        within = transition_counts(
+            batch_df, key_col, ts_col, state_col, tiebreak_cols=ties
+        )
+        key = F.col(key_col).cast("string").alias("__k")
+        order_tuple = F.struct(
+            F.col(ts_col).alias("__ts"),
+            *[F.col(c) for c in ties],
+            F.col(state_col).cast("string").alias("__s"),
+        )
+        ends = batch_df.groupBy(key).agg(
+            F.min(order_tuple).alias("__first"), F.max(order_tuple).alias("__last")
+        )
+        if prior_carry is not None:
+            # in-order refusal: a batch row at or before the carry
+            late = (
+                ends.join(prior_carry, ends["__k"] == prior_carry["key"])
+                .filter(F.col("__first.__ts") <= F.col("last_ts"))
+                .limit(1)
+                .collect()
+            )
+            if late:
+                raise ValueError(
+                    f"stream_transition_sink: key {late[0]['key']!r} has a "
+                    f"batch event at {late[0]['__first']['__ts']} at or "
+                    f"before its carried last_ts {late[0]['last_ts']} — "
+                    "events must arrive in per-key time order; re-sequence "
+                    "or dedupe upstream"
+                )
+            cross = (
+                prior_carry.join(ends, ends["__k"] == prior_carry["key"])
+                .select(
+                    F.col("last_state").alias("from_state"),
+                    F.col("__first.__s").alias("to_state"),
+                )
+                .groupBy("from_state", "to_state")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            within = (
+                within.unionByName(cross)
+                .groupBy("from_state", "to_state")
+                .agg(F.sum("n").alias("n"))
+            )
+        counts = within
+        if prior_counts is not None:
+            counts = (
+                prior_counts.unionByName(within)
+                .groupBy("from_state", "to_state")
+                .agg(F.sum("n").alias("n"))
+            )
+        carry = ends.select(
+            F.col("__k").alias("key"),
+            F.col("__last.__ts").alias("last_ts"),
+            F.col("__last.__s").alias("last_state"),
+        )
+        if prior_carry is not None:
+            untouched = prior_carry.join(
+                ends.select(F.col("__k").alias("key")), "key", "left_anti"
+            )
+            carry = untouched.unionByName(carry)
+        final = os.path.join(state_dir, f"state_after_batch_{batch_id}")
+        tmp = final + ".tmp"
+        counts.write.mode("overwrite").parquet(os.path.join(tmp, "counts"))
+        carry.write.mode("overwrite").parquet(os.path.join(tmp, "carry"))
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+
+    q = (
+        df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def latest_transition_state(spark: SparkSession, state_dir: str):
+    """(counts, carry) from the newest `stream_transition_sink` state
+    — counts feeds `operators/paths.transition_probs` directly;
+    (None, None) if empty."""
+    import os
+    import re
+
+    pat = re.compile(r"^state_after_batch_(\d+)$")
+    ids = [int(pat.match(n).group(1)) for n in os.listdir(state_dir) if pat.match(n)]
+    if not ids:
+        return None, None
+    base = os.path.join(state_dir, f"state_after_batch_{max(ids)}")
+    return (
+        spark.read.parquet(os.path.join(base, "counts")),
+        spark.read.parquet(os.path.join(base, "carry")),
+    )

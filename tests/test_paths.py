@@ -152,3 +152,76 @@ def test_fixture_events_conservation(spark, sf_dir):
         for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("c")).collect()
     }
     assert outflow == occur
+
+
+def test_stream_transition_sink_equals_batch(spark, tmp_path):
+    """Stream-maintained transition counts EXACTLY equal the batch
+    operator over everything seen, at EVERY drop prefix — including
+    the cross-batch stitch through the per-key carry; late (out of
+    per-key order) data is refused loudly."""
+    import pytest as pt
+    from pyspark.sql import types as T
+
+    from d2d_spark.streaming.filestream import (
+        file_stream,
+        latest_transition_state,
+        stream_transition_sink,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("u", T.StringType()),
+            T.StructField("t", T.IntegerType()),
+            T.StructField("s", T.StringType()),
+        ]
+    )
+    drops = [
+        ("d1", [("u1", 1, "view"), ("u1", 2, "cart"), ("u2", 1, "view")]),
+        # u1 continues across the batch boundary (cart -> view), u3 new
+        ("d2", [("u1", 5, "view"), ("u3", 1, "buy"), ("u2", 4, "cart")]),
+        ("d3", [("u1", 6, "buy"), ("u2", 9, "view"), ("u3", 2, "buy")]),
+    ]
+    seen = []
+    for name, rows in drops:
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+            str(src / name)
+        )
+        seen.extend(rows)
+        stream = file_stream(spark, str(src) + "/*", schema)
+        stream_transition_sink(stream, "u", "t", "s", state, ckpt)
+        counts, carry = latest_transition_state(spark, state)
+        got = {(r["from_state"], r["to_state"]): r["n"] for r in counts.collect()}
+        want = {
+            (r["from_state"], r["to_state"]): r["n"]
+            for r in transition_counts(
+                spark.createDataFrame(seen, schema), "u", "t", "s"
+            ).collect()
+        }
+        assert got == want, name
+        carried = {r["key"]: (r["last_ts"], r["last_state"]) for r in carry.collect()}
+        last = {}
+        for u, t, s in sorted(seen, key=lambda r: (r[0], r[1])):
+            last[u] = (t, s)
+        assert carried == last, name
+    # composes with transition_probs
+    probs = transition_probs(counts)
+    assert {r["p"] for r in probs.collect()} <= {x / 10 for x in range(11)} | {
+        1 / 3, 2 / 3, 0.5, 1.0
+    }
+    # late data (at or before the carry) is refused
+    spark.createDataFrame([("u1", 6, "view")], schema).write.mode(
+        "overwrite"
+    ).parquet(str(src / "d4"))
+    stream = file_stream(spark, str(src) + "/*", schema)
+    with pt.raises(Exception, match="per-key time order"):
+        stream_transition_sink(stream, "u", "t", "s", state, ckpt)
+    # fresh checkpoint over surviving state is refused
+    stream = file_stream(spark, str(src) + "/*", schema)
+    with pt.raises(ValueError, match="fresh"):
+        stream_transition_sink(
+            stream, "u", "t", "s", state, str(tmp_path / "ckpt2")
+        )
