@@ -696,6 +696,71 @@ def weighted_jaccard_pairs(
     return _weighted_pairs_output(shared, sizes, threshold_pct)
 
 
+def phonetic_blocked_pairs(
+    df: DataFrame,
+    name_col: str,
+    id_col: str,
+    max_dist: int = 2,
+    max_block: int = 100_000,
+) -> DataFrame:
+    """Entity-resolution blocking by PHONETIC key: names are bucketed
+    by their American Soundex code (JVM-side `F.soundex` — 'Robert'
+    and 'Rupert' share R163), pairs form only WITHIN a block, and an
+    exact Levenshtein verify (the early-exit threshold form) keeps
+    precision 1.0. The classic cheap blocking strategy for
+    person/organization-name matching: unlike `fuzzy_pairs_deletion`
+    (FastSS — guaranteed recall, cost grows with the deletion
+    neighborhood), soundex blocking TRADES recall (typos in the first
+    letter, or ones that change the code, escape the block) for one
+    equi-join — pick it when names are long and sounds-alike recall is
+    the goal. Returns (id_a, id_b, dist, code).
+
+    Shape: one groupBy probe (block-bomb refusal: within-block work is
+    block², so a block above ``max_block`` refuses loudly — common
+    surnames at planet scale need a second blocking key), then one
+    code equi-join with id ordering and the thresholded Levenshtein
+    residual. NULL names/codes never pair (equi-join semantics)."""
+    if max_dist < 0:
+        raise ValueError(f"phonetic_blocked_pairs: max_dist must be >= 0, got {max_dist}")
+    if max_block < 2:
+        raise ValueError(f"phonetic_blocked_pairs: max_block must be >= 2, got {max_block}")
+    coded = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(name_col).alias("__name"),
+        F.soundex(F.col(name_col)).alias("__code"),
+    )
+    bomb = (
+        coded.groupBy("__code")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_block)
+        .limit(1)
+        .collect()
+    )
+    if bomb:
+        raise ValueError(
+            f"phonetic_blocked_pairs: soundex block {bomb[0]['__code']!r} holds "
+            f"{bomb[0]['__n']} names (> max_block={max_block}) — within-block "
+            "work is quadratic; add a second blocking key (e.g. url_host, "
+            "country) or use fuzzy_pairs_deletion"
+        )
+    a = coded.select(
+        F.col("__id").alias("id_a"), F.col("__name").alias("__na"), "__code"
+    )
+    b = coded.select(
+        F.col("__id").alias("id_b"), F.col("__name").alias("__nb"), "__code"
+    )
+    # 3-arg levenshtein early-exits past the threshold (returns -1)
+    dist = F.levenshtein(F.col("__na"), F.col("__nb"), max_dist)
+    return (
+        a.join(b, "__code")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", dist)
+        .filter(F.col("dist") >= 0)
+        .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"),
+                F.col("__code").alias("code"))
+    )
+
+
 def weighted_cosine_pairs(
     df: DataFrame,
     id_col: str,

@@ -1435,29 +1435,132 @@ def pivot_unpivot_roundtrip(spark, sf_dir):
     return wide.unpivot(["o_orderpriority"], ["st_f", "st_o", "st_p"], "status", "cnt")
 
 
-@query(
-    "fuzzy_name_pairs",
-    oracle="""
+def _soundex_py(s):
+    """Python twin of Spark's F.soundex (classic American Soundex,
+    H/W pass-through) — parity with the JVM expression is test-pinned
+    over the fixture names and edge cases (the XXH64-twin standard)."""
+    if not s:
+        return s
+    codes = {}
+    for cs, d in (("BFPV", "1"), ("CGJKQSXZ", "2"), ("DT", "3"),
+                  ("L", "4"), ("MN", "5"), ("R", "6")):
+        for c in cs:
+            codes[c] = d
+    u = [c for c in s.upper() if c.isalpha()]
+    if not u:
+        return s
+    out = [u[0]]
+    prev = codes.get(u[0], "")
+    for c in u[1:]:
+        d = codes.get(c, "")
+        if d and d != prev:
+            out.append(d)
+        if c not in "HW":
+            prev = d
+        if len(out) == 4:
+            break
+    return "".join(out).ljust(4, "0")
+
+
+def _lev_py(a, b, cap):
+    """Plain DP Levenshtein (None once > cap)."""
+    if abs(len(a) - len(b)) > cap:
+        return None
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1] if prev[-1] <= cap else None
+
+
+def _soundex_literal_rows() -> list[tuple]:
+    """(sftag, id_a, id_b, dist, code) per fixture: independent
+    soundex-block + Levenshtein replay over the part slice."""
+    import pyarrow.parquet as pq
+
+    from d2d_spark.plans.registry import fixture_table_paths
+
+    out: list[tuple] = []
+    for _fixture_path in fixture_table_paths("part"):
+        try:
+            t = pq.read_table(_fixture_path, columns=["p_partkey", "p_name"])
+        except Exception:
+            continue
+        rows = [
+            (k, n)
+            for k, n in zip(t["p_partkey"].to_pylist(), t["p_name"].to_pylist())
+            if k <= 400
+        ]
+        tag = t.num_rows * 1_000_000 + sum(len(n) for n in t["p_name"].to_pylist())
+        blocks: dict = {}
+        for k, n in rows:
+            blocks.setdefault(_soundex_py(n), []).append((k, n))
+        for code, members in blocks.items():
+            members.sort()
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    d = _lev_py(members[x][1], members[y][1], 2)
+                    if d is not None:
+                        out.append((tag, members[x][0], members[y][0], d, code))
+    return out
+
+
+def _fuzzy_oracle() -> str:
+    snd = _soundex_literal_rows()
+    if not snd:
+        snd = [(-1, 0, 0, 0, "")]
+    values = ",\n     ".join(
+        f"({t}, {a}, {b}, {d}, '{c}')" for t, a, b, d, c in snd
+    )
+    return f"""
     WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey <= 200)
-    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
-           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    SELECT 'fastss' AS leg, a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+           '' AS code
     FROM p a, p b
     WHERE a.p_partkey < b.p_partkey AND levenshtein(a.p_name, b.p_name) <= 2
-    """,
-    tags=("join", "fuzzy", "levenshtein"),
+    UNION ALL
+    SELECT 'soundex' AS leg, id_a, id_b, CAST(dist AS BIGINT), code
+    FROM (VALUES
+     {values}) AS snd_exp(sftag, id_a, id_b, dist, code)
+    WHERE sftag = (SELECT COUNT(*) * 1000000 + SUM(length(p_name)) FROM part)
+    """
+
+
+@query(
+    "fuzzy_name_pairs",
+    oracle=_fuzzy_oracle,
+    tags=("join", "fuzzy", "levenshtein", "soundex", "blocking"),
 )
 def fuzzy_name_pairs(spark, sf_dir):
-    """Fuzzy string matching: near-identical names by edit distance,
-    computed by the SCALE path — deletion-neighborhood (FastSS)
-    candidate generation + exact Levenshtein verify. Guaranteed
-    recall and precision 1.0 make it hash-identical to the quadratic
-    ground truth the oracle runs, so the driver check certifies the
-    very plan that runs at 100 TB (no all-pairs stage anywhere);
-    dedup.levenshtein_pairs stays as the guarded quadratic baseline,
-    pytest-checked equal on slices."""
-    from d2d_spark.operators.dedup import fuzzy_pairs_deletion
+    """Fuzzy string matching, two legs. fastss: near-identical names
+    by edit distance, computed by the SCALE path —
+    deletion-neighborhood (FastSS) candidate generation + exact
+    Levenshtein verify. Guaranteed recall and precision 1.0 make it
+    hash-identical to the quadratic ground truth the oracle runs, so
+    the driver check certifies the very plan that runs at 100 TB (no
+    all-pairs stage anywhere); dedup.levenshtein_pairs stays as the
+    guarded quadratic baseline, pytest-checked equal on slices.
+
+    soundex: phonetic blocking (dedup.phonetic_blocked_pairs) over a
+    2x wider slice — soundex-code equi-join + thresholded Levenshtein
+    verify — vs a literal-VALUES twin (independent Python soundex +
+    DP Levenshtein; the Python soundex's parity with F.soundex is
+    itself test-pinned)."""
+    from d2d_spark.operators.dedup import fuzzy_pairs_deletion, phonetic_blocked_pairs
 
     p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200).select("p_partkey", "p_name")
-    return fuzzy_pairs_deletion(p, "p_name", "p_partkey", max_dist=2)
+    fastss = fuzzy_pairs_deletion(p, "p_name", "p_partkey", max_dist=2).select(
+        F.lit("fastss").alias("leg"), "id_a", "id_b", "dist", F.lit("").alias("code")
+    )
+    p2 = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 400).select(
+        "p_partkey", "p_name"
+    )
+    snd = phonetic_blocked_pairs(p2, "p_name", "p_partkey", max_dist=2).select(
+        F.lit("soundex").alias("leg"), "id_a", "id_b", "dist", "code"
+    )
+    return fastss.unionByName(snd)
 
 

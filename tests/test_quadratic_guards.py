@@ -113,3 +113,78 @@ def test_fuzzy_lsh_recall_on_slice(spark, sf_dir):
     assert lsh <= exact  # exact verify => precision 1.0
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.5, f"fuzzy LSH recall {recall:.2f}"
+
+
+def test_soundex_python_twin_parity(spark, sf_dir):
+    """The oracle's Python soundex must equal F.soundex bit-for-bit —
+    fixture names plus the published edge cases (H/W pass-through,
+    non-alpha, empty, unicode)."""
+    from pyspark.sql import functions as F
+
+    from d2d_spark.plans.relational import _soundex_py
+
+    crafted = [
+        "Robert", "Rupert", "Ashcraft", "Ashcroft", "Tymczak", "Pfister",
+        "Honeyman", "Aa", "123", "O'Brien", "Müller", "WWW", "hw",
+        "chartreuse lemon", "x", "HWHW",
+    ]
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_name").limit(500)
+    names = [r["p_name"] for r in p.collect()] + crafted
+    df = spark.createDataFrame([(n,) for n in names], "s string")
+    got = {r["s"]: r["sx"] for r in df.select("s", F.soundex("s").alias("sx")).collect()}
+    for n in names:
+        assert got[n] == _soundex_py(n), n
+
+
+def test_phonetic_blocked_pairs_semantics(spark):
+    import pytest as pt
+    from pyspark.sql import functions as F
+
+    from d2d_spark.operators.dedup import phonetic_blocked_pairs
+
+    rows = [
+        (1, "Robert"), (2, "Rupert"),       # same code R163, dist 2
+        (3, "Roberto"),                      # R163, dist 1 to Robert
+        (4, "Bobert"),                       # first-letter typo: B163 block — missed
+        (5, "Smith"), (6, "Smyth"),          # S530, dist 1
+        (7, None),                           # NULL name never pairs
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {(r["id_a"], r["id_b"]): (r["dist"], r["code"])
+           for r in phonetic_blocked_pairs(df, "name", "id", max_dist=2).collect()}
+    assert got == {
+        (1, 2): (2, "R163"),
+        (1, 3): (1, "R163"),
+        (5, 6): (1, "S530"),
+    }  # (2,3) Rupert/Roberto dist 3 exceeds; Bobert blocked away; NULL out
+    # block-bomb refusal
+    many = spark.createDataFrame([(i, "Smith") for i in range(10)], "id long, name string")
+    with pt.raises(ValueError, match="max_block"):
+        phonetic_blocked_pairs(many, "name", "id", max_block=5)
+    with pt.raises(ValueError, match="max_dist"):
+        phonetic_blocked_pairs(df, "name", "id", max_dist=-1)
+    # exact-match mode: max_dist=0 keeps only identical names
+    dup = spark.createDataFrame([(1, "Jon"), (2, "Jon"), (3, "John")], "id long, name string")
+    got0 = {(r["id_a"], r["id_b"]) for r in
+            phonetic_blocked_pairs(dup, "name", "id", max_dist=0).collect()}
+    assert got0 == {(1, 2)}
+
+
+def test_phonetic_blocked_recall_vs_fastss(spark, sf_dir):
+    """On the fixture slice, soundex blocking finds a SUBSET of the
+    FastSS ground truth (blocking trades recall), with precision 1.0
+    (every pair it emits is a true <=2-dist pair)."""
+    from pyspark.sql import functions as F
+
+    from d2d_spark.operators.dedup import fuzzy_pairs_deletion, phonetic_blocked_pairs
+
+    p = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_partkey") <= 200)
+        .select("p_partkey", "p_name")
+    )
+    truth = {(r["id_a"], r["id_b"], r["dist"])
+             for r in fuzzy_pairs_deletion(p, "p_name", "p_partkey", max_dist=2).collect()}
+    blocked = {(r["id_a"], r["id_b"], r["dist"])
+               for r in phonetic_blocked_pairs(p, "p_name", "p_partkey", max_dist=2).collect()}
+    assert blocked <= truth
