@@ -269,3 +269,78 @@ def interval_overlap_join(
     ) == F.col("__bin")
     out = joined.filter(canonical).drop("__bin", "__binr")
     return out.drop(*[ren[k] for k in keys if ren[k] != k])
+
+
+def golden_record(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str | None,
+    rules: dict[str, str],
+    tiebreak_cols: tuple = (),
+) -> DataFrame:
+    """Survivorship merge (master-data 'golden record'): collapse
+    every row sharing a key into ONE record, choosing each column's
+    surviving value by a per-column rule — the step after a key-merge
+    union when several sources disagree about the same entity. Rules:
+
+      latest / earliest — the column's value on the newest/oldest row
+          (by ``order_col`` then ``tiebreak_cols``) WHERE THE COLUMN
+          IS NON-NULL: a source that left a field blank never
+          overwrites one that filled it (the survivorship property a
+          plain last-wins dedup lacks).
+      max / min         — plain extrema (NULLs ignored).
+      longest           — the longest non-null string (completeness
+          proxy for names/addresses/comments); equal-length ties take
+          the lexicographically largest (struct-compare order),
+          deterministically.
+      sum / count       — additive facts; count counts NON-NULL
+          values of the column.
+
+    Output: one row per key, columns = keys + rules' keys. ONE
+    groupBy — every rule is an aggregate expression over the same
+    shuffle, no windows, no second pass. Determinism: with a unique
+    (key, order, tiebreaks) ordering, latest/earliest are exact;
+    duplicated order tuples fall through to value comparison
+    (documented struct order), still partitioning-deterministic."""
+    known = {"latest", "earliest", "max", "min", "longest", "sum", "count"}
+    if not rules:
+        raise ValueError("golden_record: need at least one column rule")
+    bad = {c: r for c, r in rules.items() if r not in known}
+    if bad:
+        raise ValueError(f"golden_record: unknown rules {bad}; choose from {sorted(known)}")
+    missing = [c for c in list(rules) + list(key_cols) if c not in df.columns]
+    if missing:
+        raise ValueError(f"golden_record: input lacks columns {missing}")
+    needs_order = [c for c, r in rules.items() if r in ("latest", "earliest")]
+    if needs_order and order_col is None:
+        raise ValueError(
+            f"golden_record: columns {needs_order} use latest/earliest — pass order_col"
+        )
+    ties = list(tiebreak_cols)
+    aggs = []
+    for c, r in rules.items():
+        col = F.col(c)
+        if r in ("latest", "earliest"):
+            ranked = F.when(
+                col.isNotNull(),
+                F.struct(
+                    F.col(order_col).alias("__o"),
+                    *[F.col(t).alias(f"__t{i}") for i, t in enumerate(ties)],
+                    col.alias("__v"),
+                ),
+            )
+            agg = (F.max(ranked) if r == "latest" else F.min(ranked))["__v"]
+        elif r == "longest":
+            agg = F.max(
+                F.when(col.isNotNull(), F.struct(F.length(col).alias("__l"), col.alias("__v")))
+            )["__v"]
+        elif r == "max":
+            agg = F.max(col)
+        elif r == "min":
+            agg = F.min(col)
+        elif r == "sum":
+            agg = F.sum(col)
+        else:  # count
+            agg = F.count(col)
+        aggs.append(agg.alias(c))
+    return df.groupBy(*key_cols).agg(*aggs)

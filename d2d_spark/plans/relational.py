@@ -271,8 +271,20 @@ def insert_ignore_new_rows(spark, sf_dir):
            CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
            cn.n_customers, sn.n_suppliers
     FROM cn FULL OUTER JOIN sn ON cn.nationkey = sn.nationkey
+    UNION ALL
+    SELECT 'golden' AS leg, CAST(o_custkey AS VARCHAR) AS k,
+           MAX(CASE WHEN o_orderpriority IS NOT NULL
+                    THEN {'l': length(o_orderpriority), 'v': o_orderpriority} END).v,
+           MAX(CASE WHEN o_orderpriority IS NOT NULL
+                    THEN {'o': o_orderkey, 'v': o_orderpriority} END).v,
+           MIN(o_orderkey),
+           MAX(CASE WHEN o_orderstatus IS NOT NULL
+                    THEN {'o': o_orderkey, 'v': o_orderstatus} END).v,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+           COUNT(o_orderkey), CAST(NULL AS BIGINT)
+    FROM orders GROUP BY o_custkey
     """,
-    tags=("join", "key-merge", "full-outer", "migration2db"),
+    tags=("join", "key-merge", "full-outer", "migration2db", "golden-record"),
 )
 def key_merge_variants(spark, sf_dir):
     """Both Migration2DB merge modes in one tagged result
@@ -284,7 +296,13 @@ def key_merge_variants(spark, sf_dir):
 
     full_outer leg: the doc-faithful full-outer merge mode
     (README.md:283-320 shows right-only rows in the result; code is
-    left-outer — we expose both, SURVEY §2.3)."""
+    left-outer — we expose both, SURVEY §2.3).
+
+    golden leg: survivorship merge (join.golden_record) — one record
+    per customer with per-column rules (latest/earliest non-null by
+    order, longest, max, count), the master-data step a plain
+    last-wins dedup cannot express; every rule replayed in SQL with
+    struct-MAX CASE aggregates."""
     from d2d_spark.operators.join import dedup_build_side
 
     nbig = F.lit(None).cast("bigint")
@@ -328,7 +346,45 @@ def key_merge_variants(spark, sf_dir):
         "n_customers",
         "n_suppliers",
     )
-    return last_leg.unionByName(full_leg)
+    # golden leg: survivorship merge (join.golden_record) collapsing
+    # each customer's orders into one record by per-column rules —
+    # latest/earliest pick NON-NULL values by o_orderkey order,
+    # longest is the completeness proxy, max is DEC-exact; the oracle
+    # replays every rule with struct-MAX CASE aggregates
+    from d2d_spark.operators.join import golden_record
+
+    of = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey", "o_orderkey", "o_orderstatus", "o_orderpriority",
+            F.col("o_totalprice").cast(DEC).cast("double").alias("o_totalprice"),
+        )
+        .withColumn("o_cnt", F.col("o_orderkey"))
+        .withColumn("o_prio_long", F.col("o_orderpriority"))
+    )
+    g = golden_record(
+        of, ["o_custkey"], "o_orderkey",
+        rules={
+            "o_prio_long": "longest",
+            "o_orderpriority": "latest",
+            "o_orderkey": "min",
+            "o_orderstatus": "latest",
+            "o_totalprice": "max",
+            "o_cnt": "count",
+        },
+    )
+    golden_leg = g.select(
+        F.lit("golden").alias("leg"),
+        F.col("o_custkey").cast("string").alias("k"),
+        F.col("o_prio_long").alias("c_name"),
+        F.col("o_orderpriority").alias("c_mktsegment"),
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_cnt").alias("n_customers"),
+        nbig.alias("n_suppliers"),
+    )
+    return last_leg.unionByName(full_leg).unionByName(golden_leg)
 
 
 # ---------------------------------------------------------------------------
