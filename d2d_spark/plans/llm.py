@@ -1706,13 +1706,32 @@ def jaccard_pairs_clusters(spark, sf_dir):
             F.round("containment", 6).alias("jaccard"),
         )
     )
+    from pyspark import StorageLevel
+    from pyspark.sql import Window as _W
+
+    from d2d_spark import cache as opcache
     from d2d_spark.operators.tfidf import _term_counts
 
     # the canonical lowercase-whitespace tokenizer every text operator
-    # shares — the leg must stay comparable with the tfidf/BM25 legs
-    wtf = _term_counts(d.filter(F.col("doc_id") % 3 == 0), "text", "doc_id")
+    # shares — the leg must stay comparable with the tfidf/BM25 legs.
+    # The df-capped profile is built ONCE and persisted: the wjac AND
+    # wcos legs both consume it (tokenize + cap would otherwise run
+    # twice), and both skip their probe — _term_counts' groupBy owns
+    # the (id, token) key and tf >= 1 by construction, the documented
+    # validate=False contract. Eager count per the unfilled-cache-race
+    # note in minhash_lsh_pairs; release per corpus via
+    # cache.release("wpair_profiles").
+    wtf_raw = _term_counts(d.filter(F.col("doc_id") % 3 == 0), "text", "doc_id")
+    wtf = opcache.register(
+        "wpair_profiles",
+        wtf_raw.withColumn("__df", F.count(F.lit(1)).over(_W.partitionBy("tok")))
+        .filter(F.col("__df") <= 100)
+        .drop("__df")
+        .persist(StorageLevel.MEMORY_AND_DISK),
+    )
+    wtf.count()
     wjac_leg = D.weighted_jaccard_pairs(
-        wtf, "__id", "tok", "tf", threshold_pct=30, max_df=100
+        wtf, "__id", "tok", "tf", threshold_pct=30, max_df=None, validate=False
     ).select(
         F.lit("wjac").alias("leg"),
         F.col("id_a").alias("a"),
@@ -1728,7 +1747,7 @@ def jaccard_pairs_clusters(spark, sf_dir):
     # is one multiply+sqrt+divide over exact longs, hash-matched with
     # NO rounding
     wcos_leg = D.weighted_cosine_pairs(
-        wtf, "__id", "tok", "tf", threshold_pct=60, max_df=100
+        wtf, "__id", "tok", "tf", threshold_pct=60, max_df=None, validate=False
     ).select(
         F.lit("wcos").alias("leg"),
         F.col("id_a").alias("a"),
