@@ -287,3 +287,74 @@ def key_skew_report(
         )
     )
     return spark.createDataFrame(metric_rows, schema).unionByName(top)
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: (bucket, lo_edge,
+    hi_edge, n), EVERY bucket present (zero-filled grid), NULLs
+    excluded. Bounds come from one min/max pass unless given
+    explicitly — with explicit bounds, out-of-range rows land in
+    honest sentinel buckets (-1 = underflow, ``bins`` = overflow)
+    instead of silently clamping; x == hi belongs to the last real
+    bucket (the closed-right convention).
+
+    Shape: one optional min/max aggregate, one groupBy on the bucket
+    id (map-side combine — at most bins+2 groups), one bins-row grid
+    join. Bucket arithmetic is floor((x-lo)/w) with w=(hi-lo)/bins —
+    three float ops identical in any engine, so counts are
+    hash-comparable."""
+    if bins < 1:
+        raise ValueError(f"histogram: bins must be >= 1, got {bins}")
+    if (lo is None) != (hi is None):
+        raise ValueError("histogram: pass BOTH lo and hi, or neither")
+    v = F.col(value_col).cast("double")
+    spark = df.sparkSession
+    explicit = lo is not None
+    if not explicit:
+        mm = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).first()
+        if mm["lo"] is None:
+            return spark.createDataFrame(
+                [], "bucket int, lo_edge double, hi_edge double, n long"
+            )
+        lo, hi = float(mm["lo"]), float(mm["hi"])
+    else:
+        lo, hi = float(lo), float(hi)
+        if hi <= lo:
+            raise ValueError(f"histogram: hi ({hi}) must be > lo ({lo})")
+    if hi == lo:
+        # single-valued column: everything in bucket 0
+        n = df.filter(v.isNotNull()).count()
+        return spark.createDataFrame(
+            [(0, lo, hi, n)], "bucket int, lo_edge double, hi_edge double, n long"
+        )
+    w = (hi - lo) / bins
+    raw = F.floor((v - F.lit(lo)) / F.lit(w)).cast("int")
+    bucket = (
+        F.when(v < lo, F.lit(-1))
+        .when(v > hi, F.lit(bins))
+        .when(v == hi, F.lit(bins - 1))
+        .otherwise(F.least(raw, F.lit(bins - 1)))
+    )
+    counts = (
+        df.filter(v.isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = spark.range(bins).select(F.col("id").cast("int").alias("bucket"))
+    out = grid.join(counts, "bucket", "full").select(
+        "bucket", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    return out.select(
+        "bucket",
+        F.when(F.col("bucket").between(0, bins - 1), F.lit(lo) + F.col("bucket") * F.lit(w)).alias("lo_edge"),
+        F.when(
+            F.col("bucket").between(0, bins - 1), F.lit(lo) + (F.col("bucket") + 1) * F.lit(w)
+        ).alias("hi_edge"),
+        "n",
+    )

@@ -286,3 +286,51 @@ def mad_outliers(
         F.abs(v - F.col("__med")) > F.lit(float(k)) * F.col("__mad")
     )
     return out.withColumn(out_col, flag).drop("__med", "__mad")
+
+
+def discretize(
+    df: DataFrame,
+    value_col: str,
+    k: int,
+    out_col: str = "bucket",
+    bounds: "Sequence | None" = None,
+) -> DataFrame:
+    """Equal-frequency binning: append ``out_col`` = 1..k assigning
+    each row to its global quantile bucket — the SCALABLE global
+    ntile (ntile needs a single global sort; this needs one exact
+    quantile pass plus a map). Bucket i = (b_{i-1}, b_i] with b_i the
+    exact percentile_disc(i/k) bounds, so ties all land in ONE bucket
+    deterministically (ntile splits them arbitrarily); skewed data
+    can therefore produce empty upper buckets — a fact about the
+    data, not a bug. NULL values get a NULL bucket. Pass ``bounds``
+    (k-1 ascending values) to reuse a previous fit (train once, apply
+    to a stream).
+
+    Shape: the bounded-memory exact-quantile pass (quantiles_exact),
+    one k-sized driver collect, then a pure-Column bounds fold —
+    map-only on the data path."""
+    if k < 2:
+        raise ValueError(f"discretize: k must be >= 2, got {k}")
+    if bounds is None:
+        probs = [i / k for i in range(1, k)]
+        got = {r["p"]: r["value"] for r in quantiles_exact(df, value_col, probs).collect()}
+        bounds = [got[p] for p in probs] if got else None
+    else:
+        bounds = list(bounds)
+        if len(bounds) != k - 1:
+            raise ValueError(
+                f"discretize: need k-1={k - 1} bounds, got {len(bounds)}"
+            )
+        if any(b is None for b in bounds) or sorted(bounds) != bounds:
+            raise ValueError("discretize: bounds must be non-NULL and ascending")
+    if not bounds:
+        # empty / all-NULL input: nothing to bin against
+        return df.withColumn(out_col, F.lit(None).cast("int"))
+    v = F.col(value_col)
+    barr = F.array(*[F.lit(b) for b in bounds])
+    bucket = F.lit(1) + F.aggregate(
+        barr, F.lit(0), lambda acc, b: acc + (b < v).cast("int")
+    )
+    return df.withColumn(
+        out_col, F.when(v.isNotNull(), bucket).cast("int")
+    )

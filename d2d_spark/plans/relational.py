@@ -935,8 +935,35 @@ def top_hits_latest_event_per_user(spark, sf_dir):
         FROM orders GROUP BY o_orderpriority)
       SELECT o_orderpriority, status, cnt
       FROM wide UNPIVOT (cnt FOR status IN (st_f, st_o, st_p)))
+    UNION ALL
+    SELECT 'hist' AS leg, CAST(b AS VARCHAR) AS k, CAST(n AS DOUBLE) AS total
+    FROM (
+      WITH mm AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+                  FROM orders),
+      g AS (SELECT unnest(generate_series(0, 7)) AS b),
+      cnt AS (
+        SELECT CASE WHEN o_totalprice = mm.hi THEN 7
+                    ELSE LEAST(CAST(FLOOR((o_totalprice - mm.lo)
+                                          / ((mm.hi - mm.lo) / 8)) AS BIGINT), 7)
+               END AS b,
+               COUNT(*) AS n
+        FROM orders, mm WHERE o_totalprice IS NOT NULL GROUP BY 1)
+      SELECT g.b, COALESCE(cnt.n, 0) AS n FROM g LEFT JOIN cnt USING (b))
+    UNION ALL
+    SELECT 'disc' AS leg, CAST(b AS VARCHAR) AS k, CAST(COUNT(*) AS DOUBLE) AS total
+    FROM (
+      WITH qb AS (
+        SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS b1,
+               percentile_disc(0.5)  WITHIN GROUP (ORDER BY o_totalprice) AS b2,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS b3
+        FROM orders)
+      SELECT 1 + CAST(o_totalprice > b1 AS INT) + CAST(o_totalprice > b2 AS INT)
+               + CAST(o_totalprice > b3 AS INT) AS b
+      FROM orders, qb WHERE o_totalprice IS NOT NULL)
+    GROUP BY b
     """,
-    tags=("topk", "sort", "limit", "offset", "setops", "pivot", "unpivot"),
+    tags=("topk", "sort", "limit", "offset", "setops", "pivot", "unpivot",
+          "histogram", "discretize"),
 )
 def topk_setops_suite(spark, sf_dir):
     """The §2.7 sort/limit/set-op family in one tagged result
@@ -955,7 +982,13 @@ def topk_setops_suite(spark, sf_dir):
     conditional aggregation, explicit value list so the plan needs no
     extra distinct-scan job) then UNPIVOT/melt back to long form: the
     two reshape operators composed prove they are mutual inverses on
-    the non-null lattice."""
+    the non-null lattice.
+
+    'hist'/'disc' legs — equi-width histogram (profile.histogram,
+    zero-filled grid, identical float bucket arithmetic in both
+    engines) and equal-frequency binning (quantiles.discretize — the
+    scalable global ntile: exact quantile bounds + a map-only fold,
+    ties land in ONE bucket deterministically)."""
     o = _t(spark, sf_dir, "orders")
     total = F.col("o_totalprice").cast(DEC).cast("double").alias("total")
     nd = F.lit(None).cast("double")
@@ -998,9 +1031,35 @@ def topk_setops_suite(spark, sf_dir):
             F.col("cnt").cast("double").alias("total"),
         )
     )
+    # hist / disc legs: equi-width histogram (profile.histogram —
+    # zero-filled 8-bucket grid, floor((x-lo)/w) arithmetic identical
+    # in both engines) and equal-frequency binning
+    # (quantiles.discretize — the scalable global ntile: exact
+    # percentile_disc bounds + a map-only bounds fold; bucket counts
+    # pin the boundary assignment)
+    from d2d_spark.operators.profile import histogram
+    from d2d_spark.operators.quantiles import discretize
+
+    hist_leg = histogram(o, "o_totalprice", bins=8).select(
+        F.lit("hist").alias("leg"),
+        F.col("bucket").cast("string").alias("k"),
+        F.col("n").cast("double").alias("total"),
+    )
+    disc_leg = (
+        discretize(o, "o_totalprice", 4)
+        .filter(F.col("o_totalprice").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("disc").alias("leg"),
+            F.col("bucket").cast("string").alias("k"),
+            F.col("n").cast("double").alias("total"),
+        )
+    )
     return (
         topk_leg.unionAll(offset_leg).unionAll(both).unionAll(c_only)
-        .unionAll(s_only).unionAll(pivot_leg)
+        .unionAll(s_only).unionAll(pivot_leg).unionAll(hist_leg)
+        .unionAll(disc_leg)
     )
 
 

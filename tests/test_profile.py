@@ -173,3 +173,47 @@ def test_key_skew_report_edges(spark):
         key_skew_report(two, [])
     with pytest.raises(ValueError, match="max_keys"):
         key_skew_report(df, ["k"], max_keys=2)
+
+
+def test_histogram_matches_python(spark):
+    import math
+
+    from d2d_spark.operators.profile import histogram
+
+    vals = [1.0, 2.5, 2.5, 3.0, 7.9, 8.0, None, 5.5]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {r["bucket"]: (r["lo_edge"], r["hi_edge"], r["n"])
+           for r in histogram(df, "x", bins=4).collect()}
+    lo, hi = 1.0, 8.0
+    w = (hi - lo) / 4
+    from collections import Counter
+    c = Counter()
+    for v in vals:
+        if v is None:
+            continue
+        b = 3 if v == hi else min(int(math.floor((v - lo) / w)), 3)
+        c[b] += 1
+    assert set(got) == set(range(4))
+    for b in range(4):
+        assert got[b][2] == c.get(b, 0), b
+        assert got[b][0] == lo + b * w and got[b][1] == lo + (b + 1) * w
+    assert sum(n for _, _, n in got.values()) == 7  # NULL excluded
+    # explicit bounds: out-of-range -> sentinel buckets, x == hi closed
+    got2 = {r["bucket"]: r["n"]
+            for r in histogram(df, "x", bins=2, lo=2.0, hi=8.0).collect()}
+    assert got2[-1] == 1          # 1.0 underflows
+    assert got2.get(2, 0) == 0    # nothing above 8.0
+    assert got2[0] + got2[1] == 6
+    # single-valued column
+    one = spark.createDataFrame([(3.0,), (3.0,)], "x double")
+    g1 = histogram(one, "x", bins=5).collect()
+    assert len(g1) == 1 and g1[0]["bucket"] == 0 and g1[0]["n"] == 2
+    # empty
+    assert histogram(spark.createDataFrame([], "x double"), "x").count() == 0
+    import pytest as pt
+    with pt.raises(ValueError, match="bins"):
+        histogram(df, "x", bins=0)
+    with pt.raises(ValueError, match="BOTH"):
+        histogram(df, "x", lo=1.0)
+    with pt.raises(ValueError, match="hi"):
+        histogram(df, "x", lo=5.0, hi=5.0)

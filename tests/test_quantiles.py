@@ -153,3 +153,40 @@ def test_mad_outliers(spark):
 
     with _pt.raises(ValueError, match="k must be"):
         mad_outliers(df, "x", k=0)
+
+
+def test_discretize_equal_frequency_and_ties(spark):
+    import pytest as pt
+
+    from d2d_spark.operators.quantiles import discretize, quantiles_exact
+
+    vals = list(range(1, 101))  # 1..100
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    got = {r["x"]: r["bucket"] for r in discretize(df, "x", 4).collect()}
+    # percentile_disc bounds: 25, 50, 75 -> (..25]=1 (25,50]=2 etc.
+    for v in vals:
+        want = 1 + (v > 25) + (v > 50) + (v > 75)
+        assert got[float(v)] == want, v
+    # ties all land in one bucket (ntile would split them)
+    tied = spark.createDataFrame([(1.0,)] * 50 + [(2.0,)] * 50, "x double")
+    gt = {r["x"]: r["bucket"] for r in
+          discretize(tied, "x", 4).collect()}
+    assert gt == {1.0: 1, 2.0: 3}
+    # NULL -> NULL bucket; reuse of a previous fit; validation
+    withnull = spark.createDataFrame([(None,), (10.0,)], "x double")
+    rn = {r["x"]: r["bucket"] for r in
+          discretize(withnull, "x", 4, bounds=[2.0, 5.0, 8.0]).collect()}
+    assert rn[10.0] == 4 and rn[None] is None
+    with pt.raises(ValueError, match="k must"):
+        discretize(df, "x", 1)
+    with pt.raises(ValueError, match="k-1"):
+        discretize(df, "x", 4, bounds=[1.0])
+    with pt.raises(ValueError, match="ascending"):
+        discretize(df, "x", 3, bounds=[5.0, 1.0])
+    # empty input -> NULL buckets, not a crash
+    empty = spark.createDataFrame([], "x double")
+    assert discretize(empty, "x", 4).count() == 0
+    # bounds equal the exact-quantile operator's own values
+    probs = [0.25, 0.5, 0.75]
+    q = {r["p"]: r["value"] for r in quantiles_exact(df, "x", probs).collect()}
+    assert [q[p] for p in probs] == [25.0, 50.0, 75.0]
