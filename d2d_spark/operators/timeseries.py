@@ -392,11 +392,18 @@ def ewma(
     out_col: str = "ewma",
     validate: bool = True,
     max_rows_per_key: int = 10_000_000,
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """Exponentially-weighted moving average per key — the EXACT
     sequential recurrence (pandas ``ewm(adjust=False)``):
 
         y_1 = x_1;   y_t = (1 - alpha) * y_{t-1} + alpha * x_t
+
+    ``init`` warm-starts the fold: a (keys..., {out_col}) frame — one
+    row per key, e.g. the last output of a previous run — seeds the
+    running state, so run(batch1) ∘ run(batch2) ≡ run(batch1 ∪
+    batch2) exactly (the streaming sink builds on this). Keys absent
+    from ``init`` start cold (y_1 = x_1).
 
     computed as a pure-Column fold: per key, one sorted
     collect_list + ONE F.aggregate pass over the series, then explode
@@ -423,6 +430,30 @@ def ewma(
         F.collect_list(F.struct(F.col(order_col).alias("__o"), F.struct(*rest).alias("__r")))
     )
     g = df.groupBy(*keys).agg(arr.alias("__s"))
+    if init is not None:
+        missing = [c for c in keys + [out_col] if c not in init.columns]
+        if missing:
+            raise ValueError(f"ewma: init frame lacks columns {missing}")
+        if validate:
+            dup = (
+                init.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    "ewma: init frame has duplicate keys — one seed per key"
+                )
+        g = g.join(
+            init.select(*keys, F.col(out_col).cast("double").alias("__p0")),
+            keys,
+            "left",
+        )
+        prev0 = F.col("__p0")
+    else:
+        prev0 = F.lit(None).cast("double")
     one_m = float(1.0 - alpha)
     a = float(alpha)
 
@@ -438,11 +469,11 @@ def ewma(
             F.concat(acc["ys"], F.array(y)).alias("ys"), new_prev.alias("prev")
         )
 
-    init = F.struct(
+    init_acc = F.struct(
         F.expr("CAST(array() AS array<double>)").alias("ys"),
-        F.lit(None).cast("double").alias("prev"),
+        prev0.alias("prev"),
     )
-    ys = F.aggregate(F.col("__s"), init, step)["ys"]
+    ys = F.aggregate(F.col("__s"), init_acc, step)["ys"]
     zipped = F.zip_with(
         F.col("__s"), ys, lambda s, y: F.struct(s["__r"].alias("r"), y.alias("y"))
     )

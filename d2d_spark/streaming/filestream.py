@@ -1140,3 +1140,161 @@ def latest_transition_state(spark: SparkSession, state_dir: str):
         spark.read.parquet(os.path.join(base, "counts")),
         spark.read.parquet(os.path.join(base, "carry")),
     )
+
+
+def stream_ewma_sink(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    state_dir: str,
+    checkpoint_path: str,
+):
+    """Maintain per-key EWMAs CONTINUOUSLY over a stream: each
+    micro-batch folds through the batch operator
+    (operators/timeseries.ewma) seeded by the per-key carry — the
+    recurrence composes exactly (run(b1) ∘ run(b2) ≡ run(b1 ∪ b2)), so
+    the stream-emitted points are bit-identical to the batch EWMA over
+    everything seen (test-pinned at every drop prefix). The continuous
+    twin of the rolling/EWMA family, next to the transition-matrix
+    sink.
+
+    Per batch: late rows (a key's event at or before its carried
+    last_ts) are REFUSED loudly — the in-order contract every carry
+    sink shares; the batch's (key, ts, value, ewma) points persist
+    under the batch id (``points``) with the updated carry
+    (key, last_ts, ewma) beside them (``carry``). A NULL value leaves
+    the carry's EWMA untouched but still advances last_ts. Same
+    batch-id-keyed replay discipline and one-checkpoint-lifetime
+    refusals as the Bloom/CMS/CDC/transition sinks. State: ONE carry
+    row per key."""
+    import os
+    import re
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from d2d_spark.operators.timeseries import ewma as batch_ewma
+
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"stream_ewma_sink: alpha must be in (0, 1], got {alpha}")
+    spark = df.sparkSession
+    _require_local_state_dir("stream_ewma_sink", state_dir)
+    os.makedirs(state_dir, exist_ok=True)
+    pat = re.compile(r"^state_after_batch_(\d+)$")
+    state_ids = [
+        int(pat.match(n).group(1)) for n in os.listdir(state_dir) if pat.match(n)
+    ]
+    ckpt_local = _local_path(checkpoint_path)
+    checkpoint_is_fresh = ckpt_local is not None and not os.path.isdir(
+        os.path.join(ckpt_local, "offsets")
+    )
+    if checkpoint_is_fresh and state_ids:
+        raise ValueError(
+            f"stream_ewma_sink: checkpoint {checkpoint_path!r} is fresh but "
+            f"state_dir {state_dir!r} holds EWMA state from a previous "
+            "checkpoint lifetime — use a fresh state_dir, or restore the "
+            "original checkpoint."
+        )
+    if ckpt_local is not None and not checkpoint_is_fresh and not state_ids:
+        raise ValueError(
+            f"stream_ewma_sink: checkpoint {checkpoint_path!r} is resuming "
+            f"but state_dir {state_dir!r} has no EWMA state — running "
+            "averages from processed batches would be silently lost. Restore "
+            "the state files or start over with a fresh checkpoint."
+        )
+
+    def _load_carry(batch_id: int):
+        prior_ids = [
+            int(pat.match(n).group(1))
+            for n in os.listdir(state_dir)
+            if pat.match(n) and int(pat.match(n).group(1)) < batch_id
+        ]
+        if not prior_ids:
+            return None
+        return spark.read.parquet(
+            os.path.join(state_dir, f"state_after_batch_{max(prior_ids)}", "carry")
+        )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        carry = _load_carry(batch_id)
+        src = batch_df.select(
+            F.col(key_col).alias("key"),
+            F.col(ts_col).alias("ts"),
+            F.col(value_col).alias("val"),
+        )
+        if carry is not None:
+            late = (
+                src.groupBy("key")
+                .agg(F.min("ts").alias("__first"))
+                .join(carry.select("key", "last_ts"), "key")
+                .filter(F.col("__first") <= F.col("last_ts"))
+                .limit(1)
+                .collect()
+            )
+            if late:
+                raise ValueError(
+                    f"stream_ewma_sink: key {late[0]['key']!r} has a batch "
+                    f"event at {late[0]['__first']} at or before its carried "
+                    f"last_ts {late[0]['last_ts']} — events must arrive in "
+                    "per-key time order; re-sequence or dedupe upstream"
+                )
+        seed = carry.select("key", F.col("ewma")) if carry is not None else None
+        pts = batch_ewma(src, ["key"], "ts", "val", alpha, init=seed)
+        new_carry = pts.groupBy("key").agg(
+            F.max("ts").alias("last_ts"),
+            F.max(
+                F.when(F.col("ewma").isNotNull(), F.struct("ts", "ewma"))
+            )["ewma"].alias("__last_y"),
+        )
+        if carry is not None:
+            new_carry = new_carry.join(
+                carry.select("key", F.col("ewma").alias("__prior")), "key", "left"
+            ).select(
+                "key", "last_ts",
+                F.coalesce("__last_y", "__prior").alias("ewma"),
+            )
+            untouched = carry.join(new_carry.select("key"), "key", "left_anti")
+            new_carry = untouched.unionByName(new_carry)
+        else:
+            new_carry = new_carry.select(
+                "key", "last_ts", F.col("__last_y").alias("ewma")
+            )
+        final = os.path.join(state_dir, f"state_after_batch_{batch_id}")
+        tmp = final + ".tmp"
+        pts.write.mode("overwrite").parquet(os.path.join(tmp, "points"))
+        new_carry.write.mode("overwrite").parquet(os.path.join(tmp, "carry"))
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+
+    q = (
+        df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def ewma_stream_state(spark: SparkSession, state_dir: str):
+    """(points, carry) from a `stream_ewma_sink` state dir: points =
+    the union of every batch's emitted rows (replays overwrite their
+    own batch dir, so the union is consistent), carry = the newest
+    per-key running state; (None, None) if empty."""
+    import os
+    import re
+
+    pat = re.compile(r"^state_after_batch_(\d+)$")
+    ids = [int(pat.match(n).group(1)) for n in os.listdir(state_dir) if pat.match(n)]
+    if not ids:
+        return None, None
+    pts = spark.read.parquet(
+        *[os.path.join(state_dir, f"state_after_batch_{i}", "points") for i in ids]
+    )
+    carry = spark.read.parquet(
+        os.path.join(state_dir, f"state_after_batch_{max(ids)}", "carry")
+    )
+    return pts, carry

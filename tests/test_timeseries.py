@@ -440,3 +440,91 @@ def test_rolling_stats_time_range_mode(spark):
         rolling_stats(
             _series_df(spark, ROWS), ["k"], "t", "x", duration="1 hour"
         )
+
+
+def test_ewma_init_composes_batches(spark):
+    """run(b1) then run(b2, init=last-of-b1) ≡ run(b1 ∪ b2) exactly."""
+    from d2d_spark.operators.timeseries import ewma
+
+    b1 = [("a", 1, 10.0), ("a", 2, 20.0), ("b", 1, 5.0)]
+    b2 = [("a", 3, 30.0), ("b", 4, None), ("b", 5, 7.0), ("c", 1, 1.0)]
+    df1, df2 = _series_df(spark, b1), _series_df(spark, b2)
+    whole = {(r["k"], r["t"]): r["ewma"]
+             for r in ewma(_series_df(spark, b1 + b2), ["k"], "t", "x", 0.3).collect()}
+    first = ewma(df1, ["k"], "t", "x", 0.3)
+    seed = first.groupBy("k").agg(
+        F.max(F.struct("t", "ewma"))["ewma"].alias("ewma")
+    )
+    second = ewma(df2, ["k"], "t", "x", 0.3, init=seed)
+    got = {(r["k"], r["t"]): r["ewma"] for r in first.collect()}
+    got.update({(r["k"], r["t"]): r["ewma"] for r in second.collect()})
+    assert got == whole
+    # init validation
+    import pytest as pt
+
+    with pt.raises(ValueError, match="lacks columns"):
+        ewma(df2, ["k"], "t", "x", 0.3, init=seed.drop("ewma"))
+    with pt.raises(ValueError, match="duplicate keys"):
+        ewma(df2, ["k"], "t", "x", 0.3, init=seed.unionAll(seed))
+
+
+def test_stream_ewma_sink_equals_batch(spark, tmp_path):
+    """Stream-emitted EWMA points are BIT-IDENTICAL to the batch
+    operator over everything seen, at every drop prefix; NULL values
+    advance last_ts without touching the average; late data refused."""
+    import pytest as pt
+    from pyspark.sql import types as T
+
+    from d2d_spark.operators.timeseries import ewma
+    from d2d_spark.streaming.filestream import (
+        ewma_stream_state,
+        file_stream,
+        stream_ewma_sink,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("t", T.IntegerType()),
+            T.StructField("x", T.DoubleType()),
+        ]
+    )
+    drops = [
+        ("d1", [("a", 1, 10.0), ("a", 2, 20.0), ("b", 1, 5.0)]),
+        ("d2", [("a", 3, 30.0), ("b", 4, None), ("c", 1, 1.0)]),
+        ("d3", [("b", 5, 7.0), ("c", 2, 3.0), ("a", 9, 12.0)]),
+    ]
+    seen = []
+    for name, rows in drops:
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+            str(src / name)
+        )
+        seen.extend(rows)
+        stream = file_stream(spark, str(src) + "/*", schema)
+        stream_ewma_sink(stream, "k", "t", "x", 0.25, state, ckpt)
+        pts, carry = ewma_stream_state(spark, state)
+        got = {(r["key"], r["ts"]): r["ewma"] for r in pts.collect()}
+        want = {(r["k"], r["t"]): r["ewma"]
+                for r in ewma(_series_df(spark, seen), ["k"], "t", "x", 0.25).collect()}
+        assert got == want, name
+    # carry after d3: b saw a NULL at t=4 (state untouched) then 7.0
+    cb = {r["key"]: (r["last_ts"], r["ewma"]) for r in carry.collect()}
+    assert cb["b"][0] == 5
+    assert cb["b"][1] == 0.75 * 5.0 + 0.25 * 7.0
+    # late data refused
+    spark.createDataFrame([("a", 9, 99.0)], schema).write.mode("overwrite").parquet(
+        str(src / "d4")
+    )
+    stream = file_stream(spark, str(src) + "/*", schema)
+    with pt.raises(Exception, match="per-key time order"):
+        stream_ewma_sink(stream, "k", "t", "x", 0.25, state, ckpt)
+    # fresh checkpoint over surviving state refused
+    stream = file_stream(spark, str(src) + "/*", schema)
+    with pt.raises(ValueError, match="fresh"):
+        stream_ewma_sink(stream, "k", "t", "x", 0.25, state, str(tmp_path / "c2"))
+    with pt.raises(ValueError, match="alpha"):
+        stream_ewma_sink(stream, "k", "t", "x", 0.0, state, ckpt)
