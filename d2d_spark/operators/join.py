@@ -99,22 +99,37 @@ def asof_join(
     right_ts: str,
     how: str = "left",
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Point-in-time (as-of) join: each left row picks the LATEST
-    right row with right_ts <= left_ts for the same key — the
-    market-data / feature-store join Spark lacks natively.
+    """Point-in-time (as-of) join — the market-data / feature-store
+    join Spark lacks natively — with pandas merge_asof's three
+    directions:
+
+      backward (default) — the LATEST right row with right_ts <=
+          left_ts (the classic as-of);
+      forward  — the EARLIEST right row with right_ts >= left_ts
+          (next-event lookup: the fill after an order, the response
+          after a request);
+      nearest  — whichever of the two is closer in absolute time,
+          ties to the backward match (the pandas convention).
 
     Built as a composition, not a UDF: tag and union both sides,
     sort within key by time, and carry the last-seen right payload
-    forward with last_value(ignoreNulls) over a running window, then
-    keep only left rows. ONE shuffle on (key) — the same cost as a
-    regular sort-merge join — versus the naive theta-join
-    (l.ts >= r.ts) which explodes to a per-key cross product before
-    aggregating. ``tolerance`` (e.g. '1 hour') voids matches older
-    than left_ts - tolerance, like pandas merge_asof.
+    with last_value(ignoreNulls) over a running window (ascending for
+    backward, descending for forward; nearest computes both carries
+    over the SAME partitioning and picks per row). ONE shuffle on
+    (key) in every direction — versus the naive theta-join which
+    explodes to a per-key cross product. ``tolerance`` (e.g.
+    '1 hour') voids matches farther than that from left_ts on the
+    relevant side, like pandas merge_asof.
     """
     from pyspark.sql import Window
 
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"asof_join: direction must be backward | forward | nearest, "
+            f"got {direction!r}"
+        )
     lcols = left.columns
     rcols = [c for c in right.columns if c not in (on, right_ts)]
     l = left.select(
@@ -133,33 +148,63 @@ def asof_join(
         *[F.col(c).alias(f"__r_{c}") for c in rcols],
         F.col(right_ts).alias("__rts"),
     )
-    # right rows sort BEFORE left rows at equal timestamps so a tick
-    # at exactly left_ts matches (asof semantics: <=)
+    # right rows sort BEFORE left rows at equal timestamps in BOTH
+    # traversal orders, so a tick at exactly left_ts matches
+    # (asof semantics are inclusive on each side)
     u = l.unionByName(r)
-    w = (
+    wb = (
         Window.partitionBy("__k")
         .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = u.select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__cf_{c}")
-            for c in rcols
-        ],
-        F.last("__rts", ignorenulls=True).over(w).alias("__cf_rts"),
+    wf = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").desc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    need_b = direction in ("backward", "nearest")
+    need_f = direction in ("forward", "nearest")
+    carry_cols = []
+    if need_b:
+        carry_cols += [
+            F.last(f"__r_{c}", ignorenulls=True).over(wb).alias(f"__cb_{c}")
+            for c in rcols
+        ] + [F.last("__rts", ignorenulls=True).over(wb).alias("__cb_rts")]
+    if need_f:
+        carry_cols += [
+            F.last(f"__r_{c}", ignorenulls=True).over(wf).alias(f"__cf_{c}")
+            for c in rcols
+        ] + [F.last("__rts", ignorenulls=True).over(wf).alias("__cf_rts")]
+    carried = u.select("*", *carry_cols)
     out = carried.filter(F.col("__is_left") == 1)
+    valid_b = F.col("__cb_rts").isNotNull() if need_b else F.lit(False)
+    valid_f = F.col("__cf_rts").isNotNull() if need_f else F.lit(False)
     if tolerance is not None:
-        in_window = F.col("__cf_rts") >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
-        out = out.select(
-            *lcols,
-            *[
-                F.when(in_window, F.col(f"__cf_{c}")).alias(c) for c in rcols
-            ],
-        )
+        iv = F.expr(f"INTERVAL {tolerance}")
+        if need_b:
+            valid_b = valid_b & (F.col("__cb_rts") >= F.col("__ts") - iv)
+        if need_f:
+            valid_f = valid_f & (F.col("__cf_rts") <= F.col("__ts") + iv)
+    if direction == "backward":
+        picked = [F.when(valid_b, F.col(f"__cb_{c}")).alias(c) for c in rcols]
+    elif direction == "forward":
+        picked = [F.when(valid_f, F.col(f"__cf_{c}")).alias(c) for c in rcols]
     else:
-        out = out.select(*lcols, *[F.col(f"__cf_{c}").alias(c) for c in rcols])
+        # nearest: closer absolute distance wins, ties -> backward.
+        # Distances compare as double epoch values (microsecond-exact
+        # for timestamps; identity for numeric order columns).
+        ts_d = F.col("__ts").cast("double")
+        use_f = valid_f & (
+            ~valid_b
+            | ((F.col("__cf_rts").cast("double") - ts_d) < (ts_d - F.col("__cb_rts").cast("double")))
+        )
+        picked = [
+            F.when(use_f, F.col(f"__cf_{c}"))
+            .otherwise(F.when(valid_b, F.col(f"__cb_{c}")))
+            .alias(c)
+            for c in rcols
+        ]
+    out = out.select(*lcols, *picked)
     if how == "inner":
         out = out.dropna(subset=rcols, how="all")
     return out

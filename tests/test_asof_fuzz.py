@@ -127,3 +127,91 @@ def test_hash_sample_nested_and_deterministic(_spark, keys, f1, f2, seed):
     again = {r["k"] for r in hash_sample(df, "k", lo, seed).collect()}
     assert small <= big
     assert small == again
+
+
+def brute_force_dir(lrows, rrows, direction, tol=None):
+    out = []
+    for i, (k, ts) in enumerate(lrows):
+        back = [(rts, val) for (rk, rts), val in rrows.items() if rk == k and rts <= ts]
+        fwd = [(rts, val) for (rk, rts), val in rrows.items() if rk == k and rts >= ts]
+        b = max(back) if back else None
+        f = min(fwd) if fwd else None
+        if tol is not None:
+            if b is not None and b[0] < ts - tol:
+                b = None
+            if f is not None and f[0] > ts + tol:
+                f = None
+        if direction == "backward":
+            best = b
+        elif direction == "forward":
+            best = f
+        else:  # nearest, ties -> backward
+            if b is None:
+                best = f
+            elif f is None:
+                best = b
+            else:
+                best = f if (f[0] - ts) < (ts - b[0]) else b
+        out.append((i, k, ts, best[1] if best else None))
+    return sorted(out)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    lrows=left_rows,
+    rrows=right_rows,
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+    tol=st.one_of(st.none(), st.integers(0, 10)),
+)
+def test_asof_join_directions_match_brute_force(_spark, lrows, rrows, direction, tol):
+    spark = _spark
+    base = dt.datetime(2024, 1, 1)
+    rmap = {(k, ts): 100 * ts + ord(k) for k, ts in rrows}
+    left = spark.createDataFrame(
+        [(i, k, base + dt.timedelta(seconds=ts)) for i, (k, ts) in enumerate(lrows)]
+        or [(None, None, None)],
+        "idx long, k string, ts timestamp",
+    )
+    if not lrows:
+        left = left.filter("idx IS NOT NULL")
+    right = spark.createDataFrame(
+        [(k, base + dt.timedelta(seconds=ts), v) for (k, ts), v in rmap.items()]
+        or [(None, None, None)],
+        "k string, rts timestamp, val long",
+    )
+    if not rmap:
+        right = right.filter("k IS NOT NULL")
+    got = sorted(
+        (r["idx"], r["k"], r["val"])
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            direction=direction,
+            tolerance=None if tol is None else f"{tol} seconds",
+        ).collect()
+    )
+    want = sorted(
+        (i, k, v) for i, k, _, v in brute_force_dir(lrows, rmap, direction, tol=tol)
+    )
+    assert got == want
+
+
+def test_asof_nearest_tie_goes_backward(_spark):
+    spark = _spark
+    left = spark.createDataFrame([(0, "a", 10)], "idx long, k string, ts long")
+    right = spark.createDataFrame(
+        [("a", 7, 100), ("a", 13, 200)], "k string, rts long, val long"
+    )
+    got = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts", direction="nearest"
+    ).collect()
+    assert got[0]["val"] == 100  # equidistant -> backward wins
+    # exact-timestamp match is inclusive in every direction
+    right2 = spark.createDataFrame([("a", 10, 7)], "k string, rts long, val long")
+    for d in ("backward", "forward", "nearest"):
+        assert asof_join(
+            left, right2, on="k", left_ts="ts", right_ts="rts", direction=d
+        ).collect()[0]["val"] == 7
+    import pytest as pt
+
+    with pt.raises(ValueError, match="direction"):
+        asof_join(left, right, on="k", left_ts="ts", right_ts="rts", direction="up")
