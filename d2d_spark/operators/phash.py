@@ -179,3 +179,78 @@ def phash_near_pairs(
     )
     hashed.count()  # fill before the self-join branches race on it
     return hamming_near_pairs(hashed, "phash", id_col, max_hamming)
+
+
+def video_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    frames_col: str,
+    width_col: str,
+    height_col: str,
+    threshold_pct: int = 60,
+    method: str = "dhash",
+    max_df: int = 1000,
+) -> DataFrame:
+    """Video near-duplicate pairs by FRAME-FINGERPRINT-SET overlap —
+    the standard shape for video dedup: perceptually hash every
+    sampled frame (``frames_col``: array of pixel grids, one per
+    sampled frame — multimodal.sample_frames upstream, or a real
+    decoder's output at the same schema), collapse each video to its
+    DISTINCT frame-hash set, and join videos whose sets' Jaccard
+    reaches ``threshold_pct`` — re-encoded, brightness-shifted or
+    trimmed copies share most frame hashes (dhash is brightness- and
+    scale-invariant per frame) while unrelated footage shares none.
+
+    Shape: one explode (rows = sampled frames, bounded by the
+    sampling rate), the map-only per-frame hash, a distinct, then the
+    df-capped hash equi-join — weighted_jaccard_pairs with unit
+    weights IS set Jaccard, so the pair stage inherits its sum(df²)
+    candidate bound and exact cross-multiplied threshold. ``max_df``
+    drops stop-frames (intros, black frames) that appear in more
+    than that many videos, the winnow stop-fingerprint dial.
+    Returns (id_a, id_b, n_shared, n_a, n_b, jaccard) — exact
+    integers and one exact division.
+
+    The frame-hash profile persists before the pair join (the phash /
+    simhash policy, but here it is CORRECTNESS-OF-COST, not just
+    reuse: the join's branches would each inline the per-frame hash
+    expression, and the hundreds-of-aggregates tree recompiles per
+    stage — measured minutes of codegen on a toy input). Release per
+    corpus via cache.release('video_phash')."""
+    from pyspark import StorageLevel
+
+    from d2d_spark import cache as opcache
+    from d2d_spark.operators.dedup import weighted_jaccard_pairs
+
+    ex = df.select(
+        F.col(id_col).alias("__vid"),
+        F.col(width_col).alias("__w"),
+        F.col(height_col).alias("__h"),
+        F.explode(frames_col).alias("__px"),
+    )
+    hashed = with_phash(ex, "__px", "__w", "__h", method=method, out_col="__fh")
+    profile = opcache.register(
+        "video_phash",
+        hashed.filter(F.col("__fh").isNotNull())
+        .select("__vid", "__fh")
+        .distinct()
+        .withColumn("__one", F.lit(1).cast("long"))
+        .persist(StorageLevel.MEMORY_AND_DISK),
+    )
+    profile.count()  # fill before the join branches race on it
+    pairs = weighted_jaccard_pairs(
+        profile, "__vid", "__fh", "__one",
+        threshold_pct=threshold_pct, max_df=max_df,
+        validate=False,  # distinct() owns the key; weights are literal 1
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.col("w_shared").alias("n_shared"),
+        F.col("w_a").alias("n_a"),
+        F.col("w_b").alias("n_b"),
+        (
+            F.col("w_shared").cast("double")
+            / (F.col("w_a") + F.col("w_b") - F.col("w_shared"))
+        ).alias("jaccard"),
+    )

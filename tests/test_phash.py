@@ -169,3 +169,59 @@ def test_hamming_near_pairs_equals_bruteforce(spark):
             if ham(hashes[a], hashes[b]) <= max_h
         }
         assert got == want, f"banding diverged from brute force at max_hamming={max_h}"
+
+
+def test_video_near_pairs_frame_set_overlap(spark):
+    """Videos = frame lists; clones (incl. brightness-shifted and
+    trimmed) pair with exact frame-set Jaccard; unrelated footage
+    doesn't; stop-frames drop under max_df."""
+    from d2d_spark.operators.phash import video_near_pairs
+
+    W, H = 18, 12
+    # pixels capped at 215 so the +30 brightness shift never clips —
+    # clipping would change gradient signs and break exact invariance
+    frames = [[p % 216 for p in _noise(W, H, seed)] for seed in range(10)]
+    bright = [[p + 30 for p in f] for f in frames]  # dhash-invariant
+    vids = [
+        (1, frames[:6]),             # base: frames 0..5
+        (2, bright[:6]),             # brightness-shifted clone of 1
+        (3, frames[2:8]),            # 6 frames, 4 shared with 1
+        (4, [_gradient(W, H)] * 4),  # unrelated (and all-identical)
+        (5, frames[:3] + frames[:3]),  # trimmed repeat: distinct set = 3
+    ]
+    df = spark.createDataFrame(
+        [(i, fs, W, H) for i, fs in vids],
+        "vid long, frames array<array<int>>, w int, h int",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_shared"], r["n_a"], r["n_b"], r["jaccard"])
+        for r in video_near_pairs(
+            df, "vid", "frames", "w", "h", threshold_pct=30, max_df=None
+        ).collect()
+    }
+    # brightness clone: identical dhash sets -> jaccard 1.0 exactly
+    assert got[(1, 2)][:3] == (6, 6, 6) and got[(1, 2)][3] == 1.0
+    # overlap 4 of (6 + 6 - 4) = 0.5
+    assert got[(1, 3)] == (4, 6, 6, 0.5)
+    assert got[(2, 3)] == (4, 6, 6, 0.5)
+    # trimmed repeat: distinct set of 3, all shared with video 1
+    assert got[(1, 5)] == (3, 6, 3, 0.5)
+    # unrelated video pairs with nobody
+    assert not any(4 in p for p in got)
+    # max_df stop-frame cut: frames 2..5 appear in videos 1,2,3 ->
+    # df 3; cap at 2 removes them, so (1,3) loses its overlap
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in video_near_pairs(
+            df, "vid", "frames", "w", "h", threshold_pct=30, max_df=2
+        ).collect()
+    }
+    assert (1, 3) not in capped
+    # empty frame lists and undersized frames drop, not crash
+    weird = spark.createDataFrame(
+        [(9, [], W, H), (10, [[1, 2, 3]], W, H)],
+        "vid long, frames array<array<int>>, w int, h int",
+    )
+    assert video_near_pairs(
+        df.unionByName(weird), "vid", "frames", "w", "h", threshold_pct=99
+    ).filter("id_a >= 9 or id_b >= 9").count() == 0
