@@ -538,7 +538,7 @@ def _weighted_profiles(
     return out
 
 
-def _validate_profiles(out: DataFrame, what: str) -> None:
+def _validate_profiles(out: DataFrame, what: str, extra_cond=None, extra_msg=None) -> None:
     """The one-pass contract check over a (__id, __t, __w) frame —
     split out so callers that persist the frame first can validate ON
     the cached copy (the first aggregate fills the cache, and the
@@ -546,19 +546,37 @@ def _validate_profiles(out: DataFrame, what: str) -> None:
     the upstream tokenize per probe)."""
     w = F.col("__w")
     bad_cond = w.isNull() | (w <= 0) | F.col("__id").isNull() | F.col("__t").isNull()
-    stats = out.agg(
+    aggs = [
         F.count(F.lit(1)).alias("__n"),
         F.sum(bad_cond.cast("long")).alias("__nbad"),
         # count_distinct skips rows with a NULL id/token, but those
         # are already counted in __nbad and raise first — so with
         # __nbad == 0, __n != __nkey iff duplicate (id, token) keys
         F.count_distinct(F.col("__id"), F.col("__t")).alias("__nkey"),
-    ).collect()[0]
+    ]
+    if extra_cond is not None:
+        # caller-specific refusal rides the SAME pass (the one-scan
+        # discipline): e.g. the weighted-minhash replica bomb
+        aggs.append(F.sum(extra_cond.cast("long")).alias("__nextra"))
+    stats = out.agg(*aggs).collect()[0]
+
+    def _example(cond):
+        # re-running a NONDETERMINISTIC upstream may not reproduce the
+        # counted bad row — fall back to a no-example message instead
+        # of masking the contract error with an IndexError
+        got = out.filter(cond).limit(1).collect()
+        return got[0] if got else None
+
     if stats["__nbad"]:
-        bad = out.filter(bad_cond).limit(1).collect()
+        bad = _example(bad_cond)
+        detail = (
+            f"row (id={bad['__id']!r}, token={bad['__t']!r}, weight={bad['__w']!r})"
+            if bad is not None
+            else f"{stats['__nbad']} row(s) (no example reproducible — "
+            "nondeterministic upstream?)"
+        )
         raise ValueError(
-            f"{what}: row (id={bad[0]['__id']!r}, token={bad[0]['__t']!r}, "
-            f"weight={bad[0]['__w']!r}) has a NULL id/token or a "
+            f"{what}: {detail} has a NULL id/token or a "
             "NULL/non-positive weight — drop or fix upstream"
         )
     if stats["__n"] != stats["__nkey"]:
@@ -566,6 +584,8 @@ def _validate_profiles(out: DataFrame, what: str) -> None:
             f"{what}: duplicate (id, token) rows — a token's "
             "weight per document must be a single number; aggregate upstream"
         )
+    if extra_cond is not None and stats["__nextra"]:
+        raise ValueError(f"{what}: {extra_msg(_example(extra_cond))}")
 
 
 def _weighted_pairs_output(
@@ -896,39 +916,56 @@ def weighted_minhash_lsh_pairs(
 
     from d2d_spark import cache as opcache
 
-    # persist FIRST, probe ON the cached copy, register only after
-    # every probe passes: the profile frame feeds SIX scans
-    # (validation agg, bomb probe, item explode, sizes, both verify
-    # joins) and its upstream is typically a whole tokenize pipeline
-    # — probing unpersisted re-ran that pipeline once per probe. A
-    # bad call still leaks no REGISTERED entry (the bands check's
-    # discipline): failure unpersists the frame directly before
-    # raising.
-    wt = _weighted_profiles(
-        df, id_col, token_col, weight_col, "weighted_minhash_lsh_pairs",
-        validate=False,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # persist AND register FIRST, probe ON the cached copy,
+    # deregister on failure: the profile frame feeds several scans
+    # (validation agg, item explode, sizes, both verify joins) and
+    # its upstream is typically a whole tokenize pipeline — probing
+    # unpersisted re-ran that pipeline once per probe. Registering
+    # before the (potentially long) probe jobs keeps the blocks
+    # reclaimable by cache.release() at ALL times — an interrupt
+    # mid-probe must not strand untracked disk blocks — while
+    # deregister drops ONLY this call's frame on failure, so earlier
+    # successful calls' pending consumers keep their cache. Release
+    # per corpus via cache.release("weighted_minhash").
+    wt = opcache.register(
+        "weighted_minhash",
+        _weighted_profiles(
+            df, id_col, token_col, weight_col, "weighted_minhash_lsh_pairs",
+            validate=False,
+        ).persist(StorageLevel.MEMORY_AND_DISK),
+    )
+    q = F.ceil(F.col("__w") * F.lit(float(resolution))).cast("long")
+    bomb_cond = q > max_replicas_per_token
+
+    def bomb_msg(row):
+        where = (
+            f"token {row['__t']!r} of id {row['__id']!r}"
+            if row is not None
+            else "a token"
+        )
+        return (
+            f"{where} discretizes to more than {max_replicas_per_token} "
+            "replicas — rescale weights or lower resolution; a weight "
+            "bomb would explode the item stream"
+        )
+
     try:
         if validate:
-            # the first aggregate fills the cache as it checks
-            _validate_profiles(wt, "weighted_minhash_lsh_pairs")
-        q = F.ceil(F.col("__w") * F.lit(float(resolution))).cast("long")
-        bomb = wt.filter(q > max_replicas_per_token).limit(1).collect()
-        if bomb:
-            raise ValueError(
-                f"weighted_minhash_lsh_pairs: token {bomb[0]['__t']!r} of id "
-                f"{bomb[0]['__id']!r} discretizes to more than "
-                f"{max_replicas_per_token} replicas — rescale weights or "
-                "lower resolution; a weight bomb would explode the item "
-                "stream"
+            # ONE pass checks the contract AND the bomb, filling the
+            # cache as it scans
+            _validate_profiles(
+                wt, "weighted_minhash_lsh_pairs",
+                extra_cond=bomb_cond, extra_msg=bomb_msg,
             )
+        else:
+            # the exhausted no-match limit(1) scan fills every cached
+            # partition, so no separate count() is needed
+            bomb = wt.filter(bomb_cond).limit(1).collect()
+            if bomb:
+                raise ValueError(f"weighted_minhash_lsh_pairs: {bomb_msg(bomb[0])}")
     except Exception:
-        wt.unpersist(blocking=False)
+        opcache.deregister("weighted_minhash", [wt])
         raise
-    # release per corpus via cache.release("weighted_minhash")
-    opcache.register("weighted_minhash", wt)
-    if not validate:
-        wt.count()  # the validation agg didn't run — fill the cache
     # (lineage intact — the minhash_lsh_pairs persist discipline)
     items = wt.select(
         "__id", "__t", F.explode(F.sequence(F.lit(1), q)).alias("__i")
