@@ -750,7 +750,10 @@ def phonetic_blocked_pairs(
         F.soundex(F.col(name_col)).alias("__code"),
     )
     bomb = (
-        coded.groupBy("__code")
+        # NULL codes never pair (equi-join semantics), so a pile of
+        # NULL names is zero quadratic work — not a bomb
+        coded.filter(F.col("__code").isNotNull())
+        .groupBy("__code")
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") > max_block)
         .limit(1)
@@ -849,15 +852,34 @@ def weighted_cosine_pairs(
         sizes.select(F.col("__id").alias("id_b"), F.col("__nsq").alias("nsq_b")),
         "id_b",
     )
-    dec = "decimal(38,0)"
-    lhs = F.lit(10_000).cast(dec) * F.col("dot").cast(dec) * F.col("dot").cast(dec)
-    rhs = (
-        F.lit(threshold_pct * threshold_pct).cast(dec)
-        * F.col("nsq_a").cast(dec)
-        * F.col("nsq_b").cast(dec)
+    # the exact DECIMAL(38,0) cross-product predicate only makes sense
+    # when dot/nsq are integers — casting a FRACTIONAL sum to scale-0
+    # decimal would quantize it (nsq 0.3 -> 0, rhs = 0, every
+    # token-sharing pair passes any threshold). Integral weight types
+    # keep the advertised engine-exact cut; fractional weights (tf-idf
+    # doubles) fall back to the plain float comparison with the same
+    # last-ulp caveat weighted_jaccard_pairs documents — discretize
+    # upstream when the cut must be exact.
+    integral = df.schema[weight_col].dataType.simpleString() in (
+        "tinyint", "smallint", "int", "bigint",
     )
+    if integral:
+        dec = "decimal(38,0)"
+        lhs = F.lit(10_000).cast(dec) * F.col("dot").cast(dec) * F.col("dot").cast(dec)
+        rhs = (
+            F.lit(threshold_pct * threshold_pct).cast(dec)
+            * F.col("nsq_a").cast(dec)
+            * F.col("nsq_b").cast(dec)
+        )
+        keep = lhs >= rhs
+    else:
+        keep = (F.col("dot") * F.col("dot") * F.lit(10_000.0)) >= (
+            F.lit(float(threshold_pct * threshold_pct))
+            * F.col("nsq_a")
+            * F.col("nsq_b")
+        )
     return (
-        out.filter(lhs >= rhs)
+        out.filter(keep)
         .withColumn(
             "cos_sim",
             F.col("dot") / F.sqrt(F.col("nsq_a").cast("double") * F.col("nsq_b")),

@@ -152,6 +152,21 @@ def asof_join(
     # traversal orders, so a tick at exactly left_ts matches
     # (asof semantics are inclusive on each side)
     u = l.unionByName(r)
+    # carry the WHOLE right row as ONE struct (NULL on left rows), not
+    # per-column last(ignoreNulls): per-column carries would let a
+    # matched right row's NULL field resurrect a STALE value from an
+    # older right row — columns of one output row could even come from
+    # different right rows. merge_asof semantics are row-wise.
+    u = u.withColumn(
+        "__rrow",
+        F.when(
+            F.col("__is_left") == 0,
+            F.struct(
+                F.col("__rts").alias("__rts"),
+                *[F.col(f"__r_{c}").alias(f"__r_{c}") for c in rcols],
+            ),
+        ),
+    )
     wb = (
         Window.partitionBy("__k")
         .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
@@ -166,16 +181,18 @@ def asof_join(
     need_f = direction in ("forward", "nearest")
     carry_cols = []
     if need_b:
-        carry_cols += [
-            F.last(f"__r_{c}", ignorenulls=True).over(wb).alias(f"__cb_{c}")
-            for c in rcols
-        ] + [F.last("__rts", ignorenulls=True).over(wb).alias("__cb_rts")]
+        carry_cols.append(F.last("__rrow", ignorenulls=True).over(wb).alias("__cb"))
     if need_f:
-        carry_cols += [
-            F.last(f"__r_{c}", ignorenulls=True).over(wf).alias(f"__cf_{c}")
-            for c in rcols
-        ] + [F.last("__rts", ignorenulls=True).over(wf).alias("__cf_rts")]
+        carry_cols.append(F.last("__rrow", ignorenulls=True).over(wf).alias("__cf"))
     carried = u.select("*", *carry_cols)
+    if need_b:
+        carried = carried.withColumn("__cb_rts", F.col("__cb.__rts"))
+        for c in rcols:
+            carried = carried.withColumn(f"__cb_{c}", F.col(f"__cb.__r_{c}"))
+    if need_f:
+        carried = carried.withColumn("__cf_rts", F.col("__cf.__rts"))
+        for c in rcols:
+            carried = carried.withColumn(f"__cf_{c}", F.col(f"__cf.__r_{c}"))
     out = carried.filter(F.col("__is_left") == 1)
     valid_b = F.col("__cb_rts").isNotNull() if need_b else F.lit(False)
     valid_f = F.col("__cf_rts").isNotNull() if need_f else F.lit(False)

@@ -199,7 +199,6 @@ def key_skew_report(
     key_cols: list[str],
     top_k: int = 10,
     max_keys: int = 10_000_000,
-    sep: str = "\x1f",
 ) -> DataFrame:
     """Key-distribution skew diagnostics — the numbers that decide
     whether a join/groupBy on these keys needs salting, AQE skew
@@ -236,38 +235,58 @@ def key_skew_report(
         raise ValueError(f"key_skew_report: top_k must be >= 1, got {top_k}")
     if not key_cols:
         raise ValueError("key_skew_report: need at least one key column")
+    # multi-column keys serialize via to_json with NULLs KEPT —
+    # concat_ws silently skips NULL components, which would merge
+    # distinct dirty keys like ('x', NULL) and (NULL, 'x') into one
+    # count on exactly the data this diagnostic exists for
     key = (
-        F.concat_ws(sep, *[F.col(c).cast("string") for c in key_cols])
+        F.to_json(
+            F.struct(*[F.col(c) for c in key_cols]),
+            {"ignoreNullFields": "false"},
+        )
         if len(key_cols) > 1
         else F.col(key_cols[0]).cast("string")
     )
     counts = df.groupBy(key.alias("__k")).agg(F.count(F.lit(1)).alias("__n"))
-    tot = counts.agg(
-        F.sum("__n").alias("N"), F.count(F.lit(1)).alias("K"), F.max("__n").alias("mx")
-    ).first()
-    spark = df.sparkSession
-    schema = "stat string, key string, n long, value double"
-    if tot["N"] is None:
-        return spark.createDataFrame([("rows", None, 0, None), ("keys", None, 0, None)], schema)
-    n_total, n_keys, mx = int(tot["N"]), int(tot["K"]), int(tot["mx"])
-    if n_keys > max_keys:
-        raise ValueError(
-            f"key_skew_report: {n_keys} distinct keys (> max_keys={max_keys}) "
-            "— the gini rank sorts the counts frame on one node; sample keys "
-            "or raise the cap explicitly"
-        )
-    p = F.col("__n").cast("double") / F.lit(float(n_total))
-    term = F.round(p * F.log(p), 12).cast("decimal(28,12)")
-    rnk = F.row_number().over(Window.orderBy("__n", "__k"))
-    scalars = counts.withColumn("__r", rnk).agg(
-        (-F.sum(term)).cast("double").alias("H"),
-        F.sum(F.col("__r").cast("decimal(28,0)") * F.col("__n")).alias("RS"),
-    ).first()
-    h = float(scalars["H"])
-    rs = int(scalars["RS"])
-    import math
+    # three jobs read the counts frame (totals, scalar stats, top
+    # slice) — persist so the source groupBy runs once, and since
+    # every output row is collected the frame releases before return
+    counts = counts.persist()
+    try:
+        tot = counts.agg(
+            F.sum("__n").alias("N"), F.count(F.lit(1)).alias("K"), F.max("__n").alias("mx")
+        ).first()
+        spark = df.sparkSession
+        schema = "stat string, key string, n long, value double"
+        if tot["N"] is None:
+            return spark.createDataFrame(
+                [("rows", None, 0, None), ("keys", None, 0, None)], schema
+            )
+        n_total, n_keys, mx = int(tot["N"]), int(tot["K"]), int(tot["mx"])
+        if n_keys > max_keys:
+            raise ValueError(
+                f"key_skew_report: {n_keys} distinct keys (> max_keys={max_keys}) "
+                "— the gini rank sorts the counts frame on one node; sample keys "
+                "or raise the cap explicitly"
+            )
+        p = F.col("__n").cast("double") / F.lit(float(n_total))
+        term = F.round(p * F.log(p), 12).cast("decimal(28,12)")
+        rnk = F.row_number().over(Window.orderBy("__n", "__k"))
+        scalars = counts.withColumn("__r", rnk).agg(
+            (-F.sum(term)).cast("double").alias("H"),
+            F.sum(F.col("__r").cast("decimal(28,0)") * F.col("__n")).alias("RS"),
+        ).first()
+        h = float(scalars["H"])
+        rs = int(scalars["RS"])
+        import math
 
-    gini = 2.0 * rs / (float(n_keys) * n_total) - (n_keys + 1.0) / n_keys
+        gini = 2.0 * rs / (float(n_keys) * n_total) - (n_keys + 1.0) / n_keys
+        top_rows = [
+            ("top", r["__k"], r["__n"], r["__n"] / float(n_total))
+            for r in counts.orderBy(F.col("__n").desc(), "__k").limit(top_k).collect()
+        ]
+    finally:
+        counts.unpersist(blocking=False)
     metric_rows = [
         ("rows", None, n_total, None),
         ("keys", None, n_keys, None),
@@ -276,17 +295,7 @@ def key_skew_report(
         ("entropy_norm", None, None, h / math.log(n_keys) if n_keys > 1 else None),
         ("gini", None, None, gini),
     ]
-    top = (
-        counts.orderBy(F.col("__n").desc(), "__k")
-        .limit(top_k)
-        .select(
-            F.lit("top").alias("stat"),
-            F.col("__k").alias("key"),
-            F.col("__n").alias("n"),
-            (F.col("__n").cast("double") / F.lit(float(n_total))).alias("value"),
-        )
-    )
-    return spark.createDataFrame(metric_rows, schema).unionByName(top)
+    return spark.createDataFrame(metric_rows + top_rows, schema)
 
 
 def histogram(
@@ -323,6 +332,16 @@ def histogram(
                 [], "bucket int, lo_edge double, hi_edge double, n long"
             )
         lo, hi = float(mm["lo"]), float(mm["hi"])
+        import math as _math
+
+        if _math.isnan(lo) or _math.isnan(hi) or _math.isinf(lo) or _math.isinf(hi):
+            # Spark's min/max order NaN as the largest double — auto
+            # bounds would silently produce all-NULL buckets
+            raise ValueError(
+                f"histogram: {value_col!r} contains NaN/Inf (bounds "
+                f"[{lo}, {hi}]) — filter them or pass explicit lo/hi "
+                "(out-of-range rows then land in the sentinel buckets)"
+            )
     else:
         lo, hi = float(lo), float(hi)
         if hi <= lo:

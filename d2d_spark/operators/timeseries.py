@@ -391,7 +391,7 @@ def ewma(
     alpha: float,
     out_col: str = "ewma",
     validate: bool = True,
-    max_rows_per_key: int = 10_000_000,
+    max_rows_per_key: int = 100_000,
     init: DataFrame | None = None,
 ) -> DataFrame:
     """Exponentially-weighted moving average per key — the EXACT
@@ -416,10 +416,13 @@ def ewma(
     + gap_fill first if decay-per-bucket is wanted).
 
     Spark shape: one groupBy shuffle; per-key state is the series
-    itself (the recurrence is inherently sequential), so the whale-key
-    guard refuses keys beyond ``max_rows_per_key`` — at 100 TB you
-    resample to a bounded grid first, which is also what makes an
-    EWMA's time constant well-defined."""
+    itself (the recurrence is inherently sequential), and the fold
+    APPENDS to an immutable array per element — O(n²) element copies
+    per key — so the whale-key guard default is a deliberately tight
+    100k rows (~1e10 copies at the cap is already minutes): resample
+    to a bounded grid first, which is also what makes an EWMA's time
+    constant well-defined, and raise the cap only knowing the
+    quadratic shape."""
     if not (0.0 < alpha <= 1.0):
         raise ValueError(f"ewma: alpha must be in (0, 1], got {alpha}")
     keys = list(key_cols)

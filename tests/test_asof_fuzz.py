@@ -215,3 +215,28 @@ def test_asof_nearest_tie_goes_backward(_spark):
 
     with pt.raises(ValueError, match="direction"):
         asof_join(left, right, on="k", left_ts="ts", right_ts="rts", direction="up")
+
+
+def test_asof_null_payload_column_is_not_resurrected(_spark):
+    """A matched right row's NULL column must stay NULL — per-column
+    carries would resurrect a stale value from an OLDER right row
+    (pandas merge_asof is row-wise)."""
+    spark = _spark
+    left = spark.createDataFrame([(0, "a", 3)], "idx long, k string, ts long")
+    right = spark.createDataFrame(
+        [("a", 1, 5, "x"), ("a", 2, None, "y")],
+        "k string, rts long, val long, tag string",
+    )
+    for d in ("backward", "nearest"):
+        r = asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts", direction=d
+        ).collect()[0]
+        assert r["val"] is None and r["tag"] == "y", d  # one ROW, not a mix
+    fwd_right = spark.createDataFrame(
+        [("a", 4, None, "y"), ("a", 9, 5, "x")],
+        "k string, rts long, val long, tag string",
+    )
+    r = asof_join(
+        left, fwd_right, on="k", left_ts="ts", right_ts="rts", direction="forward"
+    ).collect()[0]
+    assert r["val"] is None and r["tag"] == "y"

@@ -349,3 +349,25 @@ def test_weighted_cosine_partitioning_invariant(spark):
             )
         )
     assert outs[0] == outs[1] and outs[0]
+
+
+def test_weighted_cosine_fractional_weights_respect_threshold(spark):
+    """tf-idf-style fractional weights: the cut must still honor the
+    threshold (the exact-integer path would quantize 0.3 -> 0 and
+    pass EVERYTHING)."""
+    from d2d_spark.operators.dedup import weighted_cosine_pairs
+
+    rows = [
+        (1, "a", 0.3), (1, "b", 0.4),
+        (2, "a", 0.3), (2, "c", 0.4),   # cos(1,2) = .09/.25 = 0.36
+        (3, "b", 0.4), (3, "d", 0.3),   # cos(1,3) = .16/.25 = 0.64
+    ]
+    df = spark.createDataFrame(rows, "id long, tok string, w double")
+    got = {(r["id_a"], r["id_b"]) for r in weighted_cosine_pairs(
+        df, "id", "tok", "w", threshold_pct=50, max_df=None
+    ).collect()}
+    assert got == {(1, 3)}
+    low = {(r["id_a"], r["id_b"]) for r in weighted_cosine_pairs(
+        df, "id", "tok", "w", threshold_pct=30, max_df=None
+    ).collect()}
+    assert low == {(1, 2), (1, 3)}

@@ -159,13 +159,19 @@ def test_key_skew_report_edges(spark):
     empty = spark.createDataFrame([], "k string")
     ge = {r["stat"]: r["n"] for r in key_skew_report(empty, ["k"]).collect()}
     assert ge == {"rows": 0, "keys": 0}
-    # multi-column keys concatenate; ties in top rank by smallest key
+    # multi-column keys serialize as JSON with NULLs KEPT, so the
+    # dirty keys ('x', NULL) and (NULL, 'x') stay DISTINCT
     two = spark.createDataFrame(
         [("a", 1), ("a", 1), ("b", 2), ("b", 2)], "x string, y int"
     )
     g2 = [r for r in key_skew_report(two, ["x", "y"], top_k=1).collect()
           if r["stat"] == "top"]
-    assert len(g2) == 1 and g2[0]["key"] == "a\x1f1" and g2[0]["n"] == 2
+    assert len(g2) == 1 and g2[0]["key"] == '{"x":"a","y":1}' and g2[0]["n"] == 2
+    dirty = spark.createDataFrame(
+        [("x", None), (None, "x")], "a string, b string"
+    )
+    gd = {r["stat"]: r["n"] for r in key_skew_report(dirty, ["a", "b"]).collect()}
+    assert gd["keys"] == 2
     # guards
     with pytest.raises(ValueError, match="top_k"):
         key_skew_report(two, ["x"], top_k=0)
@@ -217,3 +223,18 @@ def test_histogram_matches_python(spark):
         histogram(df, "x", lo=1.0)
     with pt.raises(ValueError, match="hi"):
         histogram(df, "x", lo=5.0, hi=5.0)
+
+
+def test_histogram_refuses_nan_auto_bounds(spark):
+    import pytest as pt
+
+    from d2d_spark.operators.profile import histogram
+
+    df = spark.createDataFrame([(1.0,), (float("nan"),)], "x double")
+    with pt.raises(ValueError, match="NaN"):
+        histogram(df, "x", bins=4)
+    # explicit bounds still work: Spark orders NaN above every double,
+    # so the NaN row lands in the OVERFLOW sentinel instead of
+    # silently vanishing
+    got = {r["bucket"]: r["n"] for r in histogram(df, "x", bins=2, lo=0.0, hi=2.0).collect()}
+    assert got[1] == 1 and got[2] == 1 and got[0] == 0

@@ -188,3 +188,14 @@ def test_phonetic_blocked_recall_vs_fastss(spark, sf_dir):
     blocked = {(r["id_a"], r["id_b"], r["dist"])
                for r in phonetic_blocked_pairs(p, "p_name", "p_partkey", max_dist=2).collect()}
     assert blocked <= truth
+
+
+def test_phonetic_null_names_are_not_a_block_bomb(spark):
+    from d2d_spark.operators.dedup import phonetic_blocked_pairs
+
+    rows = [(i, None) for i in range(20)] + [(100, "Smith"), (101, "Smyth")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {(r["id_a"], r["id_b"]) for r in phonetic_blocked_pairs(
+        df, "name", "id", max_dist=2, max_block=10
+    ).collect()}
+    assert got == {(100, 101)}  # NULL pile ignored, real pair found
