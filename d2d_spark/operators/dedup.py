@@ -804,18 +804,22 @@ def weighted_cosine_pairs(
     target the same measure), scale-INVARIANT where weighted Jaccard
     is scale-sensitive (a doc and its double-length concatenation
     score 1.0 here). Returns (id_a, id_b, dot, nsq_a, nsq_b, cos_sim)
-    for every pair with cos >= threshold_pct/100, decided EXACTLY:
-    since weights are positive, cos >= t iff
+    for every pair with cos >= threshold_pct/100. With INTEGRAL
+    weight types the cut is decided EXACTLY: since weights are
+    positive, cos >= t iff
 
         10000 · dot² >= threshold_pct² · nsq_a · nsq_b
 
     — all integer products, evaluated in DECIMAL(38,0) (HUGEINT-class
     exactness; a pathological profile overflowing 38 digits fails
-    LOUDLY under ANSI instead of corrupting the cut). The emitted
-    cos_sim is one multiply + sqrt + divide over exact longs, so it
-    is bit-identical across engines with NO rounding. Fractional
-    weights sum as double (same caveat as weighted_jaccard_pairs —
-    discretize upstream when exactness matters).
+    LOUDLY under ANSI instead of corrupting the cut), and the emitted
+    cos_sim is one multiply + sqrt + divide over exact longs —
+    bit-identical across engines with NO rounding. FRACTIONAL weight
+    types (tf-idf doubles) use the same inequality as plain float
+    arithmetic instead — casting a fractional sum to scale-0 decimal
+    would quantize it and corrupt the cut — with the
+    weighted_jaccard_pairs caveat (last-ulp drift possible at the
+    exact boundary; discretize upstream when the cut must be exact).
 
     Shape: identical to weighted_jaccard_pairs — one validation
     aggregate (skippable), the df cap (dot and norms BOTH measured on

@@ -91,8 +91,36 @@ def test_mmr_fuzz_matches_python_greedy(_spark, vecs, rels, k, lam):
         for r in mmr_rerank(cdf, vdf, k=k, lam=lam).collect()
     )
     want = _py_mmr(cands, vec_tbl, k, lam)
-    assert [g[1] for g in got] == [w[0] for w in want]
-    for (_, gd, gs), (wd, ws) in zip(got, want):
-        assert abs(gs - ws) < 1e-12, (gd, lam)
+    assert len(got) == len(want)
+    # The kernel and the pure-Python scorer can disagree by an ulp on
+    # sims that are MATHEMATICALLY tied (duplicate vectors), flipping
+    # a tie one way or the other — both chains are valid greedy
+    # outputs. So instead of demanding the identical chain, REPLAY the
+    # Spark chain under the independent scorer and require each pick
+    # to be within 1e-9 of the best available at that step (exact
+    # chains still pass trivially).
+    items = sorted(cands)
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v] if n > 0 else [0.0] * len(v)
+
+    U = {d: unit(vec_tbl[d]) for d, _ in items}
+    active = {d for d, _ in items}
+    max_sim = {d: 0.0 for d, _ in items}
+    for _, gd, gs in got:
+        scores = {
+            d: lam * rel - (1.0 - lam) * max_sim[d]
+            for d, rel in items
+            if d in active
+        }
+        best_s = max(scores.values())
+        assert scores[gd] >= best_s - 1e-9, (gd, lam)
+        assert abs(gs - scores[gd]) < 1e-9, (gd, lam)
+        active.discard(gd)
+        ug = U[gd]
+        for d, _ in items:
+            max_sim[d] = max(max_sim[d], sum(a * b for a, b in zip(U[d], ug)))
     # every emitted doc exactly once, ranks dense from 1
     assert [g[0] for g in got] == list(range(1, len(want) + 1))
+    assert len({g[1] for g in got}) == len(got)
