@@ -526,3 +526,91 @@ def rolling_zscore_outliers(
         .withColumn(out_col, F.abs(F.col(z_col)) > F.lit(float(threshold)))
         .drop("__rz_avg", "__rz_stddev")
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    gap,
+    out_col: str = "session_seq",
+    start_col: str = "session_start",
+    tiebreak_cols: Sequence[str] = (),
+    validate: bool = True,
+    max_rows_per_key: int = 100_000_000,
+) -> DataFrame:
+    """Assign gap-based session ids to EVENTS (the batch companion of
+    streaming/windows.session_agg, which emits per-SESSION aggregates
+    — funnels, paths and per-event enrichment want the id on every
+    row): per key, a new session starts when an event arrives MORE
+    than ``gap`` after the previous one (delta == gap continues the
+    session — the session_window/lag-oracle convention). Appends
+    ``out_col`` (per-key ordinal, 1-based) and ``start_col`` (the
+    session's first timestamp — (keys, session_start) is a globally
+    unique session key).
+
+    ``gap``: an interval string ('30 minutes') for timestamp columns,
+    or a number for numeric order columns. Shape: one key shuffle —
+    lag + running-sum + per-session min all share the partitioning.
+    Ordering ties are refused (one aggregate probe; pass
+    ``tiebreak_cols`` or ``validate=False``)."""
+    keys = list(key_cols)
+    ties = list(tiebreak_cols)
+    if validate:
+        order = [ts_col, *ties]
+        bad = (
+            df.groupBy(*keys, *order)
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.max(F.col(ts_col).isNull()).alias("__null"),
+            )
+            .groupBy(*keys)
+            .agg(
+                F.sum("__n").alias("__rows"),
+                F.max("__n").alias("__dup"),
+                F.max("__null").alias("__nl"),
+            )
+            .agg(
+                F.max("__rows").alias("rows"),
+                F.max("__dup").alias("dup"),
+                F.max("__nl").alias("null_ts"),
+            )
+            .first()
+        )
+        if bad["rows"] is not None:
+            if bad["null_ts"]:
+                raise ValueError(
+                    f"sessionize: NULL {ts_col!r} values — an event without "
+                    "a time belongs to no session; filter or impute first"
+                )
+            if bad["dup"] > 1:
+                raise ValueError(
+                    f"sessionize: duplicate (key, {', '.join(order)}) ordering "
+                    "tuples — ties make the lag boundary partitioning-"
+                    "dependent; add tiebreak_cols or deduplicate first"
+                )
+            if bad["rows"] > max_rows_per_key:
+                raise ValueError(
+                    f"sessionize: a key holds {bad['rows']} rows (> "
+                    f"max_rows_per_key={max_rows_per_key})"
+                )
+    w = Window.partitionBy(*keys).orderBy(ts_col, *ties)
+    prev = F.lag(F.col(ts_col)).over(w)
+    if isinstance(gap, str):
+        boundary = F.col(ts_col) > prev + F.expr(f"INTERVAL {gap}")
+    else:
+        g = float(gap)
+        if g < 0:
+            raise ValueError(f"sessionize: gap must be >= 0, got {gap}")
+        boundary = (F.col(ts_col) - prev) > F.lit(g)
+    run = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col, *ties)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df.withColumn(
+        out_col,
+        (F.sum(F.coalesce(boundary.cast("int"), F.lit(0))).over(run) + 1).cast("int"),
+    )
+    ws = Window.partitionBy(*keys, out_col)
+    return out.withColumn(start_col, F.min(ts_col).over(ws))

@@ -528,3 +528,60 @@ def test_stream_ewma_sink_equals_batch(spark, tmp_path):
         stream_ewma_sink(stream, "k", "t", "x", 0.25, state, str(tmp_path / "c2"))
     with pt.raises(ValueError, match="alpha"):
         stream_ewma_sink(stream, "k", "t", "x", 0.0, state, ckpt)
+
+
+def test_sessionize_matches_python_and_session_agg(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    from d2d_spark.operators.timeseries import sessionize
+    from d2d_spark.session import read_table
+    from d2d_spark.streaming.windows import session_agg
+
+    rows = [
+        ("a", 0.0), ("a", 10.0), ("a", 20.0),   # one session (gap 10, == stays)
+        ("a", 31.0),                            # 11 > 10 -> new session
+        ("b", 5.0), ("b", 100.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, t double")
+    got = {(r["k"], r["t"]): (r["session_seq"], r["session_start"])
+           for r in sessionize(df, ["k"], "t", 10.0).collect()}
+    assert got[("a", 0.0)] == (1, 0.0)
+    assert got[("a", 10.0)] == (1, 0.0)
+    assert got[("a", 20.0)] == (1, 0.0)   # delta == gap continues
+    assert got[("a", 31.0)] == (2, 31.0)
+    assert got[("b", 5.0)] == (1, 5.0) and got[("b", 100.0)] == (2, 100.0)
+    # refusals
+    import pytest as pt
+
+    with pt.raises(ValueError, match="duplicate"):
+        sessionize(spark.createDataFrame(rows + [("a", 0.0)], "k string, t double"),
+                   ["k"], "t", 10.0)
+    with pt.raises(ValueError, match="NULL"):
+        sessionize(spark.createDataFrame(rows + [("c", None)], "k string, t double"),
+                   ["k"], "t", 10.0)
+    with pt.raises(ValueError, match="gap"):
+        sessionize(df, ["k"], "t", -1.0)
+
+    # fixture equivalence: per-session aggregates derived from the
+    # per-event ids must equal session_agg's windows exactly
+    # (session_end = last event + gap)
+    ev = read_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).limit(2000)
+    ev = ev.dropDuplicates(["user_id", "ts"])
+    sz = sessionize(ev, ["user_id"], "ts", "2 hours")
+    mine = {
+        (r["user_id"], r["s"], r["e"], r["n"])
+        for r in sz.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("s"),
+            (F.max("ts") + F.expr("INTERVAL 2 hours")).alias("e"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    theirs = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n"])
+        for r in session_agg(
+            ev, "ts", "2 hours", aggs=[F.count(F.lit(1)).alias("n")], keys=["user_id"]
+        ).collect()
+    }
+    assert mine == theirs and mine
