@@ -588,6 +588,22 @@ def _validate_profiles(out: DataFrame, what: str, extra_cond=None, extra_msg=Non
         raise ValueError(f"{what}: {extra_msg(_example(extra_cond))}")
 
 
+def _df_capped(wt: DataFrame, max_df: int | None) -> DataFrame:
+    """Drop tokens whose document frequency exceeds ``max_df`` — the
+    stop-token dial shared by the weighted-pair operators (overlaps
+    AND sizes are both measured on the filtered profiles, the
+    standard convention). One window over the token key."""
+    if max_df is None:
+        return wt
+    from pyspark.sql import Window
+
+    return (
+        wt.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("__t")))
+        .filter(F.col("__df") <= max_df)
+        .drop("__df")
+    )
+
+
 def _weighted_pairs_output(
     shared: DataFrame, sizes: DataFrame, threshold_pct: int
 ) -> DataFrame:
@@ -696,14 +712,7 @@ def weighted_jaccard_pairs(
     wt = _weighted_profiles(
         df, id_col, token_col, weight_col, "weighted_jaccard_pairs", validate=validate
     )
-    if max_df is not None:
-        from pyspark.sql import Window
-
-        wt = (
-            wt.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("__t")))
-            .filter(F.col("__df") <= max_df)
-            .drop("__df")
-        )
+    wt = _df_capped(wt, max_df)
     sizes = wt.groupBy("__id").agg(F.sum("__w").alias("__wt"))
     a = wt.select(F.col("__id").alias("id_a"), "__t", F.col("__w").alias("__wa"))
     b = wt.select(F.col("__id").alias("id_b"), "__t", F.col("__w").alias("__wb"))
@@ -832,14 +841,7 @@ def weighted_cosine_pairs(
     wt = _weighted_profiles(
         df, id_col, token_col, weight_col, "weighted_cosine_pairs", validate=validate
     )
-    if max_df is not None:
-        from pyspark.sql import Window
-
-        wt = (
-            wt.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("__t")))
-            .filter(F.col("__df") <= max_df)
-            .drop("__df")
-        )
+    wt = _df_capped(wt, max_df)
     sizes = wt.groupBy("__id").agg(F.sum(F.col("__w") * F.col("__w")).alias("__nsq"))
     a = wt.select(F.col("__id").alias("id_a"), "__t", F.col("__w").alias("__wa"))
     b = wt.select(F.col("__id").alias("id_b"), "__t", F.col("__w").alias("__wb"))

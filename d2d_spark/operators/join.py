@@ -208,12 +208,21 @@ def asof_join(
         picked = [F.when(valid_f, F.col(f"__cf_{c}")).alias(c) for c in rcols]
     else:
         # nearest: closer absolute distance wins, ties -> backward.
-        # Distances compare as double epoch values (microsecond-exact
-        # for timestamps; identity for numeric order columns).
-        ts_d = F.col("__ts").cast("double")
+        # Timestamps compare as unix_micros LONGS — a double epoch
+        # cast rounds at ~0.24us near 2024, which can flip an exactly
+        # equidistant tie to forward; numeric order columns compare
+        # in their own type.
+        ts_type = left.schema[left_ts].dataType.simpleString()
+        if ts_type in ("timestamp", "timestamp_ntz"):
+            def _d(c):
+                return F.unix_micros(c)
+        else:
+            def _d(c):
+                return c
+        ts_d = _d(F.col("__ts"))
         use_f = valid_f & (
             ~valid_b
-            | ((F.col("__cf_rts").cast("double") - ts_d) < (ts_d - F.col("__cb_rts").cast("double")))
+            | ((_d(F.col("__cf_rts")) - ts_d) < (ts_d - _d(F.col("__cb_rts"))))
         )
         picked = [
             F.when(use_f, F.col(f"__cf_{c}"))
@@ -370,15 +379,24 @@ def golden_record(
     bad = {c: r for c, r in rules.items() if r not in known}
     if bad:
         raise ValueError(f"golden_record: unknown rules {bad}; choose from {sorted(known)}")
-    missing = [c for c in list(rules) + list(key_cols) if c not in df.columns]
-    if missing:
-        raise ValueError(f"golden_record: input lacks columns {missing}")
+    ties = list(tiebreak_cols)
     needs_order = [c for c, r in rules.items() if r in ("latest", "earliest")]
     if needs_order and order_col is None:
         raise ValueError(
             f"golden_record: columns {needs_order} use latest/earliest — pass order_col"
         )
-    ties = list(tiebreak_cols)
+    referenced = list(rules) + list(key_cols) + ties
+    if needs_order:
+        referenced.append(order_col)
+    missing = [c for c in referenced if c not in df.columns]
+    if missing:
+        raise ValueError(f"golden_record: input lacks columns {missing}")
+    clash = [c for c in rules if c in key_cols]
+    if clash:
+        raise ValueError(
+            f"golden_record: {clash} are key columns AND rule targets — the "
+            "output would carry duplicate column names; alias a copy first"
+        )
     aggs = []
     for c, r in rules.items():
         col = F.col(c)

@@ -244,6 +244,7 @@ def _probe_series(
     what: str,
     max_rows_per_key: int,
     allow_dups: bool = False,
+    tiebreak_cols: Sequence[str] = (),
 ) -> None:
     """ONE validation pass for the series operators below (the
     single-aggregate discipline): refuses NULL order values, duplicate
@@ -253,7 +254,7 @@ def _probe_series(
     whale keys whose full series would exceed ``max_rows_per_key``
     (ewma's per-key state is the series itself)."""
     per_key = (
-        df.groupBy(*keys, order_col)
+        df.groupBy(*keys, order_col, *tiebreak_cols)
         .agg(F.count(F.lit(1)).alias("__n"), F.max(F.col(order_col).isNull()).alias("__on"))
         .groupBy(*keys)
         .agg(
@@ -425,6 +426,11 @@ def ewma(
     quadratic shape."""
     if not (0.0 < alpha <= 1.0):
         raise ValueError(f"ewma: alpha must be in (0, 1], got {alpha}")
+    if out_col in df.columns:
+        raise ValueError(
+            f"ewma: input already has a column named {out_col!r} — the output "
+            "would carry duplicate names; rename one side"
+        )
     keys = list(key_cols)
     if validate:
         _probe_series(df, keys, order_col, "ewma", max_rows_per_key)
@@ -557,43 +563,9 @@ def sessionize(
     keys = list(key_cols)
     ties = list(tiebreak_cols)
     if validate:
-        order = [ts_col, *ties]
-        bad = (
-            df.groupBy(*keys, *order)
-            .agg(
-                F.count(F.lit(1)).alias("__n"),
-                F.max(F.col(ts_col).isNull()).alias("__null"),
-            )
-            .groupBy(*keys)
-            .agg(
-                F.sum("__n").alias("__rows"),
-                F.max("__n").alias("__dup"),
-                F.max("__null").alias("__nl"),
-            )
-            .agg(
-                F.max("__rows").alias("rows"),
-                F.max("__dup").alias("dup"),
-                F.max("__nl").alias("null_ts"),
-            )
-            .first()
+        _probe_series(
+            df, keys, ts_col, "sessionize", max_rows_per_key, tiebreak_cols=ties
         )
-        if bad["rows"] is not None:
-            if bad["null_ts"]:
-                raise ValueError(
-                    f"sessionize: NULL {ts_col!r} values — an event without "
-                    "a time belongs to no session; filter or impute first"
-                )
-            if bad["dup"] > 1:
-                raise ValueError(
-                    f"sessionize: duplicate (key, {', '.join(order)}) ordering "
-                    "tuples — ties make the lag boundary partitioning-"
-                    "dependent; add tiebreak_cols or deduplicate first"
-                )
-            if bad["rows"] > max_rows_per_key:
-                raise ValueError(
-                    f"sessionize: a key holds {bad['rows']} rows (> "
-                    f"max_rows_per_key={max_rows_per_key})"
-                )
     w = Window.partitionBy(*keys).orderBy(ts_col, *ties)
     prev = F.lag(F.col(ts_col)).over(w)
     if isinstance(gap, str):

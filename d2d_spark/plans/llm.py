@@ -1707,8 +1707,6 @@ def jaccard_pairs_clusters(spark, sf_dir):
         )
     )
     from pyspark import StorageLevel
-    from pyspark.sql import Window as _W
-
     from d2d_spark import cache as opcache
     from d2d_spark.operators.tfidf import _term_counts
 
@@ -1724,9 +1722,13 @@ def jaccard_pairs_clusters(spark, sf_dir):
     wtf_raw = _term_counts(d.filter(F.col("doc_id") % 3 == 0), "text", "doc_id")
     wtf = opcache.register(
         "wpair_profiles",
-        wtf_raw.withColumn("__df", F.count(F.lit(1)).over(_W.partitionBy("tok")))
-        .filter(F.col("__df") <= 100)
-        .drop("__df")
+        D._df_capped(
+            wtf_raw.select(
+                F.col("__id"), F.col("tok").alias("__t"), F.col("tf").alias("__w")
+            ),
+            100,
+        )
+        .select("__id", F.col("__t").alias("tok"), F.col("__w").alias("tf"))
         .persist(StorageLevel.MEMORY_AND_DISK),
     )
     wtf.count()

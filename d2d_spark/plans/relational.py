@@ -1551,9 +1551,15 @@ def pivot_unpivot_roundtrip(spark, sf_dir):
 
 
 def _soundex_py(s):
-    """Python twin of Spark's F.soundex (classic American Soundex,
-    H/W pass-through) — parity with the JVM expression is test-pinned
-    over the fixture names and edge cases (the XXH64-twin standard)."""
+    """Python twin of Spark's F.soundex (UTF8String.soundex) —
+    parity with the JVM expression is test-pinned over the fixture
+    names and edge cases (the XXH64-twin standard). Two Spark
+    behaviors the textbook algorithm misses: a string whose FIRST
+    character is not A-Za-z returns VERBATIM, and every mid-string
+    non-letter acts as a code-RESETTING separator (so 'tan navy' is
+    T551 — the second n codes again after the space — not T510; a
+    multi-byte character's bytes are all outside A-Z, so a per-
+    codepoint reset is byte-equivalent)."""
     if not s:
         return s
     codes = {}
@@ -1561,19 +1567,23 @@ def _soundex_py(s):
                   ("L", "4"), ("MN", "5"), ("R", "6")):
         for c in cs:
             codes[c] = d
-    u = [c for c in s.upper() if c.isalpha()]
-    if not u:
+    first = s[0].upper()
+    if not ("A" <= first <= "Z"):
         return s
-    out = [u[0]]
-    prev = codes.get(u[0], "")
-    for c in u[1:]:
+    out = [first]
+    prev = codes.get(first, "")
+    for ch in s[1:]:
+        c = ch.upper()
+        if len(c) != 1 or not ("A" <= c <= "Z"):
+            prev = ""  # separator: the next consonant codes again
+            continue
         d = codes.get(c, "")
         if d and d != prev:
             out.append(d)
+            if len(out) == 4:
+                break
         if c not in "HW":
             prev = d
-        if len(out) == 4:
-            break
     return "".join(out).ljust(4, "0")
 
 

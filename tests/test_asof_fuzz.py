@@ -240,3 +240,27 @@ def test_asof_null_payload_column_is_not_resurrected(_spark):
         left, fwd_right, on="k", left_ts="ts", right_ts="rts", direction="forward"
     ).collect()[0]
     assert r["val"] is None and r["tag"] == "y"
+
+
+def test_asof_nearest_microsecond_equidistant_tie_goes_backward(_spark):
+    """The reviewer-found case: double-cast epochs round at ~0.24us
+    near 2024, flipping an exactly equidistant tie to forward —
+    distances must compare as unix_micros longs."""
+    spark = _spark
+    base_us = 1566379815072828
+    d_us = 4156011
+
+    def ts(us):
+        import datetime as dtm
+
+        return dtm.datetime(1970, 1, 1) + dtm.timedelta(microseconds=us)
+
+    left = spark.createDataFrame([(0, "a", ts(base_us))], "idx long, k string, t timestamp")
+    right = spark.createDataFrame(
+        [("a", ts(base_us - d_us), 1), ("a", ts(base_us + d_us), 2)],
+        "k string, rt timestamp, val long",
+    )
+    r = asof_join(
+        left, right, on="k", left_ts="t", right_ts="rt", direction="nearest"
+    ).collect()[0]
+    assert r["val"] == 1  # backward wins the exact tie

@@ -127,6 +127,12 @@ def test_soundex_python_twin_parity(spark, sf_dir):
         "Robert", "Rupert", "Ashcraft", "Ashcroft", "Tymczak", "Pfister",
         "Honeyman", "Aa", "123", "O'Brien", "Müller", "WWW", "hw",
         "chartreuse lemon", "x", "HWHW",
+        # the separator-reset class: same-code consonants across a
+        # word boundary must CODE AGAIN (Spark resets prev on any
+        # non-letter; a naive strip-non-alpha twin suppresses them)
+        "tan navy", "plum magenta", "dim dim", "rr rr", "an-na",
+        "3m company", " leading", "a  b", "mc-mc", "s s s s",
+        "tan  navy", "TANNAVY", "tan'navy", "Van Der Berg",
     ]
     p = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_name").limit(500)
     names = [r["p_name"] for r in p.collect()] + crafted
