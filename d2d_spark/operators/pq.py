@@ -222,10 +222,16 @@ def pq_topk(
             for j in range(m):
                 S += lut[:, j, codes[:, j]]
             top = min(kk, S.shape[1])
-            idx = np.argpartition(-S, top - 1, axis=1)[:, :top]
             out_q, out_n, out_s = [], [], []
             for qi in range(len(q_ids)):
-                for n in idx[qi]:
+                # deterministic per-batch cut under the SAME total
+                # order the global window ranks by (score desc, id
+                # asc): an argpartition's arbitrary tie order could
+                # drop a tied row at the boundary that the global
+                # rank would have kept, making the candidate set
+                # partitioning-dependent
+                idx = np.lexsort((ids, -S[qi]))[:top]
+                for n in idx:
                     if ids[n] != q_ids[qi]:
                         out_q.append(q_ids[qi])
                         out_n.append(ids[n])
@@ -464,10 +470,12 @@ def ivf_pq_topk(
                 }
             )
             # per-batch top-k per query: O(|Q| * k) rows leave Python,
-            # not the probed-cell membership (the pq_topk discipline)
-            yield out.sort_values("score", ascending=False).groupby(
-                "query_id", sort=False
-            ).head(kk)
+            # not the probed-cell membership (the pq_topk discipline).
+            # Stable sort + id tie-break = the global window's total
+            # order, so boundary ties cut deterministically
+            yield out.sort_values(
+                ["score", "neighbor_id"], ascending=[False, True], kind="mergesort"
+            ).groupby("query_id", sort=False).head(kk)
 
     scored = joined.mapInPandas(kernel, out_schema).filter(
         F.col("query_id") != F.col("neighbor_id")
