@@ -182,3 +182,82 @@ def top_paths(
     topk = counted.orderBy(F.col("n").desc(), "path").limit(k)
     rw = Window.orderBy(F.col("n").desc(), "path")
     return topk.withColumn("rnk", F.row_number().over(rw))
+
+
+def cooccurrence_pmi(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_count: int = 2,
+    max_items_per_group: int = 10_000,
+) -> DataFrame:
+    """Market-basket co-occurrence with pointwise mutual information:
+    which items appear in the SAME group (session, basket, user,
+    document) more often than chance — the association-mining
+    companion to transition_counts (which only sees ADJACENT events).
+    Presence-based (an item counts once per group, the standard basket
+    convention; NULL groups/items drop). Returns
+    (item_a < item_b, n_ab, n_a, n_b, pmi) for pairs co-occurring in
+    at least ``min_count`` groups, with
+
+        pmi = ln( n_ab * N / (n_a * n_b) ),   N = number of groups
+
+    — positive = attract, negative = repel; all counts exact longs,
+    the score one multiply/divide chain + ln.
+
+    Shape: one distinct on (group, item), one group-bomb probe (pair
+    fan-out is sum over groups of items², so a group above
+    ``max_items_per_group`` refuses loudly — cap or sample whale
+    baskets), then the within-group self-join + one bounded groupBy
+    (output is item-vocabulary², not row-scale), and broadcast-sized
+    joins for the marginals."""
+    if min_count < 1:
+        raise ValueError(f"cooccurrence_pmi: min_count must be >= 1, got {min_count}")
+    if max_items_per_group < 2:
+        raise ValueError(
+            f"cooccurrence_pmi: max_items_per_group must be >= 2, got {max_items_per_group}"
+        )
+    base = (
+        df.filter(F.col(group_col).isNotNull() & F.col(item_col).isNotNull())
+        .select(F.col(group_col).alias("__g"), F.col(item_col).alias("__i"))
+        .distinct()
+    )
+    bomb = (
+        base.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_items_per_group)
+        .limit(1)
+        .collect()
+    )
+    if bomb:
+        raise ValueError(
+            f"cooccurrence_pmi: group {bomb[0]['__g']!r} holds {bomb[0]['__n']} "
+            f"distinct items (> max_items_per_group={max_items_per_group}) — "
+            "within-group pair work is quadratic; cap or sample whale groups"
+        )
+    n_groups = base.select("__g").distinct().count()
+    if n_groups == 0:
+        return df.sparkSession.createDataFrame(
+            [], "item_a string, item_b string, n_ab long, n_a long, n_b long, pmi double"
+        )
+    marg = base.groupBy("__i").agg(F.count(F.lit(1)).alias("__m"))
+    a = base.select("__g", F.col("__i").alias("item_a"))
+    b = base.select("__g", F.col("__i").alias("item_b"))
+    pairs = (
+        a.join(b, "__g")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    out = pairs.join(
+        marg.select(F.col("__i").alias("item_a"), F.col("__m").alias("n_a")), "item_a"
+    ).join(
+        marg.select(F.col("__i").alias("item_b"), F.col("__m").alias("n_b")), "item_b"
+    )
+    pmi = F.log(
+        F.col("n_ab").cast("double")
+        * F.lit(float(n_groups))
+        / (F.col("n_a").cast("double") * F.col("n_b"))
+    )
+    return out.select("item_a", "item_b", "n_ab", "n_a", "n_b", pmi.alias("pmi"))

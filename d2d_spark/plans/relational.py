@@ -597,7 +597,16 @@ def _pagerank_unrolled_oracle(
       FROM skc, skt),
     skg AS MATERIALIZED (
       SELECT SUM(CAST(r AS HUGEINT) * n) AS rs FROM (
-        SELECT n, ROW_NUMBER() OVER (ORDER BY n, k) AS r FROM skc))
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n, k) AS r FROM skc)),
+    pmb AS MATERIALIZED (
+      SELECT DISTINCT user_id AS g, event_type AS i FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+    pmn AS MATERIALIZED (SELECT COUNT(DISTINCT g) AS ng FROM pmb),
+    pmm AS MATERIALIZED (SELECT i, COUNT(*) AS m FROM pmb GROUP BY i),
+    pmp AS MATERIALIZED (
+      SELECT a.i AS ia, b.i AS ib, COUNT(*) AS nab
+      FROM pmb a JOIN pmb b ON a.g = b.g AND a.i < b.i
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
     SELECT 'terms' AS leg, event_type AS k, COUNT(*) AS cnt,
            CAST(NULL AS DOUBLE) AS rank
     FROM events GROUP BY event_type
@@ -643,7 +652,13 @@ def _pagerank_unrolled_oracle(
     FROM skg, skt
     UNION ALL
     SELECT 'skew', 'top:' || k, n, round(n / CAST(nn AS DOUBLE), 9)
-    FROM (SELECT k, n FROM skc ORDER BY n DESC, k LIMIT 10), skt"""
+    FROM (SELECT k, n FROM skc ORDER BY n DESC, k LIMIT 10), skt
+    UNION ALL
+    SELECT 'pmi', ia || '|' || ib, nab,
+           round(ln(CAST(nab AS DOUBLE) * ng
+                    / (CAST(ma.m AS DOUBLE) * mb.m)), 9)
+    FROM pmp JOIN pmm ma ON ma.i = pmp.ia
+             JOIN pmm mb ON mb.i = pmp.ib, pmn"""
     )
     return "".join(parts)
 
@@ -654,7 +669,11 @@ def _pagerank_unrolled_oracle(
     tags=("agg", "terms", "graph", "pagerank", "triangles", "hits", "lpa"),
 )
 def group_count_event_types(spark, sf_dir):
-    """Eleven graph/event-analytics legs. 'skew': key-distribution
+    """Twelve graph/event-analytics legs. 'pmi': market-basket
+    co-occurrence with pointwise mutual information
+    (paths.cooccurrence_pmi) over (user, event_type) baskets — exact
+    presence counts, the ln-ratio chain replayed op-for-op.
+    'skew': key-distribution
     diagnostics (profile.key_skew_report) over events.user_id —
     counts, top-10 shares, entropy (DECIMAL-disciplined fold), exact
     rank-sum gini. 'trans'/'paths3': event-path
@@ -840,6 +859,18 @@ def group_count_event_types(spark, sf_dir):
         F.col("n").alias("cnt"),
         F.col("rnk").cast("double").alias("rank"),
     )
+    # pmi leg: market-basket co-occurrence (paths.cooccurrence_pmi)
+    # over (user, event_type) baskets — exact presence counts, the
+    # PMI chain replayed op-for-op in SQL, rounded to 9 on both sides
+    from d2d_spark.operators.paths import cooccurrence_pmi
+
+    pm = cooccurrence_pmi(evf, "user_id", "event_type", min_count=2)
+    pmi_leg = pm.select(
+        F.lit("pmi").alias("leg"),
+        F.concat_ws("|", "item_a", "item_b").alias("k"),
+        F.col("n_ab").alias("cnt"),
+        F.round("pmi", 9).alias("rank"),
+    )
     # skew leg: key-distribution diagnostics (operators/profile.py
     # key_skew_report) over the events user_id — exact counts/shares,
     # the DECIMAL-disciplined entropy fold, the integer rank-sum gini;
@@ -867,6 +898,7 @@ def group_count_event_types(spark, sf_dir):
         .unionByName(lpa)
         .unionByName(trans)
         .unionByName(paths3)
+        .unionByName(pmi_leg)
         .unionByName(skew)
     )
 

@@ -225,3 +225,62 @@ def test_stream_transition_sink_equals_batch(spark, tmp_path):
         stream_transition_sink(
             stream, "u", "t", "s", state, str(tmp_path / "ckpt2")
         )
+
+
+def test_cooccurrence_pmi_matches_python(spark):
+    import math
+
+    from d2d_spark.operators.paths import cooccurrence_pmi
+
+    rows = [
+        # milk+bread together in 3 of 5 baskets; beer alone twice
+        (1, "milk"), (1, "bread"),
+        (2, "milk"), (2, "bread"), (2, "eggs"),
+        (3, "milk"), (3, "bread"), (3, "milk"),   # dup item counts once
+        (4, "beer"),
+        (5, "beer"), (5, "eggs"),
+        (6, None), (None, "ghost"),               # NULLs drop
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = {
+        (r["item_a"], r["item_b"]): (r["n_ab"], r["n_a"], r["n_b"], r["pmi"])
+        for r in cooccurrence_pmi(df, "basket", "item", min_count=2).collect()
+    }
+    # only milk+bread clears min_count=2: n_ab=3, n_milk=3, n_bread=3, N=5
+    assert set(got) == {("bread", "milk")}
+    n_ab, n_a, n_b, pmi = got[("bread", "milk")]
+    assert (n_ab, n_a, n_b) == (3, 3, 3)
+    assert pmi == pytest.approx(math.log(3 * 5.0 / (3 * 3)), abs=1e-12)
+    # min_count=1 surfaces the rest with exact marginals
+    all_pairs = {
+        (r["item_a"], r["item_b"]): r["n_ab"]
+        for r in cooccurrence_pmi(df, "basket", "item", min_count=1).collect()
+    }
+    assert all_pairs == {
+        ("bread", "milk"): 3, ("bread", "eggs"): 1, ("eggs", "milk"): 1,
+        ("beer", "eggs"): 1,
+    }
+    # negative PMI for the repelled pair (beer co-occurs below chance)
+    be = [r for r in cooccurrence_pmi(df, "basket", "item", min_count=1).collect()
+          if (r["item_a"], r["item_b"]) == ("beer", "eggs")][0]
+    assert be["pmi"] == pytest.approx(math.log(1 * 5.0 / (2 * 2)), abs=1e-12)
+    # guards: whale basket, bad params, empty input
+    import pytest as pt
+
+    whale = spark.createDataFrame(
+        [(1, f"i{j}") for j in range(30)], "basket long, item string"
+    )
+    with pt.raises(ValueError, match="max_items_per_group"):
+        cooccurrence_pmi(whale, "basket", "item", max_items_per_group=10)
+    with pt.raises(ValueError, match="min_count"):
+        cooccurrence_pmi(df, "basket", "item", min_count=0)
+    empty = spark.createDataFrame([], "basket long, item string")
+    assert cooccurrence_pmi(empty, "basket", "item").count() == 0
+    # partitioning invariance
+    outs = [
+        sorted(map(tuple, cooccurrence_pmi(
+            df.repartition(n), "basket", "item", min_count=1
+        ).collect()))
+        for n in (1, 7)
+    ]
+    assert outs[0] == outs[1]
