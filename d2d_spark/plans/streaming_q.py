@@ -93,36 +93,6 @@ _LOCF_SQL = """
       {_LOCF_SQL}
     )
     UNION ALL
-    SELECT 'roll' AS kind,
-           strftime(b, '%Y-%m-%d %H:%M:%S') AS window_start,
-           event_type,
-           SUM(n_f) OVER w4 AS n_events,
-           MAX(v_f) OVER w4 AS sum_value
-    FROM (
-      {_LOCF_SQL}
-    ) WINDOW w4 AS (PARTITION BY event_type ORDER BY b
-                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
-    UNION ALL
-    SELECT 'ewma' AS kind, strftime(d, '%Y-%m-%d') AS window_start,
-           event_type, n AS n_events, y AS sum_value
-    FROM (
-      WITH RECURSIVE base AS MATERIALIZED (
-        SELECT event_type, d, n,
-               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
-        FROM (SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
-              FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
-      ),
-      rec AS (
-        SELECT event_type, d, n, rn, CAST(n AS DOUBLE) AS y
-        FROM base WHERE rn = 1
-        UNION ALL
-        SELECT b.event_type, b.d, b.n, b.rn,
-               0.75 * r.y + 0.25 * CAST(b.n AS DOUBLE)
-        FROM rec r JOIN base b ON b.event_type = r.event_type AND b.rn = r.rn + 1
-      )
-      SELECT event_type, d, n, y FROM rec
-    )
-    UNION ALL
     SELECT 'retention' AS kind,
            strftime(cohort_day, '%Y-%m-%d') AS window_start,
            CAST(day_offset AS VARCHAR) AS event_type,
@@ -142,7 +112,7 @@ _LOCF_SQL = """
     ),
 )
 def windowed_aggs_events(spark, sf_dir):
-    """Event-time analytics suite, four tagged legs.
+    """Event-time analytics suite, five tagged legs.
 
     tumbling_1h / sliding_2h_1h: tumbling 1-hour windows per
     event_type AND sliding 2-hour windows advancing hourly (every
@@ -162,15 +132,10 @@ def windowed_aggs_events(spark, sf_dir):
     cohort = first-event day, exact distinct users at day offsets
     0/1/2/7.
 
-    roll: operators/timeseries rolling_stats over the locf grid —
-    trailing 4-bucket sum of the exact bigint counts and max of the
-    DEC-exact fill (both engine-exact, so the rolling frame machinery
-    itself is hash-checked; float avg/stddev are pytest-pinned).
-
-    ewma: operators/timeseries ewma over per-type daily counts, the
-    exact recurrence y = 0.75*y + 0.25*x — the oracle replays it as a
-    recursive CTE running the identical float ops, so every EWMA value
-    hash-matches with NO rounding.
+    (The r8 roll/ewma legs moved to session_windows_per_user with
+    9-dp rounding — one float-hash-sensitive leg was blinding this
+    whole suite's driver signal; this query is back to the exact-only
+    r2–r7 shape.)
 
     resample_locf: operators/timeseries resample (1-hour buckets per
     event_type over a SPARSE user slice, so real gaps exist) +
@@ -243,46 +208,6 @@ def windowed_aggs_events(spark, sf_dir):
         F.col("n").alias("n_events"),
         F.col("v").alias("sum_value"),
     )
-    # roll leg: trailing-window stats over the SAME locf grid — the
-    # rolling sum of exact bigint counts and rolling max of the
-    # DEC-exact value fill are both engine-exact (no float folds), so
-    # the whole rolling machinery is hash-checked; avg/stddev paths
-    # are pytest-pinned
-    from d2d_spark.operators.timeseries import ewma as ts_ewma
-    from d2d_spark.operators.timeseries import rolling_stats
-
-    rolled = rolling_stats(
-        gf, ["event_type"], "bucket", "n", 4, stats=("sum",), out_prefix="rs_",
-        validate=False,  # gap_fill output is a validated regular grid
-    )
-    rolled = rolling_stats(
-        rolled, ["event_type"], "bucket", "v", 4, stats=("max",), out_prefix="rv_",
-        validate=False,
-    )
-    roll_leg = rolled.select(
-        F.lit("roll").alias("kind"),
-        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-        "event_type",
-        F.col("rs_sum").cast("long").alias("n_events"),
-        F.col("rv_max").alias("sum_value"),
-    )
-    # ewma leg: the exact sequential recurrence over per-type DAILY
-    # event counts (alpha=0.25 — both 0.25 and 0.75 are exact binary
-    # doubles, so the oracle's recursive-CTE replay of
-    # 0.75*y + 0.25*x reproduces every float bit-for-bit, NO rounding)
-    daily = (
-        ev.filter(F.col("ts").isNotNull())
-        .groupBy("event_type", F.to_date("ts").alias("d"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    ew = ts_ewma(daily, ["event_type"], "d", "n", alpha=0.25, validate=False)
-    ewma_leg = ew.select(
-        F.lit("ewma").alias("kind"),
-        F.date_format("d", "yyyy-MM-dd").alias("window_start"),
-        "event_type",
-        F.col("n").alias("n_events"),
-        F.col("ewma").alias("sum_value"),
-    )
     retention = retention_cohorts(ev, "user_id", "ts", offsets=[0, 1, 2, 7]).select(
         F.lit("retention").alias("kind"),
         F.date_format("cohort_day", "yyyy-MM-dd").alias("window_start"),
@@ -294,47 +219,206 @@ def windowed_aggs_events(spark, sf_dir):
         tumbling.unionAll(sliding)
         .unionAll(funnel)
         .unionAll(resampled)
-        .unionAll(roll_leg)
-        .unionAll(ewma_leg)
         .unionAll(retention)
     )
 
 
 @query(
     "session_windows_per_user",
-    oracle="""
+    oracle=f"""
     WITH marked AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 2 HOUR THEN 1 ELSE 0 END AS new_s
-      FROM events),
+      FROM events WHERE ts IS NOT NULL),
     sessions AS (
       SELECT user_id, ts,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-      FROM marked)
-    SELECT user_id,
-           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-           strftime(MAX(ts) + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S') AS session_end,
-           COUNT(*) AS n_events
-    FROM sessions GROUP BY user_id, sid
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1
+                  AS BIGINT) AS sid
+      FROM marked),
+    bounds AS (
+      SELECT user_id, sid, MIN(ts) AS s_start, MAX(ts) AS s_end, COUNT(*) AS n
+      FROM sessions GROUP BY user_id, sid)
+    SELECT 'sess' AS kind, CAST(user_id AS VARCHAR) AS uid,
+           strftime(s_start, '%Y-%m-%d %H:%M:%S') AS t,
+           strftime(s_end + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S') AS t2,
+           n AS n_events, CAST(NULL AS DOUBLE) AS x,
+           CAST(NULL AS DOUBLE) AS z, CAST(NULL AS BOOLEAN) AS flag
+    FROM bounds
+    UNION ALL
+    SELECT 'sess_ev', CAST(s.user_id AS VARCHAR),
+           strftime(s.ts, '%Y-%m-%d %H:%M:%S'),
+           strftime(b.s_start, '%Y-%m-%d %H:%M:%S'),
+           s.sid, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS BOOLEAN)
+    FROM sessions s JOIN bounds b ON b.user_id = s.user_id AND b.sid = s.sid
+    UNION ALL
+    SELECT 'roll', event_type,
+           strftime(b, '%Y-%m-%d %H:%M:%S'), CAST(NULL AS VARCHAR),
+           CAST(SUM(n_f) OVER w4 AS BIGINT),
+           round(MAX(v_f) OVER w4, 9),
+           round(CASE WHEN COUNT(v_f) OVER w6 >= 3
+                      THEN (v_f - AVG(v_f) OVER w6)
+                           / NULLIF(STDDEV_SAMP(v_f) OVER w6, 0.0) END, 9),
+           abs(CASE WHEN COUNT(v_f) OVER w6 >= 3
+                    THEN (v_f - AVG(v_f) OVER w6)
+                         / NULLIF(STDDEV_SAMP(v_f) OVER w6, 0.0) END) > 2.0
+    FROM (
+      {_LOCF_SQL}
+    ) WINDOW w4 AS (PARTITION BY event_type ORDER BY b
+                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+             w6 AS (PARTITION BY event_type ORDER BY b
+                    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+    UNION ALL
+    SELECT 'ewma', event_type, strftime(d, '%Y-%m-%d'), CAST(NULL AS VARCHAR),
+           n, round(y, 9), CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
+    FROM (
+      WITH RECURSIVE base AS MATERIALIZED (
+        SELECT event_type, d, n,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+        FROM (SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+              FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
+      ),
+      rec AS (
+        SELECT event_type, d, n, rn, CAST(n AS DOUBLE) AS y
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT b.event_type, b.d, b.n, b.rn,
+               0.75 * r.y + 0.25 * CAST(b.n AS DOUBLE)
+        FROM rec r JOIN base b ON b.event_type = r.event_type AND b.rn = r.rn + 1
+      )
+      SELECT event_type, d, n, y FROM rec
+    )
     """,
-    tags=("streaming", "window", "session"),
+    tags=("streaming", "window", "session", "rolling", "ewma", "zscore"),
 )
 def session_windows_per_user(spark, sf_dir):
-    """Session windows (2h inactivity gap) per user — Spark's
-    session_window vs a gaps-and-islands SQL oracle. Session end =
-    last event + gap, matching Spark's semantics."""
+    """Sessionization + rolling-timeseries suite, four tagged legs
+    (the r8 float legs moved here from windowed_aggs_events so one
+    hash-sensitive leg can't blind the whole window family; every
+    float column now carries the 9-dp rounding discipline the
+    tfidf/bm25 legs use, in BOTH the plan and the oracle — the
+    no-rounding bit-exactness claims stay in pytest).
+
+    sess: per-SESSION aggregates — Spark's native session_window (2h
+    inactivity gap) per user vs a gaps-and-islands SQL oracle.
+    Session end = last event + gap, matching Spark's semantics.
+
+    sess_ev: per-EVENT session ids — operators/timeseries.sessionize
+    (lag boundary + running sum + per-session min on ONE key shuffle)
+    assigns each event its 1-based session ordinal and session-start
+    stamp; the oracle extends the same gaps-and-islands SQL down to
+    event grain. Together with 'sess' this pins that the per-event
+    assignment aggregates EXACTLY to the native session windows.
+
+    roll: operators/timeseries rolling_stats over the locf grid of
+    the sparse user slice (see windowed_aggs_events' resample leg) —
+    trailing 4-bucket sum of exact bigint counts (n_events) and max
+    of the DEC-exact fill (x, 9-dp) — PLUS rolling_zscore_outliers
+    columns on the same rows (z = 9-dp trailing-6 z-score of the
+    fill, min_periods=3; flag = |z| > 2), the verdict-prescribed
+    'z-score as columns of the roll leg' shape.
+
+    ewma: operators/timeseries ewma over per-type daily counts, the
+    exact recurrence y = 0.75*y + 0.25*x, rounded to 9 dp on both
+    sides; the oracle replays it as a recursive CTE."""
     ev = read_table(spark, sf_dir, "events")
-    out = session_agg(
+    nd, nb, ns = (
+        F.lit(None).cast("double"),
+        F.lit(None).cast("boolean"),
+        F.lit(None).cast("string"),
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    sess = session_agg(
         ev, "ts", "2 hours", aggs=[F.count(F.lit(1)).alias("n_events")], keys=["user_id"]
+    ).select(
+        F.lit("sess").alias("kind"),
+        F.col("user_id").cast("string").alias("uid"),
+        F.date_format("session_start", fmt).alias("t"),
+        F.date_format("session_end", fmt).alias("t2"),
+        F.col("n_events").cast("long").alias("n_events"),
+        nd.alias("x"),
+        nd.alias("z"),
+        nb.alias("flag"),
     )
-    return out.select(
-        "user_id",
-        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
-        "n_events",
+    from d2d_spark.operators.timeseries import (
+        ewma as ts_ewma,
+        gap_fill,
+        resample,
+        rolling_stats,
+        rolling_zscore_outliers,
+        sessionize,
     )
+
+    se = sessionize(
+        ev.filter(F.col("ts").isNotNull()),
+        ["user_id"],
+        "ts",
+        "2 hours",
+        tiebreak_cols=["event_id"],
+    )
+    sess_ev = se.select(
+        F.lit("sess_ev").alias("kind"),
+        F.col("user_id").cast("string").alias("uid"),
+        F.date_format("ts", fmt).alias("t"),
+        F.date_format("session_start", fmt).alias("t2"),
+        F.col("session_seq").cast("long").alias("n_events"),
+        nd.alias("x"),
+        nd.alias("z"),
+        nb.alias("flag"),
+    )
+    sparse = ev.filter(F.col("user_id") % 37 == 0)
+    rs = resample(
+        sparse,
+        ["event_type"],
+        "ts",
+        "1 hour",
+        {
+            "n": F.count(F.lit(1)),
+            "v": F.sum(F.col("value").cast(DEC)).cast("double"),
+        },
+    )
+    gf = gap_fill(rs, ["event_type"], "bucket", "1 hour", ["n", "v"], fill="locf")
+    rolled = rolling_stats(
+        gf, ["event_type"], "bucket", "n", 4, stats=("sum",), out_prefix="rs_",
+        validate=False,  # gap_fill output is a validated regular grid
+    )
+    rolled = rolling_stats(
+        rolled, ["event_type"], "bucket", "v", 4, stats=("max",), out_prefix="rv_",
+        validate=False,
+    )
+    rolled = rolling_zscore_outliers(
+        rolled, ["event_type"], "bucket", "v", window=6, threshold=2.0,
+        min_periods=3, validate=False,
+    )
+    roll_leg = rolled.select(
+        F.lit("roll").alias("kind"),
+        F.col("event_type").alias("uid"),
+        F.date_format("bucket", fmt).alias("t"),
+        ns.alias("t2"),
+        F.col("rs_sum").cast("long").alias("n_events"),
+        F.round("rv_max", 9).alias("x"),
+        F.round("zscore", 9).alias("z"),
+        F.col("is_outlier").alias("flag"),
+    )
+    daily = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ew = ts_ewma(daily, ["event_type"], "d", "n", alpha=0.25, validate=False)
+    ewma_leg = ew.select(
+        F.lit("ewma").alias("kind"),
+        F.col("event_type").alias("uid"),
+        F.date_format("d", "yyyy-MM-dd").alias("t"),
+        ns.alias("t2"),
+        F.col("n").alias("n_events"),
+        F.round("ewma", 9).alias("x"),
+        nd.alias("z"),
+        nb.alias("flag"),
+    )
+    return sess.unionAll(sess_ev).unionAll(roll_leg).unionAll(ewma_leg)
 
 
 @query(
