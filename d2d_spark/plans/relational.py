@@ -388,21 +388,6 @@ def key_merge_variants(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# dedup / distinct (§2.5 quchong)
-# ---------------------------------------------------------------------------
-@query(
-    "dedup_exact_events",
-    oracle="SELECT DISTINCT user_id, event_type FROM events",
-    tags=("dedup",),
-)
-def dedup_exact_events(spark, sf_dir):
-    """`quchong` whole-row dedup (d22d/task.py:118-122) as a spillable
-    shuffle instead of an unbounded Python set."""
-    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
-    return distinct_rows(ev)
-
-
-# ---------------------------------------------------------------------------
 # ES terms agg + top_hits (§2.5)
 # ---------------------------------------------------------------------------
 def _pagerank_unrolled_oracle(
@@ -567,8 +552,38 @@ def _pagerank_unrolled_oracle(
     tri AS MATERIALIZED (
       SELECT a.u AS x, a.v AS y, b.v AS z
       FROM tri_e a JOIN tri_e b ON b.u = a.v
-      JOIN tri_e c ON c.u = a.u AND c.v = b.v),
-    seqx AS MATERIALIZED (
+      JOIN tri_e c ON c.u = a.u AND c.v = b.v)
+    SELECT 'terms' AS leg, event_type AS k, COUNT(*) AS cnt,
+           CAST(NULL AS DOUBLE) AS rank
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'pagerank', node, CAST(NULL AS BIGINT), round(rank, 6) FROM pr{iters}
+    UNION ALL
+    SELECT 'pr_w', node, CAST(NULL AS BIGINT), round(rank, 6) FROM wpr{variant_iters}
+    UNION ALL
+    SELECT 'pr_p', node, CAST(NULL AS BIGINT), round(rank, 6) FROM ppr{variant_iters}
+    UNION ALL
+    SELECT 'triangles', CAST(n AS VARCHAR), COUNT(*), CAST(NULL AS DOUBLE)
+    FROM (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri) GROUP BY n
+    UNION ALL
+    SELECT 'hits_hub', node, CAST(NULL AS BIGINT), round(hub, 6) FROM h{hits_iters}
+    UNION ALL
+    SELECT 'hits_auth', node, CAST(NULL AS BIGINT), round(auth, 6) FROM h{hits_iters}
+    UNION ALL
+    SELECT 'lpa', CAST(node AS VARCHAR), community, CAST(NULL AS DOUBLE)
+    FROM lab{lpa_iters}
+"""
+    )
+    return "".join(parts)
+
+
+#: event-path / basket / skew analytics oracle — hosted by
+#: dedup_exact_events (moved off group_count_event_types in r9 so no
+#: single driver hash stakes more than ~4 components; the CTE algebra
+#: is unchanged)
+_EVENT_PATHS_ORACLE = """
+    WITH seqx AS MATERIALIZED (
       SELECT event_type AS f,
              LEAD(event_type) OVER wseq AS t,
              LEAD(event_type, 2) OVER wseq AS t2,
@@ -607,26 +622,10 @@ def _pagerank_unrolled_oracle(
       SELECT a.i AS ia, b.i AS ib, COUNT(*) AS nab
       FROM pmb a JOIN pmb b ON a.g = b.g AND a.i < b.i
       GROUP BY 1, 2 HAVING COUNT(*) >= 2)
-    SELECT 'terms' AS leg, event_type AS k, COUNT(*) AS cnt,
-           CAST(NULL AS DOUBLE) AS rank
-    FROM events GROUP BY event_type
-    UNION ALL
-    SELECT 'pagerank', node, CAST(NULL AS BIGINT), round(rank, 6) FROM pr{iters}
-    UNION ALL
-    SELECT 'pr_w', node, CAST(NULL AS BIGINT), round(rank, 6) FROM wpr{variant_iters}
-    UNION ALL
-    SELECT 'pr_p', node, CAST(NULL AS BIGINT), round(rank, 6) FROM ppr{variant_iters}
-    UNION ALL
-    SELECT 'triangles', CAST(n AS VARCHAR), COUNT(*), CAST(NULL AS DOUBLE)
-    FROM (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
-          UNION ALL SELECT z FROM tri) GROUP BY n
-    UNION ALL
-    SELECT 'hits_hub', node, CAST(NULL AS BIGINT), round(hub, 6) FROM h{hits_iters}
-    UNION ALL
-    SELECT 'hits_auth', node, CAST(NULL AS BIGINT), round(auth, 6) FROM h{hits_iters}
-    UNION ALL
-    SELECT 'lpa', CAST(node AS VARCHAR), community, CAST(NULL AS DOUBLE)
-    FROM lab{lpa_iters}
+    SELECT 'dedup' AS leg,
+           CAST(user_id AS VARCHAR) || '|' || event_type AS k,
+           CAST(NULL AS BIGINT) AS cnt, CAST(NULL AS DOUBLE) AS rank
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
     UNION ALL
     SELECT 'trans', f || '>' || t, n,
            CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY f) AS DOUBLE)
@@ -658,9 +657,109 @@ def _pagerank_unrolled_oracle(
            round(ln(CAST(nab AS DOUBLE) * ng
                     / (CAST(ma.m AS DOUBLE) * mb.m)), 9)
     FROM pmp JOIN pmm ma ON ma.i = pmp.ia
-             JOIN pmm mb ON mb.i = pmp.ib, pmn"""
+             JOIN pmm mb ON mb.i = pmp.ib, pmn
+"""
+
+
+@query(
+    "dedup_exact_events",
+    oracle=_EVENT_PATHS_ORACLE,
+    tags=("dedup", "paths", "markov", "pmi", "skew"),
+)
+def dedup_exact_events(spark, sf_dir):
+    """Five event-analytics legs (trans/paths3/pmi/skew moved here
+    from group_count_event_types in r9 — suite rebalance so no single
+    driver hash stakes more than ~4 components).
+
+    dedup: `quchong` whole-row dedup (d22d/task.py:118-122) as a
+    spillable shuffle instead of an unbounded Python set.
+
+    trans / paths3: event-sequence path analytics
+    (operators/paths.py) — the endpoint-augmented first-order Markov
+    transition matrix (row-stochastic p is ONE exact-long division,
+    hash-matched with no rounding) and the deterministic top-20
+    most-walked 3-step paths (TakeOrderedAndProject top-k,
+    lexicographic ties). Oracle: LEAD-window replay + the same
+    n/SUM(n) division + ROW_NUMBER rank.
+
+    pmi: market-basket co-occurrence with pointwise mutual
+    information (paths.cooccurrence_pmi) over (user, event_type)
+    baskets — exact presence counts, the ln-ratio chain replayed
+    op-for-op, rounded to 9 on both sides.
+
+    skew: key-distribution diagnostics (profile.key_skew_report) over
+    events.user_id — counts, top-10 shares, entropy
+    (DECIMAL-disciplined fold), exact rank-sum gini."""
+    ev = _t(spark, sf_dir, "events")
+    dedup = distinct_rows(ev.select("user_id", "event_type")).select(
+        F.lit("dedup").alias("leg"),
+        F.concat(F.col("user_id").cast("string"), F.lit("|"), F.col("event_type")).alias(
+            "k"
+        ),
+        F.lit(None).cast("bigint").alias("cnt"),
+        F.lit(None).cast("double").alias("rank"),
     )
-    return "".join(parts)
+    from d2d_spark.operators.paths import (
+        cooccurrence_pmi,
+        top_paths,
+        transition_counts,
+        transition_probs,
+    )
+
+    evf = ev.filter(
+        F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    tp = transition_probs(
+        transition_counts(
+            evf, "user_id", "ts", "event_type",
+            tiebreak_cols=["event_id"], include_endpoints=True,
+        )
+    )
+    trans = tp.select(
+        F.lit("trans").alias("leg"),
+        F.concat_ws(">", "from_state", "to_state").alias("k"),
+        F.col("n").alias("cnt"),
+        F.col("p").alias("rank"),
+    )
+    p3 = top_paths(
+        evf, "user_id", "ts", "event_type", n_steps=3, k=20,
+        tiebreak_cols=["event_id"],
+        validate=False,  # same frame the trans leg just validated
+    )
+    paths3 = p3.select(
+        F.lit("paths3").alias("leg"),
+        F.col("path").alias("k"),
+        F.col("n").alias("cnt"),
+        F.col("rnk").cast("double").alias("rank"),
+    )
+    pm = cooccurrence_pmi(evf, "user_id", "event_type", min_count=2)
+    pmi_leg = pm.select(
+        F.lit("pmi").alias("leg"),
+        F.concat_ws("|", "item_a", "item_b").alias("k"),
+        F.col("n_ab").alias("cnt"),
+        F.round("pmi", 9).alias("rank"),
+    )
+    from d2d_spark.operators.profile import key_skew_report
+
+    rep = key_skew_report(
+        ev.filter(F.col("user_id").isNotNull()), ["user_id"], top_k=10
+    )
+    skew = rep.select(
+        F.lit("skew").alias("leg"),
+        F.when(F.col("stat") == "top", F.concat(F.lit("top:"), F.col("key")))
+        .otherwise(F.col("stat"))
+        .alias("k"),
+        F.col("n").alias("cnt"),
+        F.round("value", 9).alias("rank"),
+    )
+    return (
+        dedup.unionByName(trans)
+        .unionByName(paths3)
+        .unionByName(pmi_leg)
+        .unionByName(skew)
+    )
 
 
 @query(
@@ -669,17 +768,9 @@ def _pagerank_unrolled_oracle(
     tags=("agg", "terms", "graph", "pagerank", "triangles", "hits", "lpa"),
 )
 def group_count_event_types(spark, sf_dir):
-    """Twelve graph/event-analytics legs. 'pmi': market-basket
-    co-occurrence with pointwise mutual information
-    (paths.cooccurrence_pmi) over (user, event_type) baskets — exact
-    presence counts, the ln-ratio chain replayed op-for-op.
-    'skew': key-distribution
-    diagnostics (profile.key_skew_report) over events.user_id —
-    counts, top-10 shares, entropy (DECIMAL-disciplined fold), exact
-    rank-sum gini. 'trans'/'paths3': event-path
-    analytics (operators/paths.py) — the endpoint-augmented Markov
-    transition matrix with exact-division row-stochastic probabilities,
-    and the deterministic top-20 3-step paths. 'terms': ES terms
+    """Eight graph-analytics legs (the trans/paths3/pmi/skew event
+    legs moved to dedup_exact_events in the r9 suite rebalance).
+    'terms': ES terms
     aggregation — count-by-key (d22d/utils/db/myutils.py:476-522).
     'pagerank': the iterative distributed PageRank
     (operators/graph.py) over the bipartite user→event_type graph, 8
@@ -822,72 +913,6 @@ def group_count_event_types(spark, sf_dir):
         F.col("community").cast("bigint").alias("cnt"),
         F.lit(None).cast("double").alias("rank"),
     )
-    # trans / paths3: event-sequence path analytics
-    # (operators/paths.py) — the first-order Markov transition matrix
-    # with virtual __START__/__END__ endpoints (row-stochastic p is
-    # ONE exact-long division, hash-matched with no rounding) and the
-    # top-20 most-walked 3-step paths (TakeOrderedAndProject top-k,
-    # lexicographic ties). Oracle: LEAD-window replay + the same
-    # n/SUM(n) division + ROW_NUMBER rank.
-    from d2d_spark.operators.paths import top_paths, transition_counts, transition_probs
-
-    evf = ev.filter(
-        F.col("ts").isNotNull()
-        & F.col("event_type").isNotNull()
-        & F.col("user_id").isNotNull()
-    )
-    tp = transition_probs(
-        transition_counts(
-            evf, "user_id", "ts", "event_type",
-            tiebreak_cols=["event_id"], include_endpoints=True,
-        )
-    )
-    trans = tp.select(
-        F.lit("trans").alias("leg"),
-        F.concat_ws(">", "from_state", "to_state").alias("k"),
-        F.col("n").alias("cnt"),
-        F.col("p").alias("rank"),
-    )
-    p3 = top_paths(
-        evf, "user_id", "ts", "event_type", n_steps=3, k=20,
-        tiebreak_cols=["event_id"],
-        validate=False,  # same frame the trans leg just validated
-    )
-    paths3 = p3.select(
-        F.lit("paths3").alias("leg"),
-        F.col("path").alias("k"),
-        F.col("n").alias("cnt"),
-        F.col("rnk").cast("double").alias("rank"),
-    )
-    # pmi leg: market-basket co-occurrence (paths.cooccurrence_pmi)
-    # over (user, event_type) baskets — exact presence counts, the
-    # PMI chain replayed op-for-op in SQL, rounded to 9 on both sides
-    from d2d_spark.operators.paths import cooccurrence_pmi
-
-    pm = cooccurrence_pmi(evf, "user_id", "event_type", min_count=2)
-    pmi_leg = pm.select(
-        F.lit("pmi").alias("leg"),
-        F.concat_ws("|", "item_a", "item_b").alias("k"),
-        F.col("n_ab").alias("cnt"),
-        F.round("pmi", 9).alias("rank"),
-    )
-    # skew leg: key-distribution diagnostics (operators/profile.py
-    # key_skew_report) over the events user_id — exact counts/shares,
-    # the DECIMAL-disciplined entropy fold, the integer rank-sum gini;
-    # float-derived metrics round to 9 on both sides
-    from d2d_spark.operators.profile import key_skew_report
-
-    rep = key_skew_report(
-        ev.filter(F.col("user_id").isNotNull()), ["user_id"], top_k=10
-    )
-    skew = rep.select(
-        F.lit("skew").alias("leg"),
-        F.when(F.col("stat") == "top", F.concat(F.lit("top:"), F.col("key")))
-        .otherwise(F.col("stat"))
-        .alias("k"),
-        F.col("n").alias("cnt"),
-        F.round("value", 9).alias("rank"),
-    )
     return (
         terms.unionByName(pr)
         .unionByName(pr_w)
@@ -896,10 +921,6 @@ def group_count_event_types(spark, sf_dir):
         .unionByName(hub)
         .unionByName(auth)
         .unionByName(lpa)
-        .unionByName(trans)
-        .unionByName(paths3)
-        .unionByName(pmi_leg)
-        .unionByName(skew)
     )
 
 
