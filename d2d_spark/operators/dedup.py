@@ -870,6 +870,22 @@ def weighted_cosine_pairs(
         "tinyint", "smallint", "int", "bigint",
     )
     if integral:
+        # the exact-cut guarantee rides ANSI overflow semantics: with
+        # ANSI off, a 38-digit DECIMAL overflow yields NULL and
+        # filter(keep) silently DROPS the pathological pair instead of
+        # failing loudly as documented — refuse up front rather than
+        # degrade the contract
+        if (
+            df.sparkSession.conf.get("spark.sql.ansi.enabled", "true").lower()
+            != "true"
+        ):
+            raise ValueError(
+                "weighted_cosine_pairs: the exact integer cut needs "
+                "spark.sql.ansi.enabled=true — with ANSI off a DECIMAL(38,0) "
+                "overflow becomes NULL and overflowing pairs would be "
+                "silently dropped; enable ANSI or discretize to smaller "
+                "weights"
+            )
         dec = "decimal(38,0)"
         lhs = F.lit(10_000).cast(dec) * F.col("dot").cast(dec) * F.col("dot").cast(dec)
         rhs = (

@@ -46,27 +46,43 @@ def _probe_events(
     state_col: str,
     tiebreak_cols: Sequence[str],
     what: str,
+    state_sep: str | None = None,
 ) -> None:
     """ONE aggregate pass (the single-probe discipline): refuses NULL
-    order/state values and duplicate ordering tuples."""
+    key/order/state values and duplicate ordering tuples. NULL keys
+    are refused alongside NULL times/states: they would collapse into
+    ONE window partition, chaining unrelated events into fabricated
+    transitions and paths."""
     order = [ts_col, *tiebreak_cols]
     bad = (
         df.groupBy(key_col, *order)
         .agg(
             F.count(F.lit(1)).alias("__n"),
             F.max(
-                F.col(ts_col).isNull() | F.col(state_col).isNull()
+                F.col(key_col).isNull()
+                | F.col(ts_col).isNull()
+                | F.col(state_col).isNull()
             ).alias("__null"),
+            F.max(
+                F.col(state_col).cast("string").contains(F.lit(state_sep))
+                if state_sep is not None
+                else F.lit(False)
+            ).alias("__sep"),
         )
-        .agg(F.max("__n").alias("dup"), F.max("__null").alias("has_null"))
+        .agg(
+            F.max("__n").alias("dup"),
+            F.max("__null").alias("has_null"),
+            F.max("__sep").alias("has_sep"),
+        )
         .first()
     )
     if bad["dup"] is None:
         return  # empty input
     if bad["has_null"]:
         raise ValueError(
-            f"{what}: NULL {ts_col!r} or {state_col!r} values — an event "
-            "without a time or a state has no place in a sequence; filter "
+            f"{what}: NULL {key_col!r}, {ts_col!r} or {state_col!r} values — "
+            "an event without a key, a time or a state has no place in a "
+            "sequence (NULL keys would collapse into one partition); filter "
             "or impute first"
         )
     if bad["dup"] > 1:
@@ -74,6 +90,13 @@ def _probe_events(
             f"{what}: duplicate (key, {', '.join(order)}) ordering tuples — "
             "ties make lag/lead partitioning-dependent; add tiebreak_cols "
             "(an event id) or deduplicate first"
+        )
+    if bad["has_sep"]:
+        raise ValueError(
+            f"{what}: a {state_col!r} value contains the path separator "
+            f"{state_sep!r} — distinct sequences would collide into one "
+            "path string (['a>b','c'] vs ['a','b>c']); pick a sep absent "
+            "from the state alphabet"
         )
 
 
@@ -162,7 +185,12 @@ def top_paths(
     sequences (every sliding window of ``n_steps`` consecutive events
     per key counts once). Ties rank by the lexicographically smallest
     path; rnk is dense 1..k. The final top-k is orderBy+limit
-    (TakeOrderedAndProject), then a rank window over k rows only."""
+    (TakeOrderedAndProject), then a rank window over k rows only.
+
+    The validation probe also refuses any state value CONTAINING
+    ``sep`` — otherwise distinct sequences collide into one path
+    string and the top-k miscounts; with ``validate=False`` the
+    caller owns that guarantee too."""
     if n_steps < 2:
         raise ValueError(f"top_paths: n_steps must be >= 2, got {n_steps}")
     if k < 1:
@@ -171,7 +199,7 @@ def top_paths(
         raise ValueError("top_paths: sep must be non-empty (paths would be ambiguous)")
     ties = list(tiebreak_cols)
     if validate:
-        _probe_events(df, key_col, ts_col, state_col, ties, "top_paths")
+        _probe_events(df, key_col, ts_col, state_col, ties, "top_paths", state_sep=sep)
     w = Window.partitionBy(key_col).orderBy(ts_col, *ties)
     s = F.col(state_col).cast("string")
     steps = [s] + [F.lead(s, i).over(w) for i in range(1, n_steps)]

@@ -228,16 +228,24 @@ def video_near_pairs(
         F.col(height_col).alias("__h"),
         F.explode(frames_col).alias("__px"),
     )
-    hashed = with_phash(ex, "__px", "__w", "__h", method=method, out_col="__fh")
-    profile = opcache.register(
+    # persist the RAW (vid, hash) projection and put the NULL filter
+    # and distinct ABOVE the cache boundary: a filter directly over
+    # the hash projection makes the optimizer's predicate-pushdown
+    # alias substitution copy the unrolled cell tree into all 64 bit
+    # expressions (driver OOM on a vanilla 1 GB session); over the
+    # InMemoryRelation leaf it's a plain scan filter
+    hashed = opcache.register(
         "video_phash",
-        hashed.filter(F.col("__fh").isNotNull())
+        with_phash(ex, "__px", "__w", "__h", method=method, out_col="__fh")
         .select("__vid", "__fh")
-        .distinct()
-        .withColumn("__one", F.lit(1).cast("long"))
         .persist(StorageLevel.MEMORY_AND_DISK),
     )
-    profile.count()  # fill before the join branches race on it
+    hashed.count()  # fill before the join branches race on it
+    profile = (
+        hashed.filter(F.col("__fh").isNotNull())
+        .distinct()
+        .withColumn("__one", F.lit(1).cast("long"))
+    )
     pairs = weighted_jaccard_pairs(
         profile, "__vid", "__fh", "__one",
         threshold_pct=threshold_pct, max_df=max_df,

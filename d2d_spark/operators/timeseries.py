@@ -392,8 +392,9 @@ def ewma(
     alpha: float,
     out_col: str = "ewma",
     validate: bool = True,
-    max_rows_per_key: int = 100_000,
+    max_rows_per_key: int | None = None,
     init: DataFrame | None = None,
+    engine: str = "column",
 ) -> DataFrame:
     """Exponentially-weighted moving average per key — the EXACT
     sequential recurrence (pandas ``ewm(adjust=False)``):
@@ -406,24 +407,33 @@ def ewma(
     batch2) exactly (the streaming sink builds on this). Keys absent
     from ``init`` start cold (y_1 = x_1).
 
-    computed as a pure-Column fold: per key, one sorted
-    collect_list + ONE F.aggregate pass over the series, then explode
-    back — all JVM-side, no Python. The float operations are pinned to
-    literally ``(1-alpha)*prev + alpha*x`` so results are
-    bit-reproducible across hosts and replayable by any engine running
-    the same recurrence (the oracle replays it as a recursive CTE).
+    Two physical engines, bit-identical outputs (both run literally
+    ``(1-alpha)*prev + alpha*x`` on IEEE doubles in series order —
+    test-pinned equal on shared fixtures):
+
+    - ``engine='column'`` (default, the oracled path): a pure-Column
+      fold — per key, one sorted collect_list + ONE F.aggregate pass,
+      then explode back; all JVM-side, no Python. The fold APPENDS to
+      an immutable array per element — O(n²) element copies per key —
+      so its whale-key guard defaults to a deliberately tight 100k
+      rows (~1e10 copies at the cap is already minutes): resample to
+      a bounded grid first, which is also what makes an EWMA's time
+      constant well-defined.
+    - ``engine='arrow'`` (the long-series path): applyInPandas per
+      key — Arrow batch transfer, an O(n) Python-float loop running
+      the identical recurrence, nullable-Float64 output so NULL
+      semantics survive the round-trip. Cap defaults to 100M. One
+      caveat: Arrow conversion can't distinguish NaN from NULL in the
+      value column, so a literal NaN VALUE is treated as missing here
+      while the Column fold would propagate it — don't feed NaNs
+      (validate refuses NULL order values either way).
+
     NULL values emit NULL for their row and leave the running state
     UNTOUCHED (a gap neither decays nor updates the average — resample
     + gap_fill first if decay-per-bucket is wanted).
 
-    Spark shape: one groupBy shuffle; per-key state is the series
-    itself (the recurrence is inherently sequential), and the fold
-    APPENDS to an immutable array per element — O(n²) element copies
-    per key — so the whale-key guard default is a deliberately tight
-    100k rows (~1e10 copies at the cap is already minutes): resample
-    to a bounded grid first, which is also what makes an EWMA's time
-    constant well-defined, and raise the cap only knowing the
-    quadratic shape."""
+    Spark shape: one groupBy shuffle either way; per-key state is the
+    series itself (the recurrence is inherently sequential)."""
     if not (0.0 < alpha <= 1.0):
         raise ValueError(f"ewma: alpha must be in (0, 1], got {alpha}")
     if out_col in df.columns:
@@ -431,9 +441,17 @@ def ewma(
             f"ewma: input already has a column named {out_col!r} — the output "
             "would carry duplicate names; rename one side"
         )
+    if engine not in ("column", "arrow"):
+        raise ValueError(f"ewma: engine must be 'column' | 'arrow', got {engine!r}")
+    if max_rows_per_key is None:
+        max_rows_per_key = 100_000 if engine == "column" else 100_000_000
     keys = list(key_cols)
     if validate:
         _probe_series(df, keys, order_col, "ewma", max_rows_per_key)
+    if engine == "arrow":
+        return _ewma_arrow(
+            df, keys, order_col, value_col, alpha, out_col, init, validate
+        )
     rest = [c for c in df.columns if c not in keys]
     arr = F.sort_array(
         F.collect_list(F.struct(F.col(order_col).alias("__o"), F.struct(*rest).alias("__r")))
@@ -492,6 +510,74 @@ def ewma(
         *[F.col(f"__z.r.{c}").alias(c) for c in rest],
         F.col("__z.y").alias(out_col),
     )
+
+
+def _ewma_arrow(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float,
+    out_col: str,
+    init: DataFrame | None,
+    validate: bool,
+) -> DataFrame:
+    """The linear-time EWMA engine: applyInPandas per key, an O(n)
+    Python-float loop over the Arrow batch running the identical
+    ``(1-alpha)*prev + alpha*x`` IEEE recurrence as the Column fold
+    (Python floats ARE C doubles — same ops, same order, bit-equal;
+    test-pinned). Output rides a nullable Float64 array so NULL rows
+    survive the Arrow round-trip as real NULLs, not NaNs."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    if init is not None:
+        missing = [c for c in keys + [out_col] if c not in init.columns]
+        if missing:
+            raise ValueError(f"ewma: init frame lacks columns {missing}")
+        if validate:
+            dup = (
+                init.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError("ewma: init frame has duplicate keys — one seed per key")
+        joined = df.join(
+            init.select(*keys, F.col(out_col).cast("double").alias("__p0")),
+            keys,
+            "left",
+        )
+    else:
+        joined = df.withColumn("__p0", F.lit(None).cast("double"))
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, DoubleType(), True)]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+    one_m, a = float(1.0 - alpha), float(alpha)
+
+    def kern(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        xs = pdf[value_col]
+        na = xs.isna().tolist()
+        p0 = pdf["__p0"].iloc[0]
+        prev = None if pd.isna(p0) else float(p0)
+        ys: list[float | None] = []
+        for m, x in zip(na, xs.tolist()):
+            if m:
+                ys.append(None)
+                continue
+            x = float(x)
+            prev = x if prev is None else one_m * prev + a * x
+            ys.append(prev)
+        pdf = pdf.drop(columns=["__p0"])
+        pdf[out_col] = pd.array(ys, dtype="Float64")
+        return pdf[out_cols]
+
+    return joined.groupBy(*keys).applyInPandas(kern, out_schema)
 
 
 def rolling_zscore_outliers(

@@ -1245,10 +1245,24 @@ def _py_ahash(px: list[int], w: int = _PHASH_W, h: int = _PHASH_H) -> int:
     return _wrap64(v)
 
 
+def _video_frames(doc_id: int, fidxs, shift: int = 0) -> list[list[int]]:
+    """Python twin of the plan's synthetic per-video frame generator —
+    pixel p(i) of frame f is ((id*37 + f*997 + i*101 + i*i%251) % 246)
+    + shift, the same integer chain the Column generator runs."""
+    n = _PHASH_W * _PHASH_H
+    return [
+        [((doc_id * 37 + f * 997 + i * 101 + (i * i) % 251) % 246) + shift for i in range(n)]
+        for f in fidxs
+    ]
+
+
 def _multimodal_suite_oracle() -> str:
-    """decode leg in plain SQL; phash + phash_pairs legs as literal
-    VALUES from the Python hash twins (keyed per SF by
-    SUM(length(text)) — the established literal-oracle pattern)."""
+    """decode leg in plain SQL; phash + phash_pairs + video_pairs legs
+    as literal VALUES from the Python hash twins (keyed per SF by
+    SUM(length(text)) — the established literal-oracle pattern). The
+    video twin replays the WHOLE video_near_pairs pipeline: per-frame
+    dhash, distinct hash set per video, exact integer-cross-multiplied
+    Jaccard threshold (100*shared >= pct*union)."""
     import pyarrow.parquet as pq
 
     rows: list[tuple] = []
@@ -1277,6 +1291,24 @@ def _multimodal_suite_oracle() -> str:
                 hd = bin((hashes[ids[x]] ^ hashes[ids[y]]) & ((1 << 64) - 1)).count("1")
                 if hd <= 8:
                     rows.append((tag, "phash_pairs", ids[x], hd, str(ids[y])))
+        # video_pairs twin: % 27 base videos of 5 frames; % 54 clones
+        # (id + 2M) share 4 brightness-shifted frames + 1 unique — the
+        # dhash brightness invariance makes shared frames EXACT set
+        # matches, so each planted pair lands at jaccard 4/6 >= 60%
+        vids: dict[int, set[int]] = {}
+        for i in sorted(d for d in docs if d % 27 == 0):
+            vids[i] = {_py_dhash(fr) for fr in _video_frames(i, range(5))}
+            if i % 54 == 0:
+                cl = _video_frames(i, range(4), shift=10) + _video_frames(i, [99])
+                vids[i + 2_000_000] = {_py_dhash(fr) for fr in cl}
+        vkeys = sorted(vids)
+        for x in range(len(vkeys)):
+            for y in range(x + 1, len(vkeys)):
+                a, b = vkeys[x], vkeys[y]
+                sh = len(vids[a] & vids[b])
+                na, nb = len(vids[a]), len(vids[b])
+                if sh and 100 * sh >= 60 * (na + nb - sh):
+                    rows.append((tag, "video_pairs", a, sh, f"{b}|{na}|{nb}"))
     if not rows:
         rows = [(-1, "", 0, 0, "")]
     values = ",\n     ".join(
@@ -1441,7 +1473,73 @@ def multimodal_pipeline(spark, sf_dir):
         F.col("id_b").cast("string").alias("frames_csv"),
         F.lit(None).cast("string").alias("feature_csv"),
     )
-    return decode.unionByName(phash_leg).unionByName(pairs)
+
+    # video_pairs leg: video near-dup by frame-fingerprint sets
+    # (phash.video_near_pairs) over synthetic 5-frame videos — the
+    # % 54 clones share 4 brightness-shifted frames plus one unique
+    # frame, so every planted pair surfaces at jaccard 4/6 >= 60% and
+    # the exact (n_shared, n_a, n_b) triple is hash-checked against
+    # the Python twin's literal rows (jaccard is one division of
+    # those longs, checked implicitly)
+    from d2d_spark.operators.phash import video_near_pairs
+
+    def frame_expr(f: int, shift: int) -> F.Column:
+        # a single-parameter lambda is load-bearing: a two-parameter
+        # lambda makes F.transform bind the second arg to the element
+        # INDEX column, silently clobbering a `f=f` default capture
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n_px - 1)),
+            lambda i: (
+                (
+                    (F.col("doc_id") * 37 + f * 997 + i * 101 + F.pmod(i * i, 251))
+                    % 246
+                )
+                + shift
+            ).cast("int"),
+        )
+
+    def vid_frames(fidxs, shift: int) -> F.Column:
+        return F.array(*[frame_expr(f, shift) for f in fidxs])
+
+    videos = base_docs.filter(F.col("doc_id") % 27 == 0).select(
+        "doc_id",
+        vid_frames(range(5), 0).alias("frames"),
+        F.lit(_PHASH_W).alias("w"),
+        F.lit(_PHASH_H).alias("h"),
+    )
+    # frames FIRST, id alias in a separate projection (the lateral-
+    # column-alias trap the image clones above document)
+    vclones = (
+        base_docs.filter(F.col("doc_id") % 54 == 0)
+        .select(
+            "doc_id",
+            F.concat(vid_frames(range(4), 10), vid_frames([99], 0)).alias("frames"),
+        )
+        .select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            "frames",
+            F.lit(_PHASH_W).alias("w"),
+            F.lit(_PHASH_H).alias("h"),
+        )
+    )
+    # materialize the generated canvases as a leaf before the hash
+    # tree (the plan-size discipline of the image legs above)
+    vcanvas = videos.unionByName(vclones).localCheckpoint(eager=True)
+    vp = video_near_pairs(
+        vcanvas, "doc_id", "frames", "w", "h", threshold_pct=60
+    )
+    video_leg = vp.select(
+        F.lit("video_pairs").alias("leg"),
+        F.col("id_a").alias("doc_id"),
+        F.col("n_shared").cast("bigint").alias("n_bytes"),
+        F.lit(None).cast("int").alias("fake_width"),
+        F.lit(None).cast("int").alias("fake_height"),
+        F.concat_ws("|", "id_b", "n_a", "n_b").alias("frames_csv"),
+        F.lit(None).cast("string").alias("feature_csv"),
+    )
+    return (
+        decode.unionByName(phash_leg).unionByName(pairs).unionByName(video_leg)
+    )
 
 
 # --- weighted-MinHash twin for the wmh leg: replays the WHOLE

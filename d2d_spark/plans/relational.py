@@ -1453,19 +1453,49 @@ def agg_stats_orders(spark, sf_dir):
     WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
          r AS (SELECT user_id, ts, event_id AS purchase_id,
                       CAST(value AS DECIMAL(18,2)) AS purchase_value
-               FROM events WHERE event_type = 'purchase')
-    SELECT l.event_id,
-           r.purchase_id,
-           CAST(r.purchase_value AS DOUBLE) AS purchase_value
-    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+               FROM events WHERE event_type = 'purchase'),
+    bwd AS (SELECT l.event_id, l.ts, r.purchase_id, r.purchase_value,
+                   r.ts AS rts
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts),
+    fwd AS (SELECT l.event_id, r.purchase_id, r.purchase_value, r.ts AS rts
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts <= r.ts)
+    SELECT 'backward' AS kind, event_id, purchase_id,
+           CAST(purchase_value AS DOUBLE) AS purchase_value
+    FROM bwd
+    UNION ALL
+    SELECT 'forward', event_id, purchase_id, CAST(purchase_value AS DOUBLE)
+    FROM fwd
+    UNION ALL
+    SELECT 'nearest', b.event_id,
+           CASE WHEN f.purchase_id IS NOT NULL AND (b.purchase_id IS NULL
+                     OR (epoch_us(f.rts) - epoch_us(b.ts))
+                        < (epoch_us(b.ts) - epoch_us(b.rts)))
+                THEN f.purchase_id ELSE b.purchase_id END,
+           CAST(CASE WHEN f.purchase_id IS NOT NULL AND (b.purchase_id IS NULL
+                          OR (epoch_us(f.rts) - epoch_us(b.ts))
+                             < (epoch_us(b.ts) - epoch_us(b.rts)))
+                     THEN f.purchase_value ELSE b.purchase_value END AS DOUBLE)
+    FROM bwd b JOIN fwd f USING (event_id)
     """,
     tags=("join", "asof"),
 )
 def asof_join_click_purchase(spark, sf_dir):
-    """As-of join: each click picks the user's latest purchase at or
-    before the click (point-in-time enrichment). Implemented as a
-    union + carry-forward window — one shuffle, no theta-join blowup —
-    and checked against DuckDB's native ASOF JOIN."""
+    """As-of join, all three merge_asof directions as tagged legs
+    (forward/nearest were pytest-only until r9 — VERDICT ask #3).
+
+    backward: each click picks the user's latest purchase at or
+    before the click (point-in-time enrichment), checked against
+    DuckDB's native ASOF JOIN. forward: the EARLIEST purchase at or
+    after the click (next-event lookup), DuckDB ASOF with a <=
+    ordering condition. nearest: whichever is closer in absolute
+    time, ties to backward — the oracle composes the two native ASOF
+    legs and replays the strict-inequality pick on integer
+    microseconds, the operator's exact rule.
+
+    Implemented as a union + carry window (ascending / descending /
+    both) — ONE key shuffle per direction, no theta-join blowup."""
     from d2d_spark.operators.join import asof_join
 
     ev = _t(spark, sf_dir, "events")
@@ -1476,10 +1506,18 @@ def asof_join_click_purchase(spark, sf_dir):
         F.col("event_id").alias("purchase_id"),
         F.col("value").cast(DEC).alias("purchase_value"),
     )
-    out = asof_join(l, r, on="user_id", left_ts="ts", right_ts="ts")
-    return out.select(
-        "event_id", "purchase_id", F.col("purchase_value").cast("double").alias("purchase_value")
-    )
+    legs = []
+    for d in ("backward", "forward", "nearest"):
+        out = asof_join(l, r, on="user_id", left_ts="ts", right_ts="ts", direction=d)
+        legs.append(
+            out.select(
+                F.lit(d).alias("kind"),
+                "event_id",
+                "purchase_id",
+                F.col("purchase_value").cast("double").alias("purchase_value"),
+            )
+        )
+    return legs[0].unionAll(legs[1]).unionAll(legs[2])
 
 
 @query(

@@ -329,6 +329,25 @@ def test_weighted_cosine_df_cap_and_validation(spark):
         weighted_cosine_pairs(
             _wdf(spark, rows + [(1, "a", 7)]), "id", "tok", "w"
         ).collect()
+    # the exact integer cut rides ANSI overflow semantics: with ANSI
+    # off a DECIMAL(38,0) overflow becomes NULL and pairs would drop
+    # silently — the operator refuses up front instead
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(ValueError, match="ansi"):
+            weighted_cosine_pairs(_wdf(spark, rows), "id", "tok", "w")
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+    # fractional weights never take the decimal arm: no ANSI demand
+    frac = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "a", 2.5)], "id long, tok string, w double"
+    )
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        assert weighted_cosine_pairs(frac, "id", "tok", "w").count() == 1
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
 
 
 def test_weighted_cosine_partitioning_invariant(spark):

@@ -128,6 +128,17 @@ def test_validation_probes(spark):
     with pytest.raises(ValueError, match="sep"):
         top_paths(df, "u", "t", "s", sep="")
     assert transition_counts(df.limit(0), "u", "t", "s").count() == 0
+    # NULL keys are refused too: they'd collapse into one window
+    # partition and chain unrelated events into fabricated paths
+    with pytest.raises(ValueError, match="NULL"):
+        transition_counts(_df(spark, ROWS + [(None, 9, "x")]), "u", "t", "s")
+    # a state CONTAINING the separator would make distinct sequences
+    # collide into one path string — probed, loud
+    sep_df = _df(spark, ROWS + [("u9", 1, "a>b"), ("u9", 2, "c")])
+    with pytest.raises(ValueError, match="separator"):
+        top_paths(sep_df, "u", "t", "s")
+    # a different sep sails through on the same frame
+    assert top_paths(sep_df, "u", "t", "s", n_steps=2, sep="|").count() > 0
 
 
 def test_fixture_events_conservation(spark, sf_dir):

@@ -322,6 +322,73 @@ def test_ewma_guards(spark):
     assert ewma(df.limit(0), ["k"], "t", "x", 0.5).count() == 0
 
 
+def test_ewma_arrow_engine_bit_equals_column_fold(spark):
+    """The O(n) applyInPandas engine runs the identical IEEE
+    recurrence: bit-equal to the Column fold on nulls, warm starts,
+    every alpha — and the NULL row stays a real NULL (nullable
+    Float64 Arrow round-trip, not NaN)."""
+    from d2d_spark.operators.timeseries import ewma
+
+    df = _series_df(spark, ROWS)
+    for alpha in (0.3, 0.05, 1.0):
+        col = {(r["k"], r["t"]): r["ewma"]
+               for r in ewma(df, ["k"], "t", "x", alpha).collect()}
+        arr = {(r["k"], r["t"]): r["ewma"]
+               for r in ewma(df.repartition(7), ["k"], "t", "x", alpha,
+                             engine="arrow").collect()}
+        assert col == arr  # exact ==, None included
+    assert arr[("a", 3)] is None
+    # warm start composes identically under both engines
+    b1 = [("a", 1, 10.0), ("a", 2, 12.0)]
+    b2 = [("a", 3, 20.0), ("b", 1, 5.0)]
+    seed = (
+        ewma(_series_df(spark, b1), ["k"], "t", "x", 0.3, engine="arrow")
+        .groupBy("k").agg(F.max_by("ewma", "t").alias("ewma"))
+    )
+    got = {(r["k"], r["t"]): r["ewma"]
+           for r in ewma(_series_df(spark, b2), ["k"], "t", "x", 0.3,
+                         init=seed, engine="arrow").collect()}
+    want = {(r["k"], r["t"]): r["ewma"]
+            for r in ewma(_series_df(spark, b1 + b2), ["k"], "t", "x", 0.3)
+            .collect() if (r["k"], r["t"]) in got}
+    assert got == want
+    with pytest.raises(ValueError, match="engine"):
+        ewma(df, ["k"], "t", "x", 0.5, engine="numpy")
+    # other columns survive the kernel projection
+    wide = spark.createDataFrame(
+        [("a", 1, 10.0, "u"), ("a", 2, 20.0, "v")],
+        "k string, t int, x double, tag string",
+    )
+    got_w = {r["t"]: r for r in ewma(wide, ["k"], "t", "x", 0.5, engine="arrow").collect()}
+    assert got_w[2]["tag"] == "v" and got_w[2]["ewma"] == 15.0
+
+
+def test_ewma_arrow_engine_long_series(spark):
+    """A key far beyond the Column fold's quadratic 100k cap runs
+    linearly under the arrow engine, matching the Python recurrence
+    at both ends of the series."""
+    from d2d_spark.operators.timeseries import ewma
+
+    n = 300_000
+    df = spark.range(n).selectExpr(
+        "'k' AS k", "CAST(id AS INT) AS t", "CAST(id % 97 AS DOUBLE) AS x"
+    )
+    got = (
+        ewma(df, ["k"], "t", "x", 0.1, validate=False, engine="arrow")
+        .filter((F.col("t") < 3) | (F.col("t") >= n - 2))
+        .collect()
+    )
+    prev = None
+    want = {}
+    for t in range(n):
+        x = float(t % 97)
+        prev = x if prev is None else 0.9 * prev + 0.1 * x
+        want[t] = prev
+    assert {r["t"]: r["ewma"] for r in got} == {
+        t: want[t] for t in list(range(3)) + [n - 2, n - 1]
+    }
+
+
 def test_ewma_keeps_other_columns(spark):
     from d2d_spark.operators.timeseries import ewma
 
