@@ -241,6 +241,38 @@ def main() -> int:
     for name, run in r6.items():
         timed_leg(name, run)
 
+    # r9: the two heavy r8 operator families' shuffle shapes, timed at
+    # full bench SF (their registry homes run literal-oracle slices)
+    from d2d_spark.operators.dedup import phonetic_blocked_pairs
+    from d2d_spark.operators.join import golden_record
+
+    part_df = _rt2(spark, SF_DIR, "part")
+    r9 = {
+        # survivorship merge: every rule is an aggregate over ONE
+        # groupBy on o_custkey — the golden-record shuffle shape
+        "golden_record_orders": lambda: golden_record(
+            orders_df,
+            ["o_custkey"],
+            "o_orderdate",
+            {
+                "o_totalprice": "max",
+                "o_orderstatus": "latest",
+                "o_orderpriority": "earliest",
+                "o_comment": "longest",
+                "o_orderkey": "count",
+                "o_shippriority": "sum",
+            },
+            tiebreak_cols=("o_orderkey",),
+        ).count(),
+        # phonetic blocking: soundex-code equi-join + thresholded
+        # Levenshtein over the full part-name column
+        "soundex_fuzzy_part": lambda: phonetic_blocked_pairs(
+            part_df.select("p_partkey", "p_name"), "p_name", "p_partkey", max_dist=2
+        ).count(),
+    }
+    for name, run in r9.items():
+        timed_leg(name, run)
+
     # End-to-end Migration throughput (rows/s), comparable to the
     # reference's best batched write path (~15.6k rows/s,
     # BASELINE.md): lineitem through read -> transform -> sink.
@@ -291,8 +323,12 @@ def main() -> int:
         "migration_rows_per_s": migration_rows_per_s,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
+    # leg_metrics go on their OWN earlier line: the round driver keeps
+    # only the tail of stdout and parses the FINAL line as the bench
+    # JSON — inlining the per-leg shuffle/task numbers pushed the r8
+    # summary past that window (BENCH_r08 recorded parsed: null)
     if leg_metrics:
-        out["leg_metrics"] = leg_metrics
+        print(json.dumps({"metric": "leg_metrics", "legs": leg_metrics}))
     print(json.dumps(out))
     return 0
 

@@ -233,12 +233,18 @@ def cooccurrence_pmi(
     — positive = attract, negative = repel; all counts exact longs,
     the score one multiply/divide chain + ln.
 
-    Shape: one distinct on (group, item), one group-bomb probe (pair
-    fan-out is sum over groups of items², so a group above
+    Shape: one distinct on (group, item), one groupBy collapsing each
+    group to its SORTED item array (this aggregate also serves the
+    group-bomb probe and the group count — one validation job, not
+    two), then ordered pairs generate JVM-SIDE per group as an
+    array-comprehension explode — a map-side fan-out AQE can split,
+    carrying each pair ONCE instead of shipping both join sides of
+    the old within-group self-join (half the pair-stage shuffle) —
+    into one bounded groupBy (output is item-vocabulary², not
+    row-scale), and broadcast-sized joins for the marginals. Pair
+    fan-out is still sum over groups of items²/2, so a group above
     ``max_items_per_group`` refuses loudly — cap or sample whale
-    baskets), then the within-group self-join + one bounded groupBy
-    (output is item-vocabulary², not row-scale), and broadcast-sized
-    joins for the marginals."""
+    baskets."""
     if min_count < 1:
         raise ValueError(f"cooccurrence_pmi: min_count must be >= 1, got {min_count}")
     if max_items_per_group < 2:
@@ -250,30 +256,46 @@ def cooccurrence_pmi(
         .select(F.col(group_col).alias("__g"), F.col(item_col).alias("__i"))
         .distinct()
     )
-    bomb = (
-        base.groupBy("__g")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > max_items_per_group)
-        .limit(1)
-        .collect()
+    lists = base.groupBy("__g").agg(
+        F.sort_array(F.collect_list("__i")).alias("__items")
     )
-    if bomb:
+    stats = lists.agg(
+        F.max(F.size("__items")).alias("mx"), F.count(F.lit(1)).alias("ng")
+    ).first()
+    n_groups = stats["ng"]
+    if n_groups == 0:
+        return df.sparkSession.createDataFrame(
+            [], "item_a string, item_b string, n_ab long, n_a long, n_b long, pmi double"
+        )
+    if stats["mx"] > max_items_per_group:
+        bomb = (
+            lists.filter(F.size("__items") > max_items_per_group)
+            .select("__g", F.size("__items").alias("__n"))
+            .limit(1)
+            .collect()
+        )
         raise ValueError(
             f"cooccurrence_pmi: group {bomb[0]['__g']!r} holds {bomb[0]['__n']} "
             f"distinct items (> max_items_per_group={max_items_per_group}) — "
             "within-group pair work is quadratic; cap or sample whale groups"
         )
-    n_groups = base.select("__g").distinct().count()
-    if n_groups == 0:
-        return df.sparkSession.createDataFrame(
-            [], "item_a string, item_b string, n_ab long, n_a long, n_b long, pmi double"
-        )
     marg = base.groupBy("__i").agg(F.count(F.lit(1)).alias("__m"))
-    a = base.select("__g", F.col("__i").alias("item_a"))
-    b = base.select("__g", F.col("__i").alias("item_b"))
+    # ordered pairs from the sorted array: distinct items sort strictly
+    # increasing, so pairing each element with its suffix IS the
+    # item_a < item_b set, generated once per pair with no join
+    items = F.col("__items")
+    pair_arr = F.flatten(
+        F.transform(
+            items,
+            lambda x, i: F.transform(
+                F.slice(items, i + F.lit(2), F.size(items)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "__g")
-        .filter(F.col("item_a") < F.col("item_b"))
+        lists.select(F.explode(pair_arr).alias("__p"))
+        .select(F.col("__p.a").alias("item_a"), F.col("__p.b").alias("item_b"))
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= min_count)
