@@ -215,30 +215,121 @@ def semi_anti_exists_customers(spark, sf_dir):
 @query(
     "insert_ignore_new_rows",
     oracle="""
-    SELECT i.o_orderkey, i.o_custkey,
-           CAST(CAST(i.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_total
-    FROM orders i
-    WHERE i.o_totalprice > 100000
-      AND NOT EXISTS (SELECT 1 FROM orders t
-                      WHERE t.o_orderkey % 3 = 0 AND t.o_orderkey = i.o_orderkey)
+    WITH ins AS (
+      SELECT 'ins' AS leg, CAST(i.o_orderkey AS VARCHAR) AS k,
+             CAST(i.o_custkey AS VARCHAR) AS attr,
+             CAST(CAST(i.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS val
+      FROM orders i
+      WHERE i.o_totalprice > 100000
+        AND NOT EXISTS (SELECT 1 FROM orders t
+                        WHERE t.o_orderkey % 3 = 0 AND t.o_orderkey = i.o_orderkey)),
+    feed AS (
+      SELECT user_id, event_id AS seq, event_type, value,
+             event_type = 'signup' AS del
+      FROM events),
+    snap AS (
+      SELECT 'snap' AS leg, CAST(user_id AS VARCHAR) AS k,
+             event_type AS attr, value AS val
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY seq DESC) AS rn
+            FROM feed) WHERE rn = 1 AND NOT del),
+    lagged AS (
+      SELECT user_id, event_type, ts, event_id, LAG(event_type) OVER w AS prev
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    runs AS (
+      SELECT user_id, event_type, ts AS vf, event_id FROM lagged
+      WHERE prev IS NULL OR prev IS DISTINCT FROM event_type),
+    r2 AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY vf, event_id) AS nxt,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY vf, event_id) AS rn
+      FROM runs),
+    tr AS (
+      SELECT event_type AS f, COALESCE(nxt, '__END__') AS t FROM r2
+      UNION ALL
+      SELECT '__START__', event_type FROM r2 WHERE rn = 1),
+    strans AS (
+      SELECT 'strans' AS leg, f AS k, t AS attr, CAST(COUNT(*) AS DOUBLE) AS val
+      FROM tr GROUP BY f, t)
+    SELECT * FROM ins UNION ALL SELECT * FROM snap UNION ALL SELECT * FROM strans
     """,
-    tags=("write-mode", "anti"),
+    tags=("write-mode", "anti", "cdc", "scd2", "markov", "streaming-twin"),
 )
 def insert_ignore_new_rows(spark, sf_dir):
-    """INSERT IGNORE semantics as a dataflow: incoming batch anti-joined
-    against existing target keys; only genuinely-new rows flow to the
-    sink (mode map d22d/utils/db/__init__.py:700-711). Target here is
-    simulated as the orderkey%3==0 slice."""
+    """Three legs: insert-ignore plus the streaming-twin op-log
+    composite (VERDICT r8 #8 — the four foreachBatch sinks are
+    inherently un-oracle-able live, but their FINAL states are plain
+    DataFrames produced by these exact batch twins, whose
+    stream-equality is pytest-pinned; this keeps the state machinery's
+    output shape under the driver's eye).
+
+    ins: INSERT IGNORE semantics as a dataflow — incoming batch
+    anti-joined against existing target keys; only genuinely-new rows
+    flow to the sink (mode map d22d/utils/db/__init__.py:700-711).
+    Target simulated as the orderkey%3==0 slice.
+
+    snap: CDC apply over a fixed op-log — events as a change feed
+    (seq = event_id, signup = delete op) folded into the target
+    snapshot by writes.apply_changes (the stream_cdc_sink twin):
+    latest-seq upsert wins, deletes drop the key.
+
+    strans: the op-log through scd2_history (the stream_scd2_apply
+    twin) — runs of identical event_type per user — then
+    paths.transition_counts WITH endpoints over the RUN stream (the
+    stream_transition_sink twin): the Markov matrix of state CHANGES,
+    a different matrix than dedup_exact_events' raw-event 'trans' leg
+    (adjacent repeats collapse first)."""
     o = _t(spark, sf_dir, "orders")
     target_keys = o.filter(F.col("o_orderkey") % 3 == 0).select("o_orderkey")
     incoming = o.filter(F.col("o_totalprice") > 100000)
     from d2d_spark.operators.writes import filter_new_rows
 
-    return filter_new_rows(incoming, target_keys, ["o_orderkey"]).select(
-        "o_orderkey",
-        "o_custkey",
-        F.col("o_totalprice").cast(DEC).cast("double").alias("o_total"),
+    ins = filter_new_rows(incoming, target_keys, ["o_orderkey"]).select(
+        F.lit("ins").alias("leg"),
+        F.col("o_orderkey").cast("string").alias("k"),
+        F.col("o_custkey").cast("string").alias("attr"),
+        F.col("o_totalprice").cast(DEC).cast("double").alias("val"),
     )
+    from d2d_spark.operators.paths import transition_counts
+    from d2d_spark.operators.scd import scd2_history
+    from d2d_spark.operators.writes import apply_changes
+
+    ev = _t(spark, sf_dir, "events")
+    feed = ev.select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "signup", F.lit("d"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+    )
+    target = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.lit("__init__").alias("event_type"),
+            F.lit(0.0).alias("value"),
+        )
+    )
+    snap = apply_changes(target, feed, ["user_id"], "seq").select(
+        F.lit("snap").alias("leg"),
+        F.col("user_id").cast("string").alias("k"),
+        F.col("event_type").alias("attr"),
+        F.col("value").alias("val"),
+    )
+    hist = scd2_history(ev, ["user_id"], "ts", ["event_type"], ["event_id"])
+    tc = transition_counts(
+        hist, "user_id", "valid_from", "event_type", include_endpoints=True
+    )
+    strans = tc.select(
+        F.lit("strans").alias("leg"),
+        F.col("from_state").alias("k"),
+        F.col("to_state").alias("attr"),
+        F.col("n").cast("double").alias("val"),
+    )
+    return ins.unionAll(snap).unionAll(strans)
 
 
 # ---------------------------------------------------------------------------
