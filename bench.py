@@ -257,10 +257,8 @@ def main() -> int:
             {
                 "o_totalprice": "max",
                 "o_orderstatus": "latest",
-                "o_orderpriority": "earliest",
-                "o_comment": "longest",
+                "o_orderpriority": "longest",
                 "o_orderkey": "count",
-                "o_shippriority": "sum",
             },
             tiebreak_cols=("o_orderkey",),
         ).count(),

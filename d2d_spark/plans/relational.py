@@ -1018,28 +1018,116 @@ def group_count_event_types(spark, sf_dir):
 @query(
     "top_hits_latest_event_per_user",
     oracle="""
-    SELECT user_id, event_id, event_type,
-           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+    WITH pairs AS (
+      SELECT c.user_id, c.ts AS cts, t.ts AS tts, t.event_type AS tstate
+      FROM events c JOIN events t
+        ON t.user_id = c.user_id AND t.ts < c.ts
+       AND t.ts >= c.ts - INTERVAL 48 HOUR
+      WHERE c.event_type = 'purchase' AND t.event_type IN ('click', 'view')),
+    scored AS (
+      SELECT user_id, cts, tts, tstate,
+             COUNT(*) OVER w AS n,
+             ROW_NUMBER() OVER (PARTITION BY user_id, cts ORDER BY tts ASC) AS ra,
+             ROW_NUMBER() OVER (PARTITION BY user_id, cts ORDER BY tts DESC) AS rd,
+             power(2.0, -(epoch_us(cts) / 1000000.0 - epoch_us(tts) / 1000000.0)
+                        / 21600.0) AS wg,
+             SUM(power(2.0, -(epoch_us(cts) / 1000000.0 - epoch_us(tts) / 1000000.0)
+                            / 21600.0)) OVER w AS sw
+      FROM pairs WINDOW w AS (PARTITION BY user_id, cts)),
+    lab AS (
+      SELECT user_id, strftime(cts, '%Y-%m-%d %H:%M:%S') || '|'
+             || strftime(tts, '%Y-%m-%d %H:%M:%S') AS t,
+             tstate, n, ra, rd, wg, sw
+      FROM scored)
+    SELECT 'top' AS leg, CAST(user_id AS VARCHAR) AS uid,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS t, event_type AS attr,
+           event_id AS n, CAST(NULL AS DOUBLE) AS credit
     FROM (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
       FROM events) WHERE rn = 1
+    UNION ALL
+    SELECT 'attr_last', CAST(user_id AS VARCHAR), t, tstate,
+           CAST(1 AS BIGINT), 1.0 FROM lab WHERE rd = 1
+    UNION ALL
+    SELECT 'attr_first', CAST(user_id AS VARCHAR), t, tstate,
+           CAST(1 AS BIGINT), 1.0 FROM lab WHERE ra = 1
+    UNION ALL
+    SELECT 'attr_lin', CAST(user_id AS VARCHAR), t, tstate, n,
+           round(1.0 / n, 9) FROM lab
+    UNION ALL
+    SELECT 'attr_decay', CAST(user_id AS VARCHAR), t, tstate, n,
+           round(wg / sw, 9) FROM lab
+    UNION ALL
+    SELECT 'attr_pos', CAST(user_id AS VARCHAR), t, tstate, n,
+           round(CASE WHEN n = 1 THEN 1.0 WHEN n = 2 THEN 0.5
+                      WHEN ra = 1 OR rd = 1 THEN 0.4
+                      ELSE 0.2 / (n - 2) END, 9) FROM lab
     """,
-    tags=("agg", "window", "top-hits"),
+    tags=("agg", "window", "top-hits", "attribution"),
 )
 def top_hits_latest_event_per_user(spark, sf_dir):
-    """ES top_hits(size=1, sort=ts desc) analog: latest row per key via
-    a ranked window — one shuffle on the key
-    (d22d/utils/db/myutils.py:497-521). event_id breaks ts ties."""
+    """Top-hits plus the multi-touch attribution family (r9).
+
+    top: ES top_hits(size=1, sort=ts desc) analog — latest row per key
+    via a ranked window, one shuffle on the key
+    (d22d/utils/db/myutils.py:497-521); event_id breaks ts ties.
+
+    attr_last / attr_first / attr_lin / attr_decay / attr_pos: ONE
+    component (operators/attribution.py) under its five credit
+    models — purchases credited to preceding click/view touches
+    inside a 48-hour lookback; time_decay halflife 6 hours. The
+    oracle replays the pair join + window ranks + the identical
+    2^(-age/halflife) weight chain; float credits round to 9 dp on
+    both sides, rank/count-derived credits (1.0, 0.5, 0.4, 1/n,
+    0.2/(n-2)) are single IEEE divisions."""
     ev = _t(spark, sf_dir, "events").withColumn(
         "__ord", F.struct(F.col("ts"), F.col("event_id"))
     )
     out = top_hits_per_key(ev, ["user_id"], "__ord", n=1, desc=True)
-    return out.select(
-        "user_id",
-        "event_id",
-        "event_type",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    nd = F.lit(None).cast("double")
+    top = out.select(
+        F.lit("top").alias("leg"),
+        F.col("user_id").cast("string").alias("uid"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("t"),
+        F.col("event_type").alias("attr"),
+        F.col("event_id").alias("n"),
+        nd.alias("credit"),
     )
+    from d2d_spark.operators.attribution import attribution
+
+    evp = _t(spark, sf_dir, "events")
+    legs = [top]
+    for model, tag, hl in (
+        ("last_touch", "attr_last", None),
+        ("first_touch", "attr_first", None),
+        ("linear", "attr_lin", None),
+        ("time_decay", "attr_decay", "6 hours"),
+        ("position", "attr_pos", None),
+    ):
+        att = attribution(
+            evp, "user_id", "ts", "event_type", ["purchase"], ["click", "view"],
+            model=model, lookback="48 hours", halflife=hl,
+            validate=False,  # fixture pinned tie-free; probe once is plenty
+        )
+        legs.append(
+            att.select(
+                F.lit(tag).alias("leg"),
+                F.col("user_id").cast("string").alias("uid"),
+                F.concat(
+                    F.date_format("conv_ts", "yyyy-MM-dd HH:mm:ss"),
+                    F.lit("|"),
+                    F.date_format("touch_ts", "yyyy-MM-dd HH:mm:ss"),
+                ).alias("t"),
+                F.col("touch_state").alias("attr"),
+                F.col("n_touches").alias("n"),
+                F.round("credit", 9).alias("credit"),
+            )
+        )
+    res = legs[0]
+    for l in legs[1:]:
+        res = res.unionAll(l)
+    return res
 
 
 # ---------------------------------------------------------------------------
