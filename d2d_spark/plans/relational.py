@@ -1902,6 +1902,131 @@ def _soundex_literal_rows() -> list[tuple]:
     return out
 
 
+def _linkage_cust_pairs(cust: dict) -> list[tuple]:
+    """The deterministic customer candidate-pair spec, shared by the
+    Spark leg and the oracle twin: even keys pair with a PERTURBED
+    clone of themselves (nation bumped on %5, segment blanked on %7,
+    balance shifted +600 — always a different 500-bucket — on %3);
+    odd keys pair with customer (k*7+13) % N. Returns binary
+    agreement triples (nation, segment, balance-bucket)."""
+    import math
+
+    n = len(cust)
+    out = []
+    for k in sorted(cust):
+        nat, seg, bal = cust[k]
+        if k % 2 == 0:
+            nat2 = nat + 1 if k % 5 == 0 else nat
+            seg2 = "UNKNOWN" if k % 7 == 0 else seg
+            bal2 = bal + 600.0 if k % 3 == 0 else bal
+        else:
+            j = (k * 7 + 13) % n
+            if j not in cust:
+                continue
+            nat2, seg2, bal2 = cust[j]
+        out.append(
+            (
+                int(nat == nat2),
+                int(seg == seg2),
+                int(math.floor(bal / 500.0) == math.floor(bal2 / 500.0)),
+            )
+        )
+    return out
+
+
+def _py_linkage_em(rows: list[tuple], iters: int = 6) -> dict:
+    """Twin of operators/linkage.linkage_em (defaults): identical
+    E-step float-op order, Decimal(repr(p)) HALF_UP 12-dp quantization
+    (= Spark's BigDecimal.valueOf + setScale HALF_UP), exact decimal
+    sums — bit-for-bit the distributed fit."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal("1.000000000000")
+    eps = 1e-6
+
+    def clamp(x):
+        return min(max(x, eps), 1.0 - eps)
+
+    k = 3
+    lam, m, u = 0.3, [0.9] * k, [0.1] * k
+    for _ in range(iters):
+        s_dec, n = Decimal(0), 0
+        sg, g_cnt = [Decimal(0)] * k, [0] * k
+        for g in rows:
+            pm, pu = lam, 1.0 - lam
+            for i in range(k):
+                pm = pm * (m[i] if g[i] == 1 else 1.0 - m[i])
+                pu = pu * (u[i] if g[i] == 1 else 1.0 - u[i])
+            p = pm / (pm + pu)
+            pr = Decimal(repr(p)).quantize(q, ROUND_HALF_UP)
+            s_dec += pr
+            n += 1
+            for i in range(k):
+                if g[i] == 1:
+                    sg[i] += pr
+                    g_cnt[i] += 1
+        s = float(s_dec)
+        lam = clamp(s / n)
+        m = [clamp(float(sg[i]) / s) for i in range(k)]
+        u = [clamp((g_cnt[i] - float(sg[i])) / (float(n) - s)) for i in range(k)]
+    return {"lambda": lam, "m": m, "u": u}
+
+
+def _linkage_literal_rows() -> list[tuple]:
+    """(sftag, code, dist, val) per fixture: the whole Fellegi-Sunter
+    pipeline (pair spec -> EM fit -> per-pattern match weights)
+    replayed in pure Python; weights add per-field log2 Bayes factors
+    in gamma order, exactly linkage_score's literal chain."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from d2d_spark.plans.registry import fixture_table_paths
+
+    out: list[tuple] = []
+    for _fixture_path in fixture_table_paths("customer"):
+        try:
+            t = pq.read_table(
+                _fixture_path,
+                columns=["c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"],
+            )
+        except Exception:
+            continue
+        cust = {
+            kk: (nat, seg, bal)
+            for kk, nat, seg, bal in zip(
+                t["c_custkey"].to_pylist(),
+                t["c_nationkey"].to_pylist(),
+                t["c_mktsegment"].to_pylist(),
+                t["c_acctbal"].to_pylist(),
+            )
+        }
+        tag = len(cust)
+        rows = _linkage_cust_pairs(cust)
+        if not rows:
+            continue
+        fit = _py_linkage_em(rows)
+        out.append((tag, "lambda", None, round(fit["lambda"], 9)))
+        for i in range(3):
+            out.append((tag, f"m{i}", None, round(fit["m"][i], 9)))
+            out.append((tag, f"u{i}", None, round(fit["u"][i], 9)))
+        lam, m, u = fit["lambda"], fit["m"], fit["u"]
+        base = math.log2(lam / (1.0 - lam))
+        counts: dict[tuple, int] = {}
+        for g in rows:
+            counts[g] = counts.get(g, 0) + 1
+        for g, cnt in counts.items():
+            w = base
+            for i in range(3):
+                w = w + (
+                    math.log2(m[i] / u[i])
+                    if g[i] == 1
+                    else math.log2((1.0 - m[i]) / (1.0 - u[i]))
+                )
+            out.append((tag, "w:" + "".join(map(str, g)), cnt, round(w, 9)))
+    return out
+
+
 def _fuzzy_oracle() -> str:
     snd = _soundex_literal_rows()
     if not snd:
@@ -1909,18 +2034,33 @@ def _fuzzy_oracle() -> str:
     values = ",\n     ".join(
         f"({t}, {a}, {b}, {d}, '{c}')" for t, a, b, d, c in snd
     )
+    lnk = _linkage_literal_rows()
+    if not lnk:
+        lnk = [(-1, "", None, None)]
+    lvalues = ",\n     ".join(
+        f"({t}, '{c}', {'NULL' if d is None else d}, "
+        f"{'NULL' if v is None else repr(v)})"
+        for t, c, d, v in lnk
+    )
     return f"""
     WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey <= 200)
     SELECT 'fastss' AS leg, a.p_partkey AS id_a, b.p_partkey AS id_b,
            CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
-           '' AS code
+           '' AS code, CAST(NULL AS DOUBLE) AS val
     FROM p a, p b
     WHERE a.p_partkey < b.p_partkey AND levenshtein(a.p_name, b.p_name) <= 2
     UNION ALL
-    SELECT 'soundex' AS leg, id_a, id_b, CAST(dist AS BIGINT), code
+    SELECT 'soundex' AS leg, id_a, id_b, CAST(dist AS BIGINT), code,
+           CAST(NULL AS DOUBLE)
     FROM (VALUES
      {values}) AS snd_exp(sftag, id_a, id_b, dist, code)
     WHERE sftag = (SELECT COUNT(*) * 1000000 + SUM(length(p_name)) FROM part)
+    UNION ALL
+    SELECT 'linkage' AS leg, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(dist AS BIGINT), code, CAST(val AS DOUBLE)
+    FROM (VALUES
+     {lvalues}) AS lnk_exp(sftag, code, dist, val)
+    WHERE sftag = (SELECT COUNT(*) FROM customer)
     """
 
 
@@ -1943,19 +2083,97 @@ def fuzzy_name_pairs(spark, sf_dir):
     2x wider slice — soundex-code equi-join + thresholded Levenshtein
     verify — vs a literal-VALUES twin (independent Python soundex +
     DP Levenshtein; the Python soundex's parity with F.soundex is
-    itself test-pinned)."""
+    itself test-pinned).
+
+    linkage (r9): probabilistic record linkage
+    (operators/linkage.py, Fellegi-Sunter + EM) end-to-end —
+    deterministic customer candidate pairs (perturbed clones vs
+    shifted partners, _linkage_cust_pairs), 6 EM rounds fitting
+    (lambda, m, u) with DECIMAL-disciplined responsibility sums, then
+    per-agreement-pattern match weights and counts. The oracle
+    replays the WHOLE pipeline in pure Python (literal VALUES): the
+    decimal sums make the fit partition-order-invariant and therefore
+    bit-replayable; params and weights round to 9 dp on both sides."""
     from d2d_spark.operators.dedup import fuzzy_pairs_deletion, phonetic_blocked_pairs
 
+    nulld = F.lit(None).cast("double")
     p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200).select("p_partkey", "p_name")
     fastss = fuzzy_pairs_deletion(p, "p_name", "p_partkey", max_dist=2).select(
-        F.lit("fastss").alias("leg"), "id_a", "id_b", "dist", F.lit("").alias("code")
+        F.lit("fastss").alias("leg"), "id_a", "id_b", "dist",
+        F.lit("").alias("code"), nulld.alias("val"),
     )
     p2 = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 400).select(
         "p_partkey", "p_name"
     )
     snd = phonetic_blocked_pairs(p2, "p_name", "p_partkey", max_dist=2).select(
-        F.lit("soundex").alias("leg"), "id_a", "id_b", "dist", "code"
+        F.lit("soundex").alias("leg"), "id_a", "id_b", "dist", "code",
+        nulld.alias("val"),
     )
-    return fastss.unionByName(snd)
+    from d2d_spark.operators.linkage import linkage_em, linkage_score
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    n_cust = c.count()
+    k = F.col("c_custkey")
+    even = c.filter(k % 2 == 0).select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.when(k % 5 == 0, F.col("c_nationkey") + 1)
+        .otherwise(F.col("c_nationkey"))
+        .alias("nat2"),
+        F.when(k % 7 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg2"),
+        F.when(k % 3 == 0, F.col("c_acctbal") + 600.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal2"),
+    )
+    odd = c.filter(k % 2 == 1).withColumn("j", (k * 7 + 13) % F.lit(n_cust))
+    partner = c.select(
+        F.col("c_custkey").alias("j"),
+        F.col("c_nationkey").alias("nat2"),
+        F.col("c_mktsegment").alias("seg2"),
+        F.col("c_acctbal").alias("bal2"),
+    )
+    nonm = odd.join(partner, "j").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal",
+        "nat2", "seg2", "bal2",
+    )
+    gam = even.drop("c_custkey").unionByName(nonm.drop("c_custkey")).select(
+        (F.col("c_nationkey") == F.col("nat2")).cast("int").alias("g0"),
+        (F.col("c_mktsegment") == F.col("seg2")).cast("int").alias("g1"),
+        (
+            F.floor(F.col("c_acctbal") / 500.0) == F.floor(F.col("bal2") / 500.0)
+        ).cast("int").alias("g2"),
+    )
+    fit = linkage_em(gam, ["g0", "g1", "g2"], max_iters=6, validate=False)
+    nullb = F.lit(None).cast("bigint")
+    params = [("lambda", fit["lambda"])]
+    for i in range(3):
+        params.append((f"m{i}", fit["m"][i]))
+        params.append((f"u{i}", fit["u"][i]))
+    param_rows = spark.createDataFrame(
+        [(name, round(v, 9)) for name, v in params], "code string, val double"
+    ).select(
+        F.lit("linkage").alias("leg"), nullb.alias("id_a"), nullb.alias("id_b"),
+        nullb.alias("dist"), "code", "val",
+    )
+    weights = (
+        linkage_score(gam, fit)
+        .groupBy("g0", "g1", "g2")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("match_weight").alias("w"))
+        .select(
+            F.lit("linkage").alias("leg"),
+            nullb.alias("id_a"),
+            nullb.alias("id_b"),
+            F.col("cnt").alias("dist"),
+            F.concat(F.lit("w:"), F.col("g0"), F.col("g1"), F.col("g2")).alias("code"),
+            F.round("w", 9).alias("val"),
+        )
+    )
+    return fastss.unionByName(snd).unionByName(param_rows).unionByName(weights)
 
 
