@@ -122,3 +122,66 @@ def scrub_illegal_xml(col: Column) -> Column:
     return F.regexp_replace(
         col.cast("string"), "[\x00-\x08\x0b-\x0c\x0e-\x1f]", ""
     )
+
+
+def jaro_winkler(a: Column, b: Column) -> Column:
+    """Jaro-Winkler similarity in [0, 1] — the name-matching scalar
+    the fuzzy family lacked next to Levenshtein (typo distance) and
+    Soundex (phonetic blocking). Classic Winkler 1990 conventions,
+    chosen to match DuckDB's jaro_winkler_similarity exactly so the
+    driver can cross-check it: prefix scale 0.1 over at most 4 common
+    leading chars, the boost applied ONLY when jaro > 0.7, and empty-
+    vs-anything (including empty-vs-empty) scoring 0.0. NULL inputs
+    return NULL.
+
+    An Arrow-batched pandas UDF (there is no Column-algebra form of
+    the matching-window scan): use it on BLOCKED candidate pairs —
+    the verify stage of phonetic/FastSS/LSH blocking — never as a
+    corpus-scale cross-join predicate."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # no type hints on purpose: pd is function-local, so stringified
+    # 'pd.Series' annotations can't resolve at decoration time
+    @pandas_udf("double", PandasUDFType.SCALAR)
+    def _jw(sa, sb):
+        def one(x, y):
+            if x is None or y is None:
+                return None
+            la, lb = len(x), len(y)
+            if la == 0 or lb == 0:
+                return 0.0
+            window = max(la, lb) // 2 - 1
+            if window < 0:
+                window = 0
+            ymatched = [False] * lb
+            xmatch = []
+            for i, cx in enumerate(x):
+                lo, hi = max(0, i - window), min(lb, i + window + 1)
+                for j in range(lo, hi):
+                    if not ymatched[j] and y[j] == cx:
+                        ymatched[j] = True
+                        xmatch.append(cx)
+                        break
+            m = len(xmatch)
+            if m == 0:
+                return 0.0
+            ymatch = [y[j] for j in range(lb) if ymatched[j]]
+            # INTEGER halving, the classic strcmp95 convention DuckDB
+            # follows: greedy first-available matching can leave an
+            # ODD out-of-order count, and /2.0 would diverge on it
+            t = sum(cx != cy for cx, cy in zip(xmatch, ymatch)) // 2
+            jaro = (m / la + m / lb + (m - t) / m) / 3.0
+            if jaro <= 0.7:
+                return jaro
+            p = 0
+            for cx, cy in zip(x, y):
+                if cx != cy or p == 4:
+                    break
+                p += 1
+            return jaro + p * 0.1 * (1.0 - jaro)
+
+        # nullable Float64 so a NULL input round-trips as NULL, not NaN
+        return pd.Series([one(x, y) for x, y in zip(sa, sb)], dtype="Float64")
+
+    return _jw(a, b)

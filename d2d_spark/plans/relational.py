@@ -2046,7 +2046,8 @@ def _fuzzy_oracle() -> str:
     WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey <= 200)
     SELECT 'fastss' AS leg, a.p_partkey AS id_a, b.p_partkey AS id_b,
            CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
-           '' AS code, CAST(NULL AS DOUBLE) AS val
+           '' AS code,
+           round(jaro_winkler_similarity(a.p_name, b.p_name), 9) AS val
     FROM p a, p b
     WHERE a.p_partkey < b.p_partkey AND levenshtein(a.p_name, b.p_name) <= 2
     UNION ALL
@@ -2096,11 +2097,24 @@ def fuzzy_name_pairs(spark, sf_dir):
     bit-replayable; params and weights round to 9 dp on both sides."""
     from d2d_spark.operators.dedup import fuzzy_pairs_deletion, phonetic_blocked_pairs
 
+    from d2d_spark.functions.scalars import jaro_winkler
+
     nulld = F.lit(None).cast("double")
     p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200).select("p_partkey", "p_name")
-    fastss = fuzzy_pairs_deletion(p, "p_name", "p_partkey", max_dist=2).select(
-        F.lit("fastss").alias("leg"), "id_a", "id_b", "dist",
-        F.lit("").alias("code"), nulld.alias("val"),
+    # val = Jaro-Winkler over the surviving pairs (functions/scalars
+    # jaro_winkler, the Arrow verify-stage scalar) — a real
+    # cross-engine differential against DuckDB's native
+    # jaro_winkler_similarity (classic Winkler conventions both
+    # sides, pinned bit-equal in pytest; 9-dp rounding here)
+    fastss = (
+        fuzzy_pairs_deletion(p, "p_name", "p_partkey", max_dist=2)
+        .join(p.select(F.col("p_partkey").alias("id_a"), F.col("p_name").alias("__na")), "id_a")
+        .join(p.select(F.col("p_partkey").alias("id_b"), F.col("p_name").alias("__nb")), "id_b")
+        .select(
+            F.lit("fastss").alias("leg"), "id_a", "id_b", "dist",
+            F.lit("").alias("code"),
+            F.round(jaro_winkler(F.col("__na"), F.col("__nb")), 9).alias("val"),
+        )
     )
     p2 = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 400).select(
         "p_partkey", "p_name"

@@ -166,3 +166,42 @@ def test_guards(spark):
             {"lambda": 0.5, "m": [1.0, 0.9, 0.9], "u": [0.1, 0.1, 0.1],
              "gamma_cols": ["g0", "g1", "g2"]},
         )
+
+
+def test_jaro_winkler_known_values_and_duckdb_parity(spark):
+    """functions/scalars.jaro_winkler: the Winkler 1990 textbook
+    values, the edge conventions (boost-threshold 0.7, empty -> 0.0,
+    NULL -> NULL, integer transposition halving), and bit-for-bit
+    parity with DuckDB's native jaro_winkler_similarity on every
+    probed pair."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from d2d_spark.functions.scalars import jaro_winkler
+
+    cases = [
+        ("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"), ("DWAYNE", "DUANE"),
+        ("JELLYFISH", "SMELLYFISH"),
+        ("abc", "abc"), ("abc", "xyz"), ("", ""), ("", "x"),
+        ("abxxxx", "abyyyyyyyy"),       # jaro <= 0.7: NO prefix boost
+        ("red widget", "new widget"),   # odd out-of-order count: t = k // 2
+        ("aaaaa", "aaaaa"), ("ab", "ba"), ("a", "a"), ("a", "b"),
+    ]
+    df = spark.createDataFrame(cases, "a string, b string")
+    got = {
+        (r["a"], r["b"]): r["jw"]
+        for r in df.select("a", "b", jaro_winkler(F.col("a"), F.col("b")).alias("jw")).collect()
+    }
+    assert math.isclose(got[("MARTHA", "MARHTA")], 0.9611111111111111)
+    assert math.isclose(got[("DIXON", "DICKSONX")], 0.8133333333333332)
+    assert got[("abc", "abc")] == 1.0 and got[("abc", "xyz")] == 0.0
+    assert got[("", "")] == 0.0 and got[("", "x")] == 0.0
+    con = duckdb.connect()
+    for a, b in cases:
+        want = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert got[(a, b)] == want, (a, b, got[(a, b)], want)
+    # NULL propagates as NULL (nullable Float64 round-trip)
+    nl = spark.createDataFrame([(None, "x")], "a string, b string")
+    assert nl.select(jaro_winkler(F.col("a"), F.col("b")).alias("jw")).first()["jw"] is None
