@@ -311,3 +311,137 @@ def cooccurrence_pmi(
         / (F.col("n_a").cast("double") * F.col("n_b"))
     )
     return out.select("item_a", "item_b", "n_ab", "n_a", "n_b", pmi.alias("pmi"))
+
+
+def frequent_itemsets(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_size: int = 3,
+    max_items_per_group: int = 10_000,
+) -> DataFrame:
+    """A-priori frequent itemsets up to size 3 (Agrawal & Srikant
+    1994) — the support-mining companion to cooccurrence_pmi (PMI
+    scores ALL pairs against independence; this finds the sets above
+    an absolute support floor, the market-basket / template-detection
+    primitive). Presence-based like the PMI operator (an item counts
+    once per group; NULLs drop). Returns
+    (size, item_a, item_b, item_c, support) with items sorted
+    ascending inside each set and NULL padding for sizes 1-2; every
+    count is an exact long.
+
+    Shape (the downward-closure ladder, each rung a bounded groupBy):
+    one distinct + per-group sorted item arrays (bomb probe rides the
+    same aggregate), L1 = supported items; arrays are then PRUNED to
+    L1 survivors by one explode + semi-join before PAIRS generate
+    (JVM-side array comprehension, the cooccurrence_pmi move), and
+    pruned again to L2-member items before TRIPLES generate — an item
+    outside every frequent pair cannot join a frequent triple, so the
+    prune is lossless; the final support filter on exact counts
+    decides membership either way. Fan-out is sum over groups of
+    (frequent items)^2 / (L2-member items)^3 — the honest a-priori
+    cost, refused loudly above ``max_items_per_group``."""
+    if min_support < 1:
+        raise ValueError(f"frequent_itemsets: min_support must be >= 1, got {min_support}")
+    if max_size not in (1, 2, 3):
+        raise ValueError(f"frequent_itemsets: max_size must be 1..3, got {max_size}")
+    if max_items_per_group < 2:
+        raise ValueError(
+            f"frequent_itemsets: max_items_per_group must be >= 2, got {max_items_per_group}"
+        )
+    base = (
+        df.filter(F.col(group_col).isNotNull() & F.col(item_col).isNotNull())
+        .select(F.col(group_col).alias("__g"), F.col(item_col).cast("string").alias("__i"))
+        .distinct()
+    )
+    spark = df.sparkSession
+    schema = (
+        "size int, item_a string, item_b string, item_c string, support long"
+    )
+    stats = base.groupBy("__g").agg(F.count(F.lit(1)).alias("__n")).agg(
+        F.max("__n").alias("mx"), F.count(F.lit(1)).alias("ng")
+    ).first()
+    if stats["ng"] == 0 or stats["ng"] is None:
+        return spark.createDataFrame([], schema)
+    if stats["mx"] > max_items_per_group:
+        raise ValueError(
+            f"frequent_itemsets: a group holds {stats['mx']} distinct items "
+            f"(> max_items_per_group={max_items_per_group}) — a-priori pair/"
+            "triple work is polynomial in basket size; cap or sample whales"
+        )
+    ns = F.lit(None).cast("string")
+    l1 = (
+        base.groupBy("__i")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    out = l1.select(
+        F.lit(1).alias("size"),
+        F.col("__i").alias("item_a"),
+        ns.alias("item_b"),
+        ns.alias("item_c"),
+        "support",
+    )
+    if max_size == 1:
+        return out
+    # prune to L1 survivors, re-collect sorted arrays
+    pruned = base.join(l1.select("__i"), "__i", "semi")
+    lists = pruned.groupBy("__g").agg(F.sort_array(F.collect_list("__i")).alias("__a"))
+    arr = F.col("__a")
+    pair_arr = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.size(arr)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    l2 = (
+        lists.select(F.explode(pair_arr).alias("__p"))
+        .groupBy(F.col("__p.a").alias("item_a"), F.col("__p.b").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    out = out.unionByName(
+        l2.select(F.lit(2).alias("size"), "item_a", "item_b", ns.alias("item_c"), "support")
+    )
+    if max_size == 2:
+        return out
+    # items inside at least one frequent pair can reach a frequent triple
+    l2_items = (
+        l2.select(F.col("item_a").alias("__i"))
+        .unionAll(l2.select(F.col("item_b").alias("__i")))
+        .distinct()
+    )
+    pruned3 = pruned.join(l2_items, "__i", "semi")
+    lists3 = pruned3.groupBy("__g").agg(F.sort_array(F.collect_list("__i")).alias("__a"))
+    arr3 = F.col("__a")
+    triple_arr = F.flatten(
+        F.transform(
+            arr3,
+            lambda x, i: F.flatten(
+                F.transform(
+                    F.slice(arr3, i + F.lit(2), F.size(arr3)),
+                    lambda y, j: F.transform(
+                        F.slice(arr3, i + j + F.lit(3), F.size(arr3)),
+                        lambda z: F.struct(x.alias("a"), y.alias("b"), z.alias("c")),
+                    ),
+                )
+            ),
+        )
+    )
+    l3 = (
+        lists3.select(F.explode(triple_arr).alias("__t"))
+        .groupBy(
+            F.col("__t.a").alias("item_a"),
+            F.col("__t.b").alias("item_b"),
+            F.col("__t.c").alias("item_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    return out.unionByName(
+        l3.select(F.lit(3).alias("size"), "item_a", "item_b", "item_c", "support")
+    )

@@ -672,3 +672,144 @@ def sessionize(
     )
     ws = Window.partitionBy(*keys, out_col)
     return out.withColumn(start_col, F.min(ts_col).over(ws))
+
+
+def debounce_events(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    quiet,
+    tiebreak_cols: Sequence[str] = (),
+    validate: bool = True,
+    max_rows_per_key: int = 100_000_000,
+) -> DataFrame:
+    """Keep only each burst's FIRST event per key — the debounce
+    filter (button-press / retry-storm / duplicate-webhook
+    suppression): an event survives iff MORE than ``quiet`` elapsed
+    since the key's previous event (the sessionize boundary rule, so
+    debounce(df) IS "rows where session_start == ts"). ``quiet``: an
+    interval string for timestamps, a number for numeric order
+    columns. Shape: one lag window on the key — strictly cheaper than
+    sessionize (no running sum, no per-session min)."""
+    keys = list(key_cols)
+    ties = list(tiebreak_cols)
+    if validate:
+        _probe_series(
+            df, keys, ts_col, "debounce_events", max_rows_per_key, tiebreak_cols=ties
+        )
+    w = Window.partitionBy(*keys).orderBy(ts_col, *ties)
+    prev = F.lag(F.col(ts_col)).over(w)
+    if isinstance(quiet, str):
+        boundary = prev.isNull() | (F.col(ts_col) > prev + F.expr(f"INTERVAL {quiet}"))
+    else:
+        q = float(quiet)
+        if q < 0:
+            raise ValueError(f"debounce_events: quiet must be >= 0, got {quiet}")
+        boundary = prev.isNull() | ((F.col(ts_col) - prev) > F.lit(q))
+    return df.withColumn("__keep", boundary).filter("__keep").drop("__keep")
+
+
+def throttle_events(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    interval: str | float,
+    mode: str = "bucket",
+    tiebreak_cols: Sequence[str] = (),
+    validate: bool = True,
+    max_rows_per_key: int = 100_000,
+) -> DataFrame:
+    """Rate-limit a stream to at most one event per key per
+    ``interval`` — two semantics, chosen by ``mode``:
+
+      'bucket' (default, the SCALE path) — keep the earliest event in
+          each fixed grid bucket (resample's window alignment): one
+          groupBy/window shuffle, embarrassingly parallel, at most
+          ceil(span/interval) survivors per key. Survivor SPACING can
+          dip below ``interval`` across a bucket edge (a 09:59 event
+          and a 10:00 event both survive) — the standard trade.
+      'exact' — the true token-bucket rule: an event survives iff
+          ts >= last SURVIVOR's ts + interval, walking each key's
+          series in order. Inherently sequential, computed as the
+          ewma-style sorted JVM fold — per-key state is the series,
+          guarded by the same deliberately tight ``max_rows_per_key``
+          (100k default; the fold appends to an immutable array,
+          quadratic element copies). Survivors are identical on any
+          partitioning.
+
+    Timestamp columns take an interval string ('5 minutes'); numeric
+    order columns a number. Ordering ties are refused by the probe
+    (pass tiebreak_cols or validate=False)."""
+    keys = list(key_cols)
+    ties = list(tiebreak_cols)
+    if mode not in ("bucket", "exact"):
+        raise ValueError(f"throttle_events: mode must be 'bucket' | 'exact', got {mode!r}")
+    if validate:
+        _probe_series(
+            df,
+            keys,
+            ts_col,
+            "throttle_events",
+            max_rows_per_key if mode == "exact" else 100_000_000,
+            tiebreak_cols=ties,
+        )
+    ts_is_time = dict(df.dtypes).get(ts_col) in ("timestamp", "timestamp_ntz")
+    if ts_is_time != isinstance(interval, str):
+        raise ValueError(
+            "throttle_events: interval strings go with timestamp columns, "
+            "numbers with numeric order columns"
+        )
+    if mode == "bucket":
+        if ts_is_time:
+            bucket = F.window(F.col(ts_col), interval)["start"]
+        else:
+            iv = float(interval)
+            if iv <= 0:
+                raise ValueError(f"throttle_events: interval must be > 0, got {interval}")
+            bucket = F.floor(F.col(ts_col) / F.lit(iv))
+        w = Window.partitionBy(*keys, bucket).orderBy(ts_col, *ties)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    # exact token-bucket: sorted fold carrying the last survivor's ts
+    if ts_is_time:
+        gap = F.expr(f"INTERVAL {interval}")
+    else:
+        gap = F.lit(float(interval))
+        if float(interval) <= 0:
+            raise ValueError(f"throttle_events: interval must be > 0, got {interval}")
+    rest = [c for c in df.columns if c not in keys]
+    arr = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("__o"),
+                F.struct(*[F.col(c) for c in ties]).alias("__tb"),
+                F.struct(*rest).alias("__r"),
+            )
+        )
+    )
+    g = df.groupBy(*keys).agg(arr.alias("__s"))
+
+    def step(acc, s):
+        t = s["__o"]
+        keep = acc["last"].isNull() | (t >= acc["last"] + gap)
+        new_last = F.when(keep, t).otherwise(acc["last"])
+        return F.struct(
+            F.concat(acc["ks"], F.array(keep)).alias("ks"), new_last.alias("last")
+        )
+
+    ts_type = df.schema[ts_col].dataType
+    init_acc = F.struct(
+        F.expr("CAST(array() AS array<boolean>)").alias("ks"),
+        F.lit(None).cast(ts_type).alias("last"),
+    )
+    ks = F.aggregate(F.col("__s"), init_acc, step)["ks"]
+    zipped = F.zip_with(
+        F.col("__s"), ks, lambda s, k: F.struct(s["__r"].alias("r"), k.alias("k"))
+    )
+    ex = g.select(*keys, F.explode(zipped).alias("__z")).filter(F.col("__z.k"))
+    return ex.select(
+        *keys, *[F.col(f"__z.r.{c}").alias(c) for c in rest]
+    )

@@ -89,26 +89,107 @@ def q1_pricing_summary(spark, sf_dir):
 @query(
     "scan_filter_project",
     oracle="""
-    SELECT o_orderkey, o_orderpriority,
+    WITH RECURSIVE lagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    rec AS (
+      SELECT user_id, ts, event_id, event_type, rn, TRUE AS keep, ts AS last_kept
+      FROM lagged WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.ts, e.event_id, e.event_type, e.rn,
+             e.ts >= r.last_kept + INTERVAL 90 MINUTE,
+             CASE WHEN e.ts >= r.last_kept + INTERVAL 90 MINUTE
+                  THEN e.ts ELSE r.last_kept END
+      FROM rec r JOIN lagged e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+    SELECT 'scan' AS leg, o_orderkey AS k, o_orderpriority AS attr,
+           CAST(NULL AS VARCHAR) AS t,
            CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
     FROM orders
     WHERE o_orderstatus = 'F' AND o_totalprice > 150000
+    UNION ALL
+    SELECT 'debounce', event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S'), CAST(NULL AS DOUBLE)
+    FROM lagged
+    WHERE prev IS NULL OR ts > prev + INTERVAL 45 MINUTE
+    UNION ALL
+    SELECT 'throttle', event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S'), CAST(NULL AS DOUBLE)
+    FROM (SELECT event_id, event_type, ts,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                    ORDER BY ts, event_id) AS brn
+          FROM events)
+    WHERE brn = 1
+    UNION ALL
+    SELECT 'throttle_x', event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S'), CAST(NULL AS DOUBLE)
+    FROM rec WHERE keep
     """,
-    tags=("scan", "filter", "project"),
+    tags=("scan", "filter", "project", "debounce", "throttle"),
 )
 def scan_filter_project(spark, sf_dir):
-    """Column projection + row predicate (condition kwarg / _select
-    builders, SURVEY §2.2). Both the filter and the 3-column ReadSchema
-    must reach the parquet scan."""
-    return (
+    """Filter-family suite, four legs.
+
+    scan: column projection + row predicate (condition kwarg /
+    _select builders, SURVEY §2.2). Both the filter and the 3-column
+    ReadSchema must reach the parquet scan.
+
+    debounce: event-rate filter (timeseries.debounce_events) — keep
+    each burst's first event per user (45-minute quiet window); the
+    oracle replays the lag rule.
+
+    throttle: the bucket-mode rate limiter (timeseries.
+    throttle_events) — earliest event per (user, aligned hour); one
+    window shuffle, the 100 TB path. Oracle: ROW_NUMBER over the
+    date_trunc grid.
+
+    throttle_x: the EXACT token-bucket rule (>= last survivor + 90
+    minutes), the sequential JVM fold — the oracle replays it as a
+    recursive CTE walking each user's ordered stream, so the
+    inherently sequential semantics are driver-checked too."""
+    scan = (
         _t(spark, sf_dir, "orders")
         .filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000))
         .select(
-            "o_orderkey",
-            "o_orderpriority",
+            F.lit("scan").alias("leg"),
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("attr"),
+            F.lit(None).cast("string").alias("t"),
             F.col("o_totalprice").cast(DEC).cast("double").alias("total"),
         )
     )
+    from d2d_spark.operators.timeseries import debounce_events, throttle_events
+
+    ev = _t(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    nulld = F.lit(None).cast("double")
+
+    def ev_leg(df, tag):
+        return df.select(
+            F.lit(tag).alias("leg"),
+            F.col("event_id").alias("k"),
+            F.col("event_type").alias("attr"),
+            F.date_format("ts", fmt).alias("t"),
+            nulld.alias("total"),
+        )
+
+    deb = ev_leg(
+        debounce_events(ev, ["user_id"], "ts", "45 minutes", tiebreak_cols=["event_id"]),
+        "debounce",
+    )
+    thr = ev_leg(
+        throttle_events(ev, ["user_id"], "ts", "1 hour", tiebreak_cols=["event_id"]),
+        "throttle",
+    )
+    thx = ev_leg(
+        throttle_events(
+            ev, ["user_id"], "ts", "90 minutes", mode="exact",
+            tiebreak_cols=["event_id"],
+        ),
+        "throttle_x",
+    )
+    return scan.unionAll(deb).unionAll(thr).unionAll(thx)
 
 
 # ---------------------------------------------------------------------------
@@ -749,6 +830,17 @@ _EVENT_PATHS_ORACLE = """
                     / (CAST(ma.m AS DOUBLE) * mb.m)), 9)
     FROM pmp JOIN pmm ma ON ma.i = pmp.ia
              JOIN pmm mb ON mb.i = pmp.ib, pmn
+    UNION ALL
+    SELECT 'items', i, CAST(m AS BIGINT), 1.0 FROM pmm WHERE m >= 5
+    UNION ALL
+    SELECT 'items', a.i || '|' || b.i, COUNT(*), 2.0
+    FROM pmb a JOIN pmb b ON a.g = b.g AND a.i < b.i
+    GROUP BY a.i || '|' || b.i HAVING COUNT(*) >= 5
+    UNION ALL
+    SELECT 'items', a.i || '|' || b.i || '|' || c.i, COUNT(*), 3.0
+    FROM pmb a JOIN pmb b ON a.g = b.g AND a.i < b.i
+               JOIN pmb c ON c.g = a.g AND b.i < c.i
+    GROUP BY a.i || '|' || b.i || '|' || c.i HAVING COUNT(*) >= 5
 """
 
 
@@ -780,7 +872,14 @@ def dedup_exact_events(spark, sf_dir):
 
     skew: key-distribution diagnostics (profile.key_skew_report) over
     events.user_id — counts, top-10 shares, entropy
-    (DECIMAL-disciplined fold), exact rank-sum gini."""
+    (DECIMAL-disciplined fold), exact rank-sum gini.
+
+    items (r9): A-priori frequent itemsets up to size 3
+    (paths.frequent_itemsets, min_support=5) over the same baskets —
+    the oracle counts each size's sets with plain self-joins + HAVING
+    (downward-closure pruning never changes the supported result set,
+    so the a-priori ladder and the brute count must coincide exactly;
+    every support an exact long)."""
     ev = _t(spark, sf_dir, "events")
     dedup = distinct_rows(ev.select("user_id", "event_type")).select(
         F.lit("dedup").alias("leg"),
@@ -832,6 +931,15 @@ def dedup_exact_events(spark, sf_dir):
         F.col("n_ab").alias("cnt"),
         F.round("pmi", 9).alias("rank"),
     )
+    from d2d_spark.operators.paths import frequent_itemsets
+
+    fi = frequent_itemsets(evf, "user_id", "event_type", min_support=5)
+    items_leg = fi.select(
+        F.lit("items").alias("leg"),
+        F.concat_ws("|", "item_a", "item_b", "item_c").alias("k"),
+        F.col("support").alias("cnt"),
+        F.col("size").cast("double").alias("rank"),
+    )
     from d2d_spark.operators.profile import key_skew_report
 
     rep = key_skew_report(
@@ -849,6 +957,7 @@ def dedup_exact_events(spark, sf_dir):
         dedup.unionByName(trans)
         .unionByName(paths3)
         .unionByName(pmi_leg)
+        .unionByName(items_leg)
         .unionByName(skew)
     )
 

@@ -295,3 +295,79 @@ def test_cooccurrence_pmi_matches_python(spark):
         for n in (1, 7)
     ]
     assert outs[0] == outs[1]
+
+
+# ---------- frequent itemsets (a-priori) ----------
+
+
+def _py_itemsets(baskets, min_support, max_size=3):
+    from itertools import combinations
+
+    sets = [sorted(set(b)) for b in baskets]
+    out = {}
+    for size in range(1, max_size + 1):
+        counts = {}
+        for b in sets:
+            for c in combinations(b, size):
+                counts[c] = counts.get(c, 0) + 1
+        for c, n in counts.items():
+            if n >= min_support:
+                out[c] = n
+    return out
+
+
+def test_frequent_itemsets_matches_python(spark):
+    from d2d_spark.operators.paths import frequent_itemsets
+
+    baskets = [
+        ["milk", "bread", "butter"],
+        ["milk", "bread"],
+        ["milk", "beer"],
+        ["bread", "butter", "beer"],
+        ["milk", "bread", "butter", "beer"],
+        ["milk"],
+        ["jam"],
+    ]
+    rows = [(g, i) for g, b in enumerate(baskets) for i in b]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = {}
+    for r in frequent_itemsets(df, "basket", "item", min_support=2).collect():
+        items = tuple(x for x in (r["item_a"], r["item_b"], r["item_c"]) if x is not None)
+        assert len(items) == r["size"] and list(items) == sorted(items)
+        got[items] = r["support"]
+    assert got == _py_itemsets(baskets, 2)
+    # presence-based: duplicate items in a basket count once
+    dup = spark.createDataFrame(rows + [(0, "milk")], "basket long, item string")
+    got2 = {
+        tuple(x for x in (r["item_a"], r["item_b"], r["item_c"]) if x): r["support"]
+        for r in frequent_itemsets(dup, "basket", "item", min_support=2).collect()
+    }
+    assert got2 == got
+
+
+def test_frequent_itemsets_sizes_and_guards(spark):
+    from d2d_spark.operators.paths import frequent_itemsets
+
+    rows = [(g, i) for g, b in enumerate([["a", "b", "c"], ["a", "b", "c"], ["a"]]) for i in b]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    only1 = frequent_itemsets(df, "basket", "item", min_support=2, max_size=1)
+    assert {r["size"] for r in only1.collect()} == {1}
+    upto2 = frequent_itemsets(df, "basket", "item", min_support=2, max_size=2)
+    assert {r["size"] for r in upto2.collect()} == {1, 2}
+    full = {
+        (r["item_a"], r["item_b"], r["item_c"]): r["support"]
+        for r in frequent_itemsets(df, "basket", "item", min_support=2).collect()
+        if r["size"] == 3
+    }
+    assert full == {("a", "b", "c"): 2}
+    with pytest.raises(ValueError, match="min_support"):
+        frequent_itemsets(df, "basket", "item", min_support=0)
+    with pytest.raises(ValueError, match="max_size"):
+        frequent_itemsets(df, "basket", "item", max_size=4)
+    whale = spark.createDataFrame(
+        [(1, f"i{j}") for j in range(40)], "basket long, item string"
+    )
+    with pytest.raises(ValueError, match="distinct items"):
+        frequent_itemsets(whale, "basket", "item", max_items_per_group=30)
+    empty = spark.createDataFrame([], "basket long, item string")
+    assert frequent_itemsets(empty, "basket", "item").count() == 0

@@ -652,3 +652,101 @@ def test_sessionize_matches_python_and_session_agg(spark, sf_dir):
         ).collect()
     }
     assert mine == theirs and mine
+
+
+# ---------- debounce / throttle ----------
+
+
+def test_debounce_keeps_burst_firsts(spark):
+    from d2d_spark.operators.timeseries import debounce_events, sessionize
+
+    rows = [
+        ("a", 0.0, 1), ("a", 1.0, 2), ("a", 2.0, 3),   # one burst (gaps <= 2)
+        ("a", 10.0, 4), ("a", 11.5, 5),                 # second burst
+        ("b", 0.0, 6), ("b", 3.0, 7),                   # gap 3 > 2: two bursts
+    ]
+    df = spark.createDataFrame(rows, "k string, t double, e int")
+    got = sorted(r["e"] for r in debounce_events(df, ["k"], "t", 2.0).collect())
+    assert got == [1, 4, 6, 7]
+    # debounce IS "rows where session_start == ts" (same gap rule)
+    se = sessionize(df, ["k"], "t", 2.0)
+    starts = sorted(r["e"] for r in se.filter("t = session_start").collect())
+    assert got == starts
+    # exact-gap events CONTINUE the burst (sessionize convention)
+    df2 = spark.createDataFrame([("a", 0.0, 1), ("a", 2.0, 2)], "k string, t double, e int")
+    assert [r["e"] for r in debounce_events(df2, ["k"], "t", 2.0).collect()] == [1]
+
+
+def _py_throttle_exact(times, gap):
+    kept, last = [], None
+    for t in times:
+        if last is None or t >= last + gap:
+            kept.append(t)
+            last = t
+    return kept
+
+
+def test_throttle_exact_matches_python_and_partitioning(spark):
+    from d2d_spark.operators.timeseries import throttle_events
+
+    times = [0.0, 1.0, 2.5, 2.6, 5.0, 5.1, 7.5, 30.0, 31.0, 32.5]
+    rows = [("a", t, i) for i, t in enumerate(times)] + [("b", 100.0, 99)]
+    df = spark.createDataFrame(rows, "k string, t double, e int")
+    want = _py_throttle_exact(times, 2.5)
+    for n_parts in (1, 7):
+        got = sorted(
+            r["t"]
+            for r in throttle_events(
+                df.repartition(n_parts), ["k"], "t", 2.5, mode="exact"
+            ).filter("k = 'a'").collect()
+        )
+        assert got == want
+    # the singleton key survives untouched, payload intact
+    b = throttle_events(df, ["k"], "t", 2.5, mode="exact").filter("k = 'b'").collect()
+    assert [(r["t"], r["e"]) for r in b] == [(100.0, 99)]
+
+
+def test_throttle_bucket_keeps_earliest_per_bucket(spark):
+    from d2d_spark.operators.timeseries import throttle_events
+
+    rows = [("a", 0.5, 1), ("a", 0.9, 2), ("a", 1.1, 3), ("a", 3.0, 4)]
+    df = spark.createDataFrame(rows, "k string, t double, e int")
+    got = sorted(r["e"] for r in throttle_events(df, ["k"], "t", 1.0).collect())
+    assert got == [1, 3, 4]  # buckets [0,1) [1,2) [3,4)
+    # timestamp flavor against the fixture: one survivor per (key, hour)
+    from d2d_spark.session import read_table
+
+
+def test_throttle_bucket_fixture_hourly(spark, sf_dir):
+    from d2d_spark.operators.timeseries import throttle_events
+    from d2d_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") % 101 == 0)
+    out = throttle_events(
+        ev, ["user_id"], "ts", "1 hour", tiebreak_cols=["event_id"]
+    )
+    chk = out.groupBy("user_id", F.date_trunc("hour", "ts")).count()
+    assert chk.filter("count > 1").count() == 0
+    # survivor = the min-ts event of its bucket
+    joined = out.alias("o").join(
+        ev.alias("e"),
+        (F.col("o.user_id") == F.col("e.user_id"))
+        & (F.date_trunc("hour", F.col("o.ts")) == F.date_trunc("hour", F.col("e.ts")))
+        & (F.col("e.ts") < F.col("o.ts")),
+    )
+    assert joined.count() == 0
+
+
+def test_throttle_guards(spark):
+    from d2d_spark.operators.timeseries import throttle_events
+
+    df = spark.createDataFrame([("a", 1.0, 1)], "k string, t double, e int")
+    with pytest.raises(ValueError, match="mode"):
+        throttle_events(df, ["k"], "t", 1.0, mode="sliding")
+    with pytest.raises(ValueError, match="interval strings"):
+        throttle_events(df, ["k"], "t", "1 hour")
+    with pytest.raises(ValueError, match="interval must be > 0"):
+        throttle_events(df, ["k"], "t", 0.0)
+    dup = spark.createDataFrame([("a", 1.0, 1), ("a", 1.0, 2)], "k string, t double, e int")
+    with pytest.raises(ValueError, match="duplicate"):
+        throttle_events(dup, ["k"], "t", 1.0, mode="exact")
