@@ -1298,3 +1298,196 @@ def ewma_stream_state(spark: SparkSession, state_dir: str):
         os.path.join(state_dir, f"state_after_batch_{max(ids)}", "carry")
     )
     return pts, carry
+
+
+def stream_attribution_sink(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    conversion_states,
+    touch_states,
+    state_dir: str,
+    checkpoint_path: str,
+    lookback: str | None = None,
+    include_unattributed: bool = False,
+):
+    """Maintain LAST-TOUCH attribution continuously over an event
+    stream — the streaming twin of operators/attribution.attribution
+    (model='last_touch' is the one model whose sufficient state is a
+    single row per key: only the LATEST qualifying touch can ever win
+    a future conversion, and if the latest is outside the lookback so
+    is every older one; first/linear/decay/position need the full
+    window and stay batch). Stream output ≡ the batch operator over
+    everything seen, at every prefix (test-pinned).
+
+    Per batch: the carried latest touch per key re-enters as a
+    synthetic touch row, the batch operator runs over carry ∪ batch,
+    attributed conversions persist under the batch id (``points``)
+    and the new carry (key, last_ts, touch_ts, touch_state) replaces
+    the old. Late rows (a key's event at or before its carried
+    last_ts) are refused loudly — the in-order contract every carry
+    sink shares; same batch-id-keyed replay + one-checkpoint-lifetime
+    refusals as the Bloom/CMS/CDC/SCD2/EWMA/transition sinks. State:
+    ONE row per key."""
+    import os
+    import re
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from d2d_spark.operators.attribution import attribution as batch_attribution
+
+    spark = df.sparkSession
+    _require_local_state_dir("stream_attribution_sink", state_dir)
+    os.makedirs(state_dir, exist_ok=True)
+    pat = re.compile(r"^state_after_batch_(\d+)$")
+    state_ids = [
+        int(pat.match(n).group(1)) for n in os.listdir(state_dir) if pat.match(n)
+    ]
+    ckpt_local = _local_path(checkpoint_path)
+    checkpoint_is_fresh = ckpt_local is not None and not os.path.isdir(
+        os.path.join(ckpt_local, "offsets")
+    )
+    if checkpoint_is_fresh and state_ids:
+        raise ValueError(
+            f"stream_attribution_sink: checkpoint {checkpoint_path!r} is fresh "
+            f"but state_dir {state_dir!r} holds attribution state from a "
+            "previous checkpoint lifetime — use a fresh state_dir, or restore "
+            "the original checkpoint."
+        )
+    if ckpt_local is not None and not checkpoint_is_fresh and not state_ids:
+        raise ValueError(
+            f"stream_attribution_sink: checkpoint {checkpoint_path!r} is "
+            f"resuming but state_dir {state_dir!r} has no attribution state — "
+            "carried touches from processed batches would be silently lost. "
+            "Restore the state files or start over with a fresh checkpoint."
+        )
+
+    def _load_carry(batch_id: int):
+        prior = [
+            int(pat.match(n).group(1))
+            for n in os.listdir(state_dir)
+            if pat.match(n) and int(pat.match(n).group(1)) < batch_id
+        ]
+        if not prior:
+            return None
+        return spark.read.parquet(
+            os.path.join(state_dir, f"state_after_batch_{max(prior)}", "carry")
+        )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        carry = _load_carry(batch_id)
+        src = batch_df.select(
+            F.col(key_col).alias("key"),
+            F.col(ts_col).alias("ts"),
+            F.col(state_col).alias("state"),
+        )
+        if carry is not None:
+            late = (
+                src.groupBy("key")
+                .agg(F.min("ts").alias("__first"))
+                .join(carry.select("key", "last_ts"), "key")
+                .filter(F.col("__first") <= F.col("last_ts"))
+                .limit(1)
+                .collect()
+            )
+            if late:
+                raise ValueError(
+                    f"stream_attribution_sink: key {late[0]['key']!r} has a "
+                    f"batch event at {late[0]['__first']} at or before its "
+                    f"carried last_ts {late[0]['last_ts']} — events must "
+                    "arrive in per-key time order; re-sequence upstream"
+                )
+            synth = carry.filter(F.col("touch_ts").isNotNull()).select(
+                "key",
+                F.col("touch_ts").alias("ts"),
+                F.col("touch_state").alias("state"),
+            )
+            folded = src.unionByName(synth)
+        else:
+            folded = src
+        pts = batch_attribution(
+            folded,
+            "key",
+            "ts",
+            "state",
+            conversion_states,
+            touch_states,
+            model="last_touch",
+            lookback=lookback,
+            include_unattributed=include_unattributed,
+            # validate=True: the synthetic carry rows can never collide
+            # (one per key, strictly before every batch event by the
+            # late check), so the probe still catches in-batch ties and
+            # NULLs — the same per-batch cost the EWMA sink pays
+        )
+        # conversions are batch rows only (the synthetic carry row is
+        # always a touch), so pts is exactly this batch's output
+        tch = folded.filter(F.col("state").isin(list(touch_states)))
+        new_touch = tch.groupBy("key").agg(
+            F.max(F.struct("ts", "state")).alias("__t")
+        ).select(
+            "key",
+            F.col("__t.ts").alias("touch_ts"),
+            F.col("__t.state").alias("touch_state"),
+        )
+        batch_last = src.groupBy("key").agg(F.max("ts").alias("last_ts"))
+        new_carry = batch_last.join(new_touch, "key", "left")
+        if carry is not None:
+            merged = (
+                carry.select(
+                    "key",
+                    F.col("last_ts").alias("__plast"),
+                    F.col("touch_ts").alias("__pt"),
+                    F.col("touch_state").alias("__ps"),
+                )
+                .join(new_carry, "key", "full")
+                .select(
+                    "key",
+                    F.greatest(F.col("last_ts"), F.col("__plast")).alias("last_ts"),
+                    F.coalesce("touch_ts", "__pt").alias("touch_ts"),
+                    F.coalesce(
+                        F.when(F.col("touch_ts").isNotNull(), F.col("touch_state")),
+                        F.col("__ps"),
+                    ).alias("touch_state"),
+                )
+            )
+            new_carry = merged
+        final = os.path.join(state_dir, f"state_after_batch_{batch_id}")
+        tmp = final + ".tmp"
+        pts.write.mode("overwrite").parquet(os.path.join(tmp, "points"))
+        new_carry.write.mode("overwrite").parquet(os.path.join(tmp, "carry"))
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+
+    q = (
+        df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def attribution_stream_state(spark: SparkSession, state_dir: str):
+    """(points, carry) from a `stream_attribution_sink` state dir —
+    points = every batch's attributed conversions (batch dirs are
+    replay-overwritten, so the union is consistent), carry = the
+    newest per-key latest-touch state; (None, None) if empty."""
+    import os
+    import re
+
+    pat = re.compile(r"^state_after_batch_(\d+)$")
+    ids = [int(pat.match(n).group(1)) for n in os.listdir(state_dir) if pat.match(n)]
+    if not ids:
+        return None, None
+    pts = spark.read.parquet(
+        *[os.path.join(state_dir, f"state_after_batch_{i}", "points") for i in ids]
+    )
+    carry = spark.read.parquet(
+        os.path.join(state_dir, f"state_after_batch_{max(ids)}", "carry")
+    )
+    return pts, carry

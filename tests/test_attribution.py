@@ -185,3 +185,87 @@ def test_guards(spark):
     )
     with pytest.raises(ValueError, match="date"):
         attribution(ts_df, "k", "t", "s", CONV, TCH)
+
+
+def test_stream_attribution_sink_equals_batch(spark, tmp_path):
+    """Stream-maintained last-touch attribution EXACTLY equals the
+    batch operator over everything seen, at EVERY drop prefix —
+    including a conversion whose winning touch arrived in an EARLIER
+    batch (the carry stitch) and a conversion whose carried touch is
+    outside the lookback (direct bucket). Late data refused loudly."""
+    from pyspark.sql import types as T
+
+    from d2d_spark.streaming.filestream import (
+        attribution_stream_state,
+        file_stream,
+        stream_attribution_sink,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("u", T.StringType()),
+            T.StructField("t", T.DoubleType()),
+            T.StructField("s", T.StringType()),
+        ]
+    )
+    drops = [
+        ("d1", [("a", 1.0, "view"), ("a", 3.0, "click"), ("b", 1.0, "view")]),
+        # a converts at 4 -> credited to click@3 (same-prefix);
+        # b converts at 30 -> its only touch view@1 is OUTSIDE the
+        # 10s lookback -> direct bucket
+        ("d2", [("a", 4.0, "purchase"), ("b", 30.0, "purchase")]),
+        # a converts again at 6: the winning touch click@3 arrived
+        # TWO batches ago (the carry stitch); c never converts
+        ("d3", [("a", 6.0, "purchase"), ("c", 1.0, "view")]),
+    ]
+    seen = []
+    for name, rows in drops:
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+            str(src / name)
+        )
+        seen.extend(rows)
+        stream = file_stream(spark, str(src) + "/*", schema)
+        stream_attribution_sink(
+            stream, "u", "t", "s", ["purchase"], ["view", "click"],
+            state, ckpt, lookback="10 seconds", include_unattributed=True,
+        )
+        pts, carry = attribution_stream_state(spark, state)
+        got = {
+            (r["key"], r["conv_ts"], r["touch_ts"], r["touch_state"], r["credit"])
+            for r in pts.collect()
+        }
+        want = {
+            (r["u"], r["conv_ts"], r["touch_ts"], r["touch_state"], r["credit"])
+            for r in attribution(
+                spark.createDataFrame(seen, schema), "u", "t", "s",
+                ["purchase"], ["view", "click"], model="last_touch",
+                lookback="10 seconds", include_unattributed=True,
+            ).collect()
+        }
+        assert got == want, name
+    # the stitched conversion exists and credits the old click
+    assert ("a", 6.0, 3.0, "click", 1.0) in got
+    # b@30's direct row exists (carried touch outside the lookback)
+    assert ("b", 30.0, None, None, 1.0) in got
+    # carry holds each key's latest touch + last event ts
+    carried = {r["key"]: (r["last_ts"], r["touch_ts"], r["touch_state"])
+               for r in carry.collect()}
+    assert carried == {
+        "a": (6.0, 3.0, "click"),
+        "b": (30.0, 1.0, "view"),
+        "c": (1.0, 1.0, "view"),
+    }
+    # late data (at or before the carry) is refused
+    spark.createDataFrame([("a", 6.0, "view")], schema).write.mode(
+        "overwrite"
+    ).parquet(str(src / "d4"))
+    stream = file_stream(spark, str(src) + "/*", schema)
+    with pytest.raises(Exception, match="per-key time order"):
+        stream_attribution_sink(
+            stream, "u", "t", "s", ["purchase"], ["view", "click"],
+            state, ckpt, lookback="10 seconds", include_unattributed=True,
+        )
