@@ -813,3 +813,176 @@ def throttle_events(
     return ex.select(
         *keys, *[F.col(f"__z.r.{c}").alias(c) for c in rest]
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    alpha: float,
+    beta: float,
+    level_col: str = "level",
+    trend_col: str = "trend",
+    validate: bool = True,
+    max_rows_per_key: int = 100_000,
+) -> DataFrame:
+    """Holt's linear (double exponential) smoothing per key — the
+    trend-aware sibling of `ewma` (Holt 1957):
+
+        l_1 = x_1,  b_1 = 0
+        l_t = alpha*x_t + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+
+    Appends ``level_col``/``trend_col``; the one-step-ahead forecast
+    is level + trend of the PREVIOUS row, a lag away. The float ops
+    are pinned to exactly the expressions above, so any engine
+    replaying the recurrence (a recursive CTE, a Python loop)
+    reproduces every value bit-for-bit. NULL values emit NULL for
+    their row and leave (level, trend) untouched — the ewma gap
+    convention.
+
+    Spark shape and caveat: the same sorted JVM fold as `ewma`
+    (inherently sequential per key; the array-append fold is
+    quadratic in element copies), guarded by the same deliberately
+    tight 100k whale cap — resample to a bounded grid first."""
+    for name, v in (("alpha", alpha), ("beta", beta)):
+        if not (0.0 < v <= 1.0):
+            raise ValueError(f"holt_linear: {name} must be in (0, 1], got {v}")
+    for c in (level_col, trend_col):
+        if c in df.columns:
+            raise ValueError(
+                f"holt_linear: input already has a column named {c!r}; rename one side"
+            )
+    keys = list(key_cols)
+    if validate:
+        _probe_series(df, keys, order_col, "holt_linear", max_rows_per_key)
+    rest = [c for c in df.columns if c not in keys]
+    arr = F.sort_array(
+        F.collect_list(F.struct(F.col(order_col).alias("__o"), F.struct(*rest).alias("__r")))
+    )
+    g = df.groupBy(*keys).agg(arr.alias("__s"))
+    a, one_a = float(alpha), float(1.0 - alpha)
+    b, one_b = float(beta), float(1.0 - beta)
+
+    def step(acc, s):
+        x = s["__r"][value_col].cast("double")
+        lvl, tr = acc["l"], acc["b"]
+        started = lvl.isNotNull()
+        new_l = F.when(x.isNull(), lvl).otherwise(
+            F.when(
+                started, F.lit(a) * x + F.lit(one_a) * (lvl + tr)
+            ).otherwise(x)
+        )
+        new_b = F.when(x.isNull(), tr).otherwise(
+            F.when(
+                started, F.lit(b) * (new_l - lvl) + F.lit(one_b) * tr
+            ).otherwise(F.lit(0.0))
+        )
+        y = F.when(
+            x.isNull(),
+            F.lit(None).cast("struct<l:double,b:double>"),
+        ).otherwise(F.struct(new_l.alias("l"), new_b.alias("b")))
+        return F.struct(
+            F.concat(acc["ys"], F.array(y)).alias("ys"),
+            new_l.alias("l"),
+            new_b.alias("b"),
+        )
+
+    init_acc = F.struct(
+        F.expr("CAST(array() AS array<struct<l:double,b:double>>)").alias("ys"),
+        F.lit(None).cast("double").alias("l"),
+        F.lit(None).cast("double").alias("b"),
+    )
+    ys = F.aggregate(F.col("__s"), init_acc, step)["ys"]
+    zipped = F.zip_with(
+        F.col("__s"), ys, lambda s, y: F.struct(s["__r"].alias("r"), y.alias("y"))
+    )
+    ex = g.select(*keys, F.explode(zipped).alias("__z"))
+    return ex.select(
+        *keys,
+        *[F.col(f"__z.r.{c}").alias(c) for c in rest],
+        F.col("__z.y.l").alias(level_col),
+        F.col("__z.y.b").alias(trend_col),
+    )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    target: float,
+    slack: float = 0.5,
+    threshold: float = 5.0,
+    validate: bool = True,
+    max_rows_per_key: int = 100_000,
+) -> DataFrame:
+    """Two-sided CUSUM change detection per key (Page 1954) — the
+    sequential shift detector next to the rolling z-score's windowed
+    one:
+
+        sp_t = max(0, sp_{t-1} + ((x_t - target) - slack))
+        sn_t = max(0, sn_{t-1} + ((target - x_t) - slack))
+
+    flag = sp > threshold OR sn > threshold (an upward/downward mean
+    shift has accumulated past the decision interval). Appends
+    cusum_pos / cusum_neg / is_shift. ``target`` is the in-control
+    reference mean (pass a constant from domain knowledge or a
+    trailing baseline — a data-derived global mean would make the
+    flags partitioning-sensitive through float reduction order, so
+    the operator takes the NUMBER, not a column). NULL values emit
+    NULL and leave both sums untouched. Float ops pinned to exactly
+    the expressions above (recursive-CTE-replayable). Same sequential
+    sorted-fold shape and 100k whale cap as ewma/holt."""
+    if slack < 0.0:
+        raise ValueError(f"cusum_changepoints: slack must be >= 0, got {slack}")
+    if threshold <= 0.0:
+        raise ValueError(f"cusum_changepoints: threshold must be > 0, got {threshold}")
+    keys = list(key_cols)
+    if validate:
+        _probe_series(df, keys, order_col, "cusum_changepoints", max_rows_per_key)
+    rest = [c for c in df.columns if c not in keys]
+    arr = F.sort_array(
+        F.collect_list(F.struct(F.col(order_col).alias("__o"), F.struct(*rest).alias("__r")))
+    )
+    g = df.groupBy(*keys).agg(arr.alias("__s"))
+    t, k = float(target), float(slack)
+
+    def step(acc, s):
+        x = s["__r"][value_col].cast("double")
+        sp = F.when(x.isNull(), acc["sp"]).otherwise(
+            F.greatest(F.lit(0.0), acc["sp"] + ((x - F.lit(t)) - F.lit(k)))
+        )
+        sn = F.when(x.isNull(), acc["sn"]).otherwise(
+            F.greatest(F.lit(0.0), acc["sn"] + ((F.lit(t) - x) - F.lit(k)))
+        )
+        y = F.when(
+            x.isNull(), F.lit(None).cast("struct<p:double,n:double>")
+        ).otherwise(F.struct(sp.alias("p"), sn.alias("n")))
+        return F.struct(
+            F.concat(acc["ys"], F.array(y)).alias("ys"),
+            sp.alias("sp"),
+            sn.alias("sn"),
+        )
+
+    init_acc = F.struct(
+        F.expr("CAST(array() AS array<struct<p:double,n:double>>)").alias("ys"),
+        F.lit(0.0).alias("sp"),
+        F.lit(0.0).alias("sn"),
+    )
+    ys = F.aggregate(F.col("__s"), init_acc, step)["ys"]
+    zipped = F.zip_with(
+        F.col("__s"), ys, lambda s, y: F.struct(s["__r"].alias("r"), y.alias("y"))
+    )
+    ex = g.select(*keys, F.explode(zipped).alias("__z"))
+    th = float(threshold)
+    return ex.select(
+        *keys,
+        *[F.col(f"__z.r.{c}").alias(c) for c in rest],
+        F.col("__z.y.p").alias("cusum_pos"),
+        F.col("__z.y.n").alias("cusum_neg"),
+        (
+            (F.col("__z.y.p") > F.lit(th)) | (F.col("__z.y.n") > F.lit(th))
+        ).alias("is_shift"),
+    )

@@ -290,6 +290,54 @@ def windowed_aggs_events(spark, sf_dir):
       )
       SELECT event_type, d, n, y FROM rec
     )
+    UNION ALL
+    SELECT 'holt', event_type, strftime(d, '%Y-%m-%d'), CAST(NULL AS VARCHAR),
+           n, round(l, 9), round(b, 9), CAST(NULL AS BOOLEAN)
+    FROM (
+      WITH RECURSIVE hbase AS MATERIALIZED (
+        SELECT event_type, d, n,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+        FROM (SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+              FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
+      ),
+      hrec AS (
+        -- anchor 0.0 must be an explicit DOUBLE: a bare 0.0 types the
+        -- column DECIMAL(2,1) and the recursion quantizes every trend
+        SELECT event_type, d, n, rn, CAST(n AS DOUBLE) AS l,
+               CAST(0.0 AS DOUBLE) AS b
+        FROM hbase WHERE rn = 1
+        UNION ALL
+        SELECT x.event_type, x.d, x.n, x.rn,
+               0.25 * CAST(x.n AS DOUBLE) + 0.75 * (r.l + r.b),
+               0.5 * ((0.25 * CAST(x.n AS DOUBLE) + 0.75 * (r.l + r.b)) - r.l)
+               + 0.5 * r.b
+        FROM hrec r JOIN hbase x ON x.event_type = r.event_type AND x.rn = r.rn + 1
+      )
+      SELECT event_type, d, n, l, b FROM hrec
+    )
+    UNION ALL
+    SELECT 'cusum', event_type, strftime(d, '%Y-%m-%d'), CAST(NULL AS VARCHAR),
+           n, round(sp, 9), round(sn, 9), sp > 20.0 OR sn > 20.0
+    FROM (
+      WITH RECURSIVE cbase AS MATERIALIZED (
+        SELECT event_type, d, n,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+        FROM (SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+              FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
+      ),
+      crec AS (
+        SELECT event_type, d, n, rn,
+               greatest(0.0, 0.0 + ((CAST(n AS DOUBLE) - 50.0) - 5.0)) AS sp,
+               greatest(0.0, 0.0 + ((50.0 - CAST(n AS DOUBLE)) - 5.0)) AS sn
+        FROM cbase WHERE rn = 1
+        UNION ALL
+        SELECT x.event_type, x.d, x.n, x.rn,
+               greatest(0.0, r.sp + ((CAST(x.n AS DOUBLE) - 50.0) - 5.0)),
+               greatest(0.0, r.sn + ((50.0 - CAST(x.n AS DOUBLE)) - 5.0))
+        FROM crec r JOIN cbase x ON x.event_type = r.event_type AND x.rn = r.rn + 1
+      )
+      SELECT event_type, d, n, sp, sn FROM crec
+    )
     """,
     tags=("streaming", "window", "session", "rolling", "ewma", "zscore"),
 )
@@ -418,7 +466,46 @@ def session_windows_per_user(spark, sf_dir):
         nd.alias("z"),
         nb.alias("flag"),
     )
-    return sess.unionAll(sess_ev).unionAll(roll_leg).unionAll(ewma_leg)
+    # holt / cusum (r9): the other two sequential folds over the SAME
+    # daily frame — Holt's level+trend recurrence (alpha=0.25,
+    # beta=0.5; both exact binary) and two-sided CUSUM shift sums
+    # (target=50, slack=5, threshold=20 — integer inputs keep every
+    # sum an exact whole double, so the shift FLAG is engine-exact) —
+    # each replayed by its own recursive CTE, floats at 9 dp
+    from d2d_spark.operators.timeseries import cusum_changepoints, holt_linear
+
+    ho = holt_linear(daily, ["event_type"], "d", "n", 0.25, 0.5, validate=False)
+    holt_leg = ho.select(
+        F.lit("holt").alias("kind"),
+        F.col("event_type").alias("uid"),
+        F.date_format("d", "yyyy-MM-dd").alias("t"),
+        ns.alias("t2"),
+        F.col("n").alias("n_events"),
+        F.round("level", 9).alias("x"),
+        F.round("trend", 9).alias("z"),
+        nb.alias("flag"),
+    )
+    cu = cusum_changepoints(
+        daily, ["event_type"], "d", "n",
+        target=50.0, slack=5.0, threshold=20.0, validate=False,
+    )
+    cusum_leg = cu.select(
+        F.lit("cusum").alias("kind"),
+        F.col("event_type").alias("uid"),
+        F.date_format("d", "yyyy-MM-dd").alias("t"),
+        ns.alias("t2"),
+        F.col("n").alias("n_events"),
+        F.round("cusum_pos", 9).alias("x"),
+        F.round("cusum_neg", 9).alias("z"),
+        F.col("is_shift").alias("flag"),
+    )
+    return (
+        sess.unionAll(sess_ev)
+        .unionAll(roll_leg)
+        .unionAll(ewma_leg)
+        .unionAll(holt_leg)
+        .unionAll(cusum_leg)
+    )
 
 
 @query(

@@ -750,3 +750,95 @@ def test_throttle_guards(spark):
     dup = spark.createDataFrame([("a", 1.0, 1), ("a", 1.0, 2)], "k string, t double, e int")
     with pytest.raises(ValueError, match="duplicate"):
         throttle_events(dup, ["k"], "t", 1.0, mode="exact")
+
+
+# ---------- Holt linear trend / CUSUM ----------
+
+
+def _py_holt(rows_k, a, b):
+    out, lvl, tr = {}, None, None
+    for t, x in rows_k:
+        if x is None:
+            out[t] = (None, None)
+            continue
+        if lvl is None:
+            lvl, tr = x, 0.0
+        else:
+            new_l = a * x + (1.0 - a) * (lvl + tr)
+            tr = b * (new_l - lvl) + (1.0 - b) * tr
+            lvl = new_l
+        out[t] = (lvl, tr)
+    return out
+
+
+def test_holt_linear_matches_recurrence_bit_for_bit(spark):
+    from d2d_spark.operators.timeseries import holt_linear
+
+    df = _series_df(spark, ROWS)
+    by_key = {}
+    for k, t, x in ROWS:
+        by_key.setdefault(k, []).append((t, x))
+    for k in by_key:
+        by_key[k].sort()
+    for a, b in ((0.5, 0.3), (0.25, 0.25), (1.0, 1.0)):
+        for n_parts in (1, 7):
+            got = holt_linear(df.repartition(n_parts), ["k"], "t", "x", a, b).collect()
+            assert len(got) == len(ROWS)
+            for r in got:
+                wl, wt = _py_holt(by_key[r["k"]], a, b)[r["t"]]
+                assert r["level"] == wl and r["trend"] == wt, (r["k"], r["t"], a, b)
+    # trend tracks a clean linear ramp: level converges onto the line
+    ramp = [("r", i, 10.0 + 3.0 * i) for i in range(50)]
+    out = {r["t"]: r for r in holt_linear(
+        _series_df(spark, ramp), ["k"], "t", "x", 0.5, 0.5).collect()}
+    assert abs(out[49]["trend"] - 3.0) < 1e-6
+    assert abs(out[49]["level"] - (10.0 + 3.0 * 49)) < 1e-3
+    with pytest.raises(ValueError, match="alpha"):
+        holt_linear(df, ["k"], "t", "x", 0.0, 0.5)
+    with pytest.raises(ValueError, match="beta"):
+        holt_linear(df, ["k"], "t", "x", 0.5, 1.5)
+    with pytest.raises(ValueError, match="already has"):
+        holt_linear(df.withColumn("level", F.lit(1)), ["k"], "t", "x", 0.5, 0.5)
+
+
+def _py_cusum(rows_k, t, k, h):
+    out, sp, sn = {}, 0.0, 0.0
+    for o, x in rows_k:
+        if x is None:
+            out[o] = (None, None, None)
+            continue
+        sp = max(0.0, sp + ((x - t) - k))
+        sn = max(0.0, sn + ((t - x) - k))
+        out[o] = (sp, sn, sp > h or sn > h)
+    return out
+
+
+def test_cusum_matches_recurrence_and_detects_shift(spark):
+    from d2d_spark.operators.timeseries import cusum_changepoints
+
+    df = _series_df(spark, ROWS)
+    by_key = {}
+    for k, t, x in ROWS:
+        by_key.setdefault(k, []).append((t, x))
+    for k in by_key:
+        by_key[k].sort()
+    for n_parts in (1, 7):
+        got = cusum_changepoints(
+            df.repartition(n_parts), ["k"], "t", "x", target=10.0, slack=1.0,
+            threshold=5.0,
+        ).collect()
+        for r in got:
+            wp, wn, wf = _py_cusum(by_key[r["k"]], 10.0, 1.0, 5.0)[r["t"]]
+            assert (r["cusum_pos"], r["cusum_neg"], r["is_shift"]) == (wp, wn, wf)
+    # a planted level shift fires the positive side, and only after it
+    shifted = [("s", i, 10.0) for i in range(10)] + [("s", i, 14.0) for i in range(10, 20)]
+    out = {r["t"]: r for r in cusum_changepoints(
+        _series_df(spark, shifted), ["k"], "t", "x", target=10.0, slack=1.0,
+        threshold=5.0).collect()}
+    assert not any(out[i]["is_shift"] for i in range(10))
+    assert out[12]["is_shift"]  # (14-10-1)*2 = 6 > 5 by the 3rd shifted point
+    assert all(out[i]["is_shift"] for i in range(12, 20))
+    with pytest.raises(ValueError, match="slack"):
+        cusum_changepoints(df, ["k"], "t", "x", target=0.0, slack=-1.0)
+    with pytest.raises(ValueError, match="threshold"):
+        cusum_changepoints(df, ["k"], "t", "x", target=0.0, threshold=0.0)
