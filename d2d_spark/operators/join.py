@@ -424,3 +424,84 @@ def golden_record(
             agg = F.count(col)
         aggs.append(agg.alias(c))
     return df.groupBy(*key_cols).agg(*aggs)
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_cols: list[str] | None,
+    start_col: str,
+    end_col: str,
+    tolerance: float | str = 0,
+    validate: bool = True,
+) -> DataFrame:
+    """Coalesce overlapping (or within-``tolerance``) intervals per
+    key into their union — the gaps-and-islands companion of
+    interval_overlap_join (that one PAIRS intervals; this one UNIONS
+    them: merging outage windows, de-overlapping annotation spans,
+    stitching sessions). Closed endpoints: [1,3] and [3,5] merge;
+    with tolerance t, a gap of exactly t still merges ([1,3],[5,7] at
+    t=2). Returns (keys..., start_col, end_col, n_merged) — one row
+    per merged island, end = max end seen (containment-safe: [1,10],
+    [2,3] yields [1,10]).
+
+    ``tolerance``: a number for numeric bounds, an interval string
+    ('5 minutes') for timestamps. NULL or reversed (start > end)
+    intervals are REFUSED (one aggregate probe) — silently dropping
+    them would report unions over data that was never unioned; filter
+    upstream deliberately, or pass validate=False after doing so.
+
+    Spark shape: ONE key shuffle — sort by (start, end), an island
+    starts where start exceeds the running max of prior ends (+
+    tolerance), islands number by running sum, then one groupBy on
+    (keys, island). The classic pattern, partitioning-deterministic
+    because the running max is order-insensitive to ties."""
+    from pyspark.sql import Window
+
+    keys = list(key_cols or [])
+    if validate:
+        any_bad = (
+            F.col(start_col).isNull()
+            | F.col(end_col).isNull()
+            | (F.col(start_col) > F.col(end_col))
+        )
+        for c in keys:
+            any_bad = any_bad | F.col(c).isNull()
+        bad = df.agg(F.max(any_bad).alias("bad")).first()
+        if bad["bad"]:
+            raise ValueError(
+                "merge_intervals: NULL keys/bounds or reversed (start > end) "
+                "intervals — a union over undefined intervals is undefined; "
+                "filter or repair upstream (validate=False after doing so)"
+            )
+    if isinstance(tolerance, str):
+        tol = F.expr(f"INTERVAL {tolerance}")
+    else:
+        if float(tolerance) < 0:
+            raise ValueError(f"merge_intervals: tolerance must be >= 0, got {tolerance}")
+        # keep integral tolerances as INT literals: DATE bounds add
+        # whole days only (date_add rejects a double), and numeric
+        # bounds promote an int fine either way
+        tol = (
+            F.lit(int(tolerance))
+            if float(tolerance).is_integer()
+            else F.lit(float(tolerance))
+        )
+    w_prev = (
+        Window.partitionBy(*keys)
+        .orderBy(start_col, end_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(*keys)
+        .orderBy(start_col, end_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_max_end = F.max(F.col(end_col)).over(w_prev)
+    boundary = prev_max_end.isNull() | (F.col(start_col) > prev_max_end + tol)
+    island = F.sum(boundary.cast("int")).over(w_run)
+    grouped = df.withColumn("__island", island).groupBy(*keys, "__island").agg(
+        F.min(start_col).alias(start_col),
+        F.max(end_col).alias(end_col),
+        F.count(F.lit(1)).alias("n_merged"),
+    )
+    return grouped.drop("__island")

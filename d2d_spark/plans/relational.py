@@ -1832,8 +1832,25 @@ def asof_join_click_purchase(spark, sf_dir):
                 AS DOUBLE) AS total
     FROM L JOIN R ON L.k = R.k AND L.s <= R.e AND R.s <= L.e
     GROUP BY L.k
+    UNION ALL
+    SELECT 'merge' AS leg,
+           CAST(k AS VARCHAR) || '@' || strftime(ms, '%Y-%m-%d') AS k,
+           nm AS n, CAST(date_diff('day', ms, me) AS DOUBLE) AS total
+    FROM (
+      SELECT k, isl, MIN(s) AS ms, MAX(e) AS me, COUNT(*) AS nm
+      FROM (
+        SELECT k, s, e,
+               SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY k ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        FROM (SELECT k, s, e,
+                     MAX(e) OVER (PARTITION BY k ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS pme
+              FROM L))
+      GROUP BY k, isl)
     """,
-    tags=("join", "range", "interval", "overlap"),
+    tags=("join", "range", "interval", "overlap", "merge"),
 )
 def range_interval_join_suite(spark, sf_dir):
     """Two interval-join flavors in one tagged result.
@@ -1847,8 +1864,13 @@ def range_interval_join_suite(spark, sf_dir):
     path (7-day bins): each pair is emitted exactly once, in the bin
     holding the later start — the oracle is the plain theta-join, so
     a double-emit or a missed boundary pair breaks count AND summed
-    overlap length."""
-    from d2d_spark.operators.join import interval_overlap_join
+    overlap length.
+
+    'merge' leg (r9): join.merge_intervals — the gaps-and-islands
+    UNION of the L interval set per key (touching closed endpoints
+    coalesce, containment collapses): one island row with its merged
+    span and member count, vs the running-max-end window replay."""
+    from d2d_spark.operators.join import interval_overlap_join, merge_intervals
 
     o = _t(spark, sf_dir, "orders")
     bands = spark.createDataFrame(
@@ -1891,7 +1913,16 @@ def range_interval_join_suite(spark, sf_dir):
         )
         .select(F.lit("overlap").alias("leg"), F.col("k").cast("string").alias("k"), "n", "total")
     )
-    return band_leg.unionByName(overlap_leg)
+    merged = merge_intervals(intervals(7, 20), ["k"], "s", "e")
+    merge_leg = merged.select(
+        F.lit("merge").alias("leg"),
+        F.concat(
+            F.col("k").cast("string"), F.lit("@"), F.date_format("s", "yyyy-MM-dd")
+        ).alias("k"),
+        F.col("n_merged").alias("n"),
+        F.datediff("e", "s").cast("double").alias("total"),
+    )
+    return band_leg.unionByName(overlap_leg).unionByName(merge_leg)
 
 
 @query(

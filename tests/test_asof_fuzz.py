@@ -264,3 +264,81 @@ def test_asof_nearest_microsecond_equidistant_tie_goes_backward(_spark):
         left, right, on="k", left_ts="t", right_ts="rt", direction="nearest"
     ).collect()[0]
     assert r["val"] == 1  # backward wins the exact tie
+
+
+# ---------- merge_intervals ----------
+
+
+def _py_merge(rows, tol):
+    out = {}
+    by = {}
+    for k, s, e in rows:
+        by.setdefault(k, []).append((s, e))
+    for k, ivs in by.items():
+        ivs.sort()
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1] + tol:
+                merged[-1][1] = max(merged[-1][1], e)
+                merged[-1][2] += 1
+            else:
+                merged.append([s, e, 1])
+        out[k] = [tuple(m) for m in merged]
+    return out
+
+
+def test_merge_intervals_matches_python(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from d2d_spark.operators.join import merge_intervals
+
+    rows = [
+        ("a", 1.0, 3.0), ("a", 3.0, 5.0),      # touching: merge
+        ("a", 9.0, 12.0), ("a", 10.0, 11.0),   # containment
+        ("a", 20.0, 21.0),
+        ("b", 1.0, 2.0), ("b", 4.0, 5.0),      # gap 2: apart at tol 0
+    ]
+    df = spark.createDataFrame(rows, "k string, s double, e double")
+    for tol in (0.0, 2.0):
+        got = {}
+        for r in merge_intervals(df.repartition(5), ["k"], "s", "e", tolerance=tol).collect():
+            got.setdefault(r["k"], []).append((r["s"], r["e"], r["n_merged"]))
+        for k in got:
+            got[k].sort()
+        assert got == _py_merge(rows, tol), tol
+    # keyless (global) mode
+    glob = merge_intervals(df, None, "s", "e").collect()
+    assert {(r["s"], r["e"]) for r in glob} == {
+        (1.0, 5.0), (9.0, 12.0), (20.0, 21.0),
+    }
+    # timestamp flavor with an interval-string tolerance
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    tdf = spark.createDataFrame(
+        [
+            ("u", t0, t0 + dt.timedelta(minutes=10)),
+            ("u", t0 + dt.timedelta(minutes=14), t0 + dt.timedelta(minutes=20)),
+            ("u", t0 + dt.timedelta(hours=2), t0 + dt.timedelta(hours=3)),
+        ],
+        "k string, s timestamp, e timestamp",
+    )
+    out = merge_intervals(tdf, ["k"], "s", "e", tolerance="5 minutes").collect()
+    assert sorted((r["s"], r["e"], r["n_merged"]) for r in out) == [
+        (t0, t0 + dt.timedelta(minutes=20), 2),
+        (t0 + dt.timedelta(hours=2), t0 + dt.timedelta(hours=3), 1),
+    ]
+    # guards
+    with pytest.raises(ValueError, match="reversed"):
+        merge_intervals(
+            spark.createDataFrame([("a", 5.0, 1.0)], "k string, s double, e double"),
+            ["k"], "s", "e",
+        )
+    with pytest.raises(ValueError, match="reversed"):
+        merge_intervals(
+            spark.createDataFrame([(None, 1.0, 2.0)], "k string, s double, e double"),
+            ["k"], "s", "e",
+        )
+    with pytest.raises(ValueError, match="tolerance"):
+        merge_intervals(df, ["k"], "s", "e", tolerance=-1.0)
