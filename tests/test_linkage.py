@@ -205,3 +205,80 @@ def test_jaro_winkler_known_values_and_duckdb_parity(spark):
     # NULL propagates as NULL (nullable Float64 round-trip)
     nl = spark.createDataFrame([(None, "x")], "a string, b string")
     assert nl.select(jaro_winkler(F.col("a"), F.col("b")).alias("jw")).first()["jw"] is None
+
+
+def test_entity_resolution_end_to_end(spark):
+    """The full ER story composes: phonetic blocking -> Jaro-Winkler +
+    field agreements -> EM-fitted Fellegi-Sunter scoring -> threshold
+    -> connected-components clustering -> golden-record survivorship.
+    Planted entity groups (name typos, one stale field each) resolve
+    to one golden row per real-world entity; unrelated records stay
+    singletons."""
+    from pyspark.sql import functions as F
+
+    from d2d_spark.functions.scalars import jaro_winkler
+    from d2d_spark.operators.dedup import connected_components, phonetic_blocked_pairs
+    from d2d_spark.operators.join import golden_record
+
+    # three real entities, each 2-3 records with typos/staleness, plus
+    # two unrelated singletons; fields: name, city, phone
+    rows = [
+        (1, "Robert Smith", "Austin", "555-0101", 10),
+        (2, "Robert Smyth", "Austin", "555-0101", 20),   # typo, newer
+        (3, "Rupert Smith", "Dallas", "555-0999", 5),    # sounds alike, DIFFERENT person
+        (4, "Maria Garcia", "Boston", "555-0202", 10),
+        (5, "Maria Garcia", "Boston", None, 30),         # missing phone, newest
+        (6, "Mario Garcia", "Boston", "555-0202", 20),   # typo
+        (7, "Wei Chen", "Seattle", "555-0303", 10),
+        (8, "Wei Chen", "Seatle", "555-0303", 15),       # city typo
+        (9, "Aisha Khan", "Miami", "555-0404", 10),
+    ]
+    df = spark.createDataFrame(rows, "rid long, name string, city string, phone string, ver int")
+    # 1) blocking: soundex on the full name + edit-distance residual
+    cand = phonetic_blocked_pairs(df, "name", "rid", max_dist=3)
+    # 2) agreement vectors over the candidate pairs
+    a = df.select(F.col("rid").alias("id_a"), *[F.col(c).alias(f"{c}_a") for c in ("name", "city", "phone")])
+    b = df.select(F.col("rid").alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in ("name", "city", "phone")])
+    pairs = (
+        cand.join(a, "id_a").join(b, "id_b")
+        .withColumn("g0", (jaro_winkler(F.col("name_a"), F.col("name_b")) > 0.93).cast("int"))
+        .withColumn("g1", (F.col("city_a") == F.col("city_b")).cast("int"))
+        .withColumn(
+            "g2",
+            F.coalesce((F.col("phone_a") == F.col("phone_b")).cast("int"), F.lit(0)),
+        )
+    )
+    # 3) EM fit + score; the fixture is tiny so just seed sensible
+    #    priors and take few rounds — the DECISION threshold is what
+    #    the composition exercises
+    from d2d_spark.operators.linkage import linkage_em, linkage_score
+
+    fit = linkage_em(pairs, ["g0", "g1", "g2"], max_iters=8)
+    scored = linkage_score(pairs, fit)
+    matches = scored.filter(F.col("match_prob") > 0.9).select("id_a", "id_b")
+    # 4) cluster
+    comps = connected_components(matches)
+    clustered = df.join(
+        comps.withColumnRenamed("id", "rid"), "rid", "left"
+    ).withColumn("entity", F.coalesce("component", "rid"))
+    ents = {
+        r["rid"]: r["entity"] for r in clustered.select("rid", "entity").collect()
+    }
+    assert ents[1] == ents[2] and ents[4] == ents[5] == ents[6] and ents[7] == ents[8]
+    # Rupert (3) and Aisha (9) stay their own entities
+    assert ents[3] not in (ents[1], ents[4], ents[7])
+    assert ents[9] not in (ents[1], ents[4], ents[7], ents[3])
+    # 5) golden record: latest-by-version survivorship, phone survives
+    #    the newest row's NULL (latest NON-NULL rule)
+    golden = golden_record(
+        clustered.select("entity", "ver", "name", "city", "phone"),
+        ["entity"],
+        "ver",
+        {"name": "latest", "city": "latest", "phone": "latest"},
+    )
+    g = {r["entity"]: (r["name"], r["city"], r["phone"]) for r in golden.collect()}
+    assert len(g) == 5
+    maria = g[ents[4]]
+    assert maria == ("Maria Garcia", "Boston", "555-0202")  # NULL never overwrites
+    rob = g[ents[1]]
+    assert rob == ("Robert Smyth", "Austin", "555-0101")
