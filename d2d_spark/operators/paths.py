@@ -445,3 +445,120 @@ def frequent_itemsets(
     return out.unionByName(
         l3.select(F.lit(3).alias("size"), "item_a", "item_b", "item_c", "support")
     )
+
+
+def association_rules(
+    itemsets: DataFrame,
+    n_groups: int,
+    min_confidence: float = 0.5,
+) -> DataFrame:
+    """Association rules from a `frequent_itemsets` result (the
+    classic second a-priori stage): for every frequent set, each
+    antecedent => consequent split with
+
+        confidence = support(set) / support(antecedent)
+        lift       = confidence / (support(consequent) / n_groups)
+
+    (lift > 1: the consequent is MORE likely given the antecedent
+    than baseline). Size-2 sets yield {a}=>{b} and {b}=>{a}; size-3
+    sets yield the three {x,y}=>{z} and the three {x}=>{y,z} splits.
+    Returns (antecedent, consequent, support, confidence, lift) with
+    items '|'-joined in sorted order; only rules whose ANTECEDENT and
+    CONSEQUENT are both in the frame can price a lift, and a-priori
+    closure guarantees they are. ``n_groups`` is the basket count the
+    supports were counted over (frequent_itemsets' input `distinct
+    groups` — pass it explicitly; deriving it from supports is
+    impossible).
+
+    Shape: everything here is joins over the ITEMSET frame —
+    vocabulary-bounded, usually broadcast-sized; confidence/lift are
+    single exact-long divisions, engine-portable."""
+    if n_groups < 1:
+        raise ValueError(f"association_rules: n_groups must be >= 1, got {n_groups}")
+    if not (0.0 < min_confidence <= 1.0):
+        raise ValueError(
+            f"association_rules: min_confidence must be in (0, 1], got {min_confidence}"
+        )
+    need = {"size", "item_a", "item_b", "item_c", "support"}
+    missing = sorted(need - set(itemsets.columns))
+    if missing:
+        raise ValueError(f"association_rules: input lacks columns {missing}")
+    l1 = itemsets.filter(F.col("size") == 1).select(
+        F.col("item_a").alias("__i"), F.col("support").alias("__s")
+    )
+    l2 = itemsets.filter(F.col("size") == 2).select("item_a", "item_b", "support")
+    l3 = itemsets.filter(F.col("size") == 3).select(
+        "item_a", "item_b", "item_c", "support"
+    )
+
+    def _s1(col_name: str, alias: str):
+        return l1.select(F.col("__i").alias(col_name), F.col("__s").alias(alias))
+
+    rules = []
+    # {a} => {b} and {b} => {a} from pairs
+    for ante, cons in (("item_a", "item_b"), ("item_b", "item_a")):
+        rules.append(
+            l2.join(_s1(ante, "__sa"), ante)
+            .join(_s1(cons, "__sc"), cons)
+            .select(
+                F.col(ante).alias("antecedent"),
+                F.col(cons).alias("consequent"),
+                "support",
+                (F.col("support").cast("double") / F.col("__sa")).alias("confidence"),
+                (
+                    F.col("support").cast("double")
+                    * F.lit(float(n_groups))
+                    / (F.col("__sa") * F.col("__sc").cast("double"))
+                ).alias("lift"),
+            )
+        )
+    # {x,y} => {z} : antecedent support from L2 (items sorted, so the
+    # pair subset is always (min, max) of the two antecedent items)
+    trip = [("item_a", "item_b", "item_c"), ("item_a", "item_c", "item_b"),
+            ("item_b", "item_c", "item_a")]
+    for x, y, z in trip:
+        pair_s = l2.select(
+            F.col("item_a").alias(x),
+            F.col("item_b").alias(y),
+            F.col("support").alias("__sa"),
+        )
+        rules.append(
+            l3.join(pair_s, [x, y])
+            .join(_s1(z, "__sc"), z)
+            .select(
+                F.concat_ws("|", x, y).alias("antecedent"),
+                F.col(z).alias("consequent"),
+                "support",
+                (F.col("support").cast("double") / F.col("__sa")).alias("confidence"),
+                (
+                    F.col("support").cast("double")
+                    * F.lit(float(n_groups))
+                    / (F.col("__sa") * F.col("__sc").cast("double"))
+                ).alias("lift"),
+            )
+        )
+        # {z} => {x,y}
+        cons_pair = l2.select(
+            F.col("item_a").alias(x),
+            F.col("item_b").alias(y),
+            F.col("support").alias("__sc2"),
+        )
+        rules.append(
+            l3.join(cons_pair, [x, y])
+            .join(_s1(z, "__sa2"), z)
+            .select(
+                F.col(z).alias("antecedent"),
+                F.concat_ws("|", x, y).alias("consequent"),
+                "support",
+                (F.col("support").cast("double") / F.col("__sa2")).alias("confidence"),
+                (
+                    F.col("support").cast("double")
+                    * F.lit(float(n_groups))
+                    / (F.col("__sa2") * F.col("__sc2").cast("double"))
+                ).alias("lift"),
+            )
+        )
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionByName(r)
+    return out.filter(F.col("confidence") >= F.lit(float(min_confidence)))

@@ -371,3 +371,69 @@ def test_frequent_itemsets_sizes_and_guards(spark):
         frequent_itemsets(whale, "basket", "item", max_items_per_group=30)
     empty = spark.createDataFrame([], "basket long, item string")
     assert frequent_itemsets(empty, "basket", "item").count() == 0
+
+
+def _py_rules(baskets, min_support, min_conf):
+    from itertools import combinations
+
+    sets = [sorted(set(b)) for b in baskets]
+    n = len(sets)
+    supp = {}
+    for size in (1, 2, 3):
+        for b in sets:
+            for c in combinations(b, size):
+                supp[c] = supp.get(c, 0) + 1
+    supp = {c: s for c, s in supp.items() if s >= min_support}
+    rules = {}
+    for c, s in supp.items():
+        if len(c) == 1:
+            continue
+        items = set(c)
+        for r in range(1, len(c)):
+            for ante in combinations(sorted(items), r):
+                cons = tuple(sorted(items - set(ante)))
+                if ante not in supp or cons not in supp:
+                    continue
+                conf = s / supp[ante]
+                if conf >= min_conf:
+                    lift = s * float(n) / (supp[ante] * float(supp[cons]))
+                    rules[("|".join(ante), "|".join(cons))] = (s, conf, lift)
+    return rules
+
+
+def test_association_rules_match_python(spark):
+    from d2d_spark.operators.paths import association_rules, frequent_itemsets
+
+    baskets = [
+        ["milk", "bread", "butter"],
+        ["milk", "bread"],
+        ["milk", "beer"],
+        ["bread", "butter", "beer"],
+        ["milk", "bread", "butter", "beer"],
+        ["milk"],
+        ["bread", "butter"],
+    ]
+    rows = [(g, i) for g, b in enumerate(baskets) for i in b]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    fi = frequent_itemsets(df, "basket", "item", min_support=2)
+    got = {
+        (r["antecedent"], r["consequent"]): (r["support"], r["confidence"], r["lift"])
+        for r in association_rules(fi, n_groups=len(baskets), min_confidence=0.4).collect()
+    }
+    want = _py_rules(baskets, 2, 0.4)
+    assert got.keys() == want.keys()
+    for k in got:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == want[k][1]  # exact long divisions
+        assert abs(got[k][2] - want[k][2]) < 1e-12
+    # a high-confidence sanity rule: butter -> bread in every basket
+    assert got[("butter", "bread")][1] == 1.0
+    # guards
+    import pytest as pt
+
+    with pt.raises(ValueError, match="n_groups"):
+        association_rules(fi, 0)
+    with pt.raises(ValueError, match="min_confidence"):
+        association_rules(fi, 7, min_confidence=0.0)
+    with pt.raises(ValueError, match="lacks columns"):
+        association_rules(fi.drop("item_c"), 7)
