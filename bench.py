@@ -268,6 +268,28 @@ def main() -> int:
             part_df.select("p_partkey", "p_name"), "p_name", "p_partkey", max_dist=2
         ).count(),
     }
+    # the attribution pair join (conversions x touches-in-lookback per
+    # key) and the EM loop (one aggregate per round) are the r9
+    # shuffle shapes worth a per-round number
+    from d2d_spark.operators.attribution import attribution as _attr
+    from d2d_spark.operators.linkage import linkage_em as _lem
+
+    events_df = _rt2(spark, SF_DIR, "events")
+    cust_df = _rt2(spark, SF_DIR, "customer")
+
+    def _linkage_run():
+        gam = cust_df.select(
+            (_F.col("c_custkey") % 2 == 0).cast("int").alias("g0"),
+            (_F.col("c_nationkey") % 3 == 0).cast("int").alias("g1"),
+            (_F.col("c_acctbal") > 0).cast("int").alias("g2"),
+        )
+        _lem(gam, ["g0", "g1", "g2"], max_iters=6, validate=False)
+
+    r9["attribution_linear_events"] = lambda: _attr(
+        events_df, "user_id", "ts", "event_type", ["purchase"], ["click", "view"],
+        model="linear", lookback="48 hours", validate=False,
+    ).count()
+    r9["linkage_em_customer"] = _linkage_run
     for name, run in r9.items():
         timed_leg(name, run)
 

@@ -136,6 +136,8 @@ def linkage_em(
             aggs.append(F.sum(F.col(g).cast("long")).alias(f"G{i}"))
         row = pairs.agg(*aggs).first()
         S, n = row["S"], row["n"]
+        if n == 0:  # validate=False path: still refuse loudly
+            raise ValueError("linkage_em: no candidate pairs to fit on")
         if n_pairs is None:
             n_pairs = n
         s = float(S)
