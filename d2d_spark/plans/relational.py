@@ -685,19 +685,42 @@ def _pagerank_unrolled_oracle(
       SELECT node, h_raw / nullif((SELECT hn FROM nm{k}), 0) AS hub,
              a_raw / nullif((SELECT an FROM nm{k}), 0) AS auth FROM hr{k})"""
         )
-    # --- synchronous LPA over the orders mod-100 slice: node universe
-    # from RAW endpoints (self-loop-only nodes stay as singletons),
-    # votes over the symmetrized self-loop-free edge set + self-vote ---
     parts.append(
-        """,
-    lpraw AS MATERIALIZED (SELECT o_custkey % 100 AS a, o_orderkey % 100 AS b
+        f"""
+    SELECT 'terms' AS leg, event_type AS k, COUNT(*) AS cnt,
+           CAST(NULL AS DOUBLE) AS rank
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'pagerank', node, CAST(NULL AS BIGINT), round(rank, 6) FROM pr{iters}
+    UNION ALL
+    SELECT 'pr_w', node, CAST(NULL AS BIGINT), round(rank, 6) FROM wpr{variant_iters}
+    UNION ALL
+    SELECT 'pr_p', node, CAST(NULL AS BIGINT), round(rank, 6) FROM ppr{variant_iters}
+    UNION ALL
+    SELECT 'hits_hub', node, CAST(NULL AS BIGINT), round(hub, 6) FROM h{hits_iters}
+    UNION ALL
+    SELECT 'hits_auth', node, CAST(NULL AS BIGINT), round(auth, 6) FROM h{hits_iters}
+"""
+    )
+    return "".join(parts)
+
+
+def _orders_graph_oracle(lpa_iters: int = 4) -> str:
+    """pivot/unpivot reshape + the triangles/LPA legs moved off
+    group_count_event_types (r9 rebalance): the same CTE algebra —
+    ordered-triple enumeration for triangles (a different algorithm
+    than the Spark side's degree-ordered wedge close) and the
+    unrolled synchronous vote/top-1 LPA rounds."""
+    parts = [
+        """
+    WITH lpraw AS MATERIALIZED (SELECT o_custkey % 100 AS a, o_orderkey % 100 AS b
                FROM orders WHERE o_orderkey % 7 = 0),
     lpn AS MATERIALIZED (SELECT a AS node FROM lpraw UNION SELECT b FROM lpraw),
     lpe AS MATERIALIZED (SELECT DISTINCT a, b FROM (
       SELECT a, b FROM lpraw WHERE a <> b
       UNION ALL SELECT b, a FROM lpraw WHERE a <> b)),
     lab0 AS MATERIALIZED (SELECT node, node AS community FROM lpn)"""
-    )
+    ]
     for k in range(1, lpa_iters + 1):
         p = f"lab{k - 1}"
         parts.append(
@@ -724,26 +747,21 @@ def _pagerank_unrolled_oracle(
     tri AS MATERIALIZED (
       SELECT a.u AS x, a.v AS y, b.v AS z
       FROM tri_e a JOIN tri_e b ON b.u = a.v
-      JOIN tri_e c ON c.u = a.u AND c.v = b.v)
-    SELECT 'terms' AS leg, event_type AS k, COUNT(*) AS cnt,
-           CAST(NULL AS DOUBLE) AS rank
-    FROM events GROUP BY event_type
+      JOIN tri_e c ON c.u = a.u AND c.v = b.v),
+    wide AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS st_f,
+             CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS st_o,
+             CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS st_p
+      FROM orders GROUP BY o_orderpriority)
+    SELECT 'pivot' AS leg, o_orderpriority AS k, status AS attr, cnt
+    FROM wide UNPIVOT (cnt FOR status IN (st_f, st_o, st_p))
     UNION ALL
-    SELECT 'pagerank', node, CAST(NULL AS BIGINT), round(rank, 6) FROM pr{iters}
-    UNION ALL
-    SELECT 'pr_w', node, CAST(NULL AS BIGINT), round(rank, 6) FROM wpr{variant_iters}
-    UNION ALL
-    SELECT 'pr_p', node, CAST(NULL AS BIGINT), round(rank, 6) FROM ppr{variant_iters}
-    UNION ALL
-    SELECT 'triangles', CAST(n AS VARCHAR), COUNT(*), CAST(NULL AS DOUBLE)
+    SELECT 'triangles', CAST(n AS VARCHAR), CAST(NULL AS VARCHAR), COUNT(*)
     FROM (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
           UNION ALL SELECT z FROM tri) GROUP BY n
     UNION ALL
-    SELECT 'hits_hub', node, CAST(NULL AS BIGINT), round(hub, 6) FROM h{hits_iters}
-    UNION ALL
-    SELECT 'hits_auth', node, CAST(NULL AS BIGINT), round(auth, 6) FROM h{hits_iters}
-    UNION ALL
-    SELECT 'lpa', CAST(node AS VARCHAR), community, CAST(NULL AS DOUBLE)
+    SELECT 'lpa', CAST(node AS VARCHAR), CAST(NULL AS VARCHAR), community
     FROM lab{lpa_iters}
 """
     )
@@ -965,11 +983,12 @@ def dedup_exact_events(spark, sf_dir):
 @query(
     "group_count_event_types",
     oracle=_pagerank_unrolled_oracle(),
-    tags=("agg", "terms", "graph", "pagerank", "triangles", "hits", "lpa"),
+    tags=("agg", "terms", "graph", "pagerank", "hits"),
 )
 def group_count_event_types(spark, sf_dir):
-    """Eight graph-analytics legs (the trans/paths3/pmi/skew event
-    legs moved to dedup_exact_events in the r9 suite rebalance).
+    """Six graph-analytics legs (the trans/paths3/pmi/skew event legs
+    moved to dedup_exact_events, triangles/lpa to
+    pivot_unpivot_roundtrip — the r9 suite rebalance).
     'terms': ES terms
     aggregation — count-by-key (d22d/utils/db/myutils.py:476-522).
     'pagerank': the iterative distributed PageRank
@@ -988,21 +1007,10 @@ def group_count_event_types(spark, sf_dir):
     graph non-seed users provably hold rank 0, seeds hold teleport +
     dangling returns, event types hold seed inflow — a shape the
     uniform leg can never produce, so the differential is real.
-    'triangles': exact per-node triangle counts
-    (graph.triangle_count, degree-ordered orientation) on a
-    deterministic sparse graph derived from orders (keys mod 100,
-    1-in-7 rows) — the oracle enumerates ordered triples with a plain
-    triple self-join, a different algorithm than the oriented wedge
-    close, so the leg is a genuine cross-algorithm differential.
     'hits_hub'/'hits_auth': Kleinberg HITS (graph.hits), 4 fixed
     rounds over the same bipartite graph — users are the hubs, event
     types the authorities — hash-checked to 6 decimals against the
-    unrolled-CTE replay of the same raw-score/normalize order.
-    'lpa': synchronous label propagation (graph.label_propagation, 4
-    rounds, self-vote, smallest-label ties) on the triangles graph —
-    the community label IS the cnt column; the oracle unrolls the
-    vote/top-1 rounds with the node universe taken from RAW endpoints
-    so self-loop-only nodes stay singletons."""
+    unrolled-CTE replay of the same raw-score/normalize order."""
     ev = _t(spark, sf_dir, "events")
     terms = group_count(ev, "event_type").select(
         F.lit("terms").alias("leg"),
@@ -1073,26 +1081,12 @@ def group_count_event_types(spark, sf_dir):
         F.lit(None).cast("bigint").alias("cnt"),
         F.round("rank", 6).alias("rank"),
     )
-    from d2d_spark.operators.graph import triangle_count
-
-    o = _t(spark, sf_dir, "orders")
-    tri_edges = o.filter(F.col("o_orderkey") % 7 == 0).select(
-        (F.col("o_custkey") % 100).alias("src"),
-        (F.col("o_orderkey") % 100).alias("dst"),
-    )
-    tri = triangle_count(tri_edges).select(
-        F.lit("triangles").alias("leg"),
-        F.col("node").cast("string").alias("k"),
-        F.col("triangles").alias("cnt"),
-        F.lit(None).cast("double").alias("rank"),
-    )
-    from d2d_spark.operators.graph import hits, label_propagation
+    from d2d_spark.operators.graph import hits
 
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         hs = hits(edges, max_iters=4, tol=None)
-        communities = label_propagation(tri_edges, max_iters=4)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     hub = hs.select(
@@ -1107,20 +1101,12 @@ def group_count_event_types(spark, sf_dir):
         F.lit(None).cast("bigint").alias("cnt"),
         F.round("authority", 6).alias("rank"),
     )
-    lpa = communities.select(
-        F.lit("lpa").alias("leg"),
-        F.col("node").cast("string").alias("k"),
-        F.col("community").cast("bigint").alias("cnt"),
-        F.lit(None).cast("double").alias("rank"),
-    )
     return (
         terms.unionByName(pr)
         .unionByName(pr_w)
         .unionByName(pr_p)
-        .unionByName(tri)
         .unionByName(hub)
         .unionByName(auth)
-        .unionByName(lpa)
     )
 
 
@@ -1927,24 +1913,31 @@ def range_interval_join_suite(spark, sf_dir):
 
 @query(
     "pivot_unpivot_roundtrip",
-    oracle="""
-    WITH wide AS (
-      SELECT o_orderpriority,
-             CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS st_f,
-             CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS st_o,
-             CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS st_p
-      FROM orders GROUP BY o_orderpriority)
-    SELECT o_orderpriority, status, cnt
-    FROM wide UNPIVOT (cnt FOR status IN (st_f, st_o, st_p))
-    """,
-    tags=("agg", "pivot", "unpivot", "reshape"),
+    oracle=_orders_graph_oracle(),
+    tags=("agg", "pivot", "unpivot", "reshape", "triangles", "lpa"),
 )
 def pivot_unpivot_roundtrip(spark, sf_dir):
-    """PIVOT (status values become columns: one pass, conditional
+    """Three orders-derived legs (triangles/lpa moved here from
+    group_count_event_types in the r9 suite rebalance).
+
+    pivot: PIVOT (status values become columns: one pass, conditional
     aggregation under the hood, explicit value list so the plan needs
     no extra distinct-scan job) then UNPIVOT/melt back to long form —
     the two reshape operators composed, so the round-trip proves they
-    are mutual inverses on the non-null lattice."""
+    are mutual inverses on the non-null lattice.
+
+    triangles: exact per-node triangle counts (graph.triangle_count,
+    degree-ordered orientation) on a deterministic sparse graph
+    derived from orders (keys mod 100, 1-in-7 rows) — the oracle
+    enumerates ordered triples with a plain triple self-join, a
+    different algorithm than the oriented wedge close, so the leg is
+    a genuine cross-algorithm differential.
+
+    lpa: synchronous label propagation (graph.label_propagation, 4
+    rounds, self-vote, smallest-label ties) on the triangles graph —
+    the oracle unrolls the vote/top-1 rounds with the node universe
+    taken from RAW endpoints so self-loop-only nodes stay
+    singletons."""
     o = _t(spark, sf_dir, "orders")
     wide = (
         o.groupBy("o_orderpriority")
@@ -1957,7 +1950,40 @@ def pivot_unpivot_roundtrip(spark, sf_dir):
             F.coalesce(F.col("P"), F.lit(0)).alias("st_p"),
         )
     )
-    return wide.unpivot(["o_orderpriority"], ["st_f", "st_o", "st_p"], "status", "cnt")
+    pivot_leg = wide.unpivot(
+        ["o_orderpriority"], ["st_f", "st_o", "st_p"], "status", "cnt"
+    ).select(
+        F.lit("pivot").alias("leg"),
+        F.col("o_orderpriority").alias("k"),
+        F.col("status").alias("attr"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+    )
+    from d2d_spark.operators.graph import label_propagation, triangle_count
+
+    tri_edges = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        (F.col("o_custkey") % 100).alias("src"),
+        (F.col("o_orderkey") % 100).alias("dst"),
+    )
+    ns = F.lit(None).cast("string")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        communities = label_propagation(tri_edges, max_iters=4)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    tri = triangle_count(tri_edges).select(
+        F.lit("triangles").alias("leg"),
+        F.col("node").cast("string").alias("k"),
+        ns.alias("attr"),
+        F.col("triangles").cast("bigint").alias("cnt"),
+    )
+    lpa = communities.select(
+        F.lit("lpa").alias("leg"),
+        F.col("node").cast("string").alias("k"),
+        ns.alias("attr"),
+        F.col("community").cast("bigint").alias("cnt"),
+    )
+    return pivot_leg.unionByName(tri).unionByName(lpa)
 
 
 def _soundex_py(s):
