@@ -815,6 +815,39 @@ def throttle_events(
     )
 
 
+def _seed_join(
+    g: DataFrame,
+    init: DataFrame,
+    keys: list[str],
+    cols: tuple[str, ...],
+    what: str,
+    validate: bool,
+):
+    """Shared warm-start plumbing for the sequential folds: left-join
+    an (keys..., *cols) seed frame onto the grouped series frame,
+    returning (frame, [seed Column per col]). Duplicate seed keys are
+    refused (one tiny aggregate) — two seeds for one key make the
+    fold ambiguous."""
+    missing = [c for c in [*keys, *cols] if c not in init.columns]
+    if missing:
+        raise ValueError(f"{what}: init frame lacks columns {missing}")
+    if validate:
+        dup = (
+            init.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(f"{what}: init frame has duplicate keys — one seed per key")
+    sel = [
+        F.col(c).cast("double").alias(f"__seed{i}") for i, c in enumerate(cols)
+    ]
+    joined = g.join(init.select(*keys, *sel), keys, "left")
+    return joined, [F.col(f"__seed{i}") for i in range(len(cols))]
+
+
 def holt_linear(
     df: DataFrame,
     key_cols: Sequence[str],
@@ -826,6 +859,7 @@ def holt_linear(
     trend_col: str = "trend",
     validate: bool = True,
     max_rows_per_key: int = 100_000,
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """Holt's linear (double exponential) smoothing per key — the
     trend-aware sibling of `ewma` (Holt 1957):
@@ -841,6 +875,12 @@ def holt_linear(
     reproduces every value bit-for-bit. NULL values emit NULL for
     their row and leave (level, trend) untouched — the ewma gap
     convention.
+
+    ``init`` warm-starts the fold: a (keys..., {level_col},
+    {trend_col}) frame — one row per key, e.g. the last output of a
+    previous run — seeds (l, b), so run(b1) ∘ run(b2) ≡ run(b1 ∪ b2)
+    exactly (the streaming sink builds on this). Keys absent from
+    ``init`` start cold.
 
     Spark shape and caveat: the same sorted JVM fold as `ewma`
     (inherently sequential per key; the array-append fold is
@@ -862,6 +902,12 @@ def holt_linear(
         F.collect_list(F.struct(F.col(order_col).alias("__o"), F.struct(*rest).alias("__r")))
     )
     g = df.groupBy(*keys).agg(arr.alias("__s"))
+    if init is not None:
+        g, seeds = _seed_join(g, init, keys, (level_col, trend_col), "holt_linear", validate)
+        prev_l, prev_b = seeds
+    else:
+        prev_l = F.lit(None).cast("double")
+        prev_b = F.lit(None).cast("double")
     a, one_a = float(alpha), float(1.0 - alpha)
     b, one_b = float(beta), float(1.0 - beta)
 
@@ -891,8 +937,8 @@ def holt_linear(
 
     init_acc = F.struct(
         F.expr("CAST(array() AS array<struct<l:double,b:double>>)").alias("ys"),
-        F.lit(None).cast("double").alias("l"),
-        F.lit(None).cast("double").alias("b"),
+        prev_l.alias("l"),
+        prev_b.alias("b"),
     )
     ys = F.aggregate(F.col("__s"), init_acc, step)["ys"]
     zipped = F.zip_with(
@@ -917,6 +963,7 @@ def cusum_changepoints(
     threshold: float = 5.0,
     validate: bool = True,
     max_rows_per_key: int = 100_000,
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """Two-sided CUSUM change detection per key (Page 1954) — the
     sequential shift detector next to the rolling z-score's windowed
@@ -934,7 +981,11 @@ def cusum_changepoints(
     the operator takes the NUMBER, not a column). NULL values emit
     NULL and leave both sums untouched. Float ops pinned to exactly
     the expressions above (recursive-CTE-replayable). Same sequential
-    sorted-fold shape and 100k whale cap as ewma/holt."""
+    sorted-fold shape and 100k whale cap as ewma/holt. ``init``
+    warm-starts (cusum_pos, cusum_neg) per key — a (keys...,
+    cusum_pos, cusum_neg) frame, e.g. the last output of a previous
+    run — so batch runs compose exactly (the streaming sink builds on
+    this); absent keys start at (0, 0)."""
     if slack < 0.0:
         raise ValueError(f"cusum_changepoints: slack must be >= 0, got {slack}")
     if threshold <= 0.0:
@@ -947,6 +998,14 @@ def cusum_changepoints(
         F.collect_list(F.struct(F.col(order_col).alias("__o"), F.struct(*rest).alias("__r")))
     )
     g = df.groupBy(*keys).agg(arr.alias("__s"))
+    if init is not None:
+        g, seeds = _seed_join(
+            g, init, keys, ("cusum_pos", "cusum_neg"), "cusum_changepoints", validate
+        )
+        sp0 = F.coalesce(seeds[0], F.lit(0.0))
+        sn0 = F.coalesce(seeds[1], F.lit(0.0))
+    else:
+        sp0, sn0 = F.lit(0.0), F.lit(0.0)
     t, k = float(target), float(slack)
 
     def step(acc, s):
@@ -968,8 +1027,8 @@ def cusum_changepoints(
 
     init_acc = F.struct(
         F.expr("CAST(array() AS array<struct<p:double,n:double>>)").alias("ys"),
-        F.lit(0.0).alias("sp"),
-        F.lit(0.0).alias("sn"),
+        sp0.alias("sp"),
+        sn0.alias("sn"),
     )
     ys = F.aggregate(F.col("__s"), init_acc, step)["ys"]
     zipped = F.zip_with(

@@ -342,12 +342,12 @@ def windowed_aggs_events(spark, sf_dir):
     tags=("streaming", "window", "session", "rolling", "ewma", "zscore"),
 )
 def session_windows_per_user(spark, sf_dir):
-    """Sessionization + rolling-timeseries suite, four tagged legs
+    """Sessionization + rolling-timeseries suite, six tagged legs
     (the r8 float legs moved here from windowed_aggs_events so one
     hash-sensitive leg can't blind the whole window family; every
-    float column now carries the 9-dp rounding discipline the
-    tfidf/bm25 legs use, in BOTH the plan and the oracle — the
-    no-rounding bit-exactness claims stay in pytest).
+    float column carries the 9-dp rounding discipline the tfidf/bm25
+    legs use, in BOTH the plan and the oracle — the no-rounding
+    bit-exactness claims stay in pytest).
 
     sess: per-SESSION aggregates — Spark's native session_window (2h
     inactivity gap) per user vs a gaps-and-islands SQL oracle.

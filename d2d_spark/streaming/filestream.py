@@ -1491,3 +1491,230 @@ def attribution_stream_state(spark: SparkSession, state_dir: str):
         os.path.join(state_dir, f"state_after_batch_{max(ids)}", "carry")
     )
     return pts, carry
+
+
+def _series_carry_sink(
+    df: DataFrame,
+    what: str,
+    key_col: str,
+    ts_col: str,
+    state_dir: str,
+    checkpoint_path: str,
+    run_batch,
+    state_cols: tuple,
+    select_src,
+):
+    """Shared machinery for the sequential-fold carry sinks (holt,
+    cusum — the ewma sink predates it and keeps its own body): per
+    batch, refuse late rows, run the BATCH operator seeded by the
+    carried per-key state, persist the batch's points under the batch
+    id with the updated carry beside them. Carry = (key, last_ts,
+    *state_cols) where the state is the last NON-NULL state row (a
+    NULL input value leaves fold state untouched but advances
+    last_ts). Same batch-id-keyed replay + one-checkpoint-lifetime
+    refusals as every other sink."""
+    import os
+    import re
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    _require_local_state_dir(what, state_dir)
+    os.makedirs(state_dir, exist_ok=True)
+    pat = re.compile(r"^state_after_batch_(\d+)$")
+    state_ids = [
+        int(pat.match(n).group(1)) for n in os.listdir(state_dir) if pat.match(n)
+    ]
+    ckpt_local = _local_path(checkpoint_path)
+    checkpoint_is_fresh = ckpt_local is not None and not os.path.isdir(
+        os.path.join(ckpt_local, "offsets")
+    )
+    if checkpoint_is_fresh and state_ids:
+        raise ValueError(
+            f"{what}: checkpoint {checkpoint_path!r} is fresh but state_dir "
+            f"{state_dir!r} holds state from a previous checkpoint lifetime — "
+            "use a fresh state_dir, or restore the original checkpoint."
+        )
+    if ckpt_local is not None and not checkpoint_is_fresh and not state_ids:
+        raise ValueError(
+            f"{what}: checkpoint {checkpoint_path!r} is resuming but "
+            f"state_dir {state_dir!r} has no state — running folds from "
+            "processed batches would be silently lost. Restore the state "
+            "files or start over with a fresh checkpoint."
+        )
+
+    def _load_carry(batch_id: int):
+        prior = [
+            int(pat.match(n).group(1))
+            for n in os.listdir(state_dir)
+            if pat.match(n) and int(pat.match(n).group(1)) < batch_id
+        ]
+        if not prior:
+            return None
+        return spark.read.parquet(
+            os.path.join(state_dir, f"state_after_batch_{max(prior)}", "carry")
+        )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        carry = _load_carry(batch_id)
+        src = select_src(batch_df)
+        if carry is not None:
+            late = (
+                src.groupBy("key")
+                .agg(F.min("ts").alias("__first"))
+                .join(carry.select("key", "last_ts"), "key")
+                .filter(F.col("__first") <= F.col("last_ts"))
+                .limit(1)
+                .collect()
+            )
+            if late:
+                raise ValueError(
+                    f"{what}: key {late[0]['key']!r} has a batch event at "
+                    f"{late[0]['__first']} at or before its carried last_ts "
+                    f"{late[0]['last_ts']} — events must arrive in per-key "
+                    "time order; re-sequence or dedupe upstream"
+                )
+        seed = carry.select("key", *state_cols) if carry is not None else None
+        pts = run_batch(src, seed)
+        state_struct = F.struct(*[F.col(c) for c in state_cols])
+        new_carry = pts.groupBy("key").agg(
+            F.max("ts").alias("last_ts"),
+            F.max(
+                F.when(F.col(state_cols[0]).isNotNull(), F.struct(F.col("ts"), state_struct.alias("s")))
+            )["s"].alias("__last_s"),
+        )
+        if carry is not None:
+            prior_struct = F.struct(*[F.col(c) for c in state_cols]).alias("__prior")
+            new_carry = new_carry.join(
+                carry.select("key", prior_struct), "key", "left"
+            ).select(
+                "key",
+                "last_ts",
+                *[
+                    F.coalesce(F.col(f"__last_s.{c}"), F.col(f"__prior.{c}")).alias(c)
+                    for c in state_cols
+                ],
+            )
+            untouched = carry.join(new_carry.select("key"), "key", "left_anti")
+            new_carry = untouched.unionByName(new_carry)
+        else:
+            new_carry = new_carry.select(
+                "key", "last_ts",
+                *[F.col(f"__last_s.{c}").alias(c) for c in state_cols],
+            )
+        final = os.path.join(state_dir, f"state_after_batch_{batch_id}")
+        tmp = final + ".tmp"
+        pts.write.mode("overwrite").parquet(os.path.join(tmp, "points"))
+        new_carry.write.mode("overwrite").parquet(os.path.join(tmp, "carry"))
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+
+    q = (
+        df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def stream_holt_sink(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    beta: float,
+    state_dir: str,
+    checkpoint_path: str,
+):
+    """Maintain per-key Holt level+trend CONTINUOUSLY over a stream —
+    the trend-aware sibling of stream_ewma_sink: each micro-batch
+    folds through operators/timeseries.holt_linear seeded by the
+    carried (level, trend), which composes exactly, so stream points
+    are bit-identical to the batch fold over everything seen
+    (test-pinned at every prefix). State: ONE carry row per key."""
+    from pyspark.sql import functions as F
+
+    from d2d_spark.operators.timeseries import holt_linear as _holt
+
+    for name, v in (("alpha", alpha), ("beta", beta)):
+        if not (0.0 < v <= 1.0):
+            raise ValueError(f"stream_holt_sink: {name} must be in (0, 1], got {v}")
+
+    def select_src(batch_df):
+        return batch_df.select(
+            F.col(key_col).alias("key"),
+            F.col(ts_col).alias("ts"),
+            F.col(value_col).alias("val"),
+        )
+
+    def run_batch(src, seed):
+        return _holt(src, ["key"], "ts", "val", alpha, beta, init=seed)
+
+    return _series_carry_sink(
+        df, "stream_holt_sink", key_col, ts_col, state_dir, checkpoint_path,
+        run_batch, ("level", "trend"), select_src,
+    )
+
+
+def stream_cusum_sink(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    target: float,
+    state_dir: str,
+    checkpoint_path: str,
+    slack: float = 0.5,
+    threshold: float = 5.0,
+):
+    """Maintain per-key two-sided CUSUM shift sums CONTINUOUSLY — the
+    streaming change detector: each micro-batch folds through
+    operators/timeseries.cusum_changepoints seeded by the carried
+    (cusum_pos, cusum_neg); stream points (including is_shift flags)
+    are bit-identical to the batch fold over everything seen
+    (test-pinned at every prefix). State: ONE carry row per key."""
+    from pyspark.sql import functions as F
+
+    from d2d_spark.operators.timeseries import cusum_changepoints as _cusum
+
+    def select_src(batch_df):
+        return batch_df.select(
+            F.col(key_col).alias("key"),
+            F.col(ts_col).alias("ts"),
+            F.col(value_col).alias("val"),
+        )
+
+    def run_batch(src, seed):
+        return _cusum(
+            src, ["key"], "ts", "val", target=target, slack=slack,
+            threshold=threshold, init=seed,
+        )
+
+    return _series_carry_sink(
+        df, "stream_cusum_sink", key_col, ts_col, state_dir, checkpoint_path,
+        run_batch, ("cusum_pos", "cusum_neg"), select_src,
+    )
+
+
+def series_stream_state(spark: SparkSession, state_dir: str):
+    """(points, carry) from a holt/cusum carry-sink state dir — the
+    shared reader (same layout as ewma_stream_state)."""
+    import os
+    import re
+
+    pat = re.compile(r"^state_after_batch_(\d+)$")
+    ids = [int(pat.match(n).group(1)) for n in os.listdir(state_dir) if pat.match(n)]
+    if not ids:
+        return None, None
+    pts = spark.read.parquet(
+        *[os.path.join(state_dir, f"state_after_batch_{i}", "points") for i in ids]
+    )
+    carry = spark.read.parquet(
+        os.path.join(state_dir, f"state_after_batch_{max(ids)}", "carry")
+    )
+    return pts, carry

@@ -842,3 +842,115 @@ def test_cusum_matches_recurrence_and_detects_shift(spark):
         cusum_changepoints(df, ["k"], "t", "x", target=0.0, slack=-1.0)
     with pytest.raises(ValueError, match="threshold"):
         cusum_changepoints(df, ["k"], "t", "x", target=0.0, threshold=0.0)
+
+
+def test_holt_and_cusum_init_compose_batches(spark):
+    """run(b1) then run(b2, init=last-of-b1) ≡ run(b1 ∪ b2) exactly,
+    for both sequential folds — the streaming-sink foundation."""
+    from d2d_spark.operators.timeseries import cusum_changepoints, holt_linear
+
+    b1 = [("a", 1, 10.0), ("a", 2, 20.0), ("b", 1, 5.0)]
+    b2 = [("a", 3, 30.0), ("b", 4, None), ("b", 5, 7.0), ("c", 1, 1.0)]
+    df1, df2, whole = _series_df(spark, b1), _series_df(spark, b2), _series_df(spark, b1 + b2)
+
+    want_h = {(r["k"], r["t"]): (r["level"], r["trend"])
+              for r in holt_linear(whole, ["k"], "t", "x", 0.5, 0.3).collect()}
+    first = holt_linear(df1, ["k"], "t", "x", 0.5, 0.3)
+    seed = first.groupBy("k").agg(
+        F.max_by(F.struct("level", "trend"), F.struct("t", "x")).alias("__s")
+    ).select("k", F.col("__s.level").alias("level"), F.col("__s.trend").alias("trend"))
+    second = holt_linear(df2, ["k"], "t", "x", 0.5, 0.3, init=seed)
+    got = {(r["k"], r["t"]): (r["level"], r["trend"]) for r in first.collect()}
+    got.update({(r["k"], r["t"]): (r["level"], r["trend"]) for r in second.collect()})
+    assert got == want_h
+
+    want_c = {(r["k"], r["t"]): (r["cusum_pos"], r["cusum_neg"], r["is_shift"])
+              for r in cusum_changepoints(whole, ["k"], "t", "x", target=10.0,
+                                          slack=1.0, threshold=5.0).collect()}
+    c1 = cusum_changepoints(df1, ["k"], "t", "x", target=10.0, slack=1.0, threshold=5.0)
+    cseed = c1.groupBy("k").agg(
+        F.max_by(F.struct("cusum_pos", "cusum_neg"), "t").alias("__s")
+    ).select("k", F.col("__s.cusum_pos").alias("cusum_pos"),
+             F.col("__s.cusum_neg").alias("cusum_neg"))
+    c2 = cusum_changepoints(df2, ["k"], "t", "x", target=10.0, slack=1.0,
+                            threshold=5.0, init=cseed)
+    gotc = {(r["k"], r["t"]): (r["cusum_pos"], r["cusum_neg"], r["is_shift"])
+            for r in c1.collect()}
+    gotc.update({(r["k"], r["t"]): (r["cusum_pos"], r["cusum_neg"], r["is_shift"])
+                 for r in c2.collect()})
+    assert gotc == want_c
+    # guards: malformed / duplicate seeds
+    with pytest.raises(ValueError, match="lacks columns"):
+        holt_linear(df2, ["k"], "t", "x", 0.5, 0.3, init=seed.drop("trend"))
+    with pytest.raises(ValueError, match="duplicate"):
+        cusum_changepoints(df2, ["k"], "t", "x", target=0.0,
+                           init=cseed.unionAll(cseed))
+
+
+def test_stream_holt_and_cusum_sinks_equal_batch(spark, tmp_path):
+    """Stream-maintained Holt level/trend AND CUSUM shift sums are
+    bit-identical to the batch folds over everything seen, at EVERY
+    drop prefix — the exact-composition property the init= seeds
+    guarantee; late data refused loudly."""
+    from pyspark.sql import types as T
+
+    from d2d_spark.operators.timeseries import cusum_changepoints, holt_linear
+    from d2d_spark.streaming.filestream import (
+        file_stream,
+        series_stream_state,
+        stream_cusum_sink,
+        stream_holt_sink,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("t", T.IntegerType()),
+            T.StructField("x", T.DoubleType()),
+        ]
+    )
+    drops = [
+        ("d1", [("a", 1, 10.0), ("a", 2, 20.0), ("b", 1, 5.0)]),
+        ("d2", [("a", 3, None), ("a", 4, 30.0), ("c", 1, 1.0)]),
+        ("d3", [("a", 5, 12.0), ("b", 9, 50.0), ("c", 2, 2.0)]),
+    ]
+    seen = []
+    for name, rows in drops:
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+            str(src / name)
+        )
+        seen.extend(rows)
+        whole = spark.createDataFrame(seen, schema)
+
+        stream = file_stream(spark, str(src) + "/*", schema)
+        stream_holt_sink(stream, "k", "t", "x", 0.5, 0.3,
+                         str(tmp_path / "hstate"), str(tmp_path / "hckpt"))
+        pts, carry = series_stream_state(spark, str(tmp_path / "hstate"))
+        got = {(r["key"], r["ts"]): (r["level"], r["trend"]) for r in pts.collect()}
+        want = {(r["k"], r["t"]): (r["level"], r["trend"])
+                for r in holt_linear(whole, ["k"], "t", "x", 0.5, 0.3).collect()}
+        assert got == want, ("holt", name)
+
+        stream = file_stream(spark, str(src) + "/*", schema)
+        stream_cusum_sink(stream, "k", "t", "x", 10.0,
+                          str(tmp_path / "cstate"), str(tmp_path / "cckpt"),
+                          slack=1.0, threshold=5.0)
+        cpts, _ = series_stream_state(spark, str(tmp_path / "cstate"))
+        gotc = {(r["key"], r["ts"]): (r["cusum_pos"], r["cusum_neg"], r["is_shift"])
+                for r in cpts.collect()}
+        wantc = {(r["k"], r["t"]): (r["cusum_pos"], r["cusum_neg"], r["is_shift"])
+                 for r in cusum_changepoints(whole, ["k"], "t", "x", target=10.0,
+                                             slack=1.0, threshold=5.0).collect()}
+        assert gotc == wantc, ("cusum", name)
+    # the NULL row carried state across it (a@5 continues from a@4)
+    assert got[("a", 3)] == (None, None) and got[("a", 5)][0] is not None
+    # late data refused
+    spark.createDataFrame([("a", 5, 1.0)], schema).write.mode("overwrite").parquet(
+        str(src / "d4")
+    )
+    stream = file_stream(spark, str(src) + "/*", schema)
+    with pytest.raises(Exception, match="per-key time order"):
+        stream_holt_sink(stream, "k", "t", "x", 0.5, 0.3,
+                         str(tmp_path / "hstate"), str(tmp_path / "hckpt"))
