@@ -377,3 +377,81 @@ def histogram(
         ).alias("hi_edge"),
         "n",
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    max_cells: int = 10_000_000,
+) -> dict:
+    """Mutual information between two categorical columns (nats) plus
+    the entropies and the min-entropy-normalized NMI — the
+    column-DEPENDENCE diagnostic next to key_skew_report's
+    single-column skew numbers (is `domain` informative about
+    `language`? is a proposed partition key independent of the
+    filter column?):
+
+        MI = sum_ab p(ab) * ln( p(ab) / (p(a) p(b)) )
+
+    NULL rows drop (a missing value is not a category; count them
+    upstream if NULL-ness itself is the signal). Returns
+    {"mi", "h_a", "h_b", "nmi", "n_rows", "n_cells"} — model-sized.
+
+    Shape: ONE joint groupBy (bounded by |A|x|B|, refused above
+    ``max_cells``) with the marginals derived from the SAME counts
+    frame; every summand follows the skew-report discipline — round
+    to 12 decimals, sum in DECIMAL — so the numbers are
+    partition-order-invariant and bit-reproducible cluster-to-laptop.
+    MI of independent columns is ~0 (exactly 0 only up to the 12-dp
+    quantization); NMI = MI / min(H_a, H_b) in [0, ~1]."""
+    if max_cells < 1:
+        raise ValueError(f"mutual_information: max_cells must be >= 1, got {max_cells}")
+    base = df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+    joint = (
+        base.groupBy(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    from pyspark.sql import Window
+
+    # total as a driver-side literal: an empty-partition global window
+    # would funnel every joint cell through ONE task
+    n_rows = base.count()
+    if n_rows == 0:
+        return {"mi": 0.0, "h_a": 0.0, "h_b": 0.0, "nmi": 0.0, "n_rows": 0, "n_cells": 0}
+    wa = Window.partitionBy("__a")
+    wb = Window.partitionBy("__b")
+    n = F.lit(float(n_rows))
+    pa = F.sum("__n").over(wa).cast("double") / n
+    pb = F.sum("__n").over(wb).cast("double") / n
+    pab = F.col("__n").cast("double") / n
+    terms = joint.select(
+        "__n",
+        F.round(pab * F.log(pab / (pa * pb)), 12).cast("decimal(28,12)").alias("__mi"),
+        F.round(pab * F.log(pa), 12).cast("decimal(28,12)").alias("__ha"),
+        F.round(pab * F.log(pb), 12).cast("decimal(28,12)").alias("__hb"),
+    )
+    stats = terms.agg(
+        F.count(F.lit(1)).alias("cells"),
+        F.sum("__n").alias("rows"),
+        F.sum("__mi").alias("mi"),
+        (-F.sum("__ha")).alias("ha"),
+        (-F.sum("__hb")).alias("hb"),
+    ).first()
+    if stats["cells"] > max_cells:
+        raise ValueError(
+            f"mutual_information: {stats['cells']} joint cells "
+            f"(> max_cells={max_cells}) — these are ID-like columns, not "
+            "categories; bucket or hash them first"
+        )
+    mi = float(stats["mi"])
+    ha, hb = float(stats["ha"]), float(stats["hb"])
+    hmin = min(ha, hb)
+    return {
+        "mi": mi,
+        "h_a": ha,
+        "h_b": hb,
+        "nmi": (mi / hmin) if hmin > 0 else 0.0,
+        "n_rows": int(stats["rows"]),
+        "n_cells": int(stats["cells"]),
+    }

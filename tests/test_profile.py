@@ -238,3 +238,50 @@ def test_histogram_refuses_nan_auto_bounds(spark):
     # silently vanishing
     got = {r["bucket"]: r["n"] for r in histogram(df, "x", bins=2, lo=0.0, hi=2.0).collect()}
     assert got[1] == 1 and got[2] == 1 and got[0] == 0
+
+
+def test_mutual_information(spark):
+    """profile.mutual_information vs a plain-Python replay: a
+    deterministic dependent pair, an independent pair (~0), the
+    identical-column ceiling (MI == H, NMI == 1), NULL handling, the
+    ID-column refusal, and partitioning invariance."""
+    import math
+
+    import pytest
+    from d2d_spark.operators.profile import mutual_information
+
+    rows = [(i, f"a{i % 3}", f"b{(i // 3) % 4}", f"c{i % 3}") for i in range(120)]
+    df = spark.createDataFrame(rows, "i long, a string, b string, c string")
+
+    def py_mi(pairs):
+        from collections import Counter
+        n = len(pairs)
+        j, ma, mb = Counter(pairs), Counter(x for x, _ in pairs), Counter(y for _, y in pairs)
+        mi = sum(c / n * math.log((c / n) / ((ma[x] / n) * (mb[y] / n)))
+                 for (x, y), c in j.items())
+        ha = -sum(c / n * math.log(c / n) for c in ma.values())
+        hb = -sum(c / n * math.log(c / n) for c in mb.values())
+        return mi, ha, hb
+
+    # a and b constructed independent (i%3 vs (i//3)%4 over 120 = lcm-aligned)
+    got = mutual_information(df, "a", "b")
+    mi, ha, hb = py_mi([(r[1], r[2]) for r in rows])
+    assert abs(got["mi"] - mi) < 1e-9 and abs(got["mi"]) < 1e-9
+    assert abs(got["h_a"] - ha) < 1e-9 and abs(got["h_b"] - hb) < 1e-9
+    # c is a bijection of a: MI == H(a), NMI == 1
+    dep = mutual_information(df, "a", "c")
+    assert abs(dep["mi"] - dep["h_a"]) < 1e-9
+    assert abs(dep["nmi"] - 1.0) < 1e-9
+    # partitioning invariance (DECIMAL-disciplined sums, bit-equal)
+    again = mutual_information(df.repartition(13), "a", "c")
+    assert again["mi"] == dep["mi"] and again["h_a"] == dep["h_a"]
+    # NULLs drop
+    nul = spark.createDataFrame(
+        [("x", "y"), (None, "y"), ("x", None)], "a string, b string"
+    )
+    assert mutual_information(nul, "a", "b")["n_rows"] == 1
+    # empty after NULL drop
+    assert mutual_information(nul.filter("a IS NULL"), "a", "b")["n_rows"] == 0
+    # ID-like columns refused
+    with pytest.raises(ValueError, match="max_cells"):
+        mutual_information(df, "i", "b", max_cells=10)
