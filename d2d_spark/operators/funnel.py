@@ -44,38 +44,82 @@ from pyspark.sql import functions as F
 _TS = "double"  # epoch seconds; exact for sub-microsecond fixtures
 
 
-def _fold_funnel(events: Column, steps: list[str], within: float | None) -> Column:
+def _fold_funnel(
+    events: Column, steps: list[str], within: float | None, mode: str | None = None
+) -> Column:
     """Fold a (ts, type)-sorted event array into the array of stage
     match times (NULL = stage unreached). State s[k] is the stage-k
     match timestamp; an event matching step k+1 fills s[k+1] when
     s[k] is set, the event is strictly later, and (with ``within``)
-    sits inside the window anchored at s[1]."""
+    sits inside the window anchored at s[1].
+
+    ``mode`` adds the ClickHouse windowFunnel strictness variants
+    (only STEP-TYPED events enter the fold, so — as in ClickHouse —
+    only condition events can interrupt):
+
+      'strict_order' — once the chain has started, an event that does
+          NOT extend it (wrong type next, window expired, repeat of a
+          matched step) KILLS it: the deepest stage freezes there.
+      'strict_dedup' — a second occurrence of an ALREADY-MATCHED step
+          type kills the chain (the repeat itself never extends).
+
+    (ClickHouse's strict_increase is this fold's DEFAULT: matches
+    already require strictly increasing timestamps.) Dead chains are
+    tracked as one boolean alongside the stage array — state stays
+    n+1 scalars per user."""
     n = len(steps)
-    zero = F.array(*[F.lit(None).cast(_TS) for _ in range(n)])
+    strict = mode is not None
+    zero_arr = F.array(*[F.lit(None).cast(_TS) for _ in range(n)])
+    zero = (
+        F.struct(zero_arr.alias("s"), F.lit(False).alias("dead"))
+        if strict
+        else zero_arr
+    )
 
     def step(acc: Column, ev: Column) -> Column:
         ts, et = ev["ts"], ev["et"]
-        cols = []
+        arr = acc["s"] if strict else acc
+        dead = acc["dead"] if strict else F.lit(False)
+        cols, takes = [], []
         for k in range(n):
-            cur = F.element_at(acc, k + 1)
+            cur = F.element_at(arr, k + 1)
             prev_ok = (
                 F.lit(True)
                 if k == 0
                 else (
-                    F.element_at(acc, k).isNotNull()
-                    & (ts > F.element_at(acc, k))
+                    F.element_at(arr, k).isNotNull()
+                    & (ts > F.element_at(arr, k))
                 )
             )
             win_ok = (
                 F.lit(True)
                 if within is None or k == 0
-                else (ts - F.element_at(acc, 1) <= F.lit(float(within)))
+                else (ts - F.element_at(arr, 1) <= F.lit(float(within)))
             )
             take = cur.isNull() & (et == F.lit(steps[k])) & prev_ok & win_ok
+            if strict:
+                take = take & ~dead
+            takes.append(take)
             cols.append(F.when(take, ts).otherwise(cur))
-        return F.array(*cols)
+        if not strict:
+            return F.array(*cols)
+        extended = takes[0]
+        for t in takes[1:]:
+            extended = extended | t
+        started = F.element_at(arr, 1).isNotNull()
+        if mode == "strict_order":
+            new_dead = dead | (started & ~extended)
+        else:  # strict_dedup
+            repeat = F.lit(False)
+            for k in range(n):
+                repeat = repeat | (
+                    (et == F.lit(steps[k])) & F.element_at(arr, k + 1).isNotNull()
+                )
+            new_dead = dead | repeat
+        return F.struct(F.array(*cols).alias("s"), new_dead.alias("dead"))
 
-    return F.aggregate(events, zero, step)
+    folded = F.aggregate(events, zero, step)
+    return folded["s"] if strict else folded
 
 
 def funnel_stages(
@@ -87,6 +131,7 @@ def funnel_stages(
     within: float | None = None,
     max_events_per_user: int | None = None,
     universe: DataFrame | None = None,
+    mode: str | None = None,
 ) -> DataFrame:
     """(user, stage, stage_ts...) — per-user greedy-earliest funnel
     progress: ``stage`` = deepest step reached, plus one ``ts_step_k``
@@ -117,6 +162,11 @@ def funnel_stages(
     steps = list(steps)
     if len(steps) < 2:
         raise ValueError(f"need >= 2 funnel steps, got {steps}")
+    if mode not in (None, "strict_order", "strict_dedup"):
+        raise ValueError(
+            f"funnel_stages: mode must be None | 'strict_order' | "
+            f"'strict_dedup', got {mode!r}"
+        )
     if len(set(steps)) != len(steps):
         raise ValueError(f"funnel steps must be distinct, got {steps}")
     if within is not None and within <= 0:
@@ -152,7 +202,7 @@ def funnel_stages(
     folded = (
         df.filter(F.col(type_col).isin(steps) & F.col(ts_col).isNotNull())
         .groupBy(F.col(user_col).alias("user"))
-        .agg(_fold_funnel(ev, steps, within).alias("__s"))
+        .agg(_fold_funnel(ev, steps, within, mode).alias("__s"))
     )
     stage = F.aggregate(
         F.col("__s"), F.lit(0), lambda acc, t: F.when(t.isNotNull(), acc + 1).otherwise(acc)

@@ -188,3 +188,51 @@ def test_funnel_universe_emits_stage0_population(spark):
         df, "user_id", "ts", "event_type", STEPS, universe=uni
     ).count()
     assert n_total == len(base) + 2
+
+
+def test_funnel_strict_modes(spark):
+    """ClickHouse windowFunnel strictness variants: strict_order
+    kills the chain on ANY non-extending step event; strict_dedup
+    kills it when a matched step type repeats. Hand-verified
+    sequences, each asserted against the documented semantics."""
+    from d2d_spark.operators.funnel import funnel_stages
+
+    steps = ["a", "b", "c"]
+
+    def run(rows, mode=None, within=None):
+        df = spark.createDataFrame(rows, "u string, t double, s string")
+        out = funnel_stages(df, "u", "t", "s", steps, within=within, mode=mode)
+        return {r["user"]: r["stage"] for r in out.collect()}
+
+    # clean chain: all modes agree
+    clean = [("u", 1.0, "a"), ("u", 2.0, "b"), ("u", 3.0, "c")]
+    for m in (None, "strict_order", "strict_dedup"):
+        assert run(clean, m)["u"] == 3, m
+    # interruption: a, b, a, c — default reaches 3 (the stray 'a' is
+    # ignored); strict_order dies at the stray (stage freezes at 2);
+    # strict_dedup dies too (repeat of matched 'a')
+    inter = [("u", 1.0, "a"), ("u", 2.0, "b"), ("u", 3.0, "a"), ("u", 4.0, "c")]
+    assert run(inter)["u"] == 3
+    assert run(inter, "strict_order")["u"] == 2
+    assert run(inter, "strict_dedup")["u"] == 2
+    # out-of-order arrival: c before b — default waits and completes
+    # when b then c appear later; strict_order dies at the early 'c'
+    ooo = [("u", 1.0, "a"), ("u", 2.0, "c"), ("u", 3.0, "b"), ("u", 4.0, "c")]
+    assert run(ooo)["u"] == 3
+    assert run(ooo, "strict_order")["u"] == 1
+    # strict_dedup: the early 'c' matched NOTHING (b unmatched), so it
+    # is not a duplicate — the chain completes
+    assert run(ooo, "strict_dedup")["u"] == 3
+    # events before the chain starts never kill strict_order
+    pre = [("u", 1.0, "b"), ("u", 2.0, "a"), ("u", 3.0, "b"), ("u", 4.0, "c")]
+    assert run(pre, "strict_order")["u"] == 3
+    # window expiry under strict_order is an interruption too
+    win = [("u", 1.0, "a"), ("u", 10.0, "b"), ("u", 11.0, "c")]
+    assert run(win, within=5.0)["u"] == 1
+    assert run(win, "strict_order", within=5.0)["u"] == 1
+    # bad mode refused
+    import pytest as pt
+
+    df = spark.createDataFrame(clean, "u string, t double, s string")
+    with pt.raises(ValueError, match="mode"):
+        funnel_stages(df, "u", "t", "s", steps, mode="strict")
