@@ -1,0 +1,178 @@
+"""Hypothesis-test statistics — the A/B-test / dependence-check
+toolkit next to the profiler's descriptive numbers (profile.py says
+WHAT the distributions look like; this module scores WHETHER two
+columns / two groups differ beyond chance):
+
+  chi2_independence — Pearson chi-square of independence between two
+      categorical columns, plus Cramér's V (the [0,1] effect size).
+  ttest_welch       — Welch's unequal-variance two-sample t statistic
+                      with the Welch–Satterthwaite degrees of freedom.
+
+Both return MODEL-SIZED dicts (statistics, not row sets). P-values
+need distribution CDFs (incomplete beta/gamma) that neither Spark nor
+the stdlib expose vectorized — callers threshold on the statistic
+with their own critical values, or feed the returned (stat, dof) to
+scipy driver-side. Emitting the statistic keeps every number exactly
+replayable by any engine.
+
+Determinism: chi-square works entirely on exact integer counts — the
+per-cell term is (o·n − r·c)² / (n·r·c), integer arithmetic until one
+final division — and the sum follows the profiler's 12-dp DECIMAL
+discipline, so the statistic is partition-order-invariant. Welch's t
+quantizes values to DECIMAL(18,6) before summing (exact decimal sums;
+the quantization is the documented contract — a float sum would be
+partition-order-dependent in the last ulp), then runs one fixed
+double expression per moment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    max_cells: int = 1_000_000,
+) -> dict:
+    """{"chi2", "dof", "n", "cramers_v", "n_a", "n_b"} — Pearson's
+    chi-square over the |A|x|B| contingency grid (ZERO cells included:
+    the grid is the cross of the observed marginals, left-joined with
+    the joint counts — dropping empty cells understates the statistic)
+    and Cramér's V = sqrt(chi2 / (n * (min(|A|,|B|) - 1))). NULL rows
+    drop. Counts above ~2^53/n would lose exactness in the double
+    term; fixture-scale data is far below.
+
+    Shape: one joint groupBy, two marginal aggregates derived from it,
+    a marginal cross-join bounded by |A|x|B| (refused above
+    ``max_cells``), 12-dp DECIMAL term sum."""
+    if max_cells < 1:
+        raise ValueError(f"chi2_independence: max_cells must be >= 1, got {max_cells}")
+    base = df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+    joint = base.groupBy(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).agg(F.count(F.lit(1)).alias("__o"))
+    from pyspark import StorageLevel
+
+    joint = joint.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        tot = joint.agg(
+            F.sum("__o").alias("n"),
+            F.countDistinct("__a").alias("na"),
+            F.countDistinct("__b").alias("nb"),
+        ).first()
+        if tot["n"] is None:
+            return {"chi2": 0.0, "dof": 0, "n": 0, "cramers_v": 0.0, "n_a": 0, "n_b": 0}
+        n, na, nb = int(tot["n"]), int(tot["na"]), int(tot["nb"])
+        if na * nb > max_cells:
+            raise ValueError(
+                f"chi2_independence: {na}x{nb} contingency cells "
+                f"(> max_cells={max_cells}) — these are ID-like columns, "
+                "not categories; bucket or hash them first"
+            )
+        ma = joint.groupBy("__a").agg(F.sum("__o").alias("__r"))
+        mb = joint.groupBy("__b").agg(F.sum("__o").alias("__c"))
+        grid = ma.crossJoin(mb).join(joint, ["__a", "__b"], "left").select(
+            F.coalesce("__o", F.lit(0)).alias("o"), "__r", "__c"
+        )
+        # (o*n - r*c)^2 / (n*r*c): integer products stay exact in the
+        # double domain below 2^53; one division per cell, 12-dp
+        # DECIMAL sum -> partition-order-invariant
+        num = (
+            F.col("o").cast("double") * F.lit(float(n))
+            - F.col("__r").cast("double") * F.col("__c")
+        )
+        term = F.round(
+            num * num / (F.lit(float(n)) * F.col("__r") * F.col("__c")), 12
+        ).cast("decimal(28,12)")
+        chi2 = float(grid.agg(F.sum(term)).first()[0])
+    finally:
+        joint.unpersist()
+    kmin = min(na, nb)
+    import math
+
+    v = math.sqrt(chi2 / (n * (kmin - 1))) if kmin > 1 and n > 0 else 0.0
+    return {
+        "chi2": chi2,
+        "dof": (na - 1) * (nb - 1),
+        "n": n,
+        "cramers_v": v,
+        "n_a": na,
+        "n_b": nb,
+    }
+
+
+def ttest_welch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> dict:
+    """{"t", "dof", "mean_a", "mean_b", "var_a", "var_b", "n_a",
+    "n_b"} — Welch's unequal-variance two-sample t statistic between
+    the ``group_a`` and ``group_b`` slices of ``group_col`` with the
+    Welch–Satterthwaite degrees of freedom. NULL values drop. Each
+    group needs >= 2 values (refused otherwise: a variance needs a
+    denominator). Values quantize to DECIMAL(18,6) before the exact
+    decimal sum/sum-of-squares (the partition-order-invariance
+    contract); the final moments run one pinned double expression, so
+    any engine replaying the same chain matches bit-for-bit."""
+    dec = "decimal(18,6)"
+    base = df.filter(
+        F.col(group_col).isin([group_a, group_b]) & F.col(value_col).isNotNull()
+    ).select(
+        (F.col(group_col) == F.lit(group_a)).alias("__is_a"),
+        F.col(value_col).cast(dec).alias("__v"),
+    )
+    agg = base.groupBy("__is_a").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__v").alias("s"),
+        F.sum(F.col("__v") * F.col("__v")).alias("sq"),
+    )
+    rows = {r["__is_a"]: r for r in agg.collect()}
+    if True not in rows or False not in rows or rows[True]["n"] < 2 or rows[False]["n"] < 2:
+        raise ValueError(
+            "ttest_welch: both groups need >= 2 non-NULL values — a variance "
+            "needs a denominator; check the group labels and filters"
+        )
+
+    def moments(r):
+        n = int(r["n"])
+        s, sq = float(r["s"]), float(r["sq"])
+        mean = s / n
+        var = (sq - n * mean * mean) / (n - 1)
+        return n, mean, var
+
+    na, ma, va = moments(rows[True])
+    nb, mb, vb = moments(rows[False])
+    if va < 0.0:
+        va = 0.0
+    if vb < 0.0:
+        vb = 0.0
+    se2 = va / na + vb / nb
+    if se2 <= 0.0:
+        raise ValueError(
+            "ttest_welch: both groups have zero variance — the t statistic "
+            "is undefined (all values identical); nothing to test"
+        )
+    import math
+
+    # explicit multiplies + math.sqrt, never **: the whole chain must
+    # be replayable as the identical IEEE ops in plain SQL
+    t = (ma - mb) / math.sqrt(se2)
+    dof = se2 * se2 / (
+        (va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)
+    )
+    return {
+        "t": t,
+        "dof": dof,
+        "mean_a": ma,
+        "mean_b": mb,
+        "var_a": va,
+        "var_b": vb,
+        "n_a": na,
+        "n_b": nb,
+    }

@@ -1492,14 +1492,79 @@ def scalar_funcs_suite(spark, sf_dir):
            COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    UNION ALL
+    SELECT leg, 'o_orderpriority', 'o_orderstatus', nn, val FROM (
+      WITH cj AS MATERIALIZED (
+        SELECT o_orderpriority AS a, o_orderstatus AS b, COUNT(*) AS o
+        FROM orders WHERE o_orderpriority IS NOT NULL
+          AND o_orderstatus IS NOT NULL GROUP BY 1, 2),
+      tots AS MATERIALIZED (SELECT SUM(o) AS n, COUNT(DISTINCT a) AS na,
+                   COUNT(DISTINCT b) AS nb FROM cj),
+      mra AS MATERIALIZED (SELECT a, SUM(o) AS r FROM cj GROUP BY a),
+      mrb AS MATERIALIZED (SELECT b, SUM(o) AS c FROM cj GROUP BY b),
+      grid AS (SELECT COALESCE(cj.o, 0) AS o, mra.r, mrb.c
+               FROM mra CROSS JOIN mrb
+               LEFT JOIN cj ON cj.a = mra.a AND cj.b = mrb.b),
+      chi AS (SELECT CAST(SUM(CAST(round(
+                (CAST(o AS DOUBLE) * CAST(tots.n AS DOUBLE)
+                 - CAST(r AS DOUBLE) * c)
+                * (CAST(o AS DOUBLE) * CAST(tots.n AS DOUBLE)
+                   - CAST(r AS DOUBLE) * c)
+                / (CAST(tots.n AS DOUBLE) * r * c), 12)
+              AS DECIMAL(28,12))) AS DOUBLE) AS x2
+              FROM grid, tots)
+      SELECT 'chi2' AS leg, CAST((na - 1) * (nb - 1) AS BIGINT) AS nn,
+             round(x2, 9) AS val FROM chi, tots
+      UNION ALL
+      SELECT 'cramers', CAST(n AS BIGINT),
+             round(sqrt(x2 / (n * (least(na, nb) - 1))), 9) FROM chi, tots)
+    UNION ALL
+    SELECT leg, 'F', 'O', nn, val FROM (
+      WITH tt AS MATERIALIZED (
+        -- the square's operands widen to DECIMAL(24,6): DuckDB backs
+        -- DECIMAL(18) with int64 and the raw product overflows it;
+        -- the quantization (scale 6) and therefore the values are
+        -- identical to Spark's DECIMAL(18,6) arithmetic
+        SELECT o_orderstatus = 'F' AS is_a, COUNT(*) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS s,
+               SUM(CAST(o_totalprice AS DECIMAL(24,6))
+                   * CAST(o_totalprice AS DECIMAL(24,6))) AS sq
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+          AND o_totalprice IS NOT NULL GROUP BY 1),
+      mo AS MATERIALIZED (
+        SELECT is_a, n, CAST(s AS DOUBLE) / n AS mean,
+               (CAST(sq AS DOUBLE) - n * (CAST(s AS DOUBLE) / n)
+                * (CAST(s AS DOUBLE) / n)) / (n - 1) AS var
+        FROM tt),
+      w AS MATERIALIZED (
+        SELECT a.n AS na, b.n AS nb, a.mean AS ma, b.mean AS mb,
+               a.var AS va, b.var AS vb,
+               a.var / a.n + b.var / b.n AS se2
+        FROM (SELECT * FROM mo WHERE is_a) a,
+             (SELECT * FROM mo WHERE NOT is_a) b)
+      SELECT 'ttest_t' AS leg, CAST(na AS BIGINT) AS nn,
+             round((ma - mb) / sqrt(se2), 9) AS val FROM w
+      UNION ALL
+      SELECT 'ttest_dof', CAST(nb AS BIGINT),
+             round(se2 * se2 / ((va / na) * (va / na) / (na - 1)
+                                + (vb / nb) * (vb / nb) / (nb - 1)), 9) FROM w)
     """,
-    tags=("agg", "rollup", "cube"),
+    tags=("agg", "rollup", "cube", "chi2", "cramers-v", "welch-t"),
 )
 def rollup_cube_grouping(spark, sf_dir):
     """ROLLUP and CUBE grouping-set lattices in one tagged result —
     absent in the reference (§2.5), free via Catalyst; each lattice is
     computed in a single shuffle with partial aggregation (the
-    reference could only do this via passthrough SQL)."""
+    reference could only do this via passthrough SQL).
+
+    Plus the r9 hypothesis-test legs (operators/stats.py): 'chi2' /
+    'cramers' — Pearson chi-square of independence between order
+    priority and status over the FULL contingency grid (zero cells
+    included) with Cramér's V, integer-count terms under the 12-dp
+    DECIMAL sum discipline; 'ttest_t' / 'ttest_dof' — Welch's
+    unequal-variance t between the F and O price populations with
+    Welch–Satterthwaite dof, moments from exact DECIMAL(18,6) sums.
+    The oracle replays the identical IEEE chains; 9-dp floats."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     rollup_leg = (
@@ -1530,7 +1595,21 @@ def rollup_cube_grouping(spark, sf_dir):
             "total",
         )
     )
-    return rollup_leg.unionAll(cube_leg)
+    from d2d_spark.operators.stats import chi2_independence, ttest_welch
+
+    chi = chi2_independence(o, "o_orderpriority", "o_orderstatus")
+    tt = ttest_welch(o, "o_orderstatus", "o_totalprice", "F", "O")
+    stat_rows = [
+        ("chi2", "o_orderpriority", "o_orderstatus", chi["dof"], round(chi["chi2"], 9)),
+        ("cramers", "o_orderpriority", "o_orderstatus", chi["n"],
+         round(chi["cramers_v"], 9)),
+        ("ttest_t", "F", "O", tt["n_a"], round(tt["t"], 9)),
+        ("ttest_dof", "F", "O", tt["n_b"], round(tt["dof"], 9)),
+    ]
+    stats_leg = spark.createDataFrame(
+        stat_rows, "src string, dim1 string, dim2 string, n long, total double"
+    )
+    return rollup_leg.unionAll(cube_leg).unionAll(stats_leg)
 
 
 @query(

@@ -1,0 +1,95 @@
+"""Hypothesis-test statistics (operators/stats.py) vs plain-Python
+replays: chi-square with zero cells, Cramér's V bounds, Welch's t on
+planted group shifts, determinism, guards."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from d2d_spark.operators.stats import chi2_independence, ttest_welch
+
+
+def _py_chi2(pairs):
+    from collections import Counter
+
+    n = len(pairs)
+    j = Counter(pairs)
+    ma = Counter(a for a, _ in pairs)
+    mb = Counter(b for _, b in pairs)
+    chi2 = 0.0
+    for a, r in ma.items():
+        for b, c in mb.items():
+            o = j.get((a, b), 0)
+            e = r * c / n
+            chi2 += (o - e) ** 2 / e
+    kmin = min(len(ma), len(mb))
+    v = math.sqrt(chi2 / (n * (kmin - 1))) if kmin > 1 else 0.0
+    return chi2, (len(ma) - 1) * (len(mb) - 1), v
+
+
+def test_chi2_independence_matches_python(spark):
+    # dependent: b echoes a 80% of the time; includes an EMPTY cell
+    rows = []
+    for i in range(200):
+        a = f"a{i % 4}"
+        b = a.replace("a", "b") if i % 5 else f"b{(i + 1) % 3}"
+        rows.append((a, b))
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = chi2_independence(df, "a", "b")
+    chi2, dof, v = _py_chi2(rows)
+    assert abs(got["chi2"] - chi2) < 1e-8
+    assert got["dof"] == dof and abs(got["cramers_v"] - v) < 1e-9
+    assert got["n"] == 200
+    # bit-equal across partitionings (DECIMAL-disciplined sum)
+    again = chi2_independence(df.repartition(13), "a", "b")
+    assert again["chi2"] == got["chi2"]
+    # independent layout scores ~0 and V ~0
+    ind = [(f"a{i % 3}", f"b{(i // 3) % 4}") for i in range(120)]
+    gi = chi2_independence(spark.createDataFrame(ind, "a string, b string"), "a", "b")
+    assert abs(gi["chi2"]) < 1e-9 and gi["cramers_v"] < 1e-4
+    # perfect association: V == 1 exactly (square table)
+    per = [(f"a{i % 3}", f"b{i % 3}") for i in range(90)]
+    gp = chi2_independence(spark.createDataFrame(per, "a string, b string"), "a", "b")
+    assert abs(gp["cramers_v"] - 1.0) < 1e-12
+    with pytest.raises(ValueError, match="max_cells"):
+        chi2_independence(df, "a", "b", max_cells=2)
+    empty = spark.createDataFrame([], "a string, b string")
+    assert chi2_independence(empty, "a", "b")["n"] == 0
+
+
+def _py_welch(xs, ys):
+    na, nb = len(xs), len(ys)
+    ma, mb = sum(xs) / na, sum(ys) / nb
+    va = sum((x - ma) ** 2 for x in xs) / (na - 1)
+    vb = sum((y - mb) ** 2 for y in ys) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / math.sqrt(se2)
+    dof = se2**2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    return t, dof
+
+
+def test_ttest_welch_matches_python(spark):
+    # planted shift: group A sits ~2 higher with different spread
+    xs = [10.0 + (i % 7) * 0.5 for i in range(40)]
+    ys = [8.0 + (i % 11) * 0.25 for i in range(60)]
+    rows = [("A", x) for x in xs] + [("B", y) for y in ys] + [("C", 0.0), ("A", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = ttest_welch(df, "g", "v", "A", "B")
+    t, dof = _py_welch(xs, ys)
+    assert abs(got["t"] - t) < 1e-9 and abs(got["dof"] - dof) < 1e-6
+    assert got["n_a"] == 40 and got["n_b"] == 60
+    assert got["t"] > 10  # the shift is unmistakable
+    # equal samples -> t == 0
+    same = [("A", float(i % 5)) for i in range(20)] + [("B", float(i % 5)) for i in range(20)]
+    z = ttest_welch(spark.createDataFrame(same, "g string, v double"), "g", "v", "A", "B")
+    assert z["t"] == 0.0
+    # determinism across partitionings (decimal-quantized sums)
+    again = ttest_welch(df.repartition(9), "g", "v", "A", "B")
+    assert again["t"] == got["t"]
+    with pytest.raises(ValueError, match=">= 2"):
+        ttest_welch(df, "g", "v", "A", "Z")
+    const = [("A", 1.0)] * 5 + [("B", 1.0)] * 5
+    with pytest.raises(ValueError, match="zero variance"):
+        ttest_welch(spark.createDataFrame(const, "g string, v double"), "g", "v", "A", "B")
