@@ -176,3 +176,74 @@ def ttest_welch(
         "n_a": na,
         "n_b": nb,
     }
+
+
+def linear_fit(
+    df: DataFrame,
+    key_cols: list[str] | None,
+    x_col: str,
+    y_col: str,
+    min_points: int = 2,
+) -> DataFrame:
+    """Per-key ordinary-least-squares line y = slope*x + intercept
+    with r2 — the per-entity trend fit (spend drift per customer,
+    volume trend per domain) as ONE closed-form groupBy, no iteration:
+
+        slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx)
+
+    Returns (keys..., n, slope, intercept, r2). Rows with NULL x or y
+    drop; keys with fewer than ``min_points`` points, or zero x
+    variance (a vertical line), emit NULL slope/intercept/r2 — honest
+    "can't fit" instead of a division blow-up. ``key_cols=None`` fits
+    one global line.
+
+    Determinism: x and y quantize to DECIMAL(18,6) and the five
+    moments are EXACT decimal sums (partition-order-invariant); the
+    closed forms then run one pinned double chain per key, so any
+    engine replaying the same expressions matches bit-for-bit. Shape:
+    one groupBy with map-side partials — the cheapest possible fit at
+    100 TB."""
+    if min_points < 2:
+        raise ValueError(f"linear_fit: min_points must be >= 2, got {min_points}")
+    keys = list(key_cols or [])
+    dec = "decimal(18,6)"
+    base = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).select(
+        *keys,
+        # (18,6) operands are load-bearing: Spark's (18,6)x(18,6)
+        # product is DECIMAL(37,12) — EXACT. Wider operands overflow
+        # precision 38 and Spark silently REDUCES the product scale
+        # (rounding every term); int64-backed replay engines instead
+        # widen their operands to reach int128 (see the oracle SQL) —
+        # both roads land on the same exact scale-12 values
+        F.col(x_col).cast(dec).alias("__x"),
+        F.col(y_col).cast(dec).alias("__y"),
+    )
+    agg = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    syy = F.col("__syy").cast("double")
+    det = n * sxx - sx * sx
+    num = n * sxy - sx * sy
+    ok = (F.col("n") >= min_points) & (det > 0.0)
+    slope = F.when(ok, num / det)
+    intercept = F.when(ok, (sy - (num / det) * sx) / n)
+    denom_y = n * syy - sy * sy
+    r2 = F.when(
+        ok & (denom_y > 0.0), (num * num) / (det * denom_y)
+    )
+    return agg.select(
+        *keys,
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )

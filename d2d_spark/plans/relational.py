@@ -1532,9 +1532,11 @@ def scalar_funcs_suite(spark, sf_dir):
         FROM orders WHERE o_orderstatus IN ('F', 'O')
           AND o_totalprice IS NOT NULL GROUP BY 1),
       mo AS MATERIALIZED (
-        SELECT is_a, n, CAST(s AS DOUBLE) / n AS mean,
-               (CAST(sq AS DOUBLE) - n * (CAST(s AS DOUBLE) / n)
-                * (CAST(s AS DOUBLE) / n)) / (n - 1) AS var
+        -- same VARCHAR-mediated decimal -> double as the ols moments
+        SELECT is_a, n, CAST(CAST(s AS VARCHAR) AS DOUBLE) / n AS mean,
+               (CAST(CAST(sq AS VARCHAR) AS DOUBLE)
+                - n * (CAST(CAST(s AS VARCHAR) AS DOUBLE) / n)
+                * (CAST(CAST(s AS VARCHAR) AS DOUBLE) / n)) / (n - 1) AS var
         FROM tt),
       w AS MATERIALIZED (
         SELECT a.n AS na, b.n AS nb, a.mean AS ma, b.mean AS mb,
@@ -1548,6 +1550,41 @@ def scalar_funcs_suite(spark, sf_dir):
       SELECT 'ttest_dof', CAST(nb AS BIGINT),
              round(se2 * se2 / ((va / na) * (va / na) / (na - 1)
                                 + (vb / nb) * (vb / nb) / (nb - 1)), 9) FROM w)
+    UNION ALL
+    SELECT 'ols', p, stat, n, val FROM (
+      WITH ob AS MATERIALIZED (
+        SELECT o_orderpriority AS p,
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) AS DECIMAL(18,6)) AS x6,
+               CAST(o_totalprice AS DECIMAL(18,6)) AS y6,
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) AS DECIMAL(24,6)) AS xw,
+               CAST(o_totalprice AS DECIMAL(24,6)) AS yw
+        FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+      m AS MATERIALIZED (
+        -- decimal -> double goes THROUGH VARCHAR: DuckDB's direct
+        -- cast rounds twice (int128 -> double, then / 10^scale) and
+        -- can sit an ulp off the correctly-rounded value Spark and
+        -- Python produce; string -> double rounds once, correctly
+        SELECT p, COUNT(*) AS n,
+               CAST(CAST(SUM(x6) AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(y6) AS VARCHAR) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(xw * xw) AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(SUM(xw * yw) AS VARCHAR) AS DOUBLE) AS sxy,
+               CAST(CAST(SUM(yw * yw) AS VARCHAR) AS DOUBLE) AS syy
+        FROM ob GROUP BY p),
+      f AS MATERIALIZED (
+        SELECT p, n,
+               CAST(n AS DOUBLE) * sxx - sx * sx AS det,
+               CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+               CAST(n AS DOUBLE) * syy - sy * sy AS dy,
+               sx, sy FROM m)
+      SELECT p, 'slope' AS stat, n, round(num / det, 9) AS val FROM f
+      UNION ALL
+      SELECT p, 'intercept', n,
+             round((sy - (num / det) * sx) / CAST(n AS DOUBLE), 9) FROM f
+      UNION ALL
+      SELECT p, 'r2', n, round((num * num) / (det * dy), 9) FROM f)
     """,
     tags=("agg", "rollup", "cube", "chi2", "cramers-v", "welch-t"),
 )
@@ -1609,7 +1646,30 @@ def rollup_cube_grouping(spark, sf_dir):
     stats_leg = spark.createDataFrame(
         stat_rows, "src string, dim1 string, dim2 string, n long, total double"
     )
-    return rollup_leg.unionAll(cube_leg).unionAll(stats_leg)
+    # ols leg: per-priority price-vs-date trend (operators/stats.py
+    # linear_fit), unpivoted to (slope, intercept, r2) rows — the
+    # oracle replays the DECIMAL moment sums + identical double chain
+    from d2d_spark.operators.stats import linear_fit
+
+    ob = o.filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    ).withColumn("__xd", F.unix_date(F.to_date("o_orderdate")))
+    fit = linear_fit(ob, ["o_orderpriority"], "__xd", "o_totalprice")
+    ols_leg = fit.select(
+        F.lit("ols").alias("src"),
+        F.col("o_orderpriority").alias("dim1"),
+        F.explode(
+            F.array(
+                F.struct(F.lit("slope").alias("s"), F.round("slope", 9).alias("v")),
+                F.struct(F.lit("intercept").alias("s"), F.round("intercept", 9).alias("v")),
+                F.struct(F.lit("r2").alias("s"), F.round("r2", 9).alias("v")),
+            )
+        ).alias("__e"),
+        F.col("n"),
+    ).select(
+        "src", "dim1", F.col("__e.s").alias("dim2"), "n", F.col("__e.v").alias("total")
+    )
+    return rollup_leg.unionAll(cube_leg).unionAll(stats_leg).unionAll(ols_leg)
 
 
 @query(

@@ -93,3 +93,58 @@ def test_ttest_welch_matches_python(spark):
     const = [("A", 1.0)] * 5 + [("B", 1.0)] * 5
     with pytest.raises(ValueError, match="zero variance"):
         ttest_welch(spark.createDataFrame(const, "g string, v double"), "g", "v", "A", "B")
+
+
+def _py_ols(pts):
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    syy = sum(y * y for _, y in pts)
+    det = n * sxx - sx * sx
+    num = n * sxy - sx * sy
+    slope = num / det
+    icept = (sy - slope * sx) / n
+    dy = n * syy - sy * sy
+    r2 = (num * num) / (det * dy) if dy > 0 else None
+    return slope, icept, r2
+
+
+def test_linear_fit_matches_python(spark):
+    from d2d_spark.operators.stats import linear_fit
+
+    # key a: exact line y = 3x + 7 (r2 == 1); key b: noisy line;
+    # key c: one point (can't fit); key d: vertical (zero x variance)
+    rows = (
+        [("a", float(i), 3.0 * i + 7.0) for i in range(10)]
+        + [("b", float(i), 2.0 * i + (1.0 if i % 2 else -1.0)) for i in range(12)]
+        + [("c", 1.0, 5.0)]
+        + [("d", 2.0, float(i)) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = {r["k"]: r for r in linear_fit(df, ["k"], "x", "y").collect()}
+    sa, ia, ra = _py_ols([(x, y) for k, x, y in rows if k == "a"])
+    assert abs(got["a"]["slope"] - sa) < 1e-9 and abs(got["a"]["intercept"] - ia) < 1e-9
+    assert abs(got["a"]["r2"] - 1.0) < 1e-9
+    sb, ib, rb = _py_ols([(x, y) for k, x, y in rows if k == "b"])
+    assert abs(got["b"]["slope"] - sb) < 1e-9 and abs(got["b"]["r2"] - rb) < 1e-9
+    assert 0.9 < got["b"]["r2"] < 1.0
+    assert got["c"]["slope"] is None and got["d"]["slope"] is None
+    # determinism across partitionings (decimal moment sums)
+    again = {r["k"]: r for r in linear_fit(df.repartition(11), ["k"], "x", "y").collect()}
+    assert again["a"]["slope"] == got["a"]["slope"]
+    assert again["b"]["r2"] == got["b"]["r2"]
+    # global fit (no keys)
+    g = linear_fit(df.filter("k = 'a'"), None, "x", "y").collect()
+    assert len(g) == 1 and abs(g[0]["slope"] - 3.0) < 1e-9
+    # constant y: slope 0, r2 NULL (zero y variance)
+    const = spark.createDataFrame(
+        [("e", float(i), 4.0) for i in range(5)], "k string, x double, y double"
+    )
+    ce = linear_fit(const, ["k"], "x", "y").collect()[0]
+    assert ce["slope"] == 0.0 and ce["r2"] is None
+    import pytest as pt
+
+    with pt.raises(ValueError, match="min_points"):
+        linear_fit(df, ["k"], "x", "y", min_points=1)
