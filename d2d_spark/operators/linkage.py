@@ -60,7 +60,7 @@ def _resp(gamma_cols: list[str], lam: float, m: list[float], u: list[float]) -> 
     pm = F.lit(float(lam))
     pu = F.lit(float(1.0 - lam))
     for g, mi, ui in zip(gamma_cols, m, u):
-        gi = F.col(g)
+        gi = F.col(g).cast("int")  # boolean gammas compare cleanly too
         pm = pm * F.when(gi == 1, F.lit(float(mi))).otherwise(F.lit(float(1.0 - mi)))
         pu = pu * F.when(gi == 1, F.lit(float(ui))).otherwise(F.lit(float(1.0 - ui)))
     return pm / (pm + pu)
@@ -132,7 +132,9 @@ def linkage_em(
         pr = F.round(p, 12).cast(_DEC)
         aggs = [F.sum(pr).alias("S"), F.count(F.lit(1)).alias("n")]
         for i, g in enumerate(gcols):
-            aggs.append(F.sum(F.when(F.col(g) == 1, pr)).alias(f"Sg{i}"))
+            aggs.append(
+                F.sum(F.when(F.col(g).cast("int") == 1, pr)).alias(f"Sg{i}")
+            )
             aggs.append(F.sum(F.col(g).cast("long")).alias(f"G{i}"))
         row = pairs.agg(*aggs).first()
         S, n = row["S"], row["n"]
@@ -188,7 +190,9 @@ def linkage_score(
             )
         agree = float(math.log2(mi / ui))
         disagree = float(math.log2((1.0 - mi) / (1.0 - ui)))
-        w = w + F.when(F.col(g) == 1, F.lit(agree)).otherwise(F.lit(disagree))
+        w = w + F.when(F.col(g).cast("int") == 1, F.lit(agree)).otherwise(
+            F.lit(disagree)
+        )
     out = pairs.withColumn(weight_col, w)
     two_w = F.pow(F.lit(2.0), F.col(weight_col))
     return out.withColumn(prob_col, two_w / (F.lit(1.0) + two_w))

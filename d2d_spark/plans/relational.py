@@ -89,7 +89,7 @@ def q1_pricing_summary(spark, sf_dir):
 @query(
     "scan_filter_project",
     oracle="""
-    WITH RECURSIVE lagged AS (
+    WITH RECURSIVE lagged AS MATERIALIZED (
       SELECT user_id, ts, event_id, event_type,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
