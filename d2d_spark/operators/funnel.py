@@ -261,27 +261,59 @@ def retention_cohorts(
     user_col: str,
     ts_col: str,
     offsets: Sequence[int] = (0, 1, 7, 14, 30),
+    window_days: int = 1,
 ) -> DataFrame:
     """(cohort_day, day_offset, n_users) — exact cohort retention:
     cohort = date of the user's first event; the user counts at
-    offset d iff they have an event on cohort_day + d days. Two
-    grouped aggregates + one small join; offsets beyond the data run
-    simply produce no rows."""
+    offset d iff they have an event in [cohort_day + d,
+    cohort_day + d + window_days) days. The default window_days=1 is
+    CLASSIC (exact-day) retention; larger windows give the
+    "return-window" variant product analytics prefer for weekly
+    granularities (retained in week 1 = any event on days 7..13:
+    offsets=(7,), window_days=7). A user counts ONCE per offset
+    however many return days land in its window. Two grouped
+    aggregates + one small join; offsets beyond the data run simply
+    produce no rows.
+
+    Shape note: with window_days > 1 each (user, day) row can serve
+    several offsets, so rows fan out by at most len(offsets) before
+    the per-offset DISTINCT — still user-bounded, one extra shuffle
+    for the distinct."""
     offsets = sorted(set(int(o) for o in offsets))
     if not offsets or offsets[0] < 0:
         raise ValueError(f"offsets must be non-negative, got {offsets}")
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
     days = df.filter(F.col(ts_col).isNotNull()).select(
         F.col(user_col).alias("user"), F.to_date(ts_col).alias("__d")
     ).distinct()
     first = days.groupBy("user").agg(F.min("__d").alias("cohort_day"))
-    # no distinct here: `days` is already unique on (user, day) and
-    # day_offset is a function of (user, day), so these rows are
-    # duplicate-free by construction
-    hits = (
-        days.join(first, "user")
-        .select("user", "cohort_day", F.datediff("__d", "cohort_day").alias("day_offset"))
-        .filter(F.col("day_offset").isin(offsets))
+    joined = days.join(first, "user").select(
+        "user", "cohort_day", F.datediff("__d", "cohort_day").alias("__delta")
     )
+    if window_days == 1:
+        # no distinct here: `days` is already unique on (user, day) and
+        # day_offset is a function of (user, day), so these rows are
+        # duplicate-free by construction
+        hits = joined.select(
+            "user", "cohort_day", F.col("__delta").alias("day_offset")
+        ).filter(F.col("day_offset").isin(offsets))
+    else:
+        offs = F.array(*[F.lit(o) for o in offsets])
+        hits = (
+            joined.select(
+                "user",
+                "cohort_day",
+                F.explode(
+                    F.filter(
+                        offs,
+                        lambda o: (F.col("__delta") >= o)
+                        & (F.col("__delta") < o + F.lit(window_days)),
+                    )
+                ).alias("day_offset"),
+            )
+            .distinct()  # several return days can hit one window
+        )
     return hits.groupBy("cohort_day", "day_offset").agg(
         F.count(F.lit(1)).alias("n_users")
     )

@@ -597,3 +597,80 @@ def apply_changes(
     survivors = target.join(last.select(*keys), keys, "left_anti")
     inserts = last.filter(F.col(op_col) == upsert_op).select(*target.columns)
     return survivors.unionByName(inserts)
+
+
+def evolve_and_append(
+    df: DataFrame,
+    path: str,
+    spark=None,
+    allow_new_columns: bool = True,
+    allow_widening: bool = True,
+    fmt: str = "parquet",
+) -> dict:
+    """Append a batch whose schema DRIFTED from the target's — the
+    schema-evolution write (Delta's mergeSchema semantics on plain
+    parquet): new columns append (older files read them as NULL under
+    mergeSchema), missing columns fill NULL, and type drift is gated
+    by the SAME lossless-cast ladder merge_into uses — a lossy drift
+    (double -> int, string -> date) refuses LOUDLY instead of
+    corrupting the table. Returns a model-sized report
+    {"added": [...], "filled": [...], "widened": [(col, src, dst)],
+    "n_rows": int}.
+
+    Widening direction: the BATCH is cast up to the TARGET's type
+    when the target is wider; when the BATCH is wider the append
+    refuses (parquet files are immutable — the target's existing
+    files can't be widened in place; rewrite/compact the table to the
+    new type first, then append). A fresh target is a plain write.
+
+    Readers must use mergeSchema (spark.read.option('mergeSchema',
+    True)) once columns have evolved — documented contract, same as
+    Delta's."""
+    spark = spark or df.sparkSession
+    if not _target_exists(spark, path):
+        df.write.format(fmt).mode("append").save(path)
+        return {"added": list(df.columns), "filled": [], "widened": [],
+                "n_rows": df.count()}
+    target = spark.read.format(fmt).load(path)
+    tgt_types = dict(zip(target.schema.names, [f.dataType.simpleString() for f in target.schema.fields]))
+    src_types = dict(zip(df.schema.names, [f.dataType.simpleString() for f in df.schema.fields]))
+    added = [c for c in df.columns if c not in tgt_types]
+    filled = [c for c in target.columns if c not in src_types]
+    if added and not allow_new_columns:
+        raise ValueError(
+            f"evolve_and_append: batch adds columns {added} and "
+            "allow_new_columns=False — drop them upstream or opt in"
+        )
+    widened: list[tuple] = []
+    out_cols = []
+    for c in target.columns:
+        if c not in src_types:
+            out_cols.append(F.lit(None).cast(tgt_types[c]).alias(c))
+            continue
+        s, t = src_types[c], tgt_types[c]
+        if s == t:
+            out_cols.append(F.col(c))
+        elif _cast_is_safe(s, t):
+            if not allow_widening:
+                raise ValueError(
+                    f"evolve_and_append: column {c!r} drifted {s} -> {t} and "
+                    "allow_widening=False"
+                )
+            widened.append((c, s, t))
+            out_cols.append(F.col(c).cast(t).alias(c))
+        else:
+            raise ValueError(
+                f"evolve_and_append: column {c!r} drifted {s!r} vs target "
+                f"{t!r} and the cast is not lossless — widening the TARGET "
+                "needs a rewrite (compact to the new type), and a lossy "
+                "append would corrupt the table"
+            )
+    out_cols += [F.col(c) for c in added]
+    staged = df.select(*out_cols)
+    staged.write.format(fmt).mode("append").save(path)
+    return {
+        "added": added,
+        "filled": filled,
+        "widened": widened,
+        "n_rows": staged.count(),
+    }

@@ -236,3 +236,40 @@ def test_funnel_strict_modes(spark):
     df = spark.createDataFrame(clean, "u string, t double, s string")
     with pt.raises(ValueError, match="mode"):
         funnel_stages(df, "u", "t", "s", steps, mode="strict")
+
+
+def test_retention_window_days(spark):
+    """Return-window retention: window_days widens each offset's hit
+    window; a user with several return days inside one window counts
+    ONCE; window_days=1 stays the classic exact-day variant."""
+    import datetime as dt
+
+    from d2d_spark.operators.funnel import retention_cohorts
+
+    d0 = dt.datetime(2024, 1, 1, 12, 0)
+    rows = (
+        # u1: cohort day 0, returns on days 8 and 9 (one week-1 hit)
+        [("u1", d0), ("u1", d0 + dt.timedelta(days=8)), ("u1", d0 + dt.timedelta(days=9))]
+        # u2: cohort day 0, returns on day 13 (still week 1)
+        + [("u2", d0), ("u2", d0 + dt.timedelta(days=13))]
+        # u3: cohort day 0, returns on day 14 (week 2, NOT week 1)
+        + [("u3", d0), ("u3", d0 + dt.timedelta(days=14))]
+    )
+    df = spark.createDataFrame(rows, "u string, t timestamp")
+    weekly = {
+        (str(r["cohort_day"]), r["day_offset"]): r["n_users"]
+        for r in retention_cohorts(df, "u", "t", offsets=[0, 7, 14], window_days=7).collect()
+    }
+    assert weekly[("2024-01-01", 0)] == 3
+    assert weekly[("2024-01-01", 7)] == 2   # u1 once, u2; u3 is day 14
+    assert weekly[("2024-01-01", 14)] == 1  # u3
+    # classic exact-day: day 8/9/13 hits vanish
+    classic = {
+        (str(r["cohort_day"]), r["day_offset"]): r["n_users"]
+        for r in retention_cohorts(df, "u", "t", offsets=[0, 7, 14]).collect()
+    }
+    assert ("2024-01-01", 7) not in classic and classic[("2024-01-01", 14)] == 1
+    import pytest as pt
+
+    with pt.raises(ValueError, match="window_days"):
+        retention_cohorts(df, "u", "t", offsets=[0], window_days=0)

@@ -236,3 +236,52 @@ def test_uncovered_scalar_helpers(spark):
     assert out[0].fn == "badna_me.csv"  # forbidden chars gone, space -> _
     assert out[1].fn == "_CON"  # device-name guard
     assert len(out[2].fn) == 250  # truncation
+
+
+def test_evolve_and_append(spark, tmp_path):
+    """Schema-evolution append: new columns append (readable under
+    mergeSchema with NULL backfill), missing columns fill NULL,
+    lossless type drift widens the batch to the target's type, and
+    lossy / target-narrower drift refuses loudly."""
+    import pytest as pt
+
+    from d2d_spark.operators.writes import evolve_and_append
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "x", 10.0), (2, "y", 20.0)], "id long, name string, amt double"
+    )
+    rep = evolve_and_append(base, path)
+    assert rep["n_rows"] == 2 and rep["added"] == ["id", "name", "amt"]
+    # batch drifts: drops name, adds tag, sends amt as INT (widens to double)
+    drift = spark.createDataFrame([(3, 30, "new")], "id long, amt int, tag string")
+    rep2 = evolve_and_append(drift, path)
+    assert rep2["added"] == ["tag"] and rep2["filled"] == ["name"]
+    assert rep2["widened"] == [("amt", "int", "double")]
+    got = spark.read.option("mergeSchema", True).parquet(path)
+    rows = {r["id"]: (r["name"], r["amt"], r["tag"]) for r in got.collect()}
+    assert rows[1] == ("x", 10.0, None)
+    assert rows[3] == (None, 30.0, "new")
+    # lossy drift refused: amt arrives as string
+    bad = spark.createDataFrame([(4, "31.5")], "id long, amt string")
+    with pt.raises(ValueError, match="not lossless"):
+        evolve_and_append(bad, path)
+    # batch WIDER than target refused (immutable existing files)
+    wider = spark.createDataFrame([(5, "z", 1.5, 9)], "id long, name string, amt double, amt2 long")
+    evolve_and_append(wider, path)  # amt2 is NEW, fine
+    from decimal import Decimal
+
+    dec = spark.createDataFrame([(Decimal(6),)], "id decimal(38,0)")
+    with pt.raises(ValueError, match="not lossless"):
+        evolve_and_append(dec, path)
+    # opt-outs
+    with pt.raises(ValueError, match="allow_new_columns"):
+        evolve_and_append(
+            spark.createDataFrame([(7, 1.0, "q")], "id long, amt double, brand string"),
+            path, allow_new_columns=False,
+        )
+    with pt.raises(ValueError, match="allow_widening"):
+        evolve_and_append(
+            spark.createDataFrame([(8, 5)], "id long, amt int"),
+            path, allow_widening=False,
+        )
