@@ -334,3 +334,95 @@ def discretize(
     return df.withColumn(
         out_col, F.when(v.isNotNull(), bucket).cast("int")
     )
+
+
+def mahalanobis_outliers(
+    df: DataFrame,
+    value_cols: list[str],
+    threshold: float,
+    out_col: str = "is_outlier",
+    dist_col: str = "mahalanobis_sq",
+    ridge: float = 1e-9,
+) -> DataFrame:
+    """Multivariate outlier flags by SQUARED Mahalanobis distance —
+    the joint-distribution companion to the per-column MAD/z-score
+    flags (a row can sit inside every marginal yet far off the joint
+    correlation structure; this is the flag that catches it):
+
+        d2(x) = (x - mu)^T  Sigma^-1  (x - mu)
+
+    against the caller's ``threshold`` (for Gaussian-ish data the
+    chi-square(d) critical value at the chosen tail; passing the
+    NUMBER keeps the operator dependency-free and the decision
+    explicit). Rows with any NULL among ``value_cols`` get NULL
+    distance/flag.
+
+    Shape: ONE moment aggregate (counts + d sums + d(d+1)/2 pairwise
+    product sums, every sum an exact DECIMAL over (18,6)-quantized
+    values — partition-order-invariant), a d x d covariance solve on
+    the DRIVER (numpy, model-sized), then a map-only quadratic-form
+    Column expression with the inverse baked in as literals — scoring
+    touches no shuffle. Practical d is small (<= ~16: the expanded
+    quadratic form is d^2 terms per row). A singular covariance gets
+    a tiny ridge (``ridge`` * trace/d on the diagonal) — refusing
+    outright would make an exactly-collinear pair of columns
+    unfixable without dropping data."""
+    import numpy as np
+
+    d = len(value_cols)
+    if d < 2:
+        raise ValueError(
+            f"mahalanobis_outliers: need >= 2 value columns (use z-score/MAD "
+            f"for one), got {value_cols}"
+        )
+    if d > 16:
+        raise ValueError(
+            f"mahalanobis_outliers: {d} columns expand to {d * d} quadratic "
+            "terms per row — reduce dimensions (PCA) first"
+        )
+    if threshold <= 0.0:
+        raise ValueError(f"mahalanobis_outliers: threshold must be > 0, got {threshold}")
+    dec = "decimal(18,6)"
+    ok = F.lit(True)
+    for c in value_cols:
+        ok = ok & F.col(c).isNotNull()
+    qs = [F.col(c).cast(dec).alias(f"__q{i}") for i, c in enumerate(value_cols)]
+    base = df.filter(ok).select(*qs)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(d):
+        aggs.append(F.sum(f"__q{i}").alias(f"s{i}"))
+    for i in range(d):
+        for j in range(i, d):
+            aggs.append(
+                F.sum(F.col(f"__q{i}") * F.col(f"__q{j}")).alias(f"p{i}_{j}")
+            )
+    row = base.agg(*aggs).first()
+    n = int(row["n"] or 0)
+    if n < d + 1:
+        raise ValueError(
+            f"mahalanobis_outliers: {n} complete rows can't estimate a "
+            f"{d}x{d} covariance (need >= {d + 1})"
+        )
+    s = np.array([float(row[f"s{i}"]) for i in range(d)])
+    mu = s / n
+    cov = np.empty((d, d))
+    for i in range(d):
+        for j in range(i, d):
+            pij = float(row[f"p{i}_{j}"])
+            cov[i, j] = cov[j, i] = (pij - n * mu[i] * mu[j]) / (n - 1)
+    tr = float(np.trace(cov))
+    cov_r = cov + np.eye(d) * (ridge * (tr / d if tr > 0 else 1.0))
+    try:
+        inv = np.linalg.inv(cov_r)
+    except np.linalg.LinAlgError:
+        inv = np.linalg.pinv(cov_r)
+    # map-only quadratic form with the inverse baked in as literals
+    diffs = [F.col(c).cast("double") - F.lit(float(mu[i])) for i, c in enumerate(value_cols)]
+    d2 = F.lit(0.0)
+    for i in range(d):
+        for j in range(d):
+            d2 = d2 + F.lit(float(inv[i, j])) * diffs[i] * diffs[j]
+    dist = F.when(ok, d2)
+    return df.withColumn(dist_col, dist).withColumn(
+        out_col, F.when(ok, d2 > F.lit(float(threshold)))
+    )

@@ -190,3 +190,55 @@ def test_discretize_equal_frequency_and_ties(spark):
     probs = [0.25, 0.5, 0.75]
     q = {r["p"]: r["value"] for r in quantiles_exact(df, "x", probs).collect()}
     assert [q[p] for p in probs] == [25.0, 50.0, 75.0]
+
+
+def test_mahalanobis_outliers(spark):
+    """Squared Mahalanobis distances vs a numpy twin; a point inside
+    BOTH marginals but off the correlation axis flags while a
+    farther-in-euclidean on-axis point does not; NULL rows pass
+    through unflagged; guards."""
+    import numpy as np
+    import pytest as pt
+
+    from d2d_spark.operators.quantiles import mahalanobis_outliers
+
+    # strongly correlated cloud y ~ x, plus one off-axis point
+    pts = [(float(i % 10), float(i % 10) + (0.1 if i % 2 else -0.1)) for i in range(60)]
+    off_axis = (4.0, 8.5)      # mid-range marginals, breaks the correlation
+    on_axis = (14.0, 14.1)     # far in euclidean terms but ON the axis
+    rows = pts + [off_axis, on_axis, (None, 1.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = mahalanobis_outliers(df, ["x", "y"], threshold=13.8)  # chi2(2) @ ~.999
+    got = {(r["x"], r["y"]): (r["mahalanobis_sq"], r["is_outlier"]) for r in out.collect()}
+    # numpy twin over the complete rows
+    arr = np.array([r for r in rows if r[0] is not None], dtype=float)
+    mu = arr.mean(axis=0)
+    cov = np.cov(arr.T, ddof=1)
+    inv = np.linalg.inv(cov + np.eye(2) * 1e-9 * np.trace(cov) / 2)
+    for x, y in [off_axis, on_axis, pts[0]]:
+        dv = np.array([x, y]) - mu
+        want = float(dv @ inv @ dv)
+        assert abs(got[(x, y)][0] - want) < 1e-6 * max(1.0, want), (x, y)
+    assert got[off_axis][1] is True
+    assert got[on_axis][1] is False or got[on_axis][0] < got[off_axis][0]
+    assert got[(None, 1.0)] == (None, None)
+    # determinism across partitionings (decimal moment sums)
+    again = {
+        (r["x"], r["y"]): r["mahalanobis_sq"]
+        for r in mahalanobis_outliers(df.repartition(7), ["x", "y"], 13.8).collect()
+    }
+    assert again[off_axis] == got[off_axis][0]
+    # guards
+    with pt.raises(ValueError, match=">= 2 value columns"):
+        mahalanobis_outliers(df, ["x"], 1.0)
+    with pt.raises(ValueError, match="threshold"):
+        mahalanobis_outliers(df, ["x", "y"], 0.0)
+    tiny = spark.createDataFrame([(1.0, 2.0), (2.0, 3.0)], "x double, y double")
+    with pt.raises(ValueError, match="covariance"):
+        mahalanobis_outliers(tiny, ["x", "y"], 1.0)
+    # exactly collinear columns: the ridge keeps the solve alive
+    col = spark.createDataFrame(
+        [(float(i), 2.0 * float(i)) for i in range(20)], "x double, y double"
+    )
+    r = mahalanobis_outliers(col, ["x", "y"], 1e9).collect()
+    assert all(x["mahalanobis_sq"] is not None for x in r)
