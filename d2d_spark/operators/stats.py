@@ -247,3 +247,112 @@ def linear_fit(
         intercept.alias("intercept"),
         r2.alias("r2"),
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    num_partitions: int | None = None,
+) -> dict:
+    """{"d", "n_a", "n_b", "at_value"} — the exact two-sample
+    Kolmogorov–Smirnov statistic D = max_x |F_a(x) - F_b(x)|, the
+    NONPARAMETRIC companion to ttest_welch (no normality assumption;
+    catches shape/scale differences a mean test misses). ``at_value``
+    is the smallest value where the supremum is attained
+    (deterministic tie-break). NULL values drop; each group needs at
+    least one value.
+
+    Exactness: everything until the final division is integer — the
+    per-value cumulative counts are exact, and the ECDF gap
+    |ca/n_a - cb/n_b| is two exact-long divisions — so D is
+    engine-portable with no float-fold sensitivity.
+
+    Shape (the quantiles_exact distributed prefix-sum): collapse to
+    (value, count_a, count_b) — one groupBy — then approx-quantile
+    bucket boundaries over DISTINCT values, per-bucket offset sums
+    (<= #buckets rows, one tiny window) and a WITHIN-bucket cumulative
+    window: no global single-partition sort anywhere. 100 TB cost =
+    the value-collapse groupBy."""
+    counts = (
+        df.filter(
+            F.col(group_col).isin([group_a, group_b]) & F.col(value_col).isNotNull()
+        )
+        .groupBy(F.col(value_col).alias("__v"))
+        .agg(
+            F.sum((F.col(group_col) == F.lit(group_a)).cast("long")).alias("__ca"),
+            F.sum((F.col(group_col) == F.lit(group_b)).cast("long")).alias("__cb"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("__ca").alias("na"), F.sum("__cb").alias("nb")
+    ).first()
+    n_a = int(tot["na"] or 0)
+    n_b = int(tot["nb"] or 0)
+    if n_a == 0 or n_b == 0:
+        raise ValueError(
+            "ks_two_sample: both groups need at least one non-NULL value — "
+            "check the group labels and filters"
+        )
+    spark = df.sparkSession
+    nb_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    from pyspark.sql import Window
+
+    bnds = counts.agg(
+        F.percentile_approx(
+            "__v",
+            F.array(*[F.lit((i + 1) / nb_parts) for i in range(max(nb_parts - 1, 1))]),
+            10_000,
+        ).alias("__b")
+    )
+    bucketed = counts.crossJoin(F.broadcast(bnds)).select(
+        "__v",
+        "__ca",
+        "__cb",
+        F.coalesce(
+            F.aggregate(
+                "__b", F.lit(0), lambda acc, b: acc + (b < F.col("__v")).cast("int")
+            ),
+            F.lit(0),
+        ).alias("__pid"),
+    )
+    offs = (
+        bucketed.groupBy("__pid")
+        .agg(F.sum("__ca").alias("__pa"), F.sum("__cb").alias("__pb"))
+        .select(
+            "__pid",
+            F.coalesce(
+                F.sum("__pa").over(
+                    Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("__offa"),
+            F.coalesce(
+                F.sum("__pb").over(
+                    Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("__offb"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    gap = F.abs(
+        (F.col("__offa") + F.sum("__ca").over(w_in)).cast("double") / F.lit(float(n_a))
+        - (F.col("__offb") + F.sum("__cb").over(w_in)).cast("double") / F.lit(float(n_b))
+    )
+    best = (
+        bucketed.join(F.broadcast(offs), "__pid")
+        .select("__v", gap.alias("__g"))
+        .orderBy(F.col("__g").desc(), F.col("__v").asc())
+        .limit(1)
+        .first()
+    )
+    return {"d": float(best["__g"]), "n_a": n_a, "n_b": n_b, "at_value": best["__v"]}

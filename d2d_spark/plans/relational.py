@@ -1585,6 +1585,24 @@ def scalar_funcs_suite(spark, sf_dir):
              round((sy - (num / det) * sx) / CAST(n AS DOUBLE), 9) FROM f
       UNION ALL
       SELECT p, 'r2', n, round((num * num) / (det * dy), 9) FROM f)
+    UNION ALL
+    SELECT 'ks', 'F', 'O', nn, val FROM (
+      WITH kc AS MATERIALIZED (
+        SELECT o_totalprice AS v,
+               SUM(CAST(o_orderstatus = 'F' AS BIGINT)) AS ca,
+               SUM(CAST(o_orderstatus = 'O' AS BIGINT)) AS cb
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+          AND o_totalprice IS NOT NULL GROUP BY 1),
+      kt AS MATERIALIZED (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM kc),
+      ke AS (
+        SELECT abs(CAST(SUM(ca) OVER w AS DOUBLE)
+                     / (SELECT CAST(na AS DOUBLE) FROM kt)
+                   - CAST(SUM(cb) OVER w AS DOUBLE)
+                     / (SELECT CAST(nb AS DOUBLE) FROM kt)) AS g
+        FROM kc WINDOW w AS (ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT CAST((SELECT na + nb FROM kt) AS BIGINT) AS nn,
+             round(MAX(g), 9) AS val FROM ke)
     """,
     tags=("agg", "rollup", "cube", "chi2", "cramers-v", "welch-t"),
 )
@@ -1636,12 +1654,16 @@ def rollup_cube_grouping(spark, sf_dir):
 
     chi = chi2_independence(o, "o_orderpriority", "o_orderstatus")
     tt = ttest_welch(o, "o_orderstatus", "o_totalprice", "F", "O")
+    from d2d_spark.operators.stats import ks_two_sample
+
+    ks = ks_two_sample(o, "o_orderstatus", "o_totalprice", "F", "O")
     stat_rows = [
         ("chi2", "o_orderpriority", "o_orderstatus", chi["dof"], round(chi["chi2"], 9)),
         ("cramers", "o_orderpriority", "o_orderstatus", chi["n"],
          round(chi["cramers_v"], 9)),
         ("ttest_t", "F", "O", tt["n_a"], round(tt["t"], 9)),
         ("ttest_dof", "F", "O", tt["n_b"], round(tt["dof"], 9)),
+        ("ks", "F", "O", ks["n_a"] + ks["n_b"], round(ks["d"], 9)),
     ]
     stats_leg = spark.createDataFrame(
         stat_rows, "src string, dim1 string, dim2 string, n long, total double"

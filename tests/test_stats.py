@@ -148,3 +148,42 @@ def test_linear_fit_matches_python(spark):
 
     with pt.raises(ValueError, match="min_points"):
         linear_fit(df, ["k"], "x", "y", min_points=1)
+
+
+def _py_ks(xs, ys):
+    vals = sorted(set(xs) | set(ys))
+    na, nb = len(xs), len(ys)
+    from bisect import bisect_right
+
+    sx, sy = sorted(xs), sorted(ys)
+    best, at = -1.0, None
+    for v in vals:
+        g = abs(bisect_right(sx, v) / na - bisect_right(sy, v) / nb)
+        if g > best:
+            best, at = g, v
+    return best, at
+
+
+def test_ks_two_sample_matches_python(spark):
+    from d2d_spark.operators.stats import ks_two_sample
+
+    xs = [float(i % 13) for i in range(80)]
+    ys = [float((i % 13) + 2) for i in range(50)]  # planted shift of 2
+    rows = [("A", x) for x in xs] + [("B", y) for y in ys] + [("A", None), ("C", 1.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = ks_two_sample(df, "g", "v", "A", "B")
+    d, at = _py_ks(xs, ys)
+    assert got["d"] == d and got["at_value"] == at
+    assert got["n_a"] == 80 and got["n_b"] == 50
+    assert got["d"] > 0.1
+    # identical samples: D == 0 exactly
+    same = [("A", float(i % 7)) for i in range(30)] + [("B", float(i % 7)) for i in range(30)]
+    z = ks_two_sample(spark.createDataFrame(same, "g string, v double"), "g", "v", "A", "B")
+    assert z["d"] == 0.0
+    # determinism across partitionings and bucket counts
+    again = ks_two_sample(df.repartition(9), "g", "v", "A", "B", num_partitions=3)
+    assert again["d"] == got["d"] and again["at_value"] == got["at_value"]
+    import pytest as pt
+
+    with pt.raises(ValueError, match="at least one"):
+        ks_two_sample(df, "g", "v", "A", "Z")
