@@ -455,3 +455,101 @@ def mutual_information(
         "n_rows": int(stats["rows"]),
         "n_cells": int(stats["cells"]),
     }
+
+
+def population_stability_index(
+    df_ref: DataFrame,
+    df_new: DataFrame,
+    col: str,
+    bins: int = 10,
+    breakpoints: list | None = None,
+    categorical: bool = False,
+    smoothing: float = 1e-6,
+) -> dict:
+    """PSI — the production drift number (industry folklore: < 0.1
+    stable, 0.1-0.25 drifting, > 0.25 shifted) between a reference
+    snapshot and a new batch of the same column:
+
+        PSI = sum_i (p_i - q_i) * ln(p_i / q_i)
+
+    over equal-frequency bins FIT ON THE REFERENCE (numeric mode;
+    pass explicit ``breakpoints`` to pin them across runs — refit
+    breakpoints move with the drift and understate it) or over the
+    union of observed categories (``categorical=True``). Empty-bin
+    shares floor at ``smoothing`` so a vanished/new bucket scores
+    loudly but finitely. NULLs drop (profile NULL-rate separately).
+    Returns {"psi", "n_ref", "n_new", "bins": [(label, p, q)]} —
+    model-sized.
+
+    Shape: numeric breakpoints = one percentile_approx over the ref
+    (deterministic for a given dataset); each side then takes ONE
+    bucket-assignment groupBy; the PSI fold follows the 12-dp DECIMAL
+    discipline driver-side (bin counts are exact longs, the fold runs
+    over <= bins+1 numbers in Python — order pinned by bin index)."""
+    import math
+
+    if smoothing <= 0.0:
+        raise ValueError(f"population_stability_index: smoothing must be > 0, got {smoothing}")
+    ref = df_ref.filter(F.col(col).isNotNull())
+    new = df_new.filter(F.col(col).isNotNull())
+    if categorical:
+        if breakpoints is not None:
+            raise ValueError(
+                "population_stability_index: breakpoints only apply to "
+                "numeric mode; categorical bins are the values themselves"
+            )
+        rc = {r["k"]: r["c"] for r in ref.groupBy(F.col(col).alias("k")).agg(F.count(F.lit(1)).alias("c")).collect()}
+        nc = {r["k"]: r["c"] for r in new.groupBy(F.col(col).alias("k")).agg(F.count(F.lit(1)).alias("c")).collect()}
+        labels = sorted(set(rc) | set(nc), key=str)
+        counts = [(str(lb), rc.get(lb, 0), nc.get(lb, 0)) for lb in labels]
+    else:
+        if breakpoints is None:
+            if bins < 2:
+                raise ValueError(f"population_stability_index: bins must be >= 2, got {bins}")
+            bps = ref.agg(
+                F.percentile_approx(
+                    col,
+                    F.array(*[F.lit((i + 1) / bins) for i in range(bins - 1)]),
+                    10_000,
+                ).alias("b")
+            ).first()["b"]
+            if bps is None:
+                raise ValueError("population_stability_index: reference has no non-NULL values")
+            breakpoints = [float(b) for b in bps]
+        else:
+            breakpoints = sorted(float(b) for b in breakpoints)
+            if not breakpoints:
+                raise ValueError("population_stability_index: breakpoints must be non-empty")
+        arr = F.array(*[F.lit(b) for b in breakpoints])
+        bucket = F.aggregate(
+            arr, F.lit(0), lambda acc, b: acc + (F.col(col) > b).cast("int")
+        )
+
+        def side(d):
+            return {
+                r["b"]: r["c"]
+                for r in d.groupBy(bucket.alias("b")).agg(F.count(F.lit(1)).alias("c")).collect()
+            }
+
+        rc, nc = side(ref), side(new)
+        nb = len(breakpoints) + 1
+        def lbl(i):
+            lo = "-inf" if i == 0 else repr(breakpoints[i - 1])
+            hi = "+inf" if i == nb - 1 else repr(breakpoints[i])
+            return f"({lo}, {hi}]"
+        counts = [(lbl(i), rc.get(i, 0), nc.get(i, 0)) for i in range(nb)]
+    n_ref = sum(c for _, c, _ in counts)
+    n_new = sum(c for _, _, c in counts)
+    if n_ref == 0 or n_new == 0:
+        raise ValueError(
+            "population_stability_index: both frames need at least one "
+            "non-NULL value in the column"
+        )
+    psi = 0.0
+    out_bins = []
+    for lb, cr, cn in counts:
+        p = max(cr / n_ref, smoothing)
+        q = max(cn / n_new, smoothing)
+        psi += (p - q) * math.log(p / q)
+        out_bins.append((lb, cr / n_ref, cn / n_new))
+    return {"psi": psi, "n_ref": n_ref, "n_new": n_new, "bins": out_bins}

@@ -285,3 +285,48 @@ def test_mutual_information(spark):
     # ID-like columns refused
     with pytest.raises(ValueError, match="max_cells"):
         mutual_information(df, "i", "b", max_cells=10)
+
+
+def test_population_stability_index(spark):
+    """PSI: ~0 on an identical distribution, loud on a planted shift,
+    Python-twin equality with pinned breakpoints, categorical mode
+    with a vanished/new category, guards."""
+    import math
+
+    import pytest
+    from d2d_spark.operators.profile import population_stability_index as psi
+
+    ref = spark.createDataFrame([(float(i % 100),) for i in range(1000)], "v double")
+    same = spark.createDataFrame([(float((i + 7) % 100),) for i in range(500)], "v double")
+    stable = psi(ref, same, "v", breakpoints=[10, 20, 30, 40, 50, 60, 70, 80, 90])
+    assert stable["psi"] < 0.01
+    shifted = spark.createDataFrame([(float(i % 100) + 40.0,) for i in range(500)], "v double")
+    drift = psi(ref, shifted, "v", breakpoints=[10, 20, 30, 40, 50, 60, 70, 80, 90])
+    assert drift["psi"] > 0.25
+    # python twin with the same pinned breakpoints
+    bps = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0, 90.0]
+
+    def bucket(x):
+        return sum(x > b for b in bps)
+
+    from collections import Counter
+
+    rc = Counter(bucket(float(i % 100)) for i in range(1000))
+    nc = Counter(bucket(float(i % 100) + 40.0) for i in range(500))
+    want = 0.0
+    for i in range(len(bps) + 1):
+        p = max(rc.get(i, 0) / 1000, 1e-6)
+        q = max(nc.get(i, 0) / 500, 1e-6)
+        want += (p - q) * math.log(p / q)
+    assert abs(drift["psi"] - want) < 1e-12
+    # categorical mode: one category vanishes, one appears
+    cr = spark.createDataFrame([("a",)] * 50 + [("b",)] * 50, "k string")
+    cn = spark.createDataFrame([("a",)] * 60 + [("c",)] * 40, "k string")
+    cat = psi(cr, cn, "k", categorical=True)
+    assert cat["psi"] > 0.5 and len(cat["bins"]) == 3
+    with pytest.raises(ValueError, match="breakpoints only"):
+        psi(cr, cn, "k", categorical=True, breakpoints=[1])
+    with pytest.raises(ValueError, match="at least one"):
+        psi(ref.filter("v < 0"), same, "v", breakpoints=[1.0])
+    with pytest.raises(ValueError, match="smoothing"):
+        psi(ref, same, "v", smoothing=0.0)
