@@ -356,3 +356,69 @@ def ks_two_sample(
         .first()
     )
     return {"d": float(best["__g"]), "n_a": n_a, "n_b": n_b, "at_value": best["__v"]}
+
+
+def corr_matrix(
+    df: DataFrame,
+    value_cols: list[str],
+) -> DataFrame:
+    """Pairwise Pearson correlations over up to ~16 numeric columns in
+    ONE moment aggregate — the feature-redundancy screen before model
+    prep (and the input to "drop one of every r > 0.95 pair"):
+
+        r = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))
+
+    Returns (col_a, col_b, n, r) for every unordered pair
+    (col_a < col_b by the given order), plus each column against
+    itself (r = 1.0 when defined). Rows with ANY NULL among the
+    columns drop — listwise deletion, so every pair is computed over
+    the SAME row set and the matrix is positive semi-definite
+    (pairwise deletion can produce an inconsistent matrix). A
+    zero-variance column yields NULL r against everything (including
+    itself).
+
+    Determinism: the linear_fit discipline — DECIMAL(18,6)-quantized
+    values, exact decimal moment sums, one pinned double chain."""
+    import math
+
+    d = len(value_cols)
+    if d < 2:
+        raise ValueError(f"corr_matrix: need >= 2 columns, got {value_cols}")
+    if d > 16:
+        raise ValueError(
+            f"corr_matrix: {d} columns is {d * (d + 1) // 2} moment sums in "
+            "one pass — reduce dimensions first"
+        )
+    dec = "decimal(18,6)"
+    ok = F.lit(True)
+    for c in value_cols:
+        ok = ok & F.col(c).isNotNull()
+    base = df.filter(ok).select(
+        *[F.col(c).cast(dec).alias(f"__q{i}") for i in range(d) for c in [value_cols[i]]]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(d):
+        aggs.append(F.sum(f"__q{i}").alias(f"s{i}"))
+    for i in range(d):
+        for j in range(i, d):
+            aggs.append(F.sum(F.col(f"__q{i}") * F.col(f"__q{j}")).alias(f"p{i}_{j}"))
+    row = base.agg(*aggs).first()
+    n = int(row["n"] or 0)
+    spark = df.sparkSession
+    schema = "col_a string, col_b string, n long, r double"
+    if n < 2:
+        return spark.createDataFrame(
+            [(value_cols[i], value_cols[j], n, None) for i in range(d) for j in range(i, d)],
+            schema,
+        )
+    s = [float(row[f"s{i}"]) for i in range(d)]
+    out = []
+    for i in range(d):
+        for j in range(i, d):
+            pij = float(row[f"p{i}_{j}"])
+            num = n * pij - s[i] * s[j]
+            di = n * float(row[f"p{i}_{i}"]) - s[i] * s[i]
+            dj = n * float(row[f"p{j}_{j}"]) - s[j] * s[j]
+            r = num / math.sqrt(di * dj) if di > 0.0 and dj > 0.0 else None
+            out.append((value_cols[i], value_cols[j], n, r))
+    return spark.createDataFrame(out, schema)

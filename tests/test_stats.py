@@ -187,3 +187,35 @@ def test_ks_two_sample_matches_python(spark):
 
     with pt.raises(ValueError, match="at least one"):
         ks_two_sample(df, "g", "v", "A", "Z")
+
+
+def test_corr_matrix_matches_numpy(spark):
+    import numpy as np
+    import pytest as pt
+
+    from d2d_spark.operators.stats import corr_matrix
+
+    rows = [
+        (float(i), 2.0 * i + 1.0, float((i * 7) % 13), 5.0)
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double, z double, c double")
+    got = {(r["col_a"], r["col_b"]): r["r"]
+           for r in corr_matrix(df, ["x", "y", "z", "c"]).collect()}
+    arr = np.array(rows)
+    cm = np.corrcoef(arr[:, :3].T)
+    names = ["x", "y", "z"]
+    for i in range(3):
+        assert got[(names[i], names[i])] == 1.0
+        for j in range(i + 1, 3):
+            assert abs(got[(names[i], names[j])] - cm[i, j]) < 1e-9
+    # perfectly linear pair
+    assert abs(got[("x", "y")] - 1.0) < 1e-12
+    # constant column: NULL r everywhere, including against itself
+    assert got[("c", "c")] is None and got[("x", "c")] is None
+    # listwise deletion: a NULL row drops from EVERY pair
+    df2 = df.unionAll(spark.createDataFrame([(None, 1.0, 1.0, 1.0)], df.schema))
+    n_vals = {r["n"] for r in corr_matrix(df2, ["x", "y", "z", "c"]).collect()}
+    assert n_vals == {50}
+    with pt.raises(ValueError, match=">= 2"):
+        corr_matrix(df, ["x"])
