@@ -350,3 +350,59 @@ def cluster_ranges(spark: SparkSession, path: str, column: str) -> list[tuple]:
                     hi = s.max if hi is None else max(hi, s.max)
         out.append((lo, hi))
     return out
+
+
+def read_pruned(
+    spark: SparkSession, path: str, column: str, lo=None, hi=None
+) -> DataFrame:
+    """Read only the files a range predicate ``lo <= column <= hi``
+    can touch, decided on parquet FOOTER min/max statistics — the
+    manifest-style data skipping Delta/Iceberg do with their file
+    stats, modeled on plain parquet (scan_pruning_report MEASURES the
+    skip rate; this reader ACTS on it). The exact predicate is
+    re-applied as a residual filter, so correctness never depends on
+    the statistics — stale/missing stats only cost extra reads, and a
+    file with no stats for the column is always read.
+
+    Scale shape: the footer sweep is a DRIVER-side listing (footers
+    only, no data pages) — the honest cost of statsless parquet; at
+    real table scale the listing IS the table format's manifest and
+    this helper is the pattern the lakehouse formats productize.
+    Combine with write_clustered / write_zordered, which exist to
+    make exactly this prune bite. Empty survivor set returns an
+    empty frame with the table's schema."""
+    import pyarrow.parquet as pq
+
+    if lo is None and hi is None:
+        raise ValueError("read_pruned needs at least one of lo/hi")
+    root = path[len("file://"):] if path.startswith("file://") else path
+    keep: list[str] = []
+    total = 0
+    for name in sorted(os.listdir(root)):
+        if not name.endswith(".parquet") or name.startswith(("_", ".")):
+            continue
+        total += 1
+        full = os.path.join(root, name)
+        md = pq.ParquetFile(full).metadata
+        fmin = fmax = None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == column and col.statistics is not None:
+                    s = col.statistics
+                    fmin = s.min if fmin is None else min(fmin, s.min)
+                    fmax = s.max if fmax is None else max(fmax, s.max)
+        if fmin is not None and fmax is not None:
+            if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
+                continue  # provably disjoint
+        keep.append(full)
+    if total == 0:
+        raise ValueError(f"read_pruned: no parquet data files under {path!r}")
+    pred = F.lit(True)
+    if lo is not None:
+        pred = pred & (F.col(column) >= F.lit(lo))
+    if hi is not None:
+        pred = pred & (F.col(column) <= F.lit(hi))
+    if not keep:
+        return spark.read.parquet(path).filter(pred).limit(0)
+    return spark.read.parquet(*keep).filter(pred)

@@ -260,3 +260,42 @@ def test_compaction_staging_is_invisible_to_partition_readers(spark, sf_dir, tmp
     assert not os.path.exists(debris)
     assert stats["partitions"] == len(statuses)
     assert spark.read.parquet(path).count() == true_rows
+
+
+def test_read_pruned_equals_full_scan(spark, tmp_path):
+    """The stats-pruned reader returns EXACTLY the full-scan filter's
+    rows while provably skipping files on a clustered table; missing
+    bounds, statsless fallbacks and the empty-survivor path hold."""
+    import pytest as pt
+
+    from d2d_spark.operators.maintenance import (
+        read_pruned,
+        scan_pruning_report,
+        write_clustered,
+    )
+
+    path = str(tmp_path / "clustered")
+    df = spark.range(0, 10_000).selectExpr(
+        "id", "CAST(id % 997 AS DOUBLE) AS v", "CAST(id AS STRING) AS tag"
+    )
+    write_clustered(df, path, ["id"], n_files=8)
+    full = spark.read.parquet(path).filter("id >= 2000 AND id <= 2500")
+    pruned = read_pruned(spark, path, "id", lo=2000, hi=2500)
+    assert sorted(r["id"] for r in pruned.collect()) == sorted(
+        r["id"] for r in full.collect()
+    )
+    rep = scan_pruning_report(spark, path, "id", lo=2000, hi=2500)
+    assert rep["skipped"] > 0  # clustering made the prune bite
+    # one-sided bounds
+    lo_only = read_pruned(spark, path, "id", lo=9000)
+    assert lo_only.count() == 1000
+    # empty survivor set: schema preserved, zero rows
+    none = read_pruned(spark, path, "id", lo=1_000_000)
+    assert none.count() == 0 and set(none.columns) == {"id", "v", "tag"}
+    with pt.raises(ValueError, match="at least one"):
+        read_pruned(spark, path, "id")
+    import os
+
+    os.makedirs(str(tmp_path / "empty_dir"))
+    with pt.raises(ValueError, match="no parquet data files"):
+        read_pruned(spark, str(tmp_path / "empty_dir"), "id", lo=1)
