@@ -1718,3 +1718,147 @@ def series_stream_state(spark: SparkSession, state_dir: str):
         os.path.join(state_dir, f"state_after_batch_{max(ids)}", "carry")
     )
     return pts, carry
+
+
+def stream_psi_sink(
+    df: DataFrame,
+    value_col: str,
+    breakpoints: list,
+    ref_shares: list,
+    state_dir: str,
+    checkpoint_path: str,
+    smoothing: float = 1e-6,
+):
+    """Continuous drift monitoring: per micro-batch, the population-
+    stability index of BOTH the batch alone and the cumulative stream
+    so far against a pinned reference distribution — the streaming
+    twin of profile.population_stability_index (pinned breakpoints
+    are the whole point here: the reference must not move with the
+    drift it measures). ``ref_shares`` = the reference's bin shares,
+    len(breakpoints) + 1, e.g. the `bins` field of a batch PSI run.
+
+    State: ONE row per bin (cumulative counts — counts add, so the
+    cumulative PSI equals the batch operator over everything seen,
+    test-pinned at every prefix). Each batch persists its
+    (bin, batch_count, cum_count) rows plus a (psi_batch, psi_cum)
+    summary under the batch id; the usual replay + checkpoint-lifetime
+    refusals apply. NULL values drop, matching the batch operator."""
+    import math
+    import os
+    import re
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    if smoothing <= 0.0:
+        raise ValueError(f"stream_psi_sink: smoothing must be > 0, got {smoothing}")
+    bps = sorted(float(b) for b in breakpoints)
+    if not bps:
+        raise ValueError("stream_psi_sink: breakpoints must be non-empty")
+    nb = len(bps) + 1
+    shares = [float(s0) for s0 in ref_shares]
+    if len(shares) != nb or any(s0 < 0 for s0 in shares):
+        raise ValueError(
+            f"stream_psi_sink: ref_shares must be {nb} non-negative bin "
+            "shares (len(breakpoints) + 1)"
+        )
+    spark = df.sparkSession
+    _require_local_state_dir("stream_psi_sink", state_dir)
+    os.makedirs(state_dir, exist_ok=True)
+    pat = re.compile(r"^state_after_batch_(\d+)$")
+    state_ids = [
+        int(pat.match(n).group(1)) for n in os.listdir(state_dir) if pat.match(n)
+    ]
+    ckpt_local = _local_path(checkpoint_path)
+    checkpoint_is_fresh = ckpt_local is not None and not os.path.isdir(
+        os.path.join(ckpt_local, "offsets")
+    )
+    if checkpoint_is_fresh and state_ids:
+        raise ValueError(
+            f"stream_psi_sink: checkpoint {checkpoint_path!r} is fresh but "
+            f"state_dir {state_dir!r} holds drift state from a previous "
+            "checkpoint lifetime — use a fresh state_dir."
+        )
+    if ckpt_local is not None and not checkpoint_is_fresh and not state_ids:
+        raise ValueError(
+            f"stream_psi_sink: checkpoint {checkpoint_path!r} is resuming but "
+            f"state_dir {state_dir!r} has no drift state — cumulative counts "
+            "from processed batches would be silently lost."
+        )
+
+    def _psi(counts: list) -> float | None:
+        n = sum(counts)
+        if n == 0:
+            return None
+        out = 0.0
+        for i in range(nb):
+            p = max(shares[i], smoothing)
+            q = max(counts[i] / n, smoothing)
+            out += (p - q) * math.log(p / q)
+        return out
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        prior = [
+            int(pat.match(n).group(1))
+            for n in os.listdir(state_dir)
+            if pat.match(n) and int(pat.match(n).group(1)) < batch_id
+        ]
+        cum = [0] * nb
+        if prior:
+            for r in spark.read.parquet(
+                os.path.join(state_dir, f"state_after_batch_{max(prior)}", "bins")
+            ).collect():
+                cum[int(r["bin"])] = int(r["cum_count"])
+        arr = F.array(*[F.lit(b) for b in bps])
+        bucket = F.aggregate(
+            arr, F.lit(0), lambda acc, b: acc + (F.col(value_col) > b).cast("int")
+        )
+        got = {
+            int(r["b"]): int(r["c"])
+            for r in batch_df.filter(F.col(value_col).isNotNull())
+            .groupBy(bucket.alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        batch_counts = [got.get(i, 0) for i in range(nb)]
+        new_cum = [cum[i] + batch_counts[i] for i in range(nb)]
+        bins_df = spark.createDataFrame(
+            [(i, batch_counts[i], new_cum[i]) for i in range(nb)],
+            "bin int, batch_count long, cum_count long",
+        )
+        psi_df = spark.createDataFrame(
+            [(_psi(batch_counts), _psi(new_cum))], "psi_batch double, psi_cum double"
+        )
+        final = os.path.join(state_dir, f"state_after_batch_{batch_id}")
+        tmp = final + ".tmp"
+        bins_df.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "bins"))
+        psi_df.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "psi"))
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+
+    q = (
+        df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def psi_stream_state(spark: SparkSession, state_dir: str):
+    """(bins, psi) from the newest stream_psi_sink state; (None, None)
+    if empty."""
+    import os
+    import re
+
+    pat = re.compile(r"^state_after_batch_(\d+)$")
+    ids = [int(pat.match(n).group(1)) for n in os.listdir(state_dir) if pat.match(n)]
+    if not ids:
+        return None, None
+    base = os.path.join(state_dir, f"state_after_batch_{max(ids)}")
+    return (
+        spark.read.parquet(os.path.join(base, "bins")),
+        spark.read.parquet(os.path.join(base, "psi")),
+    )

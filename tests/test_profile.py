@@ -330,3 +330,60 @@ def test_population_stability_index(spark):
         psi(ref.filter("v < 0"), same, "v", breakpoints=[1.0])
     with pytest.raises(ValueError, match="smoothing"):
         psi(ref, same, "v", smoothing=0.0)
+
+
+def test_stream_psi_sink_equals_batch(spark, tmp_path):
+    """Cumulative streaming PSI equals the batch operator over
+    everything seen at EVERY drop prefix (pinned breakpoints + ref
+    shares); the per-batch PSI flags the drifted drop alone."""
+    from pyspark.sql import types as T
+
+    from d2d_spark.operators.profile import population_stability_index as psi
+    from d2d_spark.streaming.filestream import (
+        file_stream,
+        psi_stream_state,
+        stream_psi_sink,
+    )
+
+    bps = [25.0, 50.0, 75.0]
+    ref = spark.createDataFrame([(float(i % 100),) for i in range(400)], "v double")
+    ref_model = psi(ref, ref, "v", breakpoints=bps)
+    ref_shares = [p for _, p, _ in ref_model["bins"]]
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = T.StructType([T.StructField("v", T.DoubleType())])
+    drops = [
+        ("d1", [(float(i % 100),) for i in range(200)]),          # stable
+        ("d2", [(float(i % 100) + 50.0,) for i in range(200)]),   # shifted
+        ("d3", [(float(i % 100),) for i in range(100)]),          # stable again
+    ]
+    seen = []
+    per_batch = []
+    for name, rows in drops:
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+            str(src / name)
+        )
+        seen.extend(rows)
+        stream = file_stream(spark, str(src) + "/*", schema)
+        stream_psi_sink(
+            stream, "v", bps, ref_shares,
+            str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        )
+        bins, ps = psi_stream_state(spark, str(tmp_path / "state"))
+        row = ps.first()
+        per_batch.append(row["psi_batch"])
+        want = psi(ref, spark.createDataFrame(seen, schema), "v", breakpoints=bps)
+        assert abs(row["psi_cum"] - want["psi"]) < 1e-12, name
+        # cumulative counts conserve rows
+        assert sum(r["cum_count"] for r in bins.collect()) == len(seen)
+    # the drifted drop flags loudly on its own; stable drops don't
+    assert per_batch[0] < 0.01 and per_batch[2] < 0.01
+    assert per_batch[1] > 0.25
+    import pytest as pt
+
+    with pt.raises(ValueError, match="ref_shares"):
+        stream_psi_sink(
+            file_stream(spark, str(src) + "/*", schema), "v", bps, [0.5, 0.5],
+            str(tmp_path / "s2"), str(tmp_path / "c2"),
+        )
