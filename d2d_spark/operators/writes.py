@@ -674,3 +674,57 @@ def evolve_and_append(
         "widened": widened,
         "n_rows": staged.count(),
     }
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    fmt: str = "parquet",
+) -> dict:
+    """Idempotent backfill: overwrite ONLY the hive partitions the
+    batch touches, leaving every other partition's files untouched —
+    Spark's dynamic partitionOverwriteMode, wrapped so (a) the conf
+    flips to dynamic FOR THIS WRITE ONLY and restores after (a session
+    left in dynamic mode silently changes other writers' overwrite
+    semantics — the classic shared-session foot-gun), and (b) NULL
+    partition values are REFUSED up front: they'd land in the
+    __HIVE_DEFAULT_PARTITION__ bucket and a re-run would quietly
+    overwrite unrelated NULL-keyed data. Returns
+    {"partitions": [...], "n_rows": int} — the touched partition
+    tuples, model-sized (reruns of the same batch converge to the
+    same files: the idempotence replays and backfills depend on)."""
+    if not partition_cols:
+        raise ValueError("overwrite_partitions: need at least one partition column")
+    missing = [c for c in partition_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"overwrite_partitions: frame lacks partition columns {missing}")
+    any_null = F.lit(False)
+    for c in partition_cols:
+        any_null = any_null | F.col(c).isNull()
+    touched = (
+        df.select(*partition_cols)
+        .withColumn("__bad", any_null)
+        .groupBy(*partition_cols, "__bad")
+        .count()
+    ).collect()
+    if any(r["__bad"] for r in touched):
+        raise ValueError(
+            "overwrite_partitions: NULL partition values — they'd fall into "
+            "the default partition and a re-run would overwrite unrelated "
+            "NULL-keyed data; filter or impute first"
+        )
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.format(fmt).mode("overwrite").partitionBy(*partition_cols).save(path)
+    finally:
+        spark.conf.set(key, old)
+    return {
+        "partitions": sorted(
+            tuple(r[c] for c in partition_cols) for r in touched
+        ),
+        "n_rows": int(sum(r["count"] for r in touched)),
+    }

@@ -285,3 +285,41 @@ def test_evolve_and_append(spark, tmp_path):
             spark.createDataFrame([(8, 5)], "id long, amt int"),
             path, allow_widening=False,
         )
+
+
+def test_overwrite_partitions_idempotent_backfill(spark, tmp_path):
+    """Dynamic partition overwrite: only touched partitions replace,
+    re-running the same batch converges, untouched partitions keep
+    their rows, conf restores, NULL partition values refuse."""
+    import pytest as pt
+
+    from d2d_spark.operators.writes import overwrite_partitions
+
+    path = str(tmp_path / "parted")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1, "a"), ("2024-01-01", 2, "b"),
+         ("2024-01-02", 3, "c"), ("2024-01-03", 4, "d")],
+        "day string, id long, v string",
+    )
+    rep = overwrite_partitions(base, path, ["day"])
+    assert rep["n_rows"] == 4 and len(rep["partitions"]) == 3
+    # backfill day 2 with corrected rows; days 1 and 3 untouched
+    fix = spark.createDataFrame(
+        [("2024-01-02", 30, "C"), ("2024-01-02", 31, "CC")], "day string, id long, v string"
+    )
+    rep2 = overwrite_partitions(fix, path, ["day"])
+    assert rep2["partitions"] == [("2024-01-02",)]
+    got = {r["id"] for r in spark.read.parquet(path).collect()}
+    assert got == {1, 2, 30, 31, 4}
+    # idempotent: rerun converges to the same table
+    overwrite_partitions(fix, path, ["day"])
+    assert {r["id"] for r in spark.read.parquet(path).collect()} == {1, 2, 30, 31, 4}
+    # conf restored
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower() != "dynamic"
+    with pt.raises(ValueError, match="NULL partition"):
+        overwrite_partitions(
+            spark.createDataFrame([(None, 9, "x")], "day string, id long, v string"),
+            path, ["day"],
+        )
+    with pt.raises(ValueError, match="lacks partition"):
+        overwrite_partitions(base, path, ["nope"])
