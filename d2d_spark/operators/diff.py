@@ -112,3 +112,87 @@ def diff_summary(
     out = {k: counts.get(k, 0) for k in ("added", "removed", "changed")}
     out["unchanged"] = n_old - out["removed"] - out["changed"]
     return out
+
+
+def snapshot_to_changes(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    seq_value,
+    op_col: str = "op",
+    seq_col: str = "seq",
+    upsert_op: str = "u",
+    delete_op: str = "d",
+) -> DataFrame:
+    """Derive the CDC change feed that turns snapshot ``old`` into
+    snapshot ``new`` — the inverse of writes.apply_changes, closing
+    the loop between the diff family and the CDC family:
+
+        apply_changes(old, snapshot_to_changes(old, new, keys, s),
+                      keys, seq) == new        (test-pinned)
+
+    Emits one row per key that CHANGED: upserts carry the new payload
+    (added + value-changed keys, whole-row semantics), deletes carry
+    the removed key with NULL payload. Unchanged keys emit nothing —
+    the feed is minimal, which is what makes replaying it cheap.
+    ``seq_value`` stamps every change (a batch id / watermark — the
+    caller owns sequencing across feeds). Payload columns are taken
+    from NEW's schema; the comparison is null-safe whole-row.
+
+    Shape: one null-safe full-outer join on the keys (the table_diff
+    shape) + a projection. Keys must be unique per snapshot on both
+    sides (refused via one aggregate — a duplicate key makes 'the'
+    change ill-defined)."""
+    if not keys:
+        raise ValueError("snapshot_to_changes: need at least one key column")
+    for side, frame in (("old", old), ("new", new)):
+        missing = [c for c in keys if c not in frame.columns]
+        if missing:
+            raise ValueError(f"snapshot_to_changes: {side} lacks key columns {missing}")
+        dup = (
+            frame.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"snapshot_to_changes: {side} snapshot has duplicate keys — "
+                "'the' change for a duplicated key is ill-defined; dedup first"
+            )
+    payload = [c for c in new.columns if c not in keys]
+    lacking = [c for c in payload if c not in old.columns]
+    if lacking:
+        raise ValueError(
+            f"snapshot_to_changes: old snapshot lacks payload columns "
+            f"{lacking} — schema evolution between snapshots needs "
+            "evolve_and_append upstream, not a change feed"
+        )
+    # both structs project NEW's payload order so the null-safe
+    # whole-row compare is field-aligned
+    o = old.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        F.struct(*[F.col(c) for c in payload]).alias("__old_p"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        F.struct(*[F.col(c) for c in payload]).alias("__new_p"),
+        F.lit(True).alias("__in_new"),
+    )
+    j = o.join(n, [f"__k_{k}" for k in keys], "full")
+    added_or_changed = F.col("__in_new").isNotNull() & (
+        F.col("__in_old").isNull() | ~F.col("__old_p").eqNullSafe(F.col("__new_p"))
+    )
+    removed = F.col("__in_old").isNotNull() & F.col("__in_new").isNull()
+    changes = j.filter(added_or_changed | removed).select(
+        *[F.col(f"__k_{k}").alias(k) for k in keys],
+        *[
+            F.when(removed, F.lit(None)).otherwise(F.col(f"__new_p.{c}")).alias(c)
+            for c in payload
+        ],
+        F.when(removed, F.lit(delete_op)).otherwise(F.lit(upsert_op)).alias(op_col),
+        F.lit(seq_value).alias(seq_col),
+    )
+    return changes

@@ -135,3 +135,43 @@ def test_table_checksum_detects_drift_and_ignores_order(spark, sf_dir):
         table_checksum(orders.select())
     # empty table: stable zero
     assert table_checksum(orders.filter("o_orderkey < 0")) == 0
+
+
+def test_snapshot_to_changes_round_trip(spark):
+    """The closure property: apply_changes(old, snapshot_to_changes(
+    old, new)) reproduces new EXACTLY — adds, whole-row updates,
+    deletes, NULL-involved changes; unchanged keys emit nothing."""
+    import pytest as pt
+    from pyspark.sql import functions as F
+
+    from d2d_spark.operators.diff import snapshot_to_changes
+    from d2d_spark.operators.writes import apply_changes
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)],
+        "id long, v string, x double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10.0),      # unchanged
+            (2, "b", 20.0),      # NULL -> value
+            (3, None, 30.0),     # value -> NULL
+            (5, "e", 50.0),      # added
+        ],                        # 4 removed
+        "id long, v string, x double",
+    )
+    feed = snapshot_to_changes(old, new, ["id"], seq_value=7)
+    ops = {r["id"]: r["op"] for r in feed.collect()}
+    assert ops == {2: "u", 3: "u", 4: "d", 5: "u"}  # 1 emits nothing
+    replayed = apply_changes(old, feed, ["id"], "seq")
+    want = {tuple(r) for r in new.collect()}
+    assert {tuple(r) for r in replayed.select("id", "v", "x").collect()} == want
+    # empty feed on identical snapshots
+    assert snapshot_to_changes(old, old, ["id"], 1).count() == 0
+    # guards
+    with pt.raises(ValueError, match="duplicate keys"):
+        snapshot_to_changes(old.unionAll(old.limit(1)), new, ["id"], 1)
+    with pt.raises(ValueError, match="lacks payload"):
+        snapshot_to_changes(old.drop("x"), new, ["id"], 1)
+    with pt.raises(ValueError, match="key column"):
+        snapshot_to_changes(old, new, [], 1)
