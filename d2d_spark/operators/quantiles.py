@@ -426,3 +426,121 @@ def mahalanobis_outliers(
     return df.withColumn(dist_col, dist).withColumn(
         out_col, F.when(ok, d2 > F.lit(float(threshold)))
     )
+
+
+def weighted_quantiles_exact(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    probs: Sequence[float],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(p, value) — exact WEIGHTED discrete quantiles: the smallest
+    value whose cumulative weight reaches p * total_weight (the
+    inverse weighted CDF; with unit weights this IS percentile_disc).
+    The missing member of the quantile family for token-weighted /
+    duration-weighted distributions ("the p95 document by TOKEN mass,
+    not by document count").
+
+    Weights must be positive: NULL or <= 0 weights are REFUSED (one
+    aggregate probe) — a zero weight can never be selected and a
+    negative one breaks CDF monotonicity, both upstream bugs worth
+    hearing about. Weights quantize to DECIMAL(18,6) and every
+    cumulative sum is exact decimal, so bucket assignment and
+    selection are partition-order-invariant.
+
+    Shape: identical to quantiles_exact (value-collapse groupBy,
+    approx-quantile bucket boundaries over DISTINCT values, per-bucket
+    offsets, within-bucket cumsum) — no global single-partition
+    sort."""
+    probs = _check_probs(probs)
+    dec = "decimal(18,6)"
+    v, w = F.col(value_col), F.col(weight_col)
+    bad = (
+        df.filter(v.isNotNull())
+        .agg(F.max(w.isNull() | (w <= 0)).alias("bad"))
+        .first()
+    )
+    if bad["bad"]:
+        raise ValueError(
+            "weighted_quantiles_exact: NULL or non-positive weights — a zero "
+            "weight is unselectable and a negative one breaks CDF "
+            "monotonicity; repair upstream"
+        )
+    counts = (
+        df.filter(v.isNotNull())
+        .groupBy(v.alias("__v"))
+        .agg(F.sum(w.cast(dec)).alias("__c"))
+    )
+    spark = df.sparkSession
+    nb = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    bnds = counts.agg(
+        F.percentile_approx(
+            "__v", F.array(*[F.lit((i + 1) / nb) for i in range(max(nb - 1, 1))]), 10_000
+        ).alias("__b")
+    )
+    bucketed = counts.crossJoin(F.broadcast(bnds)).select(
+        "__v",
+        "__c",
+        F.coalesce(
+            F.aggregate(
+                "__b", F.lit(0), lambda acc, b: acc + (b < F.col("__v")).cast("int")
+            ),
+            F.lit(0),
+        ).alias("__pid"),
+    )
+    offs = (
+        bucketed.groupBy("__pid")
+        .agg(F.sum("__c").alias("__pc"))
+        .select(
+            "__pid",
+            F.coalesce(
+                F.sum("__pc").over(
+                    Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast(dec),
+            ).alias("__off"),
+        )
+    )
+    cum = (
+        bucketed.join(F.broadcast(offs), "__pid")
+        .withColumn(
+            "__cum",
+            F.col("__off")
+            + F.sum("__c").over(
+                Window.partitionBy("__pid")
+                .orderBy("__v")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("__start", F.col("__cum") - F.col("__c"))
+    )
+    total = counts.agg(F.sum("__c").alias("__w"))
+    # target mass r = max(p*W, tiny): any r in (0, first_weight]
+    # selects the first value, which is the p=0 convention; weights
+    # are >= the 1e-6 quantum so 1e-12 can never skip a real bucket
+    targets = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("p"),
+                F.greatest(
+                    F.lit(p) * F.col("__w").cast("double"), F.lit(1e-12)
+                ).alias("r"),
+            )
+            for p in probs
+        ]
+    )
+    hit = (
+        cum.crossJoin(F.broadcast(total))
+        .select(
+            "__v",
+            F.filter(
+                targets,
+                lambda t: (t["r"] > F.col("__start").cast("double"))
+                & (t["r"] <= F.col("__cum").cast("double")),
+            ).alias("__hits"),
+        )
+        .filter(F.size("__hits") > 0)
+        .select(F.explode("__hits").alias("t"), F.col("__v"))
+    )
+    return hit.select(F.col("t.p").alias("p"), F.col("__v").alias("value")).orderBy("p")

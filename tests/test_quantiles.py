@@ -242,3 +242,55 @@ def test_mahalanobis_outliers(spark):
     )
     r = mahalanobis_outliers(col, ["x", "y"], 1e9).collect()
     assert all(x["mahalanobis_sq"] is not None for x in r)
+
+
+def test_weighted_quantiles_exact(spark):
+    """Weighted inverse-CDF quantiles vs a Python twin; unit weights
+    reduce to percentile_disc (== quantiles_exact); bucket-count
+    invariance; refusals for NULL / non-positive weights."""
+    import pytest as pt
+
+    from d2d_spark.operators.quantiles import quantiles_exact, weighted_quantiles_exact
+
+    rows = [(float(v), float(w)) for v, w in
+            [(10, 1), (20, 5), (30, 1), (40, 10), (50, 3)]]
+    df = spark.createDataFrame(rows, "v double, w double")
+
+    def py_wq(pairs, p):
+        total = sum(w for _, w in pairs)
+        target = max(p * total, 1e-12)
+        cum = 0.0
+        for v, w in sorted(pairs):
+            cum += w
+            if cum >= target:
+                return v
+        return sorted(pairs)[-1][0]
+
+    for probs in ([0.0, 0.25, 0.5, 0.9, 1.0],):
+        got = {r["p"]: r["value"] for r in
+               weighted_quantiles_exact(df, "v", "w", probs).collect()}
+        for p in probs:
+            assert got[p] == py_wq(rows, p), p
+    # the w=10 value dominates: p=0.5 of mass 20 -> cum(40)=17 >= 10
+    assert got[0.5] == 40.0 and got[0.0] == 10.0 and got[1.0] == 50.0
+    # unit weights == unweighted percentile_disc
+    uni = spark.createDataFrame([(float(i % 37),) for i in range(500)], "v double")
+    uw = uni.withColumn("w", F.lit(1.0))
+    a = {r["p"]: r["value"] for r in
+         weighted_quantiles_exact(uw, "v", "w", [0.25, 0.5, 0.75]).collect()}
+    b = {r["p"]: r["value"] for r in
+         quantiles_exact(uni, "v", [0.25, 0.5, 0.75]).collect()}
+    assert a == b
+    # bucket-count invariance (the distributed prefix-sum is exact)
+    c = {r["p"]: r["value"] for r in
+         weighted_quantiles_exact(uw, "v", "w", [0.25, 0.5, 0.75],
+                                  num_partitions=3).collect()}
+    assert c == b
+    with pt.raises(ValueError, match="non-positive"):
+        weighted_quantiles_exact(
+            spark.createDataFrame([(1.0, 0.0)], "v double, w double"), "v", "w", [0.5]
+        )
+    with pt.raises(ValueError, match="non-positive"):
+        weighted_quantiles_exact(
+            spark.createDataFrame([(1.0, None)], "v double, w double"), "v", "w", [0.5]
+        )
