@@ -269,3 +269,23 @@ def test_stream_attribution_sink_equals_batch(spark, tmp_path):
             stream, "u", "t", "s", ["purchase"], ["view", "click"],
             state, ckpt, lookback="10 seconds", include_unattributed=True,
         )
+
+
+def test_binned_path_equals_plain_on_fixture_timestamps(spark, sf_dir):
+    """The binned interval-join scale path is identical to the plain
+    key join on REAL timestamp data (the hand-fixture test covers
+    numeric order columns; this pins the epoch-seconds binning)."""
+    from d2d_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    plain = attribution(
+        ev, "user_id", "ts", "event_type", ["purchase"], ["click", "view"],
+        model="linear", lookback="48 hours", validate=False,
+    )
+    binned = attribution(
+        ev, "user_id", "ts", "event_type", ["purchase"], ["click", "view"],
+        model="linear", lookback="48 hours", bin_width=6 * 3600.0, validate=False,
+    )
+    a = {tuple(r) for r in plain.collect()}
+    b = {tuple(r) for r in binned.collect()}
+    assert a == b and a
