@@ -300,29 +300,89 @@ def update_delete_rows_orders(spark, sf_dir):
 @query(
     "partitioned_write_prune",
     oracle="""
-    SELECT o_orderpriority, COUNT(*) AS n,
+    SELECT 'prune' AS leg, o_orderpriority AS k, CAST(NULL AS VARCHAR) AS op,
+           COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders WHERE o_orderstatus = 'F'
-    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'cdcgen', CAST(k AS VARCHAR), op, CAST(NULL AS BIGINT),
+           CAST(np AS DOUBLE) FROM (
+      WITH old_s AS MATERIALIZED (
+        SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS p
+        FROM orders WHERE o_orderkey <= 3000),
+      new_s AS MATERIALIZED (
+        SELECT o_orderkey AS k, o_orderstatus AS st,
+               CASE WHEN o_orderstatus = 'P'
+                    THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE)
+                    ELSE o_totalprice END AS p
+        FROM orders WHERE o_orderkey BETWEEN 1000 AND 4000)
+      SELECT COALESCE(o.k, n.k) AS k,
+             CASE WHEN n.k IS NULL THEN 'd' ELSE 'u' END AS op,
+             n.p AS np
+      FROM old_s o FULL JOIN new_s n ON o.k = n.k
+      WHERE o.k IS NULL OR n.k IS NULL
+         OR (o.st, o.p) IS DISTINCT FROM (n.st, n.p))
     """,
-    tags=("warehouse", "partitioning"),
+    tags=("warehouse", "partitioning", "cdc-gen"),
 )
 def partitioned_write_prune(spark, sf_dir):
-    """Hive-style partitioned table round-trip (reference
+    """Two warehouse legs.
+
+    prune: Hive-style partitioned table round-trip (reference
     create_table(partitioned=…)+LOAD DATA, d22d/utils/db/__init__.py:
     1145-1198): write orders partitioned by o_orderstatus, read back
     filtered to one partition. The filter prunes at the directory
     level — the scan never opens other partitions' files (the 100 TB
-    posture for any status/date-sliced table)."""
+    posture for any status/date-sliced table).
+
+    cdcgen (r9): diff.snapshot_to_changes between two derived order
+    snapshots (the update_delete suite's dold/dnew shapes) — the
+    minimal upsert/delete feed, checked against a null-safe
+    full-outer SQL diff; its closure property
+    (apply_changes(old, feed) == new) is pytest-pinned."""
     root = str(STAGE / "warehouse" / "orders_by_status")
     orders = read_table(spark, sf_dir, "orders")
     orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(root)
     back = spark.read.parquet(root).filter(F.col("o_orderstatus") == "F")
-    return (
+    ns = F.lit(None).cast("string")
+    prune = (
         back.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
         )
-        .orderBy("o_orderpriority")
+        .select(
+            F.lit("prune").alias("leg"),
+            F.col("o_orderpriority").alias("k"),
+            ns.alias("op"),
+            "n",
+            "total",
+        )
     )
+    from d2d_spark.operators.diff import snapshot_to_changes
+
+    old_s = orders.filter(F.col("o_orderkey") <= 3000).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").alias("p"),
+    )
+    new_s = orders.filter(F.col("o_orderkey").between(1000, 4000)).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.when(
+            F.col("o_orderstatus") == "P",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 2).cast("double"),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("p"),
+    )
+    feed = snapshot_to_changes(old_s, new_s, ["k"], seq_value=1)
+    cdcgen = feed.select(
+        F.lit("cdcgen").alias("leg"),
+        F.col("k").cast("string").alias("k"),
+        F.col("op"),
+        F.lit(None).cast("bigint").alias("n"),
+        F.col("p").cast("double").alias("total"),
+    )
+    return prune.unionByName(cdcgen)
