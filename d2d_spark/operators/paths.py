@@ -110,17 +110,57 @@ def transition_counts(
     start_marker: str = START,
     end_marker: str = END,
     validate: bool = True,
+    order: int = 1,
+    sep: str = ">",
 ) -> DataFrame:
     """(from_state, to_state, n) — adjacent-transition counts over each
     key's time-ordered stream. With ``include_endpoints``, a virtual
     (start_marker -> first state) row per key and (last state ->
     end_marker) complete the chain, so entry/exit distributions and
     row-stochasticity are exact (every state's outflows sum to its
-    occurrences)."""
+    occurrences).
+
+    ``order`` > 1 gives the higher-order Markov matrix: from_state is
+    the ``sep``-joined context of the last ``order`` states and
+    to_state the next single state — P(next | last k), the model that
+    distinguishes "view>cart" from "search>cart" journeys where a
+    first-order chain cannot. Cost is the SAME one window (order-many
+    lags are one shuffle); the output is bounded by alphabet^(order+1).
+    Endpoints apply to order 1 only (a virtual start has no k-context;
+    refused rather than fabricated). With order > 1 the probe also
+    refuses states containing ``sep`` (context strings would
+    collide — the top_paths rule)."""
+    if order < 1:
+        raise ValueError(f"transition_counts: order must be >= 1, got {order}")
+    if order > 1 and include_endpoints:
+        raise ValueError(
+            "transition_counts: include_endpoints only applies to order=1 — "
+            "a virtual __START__ has no k-state context to join"
+        )
     ties = list(tiebreak_cols)
     if validate:
-        _probe_events(df, key_col, ts_col, state_col, ties, "transition_counts")
+        _probe_events(
+            df, key_col, ts_col, state_col, ties, "transition_counts",
+            state_sep=sep if order > 1 else None,
+        )
     w = Window.partitionBy(key_col).orderBy(ts_col, *ties)
+    if order > 1:
+        st = F.col(state_col).cast("string")
+        ctx = [F.lag(st, order - 1 - i).over(w) for i in range(order)]
+        seq = df.select(
+            F.concat_ws(sep, *ctx).alias("__from"),
+            F.lead(st).over(w).alias("__to"),
+            # a full context needs order-1 predecessors: the oldest
+            # lag must be non-NULL
+            ctx[0].isNotNull().alias("__full"),
+        )
+        pairs = seq.filter(F.col("__full") & F.col("__to").isNotNull())
+        return (
+            pairs.groupBy(
+                F.col("__from").alias("from_state"), F.col("__to").alias("to_state")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
     seq = df.select(
         F.col(state_col).cast("string").alias("__from"),
         F.lead(F.col(state_col).cast("string")).over(w).alias("__to"),

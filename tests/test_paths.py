@@ -437,3 +437,47 @@ def test_association_rules_match_python(spark):
         association_rules(fi, 7, min_confidence=0.0)
     with pt.raises(ValueError, match="lacks columns"):
         association_rules(fi.drop("item_c"), 7)
+
+
+def test_higher_order_transitions(spark):
+    """order=2 Markov: contexts are joined state pairs, counts match a
+    Python replay, row-stochasticity holds per context, and the
+    endpoint/sep guards fire."""
+    rows = [
+        ("u1", 1, "a"), ("u1", 2, "b"), ("u1", 3, "c"), ("u1", 4, "b"), ("u1", 5, "c"),
+        ("u2", 1, "a"), ("u2", 2, "b"), ("u2", 3, "b"),
+    ]
+    df = _df(spark, rows)
+    got = {
+        (r["from_state"], r["to_state"]): r["n"]
+        for r in transition_counts(df, "u", "t", "s", order=2).collect()
+    }
+    from collections import Counter, defaultdict
+
+    per = defaultdict(list)
+    for u, t, s in rows:
+        per[u].append((t, s))
+    want = Counter()
+    for u, evs in per.items():
+        st = [s for _, s in sorted(evs)]
+        for i in range(len(st) - 2):
+            want[(f"{st[i]}>{st[i+1]}", st[i + 2])] += 1
+    assert got == dict(want)
+    assert got[("a>b", "c")] == 1 and got[("a>b", "b")] == 1  # u1 vs u2 diverge
+    # row-stochastic per CONTEXT after transition_probs
+    probs = transition_probs(transition_counts(df, "u", "t", "s", order=2))
+    sums = defaultdict(float)
+    for r in probs.collect():
+        sums[r["from_state"]] += r["p"]
+    assert all(abs(v - 1.0) < 1e-12 for v in sums.values())
+    # guards
+    with pytest.raises(ValueError, match="order"):
+        transition_counts(df, "u", "t", "s", order=0)
+    with pytest.raises(ValueError, match="include_endpoints"):
+        transition_counts(df, "u", "t", "s", order=2, include_endpoints=True)
+    with pytest.raises(ValueError, match="separator"):
+        transition_counts(_df(spark, rows + [("u9", 1, "x>y"), ("u9", 2, "z"), ("u9", 3, "w")]),
+                          "u", "t", "s", order=2)
+    # order=1 path unchanged (the oracled legs ride it)
+    base = transition_counts(df, "u", "t", "s")
+    assert base.count() > 0
