@@ -631,3 +631,76 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
     return corners
+
+
+def topo_layers(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 1000,
+) -> DataFrame:
+    """(node, layer) — topological layering of a dependency DAG
+    (src must run BEFORE dst): layer 0 = nodes with no prerequisites,
+    layer k = nodes whose prerequisites all sit in layers < k. The
+    migration-scheduling primitive the reference's table-to-table
+    pipelines imply but never formalize: tables in the same layer can
+    load in parallel; layers run in order. A CYCLE is refused loudly
+    with the stuck nodes named — a silent partial order would schedule
+    a deadlock.
+
+    Shape: iterative peel — each round one anti-join (nodes whose
+    every in-edge source is already layered) + one edge filter;
+    rounds = DAG depth, each a small shuffle; every frame is
+    node/edge-bounded. localCheckpoint per round truncates the
+    iterative lineage (the page_rank discipline)."""
+    from pyspark.sql import functions as F
+
+    e = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionAll(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    out = None
+    remaining = nodes
+    layer = 0
+    while layer < max_iters:
+        if remaining.limit(1).count() == 0:
+            break
+        blocked = e.join(remaining.select(F.col("node").alias("s")), "s", "semi").select(
+            F.col("d").alias("node")
+        ).distinct()
+        ready = remaining.join(blocked, "node", "left_anti").select(
+            "node", F.lit(layer).alias("layer")
+        ).localCheckpoint(eager=True)
+        if ready.limit(1).count() == 0:
+            stuck = [r["node"] for r in remaining.limit(5).collect()]
+            raise ValueError(
+                f"topo_layers: cycle detected — no node in the remaining set "
+                f"is prerequisite-free (sample: {stuck}); a dependency cycle "
+                "cannot be scheduled"
+            )
+        out = ready if out is None else out.unionAll(ready)
+        remaining = remaining.join(ready.select("node"), "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+        e = e.join(ready.select(F.col("node").alias("s")), "s", "left_anti").localCheckpoint(
+            eager=True
+        )
+        layer += 1
+    else:
+        raise ValueError(
+            f"topo_layers: exceeded max_iters={max_iters} layers — either a "
+            "pathologically deep chain or a bug upstream; raise the cap "
+            "knowingly"
+        )
+    if out is None:
+        return spark.createDataFrame([], "node string, layer int")
+    return out

@@ -553,3 +553,57 @@ def population_stability_index(
         psi += (p - q) * math.log(p / q)
         out_bins.append((lb, cr / n_ref, cn / n_new))
     return {"psi": psi, "n_ref": n_ref, "n_new": n_new, "bins": out_bins}
+
+
+def benford_deviation(
+    df: DataFrame,
+    col: str,
+) -> dict:
+    """First-digit Benford's-law screen — the classic fabricated-data
+    / unit-mixing tripwire for positive numeric columns (amounts,
+    populations, file sizes): compares the observed leading-digit
+    distribution against P(d) = log10(1 + 1/d) and reports
+
+      {"mad": mean |obs - exp| over digits 1-9 (Nigrini's statistic:
+              < 0.006 close conformity, > 0.015 nonconformity),
+       "chi2": Pearson chi-square vs the Benford expectation (dof 8),
+       "digits": [(d, observed_share, expected_share)], "n": rows}
+
+    Zero/NULL values drop (no leading digit); negatives screen by
+    magnitude. Shape: leading digit is a pure Column chain (abs ->
+    scientific-notation-free string of the magnitude via repeated
+    scaling is fragile — instead d = floor(x / 10^floor(log10(x))),
+    one log + one pow), then ONE 9-bucket groupBy."""
+    import math
+
+    v = F.abs(F.col(col).cast("double"))
+    lead = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("int")
+    counts = {
+        int(r["d"]): int(r["c"])
+        for r in df.filter(F.col(col).isNotNull() & (v > 0))
+        .select(lead.alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    # float-edge safety: log10/pow can land 10^k a hair under, making
+    # the digit 10 for exact powers of ten — fold it into 1
+    if 10 in counts:
+        counts[1] = counts.get(1, 0) + counts.pop(10)
+    n = sum(counts.values())
+    if n == 0:
+        raise ValueError(
+            f"benford_deviation: no positive non-NULL values in {col!r}"
+        )
+    digits = []
+    mad = 0.0
+    chi2 = 0.0
+    for d in range(1, 10):
+        exp = math.log10(1.0 + 1.0 / d)
+        obs = counts.get(d, 0) / n
+        digits.append((d, obs, exp))
+        mad += abs(obs - exp)
+        e = exp * n
+        o = counts.get(d, 0)
+        chi2 += (o - e) * (o - e) / e
+    return {"mad": mad / 9.0, "chi2": chi2, "digits": digits, "n": n}

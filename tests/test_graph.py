@@ -536,3 +536,31 @@ def test_triangles_empty_and_triangle_free(spark):
     assert triangle_count(empty).count() == 0
     path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
     assert triangle_count(path).count() == 0
+
+
+def test_topo_layers(spark):
+    """DAG layering: diamond + chain resolve to the expected layers,
+    same-layer nodes are genuinely independent, cycles refuse loudly
+    with the stuck nodes named, disconnected sinks layer at 0."""
+    import pytest
+
+    from d2d_spark.operators.graph import topo_layers
+
+    #   a -> b -> d;  a -> c -> d;  d -> e;   x -> y (separate chain)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e"), ("x", "y")],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["layer"] for r in topo_layers(edges).collect()}
+    assert got == {"a": 0, "x": 0, "b": 1, "c": 1, "y": 1, "d": 2, "e": 3}
+    # every edge goes strictly forward in layers
+    for s, d in [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e"), ("x", "y")]:
+        assert got[s] < got[d]
+    # cycle refusal
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")], "src string, dst string"
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        topo_layers(cyc)
+    # empty edge set -> empty result
+    assert topo_layers(edges.limit(0)).count() == 0

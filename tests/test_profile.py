@@ -387,3 +387,38 @@ def test_stream_psi_sink_equals_batch(spark, tmp_path):
             file_stream(spark, str(src) + "/*", schema), "v", bps, [0.5, 0.5],
             str(tmp_path / "s2"), str(tmp_path / "c2"),
         )
+
+
+def test_benford_deviation(spark):
+    """A Benford-conforming synthetic (log-uniform magnitudes) scores
+    close conformity; a uniform distribution flags; exact powers of
+    ten count as digit 1 (the float-edge fold); guards."""
+    import math
+
+    import pytest
+    from d2d_spark.operators.profile import benford_deviation
+
+    # log-uniform over 4 decades: leading digits follow Benford
+    conform = spark.createDataFrame(
+        [(math.exp(math.log(10.0) * (0.0 + 4.0 * ((i * 2654435761) % 10_000) / 10_000)),)
+         for i in range(10_000)],
+        "v double",
+    )
+    good = benford_deviation(conform, "v")
+    assert good["mad"] < 0.01 and good["n"] == 10_000
+    # uniform [1, 10): every digit equally likely -> nonconformity
+    uni = spark.createDataFrame(
+        [(1.0 + 9.0 * ((i * 40503) % 1000) / 1000.0,) for i in range(5000)], "v double"
+    )
+    bad = benford_deviation(uni, "v")
+    assert bad["mad"] > 0.03 and bad["chi2"] > good["chi2"]
+    # exact powers of ten are digit 1; zeros/NULLs/negatives handled
+    edges = spark.createDataFrame(
+        [(1.0,), (10.0,), (100.0,), (1000.0,), (-200.0,), (0.0,), (None,)], "v double"
+    )
+    e = benford_deviation(edges, "v")
+    assert e["n"] == 5
+    shares = dict((d, o) for d, o, _ in e["digits"])
+    assert shares[1] == 4 / 5 and shares[2] == 1 / 5
+    with pytest.raises(ValueError, match="no positive"):
+        benford_deviation(edges.filter("v = 0"), "v")
