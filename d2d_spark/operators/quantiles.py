@@ -544,3 +544,69 @@ def weighted_quantiles_exact(
         .select(F.explode("__hits").alias("t"), F.col("__v"))
     )
     return hit.select(F.col("t.p").alias("p"), F.col("__v").alias("value")).orderBy("p")
+
+
+def group_weighted_quantiles_exact(
+    df: DataFrame,
+    key_cols: Sequence[str] | str,
+    value_col: str,
+    weight_col: str,
+    probs: Sequence[float],
+) -> DataFrame:
+    """(keys..., p, value) — exact per-key WEIGHTED discrete quantiles
+    (the per-key sibling of weighted_quantiles_exact, same inverse-CDF
+    rule and DECIMAL(18,6) weight discipline). One groupBy to
+    (key, value, weight-sum), one key-partitioned cumsum window, one
+    key-level total joined back — the group_quantiles_exact shape;
+    parallelism = key count, a whale key serializes its own distinct
+    values on one task (use the global variant for whales)."""
+    probs = _check_probs(probs)
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    dec = "decimal(18,6)"
+    v, w = F.col(value_col), F.col(weight_col)
+    bad = (
+        df.filter(v.isNotNull())
+        .agg(F.max(w.isNull() | (w <= 0)).alias("bad"))
+        .first()
+    )
+    if bad["bad"]:
+        raise ValueError(
+            "group_weighted_quantiles_exact: NULL or non-positive weights — "
+            "repair upstream (see weighted_quantiles_exact)"
+        )
+    counts = (
+        df.filter(v.isNotNull())
+        .groupBy(*keys, v.alias("__v"))
+        .agg(F.sum(w.cast(dec)).alias("__c"))
+    )
+    win = Window.partitionBy(*keys).orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.withColumn("__cum", F.sum("__c").over(win)).withColumn(
+        "__start", F.col("__cum") - F.col("__c")
+    )
+    totals = counts.groupBy(*keys).agg(F.sum("__c").alias("__w"))
+    targets = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("p"),
+                F.greatest(
+                    F.lit(p) * F.col("__w").cast("double"), F.lit(1e-12)
+                ).alias("r"),
+            )
+            for p in probs
+        ]
+    )
+    hit = (
+        cum.join(totals, keys)
+        .select(
+            *keys,
+            "__v",
+            F.filter(
+                targets,
+                lambda t: (t["r"] > F.col("__start").cast("double"))
+                & (t["r"] <= F.col("__cum").cast("double")),
+            ).alias("__hits"),
+        )
+        .filter(F.size("__hits") > 0)
+        .select(*keys, F.explode("__hits").alias("t"), F.col("__v"))
+    )
+    return hit.select(*keys, F.col("t.p").alias("p"), F.col("__v").alias("value"))

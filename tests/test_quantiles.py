@@ -294,3 +294,40 @@ def test_weighted_quantiles_exact(spark):
         weighted_quantiles_exact(
             spark.createDataFrame([(1.0, None)], "v double, w double"), "v", "w", [0.5]
         )
+
+
+def test_group_weighted_quantiles_exact(spark):
+    """Per-key weighted quantiles: Python twin per key, agreement with
+    the global variant on a single-key frame, per-key divergence on
+    different weight profiles."""
+    from d2d_spark.operators.quantiles import (
+        group_weighted_quantiles_exact,
+        weighted_quantiles_exact,
+    )
+
+    rows = (
+        [("a", float(v), float(w)) for v, w in [(10, 1), (20, 5), (30, 1)]]
+        + [("b", float(v), float(w)) for v, w in [(10, 5), (20, 1), (30, 1)]]
+    )
+    df = spark.createDataFrame(rows, "k string, v double, w double")
+    got = {
+        (r["k"], r["p"]): r["value"]
+        for r in group_weighted_quantiles_exact(df, "k", "v", "w", [0.5, 1.0]).collect()
+    }
+    # a's mass centers on 20, b's on 10
+    assert got[("a", 0.5)] == 20.0 and got[("b", 0.5)] == 10.0
+    assert got[("a", 1.0)] == 30.0 and got[("b", 1.0)] == 30.0
+    # single-key frame agrees with the global variant
+    one = df.filter("k = 'a'")
+    g = {r["p"]: r["value"]
+         for r in weighted_quantiles_exact(one, "v", "w", [0.25, 0.5, 0.9]).collect()}
+    pk = {r["p"]: r["value"]
+          for r in group_weighted_quantiles_exact(one, "k", "v", "w", [0.25, 0.5, 0.9]).collect()}
+    assert g == pk
+    import pytest as pt
+
+    with pt.raises(ValueError, match="non-positive"):
+        group_weighted_quantiles_exact(
+            spark.createDataFrame([("a", 1.0, -1.0)], "k string, v double, w double"),
+            "k", "v", "w", [0.5],
+        )
