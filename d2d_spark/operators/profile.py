@@ -569,27 +569,26 @@ def benford_deviation(
        "chi2": Pearson chi-square vs the Benford expectation (dof 8),
        "digits": [(d, observed_share, expected_share)], "n": rows}
 
-    Zero/NULL values drop (no leading digit); negatives screen by
-    magnitude. Shape: leading digit is a pure Column chain (abs ->
-    scientific-notation-free string of the magnitude via repeated
-    scaling is fragile — instead d = floor(x / 10^floor(log10(x))),
-    one log + one pow), then ONE 9-bucket groupBy."""
+    Zero/NULL/NaN/infinite values drop (no leading digit); negatives
+    screen by magnitude. Shape: the leading digit comes from the
+    CORRECTLY-ROUNDED scientific rendering (format '%.15E', first
+    char) — the arithmetic route floor(x / 10^floor(log10 x)) is a
+    float trap: 0.3/0.1 is 2.9999999999999996 in IEEE and would
+    misfile digit 3 as 2. One format + substring per row, then ONE
+    9-bucket groupBy."""
     import math
 
     v = F.abs(F.col(col).cast("double"))
-    lead = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("int")
+    finite = F.col(col).isNotNull() & ~F.isnan(v) & (v > 0) & (v != float("inf"))
+    lead = F.substring(F.format_string("%.15E", v), 1, 1).cast("int")
     counts = {
         int(r["d"]): int(r["c"])
-        for r in df.filter(F.col(col).isNotNull() & (v > 0))
+        for r in df.filter(finite)
         .select(lead.alias("d"))
         .groupBy("d")
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
     }
-    # float-edge safety: log10/pow can land 10^k a hair under, making
-    # the digit 10 for exact powers of ten — fold it into 1
-    if 10 in counts:
-        counts[1] = counts.get(1, 0) + counts.pop(10)
     n = sum(counts.values())
     if n == 0:
         raise ValueError(

@@ -412,13 +412,16 @@ def test_benford_deviation(spark):
     )
     bad = benford_deviation(uni, "v")
     assert bad["mad"] > 0.03 and bad["chi2"] > good["chi2"]
-    # exact powers of ten are digit 1; zeros/NULLs/negatives handled
+    # exact powers of ten are digit 1; zeros/NULLs/negatives/NaN/inf
+    # handled; 0.3 is digit 3 (the 0.3/0.1 == 2.999... float trap)
     edges = spark.createDataFrame(
-        [(1.0,), (10.0,), (100.0,), (1000.0,), (-200.0,), (0.0,), (None,)], "v double"
+        [(1.0,), (10.0,), (100.0,), (1000.0,), (-200.0,), (0.0,), (None,),
+         (0.3,), (0.29,), (float("nan"),), (float("inf"),)],
+        "v double",
     )
     e = benford_deviation(edges, "v")
-    assert e["n"] == 5
+    assert e["n"] == 7
     shares = dict((d, o) for d, o, _ in e["digits"])
-    assert shares[1] == 4 / 5 and shares[2] == 1 / 5
+    assert shares[1] == 4 / 7 and shares[2] == 2 / 7 and shares[3] == 1 / 7
     with pytest.raises(ValueError, match="no positive"):
         benford_deviation(edges.filter("v = 0"), "v")
