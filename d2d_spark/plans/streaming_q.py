@@ -105,10 +105,118 @@ _LOCF_SQL = """
       FROM days JOIN first USING (user_id)
       WHERE date_diff('day', first.cohort_day, days.d) IN (0, 1, 2, 7)
     ) GROUP BY cohort_day, day_offset
+    UNION ALL
+    SELECT 'retention_w7' AS kind,
+           strftime(cohort_day, '%Y-%m-%d') AS window_start,
+           CAST(day_offset AS VARCHAR) AS event_type,
+           COUNT(*) AS n_events, CAST(NULL AS DOUBLE) AS sum_value
+    FROM (
+      WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                    FROM events WHERE ts IS NOT NULL),
+      first AS (SELECT user_id, MIN(d) AS cohort_day FROM days GROUP BY user_id)
+      SELECT DISTINCT days.user_id, first.cohort_day, oo.o AS day_offset
+      FROM days JOIN first USING (user_id)
+      CROSS JOIN (SELECT unnest([0, 7, 14]) AS o) oo
+      WHERE date_diff('day', first.cohort_day, days.d) >= oo.o
+        AND date_diff('day', first.cohort_day, days.d) < oo.o + 7
+    ) GROUP BY cohort_day, day_offset
+    UNION ALL
+    -- windowFunnel strict modes, replayed WITHOUT the fold:
+    -- strict_order = a consecutive-rank prefix walk from the first
+    -- step-1 event (any non-extending next event freezes the chain);
+    -- strict_dedup = the default greedy chain cut at the first
+    -- repeat of an already-matched step (kill position compared
+    -- lexicographically in the fold's (ts, type) processing order)
+    SELECT kind, '' AS window_start, CAST(user_id AS VARCHAR) AS event_type,
+           stage AS n_events, CAST(NULL AS DOUBLE) AS sum_value
+    FROM (
+      WITH se AS MATERIALIZED (
+        SELECT user_id, event_id, event_type AS et, epoch(ts) AS e,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_type) AS rn
+        FROM events
+        WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+          AND ts IS NOT NULL),
+      pop AS MATERIALIZED (SELECT DISTINCT user_id FROM se),
+      so1 AS MATERIALIZED (
+        SELECT user_id, MIN(rn) AS r1 FROM se WHERE et = 'signup'
+        GROUP BY user_id),
+      so_g AS (
+        SELECT p.user_id, s.r1, e1.e AS t1,
+               e2.et AS et2, e2.e AS x2, e3.et AS et3, e3.e AS x3,
+               e4.et AS et4, e4.e AS x4
+        FROM pop p LEFT JOIN so1 s USING (user_id)
+        LEFT JOIN se e1 ON e1.user_id = p.user_id AND e1.rn = s.r1
+        LEFT JOIN se e2 ON e2.user_id = p.user_id AND e2.rn = s.r1 + 1
+        LEFT JOIN se e3 ON e3.user_id = p.user_id AND e3.rn = s.r1 + 2
+        LEFT JOIN se e4 ON e4.user_id = p.user_id AND e4.rn = s.r1 + 3),
+      so AS (
+        SELECT 'funnel_so' AS kind, user_id,
+               CASE WHEN r1 IS NULL THEN 0
+                    WHEN NOT COALESCE(et2 = 'view' AND x2 > t1
+                                      AND x2 - t1 <= 172800, FALSE) THEN 1
+                    WHEN NOT COALESCE(et3 = 'click' AND x3 > x2
+                                      AND x3 - t1 <= 172800, FALSE) THEN 2
+                    WHEN NOT COALESCE(et4 = 'purchase' AND x4 > x3
+                                      AND x4 - t1 <= 172800, FALSE) THEN 3
+                    ELSE 4 END AS stage
+        FROM so_g),
+      g1 AS MATERIALIZED (SELECT user_id, MIN(e) AS m1 FROM se
+                          WHERE et = 'signup' GROUP BY user_id),
+      g2 AS MATERIALIZED (SELECT se.user_id, MIN(e) AS m2
+                          FROM se JOIN g1 USING (user_id)
+                          WHERE et = 'view' AND e > m1 AND e - m1 <= 172800
+                          GROUP BY se.user_id),
+      g3 AS MATERIALIZED (SELECT se.user_id, MIN(e) AS m3
+                          FROM se JOIN g2 USING (user_id) JOIN g1 USING (user_id)
+                          WHERE et = 'click' AND e > m2 AND e - m1 <= 172800
+                          GROUP BY se.user_id),
+      g4 AS MATERIALIZED (SELECT se.user_id, MIN(e) AS m4
+                          FROM se JOIN g3 USING (user_id) JOIN g1 USING (user_id)
+                          WHERE et = 'purchase' AND e > m3 AND e - m1 <= 172800
+                          GROUP BY se.user_id),
+      mm AS MATERIALIZED (
+        SELECT p.user_id, g1.m1, g2.m2, g3.m3, g4.m4
+        FROM pop p LEFT JOIN g1 USING (user_id) LEFT JOIN g2 USING (user_id)
+        LEFT JOIN g3 USING (user_id) LEFT JOIN g4 USING (user_id)),
+      rep AS (
+        SELECT se.user_id, se.e, se.et,
+               ROW_NUMBER() OVER (PARTITION BY se.user_id, se.et
+                                  ORDER BY se.e, se.event_id) AS rd
+        FROM se JOIN mm USING (user_id)
+        WHERE CASE se.et WHEN 'signup' THEN mm.m1 WHEN 'view' THEN mm.m2
+                         WHEN 'click' THEN mm.m3 ELSE mm.m4 END IS NOT NULL
+          AND se.e >= CASE se.et WHEN 'signup' THEN mm.m1 WHEN 'view' THEN mm.m2
+                                 WHEN 'click' THEN mm.m3 ELSE mm.m4 END),
+      k1 AS MATERIALIZED (
+        SELECT user_id, ke, ket FROM (
+          SELECT user_id, e AS ke, et AS ket,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY e, et) AS rk
+          FROM rep WHERE rd >= 2) WHERE rk = 1),
+      sd AS (
+        SELECT 'funnel_sd' AS kind, mm.user_id,
+               CAST(COALESCE(mm.m1 IS NOT NULL AND (k1.user_id IS NULL
+                 OR mm.m1 < k1.ke
+                 OR (mm.m1 = k1.ke AND 'signup' <= k1.ket)), FALSE) AS INT)
+             + CAST(COALESCE(mm.m2 IS NOT NULL AND (k1.user_id IS NULL
+                 OR mm.m2 < k1.ke
+                 OR (mm.m2 = k1.ke AND 'view' <= k1.ket)), FALSE) AS INT)
+             + CAST(COALESCE(mm.m3 IS NOT NULL AND (k1.user_id IS NULL
+                 OR mm.m3 < k1.ke
+                 OR (mm.m3 = k1.ke AND 'click' <= k1.ket)), FALSE) AS INT)
+             + CAST(COALESCE(mm.m4 IS NOT NULL AND (k1.user_id IS NULL
+                 OR mm.m4 < k1.ke
+                 OR (mm.m4 = k1.ke AND 'purchase' <= k1.ket)), FALSE) AS INT)
+               AS stage
+        FROM mm LEFT JOIN k1 USING (user_id))
+      SELECT kind, user_id, CAST(stage AS BIGINT) AS stage FROM so
+      UNION ALL
+      SELECT kind, user_id, CAST(stage AS BIGINT) AS stage FROM sd
+    )
     """,
     tags=(
         "streaming", "window", "tumbling", "sliding", "funnel", "retention",
-        "resample", "gapfill",
+        "resample", "gapfill", "funnel-strict", "return-window",
     ),
 )
 def windowed_aggs_events(spark, sf_dir):
@@ -142,7 +250,26 @@ def windowed_aggs_events(spark, sf_dir):
     gap_fill with last-observation-carried-forward — the hypertable
     time_bucket_gapfill/locf pair; generated rows are tagged with a
     '*' suffix so the gap flag itself is hash-checked. Oracle:
-    generate_series grid + LAST_VALUE IGNORE NULLS replay."""
+    generate_series grid + LAST_VALUE IGNORE NULLS replay.
+
+    retention_w7 (r9 rotation): the return-window retention variant
+    (window_days=7 at offsets 0/7/14 — 'retained in week k') vs an
+    offset-grid DISTINCT replay. Exact integers.
+
+    funnel_so / funnel_sd (r9 rotations): the ClickHouse windowFunnel
+    strictness modes, per-user deepest stage. The oracle replays each
+    with a structurally DIFFERENT algorithm than the Spark fold:
+    strict_order as a consecutive-rank prefix walk from the first
+    step-1 event (once started, the IMMEDIATELY next step-typed
+    events must be exactly view/click/purchase, strictly later and
+    inside the 48 h window, else the chain freezes where it stands);
+    strict_dedup as the default greedy chain cut at the first repeat
+    of an already-matched step — candidate repeats are events of a
+    matched type at a strictly later position than their match
+    (same-timestamp duplicates included via a per-(user, type)
+    ROW_NUMBER), the earliest candidate in the fold's (ts, type)
+    processing order is the kill, and a stage counts iff its match
+    position sorts at-or-before the kill. Exact integers."""
     ev = read_table(spark, sf_dir, "events")
     aggs = [
         F.count(F.lit(1)).alias("n_events"),
@@ -215,11 +342,42 @@ def windowed_aggs_events(spark, sf_dir):
         F.col("n_users").alias("n_events"),
         F.lit(None).cast("double").alias("sum_value"),
     )
+    # r9 rotations: the return-window retention variant and the two
+    # ClickHouse windowFunnel strictness modes — all exact-integer
+    # legs (no float surface), replayed by structurally DIFFERENT
+    # algorithms in the oracle (offset-window grid; consecutive-rank
+    # prefix walk; kill-position cut of the greedy chain)
+    retention_w7 = retention_cohorts(
+        ev, "user_id", "ts", offsets=[0, 7, 14], window_days=7
+    ).select(
+        F.lit("retention_w7").alias("kind"),
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("window_start"),
+        F.col("day_offset").cast("string").alias("event_type"),
+        F.col("n_users").alias("n_events"),
+        F.lit(None).cast("double").alias("sum_value"),
+    )
+    def strict_leg(mode: str, tag: str):
+        st = funnel_stages(
+            ev, "user_id", "ts", "event_type", steps, within=172_800.0, mode=mode
+        )
+        return st.select(
+            F.lit(tag).alias("kind"),
+            F.lit("").alias("window_start"),
+            F.col("user").cast("string").alias("event_type"),
+            F.col("stage").cast("long").alias("n_events"),
+            F.lit(None).cast("double").alias("sum_value"),
+        )
+
+    funnel_so = strict_leg("strict_order", "funnel_so")
+    funnel_sd = strict_leg("strict_dedup", "funnel_sd")
     return (
         tumbling.unionAll(sliding)
         .unionAll(funnel)
         .unionAll(resampled)
         .unionAll(retention)
+        .unionAll(retention_w7)
+        .unionAll(funnel_so)
+        .unionAll(funnel_sd)
     )
 
 

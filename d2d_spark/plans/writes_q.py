@@ -323,8 +323,40 @@ def update_delete_rows_orders(spark, sf_dir):
       FROM old_s o FULL JOIN new_s n ON o.k = n.k
       WHERE o.k IS NULL OR n.k IS NULL
          OR (o.st, o.p) IS DISTINCT FROM (n.st, n.p))
+    UNION ALL
+    -- evolve: final table state after a schema-drifted append — the
+    -- first batch lacks o_totalprice, so mergeSchema reads it as NULL
+    SELECT 'evolve', CAST(o_orderkey AS VARCHAR), o_orderstatus,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM orders WHERE o_orderkey <= 1000
+    UNION ALL
+    SELECT 'evolve', CAST(o_orderkey AS VARCHAR), o_orderstatus,
+           CAST(NULL AS BIGINT), o_totalprice
+    FROM orders WHERE o_orderkey BETWEEN 1001 AND 2000
+    UNION ALL
+    -- backfill: dynamic-partition overwrite of the 'P' partition only
+    -- (run twice — idempotence is the contract); untouched partitions
+    -- keep the base rows, 'P' holds exactly the doubled batch
+    SELECT 'backfill', CAST(o_orderkey AS VARCHAR), o_orderstatus,
+           CAST(NULL AS BIGINT), o_totalprice
+    FROM orders WHERE o_orderkey <= 3000 AND o_orderstatus <> 'P'
+    UNION ALL
+    SELECT 'backfill', CAST(o_orderkey AS VARCHAR), o_orderstatus,
+           CAST(NULL AS BIGINT),
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE)
+    FROM orders WHERE o_orderstatus = 'P' AND o_orderkey BETWEEN 1000 AND 4000
+    UNION ALL
+    -- pruned: footer-stats file skipping must be INVISIBLE to the
+    -- result — identical to the plain filtered scan
+    SELECT 'pruned', o_orderpriority, CAST(NULL AS VARCHAR), COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+    FROM orders WHERE o_orderkey BETWEEN 500 AND 1500
+    GROUP BY o_orderpriority
     """,
-    tags=("warehouse", "partitioning", "cdc-gen"),
+    tags=(
+        "warehouse", "partitioning", "cdc-gen", "schema-evolution",
+        "backfill", "data-skipping",
+    ),
 )
 def partitioned_write_prune(spark, sf_dir):
     """Two warehouse legs.
@@ -340,7 +372,25 @@ def partitioned_write_prune(spark, sf_dir):
     snapshots (the update_delete suite's dold/dnew shapes) — the
     minimal upsert/delete feed, checked against a null-safe
     full-outer SQL diff; its closure property
-    (apply_changes(old, feed) == new) is pytest-pinned."""
+    (apply_changes(old, feed) == new) is pytest-pinned.
+
+    evolve (r9): writes.evolve_and_append — a first batch WITHOUT
+    o_totalprice, then a drifted second batch WITH it; the
+    mergeSchema read-back must show the old rows as NULL and the new
+    rows populated (the oracle is the plain two-slice UNION). The
+    cast-ladder refusals are pytest-pinned (test_writes).
+
+    backfill (r9): writes.overwrite_partitions — base table of keys
+    <= 3000 partitioned by status, then the 'P' partition alone is
+    overwritten with a doubled [1000, 4000] batch, TWICE (idempotent
+    reruns are the contract); untouched partitions must survive
+    byte-for-byte and 'P' must hold exactly the batch.
+
+    pruned (r9): maintenance.read_pruned over a write_clustered
+    table — footer min/max file skipping with the exact residual
+    re-applied, so the pruned read must equal the plain filtered
+    scan no matter how many files were skipped (the skip-rate
+    assertion lives in test_maintenance)."""
     root = str(STAGE / "warehouse" / "orders_by_status")
     orders = read_table(spark, sf_dir, "orders")
     orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(root)
@@ -385,4 +435,81 @@ def partitioned_write_prune(spark, sf_dir):
         F.lit(None).cast("bigint").alias("n"),
         F.col("p").cast("double").alias("total"),
     )
-    return prune.unionByName(cdcgen)
+    nb = F.lit(None).cast("bigint")
+    from d2d_spark.operators.writes import evolve_and_append
+
+    ev_path = str(STAGE / "warehouse" / "orders_evolved")
+    import shutil
+
+    shutil.rmtree(ev_path, ignore_errors=True)
+    b1 = orders.filter("o_orderkey <= 1000").select("o_orderkey", "o_orderstatus")
+    b2 = orders.filter("o_orderkey BETWEEN 1001 AND 2000").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    evolve_and_append(b1, ev_path)
+    evolve_and_append(b2, ev_path)
+    evolved = spark.read.option("mergeSchema", True).parquet(ev_path)
+    evolve = evolved.select(
+        F.lit("evolve").alias("leg"),
+        F.col("o_orderkey").cast("string").alias("k"),
+        F.col("o_orderstatus").alias("op"),
+        nb.alias("n"),
+        F.col("o_totalprice").alias("total"),
+    )
+    from d2d_spark.operators.writes import overwrite_partitions
+
+    bf_path = str(STAGE / "warehouse" / "orders_backfill")
+    base = orders.filter("o_orderkey <= 3000").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    base.write.mode("overwrite").partitionBy("o_orderstatus").parquet(bf_path)
+    batch = orders.filter(
+        (F.col("o_orderstatus") == "P") & F.col("o_orderkey").between(1000, 4000)
+    ).select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 2)
+        .cast("double")
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    overwrite_partitions(batch, bf_path, ["o_orderstatus"])
+    overwrite_partitions(batch, bf_path, ["o_orderstatus"])  # idempotent rerun
+    backfill = spark.read.parquet(bf_path).select(
+        F.lit("backfill").alias("leg"),
+        F.col("o_orderkey").cast("string").alias("k"),
+        F.col("o_orderstatus").alias("op"),
+        nb.alias("n"),
+        F.col("o_totalprice").alias("total"),
+    )
+    from d2d_spark.operators.maintenance import read_pruned, write_clustered
+
+    cl_path = str(STAGE / "warehouse" / "orders_clustered")
+    write_clustered(
+        orders.select("o_orderkey", "o_totalprice", "o_orderpriority"),
+        cl_path,
+        ["o_orderkey"],
+        n_files=8,
+    )
+    rp = read_pruned(spark, cl_path, "o_orderkey", lo=500, hi=1500)
+    pruned = (
+        rp.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .select(
+            F.lit("pruned").alias("leg"),
+            F.col("o_orderpriority").alias("k"),
+            ns.alias("op"),
+            "n",
+            "total",
+        )
+    )
+    return (
+        prune.unionByName(cdcgen)
+        .unionByName(evolve)
+        .unionByName(backfill)
+        .unionByName(pruned)
+    )
