@@ -310,3 +310,55 @@ def c4_clean_lines(col: Column, min_words: int = 5) -> Column:
         )
 
     return F.array_join(F.filter(F.split(col, "\n"), keep), "\n")
+
+
+def compression_stats(col: Column, level: int = 6) -> Column:
+    """struct(raw_bytes, comp_bytes, ratio) — the zlib
+    compression-ratio quality signal (the classic curation tripwire
+    next to the Gopher repetition heuristics: near-random text — hash
+    dumps, base64 blobs, minified bundles — compresses badly, ratio
+    near 1; boilerplate/templated spam compresses absurdly well,
+    ratio near 0; organic prose sits roughly in [0.25, 0.6] at the
+    default level). DEFLATE's entropy model catches long-range
+    repetition the fixed-n n-gram fractions miss.
+
+    Lengths are over the UTF-8 encoding; ``ratio`` =
+    comp_bytes / raw_bytes as one int/int double division (NULL for
+    NULL or empty text, so a band filter drops neither explicitly).
+
+    This is the ONE text signal in this module that cannot be a pure
+    Column (no DEFLATE in Catalyst): an Arrow-batched pandas UDF,
+    ~level-6 zlib throughput is ~100 MB/s/core so at 100 TB it rides
+    the same budget as the decode it usually accompanies. Not in the
+    predicate-pushdown path — compute it once, persist it as a column
+    next to the other quality stats. Determinism: zlib output for a
+    given (input, level, zlib build) is fixed; lengths are stable
+    across the common zlib builds for text-scale inputs, and the
+    pytest twin pins exact equality in-process."""
+    if not (0 <= int(level) <= 9):
+        raise ValueError(f"compression_stats: level must be in [0, 9], got {level}")
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    lv = int(level)
+
+    @pandas_udf(
+        "struct<raw_bytes: bigint, comp_bytes: bigint, ratio: double>",
+        PandasUDFType.SCALAR,
+    )
+    def _cz(s):
+        import zlib
+
+        raw, comp, ratio = [], [], []
+        for x in s:
+            if x is None:
+                raw.append(None), comp.append(None), ratio.append(None)
+                continue
+            b = x.encode("utf-8")
+            c = len(zlib.compress(b, lv))
+            raw.append(len(b))
+            comp.append(c)
+            ratio.append(c / len(b) if b else None)
+        return pd.DataFrame({"raw_bytes": raw, "comp_bytes": comp, "ratio": ratio})
+
+    return _cz(col)

@@ -51,9 +51,7 @@ _SQL_QUALITY = (
 )
 
 
-@query(
-    "text_stats_lang_quality",
-    oracle=f"""
+_TEXT_STATS_SQL = f"""
     SELECT 'stats' AS leg, CAST(doc_id AS VARCHAR) AS k,
            length(text) AS n_chars_measured,
            {_SQL_NTOK} AS n_tokens_ws,
@@ -72,8 +70,67 @@ _SQL_QUALITY = (
            COUNT(*) AS cnt,
            CAST(SUM(CAST({_SQL_QUALITY} AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
     FROM documents GROUP BY 2
-    """,
-    tags=("llm", "text", "lang-id", "quality"),
+    """
+
+
+def _text_stats_oracle() -> str:
+    """Existing stats/langq SQL + a literal-VALUES 'zratio' block:
+    zlib lengths cannot be expressed in DuckDB, so the expectation is
+    precomputed in Python (the SAME zlib build the Spark-side Arrow
+    kernel calls in this environment) per fixture, gated by the
+    corpus-content sftag like the other literal oracles."""
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    from d2d_spark.plans.registry import fixture_table_paths
+
+    rows = []
+    for path in fixture_table_paths("documents"):
+        try:
+            tb = pq.read_table(path, columns=["doc_id", "text"])
+        except Exception:  # noqa: BLE001 - missing fixture dir is fine
+            continue
+        ids = tb.column("doc_id").to_pylist()
+        texts = tb.column("text").to_pylist()
+        tag = sum(len(t) for t in texts if t is not None)
+        for i, t in zip(ids, texts):
+            if i % 20 != 0:
+                continue
+            if t is None:
+                rows.append((tag, i, "NULL", "NULL", "NULL"))
+                continue
+            b = t.encode("utf-8")
+            c = len(zlib.compress(b, 6))
+            ratio = repr(round(c / len(b), 9)) if b else "NULL"
+            rows.append((tag, i, len(b), c, ratio))
+    if not rows:
+        rows = [(-1, -1, "NULL", "NULL", "NULL")]
+    values = ",\n     ".join(
+        f"({t}, {i}, {rb}, {cb}, {ra})" for t, i, rb, cb, ra in rows
+    )
+    return (
+        _TEXT_STATS_SQL
+        + f"""
+    UNION ALL
+    SELECT 'zratio' AS leg, CAST(k AS VARCHAR) AS k,
+           CAST(rawb AS BIGINT) AS n_chars_measured,
+           CAST(compb AS BIGINT) AS n_tokens_ws,
+           CAST(NULL AS BIGINT) AS n_tokens_bpe,
+           CAST(NULL AS BIGINT) AS n_stopwords,
+           CAST(ratio AS DOUBLE) AS mean_word_len,
+           CAST(NULL AS BIGINT) AS cnt, CAST(NULL AS DOUBLE) AS sum_quality
+    FROM (VALUES
+     {values}) AS zexp(sftag, k, rawb, compb, ratio)
+    WHERE sftag = (SELECT SUM(length(text)) FROM documents)
+    """
+    )
+
+
+@query(
+    "text_stats_lang_quality",
+    oracle=_text_stats_oracle,
+    tags=("llm", "text", "lang-id", "quality", "compression-ratio"),
 )
 def text_stats_lang_quality(spark, sf_dir):
     """Two text-function families in one tagged result (consolidated
@@ -86,7 +143,14 @@ def text_stats_lang_quality(spark, sf_dir):
     langq leg — heuristic language ID (ASCII ratio + stopword
     density) crossed against the labeled lang column, carrying the
     C4/Gopher-style quality score per confusion cell (exact-decimal
-    sum so partial aggregation order can't move the double)."""
+    sum so partial aggregation order can't move the double).
+
+    zratio leg (r9) — functions/text.compression_stats: the zlib
+    compression-ratio quality signal (Arrow-batched kernel; DEFLATE
+    catches the long-range repetition fixed-n n-gram fractions miss)
+    over a 1-in-20 doc slice, byte lengths exact and the ratio one
+    int/int double division at 9 dp; the oracle is a literal-VALUES
+    Python precompute over the same zlib build, sftag-gated."""
     d = _t(spark, sf_dir, "documents")
     t = F.col("text")
     nb = F.lit(None).cast("bigint")
@@ -125,7 +189,22 @@ def text_stats_lang_quality(spark, sf_dir):
             "sum_quality",
         )
     )
-    return stats.unionByName(langq)
+    zratio = (
+        d.filter(F.col("doc_id") % 20 == 0)
+        .select(F.col("doc_id"), X.compression_stats(t).alias("__c"))
+        .select(
+            F.lit("zratio").alias("leg"),
+            F.col("doc_id").cast("string").alias("k"),
+            F.col("__c.raw_bytes").alias("n_chars_measured"),
+            F.col("__c.comp_bytes").alias("n_tokens_ws"),
+            nb.alias("n_tokens_bpe"),
+            nb.alias("n_stopwords"),
+            F.round("__c.ratio", 9).alias("mean_word_len"),
+            nb.alias("cnt"),
+            nd.alias("sum_quality"),
+        )
+    )
+    return stats.unionByName(langq).unionByName(zratio)
 
 
 def _py_md5h(g: str) -> int:

@@ -190,3 +190,61 @@ def test_c4_bare_closing_quote_is_terminal(spark):
     assert _c4(spark, curly) == curly
     unterminated = "this line just trails off with no punctuation at all"
     assert _c4(spark, unterminated) == ""
+
+
+def test_compression_stats_twin_and_bands(spark):
+    """compression_stats ≡ a direct zlib replay (same build,
+    in-process), repetitive text compresses far better than
+    random-ish text, and NULL/empty behave as documented."""
+    import random
+    import zlib
+
+    from d2d_spark.functions.text import compression_stats
+
+    rng = random.Random(7)
+    noisy = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789") for _ in range(8))
+        for _ in range(200)
+    )
+    docs = [
+        (0, GOOD),
+        (1, "spam " * 400),
+        (2, noisy),
+        (3, ""),
+        (4, None),
+        (5, "héllo wörld ünïcode 你好"),  # multi-byte utf-8
+    ]
+    df = spark.createDataFrame(docs, ["i", "text"]).repartition(3)
+    rows = {
+        r["i"]: r
+        for r in df.select("i", "text", compression_stats(F.col("text")).alias("c"))
+        .select("i", "text", "c.raw_bytes", "c.comp_bytes", "c.ratio")
+        .collect()
+    }
+    for i, t in docs:
+        r = rows[i]
+        if t is None:
+            assert r.raw_bytes is None and r.comp_bytes is None and r.ratio is None
+            continue
+        b = t.encode("utf-8")
+        assert r.raw_bytes == len(b)
+        assert r.comp_bytes == len(zlib.compress(b, 6))
+        if b:
+            assert r.ratio == len(zlib.compress(b, 6)) / len(b)
+        else:
+            assert r.ratio is None
+    # band sanity: boilerplate << prose << noise
+    assert rows[1].ratio < rows[0].ratio < rows[2].ratio
+    assert rows[2].ratio > 0.6 and rows[1].ratio < 0.1
+    # the level dial is honored (level 1 compresses no better than 9)
+    l1 = (
+        spark.createDataFrame([(GOOD * 20,)], ["text"])
+        .select(compression_stats(F.col("text"), level=1).alias("c1"),
+                compression_stats(F.col("text"), level=9).alias("c9"))
+        .collect()[0]
+    )
+    assert l1.c1.comp_bytes >= l1.c9.comp_bytes
+    import pytest
+
+    with pytest.raises(ValueError, match="level"):
+        compression_stats(F.col("text"), level=12)
