@@ -1045,3 +1045,120 @@ def cusum_changepoints(
             (F.col("__z.y.p") > F.lit(th)) | (F.col("__z.y.n") > F.lit(th))
         ).alias("is_shift"),
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    period: int,
+    out_prefix: str = "sd_",
+    validate: bool = True,
+    max_rows_per_key: int = 100_000_000,
+) -> DataFrame:
+    """Classical additive seasonal decomposition per key (the
+    statsmodels ``seasonal_decompose(model='additive')`` shape):
+
+        value = trend + seasonal + resid
+
+    trend    — centered moving average of one full period (the even
+               case uses the classic 2xMA half-weighted endpoints);
+               NULL at the edges where the window is incomplete and
+               wherever the window contains a NULL value.
+    seasonal — per-phase mean of the detrended series, re-centered so
+               the seasonal component sums to ~0 over one period
+               (phase = 0-based position in series order mod period).
+    resid    — value - trend - seasonal (NULL where trend is).
+
+    Multiplicative decomposition = log-transform the value upstream
+    and exponentiate the components back — not a second code path.
+
+    Determinism discipline: the trend numerator is an exact
+    DECIMAL(18,6) window sum (2*S - ends for even periods — exact,
+    no half weights until the single final double division), and both
+    mean reductions (per-phase, per-key centering) run over 12-dp
+    DECIMAL summands — partition-order-invariant, bit-reproducible
+    cluster-to-laptop, replayable in plain SQL (the r10 rotation
+    path).
+
+    Spark shape: ONE window shuffle on the keys (row_number + the
+    centered frame ride the same sort), one phase groupBy bounded by
+    |keys| x period, one key groupBy for centering, and broadcast
+    joins back. At 100 TB the key shuffle is the cost, same as any
+    per-key window; series length per key is capped by the probe.
+    Requires a regular, gap-free series per key (resample + gap_fill
+    upstream) — classical decomposition is undefined on irregular
+    spacing, and phases drift across gaps."""
+    if period < 2:
+        raise ValueError(f"seasonal_decompose: period must be >= 2, got {period}")
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("seasonal_decompose: need at least one key column")
+    clash = [c for c in df.columns if c.startswith(out_prefix)]
+    if clash:
+        raise ValueError(
+            f"seasonal_decompose: columns {clash} already carry out_prefix="
+            f"{out_prefix!r}; rename or pick another prefix"
+        )
+    if validate:
+        _probe_series(df, keys, order_col, "seasonal_decompose", max_rows_per_key)
+    dec = "decimal(18,6)"
+    v = F.col(value_col).cast("double")
+    q = F.col(value_col).cast(dec)
+    w_ord = Window.partitionBy(*keys).orderBy(order_col)
+    half = period // 2
+    if period % 2 == 1:
+        frame = w_ord.rowsBetween(-half, half)
+        full_n = period
+        num = F.sum(q).over(frame)  # exact decimal
+        den = float(period)
+    else:
+        frame = w_ord.rowsBetween(-half, half)
+        full_n = period + 1
+        # 2*S - x[-half] - x[+half]: all-decimal exact numerator for
+        # the half-weighted classical 2xMA; one double division by 2p
+        num = (
+            F.sum(q).over(frame) * 2
+            - F.lag(q, half).over(w_ord)
+            - F.lead(q, half).over(w_ord)
+        )
+        den = float(2 * period)
+    n_in_frame = F.count(q).over(frame)
+    trend = F.when(
+        n_in_frame == F.lit(full_n), num.cast("double") / F.lit(den)
+    )
+    base = df.withColumn(
+        "__phase", ((F.row_number().over(w_ord) - 1) % period).cast("int")
+    ).withColumn("__trend", trend)
+    detr = F.round(v - F.col("__trend"), 12).cast("decimal(28,12)")
+    phase_means = (
+        base.filter(F.col("__trend").isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(*keys, "__phase")
+        .agg(
+            (F.sum(detr).cast("double") / F.count(detr)).alias("__s_raw")
+        )
+    )
+    centering = (
+        phase_means.groupBy(*keys)
+        .agg(
+            (
+                F.sum(F.round("__s_raw", 12).cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("__s_mean")
+        )
+    )
+    seasonal = phase_means.join(centering, keys).select(
+        *keys,
+        "__phase",
+        (F.col("__s_raw") - F.col("__s_mean")).alias("__seasonal"),
+    )
+    # no broadcast hint: |keys| x period can be corpus-scale when keys
+    # are high-cardinality — let AQE pick (it broadcasts when small)
+    out = base.join(seasonal, [*keys, "__phase"], "left").select(
+        *df.columns,
+        F.col("__trend").alias(f"{out_prefix}trend"),
+        F.col("__seasonal").alias(f"{out_prefix}seasonal"),
+        (v - F.col("__trend") - F.col("__seasonal")).alias(f"{out_prefix}resid"),
+    )
+    return out

@@ -954,3 +954,114 @@ def test_stream_holt_and_cusum_sinks_equal_batch(spark, tmp_path):
     with pytest.raises(Exception, match="per-key time order"):
         stream_holt_sink(stream, "k", "t", "x", 0.5, 0.3,
                          str(tmp_path / "hstate"), str(tmp_path / "hckpt"))
+
+
+def _py_seasonal(rows, period):
+    """Independent classical-decomposition twin replicating the
+    operator's exact arithmetic: exact Fraction window sums for the
+    trend (2S - ends over 2p for even periods), then 12-dp-quantized
+    Decimal means for the phase and centering reductions."""
+    from decimal import Decimal, ROUND_HALF_UP
+    from fractions import Fraction
+
+    xs = [Fraction(str(v)) for _, v in rows]
+    n, half = len(xs), period // 2
+    full = period if period % 2 else period + 1
+    trend = []
+    for i in range(n):
+        lo, hi = i - half, i + half
+        if lo < 0 or hi >= n:
+            trend.append(None)
+            continue
+        win = xs[lo : hi + 1]
+        if period % 2:
+            trend.append(float(sum(win)) / period)
+        else:
+            trend.append(float(2 * sum(win) - win[0] - win[-1]) / (2 * period))
+    def q12(x):
+        return Decimal(repr(x)).quantize(Decimal("1e-12"), rounding=ROUND_HALF_UP)
+    phases = {}
+    for i, t in enumerate(trend):
+        if t is None:
+            continue
+        d = float(rows[i][1]) - t
+        phases.setdefault(i % period, []).append(q12(d))
+    s_raw = {p: float(sum(ds)) / len(ds) for p, ds in phases.items()}
+    s_mean = float(sum(q12(v) for v in s_raw.values())) / len(s_raw)
+    seasonal = {p: v - s_mean for p, v in s_raw.items()}
+    out = []
+    for i in range(n):
+        s = seasonal.get(i % period)
+        t = trend[i]
+        r = float(rows[i][1]) - t - s if t is not None and s is not None else None
+        out.append((t, s, r))
+    return out
+
+
+def test_seasonal_decompose_matches_twin_and_partitioning(spark):
+    import math
+
+    from d2d_spark.operators.timeseries import seasonal_decompose
+
+    # trend + seasonal + deterministic "noise", one key; period 4 (even)
+    rows = [
+        (i, round(10.0 + 0.5 * i + [3.0, -1.0, -2.5, 0.5][i % 4]
+                  + 0.37 * math.sin(i * 1.7), 6))
+        for i in range(40)
+    ]
+    for period in (4, 5):
+        expected = _py_seasonal(rows, period)
+        for parts in (1, 7):
+            df = spark.createDataFrame(
+                [("k", i, v) for i, v in rows], ["k", "t", "v"]
+            ).repartition(parts)
+            got = {
+                r["t"]: (r["sd_trend"], r["sd_seasonal"], r["sd_resid"])
+                for r in seasonal_decompose(df, ["k"], "t", "v", period).collect()
+            }
+            for i in range(len(rows)):
+                et, es, er = expected[i]
+                gt, gs, gr = got[i]
+                assert gt == et, (period, parts, i, gt, et)
+                assert gs == es, (period, parts, i, gs, es)
+                assert gr == er, (period, parts, i, gr, er)
+
+
+def test_seasonal_decompose_recovers_planted_pattern(spark):
+    from d2d_spark.operators.timeseries import seasonal_decompose
+
+    pat = [6.0, -2.0, -3.0, -1.0]  # sums to 0
+    rows = [("k", i, 100.0 + 2.0 * i + pat[i % 4]) for i in range(48)]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    out = seasonal_decompose(df, ["k"], "t", "v", 4).collect()
+    by_t = {r["t"]: r for r in out}
+    # interior trend of a pure linear+seasonal series is the line
+    for i in range(4, 44):
+        assert abs(by_t[i]["sd_trend"] - (100.0 + 2.0 * i)) < 1e-9
+        assert abs(by_t[i]["sd_seasonal"] - pat[i % 4]) < 1e-9
+        assert abs(by_t[i]["sd_resid"]) < 1e-9
+    # seasonal component re-centers to ~0 over one period
+    season = sorted({r["t"] % 4: r["sd_seasonal"] for r in out}.items())
+    assert abs(sum(v for _, v in season)) < 1e-9
+    # edges carry NULL trend/resid
+    assert by_t[0]["sd_trend"] is None and by_t[0]["sd_resid"] is None
+    assert by_t[47]["sd_trend"] is None
+
+
+def test_seasonal_decompose_guards(spark):
+    import pytest
+
+    from d2d_spark.operators.timeseries import seasonal_decompose
+
+    df = spark.createDataFrame([("k", 1, 1.0)], ["k", "t", "v"])
+    with pytest.raises(ValueError, match="period"):
+        seasonal_decompose(df, ["k"], "t", "v", 1)
+    with pytest.raises(ValueError, match="key column"):
+        seasonal_decompose(df, [], "t", "v", 4)
+    with pytest.raises(ValueError, match="out_prefix"):
+        seasonal_decompose(
+            df.withColumn("sd_trend", F.lit(1.0)), ["k"], "t", "v", 4
+        )
+    dup = spark.createDataFrame([("k", 1, 1.0), ("k", 1, 2.0)], ["k", "t", "v"])
+    with pytest.raises(ValueError, match="duplicate"):
+        seasonal_decompose(dup, ["k"], "t", "v", 4).collect()
