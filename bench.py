@@ -150,14 +150,20 @@ def main() -> int:
     leg_metrics: dict[str, dict] = {}
     sc = spark.sparkContext
 
-    def timed_leg(name: str, run, trials: int = 5) -> None:
+    trials_default = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "5"))
+
+    def timed_leg(name: str, run, trials: int | None = None) -> None:
         """best-of-N: later runs measure steady state (plans, caches
         and code paths warm); min filters GC/scheduler/host noise,
         which on this box swings single runs up to 3x. After the loop
         EVERY operator-registered cache tag is released so no leg's
         per-call persists (up to N copies) survive into later legs'
-        memory budget — the attributability discipline."""
+        memory budget — the attributability discipline.
+        $SPARK_GRAFT_BENCH_TRIALS overrides N for quick local loops;
+        per-leg progress goes to stderr (the driver parses stdout)."""
+        trials = trials_default if trials is None else trials
         sc.setJobGroup(name, name)
+        t_leg = time.perf_counter()
         try:
             best = float("inf")
             for _ in range(trials):
@@ -168,6 +174,11 @@ def main() -> int:
         finally:
             sc.setJobGroup("bench_idle", "between legs")
             opcache.release()
+        print(
+            f"[bench] {name}: best {timings.get(name)}s, "
+            f"{trials} trials in {time.perf_counter() - t_leg:.1f}s",
+            file=sys.stderr,
+        )
         m = rest.for_group(name)
         if m is not None:
             # task/shuffle totals cover ALL N trials (cache effects

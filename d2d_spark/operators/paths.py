@@ -510,9 +510,18 @@ def association_rules(
     groups` — pass it explicitly; deriving it from supports is
     impossible).
 
-    Shape: everything here is joins over the ITEMSET frame —
-    vocabulary-bounded, usually broadcast-sized; confidence/lift are
-    single exact-long divisions, engine-portable."""
+    Shape: ONE map-only split explode (a size-2 row emits its 2
+    splits, a size-3 row its 6) + TWO support-lookup equi-joins
+    against the '|'-keyed itemset frame — a-priori closure guarantees
+    every antecedent/consequent key resolves, so the joins are inner
+    and lossless. The first cut of this operator unioned 14 separate
+    join branches; that plan re-derived the whole itemset ladder per
+    branch and its physical plan ran to ~1 MB of operators — the
+    explode+lookup shape is the vocabulary-bounded, broadcast-sized
+    formulation. Confidence/lift are single exact-long-over-double
+    divisions, engine-portable; the input frame is persisted (tag
+    'association_rules', release via d2d_spark.cache) because the
+    lookup side is consumed twice."""
     if n_groups < 1:
         raise ValueError(f"association_rules: n_groups must be >= 1, got {n_groups}")
     if not (0.0 < min_confidence <= 1.0):
@@ -523,82 +532,61 @@ def association_rules(
     missing = sorted(need - set(itemsets.columns))
     if missing:
         raise ValueError(f"association_rules: input lacks columns {missing}")
-    l1 = itemsets.filter(F.col("size") == 1).select(
-        F.col("item_a").alias("__i"), F.col("support").alias("__s")
-    )
-    l2 = itemsets.filter(F.col("size") == 2).select("item_a", "item_b", "support")
-    l3 = itemsets.filter(F.col("size") == 3).select(
-        "item_a", "item_b", "item_c", "support"
-    )
+    from pyspark import StorageLevel
 
-    def _s1(col_name: str, alias: str):
-        return l1.select(F.col("__i").alias(col_name), F.col("__s").alias(alias))
+    from d2d_spark import cache as opcache
 
-    rules = []
-    # {a} => {b} and {b} => {a} from pairs
-    for ante, cons in (("item_a", "item_b"), ("item_b", "item_a")):
-        rules.append(
-            l2.join(_s1(ante, "__sa"), ante)
-            .join(_s1(cons, "__sc"), cons)
-            .select(
-                F.col(ante).alias("antecedent"),
-                F.col(cons).alias("consequent"),
-                "support",
-                (F.col("support").cast("double") / F.col("__sa")).alias("confidence"),
-                (
-                    F.col("support").cast("double")
-                    * F.lit(float(n_groups))
-                    / (F.col("__sa") * F.col("__sc").cast("double"))
-                ).alias("lift"),
+    itemsets = opcache.register(
+        "association_rules",
+        itemsets.persist(StorageLevel.MEMORY_AND_DISK),
+    )
+    # support lookup: '|'-joined sorted items -> support (concat_ws
+    # skips the NULL padding, so size-1/2/3 keys all come out right)
+    sup = itemsets.select(
+        F.concat_ws("|", "item_a", "item_b", "item_c").alias("__k"),
+        F.col("support").alias("__sup"),
+    )
+    a, b, c = F.col("item_a"), F.col("item_b"), F.col("item_c")
+
+    def split(ante: Column, cons: Column) -> Column:
+        return F.struct(ante.alias("antecedent"), cons.alias("consequent"))
+
+    two = itemsets.filter(F.col("size") == 2).select(
+        F.explode(F.array(split(a, b), split(b, a))).alias("__r"), "support"
+    )
+    three = itemsets.filter(F.col("size") == 3).select(
+        F.explode(
+            F.array(
+                split(F.concat_ws("|", a, b), c),
+                split(F.concat_ws("|", a, c), b),
+                split(F.concat_ws("|", b, c), a),
+                split(c, F.concat_ws("|", a, b)),
+                split(b, F.concat_ws("|", a, c)),
+                split(a, F.concat_ws("|", b, c)),
             )
+        ).alias("__r"),
+        "support",
+    )
+    raw = two.unionByName(three).select(
+        F.col("__r.antecedent").alias("antecedent"),
+        F.col("__r.consequent").alias("consequent"),
+        "support",
+    )
+    sa = sup.select(F.col("__k").alias("antecedent"), F.col("__sup").alias("__sa"))
+    sc = sup.select(F.col("__k").alias("consequent"), F.col("__sup").alias("__sc"))
+    out = (
+        raw.join(sa, "antecedent")
+        .join(sc, "consequent")
+        .select(
+            "antecedent",
+            "consequent",
+            "support",
+            (F.col("support").cast("double") / F.col("__sa")).alias("confidence"),
+            (
+                F.col("support").cast("double")
+                * F.lit(float(n_groups))
+                / (F.col("__sa") * F.col("__sc").cast("double"))
+            ).alias("lift"),
         )
-    # {x,y} => {z} : antecedent support from L2 (items sorted, so the
-    # pair subset is always (min, max) of the two antecedent items)
-    trip = [("item_a", "item_b", "item_c"), ("item_a", "item_c", "item_b"),
-            ("item_b", "item_c", "item_a")]
-    for x, y, z in trip:
-        pair_s = l2.select(
-            F.col("item_a").alias(x),
-            F.col("item_b").alias(y),
-            F.col("support").alias("__sa"),
-        )
-        rules.append(
-            l3.join(pair_s, [x, y])
-            .join(_s1(z, "__sc"), z)
-            .select(
-                F.concat_ws("|", x, y).alias("antecedent"),
-                F.col(z).alias("consequent"),
-                "support",
-                (F.col("support").cast("double") / F.col("__sa")).alias("confidence"),
-                (
-                    F.col("support").cast("double")
-                    * F.lit(float(n_groups))
-                    / (F.col("__sa") * F.col("__sc").cast("double"))
-                ).alias("lift"),
-            )
-        )
-        # {z} => {x,y}
-        cons_pair = l2.select(
-            F.col("item_a").alias(x),
-            F.col("item_b").alias(y),
-            F.col("support").alias("__sc2"),
-        )
-        rules.append(
-            l3.join(cons_pair, [x, y])
-            .join(_s1(z, "__sa2"), z)
-            .select(
-                F.col(z).alias("antecedent"),
-                F.concat_ws("|", x, y).alias("consequent"),
-                "support",
-                (F.col("support").cast("double") / F.col("__sa2")).alias("confidence"),
-                (
-                    F.col("support").cast("double")
-                    * F.lit(float(n_groups))
-                    / (F.col("__sa2") * F.col("__sc2").cast("double"))
-                ).alias("lift"),
-            )
-        )
-    out = rules[0]
-    for r in rules[1:]:
-        out = out.unionByName(r)
+    )
     return out.filter(F.col("confidence") >= F.lit(float(min_confidence)))

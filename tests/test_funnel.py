@@ -273,3 +273,105 @@ def test_retention_window_days(spark):
 
     with pt.raises(ValueError, match="window_days"):
         retention_cohorts(df, "u", "t", offsets=[0], window_days=0)
+
+
+def _closed_form_strict(rows, steps, within, mode):
+    """The ORACLE's algorithms (plans/streaming_q.py funnel_so/sd
+    legs), reimplemented in Python: strict_order as the
+    consecutive-rank prefix walk from the first step-1 event,
+    strict_dedup as the default greedy chain cut at the first repeat
+    of a matched step (kill position compared lexicographically in
+    (ts, type) order). Pinning fold ≡ closed form on random streams
+    is what protects the driver oracle across fixture shapes."""
+    se = sorted(((ts, et) for ts, et in rows if et in steps), key=lambda r: (r[0], r[1]))
+    if not se:
+        return None
+    if mode == "strict_order":
+        r1 = next((i for i, (_, et) in enumerate(se) if et == steps[0]), None)
+        if r1 is None:
+            return 0
+        t1 = se[r1][0]
+        stage, prev = 1, t1
+        for k in range(1, len(steps)):
+            idx = r1 + k
+            if idx >= len(se):
+                break
+            ts, et = se[idx]
+            if et == steps[k] and ts > prev and ts - t1 <= within:
+                stage, prev = stage + 1, ts
+            else:
+                break
+        return stage
+    # strict_dedup: default greedy matches first
+    m = [None] * len(steps)
+    cands = [ts for ts, et in se if et == steps[0]]
+    if cands:
+        m[0] = min(cands)
+    for k in range(1, len(steps)):
+        if m[k - 1] is None:
+            break
+        cands = [
+            ts for ts, et in se
+            if et == steps[k] and ts > m[k - 1] and ts - m[0] <= within
+        ]
+        if cands:
+            m[k] = min(cands)
+    # repeat candidates: per matched type, every event at-or-after the
+    # match except the match itself (first at e = m_j)
+    kill = None
+    for j, mj in enumerate(m):
+        if mj is None:
+            continue
+        tail = sorted(ts for ts, et in se if et == steps[j] and ts >= mj)
+        for ts in tail[1:]:  # drop one occurrence at mj: the match
+            pos = (ts, steps[j])
+            if kill is None or pos < kill:
+                kill = pos
+            break  # only the earliest repeat of this type can matter
+    stage = 0
+    for j, mj in enumerate(m):
+        if mj is None:
+            continue
+        if kill is None or (mj, steps[j]) <= kill:
+            stage += 1
+    return stage
+
+
+def test_funnel_strict_oracle_closed_form_fuzz(spark):
+    """Random event streams (ts collisions, repeats, noise types,
+    window expiries): the fold and the closed-form oracle algorithms
+    must agree on every user, both strict modes."""
+    import random
+
+    steps = ["s1", "s2", "s3", "s4"]
+    rng = random.Random(42)
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for u in range(250):
+        n = rng.randint(0, 14)
+        for _ in range(n):
+            # coarse grid forces ts collisions; noise types are ignored
+            ts = base + dt.timedelta(seconds=rng.randint(0, 40) * 25)
+            et = rng.choice(steps + ["noise", "s1", "s2"])
+            rows.append((u, ts, et))
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"]).repartition(7)
+    within = 300.0
+    for mode in ("strict_order", "strict_dedup"):
+        got = {
+            r["user"]: r["stage"]
+            for r in funnel_stages(
+                df, "user_id", "ts", "event_type", steps, within=within, mode=mode
+            ).collect()
+        }
+        by_user = {}
+        for u, ts, et in rows:
+            by_user.setdefault(u, []).append((ts.timestamp(), et))
+        mismatches = []
+        for u, evs in by_user.items():
+            exp = _closed_form_strict(evs, steps, within, mode)
+            if exp is None:
+                assert u not in got
+                continue
+            if got.get(u) != exp:
+                mismatches.append((mode, u, got.get(u), exp, sorted(evs)))
+        assert not mismatches, mismatches[:3]
