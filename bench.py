@@ -166,7 +166,21 @@ def main() -> int:
         t_leg = time.perf_counter()
         try:
             best = float("inf")
-            for _ in range(trials):
+            done = 0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                run()
+                best = min(best, time.perf_counter() - t0)
+                done += 1
+            # adaptive budget, decided on the WARM trial (the cold
+            # one only measures cache/codegen fill and several legs
+            # warm 40x): a leg still past 10 s when warm is one of
+            # the big composite suites — cap it at 4 trials so the
+            # whole bench stays inside the round driver's budget as
+            # suites grow legs; everything else keeps best-of-N
+            if best > 10.0:
+                trials = min(trials, 4)
+            for _ in range(max(trials - done, 0)):
                 t0 = time.perf_counter()
                 run()
                 best = min(best, time.perf_counter() - t0)
@@ -174,6 +188,16 @@ def main() -> int:
         finally:
             sc.setJobGroup("bench_idle", "between legs")
             opcache.release()
+            # blunt hygiene on top of the tag release: drop ANY stray
+            # cache entry and nudge a full GC, so a heavy leg's heap
+            # residue (old-gen cache/broadcast remnants) can't tax the
+            # NEXT leg — the r9 session measured quiet-box legs 3-8x
+            # their isolated warm times purely from this accumulation
+            try:
+                spark.catalog.clearCache()
+                sc._jvm.System.gc()
+            except Exception:
+                pass
         print(
             f"[bench] {name}: best {timings.get(name)}s, "
             f"{trials} trials in {time.perf_counter() - t_leg:.1f}s",
