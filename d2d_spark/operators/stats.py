@@ -422,3 +422,103 @@ def corr_matrix(
             r = num / math.sqrt(di * dj) if di > 0.0 and dj > 0.0 else None
             out.append((value_cols[i], value_cols[j], n, r))
     return spark.createDataFrame(out, schema)
+
+
+def binary_auc(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    num_partitions: int | None = None,
+) -> dict:
+    """{"auc", "gini", "n_pos", "n_neg"} — the exact ROC-AUC of a
+    score against a binary label (tie-aware, via the Mann–Whitney U
+    identity), the evaluation companion to the quality classifiers
+    (nb_classifier / logreg / gpt3 filter): AUC = P(score_pos >
+    score_neg) + 0.5 * P(tie). ``gini`` = 2*AUC - 1.
+
+    Exactness: with per-score counts (cp, cn) and C = cumulative
+    total INCLUSIVE of the score, the tied-rank sum over positives is
+
+        2 * sum_ranks_pos = sum_v cp * (2*(C - c) + c + 1)
+
+    — integers throughout, summed in DECIMAL(38,0) so 1e9+ rows
+    cannot overflow a long product chain; AUC is ONE division of
+    exact integers, engine-portable bit-for-bit. NULL labels/scores
+    drop (profile NULL-ness separately); labels must cast to boolean.
+
+    Shape: the ks_two_sample distributed prefix-sum — one
+    value-collapse groupBy, approx bucket boundaries over DISTINCT
+    scores, per-bucket offsets, a within-bucket cumulative window.
+    No global single-partition sort; 100 TB cost = the score-collapse
+    groupBy."""
+    lab = F.col(label_col).cast("boolean")
+    base = df.filter(lab.isNotNull() & F.col(score_col).isNotNull())
+    counts = base.groupBy(F.col(score_col).alias("__v")).agg(
+        F.sum(lab.cast("long")).alias("__cp"),
+        F.sum((~lab).cast("long")).alias("__cn"),
+    )
+    tot = counts.agg(F.sum("__cp").alias("p"), F.sum("__cn").alias("n")).first()
+    n_pos = int(tot["p"] or 0)
+    n_neg = int(tot["n"] or 0)
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError(
+            f"binary_auc: need both classes present, got {n_pos} positive / "
+            f"{n_neg} negative non-NULL rows"
+        )
+    spark = df.sparkSession
+    nb_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    from pyspark.sql import Window
+
+    bnds = counts.agg(
+        F.percentile_approx(
+            "__v",
+            F.array(*[F.lit((i + 1) / nb_parts) for i in range(max(nb_parts - 1, 1))]),
+            10_000,
+        ).alias("__b")
+    )
+    bucketed = counts.crossJoin(F.broadcast(bnds)).select(
+        "__v",
+        "__cp",
+        "__cn",
+        F.coalesce(
+            F.aggregate(
+                "__b", F.lit(0), lambda acc, b: acc + (b < F.col("__v")).cast("int")
+            ),
+            F.lit(0),
+        ).alias("__pid"),
+    )
+    offs = (
+        bucketed.groupBy("__pid")
+        .agg(F.sum(F.col("__cp") + F.col("__cn")).alias("__pc"))
+        .select(
+            "__pid",
+            F.coalesce(
+                F.sum("__pc").over(
+                    Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("__off"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = F.col("__cp") + F.col("__cn")
+    cum_incl = F.col("__off") + F.sum(c).over(w_in)
+    term = (
+        F.col("__cp").cast("decimal(38,0)")
+        * (F.lit(2) * (cum_incl - c) + c + F.lit(1)).cast("decimal(38,0)")
+    )
+    s2 = (
+        bucketed.join(F.broadcast(offs), "__pid")
+        .select(term.alias("__t"))  # window first; sum in a sub-plan
+        .agg(F.sum("__t").alias("__s2"))
+        .first()["__s2"]
+    )
+    u2 = int(s2) - n_pos * (n_pos + 1)  # 2*U, exact
+    auc = u2 / (2 * n_pos * n_neg)
+    return {"auc": auc, "gini": 2.0 * auc - 1.0, "n_pos": n_pos, "n_neg": n_neg}

@@ -219,3 +219,67 @@ def test_corr_matrix_matches_numpy(spark):
     assert n_vals == {50}
     with pt.raises(ValueError, match=">= 2"):
         corr_matrix(df, ["x"])
+
+
+def _py_auc(pairs):
+    """Tie-aware rank AUC twin: average ranks over the sorted scores,
+    Mann-Whitney identity, exact integer arithmetic (Fractions not
+    needed: 2*ranksum stays integral)."""
+    pairs = sorted(pairs, key=lambda r: r[1])
+    n = len(pairs)
+    twice_ranksum_pos = 0
+    i = 0
+    while i < n:
+        j = i
+        while j < n and pairs[j][1] == pairs[i][1]:
+            j += 1
+        # ranks i+1..j occupy this tie block; average rank = (i+1+j)/2
+        cp = sum(1 for k in range(i, j) if pairs[k][0])
+        twice_ranksum_pos += cp * (i + 1 + j)
+        i = j
+    n_pos = sum(1 for lb, _ in pairs if lb)
+    n_neg = n - n_pos
+    u2 = twice_ranksum_pos - n_pos * (n_pos + 1)
+    return u2 / (2 * n_pos * n_neg)
+
+
+def test_binary_auc_matches_twin_and_edges(spark):
+    import random
+
+    from d2d_spark.operators.stats import binary_auc
+
+    rng = random.Random(11)
+    # heavy ties: scores on a coarse grid, labels correlated with score
+    pairs = []
+    for _ in range(3000):
+        s = rng.randint(0, 20) / 4.0
+        lb = rng.random() < (0.2 + 0.03 * s * 4)
+        pairs.append((lb, s))
+    for parts in (1, 7, 32):
+        df = spark.createDataFrame(pairs, ["label", "score"]).repartition(parts)
+        got = binary_auc(df, "label", "score", num_partitions=8)
+        exp = _py_auc(pairs)
+        assert got["auc"] == exp, (parts, got["auc"], exp)
+        assert got["gini"] == 2.0 * exp - 1.0
+        assert got["n_pos"] == sum(1 for lb, _ in pairs if lb)
+    # perfect separation = 1.0; reversed = 0.0; all-tied = 0.5
+    sep = [(True, 2.0)] * 5 + [(False, 1.0)] * 7
+    df = spark.createDataFrame(sep, ["label", "score"])
+    assert binary_auc(df, "label", "score")["auc"] == 1.0
+    rev = [(True, 1.0)] * 5 + [(False, 2.0)] * 7
+    assert binary_auc(spark.createDataFrame(rev, ["label", "score"]),
+                      "label", "score")["auc"] == 0.0
+    tied = [(True, 3.0)] * 4 + [(False, 3.0)] * 9
+    assert binary_auc(spark.createDataFrame(tied, ["label", "score"]),
+                      "label", "score")["auc"] == 0.5
+    # integer 0/1 labels cast to boolean; NULL rows drop
+    mixed = spark.createDataFrame(
+        [(1, 2.0), (0, 1.0), (None, 9.0), (1, None)], ["label", "score"]
+    )
+    assert binary_auc(mixed, "label", "score")["auc"] == 1.0
+    # single-class refusal
+    import pytest
+
+    one = spark.createDataFrame([(True, 1.0), (True, 2.0)], ["label", "score"])
+    with pytest.raises(ValueError, match="both classes"):
+        binary_auc(one, "label", "score")
