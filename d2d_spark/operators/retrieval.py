@@ -34,7 +34,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["mmr_rerank", "rrf_fuse"]
+__all__ = ["mmr_rerank", "ndcg_at_k", "rrf_fuse"]
 
 
 def rrf_fuse(
@@ -334,3 +334,120 @@ def mmr_rerank(
         )
 
     return joined.groupBy(query_col).applyInPandas(kernel, out_schema)
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    truth: DataFrame,
+    query_col: str,
+    doc_col: str,
+    k: int,
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    out_col: str = "ndcg",
+) -> DataFrame:
+    """Per-query nDCG@k of a ranked result against graded relevance
+    labels — the ranking-quality companion to stats.binary_auc (AUC
+    scores a classifier's ORDER; nDCG scores a retrieval CUTOFF with
+    position discounting):
+
+        DCG@k  = sum_{i<=k} (2^rel_i - 1) / log2(i + 1)
+        nDCG@k = DCG@k / IDCG@k   (IDCG = DCG of the ideal ordering)
+
+    ``ranked``: (query, doc, rank) rows — 1-based, unique per query
+    (the retrieval operators' output contract; duplicates or rank 0
+    refuse loudly). ``truth``: (query, doc, rel) graded labels;
+    unlabeled retrieved docs count rel=0 and unretrieved labeled docs
+    hurt only through the ideal. Queries with NO positive labels are
+    dropped (nDCG undefined), like the classic trec_eval convention.
+
+    Determinism: the per-query fold sums gains in RANK order inside
+    one `F.aggregate` over the sorted (rank, gain) array — a
+    fixed-order float fold, partition- and engine-exact (the rrf
+    discipline); the ideal fold sorts gains descending with the same
+    array machinery. Per-query state is <= k gains plus the query's
+    labeled set — egress-contract-sized, never corpus-sized.
+
+    Shape: one left join on (query, doc) + two per-query aggregates.
+    At 100 TB the join carries O(|Q| * k) ranked rows against the
+    label store; everything downstream is query-count-sized."""
+    if k < 1:
+        raise ValueError(f"ndcg_at_k: k must be >= 1, got {k}")
+    for c, df_, what in (
+        (query_col, ranked, "ranked"), (doc_col, ranked, "ranked"),
+        (rank_col, ranked, "ranked"), (query_col, truth, "truth"),
+        (doc_col, truth, "truth"), (rel_col, truth, "truth"),
+    ):
+        if c not in df_.columns:
+            raise ValueError(f"ndcg_at_k: {what} frame lacks column {c!r}")
+    bad = (
+        ranked.filter(F.col(rank_col).isNull() | (F.col(rank_col) < 1))
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError("ndcg_at_k: ranks must be 1-based non-NULL integers")
+    dup = (
+        ranked.groupBy(query_col, rank_col)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "ndcg_at_k: duplicate (query, rank) rows — the input is not a "
+            "ranking; dedupe or re-rank upstream"
+        )
+    q, d = F.col(query_col), F.col(doc_col)
+    gain = F.pow(F.lit(2.0), F.col(rel_col).cast("double")) - F.lit(1.0)
+    top = ranked.filter(F.col(rank_col) <= k).join(
+        truth.select(q.alias("__q"), d.alias("__d"), gain.alias("__g")),
+        (q == F.col("__q")) & (d == F.col("__d")),
+        "left",
+    ).select(q.alias("__q2"), F.col(rank_col).alias("__r"),
+             F.coalesce("__g", F.lit(0.0)).alias("__g"))
+    # fixed-order folds: sort the (rank, gain) pairs, then accumulate
+    # gain/log2(rank+1) left-to-right — no SQL SUM over rows anywhere
+    def fold(arr):
+        return F.aggregate(
+            arr,
+            F.lit(0.0),
+            lambda acc, x: acc
+            + x["g"] / F.log2(x["r"].cast("double") + F.lit(1.0)),
+        )
+
+    dcg = (
+        top.groupBy(F.col("__q2").alias(query_col))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__r").alias("r"), F.col("__g").alias("g")))
+            ).alias("__a")
+        )
+        .select(query_col, fold(F.col("__a")).alias("__dcg"))
+    )
+    ideal = (
+        truth.filter(gain > 0)
+        .groupBy(q.alias(query_col))
+        .agg(
+            F.slice(
+                F.reverse(F.array_sort(F.collect_list(gain.alias("g")))), 1, k
+            ).alias("__gs")
+        )
+        .select(
+            query_col,
+            F.aggregate(
+                F.transform(
+                    F.col("__gs"),
+                    lambda g, i: F.struct((i + 1).alias("r"), g.alias("g")),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc
+                + x["g"] / F.log2(x["r"].cast("double") + F.lit(1.0)),
+            ).alias("__idcg"),
+        )
+    )
+    return ideal.join(dcg, query_col, "left").select(
+        query_col,
+        (F.coalesce("__dcg", F.lit(0.0)) / F.col("__idcg")).alias(out_col),
+    )

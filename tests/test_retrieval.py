@@ -267,3 +267,78 @@ def test_mmr_rerank_partitioning_invariance(spark):
         tuple(r) for r in mmr_rerank(cdf.repartition(16), vdf, k=5, lam=0.6).collect()
     )
     assert a == b
+
+
+def _py_ndcg(ranked, truth, k):
+    import math
+
+    rel = {(q, d): r for q, d, r in truth}
+    out = {}
+    queries = {q for q, _, r in truth if r > 0}
+    for q in queries:
+        by_rank = sorted(((r, d) for qq, d, r in ranked if qq == q and r <= k))
+        dcg = sum(
+            (2.0 ** rel.get((q, d), 0) - 1.0) / math.log2(r + 1.0)
+            for r, d in by_rank
+        )
+        gains = sorted(
+            (2.0 ** r - 1.0 for qq, _, r in truth if qq == q), reverse=True
+        )[:k]
+        idcg = sum(g / math.log2(i + 2.0) for i, g in enumerate(gains))
+        out[q] = dcg / idcg
+    return out
+
+
+def test_ndcg_at_k_matches_twin_and_edges(spark):
+    import pytest
+
+    from d2d_spark.operators.retrieval import ndcg_at_k
+
+    ranked = [  # (query, doc, rank)
+        ("q1", "a", 1), ("q1", "b", 2), ("q1", "x", 3), ("q1", "c", 4),
+        ("q2", "z", 1), ("q2", "y", 2),          # reversed relevance
+        ("q3", "m", 1),                          # no positive labels
+        ("q4", "n", 1),                          # positives never retrieved
+    ]
+    truth = [  # (query, doc, rel) graded
+        ("q1", "a", 3), ("q1", "b", 2), ("q1", "c", 1), ("q1", "d", 1),
+        ("q2", "y", 2), ("q2", "z", 0),
+        ("q3", "m", 0),
+        ("q4", "p", 2),
+    ]
+    rdf = spark.createDataFrame(ranked, ["query", "doc", "rank"]).repartition(5)
+    tdf = spark.createDataFrame(truth, ["query", "doc", "rel"]).repartition(3)
+    for k in (2, 3, 10):
+        got = {r["query"]: r["ndcg"] for r in ndcg_at_k(rdf, tdf, "query", "doc", k).collect()}
+        exp = _py_ndcg(ranked, truth, k)
+        assert set(got) == set(exp)  # q3 (no positives) is absent
+        for q in exp:
+            assert got[q] == exp[q], (k, q, got[q], exp[q])
+    # ideal ranking scores exactly 1.0
+    ideal = spark.createDataFrame(
+        [("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 3)], ["query", "doc", "rank"]
+    )
+    t1 = spark.createDataFrame(
+        [("q1", "a", 3), ("q1", "b", 2), ("q1", "c", 1)], ["query", "doc", "rel"]
+    )
+    assert ndcg_at_k(ideal, t1, "query", "doc", 3).collect()[0]["ndcg"] == 1.0
+    # retrieved-nothing-relevant query scores 0.0 (q4 above at k=1)
+    got1 = {r["query"]: r["ndcg"] for r in ndcg_at_k(rdf, tdf, "query", "doc", 1).collect()}
+    assert got1["q4"] == 0.0
+    # guards
+    with pytest.raises(ValueError, match="k must be"):
+        ndcg_at_k(rdf, tdf, "query", "doc", 0)
+    with pytest.raises(ValueError, match="1-based"):
+        ndcg_at_k(
+            spark.createDataFrame([("q", "d", 0)], ["query", "doc", "rank"]),
+            t1, "query", "doc", 2,
+        )
+    with pytest.raises(ValueError, match="duplicate"):
+        ndcg_at_k(
+            spark.createDataFrame(
+                [("q", "d", 1), ("q", "e", 1)], ["query", "doc", "rank"]
+            ),
+            t1, "query", "doc", 2,
+        )
+    with pytest.raises(ValueError, match="lacks column"):
+        ndcg_at_k(rdf.drop("rank"), tdf, "query", "doc", 2)
