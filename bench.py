@@ -167,7 +167,9 @@ def main() -> int:
         try:
             best = float("inf")
             done = 0
-            for _ in range(2):
+            # honor SPARK_GRAFT_BENCH_TRIALS=1 exactly (r9 advice):
+            # never run more warm-ups than the requested trial count
+            for _ in range(min(2, trials)):
                 t0 = time.perf_counter()
                 run()
                 best = min(best, time.perf_counter() - t0)
@@ -184,6 +186,7 @@ def main() -> int:
                 t0 = time.perf_counter()
                 run()
                 best = min(best, time.perf_counter() - t0)
+                done += 1
             timings[name] = round(best, 3)
         finally:
             sc.setJobGroup("bench_idle", "between legs")
@@ -200,7 +203,7 @@ def main() -> int:
                 pass
         print(
             f"[bench] {name}: best {timings.get(name)}s, "
-            f"{trials} trials in {time.perf_counter() - t_leg:.1f}s",
+            f"{done} trials in {time.perf_counter() - t_leg:.1f}s",
             file=sys.stderr,
         )
         m = rest.for_group(name)

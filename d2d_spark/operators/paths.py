@@ -532,6 +532,24 @@ def association_rules(
     missing = sorted(need - set(itemsets.columns))
     if missing:
         raise ValueError(f"association_rules: input lacks columns {missing}")
+    # sep-collision probe (one aggregate, the _probe_events rule): the
+    # support lookup keys on '|'-joined sorted items, so an item that
+    # itself contains '|' collides across itemset sizes (item 'a|b' vs
+    # the pair {a,b}) and silently prices wrong support/confidence/lift
+    sep_hit = itemsets.agg(
+        F.max(
+            F.coalesce(F.col("item_a").contains("|"), F.lit(False))
+            | F.coalesce(F.col("item_b").contains("|"), F.lit(False))
+            | F.coalesce(F.col("item_c").contains("|"), F.lit(False))
+        ).alias("__sep")
+    ).first()
+    if sep_hit["__sep"]:
+        raise ValueError(
+            "association_rules: an item contains the key separator '|' — "
+            "the support lookup joins on '|'-joined itemset strings, so "
+            "such items collide across sizes (item 'a|b' vs pair {a,b}); "
+            "re-encode items without '|' first"
+        )
     from pyspark import StorageLevel
 
     from d2d_spark import cache as opcache

@@ -399,6 +399,20 @@ def ndcg_at_k(
             "ndcg_at_k: duplicate (query, rank) rows — the input is not a "
             "ranking; dedupe or re-rank upstream"
         )
+    # duplicate labels fan out the left join and double-count gains in
+    # the DCG fold, silently inflating nDCG — refuse them like ranks
+    tdup = (
+        truth.groupBy(query_col, doc_col)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .count()
+    )
+    if tdup:
+        raise ValueError(
+            "ndcg_at_k: duplicate (query, doc) truth labels — they fan out "
+            "the join and double-count gains; dedupe the label store first"
+        )
     q, d = F.col(query_col), F.col(doc_col)
     gain = F.pow(F.lit(2.0), F.col(rel_col).cast("double")) - F.lit(1.0)
     top = ranked.filter(F.col(rank_col) <= k).join(

@@ -453,10 +453,34 @@ def binary_auc(
     groupBy."""
     lab = F.col(label_col).cast("boolean")
     base = df.filter(lab.isNotNull() & F.col(score_col).isNotNull())
-    counts = base.groupBy(F.col(score_col).alias("__v")).agg(
-        F.sum(lab.cast("long")).alias("__cp"),
-        F.sum((~lab).cast("long")).alias("__cn"),
+    from pyspark import StorageLevel
+
+    from d2d_spark import cache as opcache
+
+    # the score-collapse groupBy is the dominant cost at scale and
+    # feeds THREE actions (totals, bucket boundaries, bucketed scan) —
+    # persist it once under the standing opcache discipline
+    counts = opcache.register(
+        "binary_auc",
+        base.groupBy(F.col(score_col).alias("__v"))
+        .agg(
+            F.sum(lab.cast("long")).alias("__cp"),
+            F.sum((~lab).cast("long")).alias("__cn"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK),
     )
+    try:
+        return _binary_auc_body(df, counts, num_partitions)
+    finally:
+        # the result is an eager dict — every action has run by now,
+        # so the persist can be dropped here (unlike the lazy-result
+        # operators this registry usually serves)
+        opcache.deregister("binary_auc", [counts])
+
+
+def _binary_auc_body(
+    df: DataFrame, counts: DataFrame, num_partitions: int | None
+) -> dict:
     tot = counts.agg(F.sum("__cp").alias("p"), F.sum("__cn").alias("n")).first()
     n_pos = int(tot["p"] or 0)
     n_neg = int(tot["n"] or 0)

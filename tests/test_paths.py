@@ -437,6 +437,14 @@ def test_association_rules_match_python(spark):
         association_rules(fi, 7, min_confidence=0.0)
     with pt.raises(ValueError, match="lacks columns"):
         association_rules(fi.drop("item_c"), 7)
+    # sep-collision guard (r10): an item containing '|' would collide
+    # with a pair key in the '|'-joined support lookup — refused loudly
+    bad = spark.createDataFrame(
+        [(g, i) for g, b in enumerate([["a|b", "c"], ["a|b"]]) for i in b],
+        "basket long, item string",
+    )
+    with pt.raises(ValueError, match="separator"):
+        association_rules(frequent_itemsets(bad, "basket", "item", 1), 2)
 
 
 def test_higher_order_transitions(spark):

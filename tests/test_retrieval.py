@@ -342,3 +342,13 @@ def test_ndcg_at_k_matches_twin_and_edges(spark):
         )
     with pytest.raises(ValueError, match="lacks column"):
         ndcg_at_k(rdf.drop("rank"), tdf, "query", "doc", 2)
+    # duplicate (query, doc) truth labels fan out the join and
+    # double-count gains — refused loudly (r10)
+    with pytest.raises(ValueError, match="truth labels"):
+        ndcg_at_k(
+            ideal,
+            spark.createDataFrame(
+                [("q1", "a", 3), ("q1", "a", 2)], ["query", "doc", "rel"]
+            ),
+            "query", "doc", 2,
+        )
