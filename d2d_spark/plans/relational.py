@@ -1692,148 +1692,9 @@ def scalar_funcs_suite(spark, sf_dir):
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
       SELECT CAST((SELECT na + nb FROM kt) AS BIGINT) AS nn,
              round(MAX(g), 9) AS val FROM ke)
-    UNION ALL
-    SELECT 'corr', ca, cbn, n, val FROM (
-      WITH cr0 AS MATERIALIZED (
-        SELECT CAST(l_quantity AS DECIMAL(18,6)) AS a0,
-               CAST(l_extendedprice AS DECIMAL(18,6)) AS a1,
-               CAST(l_discount AS DECIMAL(18,6)) AS a2,
-               CAST(l_tax AS DECIMAL(18,6)) AS a3,
-               CAST(l_quantity AS DECIMAL(24,6)) AS b0,
-               CAST(l_extendedprice AS DECIMAL(24,6)) AS b1,
-               CAST(l_discount AS DECIMAL(24,6)) AS b2,
-               CAST(l_tax AS DECIMAL(24,6)) AS b3
-        FROM lineitem
-        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
-          AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
-      crm AS MATERIALIZED (
-        SELECT COUNT(*) AS n,
-               CAST(CAST(SUM(a0) AS VARCHAR) AS DOUBLE) AS s0,
-               CAST(CAST(SUM(a1) AS VARCHAR) AS DOUBLE) AS s1,
-               CAST(CAST(SUM(a2) AS VARCHAR) AS DOUBLE) AS s2,
-               CAST(CAST(SUM(a3) AS VARCHAR) AS DOUBLE) AS s3,
-               CAST(CAST(SUM(b0*b0) AS VARCHAR) AS DOUBLE) AS p00,
-               CAST(CAST(SUM(b0*b1) AS VARCHAR) AS DOUBLE) AS p01,
-               CAST(CAST(SUM(b0*b2) AS VARCHAR) AS DOUBLE) AS p02,
-               CAST(CAST(SUM(b0*b3) AS VARCHAR) AS DOUBLE) AS p03,
-               CAST(CAST(SUM(b1*b1) AS VARCHAR) AS DOUBLE) AS p11,
-               CAST(CAST(SUM(b1*b2) AS VARCHAR) AS DOUBLE) AS p12,
-               CAST(CAST(SUM(b1*b3) AS VARCHAR) AS DOUBLE) AS p13,
-               CAST(CAST(SUM(b2*b2) AS VARCHAR) AS DOUBLE) AS p22,
-               CAST(CAST(SUM(b2*b3) AS VARCHAR) AS DOUBLE) AS p23,
-               CAST(CAST(SUM(b3*b3) AS VARCHAR) AS DOUBLE) AS p33
-        FROM cr0),
-      crd AS MATERIALIZED (
-        SELECT *, CAST(n AS DOUBLE) * p00 - s0 * s0 AS d0,
-                  CAST(n AS DOUBLE) * p11 - s1 * s1 AS d1,
-                  CAST(n AS DOUBLE) * p22 - s2 * s2 AS d2,
-                  CAST(n AS DOUBLE) * p33 - s3 * s3 AS d3
-        FROM crm)
-      SELECT 'l_quantity' AS ca, 'l_quantity' AS cbn, n,
-             round(CASE WHEN d0 > 0 AND d0 > 0 THEN
-               (CAST(n AS DOUBLE) * p00 - s0 * s0) / sqrt(d0 * d0) END, 9) AS val
-      FROM crd
-      UNION ALL SELECT 'l_quantity', 'l_extendedprice', n,
-             round(CASE WHEN d0 > 0 AND d1 > 0 THEN
-               (CAST(n AS DOUBLE) * p01 - s0 * s1) / sqrt(d0 * d1) END, 9) FROM crd
-      UNION ALL SELECT 'l_quantity', 'l_discount', n,
-             round(CASE WHEN d0 > 0 AND d2 > 0 THEN
-               (CAST(n AS DOUBLE) * p02 - s0 * s2) / sqrt(d0 * d2) END, 9) FROM crd
-      UNION ALL SELECT 'l_quantity', 'l_tax', n,
-             round(CASE WHEN d0 > 0 AND d3 > 0 THEN
-               (CAST(n AS DOUBLE) * p03 - s0 * s3) / sqrt(d0 * d3) END, 9) FROM crd
-      UNION ALL SELECT 'l_extendedprice', 'l_extendedprice', n,
-             round(CASE WHEN d1 > 0 AND d1 > 0 THEN
-               (CAST(n AS DOUBLE) * p11 - s1 * s1) / sqrt(d1 * d1) END, 9) FROM crd
-      UNION ALL SELECT 'l_extendedprice', 'l_discount', n,
-             round(CASE WHEN d1 > 0 AND d2 > 0 THEN
-               (CAST(n AS DOUBLE) * p12 - s1 * s2) / sqrt(d1 * d2) END, 9) FROM crd
-      UNION ALL SELECT 'l_extendedprice', 'l_tax', n,
-             round(CASE WHEN d1 > 0 AND d3 > 0 THEN
-               (CAST(n AS DOUBLE) * p13 - s1 * s3) / sqrt(d1 * d3) END, 9) FROM crd
-      UNION ALL SELECT 'l_discount', 'l_discount', n,
-             round(CASE WHEN d2 > 0 AND d2 > 0 THEN
-               (CAST(n AS DOUBLE) * p22 - s2 * s2) / sqrt(d2 * d2) END, 9) FROM crd
-      UNION ALL SELECT 'l_discount', 'l_tax', n,
-             round(CASE WHEN d2 > 0 AND d3 > 0 THEN
-               (CAST(n AS DOUBLE) * p23 - s2 * s3) / sqrt(d2 * d3) END, 9) FROM crd
-      UNION ALL SELECT 'l_tax', 'l_tax', n,
-             round(CASE WHEN d3 > 0 AND d3 > 0 THEN
-               (CAST(n AS DOUBLE) * p33 - s3 * s3) / sqrt(d3 * d3) END, 9) FROM crd)
-    UNION ALL
-    SELECT 'psi', CAST(b AS VARCHAR), part, cnt, val FROM (
-      WITH pref AS MATERIALIZED (
-        SELECT CAST(o_totalprice > 50000.0 AS INT)
-             + CAST(o_totalprice > 100000.0 AS INT)
-             + CAST(o_totalprice > 150000.0 AS INT)
-             + CAST(o_totalprice > 200000.0 AS INT)
-             + CAST(o_totalprice > 250000.0 AS INT) AS b
-        FROM orders WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL),
-      pnew AS MATERIALIZED (
-        SELECT CAST(v > 50000.0 AS INT) + CAST(v > 100000.0 AS INT)
-             + CAST(v > 150000.0 AS INT) + CAST(v > 200000.0 AS INT)
-             + CAST(v > 250000.0 AS INT) AS b
-        FROM (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE) AS v
-              FROM orders WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL)),
-      pgrid AS (SELECT unnest([0, 1, 2, 3, 4, 5]) AS b),
-      prc AS (SELECT b, COUNT(*) AS c FROM pref GROUP BY 1),
-      pnc AS (SELECT b, COUNT(*) AS c FROM pnew GROUP BY 1),
-      ptot AS (SELECT (SELECT COUNT(*) FROM pref) AS nr,
-                      (SELECT COUNT(*) FROM pnew) AS nn),
-      pbins AS (
-        SELECT g.b, COALESCE(prc.c, 0) AS cr, COALESCE(pnc.c, 0) AS cn,
-               COALESCE(prc.c, 0) / CAST(ptot.nr AS DOUBLE) AS ps,
-               COALESCE(pnc.c, 0) / CAST(ptot.nn AS DOUBLE) AS qs
-        FROM pgrid g LEFT JOIN prc USING (b) LEFT JOIN pnc USING (b), ptot)
-      SELECT b, 'ref' AS part, cr AS cnt, round(ps, 9) AS val FROM pbins
-      UNION ALL
-      SELECT b, 'new', cn, round(qs, 9) FROM pbins
-      UNION ALL
-      SELECT b, 'term', CAST(NULL AS BIGINT),
-             round((GREATEST(ps, 1e-6) - GREATEST(qs, 1e-6))
-                   * ln(GREATEST(ps, 1e-6) / GREATEST(qs, 1e-6)), 9) FROM pbins)
-    UNION ALL
-    SELECT leg, 'o_orderpriority', 'o_orderstatus', nn, val FROM (
-      WITH mib AS MATERIALIZED (
-        SELECT o_orderpriority AS a, o_orderstatus AS b, COUNT(*) AS c
-        FROM orders WHERE o_orderpriority IS NOT NULL
-          AND o_orderstatus IS NOT NULL GROUP BY 1, 2),
-      mit AS MATERIALIZED (SELECT SUM(c) AS nr, COUNT(*) AS cells FROM mib),
-      mima AS MATERIALIZED (SELECT a, SUM(c) AS ra FROM mib GROUP BY a),
-      mimb AS MATERIALIZED (SELECT b, SUM(c) AS cbv FROM mib GROUP BY b),
-      mis AS MATERIALIZED (
-        SELECT SUM(CAST(round((mib.c / CAST(mit.nr AS DOUBLE))
-                     * ln((mib.c / CAST(mit.nr AS DOUBLE))
-                          / ((mima.ra / CAST(mit.nr AS DOUBLE))
-                             * (mimb.cbv / CAST(mit.nr AS DOUBLE)))), 12)
-                   AS DECIMAL(28,12))) AS mi,
-               -SUM(CAST(round((mib.c / CAST(mit.nr AS DOUBLE))
-                     * ln(mima.ra / CAST(mit.nr AS DOUBLE)), 12)
-                   AS DECIMAL(28,12))) AS ha,
-               -SUM(CAST(round((mib.c / CAST(mit.nr AS DOUBLE))
-                     * ln(mimb.cbv / CAST(mit.nr AS DOUBLE)), 12)
-                   AS DECIMAL(28,12))) AS hb
-        FROM mib JOIN mima USING (a) JOIN mimb USING (b), mit),
-      mid AS MATERIALIZED (
-        SELECT CAST(CAST(mi AS VARCHAR) AS DOUBLE) AS mi_d,
-               CAST(CAST(ha AS VARCHAR) AS DOUBLE) AS ha_d,
-               CAST(CAST(hb AS VARCHAR) AS DOUBLE) AS hb_d
-        FROM mis)
-      SELECT 'mi' AS leg, (SELECT nr FROM mit) AS nn, round(mi_d, 9) AS val
-      FROM mid
-      UNION ALL
-      SELECT 'mi_ha', (SELECT cells FROM mit), round(ha_d, 9) FROM mid
-      UNION ALL
-      SELECT 'mi_hb', (SELECT cells FROM mit), round(hb_d, 9) FROM mid
-      UNION ALL
-      SELECT 'mi_nmi', (SELECT nr FROM mit),
-             round(CASE WHEN LEAST(ha_d, hb_d) > 0
-                        THEN mi_d / LEAST(ha_d, hb_d) ELSE 0.0 END, 9)
-      FROM mid)
     """,
     tags=(
-        "agg", "rollup", "cube", "chi2", "cramers-v", "welch-t", "corr",
-        "psi", "mutual-information",
+        "agg", "rollup", "cube", "chi2", "cramers-v", "welch-t", "ks", "ols",
     ),
 )
 def rollup_cube_grouping(spark, sf_dir):
@@ -1851,28 +1712,12 @@ def rollup_cube_grouping(spark, sf_dir):
     Welch–Satterthwaite dof, moments from exact DECIMAL(18,6) sums.
     The oracle replays the identical IEEE chains; 9-dp floats.
 
-    r9 rotations (all on the same proven moment/DECIMAL oracle
-    discipline as the chi2/ols legs — this suite deliberately
-    concentrates the stats family because its legs share ONE
-    replay recipe, not independent float surfaces):
-
-    'corr' — stats.corr_matrix over the four lineitem measures: all
-    10 pairwise Pearson r (self-pairs included) from one exact
-    DECIMAL moment pass; the oracle rebuilds every r from its own
-    VARCHAR-mediated moment sums.
-
-    'psi' — profile.population_stability_index on PINNED breakpoints
-    between even-key orders (reference) and odd-key orders with
-    doubled prices (drifted batch): the full per-bin vector (exact
-    counts, ref/new shares, smoothed (p-q)*ln(p/q) term at 9 dp).
-    The scalar psi — an ordered Python fold over <= 7 terms — stays
-    pytest-pinned; the bins determine it.
-
-    'mi'/'mi_ha'/'mi_hb'/'mi_nmi' — profile.mutual_information
-    between priority and status: MI and both entropies under the
-    12-dp DECIMAL summand discipline (partition-order-invariant on
-    the Spark side, order-free DECIMAL sums on the DuckDB side),
-    NMI as their ratio."""
+    r10 rebalance: the corr/psi/mi legs moved to
+    range_interval_join_suite so no single driver hash stakes more
+    than ~6 components' only signal (r9 VERDICT 'what's wrong' #1) —
+    this suite keeps the lattice pair plus the four hypothesis-test
+    components that genuinely share one moment/DECIMAL replay recipe
+    (chi2+cramers, welch-t, ks, ols)."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     rollup_leg = (
@@ -1944,77 +1789,155 @@ def rollup_cube_grouping(spark, sf_dir):
     ).select(
         "src", "dim1", F.col("__e.s").alias("dim2"), "n", F.col("__e.v").alias("total")
     )
-    # corr leg (r9 rotation): the one-pass Pearson matrix over the
-    # four lineitem measures, every r from the same exact-DECIMAL
-    # moment sums the ols leg uses (and the same VARCHAR-mediated
-    # decimal->double replay in the oracle)
-    from d2d_spark.operators.stats import corr_matrix
-
-    cm = corr_matrix(
-        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    )
-    corr_leg = cm.select(
-        F.lit("corr").alias("src"),
-        F.col("col_a").alias("dim1"),
-        F.col("col_b").alias("dim2"),
-        "n",
-        F.round("r", 9).alias("total"),
-    )
-    # psi leg (r9 rotation): population_stability_index on PINNED
-    # breakpoints between the even- and odd-key order populations,
-    # the odd side price-doubled so the drift is real. The oracle
-    # checks the full per-bin vector (ref share, new share, and the
-    # smoothed (p-q)*ln(p/q) term, 9 dp); the scalar psi — a Python
-    # fold over <= 7 ordered terms — stays pytest-pinned.
-    from d2d_spark.operators.profile import population_stability_index
-
-    bps = [50_000.0, 100_000.0, 150_000.0, 200_000.0, 250_000.0]
-    ref = o.filter(F.col("o_orderkey") % 2 == 0)
-    new = o.filter(F.col("o_orderkey") % 2 == 1).select(
-        (F.col("o_totalprice").cast("decimal(18,2)") * 2)
-        .cast("double")
-        .alias("o_totalprice")
-    )
-    psir = population_stability_index(ref, new, "o_totalprice", breakpoints=bps)
-    import math as _math
-
-    n_ref, n_new = psir["n_ref"], psir["n_new"]
-    psi_rows = []
-    for i, (_, p_share, q_share) in enumerate(psir["bins"]):
-        cr = int(round(p_share * n_ref))
-        cn = int(round(q_share * n_new))
-        p = max(p_share, 1e-6)
-        q = max(q_share, 1e-6)
-        term = (p - q) * _math.log(p / q)
-        psi_rows += [
-            ("psi", str(i), "ref", cr, round(p_share, 9)),
-            ("psi", str(i), "new", cn, round(q_share, 9)),
-            ("psi", str(i), "term", None, round(term, 9)),
-        ]
-    # mi leg (r9 rotation): mutual_information between priority and
-    # status — joint groupBy + same-frame marginals, 12-dp DECIMAL
-    # summands; MI/H_a/H_b replayed by the oracle's own DECIMAL sums
-    # (VARCHAR-mediated to double), NMI as their ratio
-    from d2d_spark.operators.profile import mutual_information
-
-    mir = mutual_information(o, "o_orderpriority", "o_orderstatus")
-    mi_rows = [
-        ("mi", "o_orderpriority", "o_orderstatus", mir["n_rows"], round(mir["mi"], 9)),
-        ("mi_ha", "o_orderpriority", "o_orderstatus", mir["n_cells"], round(mir["h_a"], 9)),
-        ("mi_hb", "o_orderpriority", "o_orderstatus", mir["n_cells"], round(mir["h_b"], 9)),
-        ("mi_nmi", "o_orderpriority", "o_orderstatus", mir["n_rows"], round(mir["nmi"], 9)),
-    ]
-    extra_leg = spark.createDataFrame(
-        psi_rows + mi_rows,
-        "src string, dim1 string, dim2 string, n long, total double",
-    )
     return (
         rollup_leg.unionAll(cube_leg)
         .unionAll(stats_leg)
         .unionAll(ols_leg)
-        .unionAll(corr_leg)
-        .unionAll(extra_leg)
     )
+
+
+_STATS_MOVED_SQL = """
+    SELECT 'corr' AS leg, ca || '|' || cbn AS k, n, val AS total FROM (
+      WITH cr0 AS MATERIALIZED (
+        SELECT CAST(l_quantity AS DECIMAL(18,6)) AS a0,
+               CAST(l_extendedprice AS DECIMAL(18,6)) AS a1,
+               CAST(l_discount AS DECIMAL(18,6)) AS a2,
+               CAST(l_tax AS DECIMAL(18,6)) AS a3,
+               CAST(l_quantity AS DECIMAL(24,6)) AS b0,
+               CAST(l_extendedprice AS DECIMAL(24,6)) AS b1,
+               CAST(l_discount AS DECIMAL(24,6)) AS b2,
+               CAST(l_tax AS DECIMAL(24,6)) AS b3
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+          AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+      crm AS MATERIALIZED (
+        SELECT COUNT(*) AS n,
+               CAST(CAST(SUM(a0) AS VARCHAR) AS DOUBLE) AS s0,
+               CAST(CAST(SUM(a1) AS VARCHAR) AS DOUBLE) AS s1,
+               CAST(CAST(SUM(a2) AS VARCHAR) AS DOUBLE) AS s2,
+               CAST(CAST(SUM(a3) AS VARCHAR) AS DOUBLE) AS s3,
+               CAST(CAST(SUM(b0*b0) AS VARCHAR) AS DOUBLE) AS p00,
+               CAST(CAST(SUM(b0*b1) AS VARCHAR) AS DOUBLE) AS p01,
+               CAST(CAST(SUM(b0*b2) AS VARCHAR) AS DOUBLE) AS p02,
+               CAST(CAST(SUM(b0*b3) AS VARCHAR) AS DOUBLE) AS p03,
+               CAST(CAST(SUM(b1*b1) AS VARCHAR) AS DOUBLE) AS p11,
+               CAST(CAST(SUM(b1*b2) AS VARCHAR) AS DOUBLE) AS p12,
+               CAST(CAST(SUM(b1*b3) AS VARCHAR) AS DOUBLE) AS p13,
+               CAST(CAST(SUM(b2*b2) AS VARCHAR) AS DOUBLE) AS p22,
+               CAST(CAST(SUM(b2*b3) AS VARCHAR) AS DOUBLE) AS p23,
+               CAST(CAST(SUM(b3*b3) AS VARCHAR) AS DOUBLE) AS p33
+        FROM cr0),
+      crd AS MATERIALIZED (
+        SELECT *, CAST(n AS DOUBLE) * p00 - s0 * s0 AS d0,
+                  CAST(n AS DOUBLE) * p11 - s1 * s1 AS d1,
+                  CAST(n AS DOUBLE) * p22 - s2 * s2 AS d2,
+                  CAST(n AS DOUBLE) * p33 - s3 * s3 AS d3
+        FROM crm)
+      SELECT 'l_quantity' AS ca, 'l_quantity' AS cbn, n,
+             round(CASE WHEN d0 > 0 AND d0 > 0 THEN
+               (CAST(n AS DOUBLE) * p00 - s0 * s0) / sqrt(d0 * d0) END, 9) AS val
+      FROM crd
+      UNION ALL SELECT 'l_quantity', 'l_extendedprice', n,
+             round(CASE WHEN d0 > 0 AND d1 > 0 THEN
+               (CAST(n AS DOUBLE) * p01 - s0 * s1) / sqrt(d0 * d1) END, 9) FROM crd
+      UNION ALL SELECT 'l_quantity', 'l_discount', n,
+             round(CASE WHEN d0 > 0 AND d2 > 0 THEN
+               (CAST(n AS DOUBLE) * p02 - s0 * s2) / sqrt(d0 * d2) END, 9) FROM crd
+      UNION ALL SELECT 'l_quantity', 'l_tax', n,
+             round(CASE WHEN d0 > 0 AND d3 > 0 THEN
+               (CAST(n AS DOUBLE) * p03 - s0 * s3) / sqrt(d0 * d3) END, 9) FROM crd
+      UNION ALL SELECT 'l_extendedprice', 'l_extendedprice', n,
+             round(CASE WHEN d1 > 0 AND d1 > 0 THEN
+               (CAST(n AS DOUBLE) * p11 - s1 * s1) / sqrt(d1 * d1) END, 9) FROM crd
+      UNION ALL SELECT 'l_extendedprice', 'l_discount', n,
+             round(CASE WHEN d1 > 0 AND d2 > 0 THEN
+               (CAST(n AS DOUBLE) * p12 - s1 * s2) / sqrt(d1 * d2) END, 9) FROM crd
+      UNION ALL SELECT 'l_extendedprice', 'l_tax', n,
+             round(CASE WHEN d1 > 0 AND d3 > 0 THEN
+               (CAST(n AS DOUBLE) * p13 - s1 * s3) / sqrt(d1 * d3) END, 9) FROM crd
+      UNION ALL SELECT 'l_discount', 'l_discount', n,
+             round(CASE WHEN d2 > 0 AND d2 > 0 THEN
+               (CAST(n AS DOUBLE) * p22 - s2 * s2) / sqrt(d2 * d2) END, 9) FROM crd
+      UNION ALL SELECT 'l_discount', 'l_tax', n,
+             round(CASE WHEN d2 > 0 AND d3 > 0 THEN
+               (CAST(n AS DOUBLE) * p23 - s2 * s3) / sqrt(d2 * d3) END, 9) FROM crd
+      UNION ALL SELECT 'l_tax', 'l_tax', n,
+             round(CASE WHEN d3 > 0 AND d3 > 0 THEN
+               (CAST(n AS DOUBLE) * p33 - s3 * s3) / sqrt(d3 * d3) END, 9) FROM crd)
+    UNION ALL
+    SELECT 'psi' AS leg, CAST(b AS VARCHAR) || '|' || part AS k,
+           cnt AS n, val AS total FROM (
+      WITH pref AS MATERIALIZED (
+        SELECT CAST(o_totalprice > 50000.0 AS INT)
+             + CAST(o_totalprice > 100000.0 AS INT)
+             + CAST(o_totalprice > 150000.0 AS INT)
+             + CAST(o_totalprice > 200000.0 AS INT)
+             + CAST(o_totalprice > 250000.0 AS INT) AS b
+        FROM orders WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL),
+      pnew AS MATERIALIZED (
+        SELECT CAST(v > 50000.0 AS INT) + CAST(v > 100000.0 AS INT)
+             + CAST(v > 150000.0 AS INT) + CAST(v > 200000.0 AS INT)
+             + CAST(v > 250000.0 AS INT) AS b
+        FROM (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE) AS v
+              FROM orders WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL)),
+      pgrid AS (SELECT unnest([0, 1, 2, 3, 4, 5]) AS b),
+      prc AS (SELECT b, COUNT(*) AS c FROM pref GROUP BY 1),
+      pnc AS (SELECT b, COUNT(*) AS c FROM pnew GROUP BY 1),
+      ptot AS (SELECT (SELECT COUNT(*) FROM pref) AS nr,
+                      (SELECT COUNT(*) FROM pnew) AS nn),
+      pbins AS (
+        SELECT g.b, COALESCE(prc.c, 0) AS cr, COALESCE(pnc.c, 0) AS cn,
+               COALESCE(prc.c, 0) / CAST(ptot.nr AS DOUBLE) AS ps,
+               COALESCE(pnc.c, 0) / CAST(ptot.nn AS DOUBLE) AS qs
+        FROM pgrid g LEFT JOIN prc USING (b) LEFT JOIN pnc USING (b), ptot)
+      SELECT b, 'ref' AS part, cr AS cnt, round(ps, 9) AS val FROM pbins
+      UNION ALL
+      SELECT b, 'new', cn, round(qs, 9) FROM pbins
+      UNION ALL
+      SELECT b, 'term', CAST(NULL AS BIGINT),
+             round((GREATEST(ps, 1e-6) - GREATEST(qs, 1e-6))
+                   * ln(GREATEST(ps, 1e-6) / GREATEST(qs, 1e-6)), 9) FROM pbins)
+    UNION ALL
+    SELECT leg, 'o_orderpriority|o_orderstatus' AS k,
+           CAST(nn AS BIGINT) AS n, val AS total FROM (
+      WITH mib AS MATERIALIZED (
+        SELECT o_orderpriority AS a, o_orderstatus AS b, COUNT(*) AS c
+        FROM orders WHERE o_orderpriority IS NOT NULL
+          AND o_orderstatus IS NOT NULL GROUP BY 1, 2),
+      mit AS MATERIALIZED (SELECT SUM(c) AS nr, COUNT(*) AS cells FROM mib),
+      mima AS MATERIALIZED (SELECT a, SUM(c) AS ra FROM mib GROUP BY a),
+      mimb AS MATERIALIZED (SELECT b, SUM(c) AS cbv FROM mib GROUP BY b),
+      mis AS MATERIALIZED (
+        SELECT SUM(CAST(round((mib.c / CAST(mit.nr AS DOUBLE))
+                     * ln((mib.c / CAST(mit.nr AS DOUBLE))
+                          / ((mima.ra / CAST(mit.nr AS DOUBLE))
+                             * (mimb.cbv / CAST(mit.nr AS DOUBLE)))), 12)
+                   AS DECIMAL(28,12))) AS mi,
+               -SUM(CAST(round((mib.c / CAST(mit.nr AS DOUBLE))
+                     * ln(mima.ra / CAST(mit.nr AS DOUBLE)), 12)
+                   AS DECIMAL(28,12))) AS ha,
+               -SUM(CAST(round((mib.c / CAST(mit.nr AS DOUBLE))
+                     * ln(mimb.cbv / CAST(mit.nr AS DOUBLE)), 12)
+                   AS DECIMAL(28,12))) AS hb
+        FROM mib JOIN mima USING (a) JOIN mimb USING (b), mit),
+      mid AS MATERIALIZED (
+        SELECT CAST(CAST(mi AS VARCHAR) AS DOUBLE) AS mi_d,
+               CAST(CAST(ha AS VARCHAR) AS DOUBLE) AS ha_d,
+               CAST(CAST(hb AS VARCHAR) AS DOUBLE) AS hb_d
+        FROM mis)
+      SELECT 'mi' AS leg, (SELECT nr FROM mit) AS nn, round(mi_d, 9) AS val
+      FROM mid
+      UNION ALL
+      SELECT 'mi_ha', (SELECT cells FROM mit), round(ha_d, 9) FROM mid
+      UNION ALL
+      SELECT 'mi_hb', (SELECT cells FROM mit), round(hb_d, 9) FROM mid
+      UNION ALL
+      SELECT 'mi_nmi', (SELECT nr FROM mit),
+             round(CASE WHEN LEAST(ha_d, hb_d) > 0
+                        THEN mi_d / LEAST(ha_d, hb_d) ELSE 0.0 END, 9)
+      FROM mid)
+"""
+
 
 
 @query(
@@ -2319,11 +2242,16 @@ def asof_join_click_purchase(spark, sf_dir):
                                   AND 1 PRECEDING) AS pme
               FROM L))
       GROUP BY k, isl)
-    """,
-    tags=("join", "range", "interval", "overlap", "merge"),
+    UNION ALL
+    """ + _STATS_MOVED_SQL,
+    tags=("join", "range", "interval", "overlap", "merge", "corr", "psi",
+          "mutual-information"),
 )
 def range_interval_join_suite(spark, sf_dir):
-    """Two interval-join flavors in one tagged result.
+    """Two interval-join flavors plus the relocated stats trio in one
+    tagged result (corr/psi/mi moved here from rollup_cube_grouping in
+    r10 — the suite-rebalance discipline: no single driver hash stakes
+    more than ~6 components' only signal).
 
     band legs: facts against a small banded dimension — the
     broadcast-nested-loop case where the inner side is tiny by
@@ -2339,7 +2267,25 @@ def range_interval_join_suite(spark, sf_dir):
     'merge' leg (r9): join.merge_intervals — the gaps-and-islands
     UNION of the L interval set per key (touching closed endpoints
     coalesce, containment collapses): one island row with its merged
-    span and member count, vs the running-max-end window replay."""
+    span and member count, vs the running-max-end window replay.
+
+    'corr' — stats.corr_matrix over the four lineitem measures: all
+    10 pairwise Pearson r (self-pairs included) from one exact
+    DECIMAL moment pass; the oracle rebuilds every r from its own
+    VARCHAR-mediated moment sums.
+
+    'psi' — profile.population_stability_index on PINNED breakpoints
+    between even-key orders (reference) and odd-key orders with
+    doubled prices (drifted batch): the full per-bin vector (exact
+    counts, ref/new shares, smoothed (p-q)*ln(p/q) term at 9 dp).
+    The scalar psi — an ordered Python fold over <= 7 terms — stays
+    pytest-pinned; the bins determine it.
+
+    'mi'/'mi_ha'/'mi_hb'/'mi_nmi' — profile.mutual_information
+    between priority and status: MI and both entropies under the
+    12-dp DECIMAL summand discipline (partition-order-invariant on
+    the Spark side, order-free DECIMAL sums on the DuckDB side),
+    NMI as their ratio."""
     from d2d_spark.operators.join import interval_overlap_join, merge_intervals
 
     o = _t(spark, sf_dir, "orders")
@@ -2392,7 +2338,72 @@ def range_interval_join_suite(spark, sf_dir):
         F.col("n_merged").alias("n"),
         F.datediff("e", "s").cast("double").alias("total"),
     )
-    return band_leg.unionByName(overlap_leg).unionByName(merge_leg)
+    # corr leg (moved from rollup_cube_grouping, r10): the one-pass
+    # Pearson matrix over the four lineitem measures, every r from
+    # exact-DECIMAL moment sums (VARCHAR-mediated replay in the oracle)
+    from d2d_spark.operators.stats import corr_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    cm = corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+    corr_leg = cm.select(
+        F.lit("corr").alias("leg"),
+        F.concat_ws("|", "col_a", "col_b").alias("k"),
+        "n",
+        F.round("r", 9).alias("total"),
+    )
+    # psi leg (moved, r10): population_stability_index on PINNED
+    # breakpoints between the even- and odd-key order populations,
+    # the odd side price-doubled so the drift is real; the oracle
+    # checks the full per-bin vector at 9 dp
+    from d2d_spark.operators.profile import population_stability_index
+
+    bps = [50_000.0, 100_000.0, 150_000.0, 200_000.0, 250_000.0]
+    ref = o.filter(F.col("o_orderkey") % 2 == 0)
+    new = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 2)
+        .cast("double")
+        .alias("o_totalprice")
+    )
+    psir = population_stability_index(ref, new, "o_totalprice", breakpoints=bps)
+    import math as _math
+
+    n_ref, n_new = psir["n_ref"], psir["n_new"]
+    psi_rows = []
+    for i, (_, p_share, q_share) in enumerate(psir["bins"]):
+        cr = int(round(p_share * n_ref))
+        cn = int(round(q_share * n_new))
+        p = max(p_share, 1e-6)
+        q = max(q_share, 1e-6)
+        term = (p - q) * _math.log(p / q)
+        psi_rows += [
+            ("psi", f"{i}|ref", cr, round(p_share, 9)),
+            ("psi", f"{i}|new", cn, round(q_share, 9)),
+            ("psi", f"{i}|term", None, round(term, 9)),
+        ]
+    # mi leg (moved, r10): mutual_information between priority and
+    # status — joint groupBy + same-frame marginals, 12-dp DECIMAL
+    # summands; MI/H_a/H_b replayed by the oracle's own DECIMAL sums
+    from d2d_spark.operators.profile import mutual_information
+
+    mir = mutual_information(o, "o_orderpriority", "o_orderstatus")
+    kk = "o_orderpriority|o_orderstatus"
+    mi_rows = [
+        ("mi", kk, mir["n_rows"], round(mir["mi"], 9)),
+        ("mi_ha", kk, mir["n_cells"], round(mir["h_a"], 9)),
+        ("mi_hb", kk, mir["n_cells"], round(mir["h_b"], 9)),
+        ("mi_nmi", kk, mir["n_rows"], round(mir["nmi"], 9)),
+    ]
+    stats_leg = spark.createDataFrame(
+        psi_rows + mi_rows, "leg string, k string, n long, total double"
+    )
+    return (
+        band_leg.unionByName(overlap_leg)
+        .unionByName(merge_leg)
+        .unionByName(corr_leg)
+        .unionByName(stats_leg)
+    )
 
 
 @query(
