@@ -102,7 +102,15 @@ def q1_pricing_summary(spark, sf_dir):
              e.ts >= r.last_kept + INTERVAL 90 MINUTE,
              CASE WHEN e.ts >= r.last_kept + INTERVAL 90 MINUTE
                   THEN e.ts ELSE r.last_kept END
-      FROM rec r JOIN lagged e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+      FROM rec r JOIN lagged e ON e.user_id = r.user_id AND e.rn = r.rn + 1),
+    bcounts AS MATERIALIZED (
+      SELECT CAST(substring(printf('%.15E', abs(o_totalprice)), 1, 1) AS BIGINT) AS d,
+             COUNT(*) AS c
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+        AND abs(o_totalprice) > 0 AND abs(o_totalprice) != CAST('inf' AS DOUBLE)
+      GROUP BY 1),
+    btot AS MATERIALIZED (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM bcounts)
     SELECT 'scan' AS leg, o_orderkey AS k, o_orderpriority AS attr,
            CAST(NULL AS VARCHAR) AS t,
            CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
@@ -125,8 +133,21 @@ def q1_pricing_summary(spark, sf_dir):
     SELECT 'throttle_x', event_id, event_type,
            strftime(ts, '%Y-%m-%d %H:%M:%S'), CAST(NULL AS DOUBLE)
     FROM rec WHERE keep
+    UNION ALL
+    SELECT 'benford', g.d, s.stat, CAST(NULL AS VARCHAR),
+           CASE s.stat
+             WHEN 'obs' THEN round(COALESCE(bc.c, 0) / CAST(bt.nn AS DOUBLE), 9)
+             ELSE round(log10(1 + 1.0 / g.d), 9) END
+    FROM (SELECT unnest(generate_series(1, 9)) AS d) g
+    CROSS JOIN (VALUES ('obs'), ('exp')) s(stat)
+    LEFT JOIN bcounts bc ON bc.d = g.d
+    CROSS JOIN btot bt
+    UNION ALL
+    SELECT 'benford', CAST(NULL AS BIGINT), 'n', CAST(NULL AS VARCHAR),
+           CAST(nn AS DOUBLE)
+    FROM btot
     """,
-    tags=("scan", "filter", "project", "debounce", "throttle"),
+    tags=("scan", "filter", "project", "debounce", "throttle", "benford"),
 )
 def scan_filter_project(spark, sf_dir):
     """Filter-family suite, four legs.
@@ -147,7 +168,15 @@ def scan_filter_project(spark, sf_dir):
     throttle_x: the EXACT token-bucket rule (>= last survivor + 90
     minutes), the sequential JVM fold — the oracle replays it as a
     recursive CTE walking each user's ordered stream, so the
-    inherently sequential semantics are driver-checked too."""
+    inherently sequential semantics are driver-checked too.
+
+    benford (r10 rotation): profile.benford_deviation on
+    o_totalprice — the full per-digit vector (observed share at 9 dp
+    vs the log10(1+1/d) expectation) plus the screened row count; the
+    leading digit comes from the correctly-rounded %.15E rendering on
+    BOTH engines (the float-trap-free route), so the 9-bucket counts
+    are engine-exact. The mad/chi2 scalars — ordered Python folds
+    over 9 terms — stay pytest-pinned; the vector determines them."""
     scan = (
         _t(spark, sf_dir, "orders")
         .filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000))
@@ -189,7 +218,20 @@ def scan_filter_project(spark, sf_dir):
         ),
         "throttle_x",
     )
-    return scan.unionAll(deb).unionAll(thr).unionAll(thx)
+    # benford leg (r10 rotation): the per-digit vector from the eager
+    # operator dict, emitted as literal rows (the psi/mi discipline)
+    from d2d_spark.operators.profile import benford_deviation
+
+    ben = benford_deviation(_t(spark, sf_dir, "orders"), "o_totalprice")
+    ben_rows = []
+    for d, obs, exp in ben["digits"]:
+        ben_rows.append(("benford", d, "obs", None, round(obs, 9)))
+        ben_rows.append(("benford", d, "exp", None, round(exp, 9)))
+    ben_rows.append(("benford", None, "n", None, float(ben["n"])))
+    ben_leg = spark.createDataFrame(
+        ben_rows, "leg string, k long, attr string, t string, total double"
+    )
+    return scan.unionAll(deb).unionAll(thr).unionAll(thx).unionAll(ben_leg)
 
 
 # ---------------------------------------------------------------------------
@@ -2032,7 +2074,29 @@ def window_analytics_orders(spark, sf_dir):
              COUNT(*) FILTER (WHERE abs(o.o_totalprice - m1.med) > 3.0 * m2.mad)
                AS n_outliers
       FROM orders o JOIN m1 USING (o_orderpriority) JOIN m2 USING (o_orderpriority)
-      GROUP BY o.o_orderpriority)
+      GROUP BY o.o_orderpriority),
+    wqd AS (
+      SELECT o_orderpriority, o_totalprice AS v, SUM(o_orderkey % 7 + 1) AS c
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2),
+    wqc AS (
+      SELECT o_orderpriority, v, c,
+             SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM wqd),
+    wqt AS (SELECT o_orderpriority, SUM(c) AS tw FROM wqd GROUP BY 1),
+    wqs AS (
+      SELECT c.o_orderpriority,
+             MIN(CASE WHEN CAST(c.cum AS DOUBLE)
+                           >= GREATEST(0.25 * CAST(t.tw AS DOUBLE), 1e-12)
+                      THEN c.v END) AS wq25_w,
+             MIN(CASE WHEN CAST(c.cum AS DOUBLE)
+                           >= GREATEST(0.5 * CAST(t.tw AS DOUBLE), 1e-12)
+                      THEN c.v END) AS wq50_w,
+             MIN(CASE WHEN CAST(c.cum AS DOUBLE)
+                           >= GREATEST(0.75 * CAST(t.tw AS DOUBLE), 1e-12)
+                      THEN c.v END) AS wq75_w
+      FROM wqc c JOIN wqt t USING (o_orderpriority)
+      GROUP BY 1)
     SELECT o.o_orderpriority,
            COUNT(*) AS cnt,
            COUNT(DISTINCT o_custkey) AS n_customers,
@@ -2047,11 +2111,16 @@ def window_analytics_orders(spark, sf_dir):
            percentile_disc(0.5)  WITHIN GROUP (ORDER BY o_totalprice) AS p50_disc,
            percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75_disc,
            ANY_VALUE(wz.avg_price_winsor) AS avg_price_winsor,
-           ANY_VALUE(mo.n_outliers) AS n_outliers
+           ANY_VALUE(mo.n_outliers) AS n_outliers,
+           ANY_VALUE(wqs.wq25_w) AS wq25_w,
+           ANY_VALUE(wqs.wq50_w) AS wq50_w,
+           ANY_VALUE(wqs.wq75_w) AS wq75_w
     FROM orders o JOIN wz USING (o_orderpriority) JOIN mo USING (o_orderpriority)
+         JOIN wqs USING (o_orderpriority)
     GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
     """,
-    tags=("agg", "stats", "distinct", "percentiles", "winsorize", "mad"),
+    tags=("agg", "stats", "distinct", "percentiles", "winsorize", "mad",
+          "weighted-quantiles"),
 )
 def agg_stats_orders(spark, sf_dir):
     """min/max/avg plus exact MULTI-column COUNT DISTINCT — the §2.5
@@ -2120,10 +2189,33 @@ def agg_stats_orders(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(F.count(F.when(F.col("is_outlier"), F.lit(1))).alias("n_outliers"))
     )
+    # wq{25,50,75}_w (r10 rotation): group_weighted_quantiles_exact
+    # with a synthetic integer weight (o_orderkey % 7 + 1) — "the p50
+    # order by weighted mass, not by order count". Integer weights
+    # keep every cumulative sum an exact integer-valued decimal, so
+    # the r = max(p*W, 1e-12) boundary comparisons are engine-exact
+    # (the oracle replays the same inverse weighted CDF as smallest v
+    # with cum >= r; monotone cum makes the two rules identical).
+    from d2d_spark.operators.quantiles import group_weighted_quantiles_exact
+
+    wq = group_weighted_quantiles_exact(
+        o.withColumn("__wt", (F.col("o_orderkey") % 7 + 1).cast("double")),
+        "o_orderpriority",
+        "o_totalprice",
+        "__wt",
+        [0.25, 0.5, 0.75],
+    )
+    wqw = wq.groupBy("o_orderpriority").agg(
+        *[
+            F.max(F.when(F.col("p") == F.lit(p), F.col("value"))).alias(name)
+            for p, name in ((0.25, "wq25_w"), (0.5, "wq50_w"), (0.75, "wq75_w"))
+        ]
+    )
     return (
         main.join(F.broadcast(wide), "o_orderpriority")
         .join(F.broadcast(wz), "o_orderpriority")
         .join(F.broadcast(mo), "o_orderpriority")
+        .join(F.broadcast(wqw), "o_orderpriority")
         .orderBy("o_orderpriority")
     )
 
