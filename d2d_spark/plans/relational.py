@@ -727,8 +727,47 @@ def _pagerank_unrolled_oracle(
       SELECT node, h_raw / nullif((SELECT hn FROM nm{k}), 0) AS hub,
              a_raw / nullif((SELECT an FROM nm{k}), 0) AS auth FROM hr{k})"""
         )
+    # topo: longest-source-path layering unrolled into one CTE per
+    # depth level (a RECURSIVE CTE would be natural, but DuckDB's
+    # WITH RECURSIVE silently turns every `a UNION b` CTE in the same
+    # WITH list into an iterated form — the nodes CTE above came back
+    # 10x too big — so the peel unrolls like the pagerank rounds).
+    # Node ids are 0..14 with steps >= 1, so depth <= 14 levels.
     parts.append(
-        f"""
+        """,
+    tedges AS MATERIALIZED (
+      SELECT DISTINCT (o_orderkey % 12) AS s,
+             (o_orderkey % 12) + 1 + (o_custkey % 3) AS d
+      FROM orders
+      WHERE (o_orderkey % 12) + 1 + (o_custkey % 3) <= 14),
+    tlvl0 AS MATERIALIZED (
+      SELECT node, 0 AS len FROM (
+        SELECT DISTINCT s AS node FROM tedges
+        UNION ALL SELECT DISTINCT d FROM tedges) u
+      WHERE node NOT IN (SELECT d FROM tedges)
+      GROUP BY node)"""
+    )
+    for k in range(1, 15):
+        parts.append(
+            f""",
+    tlvl{k} AS MATERIALIZED (
+      SELECT te.d AS node, {k} AS len
+      FROM tlvl{k - 1} p JOIN tedges te ON te.s = p.node)"""
+        )
+    tunion = "\n      UNION ALL ".join(
+        f"SELECT node, len FROM tlvl{k}" for k in range(15)
+    )
+    parts.append(
+        f""",
+    tpaths AS MATERIALIZED (
+      {tunion}),
+    t2seq AS MATERIALIZED (
+      SELECT event_type AS s0,
+             LAG(event_type, 1) OVER w2 AS l1,
+             LAG(event_type, 2) OVER w2 AS l2
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL AND user_id IS NOT NULL
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
     SELECT 'terms' AS leg, event_type AS k, COUNT(*) AS cnt,
            CAST(NULL AS DOUBLE) AS rank
     FROM events GROUP BY event_type
@@ -742,6 +781,15 @@ def _pagerank_unrolled_oracle(
     SELECT 'hits_hub', node, CAST(NULL AS BIGINT), round(hub, 6) FROM h{hits_iters}
     UNION ALL
     SELECT 'hits_auth', node, CAST(NULL AS BIGINT), round(auth, 6) FROM h{hits_iters}
+    UNION ALL
+    SELECT 'topo', CAST(node AS VARCHAR), CAST(MAX(len) AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM tpaths GROUP BY node
+    UNION ALL
+    SELECT 'trans2', ctx, COUNT(*), CAST(NULL AS DOUBLE)
+    FROM (SELECT l2 || '>' || l1 || '>' || s0 AS ctx FROM t2seq
+          WHERE l1 IS NOT NULL AND l2 IS NOT NULL)
+    GROUP BY ctx
 """
     )
     return "".join(parts)
@@ -1141,7 +1189,14 @@ def group_count_event_types(spark, sf_dir):
     'hits_hub'/'hits_auth': Kleinberg HITS (graph.hits), 4 fixed
     rounds over the same bipartite graph — users are the hubs, event
     types the authorities — hash-checked to 6 decimals against the
-    unrolled-CTE replay of the same raw-score/normalize order."""
+    unrolled-CTE replay of the same raw-score/normalize order.
+
+    'topo' (r10 rotation): graph.topo_layers — topological layering
+    of a deterministic orders-derived DAG (the migration-scheduling
+    primitive); layer = longest source path, recursively enumerated
+    by the oracle. 'trans2' (r10 rotation): the order-2 Markov
+    transition counts next to dedup_exact_events' oracled order-1 —
+    two LAGs on one window, replayed identically in SQL."""
     ev = _t(spark, sf_dir, "events")
     terms = group_count(ev, "event_type").select(
         F.lit("terms").alias("leg"),
@@ -1232,12 +1287,61 @@ def group_count_event_types(spark, sf_dir):
         F.lit(None).cast("bigint").alias("cnt"),
         F.round("authority", 6).alias("rank"),
     )
+    # topo leg (r10 rotation): graph.topo_layers over a deterministic
+    # modulus-bounded DAG derived from orders (every edge goes from a
+    # smaller to a larger node id, so acyclicity holds by
+    # construction; <= 15 nodes / <= 36 edges at ANY SF). The peel's
+    # layer equals the longest path length from any source — the
+    # oracle enumerates increasing paths recursively (bounded by the
+    # {1,2,3}-step composition count, ~3k rows) and takes MAX(len).
+    from d2d_spark.operators.graph import topo_layers
+
+    ordr = _t(spark, sf_dir, "orders")
+    s_expr = F.col("o_orderkey") % 12
+    d_expr = s_expr + 1 + F.col("o_custkey") % 3
+    tedges = ordr.filter(d_expr <= 14).select(
+        s_expr.cast("string").alias("src"), d_expr.cast("string").alias("dst")
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        layers = topo_layers(tedges)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    topo_leg = layers.select(
+        F.lit("topo").alias("leg"),
+        F.col("node").alias("k"),
+        F.col("layer").cast("bigint").alias("cnt"),
+        F.lit(None).cast("double").alias("rank"),
+    )
+    # trans2 leg (r10 rotation): the order-2 Markov transition counts
+    # (paths.transition_counts(order=2)) — P(next | last two states),
+    # the same ONE window with two lags; the oracle replays it with
+    # two LAG calls over the identical (ts, event_id) ordering
+    from d2d_spark.operators.paths import transition_counts
+
+    evf = ev.filter(
+        F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    t2 = transition_counts(
+        evf, "user_id", "ts", "event_type", tiebreak_cols=["event_id"], order=2
+    )
+    trans2_leg = t2.select(
+        F.lit("trans2").alias("leg"),
+        F.concat_ws(">", "from_state", "to_state").alias("k"),
+        F.col("n").alias("cnt"),
+        F.lit(None).cast("double").alias("rank"),
+    )
     return (
         terms.unionByName(pr)
         .unionByName(pr_w)
         .unionByName(pr_p)
         .unionByName(hub)
         .unionByName(auth)
+        .unionByName(topo_leg)
+        .unionByName(trans2_leg)
     )
 
 
