@@ -651,10 +651,37 @@ def _lr_cte_chain() -> str:
               AS BIGINT) % 1048576 + 0.5) / 1048576.0))) AS k
       FROM dw
     ),
-    {_lr_cte_chain()}
+    {_lr_cte_chain()},
+    aucd AS (
+      SELECT round(1.0 / (1.0 + exp(-(coalesce(marg.m, 0.0) + pri.pm))), 6) AS v,
+             CAST(d.lang = 'en' AS BIGINT) AS y
+      FROM documents d LEFT JOIN marg USING (doc_id) CROSS JOIN pri
+      WHERE d.lang IS NOT NULL),
+    aucc AS (SELECT v, SUM(y) AS cp, COUNT(*) - SUM(y) AS cn FROM aucd GROUP BY v),
+    aucw AS (SELECT cp, cn, cp + cn AS c,
+                    SUM(cp + cn) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM aucc),
+    auct AS (SELECT SUM(cp) AS np, SUM(cn) AS nn2 FROM aucc),
+    aucs AS (SELECT SUM(CAST(cp AS HUGEINT) * (2 * (cum - c) + c + 1)) AS s2
+             FROM aucw)
     SELECT 'gpt3' AS leg, d.doc_id,
            round(1.0 / (1.0 + exp(-(coalesce(marg.m, 0.0) + pri.pm))), 6) AS val
     FROM documents d LEFT JOIN marg USING (doc_id) CROSS JOIN pri
+    UNION ALL
+    SELECT 'auc', CAST(NULL AS BIGINT),
+           round(CAST(s2 - np * (np + 1) AS DOUBLE)
+                 / CAST(2 * np * nn2 AS DOUBLE), 9)
+    FROM aucs, auct
+    UNION ALL
+    SELECT 'auc_gini', CAST(NULL AS BIGINT),
+           round(CAST(s2 - np * (np + 1) AS DOUBLE)
+                 / CAST(2 * np * nn2 AS DOUBLE) * 2 - 1, 9)
+    FROM aucs, auct
+    UNION ALL
+    SELECT 'auc_n', 1, CAST(np AS DOUBLE) FROM auct
+    UNION ALL
+    SELECT 'auc_n', 0, CAST(nn2 AS DOUBLE) FROM auct
     UNION ALL
     SELECT 'dsir_w' AS leg, doc_id, round(lw, 6) FROM dw
     UNION ALL
@@ -698,7 +725,13 @@ def gpt3_quality_score(spark, sf_dir):
     unrolled one-CTE-chain-per-round SQL replay (the PageRank
     precedent — exact DECIMAL sums make both engines' accumulation
     order-invariant), lr_p hash-checks every document's final sigmoid
-    score. Labels are lang='en', the same gold-vs-raw framing."""
+    score. Labels are lang='en', the same gold-vs-raw framing.
+
+    auc legs (r10 rotation) — stats.binary_auc scores the gpt3
+    classifier itself (exact tie-aware Mann-Whitney AUC + gini + class
+    counts) on the 6-dp-rounded probability surface the gpt3 leg
+    already pins; the oracle replays the distributed rank-sum identity
+    as a window cumsum over per-score class counts."""
     from d2d_spark.operators.classifier import nb_quality_score
     from d2d_spark.operators.dsir import (
         dsir_log_ratio,
@@ -755,9 +788,38 @@ def gpt3_quality_score(spark, sf_dir):
     lr_p = probs.select(
         F.lit("lr_p").alias("leg"), "doc_id", F.round("prob", 6).alias("val")
     )
+    # auc legs (r10 rotation): stats.binary_auc — the exact tie-aware
+    # ROC-AUC of the gpt3 quality score at separating the en seed from
+    # the rest, ON THE 6-DP-ROUNDED score: the rounded surface is
+    # already proven bit-identical across engines by the gpt3 leg, and
+    # rounding induces genuine ties so the Mann-Whitney tie handling is
+    # exercised, not just covered. The oracle replays the rank-sum
+    # identity on its own score CTE (window cumsum + HUGEINT products +
+    # ONE exact-integer division, both operands < 2^53 at any fixture
+    # SF so the double division is the correctly-rounded exact ratio
+    # on both engines).
+    from d2d_spark.operators.stats import binary_auc
+
+    aucdf = (
+        out.select("doc_id", "quality_prob")
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .filter(F.col("lang").isNotNull())
+        .select(
+            (F.col("lang") == "en").alias("y"),
+            F.round("quality_prob", 6).alias("s"),
+        )
+    )
+    a = binary_auc(aucdf, "y", "s")
+    auc_rows = [
+        ("auc", None, round(a["auc"], 9)),
+        ("auc_gini", None, round(a["gini"], 9)),
+        ("auc_n", 1, float(a["n_pos"])),
+        ("auc_n", 0, float(a["n_neg"])),
+    ]
+    auc_leg = spark.createDataFrame(auc_rows, "leg string, doc_id long, val double")
     return (
         gpt3.unionByName(dsir_w).unionByName(dsir_pick)
-        .unionByName(lr_w).unionByName(lr_p)
+        .unionByName(lr_w).unionByName(lr_p).unionByName(auc_leg)
     )
 
 

@@ -613,12 +613,90 @@ def _mmr_literal_rows() -> list[tuple]:
     return out
 
 
+def _ndcg_literal_rows() -> list[tuple]:
+    """(sftag, query_id, ndcg9) rows per fixture: a pure-Python twin
+    of the ndcg leg — exact cosine top-5 per query (the same self
+    exclusion and ascending-id tie rules as _mmr_literal_rows), graded
+    relevance from the label column (same label -> rel 3, adjacent
+    label -> rel 1, else 0, no wraparound), then the operator's own
+    fixed-order folds mirrored exactly: DCG adds (2^rel - 1)/log2(r+1)
+    in rank order, IDCG adds the truth's top-k gains in descending
+    order — math.log2 is bit-equal to Spark's F.log2 on these values
+    (pinned by tests/test_retrieval.py). Zero operator imports."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from d2d_spark.plans.registry import fixture_table_paths
+
+    out: list[tuple] = []
+    for _fixture_path in fixture_table_paths("embeddings"):
+        try:
+            t = pq.read_table(
+                _fixture_path, columns=["vec_id", "embedding", "label"]
+            )
+        except Exception:
+            continue
+        ids = t["vec_id"].to_pylist()
+        labs = t["label"].to_pylist()
+        X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        tag = len(ids) * 1_000_000 + sum(
+            lb * (i % 97) for i, lb in zip(ids, labs)
+        )
+        n = np.linalg.norm(X, axis=1)
+        idx_of = {v: i for i, v in enumerate(ids)}
+        lab_of = dict(zip(ids, labs))
+
+        def rel_of(ql: int, dl: int) -> int:
+            return 3 if dl == ql else (1 if abs(dl - ql) == 1 else 0)
+
+        for qid in sorted(v for v in ids if v % 100 == 0):
+            qi = idx_of[qid]
+            ql = lab_of[qid]
+            qn = n[qi]
+            sims = []
+            for j, vid in enumerate(ids):
+                if vid == qid:
+                    continue
+                den = qn * n[j]
+                c = float(X[qi] @ X[j] / den) if den > 0 else None
+                if c is not None:
+                    sims.append((-c, vid))
+            sims.sort()
+            dcg = 0.0
+            for r, (_, vid) in enumerate(sims[:5], 1):
+                g = 2.0 ** rel_of(ql, lab_of[vid]) - 1.0
+                dcg += g / math.log2(r + 1.0)
+            gains = sorted(
+                (
+                    2.0 ** rel_of(ql, lab_of[vid]) - 1.0
+                    for vid in ids
+                    if vid != qid and rel_of(ql, lab_of[vid]) > 0
+                ),
+                reverse=True,
+            )[:5]
+            if not gains:
+                continue  # no positive labels: the operator drops it
+            idcg = 0.0
+            for r, g in enumerate(gains, 1):
+                idcg += g / math.log2(r + 1.0)
+            out.append((tag, qid, round(dcg / idcg, 9)))
+    return out
+
+
 def _ann_exact_oracle() -> str:
     mmr_rows = _mmr_literal_rows()
     if not mmr_rows:
         mmr_rows = [(-1, 0, 0, 0.0, 0)]
     mmr_values = ",\n     ".join(
         f"({t}, {q}, {d}, CAST({s!r} AS DOUBLE), {r})" for t, q, d, s, r in mmr_rows
+    )
+    ndcg_rows = _ndcg_literal_rows()
+    if not ndcg_rows:
+        ndcg_rows = [(-1, 0, 0.0)]
+    ndcg_values = ",\n     ".join(
+        f"({t}, {q}, CAST({v!r} AS DOUBLE))" for t, q, v in ndcg_rows
     )
     return f"""
     SELECT 'fold' AS leg, * FROM ({_SQL_EXACT_TOPK})
@@ -642,6 +720,13 @@ def _ann_exact_oracle() -> str:
     SELECT 'mmr' AS leg, query_id, doc_id AS neighbor_id, score AS cos_sim, rank
     FROM (VALUES
      {mmr_values}) AS mmr_exp(sftag, query_id, doc_id, score, rank)
+    WHERE sftag = (SELECT COUNT(*) * 1000000 + SUM(label * (vec_id % 97))
+                   FROM embeddings)
+    UNION ALL
+    SELECT 'ndcg' AS leg, query_id, CAST(NULL AS BIGINT) AS neighbor_id,
+           v AS cos_sim, CAST(NULL AS INT) AS rank
+    FROM (VALUES
+     {ndcg_values}) AS ndcg_exp(sftag, query_id, v)
     WHERE sftag = (SELECT COUNT(*) * 1000000 + SUM(label * (vec_id % 97))
                    FROM embeddings)
     """
@@ -668,8 +753,11 @@ def ann_exact_topk(spark, sf_dir):
     hash-pinned above, so the whole hybrid list is engine-exact with
     no rounding at all. The mmr leg diversity-reranks the exact top-5
     with operators/retrieval.mmr_rerank (Carbonell 1998, lam=0.7,
-    k=3) against a numpy twin mirroring the greedy kernel
-    op-for-op."""
+    k=3) against a numpy twin mirroring the greedy kernel op-for-op.
+    The ndcg leg (r10 rotation) closes the loop with the evaluation
+    layer: retrieval.ndcg_at_k of the exact top-5 against graded
+    same/adjacent-label relevance, vs a literal-VALUES Python twin of
+    both fixed-order folds."""
     from pyspark import StorageLevel
 
     from d2d_spark import cache as opcache
@@ -730,12 +818,43 @@ def ann_exact_topk(spark, sf_dir):
         F.round("mmr_score", 6).alias("cos_sim"),
         "rank",
     )
+    # ndcg leg (r10 rotation): operators/retrieval.ndcg_at_k scores the
+    # exact top-5 against graded labels derived from the embeddings'
+    # label column (same label -> rel 3, adjacent -> rel 1) — the
+    # evaluation layer for the retrieval stack, driver-checked against
+    # a pure-Python literal twin mirroring both fixed-order folds.
+    # The truth frame is three broadcast equi-joins on label keys (no
+    # theta join), self pairs excluded like the retrieval itself.
+    from d2d_spark.operators.retrieval import ndcg_at_k
+
+    ql_f = q.select(F.col("vec_id").alias("query_id"), F.col("label").alias("__ql"))
+    dl_f = e.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("__dl"))
+    truth = None
+    for off, rel in ((0, 3), (-1, 1), (1, 1)):
+        part = (
+            F.broadcast(ql_f)
+            .join(dl_f, ql_f["__ql"] == dl_f["__dl"] + F.lit(off))
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", F.lit(rel).alias("rel"))
+        )
+        truth = part if truth is None else truth.unionByName(part)
+    nd = ndcg_at_k(
+        fold, truth, "query_id", "neighbor_id", k=5, rel_col="rel"
+    )
+    ndcg_leg = nd.select(
+        F.lit("ndcg").alias("leg"),
+        "query_id",
+        F.lit(None).cast("long").alias("neighbor_id"),
+        F.round("ndcg", 9).alias("cos_sim"),
+        F.lit(None).cast("int").alias("rank"),
+    )
     return (
         fold.select(F.lit("fold").alias("leg"), *cols)
         .unionByName(gemm.select(F.lit("gemm").alias("leg"), *cols))
         .unionByName(int8.select(F.lit("int8").alias("leg"), *cols))
         .unionByName(fused)
         .unionByName(mmr)
+        .unionByName(ndcg_leg)
     )
 
 
