@@ -331,6 +331,67 @@ def main() -> int:
     for name, run in r9.items():
         timed_leg(name, run)
 
+    # r10: the stats/eval families timed DIRECTLY so a regression in
+    # one of them moves a number that names it (r9 VERDICT #5 — the
+    # rollup bench leg's 7-13s swing was many eager stats collects
+    # sharing one timer; the suite rebalance moved corr/psi/mi off
+    # rollup entirely, and these legs give each family its own timer
+    # at full bench SF)
+    from d2d_spark.operators.profile import (
+        mutual_information as _mi,
+        population_stability_index as _psi,
+    )
+    from d2d_spark.operators.quantiles import weighted_quantiles_exact as _wq
+    from d2d_spark.operators.stats import (
+        binary_auc as _auc,
+        chi2_independence as _chi2,
+        corr_matrix as _corr,
+        ks_two_sample as _ks,
+        ttest_welch as _tt,
+    )
+
+    def _stats_tests_run():
+        _chi2(orders_df, "o_orderpriority", "o_orderstatus")
+        _tt(orders_df, "o_orderstatus", "o_totalprice", "F", "O")
+        _ks(orders_df, "o_orderstatus", "o_totalprice", "F", "O")
+
+    def _psi_mi_run():
+        bps = [50_000.0, 100_000.0, 150_000.0, 200_000.0, 250_000.0]
+        _psi(
+            orders_df.filter(_F.col("o_orderkey") % 2 == 0),
+            orders_df.filter(_F.col("o_orderkey") % 2 == 1),
+            "o_totalprice",
+            breakpoints=bps,
+        )
+        _mi(orders_df, "o_orderpriority", "o_orderstatus")
+
+    r10 = {
+        "stats_corr_lineitem": lambda: _corr(
+            li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+        ).count(),
+        "stats_tests_orders": _stats_tests_run,
+        "psi_mi_orders": _psi_mi_run,
+        # the newly rotated evaluation ops at full SF: AUC's
+        # score-collapse groupBy over a tie-rich integer-cent surface,
+        # and the weighted inverse-CDF on the distributed prefix-sum
+        "binary_auc_orders": lambda: _auc(
+            orders_df.select(
+                (_F.col("o_orderkey") % 3 == 0).alias("y"),
+                _F.col("o_totalprice").alias("s"),
+            ),
+            "y",
+            "s",
+        ),
+        "weighted_quantiles_lineitem": lambda: _wq(
+            li.filter(_F.col("l_quantity") > 0),
+            "l_extendedprice",
+            "l_quantity",
+            [0.25, 0.5, 0.9, 0.99],
+        ).count(),
+    }
+    for name, run in r10.items():
+        timed_leg(name, run)
+
     # End-to-end Migration throughput (rows/s), comparable to the
     # reference's best batched write path (~15.6k rows/s,
     # BASELINE.md): lineitem through read -> transform -> sink.

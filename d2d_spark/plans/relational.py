@@ -1368,7 +1368,44 @@ def group_count_event_types(spark, sf_dir):
       SELECT user_id, strftime(cts, '%Y-%m-%d %H:%M:%S') || '|'
              || strftime(tts, '%Y-%m-%d %H:%M:%S') AS t,
              tstate, n, ra, rd, wg, sw
-      FROM scored)
+      FROM scored),
+    sdc AS MATERIALIZED (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS y
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2),
+    sdb AS MATERIALIZED (
+      SELECT event_type, MIN(d) AS lo, MAX(d) AS hi FROM sdc GROUP BY 1),
+    sdgrid AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+      FROM sdb),
+    sdd AS MATERIALIZED (
+      SELECT g.event_type, CAST(g.d AS DATE) AS d, COALESCE(sdc.y, 0) AS y
+      FROM sdgrid g LEFT JOIN sdc
+        ON g.event_type = sdc.event_type AND CAST(g.d AS DATE) = sdc.d),
+    sdt AS MATERIALIZED (
+      SELECT event_type, d, y,
+             (ROW_NUMBER() OVER wo - 1) % 7 AS ph,
+             CASE WHEN COUNT(*) OVER fr = 7
+                  THEN CAST(SUM(y) OVER fr AS DOUBLE) / 7.0 END AS trend
+      FROM sdd
+      WINDOW wo AS (PARTITION BY event_type ORDER BY d),
+             fr AS (PARTITION BY event_type ORDER BY d
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    sdpm AS MATERIALIZED (
+      SELECT event_type, ph,
+             CAST(CAST(SUM(CAST(round(y - trend, 12) AS DECIMAL(28,12)))
+                       AS VARCHAR) AS DOUBLE) / COUNT(*) AS s_raw
+      FROM sdt WHERE trend IS NOT NULL GROUP BY 1, 2),
+    sdcen AS MATERIALIZED (
+      SELECT event_type,
+             CAST(CAST(SUM(CAST(round(s_raw, 12) AS DECIMAL(28,12)))
+                       AS VARCHAR) AS DOUBLE) / COUNT(*) AS s_mean
+      FROM sdpm GROUP BY 1),
+    sdfin AS (
+      SELECT t.event_type, t.d, t.y, t.trend, p.s_raw - c.s_mean AS seasonal
+      FROM sdt t
+      LEFT JOIN sdpm p ON t.event_type = p.event_type AND t.ph = p.ph
+      LEFT JOIN sdcen c ON t.event_type = c.event_type)
     SELECT 'top' AS leg, CAST(user_id AS VARCHAR) AS uid,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS t, event_type AS attr,
            event_id AS n, CAST(NULL AS DOUBLE) AS credit
@@ -1393,8 +1430,17 @@ def group_count_event_types(spark, sf_dir):
            round(CASE WHEN n = 1 THEN 1.0 WHEN n = 2 THEN 0.5
                       WHEN ra = 1 OR rd = 1 THEN 0.4
                       ELSE 0.2 / (n - 2) END, 9) FROM lab
+    UNION ALL
+    SELECT 'seasonal', event_type, strftime(d, '%Y-%m-%d'), 'trend', y,
+           round(trend, 9) FROM sdfin
+    UNION ALL
+    SELECT 'seasonal', event_type, strftime(d, '%Y-%m-%d'), 'seas', y,
+           round(seasonal, 9) FROM sdfin
+    UNION ALL
+    SELECT 'seasonal', event_type, strftime(d, '%Y-%m-%d'), 'resid', y,
+           round((CAST(y AS DOUBLE) - trend) - seasonal, 9) FROM sdfin
     """,
-    tags=("agg", "window", "top-hits", "attribution"),
+    tags=("agg", "window", "top-hits", "attribution", "seasonal"),
 )
 def top_hits_latest_event_per_user(spark, sf_dir):
     """Top-hits plus the multi-touch attribution family (r9).
@@ -1410,7 +1456,12 @@ def top_hits_latest_event_per_user(spark, sf_dir):
     oracle replays the pair join + window ranks + the identical
     2^(-age/halflife) weight chain; float credits round to 9 dp on
     both sides, rank/count-derived credits (1.0, 0.5, 0.4, 1/n,
-    0.2/(n-2)) are single IEEE divisions."""
+    0.2/(n-2)) are single IEEE divisions.
+
+    seasonal (r10 rotation): timeseries.seasonal_decompose (period=7)
+    over the per-type daily event counts on a dense zero-filled
+    grid — trend/seasonal/resid per day, the exact-DECIMAL
+    trend-numerator and 12-dp mean discipline replayed in SQL."""
     ev = _t(spark, sf_dir, "events").withColumn(
         "__ord", F.struct(F.col("ts"), F.col("event_id"))
     )
@@ -1454,6 +1505,52 @@ def top_hits_latest_event_per_user(spark, sf_dir):
                 F.round("credit", 9).alias("credit"),
             )
         )
+    # seasonal legs (r10 rotation): timeseries.seasonal_decompose over
+    # the per-type daily event counts on a dense zero-filled grid
+    # (classical decomposition requires a regular gap-free series);
+    # period=7 (weekly), odd so the trend is a plain 7-day centered
+    # MA with an exact integer numerator. The oracle replays the
+    # trend window, the 12-dp DECIMAL phase/centering means
+    # (VARCHAR-mediated decimal->double, the documented DuckDB
+    # twice-rounding trap) and the identical left-to-right resid
+    # chain; floats at 9 dp.
+    from d2d_spark.operators.timeseries import seasonal_decompose
+
+    sbase = evp.filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+    daily = sbase.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    sgrid = (
+        daily.groupBy("event_type")
+        .agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select("event_type", F.explode(F.sequence("lo", "hi")).alias("d"))
+    )
+    dense = sgrid.join(daily, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce("y", F.lit(0)).cast("long").alias("y")
+    )
+    sd = seasonal_decompose(dense, ["event_type"], "d", "y", period=7)
+    sdx = sd.select(
+        "event_type",
+        "d",
+        "y",
+        F.explode(
+            F.array(
+                F.struct(F.lit("trend").alias("c"), F.round("sd_trend", 9).alias("v")),
+                F.struct(F.lit("seas").alias("c"), F.round("sd_seasonal", 9).alias("v")),
+                F.struct(F.lit("resid").alias("c"), F.round("sd_resid", 9).alias("v")),
+            )
+        ).alias("__e"),
+    )
+    legs.append(
+        sdx.select(
+            F.lit("seasonal").alias("leg"),
+            F.col("event_type").alias("uid"),
+            F.date_format("d", "yyyy-MM-dd").alias("t"),
+            F.col("__e.c").alias("attr"),
+            F.col("y").alias("n"),
+            F.col("__e.v").alias("credit"),
+        )
+    )
     res = legs[0]
     for l in legs[1:]:
         res = res.unionAll(l)
