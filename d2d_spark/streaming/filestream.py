@@ -498,6 +498,140 @@ def latest_cms_state(spark: SparkSession, state_dir: str):
         return None
     return spark.read.parquet(os.path.join(state_dir, f"state_after_batch_{max(ids)}"))
 
+
+def stream_quantile_sink(
+    df: DataFrame,
+    col: str,
+    state_dir: str,
+    checkpoint_path: str,
+):
+    """Maintain EXACT corpus-wide quantile state over a stream — the
+    continuous-percentile-monitoring sink next to the Bloom ("seen?")
+    and count-min ("how often?") sinks: "what is the p99 of everything
+    ever seen, right now?".
+
+    State is the value-collapsed (value, count) frame — the SAME
+    sufficient statistic the batch quantile family (quantiles_exact /
+    weighted_quantiles_exact) reduces to before its distributed
+    prefix-sum. Counts are linear, so per-batch collapse + merge makes
+    the stream-maintained state EXACTLY the batch collapse of all data
+    ever seen (test-pinned at every prefix), and
+    `stream_quantiles(latest_quantile_state(...), probs)` returns the
+    exact percentile_disc answer over the whole history — no sketch
+    error. NULL values drop (they hold no rank), matching the batch
+    operators' filter.
+
+    State size = DISTINCT values seen, not rows — right for prices,
+    latencies, scores and other quantized measures (bounded alphabet);
+    for genuinely unbounded-cardinality columns quantize upstream or
+    keep `operators/agg.sketch_quantiles` (KLL, fixed size, rank
+    error) as the stated approximate path. This is deliberately the
+    same exact-vs-sketch split as the dedup family.
+
+    Replay-tolerant by the `stream_cms_sink` construction: state is
+    persisted KEYED BY BATCH ID, batch N merges into the newest state
+    with id < N, and a replayed batch re-derives byte-identical counts
+    from its original pre-state instead of double-counting. Same
+    one-checkpoint-lifetime contract, both refusal directions."""
+    import os
+    import re
+    import shutil
+
+    spark = df.sparkSession
+    _require_local_state_dir("stream_quantile_sink", state_dir)
+    os.makedirs(state_dir, exist_ok=True)
+    pat = re.compile(r"^state_after_batch_(\d+)$")
+    state_ids = [
+        int(pat.match(n).group(1)) for n in os.listdir(state_dir) if pat.match(n)
+    ]
+    ckpt_local = _local_path(checkpoint_path)
+    checkpoint_is_fresh = ckpt_local is not None and not os.path.isdir(
+        os.path.join(ckpt_local, "offsets")
+    )
+    if checkpoint_is_fresh and state_ids:
+        raise ValueError(
+            f"stream_quantile_sink: checkpoint {checkpoint_path!r} is fresh "
+            f"but state_dir {state_dir!r} holds quantile state from a "
+            "previous checkpoint lifetime — use a fresh state_dir, or "
+            "restore the original checkpoint."
+        )
+    if ckpt_local is not None and not checkpoint_is_fresh and not state_ids:
+        raise ValueError(
+            f"stream_quantile_sink: checkpoint {checkpoint_path!r} is "
+            f"resuming but state_dir {state_dir!r} has no quantile state — "
+            "counts from processed batches would be silently lost. Restore "
+            "the state files or start over with a fresh checkpoint."
+        )
+
+    def _load_before(batch_id: int):
+        prior_ids = [
+            int(pat.match(n).group(1))
+            for n in os.listdir(state_dir)
+            if pat.match(n) and int(pat.match(n).group(1)) < batch_id
+        ]
+        if not prior_ids:
+            return None
+        return spark.read.parquet(
+            os.path.join(state_dir, f"state_after_batch_{max(prior_ids)}")
+        )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        counts = (
+            batch_df.filter(F.col(col).isNotNull())
+            .groupBy(F.col(col).cast("double").alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        prior = _load_before(batch_id)
+        if prior is not None:
+            counts = (
+                prior.unionByName(counts)
+                .groupBy("__v")
+                .agg(F.sum("__c").alias("__c"))
+            )
+        final = os.path.join(state_dir, f"state_after_batch_{batch_id}")
+        tmp = final + ".tmp"
+        counts.write.mode("overwrite").parquet(tmp)
+        # a crash between rmtree and rename loses only state N, which
+        # the replayed batch N re-derives from state N-1
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+
+    q = (
+        df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def latest_quantile_state(spark: SparkSession, state_dir: str):
+    """The newest persisted (value, count) state from a
+    `stream_quantile_sink` dir (None if empty)."""
+    import os
+    import re
+
+    pat = re.compile(r"^state_after_batch_(\d+)$")
+    ids = [int(pat.match(n).group(1)) for n in os.listdir(state_dir) if pat.match(n)]
+    if not ids:
+        return None
+    return spark.read.parquet(os.path.join(state_dir, f"state_after_batch_{max(ids)}"))
+
+
+def stream_quantiles(state: DataFrame, probs) -> DataFrame:
+    """(p, value) — exact discrete quantiles of everything a
+    `stream_quantile_sink` has seen: the state IS the (value, weight)
+    input of `operators/quantiles.weighted_quantiles_exact`, whose
+    inverse weighted CDF with integer counts equals percentile_disc
+    over the raw history (unit-weight identity, test-pinned)."""
+    from d2d_spark.operators.quantiles import weighted_quantiles_exact
+
+    return weighted_quantiles_exact(state, "__v", "__c", probs)
+
 def stream_apply_changes(
     changes: DataFrame,
     target: DataFrame,

@@ -331,3 +331,86 @@ def test_group_weighted_quantiles_exact(spark):
             spark.createDataFrame([("a", 1.0, -1.0)], "k string, v double, w double"),
             "k", "v", "w", [0.5],
         )
+
+
+def test_stream_quantile_sink_equals_batch_exact(spark, tmp_path):
+    """Stream-maintained (value, count) state must EXACTLY equal the
+    batch collapse of everything seen at every prefix (count
+    linearity), and stream_quantiles on it must equal quantiles_exact
+    over the raw history — no sketch error. Checkpoint-lifetime
+    refusals fire in both directions."""
+    import os
+
+    import pytest as pt
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from d2d_spark.operators.quantiles import quantiles_exact
+    from d2d_spark.streaming.filestream import (
+        file_stream,
+        latest_quantile_state,
+        stream_quantile_sink,
+        stream_quantiles,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType([T.StructField("v", T.DoubleType())])
+
+    def drop(name, vals):
+        spark.createDataFrame([(float(v),) for v in vals], schema).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    def check_prefix():
+        all_rows = spark.read.parquet(str(src) + "/*")
+        want = {
+            (r["__v"], r["__c"])
+            for r in all_rows.filter(F.col("v").isNotNull())
+            .groupBy(F.col("v").cast("double").alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .collect()
+        }
+        st = latest_quantile_state(spark, state)
+        assert {(r["__v"], r["__c"]) for r in st.collect()} == want
+        probs = [0.25, 0.5, 0.9, 1.0]
+        got = {r["p"]: r["value"] for r in stream_quantiles(st, probs).collect()}
+        exact = {
+            r["p"]: r["value"]
+            for r in quantiles_exact(all_rows, "v", probs).collect()
+        }
+        assert got == exact
+
+    # prefix 1: skewed values with ties and a NULL (dropped)
+    drop("d1", [10, 10, 10, 20, 30, 30, 99])
+    spark.createDataFrame([(None,)], schema).write.mode("overwrite").parquet(
+        str(src / "d1n")
+    )
+    stream_quantile_sink(file_stream(spark, str(src) + "/*", schema), "v", state, ckpt)
+    check_prefix()
+
+    # prefix 2: restart with new values shifting every percentile
+    drop("d2", [5, 5, 40, 40, 40, 200])
+    stream_quantile_sink(file_stream(spark, str(src) + "/*", schema), "v", state, ckpt)
+    check_prefix()
+    assert (
+        len([n for n in os.listdir(state) if n.startswith("state_after_batch_")]) >= 2
+    )
+
+    # fresh checkpoint over surviving state is refused
+    with pt.raises(ValueError, match="fresh"):
+        stream_quantile_sink(
+            file_stream(spark, str(src) + "/*", schema),
+            "v", state, str(tmp_path / "ckpt2"),
+        )
+    # resuming checkpoint with vanished state is refused
+    import shutil
+
+    state2 = str(tmp_path / "state2")
+    os.makedirs(state2)
+    with pt.raises(ValueError, match="no quantile state"):
+        stream_quantile_sink(
+            file_stream(spark, str(src) + "/*", schema), "v", state2, ckpt
+        )
