@@ -2981,6 +2981,112 @@ def _linkage_literal_rows() -> list[tuple]:
     return out
 
 
+_ER_BIG = 10_000_000  # clone rid offset — beyond any fixture custkey
+_ER_THR = None  # set below; log2(9) = the prob>0.9 Fellegi-Sunter cut
+
+
+def _er_literal_rows() -> list[tuple]:
+    """(sftag, entity, nmem, nat, seg, bal9) golden rows per fixture:
+    the WHOLE entity-resolution composition replayed in pure Python —
+    the same deterministic pair spec as _linkage_cust_pairs but
+    id-carrying (even keys pair with a perturbed clone at rid+BIG,
+    odd keys with their shifted partner), the bit-pinned EM twin, the
+    Fellegi-Sunter weight chain in gamma order, the match decision on
+    the WEIGHT scale (w > log2 9, i.e. posterior > 0.9 — the weight is
+    a short fixed-order float sum, bit-equal across engines, where the
+    posterior sigmoid would hang the decision on a pow() ulp),
+    min-label connected components (union-find), and golden_record's
+    latest-by-rid survivorship (all fields non-null here, so latest =
+    the max-rid member's values) plus the member count."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from d2d_spark.plans.registry import fixture_table_paths
+
+    thr = math.log2(9.0)
+    out: list[tuple] = []
+    for _fixture_path in fixture_table_paths("customer"):
+        try:
+            t = pq.read_table(
+                _fixture_path,
+                columns=["c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"],
+            )
+        except Exception:
+            continue
+        cust = {
+            kk: (nat, seg, bal)
+            for kk, nat, seg, bal in zip(
+                t["c_custkey"].to_pylist(),
+                t["c_nationkey"].to_pylist(),
+                t["c_mktsegment"].to_pylist(),
+                t["c_acctbal"].to_pylist(),
+            )
+        }
+        tag = len(cust)
+        n = len(cust)
+        records = dict(cust)
+        pairs: list[tuple] = []
+        gammas: list[tuple] = []
+        for kk in sorted(cust):
+            nat, seg, bal = cust[kk]
+            if kk % 2 == 0:
+                nat2 = nat + 1 if kk % 5 == 0 else nat
+                seg2 = "UNKNOWN" if kk % 7 == 0 else seg
+                bal2 = bal + 600.0 if kk % 3 == 0 else bal
+                rid_b = kk + _ER_BIG
+                records[rid_b] = (nat2, seg2, bal2)
+            else:
+                j = (kk * 7 + 13) % n
+                if j not in cust:
+                    continue
+                nat2, seg2, bal2 = cust[j]
+                rid_b = j
+            g = (
+                int(nat == nat2),
+                int(seg == seg2),
+                int(math.floor(bal / 500.0) == math.floor(bal2 / 500.0)),
+            )
+            pairs.append((kk, rid_b, g))
+            gammas.append(g)
+        if not gammas:
+            continue
+        fit = _py_linkage_em(gammas)
+        lam, m, u = fit["lambda"], fit["m"], fit["u"]
+        base = math.log2(lam / (1.0 - lam))
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for ida, idb, g in pairs:
+            w = base
+            for i in range(3):
+                w = w + (
+                    math.log2(m[i] / u[i])
+                    if g[i] == 1
+                    else math.log2((1.0 - m[i]) / (1.0 - u[i]))
+                )
+            if w > thr and ida != idb:
+                ra, rb = find(ida), find(idb)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        groups: dict = {}
+        for rid in records:
+            groups.setdefault(find(rid), []).append(rid)
+        for members in groups.values():
+            ent = min(members)
+            top = max(members)
+            nat_g, seg_g, bal_g = records[top]
+            out.append((tag, ent, len(members), nat_g, seg_g, round(bal_g, 9)))
+    return out
+
+
 def _fuzzy_oracle() -> str:
     snd = _soundex_literal_rows()
     if not snd:
@@ -2995,6 +3101,13 @@ def _fuzzy_oracle() -> str:
         f"({t}, '{c}', {'NULL' if d is None else d}, "
         f"{'NULL' if v is None else repr(v)})"
         for t, c, d, v in lnk
+    )
+    er = _er_literal_rows()
+    if not er:
+        er = [(-1, 0, 0, 0, "", 0.0)]
+    evalues = ",\n     ".join(
+        f"({t}, {e}, {nm}, {nat}, '{seg}', CAST({v!r} AS DOUBLE))"
+        for t, e, nm, nat, seg, v in er
     )
     return f"""
     WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey <= 200)
@@ -3015,6 +3128,11 @@ def _fuzzy_oracle() -> str:
            CAST(dist AS BIGINT), code, CAST(val AS DOUBLE)
     FROM (VALUES
      {lvalues}) AS lnk_exp(sftag, code, dist, val)
+    WHERE sftag = (SELECT COUNT(*) FROM customer)
+    UNION ALL
+    SELECT 'er' AS leg, entity, nmem, nat, 'er:' || seg, val
+    FROM (VALUES
+     {evalues}) AS er_exp(sftag, entity, nmem, nat, seg, val)
     WHERE sftag = (SELECT COUNT(*) FROM customer)
     """
 
@@ -3048,7 +3166,14 @@ def fuzzy_name_pairs(spark, sf_dir):
     per-agreement-pattern match weights and counts. The oracle
     replays the WHOLE pipeline in pure Python (literal VALUES): the
     decimal sums make the fit partition-order-invariant and therefore
-    bit-replayable; params and weights round to 9 dp on both sides."""
+    bit-replayable; params and weights round to 9 dp on both sides.
+
+    er (r10): the full entity-resolution composition one step further
+    — the same fit scores the ID-CARRYING pairs, matches decide on the
+    weight scale (w > log2 9, engine-bit-equal), connected components
+    cluster them, and golden_record survivorship emits one golden row
+    per entity (latest-by-rid fields + member count), all replayed by
+    the pure-Python literal twin."""
     from d2d_spark.operators.dedup import fuzzy_pairs_deletion, phonetic_blocked_pairs
 
     from d2d_spark.functions.scalars import jaro_winkler
@@ -3107,10 +3232,10 @@ def fuzzy_name_pairs(spark, sf_dir):
         F.col("c_acctbal").alias("bal2"),
     )
     nonm = odd.join(partner, "j").select(
-        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal",
+        "c_custkey", "j", "c_nationkey", "c_mktsegment", "c_acctbal",
         "nat2", "seg2", "bal2",
     )
-    gam = even.drop("c_custkey").unionByName(nonm.drop("c_custkey")).select(
+    gam = even.drop("c_custkey").unionByName(nonm.drop("c_custkey", "j")).select(
         (F.col("c_nationkey") == F.col("nat2")).cast("int").alias("g0"),
         (F.col("c_mktsegment") == F.col("seg2")).cast("int").alias("g1"),
         (
@@ -3142,6 +3267,85 @@ def fuzzy_name_pairs(spark, sf_dir):
             F.round("w", 9).alias("val"),
         )
     )
-    return fastss.unionByName(snd).unionByName(param_rows).unionByName(weights)
+    # er leg (r10, VERDICT #7): the FULL entity-resolution composition
+    # under the driver's eye — the same fit scores the id-carrying
+    # pairs, the match decision lands on the WEIGHT scale (w > log2 9
+    # == posterior > 0.9; the weight is a fixed-order sum of four
+    # Python-computed literals, bit-equal across engines, where the
+    # posterior sigmoid would hang the decision on a pow() ulp), then
+    # connected components cluster the matches and golden_record's
+    # latest-by-rid survivorship emits one golden row per entity; the
+    # oracle replays every step in pure Python (literal VALUES).
+    import math as _m
+
+    from d2d_spark.operators.dedup import connected_components
+    from d2d_spark.operators.join import golden_record
+
+    def gcols(side_a_nat, side_b_nat, sa_seg, sb_seg, sa_bal, sb_bal):
+        return [
+            (F.col(side_a_nat) == F.col(side_b_nat)).cast("int").alias("g0"),
+            (F.col(sa_seg) == F.col(sb_seg)).cast("int").alias("g1"),
+            (F.floor(F.col(sa_bal) / 500.0) == F.floor(F.col(sb_bal) / 500.0))
+            .cast("int")
+            .alias("g2"),
+        ]
+
+    pe = even.select(
+        F.col("c_custkey").alias("id_a"),
+        (F.col("c_custkey") + _ER_BIG).alias("id_b"),
+        *gcols("c_nationkey", "nat2", "c_mktsegment", "seg2", "c_acctbal", "bal2"),
+    )
+    po = nonm.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("j").alias("id_b"),
+        *gcols("c_nationkey", "nat2", "c_mktsegment", "seg2", "c_acctbal", "bal2"),
+    )
+    orig = c.select(
+        F.col("c_custkey").alias("rid"), "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    clones = even.select(
+        (F.col("c_custkey") + _ER_BIG).alias("rid"),
+        F.col("nat2").alias("c_nationkey"),
+        F.col("seg2").alias("c_mktsegment"),
+        F.col("bal2").alias("c_acctbal"),
+    )
+    scored = linkage_score(pe.unionByName(po), fit)
+    matches = scored.filter(
+        F.col("match_weight") > F.lit(_m.log2(9.0))
+    ).select("id_a", "id_b")
+    comps = connected_components(matches)
+    clustered = (
+        orig.unionByName(clones)
+        .join(comps.withColumnRenamed("id", "rid"), "rid", "left")
+        .withColumn("entity", F.coalesce("component", "rid"))
+    )
+    golden = golden_record(
+        clustered.select(
+            "entity", "rid", "c_nationkey", "c_mktsegment", "c_acctbal",
+            F.lit(1).alias("nm"),
+        ),
+        ["entity"],
+        "rid",
+        {
+            "c_nationkey": "latest",
+            "c_mktsegment": "latest",
+            "c_acctbal": "latest",
+            "nm": "count",
+        },
+    )
+    er_leg = golden.select(
+        F.lit("er").alias("leg"),
+        F.col("entity").alias("id_a"),
+        F.col("nm").alias("id_b"),
+        F.col("c_nationkey").cast("bigint").alias("dist"),
+        F.concat(F.lit("er:"), F.col("c_mktsegment")).alias("code"),
+        F.round("c_acctbal", 9).alias("val"),
+    )
+    return (
+        fastss.unionByName(snd)
+        .unionByName(param_rows)
+        .unionByName(weights)
+        .unionByName(er_leg)
+    )
 
 
