@@ -555,6 +555,119 @@ def population_stability_index(
     return {"psi": psi, "n_ref": n_ref, "n_new": n_new, "bins": out_bins}
 
 
+def js_divergence(
+    df_ref: DataFrame,
+    df_new: DataFrame,
+    col: str,
+    bins: int = 10,
+    breakpoints: list | None = None,
+    categorical: bool = False,
+) -> dict:
+    """Jensen–Shannon divergence (base 2, so in [0, 1]) between a
+    reference snapshot and a new batch of the same column — the
+    SYMMETRIC, smoothing-free companion to
+    `population_stability_index`: PSI blows up on vanished/new buckets
+    and needs a smoothing floor; JSD is finite by construction
+    (0*log 0 = 0), bounded, and its square root is a metric — the
+    right number for comparing MANY corpus slices pairwise.
+
+        JSD = 0.5*KL(P || M) + 0.5*KL(Q || M),  M = (P + Q)/2
+        term_i = 0.5*(p_i*log2(2p_i/(p_i+q_i)) + q_i*log2(2q_i/(p_i+q_i)))
+
+    Same binning contract as PSI: equal-frequency bins fit on the
+    reference, explicit pinned ``breakpoints``, or observed-category
+    union (``categorical=True``). NULLs drop. Returns {"jsd", "n_ref",
+    "n_new", "bins": [(label, p, q, term)]} — model-sized.
+
+    Shape: one bucket-assignment groupBy per side (numeric breakpoints
+    = one percentile_approx over the ref); the JSD fold runs
+    driver-side over <= bins+1 terms in bin order — each term one
+    pinned float chain (exact count/total divisions, one log2), so
+    the per-bin vector is SQL-replayable at 9 dp."""
+    import math
+
+    ref = df_ref.filter(F.col(col).isNotNull())
+    new = df_new.filter(F.col(col).isNotNull())
+    if categorical:
+        if breakpoints is not None:
+            raise ValueError(
+                "js_divergence: breakpoints only apply to numeric mode; "
+                "categorical bins are the values themselves"
+            )
+        rc = {
+            r["k"]: r["c"]
+            for r in ref.groupBy(F.col(col).alias("k"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        nc = {
+            r["k"]: r["c"]
+            for r in new.groupBy(F.col(col).alias("k"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        labels = sorted(set(rc) | set(nc), key=str)
+        counts = [(str(lb), rc.get(lb, 0), nc.get(lb, 0)) for lb in labels]
+    else:
+        if breakpoints is None:
+            if bins < 2:
+                raise ValueError(f"js_divergence: bins must be >= 2, got {bins}")
+            bps = ref.agg(
+                F.percentile_approx(
+                    col,
+                    F.array(*[F.lit((i + 1) / bins) for i in range(bins - 1)]),
+                    10_000,
+                ).alias("b")
+            ).first()["b"]
+            if bps is None:
+                raise ValueError("js_divergence: reference has no non-NULL values")
+            breakpoints = [float(b) for b in bps]
+        else:
+            breakpoints = sorted(float(b) for b in breakpoints)
+            if not breakpoints:
+                raise ValueError("js_divergence: breakpoints must be non-empty")
+        arr = F.array(*[F.lit(b) for b in breakpoints])
+        bucket = F.aggregate(
+            arr, F.lit(0), lambda acc, b: acc + (F.col(col) > b).cast("int")
+        )
+
+        def side(d):
+            return {
+                r["b"]: r["c"]
+                for r in d.groupBy(bucket.alias("b"))
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            }
+
+        rc, nc = side(ref), side(new)
+        nb = len(breakpoints) + 1
+
+        def lbl(i):
+            lo = "-inf" if i == 0 else repr(breakpoints[i - 1])
+            hi = "+inf" if i == nb - 1 else repr(breakpoints[i])
+            return f"({lo}, {hi}]"
+
+        counts = [(lbl(i), rc.get(i, 0), nc.get(i, 0)) for i in range(nb)]
+    n_ref = sum(c for _, c, _ in counts)
+    n_new = sum(c for _, _, c in counts)
+    if n_ref == 0 or n_new == 0:
+        raise ValueError(
+            "js_divergence: both frames need at least one non-NULL value "
+            "in the column"
+        )
+    jsd = 0.0
+    out_bins = []
+    for lb, cr, cn in counts:
+        p = cr / n_ref
+        q = cn / n_new
+        pterm = p * math.log2(2.0 * p / (p + q)) if p > 0.0 else 0.0
+        qterm = q * math.log2(2.0 * q / (p + q)) if q > 0.0 else 0.0
+        term = 0.5 * (pterm + qterm)
+        jsd += term
+        out_bins.append((lb, p, q, term))
+    return {"jsd": jsd, "n_ref": n_ref, "n_new": n_new, "bins": out_bins}
+
+
 def benford_deviation(
     df: DataFrame,
     col: str,

@@ -249,6 +249,73 @@ def linear_fit(
     )
 
 
+def spearman_corr(
+    df: DataFrame,
+    key_cols: list[str] | None,
+    x_col: str,
+    y_col: str,
+    min_points: int = 2,
+) -> DataFrame:
+    """Per-key Spearman rank correlation rho — the robust companion to
+    the Pearson `corr_matrix`/`linear_fit` family: monotone
+    association on RANKS, immune to outliers and monotone rescaling
+    (the drift question "does spend still rise with tenure" where one
+    whale order wrecks Pearson r). Returns (keys..., n, rho).
+
+    Ties take AVERAGE ranks (the classical convention):
+    avg_rank = RANK() + (|tie group| - 1)/2 — rank is an exact
+    integer, the tie offset an exact half, so every rank is an exact
+    multiple of 0.5 and the DECIMAL(18,6) cast is lossless. rho is
+    then Pearson over the rank pairs with `linear_fit`'s exact-moment
+    discipline: five DECIMAL sums in ONE groupBy (the (18,6)x(18,6)
+    product is exact DECIMAL(37,12)), a pinned double chain at the
+    end — partition-order-invariant and SQL-replayable. Rows with a
+    NULL in either column drop (listwise, like corr_matrix); keys
+    with < min_points rows or zero rank variance in either variable
+    (all-tied) emit NULL rho.
+
+    Shape: two rank windows + one groupBy on the SAME key partitioning
+    (one shuffle wide). Per-key ranking serializes a key's rows on one
+    task — the group_quantiles caveat: fine for per-entity series,
+    use a sampled/sketched estimate for whale keys."""
+    if min_points < 2:
+        raise ValueError(f"spearman_corr: min_points must be >= 2, got {min_points}")
+    keys = list(key_cols or [])
+    dec = "decimal(18,6)"
+    from pyspark.sql import Window
+
+    base = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+
+    def avg_rank(col: str):
+        w = Window.partitionBy(*keys).orderBy(col)
+        ties = Window.partitionBy(*keys, col)
+        return (
+            F.rank().over(w) + (F.count(F.lit(1)).over(ties) - F.lit(1)) / F.lit(2)
+        ).cast(dec)
+
+    ranked = base.select(
+        *keys, avg_rank(x_col).alias("__rx"), avg_rank(y_col).alias("__ry")
+    )
+    agg = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__rx").alias("__sx"),
+        F.sum("__ry").alias("__sy"),
+        F.sum(F.col("__rx") * F.col("__rx")).alias("__sxx"),
+        F.sum(F.col("__rx") * F.col("__ry")).alias("__sxy"),
+        F.sum(F.col("__ry") * F.col("__ry")).alias("__syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    syy = F.col("__syy").cast("double")
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    ok = (F.col("n") >= min_points) & (dx > 0.0) & (dy > 0.0)
+    rho = F.when(ok, (n * sxy - sx * sy) / F.sqrt(dx * dy))
+    return agg.select(*keys, "n", rho.alias("rho"))
+
+
 def ks_two_sample(
     df: DataFrame,
     group_col: str,

@@ -250,22 +250,66 @@ def scan_filter_project(spark, sf_dir):
     JOIN region r ON n.n_regionkey = r.r_regionkey
     WHERE r.r_name = 'ASIA'
     GROUP BY n.n_name
-    ORDER BY revenue DESC, nation
+    UNION ALL
+    SELECT 'jsd:' || CAST(b AS VARCHAR) || ':' || part AS nation,
+           val AS revenue, cnt AS n_items
+    FROM (
+      WITH jref AS MATERIALIZED (
+        SELECT CAST(l_extendedprice > 10000.0 AS INT)
+             + CAST(l_extendedprice > 30000.0 AS INT)
+             + CAST(l_extendedprice > 50000.0 AS INT)
+             + CAST(l_extendedprice > 70000.0 AS INT) AS b
+        FROM lineitem WHERE l_linestatus = 'F' AND l_extendedprice IS NOT NULL),
+      jnew AS MATERIALIZED (
+        SELECT CAST(l_extendedprice > 10000.0 AS INT)
+             + CAST(l_extendedprice > 30000.0 AS INT)
+             + CAST(l_extendedprice > 50000.0 AS INT)
+             + CAST(l_extendedprice > 70000.0 AS INT) AS b
+        FROM lineitem WHERE l_linestatus = 'O' AND l_extendedprice IS NOT NULL),
+      jg AS (SELECT unnest([0, 1, 2, 3, 4]) AS b),
+      jrc AS (SELECT b, COUNT(*) AS c FROM jref GROUP BY 1),
+      jnc AS (SELECT b, COUNT(*) AS c FROM jnew GROUP BY 1),
+      jt AS (SELECT (SELECT COUNT(*) FROM jref) AS nr,
+                    (SELECT COUNT(*) FROM jnew) AS nn),
+      jb AS (SELECT jg.b, COALESCE(jrc.c, 0) AS cr, COALESCE(jnc.c, 0) AS cn,
+                    COALESCE(jrc.c, 0) / CAST(jt.nr AS DOUBLE) AS p,
+                    COALESCE(jnc.c, 0) / CAST(jt.nn AS DOUBLE) AS q
+             FROM jg LEFT JOIN jrc USING (b) LEFT JOIN jnc USING (b)
+             CROSS JOIN jt)
+      SELECT b, 'p' AS part, round(p, 9) AS val, cr AS cnt FROM jb
+      UNION ALL SELECT b, 'q', round(q, 9), cn FROM jb
+      UNION ALL SELECT b, 'term',
+        round(0.5 * ((CASE WHEN p > 0 THEN p * log2(2 * p / (p + q))
+                           ELSE 0 END)
+                   + (CASE WHEN q > 0 THEN q * log2(2 * q / (p + q))
+                           ELSE 0 END)), 9),
+        CAST(NULL AS BIGINT) FROM jb
+      UNION ALL SELECT -1, 'nref', CAST(NULL AS DOUBLE), nr FROM jt
+      UNION ALL SELECT -1, 'nnew', CAST(NULL AS DOUBLE), nn FROM jt
+    )
     """,
-    tags=("join", "agg", "broadcast"),
+    tags=("join", "agg", "broadcast", "jsd"),
 )
 def join_revenue_by_nation(spark, sf_dir):
     """5-way star join: big fact tables sort-merge/shuffle on keys,
     small dims (nation/region) broadcast. Engine-delegated JOINs in the
     reference ride raw-SQL passthrough (SURVEY §2.3); here Catalyst owns
-    the plan."""
+    the plan.
+
+    jsd legs (r10): profile.js_divergence between the F- and O-status
+    lineitem price populations on PINNED breakpoints — the symmetric,
+    smoothing-free drift number next to PSI (finite on vanished/new
+    buckets by the 0*log 0 convention). The oracle replays the full
+    per-bin vector: shares (exact count divisions) and the base-2 term
+    chain at 9 dp; the scalar jsd — an ordered fold over 5 terms —
+    stays pytest-pinned, the bins determine it."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     rev = F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))
-    return (
+    star = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -277,6 +321,26 @@ def join_revenue_by_nation(spark, sf_dir):
         )
         .orderBy(F.col("revenue").desc(), "nation")
     )
+    from d2d_spark.operators.profile import js_divergence
+
+    jsr = js_divergence(
+        li.filter(F.col("l_linestatus") == "F"),
+        li.filter(F.col("l_linestatus") == "O"),
+        "l_extendedprice",
+        breakpoints=[10_000.0, 30_000.0, 50_000.0, 70_000.0],
+    )
+    n_ref, n_new = jsr["n_ref"], jsr["n_new"]
+    jsd_rows = []
+    for i, (_, p, q, term) in enumerate(jsr["bins"]):
+        jsd_rows.append((f"jsd:{i}:p", round(p, 9), int(round(p * n_ref))))
+        jsd_rows.append((f"jsd:{i}:q", round(q, 9), int(round(q * n_new))))
+        jsd_rows.append((f"jsd:{i}:term", round(term, 9), None))
+    jsd_rows.append(("jsd:-1:nref", None, n_ref))
+    jsd_rows.append(("jsd:-1:nnew", None, n_new))
+    jsd_leg = spark.createDataFrame(
+        jsd_rows, "nation string, revenue double, n_items long"
+    )
+    return star.unionAll(jsd_leg)
 
 
 @query(
@@ -2285,6 +2349,38 @@ def window_analytics_orders(spark, sf_dir):
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       FROM wqd),
     wqt AS (SELECT o_orderpriority, SUM(c) AS tw FROM wqd GROUP BY 1),
+    spr AS (
+      SELECT o_orderpriority,
+             CAST(RANK() OVER (PARTITION BY o_orderpriority ORDER BY xd)
+                  + (COUNT(*) OVER (PARTITION BY o_orderpriority, xd) - 1) / 2.0
+                  AS DECIMAL(18,6)) AS rx,
+             CAST(RANK() OVER (PARTITION BY o_orderpriority ORDER BY op)
+                  + (COUNT(*) OVER (PARTITION BY o_orderpriority, op) - 1) / 2.0
+                  AS DECIMAL(18,6)) AS ry
+      FROM (SELECT o_orderpriority,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS xd,
+                   o_totalprice AS op
+            FROM orders
+            WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL)),
+    spm AS (
+      SELECT o_orderpriority, COUNT(*) AS n,
+             CAST(CAST(SUM(rx) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(ry) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(rx AS DECIMAL(24,6)) * CAST(rx AS DECIMAL(24,6)))
+                       AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(rx AS DECIMAL(24,6)) * CAST(ry AS DECIMAL(24,6)))
+                       AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(CAST(ry AS DECIMAL(24,6)) * CAST(ry AS DECIMAL(24,6)))
+                       AS VARCHAR) AS DOUBLE) AS syy
+      FROM spr GROUP BY 1),
+    sps AS (
+      SELECT o_orderpriority,
+             round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                   / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                          * (CAST(n AS DOUBLE) * syy - sy * sy)), 9)
+               AS rho_date_price
+      FROM spm),
     wqs AS (
       SELECT c.o_orderpriority,
              MIN(CASE WHEN CAST(c.cum AS DOUBLE)
@@ -2315,13 +2411,14 @@ def window_analytics_orders(spark, sf_dir):
            ANY_VALUE(mo.n_outliers) AS n_outliers,
            ANY_VALUE(wqs.wq25_w) AS wq25_w,
            ANY_VALUE(wqs.wq50_w) AS wq50_w,
-           ANY_VALUE(wqs.wq75_w) AS wq75_w
+           ANY_VALUE(wqs.wq75_w) AS wq75_w,
+           ANY_VALUE(sps.rho_date_price) AS rho_date_price
     FROM orders o JOIN wz USING (o_orderpriority) JOIN mo USING (o_orderpriority)
-         JOIN wqs USING (o_orderpriority)
+         JOIN wqs USING (o_orderpriority) JOIN sps USING (o_orderpriority)
     GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
     """,
     tags=("agg", "stats", "distinct", "percentiles", "winsorize", "mad",
-          "weighted-quantiles"),
+          "weighted-quantiles", "spearman"),
 )
 def agg_stats_orders(spark, sf_dir):
     """min/max/avg plus exact MULTI-column COUNT DISTINCT — the §2.5
@@ -2412,11 +2509,24 @@ def agg_stats_orders(spark, sf_dir):
             for p, name in ((0.25, "wq25_w"), (0.5, "wq50_w"), (0.75, "wq75_w"))
         ]
     )
+    # rho_date_price (r10): stats.spearman_corr — the rank (robust)
+    # analog of rollup's ols date-price trend, per priority. Average
+    # ranks are exact halves and the moments exact DECIMAL sums, so
+    # the oracle replays the identical rank windows + double chain.
+    from d2d_spark.operators.stats import spearman_corr
+
+    sp = spearman_corr(
+        o.withColumn("__xd", F.unix_date(F.to_date("o_orderdate"))),
+        ["o_orderpriority"],
+        "__xd",
+        "o_totalprice",
+    ).select("o_orderpriority", F.round("rho", 9).alias("rho_date_price"))
     return (
         main.join(F.broadcast(wide), "o_orderpriority")
         .join(F.broadcast(wz), "o_orderpriority")
         .join(F.broadcast(mo), "o_orderpriority")
         .join(F.broadcast(wqw), "o_orderpriority")
+        .join(F.broadcast(sp), "o_orderpriority")
         .orderBy("o_orderpriority")
     )
 

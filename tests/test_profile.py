@@ -425,3 +425,72 @@ def test_benford_deviation(spark):
     assert shares[1] == 4 / 7 and shares[2] == 2 / 7 and shares[3] == 1 / 7
     with pytest.raises(ValueError, match="no positive"):
         benford_deviation(edges.filter("v = 0"), "v")
+
+
+def test_js_divergence_matches_twin_and_bounds(spark):
+    """JSD (base 2) equals a pure-Python twin on pinned breakpoints,
+    is symmetric and bounded [0, 1], zero on identical frames, 1 on
+    disjoint supports, finite on vanished/new buckets WITHOUT
+    smoothing (the PSI contrast), and handles categorical mode."""
+    import math
+
+    import pytest as pt
+
+    from d2d_spark.operators.profile import js_divergence
+
+    ref = spark.createDataFrame([(float(v),) for v in [1, 2, 2, 3, 8, 9]], "v double")
+    new = spark.createDataFrame([(float(v),) for v in [1, 2, 7, 8, 9, 9]], "v double")
+    bps = [2.0, 5.0, 8.0]
+    got = js_divergence(ref, new, "v", breakpoints=bps)
+
+    def twin(a, b, bps):
+        def bucket(v):
+            return sum(1 for x in bps if v > x)
+        nb = len(bps) + 1
+        ca = [0] * nb
+        cb = [0] * nb
+        for v in a:
+            ca[bucket(v)] += 1
+        for v in b:
+            cb[bucket(v)] += 1
+        na, nbt = sum(ca), sum(cb)
+        jsd = 0.0
+        terms = []
+        for i in range(nb):
+            p, q = ca[i] / na, cb[i] / nbt
+            pt_ = p * math.log2(2.0 * p / (p + q)) if p > 0 else 0.0
+            qt = q * math.log2(2.0 * q / (p + q)) if q > 0 else 0.0
+            terms.append(0.5 * (pt_ + qt))
+            jsd += terms[-1]
+        return jsd, terms
+
+    want, terms = twin([1, 2, 2, 3, 8, 9], [1, 2, 7, 8, 9, 9], bps)
+    assert got["jsd"] == want
+    assert [b[3] for b in got["bins"]] == terms
+    assert got["n_ref"] == 6 and got["n_new"] == 6
+    # symmetric
+    rev = js_divergence(new, ref, "v", breakpoints=bps)
+    assert abs(rev["jsd"] - got["jsd"]) < 1e-15
+    # identical -> 0; disjoint -> 1 (base-2 bound), finite zero-bins
+    same = js_divergence(ref, ref, "v", breakpoints=bps)
+    assert same["jsd"] == 0.0
+    lo = spark.createDataFrame([(1.0,), (1.5,)], "v double")
+    hi = spark.createDataFrame([(9.0,), (9.5,)], "v double")
+    dj = js_divergence(lo, hi, "v", breakpoints=bps)
+    assert abs(dj["jsd"] - 1.0) < 1e-12
+    assert all(math.isfinite(b[3]) for b in dj["bins"])
+    # categorical mode incl. a category present on one side only
+    cr = spark.createDataFrame([("en",), ("en",), ("fr",)], "lang string")
+    cn = spark.createDataFrame([("en",), ("de",), ("de",)], "lang string")
+    cat = js_divergence(cr, cn, "lang", categorical=True)
+    assert 0.0 < cat["jsd"] <= 1.0
+    assert {b[0] for b in cat["bins"]} == {"en", "fr", "de"}
+    # guards
+    with pt.raises(ValueError, match="breakpoints only apply"):
+        js_divergence(cr, cn, "lang", categorical=True, breakpoints=[1.0])
+    with pt.raises(ValueError, match="bins must be"):
+        js_divergence(ref, new, "v", bins=1)
+    with pt.raises(ValueError, match="non-NULL"):
+        js_divergence(
+            spark.createDataFrame([(None,)], "v double"), new, "v", breakpoints=bps
+        )

@@ -283,3 +283,95 @@ def test_binary_auc_matches_twin_and_edges(spark):
     one = spark.createDataFrame([(True, 1.0), (True, 2.0)], ["label", "score"])
     with pytest.raises(ValueError, match="both classes"):
         binary_auc(one, "label", "score")
+
+
+def test_spearman_matches_python_twin_and_properties(spark):
+    """Average-rank Spearman per key equals a pure-Python twin (exact
+    halves -> bit-equal), is invariant under monotone rescaling of
+    either variable, flags ties correctly, and NULLs out degenerate
+    keys."""
+    import math
+
+    from d2d_spark.operators.stats import spearman_corr
+
+    rows = [
+        # key a: monotone-ish with ties in x
+        ("a", 1.0, 10.0), ("a", 2.0, 30.0), ("a", 2.0, 20.0),
+        ("a", 3.0, 40.0), ("a", 5.0, 35.0),
+        # key b: perfectly inverse
+        ("b", 1.0, 9.0), ("b", 2.0, 7.0), ("b", 3.0, 5.0), ("b", 4.0, 1.0),
+        # key c: all-tied x (zero rank variance -> NULL)
+        ("c", 7.0, 1.0), ("c", 7.0, 2.0), ("c", 7.0, 3.0),
+        # key d: underpopulated
+        ("d", 1.0, 1.0),
+        # NULLs drop
+        ("a", None, 99.0), ("a", 9.0, None),
+    ]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+
+    def py_spearman(pairs):
+        def avg_ranks(vals):
+            order = sorted(range(len(vals)), key=lambda i: vals[i])
+            ranks = [0.0] * len(vals)
+            i = 0
+            while i < len(order):
+                j = i
+                while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                    j += 1
+                r = (i + 1 + j + 1) / 2.0
+                for t in range(i, j + 1):
+                    ranks[order[t]] = r
+                i = j + 1
+            return ranks
+        xs, ys = [p[0] for p in pairs], [p[1] for p in pairs]
+        rx, ry = avg_ranks(xs), avg_ranks(ys)
+        n = len(pairs)
+        sx, sy = sum(rx), sum(ry)
+        sxx = sum(r * r for r in rx)
+        syy = sum(r * r for r in ry)
+        sxy = sum(a * b for a, b in zip(rx, ry))
+        dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+        if dx <= 0 or dy <= 0:
+            return None
+        return (n * sxy - sx * sy) / math.sqrt(dx * dy)
+
+    got = {
+        r["k"]: (r["n"], r["rho"])
+        for r in spearman_corr(df, ["k"], "x", "y").collect()
+    }
+    data = {
+        "a": [(1, 10), (2, 30), (2, 20), (3, 40), (5, 35)],
+        "b": [(1, 9), (2, 7), (3, 5), (4, 1)],
+        "c": [(7, 1), (7, 2), (7, 3)],
+        "d": [(1, 1)],
+    }
+    for k, pairs in data.items():
+        n, rho = got[k]
+        assert n == len(pairs)
+        want = py_spearman(pairs) if len(pairs) >= 2 else None
+        if want is None:
+            assert rho is None
+        else:
+            assert abs(rho - want) < 1e-12, (k, rho, want)
+    assert got["b"][1] == -1.0  # perfect inverse is exactly -1
+    # monotone rescaling (x -> exp-ish blowup) leaves rho unchanged
+    import pyspark.sql.functions as F
+
+    blown = df.withColumn("x", F.pow(F.lit(10.0), F.col("x")))
+    got2 = {
+        r["k"]: r["rho"] for r in spearman_corr(blown, ["k"], "x", "y").collect()
+    }
+    assert got2["a"] == got["a"][1] and got2["b"] == -1.0
+    # partitioning invariance (exact decimal moments)
+    got32 = {
+        r["k"]: r["rho"]
+        for r in spearman_corr(df.repartition(32), ["k"], "x", "y").collect()
+    }
+    assert got32 == {k: v for k, (n, v) in got.items()}
+    # global mode (no keys)
+    one = spearman_corr(df.filter("k = 'b'"), None, "x", "y").collect()[0]
+    assert one["rho"] == -1.0
+    import pytest as pt
+
+    with pt.raises(ValueError, match="min_points"):
+        spearman_corr(df, ["k"], "x", "y", min_points=1)
