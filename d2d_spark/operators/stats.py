@@ -111,8 +111,8 @@ def ttest_welch(
     group_a,
     group_b,
 ) -> dict:
-    """{"t", "dof", "mean_a", "mean_b", "var_a", "var_b", "n_a",
-    "n_b"} — Welch's unequal-variance two-sample t statistic between
+    """{"t", "dof", "cohen_d", "mean_a", "mean_b", "var_a", "var_b",
+    "n_a", "n_b"} — Welch's unequal-variance two-sample t statistic between
     the ``group_a`` and ``group_b`` slices of ``group_col`` with the
     Welch–Satterthwaite degrees of freedom. NULL values drop. Each
     group needs >= 2 values (refused otherwise: a variance needs a
@@ -166,9 +166,16 @@ def ttest_welch(
     dof = se2 * se2 / (
         (va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)
     )
+    # Cohen's d on the pooled SD — the EFFECT SIZE next to the test
+    # statistic (a huge n makes a trivial difference "significant";
+    # d says whether it matters: ~0.2 small / 0.5 medium / 0.8 large).
+    # Same replayable chain discipline; None when pooled variance is 0.
+    pooled = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+    d = (ma - mb) / math.sqrt(pooled) if pooled > 0.0 else None
     return {
         "t": t,
         "dof": dof,
+        "cohen_d": d,
         "mean_a": ma,
         "mean_b": mb,
         "var_a": va,

@@ -1945,7 +1945,11 @@ def scalar_funcs_suite(spark, sf_dir):
       UNION ALL
       SELECT 'ttest_dof', CAST(nb AS BIGINT),
              round(se2 * se2 / ((va / na) * (va / na) / (na - 1)
-                                + (vb / nb) * (vb / nb) / (nb - 1)), 9) FROM w)
+                                + (vb / nb) * (vb / nb) / (nb - 1)), 9) FROM w
+      UNION ALL
+      SELECT 'ttest_d', CAST(na + nb AS BIGINT),
+             round((ma - mb) / sqrt(((na - 1) * va + (nb - 1) * vb)
+                                    / (na + nb - 2)), 9) FROM w)
     UNION ALL
     SELECT 'ols', p, stat, n, val FROM (
       WITH ob AS MATERIALIZED (
@@ -2068,6 +2072,7 @@ def rollup_cube_grouping(spark, sf_dir):
          round(chi["cramers_v"], 9)),
         ("ttest_t", "F", "O", tt["n_a"], round(tt["t"], 9)),
         ("ttest_dof", "F", "O", tt["n_b"], round(tt["dof"], 9)),
+        ("ttest_d", "F", "O", tt["n_a"] + tt["n_b"], round(tt["cohen_d"], 9)),
         ("ks", "F", "O", ks["n_a"] + ks["n_b"], round(ks["d"], 9)),
     ]
     stats_leg = spark.createDataFrame(

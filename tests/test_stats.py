@@ -81,6 +81,13 @@ def test_ttest_welch_matches_python(spark):
     assert abs(got["t"] - t) < 1e-9 and abs(got["dof"] - dof) < 1e-6
     assert got["n_a"] == 40 and got["n_b"] == 60
     assert got["t"] > 10  # the shift is unmistakable
+    # Cohen's d (r10): pooled-SD effect size from the same moments
+    va = sum((x - sum(xs) / 40) ** 2 for x in xs) / 39
+    vb = sum((y - sum(ys) / 60) ** 2 for y in ys) / 59
+    pooled = (39 * va + 59 * vb) / 98
+    want_d = (sum(xs) / 40 - sum(ys) / 60) / math.sqrt(pooled)
+    assert abs(got["cohen_d"] - want_d) < 1e-9
+    assert got["cohen_d"] > 0.8  # a 2-point shift at this spread is large
     # equal samples -> t == 0
     same = [("A", float(i % 5)) for i in range(20)] + [("B", float(i % 5)) for i in range(20)]
     z = ttest_welch(spark.createDataFrame(same, "g string, v double"), "g", "v", "A", "B")
