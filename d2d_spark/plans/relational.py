@@ -831,7 +831,19 @@ def _pagerank_unrolled_oracle(
              LAG(event_type, 2) OVER w2 AS l2
       FROM events
       WHERE ts IS NOT NULL AND event_type IS NOT NULL AND user_id IS NOT NULL
-      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    skc AS MATERIALIZED (
+      SELECT CAST(user_id AS VARCHAR) AS k, COUNT(*) AS n FROM events
+      WHERE user_id IS NOT NULL GROUP BY 1),
+    skt AS MATERIALIZED (SELECT SUM(n) AS nn, COUNT(*) AS kk, MAX(n) AS mx FROM skc),
+    ske AS MATERIALIZED (
+      SELECT -SUM(CAST(round((n / CAST(skt.nn AS DOUBLE))
+                             * ln(n / CAST(skt.nn AS DOUBLE)), 12)
+                       AS DECIMAL(28,12))) AS h
+      FROM skc, skt),
+    skg AS MATERIALIZED (
+      SELECT SUM(CAST(r AS HUGEINT) * n) AS rs FROM (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n, k) AS r FROM skc))
     SELECT 'terms' AS leg, event_type AS k, COUNT(*) AS cnt,
            CAST(NULL AS DOUBLE) AS rank
     FROM events GROUP BY event_type
@@ -854,6 +866,26 @@ def _pagerank_unrolled_oracle(
     FROM (SELECT l2 || '>' || l1 || '>' || s0 AS ctx FROM t2seq
           WHERE l1 IS NOT NULL AND l2 IS NOT NULL)
     GROUP BY ctx
+    UNION ALL
+    SELECT 'skew', 'rows', nn, CAST(NULL AS DOUBLE) FROM skt
+    UNION ALL
+    SELECT 'skew', 'keys', kk, CAST(NULL AS DOUBLE) FROM skt
+    UNION ALL
+    SELECT 'skew', 'max_over_avg', mx,
+           round(mx * CAST(kk AS DOUBLE) / nn, 9) FROM skt
+    UNION ALL
+    SELECT 'skew', 'entropy', CAST(NULL AS BIGINT),
+           round(CAST(h AS DOUBLE), 9) FROM ske
+    UNION ALL
+    SELECT 'skew', 'entropy_norm', CAST(NULL AS BIGINT),
+           round(CAST(h AS DOUBLE) / ln(CAST(kk AS DOUBLE)), 9) FROM ske, skt
+    UNION ALL
+    SELECT 'skew', 'gini', CAST(NULL AS BIGINT),
+           round(2.0 * rs / (CAST(kk AS DOUBLE) * nn) - (kk + 1.0) / kk, 9)
+    FROM skg, skt
+    UNION ALL
+    SELECT 'skew', 'top:' || k, n, round(n / CAST(nn AS DOUBLE), 9)
+    FROM (SELECT k, n FROM skc ORDER BY n DESC, k LIMIT 10), skt
 """
     )
     return "".join(parts)
@@ -945,18 +977,6 @@ _EVENT_PATHS_ORACLE = """
       SELECT path, n, ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rnk FROM (
         SELECT f || '>' || t || '>' || t2 AS path, COUNT(*) AS n
         FROM seqx WHERE t2 IS NOT NULL GROUP BY 1)),
-    skc AS MATERIALIZED (
-      SELECT CAST(user_id AS VARCHAR) AS k, COUNT(*) AS n FROM events
-      WHERE user_id IS NOT NULL GROUP BY 1),
-    skt AS MATERIALIZED (SELECT SUM(n) AS nn, COUNT(*) AS kk, MAX(n) AS mx FROM skc),
-    ske AS MATERIALIZED (
-      SELECT -SUM(CAST(round((n / CAST(skt.nn AS DOUBLE))
-                             * ln(n / CAST(skt.nn AS DOUBLE)), 12)
-                       AS DECIMAL(28,12))) AS h
-      FROM skc, skt),
-    skg AS MATERIALIZED (
-      SELECT SUM(CAST(r AS HUGEINT) * n) AS rs FROM (
-        SELECT n, ROW_NUMBER() OVER (ORDER BY n, k) AS r FROM skc)),
     pmb AS MATERIALIZED (
       SELECT DISTINCT user_id AS g, event_type AS i FROM events
       WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
@@ -1036,26 +1056,6 @@ _EVENT_PATHS_ORACLE = """
     UNION ALL
     SELECT 'paths3', path, n, CAST(rnk AS DOUBLE) FROM p3 WHERE rnk <= 20
     UNION ALL
-    SELECT 'skew', 'rows', nn, CAST(NULL AS DOUBLE) FROM skt
-    UNION ALL
-    SELECT 'skew', 'keys', kk, CAST(NULL AS DOUBLE) FROM skt
-    UNION ALL
-    SELECT 'skew', 'max_over_avg', mx,
-           round(mx * CAST(kk AS DOUBLE) / nn, 9) FROM skt
-    UNION ALL
-    SELECT 'skew', 'entropy', CAST(NULL AS BIGINT),
-           round(CAST(h AS DOUBLE), 9) FROM ske
-    UNION ALL
-    SELECT 'skew', 'entropy_norm', CAST(NULL AS BIGINT),
-           round(CAST(h AS DOUBLE) / ln(CAST(kk AS DOUBLE)), 9) FROM ske, skt
-    UNION ALL
-    SELECT 'skew', 'gini', CAST(NULL AS BIGINT),
-           round(2.0 * rs / (CAST(kk AS DOUBLE) * nn) - (kk + 1.0) / kk, 9)
-    FROM skg, skt
-    UNION ALL
-    SELECT 'skew', 'top:' || k, n, round(n / CAST(nn AS DOUBLE), 9)
-    FROM (SELECT k, n FROM skc ORDER BY n DESC, k LIMIT 10), skt
-    UNION ALL
     SELECT 'pmi', ia || '|' || ib, nab,
            round(ln(CAST(nab AS DOUBLE) * ng
                     / (CAST(ma.m AS DOUBLE) * mb.m)), 9)
@@ -1105,9 +1105,8 @@ def dedup_exact_events(spark, sf_dir):
     baskets — exact presence counts, the ln-ratio chain replayed
     op-for-op, rounded to 9 on both sides.
 
-    skew: key-distribution diagnostics (profile.key_skew_report) over
-    events.user_id — counts, top-10 shares, entropy
-    (DECIMAL-disciplined fold), exact rank-sum gini.
+    (The skew leg moved to group_count_event_types in r10 — this
+    suite had grown to 7 components' only driver signal.)
 
     items (r9): A-priori frequent itemsets up to size 3
     (paths.frequent_itemsets, min_support=5) over the same baskets —
@@ -1199,19 +1198,6 @@ def dedup_exact_events(spark, sf_dir):
         F.col("support").alias("cnt"),
         F.round("lift", 9).alias("rank"),
     )
-    from d2d_spark.operators.profile import key_skew_report
-
-    rep = key_skew_report(
-        ev.filter(F.col("user_id").isNotNull()), ["user_id"], top_k=10
-    )
-    skew = rep.select(
-        F.lit("skew").alias("leg"),
-        F.when(F.col("stat") == "top", F.concat(F.lit("top:"), F.col("key")))
-        .otherwise(F.col("stat"))
-        .alias("k"),
-        F.col("n").alias("cnt"),
-        F.round("value", 9).alias("rank"),
-    )
     return (
         dedup.unionByName(trans)
         .unionByName(paths3)
@@ -1219,7 +1205,6 @@ def dedup_exact_events(spark, sf_dir):
         .unionByName(items_leg)
         .unionByName(rules_c)
         .unionByName(rules_l)
-        .unionByName(skew)
     )
 
 
@@ -1260,7 +1245,11 @@ def group_count_event_types(spark, sf_dir):
     primitive); layer = longest source path, recursively enumerated
     by the oracle. 'trans2' (r10 rotation): the order-2 Markov
     transition counts next to dedup_exact_events' oracled order-1 —
-    two LAGs on one window, replayed identically in SQL."""
+    two LAGs on one window, replayed identically in SQL. 'skew'
+    (moved from dedup_exact_events, r10 rebalance):
+    profile.key_skew_report over events.user_id — counts, top-10
+    shares, entropy (DECIMAL-disciplined fold), exact rank-sum
+    gini."""
     ev = _t(spark, sf_dir, "events")
     terms = group_count(ev, "event_type").select(
         F.lit("terms").alias("leg"),
@@ -1398,6 +1387,22 @@ def group_count_event_types(spark, sf_dir):
         F.col("n").alias("cnt"),
         F.lit(None).cast("double").alias("rank"),
     )
+    # skew leg (moved here from dedup_exact_events in r10 — that suite
+    # had grown to 7 components' only driver signal; this one has the
+    # headroom and the identical (leg,k,cnt,rank) shape)
+    from d2d_spark.operators.profile import key_skew_report
+
+    rep = key_skew_report(
+        ev.filter(F.col("user_id").isNotNull()), ["user_id"], top_k=10
+    )
+    skew = rep.select(
+        F.lit("skew").alias("leg"),
+        F.when(F.col("stat") == "top", F.concat(F.lit("top:"), F.col("key")))
+        .otherwise(F.col("stat"))
+        .alias("k"),
+        F.col("n").alias("cnt"),
+        F.round("value", 9).alias("rank"),
+    )
     return (
         terms.unionByName(pr)
         .unionByName(pr_w)
@@ -1406,6 +1411,7 @@ def group_count_event_types(spark, sf_dir):
         .unionByName(auth)
         .unionByName(topo_leg)
         .unionByName(trans2_leg)
+        .unionByName(skew)
     )
 
 
