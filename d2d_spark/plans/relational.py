@@ -796,14 +796,15 @@ def _pagerank_unrolled_oracle(
     # WITH RECURSIVE silently turns every `a UNION b` CTE in the same
     # WITH list into an iterated form — the nodes CTE above came back
     # 10x too big — so the peel unrolls like the pagerank rounds).
-    # Node ids are 0..14 with steps >= 1, so depth <= 14 levels.
+    # Node ids are 0..14 with steps 3..5, so depth <= 5 levels (the
+    # step floor bounds the Spark-side peel's per-round job count).
     parts.append(
         """,
     tedges AS MATERIALIZED (
       SELECT DISTINCT (o_orderkey % 12) AS s,
-             (o_orderkey % 12) + 1 + (o_custkey % 3) AS d
+             (o_orderkey % 12) + 3 + (o_custkey % 3) AS d
       FROM orders
-      WHERE (o_orderkey % 12) + 1 + (o_custkey % 3) <= 14),
+      WHERE (o_orderkey % 12) + 3 + (o_custkey % 3) <= 14),
     tlvl0 AS MATERIALIZED (
       SELECT node, 0 AS len FROM (
         SELECT DISTINCT s AS node FROM tedges
@@ -811,7 +812,7 @@ def _pagerank_unrolled_oracle(
       WHERE node NOT IN (SELECT d FROM tedges)
       GROUP BY node)"""
     )
-    for k in range(1, 15):
+    for k in range(1, 6):
         parts.append(
             f""",
     tlvl{k} AS MATERIALIZED (
@@ -819,7 +820,7 @@ def _pagerank_unrolled_oracle(
       FROM tlvl{k - 1} p JOIN tedges te ON te.s = p.node)"""
         )
     tunion = "\n      UNION ALL ".join(
-        f"SELECT node, len FROM tlvl{k}" for k in range(15)
+        f"SELECT node, len FROM tlvl{k}" for k in range(6)
     )
     parts.append(
         f""",
@@ -1351,7 +1352,7 @@ def group_count_event_types(spark, sf_dir):
 
     ordr = _t(spark, sf_dir, "orders")
     s_expr = F.col("o_orderkey") % 12
-    d_expr = s_expr + 1 + F.col("o_custkey") % 3
+    d_expr = s_expr + 3 + F.col("o_custkey") % 3
     tedges = ordr.filter(d_expr <= 14).select(
         s_expr.cast("string").alias("src"), d_expr.cast("string").alias("dst")
     )
