@@ -633,6 +633,85 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     return corners
 
 
+def core_numbers(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 1000,
+) -> DataFrame:
+    """(node, core) — exact k-core decomposition of the undirected
+    simple graph induced by the edge list (direction, duplicates and
+    self-loops discarded, the triangle_count contract): core = the
+    largest k such that the node survives in a subgraph where every
+    node has degree >= k. The classic link-farm / bot-ring signal for
+    graph curation: spam clusters are dense (high core) while organic
+    long-tail nodes peel out at core 1-2; the degeneracy max(core)
+    also bounds triangle/clique work.
+
+    Algorithm: the Matula–Beck staged peel, distributed — for
+    k = 1, 2, ...: repeatedly remove nodes whose CURRENT degree is
+    < k until a fixpoint; nodes removed during stage k have core
+    k - 1. Core numbers are removal-order-independent, so the staged
+    parallel peel and the sequential textbook peel agree exactly.
+
+    Shape: each round is one degree groupBy + two anti-joins on the
+    live edge list, lineage truncated per round (the page_rank
+    discipline). Total rounds <= degeneracy + sum of per-stage
+    fixpoint depths — small for real sparse graphs; ``max_iters``
+    refuses loudly instead of looping on a pathological input."""
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(
+            F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b"))
+        )
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+    )
+    live = (
+        e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionAll(e.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    # the node set rides separately: a node whose last edges vanish
+    # mid-peel (both endpoints of its edges peeled) has degree 0 but
+    # must still receive a core number at the current stage
+    nodes = live.select(F.col("a").alias("node")).distinct().localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    out = None
+    k = 1
+    rounds = 0
+    while rounds < max_iters:
+        rounds += 1
+        deg = nodes.join(
+            live.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("__d")),
+            "node",
+            "left",
+        ).select("node", F.coalesce("__d", F.lit(0)).alias("__d"))
+        low = deg.filter(F.col("__d") < k).select("node").localCheckpoint(eager=True)
+        if low.limit(1).count() == 0:
+            if nodes.limit(1).count() == 0:
+                break
+            k += 1
+            continue
+        peeled = low.select("node", F.lit(k - 1).alias("core"))
+        out = peeled if out is None else out.unionAll(peeled)
+        nodes = nodes.join(low, "node", "left_anti").localCheckpoint(eager=True)
+        live = (
+            live.join(low.select(F.col("node").alias("a")), "a", "left_anti")
+            .join(low.select(F.col("node").alias("b")), "b", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise ValueError(
+            f"core_numbers: exceeded max_iters={max_iters} peel rounds — "
+            "either a pathologically deep degeneracy ordering or a bug "
+            "upstream; raise the cap knowingly"
+        )
+    if out is None:
+        return spark.createDataFrame([], "node string, core int")
+    return out
+
+
 def topo_layers(
     edges: DataFrame,
     src_col: str = "src",

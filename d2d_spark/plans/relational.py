@@ -955,6 +955,74 @@ def _orders_graph_oracle(lpa_iters: int = 4) -> str:
     return "".join(parts)
 
 
+def _core_literal_rows() -> list[tuple]:
+    """(sftag, node, core) per fixture: the exact core numbers of the
+    orders-derived triangles/lpa graph, computed by the textbook
+    sequential min-degree peel in pure Python — core numbers are
+    removal-order-independent, so the staged distributed peel must
+    match exactly."""
+    import pyarrow.parquet as pq
+
+    from d2d_spark.plans.registry import fixture_table_paths
+
+    out: list[tuple] = []
+    for _fixture_path in fixture_table_paths("orders"):
+        try:
+            t = pq.read_table(_fixture_path, columns=["o_orderkey", "o_custkey"])
+        except Exception:
+            continue
+        oks = t["o_orderkey"].to_pylist()
+        cks = t["o_custkey"].to_pylist()
+        tag = len(oks)
+        adj: dict = {}
+        for ok, ck in zip(oks, cks):
+            if ok % 7 != 0:
+                continue
+            a, b = ck % 100, ok % 100
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        if not adj:
+            continue
+        deg = {n: len(s) for n, s in adj.items()}
+        remaining = set(adj)
+        k = 0
+        while remaining:
+            low = [n for n in remaining if deg[n] <= k]
+            if not low:
+                k += 1
+                continue
+            for n in low:
+                out.append((tag, n, k))
+                remaining.discard(n)
+                for m in adj[n]:
+                    if m in remaining:
+                        deg[m] -= 1
+    return out
+
+
+def _orders_graph_oracle_full() -> str:
+    """The pivot/triangles/lpa oracle plus the r10 coreness literal
+    block (built lazily — the registry resolves callables on first
+    access, so the per-fixture Python peel never runs at import)."""
+    rows = _core_literal_rows()
+    if not rows:
+        rows = [(-1, 0, 0)]
+    values = ",\n     ".join(f"({t}, {n}, {c})" for t, n, c in rows)
+    return (
+        _orders_graph_oracle()
+        + f"""
+    UNION ALL
+    SELECT 'coreness', CAST(node AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(core AS BIGINT)
+    FROM (VALUES
+     {values}) AS core_exp(sftag, node, core)
+    WHERE sftag = (SELECT COUNT(*) FROM orders)
+"""
+    )
+
+
 #: event-path / basket / skew analytics oracle — hosted by
 #: dedup_exact_events (moved off group_count_event_types in r9 so no
 #: single driver hash stakes more than ~4 components; the CTE algebra
@@ -2823,8 +2891,8 @@ def range_interval_join_suite(spark, sf_dir):
 
 @query(
     "pivot_unpivot_roundtrip",
-    oracle=_orders_graph_oracle(),
-    tags=("agg", "pivot", "unpivot", "reshape", "triangles", "lpa"),
+    oracle=_orders_graph_oracle_full,
+    tags=("agg", "pivot", "unpivot", "reshape", "triangles", "lpa", "k-core"),
 )
 def pivot_unpivot_roundtrip(spark, sf_dir):
     """Three orders-derived legs (triangles/lpa moved here from
@@ -2847,7 +2915,13 @@ def pivot_unpivot_roundtrip(spark, sf_dir):
     rounds, self-vote, smallest-label ties) on the triangles graph —
     the oracle unrolls the vote/top-1 rounds with the node universe
     taken from RAW endpoints so self-loop-only nodes stay
-    singletons."""
+    singletons.
+
+    coreness (r10): graph.core_numbers — the exact k-core
+    decomposition of the same graph via the staged distributed peel;
+    core numbers are removal-order-independent, so the oracle's
+    literal-VALUES Python twin (sequential textbook peel) pins them
+    exactly."""
     o = _t(spark, sf_dir, "orders")
     wide = (
         o.groupBy("o_orderpriority")
@@ -2893,7 +2967,21 @@ def pivot_unpivot_roundtrip(spark, sf_dir):
         ns.alias("attr"),
         F.col("community").cast("bigint").alias("cnt"),
     )
-    return pivot_leg.unionByName(tri).unionByName(lpa)
+    from d2d_spark.operators.graph import core_numbers
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        cores = core_numbers(tri_edges)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    core_leg = cores.select(
+        F.lit("coreness").alias("leg"),
+        F.col("node").cast("string").alias("k"),
+        ns.alias("attr"),
+        F.col("core").cast("bigint").alias("cnt"),
+    )
+    return pivot_leg.unionByName(tri).unionByName(lpa).unionByName(core_leg)
 
 
 def _soundex_py(s):

@@ -564,3 +564,76 @@ def test_topo_layers(spark):
         topo_layers(cyc)
     # empty edge set -> empty result
     assert topo_layers(edges.limit(0)).count() == 0
+
+
+def _py_core_numbers(pairs):
+    """Textbook sequential min-degree peel — core numbers are
+    removal-order-independent, so this pins the staged parallel peel."""
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {n: len(s) for n, s in adj.items()}
+    core = {}
+    remaining = set(adj)
+    k = 0
+    while remaining:
+        low = [n for n in remaining if deg[n] <= k]
+        if not low:
+            k += 1
+            continue
+        for n in low:
+            core[n] = k
+            remaining.discard(n)
+            for m in adj[n]:
+                if m in remaining:
+                    deg[m] -= 1
+        # re-scan at the same k: peeling can drag neighbors below it
+    return core
+
+
+def test_core_numbers_known_graphs_and_twin(spark):
+    from d2d_spark.operators.graph import core_numbers
+
+    # K4 clique + a pendant off node 0 + a 2-chain island
+    pairs = (
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]  # K4 -> core 3
+        + [(0, 9)]                                        # pendant -> core 1
+        + [(20, 21), (21, 22)]                            # chain -> core 1
+        + [(5, 5)]                                        # self-loop dropped
+    )
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r["node"]: r["core"] for r in core_numbers(df).collect()}
+    want = _py_core_numbers(pairs)
+    assert got == want
+    assert got[0] == got[1] == got[2] == got[3] == 3
+    assert got[9] == 1 and got[20] == got[21] == got[22] == 1
+    assert 5 not in got  # self-loop-only node leaves the simple graph
+    # duplicate + reversed edges collapse; partitioning invariance
+    noisy = spark.createDataFrame(
+        pairs + [(1, 0), (2, 0), (0, 1)], "src long, dst long"
+    ).repartition(7)
+    got2 = {r["node"]: r["core"] for r in core_numbers(noisy).collect()}
+    assert got2 == want
+    # two triangles sharing one node: all core 2
+    tri2 = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3)]
+    got3 = {
+        r["node"]: r["core"]
+        for r in core_numbers(
+            spark.createDataFrame(tri2, "src long, dst long")
+        ).collect()
+    }
+    assert got3 == _py_core_numbers(tri2)
+    assert set(got3.values()) == {2}
+    # empty input
+    empty = core_numbers(
+        spark.createDataFrame([], "src long, dst long")
+    )
+    assert empty.count() == 0
+    # the cap refuses loudly
+    import pytest as pt
+
+    with pt.raises(ValueError, match="max_iters"):
+        core_numbers(df, max_iters=1)
