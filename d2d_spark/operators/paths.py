@@ -532,24 +532,6 @@ def association_rules(
     missing = sorted(need - set(itemsets.columns))
     if missing:
         raise ValueError(f"association_rules: input lacks columns {missing}")
-    # sep-collision probe (one aggregate, the _probe_events rule): the
-    # support lookup keys on '|'-joined sorted items, so an item that
-    # itself contains '|' collides across itemset sizes (item 'a|b' vs
-    # the pair {a,b}) and silently prices wrong support/confidence/lift
-    sep_hit = itemsets.agg(
-        F.max(
-            F.coalesce(F.col("item_a").contains("|"), F.lit(False))
-            | F.coalesce(F.col("item_b").contains("|"), F.lit(False))
-            | F.coalesce(F.col("item_c").contains("|"), F.lit(False))
-        ).alias("__sep")
-    ).first()
-    if sep_hit["__sep"]:
-        raise ValueError(
-            "association_rules: an item contains the key separator '|' — "
-            "the support lookup joins on '|'-joined itemset strings, so "
-            "such items collide across sizes (item 'a|b' vs pair {a,b}); "
-            "re-encode items without '|' first"
-        )
     from pyspark import StorageLevel
 
     from d2d_spark import cache as opcache
@@ -558,6 +540,30 @@ def association_rules(
         "association_rules",
         itemsets.persist(StorageLevel.MEMORY_AND_DISK),
     )
+    # sep-collision probe (one aggregate, the _probe_events rule): the
+    # support lookup keys on '|'-joined sorted items, so an item that
+    # itself contains '|' collides across itemset sizes (item 'a|b' vs
+    # the pair {a,b}) and silently prices wrong support/confidence/lift.
+    # Runs AFTER the persist so its action fills the cache instead of
+    # executing the whole mining pipeline a second time.
+    sep_hit = itemsets.agg(
+        F.max(
+            F.coalesce(F.col("item_a").contains("|"), F.lit(False))
+            | F.coalesce(F.col("item_b").contains("|"), F.lit(False))
+            | F.coalesce(F.col("item_c").contains("|"), F.lit(False))
+        ).alias("__sep")
+    ).first()
+    if sep_hit["__sep"]:
+        # error-path cleanup: this FAILED call's persist must not wait
+        # for a global release (and releasing the whole tag could drop
+        # earlier successful calls' frames)
+        opcache.deregister("association_rules", [itemsets])
+        raise ValueError(
+            "association_rules: an item contains the key separator '|' — "
+            "the support lookup joins on '|'-joined itemset strings, so "
+            "such items collide across sizes (item 'a|b' vs pair {a,b}); "
+            "re-encode items without '|' first"
+        )
     # support lookup: '|'-joined sorted items -> support (concat_ws
     # skips the NULL padding, so size-1/2/3 keys all come out right)
     sup = itemsets.select(

@@ -169,9 +169,10 @@ def ttest_welch(
     # Cohen's d on the pooled SD — the EFFECT SIZE next to the test
     # statistic (a huge n makes a trivial difference "significant";
     # d says whether it matters: ~0.2 small / 0.5 medium / 0.8 large).
-    # Same replayable chain discipline; None when pooled variance is 0.
+    # Same replayable chain discipline. pooled > 0 is an invariant
+    # here: the se2 refusal above already guarantees va > 0 or vb > 0.
     pooled = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
-    d = (ma - mb) / math.sqrt(pooled) if pooled > 0.0 else None
+    d = (ma - mb) / math.sqrt(pooled)
     return {
         "t": t,
         "dof": dof,

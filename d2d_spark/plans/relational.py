@@ -2455,11 +2455,17 @@ def window_analytics_orders(spark, sf_dir):
                        AS VARCHAR) AS DOUBLE) AS syy
       FROM spr GROUP BY 1),
     sps AS (
+      -- the operator's degeneracy guard mirrored (n >= 2, positive
+      -- rank variance BOTH sides -> else NULL), so an all-tied or
+      -- single-row group replays as NULL instead of inf/NaN
       SELECT o_orderpriority,
-             round((CAST(n AS DOUBLE) * sxy - sx * sy)
-                   / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
-                          * (CAST(n AS DOUBLE) * syy - sy * sy)), 9)
-               AS rho_date_price
+             CASE WHEN n >= 2
+                       AND CAST(n AS DOUBLE) * sxx - sx * sx > 0
+                       AND CAST(n AS DOUBLE) * syy - sy * sy > 0
+                  THEN round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                             / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                                    * (CAST(n AS DOUBLE) * syy - sy * sy)), 9)
+             END AS rho_date_price
       FROM spm),
     wqs AS (
       SELECT c.o_orderpriority,
@@ -3191,8 +3197,14 @@ def _linkage_literal_rows() -> list[tuple]:
     return out
 
 
+import math as _math_er
+
 _ER_BIG = 10_000_000  # clone rid offset — beyond any fixture custkey
-_ER_THR = None  # set below; log2(9) = the prob>0.9 Fellegi-Sunter cut
+#: the prob>0.9 Fellegi-Sunter cut on the WEIGHT scale — the ONE
+#: constant both the Spark leg and the Python twin must share
+#: bit-for-bit (a drift between the two sites would silently
+#: desynchronize the oracle)
+_ER_THR = _math_er.log2(9.0)
 
 
 def _er_literal_rows() -> list[tuple]:
@@ -3214,7 +3226,7 @@ def _er_literal_rows() -> list[tuple]:
 
     from d2d_spark.plans.registry import fixture_table_paths
 
-    thr = math.log2(9.0)
+    thr = _ER_THR
     out: list[tuple] = []
     for _fixture_path in fixture_table_paths("customer"):
         try:
@@ -3479,15 +3491,13 @@ def fuzzy_name_pairs(spark, sf_dir):
     )
     # er leg (r10, VERDICT #7): the FULL entity-resolution composition
     # under the driver's eye — the same fit scores the id-carrying
-    # pairs, the match decision lands on the WEIGHT scale (w > log2 9
-    # == posterior > 0.9; the weight is a fixed-order sum of four
-    # Python-computed literals, bit-equal across engines, where the
-    # posterior sigmoid would hang the decision on a pow() ulp), then
-    # connected components cluster the matches and golden_record's
+    # pairs, the match decision lands on the WEIGHT scale (_ER_THR =
+    # log2 9 == posterior > 0.9; the weight is a fixed-order sum of
+    # four Python-computed literals, bit-equal across engines, where
+    # the posterior sigmoid would hang the decision on a pow() ulp),
+    # then connected components cluster the matches and golden_record's
     # latest-by-rid survivorship emits one golden row per entity; the
     # oracle replays every step in pure Python (literal VALUES).
-    import math as _m
-
     from d2d_spark.operators.dedup import connected_components
     from d2d_spark.operators.join import golden_record
 
@@ -3521,7 +3531,7 @@ def fuzzy_name_pairs(spark, sf_dir):
     )
     scored = linkage_score(pe.unionByName(po), fit)
     matches = scored.filter(
-        F.col("match_weight") > F.lit(_m.log2(9.0))
+        F.col("match_weight") > F.lit(_ER_THR)
     ).select("id_a", "id_b")
     comps = connected_components(matches)
     clustered = (

@@ -384,6 +384,86 @@ def stream_bloom_dedup_sink(
     return q
 
 
+class _BatchKeyedParquetState:
+    """Batch-id-keyed parquet state store — the replay/lifetime
+    scaffolding shared by the corpus-state sinks (count-min,
+    exact-quantile): directory scan, BOTH checkpoint-lifetime
+    refusals, newest-prior load, and the atomic-enough
+    tmp-write/rmtree/rename state swap. One implementation so a
+    lifecycle fix lands once, not per sink."""
+
+    _PAT = r"^state_after_batch_(\d+)$"
+
+    def __init__(
+        self,
+        what: str,
+        spark: SparkSession,
+        state_dir: str,
+        checkpoint_path: str,
+        state_noun: str,
+        lost_consequence: str,
+    ) -> None:
+        import os
+        import re
+
+        self._os = os
+        self._spark = spark
+        self._state_dir = state_dir
+        self._pat = re.compile(self._PAT)
+        _require_local_state_dir(what, state_dir)
+        os.makedirs(state_dir, exist_ok=True)
+        state_ids = self._ids()
+        ckpt_local = _local_path(checkpoint_path)
+        checkpoint_is_fresh = ckpt_local is not None and not os.path.isdir(
+            os.path.join(ckpt_local, "offsets")
+        )
+        if checkpoint_is_fresh and state_ids:
+            raise ValueError(
+                f"{what}: checkpoint {checkpoint_path!r} is fresh but "
+                f"state_dir {state_dir!r} holds {state_noun} from a previous "
+                "checkpoint lifetime — use a fresh state_dir, or restore "
+                "the original checkpoint."
+            )
+        if ckpt_local is not None and not checkpoint_is_fresh and not state_ids:
+            raise ValueError(
+                f"{what}: checkpoint {checkpoint_path!r} is resuming but "
+                f"state_dir {state_dir!r} has no {state_noun} — "
+                f"{lost_consequence}. Restore the state files or start over "
+                "with a fresh checkpoint."
+            )
+
+    def _ids(self, below: int | None = None) -> list[int]:
+        out = []
+        for n in self._os.listdir(self._state_dir):
+            m = self._pat.match(n)
+            if m and (below is None or int(m.group(1)) < below):
+                out.append(int(m.group(1)))
+        return out
+
+    def load_before(self, batch_id: int):
+        prior = self._ids(below=batch_id)
+        if not prior:
+            return None
+        return self._spark.read.parquet(
+            self._os.path.join(self._state_dir, f"state_after_batch_{max(prior)}")
+        )
+
+    def write(self, batch_id: int, state: DataFrame) -> None:
+        import shutil
+
+        final = self._os.path.join(
+            self._state_dir, f"state_after_batch_{batch_id}"
+        )
+        tmp = final + ".tmp"
+        state.write.mode("overwrite").parquet(tmp)
+        # replace atomically-enough: a crash between rmtree and rename
+        # loses only state N, which the replayed batch N re-derives
+        # from state N-1
+        if self._os.path.isdir(final):
+            shutil.rmtree(final)
+        self._os.rename(tmp, final)
+
+
 def stream_cms_sink(
     df: DataFrame,
     col: str,
@@ -409,52 +489,19 @@ def stream_cms_sink(
     than double-counting into its own output. Same
     one-checkpoint-lifetime contract; shape changes between runs are
     refused (mixed-shape counters would be garbage)."""
-    import os
-    import re
-    import shutil
-
     from d2d_spark.operators.freq import _shape_of, cms_build, cms_merge
 
-    spark = df.sparkSession
-    _require_local_state_dir("stream_cms_sink", state_dir)
-    os.makedirs(state_dir, exist_ok=True)
-    pat = re.compile(r"^state_after_batch_(\d+)$")
-    state_ids = [
-        int(pat.match(n).group(1)) for n in os.listdir(state_dir) if pat.match(n)
-    ]
-    ckpt_local = _local_path(checkpoint_path)
-    checkpoint_is_fresh = ckpt_local is not None and not os.path.isdir(
-        os.path.join(ckpt_local, "offsets")
+    store = _BatchKeyedParquetState(
+        "stream_cms_sink",
+        df.sparkSession,
+        state_dir,
+        checkpoint_path,
+        state_noun="sketch state",
+        lost_consequence="counts from processed batches would be silently lost",
     )
-    if checkpoint_is_fresh and state_ids:
-        raise ValueError(
-            f"stream_cms_sink: checkpoint {checkpoint_path!r} is fresh but "
-            f"state_dir {state_dir!r} holds sketch state from a previous "
-            "checkpoint lifetime — use a fresh state_dir, or restore the "
-            "original checkpoint."
-        )
-    if ckpt_local is not None and not checkpoint_is_fresh and not state_ids:
-        raise ValueError(
-            f"stream_cms_sink: checkpoint {checkpoint_path!r} is resuming "
-            f"but state_dir {state_dir!r} has no sketch state — counts from "
-            "processed batches would be silently lost. Restore the state "
-            "files or start over with a fresh checkpoint."
-        )
-
-    def _load_before(batch_id: int):
-        prior_ids = [
-            int(pat.match(n).group(1))
-            for n in os.listdir(state_dir)
-            if pat.match(n) and int(pat.match(n).group(1)) < batch_id
-        ]
-        if not prior_ids:
-            return None
-        return spark.read.parquet(
-            os.path.join(state_dir, f"state_after_batch_{max(prior_ids)}")
-        )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        prior = _load_before(batch_id)
+        prior = store.load_before(batch_id)
         sketch = cms_build(batch_df, col, depth=depth, width=width)
         if prior is not None:
             stamped = _shape_of(prior)
@@ -466,15 +513,7 @@ def stream_cms_sink(
                     "mixing shapes"
                 )
             sketch = cms_merge(prior, sketch)
-        final = os.path.join(state_dir, f"state_after_batch_{batch_id}")
-        tmp = final + ".tmp"
-        sketch.write.mode("overwrite").parquet(tmp)
-        # replace atomically-enough: a crash between rmtree and rename
-        # loses only state N, which the replayed batch N re-derives
-        # from state N-1
-        if os.path.isdir(final):
-            shutil.rmtree(final)
-        os.rename(tmp, final)
+        store.write(batch_id, sketch)
 
     q = (
         df.writeStream.foreachBatch(handle)
@@ -528,52 +567,20 @@ def stream_quantile_sink(
     error) as the stated approximate path. This is deliberately the
     same exact-vs-sketch split as the dedup family.
 
-    Replay-tolerant by the `stream_cms_sink` construction: state is
-    persisted KEYED BY BATCH ID, batch N merges into the newest state
-    with id < N, and a replayed batch re-derives byte-identical counts
-    from its original pre-state instead of double-counting. Same
-    one-checkpoint-lifetime contract, both refusal directions."""
-    import os
-    import re
-    import shutil
-
-    spark = df.sparkSession
-    _require_local_state_dir("stream_quantile_sink", state_dir)
-    os.makedirs(state_dir, exist_ok=True)
-    pat = re.compile(r"^state_after_batch_(\d+)$")
-    state_ids = [
-        int(pat.match(n).group(1)) for n in os.listdir(state_dir) if pat.match(n)
-    ]
-    ckpt_local = _local_path(checkpoint_path)
-    checkpoint_is_fresh = ckpt_local is not None and not os.path.isdir(
-        os.path.join(ckpt_local, "offsets")
+    Replay-tolerant by the `stream_cms_sink` construction
+    (`_BatchKeyedParquetState`): state is persisted KEYED BY BATCH ID,
+    batch N merges into the newest state with id < N, and a replayed
+    batch re-derives byte-identical counts from its original pre-state
+    instead of double-counting. Same one-checkpoint-lifetime contract,
+    both refusal directions."""
+    store = _BatchKeyedParquetState(
+        "stream_quantile_sink",
+        df.sparkSession,
+        state_dir,
+        checkpoint_path,
+        state_noun="quantile state",
+        lost_consequence="counts from processed batches would be silently lost",
     )
-    if checkpoint_is_fresh and state_ids:
-        raise ValueError(
-            f"stream_quantile_sink: checkpoint {checkpoint_path!r} is fresh "
-            f"but state_dir {state_dir!r} holds quantile state from a "
-            "previous checkpoint lifetime — use a fresh state_dir, or "
-            "restore the original checkpoint."
-        )
-    if ckpt_local is not None and not checkpoint_is_fresh and not state_ids:
-        raise ValueError(
-            f"stream_quantile_sink: checkpoint {checkpoint_path!r} is "
-            f"resuming but state_dir {state_dir!r} has no quantile state — "
-            "counts from processed batches would be silently lost. Restore "
-            "the state files or start over with a fresh checkpoint."
-        )
-
-    def _load_before(batch_id: int):
-        prior_ids = [
-            int(pat.match(n).group(1))
-            for n in os.listdir(state_dir)
-            if pat.match(n) and int(pat.match(n).group(1)) < batch_id
-        ]
-        if not prior_ids:
-            return None
-        return spark.read.parquet(
-            os.path.join(state_dir, f"state_after_batch_{max(prior_ids)}")
-        )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
@@ -583,21 +590,14 @@ def stream_quantile_sink(
             .groupBy(F.col(col).cast("double").alias("__v"))
             .agg(F.count(F.lit(1)).alias("__c"))
         )
-        prior = _load_before(batch_id)
+        prior = store.load_before(batch_id)
         if prior is not None:
             counts = (
                 prior.unionByName(counts)
                 .groupBy("__v")
                 .agg(F.sum("__c").alias("__c"))
             )
-        final = os.path.join(state_dir, f"state_after_batch_{batch_id}")
-        tmp = final + ".tmp"
-        counts.write.mode("overwrite").parquet(tmp)
-        # a crash between rmtree and rename loses only state N, which
-        # the replayed batch N re-derives from state N-1
-        if os.path.isdir(final):
-            shutil.rmtree(final)
-        os.rename(tmp, final)
+        store.write(batch_id, counts)
 
     q = (
         df.writeStream.foreachBatch(handle)
