@@ -648,7 +648,9 @@ def core_numbers(
     long-tail nodes peel out at core 1-2; the degeneracy max(core)
     also bounds triangle/clique work.
 
-    Algorithm: the Matula–Beck staged peel, distributed — for
+    Algorithm: the Matula–Beck staged peel (Seidman 1983, "Network
+    structure and minimum degree"; Matula & Beck 1983), distributed —
+    for
     k = 1, 2, ...: repeatedly remove nodes whose CURRENT degree is
     < k until a fixpoint; nodes removed during stage k have core
     k - 1. Core numbers are removal-order-independent, so the staged

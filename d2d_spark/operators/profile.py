@@ -563,7 +563,8 @@ def js_divergence(
     breakpoints: list | None = None,
     categorical: bool = False,
 ) -> dict:
-    """Jensen–Shannon divergence (base 2, so in [0, 1]) between a
+    """Jensen–Shannon divergence (Lin 1991, "Divergence measures
+    based on the Shannon entropy"; base 2, so in [0, 1]) between a
     reference snapshot and a new batch of the same column — the
     SYMMETRIC, smoothing-free companion to
     `population_stability_index`: PSI blows up on vanished/new buckets

@@ -166,9 +166,10 @@ def ttest_welch(
     dof = se2 * se2 / (
         (va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)
     )
-    # Cohen's d on the pooled SD — the EFFECT SIZE next to the test
-    # statistic (a huge n makes a trivial difference "significant";
-    # d says whether it matters: ~0.2 small / 0.5 medium / 0.8 large).
+    # Cohen's d on the pooled SD (Cohen 1988) — the EFFECT SIZE next
+    # to the test statistic (a huge n makes a trivial difference
+    # "significant"; d says whether it matters: ~0.2 small / 0.5
+    # medium / 0.8 large).
     # Same replayable chain discipline. pooled > 0 is an invariant
     # here: the se2 refusal above already guarantees va > 0 or vb > 0.
     pooled = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
@@ -264,7 +265,8 @@ def spearman_corr(
     y_col: str,
     min_points: int = 2,
 ) -> DataFrame:
-    """Per-key Spearman rank correlation rho — the robust companion to
+    """Per-key Spearman rank correlation rho (Spearman 1904, average
+    ranks for ties) — the robust companion to
     the Pearson `corr_matrix`/`linear_fit` family: monotone
     association on RANKS, immune to outliers and monotone rescaling
     (the drift question "does spend still rise with tenure" where one
