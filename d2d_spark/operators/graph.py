@@ -689,12 +689,20 @@ def core_numbers(
             "node",
             "left",
         ).select("node", F.coalesce("__d", F.lit(0)).alias("__d"))
+        stats = deg.agg(
+            F.min("__d").alias("mn"), F.count(F.lit(1)).alias("n")
+        ).first()
+        if not stats["n"]:
+            break
+        if stats["mn"] >= k:
+            # fixpoint for this stage AND stages k..mn are provably
+            # empty (nothing has degree < mn+1 except the min-degree
+            # nodes themselves at stage mn+1): jump straight there —
+            # one tiny aggregate replaces one empty round per skipped
+            # stage, which on a degeneracy-d graph halves the round
+            # count
+            k = int(stats["mn"]) + 1
         low = deg.filter(F.col("__d") < k).select("node").localCheckpoint(eager=True)
-        if low.limit(1).count() == 0:
-            if nodes.limit(1).count() == 0:
-                break
-            k += 1
-            continue
         peeled = low.select("node", F.lit(k - 1).alias("core"))
         out = peeled if out is None else out.unionAll(peeled)
         nodes = nodes.join(low, "node", "left_anti").localCheckpoint(eager=True)
