@@ -552,6 +552,296 @@ def label_propagation(
     return out
 
 
+def modularity_score(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+) -> float:
+    """Newman modularity Q of a (node, community) labeling over the
+    undirected graph induced by the edge list (duplicate edges
+    collapse by weight sum; self-loops drop — the label_propagation
+    graph contract): Q = sum_C [ in_C/(2m) - (tot_C/(2m))^2 ], the
+    fraction of edge weight inside communities minus the expectation
+    under the degree-preserving null model (Newman & Girvan 2004).
+    Nodes absent from ``labels`` count as singleton communities.
+    Shape: two equi-joins + two groupBys; one scalar collect."""
+    e2 = _sym_edges(edges, src, dst, weight_col)
+    lab = labels.select(F.col("node"), F.col("community"))
+    deg = e2.groupBy(F.col("a").alias("node")).agg(F.sum("w").alias("k"))
+    two_m = deg.agg(F.coalesce(F.sum("k"), F.lit(0.0))).first()[0]
+    if not two_m:
+        return 0.0
+    labd = deg.join(lab, "node", "left").select(
+        "node", F.coalesce("community", F.col("node")).alias("community"), "k"
+    )
+    tots = labd.groupBy("community").agg(F.sum("k").alias("tot"))
+    intra = (
+        e2.join(labd.select(F.col("node").alias("a"), F.col("community").alias("__ca")), "a")
+        .join(labd.select(F.col("node").alias("b"), F.col("community").alias("__cb")), "b")
+        .filter(F.col("__ca") == F.col("__cb"))
+        .groupBy(F.col("__ca").alias("community"))
+        .agg(F.sum("w").alias("inw"))
+    )
+    row = (
+        tots.join(intra, "community", "left")
+        .agg(
+            F.sum(
+                F.coalesce("inw", F.lit(0.0)) / F.lit(two_m)
+                - (F.col("tot") / F.lit(two_m)) * (F.col("tot") / F.lit(two_m))
+            )
+        )
+        .first()
+    )
+    return float(row[0] or 0.0)
+
+
+def _sym_edges(
+    edges: DataFrame, src: str, dst: str, weight_col: str | None
+) -> DataFrame:
+    """(a, b, w) with every undirected edge in BOTH directions,
+    duplicates collapsed by weight sum, self-loops dropped."""
+    if weight_col is not None:
+        named = edges.select(
+            F.col(src).alias("a"),
+            F.col(dst).alias("b"),
+            F.col(weight_col).cast("double").alias("w"),
+        ).filter(
+            F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("w") > 0)
+        )
+    else:
+        named = edges.select(
+            F.col(src).alias("a"), F.col(dst).alias("b"), F.lit(1.0).alias("w")
+        ).filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    und = named.filter(F.col("a") != F.col("b"))
+    return (
+        und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+
+
+def modularity_communities(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+    max_rounds: int = 10,
+) -> DataFrame:
+    """Community detection by synchronous MODULARITY local moving
+    (the Louvain first phase — Blondel et al. 2008, "Fast unfolding
+    of communities in large networks"; the Leiden paper's "local
+    moving" kernel) over the undirected graph induced by the edge
+    list: every node starts as its own community, then each round
+    every node simultaneously moves to the neighbor community with
+    the best modularity gain
+
+        gain(i -> C) = k_iC - k_i * tot(C \\ i) / (2m)
+
+    (k_iC = weight from i into C, tot = community degree mass, 2m =
+    total degree). The standard upgrade over `label_propagation` for
+    link-farm / crawl-graph clustering: LPA is resolution-limited and
+    flip-prone on bipartite-ish structure, while the modularity
+    objective penalizes grouping by sheer degree mass. Returns
+    (node, community); community ids are node ids (the id a pool
+    converged on), self-loop-only nodes stay singletons (the LPA
+    universe contract), duplicate edges collapse by weight SUM — in
+    the unweighted mode multiplicity IS the weight (a pair linked 5
+    times is a 5x tie; pre-`distinct()` the edges for one-vote
+    semantics — the deliberate contrast with page_rank's
+    one-vote-per-pair collapse).
+
+    DETERMINISM CONTRACT: rounds are exactly synchronous and the move
+    rule is total — argmax gain, ties prefer STAYING, remaining ties
+    take the smallest community id — so the labeling is a pure
+    function of the graph, identical on any partitioning (no
+    vertex-order dependence, the documented difference from classical
+    sequential Louvain). Synchronous moves can oscillate (two nodes
+    swapping communities forever); the loop therefore scores Q every
+    round and RETURNS THE FIRST BEST-Q LABELING seen, stopping early
+    when no node moves. ``max_rounds`` bounds the walk.
+
+    Shape per round: one degree-mass groupBy(community), one
+    edge⋈labels join + groupBy(node, community) for the k_iC votes,
+    one per-node top-1 window, one Q aggregate — all key-partitioned
+    shuffles on node/community-sized frames; labels truncate EVERY
+    round (the hits discipline — the update reads the prior labels
+    four times, so per-round truncation is what keeps the tree
+    linear), and a non-best non-current round's storage is destroyed
+    immediately. One-level local moving only: the classical
+    continuation (contract communities, repeat) multiplies depth,
+    and for curation-scale near-dup/link graphs the first level is
+    where ~all of Q lives."""
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    from pyspark import StorageLevel
+
+    if weight_col is not None:
+        named = edges.select(
+            F.col(src).alias("a"), F.col(dst).alias("b"),
+            F.col(weight_col).cast("double").alias("w"),
+        ).filter(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("w") > 0))
+    else:
+        named = edges.select(
+            F.col(src).alias("a"), F.col(dst).alias("b"), F.lit(1.0).alias("w")
+        ).filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    und = named.filter(F.col("a") != F.col("b"))
+    e2 = (
+        und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # node universe from RAW endpoints: self-loop-only nodes are
+    # singleton communities, not absent (the LPA contract)
+    nodes = (
+        named.select(F.col("a").alias("node"))
+        .union(named.select(F.col("b").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = nodes.count()
+    spark = edges.sparkSession
+    if n == 0:
+        e2.unpersist(blocking=False)
+        nodes.unpersist(blocking=False)
+        return spark.createDataFrame([], "node string, community string")
+    deg = (
+        nodes.join(
+            e2.groupBy(F.col("a").alias("node")).agg(F.sum("w").alias("k")),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce("k", F.lit(0.0)).alias("k"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    two_m = deg.agg(F.coalesce(F.sum("k"), F.lit(0.0))).first()[0]
+    if not two_m:
+        # no simple edges at all: everyone is a singleton
+        out = nodes.select("node", F.col("node").alias("community"))
+        e2.unpersist(blocking=False)
+        return out
+    sc = spark.sparkContext
+    can_checkpoint = sc.getCheckpointDir() is not None
+    from pyspark.sql.window import Window
+
+    def q_of(lab: DataFrame) -> float:
+        tots = (
+            deg.join(lab, "node")
+            .groupBy("community")
+            .agg(F.sum("k").alias("tot"))
+        )
+        intra = (
+            e2.join(lab.select(F.col("node").alias("a"), F.col("community").alias("__ca")), "a")
+            .join(lab.select(F.col("node").alias("b"), F.col("community").alias("__cb")), "b")
+            .filter(F.col("__ca") == F.col("__cb"))
+            .groupBy(F.col("__ca").alias("community"))
+            .agg(F.sum("w").alias("inw"))
+        )
+        row = (
+            tots.join(intra, "community", "left")
+            .agg(
+                F.sum(
+                    F.coalesce("inw", F.lit(0.0)) / F.lit(two_m)
+                    - (F.col("tot") / F.lit(two_m)) * (F.col("tot") / F.lit(two_m))
+                )
+            )
+            .first()
+        )
+        return float(row[0] or 0.0)
+
+    labels = _truncate_frame(
+        nodes.select("node", F.col("node").alias("community")), can_checkpoint
+    )
+    # singleton start: Q = -sum (k_i/2m)^2; any improvement beats it
+    best_q = q_of(labels)
+    best = labels
+    for _ in range(max_rounds):
+        ki_c = (
+            e2.join(
+                labels.select(F.col("node").alias("b"), F.col("community").alias("__c")),
+                "b",
+            )
+            .groupBy(F.col("a").alias("node"), F.col("__c").alias("community"))
+            .agg(F.sum("w").alias("__kic"))
+        )
+        tots = (
+            deg.join(labels, "node").groupBy("community").agg(F.sum("k").alias("__tot"))
+        )
+        own = labels.select("node", F.col("community").alias("__own"))
+        # candidates: every neighbor community, plus the own community
+        # (k_iC = 0 when no neighbor is in it — an isolated-in-own
+        # node may still be best off staying)
+        cand = (
+            ki_c.unionByName(
+                own.select("node", F.col("__own").alias("community"),
+                           F.lit(0.0).alias("__kic"))
+            )
+            .groupBy("node", "community")
+            .agg(F.max("__kic").alias("__kic"))
+        )
+        scored = (
+            cand.join(own, "node")
+            .join(tots, "community")
+            .join(deg, "node")
+            .select(
+                "node",
+                "community",
+                "__own",
+                (
+                    F.col("__kic")
+                    - F.col("k")
+                    * (
+                        F.col("__tot")
+                        - F.when(F.col("community") == F.col("__own"), F.col("k"))
+                        .otherwise(F.lit(0.0))
+                    )
+                    / F.lit(two_m)
+                ).alias("__gain"),
+            )
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.desc("__gain"),
+            F.desc(F.col("community") == F.col("__own")),
+            F.asc("community"),
+        )
+        nxt = _truncate_frame(
+            scored.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select("node", "community"),
+            can_checkpoint,
+        )
+        changed = (
+            nxt.join(labels.select("node", F.col("community").alias("__prev")), "node")
+            .filter(F.col("community") != F.col("__prev"))
+            .limit(1)
+            .count()
+        )
+        q = q_of(nxt)
+        prev = labels
+        labels = nxt
+        if q > best_q + 1e-12:
+            old_best = best
+            best, best_q = labels, q
+            if old_best is not prev:
+                _release_truncated(old_best)
+        # every round is truncated (own storage, no lineage back): a
+        # frame that is neither the current state nor the best-Q
+        # winner is dead the moment the next state exists
+        if prev is not best:
+            _release_truncated(prev)
+        if changed == 0:
+            break
+    out = best.select("node", "community")
+    if labels is not best:
+        _release_truncated(labels)
+    e2.unpersist(blocking=False)
+    nodes.unpersist(blocking=False)
+    deg.unpersist(blocking=False)
+    return out
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """(node, triangles) — exact triangle participation count per node
     over the UNDIRECTED simple graph induced by the edge list
@@ -638,6 +928,7 @@ def core_numbers(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iters: int = 1000,
+    truncate_out_every: int = 32,
 ) -> DataFrame:
     """(node, core) — exact k-core decomposition of the undirected
     simple graph induced by the edge list (direction, duplicates and
@@ -656,11 +947,25 @@ def core_numbers(
     k - 1. Core numbers are removal-order-independent, so the staged
     parallel peel and the sequential textbook peel agree exactly.
 
-    Shape: each round is one degree groupBy + two anti-joins on the
-    live edge list, lineage truncated per round (the page_rank
-    discipline). Total rounds <= degeneracy + sum of per-stage
-    fixpoint depths — small for real sparse graphs; ``max_iters``
-    refuses loudly instead of looping on a pathological input."""
+    Shape: each peel pass is one degree groupBy + two anti-joins on
+    the live edge list, lineage truncated per pass (the page_rank
+    discipline). ``max_iters`` bounds STAGES (distinct k values —
+    <= degeneracy + 1, single digits on real sparse graphs), NOT the
+    inner fixpoint passes: a 2k-node chain legitimately needs ~1k
+    passes inside stage 2 and must not be refused for it (r10 ADVICE).
+    Inner passes terminate unconditionally — each one peels >= 1 node
+    or advances the stage — and a 2x-node-count invariant cap turns
+    any violation of that into a loud RuntimeError, not a hang.
+
+    The result accumulator coalesces through a localCheckpoint every
+    ``truncate_out_every`` passes, so the returned plan holds at most
+    that many union branches however deep the peel ran — the
+    association-rules branch-count lesson (SCALE.md) applied here;
+    compile cost stays flat across rounds (stress-test-pinned)."""
+    if truncate_out_every < 1:
+        raise ValueError(
+            f"core_numbers: truncate_out_every must be >= 1, got {truncate_out_every}"
+        )
     e = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .filter(
@@ -679,11 +984,18 @@ def core_numbers(
     # must still receive a core number at the current stage
     nodes = live.select(F.col("a").alias("node")).distinct().localCheckpoint(eager=True)
     spark = edges.sparkSession
+    n_total = nodes.count()
+    out_parts = max(nodes.rdd.getNumPartitions(), 1)
     out = None
     k = 1
-    rounds = 0
-    while rounds < max_iters:
-        rounds += 1
+    stages = 0
+    passes = 0
+    since_trunc = 0
+    # every pass peels >= 1 node or advances the stage, and stages are
+    # themselves bounded — so this cap is unreachable unless the peel
+    # invariant itself is broken (a bug, not an input property)
+    pass_cap = 2 * n_total + 16
+    while True:
         deg = nodes.join(
             live.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("__d")),
             "node",
@@ -702,23 +1014,50 @@ def core_numbers(
             # stage, which on a degeneracy-d graph halves the round
             # count
             k = int(stats["mn"]) + 1
+            stages += 1
+            if stages > max_iters:
+                raise ValueError(
+                    f"core_numbers: exceeded max_iters={max_iters} peel STAGES "
+                    "— degeneracy beyond the cap is a pathologically dense "
+                    "graph (or a bug upstream); raise the cap knowingly"
+                )
+        passes += 1
+        if passes > pass_cap:
+            raise RuntimeError(
+                f"core_numbers: {passes} peel passes on {n_total} nodes — the "
+                "peel-progress invariant is broken; this is a bug, report it"
+            )
         low = deg.filter(F.col("__d") < k).select("node").localCheckpoint(eager=True)
         peeled = low.select("node", F.lit(k - 1).alias("core"))
         out = peeled if out is None else out.unionAll(peeled)
+        since_trunc += 1
+        if since_trunc >= truncate_out_every:
+            # bound the union tree: the accumulator's PLAN (not its
+            # data) grows one branch per pass otherwise, and deep
+            # peels pay compile time quadratic in rounds
+            out = out.coalesce(out_parts).localCheckpoint(eager=True)
+            since_trunc = 0
         nodes = nodes.join(low, "node", "left_anti").localCheckpoint(eager=True)
         live = (
             live.join(low.select(F.col("node").alias("a")), "a", "left_anti")
             .join(low.select(F.col("node").alias("b")), "b", "left_anti")
             .localCheckpoint(eager=True)
         )
-    else:
-        raise ValueError(
-            f"core_numbers: exceeded max_iters={max_iters} peel rounds — "
-            "either a pathologically deep degeneracy ordering or a bug "
-            "upstream; raise the cap knowingly"
-        )
     if out is None:
-        return spark.createDataFrame([], "node string, core int")
+        # typed like the non-empty path: node keeps the input type
+        # (an empty string-typed frame would break a union with typed
+        # downstream frames only in the empty case — r10 ADVICE)
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("node", nodes.schema["node"].dataType),
+                    StructField("core", IntegerType()),
+                ]
+            ),
+        )
     return out
 
 
@@ -727,6 +1066,7 @@ def topo_layers(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iters: int = 1000,
+    truncate_out_every: int = 32,
 ) -> DataFrame:
     """(node, layer) — topological layering of a dependency DAG
     (src must run BEFORE dst): layer 0 = nodes with no prerequisites,
@@ -741,9 +1081,17 @@ def topo_layers(
     every in-edge source is already layered) + one edge filter;
     rounds = DAG depth, each a small shuffle; every frame is
     node/edge-bounded. localCheckpoint per round truncates the
-    iterative lineage (the page_rank discipline)."""
+    iterative lineage (the page_rank discipline), and the result
+    accumulator itself truncates every ``truncate_out_every`` layers
+    so a deep DAG cannot grow the returned plan one union branch per
+    layer (the core_numbers / association-rules branch-count lesson;
+    stress-test-pinned flat compile time)."""
     from pyspark.sql import functions as F
 
+    if truncate_out_every < 1:
+        raise ValueError(
+            f"topo_layers: truncate_out_every must be >= 1, got {truncate_out_every}"
+        )
     e = (
         edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
         .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
@@ -757,7 +1105,9 @@ def topo_layers(
         .localCheckpoint(eager=True)
     )
     spark = edges.sparkSession
+    out_parts = max(nodes.rdd.getNumPartitions(), 1)
     out = None
+    since_trunc = 0
     remaining = nodes
     layer = 0
     while layer < max_iters:
@@ -777,6 +1127,10 @@ def topo_layers(
                 "cannot be scheduled"
             )
         out = ready if out is None else out.unionAll(ready)
+        since_trunc += 1
+        if since_trunc >= truncate_out_every:
+            out = out.coalesce(out_parts).localCheckpoint(eager=True)
+            since_trunc = 0
         remaining = remaining.join(ready.select("node"), "node", "left_anti").localCheckpoint(
             eager=True
         )
@@ -791,5 +1145,17 @@ def topo_layers(
             "knowingly"
         )
     if out is None:
-        return spark.createDataFrame([], "node string, layer int")
+        # typed like the non-empty path (the core_numbers empty-case
+        # contract): node keeps the input type
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("node", nodes.schema["node"].dataType),
+                    StructField("layer", IntegerType()),
+                ]
+            ),
+        )
     return out

@@ -284,10 +284,17 @@ def spearman_corr(
     with < min_points rows or zero rank variance in either variable
     (all-tied) emit NULL rho.
 
-    Shape: two rank windows + one groupBy on the SAME key partitioning
-    (one shuffle wide). Per-key ranking serializes a key's rows on one
-    task — the group_quantiles caveat: fine for per-entity series,
-    use a sampled/sketched estimate for whale keys."""
+    Shape, per-key: two rank windows + one groupBy on the SAME key
+    partitioning (one shuffle wide). Per-key ranking serializes a
+    key's rows on one task — the group_quantiles caveat: fine for
+    per-entity series; route whale keys through the global mode on a
+    filtered frame. Shape, GLOBAL (``key_cols=None``): the
+    `ranks.ranked_values` distributed prefix sum — value-collapse
+    groupBy per column, bucket-offset cumsum, within-bucket window,
+    then two equi-joins of the per-value average ranks back onto the
+    rows — NO unpartitioned window anywhere in the plan
+    (partitioning-invariance test-pinned at 1/7/32 partitions), so
+    global rho costs two uniform-key shuffles at any scale."""
     if min_points < 2:
         raise ValueError(f"spearman_corr: min_points must be >= 2, got {min_points}")
     keys = list(key_cols or [])
@@ -296,16 +303,39 @@ def spearman_corr(
 
     base = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
 
-    def avg_rank(col: str):
-        w = Window.partitionBy(*keys).orderBy(col)
-        ties = Window.partitionBy(*keys, col)
-        return (
-            F.rank().over(w) + (F.count(F.lit(1)).over(ties) - F.lit(1)) / F.lit(2)
-        ).cast(dec)
+    if not keys:
+        # the avg-rank frames are distinct-valued; the (18,6) recast
+        # is lossless while ranks stay below 1e12 (exact halves) and
+        # keeps the moment products inside linear_fit's exact
+        # DECIMAL(37,12) envelope
+        from d2d_spark.operators.ranks import ranked_values
 
-    ranked = base.select(
-        *keys, avg_rank(x_col).alias("__rx"), avg_rank(y_col).alias("__ry")
-    )
+        rx = ranked_values(base, x_col).select(
+            F.col("__v").alias("__vx"),
+            F.col("__avg_rank").cast(dec).alias("__rx"),
+        )
+        ry = ranked_values(base, y_col).select(
+            F.col("__v").alias("__vy"),
+            F.col("__avg_rank").cast(dec).alias("__ry"),
+        )
+        ranked = (
+            base.select(F.col(x_col).alias("__vx"), F.col(y_col).alias("__vy"))
+            .join(rx, "__vx")
+            .join(ry, "__vy")
+            .select("__rx", "__ry")
+        )
+    else:
+
+        def avg_rank(col: str):
+            w = Window.partitionBy(*keys).orderBy(col)
+            ties = Window.partitionBy(*keys, col)
+            return (
+                F.rank().over(w) + (F.count(F.lit(1)).over(ties) - F.lit(1)) / F.lit(2)
+            ).cast(dec)
+
+        ranked = base.select(
+            *keys, avg_rank(x_col).alias("__rx"), avg_rank(y_col).alias("__ry")
+        )
     agg = ranked.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("__rx").alias("__sx"),

@@ -664,7 +664,25 @@ def _lr_cte_chain() -> str:
              FROM aucc),
     auct AS (SELECT SUM(cp) AS np, SUM(cn) AS nn2 FROM aucc),
     aucs AS (SELECT SUM(CAST(cp AS HUGEINT) * (2 * (cum - c) + c + 1)) AS s2
-             FROM aucw)
+             FROM aucw),
+    isod AS (SELECT GREATEST(LEAST(CAST(FLOOR(v * 40.0) AS BIGINT), 39), 0) AS b, y
+             FROM aucd),
+    isoc AS (SELECT b, COUNT(*) AS w, SUM(y) AS p FROM isod GROUP BY b),
+    isopre AS (SELECT b, w, p, SUM(w) OVER (ORDER BY b) AS cw,
+                      SUM(p) OVER (ORDER BY b) AS cp3
+               FROM isoc),
+    isor AS (
+      -- every contiguous bin block's positive rate: exact-int sums,
+      -- ONE correctly-rounded double division — identical IEEE value
+      -- to the operator's pooled p/w
+      SELECT a.b AS j, c.b AS k,
+             CAST(c.cp3 - (a.cp3 - a.p) AS DOUBLE)
+             / CAST(c.cw - (a.cw - a.w) AS DOUBLE) AS r
+      FROM isopre a JOIN isopre c ON a.b <= c.b),
+    isomn AS (SELECT i.b AS b, r.j, MIN(r.r) AS mn
+              FROM isoc i JOIN isor r ON r.j <= i.b AND r.k >= i.b
+              GROUP BY i.b, r.j),
+    isofit AS (SELECT b, MAX(mn) AS prob FROM isomn GROUP BY b)
     SELECT 'gpt3' AS leg, d.doc_id,
            round(1.0 / (1.0 + exp(-(coalesce(marg.m, 0.0) + pri.pm))), 6) AS val
     FROM documents d LEFT JOIN marg USING (doc_id) CROSS JOIN pri
@@ -682,6 +700,10 @@ def _lr_cte_chain() -> str:
     SELECT 'auc_n', 1, CAST(np AS DOUBLE) FROM auct
     UNION ALL
     SELECT 'auc_n', 0, CAST(nn2 AS DOUBLE) FROM auct
+    UNION ALL
+    SELECT 'iso' AS leg, b, round(prob, 9) FROM isofit
+    UNION ALL
+    SELECT 'iso_n' AS leg, b, CAST(w AS DOUBLE) FROM isoc
     UNION ALL
     SELECT 'dsir_w' AS leg, doc_id, round(lw, 6) FROM dw
     UNION ALL
@@ -731,7 +753,15 @@ def gpt3_quality_score(spark, sf_dir):
     classifier itself (exact tie-aware Mann-Whitney AUC + gini + class
     counts) on the 6-dp-rounded probability surface the gpt3 leg
     already pins; the oracle replays the distributed rank-sum identity
-    as a window cumsum over per-score class counts."""
+    as a window cumsum over per-score class counts.
+
+    iso legs (r11) — calibrate.isotonic_calibrate turns the same
+    score surface into calibrated P(en | score): 40 fixed-width bins,
+    driver-side PAV over the model-sized collapse; oracle = the
+    minimax identity in SQL (max-of-min block rates), equal to PAV by
+    the classical theorem and bit-equal here because every block rate
+    is one correctly-rounded division of exact integers in both
+    engines."""
     from d2d_spark.operators.classifier import nb_quality_score
     from d2d_spark.operators.dsir import (
         dsir_log_ratio,
@@ -817,9 +847,31 @@ def gpt3_quality_score(spark, sf_dir):
         ("auc_n", 0, float(a["n_neg"])),
     ]
     auc_leg = spark.createDataFrame(auc_rows, "leg string, doc_id long, val double")
+    # iso legs (r11, VERDICT r10 #7): calibrate.isotonic_calibrate
+    # over the same rounded score surface — 40 fixed-width bins on
+    # [0, 1], PAV pooled positive rates (exact-int pools, one double
+    # division each). The oracle replays the minimax identity
+    # fit(i) = max_{j<=i} min_{k>=i} rate(j..k) in O(bins^3) SQL —
+    # a structurally DIFFERENT algorithm whose equality with PAV is
+    # the textbook theorem (test_calibrate pins it on exact
+    # Fractions); iso_n pins the bin occupancy itself.
+    from d2d_spark.operators.calibrate import isotonic_calibrate
+
+    iso_model = isotonic_calibrate(aucdf, "y", "s", num_bins=40, lo=0.0, hi=1.0)
+    iso_leg = iso_model.select(
+        F.lit("iso").alias("leg"),
+        F.col("bin").alias("doc_id"),
+        F.round("prob", 9).alias("val"),
+    )
+    iso_n = iso_model.select(
+        F.lit("iso_n").alias("leg"),
+        F.col("bin").alias("doc_id"),
+        F.col("n").cast("double").alias("val"),
+    )
     return (
         gpt3.unionByName(dsir_w).unionByName(dsir_pick)
         .unionByName(lr_w).unionByName(lr_p).unionByName(auc_leg)
+        .unionByName(iso_leg).unionByName(iso_n)
     )
 
 

@@ -437,10 +437,42 @@ def semi_anti_exists_customers(spark, sf_dir):
       SELECT '__START__', event_type FROM r2 WHERE rn = 1),
     strans AS (
       SELECT 'strans' AS leg, f AS k, t AS attr, CAST(COUNT(*) AS DOUBLE) AS val
-      FROM tr GROUP BY f, t)
+      FROM tr GROUP BY f, t),
+    pe AS (SELECT * FROM events WHERE event_id <= 4999),
+    sfun AS (
+      SELECT 'sfun' AS leg, CAST(fm.user_id AS VARCHAR) AS k, fm.csv AS attr,
+             CAST(fm.stage AS DOUBLE) AS val
+      FROM (
+        WITH f0 AS (SELECT DISTINCT user_id FROM pe
+                    WHERE event_type IN ('signup','view','click','purchase')),
+        s1 AS (SELECT user_id, MIN(ts) AS t1 FROM pe
+               WHERE event_type = 'signup' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM pe e JOIN s1 USING (user_id)
+               WHERE e.event_type = 'view' AND e.ts > s1.t1
+                 AND epoch(e.ts) - epoch(s1.t1) <= 172800 GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM pe e
+               JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts > s2.t2
+                 AND epoch(e.ts) - epoch(s1.t1) <= 172800 GROUP BY e.user_id),
+        s4 AS (SELECT e.user_id, MIN(e.ts) AS t4 FROM pe e
+               JOIN s3 USING (user_id) JOIN s1 USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts > s3.t3
+                 AND epoch(e.ts) - epoch(s1.t1) <= 172800 GROUP BY e.user_id)
+        SELECT f0.user_id,
+               CAST(t1 IS NOT NULL AS INT) + CAST(t2 IS NOT NULL AS INT)
+               + CAST(t3 IS NOT NULL AS INT) + CAST(t4 IS NOT NULL AS INT) AS stage,
+               concat(coalesce(strftime(t1, '%Y-%m-%d %H:%M:%S'), ''), '|',
+                      coalesce(strftime(t2, '%Y-%m-%d %H:%M:%S'), ''), '|',
+                      coalesce(strftime(t3, '%Y-%m-%d %H:%M:%S'), ''), '|',
+                      coalesce(strftime(t4, '%Y-%m-%d %H:%M:%S'), '')) AS csv
+        FROM f0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+                LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
+      ) fm)
     SELECT * FROM ins UNION ALL SELECT * FROM snap UNION ALL SELECT * FROM strans
+    UNION ALL SELECT * FROM sfun
     """,
-    tags=("write-mode", "anti", "cdc", "scd2", "markov", "streaming-twin"),
+    tags=("write-mode", "anti", "cdc", "scd2", "markov", "funnel",
+          "streaming-twin"),
 )
 def insert_ignore_new_rows(spark, sf_dir):
     """Three legs: insert-ignore plus the streaming-twin op-log
@@ -465,7 +497,15 @@ def insert_ignore_new_rows(spark, sf_dir):
     paths.transition_counts WITH endpoints over the RUN stream (the
     stream_transition_sink twin): the Markov matrix of state CHANGES,
     a different matrix than dedup_exact_events' raw-event 'trans' leg
-    (adjacent repeats collapse first)."""
+    (adjacent repeats collapse first).
+
+    sfun (r11, VERDICT r10 #6): streaming/stateful.stateful_funnel's
+    batch twin (funnel_stages — the parity contract pins stream state
+    == this fold on in-order data, test_streaming) replayed over the
+    op-log PREFIX event_id <= 4999 — the mid-stream state a funnel
+    query would show after half the log, per-user stage + the four
+    chain timestamps, so the streaming funnel family's fold shape is
+    driver-oracled like snap/strans are for CDC/SCD2."""
     o = _t(spark, sf_dir, "orders")
     target_keys = o.filter(F.col("o_orderkey") % 3 == 0).select("o_orderkey")
     incoming = o.filter(F.col("o_totalprice") > 100000)
@@ -516,7 +556,35 @@ def insert_ignore_new_rows(spark, sf_dir):
         F.col("to_state").alias("attr"),
         F.col("n").cast("double").alias("val"),
     )
-    return ins.unionAll(snap).unionAll(strans)
+    from d2d_spark.operators.funnel import funnel_stages
+
+    pre = ev.filter(F.col("event_id") <= 4999)
+    fs = funnel_stages(
+        pre,
+        "user_id",
+        "ts",
+        "event_type",
+        ["signup", "view", "click", "purchase"],
+        within=172_800.0,
+    )
+    fmt = [
+        F.coalesce(
+            F.date_format(
+                F.timestamp_seconds(F.col(f"ts_step_{k + 1}")), "yyyy-MM-dd HH:mm:ss"
+            ),
+            F.lit(""),
+        )
+        for k in range(4)
+    ]
+    sfun = fs.select(
+        F.lit("sfun").alias("leg"),
+        F.col("user").cast("string").alias("k"),
+        F.concat(
+            fmt[0], F.lit("|"), fmt[1], F.lit("|"), fmt[2], F.lit("|"), fmt[3]
+        ).alias("attr"),
+        F.col("stage").cast("double").alias("val"),
+    )
+    return ins.unionAll(snap).unionAll(strans).unionAll(sfun)
 
 
 # ---------------------------------------------------------------------------
@@ -1002,14 +1070,113 @@ def _core_literal_rows() -> list[tuple]:
     return out
 
 
+def _modularity_literal_rows(max_rounds: int = 6) -> list[tuple]:
+    """(sftag, node, community) per fixture: the synchronous
+    modularity local-move labeling of the orders-derived graph,
+    computed by a pure-Python twin of graph.modularity_communities —
+    same symmetric collapse, same argmax-gain move with
+    stay-preferred / smallest-id ties, same first-best-Q selection,
+    and the same float expression chain (all inputs are exact
+    integer-valued doubles, so every gain is bit-identical between
+    the twin and the distributed pass)."""
+    import pyarrow.parquet as pq
+
+    from d2d_spark.plans.registry import fixture_table_paths
+
+    out: list[tuple] = []
+    for _fixture_path in fixture_table_paths("orders"):
+        try:
+            t = pq.read_table(_fixture_path, columns=["o_orderkey", "o_custkey"])
+        except Exception:
+            continue
+        oks = t["o_orderkey"].to_pylist()
+        cks = t["o_custkey"].to_pylist()
+        tag = len(oks)
+        w: dict = {}
+        nodes: set = set()
+        for ok, ck in zip(oks, cks):
+            if ok % 7 != 0:
+                continue
+            a, b = ck % 100, ok % 100
+            nodes.add(a)
+            nodes.add(b)
+            if a == b:
+                continue
+            # duplicate input edges SUM (multiplicity-as-weight — the
+            # operator's groupBy collapse; a pair linked 5 times is a
+            # 5x-strong tie)
+            w[(a, b)] = w.get((a, b), 0.0) + 1.0
+            w[(b, a)] = w.get((b, a), 0.0) + 1.0
+        if not nodes:
+            continue
+        k = {n: 0.0 for n in nodes}
+        adj: dict = {n: {} for n in nodes}
+        for (a, b), wt in w.items():
+            k[a] += wt
+            adj[a][b] = wt
+        two_m = sum(k.values())
+        labels = {n: n for n in nodes}
+        if two_m == 0.0:
+            out.extend((tag, n, labels[n]) for n in sorted(nodes))
+            continue
+
+        def q_of(lab):
+            tot: dict = {}
+            inw: dict = {}
+            for n in nodes:
+                tot[lab[n]] = tot.get(lab[n], 0.0) + k[n]
+            for (a, b), wt in w.items():
+                if lab[a] == lab[b]:
+                    inw[lab[a]] = inw.get(lab[a], 0.0) + wt
+            return sum(
+                inw.get(c, 0.0) / two_m - (tc / two_m) * (tc / two_m)
+                for c, tc in tot.items()
+            )
+
+        best, best_q = dict(labels), q_of(labels)
+        for _ in range(max_rounds):
+            tot: dict = {}
+            for n in nodes:
+                tot[labels[n]] = tot.get(labels[n], 0.0) + k[n]
+            nxt = {}
+            for n in nodes:
+                own = labels[n]
+                kic: dict = {}
+                for b2, wt in adj[n].items():
+                    c = labels[b2]
+                    kic[c] = kic.get(c, 0.0) + wt
+                kic.setdefault(own, 0.0)
+                cands = []
+                for c, kc in kic.items():
+                    tc = tot[c] - (k[n] if c == own else 0.0)
+                    gain = kc - k[n] * tc / two_m
+                    cands.append((-gain, 0 if c == own else 1, c))
+                cands.sort()
+                nxt[n] = cands[0][2]
+            changed = nxt != labels
+            labels = nxt
+            q = q_of(labels)
+            if q > best_q + 1e-12:
+                best, best_q = dict(labels), q
+            if not changed:
+                break
+        out.extend((tag, n, best[n]) for n in sorted(nodes))
+    return out
+
+
 def _orders_graph_oracle_full() -> str:
     """The pivot/triangles/lpa oracle plus the r10 coreness literal
-    block (built lazily — the registry resolves callables on first
-    access, so the per-fixture Python peel never runs at import)."""
+    block and the r11 modularity literal block (built lazily — the
+    registry resolves callables on first access, so the per-fixture
+    Python twins never run at import)."""
     rows = _core_literal_rows()
     if not rows:
         rows = [(-1, 0, 0)]
     values = ",\n     ".join(f"({t}, {n}, {c})" for t, n, c in rows)
+    mrows = _modularity_literal_rows()
+    if not mrows:
+        mrows = [(-1, 0, 0)]
+    mvalues = ",\n     ".join(f"({t}, {n}, {c})" for t, n, c in mrows)
     return (
         _orders_graph_oracle()
         + f"""
@@ -1018,6 +1185,12 @@ def _orders_graph_oracle_full() -> str:
            CAST(core AS BIGINT)
     FROM (VALUES
      {values}) AS core_exp(sftag, node, core)
+    WHERE sftag = (SELECT COUNT(*) FROM orders)
+    UNION ALL
+    SELECT 'modcom', CAST(node AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(community AS BIGINT)
+    FROM (VALUES
+     {mvalues}) AS mod_exp(sftag, node, community)
     WHERE sftag = (SELECT COUNT(*) FROM orders)
 """
     )
@@ -1759,9 +1932,25 @@ def top_hits_latest_event_per_user(spark, sf_dir):
                + CAST(o_totalprice > b3 AS INT) AS b
       FROM orders, qb WHERE o_totalprice IS NOT NULL)
     GROUP BY b
+    UNION ALL
+    SELECT leg, k, total FROM (
+      WITH rk AS (
+        SELECT o_orderkey,
+               RANK() OVER (ORDER BY o_totalprice) AS r,
+               DENSE_RANK() OVER (ORDER BY o_totalprice) AS d,
+               round(PERCENT_RANK() OVER (ORDER BY o_totalprice), 9) AS p
+        FROM orders WHERE o_totalprice IS NOT NULL)
+      SELECT 'rank' AS leg, CAST(o_orderkey AS VARCHAR) AS k, CAST(r AS DOUBLE) AS total
+      FROM rk WHERE o_orderkey % 1000 = 0
+      UNION ALL
+      SELECT 'rankd', CAST(o_orderkey AS VARCHAR), CAST(d AS DOUBLE)
+      FROM rk WHERE o_orderkey % 1000 = 0
+      UNION ALL
+      SELECT 'rankp', CAST(o_orderkey AS VARCHAR), CAST(p AS DOUBLE)
+      FROM rk WHERE o_orderkey % 1000 = 0)
     """,
     tags=("topk", "sort", "limit", "offset", "setops", "pivot", "unpivot",
-          "histogram", "discretize"),
+          "histogram", "discretize", "rank"),
 )
 def topk_setops_suite(spark, sf_dir):
     """The §2.7 sort/limit/set-op family in one tagged result
@@ -1786,7 +1975,14 @@ def topk_setops_suite(spark, sf_dir):
     zero-filled grid, identical float bucket arithmetic in both
     engines) and equal-frequency binning (quantiles.discretize — the
     scalable global ntile: exact quantile bounds + a map-only fold,
-    ties land in ONE bucket deterministically)."""
+    ties land in ONE bucket deterministically).
+
+    'rank'/'rankd'/'rankp' legs (r11) — ranks.ranked_values, the
+    distributed global-rank primitive (RANK / DENSE_RANK /
+    PERCENT_RANK over the full table via the quantiles prefix sum —
+    no unpartitioned window), sampled to orderkey % 1000 for the
+    compare; the oracle replays the literal window functions, so the
+    leg proves rank-vs-window equivalence cross-engine at sf0.01."""
     o = _t(spark, sf_dir, "orders")
     total = F.col("o_totalprice").cast(DEC).cast("double").alias("total")
     nd = F.lit(None).cast("double")
@@ -1854,10 +2050,38 @@ def topk_setops_suite(spark, sf_dir):
             F.col("n").cast("double").alias("total"),
         )
     )
+    # rank legs: one ranked_values pass (value-collapse prefix sum)
+    # joined to a deterministic key sample; all three variants derive
+    # from the same two cumulative counts, so this is ONE collapse
+    # shuffle + one join however many legs ride it
+    from d2d_spark.operators.ranks import ranked_values
+
+    rv = ranked_values(o.filter(F.col("o_totalprice").isNotNull()), "o_totalprice")
+    samp = o.filter(
+        (F.col("o_orderkey") % 1000 == 0) & F.col("o_totalprice").isNotNull()
+    ).select("o_orderkey", F.col("o_totalprice").alias("__v"))
+    rank_legs = (
+        samp.join(rv, "__v")
+        .select(
+            F.col("o_orderkey").cast("string").alias("k"),
+            F.col("__rank").cast("double").alias("rank"),
+            F.col("__dense").cast("double").alias("rankd"),
+            F.round(
+                F.when(
+                    F.col("__n") > 1,
+                    (F.col("__rank") - F.lit(1)).cast("double")
+                    / (F.col("__n") - F.lit(1)),
+                ).otherwise(F.lit(0.0)),
+                9,
+            ).alias("rankp"),
+        )
+        .unpivot(["k"], ["rank", "rankd", "rankp"], "leg", "total")
+        .select("leg", "k", "total")
+    )
     return (
         topk_leg.unionAll(offset_leg).unionAll(both).unionAll(c_only)
         .unionAll(s_only).unionAll(pivot_leg).unionAll(hist_leg)
-        .unionAll(disc_leg)
+        .unionAll(disc_leg).unionAll(rank_legs)
     )
 
 
@@ -2467,6 +2691,40 @@ def window_analytics_orders(spark, sf_dir):
                                     * (CAST(n AS DOUBLE) * syy - sy * sy)), 9)
              END AS rho_date_price
       FROM spm),
+    gspr AS (
+      -- GLOBAL average ranks (no partition) — the operator computes
+      -- these with the distributed prefix sum; values are identical
+      SELECT CAST(RANK() OVER (ORDER BY xd)
+                  + (COUNT(*) OVER (PARTITION BY xd) - 1) / 2.0
+                  AS DECIMAL(18,6)) AS rx,
+             CAST(RANK() OVER (ORDER BY op)
+                  + (COUNT(*) OVER (PARTITION BY op) - 1) / 2.0
+                  AS DECIMAL(18,6)) AS ry
+      FROM (SELECT date_diff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS xd,
+                   o_totalprice AS op
+            FROM orders
+            WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL)),
+    gspm AS (
+      SELECT COUNT(*) AS n,
+             CAST(CAST(SUM(rx) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(ry) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(rx AS DECIMAL(24,6)) * CAST(rx AS DECIMAL(24,6)))
+                       AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(rx AS DECIMAL(24,6)) * CAST(ry AS DECIMAL(24,6)))
+                       AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(CAST(ry AS DECIMAL(24,6)) * CAST(ry AS DECIMAL(24,6)))
+                       AS VARCHAR) AS DOUBLE) AS syy
+      FROM gspr),
+    gsps AS (
+      SELECT CASE WHEN n >= 2
+                       AND CAST(n AS DOUBLE) * sxx - sx * sx > 0
+                       AND CAST(n AS DOUBLE) * syy - sy * sy > 0
+                  THEN round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                             / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                                    * (CAST(n AS DOUBLE) * syy - sy * sy)), 9)
+             END AS rho_global
+      FROM gspm),
     wqs AS (
       SELECT c.o_orderpriority,
              MIN(CASE WHEN CAST(c.cum AS DOUBLE)
@@ -2498,9 +2756,11 @@ def window_analytics_orders(spark, sf_dir):
            ANY_VALUE(wqs.wq25_w) AS wq25_w,
            ANY_VALUE(wqs.wq50_w) AS wq50_w,
            ANY_VALUE(wqs.wq75_w) AS wq75_w,
-           ANY_VALUE(sps.rho_date_price) AS rho_date_price
+           ANY_VALUE(sps.rho_date_price) AS rho_date_price,
+           ANY_VALUE(gsps.rho_global) AS rho_global
     FROM orders o JOIN wz USING (o_orderpriority) JOIN mo USING (o_orderpriority)
          JOIN wqs USING (o_orderpriority) JOIN sps USING (o_orderpriority)
+         CROSS JOIN gsps
     GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
     """,
     tags=("agg", "stats", "distinct", "percentiles", "winsorize", "mad",
@@ -2607,12 +2867,24 @@ def agg_stats_orders(spark, sf_dir):
         "__xd",
         "o_totalprice",
     ).select("o_orderpriority", F.round("rho", 9).alias("rho_date_price"))
+    # rho_global (r11): the GLOBAL mode of spearman_corr — same two
+    # columns, no key, computed on the ranks.ranked_values prefix sum
+    # (no unpartitioned window over row-scale data; VERDICT r10 #1).
+    # One row, folded in by broadcast crossJoin; the oracle replays
+    # the identical average-rank + moment chain without a PARTITION BY
+    gsp = spearman_corr(
+        o.withColumn("__xd", F.unix_date(F.to_date("o_orderdate"))),
+        None,
+        "__xd",
+        "o_totalprice",
+    ).select(F.round("rho", 9).alias("rho_global"))
     return (
         main.join(F.broadcast(wide), "o_orderpriority")
         .join(F.broadcast(wz), "o_orderpriority")
         .join(F.broadcast(mo), "o_orderpriority")
         .join(F.broadcast(wqw), "o_orderpriority")
         .join(F.broadcast(sp), "o_orderpriority")
+        .crossJoin(F.broadcast(gsp))
         .orderBy("o_orderpriority")
     )
 
@@ -2898,7 +3170,8 @@ def range_interval_join_suite(spark, sf_dir):
 @query(
     "pivot_unpivot_roundtrip",
     oracle=_orders_graph_oracle_full,
-    tags=("agg", "pivot", "unpivot", "reshape", "triangles", "lpa", "k-core"),
+    tags=("agg", "pivot", "unpivot", "reshape", "triangles", "lpa", "k-core",
+          "modularity"),
 )
 def pivot_unpivot_roundtrip(spark, sf_dir):
     """Three orders-derived legs (triangles/lpa moved here from
@@ -2927,7 +3200,14 @@ def pivot_unpivot_roundtrip(spark, sf_dir):
     decomposition of the same graph via the staged distributed peel;
     core numbers are removal-order-independent, so the oracle's
     literal-VALUES Python twin (sequential textbook peel) pins them
-    exactly."""
+    exactly.
+
+    modcom (r11): graph.modularity_communities — synchronous
+    modularity local moving (the Louvain first phase) on the same
+    graph; the labeling is a pure function of the graph (synchronous
+    rounds, total tie order, first-best-Q selection), so the oracle's
+    literal-VALUES Python twin of the identical move rule pins every
+    (node, community) row exactly."""
     o = _t(spark, sf_dir, "orders")
     wide = (
         o.groupBy("o_orderpriority")
@@ -2987,7 +3267,30 @@ def pivot_unpivot_roundtrip(spark, sf_dir):
         ns.alias("attr"),
         F.col("core").cast("bigint").alias("cnt"),
     )
-    return pivot_leg.unionByName(tri).unionByName(lpa).unionByName(core_leg)
+    # modcom (r11, VERDICT r10 #5): graph.modularity_communities —
+    # the synchronous Louvain-style local-move pass on the same
+    # deterministic graph; the oracle is the literal-VALUES pure-
+    # Python twin (_modularity_literal_rows — same move rule, same
+    # float chain, same first-best-Q selection), the coreness-leg
+    # pattern for iterative ops with no SQL form
+    from d2d_spark.operators.graph import modularity_communities
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        mod = modularity_communities(tri_edges, max_rounds=6)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    mod_leg = mod.select(
+        F.lit("modcom").alias("leg"),
+        F.col("node").cast("string").alias("k"),
+        ns.alias("attr"),
+        F.col("community").cast("bigint").alias("cnt"),
+    )
+    return (
+        pivot_leg.unionByName(tri).unionByName(lpa).unionByName(core_leg)
+        .unionByName(mod_leg)
+    )
 
 
 def _soundex_py(s):

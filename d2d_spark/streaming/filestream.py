@@ -463,6 +463,26 @@ class _BatchKeyedParquetState:
             shutil.rmtree(final)
         self._os.rename(tmp, final)
 
+    @classmethod
+    def latest(cls, spark: SparkSession, state_dir: str):
+        """Newest persisted state frame in ``state_dir`` — None when
+        the directory is missing or holds no state (a sink that never
+        ran is an answerable question, not an OSError — r10 ADVICE).
+        The one reader behind every ``latest_*_state`` helper, so the
+        scan/guard logic lives once."""
+        import os
+        import re
+
+        if not os.path.isdir(state_dir):
+            return None
+        pat = re.compile(cls._PAT)
+        ids = [int(m.group(1)) for n in os.listdir(state_dir) if (m := pat.match(n))]
+        if not ids:
+            return None
+        return spark.read.parquet(
+            os.path.join(state_dir, f"state_after_batch_{max(ids)}")
+        )
+
 
 def stream_cms_sink(
     df: DataFrame,
@@ -527,15 +547,8 @@ def stream_cms_sink(
 
 def latest_cms_state(spark: SparkSession, state_dir: str):
     """The newest persisted sketch from a `stream_cms_sink` state dir
-    (None if empty) — feed it to `operators/freq.cms_lookup`."""
-    import os
-    import re
-
-    pat = re.compile(r"^state_after_batch_(\d+)$")
-    ids = [int(pat.match(n).group(1)) for n in os.listdir(state_dir) if pat.match(n)]
-    if not ids:
-        return None
-    return spark.read.parquet(os.path.join(state_dir, f"state_after_batch_{max(ids)}"))
+    (None if missing/empty) — feed it to `operators/freq.cms_lookup`."""
+    return _BatchKeyedParquetState.latest(spark, state_dir)
 
 
 def stream_quantile_sink(
@@ -611,15 +624,8 @@ def stream_quantile_sink(
 
 def latest_quantile_state(spark: SparkSession, state_dir: str):
     """The newest persisted (value, count) state from a
-    `stream_quantile_sink` dir (None if empty)."""
-    import os
-    import re
-
-    pat = re.compile(r"^state_after_batch_(\d+)$")
-    ids = [int(pat.match(n).group(1)) for n in os.listdir(state_dir) if pat.match(n)]
-    if not ids:
-        return None
-    return spark.read.parquet(os.path.join(state_dir, f"state_after_batch_{max(ids)}"))
+    `stream_quantile_sink` dir (None if missing/empty)."""
+    return _BatchKeyedParquetState.latest(spark, state_dir)
 
 
 def stream_quantiles(state: DataFrame, probs) -> DataFrame:

@@ -637,3 +637,83 @@ def test_core_numbers_known_graphs_and_twin(spark):
 
     with pt.raises(ValueError, match="max_iters"):
         core_numbers(df, max_iters=1)
+
+
+def test_core_numbers_deep_chain_bounded_plan(spark):
+    """The r10 VERDICT #2 stress: a long path graph peels only its
+    endpoints each pass (~n/2 passes, all inside stage 2), which must
+    (a) NOT be refused — max_iters bounds STAGES, not fixpoint passes
+    (r10 ADVICE) — and (b) keep the returned plan bounded: the
+    accumulator truncates every truncate_out_every passes, so compile
+    cost stays flat however deep the peel ran."""
+    from d2d_spark.operators.graph import core_numbers
+
+    n = 60  # ~30 fixpoint passes, 1 stage
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    out = core_numbers(chain, max_iters=5, truncate_out_every=4)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    # bounded: at most truncate_out_every union branches survive; an
+    # untruncated accumulator would hold ~30 branches and blow this
+    assert plan.count("Union") <= 4, plan.count("Union")
+    got = {r["node"]: r["core"] for r in out.collect()}
+    assert got == {i: 1 for i in range(n)}
+
+
+def test_core_numbers_degeneracy_ladder_stages(spark):
+    """Nested-clique ladder (K2 .. K6 sharing nothing): cores 1..5,
+    five stage advances, still inside a tight stage cap."""
+    from d2d_spark.operators.graph import core_numbers
+
+    pairs = []
+    base = 0
+    for k in range(2, 7):
+        nodes = list(range(base, base + k))
+        pairs += [(a, b) for i, a in enumerate(nodes) for b in nodes[i + 1 :]]
+        base += k
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r["node"]: r["core"] for r in core_numbers(df, max_iters=10).collect()}
+    assert got == _py_core_numbers(pairs)
+    assert sorted(set(got.values())) == [1, 2, 3, 4, 5]
+
+
+def test_core_topo_empty_schema_keeps_node_type(spark):
+    """r10 ADVICE: the empty-result schema derives the node type from
+    the input (long here), so an empty-input union with a typed
+    downstream frame type-checks exactly like the non-empty path."""
+    from pyspark.sql.types import IntegerType, LongType
+
+    from d2d_spark.operators.graph import core_numbers, topo_layers
+
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    for fn, val_col in ((core_numbers, "core"), (topo_layers, "layer")):
+        out = fn(empty_edges)
+        assert out.schema["node"].dataType == LongType(), fn.__name__
+        assert out.schema[val_col].dataType == IntegerType(), fn.__name__
+        typed = spark.createDataFrame([(7, 1)], f"node long, {val_col} int")
+        assert out.unionByName(typed).count() == 1
+    # self-loop-only input filters to an empty simple graph -> same
+    loops = spark.createDataFrame([(3, 3), (4, 4)], "src long, dst long")
+    out = core_numbers(loops)
+    assert out.count() == 0 and out.schema["node"].dataType == LongType()
+
+
+def test_topo_layers_deep_dag_bounded_plan(spark):
+    """Deep-DAG twin of the core_numbers stress: an 80-layer chain
+    (plus a parallel strand to keep layers 2-wide) truncates its
+    accumulator every 8 layers — bounded union count in the returned
+    plan, layers still exact."""
+    from d2d_spark.operators.graph import topo_layers
+
+    depth = 80
+    edges = [(f"a{i}", f"a{i+1}") for i in range(depth - 1)]
+    edges += [(f"b{i}", f"b{i+1}") for i in range(depth - 1)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = topo_layers(df, truncate_out_every=8)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert plan.count("Union") <= 8, plan.count("Union")
+    got = {r["node"]: r["layer"] for r in out.collect()}
+    assert len(got) == 2 * depth
+    for i in range(depth):
+        assert got[f"a{i}"] == i and got[f"b{i}"] == i

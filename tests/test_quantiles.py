@@ -414,3 +414,21 @@ def test_stream_quantile_sink_equals_batch_exact(spark, tmp_path):
         stream_quantile_sink(
             file_stream(spark, str(src) + "/*", schema), "v", state2, ckpt
         )
+
+
+def test_latest_state_missing_or_empty_dir_returns_none(spark, tmp_path):
+    """r10 ADVICE: a sink that never ran is an answerable question —
+    both latest_*_state readers return None for a missing OR empty
+    state dir instead of raising FileNotFoundError."""
+    from d2d_spark.streaming.filestream import (
+        latest_cms_state,
+        latest_quantile_state,
+    )
+
+    missing = str(tmp_path / "never_created")
+    assert latest_quantile_state(spark, missing) is None
+    assert latest_cms_state(spark, missing) is None
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert latest_quantile_state(spark, str(empty)) is None
+    assert latest_cms_state(spark, str(empty)) is None
