@@ -392,6 +392,17 @@ def main() -> int:
     for name, run in r10.items():
         timed_leg(name, run)
 
+    # r11: the distributed global-rank primitive at full SF — the
+    # value-collapse prefix sum over lineitem prices plus the join
+    # back to every row (the plan spearman's global mode and any
+    # rank-derived column rides); .count() forces the full join
+    from d2d_spark.operators.ranks import rank_global as _rg
+
+    timed_leg(
+        "rank_global_lineitem",
+        lambda: _rg(li, "l_extendedprice", "avg", "r").count(),
+    )
+
     # End-to-end Migration throughput (rows/s), comparable to the
     # reference's best batched write path (~15.6k rows/s,
     # BASELINE.md): lineitem through read -> transform -> sink.

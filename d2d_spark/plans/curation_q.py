@@ -653,7 +653,8 @@ def _lr_cte_chain() -> str:
     ),
     {_lr_cte_chain()},
     aucd AS (
-      SELECT round(1.0 / (1.0 + exp(-(coalesce(marg.m, 0.0) + pri.pm))), 6) AS v,
+      SELECT d.doc_id,
+             round(1.0 / (1.0 + exp(-(coalesce(marg.m, 0.0) + pri.pm))), 6) AS v,
              CAST(d.lang = 'en' AS BIGINT) AS y
       FROM documents d LEFT JOIN marg USING (doc_id) CROSS JOIN pri
       WHERE d.lang IS NOT NULL),
@@ -682,7 +683,15 @@ def _lr_cte_chain() -> str:
     isomn AS (SELECT i.b AS b, r.j, MIN(r.r) AS mn
               FROM isoc i JOIN isor r ON r.j <= i.b AND r.k >= i.b
               GROUP BY i.b, r.j),
-    isofit AS (SELECT b, MAX(mn) AS prob FROM isomn GROUP BY b)
+    isofit AS (SELECT b, MAX(mn) AS prob FROM isomn GROUP BY b),
+    iapp AS (
+      -- apply over the SAME corpus the model was fit on: every
+      -- score's bin is present, so the floor lookup is its own bin
+      SELECT a.doc_id, f.prob
+      FROM (SELECT doc_id,
+                   GREATEST(LEAST(CAST(FLOOR(v * 40.0) AS BIGINT), 39), 0) AS b
+            FROM aucd) a
+      JOIN isofit f USING (b))
     SELECT 'gpt3' AS leg, d.doc_id,
            round(1.0 / (1.0 + exp(-(coalesce(marg.m, 0.0) + pri.pm))), 6) AS val
     FROM documents d LEFT JOIN marg USING (doc_id) CROSS JOIN pri
@@ -704,6 +713,8 @@ def _lr_cte_chain() -> str:
     SELECT 'iso' AS leg, b, round(prob, 9) FROM isofit
     UNION ALL
     SELECT 'iso_n' AS leg, b, CAST(w AS DOUBLE) FROM isoc
+    UNION ALL
+    SELECT 'iso_apply' AS leg, doc_id, round(prob, 9) FROM iapp
     UNION ALL
     SELECT 'dsir_w' AS leg, doc_id, round(lw, 6) FROM dw
     UNION ALL
@@ -830,15 +841,17 @@ def gpt3_quality_score(spark, sf_dir):
     # on both engines).
     from d2d_spark.operators.stats import binary_auc
 
-    aucdf = (
+    aucdoc = (
         out.select("doc_id", "quality_prob")
         .join(d.select("doc_id", "lang"), "doc_id")
         .filter(F.col("lang").isNotNull())
         .select(
+            "doc_id",
             (F.col("lang") == "en").alias("y"),
             F.round("quality_prob", 6).alias("s"),
         )
     )
+    aucdf = aucdoc.select("y", "s")
     a = binary_auc(aucdf, "y", "s")
     auc_rows = [
         ("auc", None, round(a["auc"], 9)),
@@ -854,7 +867,10 @@ def gpt3_quality_score(spark, sf_dir):
     # fit(i) = max_{j<=i} min_{k>=i} rate(j..k) in O(bins^3) SQL —
     # a structurally DIFFERENT algorithm whose equality with PAV is
     # the textbook theorem (test_calibrate pins it on exact
-    # Fractions); iso_n pins the bin occupancy itself.
+    # Fractions); iso_n pins the bin occupancy; iso_apply pins the
+    # serving path (apply_isotonic's floor lookup) per doc — on the
+    # fit corpus every score's bin is present, so the oracle is one
+    # bin equi-join.
     from d2d_spark.operators.calibrate import isotonic_calibrate
 
     iso_model = isotonic_calibrate(aucdf, "y", "s", num_bins=40, lo=0.0, hi=1.0)
@@ -868,10 +884,20 @@ def gpt3_quality_score(spark, sf_dir):
         F.col("bin").alias("doc_id"),
         F.col("n").cast("double").alias("val"),
     )
+    # iso_apply: calibrate.apply_isotonic over the fit corpus itself
+    # (one-row boundary-array broadcast + floor lookup — the map-only
+    # serving path), so the apply semantics are driver-pinned too
+    from d2d_spark.operators.calibrate import apply_isotonic
+
+    iso_apply = apply_isotonic(aucdoc, "s", iso_model, "calibrated").select(
+        F.lit("iso_apply").alias("leg"),
+        "doc_id",
+        F.round("calibrated", 9).alias("val"),
+    )
     return (
         gpt3.unionByName(dsir_w).unionByName(dsir_pick)
         .unionByName(lr_w).unionByName(lr_p).unionByName(auc_leg)
-        .unionByName(iso_leg).unionByName(iso_n)
+        .unionByName(iso_leg).unionByName(iso_n).unionByName(iso_apply)
     )
 
 
