@@ -291,13 +291,27 @@ def cooccurrence_pmi(
         raise ValueError(
             f"cooccurrence_pmi: max_items_per_group must be >= 2, got {max_items_per_group}"
         )
-    base = (
+    from pyspark import StorageLevel
+
+    from d2d_spark import cache as opcache
+
+    # r11 (guide §2.4): base feeds the marginals AND the group lists;
+    # lists feeds the bomb/count probe and the pair fan-out. Persist
+    # both once per call (group- and presence-bounded frames) so the
+    # input scan + distinct shuffle run once — the eager stats probe
+    # below fills both caches in one job.
+    base = opcache.register(
+        "pmi",
         df.filter(F.col(group_col).isNotNull() & F.col(item_col).isNotNull())
         .select(F.col(group_col).alias("__g"), F.col(item_col).alias("__i"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK),
     )
-    lists = base.groupBy("__g").agg(
-        F.sort_array(F.collect_list("__i")).alias("__items")
+    lists = opcache.register(
+        "pmi",
+        base.groupBy("__g")
+        .agg(F.sort_array(F.collect_list("__i")).alias("__items"))
+        .persist(StorageLevel.MEMORY_AND_DISK),
     )
     stats = lists.agg(
         F.max(F.size("__items")).alias("mx"), F.count(F.lit(1)).alias("ng")
@@ -390,10 +404,19 @@ def frequent_itemsets(
         raise ValueError(
             f"frequent_itemsets: max_items_per_group must be >= 2, got {max_items_per_group}"
         )
-    base = (
+    from pyspark import StorageLevel
+
+    from d2d_spark import cache as opcache
+
+    # r11 (guide §2.4): base feeds the bomb probe, L1, and the
+    # L1/L2-pruned semi-joins — persist once per call so the input
+    # scan + distinct shuffle run once instead of once per rung.
+    base = opcache.register(
+        "itemsets",
         df.filter(F.col(group_col).isNotNull() & F.col(item_col).isNotNull())
         .select(F.col(group_col).alias("__g"), F.col(item_col).cast("string").alias("__i"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK),
     )
     spark = df.sparkSession
     schema = (

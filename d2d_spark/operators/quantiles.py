@@ -88,10 +88,23 @@ def quantiles_exact(
     partition; no executor ever buffers the value multiset."""
     probs = _check_probs(probs)
     v = F.col(value_col)
-    counts = (
+    from pyspark import StorageLevel
+
+    from d2d_spark import cache as opcache
+
+    # r11 (guide §2.4): the collapse frame feeds FOUR consumers
+    # (boundary sketch, bucket offsets, total, the bucketed scan) and
+    # without a persist the scan + value-collapse shuffle run 2-4x per
+    # plan (measured: two separate collapse stages and 4 reads of the
+    # exchange at sf0.1). Persist once per call under the opcache
+    # discipline — the binary_auc pattern; distinct-value-sized, the
+    # module's documented working set.
+    counts = opcache.register(
+        "quantiles",
         df.filter(v.isNotNull())
         .groupBy(v.alias("__v"))
         .agg(F.count(F.lit(1)).alias("__c"))
+        .persist(StorageLevel.MEMORY_AND_DISK),
     )
     if num_partitions is not None and num_partitions < 1:
         raise ValueError(f"num_partitions must be >= 1, got {num_partitions}")
@@ -456,22 +469,35 @@ def weighted_quantiles_exact(
     probs = _check_probs(probs)
     dec = "decimal(18,6)"
     v, w = F.col(value_col), F.col(weight_col)
-    bad = (
+    from pyspark import StorageLevel
+
+    from d2d_spark import cache as opcache
+
+    # r11 (guide §2.3/§2.4): the weight-validity probe used to be its
+    # own full scan BEFORE the collapse; folding the per-value bad
+    # flag into the collapse aggregate and probing the PERSISTED
+    # collapse does validation and cache-fill in one pass — one scan
+    # per call instead of 4-5 (probe + the collapse recomputed per
+    # consumer, measured at sf0.1).
+    counts = opcache.register(
+        "quantiles",
         df.filter(v.isNotNull())
-        .agg(F.max(w.isNull() | (w <= 0)).alias("bad"))
-        .first()
+        .groupBy(v.alias("__v"))
+        .agg(
+            F.sum(w.cast(dec)).alias("__c"),
+            F.max(w.isNull() | (w <= 0)).alias("__bad"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK),
     )
+    bad = counts.agg(F.max("__bad").alias("bad")).first()
     if bad["bad"]:
+        opcache.deregister("quantiles", [counts])
         raise ValueError(
             "weighted_quantiles_exact: NULL or non-positive weights — a zero "
             "weight is unselectable and a negative one breaks CDF "
             "monotonicity; repair upstream"
         )
-    counts = (
-        df.filter(v.isNotNull())
-        .groupBy(v.alias("__v"))
-        .agg(F.sum(w.cast(dec)).alias("__c"))
-    )
+    counts = counts.select("__v", "__c")
     spark = df.sparkSession
     nb = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     bnds = counts.agg(

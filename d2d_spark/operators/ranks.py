@@ -69,11 +69,25 @@ def ranked_values(
     the only ordered windows run over bucket-count-sized frames or
     within a bucket."""
     v = F.col(value_col)
-    counts = (
+    from pyspark import StorageLevel
+
+    from d2d_spark import cache as opcache
+
+    # r11 (guide §2.4): the collapse feeds the boundary sketch, the
+    # per-bucket offsets, the totals AND the bucketed scan — persist
+    # once per call (the quantiles/binary_auc discipline) so the scan
+    # + value-collapse shuffle run once, not once per consumer. The
+    # eager fill pins the blocks BEFORE the consumers race on an
+    # unfilled cache inside one job (the minhash lesson); the final
+    # localCheckpoint below lets this cache release at return.
+    counts = opcache.register(
+        "ranks",
         df.filter(v.isNotNull())
         .groupBy(v.alias("__v"))
         .agg(F.count(F.lit(1)).alias("__c"))
+        .persist(StorageLevel.MEMORY_AND_DISK),
     )
+    counts.count()
     if num_partitions is not None and num_partitions < 1:
         raise ValueError(f"num_partitions must be >= 1, got {num_partitions}")
     nb = num_partitions or int(
@@ -148,7 +162,7 @@ def ranked_values(
         (rank * F.lit(2) + F.col("__c") - F.lit(1)).cast("decimal(28,6)")
         / F.lit(2)
     ).cast("decimal(28,6)")
-    return out.select(
+    ranked = out.select(
         "__v",
         "__c",
         rank.cast("long").alias("__rank"),
@@ -157,6 +171,20 @@ def ranked_values(
         "__n",
         "__nd",
     )
+    # r11 (guide §3.3 "materialise an intermediate to truncate the
+    # plan"): the rank frame is DISTINCT-VALUE sized — bounded by the
+    # same working-set contract as the persisted collapse — but its
+    # LINEAGE embeds the input plan ~6x (collapse + sketch + offsets +
+    # totals + bucketed scan). A caller that chains rank_global calls
+    # (topk_setops' rank/rankd/rankp legs, the equivalence tests)
+    # multiplies plans 6x PER CALL, and Spark re-renders the full plan
+    # string per AQE stage update — measured minutes of driver CPU in
+    # generateTreeString on a 4-deep chain. localCheckpoint cuts the
+    # lineage at a bounded frame; the collapse cache has served every
+    # consumer by now, so it releases here instead of accumulating.
+    ranked = ranked.localCheckpoint(eager=True)
+    opcache.deregister("ranks", [counts])
+    return ranked
 
 
 def rank_global(

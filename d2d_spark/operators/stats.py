@@ -383,7 +383,16 @@ def ks_two_sample(
     (<= #buckets rows, one tiny window) and a WITHIN-bucket cumulative
     window: no global single-partition sort anywhere. 100 TB cost =
     the value-collapse groupBy."""
-    counts = (
+    from pyspark import StorageLevel
+
+    from d2d_spark import cache as opcache
+
+    # r11 (guide §2.4): the collapse feeds four consumers (totals,
+    # boundary sketch, offsets, the bucketed scan) — persist it once
+    # per call and drop it before returning (the result is an eager
+    # dict, so every action has run by then; the binary_auc pattern)
+    counts = opcache.register(
+        "ks_two_sample",
         df.filter(
             F.col(group_col).isin([group_a, group_b]) & F.col(value_col).isNotNull()
         )
@@ -392,7 +401,21 @@ def ks_two_sample(
             F.sum((F.col(group_col) == F.lit(group_a)).cast("long")).alias("__ca"),
             F.sum((F.col(group_col) == F.lit(group_b)).cast("long")).alias("__cb"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK),
     )
+    try:
+        return _ks_two_sample_body(df, counts, group_a, group_b, num_partitions)
+    finally:
+        opcache.deregister("ks_two_sample", [counts])
+
+
+def _ks_two_sample_body(
+    df: DataFrame,
+    counts: DataFrame,
+    group_a,
+    group_b,
+    num_partitions: int | None,
+) -> dict:
     tot = counts.agg(
         F.sum("__ca").alias("na"), F.sum("__cb").alias("nb")
     ).first()

@@ -41,6 +41,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # r11: plan STRINGS are rendered per SQL-listener event (and
+        # re-rendered per AQE stage update); the default cap is ~2 GB,
+        # so a deep composite plan burns driver CPU + heap building
+        # strings nothing reads (measured: minutes in
+        # generateTreeString on chained-operator plans). 8 MB keeps
+        # every explain()/audit dump intact (largest real plan ~0.6 MB)
+        # while bounding the pathological case.
+        .config("spark.sql.maxPlanStringLength", "8388608")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
         .config("spark.ui.enabled", "false")
