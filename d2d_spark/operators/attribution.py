@@ -64,59 +64,19 @@ def _secs(what: str, spec: str) -> float:
     return s
 
 
-def attribution(
+def _pair_frame(
     df: DataFrame,
     key_col: str,
     ts_col: str,
     state_col: str,
-    conversion_states: Sequence[str],
-    touch_states: Sequence[str],
-    model: str = "last_touch",
-    lookback: str | None = None,
-    halflife: str | None = None,
-    bin_width: float | None = None,
-    include_unattributed: bool = False,
-    validate: bool = True,
-) -> DataFrame:
-    """(key, conv_ts, conv_state, touch_ts, touch_state, n_touches,
-    credit) — one row per credited (conversion, touch) pair; credits
-    over each conversion sum to exactly 1.0 (last/first emit a single
-    row). ``lookback`` ('48 hours') bounds how far back touches
-    qualify — None means every earlier touch of the key qualifies
-    (unbounded per-key fan-out; pass a lookback at scale).
-    ``halflife`` is required for (and only for) time_decay.
-    ``include_unattributed`` adds conversions with NO qualifying touch
-    as (touch_ts NULL, touch_state NULL, n_touches 0, credit 1.0) rows
-    — the "direct conversion" bucket.
-
-    Cost model at 100 TB: the pair join is the whole story. Default
-    path = key equi-join + time residual (sort-merge, per-key
-    conversions x touches); ``bin_width`` (seconds, requires
-    lookback) = the binned interval join — explode factor
-    lookback/bin_width + 1 on the conversion side, 1-2 bins per touch
-    — when keys are skewed or lookbacks long. Results are identical
-    (pytest-pinned)."""
-    if model not in _MODELS:
-        raise ValueError(f"attribution: model must be one of {_MODELS}, got {model!r}")
-    conv_states = list(conversion_states)
-    tch_states = list(touch_states)
-    if not conv_states or not tch_states:
-        raise ValueError("attribution: conversion_states and touch_states must be non-empty")
-    if model == "time_decay":
-        if halflife is None:
-            raise ValueError("attribution: time_decay needs halflife= ('6 hours')")
-        half_s = _secs("halflife", halflife)
-    elif halflife is not None:
-        raise ValueError(f"attribution: halflife only applies to time_decay, not {model}")
-    look_s = _secs("lookback", lookback) if lookback is not None else None
-    if bin_width is not None and look_s is None:
-        raise ValueError(
-            "attribution: bin_width (the binned scale path) needs a lookback — "
-            "an unbounded window has no interval to bin"
-        )
-    if validate:
-        _probe_events(df, key_col, ts_col, state_col, (), "attribution")
-
+    conv_states: list,
+    tch_states: list,
+    look_s: float | None,
+    bin_width: float | None,
+):
+    """The shared (conversion, touch) pair join — one construction for
+    the single-model path and the r11 multi-model path, so both emit
+    identical pair rows by definition. Returns (pairs, conv, _num)."""
     conv = df.filter(F.col(state_col).isin(conv_states)).select(
         F.col(key_col).alias("__k"),
         F.col(ts_col).alias("conv_ts"),
@@ -172,6 +132,80 @@ def attribution(
         ).filter(in_window).select(
             "__k", "conv_ts", "conv_state", "touch_ts", "touch_state"
         )
+    return pairs, conv, _num
+
+
+def attribution(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    conversion_states: Sequence[str],
+    touch_states: Sequence[str],
+    model: str | Sequence[str] = "last_touch",
+    lookback: str | None = None,
+    halflife: str | None = None,
+    bin_width: float | None = None,
+    include_unattributed: bool = False,
+    validate: bool = True,
+) -> DataFrame:
+    """(key, conv_ts, conv_state, touch_ts, touch_state, n_touches,
+    credit) — one row per credited (conversion, touch) pair; credits
+    over each conversion sum to exactly 1.0 (last/first emit a single
+    row). ``lookback`` ('48 hours') bounds how far back touches
+    qualify — None means every earlier touch of the key qualifies
+    (unbounded per-key fan-out; pass a lookback at scale).
+    ``halflife`` is required for (and only for) time_decay.
+    ``include_unattributed`` adds conversions with NO qualifying touch
+    as (touch_ts NULL, touch_state NULL, n_touches 0, credit 1.0) rows
+    — the "direct conversion" bucket.
+
+    Cost model at 100 TB: the pair join is the whole story. Default
+    path = key equi-join + time residual (sort-merge, per-key
+    conversions x touches); ``bin_width`` (seconds, requires
+    lookback) = the binned interval join — explode factor
+    lookback/bin_width + 1 on the conversion side, 1-2 bins per touch
+    — when keys are skewed or lookbacks long. Results are identical
+    (pytest-pinned).
+
+    r11 (guide §1.2, fewer passes): ``model`` may be a SEQUENCE of
+    models. The pair join and the rank/count windows then run ONCE
+    and every requested model's credits are projected off the same
+    persisted scored frame (opcache tag 'attribution', output-sized);
+    the result gains a ``model`` column (last position) and each
+    model's rows are bit-identical to its single-model call — the
+    per-model credit expressions are shared, not re-derived. Five
+    models for the price of one pair join instead of five."""
+    if not isinstance(model, str):
+        return _attribution_multi(
+            df, key_col, ts_col, state_col, conversion_states, touch_states,
+            list(model), lookback, halflife, bin_width, include_unattributed,
+            validate,
+        )
+    if model not in _MODELS:
+        raise ValueError(f"attribution: model must be one of {_MODELS}, got {model!r}")
+    conv_states = list(conversion_states)
+    tch_states = list(touch_states)
+    if not conv_states or not tch_states:
+        raise ValueError("attribution: conversion_states and touch_states must be non-empty")
+    if model == "time_decay":
+        if halflife is None:
+            raise ValueError("attribution: time_decay needs halflife= ('6 hours')")
+        half_s = _secs("halflife", halflife)
+    elif halflife is not None:
+        raise ValueError(f"attribution: halflife only applies to time_decay, not {model}")
+    look_s = _secs("lookback", lookback) if lookback is not None else None
+    if bin_width is not None and look_s is None:
+        raise ValueError(
+            "attribution: bin_width (the binned scale path) needs a lookback — "
+            "an unbounded window has no interval to bin"
+        )
+    if validate:
+        _probe_events(df, key_col, ts_col, state_col, (), "attribution")
+
+    pairs, conv, _num = _pair_frame(
+        df, key_col, ts_col, state_col, conv_states, tch_states, look_s, bin_width
+    )
 
     part = Window.partitionBy("__k", "conv_ts")
     n = F.count(F.lit(1)).over(part)
@@ -241,4 +275,146 @@ def attribution(
             )
         )
         out = out.unionByName(direct)
+    return out
+
+
+def _attribution_multi(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    conversion_states: Sequence[str],
+    touch_states: Sequence[str],
+    models: list,
+    lookback: str | None,
+    halflife: str | None,
+    bin_width: float | None,
+    include_unattributed: bool,
+    validate: bool,
+) -> DataFrame:
+    """Several credit models off ONE pair join (r11, guide §1.2):
+    builds the (conversion, touch) pairs and the rank/count windows
+    once, persists the scored frame (opcache tag 'attribution' —
+    output-sized, the honest footprint of sharing), and projects each
+    model's credits with the SAME expressions the single-model path
+    uses — per-model rows are bit-identical to five separate calls.
+    Output schema = single-model schema + a trailing ``model``
+    column."""
+    if not models:
+        raise ValueError("attribution: model sequence must be non-empty")
+    bad = [m for m in models if m not in _MODELS]
+    if bad:
+        raise ValueError(f"attribution: model must be one of {_MODELS}, got {bad}")
+    if len(set(models)) != len(models):
+        raise ValueError(f"attribution: duplicate models in {models}")
+    conv_states = list(conversion_states)
+    tch_states = list(touch_states)
+    if not conv_states or not tch_states:
+        raise ValueError("attribution: conversion_states and touch_states must be non-empty")
+    if "time_decay" in models:
+        if halflife is None:
+            raise ValueError("attribution: time_decay needs halflife= ('6 hours')")
+        half_s = _secs("halflife", halflife)
+    elif halflife is not None:
+        raise ValueError(
+            f"attribution: halflife only applies to time_decay, not {models}"
+        )
+    look_s = _secs("lookback", lookback) if lookback is not None else None
+    if bin_width is not None and look_s is None:
+        raise ValueError(
+            "attribution: bin_width (the binned scale path) needs a lookback — "
+            "an unbounded window has no interval to bin"
+        )
+    if validate:
+        _probe_events(df, key_col, ts_col, state_col, (), "attribution")
+
+    pairs, conv, _num = _pair_frame(
+        df, key_col, ts_col, state_col, conv_states, tch_states, look_s, bin_width
+    )
+
+    from pyspark import StorageLevel
+
+    from d2d_spark import cache as opcache
+
+    part = Window.partitionBy("__k", "conv_ts")
+    asc = Window.partitionBy("__k", "conv_ts").orderBy(F.col("touch_ts").asc())
+    desc = Window.partitionBy("__k", "conv_ts").orderBy(F.col("touch_ts").desc())
+    base = (
+        pairs.withColumn("__ra", F.row_number().over(asc))
+        .withColumn("__rd", F.row_number().over(desc))
+        .withColumn("__n", F.count(F.lit(1)).over(part).cast("long"))
+    )
+    if "time_decay" in models:
+        age = _num(F.col("conv_ts")) - _num(F.col("touch_ts"))
+        base = base.withColumn("__w", F.pow(F.lit(2.0), -age / F.lit(half_s)))
+        base = base.withColumn("__sw", F.sum("__w").over(part))
+    # all three window specs share ONE (__k, conv_ts) exchange; the
+    # persist lets every model leg read the scored rows instead of
+    # re-running the pair join per leg, and the eager count fills the
+    # cache before the union's legs race on it inside one job
+    base = opcache.register(
+        "attribution", base.persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    base.count()
+
+    outs = []
+    for m in models:
+        if m == "last_touch":
+            scored = base.filter(F.col("__rd") == 1).withColumn(
+                "n_touches", F.lit(1).cast("long")
+            ).withColumn("credit", F.lit(1.0))
+        elif m == "first_touch":
+            scored = base.filter(F.col("__ra") == 1).withColumn(
+                "n_touches", F.lit(1).cast("long")
+            ).withColumn("credit", F.lit(1.0))
+        elif m == "linear":
+            scored = base.withColumn("n_touches", F.col("__n")).withColumn(
+                "credit", F.lit(1.0) / F.col("n_touches")
+            )
+        elif m == "time_decay":
+            scored = base.withColumn("n_touches", F.col("__n")).withColumn(
+                "credit", F.col("__w") / F.col("__sw")
+            )
+        else:  # position (U-shape 40/20/40)
+            scored = base.withColumn("n_touches", F.col("__n")).withColumn(
+                "credit",
+                F.when(F.col("n_touches") == 1, F.lit(1.0))
+                .when(F.col("n_touches") == 2, F.lit(0.5))
+                .when((F.col("__ra") == 1) | (F.col("__rd") == 1), F.lit(0.4))
+                .otherwise(F.lit(0.2) / (F.col("n_touches") - 2)),
+            )
+        outs.append(
+            scored.select(
+                F.col("__k").alias(key_col),
+                "conv_ts",
+                "conv_state",
+                "touch_ts",
+                "touch_state",
+                "n_touches",
+                "credit",
+                F.lit(m).alias("model"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    if include_unattributed:
+        direct = (
+            conv.join(
+                base.select("__k", "conv_ts").distinct(),
+                ["__k", "conv_ts"],
+                "left_anti",
+            )
+            .select(
+                F.col("__k").alias(key_col),
+                "conv_ts",
+                "conv_state",
+                F.lit(None).cast(df.schema[ts_col].dataType).alias("touch_ts"),
+                F.lit(None).cast(df.schema[state_col].dataType).alias("touch_state"),
+                F.lit(0).cast("long").alias("n_touches"),
+                F.lit(1.0).alias("credit"),
+            )
+        )
+        for m in models:
+            out = out.unionByName(direct.withColumn("model", F.lit(m)))
     return out

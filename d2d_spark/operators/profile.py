@@ -457,6 +457,26 @@ def mutual_information(
     }
 
 
+def _two_side_counts(ref, new, key_expr, key_name: str):
+    """One tagged union + ONE groupBy collect for both drift sides
+    (r11, guide §1.2 'fewer passes'): the ref/new bucket histograms
+    used to be two separate collect jobs run back-to-back; unioning
+    the sides under a 0/1 tag computes both in a single job (and the
+    two scans run concurrently inside it). Counts are exact longs, so
+    PSI/JSD outputs are bit-identical to the two-job form."""
+    tagged = ref.select(key_expr, F.lit(0).alias("__side")).unionAll(
+        new.select(key_expr, F.lit(1).alias("__side"))
+    )
+    rows = (
+        tagged.groupBy("__side", key_name)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    rc = {r[key_name]: r["c"] for r in rows if r["__side"] == 0}
+    nc = {r[key_name]: r["c"] for r in rows if r["__side"] == 1}
+    return rc, nc
+
+
 def population_stability_index(
     df_ref: DataFrame,
     df_new: DataFrame,
@@ -498,8 +518,7 @@ def population_stability_index(
                 "population_stability_index: breakpoints only apply to "
                 "numeric mode; categorical bins are the values themselves"
             )
-        rc = {r["k"]: r["c"] for r in ref.groupBy(F.col(col).alias("k")).agg(F.count(F.lit(1)).alias("c")).collect()}
-        nc = {r["k"]: r["c"] for r in new.groupBy(F.col(col).alias("k")).agg(F.count(F.lit(1)).alias("c")).collect()}
+        rc, nc = _two_side_counts(ref, new, F.col(col).alias("k"), "k")
         labels = sorted(set(rc) | set(nc), key=str)
         counts = [(str(lb), rc.get(lb, 0), nc.get(lb, 0)) for lb in labels]
     else:
@@ -524,14 +543,7 @@ def population_stability_index(
         bucket = F.aggregate(
             arr, F.lit(0), lambda acc, b: acc + (F.col(col) > b).cast("int")
         )
-
-        def side(d):
-            return {
-                r["b"]: r["c"]
-                for r in d.groupBy(bucket.alias("b")).agg(F.count(F.lit(1)).alias("c")).collect()
-            }
-
-        rc, nc = side(ref), side(new)
+        rc, nc = _two_side_counts(ref, new, bucket.alias("b"), "b")
         nb = len(breakpoints) + 1
         def lbl(i):
             lo = "-inf" if i == 0 else repr(breakpoints[i - 1])
@@ -595,18 +607,7 @@ def js_divergence(
                 "js_divergence: breakpoints only apply to numeric mode; "
                 "categorical bins are the values themselves"
             )
-        rc = {
-            r["k"]: r["c"]
-            for r in ref.groupBy(F.col(col).alias("k"))
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
-        }
-        nc = {
-            r["k"]: r["c"]
-            for r in new.groupBy(F.col(col).alias("k"))
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
-        }
+        rc, nc = _two_side_counts(ref, new, F.col(col).alias("k"), "k")
         labels = sorted(set(rc) | set(nc), key=str)
         counts = [(str(lb), rc.get(lb, 0), nc.get(lb, 0)) for lb in labels]
     else:
@@ -631,16 +632,7 @@ def js_divergence(
         bucket = F.aggregate(
             arr, F.lit(0), lambda acc, b: acc + (F.col(col) > b).cast("int")
         )
-
-        def side(d):
-            return {
-                r["b"]: r["c"]
-                for r in d.groupBy(bucket.alias("b"))
-                .agg(F.count(F.lit(1)).alias("c"))
-                .collect()
-            }
-
-        rc, nc = side(ref), side(new)
+        rc, nc = _two_side_counts(ref, new, bucket.alias("b"), "b")
         nb = len(breakpoints) + 1
 
         def lbl(i):

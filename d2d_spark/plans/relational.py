@@ -1380,10 +1380,26 @@ def dedup_exact_events(spark, sf_dir):
         transition_probs,
     )
 
-    evf = ev.filter(
-        F.col("ts").isNotNull()
-        & F.col("event_type").isNotNull()
-        & F.col("user_id").isNotNull()
+    # r11 (guide §2.3 "project before the exchange" + §5): the probe,
+    # the trans window, the paths window and the basket distinct all
+    # consume the SAME 4-column projection of events — persist it once
+    # (opcache tag, released by the caller/bench) so the parquet scan
+    # + null-filter run once instead of four times. The persisted frame
+    # is column-pruned to exactly the consumed attributes; at cluster
+    # scale the trade is one materialization vs four full scans.
+    from pyspark import StorageLevel
+
+    from d2d_spark import cache as opcache
+
+    evf = opcache.register(
+        "dedup_suite",
+        ev.filter(
+            F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select("user_id", "ts", "event_id", "event_type")
+        .persist(StorageLevel.MEMORY_AND_DISK),
     )
     tp = transition_probs(
         transition_counts(
@@ -1408,7 +1424,20 @@ def dedup_exact_events(spark, sf_dir):
         F.col("n").alias("cnt"),
         F.col("rnk").cast("double").alias("rank"),
     )
-    pm = cooccurrence_pmi(evf, "user_id", "event_type", min_count=2)
+    # r11 (guide §1.2/§2.4): pmi and itemsets each derive the SAME
+    # distinct (user, event_type) basket frame, and ng is its user
+    # projection — computing it once (persisted under the opcache
+    # discipline; 7.5k rows at sf0.1, bounded by |users|x|alphabet|)
+    # drops three of the suite's seven full events passes. Results
+    # are unchanged: both operators re-distinct their input, which is
+    # idempotent on an already-distinct frame.
+    bk = opcache.register(
+        "dedup_suite",
+        evf.select("user_id", "event_type").distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK),
+    )
+    ng = bk.select("user_id").distinct().count()  # fills the cache too
+    pm = cooccurrence_pmi(bk, "user_id", "event_type", min_count=2)
     pmi_leg = pm.select(
         F.lit("pmi").alias("leg"),
         F.concat_ws("|", "item_a", "item_b").alias("k"),
@@ -1417,7 +1446,7 @@ def dedup_exact_events(spark, sf_dir):
     )
     from d2d_spark.operators.paths import frequent_itemsets
 
-    fi = frequent_itemsets(evf, "user_id", "event_type", min_support=5)
+    fi = frequent_itemsets(bk, "user_id", "event_type", min_support=5)
     items_leg = fi.select(
         F.lit("items").alias("leg"),
         F.concat_ws("|", "item_a", "item_b", "item_c").alias("k"),
@@ -1426,7 +1455,6 @@ def dedup_exact_events(spark, sf_dir):
     )
     from d2d_spark.operators.paths import association_rules
 
-    ng = evf.select("user_id").distinct().count()
     ar = association_rules(fi, n_groups=ng, min_confidence=0.2)
     rules_c = ar.select(
         F.lit("rules_c").alias("leg"),
@@ -1791,18 +1819,25 @@ def top_hits_latest_event_per_user(spark, sf_dir):
 
     evp = _t(spark, sf_dir, "events")
     legs = [top]
-    for model, tag, hl in (
-        ("last_touch", "attr_last", None),
-        ("first_touch", "attr_first", None),
-        ("linear", "attr_lin", None),
-        ("time_decay", "attr_decay", "6 hours"),
-        ("position", "attr_pos", None),
+    # r11 (guide §1.2): ONE multi-model attribution call — the pair
+    # join + rank windows run once and the five credit models project
+    # off the shared persisted frame (was five separate pair joins +
+    # fourteen window nodes); per-model rows are bit-identical to the
+    # old per-model calls (same credit expressions, operator-pinned).
+    models = ["last_touch", "first_touch", "linear", "time_decay", "position"]
+    att_all = attribution(
+        evp, "user_id", "ts", "event_type", ["purchase"], ["click", "view"],
+        model=models, lookback="48 hours", halflife="6 hours",
+        validate=False,  # fixture pinned tie-free; probe once is plenty
+    )
+    for model, tag in (
+        ("last_touch", "attr_last"),
+        ("first_touch", "attr_first"),
+        ("linear", "attr_lin"),
+        ("time_decay", "attr_decay"),
+        ("position", "attr_pos"),
     ):
-        att = attribution(
-            evp, "user_id", "ts", "event_type", ["purchase"], ["click", "view"],
-            model=model, lookback="48 hours", halflife=hl,
-            validate=False,  # fixture pinned tie-free; probe once is plenty
-        )
+        att = att_all.filter(F.col("model") == model)
         legs.append(
             att.select(
                 F.lit(tag).alias("leg"),

@@ -289,3 +289,48 @@ def test_binned_path_equals_plain_on_fixture_timestamps(spark, sf_dir):
     a = {tuple(r) for r in plain.collect()}
     b = {tuple(r) for r in binned.collect()}
     assert a == b and a
+
+
+def test_multi_model_equals_per_model_calls(spark):
+    """r11: the multi-model fused path (one pair join + shared
+    windows) emits, per model, EXACTLY the rows of the separate
+    single-model calls — including the direct bucket — with the only
+    difference being the trailing ``model`` column."""
+    df = _df(spark)
+    models = ["last_touch", "first_touch", "linear", "time_decay", "position"]
+    fused = attribution(
+        df, "k", "t", "s", ["purchase"], ["click", "view"],
+        model=models, lookback="10 seconds", halflife="4 seconds",
+        include_unattributed=True,
+    )
+    assert fused.columns[-1] == "model"
+    got = {}
+    for r in fused.collect():
+        got.setdefault(r["model"], set()).add(tuple(r)[:-1])
+    for m in models:
+        single = attribution(
+            df, "k", "t", "s", ["purchase"], ["click", "view"],
+            model=m, lookback="10 seconds",
+            halflife="4 seconds" if m == "time_decay" else None,
+            include_unattributed=True,
+        )
+        want = {tuple(r) for r in single.collect()}
+        assert got.get(m, set()) == want and want, m
+
+
+def test_multi_model_guards(spark):
+    df = _df(spark)
+    with pytest.raises(ValueError, match="non-empty"):
+        attribution(df, "k", "t", "s", ["purchase"], ["click"], model=[])
+    with pytest.raises(ValueError, match="must be one of"):
+        attribution(df, "k", "t", "s", ["purchase"], ["click"], model=["nope"])
+    with pytest.raises(ValueError, match="duplicate"):
+        attribution(
+            df, "k", "t", "s", ["purchase"], ["click"],
+            model=["linear", "linear"],
+        )
+    with pytest.raises(ValueError, match="halflife"):
+        attribution(
+            df, "k", "t", "s", ["purchase"], ["click"],
+            model=["linear", "time_decay"],
+        )
