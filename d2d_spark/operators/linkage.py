@@ -105,53 +105,63 @@ def linkage_em(
             "linkage_em: init_m must exceed init_u — equal class profiles "
             "leave EM at a saddle point and the match class unoriented"
         )
-    if validate:
-        any_bad = F.lit(False)
-        for c in gcols:
-            any_bad = any_bad | F.col(c).isNull() | ~F.col(c).cast("int").isin(0, 1)
-        bad = pairs.agg(
-            F.max(any_bad).alias("bad"),
-            F.count(F.lit(1)).alias("n"),
-        ).first()
-        if bad["n"] == 0:
-            raise ValueError("linkage_em: no candidate pairs to fit on")
-        if bad["bad"]:
-            raise ValueError(
-                "linkage_em: gamma columns must be non-NULL 0/1 — decide "
-                "missing-field policy upstream (disagree or drop)"
-            )
-        n_pairs = bad["n"]
-    else:
-        n_pairs = None
+    # r11 (guide §2.3/§5, the logreg-fit discipline): every EM round
+    # re-aggregates the pair frame — without a persist each round
+    # re-executed the caller's whole candidate-generation subtree
+    # (scan + blocking join), max_iters times. Project to the gamma
+    # columns (all the fit reads) and persist for the fit's duration;
+    # the validation aggregate (or round 1) fills the cache.
+    pairs = pairs.select(*gcols).persist()
+    try:
+        if validate:
+            any_bad = F.lit(False)
+            for c in gcols:
+                any_bad = any_bad | F.col(c).isNull() | ~F.col(c).cast("int").isin(0, 1)
+            bad = pairs.agg(
+                F.max(any_bad).alias("bad"),
+                F.count(F.lit(1)).alias("n"),
+            ).first()
+            if bad["n"] == 0:
+                raise ValueError("linkage_em: no candidate pairs to fit on")
+            if bad["bad"]:
+                raise ValueError(
+                    "linkage_em: gamma columns must be non-NULL 0/1 — decide "
+                    "missing-field policy upstream (disagree or drop)"
+                )
+            n_pairs = bad["n"]
+        else:
+            n_pairs = None
 
-    lam = float(init_lambda)
-    m = [float(init_m)] * len(gcols)
-    u = [float(init_u)] * len(gcols)
-    for _ in range(max_iters):
-        p = _resp(gcols, lam, m, u)
-        pr = F.round(p, 12).cast(_DEC)
-        aggs = [F.sum(pr).alias("S"), F.count(F.lit(1)).alias("n")]
-        for i, g in enumerate(gcols):
-            aggs.append(
-                F.sum(F.when(F.col(g).cast("int") == 1, pr)).alias(f"Sg{i}")
-            )
-            aggs.append(F.sum(F.col(g).cast("long")).alias(f"G{i}"))
-        row = pairs.agg(*aggs).first()
-        S, n = row["S"], row["n"]
-        if n == 0:  # validate=False path: still refuse loudly
-            raise ValueError("linkage_em: no candidate pairs to fit on")
-        if n_pairs is None:
-            n_pairs = n
-        s = float(S)
-        lam = _clamp(s / n, eps)
-        new_m, new_u = [], []
-        for i in range(len(gcols)):
-            sg = float(row[f"Sg{i}"] or 0)
-            gi = int(row[f"G{i}"] or 0)
-            new_m.append(_clamp(sg / s if s > 0 else 0.0, eps))
-            rest = float(n) - s
-            new_u.append(_clamp((gi - sg) / rest if rest > 0 else 0.0, eps))
-        m, u = new_m, new_u
+        lam = float(init_lambda)
+        m = [float(init_m)] * len(gcols)
+        u = [float(init_u)] * len(gcols)
+        for _ in range(max_iters):
+            p = _resp(gcols, lam, m, u)
+            pr = F.round(p, 12).cast(_DEC)
+            aggs = [F.sum(pr).alias("S"), F.count(F.lit(1)).alias("n")]
+            for i, g in enumerate(gcols):
+                aggs.append(
+                    F.sum(F.when(F.col(g).cast("int") == 1, pr)).alias(f"Sg{i}")
+                )
+                aggs.append(F.sum(F.col(g).cast("long")).alias(f"G{i}"))
+            row = pairs.agg(*aggs).first()
+            S, n = row["S"], row["n"]
+            if n == 0:  # validate=False path: still refuse loudly
+                raise ValueError("linkage_em: no candidate pairs to fit on")
+            if n_pairs is None:
+                n_pairs = n
+            s = float(S)
+            lam = _clamp(s / n, eps)
+            new_m, new_u = [], []
+            for i in range(len(gcols)):
+                sg = float(row[f"Sg{i}"] or 0)
+                gi = int(row[f"G{i}"] or 0)
+                new_m.append(_clamp(sg / s if s > 0 else 0.0, eps))
+                rest = float(n) - s
+                new_u.append(_clamp((gi - sg) / rest if rest > 0 else 0.0, eps))
+            m, u = new_m, new_u
+    finally:
+        pairs.unpersist(blocking=False)
     return {"lambda": lam, "m": m, "u": u, "n_pairs": n_pairs, "gamma_cols": gcols}
 
 

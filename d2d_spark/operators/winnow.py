@@ -239,6 +239,18 @@ def winnow_near_pairs(
             .filter(F.col("__df") <= max_df)
             .drop("__df")
         )
+    # r11 (guide §2.4/§5): both join sides AND the size lookup consume
+    # fp — without a persist the k-gram hashing + winnowing selection
+    # (the operator's dominant map cost) and the distinct/df-cap
+    # shuffles re-ran THREE times (three parquet scans in the audited
+    # plan). Persist once per call under the opcache discipline; the
+    # eager count fills the cache before the join's sides race on it.
+    from pyspark import StorageLevel
+
+    from d2d_spark import cache as opcache
+
+    fp = opcache.register("winnow", fp.persist(StorageLevel.MEMORY_AND_DISK))
+    fp.count()
     sizes = fp.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     a = fp.select(F.col("__id").alias("id_a"), "h")
     b = fp.select(F.col("__id").alias("id_b"), "h")

@@ -360,7 +360,19 @@ def countmin_freq_estimates(spark, sf_dir):
         kmv_union,
     )
 
-    o = _t(spark, sf_dir, "orders")
+    # r11 (guide §2.3/§5): five sketch builders (two CMS halves, the
+    # exact heavy hitters, two KMV halves) scan the same two orders
+    # columns — persist the projection once so they all read cache.
+    from pyspark import StorageLevel as _SL
+
+    from d2d_spark import cache as _oc
+
+    o = _oc.register(
+        "freq_suite",
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .persist(_SL.MEMORY_AND_DISK),
+    )
     sk = cms_merge(
         cms_build(o.filter(F.col("o_orderkey") % 2 == 0), "o_custkey",
                   _CMS_DEPTH, _CMS_WIDTH, hasher=_poly_hasher),

@@ -1952,7 +1952,21 @@ def jaccard_pairs_clusters(spark, sf_dir):
     candidate recall is probabilistic by design, so the oracle replays
     the banding rather than the exact join."""
     d = _t(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+    # r11 (guide §2.4): the quadratic ground-truth join feeds BOTH the
+    # pair leg and connected components — persist its (tiny,
+    # output-sized) result once so the O(n²) verify runs once, not
+    # twice; the eager count fills the cache before comp's checkpoint
+    # and the union's pair leg both read it.
+    from pyspark import StorageLevel as _SL
+
+    from d2d_spark import cache as _oc
+
+    pairs = _oc.register(
+        "jaccard_suite",
+        D.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+        .persist(_SL.MEMORY_AND_DISK),
+    )
+    pairs.count()
     pair_leg = pairs.select(
         F.lit("pair").alias("leg"),
         F.col("id_a").alias("a"),

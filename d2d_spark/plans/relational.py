@@ -190,7 +190,19 @@ def scan_filter_project(spark, sf_dir):
     )
     from d2d_spark.operators.timeseries import debounce_events, throttle_events
 
-    ev = _t(spark, sf_dir, "events")
+    # r11 (guide §2.3/§5): debounce, throttle and the exact token
+    # bucket each window over the same four events columns — persist
+    # the projection once instead of three parquet scans.
+    from pyspark import StorageLevel
+
+    from d2d_spark import cache as opcache
+
+    ev = opcache.register(
+        "filter_suite",
+        _t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .persist(StorageLevel.MEMORY_AND_DISK),
+    )
     fmt = "yyyy-MM-dd HH:mm:ss"
     nulld = F.lit(None).cast("double")
 
@@ -1520,7 +1532,20 @@ def group_count_event_types(spark, sf_dir):
     profile.key_skew_report over events.user_id — counts, top-10
     shares, entropy (DECIMAL-disciplined fold), exact rank-sum
     gini."""
-    ev = _t(spark, sf_dir, "events")
+    # r11 (guide §2.3/§5): terms, three pagerank variants, hits, the
+    # seed set, trans2 and the skew report all derive from the same
+    # events columns — persist the projection once (opcache) so each
+    # consumer reads cache instead of re-scanning parquet.
+    from pyspark import StorageLevel
+
+    from d2d_spark import cache as opcache
+
+    ev = opcache.register(
+        "graph_suite",
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .persist(StorageLevel.MEMORY_AND_DISK),
+    )
     terms = group_count(ev, "event_type").select(
         F.lit("terms").alias("leg"),
         F.col("event_type").alias("k"),
@@ -2364,7 +2389,20 @@ def rollup_cube_grouping(spark, sf_dir):
     components that genuinely share one moment/DECIMAL replay recipe
     (chi2+cramers, welch-t, ks, ols)."""
     li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
+    # r11 (guide §2.3/§5): the cube lattice, chi2, welch-t, ks and the
+    # ols fit all consume the same four orders columns — persist that
+    # projection once (opcache) so the parquet scan runs once instead
+    # of five times; each stats operator's eager job then reads cache.
+    from pyspark import StorageLevel
+
+    from d2d_spark import cache as opcache
+
+    o = opcache.register(
+        "rollup_suite",
+        _t(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_orderstatus", "o_totalprice", "o_orderdate")
+        .persist(StorageLevel.MEMORY_AND_DISK),
+    )
     rollup_leg = (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
@@ -2832,7 +2870,19 @@ def agg_stats_orders(spark, sf_dir):
         winsorize,
     )
 
-    o = _t(spark, sf_dir, "orders")
+    # r11 (guide §2.3/§5): eight stat operators (main agg, disc/wq
+    # quantiles, winsorize, mad, two spearman modes) each re-derive
+    # their input from orders — persist the scan once (opcache) so
+    # every subtree reads the cached rows; the operators' own internal
+    # persists (quantile collapses) sit on top unchanged.
+    from pyspark import StorageLevel
+
+    from d2d_spark import cache as opcache
+
+    o = opcache.register(
+        "agg_stats_suite",
+        _t(spark, sf_dir, "orders").persist(StorageLevel.MEMORY_AND_DISK),
+    )
     price = F.col("o_totalprice").cast(DEC)
     main = (
         o.groupBy("o_orderpriority")

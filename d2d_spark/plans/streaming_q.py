@@ -270,7 +270,20 @@ def windowed_aggs_events(spark, sf_dir):
     ROW_NUMBER), the earliest candidate in the fold's (ts, type)
     processing order is the kill, and a stage counts iff its match
     position sorts at-or-before the kill. Exact integers."""
-    ev = read_table(spark, sf_dir, "events")
+    # r11 (guide §2.3/§5): eight legs (tumbling, sliding, three funnel
+    # modes, resample, two retention variants) all consume the same
+    # four events columns — persist the projection once (opcache) so
+    # the parquet scan runs once instead of eight times.
+    from pyspark import StorageLevel
+
+    from d2d_spark import cache as opcache
+
+    ev = opcache.register(
+        "windowed_suite",
+        read_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_type", "value")
+        .persist(StorageLevel.MEMORY_AND_DISK),
+    )
     aggs = [
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
@@ -529,7 +542,19 @@ def session_windows_per_user(spark, sf_dir):
     ewma: operators/timeseries ewma over per-type daily counts, the
     exact recurrence y = 0.75*y + 0.25*x, rounded to 9 dp on both
     sides; the oracle replays it as a recursive CTE."""
-    ev = read_table(spark, sf_dir, "events")
+    # r11 (guide §2.3/§5): six legs (session agg, per-event session
+    # ids, the rolling chain, ewma) share one events projection —
+    # persist it once instead of re-scanning per leg.
+    from pyspark import StorageLevel
+
+    from d2d_spark import cache as opcache
+
+    ev = opcache.register(
+        "session_suite",
+        read_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .persist(StorageLevel.MEMORY_AND_DISK),
+    )
     nd, nb, ns = (
         F.lit(None).cast("double"),
         F.lit(None).cast("boolean"),
