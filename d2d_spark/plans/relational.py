@@ -203,6 +203,7 @@ def scan_filter_project(spark, sf_dir):
         .select("user_id", "ts", "event_id", "event_type")
         .persist(StorageLevel.MEMORY_AND_DISK),
     )
+    ev.count()  # fill before the window legs race on the cold block
     fmt = "yyyy-MM-dd HH:mm:ss"
     nulld = F.lit(None).cast("double")
 
@@ -2056,6 +2057,7 @@ def topk_setops_suite(spark, sf_dir):
         .select("o_orderkey", "o_totalprice", "o_orderpriority", "o_orderstatus")
         .persist(StorageLevel.MEMORY_AND_DISK),
     )
+    o.count()  # fill before the six legs race on the cold block
     total = F.col("o_totalprice").cast(DEC).cast("double").alias("total")
     nd = F.lit(None).cast("double")
     ks = F.col("k").cast("string").alias("k")

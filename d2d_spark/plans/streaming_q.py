@@ -284,6 +284,7 @@ def windowed_aggs_events(spark, sf_dir):
         .select("user_id", "ts", "event_type", "value")
         .persist(StorageLevel.MEMORY_AND_DISK),
     )
+    ev.count()  # fill before the eight legs race on the cold block
     aggs = [
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
@@ -555,6 +556,7 @@ def session_windows_per_user(spark, sf_dir):
         .select("user_id", "ts", "event_id", "event_type", "value")
         .persist(StorageLevel.MEMORY_AND_DISK),
     )
+    ev.count()  # fill before the six legs race on the cold block
     nd, nb, ns = (
         F.lit(None).cast("double"),
         F.lit(None).cast("boolean"),
