@@ -758,29 +758,54 @@ def phonetic_blocked_pairs(
         F.col(name_col).alias("__name"),
         F.soundex(F.col(name_col)).alias("__code"),
     )
-    bomb = (
+    stats = (
         # NULL codes never pair (equi-join semantics), so a pile of
-        # NULL names is zero quadratic work — not a bomb
+        # NULL names is zero quadratic work — not a bomb. r11: the
+        # same single probe job also measures the coded-side total so
+        # the join strategy below is picked deliberately (guide §3.1)
+        # instead of from Catalyst's size estimate.
         coded.filter(F.col("__code").isNotNull())
         .groupBy("__code")
         .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > max_block)
-        .limit(1)
-        .collect()
+        .agg(
+            F.max("__n").alias("mx"),
+            F.max_by("__code", "__n").alias("mxc"),
+            F.sum("__n").alias("tot"),
+        )
+        .collect()[0]
     )
-    if bomb:
+    if stats["mx"] is not None and stats["mx"] > max_block:
         raise ValueError(
-            f"phonetic_blocked_pairs: soundex block {bomb[0]['__code']!r} holds "
-            f"{bomb[0]['__n']} names (> max_block={max_block}) — within-block "
+            f"phonetic_blocked_pairs: soundex block {stats['mxc']!r} holds "
+            f"{stats['mx']} names (> max_block={max_block}) — within-block "
             "work is quadratic; add a second blocking key (e.g. url_host, "
             "country) or use fuzzy_pairs_deletion"
         )
+    total = stats["tot"] or 0
     a = coded.select(
         F.col("__id").alias("id_a"), F.col("__name").alias("__na"), "__code"
     )
     b = coded.select(
         F.col("__id").alias("id_b"), F.col("__name").alias("__nb"), "__code"
     )
+    # r11 (guide §2.5 skew + §3.1): when the planner broadcasts the
+    # block side of this equi-join, the O(block²) Levenshtein verify
+    # inherits the STREAM side's partitioning — for a small or compact
+    # source that is one or two scan partitions, i.e. ONE task does
+    # all the quadratic work while the rest of the cluster idles. The
+    # probe just measured the coded side exactly, so pick the strategy
+    # deliberately: a provably-small block side is broadcast by hint
+    # (not by Catalyst's estimate) and the probe side is spread by
+    # (code, id) — relocating rows only, the pair set is invariant
+    # under a's partitioning — with an explicit partition count so AQE
+    # cannot coalesce the tiny-by-bytes exchange whose per-row cost (a
+    # block-sized verify fan-out) is what matters. Past the broadcast
+    # bound the plain equi-join stands (sort-merge regime: verify
+    # parallelism is per-code and max_block bounds the skew).
+    if total <= 1_000_000:
+        n_spread = df.sparkSession.sparkContext.defaultParallelism
+        a = a.repartition(n_spread, "__code", "id_a")
+        b = F.broadcast(b)
     # 3-arg levenshtein early-exits past the threshold (returns -1)
     dist = F.levenshtein(F.col("__na"), F.col("__nb"), max_dist)
     return (

@@ -454,11 +454,19 @@ def minhash_simhash_pairs(spark, sf_dir):
     clones = base.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     fixture = base.unionAll(clones)
 
-    mh = D.minhash_lsh_pairs(fixture, "text", "doc_id", jaccard_threshold=1.0).select(
-        F.lit("minhash").alias("leg"), "id_a", "id_b"
-    )
+    # r11 (guide §2.6 "overlap independent jobs"): both operators
+    # eagerly fill their own persisted signature stage (one Arrow pass
+    # each) before returning, so calling them serially pays two
+    # full-latency jobs back to back. Overlapping the builds lets each
+    # fill back-fill the cores the other leaves idle; results are
+    # untouched (independent operators, composed lazily below).
+    from d2d_spark.parallel import run_concurrent
 
-    cand = D.simhash_near_pairs(fixture, "text", "doc_id", max_hamming=0)
+    mh_raw, cand = run_concurrent([
+        lambda: D.minhash_lsh_pairs(fixture, "text", "doc_id", jaccard_threshold=1.0),
+        lambda: D.simhash_near_pairs(fixture, "text", "doc_id", max_hamming=0),
+    ])
+    mh = mh_raw.select(F.lit("minhash").alias("leg"), "id_a", "id_b")
     fp = fixture.select(
         F.col("doc_id"),
         F.md5(

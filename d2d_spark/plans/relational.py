@@ -1414,12 +1414,44 @@ def dedup_exact_events(spark, sf_dir):
         .select("user_id", "ts", "event_id", "event_type")
         .persist(StorageLevel.MEMORY_AND_DISK),
     )
-    tp = transition_probs(
-        transition_counts(
-            evf, "user_id", "ts", "event_type",
-            tiebreak_cols=["event_id"], include_endpoints=True,
-        )
+    # r11 (guide §1.2/§2.4): pmi and itemsets each derive the SAME
+    # distinct (user, event_type) basket frame, and ng is its user
+    # projection — computing it once (persisted under the opcache
+    # discipline; 7.5k rows at sf0.1, bounded by |users|x|alphabet|)
+    # drops three of the suite's seven full events passes. Results
+    # are unchanged: both operators re-distinct their input, which is
+    # idempotent on an already-distinct frame.
+    bk = opcache.register(
+        "dedup_suite",
+        evf.select("user_id", "event_type").distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK),
     )
+    ng = bk.select("user_id").distinct().count()  # fills both caches too
+    # r11 (guide §2.6): after the one shared fill above, construction
+    # still runs FOUR more eager driver jobs back to back — the trans
+    # leg's validation probe, pmi's basket probe, itemsets' basket
+    # probe, and the rules sep-probe that executes the whole a-priori
+    # ladder to fill its persisted input. The three chains are
+    # independent and read only the filled caches, so overlap them;
+    # per-chain internal order (itemsets before rules) is preserved.
+    from d2d_spark.operators.paths import association_rules, frequent_itemsets
+
+    from d2d_spark.parallel import run_concurrent
+
+    def _fi_ar():
+        fi = frequent_itemsets(bk, "user_id", "event_type", min_support=5)
+        return fi, association_rules(fi, n_groups=ng, min_confidence=0.2)
+
+    tp, pm, (fi, ar) = run_concurrent([
+        lambda: transition_probs(
+            transition_counts(
+                evf, "user_id", "ts", "event_type",
+                tiebreak_cols=["event_id"], include_endpoints=True,
+            )
+        ),
+        lambda: cooccurrence_pmi(bk, "user_id", "event_type", min_count=2),
+        _fi_ar,
+    ])
     trans = tp.select(
         F.lit("trans").alias("leg"),
         F.concat_ws(">", "from_state", "to_state").alias("k"),
@@ -1437,38 +1469,18 @@ def dedup_exact_events(spark, sf_dir):
         F.col("n").alias("cnt"),
         F.col("rnk").cast("double").alias("rank"),
     )
-    # r11 (guide §1.2/§2.4): pmi and itemsets each derive the SAME
-    # distinct (user, event_type) basket frame, and ng is its user
-    # projection — computing it once (persisted under the opcache
-    # discipline; 7.5k rows at sf0.1, bounded by |users|x|alphabet|)
-    # drops three of the suite's seven full events passes. Results
-    # are unchanged: both operators re-distinct their input, which is
-    # idempotent on an already-distinct frame.
-    bk = opcache.register(
-        "dedup_suite",
-        evf.select("user_id", "event_type").distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK),
-    )
-    ng = bk.select("user_id").distinct().count()  # fills the cache too
-    pm = cooccurrence_pmi(bk, "user_id", "event_type", min_count=2)
     pmi_leg = pm.select(
         F.lit("pmi").alias("leg"),
         F.concat_ws("|", "item_a", "item_b").alias("k"),
         F.col("n_ab").alias("cnt"),
         F.round("pmi", 9).alias("rank"),
     )
-    from d2d_spark.operators.paths import frequent_itemsets
-
-    fi = frequent_itemsets(bk, "user_id", "event_type", min_support=5)
     items_leg = fi.select(
         F.lit("items").alias("leg"),
         F.concat_ws("|", "item_a", "item_b", "item_c").alias("k"),
         F.col("support").alias("cnt"),
         F.col("size").cast("double").alias("rank"),
     )
-    from d2d_spark.operators.paths import association_rules
-
-    ar = association_rules(fi, n_groups=ng, min_confidence=0.2)
     rules_c = ar.select(
         F.lit("rules_c").alias("leg"),
         F.concat_ws("=>", "antecedent", "consequent").alias("k"),
@@ -2445,13 +2457,24 @@ def rollup_cube_grouping(spark, sf_dir):
             "total",
         )
     )
-    from d2d_spark.operators.stats import chi2_independence, ttest_welch
+    from d2d_spark.operators.stats import (
+        chi2_independence,
+        ks_two_sample,
+        ttest_welch,
+    )
 
-    chi = chi2_independence(o, "o_orderpriority", "o_orderstatus")
-    tt = ttest_welch(o, "o_orderstatus", "o_totalprice", "F", "O")
-    from d2d_spark.operators.stats import ks_two_sample
+    # r11 (guide §2.6): the three dict-returning tests each run their
+    # own eager collect jobs over the SAME cached projection — fill the
+    # shared block once (so the overlapped jobs read cache instead of
+    # racing to compute it), then overlap the three independent tests.
+    from d2d_spark.parallel import run_concurrent
 
-    ks = ks_two_sample(o, "o_orderstatus", "o_totalprice", "F", "O")
+    o.count()
+    chi, tt, ks = run_concurrent([
+        lambda: chi2_independence(o, "o_orderpriority", "o_orderstatus"),
+        lambda: ttest_welch(o, "o_orderstatus", "o_totalprice", "F", "O"),
+        lambda: ks_two_sample(o, "o_orderstatus", "o_totalprice", "F", "O"),
+    ])
     stat_rows = [
         ("chi2", "o_orderpriority", "o_orderstatus", chi["dof"], round(chi["chi2"], 9)),
         ("cramers", "o_orderpriority", "o_orderstatus", chi["n"],

@@ -196,6 +196,32 @@ def test_phonetic_blocked_recall_vs_fastss(spark, sf_dir):
     assert blocked <= truth
 
 
+def test_phonetic_verify_spreads_past_input_layout(spark):
+    """r11: the within-block Levenshtein verify must NOT inherit a
+    compact source's partitioning (one scan partition = one task doing
+    all the quadratic work). The probe side is spread by (code, id)
+    into defaultParallelism partitions, and the pair set is invariant
+    under the input's partitioning."""
+    from d2d_spark.operators.dedup import phonetic_blocked_pairs
+
+    rows = [(i, n) for i, n in enumerate(
+        ["Robert", "Rupert", "Roberto", "Smith", "Smyth", "Smithe",
+         "Jon", "John", "Jhon", "Lara", "Laura", "Larra"] * 4
+    )]
+    one_part = spark.createDataFrame(rows, "id long, name string").coalesce(1)
+    out = phonetic_blocked_pairs(one_part, "name", "id", max_dist=2)
+    # the verify's partitioning tracks the cluster, not the one-file scan
+    assert out.rdd.getNumPartitions() >= min(
+        spark.sparkContext.defaultParallelism, 2
+    )
+    got1 = {(r["id_a"], r["id_b"], r["dist"]) for r in out.collect()}
+    many = spark.createDataFrame(rows, "id long, name string").repartition(7)
+    got7 = {(r["id_a"], r["id_b"], r["dist"]) for r in phonetic_blocked_pairs(
+        many, "name", "id", max_dist=2
+    ).collect()}
+    assert got1 == got7 and got1  # same pairs either way, and non-empty
+
+
 def test_phonetic_null_names_are_not_a_block_bomb(spark):
     from d2d_spark.operators.dedup import phonetic_blocked_pairs
 
