@@ -1260,10 +1260,33 @@ def bpe_pack_mix_pipeline(spark, sf_dir):
     # top-N prefix of the top-10k table IS the direct top-N table)
     wf_tbl = word_frequencies(d, "text", top_words=10_000)
     merges = train_bpe_from_frequencies(wf_tbl, 100)
-    enc = bpe_encode(d, "text", merges, out_col="bpe", count_col="n_tok").select(
-        "doc_id", "text", F.col("n_tok").cast("bigint").alias("n_tok")
+    from pyspark import StorageLevel
+
+    from d2d_spark import cache as opcache
+
+    # r11 (guide §5 caching + §2.4): the Arrow BPE encode of the WHOLE
+    # corpus used to recompute for every consumer — the budget sum,
+    # the pack stream, the head/tail sums, mix's internal token
+    # inventory and the final union action (~8 full encode passes per
+    # run). Persist it once; the fused aggregate below is the eager
+    # fill. Results are unchanged: same lazy plan, one materialization.
+    enc = opcache.register(
+        "bpe_suite",
+        bpe_encode(d, "text", merges, out_col="bpe", count_col="n_tok")
+        .select("doc_id", "text", F.col("n_tok").cast("bigint").alias("n_tok"))
+        .persist(StorageLevel.MEMORY_AND_DISK),
     )
-    total = enc.agg(F.sum("n_tok")).collect()[0][0]
+    # ONE job for the three scalar sums (total / head / tail): bigint
+    # sums of disjoint conditional slices are bit-identical to the
+    # three separate aggregates this replaces, and the job doubles as
+    # the cache fill
+    is_head = F.col("doc_id") % 3 == 0
+    sums = enc.agg(
+        F.sum("n_tok").alias("tot"),
+        F.sum(F.when(is_head, F.col("n_tok"))).alias("h"),
+        F.sum(F.when(~is_head, F.col("n_tok"))).alias("t"),
+    ).collect()[0]
+    total, have_h, have_t = sums["tot"], sums["h"], sums["t"]
     budget = int(math.ceil(total / 20.0))
     packed = pack_documents(enc.repartition(1), "n_tok", budget=budget, sort_col="doc_id")
     bins = packed.groupBy("bin_id").agg(
@@ -1274,10 +1297,8 @@ def bpe_pack_mix_pipeline(spark, sf_dir):
         "n",
         "tok",
     )
-    head = enc.filter(F.col("doc_id") % 3 == 0)
-    tail = enc.filter(F.col("doc_id") % 3 != 0)
-    have_h = head.agg(F.sum("n_tok")).collect()[0][0]
-    have_t = tail.agg(F.sum("n_tok")).collect()[0][0]
+    head = enc.filter(is_head)
+    tail = enc.filter(~is_head)
     mixed = mix_to_token_budget(
         {"head": (head, float(have_h)), "tail": (tail, float(2 * have_t))},
         key_col="doc_id",
