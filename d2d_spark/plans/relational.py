@@ -1412,6 +1412,12 @@ def dedup_exact_events(spark, sf_dir):
             & F.col("user_id").isNotNull()
         )
         .select("user_id", "ts", "event_id", "event_type")
+        # r11: pre-partitioning this frame by user_id (so every
+        # keyed consumer would skip its Exchange, guide §2.4) was
+        # MEASURED and rejected on this suite: the per-consumer
+        # shuffles are ~200 KB while the up-front repartition plus
+        # the wider cached partitioning inflated consumer stages
+        # (32 -> 96 tasks) — count-sink best-of-3 6.7 s vs 5.5 s.
         .persist(StorageLevel.MEMORY_AND_DISK),
     )
     # r11 (guide §1.2/§2.4): pmi and itemsets each derive the SAME
