@@ -258,6 +258,8 @@ def cooccurrence_pmi(
     item_col: str,
     min_count: int = 2,
     max_items_per_group: int = 10_000,
+    *,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Market-basket co-occurrence with pointwise mutual information:
     which items appear in the SAME group (session, basket, user,
@@ -272,6 +274,14 @@ def cooccurrence_pmi(
 
     — positive = attract, negative = repel; all counts exact longs,
     the score one multiply/divide chain + ln.
+
+    ``assume_distinct=True`` skips the presence distinct (one whole
+    shuffle, guide §2.4 "a distinct on data that is already unique")
+    for callers that GUARANTEE (group, item) is already distinct after
+    NULL filtering — e.g. a shared basket frame built with
+    ``.distinct()`` and reused across operators. On non-distinct input
+    the flag silently turns counts into multiplicity-weighted garbage:
+    it is a caller-proven contract, not an optimizer hint.
 
     Shape: one distinct on (group, item), one groupBy collapsing each
     group to its SORTED item array (this aggregate also serves the
@@ -300,12 +310,14 @@ def cooccurrence_pmi(
     # both once per call (group- and presence-bounded frames) so the
     # input scan + distinct shuffle run once — the eager stats probe
     # below fills both caches in one job.
+    proj = df.filter(
+        F.col(group_col).isNotNull() & F.col(item_col).isNotNull()
+    ).select(F.col(group_col).alias("__g"), F.col(item_col).alias("__i"))
+    if not assume_distinct:
+        proj = proj.distinct()
     base = opcache.register(
         "pmi",
-        df.filter(F.col(group_col).isNotNull() & F.col(item_col).isNotNull())
-        .select(F.col(group_col).alias("__g"), F.col(item_col).alias("__i"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK),
+        proj.persist(StorageLevel.MEMORY_AND_DISK),
     )
     lists = opcache.register(
         "pmi",
@@ -374,6 +386,8 @@ def frequent_itemsets(
     min_support: int = 2,
     max_size: int = 3,
     max_items_per_group: int = 10_000,
+    *,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """A-priori frequent itemsets up to size 3 (Agrawal & Srikant
     1994) — the support-mining companion to cooccurrence_pmi (PMI
@@ -384,6 +398,11 @@ def frequent_itemsets(
     (size, item_a, item_b, item_c, support) with items sorted
     ascending inside each set and NULL padding for sizes 1-2; every
     count is an exact long.
+
+    ``assume_distinct=True`` skips the presence distinct for callers
+    that GUARANTEE (group, item) is already distinct after NULL
+    filtering AND ``item_col`` is already a string — same contract
+    (and same misuse hazard) as cooccurrence_pmi's flag.
 
     Shape (the downward-closure ladder, each rung a bounded groupBy):
     one distinct + per-group sorted item arrays (bomb probe rides the
@@ -411,12 +430,16 @@ def frequent_itemsets(
     # r11 (guide §2.4): base feeds the bomb probe, L1, and the
     # L1/L2-pruned semi-joins — persist once per call so the input
     # scan + distinct shuffle run once instead of once per rung.
+    proj = df.filter(
+        F.col(group_col).isNotNull() & F.col(item_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"), F.col(item_col).cast("string").alias("__i")
+    )
+    if not assume_distinct:
+        proj = proj.distinct()
     base = opcache.register(
         "itemsets",
-        df.filter(F.col(group_col).isNotNull() & F.col(item_col).isNotNull())
-        .select(F.col(group_col).alias("__g"), F.col(item_col).cast("string").alias("__i"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK),
+        proj.persist(StorageLevel.MEMORY_AND_DISK),
     )
     spark = df.sparkSession
     schema = (

@@ -1444,8 +1444,16 @@ def dedup_exact_events(spark, sf_dir):
 
     from d2d_spark.parallel import run_concurrent
 
+    # r11 (guide §2.4): bk IS the distinct (user, event_type) frame —
+    # assume_distinct lets pmi/itemsets skip their idempotent presence
+    # distinct, one vocabulary-bounded shuffle each per run. evf is
+    # NULL-filtered and event_type is a string, so the flag's contract
+    # (distinct after NULL filtering, string item) holds by
+    # construction.
     def _fi_ar():
-        fi = frequent_itemsets(bk, "user_id", "event_type", min_support=5)
+        fi = frequent_itemsets(
+            bk, "user_id", "event_type", min_support=5, assume_distinct=True
+        )
         return fi, association_rules(fi, n_groups=ng, min_confidence=0.2)
 
     tp, pm, (fi, ar) = run_concurrent([
@@ -1455,7 +1463,9 @@ def dedup_exact_events(spark, sf_dir):
                 tiebreak_cols=["event_id"], include_endpoints=True,
             )
         ),
-        lambda: cooccurrence_pmi(bk, "user_id", "event_type", min_count=2),
+        lambda: cooccurrence_pmi(
+            bk, "user_id", "event_type", min_count=2, assume_distinct=True
+        ),
         _fi_ar,
     ])
     trans = tp.select(

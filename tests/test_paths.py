@@ -489,3 +489,48 @@ def test_higher_order_transitions(spark):
     # order=1 path unchanged (the oracled legs ride it)
     base = transition_counts(df, "u", "t", "s")
     assert base.count() > 0
+
+
+def test_assume_distinct_equals_default_on_distinct_input(spark):
+    """The assume_distinct contract: on a frame that is already
+    distinct (after NULL filtering, string item), skipping the
+    presence distinct must be result-invariant for both basket
+    operators — it removes one shuffle, nothing else."""
+    from d2d_spark.operators.paths import cooccurrence_pmi, frequent_itemsets
+
+    rows = [
+        (1, "milk"), (1, "bread"),
+        (2, "milk"), (2, "bread"), (2, "eggs"),
+        (3, "milk"), (3, "bread"), (3, "milk"),  # dup -> distinct collapses
+        (4, "beer"),
+        (5, "beer"), (5, "eggs"),
+        (6, None), (None, "ghost"),
+    ]
+    raw = spark.createDataFrame(rows, "basket long, item string")
+    pre = raw.filter("basket IS NOT NULL AND item IS NOT NULL").distinct()
+
+    want_pmi = sorted(
+        map(tuple, cooccurrence_pmi(raw, "basket", "item", min_count=1).collect())
+    )
+    got_pmi = sorted(
+        map(
+            tuple,
+            cooccurrence_pmi(
+                pre, "basket", "item", min_count=1, assume_distinct=True
+            ).collect(),
+        )
+    )
+    assert got_pmi == want_pmi and len(got_pmi) > 0
+
+    want_fi = sorted(
+        map(tuple, frequent_itemsets(raw, "basket", "item", min_support=2).collect())
+    )
+    got_fi = sorted(
+        map(
+            tuple,
+            frequent_itemsets(
+                pre, "basket", "item", min_support=2, assume_distinct=True
+            ).collect(),
+        )
+    )
+    assert got_fi == want_fi and len(got_fi) > 0
