@@ -40,6 +40,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r12 (guide §2.2 "fewer, larger partitions"): by default Spark
+        # pins a CACHED plan's output partitioning to the static
+        # shuffle.partitions (no AQE coalescing), so every persisted
+        # frame whose plan ends in a shuffle materializes at the full
+        # static width and every cache consumer inherits it — measured
+        # on the dedup suite: 1765 tasks/run vs 89 with the flag, 30x
+        # executor time on identical results. With the flag AQE sizes
+        # cached partitions by advisoryPartitionSizeInBytes, which is
+        # the same scale-adaptive posture the rest of the engine runs
+        # (tiny corpus -> few partitions, 100 TB -> 64 MB partitions).
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # r11: plan STRINGS are rendered per SQL-listener event (and
         # re-rendered per AQE stage update); the default cap is ~2 GB,
