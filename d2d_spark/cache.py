@@ -25,26 +25,38 @@ operators registered, leaving caller-managed caches alone.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 _ENTRIES: dict[str, list[DataFrame]] = {}
+# r12 (ADVICE): register() runs from concurrent InheritableThreads
+# (parallel.run_concurrent suite chains) while release()/deregister()
+# may run on the main thread; an unguarded pop-while-append can strand
+# a persisted frame this registry exists to reclaim. All _ENTRIES
+# mutations and reads take this lock; unpersist() calls happen outside
+# it (they only talk to the JVM, never to _ENTRIES).
+_LOCK = threading.Lock()
 
 
 def register(tag: str, df: DataFrame) -> DataFrame:
     """Record a persisted frame under an operator tag; returns it."""
-    _ENTRIES.setdefault(tag, []).append(df)
+    with _LOCK:
+        _ENTRIES.setdefault(tag, []).append(df)
     return df
 
 
 def entries(tag: str | None = None) -> list[DataFrame]:
     """The registered frames for a tag (or all tags)."""
-    if tag is not None:
-        return list(_ENTRIES.get(tag, ()))
-    return [df for dfs in _ENTRIES.values() for df in dfs]
+    with _LOCK:
+        if tag is not None:
+            return list(_ENTRIES.get(tag, ()))
+        return [df for dfs in _ENTRIES.values() for df in dfs]
 
 
 def tags() -> list[str]:
-    return sorted(_ENTRIES)
+    with _LOCK:
+        return sorted(_ENTRIES)
 
 
 def deregister(tag: str, frames: list[DataFrame]) -> int:
@@ -53,22 +65,25 @@ def deregister(tag: str, frames: list[DataFrame]) -> int:
     must not release frames registered by earlier successful calls
     (releasing those is safe but forces a silent recompute on any
     still-pending consumer)."""
-    lst = _ENTRIES.get(tag)
-    if not lst:
-        return 0
     ids = {id(f) for f in frames}
-    keep, dropped = [], 0
-    for df in lst:
-        if id(df) in ids:
-            df.unpersist(blocking=False)
-            dropped += 1
+    dropped_frames = []
+    with _LOCK:
+        lst = _ENTRIES.get(tag)
+        if not lst:
+            return 0
+        keep = []
+        for df in lst:
+            if id(df) in ids:
+                dropped_frames.append(df)
+            else:
+                keep.append(df)
+        if keep:
+            _ENTRIES[tag] = keep
         else:
-            keep.append(df)
-    if keep:
-        _ENTRIES[tag] = keep
-    else:
-        _ENTRIES.pop(tag, None)
-    return dropped
+            _ENTRIES.pop(tag, None)
+    for df in dropped_frames:
+        df.unpersist(blocking=False)
+    return len(dropped_frames)
 
 
 def release(tag: str | None = None) -> int:
@@ -77,10 +92,11 @@ def release(tag: str | None = None) -> int:
     the number of frames released. Call after a corpus's results are
     consumed; a frame still needed downstream recomputes instead of
     failing."""
-    released = 0
-    keys = [tag] if tag is not None else list(_ENTRIES)
-    for k in keys:
-        for df in _ENTRIES.pop(k, ()):
-            df.unpersist(blocking=False)
-            released += 1
-    return released
+    to_drop: list[DataFrame] = []
+    with _LOCK:
+        keys = [tag] if tag is not None else list(_ENTRIES)
+        for k in keys:
+            to_drop.extend(_ENTRIES.pop(k, ()))
+    for df in to_drop:
+        df.unpersist(blocking=False)
+    return len(to_drop)

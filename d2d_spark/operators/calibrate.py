@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from d2d_spark.functions.frames import local_frame
+
 
 def _pav(bins: list[tuple[int, int, int]]) -> list[tuple[int, int, int]]:
     """Pool-adjacent-violators over ascending (bin, w, p) triples:
@@ -159,7 +161,7 @@ def isotonic_calibrate(
             bi, bw, bp = bins[i]
             out.append((bi, bounds[i][0], bounds[i][1], bw, bp, prob))
         start = end + 1
-    return spark.createDataFrame(out, schema)
+    return local_frame(spark, out, schema)
 
 
 def apply_isotonic(

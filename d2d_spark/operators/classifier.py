@@ -26,6 +26,8 @@ data — the only collects are the bounded label set and scalar floors.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+
+from d2d_spark.functions.frames import local_frame
 from pyspark.sql import functions as F
 
 #: special token for the per-label prior / floor rows inside the model
@@ -200,7 +202,7 @@ def _collect_model(model: DataFrame, spark) -> tuple[list, dict, dict, DataFrame
         [T.StructField("token", T.StringType())]
         + [T.StructField(f"__ll_{i}", T.DoubleType()) for i in range(len(labels))]
     )
-    wide = spark.createDataFrame([(t, *v) for t, v in ll.items()], schema)
+    wide = local_frame(spark, [(t, *v) for t, v in ll.items()], schema)
     return labels, prior, floor, wide
 
 

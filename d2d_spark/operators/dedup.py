@@ -33,6 +33,13 @@ _MERSENNE = (1 << 61) - 1
 # unless the caller explicitly opts in.
 QUADRATIC_CAP = 20_000
 
+#: phonetic_blocked_pairs' deliberate-broadcast bounds (guide §3.1):
+#: the hint bypasses Catalyst's size-estimate protection, so it only
+#: fires when the probe has MEASURED the build side under both a row
+#: and a byte cap (r12 ADVICE — the row bound alone is byte-blind).
+_FORCED_BROADCAST_MAX_ROWS = 1_000_000
+_FORCED_BROADCAST_MAX_BYTES = 64 << 20
+
 
 def _spread(df: DataFrame, npart: int, *cols, full: bool = False) -> DataFrame:
     """Repartition to ``npart`` ONLY when the upstream scan is too
@@ -758,19 +765,32 @@ def phonetic_blocked_pairs(
         F.col(name_col).alias("__name"),
         F.soundex(F.col(name_col)).alias("__code"),
     )
+    # r12 (ADVICE): rows with a NULL soundex code can never pair (equi-
+    # join semantics), so they are dropped HERE — the probe below and
+    # the frame the forced broadcast ships must measure the SAME rows,
+    # or a frame of mostly-NULL names passes the row bound while the
+    # broadcast carries the unmeasured bulk.
+    coded = coded.filter(F.col("__code").isNotNull())
     stats = (
         # NULL codes never pair (equi-join semantics), so a pile of
         # NULL names is zero quadratic work — not a bomb. r11: the
         # same single probe job also measures the coded-side total so
         # the join strategy below is picked deliberately (guide §3.1)
-        # instead of from Catalyst's size estimate.
-        coded.filter(F.col("__code").isNotNull())
-        .groupBy("__code")
-        .agg(F.count(F.lit(1)).alias("__n"))
+        # instead of from Catalyst's size estimate. NOTE the probe is
+        # a full two-level aggregate even on a refusing input (it no
+        # longer short-circuits at the first offending block); the
+        # total measurement needs the complete pass, and the refusal
+        # path paying one extra aggregate is the accepted trade.
+        coded.groupBy("__code")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.octet_length("__name")).alias("__b"),
+        )
         .agg(
             F.max("__n").alias("mx"),
             F.max_by("__code", "__n").alias("mxc"),
             F.sum("__n").alias("tot"),
+            F.sum("__b").alias("totb"),
         )
         .collect()[0]
     )
@@ -802,7 +822,14 @@ def phonetic_blocked_pairs(
     # block-sized verify fan-out) is what matters. Past the broadcast
     # bound the plain equi-join stands (sort-merge regime: verify
     # parallelism is per-code and max_block bounds the skew).
-    if total <= 1_000_000:
+    # r12 (ADVICE): the forced broadcast is gated on BYTES as well as
+    # rows — the row bound alone is byte-blind (a million wide names is
+    # a multi-hundred-MB forced relation, bypassing Catalyst's own
+    # size protection). Estimated relation size = measured name bytes
+    # plus ~48 B/row of id/code/hash-entry overhead; past either bound
+    # the plain equi-join stands and Catalyst picks the strategy.
+    est_bytes = int(stats["totb"] or 0) + total * 48
+    if total <= _FORCED_BROADCAST_MAX_ROWS and est_bytes <= _FORCED_BROADCAST_MAX_BYTES:
         n_spread = df.sparkSession.sparkContext.defaultParallelism
         a = a.repartition(n_spread, "__code", "id_a")
         b = F.broadcast(b)

@@ -49,6 +49,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from d2d_spark.functions.frames import local_frame
 from d2d_spark.operators.dsir import GramHasher, hashed_ngram_features
 
 _DEC = "decimal(28,14)"
@@ -153,8 +154,8 @@ def fit_logreg_hashed(
     cur = {b: 0.0 for b in range(-1, n_buckets)}
     try:
         for _ in range(rounds):
-            w_df = spark.createDataFrame(
-                [(b, wv) for b, wv in cur.items()], "bucket bigint, w double"
+            w_df = local_frame(
+                spark, [(b, wv) for b, wv in cur.items()], "bucket bigint, w double"
             )
             z = (
                 feats.join(F.broadcast(w_df), "bucket")
@@ -186,8 +187,10 @@ def fit_logreg_hashed(
             cur = {b: wv * decay - lr * g.get(b, 0.0) for b, wv in cur.items()}
     finally:
         feats.unpersist(blocking=False)
-    return spark.createDataFrame(
-        [(b, wv) for b, wv in cur.items()], "bucket bigint, w double"
+    # r12 (guide §4): model-sized frames through JVM literals — the
+    # per-round weight relation never needs a Python worker
+    return local_frame(
+        spark, [(b, wv) for b, wv in cur.items()], "bucket bigint, w double"
     )
 
 

@@ -39,6 +39,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from d2d_spark.functions.frames import local_frame
+
 
 @dataclass(frozen=True)
 class PqModel:
@@ -428,7 +430,8 @@ def ivf_pq_topk(
         [Qn[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)], axis=1
     )
     spark = codes.sparkSession
-    qcells = spark.createDataFrame(
+    qcells = local_frame(
+        spark,
         [
             (int(q_ids[qi]), int(qi), int(c), float(S[qi, c]))
             for qi in range(len(q_ids))

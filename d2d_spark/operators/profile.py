@@ -17,6 +17,8 @@ at any scale.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+from d2d_spark.functions.frames import local_frame
 from pyspark.sql import functions as F
 
 #: types min/max/mean make no sense for (or Spark refuses to order)
@@ -99,8 +101,8 @@ def schema_drift(source: DataFrame, target: DataFrame) -> DataFrame:
         elif tgt[c] != t:
             rows.append((c, "type_changed", t, tgt[c]))
     rows += [(c, "removed", None, t) for c, t in tgt.items() if c not in src]
-    return spark.createDataFrame(
-        rows, "column string, change string, source_type string, target_type string"
+    return local_frame(
+        spark, rows, "column string, change string, source_type string, target_type string"
     )
 
 
@@ -259,8 +261,8 @@ def key_skew_report(
         spark = df.sparkSession
         schema = "stat string, key string, n long, value double"
         if tot["N"] is None:
-            return spark.createDataFrame(
-                [("rows", None, 0, None), ("keys", None, 0, None)], schema
+            return local_frame(
+                spark, [("rows", None, 0, None), ("keys", None, 0, None)], schema
             )
         n_total, n_keys, mx = int(tot["N"]), int(tot["K"]), int(tot["mx"])
         if n_keys > max_keys:
@@ -295,7 +297,7 @@ def key_skew_report(
         ("entropy_norm", None, None, h / math.log(n_keys) if n_keys > 1 else None),
         ("gini", None, None, gini),
     ]
-    return spark.createDataFrame(metric_rows + top_rows, schema)
+    return local_frame(spark, metric_rows + top_rows, schema)
 
 
 def histogram(
@@ -349,8 +351,8 @@ def histogram(
     if hi == lo:
         # single-valued column: everything in bucket 0
         n = df.filter(v.isNotNull()).count()
-        return spark.createDataFrame(
-            [(0, lo, hi, n)], "bucket int, lo_edge double, hi_edge double, n long"
+        return local_frame(
+            spark, [(0, lo, hi, n)], "bucket int, lo_edge double, hi_edge double, n long"
         )
     w = (hi - lo) / bins
     raw = F.floor((v - F.lit(lo)) / F.lit(w)).cast("int")

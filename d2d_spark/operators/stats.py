@@ -28,6 +28,8 @@ double expression per moment.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+from d2d_spark.functions.frames import local_frame
 from pyspark.sql import functions as F
 
 
@@ -537,7 +539,8 @@ def corr_matrix(
     spark = df.sparkSession
     schema = "col_a string, col_b string, n long, r double"
     if n < 2:
-        return spark.createDataFrame(
+        return local_frame(
+            spark,
             [(value_cols[i], value_cols[j], n, None) for i in range(d) for j in range(i, d)],
             schema,
         )
@@ -551,7 +554,9 @@ def corr_matrix(
             dj = n * float(row[f"p{j}_{j}"]) - s[j] * s[j]
             r = num / math.sqrt(di * dj) if di > 0.0 and dj > 0.0 else None
             out.append((value_cols[i], value_cols[j], n, r))
-    return spark.createDataFrame(out, schema)
+    # r12 (guide §4): model-sized result through JVM literals, not a
+    # parallelized Python RDD — same rows, no Python workers
+    return local_frame(spark, out, schema)
 
 
 def binary_auc(

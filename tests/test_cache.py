@@ -80,3 +80,38 @@ def test_simhash_and_phash_register_in_cache(spark):
     phash_near_pairs(imgs, "img_id", "px", "w", "h").count()
     assert "phash" in opcache.tags()
     assert opcache.release("phash") >= 1
+
+
+def test_registry_mutations_are_thread_safe(spark):
+    """r12 (ADVICE): register() runs from concurrent suite threads
+    while release() may run on the main thread — hammer both and
+    assert no entry is stranded (every registered frame is released
+    exactly once across the interleaving)."""
+    import threading
+
+    from d2d_spark import cache as opcache
+
+    opcache.release()
+    df = spark.range(10)
+    n_threads, per_thread = 8, 50
+    registered = []
+    lock = threading.Lock()
+
+    def worker(t):
+        for i in range(per_thread):
+            tag = f"t{t % 4}"
+            opcache.register(tag, df)
+            with lock:
+                registered.append(tag)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(n_threads)]
+    for th in threads:
+        th.start()
+    released_early = 0
+    for _ in range(20):
+        released_early += opcache.release("t0")
+    for th in threads:
+        th.join()
+    released_late = opcache.release()
+    assert released_early + released_late == n_threads * per_thread
+    assert opcache.tags() == []

@@ -222,6 +222,37 @@ def test_phonetic_verify_spreads_past_input_layout(spark):
     assert got1 == got7 and got1  # same pairs either way, and non-empty
 
 
+def test_phonetic_broadcast_guard_is_byte_aware(spark, monkeypatch):
+    """r12 (ADVICE): the deliberate broadcast must measure the SAME
+    frame it ships (NULL-coded rows are filtered before both the probe
+    and the build side), and it is gated on estimated BYTES as well as
+    rows — past the byte cap the plain equi-join stands (no forced
+    spread, Catalyst picks the strategy) with identical pairs."""
+    from d2d_spark.operators import dedup as dd
+
+    rows = [(i, n) for i, n in enumerate(
+        ["Robert", "Rupert", "Roberto", "Smith", "Smyth", "Jon", "John"] * 3
+    )] + [(1000 + i, None) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, name string").coalesce(1)
+    hinted = dd.phonetic_blocked_pairs(df, "name", "id", max_dist=2)
+    got_hinted = {(r["id_a"], r["id_b"], r["dist"]) for r in hinted.collect()}
+    # the forced-broadcast path spreads the probe side past the 1-file
+    # scan layout; with the byte cap exceeded the spread must NOT fire
+    assert hinted.rdd.getNumPartitions() >= min(
+        spark.sparkContext.defaultParallelism, 2
+    )
+    monkeypatch.setattr(dd, "_FORCED_BROADCAST_MAX_BYTES", 1)
+    plain = dd.phonetic_blocked_pairs(df, "name", "id", max_dist=2)
+    got_plain = {(r["id_a"], r["id_b"], r["dist"]) for r in plain.collect()}
+    assert got_plain == got_hinted and got_plain
+    # the build side a NULL-heavy frame would have smuggled into the
+    # broadcast is filtered: the optimized plan carries the code
+    # NULL-filter on both sides of the join
+    opt = hinted._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.lower().count("isnotnull(soundex") >= 2 or \
+        opt.lower().count("isnotnull(__code") >= 2
+
+
 def test_phonetic_null_names_are_not_a_block_bomb(spark):
     from d2d_spark.operators.dedup import phonetic_blocked_pairs
 
