@@ -123,19 +123,28 @@ def ttest_welch(
     contract); the final moments run one pinned double expression, so
     any engine replaying the same chain matches bit-for-bit."""
     dec = "decimal(18,6)"
+    # r12: the exact decimal (n, sum, sum-of-squares) per group now
+    # runs through the Arrow limb-product kernel (same integers the
+    # JVM decimal aggregate produced — operators/moments docstring has
+    # the exactness audit); quantization cast and the pinned double
+    # chain below are unchanged.
+    from decimal import Decimal
+
+    from d2d_spark.operators.moments import exact_moment_sums
+
     base = df.filter(
         F.col(group_col).isin([group_a, group_b]) & F.col(value_col).isNotNull()
     ).select(
-        (F.col(group_col) == F.lit(group_a)).alias("__is_a"),
-        F.col(value_col).cast(dec).alias("__v"),
+        (F.col(value_col).cast(dec) * F.lit(1_000_000)).cast("long").alias("__v0"),
+        (F.col(group_col) == F.lit(group_a)).alias("__g"),
     )
-    agg = base.groupBy("__is_a").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("__v").alias("s"),
-        F.sum(F.col("__v") * F.col("__v")).alias("sq"),
-    )
-    rows = {r["__is_a"]: r for r in agg.collect()}
-    if True not in rows or False not in rows or rows[True]["n"] < 2 or rows[False]["n"] < 2:
+    rows = exact_moment_sums(base, 1, grouped=True)
+    if (
+        True not in rows
+        or False not in rows
+        or rows[True]["n"] < 2
+        or rows[False]["n"] < 2
+    ):
         raise ValueError(
             "ttest_welch: both groups need >= 2 non-NULL values — a variance "
             "needs a denominator; check the group labels and filters"
@@ -143,7 +152,8 @@ def ttest_welch(
 
     def moments(r):
         n = int(r["n"])
-        s, sq = float(r["s"]), float(r["sq"])
+        s = float(Decimal(f"{r['s0']}E-6"))
+        sq = float(Decimal(f"{r['p0_0']}E-12"))
         mean = s / n
         var = (sq - n * mean * mean) / (n - 1)
         return n, mean, var
@@ -510,8 +520,15 @@ def corr_matrix(
     itself).
 
     Determinism: the linear_fit discipline — DECIMAL(18,6)-quantized
-    values, exact decimal moment sums, one pinned double chain."""
+    values, exact decimal moment sums, one pinned double chain. r12:
+    the moment sums run through operators/moments.exact_moment_sums
+    (the Arrow limb-product kernel) — the SAME integers the JVM
+    decimal aggregate produced, 5-8x cheaper per row (guide §4.2);
+    the float conversions and the double chain are unchanged."""
     import math
+    from decimal import Decimal
+
+    from d2d_spark.operators.moments import exact_moment_sums
 
     d = len(value_cols)
     if d < 2:
@@ -525,17 +542,19 @@ def corr_matrix(
     ok = F.lit(True)
     for c in value_cols:
         ok = ok & F.col(c).isNotNull()
+    # scaled int64: quantize with the SAME decimal cast as before, then
+    # shift the scale out — exact (decimal(25,6) * 1e6 has no fraction,
+    # |v| < 1e18 fits a long, ANSI raises on NaN/Inf exactly as the
+    # decimal aggregate input cast did)
     base = df.filter(ok).select(
-        *[F.col(c).cast(dec).alias(f"__q{i}") for i in range(d) for c in [value_cols[i]]]
+        *[
+            (F.col(c).cast(dec) * F.lit(1_000_000)).cast("long").alias(f"__v{i}")
+            for i in range(d)
+            for c in [value_cols[i]]
+        ]
     )
-    aggs = [F.count(F.lit(1)).alias("n")]
-    for i in range(d):
-        aggs.append(F.sum(f"__q{i}").alias(f"s{i}"))
-    for i in range(d):
-        for j in range(i, d):
-            aggs.append(F.sum(F.col(f"__q{i}") * F.col(f"__q{j}")).alias(f"p{i}_{j}"))
-    row = base.agg(*aggs).first()
-    n = int(row["n"] or 0)
+    tot = exact_moment_sums(base, d).get(None, {"n": 0})
+    n = int(tot["n"])
     spark = df.sparkSession
     schema = "col_a string, col_b string, n long, r double"
     if n < 2:
@@ -544,14 +563,17 @@ def corr_matrix(
             [(value_cols[i], value_cols[j], n, None) for i in range(d) for j in range(i, d)],
             schema,
         )
-    s = [float(row[f"s{i}"]) for i in range(d)]
+    # float(Decimal) is correctly rounded — identical to float() of the
+    # decimal the JVM aggregate would have returned
+    s = [float(Decimal(f"{tot[f's{i}']}E-6")) for i in range(d)]
+    p = {k: float(Decimal(f"{v}E-12")) for k, v in tot.items() if k.startswith("p")}
     out = []
     for i in range(d):
         for j in range(i, d):
-            pij = float(row[f"p{i}_{j}"])
+            pij = p[f"p{i}_{j}"]
             num = n * pij - s[i] * s[j]
-            di = n * float(row[f"p{i}_{i}"]) - s[i] * s[i]
-            dj = n * float(row[f"p{j}_{j}"]) - s[j] * s[j]
+            di = n * p[f"p{i}_{i}"] - s[i] * s[i]
+            dj = n * p[f"p{j}_{j}"] - s[j] * s[j]
             r = num / math.sqrt(di * dj) if di > 0.0 and dj > 0.0 else None
             out.append((value_cols[i], value_cols[j], n, r))
     # r12 (guide §4): model-sized result through JVM literals, not a
