@@ -109,18 +109,6 @@ def gap_fill(
     missing = [c for c in keys + [bucket_col] + vals if c not in buckets.columns]
     if missing:
         raise ValueError(f"gap_fill: input lacks columns {missing}")
-    dup = (
-        buckets.groupBy(*keys, bucket_col)
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > 1)
-        .limit(1)
-        .count()
-    )
-    if dup:
-        raise ValueError(
-            "gap_fill: duplicate (key, bucket) rows — aggregate first "
-            "(resample), a duplicated grid would double-count"
-        )
     iv = F.expr(f"INTERVAL {interval}")
     if start is not None or end is not None:
         if start is None or end is None:
@@ -168,51 +156,70 @@ def gap_fill(
     guard = span.filter(F.col("__hi") >= F.col("__lo")).withColumn(
         "__nb", n_buckets
     )
-    over = guard.filter(F.col("__nb") > max_buckets_per_key).limit(1).collect()
-    if over:
+    # r12 (guide §1.2 — fewer eager jobs): the three validation probes
+    # (duplicate (key, bucket) rows; whale keys whose grid would
+    # explode; observed buckets off the regular grid) used to run as
+    # THREE driver jobs back to back; on the model-sized resampled
+    # inputs this operator takes, per-job latency was the whole cost.
+    # All three now ride ONE action — a cross of two one-row
+    # aggregates (dup over the grouped buckets, whale+stray over the
+    # buckets⋈span join). Semantics unchanged, including the edge
+    # where a key with only NULL buckets is still dup-checked (it has
+    # no span row, so it never reaches the stray/whale branch — same
+    # as before).
+    step_micros = int(round(step_secs * 1_000_000))
+    stray_cond = (
+        (F.col("__b") < F.col("__lo"))
+        | (F.col("__b") > F.col("__hi"))
+        | (
+            F.pmod(
+                F.unix_micros(F.col("__b")) - F.unix_micros(F.col("__lo")),
+                F.lit(step_micros),
+            )
+            != 0
+        )
+    )
+    dup_agg = (
+        buckets.groupBy(*keys, bucket_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n").alias("dup"))
+    )
+    sw_agg = (
+        buckets.select(*keys, F.col(bucket_col).alias("__b"))
+        .join(guard.select(*keys, "__lo", "__hi", "__nb"), keys)
+        .agg(
+            F.max("__nb").alias("max_nb"),
+            F.max(stray_cond).alias("stray"),
+            F.max_by(
+                F.struct(*keys, F.col("__b")),
+                F.coalesce(stray_cond.cast("int"), F.lit(0)),
+            ).alias("stray_ex"),
+        )
+    )
+    chk = dup_agg.crossJoin(sw_agg).first()
+    if chk["dup"] is not None and chk["dup"] > 1:
         raise ValueError(
-            f"gap_fill: a key would generate {int(over[0]['__nb'])} grid rows "
+            "gap_fill: duplicate (key, bucket) rows — aggregate first "
+            "(resample), a duplicated grid would double-count"
+        )
+    if chk["max_nb"] is not None and chk["max_nb"] > max_buckets_per_key:
+        raise ValueError(
+            f"gap_fill: a key would generate {int(chk['max_nb'])} grid rows "
             f"(> max_buckets_per_key={max_buckets_per_key}) — widen the "
             "interval, narrow the range, or raise the cap explicitly"
+        )
+    if chk["stray"]:
+        raise ValueError(
+            f"gap_fill: input bucket {tuple(chk['stray_ex'])} is not on the "
+            f"regular grid (misaligned with the grid origin / {interval!r} "
+            "interval, or outside the explicit [start, end) range) — "
+            "re-bucket with resample() on the same interval, or widen the "
+            "range"
         )
     grid = guard.select(
         *keys,
         F.explode(F.sequence(F.col("__lo"), F.col("__hi"), iv)).alias(bucket_col),
     )
-    # Every observed (key, bucket) must land ON the grid — otherwise the
-    # left join below would silently drop the row while emitting its
-    # slot as gap=true (a gap claimed where data exists). Same loud-
-    # refusal discipline as the duplicate check above. Checked
-    # ARITHMETICALLY against the one-row-per-key span frame (in range
-    # and a whole number of steps past the origin) — grid membership
-    # without materializing the grid, which would double the explode
-    # and cost O(grid) for a validation that is O(input).
-    step_micros = int(round(step_secs * 1_000_000))
-    stray = (
-        buckets.select(*keys, bucket_col)
-        .join(guard.select(*keys, "__lo", "__hi"), keys)
-        .filter(
-            (F.col(bucket_col) < F.col("__lo"))
-            | (F.col(bucket_col) > F.col("__hi"))
-            | (
-                F.pmod(
-                    F.unix_micros(F.col(bucket_col)) - F.unix_micros(F.col("__lo")),
-                    F.lit(step_micros),
-                )
-                != 0
-            )
-        )
-        .select(*keys, bucket_col)
-        .limit(1)
-        .collect()
-    )
-    if stray:
-        raise ValueError(
-            f"gap_fill: input bucket {tuple(stray[0])} is not on the regular "
-            f"grid (misaligned with the grid origin / {interval!r} interval, "
-            "or outside the explicit [start, end) range) — re-bucket with "
-            "resample() on the same interval, or widen the range"
-        )
     joined = grid.join(
         buckets.withColumn("__present", F.lit(True)), keys + [bucket_col], "left"
     )

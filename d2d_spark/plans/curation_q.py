@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from d2d_spark.functions.frames import local_frame
+
 from d2d_spark.functions import text as X
 from d2d_spark.plans.registry import query
 from d2d_spark.session import read_table
@@ -871,7 +873,7 @@ def gpt3_quality_score(spark, sf_dir):
         ("auc_n", 1, float(a["n_pos"])),
         ("auc_n", 0, float(a["n_neg"])),
     ]
-    auc_leg = spark.createDataFrame(auc_rows, "leg string, doc_id long, val double")
+    auc_leg = local_frame(spark, auc_rows, "leg string, doc_id long, val double")
     # iso legs (r11, VERDICT r10 #7): calibrate.isotonic_calibrate
     # over the same rounded score surface — 40 fixed-width bins on
     # [0, 1], PAV pooled positive rates (exact-int pools, one double

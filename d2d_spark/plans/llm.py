@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from d2d_spark.functions.frames import local_frame
+
 from d2d_spark.functions import text as X
 from d2d_spark.operators import dedup as D
 from d2d_spark.operators import multimodal as M
@@ -1362,7 +1364,7 @@ def ann_lsh_ivf_topk(spark, sf_dir):
         e, "vec_id", "embedding", n_centroids=_KMR_NC, iters=_KMR_TRAIN_ITERS
     )
     C = kmeans_refine(e, "embedding", C0, iters=_KMR_REFINE_ITERS)
-    kmr = spark.createDataFrame(
+    kmr = local_frame(spark, 
         [
             (j, pos, float(C[j, pos]), j + 1)
             for j in range(C.shape[0])

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from d2d_spark.functions.frames import local_frame
+
 from d2d_spark.operators.agg import distinct_rows, group_count, top_hits_per_key
 from d2d_spark.operators.join import key_merge
 from d2d_spark.operators.topk import limit_offset, top_k
@@ -241,7 +243,7 @@ def scan_filter_project(spark, sf_dir):
         ben_rows.append(("benford", d, "obs", None, round(obs, 9)))
         ben_rows.append(("benford", d, "exp", None, round(exp, 9)))
     ben_rows.append(("benford", None, "n", None, float(ben["n"])))
-    ben_leg = spark.createDataFrame(
+    ben_leg = local_frame(spark, 
         ben_rows, "leg string, k long, attr string, t string, total double"
     )
     return scan.unionAll(deb).unionAll(thr).unionAll(thx).unionAll(ben_leg)
@@ -350,7 +352,7 @@ def join_revenue_by_nation(spark, sf_dir):
         jsd_rows.append((f"jsd:{i}:term", round(term, 9), None))
     jsd_rows.append(("jsd:-1:nref", None, n_ref))
     jsd_rows.append(("jsd:-1:nnew", None, n_new))
-    jsd_leg = spark.createDataFrame(
+    jsd_leg = local_frame(spark, 
         jsd_rows, "nation string, revenue double, n_items long"
     )
     return star.unionAll(jsd_leg)
@@ -1450,34 +1452,52 @@ def dedup_exact_events(spark, sf_dir):
     # NULL-filtered and event_type is a string, so the flag's contract
     # (distinct after NULL filtering, string item) holds by
     # construction.
+    # r12 (guide §5 + §2.6): each chain's result is ALPHABET-BOUNDED
+    # (transition matrix, top-20 paths, pmi pairs, itemsets, rules) but
+    # its plan re-executes a full window/ladder subtree at every
+    # action — materialize each one INSIDE its overlapped chain
+    # (persist + count, opcache-tagged) so the final union count scans
+    # five tiny caches instead of re-running five event subtrees
+    # through AQE's serial stage rounds.
+    from pyspark import StorageLevel as _SL
+
+    def _mat(df):
+        out = opcache.register(
+            "dedup_suite", df.persist(_SL.MEMORY_AND_DISK)
+        )
+        out.count()
+        return out
+
     def _fi_ar():
         fi = frequent_itemsets(
             bk, "user_id", "event_type", min_support=5, assume_distinct=True
         )
-        return fi, association_rules(fi, n_groups=ng, min_confidence=0.2)
+        return _mat(fi), _mat(
+            association_rules(fi, n_groups=ng, min_confidence=0.2)
+        )
 
-    tp, pm, (fi, ar) = run_concurrent([
-        lambda: transition_probs(
+    tp, pm, (fi, ar), p3 = run_concurrent([
+        lambda: _mat(transition_probs(
             transition_counts(
                 evf, "user_id", "ts", "event_type",
                 tiebreak_cols=["event_id"], include_endpoints=True,
             )
-        ),
-        lambda: cooccurrence_pmi(
+        )),
+        lambda: _mat(cooccurrence_pmi(
             bk, "user_id", "event_type", min_count=2, assume_distinct=True
-        ),
+        )),
         _fi_ar,
+        lambda: _mat(top_paths(
+            evf, "user_id", "ts", "event_type", n_steps=3, k=20,
+            tiebreak_cols=["event_id"],
+            validate=False,  # same frame the trans leg's probe validates
+        )),
     ])
     trans = tp.select(
         F.lit("trans").alias("leg"),
         F.concat_ws(">", "from_state", "to_state").alias("k"),
         F.col("n").alias("cnt"),
         F.col("p").alias("rank"),
-    )
-    p3 = top_paths(
-        evf, "user_id", "ts", "event_type", n_steps=3, k=20,
-        tiebreak_cols=["event_id"],
-        validate=False,  # same frame the trans leg just validated
     )
     paths3 = p3.select(
         F.lit("paths3").alias("leg"),
@@ -1879,11 +1899,36 @@ def top_hits_latest_event_per_user(spark, sf_dir):
     # fourteen window nodes); per-model rows are bit-identical to the
     # old per-model calls (same credit expressions, operator-pinned).
     models = ["last_touch", "first_touch", "linear", "time_decay", "position"]
-    att_all = attribution(
-        evp, "user_id", "ts", "event_type", ["purchase"], ["click", "view"],
-        model=models, lookback="48 hours", halflife="6 hours",
-        validate=False,  # fixture pinned tie-free; probe once is plenty
-    )
+    # r12 (guide §2.6): the attribution chain (shared-frame persist
+    # fill) and the seasonal chain (decompose probes) are independent
+    # eager constructions — overlap them.
+    from d2d_spark.operators.timeseries import seasonal_decompose
+
+    from d2d_spark.parallel import run_concurrent
+
+    def _att_chain():
+        return attribution(
+            evp, "user_id", "ts", "event_type", ["purchase"], ["click", "view"],
+            model=models, lookback="48 hours", halflife="6 hours",
+            validate=False,  # fixture pinned tie-free; probe once is plenty
+        )
+
+    def _seas_chain():
+        sbase = evp.filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        daily = sbase.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+            F.count(F.lit(1)).alias("y")
+        )
+        sgrid = (
+            daily.groupBy("event_type")
+            .agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+            .select("event_type", F.explode(F.sequence("lo", "hi")).alias("d"))
+        )
+        dense = sgrid.join(daily, ["event_type", "d"], "left").select(
+            "event_type", "d", F.coalesce("y", F.lit(0)).cast("long").alias("y")
+        )
+        return seasonal_decompose(dense, ["event_type"], "d", "y", period=7)
+
+    att_all, sd = run_concurrent([_att_chain, _seas_chain])
     for model, tag in (
         ("last_touch", "attr_last"),
         ("first_touch", "attr_first"),
@@ -1914,22 +1959,8 @@ def top_hits_latest_event_per_user(spark, sf_dir):
     # trend window, the 12-dp DECIMAL phase/centering means
     # (VARCHAR-mediated decimal->double, the documented DuckDB
     # twice-rounding trap) and the identical left-to-right resid
-    # chain; floats at 9 dp.
-    from d2d_spark.operators.timeseries import seasonal_decompose
-
-    sbase = evp.filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
-    daily = sbase.groupBy("event_type", F.to_date("ts").alias("d")).agg(
-        F.count(F.lit(1)).alias("y")
-    )
-    sgrid = (
-        daily.groupBy("event_type")
-        .agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
-        .select("event_type", F.explode(F.sequence("lo", "hi")).alias("d"))
-    )
-    dense = sgrid.join(daily, ["event_type", "d"], "left").select(
-        "event_type", "d", F.coalesce("y", F.lit(0)).cast("long").alias("y")
-    )
-    sd = seasonal_decompose(dense, ["event_type"], "d", "y", period=7)
+    # chain; floats at 9 dp. (Built in _seas_chain above, overlapped
+    # with the attribution fill.)
     sdx = sd.select(
         "event_type",
         "d",
@@ -2500,7 +2531,7 @@ def rollup_cube_grouping(spark, sf_dir):
         ("ttest_d", "F", "O", tt["n_a"] + tt["n_b"], round(tt["cohen_d"], 9)),
         ("ks", "F", "O", ks["n_a"] + ks["n_b"], round(ks["d"], 9)),
     ]
-    stats_leg = spark.createDataFrame(
+    stats_leg = local_frame(spark, 
         stat_rows, "src string, dim1 string, dim2 string, n long, total double"
     )
     # ols leg: per-priority price-vs-date trend (operators/stats.py
@@ -3188,7 +3219,7 @@ def range_interval_join_suite(spark, sf_dir):
     from d2d_spark.operators.join import interval_overlap_join, merge_intervals
 
     o = _t(spark, sf_dir, "orders")
-    bands = spark.createDataFrame(
+    bands = local_frame(spark, 
         [("low", 0.0, 50000.0), ("mid", 50000.0, 150000.0), ("high", 150000.0, 1000000.0)],
         "band string, lo double, hi double",
     )
@@ -3294,7 +3325,7 @@ def range_interval_join_suite(spark, sf_dir):
         ("mi_hb", kk, mir["n_cells"], round(mir["h_b"], 9)),
         ("mi_nmi", kk, mir["n_rows"], round(mir["nmi"], 9)),
     ]
-    stats_leg = spark.createDataFrame(
+    stats_leg = local_frame(spark, 
         psi_rows + mi_rows, "leg string, k string, n long, total double"
     )
     return (
@@ -3924,7 +3955,7 @@ def fuzzy_name_pairs(spark, sf_dir):
     for i in range(3):
         params.append((f"m{i}", fit["m"][i]))
         params.append((f"u{i}", fit["u"][i]))
-    param_rows = spark.createDataFrame(
+    param_rows = local_frame(spark, 
         [(name, round(v, 9)) for name, v in params], "code string, val double"
     ).select(
         F.lit("linkage").alias("leg"), nullb.alias("id_a"), nullb.alias("id_b"),

@@ -584,13 +584,49 @@ def session_windows_per_user(spark, sf_dir):
         sessionize,
     )
 
-    se = sessionize(
-        ev.filter(F.col("ts").isNotNull()),
-        ["user_id"],
-        "ts",
-        "2 hours",
-        tiebreak_cols=["event_id"],
-    )
+    # r12 (guide §2.6): the two eager construction chains — the
+    # sessionize validation probe and the resample -> gap_fill ->
+    # rolling chain (its fused probe) — are independent and read only
+    # the filled cache; overlap them so their ~8 driver jobs back-fill
+    # instead of serializing.
+    from d2d_spark.parallel import run_concurrent
+
+    def _sess_chain():
+        return sessionize(
+            ev.filter(F.col("ts").isNotNull()),
+            ["user_id"],
+            "ts",
+            "2 hours",
+            tiebreak_cols=["event_id"],
+        )
+
+    def _roll_chain():
+        sparse = ev.filter(F.col("user_id") % 37 == 0)
+        rs = resample(
+            sparse,
+            ["event_type"],
+            "ts",
+            "1 hour",
+            {
+                "n": F.count(F.lit(1)),
+                "v": F.sum(F.col("value").cast(DEC)).cast("double"),
+            },
+        )
+        gf = gap_fill(rs, ["event_type"], "bucket", "1 hour", ["n", "v"], fill="locf")
+        rolled = rolling_stats(
+            gf, ["event_type"], "bucket", "n", 4, stats=("sum",), out_prefix="rs_",
+            validate=False,  # gap_fill output is a validated regular grid
+        )
+        rolled = rolling_stats(
+            rolled, ["event_type"], "bucket", "v", 4, stats=("max",), out_prefix="rv_",
+            validate=False,
+        )
+        return rolling_zscore_outliers(
+            rolled, ["event_type"], "bucket", "v", window=6, threshold=2.0,
+            min_periods=3, validate=False,
+        )
+
+    se, rolled = run_concurrent([_sess_chain, _roll_chain])
     sess_ev = se.select(
         F.lit("sess_ev").alias("kind"),
         F.col("user_id").cast("string").alias("uid"),
@@ -600,30 +636,6 @@ def session_windows_per_user(spark, sf_dir):
         nd.alias("x"),
         nd.alias("z"),
         nb.alias("flag"),
-    )
-    sparse = ev.filter(F.col("user_id") % 37 == 0)
-    rs = resample(
-        sparse,
-        ["event_type"],
-        "ts",
-        "1 hour",
-        {
-            "n": F.count(F.lit(1)),
-            "v": F.sum(F.col("value").cast(DEC)).cast("double"),
-        },
-    )
-    gf = gap_fill(rs, ["event_type"], "bucket", "1 hour", ["n", "v"], fill="locf")
-    rolled = rolling_stats(
-        gf, ["event_type"], "bucket", "n", 4, stats=("sum",), out_prefix="rs_",
-        validate=False,  # gap_fill output is a validated regular grid
-    )
-    rolled = rolling_stats(
-        rolled, ["event_type"], "bucket", "v", 4, stats=("max",), out_prefix="rv_",
-        validate=False,
-    )
-    rolled = rolling_zscore_outliers(
-        rolled, ["event_type"], "bucket", "v", window=6, threshold=2.0,
-        min_periods=3, validate=False,
     )
     roll_leg = rolled.select(
         F.lit("roll").alias("kind"),
