@@ -297,9 +297,14 @@ def classify_self(
             F.explode(word_tokens(F.col(text_col))).alias("token"),
         ).persist(StorageLevel.MEMORY_AND_DISK),
     )
-    # no eager fill: the model collect (first consumer) materializes
-    # the cache; the scoring job reuses it — consumers are sequential
-    # jobs, so there is no concurrent-first-computation race to guard
+    # r12: eager fill — the fit's first job has SEVERAL branches over
+    # this frame, and concurrent stages racing on a cold cache each
+    # recompute the tokenize (the r11 windowed_aggs cold-race lesson;
+    # measured 8 concurrent 2.4 s stages over one 0.5 MB scan).
+    # A spread-the-tokenize repartition was ALSO measured and rejected:
+    # warm best 3.05 s (fill only) vs 3.21 s (spread+fill) — the
+    # compiled single-task tokenize is cheaper than 32 short tasks.
+    toks.count()
 
     # no checkpoint: _score_token_frame collects the bounded model in
     # one job, which IS the materialization point for the fit
