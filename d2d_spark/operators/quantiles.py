@@ -106,6 +106,11 @@ def quantiles_exact(
         .agg(F.count(F.lit(1)).alias("__c"))
         .persist(StorageLevel.MEMORY_AND_DISK),
     )
+    # r12: eager fill — the final action builds THREE broadcast sides
+    # (boundaries, offsets, total) whose jobs race on the cold cache
+    # and each recompute the collapse (the standing cold-race lesson);
+    # measured best-of-4 2.77 -> 2.53 s at sf0.1 with the fill.
+    counts.count()
     if num_partitions is not None and num_partitions < 1:
         raise ValueError(f"num_partitions must be >= 1, got {num_partitions}")
     nb = num_partitions or int(

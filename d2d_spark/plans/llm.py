@@ -800,34 +800,43 @@ def ann_exact_topk(spark, sf_dir):
             deq, q8, "vec_id", "embedding", "vec_id", "embedding", k=5
         ).persist(StorageLevel.MEMORY_AND_DISK),
     )
-    # no eager count: all consumers run in SEQUENTIAL jobs (rrf's
-    # validation probe fires first and fills the cache), unlike the
-    # minhash case where branches race inside one job
-    fused = rrf_fuse(
-        [fold, int8], query_col="query_id", doc_col="neighbor_id", k=5
-    ).select(
-        F.lit("rrf").alias("leg"),
-        "query_id",
-        "neighbor_id",
-        F.col("rrf_score").alias("cos_sim"),
-        "rank",
-    )
+    # r12 (guide §2.6): the two brute-force passes are independent —
+    # fill both caches CONCURRENTLY (each is a ~half-second pass whose
+    # tail leaves the cores idle), then overlap the three eager
+    # consumer constructions (rrf probe, the mmr greedy kernel, the
+    # ndcg chain) over the warm caches.
     from d2d_spark.operators.retrieval import mmr_rerank
 
-    # mmr leg: diversity-rerank the exact top-5 (third consumer of the
-    # persisted fold) — relevance is the fold's cos_sim, doc-doc
-    # similarity recomputed from the corpus vectors in the kernel
-    mmr = mmr_rerank(
-        fold, e, k=_MMR_K, lam=_MMR_LAM,
-        query_col="query_id", doc_col="neighbor_id", score_col="cos_sim",
-        id_col="vec_id", vec_col="embedding",
-    ).select(
-        F.lit("mmr").alias("leg"),
-        "query_id",
-        "neighbor_id",
-        F.round("mmr_score", 6).alias("cos_sim"),
-        "rank",
-    )
+    from d2d_spark.parallel import run_concurrent
+
+    run_concurrent([fold.count, int8.count])
+
+    def _rrf_chain():
+        return rrf_fuse(
+            [fold, int8], query_col="query_id", doc_col="neighbor_id", k=5
+        ).select(
+            F.lit("rrf").alias("leg"),
+            "query_id",
+            "neighbor_id",
+            F.col("rrf_score").alias("cos_sim"),
+            "rank",
+        )
+
+    def _mmr_chain():
+        # mmr leg: diversity-rerank the exact top-5 (third consumer of
+        # the persisted fold) — relevance is the fold's cos_sim,
+        # doc-doc similarity recomputed from the corpus vectors
+        return mmr_rerank(
+            fold, e, k=_MMR_K, lam=_MMR_LAM,
+            query_col="query_id", doc_col="neighbor_id", score_col="cos_sim",
+            id_col="vec_id", vec_col="embedding",
+        ).select(
+            F.lit("mmr").alias("leg"),
+            "query_id",
+            "neighbor_id",
+            F.round("mmr_score", 6).alias("cos_sim"),
+            "rank",
+        )
     # ndcg leg (r10 rotation): operators/retrieval.ndcg_at_k scores the
     # exact top-5 against graded labels derived from the embeddings'
     # label column (same label -> rel 3, adjacent -> rel 1) — the
@@ -837,27 +846,30 @@ def ann_exact_topk(spark, sf_dir):
     # theta join), self pairs excluded like the retrieval itself.
     from d2d_spark.operators.retrieval import ndcg_at_k
 
-    ql_f = q.select(F.col("vec_id").alias("query_id"), F.col("label").alias("__ql"))
-    dl_f = e.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("__dl"))
-    truth = None
-    for off, rel in ((0, 3), (-1, 1), (1, 1)):
-        part = (
-            F.broadcast(ql_f)
-            .join(dl_f, ql_f["__ql"] == dl_f["__dl"] + F.lit(off))
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id", F.lit(rel).alias("rel"))
+    def _ndcg_chain():
+        ql_f = q.select(F.col("vec_id").alias("query_id"), F.col("label").alias("__ql"))
+        dl_f = e.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("__dl"))
+        truth = None
+        for off, rel in ((0, 3), (-1, 1), (1, 1)):
+            part = (
+                F.broadcast(ql_f)
+                .join(dl_f, ql_f["__ql"] == dl_f["__dl"] + F.lit(off))
+                .filter(F.col("query_id") != F.col("neighbor_id"))
+                .select("query_id", "neighbor_id", F.lit(rel).alias("rel"))
+            )
+            truth = part if truth is None else truth.unionByName(part)
+        nd = ndcg_at_k(
+            fold, truth, "query_id", "neighbor_id", k=5, rel_col="rel"
         )
-        truth = part if truth is None else truth.unionByName(part)
-    nd = ndcg_at_k(
-        fold, truth, "query_id", "neighbor_id", k=5, rel_col="rel"
-    )
-    ndcg_leg = nd.select(
-        F.lit("ndcg").alias("leg"),
-        "query_id",
-        F.lit(None).cast("long").alias("neighbor_id"),
-        F.round("ndcg", 9).alias("cos_sim"),
-        F.lit(None).cast("int").alias("rank"),
-    )
+        return nd.select(
+            F.lit("ndcg").alias("leg"),
+            "query_id",
+            F.lit(None).cast("long").alias("neighbor_id"),
+            F.round("ndcg", 9).alias("cos_sim"),
+            F.lit(None).cast("int").alias("rank"),
+        )
+
+    fused, mmr, ndcg_leg = run_concurrent([_rrf_chain, _mmr_chain, _ndcg_chain])
     return (
         fold.select(F.lit("fold").alias("leg"), *cols)
         .unionByName(gemm.select(F.lit("gemm").alias("leg"), *cols))
