@@ -230,10 +230,23 @@ def attribution(
     elif model == "time_decay":
         age = _num(F.col("conv_ts")) - _num(F.col("touch_ts"))
         wgt = F.pow(F.lit(2.0), -age / F.lit(half_s))
+        # r12: the weight normalizer is a sum of DOUBLES — over an
+        # UNORDERED window frame Spark adds them in physical row
+        # order, so the last ulp of credit depended on partitioning
+        # (surfaced when cached-plan partitioning changed). An ordered
+        # full frame pins the summation order to the touch timestamps
+        # (unique within a conversion by the probe's contract):
+        # deterministic on any partitioning, and identical between the
+        # single- and multi-model paths.
+        osum = (
+            Window.partitionBy("__k", "conv_ts")
+            .orderBy(F.col("touch_ts").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
         scored = (
             pairs.withColumn("__w", wgt)
             .withColumn("n_touches", n.cast("long"))
-            .withColumn("credit", F.col("__w") / F.sum("__w").over(part))
+            .withColumn("credit", F.col("__w") / F.sum("__w").over(osum))
         )
     else:  # position (U-shape 40/20/40)
         scored = (
@@ -347,7 +360,14 @@ def _attribution_multi(
     if "time_decay" in models:
         age = _num(F.col("conv_ts")) - _num(F.col("touch_ts"))
         base = base.withColumn("__w", F.pow(F.lit(2.0), -age / F.lit(half_s)))
-        base = base.withColumn("__sw", F.sum("__w").over(part))
+        # ordered full frame: the same deterministic summation order
+        # as the single-model path (see the r12 note there)
+        osum = (
+            Window.partitionBy("__k", "conv_ts")
+            .orderBy(F.col("touch_ts").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        base = base.withColumn("__sw", F.sum("__w").over(osum))
     # all three window specs share ONE (__k, conv_ts) exchange; the
     # persist lets every model leg read the scored rows instead of
     # re-running the pair join per leg, and the eager count fills the

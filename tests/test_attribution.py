@@ -334,3 +334,22 @@ def test_multi_model_guards(spark):
             df, "k", "t", "s", ["purchase"], ["click"],
             model=["linear", "time_decay"],
         )
+
+
+def test_time_decay_credit_is_partitioning_invariant(spark):
+    """r12: the decay normalizer sums doubles — the ordered-frame fix
+    pins bit-identical credits on ANY input partitioning (the unordered
+    frame summed in physical row order and drifted in the last ulp
+    when cached-plan partitioning changed)."""
+    df = _df(spark)
+    def run(d):
+        out = attribution(
+            d, "k", "t", "s", ["purchase"], ["click", "view"],
+            model="time_decay", lookback="10 seconds", halflife="4 seconds",
+            include_unattributed=True,
+        )
+        return sorted(tuple(r) for r in out.collect())
+    a = run(df.coalesce(1))
+    b = run(df.repartition(7))
+    c = run(df.repartition(3, "k"))
+    assert a == b == c and a
