@@ -616,7 +616,18 @@ def binary_auc(
 
     # the score-collapse groupBy is the dominant cost at scale and
     # feeds THREE actions (totals, bucket boundaries, bucketed scan) —
-    # persist it once under the standing opcache discipline
+    # persist it once under the standing opcache discipline.
+    # r12: the cache is EXPLICITLY partitioned by score — its bytes
+    # are small but its per-row consumer cost (DECIMAL(38,0) rank
+    # products) is not, and AQE's byte-based coalescing of cached
+    # plans would otherwise serialize that work onto one task
+    # (measured: 11 tasks / 1.99 s wall vs 200 tasks / 1.61 s).
+    # An explicit partition count is exempt from AQE coalescing; it
+    # derives from the session's shuffle-partitions conf, so it is
+    # cluster-sized, not tuned to this box.
+    nb = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     counts = opcache.register(
         "binary_auc",
         base.groupBy(F.col(score_col).alias("__v"))
@@ -624,6 +635,7 @@ def binary_auc(
             F.sum(lab.cast("long")).alias("__cp"),
             F.sum((~lab).cast("long")).alias("__cn"),
         )
+        .repartition(nb, "__v")
         .persist(StorageLevel.MEMORY_AND_DISK),
     )
     try:
